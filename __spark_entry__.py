@@ -1,38 +1,403 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a tokenkit_spark operator/pipeline at
+(spark, sf_dir); ``oracle_sql()`` holds its ANSI-SQL DuckDB twin over the
+same parquet tables. Column names and types are aligned on both sides;
+floats are rounded identically before ranking/comparison.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tokenkit_spark import AnalyzerConfig
+from tokenkit_spark.functions.udfs import tokenize_col
+from tokenkit_spark.index.build import build_index, load_index
+from tokenkit_spark.index.query import bm25_brute, bm25_segments
+from tokenkit_spark.ops import dedup, similarity, textstats
+
+WS = AnalyzerConfig(strategy="whitespace", lowercase=True)
+LETTER = AnalyzerConfig(strategy="letter", lowercase=True)
+
+# fixed reference query set over the documents vocabulary
+BM25_QUERIES = [
+    (0, "spark sort merge"),
+    (1, "hash join"),
+    (2, "the batch"),
+    (3, "window stream table"),
+    (4, "nonexistentterm"),
+    (5, "scan"),
+    (6, "key order hash join merge"),
+]
+_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+
+# DuckDB fragments shared by several oracles
+_TOKS = (
+    "SELECT doc_id, lower(u.t) AS term FROM documents, "
+    "unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)"
+)
+
+_BM25_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(BM25_QUERIES, "query_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_ws_token_counts(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def q_term_df_top100(spark, sf_dir):
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokenize_col("text", WS)).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(100)
+    )
+
+
+def q_letter_tf(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    toks = docs.select("doc_id", F.explode(tokenize_col("text", LETTER)).alias("term"))
+    return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def q_edge_ngrams(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    terms = docs.select(
+        F.explode(tokenize_col("text", WS)).alias("term")
+    ).distinct()
+    cfg = AnalyzerConfig(strategy="edge_ngram", min_gram=2, max_gram=4)
+    return terms.select(
+        "term", F.explode(tokenize_col("term", cfg)).alias("gram")
+    ).distinct()
+
+
+def q_bm25_top10(spark, sf_dir):
+    return bm25_brute(_docs(spark, sf_dir), _queries_df(spark), WS, k=10, round_digits=4)
+
+
+_INDEX_CACHE: dict[str, dict] = {}
+
+
+def _index_for(spark, sf_dir):
+    if sf_dir not in _INDEX_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"tokenkit_idx_v1_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        build_index(spark, docs, path, WS, n_shards=8, n_buckets=32, resume=True)
+        _INDEX_CACHE[sf_dir] = load_index(spark, path)
+    return _INDEX_CACHE[sf_dir]
+
+
+def q_bm25_top10_segments(spark, sf_dir):
+    """Same result as q_bm25_top10, but through the full compressed
+    doc-sharded segment index (build + query engine)."""
+    index = _index_for(spark, sf_dir)
+    return bm25_segments(spark, index, _queries_df(spark), WS, k=10, round_digits=4)
+
+
+def q_doc_stats(spark, sf_dir):
+    index = _index_for(spark, sf_dir)
+    return index["doc_stats"].select("doc_id", F.col("dl").cast("long").alias("dl"))
+
+
+def q_term_stats_segments(spark, sf_dir):
+    """df/cf aggregated FROM the compressed segments — proves the index
+    round-trips (oracle recomputes from raw text)."""
+    index = _index_for(spark, sf_dir)
+    return index["term_stats"].select("term", "df", "cf")
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_nations(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_events_by_type(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_fingerprint_dups(spark, sf_dir):
+    fp = textstats.fingerprints(_docs(spark, sf_dir))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    return textstats.quality_features(_docs(spark, sf_dir).filter(F.col("doc_id") < 500))
+
+
+def q_stopword_ratios(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    scores = dict(textstats.lang_scores(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.round(scores["en"], 4).alias("en_ratio"),
+        F.round(scores["es"], 4).alias("es_ratio"),
+    )
+
+
+def q_cosine_top10(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.cosine_scores(emb, qvec)
+    return (
+        out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (rows-only check: LSH banding is
+    not SQL-expressible)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
+    return dedup.minhash_candidates(docs, num_perm=32, bands=8).filter(
+        F.col("n_shared_bands") >= 4
+    )
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
+    return dedup.simhash_candidates(docs).filter(F.col("hamming") <= 3)
+
+
+def q_lang_detect(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    return docs.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_pred"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 through the compressed segment index engine
+    on sf0.001."""
+    return q_bm25_top10_segments(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ws_token_counts": q_ws_token_counts,
+        "term_df_top100": q_term_df_top100,
+        "letter_tf": q_letter_tf,
+        "edge_ngrams": q_edge_ngrams,
+        "bm25_top10": q_bm25_top10,
+        "bm25_top10_segments": q_bm25_top10_segments,
+        "doc_stats": q_doc_stats,
+        "term_stats_segments": q_term_stats_segments,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "top_revenue_nations": q_top_revenue_nations,
+        "events_by_type": q_events_by_type,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint_dups": q_fingerprint_dups,
+        "quality_scores": q_quality_scores,
+        "stopword_ratios": q_stopword_ratios,
+        "cosine_top10": q_cosine_top10,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lang_detect": q_lang_detect,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = ", ".join(f"'{s}'" for s in textstats.STOPWORDS["en"])
+    stop_es = ", ".join(f"'{s}'" for s in textstats.STOPWORDS["es"])
+    token_rx = textstats.TOKEN_REGEX
+    return {
+        "ws_token_counts": (
+            "SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens, "
+            f"len(regexp_extract_all(text, '{token_rx}'))::BIGINT AS bpe_tokens "
+            "FROM documents"
+        ),
+        "term_df_top100": (
+            f"WITH toks AS ({_TOKS}) "
+            "SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
+            "FROM toks GROUP BY term ORDER BY df DESC, term ASC LIMIT 100"
+        ),
+        "letter_tf": (
+            "WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents, "
+            "unnest(list_filter(string_split_regex(text, '[^a-zA-Z]+'), x -> x <> '')) AS u(t) "
+            "WHERE doc_id < 100) "
+            "SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2"
+        ),
+        "edge_ngrams": (
+            f"WITH toks AS ({_TOKS}), "
+            "terms AS (SELECT DISTINCT term FROM toks WHERE doc_id < 50) "
+            "SELECT DISTINCT term, substring(term, 1, n::INT) AS gram "
+            "FROM terms, range(2, 5) r(n) WHERE n <= length(term)"
+        ),
+        "bm25_top10": _BM25_ORACLE,
+        "bm25_top10_segments": _BM25_ORACLE,
+        "doc_stats": (
+            f"WITH toks AS ({_TOKS}) SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1"
+        ),
+        "term_stats_segments": (
+            f"WITH toks AS ({_TOKS}), "
+            "postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2) "
+            "SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM postings GROUP BY 1"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_revenue_nations": (
+            "SELECT n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_lineitems "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS min_doc_id "
+            "FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "fingerprint_dups": (
+            "WITH fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ')) AS fingerprint "
+            "FROM documents) "
+            "SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS min_doc_id "
+            "FROM fp GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "quality_scores": (
+            "WITH base AS (SELECT doc_id, text, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks, "
+            "length(text) AS n_chars FROM documents WHERE doc_id < 500), "
+            "feats AS (SELECT doc_id, len(toks) AS n_tokens, "
+            "CASE WHEN len(toks) > 0 THEN list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE / len(toks) ELSE 0.0 END AS mtl, "
+            "CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / n_chars ELSE 0.0 END AS pr, "
+            f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> t IN ({stop_en})))::DOUBLE / len(toks) ELSE 0.0 END AS sr, "
+            "CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS ur "
+            "FROM base) "
+            "SELECT doc_id, n_tokens::INT AS n_tokens, round(mtl, 4) AS mean_token_len, "
+            "round(pr, 4) AS punct_ratio, round(sr, 4) AS stopword_ratio, "
+            "round(ur, 4) AS unique_ratio, "
+            "round(least(n_tokens / 32.0, 1.0) * 0.25 + (1.0 - least(pr * 4.0, 1.0)) * 0.25 "
+            "+ least(sr * 4.0, 1.0) * 0.25 + ur * 0.25, 4) AS quality_score "
+            "FROM feats"
+        ),
+        "stopword_ratios": (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks "
+            "FROM documents WHERE doc_id < 200) "
+            f"SELECT doc_id, round(len(list_filter(toks, t -> t IN ({stop_en})))::DOUBLE / greatest(len(toks), 1), 4) AS en_ratio, "
+            f"round(len(list_filter(toks, t -> t IN ({stop_es})))::DOUBLE / greatest(len(toks), 1), 4) AS es_ratio "
+            "FROM base"
+        ),
+        "cosine_top10": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine "
+            "FROM embeddings, q "
+            "ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+        ),
+        # minhash_near_dups / simhash_near_dups / lang_detect: rows-only
+        # (LSH banding, bit-rotation bands and argmax tie rules are not
+        # ANSI-SQL-expressible)
+    }

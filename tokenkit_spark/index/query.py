@@ -56,14 +56,19 @@ def _idf(df_col, n_docs: int):
     return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
 
 
-def _topk_window(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
+def _topk_window(scored: DataFrame, k: int, round_digits: int | None = None) -> DataFrame:
+    """Global top-k with the pinned total order (score desc, doc_id asc).
+    round_digits: rank on ROUNDED scores — used when results are compared
+    against an external engine (e.g. the DuckDB oracle) so float summation
+    order can't flip near-ties."""
+    score = (
+        F.round(F.col("score"), round_digits) if round_digits is not None else F.col("score")
     )
+    w = Window.partitionBy("query_id").orderBy(score.desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
+        .select("query_id", "rank", "doc_id", score.alias("score"))
     )
 
 
@@ -72,6 +77,7 @@ def bm25_brute(
     queries: DataFrame,
     config: AnalyzerConfig | None = None,
     k: int = 10,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Brute-force BM25 straight from docs(doc_id, text): the correctness
     oracle path, all Catalyst built-ins."""
@@ -96,7 +102,7 @@ def bm25_brute(
         .groupBy("query_id", "doc_id")
         .agg(F.sum(F.col("idf") * F.col("norm")).alias("score"))
     )
-    return _topk_window(scored, k)
+    return _topk_window(scored, k, round_digits)
 
 
 def _doc_globals(dstats: DataFrame) -> tuple[int, float]:
@@ -160,6 +166,7 @@ def bm25_segments(
     queries: DataFrame,
     config: AnalyzerConfig | None = None,
     k: int = 10,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the compressed doc-sharded index (see module doc)."""
     cfg = config or AnalyzerConfig()
@@ -196,8 +203,10 @@ def bm25_segments(
     )
 
     out_schema = "query_id long, doc_id long, score double"
+    # local candidate lists over-fetch a margin so rounded-score global
+    # ranking can never be starved by a raw-score local cut at the boundary
     candidates = (
         matched.repartition("shard")
-        .mapInPandas(_score_shard_kernel(k, n_docs, avgdl, False), out_schema)
+        .mapInPandas(_score_shard_kernel(k + 32, n_docs, avgdl, False), out_schema)
     )
-    return _topk_window(candidates, k)
+    return _topk_window(candidates, k, round_digits)

@@ -1,0 +1,101 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything here is pure Catalyst expressions (whole-stage codegen, no
+Python) so each has a straightforward DuckDB-oracle twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "a", "in", "is", "for", "on", "with", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por", "con", "los"],
+    "de": ["der", "die", "das", "und", "in", "zu", "den", "ist", "von", "mit", "für", "auf"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "est", "que", "pour"],
+}
+
+# BPE-ish word/number/punct pieces: letters+digits runs or single punct
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def lang_scores(text_col: Column) -> list[tuple[str, Column]]:
+    toks = _tokens(text_col)
+    out = []
+    for lang, stops in STOPWORDS.items():
+        hits = F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in stops]))
+        )
+        out.append((lang, hits / F.greatest(F.size(toks), F.lit(1))))
+    return out
+
+
+def detect_language(text_col: Column) -> Column:
+    """Stopword-ratio n-gram-free heuristic language ID: argmax over the
+    per-language stopword hit ratio; 'und' (undetermined) when all zero."""
+    scores = lang_scores(text_col)
+    pairs = F.array(
+        *[F.struct(score.alias("score"), F.lit(lang).alias("lang")) for lang, score in scores]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a composite score in [0, 1]."""
+    toks = _tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_tok_len = F.when(
+        n_toks > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_toks,
+    ).otherwise(F.lit(0.0))
+    punct_chars = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[!-/:-@\[-`{-~]", ""))
+    punct_ratio = F.when(n_chars > 0, punct_chars.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS["en"]])))
+    stop_ratio = F.when(n_toks > 0, stop_hits.cast("double") / n_toks).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(
+        n_toks > 0, F.size(F.array_distinct(toks)).cast("double") / n_toks
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_toks.cast("double") / 32.0, F.lit(1.0)) * 0.25
+        + (F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.25
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.25
+        + uniq_ratio * 0.25
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(uniq_ratio, 4).alias("unique_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex piece count per doc."""
+    ws = F.size(_tokens(F.col(text_col)))
+    bpe = F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    lowercased token list — the canonical near-dup 'shingleprint'."""
+    toks = F.array_sort(F.array_distinct(_tokens(F.col(text_col))))
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+        F.size(toks).alias("n_distinct_tokens"),
+    )
