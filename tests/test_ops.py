@@ -1,0 +1,141 @@
+"""Pipeline ops tests: dedup, similarity, text stats, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tokenkit_spark.ops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),  # exact dup of 0
+        Row(doc_id=2, text=base.replace("today", "tonight")),  # near dup
+        Row(doc_id=3, text="completely different content about spark and indexes"),
+        Row(doc_id=4, text="el la de que y en un una es por con los amigos"),
+        Row(doc_id=5, text="the of and to a in is for on with that it"),
+        Row(doc_id=6, text="dog lazy the near bank river the over jumps fox brown quick the today"),  # permuted 0
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].dup_count == 2 and out[0].min_doc_id == 0
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.n_shared_bands
+        for r in dedup.minhash_candidates(docs, num_perm=64, bands=16).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 16  # identical docs share all bands
+    assert (0, 2) in pairs  # near dup shares some band
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_minhash_deterministic(docs):
+    a = dedup.minhash_candidates(docs, num_perm=32, bands=8).collect()
+    b = dedup.minhash_candidates(docs, num_perm=32, bands=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_near_dups(docs):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming for r in dedup.simhash_candidates(docs).collect()
+    }
+    assert pairs.get((0, 1)) == 0          # identical -> same simhash
+    assert pairs.get((0, 6)) == 0          # bag-of-words permutation -> same tf weights
+    # one-word change on a 14-token doc flips many bits (tiny-doc regime);
+    # banding only guarantees candidates for hamming <= 3, so (0,2) may or
+    # may not appear — but unrelated docs must not collide at distance 0
+    assert all(h == 0 for (a, b), h in pairs.items() if {a, b} <= {0, 1, 6})
+    assert (0, 3) not in pairs or pairs[(0, 3)] > 0
+
+
+def test_ngram_jaccard(docs):
+    out = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert out.get((0, 1)) == 1.0
+    assert (0, 2) in out and 0.5 <= out[(0, 2)] < 1.0
+    assert (0, 3) not in out
+
+
+def test_cosine_topk_exact_vs_batch(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[7]]
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    batch = similarity.cosine_topk_batch(emb, q, k=5).collect()
+    assert exact[0].vec_id == 7 and batch[0].vec_id == 7
+    assert [r.vec_id for r in exact] == [r.vec_id for r in batch]
+    for a, b in zip(exact, batch):
+        assert abs(a.cosine - b.cosine) < 1e-9
+
+    # numpy brute check
+    sims = vecs @ np.asarray(q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expected = np.lexsort((np.arange(50), -sims))[:5]
+    assert [r.vec_id for r in exact] == expected.tolist()
+
+
+def test_lsh_recalls_self(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[42]]
+    out = similarity.lsh_cosine_topk(emb, q, k=3, n_planes=12, max_hamming=3).collect()
+    assert out and out[0].vec_id == 42
+
+
+def test_detect_language(docs):
+    out = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", textstats.detect_language(F.col("text")).alias("lang")
+    ).collect()}
+    assert out[5] == "en"
+    assert out[4] == "es"
+
+
+def test_quality_and_counts(docs):
+    q = {r.doc_id: r for r in textstats.quality_features(docs).collect()}
+    assert q[0].n_tokens == 14
+    assert 0.0 <= q[0].quality_score <= 1.0
+    c = {r.doc_id: r for r in textstats.token_counts(docs).collect()}
+    assert c[0].ws_tokens == 14 and c[0].bpe_tokens == 14
+
+
+def test_fingerprint_order_insensitive(docs):
+    fp = {r.doc_id: r.fingerprint for r in textstats.fingerprints(docs).collect()}
+    assert fp[0] == fp[1] == fp[6]  # same bag of words
+    assert fp[0] != fp[3]
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media, feat_dim=8).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.feat) == 8 and r.n_bytes > 0
+    # deterministic across runs
+    again = multimodal.extract_features(multimodal.synth_media(spark, n=30)).collect()
+    assert sorted(r.checksum for r in feats) == sorted(r.checksum for r in again)
+
+
+def test_frame_sampling(spark):
+    media = multimodal.synth_media(spark, n=9)
+    frames = multimodal.frame_sample(media, every_n=30).collect()
+    vids = [r for r in frames]
+    assert vids and all(r.frame_idx % 30 == 0 for r in vids)

@@ -67,7 +67,10 @@ def cosine_udf(qvec: list[float]):
 
     def _cos(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in batch_iter:
-            mat = np.stack(series.to_numpy())
+            # Arrow hands float32 arrays; lift to float64 so the batch path
+            # matches the native-expression path bit-for-bit (both then
+            # compute in double over float32-rounded inputs)
+            mat = np.stack(series.to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             yield pd.Series(mat @ q / norms)
