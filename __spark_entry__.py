@@ -138,7 +138,7 @@ def _index_for(spark, sf_dir):
     if sf_dir not in _INDEX_CACHE:
         path = os.path.join(
             tempfile.gettempdir(),
-            f"tokenkit_idx_v1_{os.path.basename(os.path.normpath(sf_dir))}",
+            f"tokenkit_idx_v2_{os.path.basename(os.path.normpath(sf_dir))}",
         )
         docs = _docs(spark, sf_dir).select("doc_id", "text")
         build_index(spark, docs, path, WS, n_shards=8, n_buckets=32, resume=True)

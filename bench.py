@@ -1,0 +1,123 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "index_build": {...}, "bm25": {...}}
+
+Headline metric (BASELINE.json): BM25 top-10 queries/sec through the
+compressed segment index + index-build docs/sec. Scaling (N vs 4N cores)
+is measured separately by tools/scaling_bench.py and reported in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from tokenkit_spark.index.build import build_index, load_index
+    from tokenkit_spark.index.query import bm25_segments
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("tokenkit-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n_docs = docs.count()
+
+    # --- headline 1: index build (fresh, no resume) -----------------------
+    idx_path = os.path.join(tempfile.gettempdir(), f"tokenkit_bench_idx_{os.getpid()}")
+    shutil.rmtree(idx_path, ignore_errors=True)
+    timed(
+        "index_build",
+        lambda: build_index(
+            spark, docs, idx_path, entry.WS, n_shards=CPUS, n_buckets=64, resume=False
+        ),
+    )
+    index = load_index(spark, idx_path)
+
+    # --- headline 2: BM25 top-10 through the compressed index -------------
+    qdf = entry._queries_df(spark)
+    n_queries = qdf.count()
+    timed(
+        "bm25_top10_segments",
+        lambda: bm25_segments(spark, index, qdf, entry.WS, k=10).count(),
+    )
+    timed(
+        "bm25_top10_segments_warm",
+        lambda: bm25_segments(spark, index, qdf, entry.WS, k=10).count(),
+    )
+
+    # --- supporting queries from the driver surface -----------------------
+    qs = entry.queries()
+    for name in (
+        "bm25_top10",
+        "term_df_top100",
+        "dedup_exact",
+        "fingerprint_dups",
+        "cosine_top10",
+        "q1_pricing_summary",
+        "top_revenue_nations",
+    ):
+        timed(name, lambda name=name: qs[name](spark, SF_DIR).count())
+
+    shutil.rmtree(idx_path, ignore_errors=True)
+
+    build_s = timings["index_build"]
+    query_s = timings["bm25_top10_segments_warm"]
+    result = {
+        "metric": "bm25_index_build_and_query",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+        "index_build": {
+            "docs": n_docs,
+            "sec": build_s,
+            "docs_per_sec": round(n_docs / build_s, 1),
+        },
+        "bm25": {
+            "queries": n_queries,
+            "sec": query_s,
+            "queries_per_sec": round(n_queries / query_s, 2),
+        },
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -146,3 +146,13 @@ def test_resume_rebuilds_missing_shard(spark, docs, queries_df, tmp_path_factory
     r_full = bm25_segments(spark, i_full, queries_df, CFG, k=10).collect()
     r_part = bm25_segments(spark, i_part, queries_df, CFG, k=10).collect()
     assert sorted(map(tuple, r_full)) == sorted(map(tuple, r_part))
+
+
+def test_blockmax_equals_exhaustive_spark(spark, index, queries_df):
+    """A/B: the Block-Max WAND kernel and the exhaustive kernel must be
+    rank- AND score-identical through the full Spark path."""
+    a = bm25_segments(spark, index, queries_df, CFG, k=10, use_blockmax=True)
+    b = bm25_segments(spark, index, queries_df, CFG, k=10, use_blockmax=False)
+    ra = [(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in a.collect()]
+    rb = [(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in b.collect()]
+    assert sorted(ra) == sorted(rb)

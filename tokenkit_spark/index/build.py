@@ -67,6 +67,8 @@ SEGMENT_SCHEMA = StructType(
         StructField("block_last", ArrayType(LongType()), False),
         StructField("block_max", ArrayType(DoubleType()), False),
         StructField("block_doc_off", ArrayType(LongType()), False),
+        StructField("block_tf_off", ArrayType(LongType()), False),
+        StructField("block_dl_off", ArrayType(LongType()), False),
     ]
 )
 
@@ -136,6 +138,8 @@ def _encode_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
                 enc["block_last"],
                 enc["block_max"],
                 enc["block_doc_off"],
+                enc["block_tf_off"],
+                enc["block_dl_off"],
             )
         )
     return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])

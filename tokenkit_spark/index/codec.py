@@ -139,15 +139,21 @@ def encode_posting_list(
     block_starts = np.arange(0, n, BLOCK_SIZE)
     block_last = doc_ids[np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n) - 1]
     block_max = np.maximum.reduceat(norms, block_starts)
-    # byte offset of each block's first varint inside doc_ids_blob, so a
-    # WAND cursor can decode one block at a time without scanning the blob
-    gap_sizes = varint_sizes(delta_encode(doc_ids.view(np.uint64)))
-    offs = np.zeros(nblocks, dtype=np.int64)
-    if nblocks > 1:
-        offs[1:] = np.cumsum(gap_sizes)[block_starts[1:] - 1]
+
+    # Byte offset of each block's first varint inside each blob, so a WAND
+    # cursor can decode ONE block at a time without scanning the rest. A
+    # pruned block is never decoded at all.
+    def _offs(sizes: np.ndarray) -> np.ndarray:
+        o = np.zeros(nblocks, dtype=np.int64)
+        if nblocks > 1:
+            o[1:] = np.cumsum(sizes)[block_starts[1:] - 1]
+        return o
+
     return {
         "n_postings": n,
-        "block_doc_off": offs.tolist(),
+        "block_doc_off": _offs(varint_sizes(delta_encode(doc_ids.view(np.uint64)))).tolist(),
+        "block_tf_off": _offs(varint_sizes(np.asarray(tfs, dtype=np.uint64))).tolist(),
+        "block_dl_off": _offs(varint_sizes(np.asarray(dls, dtype=np.uint64))).tolist(),
         # signed doc_ids viewed as uint64: mod-2^64 delta/cumsum round-trips
         # exactly even across the sign boundary (first gap is absolute)
         "doc_ids_blob": varint_encode(delta_encode(doc_ids.view(np.uint64))),
@@ -156,6 +162,36 @@ def encode_posting_list(
         "block_last": block_last.tolist(),
         "block_max": block_max.tolist(),
     }
+
+
+def decode_block(
+    doc_ids_blob: bytes,
+    tfs_blob: bytes,
+    dls_blob: bytes,
+    n_postings: int,
+    block_doc_off,
+    block_tf_off,
+    block_dl_off,
+    block_last,
+    b: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode ONLY block ``b`` of a posting list (the WAND skip path: a
+    pruned block's bytes are never touched). Returns (doc_ids, tfs, dls)
+    for the ``BLOCK_SIZE`` (or fewer, for the tail) postings of the block.
+    """
+    nblocks = len(block_last)
+    count = min(BLOCK_SIZE, n_postings - b * BLOCK_SIZE)
+    d_end = block_doc_off[b + 1] if b + 1 < nblocks else len(doc_ids_blob)
+    t_end = block_tf_off[b + 1] if b + 1 < nblocks else len(tfs_blob)
+    l_end = block_dl_off[b + 1] if b + 1 < nblocks else len(dls_blob)
+    gaps = varint_decode(doc_ids_blob[block_doc_off[b] : d_end], count)
+    # block 0's first gap is absolute; later blocks chain off the previous
+    # block's last doc id (mod-2^64 arithmetic round-trips signed ids)
+    base = np.uint64(0) if b == 0 else np.int64(block_last[b - 1]).view(np.uint64)
+    doc_ids = (base + delta_decode(gaps)).view(np.int64)
+    tfs = varint_decode(tfs_blob[block_tf_off[b] : t_end], count).astype(np.int64)
+    dls = varint_decode(dls_blob[block_dl_off[b] : l_end], count).astype(np.int64)
+    return doc_ids, tfs, dls
 
 
 def decode_posting_list(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

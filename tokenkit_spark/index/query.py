@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..config import AnalyzerConfig
 from ..functions.udfs import tokenize_col
-from . import codec
+from . import codec, wand
 from .build import postings_df, doc_stats_df, term_bucket_col
 
 K1 = codec.K1
@@ -112,49 +112,48 @@ def _doc_globals(dstats: DataFrame) -> tuple[int, float]:
     return int(row.n), float(row.avgdl)
 
 
-def _score_shard_kernel(k: int, n_docs: int, avgdl: float, use_blockmax: bool):
-    """mapInPandas kernel over segment rows already joined with
-    (query_id, idf): decode blobs, accumulate scores per (query, doc),
-    emit per-(query, shard-partition) top-k candidates.
+_TERM_COLS = [
+    "idf", "n_postings", "doc_ids_blob", "tfs_blob", "dls_blob",
+    "block_last", "block_max", "block_doc_off", "block_tf_off", "block_dl_off",
+]
 
-    Block-max pruning (single-term fast path): while accumulating, a block
-    whose idf*block_max cannot beat the current kth-best PARTIAL bound can
-    only be skipped safely for single-term queries; multi-term pruning
-    happens at the global merge, so here we keep exact accumulation and use
-    block metadata only to pre-size buffers.
-    """
+
+def _score_shard_kernel(k: int, n_docs: int, avgdl: float, use_blockmax: bool = True):
+    """mapInPandas kernel over segment rows already joined with
+    (query_id, idf): for each (query, doc-shard) group, run the exact
+    Block-Max WAND pass (wand.score_query_shard — rarest term first,
+    threshold from the running top-k, pruned blocks never decoded) and
+    emit the group's top-k candidates. Only (shard-local top-k) rows ever
+    cross the wire; posting lists don't."""
 
     def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # accumulate across ALL batches of this partition, keyed by query
-        acc: dict[int, dict] = {}
+        # gather term rows per (query, shard) across this partition's batches
+        groups: dict[tuple[int, int], list[dict]] = {}
         for pdf in batch_iter:
             for row in pdf.itertuples(index=False):
-                n = int(row.n_postings)
-                gaps = codec.varint_decode(bytes(row.doc_ids_blob), n)
-                doc_ids = codec.delta_decode(gaps).view(np.int64)
-                tfs = codec.varint_decode(bytes(row.tfs_blob), n).astype(np.float64)
-                dls = codec.varint_decode(bytes(row.dls_blob), n).astype(np.float64)
-                norms = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-                contrib = float(row.idf) * norms
-                q = int(row.query_id)
-                slot = acc.setdefault(q, {"ids": [], "scores": []})
-                slot["ids"].append(doc_ids)
-                slot["scores"].append(contrib)
+                t = {c: getattr(row, c) for c in _TERM_COLS}
+                groups.setdefault((int(row.query_id), int(row.shard)), []).append(t)
         out_q, out_d, out_s = [], [], []
-        for q, slot in acc.items():
-            ids = np.concatenate(slot["ids"])
-            scores = np.concatenate(slot["scores"])
-            uniq, inv = np.unique(ids, return_inverse=True)
-            total = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(total, inv, scores)
-            if uniq.size > k:
-                # top-k with (score desc, doc_id asc) ties: lexsort
-                order = np.lexsort((uniq, -total))[:k]
-            else:
-                order = np.lexsort((uniq, -total))
-            out_q.extend([q] * order.size)
-            out_d.extend(uniq[order].tolist())
-            out_s.extend(total[order].tolist())
+        for (q, _shard), terms in groups.items():
+            if use_blockmax:
+                res = wand.score_query_shard(terms, avgdl, k)
+                ids, scores = res["doc_ids"], res["scores"]
+            else:  # exhaustive fallback (kept for A/B tests)
+                all_ids, all_scores = [], []
+                for t in terms:
+                    doc_ids, tfs, dls = codec.decode_posting_list(t)
+                    all_ids.append(doc_ids)
+                    all_scores.append(float(t["idf"]) * codec.bm25_norm(tfs, dls, avgdl))
+                ids = np.concatenate(all_ids)
+                scores = np.concatenate(all_scores)
+                uniq, inv = np.unique(ids, return_inverse=True)
+                total = np.zeros(uniq.size, dtype=np.float64)
+                np.add.at(total, inv, scores)
+                sel = np.lexsort((uniq, -total))[:k]
+                ids, scores = uniq[sel], total[sel]
+            out_q.extend([q] * len(ids))
+            out_d.extend(np.asarray(ids).tolist())
+            out_s.extend(np.asarray(scores).tolist())
         yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
     return fn
@@ -167,6 +166,7 @@ def bm25_segments(
     config: AnalyzerConfig | None = None,
     k: int = 10,
     round_digits: int | None = None,
+    use_blockmax: bool = True,
 ) -> DataFrame:
     """Top-k BM25 over the compressed doc-sharded index (see module doc)."""
     cfg = config or AnalyzerConfig()
@@ -196,10 +196,7 @@ def bm25_segments(
         seg.join(F.broadcast(q_terms), "term")
         .join(F.broadcast(tstats), "term")
         .withColumn("idf", _idf(F.col("df"), n_docs))
-        .select(
-            "query_id", "shard", "idf", "n_postings",
-            "doc_ids_blob", "tfs_blob", "dls_blob",
-        )
+        .select("query_id", "shard", *_TERM_COLS)
     )
 
     out_schema = "query_id long, doc_id long, score double"
@@ -207,6 +204,6 @@ def bm25_segments(
     # ranking can never be starved by a raw-score local cut at the boundary
     candidates = (
         matched.repartition("shard")
-        .mapInPandas(_score_shard_kernel(k + 32, n_docs, avgdl, False), out_schema)
+        .mapInPandas(_score_shard_kernel(k + 32, n_docs, avgdl, use_blockmax), out_schema)
     )
     return _topk_window(candidates, k, round_digits)

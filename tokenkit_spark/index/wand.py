@@ -1,0 +1,133 @@
+"""Block-Max WAND pruning for the BM25 query engine.
+
+Exact top-k dynamic pruning over the compressed segments (north_rule:
+"top-k scoring via posting-list intersection with block-max WAND
+pruning"). The classic WAND formulation iterates doc-at-a-time with
+per-term cursors; that is a per-posting Python loop — the slow path the
+input_hint forbids. This module implements the same safe-pruning
+invariant in a *vectorized, block-at-a-time* form:
+
+  Process a query's terms rarest-first (highest idf, cheapest lists —
+  builds the threshold fast). Maintain an accumulator of partial scores
+  (lower bounds of final scores) and a threshold θ = k-th best partial.
+  For each remaining term, a block b can contribute at most
+
+      bound(b) = max(block_partial_max(b), 0) + idf·block_max(b) + Σ ub(rest)
+
+  where block_partial_max(b) is the best already-accumulated partial of
+  any doc inside b's docID range (new docs enter at partial 0), and
+  Σ ub(rest) is the sum of the not-yet-processed terms' global upper
+  bounds. If bound(b) < θ the block is SKIPPED — its bytes are never
+  decoded (codec.decode_block gives per-block lazy decode via the stored
+  byte offsets).
+
+Safety: θ only grows, and partials are lower bounds of finals, so any
+doc in a skipped block satisfies final(d) ≤ bound(b) < θ ≤ k-th best
+final — it cannot be in the true top-k. Every true top-k doc is fully
+accumulated, so returned scores are exact. (Same invariant as Broder et
+al.'s WAND / Ding & Suel's Block-Max WAND, re-shaped for numpy.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import codec
+
+_EPS = 1e-9  # slack so rounded-score ties at the threshold are never pruned
+
+
+def _merge_acc(acc_ids, acc_scores, new_ids, new_scores):
+    """Merge (sum) contributions into the sorted accumulator."""
+    ids = np.concatenate((acc_ids, new_ids))
+    scores = np.concatenate((acc_scores, new_scores))
+    uniq, inv = np.unique(ids, return_inverse=True)
+    total = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(total, inv, scores)
+    return uniq, total
+
+
+def _kth_best(scores: np.ndarray, k: int) -> float:
+    if scores.size < k:
+        return -np.inf
+    return float(np.partition(scores, -k)[-k])
+
+
+def score_query_shard(terms: list[dict], avgdl: float, k: int) -> dict:
+    """Score one query against one doc-shard's matched posting lists.
+
+    ``terms``: one dict per matched query term with keys ``idf``,
+    ``n_postings``, ``doc_ids_blob``, ``tfs_blob``, ``dls_blob``,
+    ``block_last``, ``block_max``, ``block_doc_off``, ``block_tf_off``,
+    ``block_dl_off``. Returns exact top-k (doc_ids, scores) plus pruning
+    stats {blocks_total, blocks_decoded}.
+    """
+    # global per-term upper bound: idf * best block_max
+    ubs = np.array(
+        [t["idf"] * (max(t["block_max"]) if len(t["block_max"]) else 0.0) for t in terms]
+    )
+    # rarest-first: cheap, high-idf lists raise θ before the head terms
+    order = np.argsort([t["n_postings"] for t in terms], kind="stable")
+    rem_after = np.zeros(len(terms) + 1)
+    rem_after[:-1] = np.cumsum(ubs[order][::-1])[::-1]
+
+    acc_ids = np.zeros(0, dtype=np.int64)
+    acc_scores = np.zeros(0, dtype=np.float64)
+    blocks_total = 0
+    blocks_decoded = 0
+
+    for i, ti in enumerate(order):
+        t = terms[int(ti)]
+        idf = float(t["idf"])
+        block_last = np.asarray(t["block_last"], dtype=np.int64)
+        block_max = np.asarray(t["block_max"], dtype=np.float64)
+        nblocks = block_last.size
+        blocks_total += nblocks
+        remaining = rem_after[i + 1]
+        theta = _kth_best(acc_scores, k)
+
+        if theta > -np.inf:
+            # best accumulated partial inside each block's docID range
+            bpm = np.zeros(nblocks, dtype=np.float64)
+            bins = np.searchsorted(block_last, acc_ids, side="left")
+            valid = bins < nblocks
+            np.maximum.at(bpm, bins[valid], acc_scores[valid])
+            survives = bpm + idf * block_max + remaining >= theta - _EPS
+        else:
+            survives = np.ones(nblocks, dtype=bool)
+
+        live = np.flatnonzero(survives)
+        blocks_decoded += live.size
+        if live.size == 0:
+            continue
+        if live.size == nblocks:
+            doc_ids, tfs, dls = codec.decode_posting_list(t)
+        else:
+            parts = [
+                codec.decode_block(
+                    bytes(t["doc_ids_blob"]),
+                    bytes(t["tfs_blob"]),
+                    bytes(t["dls_blob"]),
+                    int(t["n_postings"]),
+                    t["block_doc_off"],
+                    t["block_tf_off"],
+                    t["block_dl_off"],
+                    t["block_last"],
+                    int(b),
+                )
+                for b in live
+            ]
+            doc_ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+        contrib = idf * codec.bm25_norm(tfs, dls, avgdl)
+        acc_ids, acc_scores = _merge_acc(acc_ids, acc_scores, doc_ids, contrib)
+
+    # exact top-k with the pinned tie order (score desc, doc_id asc)
+    sel = np.lexsort((acc_ids, -acc_scores))[:k]
+    return {
+        "doc_ids": acc_ids[sel],
+        "scores": acc_scores[sel],
+        "blocks_total": blocks_total,
+        "blocks_decoded": blocks_decoded,
+    }
