@@ -52,3 +52,31 @@ def test_block_max():
     norms = codec.bm25_norm(tfs, dls, 100.0)
     assert np.isclose(enc["block_max"][1], norms[200])
     assert np.isclose(enc["block_max"][0], norms[0])
+
+
+def test_encode_runs_matches_per_run():
+    rng = np.random.default_rng(5)
+    # 200 runs of wildly varying length incl. >BLOCK_SIZE and singletons
+    lens = np.concatenate([rng.integers(1, 6, 150), rng.integers(100, 400, 50)])
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ends = np.cumsum(lens)
+    n = int(ends[-1])
+    doc_ids = np.empty(n, dtype=np.int64)
+    for s, e in zip(starts, ends):
+        doc_ids[s:e] = np.sort(rng.choice(10**7, size=e - s, replace=False)) - 5 * 10**6
+    tfs = rng.integers(1, 50, size=n).astype(np.int64)
+    dls = rng.integers(5, 800, size=n).astype(np.int64)
+    got = codec.encode_runs(starts, ends, doc_ids, tfs, dls, avgdl=120.0)
+    assert len(got) == len(lens)
+    for (s, e, g) in zip(starts, ends, got):
+        want = codec.encode_posting_list(doc_ids[s:e], tfs[s:e], dls[s:e], 120.0)
+        assert g[0] == want["n_postings"]
+        assert g[1] == want["doc_ids_blob"]
+        assert g[2] == want["tfs_blob"]
+        assert g[3] == want["dls_blob"]
+        assert g[4] == want["block_last"]
+        assert np.allclose(g[5], want["block_max"])
+        assert g[6] == want["block_doc_off"]
+        assert g[7] == want["block_tf_off"]
+        assert g[8] == want["block_dl_off"]
+        assert g[9] == int(tfs[s:e].sum())

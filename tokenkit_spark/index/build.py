@@ -88,6 +88,18 @@ def tokens_df(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
     )
 
 
+def tokens_with_dl_df(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
+    """Like tokens_df but carries dl = size(tokens) on every row, so the
+    posting build never needs a doc_id join to attach doc length (at
+    10^12 docs that join is a full extra shuffle of the posting set)."""
+    toks = docs.select("doc_id", tokenize_col("text", config).alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("pos", "term"),
+    )
+
+
 def postings_df(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
     """Uncompressed postings: (term, doc_id, tf, positions)."""
     return (
@@ -109,7 +121,8 @@ def doc_stats_df(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
 
 def _encode_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     """Encode sorted postings rows (shard,term_bucket,term,doc_id,tf,dl)
-    into segment rows; input must be sorted and contain only complete runs."""
+    into segment rows; input must be sorted and contain only complete
+    runs. All codec math is one vectorized pass (codec.encode_runs)."""
     shards = pdf["shard"].to_numpy()
     buckets = pdf["term_bucket"].to_numpy()
     terms = pdf["term"].to_numpy()
@@ -122,26 +135,20 @@ def _encode_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     ) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
-    rows = []
-    for s, e in zip(starts, ends):
-        enc = codec.encode_posting_list(doc_ids[s:e], tfs[s:e], dls[s:e], avgdl)
-        rows.append(
-            (
-                int(shards[s]),
-                int(buckets[s]),
-                terms[s],
-                enc["n_postings"],
-                int(tfs[s:e].sum()),
-                enc["doc_ids_blob"],
-                enc["tfs_blob"],
-                enc["dls_blob"],
-                enc["block_last"],
-                enc["block_max"],
-                enc["block_doc_off"],
-                enc["block_tf_off"],
-                enc["block_dl_off"],
-            )
+    encoded = codec.encode_runs(starts, ends, doc_ids, tfs, dls, avgdl)
+    rows = [
+        (
+            int(shards[s]),
+            int(buckets[s]),
+            terms[s],
+            enc[0],       # n_postings
+            enc[9],       # cf_shard
+            enc[1], enc[2], enc[3],          # doc/tf/dl blobs
+            enc[4], enc[5],                  # block_last, block_max
+            enc[6], enc[7], enc[8],          # block byte offsets
         )
+        for s, enc in zip(starts, encoded)
+    ]
     return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
 
@@ -185,6 +192,10 @@ class IndexPaths:
 
 
 def _existing_shards(spark: SparkSession, paths: IndexPaths) -> set[int]:
+    # local-path fast exit avoids a noisy AnalysisException on fresh builds;
+    # remote URIs (s3://, hdfs://) fall through to the read-and-catch path
+    if "://" not in paths.manifest and not os.path.isdir(paths.manifest):
+        return set()
     try:
         rows = spark.read.parquet(paths.manifest).select("shard").collect()
         return {r.shard for r in rows}
@@ -217,17 +228,18 @@ def build_index(
     docs = docs.withColumn("shard", shard_col(F.col("doc_id"), n_shards))
     todo_docs = docs.filter(~F.col("shard").isin(list(done))) if done else docs
 
-    # --- tokenize ONCE -> postings base (cached: feeds dl + segments) -----
+    # --- tokenize ONCE -> postings base (cached: feeds dl + segments).
+    # dl rides along from size(tokens): no doc_id join is ever needed.
     postings_base = (
-        tokens_df(todo_docs, cfg)
+        tokens_with_dl_df(todo_docs, cfg)
         .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .persist()
     )
 
     dstats = (
         postings_base.groupBy("doc_id")
-        .agg(F.sum("tf").alias("dl"))
+        .agg(F.max("dl").alias("dl"))
         .withColumn("shard", shard_col(F.col("doc_id"), n_shards))
     )
     dstats.write.mode("append").partitionBy("shard").parquet(paths.doc_stats)
@@ -241,10 +253,9 @@ def build_index(
     ).collect()[0]
     n_docs, total_tokens, avgdl = g.n_docs, g.total_tokens, float(g.avgdl)
 
-    # --- postings w/ dl, salted repartition + in-partition sort + encode --
+    # --- postings: salted doc-shard repartition + in-partition sort + encode
     postings = (
-        postings_base.join(dstats.select("doc_id", "dl"), "doc_id")
-        .withColumn("shard", shard_col(F.col("doc_id"), n_shards))
+        postings_base.withColumn("shard", shard_col(F.col("doc_id"), n_shards))
         .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
         .select("shard", "term_bucket", "term", "doc_id", "tf", "dl")
     )

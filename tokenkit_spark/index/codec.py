@@ -164,6 +164,87 @@ def encode_posting_list(
     }
 
 
+def encode_runs(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+) -> list[tuple]:
+    """Vectorized multi-run encoder: encode EVERY (shard, term) run of a
+    sorted partition in one pass. Blob-identical to calling
+    ``encode_posting_list`` per run, but the varint/delta/block math runs
+    once over the whole partition's arrays — per-run Python work is just
+    slicing. (With web-scale vocabularies most runs hold a handful of
+    postings; per-run numpy calls would dominate the build.)
+
+    Returns per run: (n_postings, doc_blob, tf_blob, dl_blob, block_last,
+    block_max, block_doc_off, block_tf_off, block_dl_off, cf).
+    """
+    n = doc_ids.size
+    nruns = starts.size
+    if n == 0:
+        return []
+    u = np.asarray(doc_ids, dtype=np.int64).view(np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    dls = np.asarray(dls, dtype=np.uint64)
+
+    gaps = u.copy()
+    gaps[1:] -= u[:-1]
+    gaps[starts] = u[starts]  # first doc of each run is absolute
+
+    gap_sizes = varint_sizes(gaps)
+    tf_sizes = varint_sizes(tfs)
+    dl_sizes = varint_sizes(dls)
+    gap_blob = varint_encode(gaps)
+    tf_blob = varint_encode(tfs)
+    dl_blob = varint_encode(dls)
+    gap_cum = np.concatenate(([0], np.cumsum(gap_sizes)))
+    tf_cum = np.concatenate(([0], np.cumsum(tf_sizes)))
+    dl_cum = np.concatenate(([0], np.cumsum(dl_sizes)))
+
+    norms = bm25_norm(tfs.astype(np.int64), dls.astype(np.int64), avgdl)
+    cfs = np.add.reduceat(tfs.astype(np.int64), starts)
+
+    # global block starts: every BLOCK_SIZE-th posting within each run
+    lengths = ends - starts
+    within = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
+    bstarts = np.flatnonzero(within % BLOCK_SIZE == 0)
+    bends = np.append(bstarts[1:], n)  # run starts are block starts, so
+    # each block ends at the next block start (== next run start at a
+    # run boundary) — never crosses a run
+    block_run = np.searchsorted(starts, bstarts, side="right") - 1
+    block_max_all = np.maximum.reduceat(norms, bstarts)
+    block_last_all = np.asarray(doc_ids, dtype=np.int64)[bends - 1]
+    bd_off = gap_cum[bstarts] - gap_cum[starts[block_run]]
+    bt_off = tf_cum[bstarts] - tf_cum[starts[block_run]]
+    bl_off = dl_cum[bstarts] - dl_cum[starts[block_run]]
+    # first block index of each run
+    bpos = np.searchsorted(block_run, np.arange(nruns + 1))
+
+    mg, mt, ml = memoryview(gap_blob), memoryview(tf_blob), memoryview(dl_blob)
+    out = []
+    for r in range(nruns):
+        s, e = int(starts[r]), int(ends[r])
+        b0, b1 = int(bpos[r]), int(bpos[r + 1])
+        out.append(
+            (
+                e - s,
+                bytes(mg[gap_cum[s] : gap_cum[e]]),
+                bytes(mt[tf_cum[s] : tf_cum[e]]),
+                bytes(ml[dl_cum[s] : dl_cum[e]]),
+                block_last_all[b0:b1].tolist(),
+                block_max_all[b0:b1].tolist(),
+                bd_off[b0:b1].tolist(),
+                bt_off[b0:b1].tolist(),
+                bl_off[b0:b1].tolist(),
+                int(cfs[r]),
+            )
+        )
+    return out
+
+
 def decode_block(
     doc_ids_blob: bytes,
     tfs_blob: bytes,

@@ -1,0 +1,141 @@
+"""Two-cluster-size scaling evidence (north_rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors).
+
+No real multi-node cluster exists in this sandbox, so per driver
+instruction the SAME job runs at two parallelism levels (local[N] and
+local[4N]) on the SAME deterministic input, and we report throughput at
+both plus efficiency = (tput_4N / tput_N) / 4.
+
+Input is the deterministic synth_pages corpus (sources/pages.py) —
+generated distributed, identical bytes at any parallelism. The job is
+the real pipeline: tokenize -> postings -> salted doc-shard repartition
+-> sortWithinPartitions -> streaming segment encode; then a batch of
+BM25 top-10 queries through the Block-Max WAND engine.
+
+Usage:
+  python tools/scaling_bench.py                # full N vs 4N comparison
+  python tools/scaling_bench.py --run-one 8    # one measurement (subprocess)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("SCALING_DOCS", "120000"))
+DOC_LEN = 120
+N_QUERY_BATCH = 64
+BASE_QUERIES = [
+    "data search engine", "BRCA1 gene", "the of and", "spark index shard merge",
+    "crawl rank score", "support content site", "fast scale block",
+    "query token text",
+]
+
+
+def run_one(cores: int) -> dict:
+    from pyspark.sql import SparkSession
+
+    from tokenkit_spark import AnalyzerConfig
+    from tokenkit_spark.index.build import build_index, load_index
+    from tokenkit_spark.index.query import bm25_segments
+    from tokenkit_spark.sources.pages import pages_to_docs, synth_pages
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"scaling-{cores}")
+        .config("spark.sql.shuffle.partitions", str(cores * 2))
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = AnalyzerConfig(strategy="whitespace", lowercase=True)
+
+    # deterministic input, materialized once so build timing excludes synth
+    data_dir = os.path.join(tempfile.gettempdir(), f"tokenkit_scaling_corpus_{N_DOCS}")
+    if not os.path.isdir(data_dir):
+        synth_pages(
+            spark, n_docs=N_DOCS, seed=42, vocab_size=50_000, doc_len=DOC_LEN,
+            n_partitions=64,
+        ).write.mode("overwrite").parquet(data_dir)
+    docs = pages_to_docs(spark.read.parquet(data_dir)).select("doc_id", "text")
+
+    idx_path = os.path.join(tempfile.gettempdir(), f"tokenkit_scaling_idx_{cores}_{os.getpid()}")
+    shutil.rmtree(idx_path, ignore_errors=True)
+    t0 = time.monotonic()
+    build_index(spark, docs, idx_path, cfg, n_shards=cores * 2, n_buckets=64, resume=False)
+    build_sec = time.monotonic() - t0
+    index = load_index(spark, idx_path)
+
+    queries = [
+        (i, BASE_QUERIES[i % len(BASE_QUERIES)] + f" w{i:05d}")
+        for i in range(N_QUERY_BATCH)
+    ]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    bm25_segments(spark, index, qdf, cfg, k=10).count()  # warm
+    t0 = time.monotonic()
+    n_out = bm25_segments(spark, index, qdf, cfg, k=10).count()
+    query_sec = time.monotonic() - t0
+
+    shutil.rmtree(idx_path, ignore_errors=True)
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_docs": N_DOCS,
+        "build_sec": round(build_sec, 2),
+        "build_docs_per_sec": round(N_DOCS / build_sec, 1),
+        "n_queries": N_QUERY_BATCH,
+        "query_sec": round(query_sec, 3),
+        "queries_per_sec": round(N_QUERY_BATCH / query_sec, 2),
+        "topk_rows": n_out,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-one", type=int, default=None)
+    ap.add_argument("--n", type=int, default=8, help="small size N (4N must fit the machine)")
+    args = ap.parse_args()
+
+    if args.run_one:
+        print(json.dumps(run_one(args.run_one)))
+        return
+
+    results = {}
+    for cores in (args.n, args.n * 4):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-one", str(cores)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(json.dumps(results[cores]))
+
+    small, big = results[args.n], results[args.n * 4]
+    eff_build = (big["build_docs_per_sec"] / small["build_docs_per_sec"]) / 4.0
+    eff_query = (big["queries_per_sec"] / small["queries_per_sec"]) / 4.0
+    summary = {
+        "n_cores": args.n,
+        "four_n_cores": args.n * 4,
+        "build_efficiency": round(eff_build, 3),
+        "query_efficiency": round(eff_query, 3),
+        "small": small,
+        "big": big,
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "scaling_results.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
