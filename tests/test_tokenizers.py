@@ -4,6 +4,7 @@ cases run through the Spark pandas UDF in test_tokenizers_spark.py."""
 
 import pytest
 
+import tokenkit_spark as tk
 from tokenkit_spark import AnalyzerConfig, ConfigError, tokenize
 
 U = {"strategy": "unicode"}
@@ -568,3 +569,38 @@ class TestApi:
     def test_large_text(self):
         text = "word " * 100_000
         assert len(tok(text)) == 100_000
+
+
+# ---------------------------------------------------------------------------
+# Global configure / reset / per-call isolation (lib/tokenkit.rb:213-281,
+# spec/per_call_options_spec.rb:262-386, spec/configuration_spec.rb)
+# ---------------------------------------------------------------------------
+
+class TestGlobalConfig:
+    def teardown_method(self):
+        tk.reset()
+
+    def test_configure_merges_into_current(self):
+        tk.configure(strategy="whitespace")
+        tk.configure(lowercase=False)  # second call keeps strategy
+        cfg = tk.current_config()
+        assert cfg.strategy == "whitespace" and cfg.lowercase is False
+        assert tk.tokenize("Hello World") == ["Hello", "World"]
+
+    def test_reset_restores_defaults(self):
+        tk.configure(strategy="keyword", lowercase=False)
+        tk.reset()
+        cfg = tk.current_config()
+        assert cfg.strategy == "unicode" and cfg.lowercase is True
+
+    def test_per_call_override_does_not_mutate_global(self):
+        tk.configure(strategy="whitespace")
+        assert tk.tokenize("a-b c", strategy="keyword") == ["a-b c"]
+        assert tk.current_config().strategy == "whitespace"
+        assert tk.tokenize("a-b c") == ["a-b", "c"]
+
+    def test_invalid_configure_leaves_global_untouched(self):
+        import pytest as _pytest
+        with _pytest.raises(tk.ConfigError):
+            tk.configure(strategy="edge_ngram", min_gram=0)
+        assert tk.current_config().strategy == "unicode"

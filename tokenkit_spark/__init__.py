@@ -12,7 +12,14 @@ Layers:
 """
 
 from .config import AnalyzerConfig, ConfigError, DEFAULTS
-from .analyzers.core import Analyzer, get_analyzer, tokenize
+from .analyzers.core import (
+    Analyzer,
+    configure,
+    current_config,
+    get_analyzer,
+    reset,
+    tokenize,
+)
 
 __version__ = "0.1.0"
 
@@ -21,6 +28,9 @@ __all__ = [
     "ConfigError",
     "DEFAULTS",
     "Analyzer",
+    "configure",
+    "current_config",
     "get_analyzer",
+    "reset",
     "tokenize",
 ]

@@ -415,10 +415,38 @@ def get_analyzer(config: AnalyzerConfig) -> Analyzer:
     return _analyzer_for_key(config.key())
 
 
+_global_config = AnalyzerConfig()
+
+
+def configure(**kwargs) -> AnalyzerConfig:
+    """Merge settings into the GLOBAL default config and validate —
+    mirrors ``TokenKit.configure`` (lib/tokenkit.rb:213-241), whose
+    builder starts from the *current* global config
+    (lib/tokenkit/config_compat.rb:17-19). Raises ConfigError without
+    mutating the global on invalid input."""
+    global _global_config
+    _global_config = _global_config.replace(**kwargs)  # replace() validates
+    return _global_config
+
+
+def reset() -> AnalyzerConfig:
+    """Restore factory defaults — ``TokenKit.reset!`` (lib/tokenkit.rb:255-281)."""
+    global _global_config
+    _global_config = AnalyzerConfig()
+    return _global_config
+
+
+def current_config() -> AnalyzerConfig:
+    """The global default config — ``TokenKit.config`` introspection."""
+    return _global_config
+
+
 def tokenize(text: str, config: AnalyzerConfig | None = None, **overrides) -> list[str]:
     """Module-level convenience mirroring ``TokenKit.tokenize``
-    (lib/tokenkit.rb:138-147): overrides merge into the default config."""
-    cfg = config or AnalyzerConfig()
+    (lib/tokenkit.rb:138-147): overrides merge into the global config
+    WITHOUT mutating it (per-call isolation,
+    spec/per_call_options_spec.rb:262-386)."""
+    cfg = config or _global_config
     if overrides:
         cfg = cfg.replace(**overrides)
     return get_analyzer(cfg).tokenize(text)
