@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tokenkit_spark import AnalyzerConfig
+from tokenkit_spark.analyzers.filters import ENGLISH_STOPWORDS, FilterChain, filter_chain_col
 from tokenkit_spark.functions.udfs import tokenize_col
 from tokenkit_spark.index.build import build_index, load_index
 from tokenkit_spark.index.query import bm25_brute, bm25_segments
@@ -26,6 +27,7 @@ from tokenkit_spark.ops import dedup, similarity, textstats
 
 WS = AnalyzerConfig(strategy="whitespace", lowercase=True)
 LETTER = AnalyzerConfig(strategy="letter", lowercase=True)
+_STOP_EN_SQL = ", ".join(f"'{s}'" for s in sorted(ENGLISH_STOPWORDS))
 
 # fixed reference query set over the documents vocabulary
 BM25_QUERIES = [
@@ -138,10 +140,10 @@ def _index_for(spark, sf_dir):
     if sf_dir not in _INDEX_CACHE:
         path = os.path.join(
             tempfile.gettempdir(),
-            f"tokenkit_idx_v2_{os.path.basename(os.path.normpath(sf_dir))}",
+            f"tokenkit_idx_v3_{os.path.basename(os.path.normpath(sf_dir))}",
         )
         docs = _docs(spark, sf_dir).select("doc_id", "text")
-        build_index(spark, docs, path, WS, n_shards=8, n_buckets=32, resume=True)
+        build_index(spark, docs, path, WS, n_shards=8, n_buckets=16, resume=True)
         _INDEX_CACHE[sf_dir] = load_index(spark, path)
     return _INDEX_CACHE[sf_dir]
 
@@ -260,6 +262,44 @@ def q_simhash_near_dups(spark, sf_dir):
     return dedup.simhash_candidates(docs).filter(F.col("hamming") <= 3)
 
 
+def q_stopword_filtered_tf(spark, sf_dir):
+    """whitespace tokens -> stopword filter chain (native Catalyst path)
+    -> per-term counts."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    chain = FilterChain(stopwords=ENGLISH_STOPWORDS)
+    toks = docs.select(
+        "doc_id",
+        F.explode(filter_chain_col(tokenize_col("text", WS), chain)).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(100)
+    )
+
+
+def q_stemmed_terms(spark, sf_dir):
+    """Porter-stemmed top terms with BRCA1-style preserve exemption.
+    Rows-only check: no SQL-expressible Porter stemmer in the oracle."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    chain = FilterChain(
+        stopwords=ENGLISH_STOPWORDS,
+        stem=True,
+        preserve_patterns=(r"[A-Z][A-Z0-9]+", r"\d+[a-z]+"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(filter_chain_col(tokenize_col("text", WS), chain)).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(100)
+    )
+
+
 def q_lang_detect(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     return docs.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_pred"))
@@ -292,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lang_detect": q_lang_detect,
+        "stopword_filtered_tf": q_stopword_filtered_tf,
+        "stemmed_terms": q_stemmed_terms,
     }
 
 
@@ -397,7 +439,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings, q "
             "ORDER BY cosine DESC, vec_id ASC LIMIT 10"
         ),
-        # minhash_near_dups / simhash_near_dups / lang_detect: rows-only
-        # (LSH banding, bit-rotation bands and argmax tie rules are not
+        "stopword_filtered_tf": (
+            "WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents, "
+            "unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t) "
+            "WHERE doc_id < 300) "
+            f"SELECT term, count(*) AS cf FROM toks WHERE term NOT IN ({_STOP_EN_SQL}) "
+            "GROUP BY term ORDER BY cf DESC, term ASC LIMIT 100"
+        ),
+        # minhash_near_dups / simhash_near_dups / lang_detect /
+        # stemmed_terms: rows-only (LSH banding, bit-rotation bands,
+        # argmax tie rules and the Porter stemmer are not
         # ANSI-SQL-expressible)
     }

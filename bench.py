@@ -41,6 +41,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # small-corpus fidelity: split files like a multi-TB scan would be
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -63,7 +67,7 @@ def main() -> None:
     timed(
         "index_build",
         lambda: build_index(
-            spark, docs, idx_path, entry.WS, n_shards=CPUS, n_buckets=64, resume=False
+            spark, docs, idx_path, entry.WS, n_shards=16, n_buckets=16, resume=False
         ),
     )
     index = load_index(spark, idx_path)

@@ -241,11 +241,17 @@ def build_index(
         postings_base.groupBy("doc_id")
         .agg(F.max("dl").alias("dl"))
         .withColumn("shard", shard_col(F.col("doc_id"), n_shards))
+        .persist()
     )
-    dstats.write.mode("append").partitionBy("shard").parquet(paths.doc_stats)
+    # align write tasks with the shard dirs: one file per shard, not
+    # (#agg-tasks x #shards) small files
+    dstats.repartition(n_shards, "shard").write.mode("append").partitionBy(
+        "shard"
+    ).parquet(paths.doc_stats)
 
-    # full-corpus stats from the (now complete for built shards) doc_stats
-    all_dstats = spark.read.parquet(paths.doc_stats)
+    # full-corpus stats: fresh builds aggregate the in-memory (cached)
+    # postings; only resumed builds must read the merged doc_stats back
+    all_dstats = spark.read.parquet(paths.doc_stats) if done else dstats
     g = all_dstats.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
@@ -266,8 +272,12 @@ def build_index(
         .sortWithinPartitions("shard", "term_bucket", "term", "doc_id")
         .mapInPandas(_encode_stream(avgdl), SEGMENT_SCHEMA)
     )
-    segments.write.mode("append").partitionBy("shard").parquet(paths.segments)
+    # two-level physical layout: shard (resume/checkpoint unit) then
+    # term_bucket (query-time directory pruning: a k-term query scans at
+    # most k of the n_buckets sub-dirs per shard)
+    segments.write.mode("append").partitionBy("shard", "term_bucket").parquet(paths.segments)
     postings_base.unpersist()
+    dstats.unpersist()
 
     # --- derived stats, recomputed from the full segment set --------------
     all_segments = spark.read.parquet(paths.segments)

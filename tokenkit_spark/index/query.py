@@ -127,12 +127,15 @@ def _score_shard_kernel(k: int, n_docs: int, avgdl: float, use_blockmax: bool = 
     cross the wire; posting lists don't."""
 
     def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # gather term rows per (query, shard) across this partition's batches
+        # gather term rows per (query, shard) across this partition's
+        # batches; a term row arrives ONCE per shard and is shared (by
+        # reference) among all queries that contain the term
         groups: dict[tuple[int, int], list[dict]] = {}
         for pdf in batch_iter:
             for row in pdf.itertuples(index=False):
                 t = {c: getattr(row, c) for c in _TERM_COLS}
-                groups.setdefault((int(row.query_id), int(row.shard)), []).append(t)
+                for q in row.query_ids:
+                    groups.setdefault((int(q), int(row.shard)), []).append(t)
         out_q, out_d, out_s = [], [], []
         for (q, _shard), terms in groups.items():
             if use_blockmax:
@@ -192,11 +195,17 @@ def bm25_segments(
     )
     tstats = index["term_stats"].filter(F.col("term").isin(terms))
 
+    # one row per matched (term, shard) — NOT per (query, term, shard):
+    # queries sharing a head term would otherwise each ship a duplicate
+    # copy of its posting blobs through the shuffle and Arrow boundary
+    q_term_lists = q_terms.groupBy("term").agg(
+        F.collect_list("query_id").alias("query_ids")
+    )
     matched = (
-        seg.join(F.broadcast(q_terms), "term")
+        seg.join(F.broadcast(q_term_lists), "term")
         .join(F.broadcast(tstats), "term")
         .withColumn("idf", _idf(F.col("df"), n_docs))
-        .select("query_id", "shard", *_TERM_COLS)
+        .select("query_ids", "shard", *_TERM_COLS)
     )
 
     out_schema = "query_id long, doc_id long, score double"

@@ -100,23 +100,38 @@ def score_query_shard(terms: list[dict], avgdl: float, k: int) -> dict:
         blocks_decoded += live.size
         if live.size == 0:
             continue
+        # decode memo: the SAME term dict is shared (by reference) across
+        # every query in this executor partition that contains the term,
+        # so a head term's blobs decode once per partition, not per query
         if live.size == nblocks:
-            doc_ids, tfs, dls = codec.decode_posting_list(t)
+            full = t.get("_full")
+            if full is None:
+                full = t["_full"] = codec.decode_posting_list(t)
+            doc_ids, tfs, dls = full
+            norms = t.get("_norms")
+            if norms is None:
+                norms = t["_norms"] = codec.bm25_norm(tfs, dls, avgdl)
+            acc_ids, acc_scores = _merge_acc(acc_ids, acc_scores, doc_ids, idf * norms)
+            continue
         else:
-            parts = [
-                codec.decode_block(
-                    bytes(t["doc_ids_blob"]),
-                    bytes(t["tfs_blob"]),
-                    bytes(t["dls_blob"]),
-                    int(t["n_postings"]),
-                    t["block_doc_off"],
-                    t["block_tf_off"],
-                    t["block_dl_off"],
-                    t["block_last"],
-                    int(b),
-                )
-                for b in live
-            ]
+            bcache = t.setdefault("_blocks", {})
+            parts = []
+            for b in live:
+                b = int(b)
+                got = bcache.get(b)
+                if got is None:
+                    got = bcache[b] = codec.decode_block(
+                        bytes(t["doc_ids_blob"]),
+                        bytes(t["tfs_blob"]),
+                        bytes(t["dls_blob"]),
+                        int(t["n_postings"]),
+                        t["block_doc_off"],
+                        t["block_tf_off"],
+                        t["block_dl_off"],
+                        t["block_last"],
+                        b,
+                    )
+                parts.append(got)
             doc_ids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
             dls = np.concatenate([p[2] for p in parts])

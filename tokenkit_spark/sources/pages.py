@@ -41,18 +41,36 @@ _HTML_PRE = b"<html><head><title>p</title></head><body><p>"
 _HTML_POST = b"</p></body></html>"
 
 
+_VOCAB_CACHE: dict[tuple, tuple] = {}
+
+
+def _vocab(vocab_size: int):
+    """(vocab array, Zipf CDF) — built once per process per size. Draws
+    use inverse-CDF sampling (searchsorted), O(n log V) per doc instead
+    of numpy choice(p=...)'s O(V) re-normalization per call."""
+    hit = _VOCAB_CACHE.get((vocab_size,))
+    if hit is None:
+        vocab = np.array(
+            list(_VOCAB_CORE)
+            + [f"w{i:05d}" for i in range(vocab_size - len(_VOCAB_CORE))],
+            dtype=object,
+        )
+        ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+        probs = (1.0 / ranks) / (1.0 / ranks).sum()
+        hit = (vocab, np.cumsum(probs))
+        _VOCAB_CACHE[(vocab_size,)] = hit
+    return hit
+
+
 def _make_rows(start: int, end: int, seed: int, vocab_size: int, doc_len: int):
     rng = np.random.default_rng(seed + start)
-    vocab = list(_VOCAB_CORE) + [f"w{i:05d}" for i in range(vocab_size - len(_VOCAB_CORE))]
-    # Zipf ranks over the vocab: head terms dominate like real web text
-    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
-    probs = (1.0 / ranks) / (1.0 / ranks).sum()
+    vocab, cdf = _vocab(vocab_size)
     base_ts = pd.Timestamp("2024-03-01T00:00:00")
     rows = []
     for i in range(start, end):
         n = doc_len // 2 + int(rng.integers(0, doc_len))
-        words = rng.choice(len(vocab), size=n, p=probs)
-        toks = [vocab[w] for w in words]
+        # Zipf-distributed draws: head terms dominate like real web text
+        toks = vocab[np.searchsorted(cdf, rng.random(n))].tolist()
         # sprinkle domain tokens deterministically
         if i % 7 == 0:
             toks.insert(int(rng.integers(0, max(1, n))), _DOMAIN_TOKENS[i % len(_DOMAIN_TOKENS)])

@@ -30,9 +30,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_DOCS = int(os.environ.get("SCALING_DOCS", "120000"))
+N_DOCS = int(os.environ.get("SCALING_DOCS", "480000"))
 DOC_LEN = 120
-N_QUERY_BATCH = 64
+N_QUERY_BATCH = 256
 BASE_QUERIES = [
     "data search engine", "BRCA1 gene", "the of and", "spark index shard merge",
     "crawl rank score", "support content site", "fast scale block",
@@ -54,6 +54,14 @@ def run_one(cores: int) -> dict:
         .config("spark.sql.shuffle.partitions", str(cores * 2))
         .config("spark.driver.memory", "48g")
         .config("spark.sql.adaptive.enabled", "true")
+        # the test corpus is ~100 MB; split it like a real multi-TB scan
+        # would be (default 128MB maxPartitionBytes would give the map
+        # stage fewer tasks than cores, capping scale-up artificially)
+        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
+        # task-side commit (v2): job commit would serially rename every
+        # segment file on the driver — pure serial time under Amdahl
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -72,7 +80,9 @@ def run_one(cores: int) -> dict:
     idx_path = os.path.join(tempfile.gettempdir(), f"tokenkit_scaling_idx_{cores}_{os.getpid()}")
     shutil.rmtree(idx_path, ignore_errors=True)
     t0 = time.monotonic()
-    build_index(spark, docs, idx_path, cfg, n_shards=cores * 2, n_buckets=64, resume=False)
+    # SAME job at both sizes: shard/bucket layout fixed, only parallelism
+    # differs (the two-cluster-size criterion, per driver instruction)
+    build_index(spark, docs, idx_path, cfg, n_shards=32, n_buckets=8, resume=False)
     build_sec = time.monotonic() - t0
     index = load_index(spark, idx_path)
 
