@@ -22,7 +22,7 @@ from tokenkit_spark import AnalyzerConfig
 from tokenkit_spark.analyzers.filters import ENGLISH_STOPWORDS, FilterChain, filter_chain_col
 from tokenkit_spark.functions.udfs import tokenize_col
 from tokenkit_spark.index.build import build_index, load_index
-from tokenkit_spark.index.query import bm25_brute, bm25_segments
+from tokenkit_spark.index.query import bm25_brute, bm25_segments, phrase_search
 from tokenkit_spark.ops import dedup, similarity, textstats
 
 WS = AnalyzerConfig(strategy="whitespace", lowercase=True)
@@ -140,7 +140,7 @@ def _index_for(spark, sf_dir):
     if sf_dir not in _INDEX_CACHE:
         path = os.path.join(
             tempfile.gettempdir(),
-            f"tokenkit_idx_v3_{os.path.basename(os.path.normpath(sf_dir))}",
+            f"tokenkit_idx_v4_{os.path.basename(os.path.normpath(sf_dir))}",
         )
         docs = _docs(spark, sf_dir).select("doc_id", "text")
         build_index(spark, docs, path, WS, n_shards=8, n_buckets=16, resume=True)
@@ -153,6 +153,22 @@ def q_bm25_top10_segments(spark, sf_dir):
     doc-sharded segment index (build + query engine)."""
     index = _index_for(spark, sf_dir)
     return bm25_segments(spark, index, _queries_df(spark), WS, k=10, round_digits=4)
+
+
+PHRASES = [
+    (0, "sort merge"),
+    (1, "hash join"),
+    (2, "the batch"),
+    (3, "key order hash"),
+    (4, "zz nonexistent phrase"),
+]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase containment through the positional segment index."""
+    index = _index_for(spark, sf_dir)
+    pdf = spark.createDataFrame(PHRASES, "query_id long, text string")
+    return phrase_search(spark, index, pdf, WS).select("query_id", "doc_id")
 
 
 def q_doc_stats(spark, sf_dir):
@@ -334,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "stopword_filtered_tf": q_stopword_filtered_tf,
         "stemmed_terms": q_stemmed_terms,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -445,6 +462,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id < 300) "
             f"SELECT term, count(*) AS cf FROM toks WHERE term NOT IN ({_STOP_EN_SQL}) "
             "GROUP BY term ORDER BY cf DESC, term ASC LIMIT 100"
+        ),
+        "phrase_search": (
+            "WITH s AS (SELECT doc_id, ' ' || array_to_string(list_filter("
+            "string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ') || ' ' AS ts "
+            "FROM documents), "
+            "phrases(query_id, p) AS (VALUES "
+            + ", ".join(f"({i}, ' {t} ')" for i, t in PHRASES)
+            + ") SELECT query_id, doc_id FROM phrases, s WHERE instr(ts, p) > 0"
         ),
         # minhash_near_dups / simhash_near_dups / lang_detect /
         # stemmed_terms: rows-only (LSH banding, bit-rotation bands,

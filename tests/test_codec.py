@@ -80,3 +80,19 @@ def test_encode_runs_matches_per_run():
         assert g[7] == want["block_tf_off"]
         assert g[8] == want["block_dl_off"]
         assert g[9] == int(tfs[s:e].sum())
+
+
+def test_positions_roundtrip():
+    rng = np.random.default_rng(9)
+    rows_per_run = rng.integers(1, 8, size=40)
+    starts = np.concatenate(([0], np.cumsum(rows_per_run)[:-1]))
+    ends = np.cumsum(rows_per_run)
+    tfs = rng.integers(1, 6, size=int(ends[-1]))
+    pos_lists = [np.sort(rng.choice(1000, size=t, replace=False)) for t in tfs]
+    shuffled = [rng.permutation(p) for p in pos_lists]  # encoder must sort
+    blobs = codec.encode_positions_runs(starts, ends, tfs, shuffled)
+    for r, (s, e) in enumerate(zip(starts, ends)):
+        flat, offs = codec.decode_positions(blobs[r], tfs[s:e])
+        want = np.concatenate([pos_lists[i] for i in range(s, e)])
+        assert (flat == want).all()
+        assert (offs == np.concatenate(([0], np.cumsum(tfs[s:e])[:-1]))).all()

@@ -156,3 +156,30 @@ def test_blockmax_equals_exhaustive_spark(spark, index, queries_df):
     ra = [(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in a.collect()]
     rb = [(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in b.collect()]
     assert sorted(ra) == sorted(rb)
+
+
+def test_phrase_search_matches_python_bruteforce(spark, docs, index):
+    from tokenkit_spark.index.query import phrase_search
+
+    phrases = [(0, "data search"), (1, "the of"), (2, "zz missing phrase")]
+    pdf = spark.createDataFrame(phrases, "query_id long, text string")
+    got = {
+        (r.query_id, r.doc_id): r.n_occurrences
+        for r in phrase_search(spark, index, pdf, CFG).collect()
+    }
+    # brute force: sliding window over whitespace-lowercased token streams
+    want = {}
+    for row in docs.select("doc_id", "text").collect():
+        toks = row.text.lower().split()
+        for qid, ptext in phrases:
+            p = ptext.lower().split()
+            n = sum(
+                1
+                for i in range(len(toks) - len(p) + 1)
+                if toks[i : i + len(p)] == p
+            )
+            if n:
+                want[(qid, row.doc_id)] = n
+    assert got == want
+    assert any(q == 0 for q, _ in got), "expected at least one 'data search' hit"
+    assert not any(q == 2 for q, _ in got)

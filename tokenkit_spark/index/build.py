@@ -69,6 +69,9 @@ SEGMENT_SCHEMA = StructType(
         StructField("block_doc_off", ArrayType(LongType()), False),
         StructField("block_tf_off", ArrayType(LongType()), False),
         StructField("block_dl_off", ArrayType(LongType()), False),
+        # per-posting token positions, delta+varint per posting (empty
+        # bytes when the index is built with store_positions=False)
+        StructField("pos_blob", BinaryType(), False),
     ]
 )
 
@@ -136,6 +139,12 @@ def _encode_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
     encoded = codec.encode_runs(starts, ends, doc_ids, tfs, dls, avgdl)
+    if "positions" in pdf.columns:
+        pos_blobs = codec.encode_positions_runs(
+            starts, ends, tfs, pdf["positions"].to_list()
+        )
+    else:
+        pos_blobs = [b""] * len(starts)
     rows = [
         (
             int(shards[s]),
@@ -146,8 +155,9 @@ def _encode_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
             enc[1], enc[2], enc[3],          # doc/tf/dl blobs
             enc[4], enc[5],                  # block_last, block_max
             enc[6], enc[7], enc[8],          # block byte offsets
+            pb,
         )
-        for s, enc in zip(starts, encoded)
+        for s, enc, pb in zip(starts, encoded, pos_blobs)
     ]
     return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
@@ -211,6 +221,7 @@ def build_index(
     n_shards: int = 16,
     n_buckets: int = 64,
     resume: bool = True,
+    store_positions: bool = True,
 ) -> dict:
     """Build (or resume) the inverted index for ``docs(doc_id, text, ...)``.
 
@@ -230,10 +241,13 @@ def build_index(
 
     # --- tokenize ONCE -> postings base (cached: feeds dl + segments).
     # dl rides along from size(tokens): no doc_id join is ever needed.
+    aggs = [F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")]
+    if store_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
     postings_base = (
         tokens_with_dl_df(todo_docs, cfg)
         .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .agg(*aggs)
         .persist()
     )
 
@@ -260,10 +274,13 @@ def build_index(
     n_docs, total_tokens, avgdl = g.n_docs, g.total_tokens, float(g.avgdl)
 
     # --- postings: salted doc-shard repartition + in-partition sort + encode
+    cols = ["shard", "term_bucket", "term", "doc_id", "tf", "dl"] + (
+        ["positions"] if store_positions else []
+    )
     postings = (
         postings_base.withColumn("shard", shard_col(F.col("doc_id"), n_shards))
         .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
-        .select("shard", "term_bucket", "term", "doc_id", "tf", "dl")
+        .select(*cols)
     )
 
     n_parts = max(n_shards, spark.sparkContext.defaultParallelism * 2)

@@ -164,6 +164,77 @@ def encode_posting_list(
     }
 
 
+def encode_positions_runs(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    tfs: np.ndarray,
+    pos_lists,
+) -> list[bytes]:
+    """Per-run position blobs (north_star: postings carry (docID, tf,
+    positions)). ``pos_lists`` is the per-posting position arrays in row
+    order (ragged). Layout: positions sorted within each posting,
+    delta-encoded per posting (first absolute), varint — one blob per
+    (shard, term) run, sliceable back with the run's tf sequence.
+
+    One vectorized pass over the flattened partition; per-run work is a
+    byte-slice, mirroring encode_runs.
+    """
+    nruns = starts.size
+    if nruns == 0:
+        return []
+    lens = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=len(pos_lists))
+    if not (lens == np.asarray(tfs, dtype=np.int64)).all():
+        raise ValueError("positions length must equal tf per posting")
+    flat = (
+        np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+        if len(pos_lists)
+        else np.zeros(0, dtype=np.int64)
+    )
+    n = flat.size
+    if n == 0:
+        return [b""] * nruns
+    posting_id = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    order = np.lexsort((flat, posting_id))  # sort positions within posting
+    flat = flat[order].view(np.uint64)
+    p_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    gaps = flat.copy()
+    gaps[1:] -= flat[:-1]
+    nz = p_starts[lens > 0]
+    gaps[nz] = flat[nz]  # first position of each posting is absolute
+    sizes = varint_sizes(gaps)
+    blob = varint_encode(gaps)
+    byte_cum = np.concatenate(([0], np.cumsum(sizes)))
+    # run r covers rows [starts[r], ends[r]) -> flat range via p_starts
+    flat_cum = np.concatenate((p_starts, [n]))
+    mv = memoryview(blob)
+    out = []
+    for r in range(nruns):
+        a = flat_cum[starts[r]]
+        b = flat_cum[ends[r]]
+        out.append(bytes(mv[byte_cum[a] : byte_cum[b]]))
+    return out
+
+
+def decode_positions(blob: bytes, tfs_run: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of one run's position blob: returns (flat positions,
+    posting start offsets into it). Posting i's positions are
+    ``flat[offs[i]:offs[i] + tfs_run[i]]``, ascending."""
+    tfs_run = np.asarray(tfs_run, dtype=np.int64)
+    total = int(tfs_run.sum())
+    offs = np.concatenate(([0], np.cumsum(tfs_run)[:-1]))
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), offs
+    gaps = varint_decode(blob, total)
+    pos = np.cumsum(gaps.astype(np.int64))
+    nz = offs[tfs_run > 0]
+    # subtract each posting's preceding cumsum so the per-posting
+    # sequence restarts at its absolute first position
+    base = np.zeros(tfs_run.size, dtype=np.int64)
+    base[tfs_run > 0] = np.where(nz > 0, pos[nz - 1], 0)
+    pos -= np.repeat(base, tfs_run)
+    return pos, offs
+
+
 def encode_runs(
     starts: np.ndarray,
     ends: np.ndarray,

@@ -216,3 +216,121 @@ def bm25_segments(
         .mapInPandas(_score_shard_kernel(k + 32, n_docs, avgdl, use_blockmax), out_schema)
     )
     return _topk_window(candidates, k, round_digits)
+
+
+def analyze_phrases(queries: DataFrame, config: AnalyzerConfig) -> DataFrame:
+    """(query_id, text) -> (query_id, seq, term): ordered, duplicates kept
+    (unlike analyze_queries — phrase matching needs token order)."""
+    return queries.select(
+        "query_id",
+        F.posexplode(tokenize_col("text", config)).alias("seq", "term"),
+    )
+
+
+def _phrase_shard_kernel():
+    """mapInPandas kernel: per (phrase, doc-shard), intersect posting
+    lists in phrase order, then verify adjacency via the per-posting
+    position blobs. Emits (query_id, doc_id, n_occurrences) for docs
+    containing the exact phrase (occurrences counted overlapping)."""
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict[tuple[int, int], dict[int, dict]] = {}
+        for pdf in batch_iter:
+            for row in pdf.itertuples(index=False):
+                t = {
+                    "n_postings": int(row.n_postings),
+                    "doc_ids_blob": row.doc_ids_blob,
+                    "tfs_blob": row.tfs_blob,
+                    "dls_blob": row.dls_blob,
+                    "pos_blob": row.pos_blob,
+                }
+                for occ in row.occurrences:  # array<struct<query_id,seq>>
+                    groups.setdefault((int(occ["query_id"]), int(row.shard)), {})[
+                        int(occ["seq"])
+                    ] = t
+                    # NOTE: duplicate term at several seq positions maps the
+                    # SAME dict — decode once, reuse
+        out_q, out_d, out_n = [], [], []
+        for (q, _shard), by_seq in groups.items():
+            n_terms = max(by_seq) + 1
+            if len(by_seq) < n_terms:
+                continue  # some phrase term missing entirely in this shard
+            decoded = {}
+            for seq, t in by_seq.items():
+                key = id(t)
+                if key not in decoded:
+                    ids, tfs, _dls = codec.decode_posting_list(t)
+                    pos, offs = codec.decode_positions(bytes(t["pos_blob"]), tfs)
+                    decoded[key] = (ids, tfs, pos, offs)
+            # intersect doc ids across all phrase terms (rarest first)
+            seqs = sorted(by_seq, key=lambda s: decoded[id(by_seq[s])][0].size)
+            cand = decoded[id(by_seq[seqs[0]])][0]
+            for s in seqs[1:]:
+                cand = cand[np.isin(cand, decoded[id(by_seq[s])][0], assume_unique=True)]
+                if cand.size == 0:
+                    break
+            for d in cand.tolist():
+                # positions of seq 0 in doc d, then slide the window
+                starts = None
+                ok = True
+                for seq in range(n_terms):
+                    ids, tfs, pos, offs = decoded[id(by_seq[seq])]
+                    j = int(np.searchsorted(ids, d))
+                    p = pos[offs[j] : offs[j] + tfs[j]]
+                    if starts is None:
+                        starts = p
+                    else:
+                        starts = starts[np.isin(starts + seq, p, assume_unique=True)]
+                    if starts.size == 0:
+                        ok = False
+                        break
+                if ok and starts.size:
+                    out_q.append(q)
+                    out_d.append(d)
+                    out_n.append(int(starts.size))
+        yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "n_occurrences": out_n})
+
+    return fn
+
+
+def phrase_search(
+    spark: SparkSession,
+    index: dict,
+    phrases: DataFrame,
+    config: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """Exact-phrase containment over the positional index: returns
+    (query_id, doc_id, n_occurrences) for every document whose token
+    stream contains the analyzed phrase consecutively. Requires an index
+    built with store_positions=True."""
+    cfg = config or AnalyzerConfig()
+    stats = index["stats"]
+    n_buckets = int(stats["n_buckets"])
+
+    p_terms = analyze_phrases(phrases, cfg)
+    terms = [r.term for r in p_terms.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame([], "query_id long, doc_id long, n_occurrences long")
+    buckets = list({b.term_bucket for b in
+                    spark.createDataFrame([(t,) for t in terms], "term string")
+                    .select(term_bucket_col(F.col("term"), n_buckets).alias("term_bucket"))
+                    .collect()})
+
+    occurrences = p_terms.groupBy("term").agg(
+        F.collect_list(F.struct("query_id", "seq")).alias("occurrences")
+    )
+    seg = (
+        index["segments"]
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    matched = seg.join(F.broadcast(occurrences), "term").select(
+        "occurrences", "shard", "n_postings",
+        "doc_ids_blob", "tfs_blob", "dls_blob", "pos_blob",
+    )
+    out_schema = "query_id long, doc_id long, n_occurrences long"
+    return (
+        matched.repartition("shard")
+        .mapInPandas(_phrase_shard_kernel(), out_schema)
+        .orderBy("query_id", "doc_id")
+    )
