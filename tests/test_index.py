@@ -183,3 +183,41 @@ def test_phrase_search_matches_python_bruteforce(spark, docs, index):
     assert got == want
     assert any(q == 0 for q, _ in got), "expected at least one 'data search' hit"
     assert not any(q == 2 for q, _ in got)
+
+
+def test_merge_indexes_equals_full_build(spark, docs, queries_df, tmp_path_factory):
+    """base(0..half) + delta(half..) merged == one full build: identical
+    BM25 results, term stats, and phrase hits."""
+    from tokenkit_spark.index.merge import merge_indexes
+    from tokenkit_spark.index.query import phrase_search
+
+    root = tmp_path_factory.mktemp("merge")
+    half = F.col("doc_id") % 2 == 0  # split by parity: both shards populated
+    build_index(spark, docs.filter(half), str(root / "base"), CFG, n_shards=4, n_buckets=4)
+    build_index(spark, docs.filter(~half), str(root / "delta"), CFG, n_shards=4, n_buckets=4)
+    build_index(spark, docs, str(root / "full"), CFG, n_shards=4, n_buckets=4)
+
+    stats = merge_indexes(spark, str(root / "base"), str(root / "delta"), str(root / "merged"))
+    merged = load_index(spark, str(root / "merged"))
+    full = load_index(spark, str(root / "full"))
+    assert stats["n_docs"] == full["stats"]["n_docs"]
+    assert abs(stats["avgdl"] - full["stats"]["avgdl"]) < 1e-9
+
+    a = bm25_segments(spark, merged, queries_df, CFG, k=10).collect()
+    b = bm25_segments(spark, full, queries_df, CFG, k=10).collect()
+    norm = lambda rows: sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in rows)
+    assert norm(a) == norm(b)
+
+    ts_a = {(r.term, r.df, r.cf) for r in merged["term_stats"].collect()}
+    ts_b = {(r.term, r.df, r.cf) for r in full["term_stats"].collect()}
+    assert ts_a == ts_b
+
+    ph = spark.createDataFrame([(0, "data search"), (1, "the of")], "query_id long, text string")
+    pa = sorted(map(tuple, phrase_search(spark, merged, ph, CFG).collect()))
+    pb = sorted(map(tuple, phrase_search(spark, full, ph, CFG).collect()))
+    assert pa == pb
+
+    # mismatched layout must be rejected
+    build_index(spark, docs.filter(half), str(root / "other"), CFG, n_shards=8, n_buckets=4)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        merge_indexes(spark, str(root / "other"), str(root / "delta"), str(root / "bad"))

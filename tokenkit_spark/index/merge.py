@@ -1,0 +1,199 @@
+"""Segment merge: combine two indexes (base + delta) into one without
+re-tokenizing anything (north_star: "merges per-partition segment
+postings with delta-encoded, varint-compressed docID gaps").
+
+Use case: incremental crawls. Build a small delta index over the new
+batch of pages (cheap), then merge — the expensive tokenize + postings
+shuffle never re-runs for the base corpus.
+
+Requirements: both indexes share n_shards, n_buckets, and the analyzer
+config (doc-sharding is by xxhash64(doc_id) % n_shards, so the same
+(shard, term_bucket, term) run in both sources lands in the same merged
+run). Doc sets must be disjoint (same doc re-crawled -> delete first or
+build the delta with the superseding doc only).
+
+Plan shape: union the two segment tables -> repartition(shard,
+term_bucket) + sortWithinPartitions(..., term) -> a streaming
+mapInPandas kernel decodes each term-run group (1 or 2 source rows),
+merge-sorts postings by doc_id, and re-encodes — including block-max
+metadata recomputed against the MERGED corpus avgdl (norms depend on
+avgdl, so stale block maxima would break WAND safety).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import codec
+from .build import IndexPaths, SEGMENT_SCHEMA, load_index
+
+
+def _merge_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+    """Merge sorted segment rows: adjacent rows sharing (shard, bucket,
+    term) are decoded, merge-sorted by doc_id, re-encoded as one run."""
+    shards = pdf["shard"].to_numpy()
+    buckets = pdf["term_bucket"].to_numpy()
+    terms = pdf["term"].to_numpy()
+    n = len(pdf)
+    change = np.flatnonzero(
+        (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]) | (buckets[1:] != buckets[:-1])
+    ) + 1
+    g_starts = np.concatenate(([0], change))
+    g_ends = np.concatenate((change, [n]))
+
+    # decode every source run once
+    dec_ids, dec_tfs, dec_dls, dec_pos = [], [], [], []
+    for row in pdf.itertuples(index=False):
+        ids, tfs, dls = codec.decode_posting_list(
+            {
+                "n_postings": int(row.n_postings),
+                "doc_ids_blob": row.doc_ids_blob,
+                "tfs_blob": row.tfs_blob,
+                "dls_blob": row.dls_blob,
+            }
+        )
+        dec_ids.append(ids)
+        dec_tfs.append(tfs)
+        dec_dls.append(dls)
+        pos_blob = bytes(row.pos_blob) if row.pos_blob is not None else b""
+        if pos_blob:
+            flat, offs = codec.decode_positions(pos_blob, tfs)
+            dec_pos.append(
+                [flat[o : o + t] for o, t in zip(offs.tolist(), tfs.tolist())]
+            )
+        else:
+            dec_pos.append(None)
+
+    # build the merged posting arrays, tracking run boundaries
+    all_ids, all_tfs, all_dls, all_pos = [], [], [], []
+    run_lens = []
+    has_pos = all(p is not None for p in dec_pos) and len(dec_pos) > 0
+    for s, e in zip(g_starts, g_ends):
+        ids = np.concatenate(dec_ids[s:e])
+        tfs = np.concatenate(dec_tfs[s:e])
+        dls = np.concatenate(dec_dls[s:e])
+        order = np.argsort(ids, kind="stable")
+        all_ids.append(ids[order])
+        all_tfs.append(tfs[order])
+        all_dls.append(dls[order])
+        if has_pos:
+            plists = [p for i in range(s, e) for p in dec_pos[i]]
+            all_pos.extend(plists[j] for j in order.tolist())
+        run_lens.append(ids.size)
+
+    run_lens = np.asarray(run_lens, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(run_lens)[:-1]))
+    ends = np.cumsum(run_lens)
+    doc_ids = np.concatenate(all_ids) if all_ids else np.zeros(0, dtype=np.int64)
+    tfs = np.concatenate(all_tfs) if all_tfs else np.zeros(0, dtype=np.int64)
+    dls = np.concatenate(all_dls) if all_dls else np.zeros(0, dtype=np.int64)
+
+    encoded = codec.encode_runs(starts, ends, doc_ids, tfs, dls, avgdl)
+    if has_pos:
+        pos_blobs = codec.encode_positions_runs(starts, ends, tfs, all_pos)
+    else:
+        pos_blobs = [b""] * len(starts)
+    rows = [
+        (
+            int(shards[s]),
+            int(buckets[s]),
+            terms[s],
+            enc[0],
+            enc[9],
+            enc[1], enc[2], enc[3],
+            enc[4], enc[5],
+            enc[6], enc[7], enc[8],
+            pb,
+        )
+        for s, enc, pb in zip(g_starts, encoded, pos_blobs)
+    ]
+    return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+
+def _merge_stream(avgdl: float):
+    """Streaming kernel: carry the trailing (possibly split) term run
+    into the next Arrow batch, mirroring the build encoder."""
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batch_iter:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            sh = pdf["shard"].to_numpy()
+            tb = pdf["term_bucket"].to_numpy()
+            tm = pdf["term"].to_numpy()
+            eq = (sh == sh[-1]) & (tb == tb[-1]) & (tm == tm[-1])
+            rev = eq[::-1]
+            not_rev = ~rev
+            run = int(np.argmax(not_rev)) if not_rev.any() else len(eq)
+            split = len(pdf) - run
+            carry = pdf.iloc[split:]
+            if split > 0:
+                yield _merge_rows(pdf.iloc[:split], avgdl)
+        if carry is not None and len(carry):
+            yield _merge_rows(carry, avgdl)
+
+    return fn
+
+
+def merge_indexes(
+    spark: SparkSession, base_path: str, delta_path: str, out_path: str
+) -> dict:
+    """Merge delta into base -> out_path. Returns merged global stats."""
+    base = load_index(spark, base_path)
+    delta = load_index(spark, delta_path)
+    bs, ds = base["stats"], delta["stats"]
+    for key in ("n_shards", "n_buckets"):
+        if int(bs[key]) != int(ds[key]):
+            raise ValueError(f"index layout mismatch on {key}: {bs[key]} != {ds[key]}")
+    n_shards, n_buckets = int(bs["n_shards"]), int(bs["n_buckets"])
+    n_docs = int(bs["n_docs"]) + int(ds["n_docs"])
+    total_tokens = int(bs["total_tokens"]) + int(ds["total_tokens"])
+    avgdl = total_tokens / n_docs
+
+    paths = IndexPaths(out_path)
+    seg_cols = [f.name for f in SEGMENT_SCHEMA.fields]
+    union = base["segments"].select(seg_cols).unionByName(delta["segments"].select(seg_cols))
+    n_parts = max(n_shards, spark.sparkContext.defaultParallelism * 2)
+    merged = (
+        union.repartition(n_parts, "shard", "term_bucket")
+        .sortWithinPartitions("shard", "term_bucket", "term")
+        .mapInPandas(_merge_stream(avgdl), SEGMENT_SCHEMA)
+    )
+    merged.write.mode("overwrite").partitionBy("shard", "term_bucket").parquet(paths.segments)
+
+    dstats = base["doc_stats"].unionByName(delta["doc_stats"])
+    dstats.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(paths.doc_stats)
+
+    all_segments = spark.read.parquet(paths.segments)
+    term_stats = all_segments.groupBy("term").agg(
+        F.sum("n_postings").alias("df"), F.sum("cf_shard").alias("cf")
+    )
+    term_stats.write.mode("overwrite").parquet(paths.term_stats)
+
+    spark.createDataFrame(
+        [(n_docs, total_tokens, float(avgdl), n_shards, n_buckets)],
+        "n_docs long, total_tokens long, avgdl double, n_shards int, n_buckets int",
+    ).write.mode("overwrite").parquet(paths.stats)
+
+    manifest = (
+        all_segments.groupBy("shard")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("n_postings").alias("n_postings"),
+            F.expr("bit_xor(xxhash64(term, n_postings))").alias("checksum"),
+        )
+        .withColumn("status", F.lit("done"))
+    )
+    manifest.write.mode("overwrite").parquet(paths.manifest)
+    return {"n_docs": n_docs, "total_tokens": total_tokens, "avgdl": avgdl}
