@@ -316,6 +316,69 @@ def q_stemmed_terms(spark, sf_dir):
     )
 
 
+def q_path_hierarchy(spark, sf_dir):
+    """path_hierarchy strategy over synthesized /lang/source/doc_id paths:
+    emits every cumulative prefix (leading delimiter kept)."""
+    cfg = AnalyzerConfig(strategy="path_hierarchy", delimiter="/")
+    paths = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("/"), F.col("lang"), F.lit("/"), F.col("source"),
+            F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    return paths.select("doc_id", F.explode(tokenize_col("path", cfg)).alias("prefix"))
+
+
+def q_ngram_grams(spark, sf_dir):
+    """ngram strategy (all sliding windows, 2..3) over the distinct
+    whitespace vocabulary of the first 50 docs."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    terms = docs.select(F.explode(tokenize_col("text", WS)).alias("term")).distinct()
+    cfg = AnalyzerConfig(strategy="ngram", min_gram=2, max_gram=3)
+    return terms.select(
+        "term", F.explode(tokenize_col("term", cfg)).alias("gram")
+    ).distinct()
+
+
+def q_char_group_terms(spark, sf_dir):
+    """char_group strategy splitting on a custom char set over a
+    synthesized punctuated column."""
+    cfg = AnalyzerConfig(strategy="char_group", split_on_chars=",.")
+    vals = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("lang"), F.lit(","), F.col("source"),
+            F.lit(".d"), F.col("doc_id").cast("string"),
+        ).alias("val"),
+    )
+    toks = vals.select("doc_id", F.explode(tokenize_col("val", cfg)).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(100)
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-trigram Jaccard near-dup pairs via inverted-index
+    self-join (no cross product)."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6)
+    return pairs.select(
+        "doc_id_a", "doc_id_b", F.round(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
+def q_lsh_cosine_top10(spark, sf_dir):
+    """Approximate cosine top-k: hyperplane-LSH signature prune then exact
+    scoring. Rows-only check (random hyperplanes not SQL-expressible)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    out = similarity.lsh_cosine_topk(emb, qvec, k=10)
+    return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
 def q_lang_detect(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     return docs.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_pred"))
@@ -348,6 +411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lang_detect": q_lang_detect,
+        "path_hierarchy": q_path_hierarchy,
+        "ngram_grams": q_ngram_grams,
+        "char_group_terms": q_char_group_terms,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_cosine_top10": q_lsh_cosine_top10,
         "stopword_filtered_tf": q_stopword_filtered_tf,
         "stemmed_terms": q_stemmed_terms,
         "phrase_search": q_phrase_search,
@@ -455,6 +523,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine "
             "FROM embeddings, q "
             "ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+        ),
+        "path_hierarchy": (
+            "WITH p AS (SELECT doc_id, '/' || lang || '/' || source || '/' || doc_id AS path "
+            "FROM documents), "
+            "parts AS (SELECT doc_id, string_split(substring(path, 2), '/') AS w FROM p) "
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) + 1), "
+            "i -> '/' || array_to_string(w[1:i::INT], '/'))) AS prefix FROM parts"
+        ),
+        "ngram_grams": (
+            f"WITH toks AS ({_TOKS}), "
+            "terms AS (SELECT DISTINCT term FROM toks WHERE doc_id < 50) "
+            "SELECT DISTINCT term, unnest(flatten(list_transform([2, 3], "
+            "n -> list_transform(range(1, length(term) - n + 2), "
+            "s -> substring(term, s::INT, n::INT))))) AS gram FROM terms"
+        ),
+        "char_group_terms": (
+            "WITH v AS (SELECT doc_id, lang || ',' || source || '.d' || doc_id AS val "
+            "FROM documents), "
+            "t AS (SELECT doc_id, unnest(list_filter(string_split_regex(val, '[,.]'), "
+            "x -> x <> '')) AS term FROM v) "
+            "SELECT term, count(*) AS n FROM t GROUP BY 1 "
+            "ORDER BY n DESC, term ASC LIMIT 100"
+        ),
+        "ngram_jaccard": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram "
+            "FROM w WHERE len(toks) >= 3), "
+            "sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1), "
+            "inter AS (SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b, count(*) AS i "
+            "FROM g l JOIN g r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1, 2) "
+            "SELECT doc_id_a, doc_id_b, round(j, 4) AS jaccard FROM ("
+            "SELECT doc_id_a, doc_id_b, i::DOUBLE / (sa.n_grams + sb.n_grams - i) AS j "
+            "FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_id_a "
+            "JOIN sizes sb ON sb.doc_id = inter.doc_id_b) WHERE j >= 0.6"
         ),
         "stopword_filtered_tf": (
             "WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents, "

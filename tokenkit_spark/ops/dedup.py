@@ -192,7 +192,7 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard similarity for near-dup verification.
     All-DataFrame: explode n-grams, self-join on shared grams (inverted-
     index join, not cross product), |A∩B| via count, |A∪B| via sizes."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     n_words = F.size(words)
     gram_list = F.when(
         n_words >= n,
