@@ -481,6 +481,17 @@ def q_sentence_split(spark, sf_dir):
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "sentence")
 
 
+def q_remove_punct(spark, sf_dir):
+    """remove_punctuation filter: ASCII punctuation stripped WITHIN tokens
+    (reference keeps non-ASCII punctuation; mod.rs:217-222)."""
+    cfg = AnalyzerConfig(strategy="whitespace", remove_punctuation=True)
+    vals = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit("-"), F.col("source"), F.lit("!x.")).alias("val"),
+    )
+    return vals.select("doc_id", F.explode(tokenize_col("val", cfg)).alias("token"))
+
+
 def q_lang_detect(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     return docs.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_pred"))
@@ -513,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lang_detect": q_lang_detect,
+        "remove_punct": q_remove_punct,
         "unicode_tf": q_unicode_tf,
         "pattern_matches": q_pattern_matches,
         "keyword_trim": q_keyword_trim,
@@ -632,6 +644,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine "
             "FROM embeddings, q "
             "ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+        ),
+        "remove_punct": (
+            "SELECT doc_id, lang || source || 'x' AS token FROM documents"
         ),
         "unicode_tf": (
             f"WITH toks AS ({_TOKS}) "

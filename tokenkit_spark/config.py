@@ -146,5 +146,40 @@ class AnalyzerConfig:
         """Hashable cache key for per-executor analyzer memoization."""
         return dataclasses.astuple(self)
 
+    def to_hash(self) -> dict:
+        """Wire-format config hash mirroring the reference's introspection
+        surface (lib/tokenkit/configuration.rb:44-135,
+        config_builder.rb:90-114): strategy-specific keys appear only for
+        their strategy; regexes are already inline-flag strings."""
+        h = {
+            "strategy": self.strategy,
+            "lowercase": self.lowercase,
+            "remove_punctuation": self.remove_punctuation,
+            "preserve_patterns": list(self.preserve_patterns),
+        }
+        if self.strategy == "pattern":
+            h["regex"] = self.regex
+        if self.strategy == "grapheme":
+            h["extended"] = self.extended
+        if self.strategy in ("edge_ngram", "ngram"):
+            h["min_gram"] = self.min_gram
+            h["max_gram"] = self.max_gram
+        if self.strategy == "path_hierarchy":
+            h["delimiter"] = self.delimiter
+        if self.strategy == "char_group":
+            h["split_on_chars"] = self.split_on_chars
+        return h
+
+
+# Strategy predicates — the Ruby layer's `unicode?` .. `lowercase?`
+# introspection methods (lib/tokenkit/config_builder.rb:118-208) become
+# `config.is_unicode` .. `config.is_lowercase` properties.
+for _s in STRATEGIES:
+    setattr(
+        AnalyzerConfig,
+        f"is_{_s}",
+        property(lambda self, _s=_s: self.strategy == _s),
+    )
+
 
 DEFAULTS = AnalyzerConfig()
