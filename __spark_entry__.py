@@ -264,6 +264,22 @@ def q_cosine_top10(spark, sf_dir):
     )
 
 
+def q_cosine_pairs(spark, sf_dir):
+    """Exact embedding near-dup pairs (all-pairs cosine >= 0.40), JVM-side
+    dot products — the oracle-checkable baseline for the LSH path."""
+    out = similarity.cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.40)
+    return out.select("id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """LSH-banded embedding near-dup pairs (the 100 TB path: bucket-
+    equality candidate join + exact re-score). Rows-only check."""
+    out = similarity.embedding_near_dups(
+        _emb(spark, sf_dir), dim=64, threshold=0.40, n_planes=16, bands=8
+    )
+    return out.select("id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-dup candidates (rows-only check: LSH banding is
     not SQL-expressible)."""
@@ -521,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "stopword_ratios": q_stopword_ratios,
         "cosine_top10": q_cosine_top10,
+        "cosine_pairs": q_cosine_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lang_detect": q_lang_detect,
@@ -720,6 +738,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id_a, doc_id_b, i::DOUBLE / (sa.n_grams + sb.n_grams - i) AS j "
             "FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_id_a "
             "JOIN sizes sb ON sb.doc_id = inter.doc_id_b) WHERE j >= 0.6"
+        ),
+        "cosine_pairs": (
+            "SELECT id_a, id_b, round(c, 4) AS cosine FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "WHERE c >= 0.40"
         ),
         "stopword_filtered_tf": (
             "WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents, "

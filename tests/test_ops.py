@@ -139,3 +139,43 @@ def test_frame_sampling(spark):
     frames = multimodal.frame_sample(media, every_n=30).collect()
     vids = [r for r in frames]
     assert vids and all(r.frame_idx % 30 == 0 for r in vids)
+
+def test_embedding_near_dup_pairs(spark):
+    """Exact pairs match numpy brute force; LSH output is a subset with
+    decent recall on near-duplicate (perturbed) vectors."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    # 10 near-dups: tiny perturbations of the first 10 vectors
+    dups = base[:10] + rng.standard_normal((10, 16)).astype(np.float32) * 0.05
+    vecs = np.vstack([base, dups])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_pairs_exact(emb, threshold=0.95).collect()
+    }
+    v64 = vecs.astype(np.float64)
+    sims = (v64 @ v64.T) / np.outer(
+        np.linalg.norm(v64, axis=1), np.linalg.norm(v64, axis=1)
+    )
+    want = {
+        (a, b): sims[a, b]
+        for a in range(50)
+        for b in range(a + 1, 50)
+        if sims[a, b] >= 0.95
+    }
+    assert set(exact) == set(want)
+    for p, c in exact.items():
+        assert abs(c - want[p]) < 1e-9
+    assert all((i, i + 40) in exact for i in range(10))  # planted dups found
+
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.embedding_near_dups(
+            emb, dim=16, threshold=0.95, n_planes=16, bands=8
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)  # precision 1 after re-scoring
+    assert len(lsh) >= 0.8 * len(exact)  # high recall at these settings

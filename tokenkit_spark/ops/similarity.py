@@ -128,3 +128,96 @@ def lsh_cosine_topk(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
     )
     return cosine_topk_batch(cand, qvec, k, vec_col, id_col)
+
+
+def _pair_cosine_expr(va, vb):
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (_norm_expr(va) * _norm_expr(vb))
+
+
+def cosine_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold — embedding near-dup
+    verification. Exact O(n^2) self-join with JVM-side dot products
+    (zip_with/aggregate, no Python): the correctness baseline and DuckDB
+    oracle twin. At corpus scale use ``embedding_near_dups`` (LSH-banded
+    candidate join) instead; this path exists to validate it."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _pair_cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 5,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs at scale: random-hyperplane
+    signatures banded into ``bands`` groups of ``n_planes/bands`` bits;
+    vectors sharing ANY band bucket become candidates (equality join on
+    (band, bits) — never a cross product), then candidates are exactly
+    re-scored and filtered at ``threshold``. Output is a subset of
+    ``cosine_pairs_exact`` (precision 1 after re-scoring; recall grows
+    with bands / shrinks with band width)."""
+    if n_planes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes})")
+    r = n_planes // bands
+    sig = hyperplane_signature_udf(dim, n_planes, seed)
+    with_sig = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig(F.col(vec_col)).alias("sig")
+    )
+    banded = with_sig.select(
+        "id", "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * r)
+                        .bitwiseAND(F.lit((1 << r) - 1))
+                        .alias("bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.bits")
+    l, rt = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            rt,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.vec").alias("va"),
+            F.col("r.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", _pair_cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
