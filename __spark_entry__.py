@@ -280,6 +280,17 @@ def q_embedding_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine"))
 
 
+def q_ivf_cosine_top10(spark, sf_dir):
+    """IVF approximate nearest-neighbor: sample-trained coarse quantizer,
+    distributed assignment, nprobe-pruned exact scoring. Rows-only check
+    (k-means not SQL-expressible)."""
+    emb = _emb(spark, sf_dir)
+    cent = similarity.train_ivf_centroids(emb, n_centroids=10, iters=8)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]]
+    out = similarity.ivf_cosine_topk(emb, cent, qvec, k=10, nprobe=3)
+    return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-dup candidates (rows-only check: LSH banding is
     not SQL-expressible)."""
@@ -538,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratios": q_stopword_ratios,
         "cosine_top10": q_cosine_top10,
         "cosine_pairs": q_cosine_pairs,
+        "ivf_cosine_top10": q_ivf_cosine_top10,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,

@@ -179,3 +179,32 @@ def test_embedding_near_dup_pairs(spark):
     }
     assert set(lsh) <= set(exact)  # precision 1 after re-scoring
     assert len(lsh) >= 0.8 * len(exact)  # high recall at these settings
+
+def test_ivf_cosine_topk(spark):
+    """IVF path: quantizer trained on a sample, distributed assignment,
+    nprobe search. On clustered data recall@10 vs brute force >= 0.9."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.vstack(
+        [centers[i % 8] + rng.standard_normal(16) for i in range(400)]
+    ).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    cent = similarity.train_ivf_centroids(emb, n_centroids=8, iters=8)
+    assert cent.shape == (8, 16)
+    q = [float(x) for x in vecs[123]]
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.ivf_cosine_topk(emb, cent, q, k=10, nprobe=2).collect()
+    ]
+    assert approx[0] == 123
+    assert len(set(exact) & set(approx)) >= 9
+    # nprobe = all centroids ==> identical to brute force
+    full = [
+        r.vec_id
+        for r in similarity.ivf_cosine_topk(emb, cent, q, k=10, nprobe=8).collect()
+    ]
+    assert full == exact

@@ -221,3 +221,77 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 10,
+    sample: int = 20_000,
+    seed: int = 9,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a bounded driver-side sample
+    (standard IVF practice — at corpus scale the quantizer is always
+    trained on a sample, then assignment runs distributed). L2-normalized
+    centroids so nearest-centroid == highest-cosine. Deterministic."""
+    rows = (
+        emb.select(vec_col).limit(sample).collect()
+        if sample
+        else emb.select(vec_col).collect()
+    )
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Vectorized nearest-centroid assignment (argmax cosine per Arrow
+    batch). The resulting centroid_id is the IVF list / partition key."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def _assign(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batch_iter:
+            mat = np.stack(series.to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+
+    from pyspark.sql.types import IntegerType
+
+    return F.pandas_udf(_assign, IntegerType())
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    qvec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_col: str | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroid lists nearest
+    the query, exact-score only those vectors. At scale the table is
+    written partitioned by centroid_id, so the probe filter becomes
+    partition pruning and the scan touches nprobe/n_centroids of the
+    corpus; here the filter plays that role."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cent @ q))[:nprobe].tolist()
+    if centroid_col is None:
+        emb = emb.withColumn("centroid_id", ivf_assign_udf(cent)(F.col(vec_col)))
+        centroid_col = "centroid_id"
+    shortlist = emb.filter(F.col(centroid_col).isin([int(p) for p in probes]))
+    return cosine_topk_batch(shortlist, [float(x) for x in qvec], k, vec_col, id_col)
