@@ -508,6 +508,20 @@ def q_sentence_split(spark, sf_dir):
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "sentence")
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Whole-corpus vocabulary metrics in one aggregation pass. At 10^12
+    docs the exact countDistinct becomes approx_count_distinct; the exact
+    form is kept here for the oracle."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokenize_col("text", WS)).alias("term")
+    )
+    return toks.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("term").alias("n_terms"),
+        F.count(F.lit(1)).alias("total_tokens"),
+    )
+
+
 def q_remove_punct(spark, sf_dir):
     """remove_punctuation filter: ASCII punctuation stripped WITHIN tokens
     (reference keeps non-ASCII punctuation; mod.rs:217-222)."""
@@ -554,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lang_detect": q_lang_detect,
+        "corpus_stats": q_corpus_stats,
         "remove_punct": q_remove_punct,
         "unicode_tf": q_unicode_tf,
         "pattern_matches": q_pattern_matches,
@@ -674,6 +689,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine "
             "FROM embeddings, q "
             "ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+        ),
+        "corpus_stats": (
+            f"WITH toks AS ({_TOKS}) "
+            "SELECT count(DISTINCT doc_id) AS n_docs, count(DISTINCT term) AS n_terms, "
+            "count(*) AS total_tokens FROM toks"
         ),
         "remove_punct": (
             "SELECT doc_id, lang || source || 'x' AS token FROM documents"
