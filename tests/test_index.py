@@ -267,3 +267,52 @@ def test_delete_docs_equals_rebuild(spark, docs, queries_df, tmp_path_factory):
     # deleting everything is an error
     with pytest.raises(ValueError, match="every document"):
         delete_docs(spark, str(root / "full"), docs.select("doc_id"), str(root / "none"))
+
+
+def test_incremental_update_equals_rebuild(spark, docs, queries_df, tmp_path_factory):
+    """Snapshot A -> B with adds, removes, AND text changes: the
+    incremental pipeline (diff -> delete -> delta build -> merge) equals
+    a fresh build on snapshot B."""
+    from tokenkit_spark.index.incremental import diff_snapshots, incremental_update
+
+    root = tmp_path_factory.mktemp("incr")
+    slot = F.pmod(F.col("doc_id"), F.lit(10))  # doc_ids are hash-valued
+    old = docs.filter(slot < 8)                # A: slots 0..7
+    changed = (slot >= 4) & (slot < 6)         # slots 4,5 rewritten in B
+    new = (
+        docs.filter(slot >= 2)                 # B: drop slots 0,1; add 8,9
+        .withColumn(
+            "text",
+            F.when(changed, F.concat(F.lit("rewritten page "), F.col("text"))).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    n_added = docs.filter(slot >= 8).count()
+    n_removed = docs.filter(slot < 2).count()
+    n_changed = docs.filter(changed).count()
+    assert n_added and n_removed and n_changed
+
+    d = diff_snapshots(old, new)
+    assert d["added"].count() == n_added
+    assert d["removed"].count() == n_removed
+    assert d["changed"].count() == n_changed
+
+    build_index(spark, old, str(root / "base"), CFG, n_shards=4, n_buckets=4)
+    stats = incremental_update(
+        spark, str(root / "base"), old, new, str(root / "updated"), CFG
+    )
+    assert stats["n_added_or_changed"] == n_added + n_changed
+    assert stats["n_removed_or_changed"] == n_removed + n_changed
+
+    build_index(spark, new, str(root / "fresh"), CFG, n_shards=4, n_buckets=4)
+    got = load_index(spark, str(root / "updated"))
+    want = load_index(spark, str(root / "fresh"))
+    assert abs(stats["avgdl"] - want["stats"]["avgdl"]) < 1e-9
+    norm = lambda rows: sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in rows)
+    a = bm25_segments(spark, got, queries_df, CFG, k=10).collect()
+    b = bm25_segments(spark, want, queries_df, CFG, k=10).collect()
+    assert norm(a) == norm(b)
+    assert {tuple(r) for r in got["term_stats"].collect()} == {
+        tuple(r) for r in want["term_stats"].collect()
+    }
