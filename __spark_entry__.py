@@ -47,6 +47,47 @@ _TOKS = (
     "unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)"
 )
 
+_SF001_DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _stem_map_values() -> str | None:
+    """Stem-table-join oracle support (VERDICT r01 item 2): apply the
+    repo's own filter chain (stopword drop + preserve-exempt Porter stem,
+    unit-tested against fixture vectors in tests/test_filters.py) to the
+    distinct sf0.01 token vocabulary and inline it as a VALUES map. The
+    oracle then verifies the DISTRIBUTED pipeline — tokenize, chain UDF,
+    aggregate — relationally in DuckDB. Valid at sf0.01 (the driver's
+    correctness scale); returns None if the corpus isn't readable."""
+    try:
+        import duckdb
+
+        from tokenkit_spark.analyzers.filters import FilterChain
+
+        con = duckdb.connect()
+        vocab = [
+            r[0]
+            for r in con.execute(
+                "SELECT DISTINCT lower(u.t) FROM "
+                f"read_parquet('{_SF001_DOCS}'), "
+                "unnest(list_filter(string_split_regex(text, '\\s+'), "
+                "x -> x <> '')) AS u(t) WHERE doc_id < 300"
+            ).fetchall()
+        ]
+        chain = FilterChain(
+            stopwords=ENGLISH_STOPWORDS,
+            stem=True,
+            preserve_patterns=(r"[A-Z][A-Z0-9]+", r"\d+[a-z]+"),
+        ).compile()
+        pairs = []
+        for t in sorted(vocab):
+            out = chain([t])
+            if out:  # stopwords drop out of the map entirely
+                esc = lambda s: s.replace("'", "''")
+                pairs.append(f"('{esc(t)}','{esc(out[0])}')")
+        return ", ".join(pairs) if pairs else None
+    except Exception:
+        return None
+
 _BM25_ORACLE = f"""
 WITH toks AS ({_TOKS}),
 postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -140,7 +181,7 @@ def _index_for(spark, sf_dir):
     if sf_dir not in _INDEX_CACHE:
         path = os.path.join(
             tempfile.gettempdir(),
-            f"tokenkit_idx_v4_{os.path.basename(os.path.normpath(sf_dir))}",
+            f"tokenkit_idx_v5_{os.path.basename(os.path.normpath(sf_dir))}",
         )
         docs = _docs(spark, sf_dir).select("doc_id", "text")
         build_index(spark, docs, path, WS, n_shards=8, n_buckets=16, resume=True)
@@ -793,8 +834,47 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"({i}, ' {t} ')" for i, t in PHRASES)
             + ") SELECT query_id, doc_id FROM phrases, s WHERE instr(ts, p) > 0"
         ),
-        # minhash_near_dups / simhash_near_dups / lang_detect /
-        # stemmed_terms: rows-only (LSH banding, bit-rotation bands,
-        # argmax tie rules and the Porter stemmer are not
-        # ANSI-SQL-expressible)
+        "lang_detect": _lang_detect_oracle(),
+        # minhash_near_dups / simhash_near_dups: rows-only (LSH banding
+        # and bit-rotation bands are not ANSI-SQL-expressible)
+        **(
+            {"stemmed_terms": _stemmed_terms_oracle(stem_map)}
+            if (stem_map := _stem_map_values())
+            else {}
+        ),
     }
+
+
+def _lang_detect_oracle() -> str:
+    """Stopword-ratio argmax with Spark's array_max-over-struct tie rule
+    (max score, then max lang string) via row_number ORDER BY score DESC,
+    lang DESC; all-zero scores -> 'und'."""
+    arms = []
+    for lang in sorted(textstats.STOPWORDS):  # arm order irrelevant
+        stops = ", ".join(f"'{s}'" for s in textstats.STOPWORDS[lang])
+        arms.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, t -> t IN ({stops})))::DOUBLE "
+            "/ greatest(len(toks), 1) AS score FROM w"
+        )
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'\\s+'), x -> x <> '') AS toks FROM documents WHERE doc_id < 500), "
+        "sc AS (" + " UNION ALL ".join(arms) + "), "
+        "best AS (SELECT doc_id, lang, score, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc) "
+        "SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred "
+        "FROM best WHERE rn = 1"
+    )
+
+
+def _stemmed_terms_oracle(stem_map: str) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents, "
+        "unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t) "
+        "WHERE doc_id < 300), "
+        f"map(term, stem) AS (VALUES {stem_map}), "
+        "j AS (SELECT t.doc_id, m.stem AS term FROM toks t JOIN map m USING (term)) "
+        "SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df FROM j "
+        "GROUP BY term ORDER BY cf DESC, term ASC LIMIT 100"
+    )

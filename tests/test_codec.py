@@ -35,23 +35,30 @@ def test_posting_roundtrip_signed_docids(ids):
     doc_ids = np.sort(np.array(ids, dtype=np.int64))
     tfs = np.arange(1, doc_ids.size + 1, dtype=np.int64)
     dls = np.full(doc_ids.size, 100, dtype=np.int64)
-    enc = codec.encode_posting_list(doc_ids, tfs, dls, avgdl=90.0)
+    enc = codec.encode_posting_list(doc_ids, tfs, dls)
     d, t, l = codec.decode_posting_list(enc)
     assert (d == doc_ids).all() and (t == tfs).all() and (l == dls).all()
 
 
-def test_block_max():
+def test_block_metadata():
     n = 300
     doc_ids = np.arange(n, dtype=np.int64)
     tfs = np.ones(n, dtype=np.int64)
     tfs[200] = 50  # spike in block 1 (128..255)
     dls = np.full(n, 100, dtype=np.int64)
-    enc = codec.encode_posting_list(doc_ids, tfs, dls, avgdl=100.0)
+    dls[130] = 7  # short doc in block 1
+    enc = codec.encode_posting_list(doc_ids, tfs, dls)
     assert len(enc["block_last"]) == 3
     assert enc["block_last"][0] == 127 and enc["block_last"][-1] == n - 1
-    norms = codec.bm25_norm(tfs, dls, 100.0)
-    assert np.isclose(enc["block_max"][1], norms[200])
-    assert np.isclose(enc["block_max"][0], norms[0])
+    assert enc["block_max_tf"] == [1, 50, 1]
+    assert enc["block_min_dl"] == [100, 7, 100]
+    # the query-time bound dominates every posting's true norm at ANY avgdl
+    for avgdl in (10.0, 100.0, 1000.0):
+        norms = codec.bm25_norm(tfs, dls, avgdl)
+        ub = codec.block_bound(enc["block_max_tf"], enc["block_min_dl"], avgdl)
+        for b in range(3):
+            s, e = b * codec.BLOCK_SIZE, min((b + 1) * codec.BLOCK_SIZE, n)
+            assert ub[b] >= norms[s:e].max() - 1e-12
 
 
 def test_encode_runs_matches_per_run():
@@ -66,20 +73,21 @@ def test_encode_runs_matches_per_run():
         doc_ids[s:e] = np.sort(rng.choice(10**7, size=e - s, replace=False)) - 5 * 10**6
     tfs = rng.integers(1, 50, size=n).astype(np.int64)
     dls = rng.integers(5, 800, size=n).astype(np.int64)
-    got = codec.encode_runs(starts, ends, doc_ids, tfs, dls, avgdl=120.0)
+    got = codec.encode_runs(starts, ends, doc_ids, tfs, dls)
     assert len(got) == len(lens)
     for (s, e, g) in zip(starts, ends, got):
-        want = codec.encode_posting_list(doc_ids[s:e], tfs[s:e], dls[s:e], 120.0)
+        want = codec.encode_posting_list(doc_ids[s:e], tfs[s:e], dls[s:e])
         assert g[0] == want["n_postings"]
         assert g[1] == want["doc_ids_blob"]
         assert g[2] == want["tfs_blob"]
         assert g[3] == want["dls_blob"]
         assert g[4] == want["block_last"]
-        assert np.allclose(g[5], want["block_max"])
-        assert g[6] == want["block_doc_off"]
-        assert g[7] == want["block_tf_off"]
-        assert g[8] == want["block_dl_off"]
-        assert g[9] == int(tfs[s:e].sum())
+        assert g[5] == want["block_max_tf"]
+        assert g[6] == want["block_min_dl"]
+        assert g[7] == want["block_doc_off"]
+        assert g[8] == want["block_tf_off"]
+        assert g[9] == want["block_dl_off"]
+        assert g[10] == int(tfs[s:e].sum())
 
 
 def test_positions_roundtrip():
@@ -114,17 +122,16 @@ def test_delete_kernel_matches_reencode():
                  "tf": d % 3 + 1, "dl": 40 + d, "positions": list(range(d % 3 + 1))}
             )
     pdf = pd.DataFrame(rows).sort_values(["shard", "term_bucket", "term", "doc_id"])
-    segs = _encode_rows(pdf, avgdl=42.0)
+    segs = _encode_rows(pdf)
 
     class FakeBC:
         value = np.array([5, 9], dtype=np.int64)
 
-    new_avgdl = 41.5
-    out = list(_delete_kernel(FakeBC(), new_avgdl)(iter([segs])))
+    out = list(_delete_kernel(FakeBC())(iter([segs])))
     got = pd.concat(out, ignore_index=True)
 
     keep_pdf = pdf[~pdf["doc_id"].isin([5, 9])]
-    want = _encode_rows(keep_pdf.reset_index(drop=True), avgdl=new_avgdl)
+    want = _encode_rows(keep_pdf.reset_index(drop=True))
     assert list(got["term"]) == list(want["term"])  # 'gone' dropped entirely
     for col in got.columns:
         for a, b in zip(got[col], want[col]):

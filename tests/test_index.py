@@ -148,6 +148,53 @@ def test_resume_rebuilds_missing_shard(spark, docs, queries_df, tmp_path_factory
     assert sorted(map(tuple, r_full)) == sorted(map(tuple, r_part))
 
 
+def test_rebuild_over_dirty_path_equals_fresh(spark, docs, tmp_path_factory):
+    """resume=False into a non-empty index path must NOT append-duplicate
+    doc_stats/segments (VERDICT r01 item 5): the path is cleaned first and
+    the result equals a fresh build."""
+    root = tmp_path_factory.mktemp("dirty")
+    path = str(root / "index")
+    build_index(spark, docs, path, CFG, n_shards=4, n_buckets=8)
+    m = build_index(spark, docs, path, CFG, n_shards=4, n_buckets=8, resume=False)
+    assert m["n_docs"] == 600
+    idx = load_index(spark, path)
+    assert idx["doc_stats"].count() == 600  # not doubled
+    fresh = str(root / "fresh")
+    build_index(spark, docs, fresh, CFG, n_shards=4, n_buckets=8)
+    c_a = {r.shard: (r.n_terms, r.n_postings, r.checksum)
+           for r in spark.read.parquet(f"{path}/manifest").collect()}
+    c_b = {r.shard: (r.n_terms, r.n_postings, r.checksum)
+           for r in spark.read.parquet(f"{fresh}/manifest").collect()}
+    assert c_a == c_b
+
+
+def test_merge_rejects_position_parity_mismatch(spark, docs, tmp_path_factory):
+    """Merging a positional index with a non-positional one must fail
+    fast (ADVICE r01): a silent mix crashes phrase_search much later."""
+    from tokenkit_spark.index.merge import merge_indexes
+
+    root = tmp_path_factory.mktemp("parity")
+    half = F.col("doc_id") % 2 == 0
+    build_index(spark, docs.filter(half), str(root / "pos"), CFG,
+                n_shards=4, n_buckets=4, store_positions=True)
+    build_index(spark, docs.filter(~half), str(root / "nopos"), CFG,
+                n_shards=4, n_buckets=4, store_positions=False)
+    with pytest.raises(ValueError, match="position parity"):
+        merge_indexes(spark, str(root / "pos"), str(root / "nopos"), str(root / "bad"))
+
+
+def test_delete_rejects_inplace_overwrite(spark, docs, tmp_path_factory):
+    from tokenkit_spark.index.delete import delete_docs
+
+    root = tmp_path_factory.mktemp("inplace")
+    path = str(root / "index")
+    build_index(spark, docs, path, CFG, n_shards=4, n_buckets=4)
+    with pytest.raises(ValueError, match="out_path"):
+        delete_docs(spark, path, [1, 2, 3], path)
+    with pytest.raises(ValueError, match="out_path"):
+        delete_docs(spark, path, [1, 2, 3], path + "/")
+
+
 def test_blockmax_equals_exhaustive_spark(spark, index, queries_df):
     """A/B: the Block-Max WAND kernel and the exhaustive kernel must be
     rank- AND score-identical through the full Spark path."""

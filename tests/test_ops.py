@@ -68,6 +68,58 @@ def test_ngram_jaccard(docs):
     assert (0, 3) not in out
 
 
+def test_ngram_jaccard_gram_df_cap(spark):
+    """Head-gram skew (VERDICT r01 item 4): every doc shares one
+    boilerplate sentence; without the cap the self-join on its grams is
+    quadratic in corpus size. With the cap the boilerplate grams are
+    stripped before the join, and true near-dups (carried by their OWN
+    rare grams) still surface with exact Jaccard over the reduced space."""
+    boiler = "subscribe to our newsletter for updates and offers today"
+    rows = [
+        Row(doc_id=i, text=f"{boiler} unique content piece number {i} alpha beta")
+        for i in range(50)
+    ]
+    # 100/101: real near-dups beyond the boilerplate
+    rows += [
+        Row(doc_id=100, text=f"{boiler} the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=101, text=f"{boiler} the quick brown fox jumps over the lazy cat"),
+    ]
+    docs = spark.createDataFrame(rows)
+    capped = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.4, max_gram_df=5
+        ).collect()
+    }
+    assert (100, 101) in capped
+    # boilerplate-only overlaps must NOT survive: docs 0..49 share only
+    # the capped grams, so no pair among them appears
+    assert not any(a < 50 and b < 50 for a, b in capped)
+    # exactness over the reduced space: doc 100/101 each keep the 8
+    # trigrams of their own sentence (boiler-crossing grams have df 1-2
+    # except pure-boiler ones); verify the computed jaccard equals the
+    # manual reduced-space value
+    def grams(t, keep):
+        ws = t.split()
+        gs = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        return {g for g in gs if keep(g)}
+
+    all_texts = {r.doc_id: r.text for r in rows}
+    from collections import Counter
+
+    df = Counter()
+    per_doc = {}
+    for d, t in all_texts.items():
+        ws = t.split()
+        gs = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        per_doc[d] = gs
+        df.update(gs)
+    kept = {d: {g for g in gs if df[g] <= 5} for d, gs in per_doc.items()}
+    inter = len(kept[100] & kept[101])
+    want = inter / len(kept[100] | kept[101])
+    assert abs(capped[(100, 101)] - want) < 1e-9
+
+
 def test_cosine_topk_exact_vs_batch(spark):
     rng = np.random.default_rng(0)
     vecs = rng.standard_normal((50, 16)).astype(np.float32)

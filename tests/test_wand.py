@@ -18,7 +18,6 @@ def _make_term(doc_ids, tfs, dls, idf):
         np.asarray(doc_ids, dtype=np.int64),
         np.asarray(tfs, dtype=np.int64),
         np.asarray(dls, dtype=np.int64),
-        AVGDL,
     )
     enc["idf"] = idf
     return enc
@@ -107,6 +106,35 @@ def test_wand_single_term_and_empty():
     assert (got["doc_ids"] == want_ids).all() and np.allclose(got["scores"], want_scores)
     empty = wand.score_query_shard([], AVGDL, k=10)
     assert empty["doc_ids"].size == 0
+
+
+def test_wand_exact_across_avgdl_shift():
+    """Regression (ADVICE r01): segments encoded while the corpus avgdl
+    was small must stay exactly prunable when the same lists are queried
+    at a much larger avgdl (resume/merge/delete shift avgdl). The block
+    metadata is avgdl-independent, so BOTH directions must be exact."""
+    rng = np.random.default_rng(42)
+    terms = _zipf_corpus(rng)
+
+    def exhaustive_at(avgdl, k):
+        all_ids, all_scores = [], []
+        for t in terms:
+            d, tf, dl = codec.decode_posting_list(t)
+            all_ids.append(d)
+            all_scores.append(t["idf"] * codec.bm25_norm(tf, dl, avgdl))
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        total = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(total, inv, scores)
+        sel = np.lexsort((uniq, -total))[:k]
+        return uniq[sel], total[sel]
+
+    for avgdl in (30.0, 300.0, 30.0):  # same term dicts across shifts
+        want_ids, want_scores = exhaustive_at(avgdl, 10)
+        got = wand.score_query_shard(terms, avgdl, 10)
+        assert (got["doc_ids"] == want_ids).all(), avgdl
+        assert np.allclose(got["scores"], want_scores), avgdl
 
 
 @pytest.mark.parametrize("seed", list(range(6)))

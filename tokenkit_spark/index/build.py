@@ -42,7 +42,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -65,7 +64,12 @@ SEGMENT_SCHEMA = StructType(
         StructField("tfs_blob", BinaryType(), False),
         StructField("dls_blob", BinaryType(), False),
         StructField("block_last", ArrayType(LongType()), False),
-        StructField("block_max", ArrayType(DoubleType()), False),
+        # avgdl-independent block-bound inputs (codec.py module doc): the
+        # WAND bound idf*norm(max_tf, min_dl, avgdl) is computed at query
+        # time, so segments never go stale when resume/merge/delete shift
+        # the corpus avgdl
+        StructField("block_max_tf", ArrayType(LongType()), False),
+        StructField("block_min_dl", ArrayType(LongType()), False),
         StructField("block_doc_off", ArrayType(LongType()), False),
         StructField("block_tf_off", ArrayType(LongType()), False),
         StructField("block_dl_off", ArrayType(LongType()), False),
@@ -122,7 +126,7 @@ def doc_stats_df(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
     ).where(F.col("dl") >= 0)
 
 
-def _encode_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+def _encode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     """Encode sorted postings rows (shard,term_bucket,term,doc_id,tf,dl)
     into segment rows; input must be sorted and contain only complete
     runs. All codec math is one vectorized pass (codec.encode_runs)."""
@@ -138,7 +142,7 @@ def _encode_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     ) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
-    encoded = codec.encode_runs(starts, ends, doc_ids, tfs, dls, avgdl)
+    encoded = codec.encode_runs(starts, ends, doc_ids, tfs, dls)
     if "positions" in pdf.columns:
         pos_blobs = codec.encode_positions_runs(
             starts, ends, tfs, pdf["positions"].to_list()
@@ -150,11 +154,11 @@ def _encode_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
             int(shards[s]),
             int(buckets[s]),
             terms[s],
-            enc[0],       # n_postings
-            enc[9],       # cf_shard
+            enc[0],        # n_postings
+            enc[10],       # cf_shard
             enc[1], enc[2], enc[3],          # doc/tf/dl blobs
-            enc[4], enc[5],                  # block_last, block_max
-            enc[6], enc[7], enc[8],          # block byte offsets
+            enc[4], enc[5], enc[6],          # block_last, block_max_tf, block_min_dl
+            enc[7], enc[8], enc[9],          # block byte offsets
             pb,
         )
         for s, enc, pb in zip(starts, encoded, pos_blobs)
@@ -162,7 +166,7 @@ def _encode_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
 
-def _encode_stream(avgdl: float):
+def _encode_stream():
     """mapInPandas kernel: stream sorted batches, encode complete
     (shard, bucket, term) runs, carry the split trailing run forward."""
 
@@ -184,9 +188,9 @@ def _encode_stream(avgdl: float):
             split = len(pdf) - run
             carry = pdf.iloc[split:]
             if split > 0:
-                yield _encode_rows(pdf.iloc[:split], avgdl)
+                yield _encode_rows(pdf.iloc[:split])
         if carry is not None and len(carry):
-            yield _encode_rows(carry, avgdl)
+            yield _encode_rows(carry)
 
     return fn
 
@@ -199,6 +203,22 @@ class IndexPaths:
         self.doc_stats = os.path.join(root, "doc_stats")
         self.stats = os.path.join(root, "stats")
         self.manifest = os.path.join(root, "manifest")
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(jconf).exists(p)
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    jvm = spark.sparkContext._jvm
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(jconf)
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def _existing_shards(spark: SparkSession, paths: IndexPaths) -> set[int]:
@@ -235,6 +255,27 @@ def build_index(
     done = _existing_shards(spark, paths) if resume else set()
     if len(done) >= n_shards:
         return {"resumed": True, "built_shards": 0, "skipped_shards": len(done)}
+    if not done:
+        # fresh (or resume=False) build into a dirty path would APPEND
+        # doc_stats/segments on top of the old data and silently double
+        # every row — clean the index dirs first (VERDICT r01 item 5)
+        for p in (paths.segments, paths.doc_stats, paths.term_stats,
+                  paths.stats, paths.manifest):
+            _hadoop_delete(spark, p)
+    else:
+        # resumed shards must share the positional layout of the new ones
+        # (a mixed index breaks phrase search — see merge.py parity check)
+        try:
+            old = spark.read.parquet(paths.stats).collect()[0].asDict()
+            if bool(old.get("store_positions", True)) != bool(store_positions):
+                raise ValueError(
+                    "resume store_positions mismatch: index was built with "
+                    f"store_positions={old.get('store_positions')}, got {store_positions}"
+                )
+        except ValueError:
+            raise
+        except Exception:
+            pass  # stats missing (partial prior run): nothing to check
 
     docs = docs.withColumn("shard", shard_col(F.col("doc_id"), n_shards))
     todo_docs = docs.filter(~F.col("shard").isin(list(done))) if done else docs
@@ -287,7 +328,7 @@ def build_index(
     segments = (
         postings.repartition(n_parts, "shard", "term_bucket")
         .sortWithinPartitions("shard", "term_bucket", "term", "doc_id")
-        .mapInPandas(_encode_stream(avgdl), SEGMENT_SCHEMA)
+        .mapInPandas(_encode_stream(), SEGMENT_SCHEMA)
     )
     # two-level physical layout: shard (resume/checkpoint unit) then
     # term_bucket (query-time directory pruning: a k-term query scans at
@@ -304,8 +345,10 @@ def build_index(
     term_stats.write.mode("overwrite").parquet(paths.term_stats)
 
     stats_row = spark.createDataFrame(
-        [(int(n_docs), int(total_tokens), float(avgdl), n_shards, n_buckets)],
-        "n_docs long, total_tokens long, avgdl double, n_shards int, n_buckets int",
+        [(int(n_docs), int(total_tokens), float(avgdl), n_shards, n_buckets,
+          bool(store_positions))],
+        "n_docs long, total_tokens long, avgdl double, n_shards int, "
+        "n_buckets int, store_positions boolean",
     )
     stats_row.write.mode("overwrite").parquet(paths.stats)
 

@@ -10,9 +10,16 @@ Layout per posting list (one term within one doc-shard):
   doc_ids : sorted int64 -> gaps (first absolute) -> varint bytes
   tfs     : int64 -> varint bytes
   dls     : per-posting doc length -> varint bytes (needed for exact BM25)
-  blocks  : every BLOCK_SIZE postings -> (last_doc_id, max_norm) where
-            norm = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) so the query-time
-            block upper bound is idf * max_norm.
+  blocks  : every BLOCK_SIZE postings -> (last_doc_id, max_tf, min_dl).
+            The WAND block bound is computed at QUERY time as
+            idf * norm(max_tf, min_dl, current_avgdl): the BM25 norm
+            tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is increasing in tf and
+            decreasing in dl, so norm(max_tf, min_dl) >= norm(tf_i, dl_i)
+            for every posting i in the block — a safe upper bound under
+            ANY avgdl. Storing (max_tf, min_dl) instead of a precomputed
+            norm makes segments avgdl-independent: resumed builds, merges
+            and deletes that shift the corpus avgdl can never leave a
+            stale (unsafe) block bound behind.
 """
 
 from __future__ import annotations
@@ -128,17 +135,27 @@ def bm25_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
-def encode_posting_list(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float
-) -> dict:
+def block_bound(block_max_tf, block_min_dl, avgdl: float) -> np.ndarray:
+    """Safe per-block norm upper bound at the CURRENT avgdl (see module
+    doc: norm is increasing in tf, decreasing in dl)."""
+    return bm25_norm(
+        np.asarray(block_max_tf, dtype=np.int64),
+        np.asarray(block_min_dl, dtype=np.int64),
+        avgdl,
+    )
+
+
+def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
     """Encode one (shard, term) posting run. doc_ids must be sorted asc."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs_i = np.asarray(tfs, dtype=np.int64)
+    dls_i = np.asarray(dls, dtype=np.int64)
     n = doc_ids.size
-    norms = bm25_norm(np.asarray(tfs), np.asarray(dls), avgdl)
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     block_starts = np.arange(0, n, BLOCK_SIZE)
     block_last = doc_ids[np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n) - 1]
-    block_max = np.maximum.reduceat(norms, block_starts)
+    block_max_tf = np.maximum.reduceat(tfs_i, block_starts)
+    block_min_dl = np.minimum.reduceat(dls_i, block_starts)
 
     # Byte offset of each block's first varint inside each blob, so a WAND
     # cursor can decode ONE block at a time without scanning the rest. A
@@ -160,7 +177,8 @@ def encode_posting_list(
         "tfs_blob": varint_encode(np.asarray(tfs, dtype=np.uint64)),
         "dls_blob": varint_encode(np.asarray(dls, dtype=np.uint64)),
         "block_last": block_last.tolist(),
-        "block_max": block_max.tolist(),
+        "block_max_tf": block_max_tf.tolist(),
+        "block_min_dl": block_min_dl.tolist(),
     }
 
 
@@ -241,7 +259,6 @@ def encode_runs(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
 ) -> list[tuple]:
     """Vectorized multi-run encoder: encode EVERY (shard, term) run of a
     sorted partition in one pass. Blob-identical to calling
@@ -251,7 +268,8 @@ def encode_runs(
     postings; per-run numpy calls would dominate the build.)
 
     Returns per run: (n_postings, doc_blob, tf_blob, dl_blob, block_last,
-    block_max, block_doc_off, block_tf_off, block_dl_off, cf).
+    block_max_tf, block_min_dl, block_doc_off, block_tf_off, block_dl_off,
+    cf).
     """
     n = doc_ids.size
     nruns = starts.size
@@ -275,7 +293,6 @@ def encode_runs(
     tf_cum = np.concatenate(([0], np.cumsum(tf_sizes)))
     dl_cum = np.concatenate(([0], np.cumsum(dl_sizes)))
 
-    norms = bm25_norm(tfs.astype(np.int64), dls.astype(np.int64), avgdl)
     cfs = np.add.reduceat(tfs.astype(np.int64), starts)
 
     # global block starts: every BLOCK_SIZE-th posting within each run
@@ -286,7 +303,8 @@ def encode_runs(
     # each block ends at the next block start (== next run start at a
     # run boundary) — never crosses a run
     block_run = np.searchsorted(starts, bstarts, side="right") - 1
-    block_max_all = np.maximum.reduceat(norms, bstarts)
+    block_max_tf_all = np.maximum.reduceat(tfs.astype(np.int64), bstarts)
+    block_min_dl_all = np.minimum.reduceat(dls.astype(np.int64), bstarts)
     block_last_all = np.asarray(doc_ids, dtype=np.int64)[bends - 1]
     bd_off = gap_cum[bstarts] - gap_cum[starts[block_run]]
     bt_off = tf_cum[bstarts] - tf_cum[starts[block_run]]
@@ -306,7 +324,8 @@ def encode_runs(
                 bytes(mt[tf_cum[s] : tf_cum[e]]),
                 bytes(ml[dl_cum[s] : dl_cum[e]]),
                 block_last_all[b0:b1].tolist(),
-                block_max_all[b0:b1].tolist(),
+                block_max_tf_all[b0:b1].tolist(),
+                block_min_dl_all[b0:b1].tolist(),
                 bd_off[b0:b1].tolist(),
                 bt_off[b0:b1].tolist(),
                 bl_off[b0:b1].tolist(),

@@ -6,10 +6,11 @@ is merged in (merge.py requires disjoint doc sets).
 
 Exactness contract (tested): ``delete_docs(base, D)`` produces an index
 whose BM25 results, term stats, and phrase hits are identical to
-rebuilding from scratch on ``corpus - D``. That requires recomputing
-EVERY run's block-max metadata — avgdl changes when docs leave, BM25
-norms depend on avgdl, and stale block maxima would break WAND's
-pruning bound — so this is a full segment rewrite by design.
+rebuilding from scratch on ``corpus - D``. Block metadata is
+avgdl-independent (codec.py: per-block max_tf/min_dl, bound computed at
+query time), so the rewrite only has to drop deleted postings and
+re-encode the surviving runs; the post-delete avgdl lives solely in the
+global stats row.
 
 Plan shape (scale notes): zero shuffles. Each segment row is already a
 complete (shard, term_bucket, term) run, so the rewrite is a pure
@@ -23,6 +24,7 @@ build path is simpler.
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -34,10 +36,10 @@ from . import codec
 from .build import IndexPaths, SEGMENT_SCHEMA, load_index
 
 
-def _delete_kernel(bc_deleted, avgdl: float):
+def _delete_kernel(bc_deleted):
     """mapInPandas kernel: decode each run, drop deleted postings,
-    re-encode against the post-delete avgdl. Encoding is batched across
-    all surviving runs of the Arrow batch (one codec.encode_runs call)."""
+    re-encode. Encoding is batched across all surviving runs of the
+    Arrow batch (one codec.encode_runs call)."""
 
     def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         deleted = bc_deleted.value  # sorted int64 array
@@ -82,7 +84,7 @@ def _delete_kernel(bc_deleted, avgdl: float):
             doc_ids = np.concatenate(kept_ids)
             tfs_all = np.concatenate(kept_tfs)
             dls_all = np.concatenate(kept_dls)
-            encoded = codec.encode_runs(starts, ends, doc_ids, tfs_all, dls_all, avgdl)
+            encoded = codec.encode_runs(starts, ends, doc_ids, tfs_all, dls_all)
             all_pos = all(m[3] for m in kept_meta)
             if all_pos and kept_pos:
                 pos_blobs = codec.encode_positions_runs(starts, ends, tfs_all, kept_pos)
@@ -91,10 +93,10 @@ def _delete_kernel(bc_deleted, avgdl: float):
             rows = [
                 (
                     int(meta[0]), int(meta[1]), meta[2],
-                    enc[0], enc[9],
+                    enc[0], enc[10],
                     enc[1], enc[2], enc[3],
-                    enc[4], enc[5],
-                    enc[6], enc[7], enc[8],
+                    enc[4], enc[5], enc[6],
+                    enc[7], enc[8], enc[9],
                     pb,
                 )
                 for meta, enc, pb in zip(kept_meta, encoded, pos_blobs)
@@ -112,20 +114,34 @@ def delete_docs(
 ) -> dict:
     """Rewrite the index at ``base_path`` without ``doc_ids`` -> ``out_path``.
     Returns the post-delete global stats; raises if nothing would remain."""
+    norm = lambda p: os.path.abspath(p) if "://" not in p else p.rstrip("/")
+    if norm(out_path) == norm(base_path):
+        raise ValueError(
+            "delete_docs: out_path must differ from base_path — overwriting "
+            "the index being read corrupts it mid-job (in-place deletion "
+            "needs a temp dir + swap)"
+        )
     base = load_index(spark, base_path)
     bs = base["stats"]
     n_shards, n_buckets = int(bs["n_shards"]), int(bs["n_buckets"])
 
+    # keep the deleted ids RELATIONAL (joins, not Column.isin literal
+    # lists: a 10^8-id isin inflates the plan and OOMs the driver); the
+    # only driver materialization is the sorted array the rewrite kernel
+    # ships once per executor via broadcast
     if isinstance(doc_ids, DataFrame):
-        del_rows = doc_ids.select(F.col("doc_id").cast("long")).distinct().collect()
-        del_arr = np.array(sorted(r.doc_id for r in del_rows), dtype=np.int64)
+        del_df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
     else:
-        del_arr = np.array(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+        ids = sorted(set(int(d) for d in doc_ids))
+        del_df = spark.createDataFrame([(d,) for d in ids], "doc_id long")
+    del_arr = np.array(
+        sorted(r.doc_id for r in del_df.collect()), dtype=np.int64
+    )
 
     # post-delete globals from doc_stats (only actually-present ids count)
     removed = (
         base["doc_stats"]
-        .filter(F.col("doc_id").isin([int(x) for x in del_arr]))
+        .join(del_df, "doc_id", "left_semi")
         .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t"))
         .collect()[0]
     )
@@ -139,13 +155,13 @@ def delete_docs(
     paths = IndexPaths(out_path)
     seg_cols = [f.name for f in SEGMENT_SCHEMA.fields]
     rewritten = base["segments"].select(seg_cols).mapInPandas(
-        _delete_kernel(bc, avgdl), SEGMENT_SCHEMA
+        _delete_kernel(bc), SEGMENT_SCHEMA
     )
     rewritten.write.mode("overwrite").partitionBy("shard", "term_bucket").parquet(
         paths.segments
     )
 
-    dstats = base["doc_stats"].filter(~F.col("doc_id").isin([int(x) for x in del_arr]))
+    dstats = base["doc_stats"].join(del_df, "doc_id", "left_anti")
     dstats.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(paths.doc_stats)
@@ -157,8 +173,10 @@ def delete_docs(
     term_stats.write.mode("overwrite").parquet(paths.term_stats)
 
     spark.createDataFrame(
-        [(n_docs, total_tokens, float(avgdl), n_shards, n_buckets)],
-        "n_docs long, total_tokens long, avgdl double, n_shards int, n_buckets int",
+        [(n_docs, total_tokens, float(avgdl), n_shards, n_buckets,
+          bool(bs.get("store_positions", True)))],
+        "n_docs long, total_tokens long, avgdl double, n_shards int, "
+        "n_buckets int, store_positions boolean",
     ).write.mode("overwrite").parquet(paths.stats)
 
     manifest = (

@@ -74,7 +74,10 @@ def incremental_update(
     stale = d["removed"].unionByName(d["changed"])
     fresh_ids = d["added"].unionByName(d["changed"])
     n_stale = stale.count()
-    fresh_docs = new_docs.join(F.broadcast(fresh_ids), "doc_id")
+    # no broadcast hint: daily-crawl churn can exceed the broadcast size
+    # limit; fresh_ids is a 1-column id set, AQE picks broadcast when it
+    # actually fits and shuffle-join otherwise
+    fresh_docs = new_docs.join(fresh_ids, "doc_id", "left_semi")
     n_fresh = fresh_docs.count()
 
     if n_stale == 0 and n_fresh == 0:

@@ -15,9 +15,10 @@ build the delta with the superseding doc only).
 Plan shape: union the two segment tables -> repartition(shard,
 term_bucket) + sortWithinPartitions(..., term) -> a streaming
 mapInPandas kernel decodes each term-run group (1 or 2 source rows),
-merge-sorts postings by doc_id, and re-encodes — including block-max
-metadata recomputed against the MERGED corpus avgdl (norms depend on
-avgdl, so stale block maxima would break WAND safety).
+merge-sorts postings by doc_id, and re-encodes. Block metadata
+(max_tf, min_dl per block) is avgdl-independent (codec.py), so the
+merged index needs no norm recomputation — only the global stats row
+carries the merged avgdl.
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ from . import codec
 from .build import IndexPaths, SEGMENT_SCHEMA, load_index
 
 
-def _merge_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+def _merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     """Merge sorted segment rows: adjacent rows sharing (shard, bucket,
     term) are decoded, merge-sorted by doc_id, re-encoded as one run."""
     shards = pdf["shard"].to_numpy()
@@ -93,7 +94,7 @@ def _merge_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     tfs = np.concatenate(all_tfs) if all_tfs else np.zeros(0, dtype=np.int64)
     dls = np.concatenate(all_dls) if all_dls else np.zeros(0, dtype=np.int64)
 
-    encoded = codec.encode_runs(starts, ends, doc_ids, tfs, dls, avgdl)
+    encoded = codec.encode_runs(starts, ends, doc_ids, tfs, dls)
     if has_pos:
         pos_blobs = codec.encode_positions_runs(starts, ends, tfs, all_pos)
     else:
@@ -104,10 +105,10 @@ def _merge_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
             int(buckets[s]),
             terms[s],
             enc[0],
-            enc[9],
+            enc[10],
             enc[1], enc[2], enc[3],
-            enc[4], enc[5],
-            enc[6], enc[7], enc[8],
+            enc[4], enc[5], enc[6],
+            enc[7], enc[8], enc[9],
             pb,
         )
         for s, enc, pb in zip(g_starts, encoded, pos_blobs)
@@ -115,7 +116,7 @@ def _merge_rows(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
 
-def _merge_stream(avgdl: float):
+def _merge_stream():
     """Streaming kernel: carry the trailing (possibly split) term run
     into the next Arrow batch, mirroring the build encoder."""
 
@@ -137,11 +138,23 @@ def _merge_stream(avgdl: float):
             split = len(pdf) - run
             carry = pdf.iloc[split:]
             if split > 0:
-                yield _merge_rows(pdf.iloc[:split], avgdl)
+                yield _merge_rows(pdf.iloc[:split])
         if carry is not None and len(carry):
-            yield _merge_rows(carry, avgdl)
+            yield _merge_rows(carry)
 
     return fn
+
+
+def _has_positions(index: dict) -> bool:
+    """Whether an index stores positions: stats flag when present (builds
+    since r02 write it), else probe segments for a non-empty pos_blob."""
+    flag = index["stats"].get("store_positions")
+    if flag is not None:
+        return bool(flag)
+    row = index["segments"].agg(
+        F.max(F.length("pos_blob")).alias("m")
+    ).collect()[0]
+    return bool(row.m and row.m > 0)
 
 
 def merge_indexes(
@@ -154,6 +167,17 @@ def merge_indexes(
     for key in ("n_shards", "n_buckets"):
         if int(bs[key]) != int(ds[key]):
             raise ValueError(f"index layout mismatch on {key}: {bs[key]} != {ds[key]}")
+    # position parity: merging a positional index with a non-positional
+    # one would silently write empty pos_blobs for some runs and crash
+    # phrase_search later — fail fast instead (stats flag when present,
+    # else probe the segments for any non-empty position blob)
+    bpos, dpos = _has_positions(base), _has_positions(delta)
+    if bpos != dpos:
+        raise ValueError(
+            "position parity mismatch: base index "
+            f"store_positions={bpos} but delta store_positions={dpos}; "
+            "rebuild one side with the matching store_positions setting"
+        )
     n_shards, n_buckets = int(bs["n_shards"]), int(bs["n_buckets"])
     n_docs = int(bs["n_docs"]) + int(ds["n_docs"])
     total_tokens = int(bs["total_tokens"]) + int(ds["total_tokens"])
@@ -166,7 +190,7 @@ def merge_indexes(
     merged = (
         union.repartition(n_parts, "shard", "term_bucket")
         .sortWithinPartitions("shard", "term_bucket", "term")
-        .mapInPandas(_merge_stream(avgdl), SEGMENT_SCHEMA)
+        .mapInPandas(_merge_stream(), SEGMENT_SCHEMA)
     )
     merged.write.mode("overwrite").partitionBy("shard", "term_bucket").parquet(paths.segments)
 
@@ -182,8 +206,9 @@ def merge_indexes(
     term_stats.write.mode("overwrite").parquet(paths.term_stats)
 
     spark.createDataFrame(
-        [(n_docs, total_tokens, float(avgdl), n_shards, n_buckets)],
-        "n_docs long, total_tokens long, avgdl double, n_shards int, n_buckets int",
+        [(n_docs, total_tokens, float(avgdl), n_shards, n_buckets, bool(bpos))],
+        "n_docs long, total_tokens long, avgdl double, n_shards int, "
+        "n_buckets int, store_positions boolean",
     ).write.mode("overwrite").parquet(paths.stats)
 
     manifest = (

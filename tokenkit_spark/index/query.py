@@ -114,7 +114,8 @@ def _doc_globals(dstats: DataFrame) -> tuple[int, float]:
 
 _TERM_COLS = [
     "idf", "n_postings", "doc_ids_blob", "tfs_blob", "dls_blob",
-    "block_last", "block_max", "block_doc_off", "block_tf_off", "block_dl_off",
+    "block_last", "block_max_tf", "block_min_dl",
+    "block_doc_off", "block_tf_off", "block_dl_off",
 ]
 
 

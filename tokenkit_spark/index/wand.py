@@ -12,7 +12,12 @@ invariant in a *vectorized, block-at-a-time* form:
   (lower bounds of final scores) and a threshold θ = k-th best partial.
   For each remaining term, a block b can contribute at most
 
-      bound(b) = max(block_partial_max(b), 0) + idf·block_max(b) + Σ ub(rest)
+      bound(b) = max(block_partial_max(b), 0) + idf·block_ub(b) + Σ ub(rest)
+
+  where block_ub(b) = norm(max_tf(b), min_dl(b), avgdl) is computed HERE,
+  at query time, from the avgdl-independent per-block (max_tf, min_dl)
+  metadata (codec.py module doc) — so segments encoded before a resume/
+  merge/delete changed the corpus avgdl still yield a safe bound,
 
   where block_partial_max(b) is the best already-accumulated partial of
   any doc inside b's docID range (new docs enter at partial 0), and
@@ -58,13 +63,24 @@ def score_query_shard(terms: list[dict], avgdl: float, k: int) -> dict:
 
     ``terms``: one dict per matched query term with keys ``idf``,
     ``n_postings``, ``doc_ids_blob``, ``tfs_blob``, ``dls_blob``,
-    ``block_last``, ``block_max``, ``block_doc_off``, ``block_tf_off``,
-    ``block_dl_off``. Returns exact top-k (doc_ids, scores) plus pruning
-    stats {blocks_total, blocks_decoded}.
+    ``block_last``, ``block_max_tf``, ``block_min_dl``, ``block_doc_off``,
+    ``block_tf_off``, ``block_dl_off``. Returns exact top-k (doc_ids,
+    scores) plus pruning stats {blocks_total, blocks_decoded}.
     """
-    # global per-term upper bound: idf * best block_max
+    # per-block norm upper bounds at the CURRENT avgdl (memoized on the
+    # shared term dict, keyed by avgdl: a head term's bounds compute once
+    # per partition)
+    for t in terms:
+        memo = t.setdefault("_block_ub", {})
+        if avgdl not in memo:
+            memo[avgdl] = codec.block_bound(
+                t["block_max_tf"], t["block_min_dl"], avgdl
+            )
+        t["_block_ub_cur"] = memo[avgdl]
+    # global per-term upper bound: idf * best block bound
     ubs = np.array(
-        [t["idf"] * (max(t["block_max"]) if len(t["block_max"]) else 0.0) for t in terms]
+        [t["idf"] * (t["_block_ub_cur"].max() if t["_block_ub_cur"].size else 0.0)
+         for t in terms]
     )
     # rarest-first: cheap, high-idf lists raise θ before the head terms
     order = np.argsort([t["n_postings"] for t in terms], kind="stable")
@@ -80,7 +96,7 @@ def score_query_shard(terms: list[dict], avgdl: float, k: int) -> dict:
         t = terms[int(ti)]
         idf = float(t["idf"])
         block_last = np.asarray(t["block_last"], dtype=np.int64)
-        block_max = np.asarray(t["block_max"], dtype=np.float64)
+        block_ub = t["_block_ub_cur"]
         nblocks = block_last.size
         blocks_total += nblocks
         remaining = rem_after[i + 1]
@@ -92,7 +108,7 @@ def score_query_shard(terms: list[dict], avgdl: float, k: int) -> dict:
             bins = np.searchsorted(block_last, acc_ids, side="left")
             valid = bins < nblocks
             np.maximum.at(bpm, bins[valid], acc_scores[valid])
-            survives = bpm + idf * block_max + remaining >= theta - _EPS
+            survives = bpm + idf * block_ub + remaining >= theta - _EPS
         else:
             survives = np.ones(nblocks, dtype=bool)
 
@@ -108,9 +124,10 @@ def score_query_shard(terms: list[dict], avgdl: float, k: int) -> dict:
             if full is None:
                 full = t["_full"] = codec.decode_posting_list(t)
             doc_ids, tfs, dls = full
-            norms = t.get("_norms")
+            nmemo = t.setdefault("_norms", {})
+            norms = nmemo.get(avgdl)
             if norms is None:
-                norms = t["_norms"] = codec.bm25_norm(tfs, dls, avgdl)
+                norms = nmemo[avgdl] = codec.bm25_norm(tfs, dls, avgdl)
             acc_ids, acc_scores = _merge_acc(acc_ids, acc_scores, doc_ids, idf * norms)
             continue
         else:
