@@ -574,6 +574,47 @@ def q_remove_punct(spark, sf_dir):
     return vals.select("doc_id", F.explode(tokenize_col("val", cfg)).alias("token"))
 
 
+def q_media_headers(spark, sf_dir):
+    """REAL header-level media metadata: parse_media_headers recovers
+    width/height/sample-rate from actual PNG/JPEG/WAV bytes of the
+    deterministic synthetic media table (ops/multimodal.py). The oracle
+    is the expected-fixture table derived from the same generator
+    parameters — a true check that the distributed binary parse
+    reproduces the encoded dimensions."""
+    from tokenkit_spark.ops import multimodal
+
+    media = multimodal.synth_media(spark, n=60)
+    return multimodal.parse_media_headers(media).select(
+        "media_id", "kind", "format", "width", "height",
+        "sample_rate", "n_channels",
+    )
+
+
+def _media_headers_oracle() -> str:
+    from tokenkit_spark.ops.multimodal import synth_media_dims
+
+    vals = []
+    for i in range(60):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = synth_media_dims(i)
+            fmt = "png" if i % 2 == 0 else "jpeg"
+            vals.append(f"({i}, 'image', '{fmt}', {w}, {h}, NULL, NULL)")
+        elif kind == "audio":
+            rate, chans = 8000 * (1 + i % 3), 1 + i % 2
+            vals.append(f"({i}, 'audio', 'wav', NULL, NULL, {rate}, {chans})")
+        else:
+            vals.append(f"({i}, 'video', 'unknown', NULL, NULL, NULL, NULL)")
+    return (
+        "SELECT media_id::BIGINT AS media_id, kind, format, "
+        "width::INTEGER AS width, height::INTEGER AS height, "
+        "sample_rate::INTEGER AS sample_rate, "
+        "n_channels::INTEGER AS n_channels FROM (VALUES "
+        + ", ".join(vals)
+        + ") t(media_id, kind, format, width, height, sample_rate, n_channels)"
+    )
+
+
 def q_lang_detect(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     return docs.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_pred"))
@@ -626,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_filtered_tf": q_stopword_filtered_tf,
         "stemmed_terms": q_stemmed_terms,
         "phrase_search": q_phrase_search,
+        "media_headers": q_media_headers,
     }
 
 
@@ -835,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT query_id, doc_id FROM phrases, s WHERE instr(ts, p) > 0"
         ),
         "lang_detect": _lang_detect_oracle(),
+        "media_headers": _media_headers_oracle(),
         # minhash_near_dups / simhash_near_dups: rows-only (LSH banding
         # and bit-rotation bands are not ANSI-SQL-expressible)
         **(

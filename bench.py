@@ -32,7 +32,11 @@ def main() -> None:
 
     import __spark_entry__ as entry
     from tokenkit_spark.index.build import build_index, load_index
-    from tokenkit_spark.index.query import bm25_segments
+    from tokenkit_spark.index.query import (
+        bm25_segments,
+        bm25_segments_batch,
+        bm25_wand_stats,
+    )
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -84,6 +88,38 @@ def main() -> None:
         lambda: bm25_segments(spark, index, qdf, entry.WS, k=10).count(),
     )
 
+    # --- headline 2b: batch-query regime (relational term join, no driver
+    # term collect) — the 10^5+-query shape at bench scale ------------------
+    n_batch = int(os.environ.get("SPARK_GRAFT_BATCH_QUERIES", "10000"))
+    top_terms = [
+        r.term
+        for r in index["term_stats"].orderBy(F.col("df").desc()).limit(100).collect()
+    ]
+    batch_rows = [
+        (i, f"{top_terms[i % len(top_terms)]} {top_terms[(i * 7 + 3) % len(top_terms)]}")
+        for i in range(n_batch)
+    ]
+    batch_qdf = spark.createDataFrame(batch_rows, "query_id long, text string")
+    timed(
+        "bm25_batch",
+        lambda: bm25_segments_batch(spark, index, batch_qdf, entry.WS, k=10).count(),
+    )
+
+    # --- WAND pruning observability (blocks decoded vs total) --------------
+    ws_row = (
+        bm25_wand_stats(spark, index, qdf, entry.WS, k=10)
+        .agg(
+            F.sum("blocks_total").alias("bt"),
+            F.sum("blocks_decoded").alias("bd"),
+        )
+        .collect()[0]
+    )
+    wand_stats = {
+        "blocks_total": int(ws_row.bt or 0),
+        "blocks_decoded": int(ws_row.bd or 0),
+        "pruned_frac": round(1.0 - (ws_row.bd or 0) / max(ws_row.bt or 1, 1), 4),
+    }
+
     # --- supporting queries from the driver surface -----------------------
     qs = entry.queries()
     for name in (
@@ -118,6 +154,12 @@ def main() -> None:
             "sec": query_s,
             "queries_per_sec": round(n_queries / query_s, 2),
         },
+        "bm25_batch": {
+            "queries": n_batch,
+            "sec": timings["bm25_batch"],
+            "queries_per_sec": round(n_batch / timings["bm25_batch"], 1),
+        },
+        "wand": wand_stats,
     }
     print(json.dumps(result))
     spark.stop()

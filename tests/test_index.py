@@ -62,6 +62,32 @@ def test_extraction_invariant(pages):
     assert bad.count() == 0
 
 
+def test_catalog_table_adapter_roundtrip(spark, pages):
+    """The writeTo/read.table seam (production Iceberg path) runs for
+    real against the session catalog: write the pages table through the
+    catalog, read it back by table name, verify parity (ADVICE r01: the
+    branch must not remain untested dead code)."""
+    from tokenkit_spark.sources.pages import read_pages, write_pages
+
+    table = "tokenkit_pages_adapter_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_pages(pages, table, use_iceberg=True, table_format="parquet")
+        back = read_pages(spark, table, use_iceberg=True)
+        assert back.count() == pages.count()
+        assert dict(back.dtypes) == dict(pages.dtypes)
+        a = {r.url for r in pages.select("url").collect()}
+        b = {r.url for r in back.select("url").collect()}
+        assert a == b
+        # extraction invariant survives the catalog round-trip
+        bad = back.withColumn("ext", extract_text_udf()(F.col("html"))).filter(
+            F.col("ext") != F.col("text")
+        )
+        assert bad.count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_doc_ids_unique(docs):
     n = docs.count()
     assert docs.select("doc_id").distinct().count() == n
@@ -203,6 +229,17 @@ def test_blockmax_equals_exhaustive_spark(spark, index, queries_df):
     ra = [(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in a.collect()]
     rb = [(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in b.collect()]
     assert sorted(ra) == sorted(rb)
+
+
+def test_batch_path_equals_interactive(spark, index, queries_df):
+    """bm25_segments_batch (relational term join, no driver term collect)
+    must be rank- and score-identical to the interactive pushdown path."""
+    from tokenkit_spark.index.query import bm25_segments_batch
+
+    a = bm25_segments(spark, index, queries_df, CFG, k=10).collect()
+    b = bm25_segments_batch(spark, index, queries_df, CFG, k=10).collect()
+    norm = lambda rows: sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in rows)
+    assert norm(a) == norm(b)
 
 
 def test_phrase_search_matches_python_bruteforce(spark, docs, index):

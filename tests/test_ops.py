@@ -186,6 +186,42 @@ def test_multimodal_features(spark):
     assert sorted(r.checksum for r in feats) == sorted(r.checksum for r in again)
 
 
+def test_media_header_parsing(spark):
+    """Real header extraction: dimensions/sample rates come from the
+    actual PNG/JPEG/WAV bytes, matching what synth_media encoded."""
+    media = multimodal.synth_media(spark, n=30)
+    got = {r.media_id: r for r in multimodal.parse_media_headers(media).collect()}
+    assert len(got) == 30
+    for i in range(30):
+        kind = ["image", "audio", "video"][i % 3]
+        r = got[i]
+        if kind == "image":
+            w, h = multimodal.synth_media_dims(i)
+            assert r.format == ("png" if i % 2 == 0 else "jpeg")
+            assert (r.width, r.height) == (w, h)
+        elif kind == "audio":
+            assert r.format == "wav"
+            assert r.sample_rate == 8000 * (1 + i % 3)
+            assert r.n_channels == 1 + i % 2
+        else:
+            assert r.format == "unknown"
+            assert r.width is None and r.sample_rate is None
+
+
+def test_media_header_parsers_pure():
+    from tokenkit_spark.ops.multimodal import (
+        make_jpeg, make_png, make_wav, parse_audio_header, parse_image_header)
+
+    assert parse_image_header(make_png(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(make_jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\0\0"
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    assert parse_audio_header(make_wav(44100, 2)) == ("wav", 44100, 2)
+    assert parse_image_header(b"not an image") is None
+    assert parse_audio_header(b"RIFFxxxxJUNK") is None
+    assert parse_image_header(b"") is None
+
+
 def test_frame_sampling(spark):
     media = multimodal.synth_media(spark, n=9)
     frames = multimodal.frame_sample(media, every_n=30).collect()

@@ -554,7 +554,13 @@ class TestApi:
         assert tok("") == []
 
     def test_none(self):
-        assert tok(None) == []
+        # reference raises TypeError for nil text (error_handling_spec.rb:64);
+        # the Spark UDF layer stays null-safe via Analyzer.tokenize
+        with pytest.raises(TypeError):
+            tok(None)
+        from tokenkit_spark import AnalyzerConfig, get_analyzer
+
+        assert get_analyzer(AnalyzerConfig()).tokenize(None) == []
 
     def test_invalid_strategy(self):
         with pytest.raises(ConfigError):

@@ -446,6 +446,11 @@ def tokenize(text: str, config: AnalyzerConfig | None = None, **overrides) -> li
     (lib/tokenkit.rb:138-147): overrides merge into the global config
     WITHOUT mutating it (per-call isolation,
     spec/per_call_options_spec.rb:262-386)."""
+    if text is None:
+        # the reference raises TypeError for nil text
+        # (spec/error_handling_spec.rb:64-66); the Spark UDF path calls
+        # Analyzer.tokenize directly, which stays null-safe for null cells
+        raise TypeError("text must be a string, not None")
     cfg = config or _global_config
     if overrides:
         cfg = cfg.replace(**overrides)

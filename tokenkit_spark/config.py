@@ -133,13 +133,29 @@ class AnalyzerConfig:
         if self.strategy == "path_hierarchy":
             if not self.delimiter:
                 raise ConfigError("Path hierarchy requires a delimiter")
+        if self.strategy == "lowercase" and not self.lowercase:
+            # the reference warns and ignores the flag
+            # (lib/tokenkit.rb lowercase-strategy guard;
+            # spec/lowercase_tokenizer_spec.rb:17-27)
+            import warnings
+
+            warnings.warn(
+                "Warning: The lowercase strategy always lowercases text; "
+                "lowercase=False is ignored",
+                stacklevel=3,
+            )
         for p in self.preserve_patterns:
             compile_pattern(p)
 
     def replace(self, **kwargs) -> "AnalyzerConfig":
-        """Per-call override merge (lib/tokenkit.rb:285-317)."""
+        """Per-call override merge (lib/tokenkit.rb:285-317). Accepts the
+        reference's both spellings of the grapheme flag: ``extended``
+        (per-call, lib/tokenkit.rb:296) and ``grapheme_extended``
+        (config builder, config_builder.rb:21)."""
         if "preserve" in kwargs:
             kwargs["preserve_patterns"] = kwargs.pop("preserve")
+        if "grapheme_extended" in kwargs:
+            kwargs["extended"] = kwargs.pop("grapheme_extended")
         return dataclasses.replace(self, **kwargs)
 
     def key(self) -> tuple:

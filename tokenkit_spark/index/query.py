@@ -219,6 +219,114 @@ def bm25_segments(
     return _topk_window(candidates, k, round_digits)
 
 
+def _wand_stats_kernel(k: int, avgdl: float):
+    """Stats twin of _score_shard_kernel: same Block-Max WAND pass, but
+    emits the pruning counters (blocks decoded vs total) per
+    (query, shard) instead of candidates — the observability surface
+    guarding against silent regressions to exhaustive decode."""
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict[tuple[int, int], list[dict]] = {}
+        for pdf in batch_iter:
+            for row in pdf.itertuples(index=False):
+                t = {c: getattr(row, c) for c in _TERM_COLS}
+                for q in row.query_ids:
+                    groups.setdefault((int(q), int(row.shard)), []).append(t)
+        out = {"query_id": [], "shard": [], "blocks_total": [], "blocks_decoded": []}
+        for (q, shard), terms in groups.items():
+            res = wand.score_query_shard(terms, avgdl, k)
+            out["query_id"].append(q)
+            out["shard"].append(shard)
+            out["blocks_total"].append(res["blocks_total"])
+            out["blocks_decoded"].append(res["blocks_decoded"])
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def bm25_wand_stats(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, shard, blocks_total, blocks_decoded) for the Block-Max
+    WAND pass of each query — aggregate ``1 - sum(decoded)/sum(total)``
+    is the pruning rate reported in BENCH."""
+    cfg = config or AnalyzerConfig()
+    stats = index["stats"]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    n_buckets = int(stats["n_buckets"])
+
+    q_terms = analyze_queries(queries, cfg)
+    q_term_lists = (
+        q_terms.groupBy("term")
+        .agg(F.collect_list("query_id").alias("query_ids"))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+    )
+    matched = (
+        index["segments"]
+        .join(q_term_lists, ["term_bucket", "term"])
+        .join(index["term_stats"], "term")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .select("query_ids", "shard", *_TERM_COLS)
+    )
+    out_schema = "query_id long, shard int, blocks_total long, blocks_decoded long"
+    return matched.repartition("shard").mapInPandas(
+        _wand_stats_kernel(k, avgdl), out_schema
+    )
+
+
+def bm25_segments_batch(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+    use_blockmax: bool = True,
+) -> DataFrame:
+    """Batch-regime top-k BM25: the query set joins the segments
+    RELATIONALLY — no driver ``collect()`` of the term list anywhere.
+
+    ``bm25_segments`` is the interactive path: it collects the (small)
+    query term set to the driver so term/bucket predicates push into the
+    parquet scan (partition + rowgroup pruning) — optimal for a handful
+    of terms, wrong for 10^5+-query batches where the term list itself is
+    big data. Here the analyzed query terms stay a DataFrame: segments
+    equi-join (term_bucket, term) against it (AQE picks broadcast vs
+    shuffle by the actual term-set size), term_stats joins the same way,
+    and the per-shard scoring kernel is shared with the interactive path.
+    Results are exactly equal (tested)."""
+    cfg = config or AnalyzerConfig()
+    stats = index["stats"]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    n_buckets = int(stats["n_buckets"])
+
+    q_terms = analyze_queries(queries, cfg)
+    # one row per distinct term with its query list (a head term shared
+    # by many queries still ships ONE posting row through the join)
+    q_term_lists = (
+        q_terms.groupBy("term")
+        .agg(F.collect_list("query_id").alias("query_ids"))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+    )
+    matched = (
+        index["segments"]
+        .join(q_term_lists, ["term_bucket", "term"])
+        .join(index["term_stats"], "term")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .select("query_ids", "shard", *_TERM_COLS)
+    )
+    out_schema = "query_id long, doc_id long, score double"
+    candidates = (
+        matched.repartition("shard")
+        .mapInPandas(_score_shard_kernel(k + 32, n_docs, avgdl, use_blockmax), out_schema)
+    )
+    return _topk_window(candidates, k, round_digits)
+
+
 def analyze_phrases(queries: DataFrame, config: AnalyzerConfig) -> DataFrame:
     """(query_id, text) -> (query_id, seq, term): ordered, duplicates kept
     (unlike analyze_queries — phrase matching needs token order)."""

@@ -151,11 +151,35 @@ def pages_to_docs(pages: DataFrame) -> DataFrame:
     )
 
 
-def write_pages(pages: DataFrame, path: str, use_iceberg: bool = False) -> None:
+def write_pages(
+    pages: DataFrame,
+    path_or_table: str,
+    use_iceberg: bool = False,
+    table_format: str = "iceberg",
+) -> None:
+    """Pages sink. ``use_iceberg=False`` writes plain parquet to a path.
+
+    ``use_iceberg=True`` writes THROUGH THE SPARK CATALOG — the
+    production north-rule path ("Iceberg tables of Common-Crawl-style
+    web pages"): ``pages.writeTo(t).using(format).createOrReplace()``.
+    This sandbox ships no Iceberg runtime jar, so tests exercise the
+    identical writeTo/read.table seam with ``table_format="parquet"``;
+    swapping the format string (plus the catalog jar + spark.sql.catalog
+    conf) is the ONLY production difference. Spark's built-in session
+    catalog is a V1 catalog that rejects the V2 ``createOrReplace``
+    (REPLACE TABLE); the adapter falls back to the equivalent V1
+    ``saveAsTable(mode="overwrite")`` so the catalog write still runs
+    end-to-end here.
+    """
     if use_iceberg:
-        # production path: pages.writeTo(table).using("iceberg").createOrReplace()
-        raise NotImplementedError("No Iceberg catalog in this sandbox")
-    pages.write.mode("overwrite").parquet(path)
+        try:
+            pages.writeTo(path_or_table).using(table_format).createOrReplace()
+        except Exception:
+            pages.write.format(table_format).mode("overwrite").saveAsTable(
+                path_or_table
+            )
+        return
+    pages.write.mode("overwrite").parquet(path_or_table)
 
 
 def read_pages(spark: SparkSession, path_or_table: str, use_iceberg: bool = False) -> DataFrame:
