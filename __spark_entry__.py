@@ -574,6 +574,14 @@ def q_remove_punct(spark, sf_dir):
     return vals.select("doc_id", F.explode(tokenize_col("val", cfg)).alias("token"))
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition/quality filter signals (Rae et al. 2021):
+    dup-line / bullet / ellipsis fractions, symbol ratio, modal-2-gram
+    coverage — pure Catalyst + relational agg, exact DuckDB twin."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return textstats.repetition_signals(docs)
+
+
 def q_media_headers(spark, sf_dir):
     """REAL header-level media metadata: parse_media_headers recovers
     width/height/sample-rate from actual PNG/JPEG/WAV bytes of the
@@ -668,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_terms": q_stemmed_terms,
         "phrase_search": q_phrase_search,
         "media_headers": q_media_headers,
+        "repetition_signals": q_repetition_signals,
     }
 
 
@@ -878,6 +887,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_detect": _lang_detect_oracle(),
         "media_headers": _media_headers_oracle(),
+        "repetition_signals": (
+            "WITH base AS (SELECT doc_id, list_filter(string_split(text, chr(10)), "
+            "l -> l <> '') AS lines, text FROM documents WHERE doc_id < 400), "
+            "lm AS (SELECT doc_id, "
+            "round((len(lines) - len(list_distinct(list_transform(lines, l -> trim(l)))))"
+            "::DOUBLE / greatest(len(lines), 1), 4) AS dup_line_frac, "
+            "round(len(list_filter(list_transform(lines, l -> trim(l)), "
+            "l -> regexp_matches(l, '^[-*•]')))::DOUBLE / greatest(len(lines), 1), 4) "
+            "AS bullet_line_frac, "
+            "round(len(list_filter(list_transform(lines, l -> trim(l)), "
+            "l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::DOUBLE / greatest(len(lines), 1), 4) "
+            "AS ellipsis_line_frac, "
+            "round(len(regexp_extract_all(text, '[#@~^|\\\\]'))::DOUBLE "
+            "/ greatest(length(text), 1), 4) AS symbol_ratio FROM base), "
+            "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS t FROM documents WHERE doc_id < 400), "
+            "grams AS (SELECT doc_id, len(t) AS n_toks, "
+            "unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram "
+            "FROM toks WHERE len(t) >= 2), "
+            "top2 AS (SELECT doc_id, round(least(max(c) * 2.0 / greatest(any_value(n_toks), 1), "
+            "1.0), 4) AS top_2gram_frac FROM (SELECT doc_id, n_toks, gram, count(*) AS c "
+            "FROM grams GROUP BY 1, 2, 3) GROUP BY doc_id) "
+            "SELECT lm.doc_id, dup_line_frac, bullet_line_frac, ellipsis_line_frac, "
+            "symbol_ratio, coalesce(top_2gram_frac, 0.0) AS top_2gram_frac "
+            "FROM lm LEFT JOIN top2 USING (doc_id)"
+        ),
         # minhash_near_dups / simhash_near_dups: rows-only (LSH banding
         # and bit-rotation bands are not ANSI-SQL-expressible)
         **(

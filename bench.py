@@ -26,6 +26,56 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _wand_kernel_bench() -> dict:
+    """Single-shard Block-Max WAND kernel at web-realistic list ratios:
+    head 10^6 postings, mid 10^5, rare 2x10^3 (ratio 500 >> BLOCK_SIZE).
+    Returns pruning rate and wall-clock speedup vs exhaustive; raises if
+    the pruned pass is not rank- and score-identical."""
+    import numpy as np
+
+    from tokenkit_spark.index import codec, wand
+
+    rng = np.random.default_rng(7)
+    head = np.sort(rng.choice(4_000_000 * 3, size=1_000_000, replace=False)).astype(np.int64)
+    mid = np.sort(rng.choice(head, size=100_000, replace=False))
+    rare = np.sort(rng.choice(head, size=2_000, replace=False))
+
+    def mk(ids, idf):
+        enc = codec.encode_posting_list(
+            ids, rng.integers(1, 5, size=len(ids)), rng.integers(20, 200, size=len(ids))
+        )
+        enc["idf"] = idf
+        return enc
+
+    terms = [mk(head, 0.05), mk(mid, 2.3), mk(rare, 6.2)]
+    t0 = time.monotonic()
+    got = wand.score_query_shard(terms, 80.0, 10)
+    t_wand = time.monotonic() - t0
+    for t in terms:
+        for key in ("_blocks", "_full", "_norms", "_block_ub"):
+            t.pop(key, None)
+    t0 = time.monotonic()
+    all_ids, all_sc = [], []
+    for t in terms:
+        d, tf, dl = codec.decode_posting_list(t)
+        all_ids.append(d)
+        all_sc.append(t["idf"] * codec.bm25_norm(tf, dl, 80.0))
+    ids = np.concatenate(all_ids)
+    sc = np.concatenate(all_sc)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    tot = np.zeros(uniq.size)
+    np.add.at(tot, inv, sc)
+    sel = np.lexsort((uniq, -tot))[:10]
+    t_ex = time.monotonic() - t0
+    assert (got["doc_ids"] == uniq[sel]).all() and np.allclose(got["scores"], tot[sel])
+    return {
+        "blocks_total": int(got["blocks_total"]),
+        "blocks_decoded": int(got["blocks_decoded"]),
+        "pruned_frac": round(1 - got["blocks_decoded"] / got["blocks_total"], 4),
+        "speedup_vs_exhaustive": round(t_ex / t_wand, 2),
+    }
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -106,6 +156,11 @@ def main() -> None:
     )
 
     # --- WAND pruning observability (blocks decoded vs total) --------------
+    # (a) end-to-end stats on the bench corpus/query set. NOTE: the sf
+    # test corpus has a ~31-term vocabulary — every query term is a head
+    # term, so θ never exceeds any block bound and pruned_frac is
+    # legitimately ~0 here; the number exists to catch regressions to
+    # exhaustive decode once lists grow.
     ws_row = (
         bm25_wand_stats(spark, index, qdf, entry.WS, k=10)
         .agg(
@@ -119,6 +174,10 @@ def main() -> None:
         "blocks_decoded": int(ws_row.bd or 0),
         "pruned_frac": round(1.0 - (ws_row.bd or 0) / max(ws_row.bt or 1, 1), 4),
     }
+    # (b) kernel micro-bench at WEB list-length ratios (head df / rare df
+    # >> BLOCK_SIZE — the regime where block skipping matters): pruning
+    # rate + speedup vs exhaustive accumulation, exactness asserted.
+    wand_stats["kernel_web_ratio"] = _wand_kernel_bench()
 
     # --- supporting queries from the driver surface -----------------------
     qs = entry.queries()

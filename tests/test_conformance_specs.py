@@ -1827,3 +1827,31 @@ class TestThreadSafety:
             tk.configure(strategy="whitespace" if i % 2 == 0 else "unicode",
                          preserve_patterns=[r"test", r"pattern"])
             tok("test text with patterns")
+
+
+# ---- legacy grapheme mode (UAX-29 Table 1b; reference lib.rs:159-165) -------
+
+class TestLegacyGraphemeMode:
+    """extended=False removes exactly GB9a (SpacingMark) and GB9b
+    (Prepend) from the extended rules (VERDICT r01 missing item 4)."""
+
+    @pytest.mark.parametrize(
+        "s,n_ext,n_legacy",
+        [
+            ("நி", 1, 2),          # Tamil vowel sign (SpacingMark)
+            ("का", 1, 2),          # Devanagari AA (SpacingMark)
+            ("؀١", 1, 2),  # Arabic number sign (Prepend) + digit
+            ("؀ؐ", 1, 1),  # Prepend + Extend: GB9 keeps both modes
+            ("กำ", 1, 2),  # Thai SARA AM (Lo but GCB=SpacingMark)
+            ("ကး", 2, 2),  # SpacingMark-exception Mc: split in BOTH
+            ("각", 1, 1),           # Hangul syllable
+            ("👨‍👩‍👧‍👦", 1, 1),    # ZWJ family (GB11 in both modes)
+            ("é", 1, 1),            # NFC precomposed
+            ("é", 1, 1),      # combining acute (Mn) attaches in both
+            ("🇺🇸", 1, 1),          # regional indicator pair
+        ],
+    )
+    def test_mode_deltas(self, s, n_ext, n_legacy):
+        assert len(tok(s, strategy="grapheme", lowercase=False)) == n_ext
+        assert len(tok(s, strategy="grapheme", extended=False,
+                       lowercase=False)) == n_legacy

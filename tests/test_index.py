@@ -222,13 +222,18 @@ def test_delete_rejects_inplace_overwrite(spark, docs, tmp_path_factory):
 
 
 def test_blockmax_equals_exhaustive_spark(spark, index, queries_df):
-    """A/B: the Block-Max WAND kernel and the exhaustive kernel must be
-    rank- AND score-identical through the full Spark path."""
-    a = bm25_segments(spark, index, queries_df, CFG, k=10, use_blockmax=True)
+    """A/B: the Block-Max WAND kernel (forced for every group via
+    direct_max_blocks=0), the short-list direct path, and the exhaustive
+    kernel must all be rank- AND score-identical through Spark."""
+    a = bm25_segments(spark, index, queries_df, CFG, k=10, use_blockmax=True,
+                      direct_max_blocks=0)
     b = bm25_segments(spark, index, queries_df, CFG, k=10, use_blockmax=False)
-    ra = [(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in a.collect()]
-    rb = [(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in b.collect()]
-    assert sorted(ra) == sorted(rb)
+    c = bm25_segments(spark, index, queries_df, CFG, k=10, use_blockmax=True)
+    norm = lambda df: sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in df.collect()
+    )
+    ra, rb, rc = norm(a), norm(b), norm(c)
+    assert ra == rb == rc
 
 
 def test_batch_path_equals_interactive(spark, index, queries_df):

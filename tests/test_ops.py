@@ -169,6 +169,29 @@ def test_quality_and_counts(docs):
     assert c[0].ws_tokens == 14 and c[0].bpe_tokens == 14
 
 
+def test_repetition_signals(spark):
+    """Gopher-style signals against hand-computed values."""
+    rows = [
+        Row(doc_id=0, text="a b\na b\nc d"),          # 1 dup line of 3
+        Row(doc_id=1, text="- item one\n- item two\nplain"),  # 2 bullets of 3
+        Row(doc_id=2, text="wait for it...\nmore…\nok"),      # 2 ellipsis of 3
+        Row(doc_id=3, text="x y x y x y"),             # "x y" covers all pairs
+        Row(doc_id=4, text="## #tag @user"),           # symbols
+        Row(doc_id=5, text="one"),                     # single token: no grams
+    ]
+    out = {
+        r.doc_id: r
+        for r in textstats.repetition_signals(spark.createDataFrame(rows)).collect()
+    }
+    assert out[0].dup_line_frac == round(1 / 3, 4)
+    assert out[1].bullet_line_frac == round(2 / 3, 4)
+    assert out[2].ellipsis_line_frac == round(2 / 3, 4)
+    # "x y x y x y": 5 bigrams, "x y" occurs 3 times -> 6/6 tokens covered
+    assert out[3].top_2gram_frac == 1.0
+    assert out[4].symbol_ratio == round(4 / len("## #tag @user"), 4)
+    assert out[5].top_2gram_frac == 0.0
+
+
 def test_fingerprint_order_insensitive(docs):
     fp = {r.doc_id: r.fingerprint for r in textstats.fingerprints(docs).collect()}
     assert fp[0] == fp[1] == fp[6]  # same bag of words
@@ -296,3 +319,22 @@ def test_ivf_cosine_topk(spark):
         for r in similarity.ivf_cosine_topk(emb, cent, q, k=10, nprobe=8).collect()
     ]
     assert full == exact
+
+
+def test_signature_values_pinned():
+    """Exact MinHash/SimHash values pinned: the hash families are part of
+    the on-disk contract for incremental dedup (signatures computed in a
+    later run must match stored ones) — any change must be deliberate."""
+    import pandas as pd
+
+    mh_inner = dedup.minhash_udf(num_perm=8, shingle_k=5).func
+    mh = list(mh_inner(iter([pd.Series(["hello world", "the quick brown fox"])])))[0]
+    assert list(map(int, mh[0]))[:4] == [
+        2105122737025889897, 2361447967059711586,
+        860524341979122061, 3188648940194760366]
+    assert list(map(int, mh[1]))[:4] == [
+        260244534602265666, 699981407495123172,
+        229981994015313540, 137314580710861999]
+    sh_inner = dedup.simhash_udf().func
+    sh = list(sh_inner(iter([pd.Series(["hello world", "the quick brown fox", ""])])))[0]
+    assert list(sh) == [2330102641553572904, 4613045069828587658, 0]

@@ -1,0 +1,112 @@
+"""Streaming ingestion: new page files -> index generations; the final
+generation must equal a fresh batch build over all pages."""
+
+from pyspark.sql import functions as F
+
+from tokenkit_spark import AnalyzerConfig
+from tokenkit_spark.index.build import build_index, load_index
+from tokenkit_spark.index.query import bm25_segments
+from tokenkit_spark.sources.pages import synth_pages
+from tokenkit_spark.streaming import (
+    load_latest_index,
+    stream_index_updates,
+)
+from tokenkit_spark.streaming.ingest import _read_latest
+
+CFG = AnalyzerConfig(strategy="whitespace", lowercase=True)
+
+
+def test_stream_replay_overwrites_partial_generation(spark, tmp_path_factory):
+    """Crash-safety: a generation directory left behind by a batch that
+    died BEFORE publishing LATEST is rebuilt from scratch when the
+    stream replays the batch — queries never see partial state."""
+    import os
+
+    root = tmp_path_factory.mktemp("replay")
+    pages_dir = str(root / "pages")
+    index_root = str(root / "index")
+    pages = synth_pages(spark, n_docs=120, seed=7).cache()
+    pages.write.mode("append").parquet(pages_dir)
+
+    # simulate the torn state: partial gen=1 exists, LATEST was never
+    # written (the crash point is between segment write and publish)
+    os.makedirs(os.path.join(index_root, "gen=1", "segments"), exist_ok=True)
+    with open(os.path.join(index_root, "gen=1", "segments", "junk"), "w") as f:
+        f.write("partial")
+
+    q = stream_index_updates(spark, pages_dir, index_root, CFG,
+                             n_shards=2, n_buckets=2)
+    q.awaitTermination(300)
+    assert _read_latest(spark, index_root) >= 1
+    idx = load_latest_index(spark, index_root)
+    assert idx["stats"]["n_docs"] == pages.count()
+    # the junk file is gone: the generation was rebuilt, not appended to
+    assert not os.path.exists(os.path.join(index_root, "gen=1", "segments", "junk"))
+
+
+def test_stream_ingestion_generations_equal_batch_build(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    pages_dir = str(root / "pages")
+    index_root = str(root / "index")
+
+    pages = synth_pages(spark, n_docs=400, seed=42).cache()
+    even = F.pmod(F.xxhash64("url"), F.lit(2)) == 0
+    batch1, batch2 = pages.filter(even), pages.filter(~even)
+
+    # crawl drop 1 arrives -> first generation
+    batch1.write.mode("append").parquet(pages_dir)
+    q = stream_index_updates(spark, pages_dir, index_root, CFG,
+                             n_shards=4, n_buckets=4)
+    q.awaitTermination(300)
+    gen1 = _read_latest(spark, index_root)
+    assert gen1 >= 1
+    idx1 = load_latest_index(spark, index_root)
+    assert idx1["stats"]["n_docs"] == batch1.count()
+
+    # crawl drop 2 arrives -> stream restart picks up ONLY the new files
+    # (checkpointed file-source offsets) and merges a new generation
+    batch2.write.mode("append").parquet(pages_dir)
+    q2 = stream_index_updates(spark, pages_dir, index_root, CFG,
+                              n_shards=4, n_buckets=4)
+    q2.awaitTermination(300)
+    assert _read_latest(spark, index_root) > gen1
+
+    got = load_latest_index(spark, index_root)
+    assert got["stats"]["n_docs"] == pages.count()
+
+    # parity with a fresh batch build on the full corpus
+    from tokenkit_spark.sources.pages import pages_to_docs
+
+    full_path = str(root / "full")
+    build_index(spark, pages_to_docs(pages).select("doc_id", "text"),
+                full_path, CFG, n_shards=4, n_buckets=4)
+    want = load_index(spark, full_path)
+
+    qdf = spark.createDataFrame(
+        [(0, "data search engine"), (1, "the of and"), (2, "crawl")],
+        "query_id long, text string",
+    )
+    norm = lambda rows: sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in rows
+    )
+    a = bm25_segments(spark, got, qdf, CFG, k=10).collect()
+    b = bm25_segments(spark, want, qdf, CFG, k=10).collect()
+    assert norm(a) == norm(b)
+
+    ts_a = {(r.term, r.df, r.cf) for r in got["term_stats"].collect()}
+    ts_b = {(r.term, r.df, r.cf) for r in want["term_stats"].collect()}
+    assert ts_a == ts_b
+
+    # generation pruning: old gens removed, LATEST untouched and loadable
+    import os
+
+    from tokenkit_spark.streaming import prune_generations
+
+    latest = _read_latest(spark, index_root)
+    doomed = prune_generations(spark, index_root, keep=1)
+    assert all(g <= latest - 1 for g in doomed)
+    assert not any(
+        os.path.isdir(os.path.join(index_root, f"gen={g}")) for g in doomed
+    )
+    still = load_latest_index(spark, index_root)
+    assert still["stats"]["n_docs"] == pages.count()

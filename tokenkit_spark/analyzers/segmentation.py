@@ -94,18 +94,37 @@ def unicode_sentences(text: str) -> list[str]:
 # --- graphemes ---------------------------------------------------------------
 
 _GRAPHEME_RE = regex.compile(r"(?V1)\X")
-# Legacy clusters: split extended clusters before SpacingMark-ish combiners is
-# rarely exercised; approximate legacy by splitting at ZWJ-joined emoji and
-# regional-indicator pairs kept, but spacing marks split off.
-_LEGACY_SPLIT_RE = regex.compile(r"(?V1)(?=\p{Mc})")
+
+# Legacy clusters (UAX-29 Table 1b) = extended clusters with rules GB9a
+# (x SpacingMark) and GB9b (Prepend x) REMOVED. So legacy mode re-splits
+# each \X cluster at exactly those two attachment points:
+#   * before a SpacingMark: GCB=SpacingMark = Mc plus U+0E33/U+0EB3 (Thai/
+#     Lao SARA AM, gc=Lo). The UAX SpacingMark *exception* list (U+102B,
+#     U+1038, U+1A61, ...) needs no handling here: those chars have
+#     GCB=Other, so \X already breaks before them in BOTH modes and they
+#     never appear inside a cluster.
+#   * after a Prepend char (Arabic number signs U+0600-0605 etc.) — unless
+#     the next char is Extend/ZWJ, which still attaches via GB9 in both
+#     modes.
+_PREPEND = (
+    "؀-؅۝܏࢐࢑࣢"
+    "\U000110BD\U000110CD\U000111C2\U000111C3\U0001193F\U00011941"
+    "\U00011A3A\U00011A84-\U00011A89\U00011D46\U00011F02"
+)
+_LEGACY_SPLIT_RE = regex.compile(
+    rf"(?V1)(?=[\p{{Mc}}ำຳ])"
+    rf"|(?<=[{_PREPEND}])(?![\p{{Mn}}\p{{Me}}‌‍])"
+)
 
 
 def graphemes(text: str, extended: bool = True) -> list[str]:
     """Extended grapheme clusters via ``\\X`` (tokenizer/grapheme.rs:17-24).
 
-    extended=False approximates legacy clusters by splitting spacing marks
-    out of each extended cluster (the only UAX-29 legacy/extended delta that
-    shows up in practice).
+    extended=False gives legacy clusters by removing the two rules that
+    distinguish the modes (GB9a SpacingMark, GB9b Prepend) — see
+    _LEGACY_SPLIT_RE above; reference lib.rs:159-165 delegates to
+    unicode-segmentation's ``graphemes(text, false)`` with the same
+    semantics.
     """
     clusters = _GRAPHEME_RE.findall(text)
     if extended:

@@ -119,13 +119,40 @@ _TERM_COLS = [
 ]
 
 
-def _score_shard_kernel(k: int, n_docs: int, avgdl: float, use_blockmax: bool = True):
+DIRECT_MAX_BLOCKS = 16  # <= this many total blocks: skip WAND bookkeeping
+
+
+def _shard_partitions(spark: SparkSession, n_shards: int) -> int:
+    """Partition count for the per-shard scoring shuffle. With the
+    default (spark.sql.shuffle.partitions ~ 2x cores) and n_shards of
+    the same order, hash collisions stack several shard groups on one
+    task and the stage becomes straggler-bound — measured 8-core query
+    throughput varied 12-31 q/s purely on task load. Many more buckets
+    than shard keys (4x) makes collisions rare; empty partitions cost
+    ~nothing, and task count stays the same at every cluster size (the
+    work unit is the shard, not the core count)."""
+    return max(spark.sparkContext.defaultParallelism * 2, n_shards * 4)
+
+
+def _score_shard_kernel(
+    k: int,
+    n_docs: int,
+    avgdl: float,
+    use_blockmax: bool = True,
+    direct_max_blocks: int = DIRECT_MAX_BLOCKS,
+):
     """mapInPandas kernel over segment rows already joined with
     (query_id, idf): for each (query, doc-shard) group, run the exact
     Block-Max WAND pass (wand.score_query_shard — rarest term first,
     threshold from the running top-k, pruned blocks never decoded) and
     emit the group's top-k candidates. Only (shard-local top-k) rows ever
-    cross the wire; posting lists don't."""
+    cross the wire; posting lists don't.
+
+    Groups whose lists total <= direct_max_blocks blocks take the
+    exhaustive memoized path instead (wand.score_query_direct): with
+    nothing to prune, WAND's per-query threshold bookkeeping is pure
+    overhead — this is what makes the 10^4+-query batch regime cheap on
+    short lists while huge lists still get pruning. Results identical."""
 
     def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # gather term rows per (query, shard) across this partition's
@@ -139,22 +166,11 @@ def _score_shard_kernel(k: int, n_docs: int, avgdl: float, use_blockmax: bool = 
                     groups.setdefault((int(q), int(row.shard)), []).append(t)
         out_q, out_d, out_s = [], [], []
         for (q, _shard), terms in groups.items():
-            if use_blockmax:
+            if use_blockmax and sum(len(t["block_last"]) for t in terms) > direct_max_blocks:
                 res = wand.score_query_shard(terms, avgdl, k)
-                ids, scores = res["doc_ids"], res["scores"]
-            else:  # exhaustive fallback (kept for A/B tests)
-                all_ids, all_scores = [], []
-                for t in terms:
-                    doc_ids, tfs, dls = codec.decode_posting_list(t)
-                    all_ids.append(doc_ids)
-                    all_scores.append(float(t["idf"]) * codec.bm25_norm(tfs, dls, avgdl))
-                ids = np.concatenate(all_ids)
-                scores = np.concatenate(all_scores)
-                uniq, inv = np.unique(ids, return_inverse=True)
-                total = np.zeros(uniq.size, dtype=np.float64)
-                np.add.at(total, inv, scores)
-                sel = np.lexsort((uniq, -total))[:k]
-                ids, scores = uniq[sel], total[sel]
+            else:  # short lists, or the A/B exhaustive fallback
+                res = wand.score_query_direct(terms, avgdl, k)
+            ids, scores = res["doc_ids"], res["scores"]
             out_q.extend([q] * len(ids))
             out_d.extend(np.asarray(ids).tolist())
             out_s.extend(np.asarray(scores).tolist())
@@ -171,12 +187,14 @@ def bm25_segments(
     k: int = 10,
     round_digits: int | None = None,
     use_blockmax: bool = True,
+    direct_max_blocks: int = DIRECT_MAX_BLOCKS,
 ) -> DataFrame:
     """Top-k BM25 over the compressed doc-sharded index (see module doc)."""
     cfg = config or AnalyzerConfig()
     stats = index["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     n_buckets = int(stats["n_buckets"])
+    n_shards = int(stats["n_shards"])
 
     q_terms = analyze_queries(queries, cfg)
     # driver-side term list: queries are small by definition; lets us push
@@ -213,8 +231,11 @@ def bm25_segments(
     # local candidate lists over-fetch a margin so rounded-score global
     # ranking can never be starved by a raw-score local cut at the boundary
     candidates = (
-        matched.repartition("shard")
-        .mapInPandas(_score_shard_kernel(k + 32, n_docs, avgdl, use_blockmax), out_schema)
+        matched.repartition(_shard_partitions(spark, n_shards), "shard")
+        .mapInPandas(
+            _score_shard_kernel(k + 32, n_docs, avgdl, use_blockmax, direct_max_blocks),
+            out_schema,
+        )
     )
     return _topk_window(candidates, k, round_digits)
 
@@ -258,6 +279,7 @@ def bm25_wand_stats(
     stats = index["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     n_buckets = int(stats["n_buckets"])
+    n_shards = int(stats["n_shards"])
 
     q_terms = analyze_queries(queries, cfg)
     q_term_lists = (
@@ -273,7 +295,7 @@ def bm25_wand_stats(
         .select("query_ids", "shard", *_TERM_COLS)
     )
     out_schema = "query_id long, shard int, blocks_total long, blocks_decoded long"
-    return matched.repartition("shard").mapInPandas(
+    return matched.repartition(_shard_partitions(spark, n_shards), "shard").mapInPandas(
         _wand_stats_kernel(k, avgdl), out_schema
     )
 
@@ -286,6 +308,7 @@ def bm25_segments_batch(
     k: int = 10,
     round_digits: int | None = None,
     use_blockmax: bool = True,
+    direct_max_blocks: int = DIRECT_MAX_BLOCKS,
 ) -> DataFrame:
     """Batch-regime top-k BM25: the query set joins the segments
     RELATIONALLY — no driver ``collect()`` of the term list anywhere.
@@ -303,6 +326,7 @@ def bm25_segments_batch(
     stats = index["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     n_buckets = int(stats["n_buckets"])
+    n_shards = int(stats["n_shards"])
 
     q_terms = analyze_queries(queries, cfg)
     # one row per distinct term with its query list (a head term shared
@@ -321,8 +345,11 @@ def bm25_segments_batch(
     )
     out_schema = "query_id long, doc_id long, score double"
     candidates = (
-        matched.repartition("shard")
-        .mapInPandas(_score_shard_kernel(k + 32, n_docs, avgdl, use_blockmax), out_schema)
+        matched.repartition(_shard_partitions(spark, n_shards), "shard")
+        .mapInPandas(
+            _score_shard_kernel(k + 32, n_docs, avgdl, use_blockmax, direct_max_blocks),
+            out_schema,
+        )
     )
     return _topk_window(candidates, k, round_digits)
 
@@ -415,6 +442,7 @@ def phrase_search(
     cfg = config or AnalyzerConfig()
     stats = index["stats"]
     n_buckets = int(stats["n_buckets"])
+    n_shards = int(stats["n_shards"])
 
     p_terms = analyze_phrases(phrases, cfg)
     terms = [r.term for r in p_terms.select("term").distinct().collect()]
@@ -439,7 +467,7 @@ def phrase_search(
     )
     out_schema = "query_id long, doc_id long, n_occurrences long"
     return (
-        matched.repartition("shard")
+        matched.repartition(_shard_partitions(spark, n_shards), "shard")
         .mapInPandas(_phrase_shard_kernel(), out_schema)
         .orderBy("query_id", "doc_id")
     )

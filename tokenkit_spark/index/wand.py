@@ -42,6 +42,52 @@ from . import codec
 _EPS = 1e-9  # slack so rounded-score ties at the threshold are never pruned
 
 
+def decode_full_memo(t: dict):
+    """Memoized full decode of a term dict (shared by reference across
+    every query in an executor partition that contains the term)."""
+    full = t.get("_full")
+    if full is None:
+        full = t["_full"] = codec.decode_posting_list(t)
+    return full
+
+
+def norms_memo(t: dict, avgdl: float) -> np.ndarray:
+    """Memoized per-posting BM25 norms at ``avgdl`` (keyed by avgdl: the
+    same term dict may be scored under several corpus states in tests)."""
+    memo = t.setdefault("_norms", {})
+    norms = memo.get(avgdl)
+    if norms is None:
+        _, tfs, dls = decode_full_memo(t)
+        norms = memo[avgdl] = codec.bm25_norm(tfs, dls, avgdl)
+    return norms
+
+
+def score_query_direct(terms: list[dict], avgdl: float, k: int) -> dict:
+    """Exhaustive accumulation with memoized decodes — the fast path for
+    SHORT posting lists, where Block-Max WAND's per-query bookkeeping
+    costs more than decoding everything. Identical results to
+    score_query_shard (same tie order), no pruning."""
+    all_ids, all_scores = [], []
+    nblocks = 0
+    for t in terms:
+        doc_ids, _tfs, _dls = decode_full_memo(t)
+        all_ids.append(doc_ids)
+        all_scores.append(float(t["idf"]) * norms_memo(t, avgdl))
+        nblocks += len(t["block_last"])
+    ids = np.concatenate(all_ids) if all_ids else np.zeros(0, dtype=np.int64)
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    total = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(total, inv, scores)
+    sel = np.lexsort((uniq, -total))[:k]
+    return {
+        "doc_ids": uniq[sel],
+        "scores": total[sel],
+        "blocks_total": nblocks,
+        "blocks_decoded": nblocks,
+    }
+
+
 def _merge_acc(acc_ids, acc_scores, new_ids, new_scores):
     """Merge (sum) contributions into the sorted accumulator."""
     ids = np.concatenate((acc_ids, new_ids))
@@ -120,14 +166,8 @@ def score_query_shard(terms: list[dict], avgdl: float, k: int) -> dict:
         # every query in this executor partition that contains the term,
         # so a head term's blobs decode once per partition, not per query
         if live.size == nblocks:
-            full = t.get("_full")
-            if full is None:
-                full = t["_full"] = codec.decode_posting_list(t)
-            doc_ids, tfs, dls = full
-            nmemo = t.setdefault("_norms", {})
-            norms = nmemo.get(avgdl)
-            if norms is None:
-                norms = nmemo[avgdl] = codec.bm25_norm(tfs, dls, avgdl)
+            doc_ids, _tfs, _dls = decode_full_memo(t)
+            norms = norms_memo(t, avgdl)
             acc_ids, acc_scores = _merge_acc(acc_ids, acc_scores, doc_ids, idf * norms)
             continue
         else:

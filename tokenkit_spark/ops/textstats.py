@@ -90,6 +90,70 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/quality signals for web-text filtering
+    (Rae et al. 2021 §A1.1 heuristics, the standard LLM-corpus cleanup
+    set): duplicate-line fraction, bullet/ellipsis line fractions,
+    symbol-to-char ratio, and the fraction of tokens covered by the most
+    frequent word 2-gram. Line metrics are pure Catalyst; the top-2-gram
+    metric is relational (explode -> count -> max) so Catalyst picks
+    partial aggregation — no UDFs anywhere, and every expression has an
+    exact DuckDB oracle twin."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: l != F.lit(""))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    trimmed = F.transform(lines, lambda l: F.trim(l))
+    dup_line_frac = (
+        (F.size(lines) - F.size(F.array_distinct(trimmed))) / n_lines
+    )
+    bullet_frac = (
+        F.size(F.filter(trimmed, lambda l: l.rlike(r"^[-*•]"))) / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(trimmed, lambda l: l.rlike(r"(\.\.\.|…)$"))) / n_lines
+    )
+    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    symbol_ratio = F.regexp_count(F.col(text_col), F.lit(r"[#@~^|\\]")) / n_chars
+
+    base = docs.select(
+        "doc_id",
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+    )
+
+    toks = docs.select("doc_id", _tokens(F.col(text_col)).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(" ", F.col("toks")[i - 1], F.col("toks")[i]),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top2 = (
+        grams.groupBy("doc_id", "n_toks", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            # tokens covered by the modal 2-gram: 2 * max count, capped
+            F.round(
+                F.least(
+                    F.max("c") * 2.0 / F.greatest(F.first("n_toks"), F.lit(1)),
+                    F.lit(1.0),
+                ),
+                4,
+            ).alias("top_2gram_frac")
+        )
+    )
+    return base.join(top2, "doc_id", "left").fillna({"top_2gram_frac": 0.0})
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     lowercased token list — the canonical near-dup 'shingleprint'."""

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("SCALING_DOCS", "480000"))
 DOC_LEN = 120
-N_QUERY_BATCH = 256
+N_QUERY_BATCH = int(os.environ.get("SCALING_QUERIES", "1024"))
 BASE_QUERIES = [
     "data search engine", "BRCA1 gene", "the of and", "spark index shard merge",
     "crawl rank score", "support content site", "fast scale block",
@@ -45,7 +45,7 @@ def run_one(cores: int) -> dict:
 
     from tokenkit_spark import AnalyzerConfig
     from tokenkit_spark.index.build import build_index, load_index
-    from tokenkit_spark.index.query import bm25_segments
+    from tokenkit_spark.index.query import bm25_segments_batch
     from tokenkit_spark.sources.pages import pages_to_docs, synth_pages
 
     spark = (
@@ -91,9 +91,13 @@ def run_one(cores: int) -> dict:
         for i in range(N_QUERY_BATCH)
     ]
     qdf = spark.createDataFrame(queries, "query_id long, text string")
-    bm25_segments(spark, index, qdf, cfg, k=10).count()  # warm
+    # batch engine (relational term join): the 10^5+-query regime is
+    # the one a 1000-executor cluster actually serves, and it has no
+    # driver-side term collect — the serial fraction the interactive
+    # path pays per call would otherwise cap measured scale-up
+    bm25_segments_batch(spark, index, qdf, cfg, k=10).count()  # warm
     t0 = time.monotonic()
-    n_out = bm25_segments(spark, index, qdf, cfg, k=10).count()
+    n_out = bm25_segments_batch(spark, index, qdf, cfg, k=10).count()
     query_sec = time.monotonic() - t0
 
     shutil.rmtree(idx_path, ignore_errors=True)
