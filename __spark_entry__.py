@@ -582,6 +582,28 @@ def q_repetition_signals(spark, sf_dir):
     return textstats.repetition_signals(docs)
 
 
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (crawl-pipeline staple): deterministic messy
+    URL variants (scheme/host case, www., default :80 port, utm_*
+    tracking params, #fragments) synthesized per doc; the REAL
+    normalize_url parser canonicalizes them and url_duplicates groups.
+    The oracle computes the expected canonical form directly from the
+    generator parameters — an independent fixture check of the parser."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 800)
+    mod = F.col("doc_id") % 20
+    url = F.concat_ws(
+        "",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTP://WWW.")).otherwise(F.lit("http://")),
+        F.col("source"), F.lit(".example.com"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/page/"), mod.cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=x&q=1")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    pages = d.select(url.alias("url"))
+    return dedup.url_duplicates(pages).orderBy("canonical_url")
+
+
 def q_media_headers(spark, sf_dir):
     """REAL header-level media metadata: parse_media_headers recovers
     width/height/sample-rate from actual PNG/JPEG/WAV bytes of the
@@ -677,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "media_headers": q_media_headers,
         "repetition_signals": q_repetition_signals,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -887,6 +910,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_detect": _lang_detect_oracle(),
         "media_headers": _media_headers_oracle(),
+        "url_dedup": (
+            "WITH u AS (SELECT doc_id, "
+            "'http://' || source || '.example.com/page/' || (doc_id % 20) || "
+            "CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END AS canonical_url, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END "
+            "|| source || '.example.com' || "
+            "CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END "
+            "|| '/page/' || (doc_id % 20) || "
+            "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&q=1' ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url "
+            "FROM documents WHERE doc_id < 800) "
+            "SELECT canonical_url, count(*) AS dup_count, min(url) AS min_url "
+            "FROM u GROUP BY 1 HAVING count(*) > 1 ORDER BY canonical_url"
+        ),
         "repetition_signals": (
             "WITH base AS (SELECT doc_id, list_filter(string_split(text, chr(10)), "
             "l -> l <> '') AS lines, text FROM documents WHERE doc_id < 400), "

@@ -338,3 +338,31 @@ def test_signature_values_pinned():
     sh_inner = dedup.simhash_udf().func
     sh = list(sh_inner(iter([pd.Series(["hello world", "the quick brown fox", ""])])))[0]
     assert list(sh) == [2330102641553572904, 4613045069828587658, 0]
+
+
+def test_normalize_url_and_url_duplicates(spark):
+    cases = [
+        # tracking decoration + www + default port + fragment + case
+        ("HTTP://WWW.Example.COM:80/Path/?utm_source=x&q=1#frag",
+         "http://example.com/Path?q=1"),
+        ("http://example.com/Path?q=1", "http://example.com/Path?q=1"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com/?utm_campaign=a&fbclid=zz", "https://example.com"),
+        ("https://example.com:443/a/b/", "https://example.com/a/b"),
+        ("http://host:8080/x", "http://host:8080/x"),     # non-default port kept
+        ("example.com/page", "example.com/page"),          # scheme-less untouched
+        ("https://site.org/p?a=1&utm_x=2&b=3", "https://site.org/p?a=1&b=3"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(dedup.normalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+    pages = spark.createDataFrame(
+        [("http://www.a.com/x?utm_source=mail",),
+         ("http://a.com/x",),
+         ("https://b.com/y",)],
+        "url string",
+    )
+    dups = dedup.url_duplicates(pages).collect()
+    assert len(dups) == 1
+    assert dups[0].canonical_url == "http://a.com/x" and dups[0].dup_count == 2

@@ -22,6 +22,53 @@ from pyspark.sql.types import ArrayType, LongType
 _MERSENNE = (1 << 61) - 1
 
 
+def normalize_url(url_col) -> "F.Column":
+    """Canonical URL form for crawl dedup — pure Catalyst expressions:
+
+    * scheme + host lowercased; ``www.`` prefix dropped
+    * default ports ``:80`` / ``:443`` stripped
+    * fragment (``#...``) stripped
+    * tracking params (``utm_*``, ``fbclid``, ``gclid``, ``ref``) removed,
+      remaining query params kept in original order; ``?`` dropped if none
+    * trailing ``/`` trimmed (but a bare host keeps none anyway)
+
+    Standard Common-Crawl practice: ~10-20%% of crawl URLs are duplicate
+    pages reachable through tracking-decorated or www/non-www variants.
+    """
+    c = url_col if not isinstance(url_col, str) else F.col(url_col)
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    # split off query, normalize the authority+path part
+    base = F.regexp_extract(no_frag, r"^([^?]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    scheme_host = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    rest = F.regexp_extract(base, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(.*)$", 1)
+    base = F.when(
+        scheme_host != "", F.concat(F.lower(scheme_host), rest)
+    ).otherwise(base)  # scheme-less input: leave case/structure alone
+    base = F.regexp_replace(base, r"^(https?://)www\.", r"$1")
+    base = F.regexp_replace(base, r"^(https?://[^/:]+):(?:80|443)(/|$)", r"$1$2")
+    base = F.regexp_replace(base, r"/+$", "")
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="),
+    )
+    return F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
+
+
+def url_duplicates(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Groups of pages whose URLs canonicalize to the same target:
+    (canonical_url, dup_count, min_url). Hash-groupBy — scales like
+    exact_duplicates."""
+    return (
+        pages.groupBy(normalize_url(url_col).alias("canonical_url"))
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(url_col).alias("min_url"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact-duplicate groups: (text_hash, dup_count, min_doc_id),
     duplicates only. md5 keeps the oracle (DuckDB) twin trivial."""
