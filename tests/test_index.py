@@ -209,6 +209,18 @@ def test_merge_rejects_position_parity_mismatch(spark, docs, tmp_path_factory):
         merge_indexes(spark, str(root / "pos"), str(root / "nopos"), str(root / "bad"))
 
 
+def test_phrase_search_rejects_positionless_index(spark, docs, tmp_path_factory):
+    from tokenkit_spark.index.query import phrase_search
+
+    path = str(tmp_path_factory.mktemp("nopos") / "index")
+    build_index(spark, docs, path, CFG, n_shards=2, n_buckets=2,
+                store_positions=False)
+    idx = load_index(spark, path)
+    ph = spark.createDataFrame([(0, "data search")], "query_id long, text string")
+    with pytest.raises(ValueError, match="positional index"):
+        phrase_search(spark, idx, ph, CFG)
+
+
 def test_delete_rejects_inplace_overwrite(spark, docs, tmp_path_factory):
     from tokenkit_spark.index.delete import delete_docs
 
@@ -310,6 +322,10 @@ def test_merge_indexes_equals_full_build(spark, docs, queries_df, tmp_path_facto
     build_index(spark, docs.filter(half), str(root / "other"), CFG, n_shards=8, n_buckets=4)
     with pytest.raises(ValueError, match="layout mismatch"):
         merge_indexes(spark, str(root / "other"), str(root / "delta"), str(root / "bad"))
+
+    # overlapping doc sets must be rejected (silent double-count otherwise)
+    with pytest.raises(ValueError, match="disjoint"):
+        merge_indexes(spark, str(root / "base"), str(root / "base"), str(root / "bad2"))
 
 
 def test_delete_docs_equals_rebuild(spark, docs, queries_df, tmp_path_factory):

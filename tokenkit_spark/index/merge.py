@@ -158,9 +158,19 @@ def _has_positions(index: dict) -> bool:
 
 
 def merge_indexes(
-    spark: SparkSession, base_path: str, delta_path: str, out_path: str
+    spark: SparkSession,
+    base_path: str,
+    delta_path: str,
+    out_path: str,
+    check_disjoint: bool = True,
 ) -> dict:
-    """Merge delta into base -> out_path. Returns merged global stats."""
+    """Merge delta into base -> out_path. Returns merged global stats.
+
+    ``check_disjoint`` (default on) verifies the documented contract that
+    the two doc sets don't overlap — a re-crawled doc merged without a
+    prior delete would silently double its postings and corrupt BM25
+    stats. The check is one semi-join over the (small) doc_stats tables;
+    disable only when disjointness is guaranteed by construction."""
     base = load_index(spark, base_path)
     delta = load_index(spark, delta_path)
     bs, ds = base["stats"], delta["stats"]
@@ -178,6 +188,18 @@ def merge_indexes(
             f"store_positions={bpos} but delta store_positions={dpos}; "
             "rebuild one side with the matching store_positions setting"
         )
+    if check_disjoint:
+        overlap = (
+            base["doc_stats"].select("doc_id")
+            .join(delta["doc_stats"].select("doc_id"), "doc_id", "left_semi")
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"merge_indexes requires disjoint doc sets: {overlap} doc_ids "
+                "appear in both indexes (delete_docs the stale copies first, "
+                "or use incremental_update)"
+            )
     n_shards, n_buckets = int(bs["n_shards"]), int(bs["n_buckets"])
     n_docs = int(bs["n_docs"]) + int(ds["n_docs"])
     total_tokens = int(bs["total_tokens"]) + int(ds["total_tokens"])

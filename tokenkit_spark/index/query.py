@@ -441,6 +441,11 @@ def phrase_search(
     built with store_positions=True."""
     cfg = config or AnalyzerConfig()
     stats = index["stats"]
+    if stats.get("store_positions") is False:
+        raise ValueError(
+            "phrase_search requires a positional index; this one was built "
+            "with store_positions=False — rebuild with store_positions=True"
+        )
     n_buckets = int(stats["n_buckets"])
     n_shards = int(stats["n_shards"])
 
