@@ -645,6 +645,36 @@ def _media_headers_oracle() -> str:
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL PCM decode over the synthetic WAV payloads: sample counts /
+    rates / durations recovered from the bytes must equal the generator
+    parameters (fixture oracle). RMS/peak/zero-cross agreement with the
+    analytic sine values is pytest-verified (test_ops.py)."""
+    from tokenkit_spark.ops import multimodal
+
+    media = multimodal.synth_media(spark, n=60)
+    return (
+        multimodal.audio_features(media)
+        .filter(F.col("sample_rate").isNotNull())
+        .select("media_id", "sample_rate", "n_frames", "duration_s")
+    )
+
+
+def _audio_features_oracle() -> str:
+    vals = []
+    for i in range(60):
+        if i % 3 != 1:  # synth_media makes rows 1, 4, 7, ... audio
+            continue
+        rate = 8000 * (1 + i % 3)
+        nf = int(rate * 0.05)
+        vals.append(f"({i}, {rate}, {nf}, {nf / rate!r})")
+    return (
+        "SELECT media_id::BIGINT AS media_id, sample_rate::INTEGER AS sample_rate, "
+        "n_frames::BIGINT AS n_frames, duration_s::DOUBLE AS duration_s "
+        f"FROM (VALUES {', '.join(vals)}) t(media_id, sample_rate, n_frames, duration_s)"
+    )
+
+
 def q_lang_detect(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     return docs.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_pred"))
@@ -700,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_headers": q_media_headers,
         "repetition_signals": q_repetition_signals,
         "url_dedup": q_url_dedup,
+        "audio_features": q_audio_features,
     }
 
 
@@ -910,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_detect": _lang_detect_oracle(),
         "media_headers": _media_headers_oracle(),
+        "audio_features": _audio_features_oracle(),
         "url_dedup": (
             "WITH u AS (SELECT doc_id, "
             "'http://' || source || '.example.com/page/' || (doc_id % 20) || "

@@ -366,3 +366,42 @@ def test_normalize_url_and_url_duplicates(spark):
     dups = dedup.url_duplicates(pages).collect()
     assert len(dups) == 1
     assert dups[0].canonical_url == "http://a.com/x" and dups[0].dup_count == 2
+
+
+def test_wav_pcm_decode_roundtrip():
+    """Real PCM decode: samples written by make_wav come back exactly
+    (16-bit quantization aside), and analytic signal features match."""
+    from tokenkit_spark.ops.multimodal import decode_wav_pcm, make_wav
+
+    rate, freq = 16000, 440.0
+    t = np.arange(int(rate * 0.1)) / rate
+    sig = 0.5 * np.sin(2 * np.pi * freq * t)
+    dec = decode_wav_pcm(make_wav(rate, n_channels=2, samples=sig))
+    assert dec is not None
+    samples, got_rate = dec
+    assert got_rate == rate and samples.shape == (len(t), 2)
+    assert np.abs(samples[:, 0] - sig).max() < 2e-4  # 16-bit quantization
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    rms = float(np.sqrt(np.mean(samples[:, 0] ** 2)))
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3
+    assert decode_wav_pcm(b"not audio") is None
+
+
+def test_audio_features_spark(spark):
+    media = multimodal.synth_media(spark, n=30)
+    out = {r.media_id: r for r in multimodal.audio_features(media).collect()}
+    assert len(out) == 30
+    for i in range(30):
+        kind = ["image", "audio", "video"][i % 3]
+        r = out[i]
+        if kind != "audio":
+            assert r.sample_rate is None and r.rms is None
+            continue
+        rate, freq = 8000 * (1 + i % 3), 200.0 * (1 + i % 4)
+        assert r.sample_rate == rate
+        assert r.n_frames == int(rate * 0.05)
+        assert abs(r.duration_s - r.n_frames / rate) < 1e-9
+        assert abs(r.rms - 0.5 / np.sqrt(2)) < 5e-3
+        assert abs(r.peak - 0.5) < 5e-3
+        # sine zero-crossing rate ~ 2f/rate
+        assert abs(r.zero_cross_rate - 2 * freq / rate) < 0.01

@@ -26,6 +26,13 @@ TEXTS = [
     "multi\t whitespace\n\n here",
     "Hello, world! How are you? I am fine.",
     "👨‍👩‍👧‍👦 emoji 👋🌍 test",
+    # round-2 conformance additions: multi-char lowercasing, SpacingMark /
+    # Prepend legacy-grapheme deltas, unicode separators, log brackets
+    "İSTANBUL İZMİR",
+    "நி கா กำ ؀١",
+    "北京、上海、深圳",
+    "[INFO] User logged in successfully",
+    "a::b::c x|y|z",
 ]
 
 CONFIGS = [
@@ -48,6 +55,12 @@ CONFIGS = [
     AnalyzerConfig(
         strategy="whitespace", remove_punctuation=True, preserve_patterns=(r"\$\d+(\.\d{2})?",)
     ),
+    AnalyzerConfig(strategy="grapheme", extended=False, lowercase=False),
+    AnalyzerConfig(strategy="char_group", split_on_chars="、|:", lowercase=False),
+    AnalyzerConfig(strategy="ngram", min_gram=2, max_gram=2, remove_punctuation=True),
+    AnalyzerConfig(strategy="path_hierarchy", delimiter="::"),
+    AnalyzerConfig(strategy="url_email", preserve_patterns=(r"#\w+", r"@\w+")),
+    AnalyzerConfig(strategy="edge_ngram", min_gram=3, max_gram=4, lowercase=False),
 ]
 
 

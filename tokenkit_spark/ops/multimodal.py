@@ -1,17 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Two layers, honestly separated:
+Three layers, honestly separated:
 
 * HEADER PARSING (``parse_media_headers``) is REAL: pure-Python binary
   parsing of PNG (IHDR), JPEG (SOF marker scan), GIF (logical screen
   descriptor), and WAV (RIFF fmt chunk) headers — width/height/sample
   rate/channels come from the actual bytes, no external libs needed.
-* PIXEL/PCM DECODE (``_decode_image_stub``) remains a stub because no
-  image/audio codec libraries exist in this container — swap for
-  PIL/torchaudio in production. The stub is deterministic so the
-  downstream feature plumbing (Arrow batch shapes, pooling, schema) can
-  be asserted end-to-end.
+* AUDIO DECODE (``decode_wav_pcm`` / ``audio_features``) is REAL for
+  16-bit PCM WAV: PCM is raw samples behind the RIFF header, so decode
+  needs no codec library — duration/RMS/peak/zero-cross features come
+  from the actual waveform (tested against analytic sine values).
+* IMAGE PIXEL DECODE (``_decode_image_stub``) remains a stub because no
+  image codec library (libjpeg/PIL) exists in this container — swap for
+  PIL in production. The stub is deterministic so the downstream feature
+  plumbing (Arrow batch shapes, pooling, schema) is asserted end-to-end.
 """
 
 from __future__ import annotations
@@ -87,6 +90,72 @@ def parse_audio_header(b: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+def decode_wav_pcm(b: bytes) -> tuple[np.ndarray, int] | None:
+    """REAL audio decode for 16-bit PCM WAV (no codec library needed —
+    PCM is raw samples behind the RIFF header): returns (samples as
+    float32 in [-1, 1], shape (n_frames, n_channels); sample_rate), or
+    None if the payload isn't PCM WAV."""
+    hdr = parse_audio_header(b)
+    if hdr is None:
+        return None
+    _, sample_rate, n_channels = hdr
+    i = 12
+    while i + 8 <= len(b):
+        chunk_id = b[i : i + 4]
+        chunk_len = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if chunk_id == b"data":
+            raw = b[i + 8 : i + 8 + chunk_len]
+            n = (len(raw) // (2 * n_channels)) * n_channels
+            if n == 0:
+                return np.zeros((0, n_channels), dtype=np.float32), sample_rate
+            samples = (
+                np.frombuffer(raw[: n * 2], dtype="<i2").astype(np.float32) / 32768.0
+            )
+            return samples.reshape(-1, n_channels), sample_rate
+        i += 8 + chunk_len + (chunk_len & 1)
+    return None
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL per-clip audio features from decoded PCM (duration, RMS
+    level, peak, zero-crossing rate) — mapInPandas over the binary
+    payloads, numpy per batch. Non-WAV rows pass through with nulls."""
+    schema = (
+        "media_id long, sample_rate int, n_frames long, duration_s double, "
+        "rms double, peak double, zero_cross_rate double"
+    )
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                dec = decode_wav_pcm(payload)
+                if dec is None:
+                    rows.append((r.media_id, None, None, None, None, None, None))
+                    continue
+                samples, rate = dec
+                mono = samples.mean(axis=1) if samples.size else samples.reshape(0)
+                nf = int(samples.shape[0])
+                if nf:
+                    rms = float(np.sqrt(np.mean(mono**2)))
+                    peak = float(np.abs(mono).max())
+                    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                else:
+                    rms = peak = zcr = 0.0
+                rows.append(
+                    (r.media_id, rate, nf, round(nf / rate, 6),
+                     round(rms, 6), round(peak, 6), round(zcr, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_frames", "duration_s",
+                         "rms", "peak", "zero_cross_rate"],
+            )
+
+    return media.mapInPandas(fn, schema)
+
+
 def parse_media_headers(media: DataFrame) -> DataFrame:
     """REAL header-level metadata extraction over the binary payloads
     (mapInPandas — Arrow ships the bytes, parsing is per-batch Python
@@ -142,13 +211,26 @@ def make_jpeg(width: int, height: int) -> bytes:
     )
 
 
-def make_wav(sample_rate: int, n_channels: int = 1) -> bytes:
-    """Minimal real WAV: RIFF/WAVE + fmt chunk (PCM) + empty data chunk."""
+def make_wav(
+    sample_rate: int, n_channels: int = 1, samples: np.ndarray | None = None
+) -> bytes:
+    """Real 16-bit PCM WAV: RIFF/WAVE + fmt chunk + data chunk.
+    ``samples``: float array in [-1, 1], shape (n_frames,) or
+    (n_frames, n_channels); omitted = empty data chunk."""
     byte_rate = sample_rate * n_channels * 2
     fmt = struct.pack(
         "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
     )
-    data = b"data" + struct.pack("<I", 0)
+    if samples is None:
+        pcm = b""
+    else:
+        s = np.asarray(samples, dtype=np.float64)
+        if s.ndim == 1:
+            s = np.repeat(s[:, None], n_channels, axis=1)
+        pcm = (
+            np.clip(s, -1.0, 1.0) * 32767.0
+        ).astype("<i2").tobytes()
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -227,7 +309,13 @@ def synth_media(spark, n: int = 64, seed: int = 3) -> DataFrame:
             width, height, rate, frames = w, h, None, None
         elif kind == "audio":
             rate = 8000 * (1 + i % 3)
-            payload = make_wav(rate, n_channels=1 + i % 2)
+            # real PCM payload: 50 ms sine at a per-clip frequency, so
+            # decoded duration/RMS/zero-cross-rate are analytically known
+            freq = 200.0 * (1 + i % 4)
+            t = np.arange(int(rate * 0.05)) / rate
+            payload = make_wav(
+                rate, n_channels=1 + i % 2, samples=0.5 * np.sin(2 * np.pi * freq * t)
+            )
             width = height = frames = None
         else:
             payload = bytes(rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8))
