@@ -11,10 +11,13 @@ Three layers, honestly separated:
   16-bit PCM WAV: PCM is raw samples behind the RIFF header, so decode
   needs no codec library — duration/RMS/peak/zero-cross features come
   from the actual waveform (tested against analytic sine values).
-* IMAGE PIXEL DECODE (``_decode_image_stub``) remains a stub because no
-  image codec library (libjpeg/PIL) exists in this container — swap for
-  PIL in production. The stub is deterministic so the downstream feature
-  plumbing (Arrow batch shapes, pooling, schema) is asserted end-to-end.
+* IMAGE PIXEL DECODE is REAL for PNG (``decode_png``): zlib (stdlib)
+  inflates the IDAT stream and the five PNG scanline filters are
+  reversed in numpy — no codec library involved; round-trip and
+  known-pixel tests cover it. JPEG pixel decode alone stays a stub
+  (``_decode_image_stub``): entropy-coded DCT needs libjpeg/PIL, which
+  this container lacks — swap in production. The stub is deterministic
+  so the fallback feature plumbing is still asserted end-to-end.
 """
 
 from __future__ import annotations
@@ -189,13 +192,49 @@ def parse_media_headers(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, HEADER_SCHEMA)
 
 
-def make_png(width: int, height: int) -> bytes:
-    """Minimal real PNG header (signature + IHDR); CRC not validated by
-    header parsers, body truncated — enough for metadata extraction."""
-    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def make_png(width: int, height: int, pixels: np.ndarray | None = None) -> bytes:
+    """Real PNG. With ``pixels`` ((H, W) gray or (H, W, 3) RGB uint8) the
+    file carries a genuine zlib IDAT stream (filter None per scanline) +
+    IEND with correct chunk CRCs — decode_png round-trips it exactly.
+    Without pixels: signature + IHDR only (header-level fixture)."""
+    import zlib
+
+    if pixels is None:
+        color_type = 2
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        return b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, channels = 0, 1
+        px = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError("pixels must be (H, W) gray or (H, W, 3) RGB")
+    h, w = px.shape[:2]
+    if (w, h) != (width, height):
+        raise ValueError(f"pixels shape {(h, w)} != ({height}, {width})")
+    flat = px.reshape(h, w * channels)
+    scanlines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), flat], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -235,6 +274,90 @@ def make_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def decode_png(b: bytes) -> np.ndarray | None:
+    """REAL PNG decode for 8-bit grayscale (color type 0) and RGB (2):
+    concatenate IDAT chunks, zlib-inflate, reverse the per-scanline
+    filters (None/Sub/Up/Average/Paeth). Returns (H, W) or (H, W, 3)
+    uint8, or None if the payload isn't a supported PNG.
+
+    Filter math: Sub's left-neighbor recurrence is a per-stride cumsum
+    (uint8 wraps mod 256, exactly PNG's arithmetic); Up is one vector
+    add; Average/Paeth need the left neighbor mid-row, so they fall back
+    to a per-pixel loop on just those rows (encoders here emit None/Sub/
+    Up; web PNGs with Paeth rows still decode correctly, only slower).
+    """
+    import zlib
+
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    width = height = None
+    bit_depth = color_type = None
+    idat = []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height = struct.unpack(">II", data[:8])
+            bit_depth, color_type = data[8], data[9]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if not idat or width is None or bit_depth != 8 or color_type not in (0, 2):
+        return None
+    channels = 1 if color_type == 0 else 3
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    rows = np.frombuffer(raw[: height * (stride + 1)], dtype=np.uint8).reshape(
+        height, stride + 1
+    )
+    filters = rows[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        f = int(filters[y])
+        cur = rows[y, 1:].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub: cumsum within each byte-offset stride (mod 256)
+            r = cur.copy()
+            for c in range(bpp):
+                r[c::bpp] = np.add.accumulate(r[c::bpp], dtype=np.uint8)
+            out[y] = r
+        elif f == 2:  # Up
+            out[y] = cur + prev
+        elif f == 3:  # Average (sequential left dependency)
+            r = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(r[x - bpp]) if x >= bpp else 0
+                r[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            out[y] = r
+        elif f == 4:  # Paeth (sequential left dependency)
+            r = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(r[x - bpp]) if x >= bpp else 0
+                bb = int(prev[x])
+                cc = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + bb - cc
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                r[x] = (int(cur[x]) + pred) & 0xFF
+            out[y] = r
+        else:
+            return None
+    img = out.reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB decode: a real implementation would use PIL/libjpeg. Here we
     derive a deterministic fake 'pixel' array from the bytes so the
@@ -247,7 +370,9 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 
 
 def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
-    """mapInPandas feature extraction: decode (stub) -> pooled features.
+    """mapInPandas feature extraction: decode -> pooled features.
+    PNG payloads decode for REAL (decode_png, pixel-space pooling);
+    everything else goes through the deterministic stub boundary.
     Batch shape: one Arrow batch of (media_id, kind, payload) rows in,
     one batch of fixed-width float features out."""
 
@@ -256,7 +381,11 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                img = _decode_image_stub(payload)
+                img = decode_png(payload)
+                if img is None:
+                    img = _decode_image_stub(payload)
+                else:
+                    img = img.astype(np.float32)
                 # mean-pool rows into feat_dim buckets (deterministic fake)
                 pooled = np.array(
                     [float(c.mean()) for c in np.array_split(img.ravel(), feat_dim)],
@@ -305,7 +434,19 @@ def synth_media(spark, n: int = 64, seed: int = 3) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             w, h = synth_media_dims(i)
-            payload = make_png(w, h) if i % 2 == 0 else make_jpeg(w, h)
+            if i % 2 == 0:
+                # real pixels: deterministic gradient + per-image noise,
+                # so decode_png -> features works on genuine image data
+                gx, gy = np.meshgrid(
+                    np.linspace(0, 255, w, dtype=np.float64),
+                    np.linspace(0, 255, h, dtype=np.float64),
+                )
+                px = np.stack(
+                    [gx, gy, rng.integers(0, 256, size=(h, w))], axis=2
+                ).astype(np.uint8)
+                payload = make_png(w, h, pixels=px)
+            else:
+                payload = make_jpeg(w, h)
             width, height, rate, frames = w, h, None, None
         elif kind == "audio":
             rate = 8000 * (1 + i % 3)
