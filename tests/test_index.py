@@ -248,6 +248,62 @@ def test_blockmax_equals_exhaustive_spark(spark, index, queries_df):
     assert ra == rb == rc
 
 
+def test_conjunctive_matches_brute(spark, docs, queries_df, index):
+    """AND semantics: the segment-path conjunctive results must equal a
+    brute DataFrame computation (docs holding ALL analyzed query terms,
+    same BM25 scores, pinned tie order)."""
+    from tokenkit_spark.index.query import (
+        _doc_globals,
+        _idf,
+        _topk_window,
+        analyze_queries,
+        bm25_segments_conjunctive,
+    )
+    from tokenkit_spark.index.build import doc_stats_df, postings_df
+
+    got = bm25_segments_conjunctive(spark, index, queries_df, CFG, k=10).collect()
+
+    postings = postings_df(docs, CFG).select("term", "doc_id", "tf")
+    dstats = doc_stats_df(docs, CFG)
+    n_docs, avgdl = _doc_globals(dstats)
+    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q_terms = analyze_queries(queries_df, CFG)
+    q_counts = q_terms.groupBy("query_id").agg(
+        F.countDistinct("term").alias("nq")
+    )
+    K1, B = 1.2, 0.75
+    scored = (
+        q_terms.join(postings, "term")
+        .join(term_stats, "term")
+        .join(dstats, "doc_id")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .withColumn(
+            "norm",
+            (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("idf") * F.col("norm")).alias("score"),
+            F.countDistinct("term").alias("nt"),
+        )
+        .join(q_counts, "query_id")
+        .filter(F.col("nt") == F.col("nq"))
+        .select("query_id", "doc_id", "score")
+    )
+    want = _topk_window(scored, 10).collect()
+    norm = lambda rows: sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in rows
+    )
+    assert norm(got) == norm(want)
+    # strict AND: the zero-hit query matches nothing; multi-term AND is a
+    # subset of the disjunctive result set
+    assert not any(r.query_id == 4 for r in got)
+    dis = {(r.query_id, r.doc_id)
+           for r in bm25_segments(spark, index, queries_df, CFG, k=1000).collect()}
+    assert all((r.query_id, r.doc_id) in dis for r in got)
+
+
 def test_batch_path_equals_interactive(spark, index, queries_df):
     """bm25_segments_batch (relational term join, no driver term collect)
     must be rank- and score-identical to the interactive pushdown path."""

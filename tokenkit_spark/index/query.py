@@ -354,6 +354,98 @@ def bm25_segments_batch(
     return _topk_window(candidates, k, round_digits)
 
 
+def _conjunctive_kernel(k: int, avgdl: float):
+    """mapInPandas kernel for AND semantics: per (query, doc-shard),
+    intersect the posting doc_id arrays rarest-first (a doc's postings
+    for ALL terms live in its shard — doc-partitioning makes per-shard
+    intersection exact), then score only the survivors. Emits
+    (query_id, doc_id, score, n_terms) where n_terms is how many
+    distinct terms matched the index — the caller filters against the
+    query's analyzed term count so queries with any unindexed term
+    return nothing (strict AND)."""
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict[tuple[int, int], list[dict]] = {}
+        for pdf in batch_iter:
+            for row in pdf.itertuples(index=False):
+                t = {c: getattr(row, c) for c in _TERM_COLS}
+                for q in row.query_ids:
+                    groups.setdefault((int(q), int(row.shard)), []).append(t)
+        out = {"query_id": [], "doc_id": [], "score": [], "n_terms": []}
+        for (q, _shard), terms in groups.items():
+            terms = sorted(terms, key=lambda t: int(t["n_postings"]))
+            cand = wand.decode_full_memo(terms[0])[0]
+            for t in terms[1:]:
+                if cand.size == 0:
+                    break
+                cand = cand[np.isin(cand, wand.decode_full_memo(t)[0],
+                                    assume_unique=True)]
+            if cand.size == 0:
+                continue
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for t in terms:
+                doc_ids = wand.decode_full_memo(t)[0]
+                norms = wand.norms_memo(t, avgdl)
+                idx = np.searchsorted(doc_ids, cand)
+                scores += float(t["idf"]) * norms[idx]
+            sel = np.lexsort((cand, -scores))[:k]
+            out["query_id"].extend([q] * len(sel))
+            out["doc_id"].extend(cand[sel].tolist())
+            out["score"].extend(scores[sel].tolist())
+            out["n_terms"].extend([len(terms)] * len(sel))
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def bm25_segments_conjunctive(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 with AND semantics: only documents containing EVERY
+    analyzed query term are ranked (the classic conjunctive retrieval
+    mode). Doc-sharding makes this embarrassingly parallel: a doc's
+    postings for all terms are co-located in its shard, so each shard
+    intersects rarest-first and scores survivors; a query with any term
+    absent from the index matches nothing."""
+    cfg = config or AnalyzerConfig()
+    stats = index["stats"]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    n_buckets = int(stats["n_buckets"])
+    n_shards = int(stats["n_shards"])
+
+    q_terms = analyze_queries(queries, cfg)
+    q_counts = q_terms.groupBy("query_id").agg(
+        F.countDistinct("term").alias("n_query_terms")
+    )
+    q_term_lists = (
+        q_terms.groupBy("term")
+        .agg(F.collect_list("query_id").alias("query_ids"))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+    )
+    matched = (
+        index["segments"]
+        .join(q_term_lists, ["term_bucket", "term"])
+        .join(index["term_stats"], "term")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .select("query_ids", "shard", *_TERM_COLS)
+    )
+    out_schema = "query_id long, doc_id long, score double, n_terms int"
+    candidates = (
+        matched.repartition(_shard_partitions(spark, n_shards), "shard")
+        .mapInPandas(_conjunctive_kernel(k + 32, avgdl), out_schema)
+        # strict AND: every analyzed term must have matched the index
+        .join(q_counts, "query_id")
+        .filter(F.col("n_terms") == F.col("n_query_terms"))
+        .select("query_id", "doc_id", "score")
+    )
+    return _topk_window(candidates, k, round_digits)
+
+
 def analyze_phrases(queries: DataFrame, config: AnalyzerConfig) -> DataFrame:
     """(query_id, text) -> (query_id, seq, term): ordered, duplicates kept
     (unlike analyze_queries — phrase matching needs token order)."""
