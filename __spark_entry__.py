@@ -151,6 +151,37 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
 
+_BM25_MSM_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s,
+         count(DISTINCT q.term) AS nt
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM scored WHERE nt >= 2)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -238,6 +269,19 @@ def q_bm25_conjunctive(spark, sf_dir):
     index = _index_for(spark, sf_dir)
     return bm25_segments_conjunctive(
         spark, index, _queries_df(spark), WS, k=10, round_digits=4
+    )
+
+
+def q_bm25_msm2(spark, sf_dir):
+    """minimum_should_match=2 top-k BM25 over the compressed index: a doc
+    ranks only if it contains >= 2 distinct analyzed query terms
+    (index/query.py:bm25_segments_msm — the Lucene/ES
+    minimum_should_match knob)."""
+    from tokenkit_spark.index.query import bm25_segments_msm
+
+    index = _index_for(spark, sf_dir)
+    return bm25_segments_msm(
+        spark, index, _queries_df(spark), WS, k=10, min_match=2, round_digits=4
     )
 
 
@@ -740,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": q_bm25_top10,
         "bm25_top10_segments": q_bm25_top10_segments,
         "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_msm2": q_bm25_msm2,
         "doc_stats": q_doc_stats,
         "term_stats_segments": q_term_stats_segments,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -811,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": _BM25_ORACLE,
         "bm25_top10_segments": _BM25_ORACLE,
         "bm25_conjunctive": _BM25_CONJ_ORACLE,
+        "bm25_msm2": _BM25_MSM_ORACLE,
         "doc_stats": (
             f"WITH toks AS ({_TOKS}) SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1"
         ),

@@ -304,6 +304,68 @@ def test_conjunctive_matches_brute(spark, docs, queries_df, index):
     assert all((r.query_id, r.doc_id) in dis for r in got)
 
 
+def test_msm_boundaries_and_middle(spark, docs, queries_df, index):
+    """minimum_should_match: m=1 equals the disjunctive segment path,
+    m=len(terms) equals the conjunctive path, and a middle m equals a
+    brute DataFrame computation (docs matching >= m distinct terms)."""
+    from tokenkit_spark.index.query import (
+        _doc_globals,
+        _idf,
+        _topk_window,
+        analyze_queries,
+        bm25_segments_conjunctive,
+        bm25_segments_msm,
+    )
+    from tokenkit_spark.index.build import doc_stats_df
+
+    norm = lambda rows: sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in rows
+    )
+
+    # m=1 == disjunctive
+    got1 = bm25_segments_msm(spark, index, queries_df, CFG, k=10, min_match=1)
+    dis = bm25_segments(spark, index, queries_df, CFG, k=10)
+    assert norm(got1.collect()) == norm(dis.collect())
+
+    # m = per-query term count == conjunctive, for the 4-term query
+    q4 = queries_df.filter(F.col("query_id") == 3)  # "spark index shard merge"
+    got4 = bm25_segments_msm(spark, index, q4, CFG, k=10, min_match=4)
+    conj = bm25_segments_conjunctive(spark, index, q4, CFG, k=10)
+    assert norm(got4.collect()) == norm(conj.collect())
+
+    # middle m=2 vs brute
+    got2 = bm25_segments_msm(spark, index, queries_df, CFG, k=10, min_match=2)
+    postings = postings_df(docs, CFG).select("term", "doc_id", "tf")
+    dstats = doc_stats_df(docs, CFG)
+    n_docs, avgdl = _doc_globals(dstats)
+    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q_terms = analyze_queries(queries_df, CFG)
+    K1, B = 1.2, 0.75
+    scored = (
+        q_terms.join(postings, "term")
+        .join(term_stats, "term")
+        .join(dstats, "doc_id")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .withColumn(
+            "norm",
+            (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("idf") * F.col("norm")).alias("score"),
+            F.countDistinct("term").alias("nt"),
+        )
+        .filter(F.col("nt") >= 2)
+        .select("query_id", "doc_id", "score")
+    )
+    want2 = _topk_window(scored, 10).collect()
+    assert norm(got2.collect()) == norm(want2)
+
+    with pytest.raises(ValueError, match="min_match"):
+        bm25_segments_msm(spark, index, queries_df, CFG, min_match=0)
+
+
 def test_batch_path_equals_interactive(spark, index, queries_df):
     """bm25_segments_batch (relational term join, no driver term collect)
     must be rank- and score-identical to the interactive pushdown path."""

@@ -446,6 +446,94 @@ def bm25_segments_conjunctive(
     return _topk_window(candidates, k, round_digits)
 
 
+def _msm_kernel(k: int, avgdl: float, min_match: int):
+    """mapInPandas kernel for minimum_should_match semantics: per
+    (query, doc-shard), accumulate BM25 scores AND per-doc distinct-term
+    match counts in one vectorized pass (concatenate decoded lists →
+    np.unique inverse-scatter), keep docs matching >= min_match distinct
+    query terms. Doc-sharding makes the count exact per shard (a doc's
+    postings for all terms are co-located). min_match=1 is disjunctive
+    BM25; min_match=len(query terms) is conjunctive — both asserted
+    equal to their dedicated paths in tests."""
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict[tuple[int, int], list[dict]] = {}
+        for pdf in batch_iter:
+            for row in pdf.itertuples(index=False):
+                t = {c: getattr(row, c) for c in _TERM_COLS}
+                for q in row.query_ids:
+                    groups.setdefault((int(q), int(row.shard)), []).append(t)
+        out = {"query_id": [], "doc_id": [], "score": []}
+        for (q, _shard), terms in groups.items():
+            if len(terms) < min_match:
+                continue  # not enough matched clauses to ever qualify
+            all_ids = np.concatenate([wand.decode_full_memo(t)[0] for t in terms])
+            all_scores = np.concatenate(
+                [float(t["idf"]) * wand.norms_memo(t, avgdl) for t in terms]
+            )
+            # analyze_queries emits DISTINCT terms per query, so each list
+            # contributes a doc at most once: occurrence count == number of
+            # distinct query terms matching the doc
+            ids, inv, counts = np.unique(
+                all_ids, return_inverse=True, return_counts=True
+            )
+            scores = np.zeros(ids.size, dtype=np.float64)
+            np.add.at(scores, inv, all_scores)
+            keep = counts >= min_match
+            ids, scores = ids[keep], scores[keep]
+            sel = np.lexsort((ids, -scores))[:k]
+            out["query_id"].extend([q] * len(sel))
+            out["doc_id"].extend(ids[sel].tolist())
+            out["score"].extend(scores[sel].tolist())
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def bm25_segments_msm(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    min_match: int = 1,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 with minimum_should_match semantics (the Lucene/ES
+    ``minimum_should_match`` knob): a document ranks only if it contains
+    at least ``min_match`` distinct analyzed query terms. Terms absent
+    from the index are clauses that match nothing — a query can still
+    satisfy ``min_match`` through its other terms (standard Boolean-query
+    behavior). min_match=1 degenerates to disjunctive top-k."""
+    if min_match < 1:
+        raise ValueError(f"min_match must be >= 1, got {min_match}")
+    cfg = config or AnalyzerConfig()
+    stats = index["stats"]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    n_buckets = int(stats["n_buckets"])
+    n_shards = int(stats["n_shards"])
+
+    q_terms = analyze_queries(queries, cfg)
+    q_term_lists = (
+        q_terms.groupBy("term")
+        .agg(F.collect_list("query_id").alias("query_ids"))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+    )
+    matched = (
+        index["segments"]
+        .join(q_term_lists, ["term_bucket", "term"])
+        .join(index["term_stats"], "term")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .select("query_ids", "shard", *_TERM_COLS)
+    )
+    out_schema = "query_id long, doc_id long, score double"
+    candidates = (
+        matched.repartition(_shard_partitions(spark, n_shards), "shard")
+        .mapInPandas(_msm_kernel(k + 32, avgdl, min_match), out_schema)
+    )
+    return _topk_window(candidates, k, round_digits)
+
+
 def analyze_phrases(queries: DataFrame, config: AnalyzerConfig) -> DataFrame:
     """(query_id, text) -> (query_id, seq, term): ordered, duplicates kept
     (unlike analyze_queries — phrase matching needs token order)."""
