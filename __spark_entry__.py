@@ -294,6 +294,28 @@ PHRASES = [
 ]
 
 
+PROX = [  # 2-term so the SQL oracle's pairwise min-span formulation is exact
+    (0, "sort merge"),
+    (1, "hash join"),
+    (2, "the batch"),
+    (3, "merge sort"),
+    (4, "zz nonexistent"),
+]
+PROX_SLOP = 2
+
+
+def q_proximity_search(spark, sf_dir):
+    """Sloppy-phrase (proximity) search through the positional index:
+    docs whose token stream contains the phrase terms in order within a
+    window of (n_terms-1)+slop positions, with the minimal span
+    (index/query.py:proximity_search, slop=2)."""
+    from tokenkit_spark.index.query import proximity_search
+
+    index = _index_for(spark, sf_dir)
+    pdf = spark.createDataFrame(PROX, "query_id long, text string")
+    return proximity_search(spark, index, pdf, WS, slop=PROX_SLOP)
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase containment through the positional segment index."""
     index = _index_for(spark, sf_dir)
@@ -818,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_filtered_tf": q_stopword_filtered_tf,
         "stemmed_terms": q_stemmed_terms,
         "phrase_search": q_phrase_search,
+        "proximity_search": q_proximity_search,
         "media_headers": q_media_headers,
         "repetition_signals": q_repetition_signals,
         "url_dedup": q_url_dedup,
@@ -1031,6 +1054,21 @@ def oracle_sql() -> dict[str, str]:
             "phrases(query_id, p) AS (VALUES "
             + ", ".join(f"({i}, ' {t} ')" for i, t in PHRASES)
             + ") SELECT query_id, doc_id FROM phrases, s WHERE instr(ts, p) > 0"
+        ),
+        "proximity_search": (
+            "WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "
+            "unnest(l) AS term FROM (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l "
+            "FROM documents)), "
+            "phr(query_id, t1, t2) AS (VALUES "
+            + ", ".join(
+                f"({i}, '{t.split()[0]}', '{t.split()[1]}')" for i, t in PROX
+            )
+            + f") SELECT p.query_id, a.doc_id, min(b.pos - a.pos) AS span "
+            "FROM phr p JOIN toks a ON a.term = p.t1 "
+            "JOIN toks b ON b.doc_id = a.doc_id AND b.term = p.t2 "
+            f"AND b.pos > a.pos AND b.pos - a.pos <= 1 + {PROX_SLOP} "
+            "GROUP BY 1, 2"
         ),
         "lang_detect": _lang_detect_oracle(),
         "media_headers": _media_headers_oracle(),

@@ -366,6 +366,68 @@ def test_msm_boundaries_and_middle(spark, docs, queries_df, index):
         bm25_segments_msm(spark, index, queries_df, CFG, min_match=0)
 
 
+def test_proximity_matches_brute_and_phrase(spark, docs, index):
+    """proximity_search: slop=0 containment equals phrase_search; spans
+    at slop>0 equal an independent pure-Python sliding-subsequence check
+    over the raw tokenized texts."""
+    from tokenkit_spark.index.query import phrase_search, proximity_search
+
+    PROX = [
+        (0, "data search"),
+        (1, "search engine"),
+        (2, "the of"),
+        (3, "crawl index shard"),      # 3-term
+        (4, "zzz-neverfound data"),    # one term missing entirely
+    ]
+    pdf = spark.createDataFrame(PROX, "query_id long, text string")
+
+    # slop=0 == exact phrase containment
+    got0 = {(r.query_id, r.doc_id)
+            for r in proximity_search(spark, index, pdf, CFG, slop=0).collect()}
+    ph = {(r.query_id, r.doc_id)
+          for r in phrase_search(spark, index, pdf, CFG).collect()}
+    assert got0 == ph
+
+    # slop=2 vs brute: for every doc and phrase, min ordered span by an
+    # independent window-scan formulation (not the greedy chain)
+    texts = {r.doc_id: r.text.lower().split() for r in docs.collect()}
+
+    def brute_min_span(tokens, phrase):
+        best = None
+        n = len(phrase)
+        for i, t in enumerate(tokens):
+            if t != phrase[0]:
+                continue
+            j, need = i, 1
+            while need < n:
+                j += 1
+                while j < len(tokens) and tokens[j] != phrase[need]:
+                    j += 1
+                if j >= len(tokens):
+                    need = -1
+                    break
+                need += 1
+            if need == n:
+                span = j - i
+                best = span if best is None else min(best, span)
+        return best
+
+    want = {}
+    for qid, ptext in PROX:
+        phrase = ptext.lower().split()
+        for d, tokens in texts.items():
+            s = brute_min_span(tokens, phrase)
+            if s is not None and s <= (len(phrase) - 1) + 2:
+                want[(qid, d)] = s
+    got2 = {(r.query_id, r.doc_id): r.span
+            for r in proximity_search(spark, index, pdf, CFG, slop=2).collect()}
+    assert got2 == want
+    assert not any(q == 4 for q, _ in got2)
+
+    with pytest.raises(ValueError, match="slop"):
+        proximity_search(spark, index, pdf, CFG, slop=-1)
+
+
 def test_batch_path_equals_interactive(spark, index, queries_df):
     """bm25_segments_batch (relational term join, no driver term collect)
     must be rank- and score-identical to the interactive pushdown path."""

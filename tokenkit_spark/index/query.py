@@ -609,6 +609,135 @@ def _phrase_shard_kernel():
     return fn
 
 
+def _proximity_shard_kernel(slop: int):
+    """mapInPandas kernel for sloppy-phrase matching: per (phrase,
+    doc-shard), intersect posting lists rarest-first, then for every
+    surviving doc compute the MINIMAL ordered span via a vectorized
+    greedy chain — for every start position of term 0, successively pick
+    the smallest position of term i strictly greater than the chain's
+    current end (np.searchsorted over the whole frontier at once). The
+    greedy chain yields the minimal possible end for each start, hence
+    the minimal span. A doc matches when
+    min_span <= (n_terms - 1) + slop; slop=0 degenerates to exact-phrase
+    containment (strictly increasing positions with span n-1 must be
+    consecutive). Emits (query_id, doc_id, span=min_span)."""
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict[tuple[int, int], dict[int, dict]] = {}
+        for pdf in batch_iter:
+            for row in pdf.itertuples(index=False):
+                t = {
+                    "n_postings": int(row.n_postings),
+                    "doc_ids_blob": row.doc_ids_blob,
+                    "tfs_blob": row.tfs_blob,
+                    "dls_blob": row.dls_blob,
+                    "pos_blob": row.pos_blob,
+                }
+                for occ in row.occurrences:
+                    groups.setdefault((int(occ["query_id"]), int(row.shard)), {})[
+                        int(occ["seq"])
+                    ] = t
+        out_q, out_d, out_s = [], [], []
+        for (q, _shard), by_seq in groups.items():
+            n_terms = max(by_seq) + 1
+            if len(by_seq) < n_terms:
+                continue
+            max_span = (n_terms - 1) + slop
+            decoded = {}
+            for t in by_seq.values():
+                key = id(t)
+                if key not in decoded:
+                    ids, tfs, _dls = codec.decode_posting_list(t)
+                    pos, offs = codec.decode_positions(bytes(t["pos_blob"]), tfs)
+                    decoded[key] = (ids, tfs, pos, offs)
+            seqs = sorted(by_seq, key=lambda s: decoded[id(by_seq[s])][0].size)
+            cand = decoded[id(by_seq[seqs[0]])][0]
+            for s in seqs[1:]:
+                cand = cand[np.isin(cand, decoded[id(by_seq[s])][0], assume_unique=True)]
+                if cand.size == 0:
+                    break
+            for d in cand.tolist():
+                pos_by_seq = []
+                for seq in range(n_terms):
+                    ids, tfs, pos, offs = decoded[id(by_seq[seq])]
+                    j = int(np.searchsorted(ids, d))
+                    pos_by_seq.append(pos[offs[j] : offs[j] + tfs[j]])
+                starts = pos_by_seq[0]
+                ends = starts
+                for seq in range(1, n_terms):
+                    p = pos_by_seq[seq]
+                    idx = np.searchsorted(p, ends, side="right")
+                    valid = idx < p.size
+                    starts, idx = starts[valid], idx[valid]
+                    if starts.size == 0:
+                        break
+                    ends = p[idx]
+                if starts.size == 0:
+                    continue
+                span = int(np.min(ends - starts))
+                if span <= max_span:
+                    out_q.append(q)
+                    out_d.append(d)
+                    out_s.append(span)
+        yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "span": out_s})
+
+    return fn
+
+
+def proximity_search(
+    spark: SparkSession,
+    index: dict,
+    phrases: DataFrame,
+    config: AnalyzerConfig | None = None,
+    slop: int = 0,
+) -> DataFrame:
+    """Sloppy-phrase (proximity) search over the positional index:
+    returns (query_id, doc_id, span) for every document whose token
+    stream contains the analyzed phrase terms IN ORDER within a window
+    of at most (n_terms - 1) + slop positions; ``span`` is the minimal
+    such window (last_pos - first_pos). slop=0 is exact-phrase
+    containment (tested equal to phrase_search)."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    cfg = config or AnalyzerConfig()
+    stats = index["stats"]
+    if stats.get("store_positions") is False:
+        raise ValueError(
+            "proximity_search requires a positional index; this one was "
+            "built with store_positions=False"
+        )
+    n_buckets = int(stats["n_buckets"])
+    n_shards = int(stats["n_shards"])
+
+    p_terms = analyze_phrases(phrases, cfg)
+    terms = [r.term for r in p_terms.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame([], "query_id long, doc_id long, span long")
+    buckets = list({b.term_bucket for b in
+                    spark.createDataFrame([(t,) for t in terms], "term string")
+                    .select(term_bucket_col(F.col("term"), n_buckets).alias("term_bucket"))
+                    .collect()})
+
+    occurrences = p_terms.groupBy("term").agg(
+        F.collect_list(F.struct("query_id", "seq")).alias("occurrences")
+    )
+    seg = (
+        index["segments"]
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    matched = seg.join(F.broadcast(occurrences), "term").select(
+        "occurrences", "shard", "n_postings",
+        "doc_ids_blob", "tfs_blob", "dls_blob", "pos_blob",
+    )
+    out_schema = "query_id long, doc_id long, span long"
+    return (
+        matched.repartition(_shard_partitions(spark, n_shards), "shard")
+        .mapInPandas(_proximity_shard_kernel(slop), out_schema)
+        .orderBy("query_id", "doc_id")
+    )
+
+
 def phrase_search(
     spark: SparkSession,
     index: dict,
