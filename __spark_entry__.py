@@ -294,6 +294,53 @@ PHRASES = [
 ]
 
 
+SNIPPET_WINDOW = 8
+
+_SNIPPET_ORACLE = f"""
+WITH dl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> x <> '') AS l FROM documents),
+bm AS (SELECT * FROM ({_BM25_ORACLE})),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qsets AS (SELECT query_id, list_distinct(list_filter(
+            string_split_regex(lower(qtext), '\\s+'), x -> x <> '')) AS terms
+          FROM queries),
+tp AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term FROM dl),
+firstpos AS (SELECT b.query_id, b.doc_id, min(t.pos) AS p0
+             FROM bm b
+             JOIN tp t ON t.doc_id = b.doc_id
+             JOIN qsets q ON q.query_id = b.query_id
+                         AND list_contains(q.terms, t.term)
+             GROUP BY 1, 2)
+SELECT b.query_id, b.doc_id, b.rank, b.score,
+       array_to_string(list_transform(
+         list_slice(d.l, greatest(1, p.p0 - 3),
+                    greatest(1, p.p0 - 3) + {SNIPPET_WINDOW - 1}),
+         x -> CASE WHEN list_contains(q.terms, x)
+                   THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet
+FROM bm b
+JOIN firstpos p ON p.query_id = b.query_id AND p.doc_id = b.doc_id
+JOIN dl d ON d.doc_id = b.doc_id
+JOIN qsets q ON q.query_id = b.query_id
+"""
+
+
+def q_snippets(spark, sf_dir):
+    """Highlighted snippets for the top-10 BM25 results of every fixture
+    query: window-token passage centered on the first matched term,
+    matches wrapped in <em> (index/query.py:snippets — store-and-
+    reanalyze highlighter, pure Catalyst array lambdas)."""
+    from tokenkit_spark.index.query import bm25_segments, snippets
+
+    index = _index_for(spark, sf_dir)
+    results = bm25_segments(
+        spark, index, _queries_df(spark), WS, k=10, round_digits=4
+    )
+    return snippets(
+        spark, _docs(spark, sf_dir), results, _queries_df(spark), WS,
+        window=SNIPPET_WINDOW,
+    )
+
+
 PROX = [  # 2-term so the SQL oracle's pairwise min-span formulation is exact
     (0, "sort merge"),
     (1, "hash join"),
@@ -841,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_terms": q_stemmed_terms,
         "phrase_search": q_phrase_search,
         "proximity_search": q_proximity_search,
+        "snippets": q_snippets,
         "media_headers": q_media_headers,
         "repetition_signals": q_repetition_signals,
         "url_dedup": q_url_dedup,
@@ -1055,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"({i}, ' {t} ')" for i, t in PHRASES)
             + ") SELECT query_id, doc_id FROM phrases, s WHERE instr(ts, p) > 0"
         ),
+        "snippets": _SNIPPET_ORACLE,
         "proximity_search": (
             "WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "
             "unnest(l) AS term FROM (SELECT doc_id, list_filter("

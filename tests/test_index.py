@@ -428,6 +428,36 @@ def test_proximity_matches_brute_and_phrase(spark, docs, index):
         proximity_search(spark, index, pdf, CFG, slop=-1)
 
 
+def test_snippets_match_brute(spark, docs, queries_df, index):
+    """Highlighted snippets equal a pure-Python recompute of the
+    deterministic rule (window centered on the first matched term,
+    matches wrapped in <em>), for the top-10 of every query."""
+    from tokenkit_spark.index.query import snippets
+
+    W = 8
+    results = bm25_segments(spark, index, queries_df, CFG, k=10)
+    got = {(r.query_id, r.doc_id): (r.rank, r.snippet)
+           for r in snippets(spark, docs, results, queries_df, CFG, window=W).collect()}
+
+    texts = {r.doc_id: r.text.lower().split() for r in docs.collect()}
+    qterms = {q: set(t.lower().split()) for q, t in QUERIES}
+    want = {}
+    for r in results.collect():
+        toks = texts[r.doc_id]
+        terms = qterms[r.query_id]
+        p0 = min(i for i, x in enumerate(toks) if x in terms)
+        s = max(0, p0 - (W - 1) // 2)
+        snip = " ".join(
+            f"<em>{x}</em>" if x in terms else x for x in toks[s : s + W]
+        )
+        want[(r.query_id, r.doc_id)] = (r.rank, snip)
+    assert got == want
+    assert all("<em>" in snip for _rank, snip in got.values())
+
+    with pytest.raises(ValueError, match="window"):
+        snippets(spark, docs, results, queries_df, CFG, window=0)
+
+
 def test_batch_path_equals_interactive(spark, index, queries_df):
     """bm25_segments_batch (relational term join, no driver term collect)
     must be rank- and score-identical to the interactive pushdown path."""

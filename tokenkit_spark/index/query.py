@@ -609,6 +609,69 @@ def _phrase_shard_kernel():
     return fn
 
 
+def snippets(
+    spark: SparkSession,
+    docs: DataFrame,
+    results: DataFrame,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    window: int = 8,
+) -> DataFrame:
+    """Highlighted snippets for search results: for each (query, doc) in
+    ``results`` (any bm25_* output — columns query_id, doc_id, plus
+    whatever else, carried through), re-analyze the document's stored
+    text and cut a ``window``-token passage centered on the FIRST
+    occurrence of any analyzed query term, wrapping matched terms in
+    <em>..</em> (the standard store-and-reanalyze highlighter design —
+    only the k hit docs per query are ever re-tokenized, never the
+    corpus). Pure Catalyst: array lambdas end-to-end, no Python UDF in
+    the highlight path beyond the analyzer itself.
+
+    Deterministic rule (shared with the DuckDB oracle): snippet start =
+    max(0, first_match_pos - (window-1)//2), length ``window`` tokens of
+    the ANALYZED token stream."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    cfg = config or AnalyzerConfig()
+    off = (window - 1) // 2
+
+    # hit docs per query are tiny (k per query) — broadcast the id set so
+    # the docs scan gets a dynamic semi-join filter instead of a shuffle
+    doc_ids = results.select("doc_id").distinct()
+    toks = (
+        docs.join(F.broadcast(doc_ids), "doc_id")
+        .select("doc_id", tokenize_col("text", cfg).alias("toks"))
+    )
+    q_sets = (
+        analyze_queries(queries, cfg)
+        .groupBy("query_id")
+        .agg(F.collect_set("term").alias("qterms"))
+    )
+    carried = [c for c in results.columns if c not in ("query_id", "doc_id")]
+    out = (
+        results.join(F.broadcast(q_sets), "query_id")
+        .join(toks, "doc_id")
+        .withColumn(
+            "p0",
+            F.expr(
+                "array_min(filter(transform(toks, (x, i) -> "
+                "IF(array_contains(qterms, x), i, -1)), i -> i >= 0))"
+            ),
+        )
+        .filter(F.col("p0").isNotNull())
+        .withColumn("start", F.greatest(F.lit(0), F.col("p0") - F.lit(off)))
+        .withColumn(
+            "snippet",
+            F.expr(
+                f"array_join(transform(slice(toks, start + 1, {window}), "
+                "x -> IF(array_contains(qterms, x), "
+                "concat('<em>', x, '</em>'), x)), ' ')"
+            ),
+        )
+    )
+    return out.select("query_id", "doc_id", *carried, "snippet")
+
+
 def _proximity_shard_kernel(slop: int):
     """mapInPandas kernel for sloppy-phrase matching: per (phrase,
     doc-shard), intersect posting lists rarest-first, then for every
