@@ -370,6 +370,19 @@ def q_phrase_search(spark, sf_dir):
     return phrase_search(spark, index, pdf, WS).select("query_id", "doc_id")
 
 
+def q_facet_counts(spark, sf_dir):
+    """Facet aggregation over the FULL disjunctive match set of every
+    fixture query (not just top-k): per (query, lang) count of documents
+    containing >= 1 analyzed query term, computed through the compressed
+    segment index (index/query.py:facet_counts — matching_docs kernel +
+    distributed hash aggregate)."""
+    from tokenkit_spark.index.query import facet_counts
+
+    index = _index_for(spark, sf_dir)
+    docs_meta = _docs(spark, sf_dir).select("doc_id", "lang")
+    return facet_counts(spark, index, _queries_df(spark), docs_meta, "lang", WS)
+
+
 def q_doc_stats(spark, sf_dir):
     index = _index_for(spark, sf_dir)
     return index["doc_stats"].select("doc_id", F.col("dl").cast("long").alias("dl"))
@@ -887,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_filtered_tf": q_stopword_filtered_tf,
         "stemmed_terms": q_stemmed_terms,
         "phrase_search": q_phrase_search,
+        "facet_counts": q_facet_counts,
         "proximity_search": q_proximity_search,
         "snippets": q_snippets,
         "media_headers": q_media_headers,
@@ -1104,6 +1118,17 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT query_id, doc_id FROM phrases, s WHERE instr(ts, p) > 0"
         ),
         "snippets": _SNIPPET_ORACLE,
+        "facet_counts": (
+            "WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents, "
+            "unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)), "
+            f"queries(query_id, qtext) AS (VALUES {_BM25_VALUES}), "
+            "qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries, "
+            "unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)), "
+            "matches AS (SELECT DISTINCT q.query_id, t.doc_id "
+            "FROM qterms q JOIN toks t USING (term)) "
+            "SELECT m.query_id, d.lang, count(*) AS n_docs "
+            "FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2"
+        ),
         "proximity_search": (
             "WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "
             "unnest(l) AS term FROM (SELECT doc_id, list_filter("

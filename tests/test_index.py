@@ -631,3 +631,41 @@ def test_incremental_update_equals_rebuild(spark, docs, queries_df, tmp_path_fac
     assert {tuple(r) for r in got["term_stats"].collect()} == {
         tuple(r) for r in want["term_stats"].collect()
     }
+
+
+def test_facet_counts_match_brute(spark, docs, queries_df, index):
+    """facet_counts over the full disjunctive match set equals a brute
+    relational recompute (tokenize -> distinct (query, doc) matches ->
+    join lang -> count), including that it is NOT top-k truncated."""
+    from tokenkit_spark.index.query import facet_counts, matching_docs
+
+    got = sorted(
+        (r.query_id, r.lang, r.n_docs)
+        for r in facet_counts(
+            spark, index, queries_df, docs.select("doc_id", "lang"), "lang", CFG
+        ).collect()
+    )
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    qt = queries_df.select(
+        "query_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).distinct()
+    want = sorted(
+        (r.query_id, r.lang, r.n_docs)
+        for r in toks.join(qt, "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("query_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    assert got == want
+    assert got  # non-degenerate
+
+    # the match set itself must exceed top-k for head-term queries
+    m = matching_docs(spark, index, queries_df, CFG)
+    n_head = m.filter(F.col("query_id") == 2).count()
+    assert n_head > 10

@@ -609,6 +609,86 @@ def _phrase_shard_kernel():
     return fn
 
 
+_BLOB_COLS = ["n_postings", "doc_ids_blob", "tfs_blob", "dls_blob"]
+
+
+def _matching_docs_kernel():
+    """mapInPandas kernel: per (query, doc-shard), the UNION of decoded
+    posting doc_id arrays — the disjunctive match set, no scoring, no
+    truncation. Doc-sharding keeps the per-group dedup exact and local."""
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict[tuple[int, int], list[dict]] = {}
+        for pdf in batch_iter:
+            for row in pdf.itertuples(index=False):
+                t = {c: getattr(row, c) for c in _BLOB_COLS}
+                for q in row.query_ids:
+                    groups.setdefault((int(q), int(row.shard)), []).append(t)
+        out_q, out_d = [], []
+        for (q, _shard), terms in groups.items():
+            ids = np.unique(
+                np.concatenate([wand.decode_full_memo(t)[0] for t in terms])
+            )
+            out_q.extend([q] * ids.size)
+            out_d.extend(ids.tolist())
+        yield pd.DataFrame({"query_id": out_q, "doc_id": out_d})
+
+    return fn
+
+
+def matching_docs(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """(query_id, doc_id) for every document matching >= 1 analyzed query
+    term — the full disjunctive match set (the input to faceting,
+    counting, and export workloads, where top-k truncation is wrong)."""
+    cfg = config or AnalyzerConfig()
+    stats = index["stats"]
+    n_buckets = int(stats["n_buckets"])
+    n_shards = int(stats["n_shards"])
+
+    q_terms = analyze_queries(queries, cfg)
+    q_term_lists = (
+        q_terms.groupBy("term")
+        .agg(F.collect_list("query_id").alias("query_ids"))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+    )
+    matched = (
+        index["segments"]
+        .join(q_term_lists, ["term_bucket", "term"])
+        .select("query_ids", "shard", *_BLOB_COLS)
+    )
+    return (
+        matched.repartition(_shard_partitions(spark, n_shards), "shard")
+        .mapInPandas(_matching_docs_kernel(), "query_id long, doc_id long")
+    )
+
+
+def facet_counts(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    docs_meta: DataFrame,
+    facet_col: str,
+    config: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """Facet aggregation over the FULL match set (not just top-k): for
+    each query, count matching documents per value of ``facet_col`` in
+    ``docs_meta`` (doc_id + metadata columns). The match set never
+    collects anywhere: (query_id, doc_id) rows join doc metadata on
+    doc_id and hash-aggregate with map-side partials — both sides stay
+    distributed, the standard facet pipeline shape."""
+    matches = matching_docs(spark, index, queries, config)
+    return (
+        matches.join(docs_meta.select("doc_id", facet_col), "doc_id")
+        .groupBy("query_id", facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def snippets(
     spark: SparkSession,
     docs: DataFrame,
