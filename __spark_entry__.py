@@ -151,6 +151,79 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
 
+def _bm25_expansion_oracle(values_sql: str, match_cond: str) -> str:
+    """BM25 oracle where each raw query token expands over the term
+    dictionary via ``match_cond`` (a boolean SQL expr over q.qterm and
+    v.term) — the DuckDB twin of the fuzzy/prefix/wildcard rewrite:
+    expanded terms score exactly like plain query terms."""
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {values_sql}),
+qraw AS (SELECT DISTINCT query_id, lower(u.t) AS qterm FROM queries,
+         unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+qterms AS (SELECT DISTINCT q.query_id, v.term FROM qraw q
+           JOIN tstats v ON {match_cond}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
+# misspellings of documents-table vocabulary (edit distance 1)
+FUZZY_QUERIES = [
+    (0, "sparc"),       # substitution -> spark
+    (1, "joln tabl"),   # substitution -> join, deletion -> table
+    (2, "th"),          # deletion of a head term -> the
+    (3, "xyzzyq"),      # no match
+    (4, "hash"),        # exact (distance 0 still matches)
+]
+_FUZZY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in FUZZY_QUERIES)
+
+PREFIX_QUERIES = [
+    (0, "s"),           # scan slow small sort spark stream
+    (1, "gr w"),        # group + window
+    (2, "quer"),        # query
+    (3, "zz"),          # no match
+]
+_PREFIX_VALUES = ", ".join(f"({i}, '{t}')" for i, t in PREFIX_QUERIES)
+
+WILDCARD_QUERIES = [
+    (0, "s?an"),        # scan
+    (1, "*dow me*e"),   # window + merge (leading wildcard allowed)
+    (2, "quer*"),       # query
+    (3, "x*z"),         # no match
+]
+_WILDCARD_VALUES = ", ".join(f"({i}, '{t}')" for i, t in WILDCARD_QUERIES)
+
+# ((hash AND join) OR window) AND NOT stream
+BOOLEAN_EXPR = (
+    "and",
+    [
+        ("or", [("and", [("term", "hash"), ("term", "join")]), ("term", "window")]),
+        ("not", ("term", "stream")),
+    ],
+)
+
+
 _BM25_MSM_ORACLE = f"""
 WITH toks AS ({_TOKS}),
 postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -368,6 +441,50 @@ def q_phrase_search(spark, sf_dir):
     index = _index_for(spark, sf_dir)
     pdf = spark.createDataFrame(PHRASES, "query_id long, text string")
     return phrase_search(spark, index, pdf, WS).select("query_id", "doc_id")
+
+
+def q_fuzzy_search(spark, sf_dir):
+    """Fuzzy top-k BM25: query terms expand to dictionary terms within
+    Levenshtein distance 1 via the SymSpell deletion-neighbourhood
+    equi-join (no cross join, dictionary stays distributed), then score
+    through the compressed segment path
+    (index/query.py:bm25_segments_fuzzy)."""
+    from tokenkit_spark.index.query import bm25_segments_fuzzy
+
+    index = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(FUZZY_QUERIES, "query_id long, text string")
+    return bm25_segments_fuzzy(spark, index, qdf, WS, k=10, round_digits=4)
+
+
+def q_prefix_search(spark, sf_dir):
+    """Prefix top-k BM25: each pattern expands over the term dictionary
+    (broadcast startswith join) and scores through the segment path
+    (index/query.py:bm25_segments_prefix)."""
+    from tokenkit_spark.index.query import bm25_segments_prefix
+
+    index = _index_for(spark, sf_dir)
+    pdf = spark.createDataFrame(PREFIX_QUERIES, "query_id long, text string")
+    return bm25_segments_prefix(spark, index, pdf, k=10, round_digits=4)
+
+
+def q_wildcard_search(spark, sf_dir):
+    """Wildcard (*/?) top-k BM25 via anchored-regex dictionary expansion
+    (index/query.py:bm25_segments_wildcard)."""
+    from tokenkit_spark.index.query import bm25_segments_wildcard
+
+    index = _index_for(spark, sf_dir)
+    pdf = spark.createDataFrame(WILDCARD_QUERIES, "query_id long, text string")
+    return bm25_segments_wildcard(spark, index, pdf, k=10, round_digits=4)
+
+
+def q_boolean_search(spark, sf_dir):
+    """Boolean query tree ((hash AND join) OR window) AND NOT stream,
+    evaluated as distributed set algebra over one batched matching_docs
+    pass (index/query.py:boolean_search)."""
+    from tokenkit_spark.index.query import boolean_search
+
+    index = _index_for(spark, sf_dir)
+    return boolean_search(spark, index, BOOLEAN_EXPR, WS)
 
 
 def q_facet_counts(spark, sf_dir):
@@ -901,6 +1018,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_terms": q_stemmed_terms,
         "phrase_search": q_phrase_search,
         "facet_counts": q_facet_counts,
+        "fuzzy_search": q_fuzzy_search,
+        "prefix_search": q_prefix_search,
+        "wildcard_search": q_wildcard_search,
+        "boolean_search": q_boolean_search,
         "proximity_search": q_proximity_search,
         "snippets": q_snippets,
         "media_headers": q_media_headers,
@@ -1118,6 +1239,26 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT query_id, doc_id FROM phrases, s WHERE instr(ts, p) > 0"
         ),
         "snippets": _SNIPPET_ORACLE,
+        "fuzzy_search": _bm25_expansion_oracle(
+            _FUZZY_VALUES, "levenshtein(q.qterm, v.term) <= 1"
+        ),
+        "prefix_search": _bm25_expansion_oracle(
+            _PREFIX_VALUES, "v.term LIKE q.qterm || '%'"
+        ),
+        "wildcard_search": _bm25_expansion_oracle(
+            _WILDCARD_VALUES,
+            "v.term LIKE replace(replace(q.qterm, '*', '%'), '?', '_')",
+        ),
+        "boolean_search": (
+            f"WITH toks AS ({_TOKS}), "
+            "m AS (SELECT DISTINCT doc_id, term FROM toks) "
+            "SELECT doc_id FROM ("
+            "  SELECT doc_id FROM ("
+            "    SELECT doc_id FROM m WHERE term = 'hash' "
+            "    INTERSECT SELECT doc_id FROM m WHERE term = 'join') "
+            "  UNION SELECT doc_id FROM m WHERE term = 'window') "
+            "EXCEPT SELECT doc_id FROM m WHERE term = 'stream'"
+        ),
         "facet_counts": (
             "WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents, "
             "unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)), "

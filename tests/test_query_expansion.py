@@ -1,0 +1,198 @@
+"""Query-expansion search paths: fuzzy (Levenshtein<=1 via SymSpell
+deletion-neighbourhood join), prefix, wildcard, and boolean query trees.
+Each is verified against a pure-Python brute-force recompute over the
+same corpus, and fuzzy/prefix/wildcard scoring must be IDENTICAL to the
+plain segment path run on the pre-expanded term set."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tokenkit_spark import AnalyzerConfig
+from tokenkit_spark.index.build import build_index, load_index
+from tokenkit_spark.index.query import (
+    analyze_queries,
+    bm25_segments,
+    bm25_segments_fuzzy,
+    bm25_segments_prefix,
+    bm25_segments_wildcard,
+    boolean_search,
+    expand_pattern_terms,
+    fuzzy_expand_terms,
+)
+from tokenkit_spark.sources.pages import pages_to_docs, synth_pages
+
+CFG = AnalyzerConfig(strategy="whitespace", lowercase=True)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return pages_to_docs(synth_pages(spark, n_docs=400, seed=7)).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("xidx") / "index")
+    build_index(spark, docs, path, CFG, n_shards=4, n_buckets=8)
+    return load_index(spark, path)
+
+
+@pytest.fixture(scope="module")
+def vocab(index):
+    return {r.term: r.df for r in index["term_stats"].collect()}
+
+
+def _lev(a: str, b: str) -> int:
+    if abs(len(a) - len(b)) > 1:  # cheap bound, enough for d<=1 checks
+        return 2
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _mutated_queries(vocab):
+    """Deterministic misspellings of real dictionary terms."""
+    words = sorted(t for t in vocab if t.isalpha() and 4 <= len(t) <= 9)
+    picks = words[:: max(1, len(words) // 4)][:4]
+    qs = []
+    for i, w in enumerate(picks):
+        qs.append((i, w[:-1]))           # deletion
+    qs.append((len(qs), picks[0] + "q"))  # insertion
+    qs.append((len(qs), "zzqxj"))         # no match
+    return qs
+
+
+def test_fuzzy_expansion_matches_brute(spark, index, vocab):
+    qs = _mutated_queries(vocab)
+    qdf = spark.createDataFrame(qs, "query_id long, text string")
+    got = {
+        (r.query_id, r.term)
+        for r in fuzzy_expand_terms(
+            index, analyze_queries(qdf, CFG), max_expansions=10**6
+        ).collect()
+    }
+    want = {
+        (qid, t) for qid, q in qs for t in vocab if _lev(q, t) <= 1
+    }
+    assert got == want
+    assert any(qid == 0 for qid, _t in got)  # mutations actually expand
+    assert not any(qid == qs[-1][0] for qid, _t in got)  # zzqxj matches nothing
+
+
+def test_fuzzy_cap_keeps_highest_df(spark, index, vocab):
+    qs = _mutated_queries(vocab)[:2]
+    qdf = spark.createDataFrame(qs, "query_id long, text string")
+    full = fuzzy_expand_terms(index, analyze_queries(qdf, CFG), max_expansions=10**6)
+    capped = {
+        (r.query_id, r.term)
+        for r in fuzzy_expand_terms(
+            index, analyze_queries(qdf, CFG), max_expansions=1
+        ).collect()
+    }
+    by_q = {}
+    for r in full.collect():
+        by_q.setdefault(r.query_id, []).append(r.term)
+    for qid, terms in by_q.items():
+        best = sorted(terms, key=lambda t: (-vocab[t], t))[0]
+        assert (qid, best) in capped
+    assert len(capped) == len(by_q)  # exactly one per (query, qterm)
+
+
+def test_fuzzy_scoring_equals_plain_on_expanded(spark, index, vocab):
+    """bm25_segments_fuzzy == bm25_segments run on a query whose text IS
+    the expanded term set (rank and score identical)."""
+    qs = _mutated_queries(vocab)
+    qdf = spark.createDataFrame(qs, "query_id long, text string")
+    expanded = fuzzy_expand_terms(index, analyze_queries(qdf, CFG)).collect()
+    by_q = {}
+    for r in expanded:
+        by_q.setdefault(r.query_id, []).append(r.term)
+    plain_qdf = spark.createDataFrame(
+        [(q, " ".join(sorted(ts))) for q, ts in by_q.items()],
+        "query_id long, text string",
+    )
+    a = bm25_segments_fuzzy(spark, index, qdf, CFG, k=10).collect()
+    b = bm25_segments(spark, index, plain_qdf, CFG, k=10).collect()
+    norm = lambda rows: sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in rows
+    )
+    assert norm(a) == norm(b)
+    assert a  # fuzzy queries really rank docs
+
+
+def test_prefix_and_wildcard_expansion_match_brute(spark, index, vocab):
+    words = sorted(t for t in vocab if t.isalpha() and len(t) >= 5)
+    w0 = words[0]
+    pats_pre = [(0, w0[:3]), (1, w0[:1] + " " + words[-1][:2]), (2, "zzqx")]
+    pdf = spark.createDataFrame(pats_pre, "query_id long, text string")
+    got = {
+        (r.query_id, r.term)
+        for r in expand_pattern_terms(spark, index, pdf, "prefix").collect()
+    }
+    want = {
+        (qid, t)
+        for qid, pat in pats_pre
+        for tok in pat.split()
+        for t in vocab
+        if t.startswith(tok)
+    }
+    assert got == want and got
+
+    pats_wc = [(0, w0[0] + "?" + w0[2:]), (1, "*" + w0[-3:]), (2, w0[:2] + "*"), (3, "zz*qx")]
+    wdf = spark.createDataFrame(pats_wc, "query_id long, text string")
+    got_wc = {
+        (r.query_id, r.term)
+        for r in expand_pattern_terms(spark, index, wdf, "wildcard").collect()
+    }
+    import re
+
+    def wc_match(pat, t):
+        rx = "^" + re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+        return re.match(rx, t) is not None
+
+    want_wc = {
+        (qid, t)
+        for qid, pat in pats_wc
+        for tok in pat.split()
+        for t in vocab
+        if wc_match(tok, t)
+    }
+    assert got_wc == want_wc and got_wc
+    # scoring parity through both rewrite paths
+    a = bm25_segments_prefix(spark, index, pdf, k=5).collect()
+    assert a and all(r.rank <= 5 for r in a)
+    b = bm25_segments_wildcard(spark, index, wdf, k=5).collect()
+    assert b and all(r.rank <= 5 for r in b)
+
+
+def test_boolean_search_matches_brute(spark, index, docs, vocab):
+    top = [t for t, _df in sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:4]]
+    t1, t2, t3, t4 = top
+    expr = ("and", [
+        ("or", [("and", [("term", t1), ("term", t2)]), ("term", t3)]),
+        ("not", ("term", t4)),
+    ])
+    got = {r.doc_id for r in boolean_search(spark, index, expr, CFG).collect()}
+
+    sets = {t: set() for t in top}
+    for r in docs.select("doc_id", "text").collect():
+        toks = set(r.text.lower().split())
+        for t in top:
+            if t in toks:
+                sets[t].add(r.doc_id)
+    want = ((sets[t1] & sets[t2]) | sets[t3]) - sets[t4]
+    assert got == want and got
+
+    # top-level NOT complements against the universe
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    got_not = {
+        r.doc_id
+        for r in boolean_search(spark, index, ("not", ("term", t1)), CFG).collect()
+    }
+    assert got_not == all_ids - sets[t1]
+
+    with pytest.raises(ValueError, match="unknown op"):
+        boolean_search(spark, index, ("xor", [("term", t1)]), CFG)

@@ -191,12 +191,29 @@ def bm25_segments(
 ) -> DataFrame:
     """Top-k BM25 over the compressed doc-sharded index (see module doc)."""
     cfg = config or AnalyzerConfig()
+    q_terms = analyze_queries(queries, cfg)
+    return _bm25_from_qterms(
+        spark, index, q_terms, k, round_digits, use_blockmax, direct_max_blocks
+    )
+
+
+def _bm25_from_qterms(
+    spark: SparkSession,
+    index: dict,
+    q_terms: DataFrame,
+    k: int = 10,
+    round_digits: int | None = None,
+    use_blockmax: bool = True,
+    direct_max_blocks: int = DIRECT_MAX_BLOCKS,
+) -> DataFrame:
+    """Core of bm25_segments over a pre-analyzed / pre-expanded
+    (query_id, term) set — shared by the plain, fuzzy, prefix, and
+    wildcard query paths (expansion happens upstream; scoring is
+    identical: every expanded term contributes its own idf*norm)."""
     stats = index["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     n_buckets = int(stats["n_buckets"])
     n_shards = int(stats["n_shards"])
-
-    q_terms = analyze_queries(queries, cfg)
     # driver-side term list: queries are small by definition; lets us push
     # term/bucket predicates INTO the parquet scan (partition+rowgroup prune)
     terms = [r.term for r in q_terms.select("term").distinct().collect()]
@@ -238,6 +255,180 @@ def bm25_segments(
         )
     )
     return _topk_window(candidates, k, round_digits)
+
+
+def _deletion_variants(col: str):
+    """All single-character deletions of string column ``col`` plus the
+    string itself, as a deduplicated array. Pure Catalyst (array lambda,
+    no UDF) — this is the SymSpell trick: two strings are within
+    Levenshtein distance 1 iff their deletion neighbourhoods intersect,
+    so an equi-join on variants replaces the quadratic distance scan."""
+    return F.expr(
+        f"array_union(array({col}), transform(sequence(1, length({col})), "
+        f"i -> concat(substring({col}, 1, i - 1), "
+        f"substring({col}, i + 1, length({col})))))"
+    )
+
+
+def fuzzy_expand_terms(
+    index: dict,
+    q_terms: DataFrame,
+    max_dist: int = 1,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """(query_id, term) -> (query_id, term) with each query term replaced
+    by every dictionary term within Levenshtein distance ``max_dist``.
+
+    Scale path: the term dictionary stays DISTRIBUTED — its deletion
+    variants are a narrow generated column; the (tiny) query variant set
+    broadcasts, the equi-join on variant prunes to candidates, and only
+    candidates pay the exact ``levenshtein`` verify (JVM built-in). No
+    cross join, no UDF. Per (query, term), expansions are capped at
+    ``max_expansions`` highest-df dictionary terms (ties by term) — the
+    Lucene FuzzyQuery safety valve against head-of-dictionary blowups."""
+    if max_dist != 1:
+        raise ValueError(
+            "fuzzy_expand_terms: only max_dist=1 is supported (the "
+            "depth-1 deletion neighbourhood is complete only for d<=1)"
+        )
+    qv = (
+        q_terms.select("query_id", F.col("term").alias("qterm"))
+        .distinct()
+        .select(
+            "query_id", "qterm",
+            F.explode(_deletion_variants("qterm")).alias("variant"),
+        )
+    )
+    dv = index["term_stats"].select(
+        "term", "df", F.explode(_deletion_variants("term")).alias("variant")
+    )
+    cand = (
+        dv.join(F.broadcast(qv), "variant")
+        .select("query_id", "qterm", "term", "df")
+        .distinct()
+        .filter(F.levenshtein(F.col("qterm"), F.col("term")) <= max_dist)
+    )
+    w = Window.partitionBy("query_id", "qterm").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_expansions)
+        .select("query_id", "term")
+        .distinct()
+    )
+
+
+def bm25_segments_fuzzy(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    max_dist: int = 1,
+    max_expansions: int = 50,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Fuzzy top-k BM25: every analyzed query term expands to the
+    dictionary terms within edit distance ``max_dist`` (SymSpell
+    deletion-neighbourhood join, see fuzzy_expand_terms), then the
+    expanded term set scores through the plain segment path — each
+    expanded term contributes its own idf*norm, ranks pinned
+    (score desc, doc_id asc)."""
+    cfg = config or AnalyzerConfig()
+    expanded = fuzzy_expand_terms(
+        index, analyze_queries(queries, cfg), max_dist, max_expansions
+    )
+    return _bm25_from_qterms(spark, index, expanded, k, round_digits)
+
+
+def _split_patterns(patterns: DataFrame) -> list[tuple[int, str]]:
+    """Collect (query_id, pattern-token) pairs driver-side. Pattern SETS
+    are small by definition (they are user queries); the expensive side —
+    the term dictionary — never leaves the cluster."""
+    out = []
+    for r in patterns.select("query_id", "text").collect():
+        for tok in str(r.text).lower().split():
+            out.append((int(r.query_id), tok))
+    return out
+
+
+def expand_pattern_terms(
+    spark: SparkSession,
+    index: dict,
+    patterns: DataFrame,
+    kind: str = "prefix",
+    max_expansions: int = 1000,
+) -> DataFrame:
+    """(query_id, text) of whitespace-separated prefix / wildcard
+    patterns -> (query_id, term) expanded over the term dictionary.
+
+    kind='prefix': each token is a literal prefix (startswith join).
+    kind='wildcard': tokens may contain ``*`` (any run) and ``?`` (one
+    char); translated to an anchored regex, matched with RLIKE.
+    Either way the dictionary streams through ONE broadcast join — no
+    collect of term_stats, no per-pattern scan. Expansions capped at
+    ``max_expansions`` highest-df terms per (query, pattern)."""
+    pairs = _split_patterns(patterns)
+    if not pairs:
+        return spark.createDataFrame([], "query_id long, term string")
+    if kind == "prefix":
+        pdf = spark.createDataFrame(pairs, "query_id long, pat string")
+        joined = index["term_stats"].join(
+            F.broadcast(pdf), F.col("term").startswith(F.col("pat"))
+        )
+    elif kind == "wildcard":
+        import re as _re
+
+        def rx(p: str) -> str:
+            return "^" + _re.escape(p).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+
+        pdf = spark.createDataFrame(
+            [(q, p, rx(p)) for q, p in pairs], "query_id long, pat string, rx string"
+        )
+        joined = index["term_stats"].join(F.broadcast(pdf), F.expr("term RLIKE rx"))
+    else:
+        raise ValueError(f"expand_pattern_terms: unknown kind {kind!r}")
+    w = Window.partitionBy("query_id", "pat").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        joined.select("query_id", "pat", "term", "df")
+        .distinct()
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_expansions)
+        .select("query_id", "term")
+        .distinct()
+    )
+
+
+def bm25_segments_prefix(
+    spark: SparkSession,
+    index: dict,
+    patterns: DataFrame,
+    k: int = 10,
+    max_expansions: int = 1000,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Prefix top-k BM25: each pattern token expands to every dictionary
+    term starting with it; expanded terms score through the plain
+    segment path (Lucene PrefixQuery under scoring rewrite)."""
+    expanded = expand_pattern_terms(spark, index, patterns, "prefix", max_expansions)
+    return _bm25_from_qterms(spark, index, expanded, k, round_digits)
+
+
+def bm25_segments_wildcard(
+    spark: SparkSession,
+    index: dict,
+    patterns: DataFrame,
+    k: int = 10,
+    max_expansions: int = 1000,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Wildcard (``*``/``?``) top-k BM25 via dictionary expansion —
+    leading wildcards allowed (full dictionary stream, documented cost)."""
+    expanded = expand_pattern_terms(spark, index, patterns, "wildcard", max_expansions)
+    return _bm25_from_qterms(spark, index, expanded, k, round_digits)
 
 
 def _wand_stats_kernel(k: int, avgdl: float):
@@ -687,6 +878,83 @@ def facet_counts(
         .groupBy("query_id", facet_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def boolean_search(
+    spark: SparkSession,
+    index: dict,
+    expr,
+    config: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """Evaluate a boolean query tree over the index; returns the matching
+    doc_id set (one column, distinct).
+
+    ``expr`` is nested tuples:
+        ("term", "hash join")        — leaf: docs containing >= 1 analyzed
+                                       token of the text (disjunctive,
+                                       same contract as matching_docs)
+        ("and",  [e1, e2, ...])      — intersection
+        ("or",   [e1, e2, ...])      — union
+        ("not",  e)                  — complement; inside an AND this is
+                                       a left_anti (MUST_NOT); at top
+                                       level it complements against the
+                                       full doc_stats universe.
+
+    Scale shape: ALL leaves batch into ONE matching_docs pass (one
+    segment scan), the per-leaf sets stay distributed, and composition is
+    pure relational algebra — left_semi for AND, union+distinct for OR,
+    left_anti for NOT. Nothing collects."""
+    cfg = config or AnalyzerConfig()
+    leaves: list[str] = []
+
+    def collect_leaves(node):
+        op = node[0]
+        if op == "term":
+            leaves.append(node[1])
+        elif op in ("and", "or"):
+            for child in node[1]:
+                collect_leaves(child)
+        elif op == "not":
+            collect_leaves(node[1])
+        else:
+            raise ValueError(f"boolean_search: unknown op {op!r}")
+
+    collect_leaves(expr)
+    uniq = sorted(set(leaves))
+    if not uniq:
+        raise ValueError("boolean_search: expression has no term leaves")
+    leaf_id = {t: i for i, t in enumerate(uniq)}
+    qdf = spark.createDataFrame(
+        [(i, t) for t, i in leaf_id.items()], "query_id long, text string"
+    )
+    matches = matching_docs(spark, index, qdf, cfg).cache()
+    universe = index["doc_stats"].select("doc_id")
+
+    def ev(node) -> DataFrame:
+        op = node[0]
+        if op == "term":
+            return matches.filter(
+                F.col("query_id") == leaf_id[node[1]]
+            ).select("doc_id")
+        if op == "and":
+            pos = [c for c in node[1] if c[0] != "not"]
+            neg = [c[1] for c in node[1] if c[0] == "not"]
+            acc = ev(pos[0]) if pos else universe
+            for c in pos[1:]:
+                acc = acc.join(ev(c), "doc_id", "left_semi")
+            for c in neg:
+                acc = acc.join(ev(c), "doc_id", "left_anti")
+            return acc
+        if op == "or":
+            out = ev(node[1][0])
+            for c in node[1][1:]:
+                out = out.unionByName(ev(c))
+            return out.distinct()
+        if op == "not":
+            return universe.join(ev(node[1]), "doc_id", "left_anti")
+        raise ValueError(f"boolean_search: unknown op {op!r}")
+
+    return ev(expr).distinct()
 
 
 def snippets(
