@@ -443,6 +443,31 @@ def q_phrase_search(spark, sf_dir):
     return phrase_search(spark, index, pdf, WS).select("query_id", "doc_id")
 
 
+def q_histogram_facet(spark, sf_dir):
+    """Numeric histogram facet (ES histogram-agg contract: bucket =
+    floor(v/w)*w) over the full disjunctive match set, on n_chars with
+    width 100 (index/query.py:histogram_facet)."""
+    from tokenkit_spark.index.query import histogram_facet
+
+    index = _index_for(spark, sf_dir)
+    docs_meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return histogram_facet(
+        spark, index, _queries_df(spark), docs_meta, "n_chars", 100.0, WS
+    ).select("query_id", F.col("bucket").cast("double").alias("bucket"), "n_docs")
+
+
+def q_clean_corpus(spark, sf_dir):
+    """C4/Gopher-style corpus cleaning pipeline: language filter +
+    quality floor + token floor + exact dedup keeping the lowest doc_id
+    (ops/pipeline.py:clean_corpus — pure Catalyst + one partial-agg
+    shuffle, no UDFs)."""
+    from tokenkit_spark.ops.pipeline import clean_corpus
+
+    return clean_corpus(
+        _docs(spark, sf_dir), langs=("en",), min_quality=0.5, min_tokens=20
+    )
+
+
 def q_fuzzy_search(spark, sf_dir):
     """Fuzzy top-k BM25: query terms expand to dictionary terms within
     Levenshtein distance 1 via the SymSpell deletion-neighbourhood
@@ -1022,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "boolean_search": q_boolean_search,
+        "histogram_facet": q_histogram_facet,
+        "clean_corpus": q_clean_corpus,
         "proximity_search": q_proximity_search,
         "snippets": q_snippets,
         "media_headers": q_media_headers,
@@ -1286,6 +1313,19 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2"
         ),
         "lang_detect": _lang_detect_oracle(),
+        "clean_corpus": _clean_corpus_oracle(),
+        "histogram_facet": (
+            "WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents, "
+            "unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)), "
+            f"queries(query_id, qtext) AS (VALUES {_BM25_VALUES}), "
+            "qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries, "
+            "unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)), "
+            "matches AS (SELECT DISTINCT q.query_id, t.doc_id "
+            "FROM qterms q JOIN toks t USING (term)) "
+            "SELECT m.query_id, floor(d.n_chars / 100.0) * 100.0 AS bucket, "
+            "count(*) AS n_docs "
+            "FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2"
+        ),
         "media_headers": _media_headers_oracle(),
         "audio_features": _audio_features_oracle(),
         "url_dedup": (
@@ -1336,6 +1376,47 @@ def oracle_sql() -> dict[str, str]:
             else {}
         ),
     }
+
+
+def _clean_corpus_oracle() -> str:
+    """DuckDB twin of ops/pipeline.py:clean_corpus with the same
+    constants (langs=('en',), min_quality=0.5 on the 4-dp-rounded score,
+    min_tokens=20, exact dedup keeping min doc_id per text)."""
+    stop_en = ", ".join(f"'{s}'" for s in textstats.STOPWORDS["en"])
+    arms = []
+    for lang in sorted(textstats.STOPWORDS):
+        stops = ", ".join(f"'{s}'" for s in textstats.STOPWORDS[lang])
+        arms.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, t -> t IN ({stops})))::DOUBLE "
+            "/ greatest(len(toks), 1) AS score FROM base"
+        )
+    return (
+        "WITH base AS (SELECT doc_id, text, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks, "
+        "length(text) AS n_chars FROM documents), "
+        "feats AS (SELECT doc_id, len(toks) AS n_tokens, "
+        "CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, "
+        "'[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / n_chars ELSE 0.0 END AS pr, "
+        f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> t IN ({stop_en})))::DOUBLE "
+        "/ len(toks) ELSE 0.0 END AS sr, "
+        "CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::DOUBLE / len(toks) "
+        "ELSE 0.0 END AS ur FROM base), "
+        "qs AS (SELECT doc_id, n_tokens, "
+        "round(least(n_tokens / 32.0, 1.0) * 0.25 + (1.0 - least(pr * 4.0, 1.0)) * 0.25 "
+        "+ least(sr * 4.0, 1.0) * 0.25 + ur * 0.25, 4) AS quality_score FROM feats), "
+        "sc AS (" + " UNION ALL ".join(arms) + "), "
+        "best AS (SELECT doc_id, lang, score, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc), "
+        "langp AS (SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS "
+        "lang_pred FROM best WHERE rn = 1), "
+        "kept AS (SELECT q.doc_id, l.lang_pred, q.n_tokens, q.quality_score, b.text "
+        "FROM qs q JOIN langp l USING (doc_id) JOIN base b USING (doc_id) "
+        "WHERE l.lang_pred IN ('en') AND q.quality_score >= 0.5 AND q.n_tokens >= 20), "
+        "canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text) "
+        "SELECT k.doc_id, k.lang_pred, k.n_tokens::INT AS n_tokens, k.quality_score "
+        "FROM kept k JOIN canon c USING (doc_id)"
+    )
 
 
 def _lang_detect_oracle() -> str:

@@ -669,3 +669,33 @@ def test_facet_counts_match_brute(spark, docs, queries_df, index):
     m = matching_docs(spark, index, queries_df, CFG)
     n_head = m.filter(F.col("query_id") == 2).count()
     assert n_head > 10
+
+
+def test_histogram_facet_matches_brute(spark, docs, queries_df, index):
+    from tokenkit_spark.index.query import histogram_facet
+
+    meta = docs.withColumn("n_chars", F.length("text")).select("doc_id", "n_chars")
+    got = sorted(
+        (r.query_id, r.bucket, r.n_docs)
+        for r in histogram_facet(
+            spark, index, queries_df, meta, "n_chars", 50.0, CFG
+        ).collect()
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    qt = queries_df.select(
+        "query_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).distinct()
+    want = sorted(
+        (r.query_id, r.bucket, r.n_docs)
+        for r in toks.join(qt, "term").select("query_id", "doc_id").distinct()
+        .join(meta, "doc_id")
+        .groupBy("query_id", (F.floor(F.col("n_chars") / 50.0) * 50.0).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="bucket_width"):
+        histogram_facet(spark, index, queries_df, meta, "n_chars", 0, CFG)

@@ -880,6 +880,34 @@ def facet_counts(
     )
 
 
+def histogram_facet(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    docs_meta: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    config: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """Numeric histogram facet over the FULL match set: for each query,
+    count matching documents per fixed-width bucket of ``value_col``
+    (bucket = floor(value / width) * width — the ES histogram agg
+    contract). Same distributed shape as facet_counts."""
+    if bucket_width <= 0:
+        raise ValueError("histogram_facet: bucket_width must be > 0")
+    matches = matching_docs(spark, index, queries, config)
+    bucket = (
+        F.floor(F.col(value_col) / F.lit(float(bucket_width)))
+        * F.lit(float(bucket_width))
+    ).alias("bucket")
+    return (
+        matches.join(docs_meta.select("doc_id", value_col), "doc_id")
+        .select("query_id", bucket)
+        .groupBy("query_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def boolean_search(
     spark: SparkSession,
     index: dict,
