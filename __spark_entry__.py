@@ -151,6 +151,50 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
 
+# title = first 3 whitespace tokens, body = rest; Lucene per-field
+# semantics: an empty field contributes no dl row, so it is absent from
+# that field's N/avgdl.
+MULTIFIELD_BOOSTS = {"title": 2.0, "body": 1.0}
+
+_BM25_MULTIFIELD_ORACLE = f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+           FROM documents),
+ftoks AS (
+  SELECT doc_id, 'title' AS field, lower(u.t) AS term FROM t, unnest(l[1:3]) AS u(t)
+  UNION ALL
+  SELECT doc_id, 'body' AS field, lower(u.t) AS term FROM t, unnest(l[4:]) AS u(t)),
+postings AS (SELECT field, term, doc_id, count(*) AS tf FROM ftoks GROUP BY 1, 2, 3),
+dstats AS (SELECT field, doc_id, count(*) AS dl FROM ftoks GROUP BY 1, 2),
+globals AS (SELECT field, count(*) AS n_docs, avg(dl) AS avgdl FROM dstats GROUP BY 1),
+tstats AS (SELECT field, term, count(*) AS df FROM postings GROUP BY 1, 2),
+boosts(field, boost) AS (VALUES ('title', 2.0), ('body', 1.0)),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( b.boost
+              * ln(1 + (g.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats ts ON ts.field = p.field AND ts.term = p.term
+  JOIN dstats d ON d.field = p.field AND d.doc_id = p.doc_id
+  JOIN globals g ON g.field = p.field
+  JOIN boosts b ON b.field = p.field
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
 def _bm25_expansion_oracle(values_sql: str, match_cond: str) -> str:
     """BM25 oracle where each raw query token expands over the term
     dictionary via ``match_cond`` (a boolean SQL expr over q.qterm and
@@ -355,6 +399,55 @@ def q_bm25_msm2(spark, sf_dir):
     index = _index_for(spark, sf_dir)
     return bm25_segments_msm(
         spark, index, _queries_df(spark), WS, k=10, min_match=2, round_digits=4
+    )
+
+
+def _mf_indexes(spark, sf_dir):
+    """Per-field (title/body) compressed indexes over documents; title =
+    first 3 whitespace tokens, body = the rest. Cached like _index_for."""
+    key = f"{sf_dir}::mf"
+    if key not in _INDEX_CACHE:
+        docs = (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .withColumn("toks", F.expr(r"filter(split(text, '\\s+'), x -> x <> '')"))
+        )
+        title = docs.select(
+            "doc_id", F.array_join(F.expr("slice(toks, 1, 3)"), " ").alias("text")
+        )
+        body = docs.select(
+            "doc_id",
+            F.array_join(
+                F.expr("slice(toks, 4, greatest(size(toks) - 3, 0))"), " "
+            ).alias("text"),
+        )
+        out = {}
+        for name, fdf in (("title", title), ("body", body)):
+            path = os.path.join(
+                tempfile.gettempdir(),
+                f"tokenkit_idx_v5_{os.path.basename(os.path.normpath(sf_dir))}_{name}",
+            )
+            build_index(spark, fdf, path, WS, n_shards=8, n_buckets=16, resume=True)
+            out[name] = load_index(spark, path)
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
+def q_bm25_multifield(spark, sf_dir):
+    """Boosted multi-field BM25 (title^2 + body) through two per-field
+    compressed indexes: per-field df/N/avgdl, boost-folded idf, one
+    union + one shard shuffle (index/query.py:bm25_multifield — the
+    Lucene MultiFieldQueryParser contract)."""
+    from tokenkit_spark.index.query import bm25_multifield
+
+    return bm25_multifield(
+        spark,
+        _mf_indexes(spark, sf_dir),
+        MULTIFIELD_BOOSTS,
+        _queries_df(spark),
+        WS,
+        k=10,
+        round_digits=4,
     )
 
 
@@ -1009,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_segments": q_bm25_top10_segments,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_msm2": q_bm25_msm2,
+        "bm25_multifield": q_bm25_multifield,
         "doc_stats": q_doc_stats,
         "term_stats_segments": q_term_stats_segments,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1090,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10_segments": _BM25_ORACLE,
         "bm25_conjunctive": _BM25_CONJ_ORACLE,
         "bm25_msm2": _BM25_MSM_ORACLE,
+        "bm25_multifield": _BM25_MULTIFIELD_ORACLE,
         "doc_stats": (
             f"WITH toks AS ({_TOKS}) SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1"
         ),

@@ -431,6 +431,115 @@ def bm25_segments_wildcard(
     return _bm25_from_qterms(spark, index, expanded, k, round_digits)
 
 
+_FIELD_COLS = ["avgdl", *_TERM_COLS]
+
+
+def _multifield_kernel(k: int):
+    """mapInPandas kernel for multi-field scoring: one group per
+    (query, doc-shard) gathers the matched posting rows of EVERY field
+    (all fields shard docs identically), so cross-field sums are local
+    and the shard-local top-k is exact."""
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict[tuple[int, int], list[dict]] = {}
+        for pdf in batch_iter:
+            for row in pdf.itertuples(index=False):
+                t = {c: getattr(row, c) for c in _FIELD_COLS}
+                for q in row.query_ids:
+                    groups.setdefault((int(q), int(row.shard)), []).append(t)
+        out_q, out_d, out_s = [], [], []
+        for (q, _shard), terms in groups.items():
+            res = wand.score_query_fields(terms, k)
+            ids, scores = res["doc_ids"], res["scores"]
+            out_q.extend([q] * len(ids))
+            out_d.extend(np.asarray(ids).tolist())
+            out_s.extend(np.asarray(scores).tolist())
+        yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return fn
+
+
+def bm25_multifield(
+    spark: SparkSession,
+    indexes: dict[str, dict],
+    boosts: dict[str, float],
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Multi-field top-k BM25 with field boosts:
+
+        score(q, d) = Σ_field boost_f * bm25_f(q, d)
+
+    where bm25_f uses field f's OWN df/N/avgdl (per-field BM25 summed —
+    the Lucene MultiFieldQueryParser contract; docs whose field is empty
+    contribute no doc_stats row, so they don't count toward that field's
+    N or avgdl, matching Lucene's per-field docCount). ``indexes`` maps field
+    name -> a load_index() handle; every field must be built with the
+    same n_shards so a doc's postings from all fields land in the same
+    doc-shard group and combine locally (shard = pmod(xxhash64(doc_id)) is
+    build-parameter-deterministic). The per-field matched segments UNION
+    (no join between fields!), one shuffle on shard, exhaustive local
+    accumulation, global top-k."""
+    cfg = config or AnalyzerConfig()
+    fields = sorted(indexes)
+    if not fields:
+        raise ValueError("bm25_multifield: no field indexes given")
+    shard_counts = {int(indexes[f]["stats"]["n_shards"]) for f in fields}
+    if len(shard_counts) != 1:
+        raise ValueError(
+            f"bm25_multifield: field indexes disagree on n_shards: {shard_counts}"
+        )
+    n_shards = shard_counts.pop()
+
+    q_terms = analyze_queries(queries, cfg)
+    terms = [r.term for r in q_terms.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    q_term_lists = q_terms.groupBy("term").agg(
+        F.collect_list("query_id").alias("query_ids")
+    )
+
+    parts = []
+    for f in fields:
+        idx = indexes[f]
+        stats = idx["stats"]
+        n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+        n_buckets = int(stats["n_buckets"])
+        buckets = list({
+            b.term_bucket
+            for b in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(term_bucket_col(F.col("term"), n_buckets).alias("term_bucket"))
+            .collect()
+        })
+        seg = (
+            idx["segments"]
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+        tstats = idx["term_stats"].filter(F.col("term").isin(terms))
+        parts.append(
+            seg.join(F.broadcast(q_term_lists), "term")
+            .join(F.broadcast(tstats), "term")
+            .withColumn(
+                "idf", _idf(F.col("df"), n_docs) * F.lit(float(boosts.get(f, 1.0)))
+            )
+            .withColumn("avgdl", F.lit(avgdl))
+            .select("query_ids", "shard", *_FIELD_COLS)
+        )
+    matched = parts[0]
+    for p in parts[1:]:
+        matched = matched.unionByName(p)
+
+    candidates = matched.repartition(
+        _shard_partitions(spark, n_shards), "shard"
+    ).mapInPandas(_multifield_kernel(k + 32), "query_id long, doc_id long, score double")
+    return _topk_window(candidates, k, round_digits)
+
+
 def _wand_stats_kernel(k: int, avgdl: float):
     """Stats twin of _score_shard_kernel: same Block-Max WAND pass, but
     emits the pruning counters (blocks decoded vs total) per

@@ -88,6 +88,27 @@ def score_query_direct(terms: list[dict], avgdl: float, k: int) -> dict:
     }
 
 
+def score_query_fields(terms: list[dict], k: int) -> dict:
+    """Multi-field exhaustive accumulation: like score_query_direct, but
+    each term row carries its OWN ``avgdl`` (its field's length norm) and
+    a boost-folded ``idf``, so contributions from different fields of the
+    same doc sum exactly (per-field BM25 with boosts, the Lucene
+    MultiField/combined-fields contract). Same tie order as the
+    single-field paths: (score desc, doc_id asc)."""
+    all_ids, all_scores = [], []
+    for t in terms:
+        doc_ids, _tfs, _dls = decode_full_memo(t)
+        all_ids.append(doc_ids)
+        all_scores.append(float(t["idf"]) * norms_memo(t, float(t["avgdl"])))
+    ids = np.concatenate(all_ids) if all_ids else np.zeros(0, dtype=np.int64)
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    total = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(total, inv, scores)
+    sel = np.lexsort((uniq, -total))[:k]
+    return {"doc_ids": uniq[sel], "scores": total[sel]}
+
+
 def _merge_acc(acc_ids, acc_scores, new_ids, new_scores):
     """Merge (sum) contributions into the sorted accumulator."""
     ids = np.concatenate((acc_ids, new_ids))
