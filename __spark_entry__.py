@@ -242,6 +242,22 @@ FUZZY_QUERIES = [
 ]
 _FUZZY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in FUZZY_QUERIES)
 
+_SUGGEST_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+tstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {{values}}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS qterm FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+cand AS (SELECT q.query_id, q.qterm, t.term AS suggestion, t.df,
+                levenshtein(q.qterm, t.term) AS dist
+         FROM qterms q, tstats t
+         WHERE levenshtein(q.qterm, t.term) = 1),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id, qterm
+                     ORDER BY df DESC, suggestion ASC) AS rank FROM cand)
+SELECT query_id, qterm, rank, suggestion, df, dist FROM ranked WHERE rank <= 5
+"""
+
+
 PREFIX_QUERIES = [
     (0, "s"),           # scan slow small sort spark stream
     (1, "gr w"),        # group + window
@@ -561,6 +577,52 @@ def q_clean_corpus(spark, sf_dir):
     )
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction pass: deterministic email/IPv4/phone fixtures
+    synthesized from (doc_id, source), scrubbed to typed placeholders
+    with pre-replacement match counts (ops/pii.py:scrub_pii — pure
+    Catalyst regexp, RE2-compatible so DuckDB runs identical patterns)."""
+    from tokenkit_spark.ops.pii import scrub_pii
+
+    vals = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("u"), F.col("doc_id").cast("string"),
+            F.lit("@"), F.col("source"), F.lit(".org visit 10."),
+            (F.col("doc_id") % 250).cast("string"), F.lit(".0.1"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit(" no phone")),
+        ).alias("text"),
+    )
+    return scrub_pii(vals)
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: eval set = 20-token excerpts
+    (tokens 5..24) of every doc with doc_id % 97 == 0; flags each
+    training doc sharing >= 1 verbatim 8-gram with an eval item
+    (ops/contamination.py:ngram_contamination — array-lambda gram sets,
+    broadcast eval join, one partial-agg shuffle)."""
+    from tokenkit_spark.ops.contamination import ngram_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                "slice(filter(split(lower(text), '\\\\s+'), x -> x <> ''), 5, 20)"
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return ngram_contamination(docs, eval_docs, n=8)
+
+
 def q_fuzzy_search(spark, sf_dir):
     """Fuzzy top-k BM25: query terms expand to dictionary terms within
     Levenshtein distance 1 via the SymSpell deletion-neighbourhood
@@ -572,6 +634,19 @@ def q_fuzzy_search(spark, sf_dir):
     index = _index_for(spark, sf_dir)
     qdf = spark.createDataFrame(FUZZY_QUERIES, "query_id long, text string")
     return bm25_segments_fuzzy(spark, index, qdf, WS, k=10, round_digits=4)
+
+
+def q_spell_suggest(spark, sf_dir):
+    """Did-you-mean suggester: for each analyzed query term, the top-5
+    dictionary terms at Levenshtein distance 1 ranked by df — SymSpell
+    deletion-neighbourhood equi-join, dictionary stays distributed
+    (index/query.py:suggest_terms, the Lucene DirectSpellChecker
+    contract)."""
+    from tokenkit_spark.index.query import suggest_terms
+
+    index = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(FUZZY_QUERIES, "query_id long, text string")
+    return suggest_terms(spark, index, qdf, WS, n=5)
 
 
 def q_prefix_search(spark, sf_dir):
@@ -1138,11 +1213,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "facet_counts": q_facet_counts,
         "fuzzy_search": q_fuzzy_search,
+        "spell_suggest": q_spell_suggest,
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "boolean_search": q_boolean_search,
         "histogram_facet": q_histogram_facet,
         "clean_corpus": q_clean_corpus,
+        "scrub_pii": q_scrub_pii,
+        "contamination": q_contamination,
         "proximity_search": q_proximity_search,
         "snippets": q_snippets,
         "media_headers": q_media_headers,
@@ -1364,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search": _bm25_expansion_oracle(
             _FUZZY_VALUES, "levenshtein(q.qterm, v.term) <= 1"
         ),
+        "spell_suggest": _SUGGEST_ORACLE.format(values=_FUZZY_VALUES),
         "prefix_search": _bm25_expansion_oracle(
             _PREFIX_VALUES, "v.term LIKE q.qterm || '%'"
         ),
@@ -1409,6 +1488,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_detect": _lang_detect_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
+        "scrub_pii": _scrub_pii_oracle(),
+        "contamination": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS l FROM documents), "
+            "ev AS (SELECT doc_id AS eval_id, l[5:24] AS l FROM t WHERE doc_id % 97 = 0), "
+            "tg AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS gram "
+            "       FROM t, unnest(generate_series(1, greatest(len(l) - 7, 0))) r(i)), "
+            "eg AS (SELECT DISTINCT eval_id, array_to_string(l[i:i+7], ' ') AS gram "
+            "       FROM ev, unnest(generate_series(1, greatest(len(l) - 7, 0))) r(i)) "
+            "SELECT tg.doc_id, eg.eval_id, count(*) AS n_shared_grams "
+            "FROM tg JOIN eg USING (gram) GROUP BY 1, 2"
+        ),
         "histogram_facet": (
             "WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents, "
             "unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)), "
@@ -1471,6 +1562,31 @@ def oracle_sql() -> dict[str, str]:
             else {}
         ),
     }
+
+
+def _scrub_pii_oracle() -> str:
+    """DuckDB twin of q_scrub_pii: same fixture synthesis, the module's
+    own (RE2-compatible) patterns verbatim."""
+    from tokenkit_spark.ops.pii import EMAIL_RX, IPV4_RX, PHONE_RX
+
+    return f"""
+WITH src AS (SELECT doc_id,
+  'u' || doc_id::VARCHAR || '@' || source || '.org visit 10.'
+      || (doc_id % 250)::VARCHAR || '.0.1'
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              ELSE ' no phone' END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+      text, '{EMAIL_RX}', '[EMAIL]', 'g'),
+            '{IPV4_RX}', '[IP]', 'g'),
+            '{PHONE_RX}', '[PHONE]', 'g') AS clean_text,
+  len(regexp_extract_all(text, '{EMAIL_RX}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{IPV4_RX}'))::BIGINT AS n_ips,
+  len(regexp_extract_all(text, '{PHONE_RX}'))::BIGINT AS n_phones
+FROM src
+"""
 
 
 def _clean_corpus_oracle() -> str:

@@ -474,3 +474,70 @@ def test_extract_features_uses_real_png_pixels(spark):
     feat = multimodal.extract_features(media, feat_dim=4).collect()[0].feat
     want = [float(c.mean()) for c in np.array_split(px.astype(np.float32).ravel(), 4)]
     assert np.allclose(feat, want, rtol=1e-6)
+
+
+def test_scrub_pii(spark):
+    from tokenkit_spark.ops.pii import scrub_pii
+
+    rows = [
+        Row(doc_id=0, text="mail a.b+c@ex-ample.co.uk and x@y.io now"),
+        Row(doc_id=1, text="server at 192.168.0.1 and 10.0.0.255 up"),
+        Row(doc_id=2, text="call +1 555-010-1234 or 555 0100 9999"),
+        Row(doc_id=3, text="mixed joe@a.com 8.8.8.8 555-123-4567"),
+        Row(doc_id=4, text="nothing personal here at all"),
+        Row(doc_id=5, text=""),
+    ]
+    out = {r.doc_id: r for r in scrub_pii(spark.createDataFrame(rows)).collect()}
+    assert out[0].clean_text == "mail [EMAIL] and [EMAIL] now"
+    assert (out[0].n_emails, out[0].n_ips, out[0].n_phones) == (2, 0, 0)
+    assert out[1].clean_text == "server at [IP] and [IP] up"
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (0, 2, 0)
+    assert out[2].clean_text == "call +1 [PHONE] or [PHONE]"
+    assert out[2].n_phones == 2
+    # ordering contract: the IP is consumed before the phone pattern runs
+    assert out[3].clean_text == "mixed [EMAIL] [IP] [PHONE]"
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (1, 1, 1)
+    assert out[4].clean_text == rows[4].text
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+    assert out[5].clean_text == ""
+
+
+def _cc(spark, edges, **kw):
+    from tokenkit_spark.ops.clustering import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.component for r in connected_components(df, **kw).collect()}
+
+
+def test_connected_components_topologies(spark):
+    # path graph 1-2-3-4-5 (worst case for naive propagation)
+    assert _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]) == {
+        i: 1 for i in range(1, 6)
+    }
+    # two cliques + an isolated edge, mixed orientation and dup edges
+    edges = [(10, 11), (11, 12), (12, 10), (20, 21), (21, 22), (22, 20),
+             (31, 30), (10, 11), (11, 10)]
+    want = {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    assert _cc(spark, edges) == want
+    # star rooted at the LARGEST id — min must still win
+    assert _cc(spark, [(100, 1), (100, 2), (100, 3)]) == {
+        100: 1, 1: 1, 2: 1, 3: 1
+    }
+    # self-loops only: no components emitted
+    assert _cc(spark, [(7, 7)]) == {}
+
+
+def test_dedup_clusters_representatives(spark):
+    from tokenkit_spark.ops.clustering import dedup_clusters
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(8)])
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (6, 7)], "src long, dst long"
+    )
+    out = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert len(out) == 8
+    assert {i: out[i].component for i in range(8)} == {
+        0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 6, 7: 6
+    }
+    kept = {i for i in range(8) if out[i].is_representative}
+    assert kept == {0, 1, 2, 4, 6}

@@ -18,6 +18,7 @@ from tokenkit_spark.index.query import (
     boolean_search,
     expand_pattern_terms,
     fuzzy_expand_terms,
+    suggest_terms,
 )
 from tokenkit_spark.sources.pages import pages_to_docs, synth_pages
 
@@ -166,6 +167,35 @@ def test_prefix_and_wildcard_expansion_match_brute(spark, index, vocab):
     assert a and all(r.rank <= 5 for r in a)
     b = bm25_segments_wildcard(spark, index, wdf, k=5).collect()
     assert b and all(r.rank <= 5 for r in b)
+
+
+def test_suggest_terms_matches_brute(spark, index, vocab):
+    """Top-n df-ranked distance-1 suggestions == brute Levenshtein scan;
+    the query term itself (distance 0) is never suggested."""
+    qs = _mutated_queries(vocab)
+    # add a query that IS a dictionary term: its own entry must not appear
+    exact = sorted(vocab)[0]
+    qs.append((len(qs), exact))
+    qdf = spark.createDataFrame(qs, "query_id long, text string")
+    got = {}
+    for r in suggest_terms(spark, index, qdf, CFG, n=3).collect():
+        assert 1 <= r.rank <= 3 and r.dist == 1
+        got.setdefault((r.query_id, r.qterm), []).append(
+            (r.rank, r.suggestion, r.df)
+        )
+    for qid, q in qs:
+        cand = sorted(
+            ((t, d) for t, d in vocab.items() if _lev(q, t) == 1),
+            key=lambda td: (-td[1], td[0]),
+        )[:3]
+        want = [(i + 1, t, d) for i, (t, d) in enumerate(cand)]
+        assert sorted(got.get((qid, q), [])) == want, f"query {q!r}"
+    assert any((qid, exact) in got for qid, q in qs if q == exact) or not any(
+        _lev(exact, t) == 1 for t in vocab
+    )  # exact term still gets *other* suggestions when neighbours exist
+    assert all(
+        s != q for (qid, q), rows in got.items() for _rk, s, _d in rows
+    )  # never suggests the term itself
 
 
 def test_boolean_search_matches_brute(spark, index, docs, vocab):

@@ -342,6 +342,60 @@ def bm25_segments_fuzzy(
     return _bm25_from_qterms(spark, index, expanded, k, round_digits)
 
 
+def suggest_terms(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    n: int = 5,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Did-you-mean spelling suggester (Lucene DirectSpellChecker
+    contract): for every analyzed query term, the dictionary terms at
+    Levenshtein distance 1..``max_dist`` (never the term itself), ranked
+    by (df desc, suggestion asc), top ``n`` per (query, term).
+
+    Same scale shape as fuzzy_expand_terms: the term dictionary stays
+    distributed, its deletion-neighbourhood variants equi-join against
+    the broadcast query variants, and only candidates pay the exact
+    JVM ``levenshtein`` — no cross join, no UDF, no dictionary collect.
+
+    Returns (query_id, qterm, rank, suggestion, df, dist)."""
+    if max_dist != 1:
+        raise ValueError(
+            "suggest_terms: only max_dist=1 is supported (deletion "
+            "neighbourhood completeness, see fuzzy_expand_terms)"
+        )
+    cfg = config or AnalyzerConfig()
+    q_terms = analyze_queries(queries, cfg)
+    qv = (
+        q_terms.select("query_id", F.col("term").alias("qterm"))
+        .distinct()
+        .select(
+            "query_id", "qterm",
+            F.explode(_deletion_variants("qterm")).alias("variant"),
+        )
+    )
+    dv = index["term_stats"].select(
+        "term", "df", F.explode(_deletion_variants("term")).alias("variant")
+    )
+    cand = (
+        dv.join(F.broadcast(qv), "variant")
+        .select("query_id", "qterm", F.col("term").alias("suggestion"), "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col("qterm"), F.col("suggestion")))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+    )
+    w = Window.partitionBy("query_id", "qterm").orderBy(
+        F.col("df").desc(), F.col("suggestion").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "qterm", "rank", "suggestion", "df", "dist")
+    )
+
+
 def _split_patterns(patterns: DataFrame) -> list[tuple[int, str]]:
     """Collect (query_id, pattern-token) pairs driver-side. Pattern SETS
     are small by definition (they are user queries); the expensive side —

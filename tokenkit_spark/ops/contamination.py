@@ -1,0 +1,57 @@
+"""Benchmark-contamination detection: token n-gram overlap between a
+training corpus and an evaluation set (the GPT-3 / PaLM / Llama decontam
+methodology — flag a training doc when it shares >= 1 verbatim n-gram
+with an eval item; Brown et al. 2020 §C uses 13-grams, smaller n for
+short eval items).
+
+Scale shape (the part that matters at 100 TB):
+- per-doc n-gram sets are built with PURE Catalyst array lambdas
+  (``transform`` over ``sequence`` + ``slice`` + ``array_join``) and
+  deduped with ``array_distinct`` BEFORE the explode — no
+  distinct-shuffle anywhere on the training side;
+- the eval side is small by construction (benchmarks are thousands of
+  items, not billions) and broadcasts, so the gram equi-join is a
+  map-side broadcast hash join over the streaming training grams;
+- the only shuffle is the final (doc_id, eval_id) count, which partial
+  aggregation flattens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_sets(df: DataFrame, n: int, text_col: str, id_alias: str) -> DataFrame:
+    """(id_alias, gram) — each row one DISTINCT token n-gram of one doc;
+    dedup happens inside the row (array_distinct) so no shuffle."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), x -> x <> '')"
+    )
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
+        f"i -> array_join(slice(_toks, i, {n}), ' ')))"
+    )
+    return (
+        df.select(F.col("doc_id").alias(id_alias), toks.alias("_toks"))
+        .select(id_alias, F.explode(grams).alias("gram"))
+    )
+
+
+def ngram_contamination(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, eval_id, n_shared_grams) for every training doc sharing
+    at least one verbatim token ``n``-gram with an eval item — sorted by
+    nothing (caller ranks); counts are over DISTINCT grams on both
+    sides, so a gram repeated inside a doc counts once."""
+    train_g = _gram_sets(train_docs, n, text_col, "doc_id")
+    eval_g = _gram_sets(eval_docs, n, text_col, "eval_id")
+    return (
+        train_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
