@@ -919,6 +919,23 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment + representative selection: edges =
+    the word-trigram Jaccard >= 0.6 pairs (same edge set as
+    ngram_jaccard), clustered with alternating large-star/small-star
+    connected components (ops/clustering.py, Kiveris et al. 2014); every
+    doc gets (component = min doc_id of its cluster, is_representative)
+    — the C4/RefinedWeb deterministic keep-first dedup policy. Oracle:
+    DuckDB recursive-CTE transitive closure over the same edges."""
+    from tokenkit_spark.ops.clustering import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.6).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    return dedup_clusters(docs, pairs)
+
+
 def q_lsh_cosine_top10(spark, sf_dir):
     """Approximate cosine top-k: hyperplane-LSH signature prune then exact
     scoring. Rows-only check (random hyperplanes not SQL-expressible)."""
@@ -1207,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_grams": q_ngram_grams,
         "char_group_terms": q_char_group_terms,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "lsh_cosine_top10": q_lsh_cosine_top10,
         "stopword_filtered_tf": q_stopword_filtered_tf,
         "stemmed_terms": q_stemmed_terms,
@@ -1415,6 +1433,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id_a, doc_id_b, i::DOUBLE / (sa.n_grams + sb.n_grams - i) AS j "
             "FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_id_a "
             "JOIN sizes sb ON sb.doc_id = inter.doc_id_b) WHERE j >= 0.6"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram "
+            "FROM w WHERE len(toks) >= 3), "
+            "sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1), "
+            "inter AS (SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b, count(*) AS i "
+            "FROM g l JOIN g r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1, 2), "
+            "p AS (SELECT doc_id_a AS u, doc_id_b AS v FROM inter "
+            "JOIN sizes sa ON sa.doc_id = inter.doc_id_a "
+            "JOIN sizes sb ON sb.doc_id = inter.doc_id_b "
+            "WHERE i::DOUBLE / (sa.n_grams + sb.n_grams - i) >= 0.6), "
+            "e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p), "
+            "reach(node, comp) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.v, r.comp FROM reach r JOIN e ON e.u = r.node) "
+            "SELECT node AS doc_id, min(comp) AS component, "
+            "node = min(comp) AS is_representative FROM reach GROUP BY node"
         ),
         "cosine_pairs": (
             "SELECT id_a, id_b, round(c, 4) AS cosine FROM ("
