@@ -649,6 +649,23 @@ def q_spell_suggest(spark, sf_dir):
     return suggest_terms(spark, index, qdf, WS, n=5)
 
 
+def q_more_like_this(spark, sf_dir):
+    """More-like-this: seed docs (doc_id % 167 == 0) re-analyzed, top-10
+    interesting terms by 6-dp-rounded tf*idf (ties term asc), run as a
+    disjunctive BM25 query through the compressed segment path, seed doc
+    excluded (index/query.py:more_like_this — the Lucene MoreLikeThis
+    contract)."""
+    from tokenkit_spark.index.query import more_like_this
+
+    index = _index_for(spark, sf_dir)
+    seeds = _docs(spark, sf_dir).filter(F.col("doc_id") % 167 == 0).select(
+        "doc_id", "text"
+    )
+    return more_like_this(
+        spark, index, seeds, WS, max_query_terms=10, k=10, round_digits=4
+    )
+
+
 def q_prefix_search(spark, sf_dir):
     """Prefix top-k BM25: each pattern expands over the term dictionary
     (broadcast startswith join) and scores through the segment path
@@ -1232,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "fuzzy_search": q_fuzzy_search,
         "spell_suggest": q_spell_suggest,
+        "more_like_this": q_more_like_this,
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "boolean_search": q_boolean_search,
@@ -1480,6 +1498,40 @@ def oracle_sql() -> dict[str, str]:
             _FUZZY_VALUES, "levenshtein(q.qterm, v.term) <= 1"
         ),
         "spell_suggest": _SUGGEST_ORACLE.format(values=_FUZZY_VALUES),
+        "more_like_this": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+stf AS (SELECT p.doc_id AS query_id, p.term, p.tf FROM postings p
+        WHERE p.doc_id % 167 = 0),
+qsel AS (SELECT query_id, term,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(tf * ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)), 6) DESC,
+                    term ASC) AS r
+         FROM stf JOIN tstats t USING (term) CROSS JOIN globals g),
+qterms AS (SELECT query_id, term FROM qsel WHERE r <= 10),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g
+  WHERE p.doc_id <> q.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+""",
         "prefix_search": _bm25_expansion_oracle(
             _PREFIX_VALUES, "v.term LIKE q.qterm || '%'"
         ),

@@ -226,3 +226,54 @@ def test_boolean_search_matches_brute(spark, index, docs, vocab):
 
     with pytest.raises(ValueError, match="unknown op"):
         boolean_search(spark, index, ("xor", [("term", t1)]), CFG)
+
+
+def test_more_like_this_matches_brute(spark, docs, index):
+    """MLT == brute recompute: per seed, top-10 terms by 6-dp-rounded
+    tf*idf (ties term asc) run as a disjunctive BM25 query with the seed
+    excluded; compared against a pure-Python recompute over the corpus."""
+    import math
+    from collections import Counter
+
+    from tokenkit_spark.index.query import more_like_this
+
+    rows = docs.select("doc_id", "text").collect()
+    corpus = {r.doc_id: [t for t in r.text.lower().split() if t] for r in rows}
+    n = len(corpus)
+    df = Counter(t for toks in corpus.values() for t in set(toks))
+    avgdl = sum(len(v) for v in corpus.values()) / n
+
+    def idf(t):
+        return math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+
+    seed_ids = sorted(corpus)[:3]
+    seeds = docs.filter(F.col("doc_id").isin(seed_ids)).select("doc_id", "text")
+    got = {}
+    for r in more_like_this(spark, index, seeds, CFG, k=10, round_digits=4).collect():
+        assert r.doc_id != r.query_id  # the seed is never its own result
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+
+    for sid in seed_ids:
+        tf = Counter(corpus[sid])
+        qterms = sorted(
+            tf, key=lambda t: (-round(tf[t] * idf(t), 6), t)
+        )[:10]
+        scored = []
+        for d, toks in corpus.items():
+            if d == sid:
+                continue
+            dtf = Counter(toks)
+            s = sum(
+                idf(t) * dtf[t] * 2.2 / (dtf[t] + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+                for t in qterms
+                if dtf[t]
+            )
+            if s > 0:
+                scored.append((round(s, 4), d))
+        want = [
+            (i + 1, d, s)
+            for i, (s, d) in enumerate(
+                sorted(scored, key=lambda x: (-x[0], x[1]))[:10]
+            )
+        ]
+        assert got[sid] == want, f"seed {sid}"

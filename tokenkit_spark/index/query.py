@@ -396,6 +396,61 @@ def suggest_terms(
     )
 
 
+def more_like_this(
+    spark: SparkSession,
+    index: dict,
+    seeds: DataFrame,
+    config: AnalyzerConfig | None = None,
+    max_query_terms: int = 10,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Lucene MoreLikeThis contract: for each seed doc (doc_id, text),
+    re-analyze its text, rank its terms by tf * idf (same BM25 idf as
+    scoring; ranked on the 6-dp-rounded product so an external oracle
+    can reproduce the cut, ties term asc), keep the top
+    ``max_query_terms`` "interesting terms", and run them as a
+    disjunctive BM25 query — excluding the seed document itself from
+    the top-``k``. query_id = seed doc_id in the output.
+
+    Scale shape: seeds are a user query (small) — their (term, tf) set
+    broadcasts into the DISTRIBUTED term dictionary for df lookup; the
+    scoring pass is the shared segment path (term-pruned scan, shard-
+    local kernels, only top-k rows shuffle)."""
+    cfg = config or AnalyzerConfig()
+    n_docs = int(index["stats"]["n_docs"])
+    tf = (
+        seeds.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(tokenize_col("text", cfg)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    interest = F.round(F.col("tf") * _idf(F.col("df"), n_docs), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        interest.desc(), F.col("term").asc()
+    )
+    q_terms = (
+        index["term_stats"]
+        .join(F.broadcast(tf), "term")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_query_terms)
+        .select("query_id", "term")
+    )
+    # over-fetch one slot so dropping the seed doc can't starve the top-k
+    out = _bm25_from_qterms(spark, index, q_terms, k + 1, round_digits)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        out.filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def _split_patterns(patterns: DataFrame) -> list[tuple[int, str]]:
     """Collect (query_id, pattern-token) pairs driver-side. Pattern SETS
     are small by definition (they are user queries); the expensive side —
