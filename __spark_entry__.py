@@ -649,6 +649,25 @@ def q_spell_suggest(spark, sf_dir):
     return suggest_terms(spark, index, qdf, WS, n=5)
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc keyword extraction: top-3 terms by 6-dp-rounded tf*idf
+    (Robertson idf, ties term asc) — pure Catalyst, three key-partitioned
+    shuffles (ops/textstats.py:tfidf_keywords)."""
+    from tokenkit_spark.ops.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), top_n=3)
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Corpus collocation mining: adjacent-bigram PMI (Church & Hanks),
+    min_count=5, top-50 by (4-dp pmi desc, bigram asc) — per-row array
+    lambdas generate bigrams, no self-join
+    (ops/textstats.py:pmi_collocations)."""
+    from tokenkit_spark.ops.textstats import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5, top_n=50)
+
+
 def q_more_like_this(spark, sf_dir):
     """More-like-this: seed docs (doc_id % 167 == 0) re-analyzed, top-10
     interesting terms by 6-dp-rounded tf*idf (ties term asc), run as a
@@ -1250,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": q_fuzzy_search,
         "spell_suggest": q_spell_suggest,
         "more_like_this": q_more_like_this,
+        "tfidf_keywords": q_tfidf_keywords,
+        "pmi_collocations": q_pmi_collocations,
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "boolean_search": q_boolean_search,
@@ -1498,6 +1519,37 @@ def oracle_sql() -> dict[str, str]:
             _FUZZY_VALUES, "levenshtein(q.qterm, v.term) <= 1"
         ),
         "spell_suggest": _SUGGEST_ORACLE.format(values=_FUZZY_VALUES),
+        "tfidf_keywords": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+g AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (SELECT doc_id, term, tf,
+           round(tf * ln(1 + (g.n - df + 0.5) / (df + 0.5)), 6) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN g),
+ranked AS (SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rank,
+           term, tf, score FROM scored)
+SELECT doc_id, rank, term, tf, score FROM ranked WHERE rank <= 3
+""",
+        "pmi_collocations": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS l FROM documents), "
+            "big AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM t, "
+            "unnest(generate_series(1, greatest(len(l) - 1, 0))) r(i)), "
+            "uc AS (SELECT unnest(l) AS w FROM t) , "
+            "u AS (SELECT w, count(*) AS c_w FROM uc GROUP BY 1), "
+            "pc AS (SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY 1, 2), "
+            "tot AS (SELECT (SELECT sum(n_pair) FROM pc) AS nb, "
+            "(SELECT sum(c_w) FROM u) AS nt), "
+            "scored AS (SELECT w1 || ' ' || w2 AS bigram, n_pair, "
+            "round(ln((n_pair::DOUBLE / nb) / ((a.c_w::DOUBLE / nt) * (b.c_w::DOUBLE / nt))), 4) AS pmi "
+            "FROM pc JOIN u a ON a.w = pc.w1 JOIN u b ON b.w = pc.w2 CROSS JOIN tot "
+            "WHERE n_pair >= 5) "
+            "SELECT * FROM (SELECT row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank, "
+            "bigram, n_pair, pmi FROM scored) WHERE rank <= 50"
+        ),
         "more_like_this": f"""
 WITH toks AS ({_TOKS}),
 postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),

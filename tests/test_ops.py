@@ -541,3 +541,34 @@ def test_dedup_clusters_representatives(spark):
     }
     kept = {i for i in range(8) if out[i].is_representative}
     assert kept == {0, 1, 2, 4, 6}
+
+
+def test_tfidf_keywords_and_pmi(spark):
+    import math
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="new york city is big and new york is busy"),
+        Row(doc_id=1, text="the city of new york has new people"),
+        Row(doc_id=2, text="big data and big models in the city"),
+    ])
+    kw = {r.doc_id: r for r in textstats.tfidf_keywords(docs, top_n=1).collect()}
+    # doc 0: 'is' tf=2, df=1 -> uniquely top; rank on rounded tf*idf
+    assert kw[0].term == "is" and kw[0].tf == 2
+    assert kw[0].score == round(2 * math.log(1 + (3 - 1 + 0.5) / 1.5), 6)
+    # doc 2: data/in/models (tf=1, df=1, score 0.9808) beat big
+    # (tf=2, df=2, score 0.9400); the three-way tie breaks term-asc
+    assert kw[2].term == "data"
+    assert kw[2].score == round(math.log(1 + (3 - 1 + 0.5) / 1.5), 6)
+
+    pmi = {r.bigram: r for r in
+           textstats.pmi_collocations(docs, min_count=2, top_n=5).collect()}
+    # hand-computed: T=26 tokens, B=23 bigrams
+    assert set(pmi) == {"new york", "the city"}
+    assert pmi["new york"].n_pair == 3
+    assert pmi["new york"].pmi == round(
+        math.log((3 / 23) / ((4 / 26) * (3 / 26))), 4
+    )
+    assert pmi["the city"].pmi == round(
+        math.log((2 / 23) / ((2 / 26) * (3 / 26))), 4
+    )
+    assert pmi["the city"].rank == 1 and pmi["new york"].rank == 2

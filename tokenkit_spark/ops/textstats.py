@@ -163,3 +163,104 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.array_join(toks, " ")).alias("fingerprint"),
         F.size(toks).alias("n_distinct_tokens"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame, top_n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, rank, term, tf, score): per-doc top-``top_n`` distinctive
+    terms by tf*idf — idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (same
+    Robertson idf as BM25 scoring), ranked on the 6-dp-rounded product
+    (ties term asc) so an external oracle reproduces the cut exactly.
+
+    Scale shape: one (doc_id, term) partial-agg shuffle for tf, one
+    term-keyed aggregate for df (partial agg flattens head terms), a
+    term-keyed shuffle join, and a doc-keyed window — every stage
+    key-partitioned, no driver state, no UDF."""
+    toks = (
+        docs.select("doc_id", F.explode(_tokens(F.col(text_col))).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select("doc_id").distinct().count()
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = tf.join(df, "term").withColumn(
+        "score", F.round(F.col("tf") * idf, 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "rank", "term", "tf", "score")
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """(rank, bigram, n_pair, pmi): corpus-level collocation mining —
+    adjacent-token bigrams scored by pointwise mutual information
+    PMI = ln( (c_ab/B) / ((c_a/T)^2-normalized unigram probs) ), i.e.
+    ln(P(ab) / (P(a)·P(b))) with P(ab)=c_ab/B over B total bigrams and
+    P(w)=c_w/T over T total tokens (Church & Hanks 1990). Bigrams below
+    ``min_count`` are dropped (the standard low-count PMI guard); top
+    ``top_n`` by (4-dp-rounded pmi desc, bigram asc).
+
+    Scale shape: bigrams are generated per-row with an array lambda (no
+    self-join); one bigram-keyed and one unigram-keyed partial-agg
+    shuffle; the global totals are single-row aggregates broadcast by
+    crossJoin. The final top-n is a tiny post-filter sort."""
+    toks = docs.select(_tokens(F.col(text_col)).alias("toks"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_w")
+    )
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    totals = pair.agg(F.sum("n_pair").alias("n_bigrams")).crossJoin(
+        uni.agg(F.sum("c_w").alias("n_tokens"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.col("n_bigrams"))
+            / ((F.col("c1") / F.col("n_tokens")) * (F.col("c2") / F.col("n_tokens")))
+        ),
+        4,
+    )
+    scored = (
+        pair.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n_pair",
+            pmi.alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # global top-n via orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-n, driver merge) — NOT an unpartitioned window, which
+    # would shuffle every distinct bigram to one task; the rank window
+    # then runs over <= top_n rows only.
+    top = scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(top_n)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "bigram", "n_pair", "pmi"
+    )
