@@ -649,6 +649,23 @@ def q_spell_suggest(spark, sf_dir):
     return suggest_terms(spark, index, qdf, WS, n=5)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic training-mix sampling: per-source keep rates
+    (src0=1.0, src1=0.5, src2=0.25, src3=0.1, others dropped) decided by
+    an md5-prefix fraction per doc_id — an engine-independent hash, so
+    the DuckDB oracle replays the EXACT row selection
+    (ops/sampling.py:stratified_sample; pure map-side filter)."""
+    from tokenkit_spark.ops.sampling import sample_fraction_col, stratified_sample
+
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    out = stratified_sample(_docs(spark, sf_dir), rates, salt="r2")
+    return out.select(
+        "doc_id",
+        "source",
+        F.round(sample_fraction_col("doc_id", "r2"), 6).alias("frac"),
+    )
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-doc keyword extraction: top-3 terms by 6-dp-rounded tf*idf
     (Robertson idf, ties term asc) — pure Catalyst, three key-partitioned
@@ -1270,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": q_spell_suggest,
         "more_like_this": q_more_like_this,
         "tfidf_keywords": q_tfidf_keywords,
+        "stratified_sample": q_stratified_sample,
         "pmi_collocations": q_pmi_collocations,
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
@@ -1519,6 +1537,14 @@ def oracle_sql() -> dict[str, str]:
             _FUZZY_VALUES, "levenshtein(q.qterm, v.term) <= 1"
         ),
         "spell_suggest": _SUGGEST_ORACLE.format(values=_FUZZY_VALUES),
+        "stratified_sample": (
+            "WITH f AS (SELECT doc_id, source, "
+            "('0x' || substring(md5(doc_id::VARCHAR || 'r2'), 1, 8))::BIGINT "
+            "/ 4294967296.0 AS frac FROM documents) "
+            "SELECT doc_id, source, round(frac, 6) AS frac FROM f "
+            "WHERE frac < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 "
+            "WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 ELSE 0.0 END"
+        ),
         "tfidf_keywords": f"""
 WITH toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -572,3 +572,39 @@ def test_tfidf_keywords_and_pmi(spark):
         math.log((2 / 23) / ((2 / 26) * (3 / 26))), 4
     )
     assert pmi["the city"].rank == 1 and pmi["new york"].rank == 2
+
+
+def test_stratified_sample_deterministic(spark):
+    import hashlib
+
+    from tokenkit_spark.ops.sampling import mix_rates, stratified_sample
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 3}") for i in range(300)]
+    )
+    rates = {"s0": 1.0, "s1": 0.4}
+    got = sorted(
+        r.doc_id for r in stratified_sample(docs, rates, salt="x").collect()
+    )
+
+    def frac(i):
+        return int(hashlib.md5(f"{i}x".encode()).hexdigest()[:8], 16) / 2**32
+
+    want = sorted(
+        i for i in range(300)
+        if frac(i) < rates.get(f"s{i % 3}", 0.0)
+    )
+    assert got == want  # exact hash replay, s2 dropped entirely
+    assert got == sorted(
+        r.doc_id for r in stratified_sample(docs, rates, salt="x").collect()
+    )  # rerun-stable
+    # a different salt decorrelates the sample
+    other = sorted(r.doc_id for r in stratified_sample(docs, rates, salt="y").collect())
+    assert other != got
+
+    # mix_rates: 50/50 mix of 60 rows from strata of 100 each -> 0.3 both
+    r = mix_rates(docs, {"s0": 0.5, "s1": 0.5}, total=60)
+    assert r == {"s0": 0.3, "s1": 0.3}
+    # undersupply caps at 1.0
+    r = mix_rates(docs, {"s0": 1.0}, total=500)
+    assert r == {"s0": 1.0}

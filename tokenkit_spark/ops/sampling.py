@@ -1,0 +1,78 @@
+"""Deterministic stratified sampling for training-mix construction —
+"give me 30% web, 50% wiki, 20% code, reproducibly" is the last step of
+every pre-training data pipeline (the Pile / ROOTS / Dolma mixture
+recipes all sample per-source with fixed rates).
+
+Sampling decision: keep a row iff frac(id) < rate[stratum], where
+frac(id) = first-8-hex-digits of md5(id || salt) / 2^32 — a per-row
+cryptographic hash, NOT an RNG:
+
+- deterministic and engine-independent (Spark `md5`/`conv` and DuckDB
+  `md5`/hex-cast produce the SAME fraction, so the correctness oracle
+  replays the exact sample; a re-run, a resumed job, or a different
+  cluster size selects the SAME rows — no partition-seeded
+  `df.sample()` nondeterminism);
+- a pure map-side filter: no shuffle, no state, pushes down past
+  column pruning, scales embarrassingly;
+- salt gives independent resamples (epochs, ablations) without
+  correlation between them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_fraction_col(id_col: str, salt: str = "") -> Column:
+    """Deterministic [0, 1) fraction per id: md5 prefix as uniform bits.
+    Column must stringify stably (int/str ids)."""
+    s = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("double")
+        / F.lit(float(2**32))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Rows of ``docs`` kept with per-stratum probability ``rates``
+    (strata missing from ``rates`` are dropped entirely — rate 0).
+    Pure map-side filter; row order and schema unchanged."""
+    if not rates:
+        return docs.filter(F.lit(False))
+    mapping = F.create_map(
+        *[F.lit(x) for k, v in rates.items() for x in (k, float(v))]
+    )
+    rate = F.coalesce(mapping[F.col(strata_col)], F.lit(0.0))
+    return docs.filter(sample_fraction_col(id_col, salt) < rate)
+
+
+def mix_rates(
+    docs: DataFrame,
+    target_props: dict[str, float],
+    total: int,
+    strata_col: str = "source",
+) -> dict[str, float]:
+    """Per-stratum keep rates that hit a ``total``-row mixture with
+    proportions ``target_props`` (values sum to <= 1), capped at 1.0
+    when a stratum can't supply its share (the standard
+    undersupply-capping rule; re-normalize upstream if exact totals
+    matter more than proportions). One tiny aggregate (#strata rows)
+    collects to the driver."""
+    counts = {
+        r.s: r.n
+        for r in docs.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        s: min(1.0, (p * total) / counts[s])
+        for s, p in target_props.items()
+        if counts.get(s)
+    }
