@@ -623,6 +623,18 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(docs, eval_docs, n=8)
 
 
+def q_shared_spans(spark, sf_dir):
+    """Exact-substring dedup at span granularity 10: doc pairs sharing a
+    verbatim 10-token span, boilerplate grams (df > 100) dropped before
+    the self-join (ops/contamination.py:shared_span_pairs — the Lee et
+    al. 2021 dedup formulation, gram-join approximation)."""
+    from tokenkit_spark.ops.contamination import shared_span_pairs
+
+    return shared_span_pairs(
+        _docs(spark, sf_dir).select("doc_id", "text"), n=10, max_gram_df=100
+    )
+
+
 def q_fuzzy_search(spark, sf_dir):
     """Fuzzy top-k BM25: query terms expand to dictionary terms within
     Levenshtein distance 1 via the SymSpell deletion-neighbourhood
@@ -1296,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "scrub_pii": q_scrub_pii,
         "contamination": q_contamination,
+        "shared_spans": q_shared_spans,
         "proximity_search": q_proximity_search,
         "snippets": q_snippets,
         "media_headers": q_media_headers,
@@ -1666,6 +1679,19 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
             "       FROM ev, unnest(generate_series(1, greatest(len(l) - 7, 0))) r(i)) "
             "SELECT tg.doc_id, eg.eval_id, count(*) AS n_shared_grams "
             "FROM tg JOIN eg USING (gram) GROUP BY 1, 2"
+        ),
+        "shared_spans": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS l FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+9], ' ') AS gram "
+            "FROM t, unnest(generate_series(1, greatest(len(l) - 9, 0))) r(i)), "
+            "keep AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY 1) "
+            "WHERE c <= 100), "
+            "gg AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)) "
+            "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+            "count(*) AS n_shared_grams "
+            "FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2"
         ),
         "histogram_facet": (
             "WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents, "

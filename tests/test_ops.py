@@ -608,3 +608,42 @@ def test_stratified_sample_deterministic(spark):
     # undersupply caps at 1.0
     r = mix_rates(docs, {"s0": 1.0}, total=500)
     assert r == {"s0": 1.0}
+
+
+def test_ngram_contamination_and_shared_spans(spark):
+    from tokenkit_spark.ops.contamination import (
+        ngram_contamination,
+        shared_span_pairs,
+    )
+
+    train = spark.createDataFrame([
+        Row(doc_id=0, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=1, text="x alpha beta gamma delta y"),      # shares 4-gram w/ 0
+        Row(doc_id=2, text="totally unrelated words here now"),
+        Row(doc_id=3, text="alpha beta gamma delta epsilon zeta"),  # dup of 0
+    ])
+    ev = spark.createDataFrame(
+        [Row(doc_id=100, text="beta gamma delta epsilon")]
+    )
+    got = {
+        (r.doc_id, r.eval_id): r.n_shared_grams
+        for r in ngram_contamination(train, ev, n=4).collect()
+    }
+    # doc0 contains 'beta gamma delta epsilon' (1 gram); doc1 lacks epsilon
+    assert got == {(0, 100): 1, (3, 100): 1}
+
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.n_shared_grams
+        for r in shared_span_pairs(train, n=4).collect()
+    }
+    # 0<->3 identical: 3 distinct 4-grams; 0<->1 and 1<->3 share
+    # 'alpha beta gamma delta'
+    assert pairs == {(0, 3): 3, (0, 1): 1, (1, 3): 1}
+
+    # df cap: the gram shared by all three (alpha beta gamma delta, df=3)
+    # is boilerplate at cap 2 -> only the 0<->3 pair (via rarer grams)
+    capped = {
+        (r.doc_id_a, r.doc_id_b): r.n_shared_grams
+        for r in shared_span_pairs(train, n=4, max_gram_df=2).collect()
+    }
+    assert capped == {(0, 3): 2}

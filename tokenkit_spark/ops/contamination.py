@@ -38,6 +38,42 @@ def _gram_sets(df: DataFrame, n: int, text_col: str, id_alias: str) -> DataFrame
     )
 
 
+def shared_span_pairs(
+    docs: DataFrame,
+    n: int = 20,
+    max_gram_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, n_shared_grams): document pairs sharing at
+    least one verbatim ``n``-token span — the corpus SELF-join twin of
+    ``ngram_contamination`` and the gram-granularity formulation of
+    exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better": their suffix-array finds spans >= 50
+    tokens; a span of length L >= n is detected here iff any of its
+    L - n + 1 grams matches, which is always, so recall is exact at span
+    granularity n).
+
+    ``max_gram_df`` is MANDATORY at scale: a boilerplate gram shared by
+    10^5 docs makes the self-join quadratic in that group (the
+    ngram_jaccard lesson, VERDICT r01). Grams above the cap are dropped
+    before the join — pairs whose only shared spans are corpus-wide
+    boilerplate are intentionally not reported."""
+    grams = _gram_sets(docs, n, text_col, "doc_id")
+    if max_gram_df is not None:
+        dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        grams = grams.join(
+            dfc.filter(F.col("_df") <= max_gram_df).select("gram"), "gram"
+        )
+    a = grams.select(F.col("doc_id").alias("doc_id_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_id_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def ngram_contamination(
     train_docs: DataFrame,
     eval_docs: DataFrame,
