@@ -258,6 +258,15 @@ SELECT query_id, qterm, rank, suggestion, df, dist FROM ranked WHERE rank <= 5
 """
 
 
+REGEXP_QUERIES = [
+    (0, "sp.rk"),            # -> spark
+    (1, "jo.n t.ble"),       # two patterns: join + table
+    (2, "s(can|low|ort)"),   # alternation -> scan slow sort
+    (3, "zz+top"),           # no match
+    (4, "gr.*"),             # group grace ...
+]
+_REGEXP_VALUES = ", ".join(f"({i}, '{t}')" for i, t in REGEXP_QUERIES)
+
 PREFIX_QUERIES = [
     (0, "s"),           # scan slow small sort spark stream
     (1, "gr w"),        # group + window
@@ -733,6 +742,46 @@ def q_wildcard_search(spark, sf_dir):
     index = _index_for(spark, sf_dir)
     pdf = spark.createDataFrame(WILDCARD_QUERIES, "query_id long, text string")
     return bm25_segments_wildcard(spark, index, pdf, k=10, round_digits=4)
+
+
+def q_regexp_search(spark, sf_dir):
+    """Regexp top-k BM25: whitespace-separated term-level regexes expand
+    over the distributed dictionary (anchored RLIKE broadcast join) and
+    score through the segment path (index/query.py:bm25_segments_regexp
+    — Lucene RegexpQuery under scoring rewrite). Patterns are RE2- and
+    Java-regex-compatible so the oracle runs them verbatim."""
+    from tokenkit_spark.index.query import bm25_segments_regexp
+
+    index = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(REGEXP_QUERIES, "query_id long, text string")
+    return bm25_segments_regexp(spark, index, qdf, k=10, round_digits=4)
+
+
+def q_paged_search(spark, sf_dir):
+    """Result pagination: page 2 (size 5) of the standard BM25 query
+    set — global ranks 6..10 of the pinned total order
+    (index/query.py:bm25_segments_paged, the ES from/size contract)."""
+    from tokenkit_spark.index.query import bm25_segments_paged
+
+    index = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, text string")
+    return bm25_segments_paged(
+        spark, index, qdf, WS, page=2, size=5, round_digits=4
+    )
+
+
+def q_term_vectors(spark, sf_dir):
+    """Per-doc term vectors for seed docs (doc_id % 167 == 0): tf,
+    0-based positions (comma-joined), corpus df from the index
+    dictionary (index/query.py:term_vectors — the ES _termvectors
+    contract, store-and-reanalyze design)."""
+    from tokenkit_spark.index.query import term_vectors
+
+    index = _index_for(spark, sf_dir)
+    seeds = _docs(spark, sf_dir).filter(F.col("doc_id") % 167 == 0).select(
+        "doc_id", "text"
+    )
+    return term_vectors(index, seeds, WS)
 
 
 def q_boolean_search(spark, sf_dir):
@@ -1304,6 +1353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "boolean_search": q_boolean_search,
+        "regexp_search": q_regexp_search,
+        "paged_search": q_paged_search,
+        "term_vectors": q_term_vectors,
         "histogram_facet": q_histogram_facet,
         "clean_corpus": q_clean_corpus,
         "scrub_pii": q_scrub_pii,
@@ -1626,6 +1678,22 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
         "prefix_search": _bm25_expansion_oracle(
             _PREFIX_VALUES, "v.term LIKE q.qterm || '%'"
         ),
+        "regexp_search": _bm25_expansion_oracle(
+            _REGEXP_VALUES, "regexp_full_match(v.term, q.qterm)"
+        ),
+        "paged_search": f"SELECT * FROM ({_BM25_ORACLE}) WHERE rank > 5",
+        "term_vectors": f"""
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           x -> x <> '') AS l FROM documents),
+p AS (SELECT doc_id, l[i] AS term, i - 1 AS pos FROM t,
+      unnest(generate_series(1, len(l))) r(i)),
+tv AS (SELECT doc_id, term, count(*) AS tf,
+       string_agg(pos, ',' ORDER BY pos) AS positions
+       FROM p GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+SELECT tv.doc_id, tv.term, tv.tf, tv.positions, df.df
+FROM tv JOIN df USING (term) WHERE tv.doc_id % 167 = 0
+""",
         "wildcard_search": _bm25_expansion_oracle(
             _WILDCARD_VALUES,
             "v.term LIKE replace(replace(q.qterm, '*', '%'), '?', '_')",

@@ -277,3 +277,73 @@ def test_more_like_this_matches_brute(spark, docs, index):
             )
         ]
         assert got[sid] == want, f"seed {sid}"
+
+
+def test_regexp_expansion_matches_brute(spark, index, vocab):
+    import re
+
+    from tokenkit_spark.index.query import expand_pattern_terms
+
+    words = sorted(t for t in vocab if t.isalpha() and len(t) >= 4)
+    pats = [
+        (0, words[0][:-1] + "."),
+        (1, f"({words[1]}|{words[2]})"),
+        (2, "qqqqzz.*"),
+    ]
+    qdf = spark.createDataFrame(pats, "query_id long, text string")
+    got = {}
+    for r in expand_pattern_terms(spark, index, qdf, "regexp").collect():
+        got.setdefault(r.query_id, set()).add(r.term)
+    for qid, p in pats:
+        want = {t for t in vocab if re.fullmatch(p, t)}
+        assert got.get(qid, set()) == want, p
+
+
+def test_paged_search_is_rank_slice(spark, index, vocab):
+    from tokenkit_spark.index.query import bm25_segments, bm25_segments_paged
+
+    words = sorted(vocab, key=lambda t: -vocab[t])  # head terms: >=9 hits
+    qdf = spark.createDataFrame(
+        [(0, " ".join(words[:2])), (1, words[2])], "query_id long, text string"
+    )
+    full = sorted(
+        map(tuple, bm25_segments(spark, index, qdf, CFG, k=9, round_digits=4).collect())
+    )
+    pages = []
+    for page in (1, 2, 3):
+        rows = [
+            tuple(r)
+            for r in bm25_segments_paged(
+                spark, index, qdf, CFG, page=page, size=3, round_digits=4
+            ).collect()
+        ]
+        # every page row's global rank lands in the page window
+        assert all((page - 1) * 3 < r[1] <= page * 3 for r in rows)
+        pages += rows
+    assert sorted(pages) == full  # pages stitch exactly into the full top-9
+
+
+def test_term_vectors_matches_brute(spark, index, docs):
+    from collections import Counter
+
+    from tokenkit_spark.index.query import term_vectors
+
+    seed = docs.orderBy("doc_id").limit(2).select("doc_id", "text")
+    rows = seed.collect()
+    out = {
+        (r.doc_id, r.term): r
+        for r in term_vectors(index, seed, CFG).collect()
+    }
+    alldocs = {r.doc_id: r.text.lower().split() for r in docs.collect()}
+    df = Counter(t for toks in alldocs.values() for t in set(toks))
+    for r in rows:
+        toks = [t for t in r.text.lower().split() if t]
+        tf = Counter(toks)
+        for t, n in tf.items():
+            got = out[(r.doc_id, t)]
+            assert got.tf == n
+            assert got.positions == ",".join(
+                str(i) for i, w in enumerate(toks) if w == t
+            )
+            assert got.df == df[t]
+    assert len(out) == sum(len(set(r.text.lower().split())) for r in rows)

@@ -496,6 +496,15 @@ def expand_pattern_terms(
             [(q, p, rx(p)) for q, p in pairs], "query_id long, pat string, rx string"
         )
         joined = index["term_stats"].join(F.broadcast(pdf), F.expr("term RLIKE rx"))
+    elif kind == "regexp":
+        # tokens ARE regexes (whitespace-separated, so no spaces inside a
+        # pattern — the Lucene RegexpQuery contract of term-level regexes
+        # makes that a non-restriction); anchored to match whole terms
+        pdf = spark.createDataFrame(
+            [(q, p, f"^(?:{p})$") for q, p in pairs],
+            "query_id long, pat string, rx string",
+        )
+        joined = index["term_stats"].join(F.broadcast(pdf), F.expr("term RLIKE rx"))
     else:
         raise ValueError(f"expand_pattern_terms: unknown kind {kind!r}")
     w = Window.partitionBy("query_id", "pat").orderBy(
@@ -538,6 +547,72 @@ def bm25_segments_wildcard(
     leading wildcards allowed (full dictionary stream, documented cost)."""
     expanded = expand_pattern_terms(spark, index, patterns, "wildcard", max_expansions)
     return _bm25_from_qterms(spark, index, expanded, k, round_digits)
+
+
+def bm25_segments_regexp(
+    spark: SparkSession,
+    index: dict,
+    patterns: DataFrame,
+    k: int = 10,
+    max_expansions: int = 1000,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Regexp top-k BM25 (Lucene RegexpQuery under scoring rewrite):
+    each whitespace-separated token is a regex matched against WHOLE
+    dictionary terms; matches score through the plain segment path."""
+    expanded = expand_pattern_terms(spark, index, patterns, "regexp", max_expansions)
+    return _bm25_from_qterms(spark, index, expanded, k, round_digits)
+
+
+def bm25_segments_paged(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    page: int = 1,
+    size: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """from/size result pagination (the ES search_after-free default):
+    page P of size S = ranks (P-1)·S+1 .. P·S of the pinned total order.
+    Deep pages recompute the full prefix (cost grows with P·S — the
+    documented from+size tradeoff; the shard kernels over-fetch P·S+32
+    locally so the global slice is exact). rank stays GLOBAL so callers
+    can stitch pages."""
+    if page < 1:
+        raise ValueError("bm25_segments_paged: page is 1-based")
+    cfg = config or AnalyzerConfig()
+    out = _bm25_from_qterms(
+        spark, index, analyze_queries(queries, cfg), page * size, round_digits
+    )
+    return out.filter(F.col("rank") > (page - 1) * size)
+
+
+def term_vectors(
+    index: dict,
+    docs: DataFrame,
+    config: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """ES `_termvectors` contract: per (doc, term) of the given docs
+    (doc_id, text) — tf, 0-based positions (comma-joined string for
+    engine-portable comparison), and corpus df from the index
+    dictionary. Store-and-reanalyze design (same as snippets): the
+    requested docs are a user query (small), so re-tokenizing them beats
+    scatter-decoding term-major postings; their term set broadcasts into
+    the DISTRIBUTED dictionary for df."""
+    cfg = config or AnalyzerConfig()
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize_col("text", cfg)).alias("pos", "term")
+    )
+    tv = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(F.sort_array(F.collect_list("pos")), ",").alias("positions"),
+    )
+    return (
+        index["term_stats"]
+        .join(F.broadcast(tv), "term")
+        .select("doc_id", "term", "tf", "positions", "df")
+    )
 
 
 _FIELD_COLS = ["avgdl", *_TERM_COLS]
