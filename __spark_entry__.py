@@ -744,6 +744,28 @@ def q_wildcard_search(spark, sf_dir):
     return bm25_segments_wildcard(spark, index, pdf, k=10, round_digits=4)
 
 
+def q_prf_search(spark, sf_dir):
+    """Pseudo-relevance feedback: top-3 hits per query assumed relevant,
+    their top-5 summed-tf*idf terms (6-dp rounding, ties term asc) union
+    the original terms, rescored (index/query.py:bm25_segments_prf —
+    Rocchio/RM3-lite)."""
+    from tokenkit_spark.index.query import bm25_segments_prf
+
+    index = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, text string")
+    return bm25_segments_prf(
+        spark,
+        index,
+        _docs(spark, sf_dir),
+        qdf,
+        WS,
+        k=10,
+        fb_docs=3,
+        fb_terms=5,
+        round_digits=4,
+    )
+
+
 def q_regexp_search(spark, sf_dir):
     """Regexp top-k BM25: whitespace-separated term-level regexes expand
     over the distributed dictionary (anchored RLIKE broadcast join) and
@@ -1354,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_search": q_wildcard_search,
         "boolean_search": q_boolean_search,
         "regexp_search": q_regexp_search,
+        "prf_search": q_prf_search,
         "paged_search": q_paged_search,
         "term_vectors": q_term_vectors,
         "histogram_facet": q_histogram_facet,
@@ -1678,6 +1701,52 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
         "prefix_search": _bm25_expansion_oracle(
             _PREFIX_VALUES, "v.term LIKE q.qterm || '%'"
         ),
+        "prf_search": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+q0 AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+       unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+s1 AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM q0 q JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g
+  GROUP BY 1, 2),
+r1 AS (SELECT query_id, doc_id FROM (
+       SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(s, 4) DESC, doc_id) AS rank
+       FROM s1) WHERE rank <= 3),
+fbtf AS (SELECT r1.query_id, p.term, sum(p.tf) AS tf
+         FROM r1 JOIN postings p USING (doc_id) GROUP BY 1, 2),
+fbsel AS (SELECT query_id, term FROM (
+          SELECT query_id, term,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(tf * ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)), 6) DESC,
+                            term ASC) AS r
+          FROM fbtf JOIN tstats t USING (term) CROSS JOIN globals g)
+          WHERE r <= 5),
+qx AS (SELECT query_id, term FROM q0 UNION SELECT query_id, term FROM fbsel),
+s2 AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qx q JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(s, 4) DESC, doc_id) AS rank,
+           doc_id, round(s, 4) AS score FROM s2)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+""",
         "regexp_search": _bm25_expansion_oracle(
             _REGEXP_VALUES, "regexp_full_match(v.term, q.qterm)"
         ),

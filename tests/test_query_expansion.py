@@ -347,3 +347,56 @@ def test_term_vectors_matches_brute(spark, index, docs):
             )
             assert got.df == df[t]
     assert len(out) == sum(len(set(r.text.lower().split())) for r in rows)
+
+
+def test_prf_matches_brute(spark, docs, index, vocab):
+    """Two-stage PRF == pure-Python recompute: stage-1 top-3, summed
+    tf*idf expansion top-5, union, rescore."""
+    import math
+    from collections import Counter
+
+    from tokenkit_spark.index.query import bm25_segments_prf
+
+    corpus = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    n = len(corpus)
+    dfc = Counter(t for toks in corpus.values() for t in set(toks))
+    avgdl = sum(len(v) for v in corpus.values()) / n
+
+    def idf(t):
+        return math.log(1 + (n - dfc[t] + 0.5) / (dfc[t] + 0.5))
+
+    def score(qterms, exclude=None):
+        out = []
+        for d, toks in corpus.items():
+            dtf = Counter(toks)
+            s = sum(
+                idf(t) * dtf[t] * 2.2 / (dtf[t] + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+                for t in qterms if dtf[t]
+            )
+            if s > 0:
+                out.append((round(s, 4), d))
+        return sorted(out, key=lambda x: (-x[0], x[1]))
+
+    words = sorted(vocab, key=lambda t: -vocab[t])
+    qs = [(0, f"{words[0]} {words[3]}"), (1, words[5])]
+    qdf = spark.createDataFrame(qs, "query_id long, text string")
+    got = {}
+    for r in bm25_segments_prf(
+        spark, index, docs, qdf, CFG, k=10, fb_docs=3, fb_terms=5, round_digits=4
+    ).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+
+    for qid, text in qs:
+        q0 = set(text.split())
+        fb_ids = [d for _s, d in score(q0)[:3]]
+        fbtf = Counter()
+        for d in fb_ids:
+            fbtf.update(corpus[d])
+        sel = sorted(fbtf, key=lambda t: (-round(fbtf[t] * idf(t), 6), t))[:5]
+        want = [
+            (i + 1, d, s) for i, (s, d) in enumerate(score(q0 | set(sel))[:10])
+        ]
+        assert got[qid] == want, qid

@@ -451,6 +451,55 @@ def more_like_this(
     )
 
 
+def bm25_segments_prf(
+    spark: SparkSession,
+    index: dict,
+    docs: DataFrame,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio / RM3-lite): run the query,
+    take its top ``fb_docs`` hits as assumed-relevant, extract their top
+    ``fb_terms`` expansion terms by summed tf * idf (6-dp-rounded, ties
+    term asc — same interesting-term rule as more_like_this), union with
+    the original analyzed terms, and score the expanded disjunction.
+
+    Scale shape: stage 1 is the ordinary segment path; the per-query hit
+    set (<= fb_docs rows) broadcasts into ``docs`` to fetch feedback
+    text (store-and-reanalyze, as snippets/more_like_this); expansion
+    term selection broadcasts into the distributed dictionary; stage 2
+    is the segment path again. No new kernel, no collect beyond the
+    stage-boundary term lists queries already pay."""
+    cfg = config or AnalyzerConfig()
+    q_terms = analyze_queries(queries, cfg)
+    first = _bm25_from_qterms(spark, index, q_terms, fb_docs, round_digits)
+    hits = first.select("query_id", "doc_id")
+    fb_toks = (
+        docs.join(F.broadcast(hits), "doc_id")
+        .select("query_id", F.explode(tokenize_col("text", cfg)).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = int(index["stats"]["n_docs"])
+    interest = F.round(F.col("tf") * _idf(F.col("df"), n_docs), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        interest.desc(), F.col("term").asc()
+    )
+    expansion = (
+        index["term_stats"]
+        .join(F.broadcast(fb_toks), "term")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= fb_terms)
+        .select("query_id", "term")
+    )
+    expanded = q_terms.unionByName(expansion).distinct()
+    return _bm25_from_qterms(spark, index, expanded, k, round_digits)
+
+
 def _split_patterns(patterns: DataFrame) -> list[tuple[int, str]]:
     """Collect (query_id, pattern-token) pairs driver-side. Pattern SETS
     are small by definition (they are user queries); the expensive side —
