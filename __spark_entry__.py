@@ -117,6 +117,39 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
+# Filtered search: scoring stats stay corpus-global (filters don't
+# score); the eligible relation restricts which docs may RANK.
+_BM25_FILTERED_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+elig AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN elig e ON e.doc_id = p.doc_id
+  JOIN tstats t USING (term)
+  JOIN dstats d ON d.doc_id = p.doc_id
+  CROSS JOIN globals g
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
 _BM25_CONJ_ORACLE = f"""
 WITH toks AS ({_TOKS}),
 postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -411,6 +444,22 @@ def q_bm25_conjunctive(spark, sf_dir):
     index = _index_for(spark, sf_dir)
     return bm25_segments_conjunctive(
         spark, index, _queries_df(spark), WS, k=10, round_digits=4
+    )
+
+
+def q_bm25_filtered(spark, sf_dir):
+    """Filtered top-k BM25 (the ES bool-query FILTER context): only
+    lang='en' docs may rank, but scores are IDENTICAL to the unfiltered
+    scores — filters don't score, df/avgdl/N stay corpus-global
+    (index/query.py:bm25_segments_filtered; eligible ids cogroup with
+    the matched segments on the index's own doc-shard key, applied
+    BEFORE the shard-local top-k cut)."""
+    from tokenkit_spark.index.query import bm25_segments_filtered
+
+    index = _index_for(spark, sf_dir)
+    eligible = _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
+    return bm25_segments_filtered(
+        spark, index, _queries_df(spark), eligible, WS, k=10, round_digits=4
     )
 
 
@@ -1329,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": q_bm25_top10,
         "bm25_top10_segments": q_bm25_top10_segments,
         "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_filtered": q_bm25_filtered,
         "bm25_msm2": q_bm25_msm2,
         "bm25_multifield": q_bm25_multifield,
         "doc_stats": q_doc_stats,
@@ -1424,6 +1474,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": _BM25_ORACLE,
         "bm25_top10_segments": _BM25_ORACLE,
         "bm25_conjunctive": _BM25_CONJ_ORACLE,
+        "bm25_filtered": _BM25_FILTERED_ORACLE,
         "bm25_msm2": _BM25_MSM_ORACLE,
         "bm25_multifield": _BM25_MULTIFIELD_ORACLE,
         "doc_stats": (

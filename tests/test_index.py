@@ -699,3 +699,38 @@ def test_histogram_facet_matches_brute(spark, docs, queries_df, index):
 
     with pytest.raises(ValueError, match="bucket_width"):
         histogram_facet(spark, index, queries_df, meta, "n_chars", 0, CFG)
+
+
+def test_filtered_matches_brute(spark, docs, queries_df, index):
+    """Filtered search (ES filter context): only eligible docs may rank,
+    scores are IDENTICAL to the unfiltered scores (filters don't score —
+    df/avgdl/N stay corpus-global). Expected = full brute scoring
+    restricted to the eligible set, re-ranked."""
+    from pyspark.sql import functions as F
+
+    from tokenkit_spark.index.query import bm25_brute, bm25_segments_filtered
+
+    n_docs = docs.count()
+    full = bm25_brute(docs, queries_df, CFG, k=n_docs).collect()
+    for frac_mod, label in [(3, "sparse"), (1, "all")]:
+        eligible = docs.filter(F.pmod(F.xxhash64("doc_id"), 7) < frac_mod).select("doc_id")
+        el = {r.doc_id for r in eligible.collect()}
+        by_q = {}
+        for r in full:
+            if r.doc_id in el:
+                by_q.setdefault(r.query_id, []).append((round(-r.score, 9), r.doc_id))
+        want = set()
+        for q, rows in by_q.items():
+            for rank, (negs, d) in enumerate(sorted(rows)[:10], start=1):
+                want.add((q, rank, d, -negs))
+        got = bm25_segments_filtered(spark, index, queries_df, eligible, CFG, k=10)
+        got_set = {(r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in got.collect()}
+        assert got_set == want, label
+
+
+def test_filtered_empty_filter_returns_nothing(spark, queries_df, index):
+    from tokenkit_spark.index.query import bm25_segments_filtered
+
+    empty = spark.createDataFrame([], "doc_id long")
+    got = bm25_segments_filtered(spark, index, queries_df, empty, CFG, k=10)
+    assert got.count() == 0

@@ -155,3 +155,40 @@ def test_wand_random_overlap_fuzz(seed):
     got = wand.score_query_shard(terms, AVGDL, k)
     assert (got["doc_ids"] == want_ids).all()
     assert np.allclose(got["scores"], want_scores)
+
+
+def _exhaustive_filtered(terms, k, eligible):
+    ids, scores = _exhaustive(terms, 10**9)
+    m = np.isin(ids, eligible)
+    ids, scores = ids[m], scores[m]
+    sel = np.lexsort((ids, -scores))[:k]
+    return ids[sel], scores[sel]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("frac", [0.0, 0.05, 0.5, 1.0])
+def test_wand_filtered_exact(seed, frac):
+    """Filtered search (eligible doc-id set): both kernels must return
+    the exact filtered top-k — the filter applies BEFORE the local cut,
+    and pruning with an eligible-only θ must stay safe."""
+    rng = np.random.default_rng(seed)
+    terms = _zipf_corpus(rng)
+    universe = np.unique(np.concatenate([codec.decode_posting_list(t)[0] for t in terms]))
+    n_el = int(round(frac * universe.size))
+    eligible = np.sort(rng.choice(universe, size=n_el, replace=False))
+    # mix in ids that match nothing (filter sets are arbitrary relations)
+    eligible = np.unique(np.concatenate([eligible, np.array([-1, 10**15], dtype=np.int64)]))
+    for kernel in (wand.score_query_shard, wand.score_query_direct):
+        for k in (5, 10, 50):
+            want_ids, want_scores = _exhaustive_filtered(terms, k, eligible)
+            got = kernel(terms, AVGDL, k, eligible=eligible)
+            assert (got["doc_ids"] == want_ids).all(), (kernel.__name__, k)
+            assert np.allclose(got["scores"], want_scores), (kernel.__name__, k)
+
+
+def test_wand_filtered_empty_eligible():
+    rng = np.random.default_rng(9)
+    terms = _zipf_corpus(rng)
+    for kernel in (wand.score_query_shard, wand.score_query_direct):
+        got = kernel(terms, AVGDL, 10, eligible=np.zeros(0, dtype=np.int64))
+        assert got["doc_ids"].size == 0

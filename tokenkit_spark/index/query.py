@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..config import AnalyzerConfig
 from ..functions.udfs import tokenize_col
 from . import codec, wand
-from .build import postings_df, doc_stats_df, term_bucket_col
+from .build import postings_df, doc_stats_df, shard_col, term_bucket_col
 
 K1 = codec.K1
 B = codec.B
@@ -197,6 +197,45 @@ def bm25_segments(
     )
 
 
+def _matched_terms(spark: SparkSession, index: dict, q_terms: DataFrame) -> DataFrame | None:
+    """Matched (term, shard) segment rows for a query-term set, joined
+    with per-term query lists and idf — the shared scan side of every
+    segment scoring path. None when the analyzed term set is empty.
+
+    Driver-side term list: queries are small by definition; it lets us
+    push term/bucket predicates INTO the parquet scan (partition +
+    rowgroup prune). One row per matched (term, shard) — NOT per
+    (query, term, shard): queries sharing a head term would otherwise
+    each ship a duplicate copy of its posting blobs through the shuffle
+    and Arrow boundary."""
+    stats = index["stats"]
+    n_docs = int(stats["n_docs"])
+    n_buckets = int(stats["n_buckets"])
+    terms = [r.term for r in q_terms.select("term").distinct().collect()]
+    if not terms:
+        return None
+    buckets = list({b.term_bucket for b in
+                    spark.createDataFrame([(t,) for t in terms], "term string")
+                    .select(term_bucket_col(F.col("term"), n_buckets).alias("term_bucket"))
+                    .collect()})
+
+    seg = (
+        index["segments"]
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    tstats = index["term_stats"].filter(F.col("term").isin(terms))
+    q_term_lists = q_terms.groupBy("term").agg(
+        F.collect_list("query_id").alias("query_ids")
+    )
+    return (
+        seg.join(F.broadcast(q_term_lists), "term")
+        .join(F.broadcast(tstats), "term")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .select("query_ids", "shard", *_TERM_COLS)
+    )
+
+
 def _bm25_from_qterms(
     spark: SparkSession,
     index: dict,
@@ -212,37 +251,10 @@ def _bm25_from_qterms(
     identical: every expanded term contributes its own idf*norm)."""
     stats = index["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    n_buckets = int(stats["n_buckets"])
     n_shards = int(stats["n_shards"])
-    # driver-side term list: queries are small by definition; lets us push
-    # term/bucket predicates INTO the parquet scan (partition+rowgroup prune)
-    terms = [r.term for r in q_terms.select("term").distinct().collect()]
-    if not terms:
+    matched = _matched_terms(spark, index, q_terms)
+    if matched is None:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
-    buckets = list({b.term_bucket for b in
-                    spark.createDataFrame([(t,) for t in terms], "term string")
-                    .select(term_bucket_col(F.col("term"), n_buckets).alias("term_bucket"))
-                    .collect()})
-
-    seg = (
-        index["segments"]
-        .filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
-    )
-    tstats = index["term_stats"].filter(F.col("term").isin(terms))
-
-    # one row per matched (term, shard) — NOT per (query, term, shard):
-    # queries sharing a head term would otherwise each ship a duplicate
-    # copy of its posting blobs through the shuffle and Arrow boundary
-    q_term_lists = q_terms.groupBy("term").agg(
-        F.collect_list("query_id").alias("query_ids")
-    )
-    matched = (
-        seg.join(F.broadcast(q_term_lists), "term")
-        .join(F.broadcast(tstats), "term")
-        .withColumn("idf", _idf(F.col("df"), n_docs))
-        .select("query_ids", "shard", *_TERM_COLS)
-    )
 
     out_schema = "query_id long, doc_id long, score double"
     # local candidate lists over-fetch a margin so rounded-score global
@@ -449,6 +461,94 @@ def more_like_this(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def _filtered_shard_kernel(
+    k: int,
+    avgdl: float,
+    use_blockmax: bool,
+    direct_max_blocks: int,
+):
+    """Cogroup kernel for filtered search: one call per doc-shard with
+    (matched term rows, eligible doc ids of THAT shard). Eligibility is
+    applied inside the scoring kernels before the local top-k cut."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+        if not len(left) or not len(right):
+            return empty
+        eligible = np.unique(right["doc_id"].to_numpy(np.int64))
+        groups: dict[int, list[dict]] = {}
+        for row in left.itertuples(index=False):
+            t = {c: getattr(row, c) for c in _TERM_COLS}
+            for q in row.query_ids:
+                groups.setdefault(int(q), []).append(t)
+        out_q, out_d, out_s = [], [], []
+        for q, terms in groups.items():
+            if use_blockmax and sum(len(t["block_last"]) for t in terms) > direct_max_blocks:
+                res = wand.score_query_shard(terms, avgdl, k, eligible=eligible)
+            else:
+                res = wand.score_query_direct(terms, avgdl, k, eligible=eligible)
+            ids, scores = res["doc_ids"], res["scores"]
+            out_q.extend([q] * len(ids))
+            out_d.extend(np.asarray(ids).tolist())
+            out_s.extend(np.asarray(scores).tolist())
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return fn
+
+
+def bm25_segments_filtered(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    eligible: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+    use_blockmax: bool = True,
+    direct_max_blocks: int = DIRECT_MAX_BLOCKS,
+) -> DataFrame:
+    """Filtered top-k BM25 (the ES bool-query FILTER context): only docs
+    in ``eligible`` (any DataFrame with a doc_id column — the result of
+    an arbitrary relational predicate) may rank; scores are unchanged by
+    the filter (filters don't score — the ES contract).
+
+    Scale shape: the eligible set is computed ONCE, hashed to the SAME
+    doc-shard key the index uses (pmod(xxhash64(doc_id), n_shards)), and
+    cogrouped with the matched segment rows — each shard kernel sees
+    exactly its shard's eligible ids (sorted array, searchsorted
+    membership) and applies them BEFORE the shard-local top-k cut, so
+    there is no over-fetch correctness hole no matter how selective the
+    filter. WAND pruning stays safe (θ from eligible docs only is ≤ the
+    unfiltered θ). The filter ids shuffle once, partitioned by shard —
+    never through the driver."""
+    cfg = config or AnalyzerConfig()
+    q_terms = analyze_queries(queries, cfg)
+    stats = index["stats"]
+    avgdl = float(stats["avgdl"])
+    n_shards = int(stats["n_shards"])
+    matched = _matched_terms(spark, index, q_terms)
+    if matched is None:
+        return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
+    elig = (
+        eligible.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+        .withColumn("shard", shard_col(F.col("doc_id"), n_shards))
+    )
+    candidates = (
+        matched.groupby("shard")
+        .cogroup(elig.groupby("shard"))
+        .applyInPandas(
+            _filtered_shard_kernel(k + 32, avgdl, use_blockmax, direct_max_blocks),
+            "query_id long, doc_id long, score double",
+        )
+    )
+    return _topk_window(candidates, k, round_digits)
 
 
 def bm25_segments_prf(

@@ -62,17 +62,34 @@ def norms_memo(t: dict, avgdl: float) -> np.ndarray:
     return norms
 
 
-def score_query_direct(terms: list[dict], avgdl: float, k: int) -> dict:
+def _member_mask(ids: np.ndarray, eligible: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``ids`` in SORTED ``eligible`` (searchsorted,
+    no Python set)."""
+    if eligible.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    pos = np.minimum(np.searchsorted(eligible, ids), eligible.size - 1)
+    return eligible[pos] == ids
+
+
+def score_query_direct(
+    terms: list[dict], avgdl: float, k: int, eligible: np.ndarray | None = None
+) -> dict:
     """Exhaustive accumulation with memoized decodes — the fast path for
     SHORT posting lists, where Block-Max WAND's per-query bookkeeping
     costs more than decoding everything. Identical results to
-    score_query_shard (same tie order), no pruning."""
+    score_query_shard (same tie order), no pruning. ``eligible``
+    (sorted doc ids) restricts scoring to a filter set — applied BEFORE
+    the top-k cut, so the filtered top-k is exact."""
     all_ids, all_scores = [], []
     nblocks = 0
     for t in terms:
         doc_ids, _tfs, _dls = decode_full_memo(t)
+        scores = float(t["idf"]) * norms_memo(t, avgdl)
+        if eligible is not None:
+            m = _member_mask(doc_ids, eligible)
+            doc_ids, scores = doc_ids[m], scores[m]
         all_ids.append(doc_ids)
-        all_scores.append(float(t["idf"]) * norms_memo(t, avgdl))
+        all_scores.append(scores)
         nblocks += len(t["block_last"])
     ids = np.concatenate(all_ids) if all_ids else np.zeros(0, dtype=np.int64)
     scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
@@ -125,7 +142,9 @@ def _kth_best(scores: np.ndarray, k: int) -> float:
     return float(np.partition(scores, -k)[-k])
 
 
-def score_query_shard(terms: list[dict], avgdl: float, k: int) -> dict:
+def score_query_shard(
+    terms: list[dict], avgdl: float, k: int, eligible: np.ndarray | None = None
+) -> dict:
     """Score one query against one doc-shard's matched posting lists.
 
     ``terms``: one dict per matched query term with keys ``idf``,
@@ -133,6 +152,12 @@ def score_query_shard(terms: list[dict], avgdl: float, k: int) -> dict:
     ``block_last``, ``block_max_tf``, ``block_min_dl``, ``block_doc_off``,
     ``block_tf_off``, ``block_dl_off``. Returns exact top-k (doc_ids,
     scores) plus pruning stats {blocks_total, blocks_decoded}.
+
+    ``eligible`` (sorted doc ids): only these docs may rank (filtered
+    search). Pruning stays SAFE under the filter: θ is the k-th best
+    ELIGIBLE partial (≤ unfiltered θ, so strictly fewer skips, never an
+    unsafe one), block bounds upper-bound every doc including eligible
+    ones, and ineligible postings are masked before accumulation.
     """
     # per-block norm upper bounds at the CURRENT avgdl (memoized on the
     # shared term dict, keyed by avgdl: a head term's bounds compute once
@@ -188,8 +213,11 @@ def score_query_shard(terms: list[dict], avgdl: float, k: int) -> dict:
         # so a head term's blobs decode once per partition, not per query
         if live.size == nblocks:
             doc_ids, _tfs, _dls = decode_full_memo(t)
-            norms = norms_memo(t, avgdl)
-            acc_ids, acc_scores = _merge_acc(acc_ids, acc_scores, doc_ids, idf * norms)
+            contrib = idf * norms_memo(t, avgdl)
+            if eligible is not None:
+                m = _member_mask(doc_ids, eligible)
+                doc_ids, contrib = doc_ids[m], contrib[m]
+            acc_ids, acc_scores = _merge_acc(acc_ids, acc_scores, doc_ids, contrib)
             continue
         else:
             bcache = t.setdefault("_blocks", {})
@@ -214,6 +242,9 @@ def score_query_shard(terms: list[dict], avgdl: float, k: int) -> dict:
             tfs = np.concatenate([p[1] for p in parts])
             dls = np.concatenate([p[2] for p in parts])
         contrib = idf * codec.bm25_norm(tfs, dls, avgdl)
+        if eligible is not None:
+            m = _member_mask(doc_ids, eligible)
+            doc_ids, contrib = doc_ids[m], contrib[m]
         acc_ids, acc_scores = _merge_acc(acc_ids, acc_scores, doc_ids, contrib)
 
     # exact top-k with the pinned tie order (score desc, doc_id asc)
