@@ -150,6 +150,107 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
+_MATCHES_CTE = f"""toks AS ({_TOKS}),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+matches AS (SELECT DISTINCT q.query_id, t.doc_id FROM qterms q JOIN toks t USING (term))"""
+
+_SEARCH_SORTED_ORACLE = f"""
+WITH {_MATCHES_CTE},
+ranked AS (
+  SELECT m.query_id,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY d.n_chars DESC, m.doc_id) AS rank,
+         m.doc_id, d.n_chars AS sort_val
+  FROM matches m JOIN documents d USING (doc_id))
+SELECT query_id, rank, doc_id, sort_val FROM ranked WHERE rank <= 10
+"""
+
+# page 2 of the keyset cursor: queries with >= 10 matches resume after
+# rank 10 (page-local rank); the rest have no cursor row -> page 1
+_SEARCH_AFTER_ORACLE = f"""
+WITH {_MATCHES_CTE},
+counts AS (SELECT query_id, count(*) AS n FROM matches GROUP BY 1),
+ranked AS (
+  SELECT m.query_id,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY d.n_chars DESC, m.doc_id) AS rank,
+         m.doc_id, d.n_chars AS sort_val
+  FROM matches m JOIN documents d USING (doc_id))
+SELECT query_id,
+       CASE WHEN n >= 10 THEN rank - 10 ELSE rank END AS rank,
+       doc_id, sort_val
+FROM ranked JOIN counts USING (query_id)
+WHERE (n >= 10 AND rank BETWEEN 11 AND 20) OR (n < 10 AND rank <= 10)
+"""
+
+_COLLAPSE_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g
+  GROUP BY 1, 2),
+champ AS (
+  SELECT s.query_id, dm.source AS group_val, s.doc_id, round(s.s, 4) AS score,
+         row_number() OVER (PARTITION BY s.query_id, dm.source
+                            ORDER BY round(s.s, 4) DESC, s.doc_id) AS r
+  FROM scored s JOIN documents dm USING (doc_id)),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank,
+         group_val, doc_id, score
+  FROM champ WHERE r = 1)
+SELECT query_id, rank, group_val, doc_id, score FROM ranked WHERE rank <= 5
+"""
+
+_FUNCTION_SCORE_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g
+  GROUP BY 1, 2),
+boosted AS (
+  SELECT s.query_id, s.doc_id, s.s * ln(1 + 0.5 * dm.n_chars) AS s
+  FROM scored s JOIN documents dm USING (doc_id)),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM boosted)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
 _BM25_CONJ_ORACLE = f"""
 WITH toks AS ({_TOKS}),
 postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -460,6 +561,70 @@ def q_bm25_filtered(spark, sf_dir):
     eligible = _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
     return bm25_segments_filtered(
         spark, index, _queries_df(spark), eligible, WS, k=10, round_digits=4
+    )
+
+
+def q_search_sorted(spark, sf_dir):
+    """Sort-by-field search (the ES sort clause): docs matching >=1
+    analyzed query term ranked by n_chars desc (doc_id tiebreak), not by
+    relevance (index/query.py:search_sorted)."""
+    from tokenkit_spark.index.query import search_sorted
+
+    index = _index_for(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return search_sorted(
+        spark, index, _queries_df(spark), meta, "n_chars", False, 10, config=WS
+    )
+
+
+def q_search_after_page2(spark, sf_dir):
+    """Keyset-cursor pagination (ES search_after): page 2 resumes from
+    page 1's boundary (sort value, doc_id) without recomputing the
+    prefix; a query without a cursor row gets page 1 (the no-search_after
+    case). (index/query.py:search_sorted)."""
+    from tokenkit_spark.index.query import search_sorted
+
+    index = _index_for(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    page1 = search_sorted(
+        spark, index, _queries_df(spark), meta, "n_chars", False, 10, config=WS
+    )
+    boundary = [
+        (r.query_id, r.sort_val, r.doc_id) for r in page1.filter(F.col("rank") == 10).collect()
+    ]
+    cursor = spark.createDataFrame(
+        boundary, "query_id long, after_val long, after_doc_id long"
+    )
+    return search_sorted(
+        spark, index, _queries_df(spark), meta, "n_chars", False, 10, cursor, config=WS
+    )
+
+
+def q_collapse_by_source(spark, sf_dir):
+    """Field collapsing (ES collapse): per query, top-5 sources by BM25,
+    each represented by its best-scoring doc — one hit per source
+    (index/query.py:collapse_search over the exhaustive-scored match set)."""
+    from tokenkit_spark.index.query import collapse_search
+
+    index = _index_for(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select("doc_id", "source")
+    return collapse_search(
+        spark, index, _queries_df(spark), meta, "source", WS, k=5, round_digits=4
+    )
+
+
+def q_function_score_length(spark, sf_dir):
+    """ES function_score field_value_factor: BM25 * log1p(0.5*n_chars)
+    re-ranks the FULL match set — a static length prior folded into
+    relevance (index/query.py:function_score)."""
+    from tokenkit_spark.index.query import function_score
+
+    index = _index_for(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return function_score(
+        spark, index, _queries_df(spark), meta, "n_chars",
+        factor=0.5, modifier="log1p", boost_mode="multiply",
+        config=WS, k=10, round_digits=4,
     )
 
 
@@ -1379,6 +1544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_segments": q_bm25_top10_segments,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_filtered": q_bm25_filtered,
+        "search_sorted": q_search_sorted,
+        "search_after_page2": q_search_after_page2,
+        "collapse_by_source": q_collapse_by_source,
+        "function_score_length": q_function_score_length,
         "bm25_msm2": q_bm25_msm2,
         "bm25_multifield": q_bm25_multifield,
         "doc_stats": q_doc_stats,
@@ -1475,6 +1644,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10_segments": _BM25_ORACLE,
         "bm25_conjunctive": _BM25_CONJ_ORACLE,
         "bm25_filtered": _BM25_FILTERED_ORACLE,
+        "search_sorted": _SEARCH_SORTED_ORACLE,
+        "search_after_page2": _SEARCH_AFTER_ORACLE,
+        "collapse_by_source": _COLLAPSE_ORACLE,
+        "function_score_length": _FUNCTION_SCORE_ORACLE,
         "bm25_msm2": _BM25_MSM_ORACLE,
         "bm25_multifield": _BM25_MULTIFIELD_ORACLE,
         "doc_stats": (

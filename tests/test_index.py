@@ -734,3 +734,127 @@ def test_filtered_empty_filter_returns_nothing(spark, queries_df, index):
     empty = spark.createDataFrame([], "doc_id long")
     got = bm25_segments_filtered(spark, index, queries_df, empty, CFG, k=10)
     assert got.count() == 0
+
+
+@pytest.fixture(scope="module")
+def docs_meta(docs):
+    from pyspark.sql import functions as F
+
+    # deterministic metadata: length + a coarse "site" group with ties
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.pmod(F.xxhash64("doc_id"), 13).alias("site"),
+    ).cache()
+
+
+def _brute_matches(docs, queries_df):
+    """(query_id, doc_id) disjunctive match set via plain DataFrame ops."""
+    from pyspark.sql import functions as F
+
+    from tokenkit_spark.functions.udfs import tokenize_col
+    from tokenkit_spark.index.query import analyze_queries
+
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize_col("text", CFG))).alias("term")
+    )
+    return analyze_queries(queries_df, CFG).join(toks, "term").select(
+        "query_id", "doc_id"
+    ).distinct()
+
+
+def test_search_sorted_and_after_match_brute(spark, docs, queries_df, index, docs_meta):
+    """Sort-by-field search: page 1 and the search_after page 2 must
+    equal the brute match set sorted by the field (doc_id tiebreak) —
+    and the cursor page must be EXACTLY rows k+1..2k of the full order."""
+    from tokenkit_spark.index.query import search_sorted
+
+    meta = {r.doc_id: r.n_chars for r in docs_meta.collect()}
+    brute = _brute_matches(docs, queries_df).collect()
+    by_q = {}
+    for r in brute:
+        by_q.setdefault(r.query_id, []).append((-meta[r.doc_id], r.doc_id))
+    full = {q: sorted(rows) for q, rows in by_q.items()}
+
+    k = 10
+    got1 = search_sorted(spark, index, queries_df, docs_meta, "n_chars", False, k, config=CFG)
+    want1 = {
+        (q, i + 1, d, -neg)
+        for q, rows in full.items()
+        for i, (neg, d) in enumerate(rows[:k])
+    }
+    assert {(r.query_id, r.rank, r.doc_id, r.sort_val) for r in got1.collect()} == want1
+
+    cursored = {q for q, rows in full.items() if len(rows) >= k}
+    cursor = spark.createDataFrame(
+        [(q, -full[q][k - 1][0], full[q][k - 1][1]) for q in cursored],
+        "query_id long, after_val int, after_doc_id long",
+    )
+    got2 = search_sorted(spark, index, queries_df, docs_meta, "n_chars", False, k, cursor, config=CFG)
+    # a query WITHOUT a cursor row gets page 1 (the ES no-search_after case)
+    want2 = {
+        (q, i + 1, d, -neg)
+        for q, rows in full.items()
+        for i, (neg, d) in enumerate(rows[k : 2 * k] if q in cursored else rows[:k])
+    }
+    assert {(r.query_id, r.rank, r.doc_id, r.sort_val) for r in got2.collect()} == want2
+
+
+def test_collapse_search_matches_brute(spark, docs, queries_df, index, docs_meta):
+    """Field collapsing: per query top-k groups, champion = best
+    (rounded score desc, doc_id asc) within the group."""
+    from tokenkit_spark.index.query import bm25_brute, collapse_search
+
+    site = {r.doc_id: r.site for r in docs_meta.collect()}
+    full = bm25_brute(docs, queries_df, CFG, k=docs.count(), round_digits=6).collect()
+    champs = {}
+    for r in full:
+        key = (r.query_id, site[r.doc_id])
+        cur = champs.get(key)
+        cand = (-r.score, r.doc_id)
+        if cur is None or cand < cur:
+            champs[key] = cand
+    by_q = {}
+    for (q, s), (negs, d) in champs.items():
+        by_q.setdefault(q, []).append((negs, d, s))
+    want = {
+        (q, i + 1, s, d, -negs)
+        for q, rows in by_q.items()
+        for i, (negs, d, s) in enumerate(sorted(rows)[:5])
+    }
+    got = collapse_search(spark, index, queries_df, docs_meta, "site", CFG, k=5, round_digits=6)
+    got_set = {
+        (r.query_id, r.rank, r.group_val, r.doc_id, round(r.score, 6)) for r in got.collect()
+    }
+    assert got_set == want
+
+
+def test_function_score_matches_brute(spark, docs, queries_df, index, docs_meta):
+    """field_value_factor: score * log1p(factor*field) re-ranks the FULL
+    match set (a boosted doc outside the score-only top-k must be able
+    to enter)."""
+    import math
+
+    from tokenkit_spark.index.query import bm25_brute, function_score
+
+    meta = {r.doc_id: r.n_chars for r in docs_meta.collect()}
+    full = bm25_brute(docs, queries_df, CFG, k=docs.count()).collect()
+    by_q = {}
+    for r in full:
+        boosted = r.score * math.log1p(0.5 * meta[r.doc_id])
+        by_q.setdefault(r.query_id, []).append((-round(boosted, 6), r.doc_id))
+    want = {
+        (q, i + 1, d, -neg)
+        for q, rows in by_q.items()
+        for i, (neg, d) in enumerate(sorted(rows)[:10])
+    }
+    got = function_score(
+        spark, index, queries_df, docs_meta, "n_chars",
+        factor=0.5, modifier="log1p", boost_mode="multiply",
+        config=CFG, k=10, round_digits=6,
+    )
+    got_set = {(r.query_id, r.rank, r.doc_id, round(r.score, 6)) for r in got.collect()}
+    assert got_set == want
+
+    with pytest.raises(ValueError, match="modifier"):
+        function_score(spark, index, queries_df, docs_meta, "n_chars", modifier="bogus")

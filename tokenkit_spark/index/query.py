@@ -737,6 +737,173 @@ def bm25_segments_paged(
     return out.filter(F.col("rank") > (page - 1) * size)
 
 
+def bm25_all_scores(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score) for EVERY document in the disjunctive
+    match set — no top-k cut. The scoring primitive under collapse /
+    function-score / export-and-rerank workloads, where a local cut
+    would be wrong (the best doc of a group, or the best boosted doc,
+    need not be in any score-only top-k).
+
+    Cost is honest: the full match set crosses the kernel boundary (same
+    rows facet_counts aggregates). The direct kernel is forced — with no
+    cut there is nothing for WAND to prune, so its bookkeeping is pure
+    overhead. Output stays distributed, partitioned by doc-shard."""
+    cfg = config or AnalyzerConfig()
+    stats = index["stats"]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    n_shards = int(stats["n_shards"])
+    matched = _matched_terms(spark, index, analyze_queries(queries, cfg))
+    if matched is None:
+        return spark.createDataFrame([], "query_id long, doc_id long, score double")
+    return (
+        matched.repartition(_shard_partitions(spark, n_shards), "shard")
+        .mapInPandas(
+            _score_shard_kernel(2**62, n_docs, avgdl, use_blockmax=False),
+            "query_id long, doc_id long, score double",
+        )
+    )
+
+
+def search_sorted(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    docs_meta: DataFrame,
+    sort_col: str,
+    ascending: bool = False,
+    k: int = 10,
+    search_after: DataFrame | None = None,
+    config: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """Sort-by-field search (the ES ``sort`` clause): documents matching
+    >= 1 analyzed query term, ranked by a metadata field instead of
+    relevance; tiebreak doc_id asc (the ES ``_id`` tiebreaker contract).
+
+    ``search_after`` (query_id, after_val, after_doc_id) is a keyset
+    cursor — the (sort value, doc_id) of the last row of the previous
+    page. Unlike from/size, deep pages don't recompute the prefix: the
+    cursor predicate eliminates already-returned rows BEFORE the
+    per-query top-k window, so page N costs the same as page 1. rank is
+    page-local (1..k), as in ES.
+
+    Scale shape: match set (never collected) joins doc metadata on
+    doc_id — both sides distributed; the cursor set (one row per query)
+    broadcasts."""
+    matches = matching_docs(spark, index, queries, config)
+    rows = matches.join(docs_meta.select("doc_id", sort_col), "doc_id")
+    sval = F.col(sort_col)
+    if search_after is not None:
+        cmp = (sval > F.col("after_val")) if ascending else (sval < F.col("after_val"))
+        rows = rows.join(F.broadcast(search_after), "query_id", "left").filter(
+            F.col("after_val").isNull()
+            | cmp
+            | ((sval == F.col("after_val")) & (F.col("doc_id") > F.col("after_doc_id")))
+        )
+    order = sval.asc() if ascending else sval.desc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col("doc_id").asc())
+    return (
+        rows.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", F.col(sort_col).alias("sort_val"))
+    )
+
+
+def collapse_search(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    docs_meta: DataFrame,
+    collapse_col: str,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Field collapsing (the ES ``collapse`` clause): per query, the
+    top-k GROUPS by BM25, each represented by its single best-scoring
+    document — one result per distinct ``collapse_col`` value (dedup-by-
+    site in web search). Group champion and group ranking both use the
+    pinned tie order (score desc, doc_id asc).
+
+    Exactness requires scoring the full match set (a group's champion
+    need not survive any score-only local top-k), so this rides
+    bm25_all_scores; the two windows are hash-partitioned on
+    (query, group) and (query) — never a global sort."""
+    scored = bm25_all_scores(spark, index, queries, config)
+    score = (
+        F.round(F.col("score"), round_digits) if round_digits is not None else F.col("score")
+    )
+    rows = scored.join(docs_meta.select("doc_id", collapse_col), "doc_id")
+    champ = Window.partitionBy("query_id", collapse_col).orderBy(
+        score.desc(), F.col("doc_id").asc()
+    )
+    best = (
+        rows.withColumn("_r", F.row_number().over(champ))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    w = Window.partitionBy("query_id").orderBy(score.desc(), F.col("doc_id").asc())
+    return (
+        best.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col(collapse_col).alias("group_val"),
+            "doc_id", score.alias("score"),
+        )
+    )
+
+
+_FVF_MODIFIERS = {
+    "none": lambda c: c,
+    "log1p": lambda c: F.log(F.lit(1.0) + c),
+    "sqrt": F.sqrt,
+}
+
+
+def function_score(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    docs_meta: DataFrame,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "log1p",
+    boost_mode: str = "multiply",
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ES ``function_score`` with a field_value_factor function:
+    boost = modifier(factor * field), final = score <boost_mode> boost
+    (multiply | sum). Static quality signals (popularity, length,
+    recency buckets) re-rank relevance without reindexing.
+
+    An arbitrary per-doc boost breaks WAND's score bounds, so the match
+    set is scored exhaustively (bm25_all_scores) and boosted in pure
+    Catalyst after a distributed metadata join — the documented ES
+    tradeoff (function_score rescoring visits every match) made explicit."""
+    mod = _FVF_MODIFIERS.get(modifier)
+    if mod is None:
+        raise ValueError(f"function_score: unknown modifier {modifier!r}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"function_score: unknown boost_mode {boost_mode!r}")
+    scored = bm25_all_scores(spark, index, queries, config)
+    boost = mod(F.lit(float(factor)) * F.col(field))
+    combined = (
+        F.col("score") * boost if boost_mode == "multiply" else F.col("score") + boost
+    )
+    rows = (
+        scored.join(docs_meta.select("doc_id", field), "doc_id")
+        .withColumn("score", combined)
+        .select("query_id", "doc_id", "score")
+    )
+    return _topk_window(rows, k, round_digits)
+
+
 def term_vectors(
     index: dict,
     docs: DataFrame,
