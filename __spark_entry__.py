@@ -920,6 +920,16 @@ def q_pmi_collocations(spark, sf_dir):
     return pmi_collocations(_docs(spark, sf_dir), min_count=5, top_n=50)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality filter: per-doc perplexity under an
+    add-0.1-smoothed bigram LM trained on the corpus itself — count
+    shuffles + large-large key joins, no collected model, no UDF
+    (ops/textstats.py:bigram_lm_perplexity)."""
+    from tokenkit_spark.ops.textstats import bigram_lm_perplexity
+
+    return bigram_lm_perplexity(_docs(spark, sf_dir), alpha=0.1)
+
+
 def q_more_like_this(spark, sf_dir):
     """More-like-this: seed docs (doc_id % 167 == 0) re-analyzed, top-10
     interesting terms by 6-dp-rounded tf*idf (ties term asc), run as a
@@ -1591,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "stratified_sample": q_stratified_sample,
         "pmi_collocations": q_pmi_collocations,
+        "lm_perplexity": q_lm_perplexity,
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "boolean_search": q_boolean_search,
@@ -1887,6 +1898,22 @@ SELECT doc_id, rank, term, tf, score FROM ranked WHERE rank <= 3
             "WHERE n_pair >= 5) "
             "SELECT * FROM (SELECT row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank, "
             "bigram, n_pair, pmi FROM scored) WHERE rank <= 50"
+        ),
+        "lm_perplexity": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS l FROM documents), "
+            "big AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM t, "
+            "unnest(generate_series(1, greatest(len(l) - 1, 0))) r(i)), "
+            "uc AS (SELECT unnest(l) AS w FROM t), "
+            "u AS (SELECT w, count(*) AS c_w FROM uc GROUP BY 1), "
+            "pc AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2), "
+            "v AS (SELECT count(*) AS v FROM u) "
+            "SELECT doc_id, count(*) AS n_bigrams, "
+            "round(exp(-avg(ln((coalesce(c_ab, 0) + 0.1) / "
+            "(coalesce(c_w, 0) + 0.1 * v.v)))), 4) AS ppl "
+            "FROM big LEFT JOIN pc USING (w1, w2) "
+            "LEFT JOIN u ON u.w = big.w1 CROSS JOIN v "
+            "GROUP BY doc_id"
         ),
         "more_like_this": f"""
 WITH toks AS ({_TOKS}),

@@ -647,3 +647,65 @@ def test_ngram_contamination_and_shared_spans(spark):
         for r in shared_span_pairs(train, n=4, max_gram_df=2).collect()
     }
     assert capped == {(0, 3): 2}
+
+
+def test_bigram_lm_perplexity_matches_python(spark):
+    """Self-scored corpus AND cross-scored (unseen bigrams/unigrams hit
+    the smoothed floor); a one-token doc has no bigrams and is absent."""
+    import math
+    from collections import Counter
+
+    model_rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "a cat and a dog"),
+    ]
+    score_rows = model_rows + [
+        (3, "the cat sat"),            # all seen
+        (4, "zebra quantum the cat"),  # unseen unigrams + bigrams
+        (5, "word"),                   # 1 token -> absent
+    ]
+    alpha = 0.1
+    toks = lambda s: s.lower().split()
+    uni = Counter(w for _, t in model_rows for w in toks(t))
+    pairs = Counter(
+        (ws[i], ws[i + 1]) for _, t in model_rows for ws in [toks(t)] for i in range(len(ws) - 1)
+    )
+    v = len(uni)
+
+    def ppl(text):
+        ws = toks(text)
+        lps = [
+            math.log((pairs.get((a, b), 0) + alpha) / (uni.get(a, 0) + alpha * v))
+            for a, b in zip(ws, ws[1:])
+        ]
+        return round(math.exp(-sum(lps) / len(lps)), 4) if lps else None
+
+    model = spark.createDataFrame(model_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.ppl)
+        for r in textstats.bigram_lm_perplexity(docs, model, alpha).collect()
+    }
+    assert 5 not in got
+    for did, text in score_rows[:-1]:
+        assert got[did] == (len(toks(text)) - 1, ppl(text)), (did, text)
+
+    # self-scored: model defaults to the scored corpus itself
+    self_got = {
+        r.doc_id: r.ppl for r in textstats.bigram_lm_perplexity(model, alpha=alpha).collect()
+    }
+    assert set(self_got) == {0, 1, 2}
+    # fluent (all-seen) docs score lower ppl than the unseen-heavy doc
+    assert max(self_got.values()) < got[4][1]
+
+
+def test_pmi_survives_one_token_doc(spark):
+    """Regression: sequence(1, 0) counts DOWN in Spark — a single-token
+    document must not crash bigram generation."""
+    df = spark.createDataFrame(
+        [("word",), ("a b a b",), ("a b",)], "text string"
+    )
+    rows = textstats.pmi_collocations(df, min_count=1).collect()
+    assert {r.bigram for r in rows} == {"a b", "b a"}

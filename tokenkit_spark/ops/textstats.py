@@ -222,9 +222,11 @@ def pmi_collocations(
     toks = docs.select(_tokens(F.col(text_col)).alias("toks"))
     big = toks.select(
         F.explode(
+            # sequence(1, 0) counts DOWN in Spark, so guard 1-token docs
             F.expr(
-                "transform(sequence(1, greatest(size(toks) - 1, 0)), "
-                "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) END"
             )
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -263,4 +265,75 @@ def pmi_collocations(
     w = Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "bigram", "n_pair", "pmi"
+    )
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2) — adjacent-token bigrams generated per-row with
+    an array lambda (no self-join, no positional explode+join)."""
+    return docs.select(
+        "doc_id", _tokens(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            # sequence(1, 0) counts DOWN in Spark, so guard short docs
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    alpha: float = 0.1,
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """(doc_id, n_bigrams, ppl): per-document perplexity under a
+    corpus-trained bigram language model with add-α smoothing — the
+    CCNet-style LM quality filter (Wenzek et al. 2020 rank crawl text by
+    LM perplexity; they use a pretrained KenLM 5-gram, we train a bigram
+    model on ``model_docs`` so the whole pipeline is self-contained and
+    engine-reproducible):
+
+        P(b|a)  = (c_ab + α) / (c_a + α·V)      V = model vocab size
+        ppl(d)  = exp( -avg_{(a,b) ∈ d} ln P(b|a) )
+
+    Low ppl = text the corpus LM predicts well (fluent/common); high
+    ppl = boilerplate, gibberish, or out-of-domain — the filter axis.
+    Docs with < 2 tokens have no bigrams and are absent (no LM evidence).
+    Unseen bigrams/unigrams at score time (model_docs ≠ docs) fall back
+    to the α-smoothed floor via left joins.
+
+    Scale shape: counts are partial-agg shuffles; scoring joins the doc
+    bigram stream against the bigram/unigram count tables on their keys
+    (large-large, AQE handles the "of the" head-pair skew) — no
+    collected model, no UDF, whole-stage codegen end to end."""
+    model = model_docs if model_docs is not None else docs
+    mtoks = model.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+    uni = mtoks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    pairs = (
+        _doc_bigrams(model, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    v = uni.count()
+
+    logp = F.log(
+        (F.coalesce(F.col("c_ab"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c_w"), F.lit(0)) + F.lit(alpha * v))
+    )
+    return (
+        _doc_bigrams(docs, text_col)
+        .join(pairs, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(-F.avg(logp)), round_digits).alias("ppl"),
+        )
     )
