@@ -920,6 +920,79 @@ def q_pmi_collocations(spark, sf_dir):
     return pmi_collocations(_docs(spark, sf_dir), min_count=5, top_n=50)
 
 
+SYN_MAP = {"join": "merge", "fast": "quick", "big": "large", "agg": "aggregate"}
+
+
+def q_ascii_fold(spark, sf_dir):
+    """ASCII-folding filter (Lucene ASCIIFoldingFilter semantics):
+    ligature replaces + ONE translate over the full Latin-1/Ext-A
+    diacritic table, entirely JVM-side — no Python worker
+    (analyzers/filters.py:ascii_fold_col). Accented input synthesized
+    deterministically from lang/source."""
+    from tokenkit_spark.analyzers.filters import ascii_fold_col
+
+    val = F.concat(
+        F.lit("café "), F.col("lang"), F.lit(" ßtraße Œuvre "),
+        F.col("source"), F.lit(" Øre naïve"),
+    )
+    return _docs(spark, sf_dir).select("doc_id", ascii_fold_col(val).alias("folded"))
+
+
+def q_synonym_tf(spark, sf_dir):
+    """Synonym token filter, contract mode (ES synonym filter): map
+    literal + transform, codegen'd, unknown terms pass through; corpus
+    term frequencies after canonicalization
+    (analyzers/filters.py:synonyms_col)."""
+    from tokenkit_spark.analyzers.filters import synonyms_col
+
+    toks = _docs(spark, sf_dir).select(
+        synonyms_col(tokenize_col("text", WS), SYN_MAP).alias("toks")
+    )
+    return (
+        toks.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def q_word_shingles(spark, sf_dir):
+    """Word-bigram shingles (Lucene ShingleFilter) over whitespace
+    tokens — native sequence/slice/array_join windows, no UDF
+    (analyzers/filters.py:shingles_col)."""
+    from tokenkit_spark.analyzers.filters import shingles_col
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(shingles_col(tokenize_col("text", WS), 2)).alias(
+                "pos", "shingle"
+            ),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "shingle")
+    )
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """CCNet/RefinedWeb line-level boilerplate removal: lines repeating
+    across >=2 distinct docs (per-source header, doc_id%251 group line,
+    universal footer) are stripped; the unique 'doc <id>' line survives.
+    df-agg + left_anti against the small boilerplate set (AQE broadcast)
+    (ops/textstats.py:remove_boilerplate_lines)."""
+    from tokenkit_spark.ops.textstats import remove_boilerplate_lines
+
+    vals = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("hdr "), F.col("source"), F.lit("\n"),
+            F.lit("doc "), F.col("doc_id").cast("string"), F.lit("\n"),
+            F.lit("grp "), (F.col("doc_id") % 251).cast("string"), F.lit("\n"),
+            F.lit("footer common"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(vals, min_df=2)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality filter: per-doc perplexity under an
     add-0.1-smoothed bigram LM trained on the corpus itself — count
@@ -1602,6 +1675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pmi_collocations": q_pmi_collocations,
         "lm_perplexity": q_lm_perplexity,
+        "ascii_fold": q_ascii_fold,
+        "synonym_tf": q_synonym_tf,
+        "word_shingles": q_word_shingles,
+        "boilerplate_lines": q_boilerplate_lines,
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "boolean_search": q_boolean_search,
@@ -1898,6 +1975,40 @@ SELECT doc_id, rank, term, tf, score FROM ranked WHERE rank <= 3
             "WHERE n_pair >= 5) "
             "SELECT * FROM (SELECT row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank, "
             "bigram, n_pair, pmi FROM scored) WHERE rank <= 50"
+        ),
+        "ascii_fold": (
+            "SELECT doc_id, strip_accents(replace(replace(replace("
+            "'café ' || lang || ' ßtraße Œuvre ' || source || ' Øre naïve', "
+            "'ß', 'ss'), 'Œ', 'OE'), 'Ø', 'O')) AS folded FROM documents"
+        ),
+        "synonym_tf": (
+            f"WITH toks AS ({_TOKS}), "
+            "syn(term0, canonical) AS (VALUES ('join', 'merge'), ('fast', 'quick'), "
+            "('big', 'large'), ('agg', 'aggregate')), "
+            "mapped AS (SELECT coalesce(canonical, term) AS term FROM toks "
+            "LEFT JOIN syn ON toks.term = syn.term0) "
+            "SELECT term, count(*) AS tf FROM mapped GROUP BY 1"
+        ),
+        "word_shingles": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS l FROM documents) "
+            "SELECT doc_id, i - 1 AS pos, l[i] || ' ' || l[i+1] AS shingle "
+            "FROM t, unnest(generate_series(1, greatest(len(l) - 1, 0))) r(i)"
+        ),
+        "boilerplate_lines": (
+            "WITH v AS (SELECT doc_id, 'hdr ' || source || chr(10) || "
+            "'doc ' || doc_id || chr(10) || 'grp ' || (doc_id % 251) || chr(10) || "
+            "'footer common' AS text FROM documents), "
+            "l AS (SELECT doc_id, i AS pos, s[i] AS line FROM "
+            "(SELECT doc_id, string_split(text, chr(10)) AS s FROM v), "
+            "unnest(generate_series(1, len(s))) r(i)), "
+            "b AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df "
+            "FROM l GROUP BY 1) WHERE df >= 2), "
+            "k AS (SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM b)), "
+            "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned "
+            "FROM k GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(agg.cleaned, '') AS cleaned "
+            "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
         ),
         "lm_perplexity": (
             "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "

@@ -1640,6 +1640,24 @@ class TestConfigurationSpec:
         with pytest.raises(ConfigError, match="Invalid strategy"):
             tk.configure(strategy="invalid_strategy")
 
+    def test_percall_does_not_touch_global(self):  # immutability:104
+        tk.configure(strategy="unicode", lowercase=True)
+        tok("Test Text", strategy="whitespace", lowercase=False)
+        cfg = tk.current_config()
+        assert cfg.strategy == "unicode" and cfg.lowercase is True
+
+    def test_min_max_gram_relationship(self):  # immutability:147
+        with pytest.raises(ConfigError, match=r"max_gram .* must be >= min_gram"):
+            tk.configure(strategy="edge_ngram", min_gram=10, max_gram=5)
+
+    def test_lifecycle_flow(self):  # immutability:159
+        tk.configure(strategy="whitespace", lowercase=False)
+        assert tok("Test One") == ["Test", "One"]
+        tk.reset()
+        assert tok("Test Two") == ["test", "two"]
+        tk.configure(strategy="unicode", lowercase=False)
+        assert tok("Test Three") == ["Test", "Three"]
+
 
 # ---- spec/configuration_state_machine_spec.rb -------------------------------
 

@@ -95,3 +95,105 @@ class TestFilterChainSpark:
         )
         out = df.select(filter_chain_col("toks", chain).alias("f")).first()["f"]
         assert out == ["BRCA1", "gener", "agre"]
+
+
+class TestAsciiFold:
+    def test_python_fold(self):
+        from tokenkit_spark.analyzers.filters import ascii_fold
+
+        assert ascii_fold("café résumé naïve ñoño ôtel ü") == (
+            "cafe resume naive nono otel u"
+        )
+        assert ascii_fold("æon ßtraße Œuvre Øre łódź") == "aeon sstrasse OEuvre Ore lodz"
+        assert ascii_fold("İstanbul ıśïk") == "Istanbul isik"  # İ→I like Lucene
+        assert ascii_fold(None) is None
+        assert ascii_fold("plain ascii") == "plain ascii"
+
+    def test_spark_parity_and_native(self, spark):
+        from pyspark.sql import functions as F
+
+        from tokenkit_spark.analyzers.filters import ascii_fold, ascii_fold_col
+
+        vals = ["café résumé", "æon ßtraße", "Łódź Øre Þing", "no accents", ""]
+        df = spark.createDataFrame([(v,) for v in vals], "t string")
+        got = [r.f for r in df.select(ascii_fold_col("t").alias("f")).collect()]
+        assert got == [ascii_fold(v) for v in vals]
+        plan = df.select(ascii_fold_col("t"))._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+
+class TestSynonyms:
+    def test_contract_mode(self, spark):
+        from tokenkit_spark.analyzers.filters import synonyms_col
+
+        df = spark.createDataFrame(
+            [(["usa", "auto", "dog"],), ([],)], "toks array<string>"
+        )
+        m = {"usa": "united_states", "auto": "car"}
+        got = [r.f for r in df.select(synonyms_col("toks", m).alias("f")).collect()]
+        assert got == [["united_states", "car", "dog"], []]
+        plan = df.select(synonyms_col("toks", m))._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_expand_mode(self, spark):
+        from tokenkit_spark.analyzers.filters import synonyms_col
+
+        df = spark.createDataFrame([(["fast", "dog"],)], "toks array<string>")
+        m = {"fast": ["fast", "quick", "rapid"]}
+        got = df.select(synonyms_col("toks", m, expand=True).alias("f")).first()["f"]
+        assert got == ["fast", "quick", "rapid", "dog"]
+
+    def test_contract_rejects_list_values(self):
+        import pytest as _pytest
+
+        from tokenkit_spark.analyzers.filters import synonyms_col
+
+        with _pytest.raises(ValueError):
+            synonyms_col("toks", {"a": ["b", "c"]})
+
+    def test_join_path_parity(self, spark):
+        from tokenkit_spark.analyzers.filters import apply_synonyms_join, synonyms_col
+
+        rows = [
+            (0, ["usa", "dog", "auto"], "x"),
+            (1, ["auto", "auto"], "y"),
+            (2, [], "z"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, toks array<string>, extra string")
+        m = {"usa": "united_states", "auto": "car"}
+        syn = spark.createDataFrame(list(m.items()), "term string, canonical string")
+        got = {
+            r.doc_id: (r.toks, r.extra)
+            for r in apply_synonyms_join(df, ["doc_id"], "toks", syn).collect()
+        }
+        want = {
+            r.doc_id: (r.f, r.extra)
+            for r in df.select(
+                "doc_id", synonyms_col("toks", m).alias("f"), "extra"
+            ).collect()
+        }
+        assert got == want
+
+
+class TestShingles:
+    def test_shingles(self, spark):
+        from tokenkit_spark.analyzers.filters import shingles_col
+
+        df = spark.createDataFrame(
+            [(["a", "b", "c", "d"],), (["a", "b"],), (["a"],), ([],)],
+            "toks array<string>",
+        )
+        got2 = [r.f for r in df.select(shingles_col("toks", 2).alias("f")).collect()]
+        assert got2 == [["a b", "b c", "c d"], ["a b"], [], []]
+        got3 = [r.f for r in df.select(shingles_col("toks", 3).alias("f")).collect()]
+        assert got3 == [["a b c", "b c d"], [], [], []]
+        plan = df.select(shingles_col("toks", 2))._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_bad_n(self):
+        import pytest as _pytest
+
+        from tokenkit_spark.analyzers.filters import shingles_col
+
+        with _pytest.raises(ValueError):
+            shingles_col("toks", 0)

@@ -709,3 +709,26 @@ def test_pmi_survives_one_token_doc(spark):
     )
     rows = textstats.pmi_collocations(df, min_count=1).collect()
     assert {r.bigram for r in rows} == {"a b", "b a"}
+
+
+def test_remove_boilerplate_lines(spark):
+    from tokenkit_spark.ops.textstats import remove_boilerplate_lines
+
+    rows = [
+        (0, "header\nunique zero\nfooter"),
+        (1, "header\nunique one\nfooter"),
+        (2, "header\nrare line\nfooter"),
+        (3, "footer"),  # every line boilerplate -> kept as empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.cleaned
+        for r in remove_boilerplate_lines(df, min_df=2).collect()
+    }
+    assert got == {0: "unique zero", 1: "unique one", 2: "rare line", 3: ""}
+    # min_df above every line's df keeps text intact
+    intact = {
+        r.doc_id: r.cleaned
+        for r in remove_boilerplate_lines(df, min_df=99).collect()
+    }
+    assert intact == {r[0]: r[1] for r in rows}

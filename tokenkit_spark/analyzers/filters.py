@@ -19,11 +19,12 @@ pandas UDF when stemming or preserve patterns are involved.
 
 from __future__ import annotations
 
+import unicodedata
 from dataclasses import dataclass, field
-from typing import Iterator
+from typing import Iterator, Mapping, Sequence
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
@@ -100,3 +101,168 @@ def filter_chain_col(tokens_col, chain: FilterChain) -> Column:
             yield series.map(fn)
 
     return F.pandas_udf(_udf, ArrayType(StringType()))(c)
+
+
+# ---------------------------------------------------------------------------
+# ASCII folding (Lucene ASCIIFoldingFilter semantics for Latin scripts)
+# ---------------------------------------------------------------------------
+
+# Multi-char/ligature foldings NFD can't produce (no combining-mark
+# decomposition exists for these codepoints).
+_FOLD_EXPANSIONS: tuple[tuple[str, str], ...] = (
+    ("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"), ("ß", "ss"),
+    ("þ", "th"), ("Þ", "TH"), ("ð", "d"), ("Ð", "D"), ("đ", "d"),
+    ("Đ", "D"), ("ø", "o"), ("Ø", "O"), ("ł", "l"), ("Ł", "L"),
+    ("ı", "i"), ("ŉ", "'n"), ("ĸ", "k"),
+)
+
+
+def _build_fold_tables() -> tuple[str, str]:
+    """1:1 diacritic foldings over Latin-1 Supplement + Latin Extended-A,
+    derived from NFD (strip combining marks, keep ASCII base)."""
+    src, dst = [], []
+    expanded = {s for s, _ in _FOLD_EXPANSIONS}
+    for cp in range(0xC0, 0x180):
+        ch = chr(cp)
+        if ch in expanded:
+            continue
+        base = "".join(
+            c for c in unicodedata.normalize("NFD", ch) if not unicodedata.combining(c)
+        )
+        if len(base) == 1 and base != ch and ord(base) < 0x80:
+            src.append(ch)
+            dst.append(base)
+    return "".join(src), "".join(dst)
+
+
+_FOLD_SRC, _FOLD_DST = _build_fold_tables()
+
+
+def ascii_fold(text: str | None) -> str | None:
+    """Python twin of :func:`ascii_fold_col` (parity-tested)."""
+    if text is None:
+        return None
+    for s, r in _FOLD_EXPANSIONS:
+        if s in text:
+            text = text.replace(s, r)
+    return text.translate(str.maketrans(_FOLD_SRC, _FOLD_DST))
+
+
+def ascii_fold_col(col: str | Column) -> Column:
+    """Fold accented Latin text to ASCII entirely JVM-side: a short chain
+    of literal ``replace`` calls for the ligature expansions, then ONE
+    ``translate`` for every 1:1 diacritic folding — stays inside
+    WholeStageCodegen, no Python worker at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    for s, r in _FOLD_EXPANSIONS:
+        c = F.replace(c, F.lit(s), F.lit(r))
+    return F.translate(c, _FOLD_SRC, _FOLD_DST)
+
+
+# ---------------------------------------------------------------------------
+# Synonym filter (Elasticsearch synonym / synonym_graph simple semantics)
+# ---------------------------------------------------------------------------
+
+def synonyms_col(
+    tokens_col: str | Column,
+    mapping: Mapping[str, str | Sequence[str]],
+    expand: bool = False,
+) -> Column:
+    """Apply a synonym map to an ``array<string>`` token column, fully
+    native (map literal + ``transform``; plan-embedded, codegen'd).
+
+    - ``expand=False`` (contract mode): each token maps to its canonical
+      form, unknown tokens pass through.
+    - ``expand=True``: each token expands in place to the full synonym
+      set (``array`` values), preserving token order.
+
+    The mapping is embedded in the plan — right for the usual 10^2-10^4
+    entry dictionaries. For synonym tables too big to inline, use
+    :func:`apply_synonyms_join`, which keeps the table distributed.
+    """
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    if not mapping:
+        return c
+    if expand:
+        pairs = []
+        for k, v in sorted(mapping.items()):
+            vals = [v] if isinstance(v, str) else list(v)
+            pairs += [F.lit(k), F.array(*[F.lit(x) for x in vals])]
+        m = F.create_map(*pairs)
+        return F.flatten(
+            F.transform(c, lambda t: F.coalesce(F.element_at(m, t), F.array(t)))
+        )
+    pairs = []
+    for k, v in sorted(mapping.items()):
+        if not isinstance(v, str):
+            raise ValueError("contract mode (expand=False) needs str values")
+        pairs += [F.lit(k), F.lit(v)]
+    m = F.create_map(*pairs)
+    return F.transform(c, lambda t: F.coalesce(F.element_at(m, t), t))
+
+
+def apply_synonyms_join(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    tokens_col: str,
+    syn_df: DataFrame,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Scale path for synonym application: ``syn_df(term, canonical)``
+    stays a distributed table. posexplode -> left join on term ->
+    re-assemble per document ordered by position. Two shuffles (join +
+    re-agg); AQE broadcasts ``syn_df`` automatically when it is small,
+    and falls back to a shuffle join when it is not — no driver-side
+    collect either way. Rows with empty/NULL token arrays are preserved.
+    """
+    out_col = out_col or tokens_col
+    ids = list(id_cols)
+    exploded = df.select(
+        *ids, F.posexplode_outer(F.col(tokens_col)).alias("__pos", "__term")
+    )
+    joined = exploded.join(
+        syn_df.select(
+            F.col("term").alias("__term"), F.col("canonical").alias("__canon")
+        ),
+        "__term",
+        "left",
+    ).select(*ids, "__pos", F.coalesce("__canon", "__term").alias("__mapped"))
+    reagg = joined.groupBy(*ids).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__pos").isNotNull(),
+                        F.struct(F.col("__pos"), F.col("__mapped")),
+                    )
+                )
+            ),
+            lambda s: s["__mapped"],
+        ).alias(out_col)
+    )
+    keep = [c for c in df.columns if c not in ids and c != tokens_col]
+    if keep:
+        reagg = df.drop(tokens_col).join(reagg, ids, "left")
+    return reagg
+
+
+# ---------------------------------------------------------------------------
+# Word shingles (Lucene ShingleFilter: word n-grams as single tokens)
+# ---------------------------------------------------------------------------
+
+def shingles_col(tokens_col: str | Column, n: int = 2, sep: str = " ") -> Column:
+    """Word n-gram shingles over an ``array<string>`` column, native:
+    windows via ``sequence``+``transform``, joined with ``sep``. A doc
+    with fewer than ``n`` tokens yields an empty array (``sequence(1,0)``
+    counts DOWN in Spark — guarded)."""
+    if n < 1:
+        raise ValueError(f"shingle size must be >= 1, got {n}")
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    size = F.size(c)
+    windows = F.transform(
+        F.sequence(F.lit(1), size - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(c, i, n), sep),
+    )
+    return F.when(size >= F.lit(n), windows).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -337,3 +337,49 @@ def bigram_lm_perplexity(
             F.round(F.exp(-F.avg(logp)), round_digits).alias("ppl"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    out_col: str = "cleaned",
+) -> DataFrame:
+    """(doc_id, <out_col>): strip lines that repeat across >= ``min_df``
+    distinct documents — the CCNet/RefinedWeb line-level boilerplate
+    filter (cookie banners, nav menus, footers repeat verbatim across a
+    site's pages; real content lines don't).
+
+    Scale shape: one groupBy computes line→doc-frequency (partial aggs
+    flatten the head-line skew); the boilerplate set (lines with
+    df >= min_df) is orders of magnitude smaller than the corpus, and the
+    left_anti join against it lets AQE broadcast when small. Reassembly
+    re-aggregates surviving lines ordered by original position. Docs
+    whose every line is boilerplate are kept with an empty string.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias(out_col)
+    )
+    return (
+        docs.select("doc_id")
+        .join(reassembled, "doc_id", "left")
+        .select("doc_id", F.coalesce(out_col, F.lit("")).alias(out_col))
+    )
