@@ -1246,6 +1246,21 @@ def q_ivf_cosine_top10(spark, sf_dir):
     return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster-scoped semantic
+    dedup — the pairwise kernel is confined to single clusters via
+    groupBy(centroid).applyInPandas (upper-triangular max rule keeps the
+    duplicate-group member least similar to its centroid); never a
+    corpus-wide cross product. Rows-only check (k-means not
+    SQL-expressible) (ops/similarity.py:semantic_dedup)."""
+    emb = _emb(spark, sf_dir)
+    cent = similarity.train_ivf_centroids(emb, n_centroids=10, iters=8)
+    out = similarity.semantic_dedup(emb, cent, threshold=0.6)
+    return out.select(
+        "id", "centroid_id", "keep", F.round("max_sim", 4).alias("max_sim")
+    )
+
+
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-dup candidates (rows-only check: LSH banding is
     not SQL-expressible)."""
@@ -1645,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top10": q_cosine_top10,
         "cosine_pairs": q_cosine_pairs,
         "ivf_cosine_top10": q_ivf_cosine_top10,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,

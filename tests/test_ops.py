@@ -732,3 +732,55 @@ def test_remove_boilerplate_lines(spark):
         for r in remove_boilerplate_lines(df, min_df=99).collect()
     }
     assert intact == {r[0]: r[1] for r in rows}
+
+
+def test_semantic_dedup_matches_reference_kernel(spark):
+    """Hand-built clusters + a randomized cross-check against a plain
+    numpy re-implementation of the SemDeDup triangular-max rule."""
+    import numpy as np
+
+    from tokenkit_spark.ops.similarity import semantic_dedup
+
+    cents = np.array([[1, 0, 0, 0], [0, 0, 1, 0]], dtype=np.float64)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),   # near-dup of 0
+        (2, [1.0, 0.5, 0.0, 0.0]),      # same cluster, below threshold
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 2.0, 0.0]),      # exact dup of 3 (scaled)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.id: (r.centroid_id, r.keep)
+        for r in semantic_dedup(df, cents, threshold=0.95).collect()
+    }
+    assert got == {0: (0, True), 1: (0, False), 2: (0, True), 3: (1, True), 4: (1, False)}
+
+    # randomized parity vs reference loop
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(60, 4))
+    # inject duplicates
+    for i in range(0, 30, 5):
+        x[i + 1] = x[i] + rng.normal(scale=0.01, size=4)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    assign = np.argmax(xn @ cents.T / np.linalg.norm(cents, axis=1), axis=1)
+
+    def ref_keep(threshold=0.9):
+        keep = {}
+        for c in np.unique(assign):
+            idx = np.flatnonzero(assign == c)
+            csim = xn[idx] @ (cents[c] / np.linalg.norm(cents[c]))
+            order = idx[np.lexsort((idx, -csim))]
+            for pos, i in enumerate(order):
+                m = max((xn[i] @ xn[j] for j in order[:pos]), default=-1.0)
+                keep[i] = m <= threshold
+        return keep
+
+    df2 = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<float>",
+    )
+    got2 = {
+        r.id: r.keep for r in semantic_dedup(df2, cents, threshold=0.9, row_block=7).collect()
+    }
+    assert got2 == ref_keep(0.9)

@@ -335,3 +335,70 @@ def ivf_cosine_topk(
         centroid_col = "centroid_id"
     shortlist = emb.filter(F.col(centroid_col).isin([int(p) for p in probes]))
     return cosine_topk_batch(shortlist, [float(x) for x in qvec], k, vec_col, id_col)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    row_block: int = 1024,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    semantic deduplication over an embedding column.
+
+    1. Assign every vector to its nearest k-means centroid (the same
+       coarse quantizer the IVF path uses — ``train_ivf_centroids``).
+    2. WITHIN each cluster, sort members by cosine-to-centroid
+       descending and drop any item whose max cosine to an EARLIER item
+       exceeds ``threshold`` — exactly the released SemDeDup kernel
+       (upper-triangular max), which keeps the duplicate-group member
+       *least* similar to the centroid.
+
+    Returns (id, centroid_id, keep, max_sim): ``keep=False`` rows are the
+    semantic duplicates to discard; ``max_sim`` is the triangular max
+    that decided it (-1.0 for the first item of each cluster).
+
+    Scale shape: pairwise work is confined to single clusters
+    (``groupBy(centroid_id).applyInPandas``) — never a corpus-wide
+    cross product. Per-cluster cost is O(c²) by construction (that IS
+    SemDeDup), so n_centroids must scale with the corpus to bound c —
+    the paper uses ~0.1% of N. The kernel processes the similarity
+    matrix in ``row_block`` row strips so memory stays
+    O(row_block × c), and the sort order pins determinism (ties broken
+    by id).
+    """
+    cent = np.asarray(centroids, dtype=np.float64)
+    with_c = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("centroid_id", ivf_assign_udf(cent)(F.col("vec")))
+
+    schema = "id long, centroid_id int, keep boolean, max_sim double"
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        cid = int(pdf["centroid_id"].iloc[0])
+        x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        csim = x @ cent[cid]
+        # descending centroid-sim, id-asc tiebreak (stable + pinned)
+        order = np.lexsort((ids, -csim))
+        xs, ids_s = x[order], ids[order]
+        n = len(xs)
+        max_sim = np.full(n, -1.0)
+        for s in range(1, n, row_block):
+            e = min(s + row_block, n)
+            sims = xs[s:e] @ xs[:e].T  # (e-s, e)
+            for i in range(s, e):
+                max_sim[i] = sims[i - s, :i].max()
+        return pd.DataFrame(
+            {
+                "id": ids_s,
+                "centroid_id": cid,
+                "keep": max_sim <= threshold,
+                "max_sim": max_sim,
+            }
+        )
+
+    return with_c.groupBy("centroid_id").applyInPandas(_kernel, schema)
