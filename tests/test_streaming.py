@@ -110,3 +110,92 @@ def test_stream_ingestion_generations_equal_batch_build(spark, tmp_path_factory)
     )
     still = load_latest_index(spark, index_root)
     assert still["stats"]["n_docs"] == pages.count()
+
+
+def _write_batch(spark, rows, pages_dir):
+    import time
+
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+    df.coalesce(1).write.mode("append").parquet(pages_dir)
+    time.sleep(1.1)  # distinct mod-times so maxFilesPerTrigger=1 orders batches
+
+
+def test_crawl_stats_watermark_drops_late(spark, tmp_path_factory):
+    """Windowed stats with a 2h watermark: once the [01:00, 02:00)
+    window is finalized (watermark passed its end and the state was
+    evicted), a late 01:45 arrival is dropped by the watermark and the
+    emitted window never changes. (Spark applies the late filter with
+    the previous batch's watermark, so the drop needs the finalize
+    batch and the late batch to be distinct — hence 3 micro-batches.)"""
+    import datetime as dt
+
+    from tokenkit_spark.streaming.stats import crawl_stats, read_pages_stream
+
+    root = tmp_path_factory.mktemp("cstats")
+    pages_dir, ckpt = str(root / "pages"), str(root / "ckpt")
+    d = lambda h, m=0: dt.datetime(2026, 1, 1, h, m)
+    _write_batch(spark, [
+        ("https://a.com/1", d(1, 0), None, "x" * 10, "en"),
+        ("https://a.com/2", d(1, 30), None, "x" * 20, "en"),
+        ("https://a.com/3", d(5, 0), None, "x" * 30, "en"),  # watermark -> 03:00
+    ], pages_dir)
+    _write_batch(spark, [
+        ("https://a.com/4", d(5, 30), None, "x" * 40, "en"),  # finalizes [01:00, 02:00)
+    ], pages_dir)
+    _write_batch(spark, [
+        ("https://a.com/5", d(1, 45), None, "x" * 99, "en"),  # LATE: dropped
+        ("https://a.com/6", d(6, 0), None, "x" * 50, "en"),
+    ], pages_dir)
+
+    q = (
+        crawl_stats(read_pages_stream(spark, pages_dir, max_files_per_trigger=1))
+        .writeStream.format("memory").queryName("cstats_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM cstats_out").collect()
+    got = {(r.win_start, r.lang): (r.n_pages, r.avg_text_len) for r in rows}
+    # [01:00, 02:00) closed with ONLY the two on-time rows
+    assert got == {(d(1, 0), "en"): (2, 15.0)}
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+
+
+def test_first_seen_pages_cross_batch_dedup(spark, tmp_path_factory):
+    """applyInPandasWithState: per-host content-hash state suppresses
+    re-crawls in later micro-batches; same content on another host is
+    independent."""
+    import datetime as dt
+
+    from tokenkit_spark.streaming.stats import first_seen_pages, read_pages_stream
+
+    root = tmp_path_factory.mktemp("fseen")
+    pages_dir, ckpt = str(root / "pages"), str(root / "ckpt")
+    t = lambda i: dt.datetime(2026, 1, 1, 0, i)
+    _write_batch(spark, [
+        ("https://a.com/1", t(1), None, "dup content", "en"),
+        ("https://a.com/2", t(2), None, "unique one", "en"),
+        ("https://b.com/3", t(3), None, "dup content", "en"),
+    ], pages_dir)
+    _write_batch(spark, [
+        ("https://a.com/4", t(4), None, "dup content", "en"),  # seen on a.com in batch 1
+        ("https://a.com/5", t(5), None, "unique two", "en"),
+        ("https://b.com/6", t(6), None, "dup content", "en"),  # seen on b.com in batch 1
+    ], pages_dir)
+
+    q = (
+        first_seen_pages(read_pages_stream(spark, pages_dir, max_files_per_trigger=1))
+        .writeStream.format("memory").queryName("fseen_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    urls = {r.url for r in spark.sql("SELECT * FROM fseen_out").collect()}
+    assert urls == {
+        "https://a.com/1", "https://a.com/2", "https://b.com/3", "https://a.com/5",
+    }

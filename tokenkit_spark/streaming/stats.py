@@ -1,0 +1,117 @@
+"""Streaming crawl analytics + stateful cross-batch dedup.
+
+Two Structured-Streaming operators the continuous-crawl side of a
+training-data pipeline needs beyond index generations (ingest.py):
+
+* ``crawl_stats`` — event-time windowed page counts / text-length stats
+  per language with a WATERMARK on ``warc_ts``: late pages behind the
+  watermark are dropped, closed windows emit exactly once (append
+  mode), and state is bounded by the watermark horizon — the standard
+  Spark late-data design, no custom state.
+
+* ``first_seen_pages`` — cross-batch exact dedup via
+  ``applyInPandasWithState``: per-host state holds the set of content
+  hashes already emitted; a page whose (host, content-hash) was seen in
+  ANY earlier micro-batch is suppressed. This is the streaming twin of
+  ``ops.dedup.exact_dups`` — the batch op dedups a static corpus, this
+  one dedups an unbounded arrival stream with O(distinct-hashes) state
+  per host, partitioned by the group key so state never concentrates.
+
+Both take the raw pages stream (``sources.pages.PAGES_SCHEMA``:
+url, warc_ts, html, text, lang) and return transformed streaming
+DataFrames — callers attach their own sink, tests use a memory sink.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession, pages_path: str, max_files_per_trigger: int = 64
+) -> DataFrame:
+    """File-source stream over a directory crawl drops land in."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(pages_path)
+    )
+
+
+def crawl_stats(
+    pages: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-language crawl stats with late-data handling:
+    (win_start, win_end, lang, n_pages, avg_text_len). Pages later than
+    ``watermark`` behind the max seen ``warc_ts`` are dropped; in append
+    output mode a window emits once, when the watermark passes its end."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration).alias("win"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_text_len"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "lang",
+            "n_pages",
+            "avg_text_len",
+        )
+    )
+
+
+_FIRST_SEEN_OUT = "host string, url string, warc_ts timestamp, content_hash long"
+_FIRST_SEEN_STATE = "hashes array<long>"
+
+
+def _first_seen_kernel(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    seen = set(state.get[0]) if state.exists else set()
+    host = key[0]
+    out = []
+    for pdf in pdfs:
+        # pinned intra-batch order: earliest crawl wins, url tiebreak
+        pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            h = int(row.content_hash)
+            if h in seen:
+                continue
+            seen.add(h)
+            out.append((host, row.url, row.warc_ts, h))
+    state.update((sorted(seen),))
+    yield pd.DataFrame(
+        out, columns=["host", "url", "warc_ts", "content_hash"]
+    )
+
+
+def first_seen_pages(pages: DataFrame) -> DataFrame:
+    """Emit each (host, content-hash) the FIRST time it is ever seen
+    across the whole stream; later re-crawls / mirrored copies on the
+    same host are suppressed. State: per-host sorted hash array."""
+    keyed = pages.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        "url",
+        "warc_ts",
+        F.xxhash64("text").alias("content_hash"),
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        _first_seen_kernel,
+        outputStructType=_FIRST_SEEN_OUT,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
