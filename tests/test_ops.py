@@ -784,3 +784,75 @@ def test_semantic_dedup_matches_reference_kernel(spark):
         r.id: r.keep for r in semantic_dedup(df2, cents, threshold=0.9, row_block=7).collect()
     }
     assert got2 == ref_keep(0.9)
+
+
+def test_jpeg_codec_round_trip():
+    """From-spec baseline JPEG codec: encode->decode round-trips within
+    quantization error across 4:4:4, 4:2:0, grayscale, and restart-
+    marker variants; unsupported/garbage payloads return None."""
+    import numpy as np
+
+    from tokenkit_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 40, 56
+    gx, gy = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+    img = np.clip(
+        np.stack([gx, gy, 128 + 100 * np.sin(gx / 40) * np.cos(gy / 40)], axis=2),
+        0, 255,
+    ).astype(np.uint8)
+
+    for kwargs, tol in [
+        (dict(quality=95), 8),
+        (dict(quality=75), 20),
+        (dict(quality=95, subsample=True), 24),
+        (dict(quality=95, restart_interval=3), 8),
+    ]:
+        out = decode_jpeg(encode_jpeg(img, **kwargs))
+        assert out is not None and out.shape == img.shape, kwargs
+        err = np.abs(out.astype(float) - img.astype(float))
+        assert err.max() <= tol, (kwargs, err.max())
+
+    # restart variant must be bit-identical in decoded pixels to the
+    # non-restart encode at the same quality (same coefficients)
+    a = decode_jpeg(encode_jpeg(img, quality=95))
+    b = decode_jpeg(encode_jpeg(img, quality=95, restart_interval=3))
+    assert np.array_equal(a, b)
+
+    gray = np.clip(gx * 0.6 + gy * 0.4, 0, 255).astype(np.uint8)
+    gout = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert gout.shape == gray.shape
+    assert np.abs(gout.astype(float) - gray.astype(float)).max() <= 10
+
+    # non-multiple-of-8 and tiny sizes
+    tiny = np.full((3, 5, 3), 77, dtype=np.uint8)
+    tout = decode_jpeg(encode_jpeg(tiny, quality=95))
+    assert tout.shape == (3, 5, 3)
+    assert np.abs(tout.astype(float) - 77.0).max() <= 4
+
+    assert decode_jpeg(b"nope") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
+    truncated = encode_jpeg(img)[:100]
+    assert decode_jpeg(truncated) is None
+
+
+def test_jpeg_payloads_decode_in_feature_pipeline(spark):
+    """synth_media's odd image rows now carry entropy-coded JPEGs; the
+    feature UDF decodes them for real (pooled features reflect the
+    encoded gradient, not byte noise)."""
+    import numpy as np
+
+    from tokenkit_spark.ops.jpeg import decode_jpeg
+    from tokenkit_spark.ops.multimodal import synth_media, synth_media_dims
+
+    media = synth_media(spark, n=12)
+    jpeg_rows = [
+        r for r in media.collect() if r.kind == "image" and r.media_id % 2 == 1
+    ]
+    assert jpeg_rows
+    for r in jpeg_rows:
+        img = decode_jpeg(bytes(r.payload))
+        w, h = synth_media_dims(r.media_id)
+        assert img is not None and img.shape == (h, w, 3)
+        # the encoded red channel is a 0..255 horizontal gradient
+        red = img[:, :, 0].astype(float)
+        assert abs(red[:, 0].mean() - 0) < 12 and abs(red[:, -1].mean() - 255) < 12

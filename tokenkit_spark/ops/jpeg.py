@@ -1,0 +1,634 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1, SOF0) codec in pure numpy.
+
+This removes the last stub in the multimodal layer: the container has no
+libjpeg/PIL, so the entropy-coded DCT path is implemented from the
+public spec — standard Annex K quantization + Huffman tables, zigzag,
+differential DC, run-length AC, byte stuffing, restart markers.
+
+Decoder scope (``decode_jpeg``): baseline sequential, 8-bit, grayscale
+or YCbCr with sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0 — chroma
+upsampled nearest-neighbor), restart markers honored. Progressive
+(SOF2) and arithmetic coding return None (unsupported, not wrong).
+
+Encoder scope (``encode_jpeg``): quality-scaled Annex K tables, 4:4:4
+or 4:2:0, grayscale or RGB — enough to synthesize genuine entropy-coded
+fixtures for round-trip tests and driver oracles (we cannot ship real
+photos into the sandbox, and a decoder without test vectors is not
+verifiable).
+
+Both sides are vectorized where it counts: the DCT/IDCT are 8×8 matrix
+sandwiches applied to ALL blocks at once (``einsum``); only the entropy
+bit-stream walk is per-symbol Python, which is unavoidable without a
+codec library (Huffman decode is inherently sequential per MCU run).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- Annex K tables ----------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# (BITS[1..16], HUFFVAL) per Annex K
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+_DCT = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else 0.5
+        )
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 = Annex K as-is."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _build_huffman(bits, vals):
+    """-> (code, length) per symbol, canonical JPEG assignment."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits, vals):
+    """-> dict (length, code) -> symbol for sequential decode."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (category, raw bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _fdct_all(blocks: np.ndarray) -> np.ndarray:
+    """Forward DCT over (N, 8, 8) at once."""
+    return np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+
+
+def _idct_all(coefs: np.ndarray) -> np.ndarray:
+    return np.einsum("ji,njk,kl->nil", _DCT, coefs, _DCT)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) multiple-of-8 -> (n_blocks, 8, 8) row-major block order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+
+
+def _pad_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Edge-replicate pad (the spec-recommended extension)."""
+    ph, pw = h - plane.shape[0], w - plane.shape[1]
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _encode_component(
+    writer: _BitWriter,
+    blocks_q: np.ndarray,
+    dc_codes,
+    ac_codes,
+    dc_pred: int,
+) -> int:
+    """Entropy-encode pre-quantized zigzag blocks (N, 64); returns new
+    DC predictor. Blocks must arrive in scan order."""
+    for zz in blocks_q:
+        diff = int(zz[0]) - dc_pred
+        dc_pred = int(zz[0])
+        size, bits = _magnitude(diff)
+        code, length = dc_codes[size]
+        writer.write(code, length)
+        if size:
+            writer.write(bits, size)
+        run = 0
+        nz = np.flatnonzero(zz[1:])
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                writer.write(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = ac_codes[(run << 4) | size]
+            writer.write(code, length)
+            writer.write(bits, size)
+            run = 0
+        if last < 63:
+            code, length = ac_codes[0x00]  # EOB
+            writer.write(code, length)
+    return dc_pred
+
+
+def _quantize_plane(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(H, W) uint8 plane -> (n_blocks, 64) zigzagged quantized coefs."""
+    blocks = _to_blocks(plane.astype(np.float64) - 128.0)
+    coefs = _fdct_all(blocks)
+    q = np.round(coefs / qtab.reshape(8, 8)).astype(np.int32)
+    return q.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dht_payload(table_class: int, table_id: int, bits, vals) -> bytes:
+    return bytes([(table_class << 4) | table_id]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 to baseline JPEG.
+    ``subsample=True`` writes 4:2:0 (2×2 luma sampling), else 4:4:4.
+    ``restart_interval`` (color 4:4:4 only) emits DRI + RSTn markers
+    every N MCUs — exercises the decoder's restart resync path."""
+    if restart_interval and (subsample or np.asarray(pixels).ndim == 2):
+        raise ValueError("restart_interval supported on the color 4:4:4 path only")
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError("pixels must be uint8")
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("pixels must be (H, W) gray or (H, W, 3) RGB")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    qt_l = _quality_scale(Q_LUMA, quality)
+    qt_c = _quality_scale(Q_CHROMA, quality)
+    dc_l, ac_l = _build_huffman(*DC_LUMA), _build_huffman(*AC_LUMA)
+    dc_c, ac_c = _build_huffman(*DC_CHROMA), _build_huffman(*AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(qt_l[ZIGZAG].tolist()))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qt_c[ZIGZAG].tolist()))
+
+    if gray:
+        comp_spec = b"\x01\x11\x00"
+        n_comp = 1
+    else:
+        lf = 0x22 if subsample else 0x11
+        comp_spec = bytes([1, lf, 0]) + b"\x02\x11\x01\x03\x11\x01"
+        n_comp = 3
+    out += _seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + bytes([n_comp]) + comp_spec)
+    out += _seg(0xC4, _dht_payload(0, 0, *DC_LUMA))
+    out += _seg(0xC4, _dht_payload(1, 0, *AC_LUMA))
+    if not gray:
+        out += _seg(0xC4, _dht_payload(0, 1, *DC_CHROMA))
+        out += _seg(0xC4, _dht_payload(1, 1, *AC_CHROMA))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    if gray:
+        sos = b"\x01\x01\x00"
+    else:
+        sos = b"\x03\x01\x00\x02\x11\x03\x11"
+    out += _seg(0xDA, sos + b"\x00\x3f\x00")
+
+    writer = _BitWriter()
+    if gray:
+        yb = _quantize_plane(_pad_to(px, -(-h // 8) * 8, -(-w // 8) * 8), qt_l)
+        _encode_component(writer, yb, dc_l, ac_l, 0)
+    else:
+        rgb = px.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+        if not subsample:
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            zz = [
+                _quantize_plane(_pad_to(p, ph, pw), qt)
+                for p, qt in zip(planes, (qt_l, qt_c, qt_c))
+            ]
+            preds = [0, 0, 0]
+            tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+            n_mcus = (ph // 8) * (pw // 8)
+            for m in range(n_mcus):
+                if restart_interval and m and m % restart_interval == 0:
+                    writer.flush()
+                    writer.out += bytes(
+                        [0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]
+                    )
+                    preds = [0, 0, 0]
+                for c in range(3):
+                    preds[c] = _encode_component(
+                        writer, zz[c][m : m + 1], *tabs[c], preds[c]
+                    )
+        else:
+            # 4:2:0 — MCU = 4 luma blocks (2×2) + 1 Cb + 1 Cr
+            mh, mw = -(-h // 16) * 16, -(-w // 16) * 16
+            yp = _pad_to(planes[0], mh, mw).astype(np.float64)
+            cbp = _pad_to(planes[1], mh, mw).astype(np.float64)
+            crp = _pad_to(planes[2], mh, mw).astype(np.float64)
+            # chroma 2×2 box average
+            cb2 = cbp.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+            cr2 = crp.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+            cb2 = np.clip(np.round(cb2), 0, 255).astype(np.uint8)
+            cr2 = np.clip(np.round(cr2), 0, 255).astype(np.uint8)
+            yzz = _quantize_plane(yp.astype(np.uint8), qt_l)
+            cbzz = _quantize_plane(cb2, qt_c)
+            crzz = _quantize_plane(cr2, qt_c)
+            yw = mw // 8  # luma blocks per row
+            cw = mw // 16
+            preds = [0, 0, 0]
+            for my in range(mh // 16):
+                for mx in range(mw // 16):
+                    for dy in range(2):
+                        for dx in range(2):
+                            bi = (my * 2 + dy) * yw + mx * 2 + dx
+                            preds[0] = _encode_component(
+                                writer, yzz[bi : bi + 1], dc_l, ac_l, preds[0]
+                            )
+                    ci = my * cw + mx
+                    preds[1] = _encode_component(
+                        writer, cbzz[ci : ci + 1], dc_c, ac_c, preds[1]
+                    )
+                    preds[2] = _encode_component(
+                        writer, crzz[ci : ci + 1], dc_c, ac_c, preds[2]
+                    )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder -----------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment reader: un-stuffs 0xFF00, stops at markers; RST
+    markers reset via ``sync_restart``."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                return
+            byte = d[self.pos]
+            if byte == 0xFF:
+                if self.pos + 1 >= len(d):
+                    return
+                nxt = d[self.pos + 1]
+                if nxt == 0x00:  # stuffed data byte
+                    self.pos += 2
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                else:  # marker (RST or segment) — stop; pos stays on 0xFF
+                    self.marker = nxt
+                    return
+            else:
+                self.pos += 1
+                self.acc = (self.acc << 8) | byte
+                self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                raise EOFError("entropy stream exhausted")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self):
+        """Discard pad bits, consume the RSTn marker, realign."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            self.marker = None
+            return
+        raise EOFError("expected restart marker")
+
+
+def _huff_decode(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """Sign-extend a magnitude-coded value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(b: bytes) -> np.ndarray | None:
+    """Decode baseline JPEG bytes -> (H, W) gray or (H, W, 3) RGB uint8.
+    Returns None for non-JPEG or unsupported variants (progressive,
+    arithmetic, 12-bit, >2× sampling factors)."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    try:
+        return _decode_markers(b)
+    except (struct.error, IndexError, ValueError, EOFError):
+        return None  # malformed / truncated stream
+
+
+def _decode_markers(b: bytes) -> np.ndarray | None:
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            return None  # no scan seen
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        seg = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    tab = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int32)
+                    j += 64
+                else:
+                    tab = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int32)
+                    j += 128
+                if tab.size != 64:
+                    return None  # truncated table
+                qtabs[tq] = tab[UNZIGZAG]  # store row-major
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + n])
+                table = _build_decode_table(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = table
+                j += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+            prec = seg[0]
+            if prec != 8:
+                return None
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tt = seg[1 + c * 2 : 3 + c * 2]
+                scan[cs] = (tt >> 4, tt & 0x0F)
+            data_start = i + 2 + seg_len
+            return _decode_scan(
+                b, data_start, frame, scan, qtabs, dc_tabs, ac_tabs,
+                restart_interval,
+            )
+        i += 2 + seg_len
+    return None
+
+
+def _decode_scan(
+    b, start, frame, scan, qtabs, dc_tabs, ac_tabs, restart_interval
+):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or not (1 <= len(comps) <= 3):
+        return None
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # blocks per row
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        if c["id"] not in scan:
+            return None
+        c["dc_t"], c["ac_t"] = scan[c["id"]]
+    reader = _BitReader(b, start)
+    preds = {c["id"]: 0 for c in comps}
+    mcu = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.sync_restart()
+                    preds = {c["id"]: 0 for c in comps}
+                for c in comps:
+                    dct = dc_tabs.get(c["dc_t"])
+                    act = ac_tabs.get(c["ac_t"])
+                    if dct is None or act is None:
+                        return None
+                    for dy in range(c["v"]):
+                        for dx in range(c["h"]):
+                            zz = np.zeros(64, dtype=np.int32)
+                            size = _huff_decode(reader, dct)
+                            diff = _extend(reader.read_bits(size), size)
+                            preds[c["id"]] += diff
+                            zz[0] = preds[c["id"]]
+                            k = 1
+                            while k < 64:
+                                sym = _huff_decode(reader, act)
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                run, sz = sym >> 4, sym & 0x0F
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC index overrun")
+                                zz[k] = _extend(reader.read_bits(sz), sz)
+                                k += 1
+                            bi = (my * c["v"] + dy) * c["bw"] + mx * c["h"] + dx
+                            c["coef"][bi] = zz
+                mcu += 1
+    except (EOFError, ValueError):
+        return None
+
+    planes = []
+    for c in comps:
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            return None
+        deq = (c["coef"][:, UNZIGZAG] * qt).reshape(-1, 8, 8).astype(np.float64)
+        pix = _idct_all(deq) + 128.0
+        plane = _from_blocks(pix, c["bh"] * 8, c["bw"] * 8)
+        # upsample to full resolution (nearest) and crop
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

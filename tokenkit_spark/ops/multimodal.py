@@ -14,10 +14,13 @@ Three layers, honestly separated:
 * IMAGE PIXEL DECODE is REAL for PNG (``decode_png``): zlib (stdlib)
   inflates the IDAT stream and the five PNG scanline filters are
   reversed in numpy — no codec library involved; round-trip and
-  known-pixel tests cover it. JPEG pixel decode alone stays a stub
-  (``_decode_image_stub``): entropy-coded DCT needs libjpeg/PIL, which
-  this container lacks — swap in production. The stub is deterministic
-  so the fallback feature plumbing is still asserted end-to-end.
+  known-pixel tests cover it. JPEG pixel decode is REAL too
+  (``ops.jpeg.decode_jpeg``): a from-spec baseline JPEG codec —
+  Annex K Huffman/quant tables, zigzag, differential DC, byte
+  stuffing, restart markers, 4:4:4/4:2:0 — implemented in numpy,
+  round-trip tested against its encoder twin. Only genuinely opaque
+  payloads (the synthetic video bytes) go through the deterministic
+  ``_decode_image_stub`` boundary.
 """
 
 from __future__ import annotations
@@ -238,8 +241,26 @@ def make_png(width: int, height: int, pixels: np.ndarray | None = None) -> bytes
     )
 
 
-def make_jpeg(width: int, height: int) -> bytes:
-    """Minimal real JPEG: SOI + APP0(JFIF) + SOF0 with dimensions + EOI."""
+def make_jpeg(
+    width: int,
+    height: int,
+    pixels: np.ndarray | None = None,
+    quality: int = 85,
+    subsample: bool = False,
+) -> bytes:
+    """Real JPEG. With ``pixels`` ((H, W) gray or (H, W, 3) RGB uint8):
+    a genuine baseline entropy-coded file via ``ops.jpeg.encode_jpeg``
+    (decode_jpeg round-trips it within quantization error). Without:
+    SOI + APP0(JFIF) + SOF0 carrying the dimensions + EOI (header-level
+    fixture)."""
+    if pixels is not None:
+        px = np.asarray(pixels, dtype=np.uint8)
+        h, w = px.shape[:2]
+        if (w, h) != (width, height):
+            raise ValueError(f"pixels shape {(h, w)} != ({height}, {width})")
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(px, quality=quality, subsample=subsample)
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     sof0 = b"\x08" + struct.pack(">HH", height, width) + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
     return (
@@ -371,10 +392,12 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 
 def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction: decode -> pooled features.
-    PNG payloads decode for REAL (decode_png, pixel-space pooling);
-    everything else goes through the deterministic stub boundary.
+    PNG and JPEG payloads decode for REAL (decode_png / decode_jpeg,
+    pixel-space pooling); genuinely opaque payloads (synthetic video)
+    go through the deterministic stub boundary.
     Batch shape: one Arrow batch of (media_id, kind, payload) rows in,
     one batch of fixed-width float features out."""
+    from .jpeg import decode_jpeg
 
     def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batch_iter:
@@ -382,6 +405,8 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
                 img = decode_png(payload)
+                if img is None:
+                    img = decode_jpeg(payload)
                 if img is None:
                     img = _decode_image_stub(payload)
                 else:
@@ -434,19 +459,24 @@ def synth_media(spark, n: int = 64, seed: int = 3) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             w, h = synth_media_dims(i)
+            # real pixels: deterministic gradient + per-image texture, so
+            # decode_png / decode_jpeg -> features works on genuine data
+            gx, gy = np.meshgrid(
+                np.linspace(0, 255, w, dtype=np.float64),
+                np.linspace(0, 255, h, dtype=np.float64),
+            )
             if i % 2 == 0:
-                # real pixels: deterministic gradient + per-image noise,
-                # so decode_png -> features works on genuine image data
-                gx, gy = np.meshgrid(
-                    np.linspace(0, 255, w, dtype=np.float64),
-                    np.linspace(0, 255, h, dtype=np.float64),
-                )
                 px = np.stack(
                     [gx, gy, rng.integers(0, 256, size=(h, w))], axis=2
                 ).astype(np.uint8)
                 payload = make_png(w, h, pixels=px)
             else:
-                payload = make_jpeg(w, h)
+                # smooth third channel (JPEG is lossy; keep it compressible)
+                px = np.clip(
+                    np.stack([gx, gy, 128 + 100 * np.sin(gx / 40) * np.cos(gy / 40)], axis=2),
+                    0, 255,
+                ).astype(np.uint8)
+                payload = make_jpeg(w, h, pixels=px, quality=90)
             width, height, rate, frames = w, h, None, None
         elif kind == "audio":
             rate = 8000 * (1 + i % 3)
