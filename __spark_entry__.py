@@ -1566,6 +1566,58 @@ def q_media_headers(spark, sf_dir):
     )
 
 
+def q_image_resize(spark, sf_dir):
+    """Thumbnail stage: decode (PNG/JPEG for real) -> bilinear resize ->
+    PNG re-encode, all in one mapInPandas pass
+    (ops/multimodal.py:resize_images). resized_ok proves the re-encoded
+    payload is a valid PNG of the target shape (decoded back
+    Spark-side); the oracle is the expected-fixture table derived from
+    the synth_media generator parameters."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    from tokenkit_spark.ops import multimodal
+
+    media = multimodal.synth_media(spark, n=60).filter(F.col("kind") == "image")
+    out = multimodal.resize_images(media, 16, 12)
+
+    def _ok(blobs):
+        from tokenkit_spark.ops.multimodal import decode_png
+
+        def check(b):
+            if b is None:
+                return False
+            img = decode_png(bytes(b))
+            return img is not None and img.shape == (12, 16, 3)
+
+        return blobs.map(check)
+
+    ok = F.pandas_udf(_ok, BooleanType())
+
+    return out.select(
+        "media_id", "src_w", "src_h", "out_w", "out_h",
+        ok(F.col("resized")).alias("resized_ok"),
+    )
+
+
+def _image_resize_oracle() -> str:
+    from tokenkit_spark.ops.multimodal import synth_media_dims
+
+    vals = []
+    for i in range(60):
+        if ["image", "audio", "video"][i % 3] != "image":
+            continue
+        w, h = synth_media_dims(i)
+        vals.append(f"({i}, {w}, {h}, 16, 12, TRUE)")
+    return (
+        "SELECT media_id::BIGINT AS media_id, src_w::INTEGER AS src_w, "
+        "src_h::INTEGER AS src_h, out_w::INTEGER AS out_w, "
+        "out_h::INTEGER AS out_h, resized_ok FROM (VALUES "
+        + ", ".join(vals)
+        + ") t(media_id, src_w, src_h, out_w, out_h, resized_ok)"
+    )
+
+
 def _media_headers_oracle() -> str:
     from tokenkit_spark.ops.multimodal import synth_media_dims
 
@@ -1710,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": q_proximity_search,
         "snippets": q_snippets,
         "media_headers": q_media_headers,
+        "image_resize": q_image_resize,
         "repetition_signals": q_repetition_signals,
         "url_dedup": q_url_dedup,
         "audio_features": q_audio_features,
@@ -2221,6 +2274,7 @@ FROM tv JOIN df USING (term) WHERE tv.doc_id % 167 = 0
             "FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2"
         ),
         "media_headers": _media_headers_oracle(),
+        "image_resize": _image_resize_oracle(),
         "audio_features": _audio_features_oracle(),
         "url_dedup": (
             "WITH u AS (SELECT doc_id, "

@@ -856,3 +856,38 @@ def test_jpeg_payloads_decode_in_feature_pipeline(spark):
         # the encoded red channel is a 0..255 horizontal gradient
         red = img[:, :, 0].astype(float)
         assert abs(red[:, 0].mean() - 0) < 12 and abs(red[:, -1].mean() - 255) < 12
+
+
+def test_resize_images_decode_resize_reencode(spark):
+    """decode -> bilinear resize -> PNG re-encode: constant images stay
+    constant, gradients keep their endpoints, output round-trips
+    through decode_png, non-images yield NULLs."""
+    import numpy as np
+
+    from tokenkit_spark.ops.multimodal import (
+        decode_png, make_jpeg, make_png, resize_images,
+    )
+
+    const = np.full((32, 24, 3), 200, dtype=np.uint8)
+    gx, gy = np.meshgrid(np.linspace(0, 255, 48), np.linspace(0, 255, 40))
+    grad = np.clip(np.stack([gx, gy, gx], axis=2), 0, 255).astype(np.uint8)
+    rows = [
+        (0, "image", bytearray(make_png(24, 32, pixels=const)), None, None, None, None),
+        (1, "image", bytearray(make_jpeg(48, 40, pixels=grad, quality=95)), None, None, None, None),
+        (2, "video", bytearray(b"\x00opaque"), None, None, None, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int, "
+        "sample_rate int, n_frames int",
+    )
+    got = {r.media_id: r for r in resize_images(media, 16, 12).collect()}
+    assert (got[0].src_w, got[0].src_h, got[0].out_w, got[0].out_h) == (24, 32, 16, 12)
+    r0 = decode_png(bytes(got[0].resized))
+    assert r0.shape == (12, 16, 3) and np.all(r0 == 200)
+    assert got[0].mean_px == 200.0
+    r1 = decode_png(bytes(got[1].resized))
+    assert r1.shape == (12, 16, 3)
+    red = r1[:, :, 0].astype(float)
+    assert red[:, 0].mean() < 30 and red[:, -1].mean() > 225  # gradient kept
+    assert got[2].src_w is None and got[2].resized is None

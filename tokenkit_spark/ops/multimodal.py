@@ -500,3 +500,80 @@ def synth_media_dims(i: int) -> tuple[int, int]:
     """The (width, height) synth_media encodes for image row ``i`` —
     shared with the driver oracle so expected rows are derivable."""
     return (16 + (i % 7) * 8, 16 + (i % 5) * 8)
+
+
+def _resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resample, half-pixel-center convention
+    (matches OpenCV/PIL linear). Gray (H, W) or color (H, W, C)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = img.astype(np.float64)
+    top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+    out = top * (1 - fy[:, :, 0][:, :, None]) + bot * fy[:, :, 0][:, :, None]
+    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int, reencode: bool = True
+) -> DataFrame:
+    """Decode -> bilinear resize -> (optionally) re-encode as PNG: the
+    thumbnail/normalize stage of a multimodal training pipeline. PNG and
+    JPEG payloads decode for REAL; rows that aren't decodable images get
+    NULL output columns. Output: (media_id, src_w, src_h, out_w, out_h,
+    mean_px, resized) — ``resized`` is a genuine PNG payload
+    (decode_png round-trips it) unless ``reencode=False`` saves the
+    bytes and yields NULL.
+
+    Scale shape: pure mapInPandas over the payload column — no shuffle;
+    at 100 TB the cost is payload IO + the vectorized numpy kernel, and
+    partition sizing is governed by binary column width
+    (maxPartitionBytes), not row count."""
+    from .jpeg import decode_jpeg
+
+    schema = (
+        "media_id long, src_w int, src_h int, out_w int, out_h int, "
+        "mean_px double, resized binary"
+    )
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                img = decode_png(payload)
+                if img is None:
+                    img = decode_jpeg(payload)
+                if img is None:
+                    rows.append((r.media_id, None, None, None, None, None, None))
+                    continue
+                sh, sw = img.shape[:2]
+                small = _resize_bilinear(img, out_h, out_w)
+                blob = make_png(out_w, out_h, pixels=small) if reencode else None
+                rows.append(
+                    (
+                        r.media_id, sw, sh, out_w, out_h,
+                        round(float(small.mean()), 4),
+                        bytearray(blob) if blob is not None else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_w", "src_h", "out_w", "out_h",
+                    "mean_px", "resized",
+                ],
+            )
+
+    return media.mapInPandas(fn, schema)
