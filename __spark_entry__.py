@@ -117,6 +117,38 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
+_BM25_EXPLAIN_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+comps AS (
+  SELECT q.query_id, p.doc_id, p.term, p.tf, t.df,
+         ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) AS idf,
+         p.tf * (1.2 + 1.0)
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) AS norm
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g),
+scored AS (SELECT query_id, doc_id, sum(idf * norm) AS s FROM comps GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM scored)
+SELECT r.query_id, r.rank, r.doc_id, r.score, c.term, c.tf, c.df,
+       round(c.idf, 6) AS idf, round(c.norm, 6) AS tf_norm,
+       round(c.idf * c.norm, 6) AS term_score
+FROM ranked r JOIN comps c USING (query_id, doc_id) WHERE r.rank <= 10
+"""
+
 # Filtered search: scoring stats stay corpus-global (filters don't
 # score); the eligible relation restricts which docs may RANK.
 _BM25_FILTERED_ORACLE = f"""
@@ -512,6 +544,43 @@ def q_edge_ngrams(spark, sf_dir):
 
 def q_bm25_top10(spark, sf_dir):
     return bm25_brute(_docs(spark, sf_dir), _queries_df(spark), WS, k=10, round_digits=4)
+
+
+def q_bm25_explain(spark, sf_dir):
+    """Lucene-Explanation-style per-term score breakdown for the top-10
+    docs of each query: tf/df/idf/length-norm/term contribution + the
+    doc total and rank (index/query.py:bm25_explain). Component
+    relation re-joined only to the broadcastable winner set."""
+    from tokenkit_spark.index.query import bm25_explain
+
+    return bm25_explain(_docs(spark, sf_dir), _queries_df(spark), WS, k=10)
+
+
+def q_percentiles_facet(spark, sf_dir):
+    """Percentiles aggregation (ES percentiles agg contract): exact
+    linear-interpolation doc-length quantiles per language — Spark
+    F.percentile == DuckDB quantile_cont semantics. At 10^12 docs this
+    becomes approx_percentile (t-digest); the exact form is the oracle
+    twin."""
+    dl = _docs(spark, sf_dir).select(
+        "lang", F.size(tokenize_col("text", WS)).alias("dl")
+    )
+    pcts = [0.25, 0.5, 0.9, 0.99]
+    agg = dl.groupBy("lang").agg(
+        F.percentile("dl", F.array(*[F.lit(p) for p in pcts])).alias("qs")
+    )
+    return agg.select(
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in pcts]).alias("pct"),
+                F.col("qs").alias("dl_pct"),
+            )
+        ).alias("z"),
+    ).select(
+        "lang", F.col("z.pct").alias("pct"),
+        F.round(F.col("z.dl_pct"), 4).alias("dl_pct"),
+    )
 
 
 _INDEX_CACHE: dict[str, dict] = {}
@@ -1691,6 +1760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "letter_tf": q_letter_tf,
         "edge_ngrams": q_edge_ngrams,
         "bm25_top10": q_bm25_top10,
+        "bm25_explain": q_bm25_explain,
+        "percentiles_facet": q_percentiles_facet,
         "bm25_top10_segments": q_bm25_top10_segments,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_filtered": q_bm25_filtered,
@@ -1798,6 +1869,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM terms, range(2, 5) r(n) WHERE n <= length(term)"
         ),
         "bm25_top10": _BM25_ORACLE,
+        "bm25_explain": _BM25_EXPLAIN_ORACLE,
+        "percentiles_facet": (
+            "WITH dl AS (SELECT lang, len(list_filter(string_split_regex("
+            "lower(text), '\\s+'), x -> x <> '')) AS dl FROM documents), "
+            "q AS (SELECT lang, quantile_cont(dl, [0.25, 0.5, 0.9, 0.99]) AS qs "
+            "FROM dl GROUP BY 1) "
+            "SELECT lang, p.pct::DOUBLE AS pct, round(qs[p.i], 4) AS dl_pct FROM q, "
+            "(VALUES (1, 0.25), (2, 0.5), (3, 0.9), (4, 0.99)) p(i, pct)"
+        ),
         "bm25_top10_segments": _BM25_ORACLE,
         "bm25_conjunctive": _BM25_CONJ_ORACLE,
         "bm25_filtered": _BM25_FILTERED_ORACLE,

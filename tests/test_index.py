@@ -858,3 +858,31 @@ def test_function_score_matches_brute(spark, docs, queries_df, index, docs_meta)
 
     with pytest.raises(ValueError, match="modifier"):
         function_score(spark, index, queries_df, docs_meta, "n_chars", modifier="bogus")
+
+
+def test_bm25_explain_components_sum_to_score(spark):
+    """Explanation invariants: per-term contributions sum to the doc
+    score, and the (query, rank, doc, score) frame equals bm25_brute."""
+    from tokenkit_spark.index.query import bm25_brute, bm25_explain
+    from tokenkit_spark.sources.pages import synth_pages, pages_to_docs
+
+    docs = pages_to_docs(synth_pages(spark, n_docs=150, seed=11)).select(
+        "doc_id", "text"
+    )
+    queries = spark.createDataFrame(
+        [(0, "the data web"), (1, "search index"), (2, "missingterm")],
+        "query_id long, text string",
+    )
+    exp = bm25_explain(docs, queries, k=5).collect()
+    assert exp
+    by_doc = {}
+    for r in exp:
+        by_doc.setdefault((r.query_id, r.rank, r.doc_id, r.score), 0.0)
+        by_doc[(r.query_id, r.rank, r.doc_id, r.score)] += r.term_score
+    for (qid, rank, doc, score), total in by_doc.items():
+        assert abs(total - score) < 1e-3, (qid, doc, total, score)
+    brute = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_brute(docs, queries, k=5, round_digits=4).collect()
+    }
+    assert set(by_doc) == brute

@@ -105,6 +105,60 @@ def bm25_brute(
     return _topk_window(scored, k, round_digits)
 
 
+def bm25_explain(
+    docs: DataFrame,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Lucene-Explanation-style score breakdown: one row per (query,
+    top-k doc, matched term) carrying the BM25 components — tf, df,
+    idf, length-normalized tf, and the term's contribution — plus the
+    doc's total score and rank. The reference exposes only final scores
+    (k1=1.2, b=0.75 per the north rule); this is the debuggability
+    surface every search engine grows.
+
+    Scale shape: the same joins as ``bm25_brute``; the component
+    relation is then re-joined to the top-k winner ids (k·|Q| rows —
+    broadcastable), so the full breakdown never materializes beyond
+    the winners."""
+    cfg = config or AnalyzerConfig()
+    postings = postings_df(docs, cfg).select("term", "doc_id", "tf")
+    dstats = doc_stats_df(docs, cfg)
+    n_docs, avgdl = _doc_globals(dstats)
+    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q_terms = analyze_queries(queries, cfg)
+
+    per_term = (
+        F.broadcast(q_terms)
+        .join(postings, "term")
+        .join(term_stats, "term")
+        .join(dstats, "doc_id")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .withColumn(
+            "norm",
+            (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
+        )
+        .withColumn("term_score", F.col("idf") * F.col("norm"))
+    )
+    totals = per_term.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score")
+    )
+    topk = _topk_window(totals, k, round_digits)
+    return (
+        F.broadcast(topk)
+        .join(per_term, ["query_id", "doc_id"])
+        .select(
+            "query_id", "rank", "doc_id", "score", "term", "tf", "df",
+            F.round("idf", 6).alias("idf"),
+            F.round("norm", 6).alias("tf_norm"),
+            F.round("term_score", 6).alias("term_score"),
+        )
+    )
+
+
 def _doc_globals(dstats: DataFrame) -> tuple[int, float]:
     row = dstats.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
