@@ -1827,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": q_term_vectors,
         "histogram_facet": q_histogram_facet,
         "clean_corpus": q_clean_corpus,
+        "training_mix": q_training_mix,
         "scrub_pii": q_scrub_pii,
         "contamination": q_contamination,
         "shared_spans": q_shared_spans,
@@ -2316,6 +2317,7 @@ FROM tv JOIN df USING (term) WHERE tv.doc_id % 167 = 0
         ),
         "lang_detect": _lang_detect_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
+        "training_mix": _training_mix_oracle(),
         "scrub_pii": _scrub_pii_oracle(),
         "contamination": (
             "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
@@ -2429,6 +2431,50 @@ SELECT doc_id,
   len(regexp_extract_all(text, '{PHONE_RX}'))::BIGINT AS n_phones
 FROM src
 """
+
+
+def q_training_mix(spark, sf_dir):
+    """The whole pre-training pipeline as one declarative pass: C4 clean
+    (lang/quality/length floors + exact dedup) -> bigram-LM perplexity
+    cap TRAINED ON THE SURVIVORS (CCNet ordering: dedup before LM) ->
+    deterministic per-source mixture sampling
+    (ops/pipeline.py:build_training_mix). The oracle replays all three
+    stages end-to-end."""
+    from tokenkit_spark.ops.pipeline import build_training_mix
+
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    return build_training_mix(
+        _docs(spark, sf_dir), rates, max_ppl=31.0, salt="mix"
+    )
+
+
+def _training_mix_oracle() -> str:
+    """End-to-end DuckDB twin of q_training_mix: clean_corpus CTE ->
+    survivor-trained bigram LM (alpha 0.1) -> md5-prefix sampling."""
+    return (
+        f"WITH cleaned AS ({_clean_corpus_oracle()}), "
+        "surv AS (SELECT d.doc_id, d.text, d.source FROM documents d "
+        "JOIN cleaned USING (doc_id)), "
+        "t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'\\s+'), x -> x <> '') AS l FROM surv), "
+        "big AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM t, "
+        "unnest(generate_series(1, greatest(len(l) - 1, 0))) r(i)), "
+        "uc AS (SELECT unnest(l) AS w FROM t), "
+        "u AS (SELECT w, count(*) AS c_w FROM uc GROUP BY 1), "
+        "pc AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2), "
+        "vv AS (SELECT count(*) AS v FROM u), "
+        "ppl AS (SELECT doc_id, round(exp(-avg(ln((coalesce(c_ab, 0) + 0.1) / "
+        "(coalesce(c_w, 0) + 0.1 * vv.v)))), 4) AS ppl "
+        "FROM big LEFT JOIN pc USING (w1, w2) LEFT JOIN u ON u.w = big.w1 "
+        "CROSS JOIN vv GROUP BY doc_id) "
+        "SELECT c.doc_id, s.source, c.lang_pred, c.n_tokens, "
+        "c.quality_score, p.ppl, "
+        "(('0x' || substring(md5(c.doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT "
+        "/ 4294967296.0) < CASE s.source WHEN 'src0' THEN 1.0 "
+        "WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.0 END AS kept "
+        "FROM cleaned c JOIN ppl p USING (doc_id) "
+        "JOIN documents s USING (doc_id) WHERE p.ppl <= 31.0"
+    )
 
 
 def _clean_corpus_oracle() -> str:

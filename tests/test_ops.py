@@ -891,3 +891,48 @@ def test_resize_images_decode_resize_reencode(spark):
     red = r1[:, :, 0].astype(float)
     assert red[:, 0].mean() < 30 and red[:, -1].mean() > 225  # gradient kept
     assert got[2].src_w is None and got[2].resized is None
+
+
+def test_build_training_mix_stage_order(spark):
+    """Pipeline invariants: exact dups and non-English docs are gone
+    BEFORE the LM trains (CCNet ordering), so bigrams that only existed
+    in filtered docs score at the smoothed floor; sampling decisions
+    ride along as a kept flag."""
+    from tokenkit_spark.ops.pipeline import build_training_mix
+
+    en_a = "the cat and the dog sat on the mat with the cat"
+    en_b = "zebra quantum flux is on the mat"  # bigram 'zebra quantum' seen ONLY here + in the filtered es doc
+    es = "el perro zebra quantum es de la casa y el gato es de la casa"
+    rows = [
+        (0, en_a, "web"),
+        (1, en_a, "web"),      # exact dup -> removed (canon keeps 0)
+        (2, en_b, "web"),
+        (3, es, "web"),        # lang-filtered before LM training
+        (4, en_a, "other"),    # different text? no — same text: would dedup with 0!
+    ]
+    rows[4] = (4, en_a + " again", "other")
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in build_training_mix(
+            docs, {"web": 1.0}, langs=("en",), min_quality=0.0, min_tokens=2
+        ).collect()
+    }
+    assert set(out) == {0, 2, 4}  # dup 1 and es 3 removed
+    # the LM is trained on the SURVIVORS: ppl equals a survivor-trained
+    # model exactly, and differs from one trained on the raw corpus
+    # (which would include the filtered es doc's bigrams and vocab)
+    from tokenkit_spark.ops.pipeline import clean_corpus
+    from tokenkit_spark.ops.textstats import bigram_lm_perplexity
+
+    kept = clean_corpus(docs, langs=("en",), min_quality=0.0, min_tokens=2)
+    surv = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    surv_ppl = {r.doc_id: r.ppl for r in bigram_lm_perplexity(surv).collect()}
+    assert {k: v.ppl for k, v in out.items()} == surv_ppl
+    raw_ppl = {
+        r.doc_id: r.ppl
+        for r in bigram_lm_perplexity(surv, model_docs=docs).collect()
+    }
+    assert any(surv_ppl[k] != raw_ppl[k] for k in surv_ppl)
+    # rate 1.0 for 'web' keeps those rows; 'other' has rate 0 -> kept=False
+    assert out[0].kept is True and out[2].kept is True and out[4].kept is False

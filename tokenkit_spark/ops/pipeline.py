@@ -55,3 +55,57 @@ def clean_corpus(
         kept.join(canon.select("doc_id"), "doc_id", "left_semi")
         .select("doc_id", "lang_pred", "n_tokens", "quality_score")
     )
+
+
+def build_training_mix(
+    docs: DataFrame,
+    rates: dict[str, float],
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    max_ppl: float | None = None,
+    alpha: float = 0.1,
+    salt: str = "mix",
+) -> DataFrame:
+    """The whole pre-training data pipeline as ONE declarative pass:
+
+      1. ``clean_corpus``  — lang / quality / length floors + exact dedup
+      2. perplexity cap    — bigram LM TRAINED ON THE SURVIVORS of (1)
+                             (CCNet ordering: dedup before LM so dup
+                             boilerplate can't dominate the model), keep
+                             ppl <= ``max_ppl``
+      3. ``stratified_sample`` — deterministic per-source mixture rates
+
+    Returns (doc_id, source, lang_pred, n_tokens, quality_score, ppl,
+    kept) — one row per stage-2 survivor, ``kept`` marking the stage-3
+    sample decision, so mixture audits (kept vs available per source)
+    fall out of the same frame.
+
+    Scale shape: stage boundaries are left_semi joins on doc_id (never
+    rewidening), the LM is count tables (no collected state), sampling
+    is a map-side hash filter. Everything is SQL-expressible, so the
+    driver holds an exact end-to-end DuckDB oracle (``training_mix``).
+    """
+    from .sampling import sample_fraction_col
+    from .textstats import bigram_lm_perplexity
+
+    kept = clean_corpus(docs, text_col, langs, min_quality, min_tokens)
+    survivors = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    ppl = bigram_lm_perplexity(survivors, alpha=alpha, text_col=text_col).select(
+        "doc_id", "ppl"
+    )
+    staged = (
+        kept.join(ppl, "doc_id", "left")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    if max_ppl is not None:
+        staged = staged.filter(F.col("ppl") <= F.lit(max_ppl))
+    mapping = F.create_map(
+        *[F.lit(x) for k, v in rates.items() for x in (k, float(v))]
+    )
+    rate = F.coalesce(mapping[F.col("source")], F.lit(0.0))
+    return staged.select(
+        "doc_id", "source", "lang_pred", "n_tokens", "quality_score", "ppl",
+        (sample_fraction_col("doc_id", salt) < rate).alias("kept"),
+    )
