@@ -546,6 +546,15 @@ def q_bm25_top10(spark, sf_dir):
     return bm25_brute(_docs(spark, sf_dir), _queries_df(spark), WS, k=10, round_digits=4)
 
 
+def q_significant_terms(spark, sf_dir):
+    """ES significant_terms aggregation: top-5 JLH-scored terms per
+    query's match set vs the corpus background
+    (index/query.py:significant_terms)."""
+    from tokenkit_spark.index.query import significant_terms
+
+    return significant_terms(_docs(spark, sf_dir), _queries_df(spark), WS, n=5)
+
+
 def q_bm25_explain(spark, sf_dir):
     """Lucene-Explanation-style per-term score breakdown for the top-10
     docs of each query: tf/df/idf/length-norm/term contribution + the
@@ -1761,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngrams": q_edge_ngrams,
         "bm25_top10": q_bm25_top10,
         "bm25_explain": q_bm25_explain,
+        "significant_terms": q_significant_terms,
         "percentiles_facet": q_percentiles_facet,
         "bm25_top10_segments": q_bm25_top10_segments,
         "bm25_conjunctive": q_bm25_conjunctive,
@@ -1871,6 +1881,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_top10": _BM25_ORACLE,
         "bm25_explain": _BM25_EXPLAIN_ORACLE,
+        "significant_terms": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT DISTINCT term, doc_id FROM toks),
+g AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+bg AS (SELECT term, count(*) AS bg_df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+md AS (SELECT DISTINCT q.query_id, p.doc_id FROM qterms q JOIN postings p USING (term)),
+fsz AS (SELECT query_id, count(*) AS fg_size FROM md GROUP BY 1),
+fg AS (SELECT m.query_id, p.term, count(*) AS fg_df
+       FROM md m JOIN postings p USING (doc_id) GROUP BY 1, 2),
+scored AS (SELECT f.query_id, f.term, f.fg_df, s.fg_size, b.bg_df,
+           round(((f.fg_df::DOUBLE / s.fg_size) - (b.bg_df::DOUBLE / g.n_docs))
+                 * ((f.fg_df::DOUBLE / s.fg_size) / (b.bg_df::DOUBLE / g.n_docs)), 6) AS jlh
+           FROM fg f JOIN fsz s USING (query_id) JOIN bg b USING (term) CROSS JOIN g),
+ranked AS (SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY jlh DESC, term ASC) AS rank,
+           term, fg_df, fg_size, bg_df, jlh FROM scored)
+SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <= 5
+""",
         "percentiles_facet": (
             "WITH dl AS (SELECT lang, len(list_filter(string_split_regex("
             "lower(text), '\\s+'), x -> x <> '')) AS dl FROM documents), "

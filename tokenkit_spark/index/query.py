@@ -159,6 +159,67 @@ def bm25_explain(
     )
 
 
+def significant_terms(
+    docs: DataFrame,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    n: int = 5,
+) -> DataFrame:
+    """ES significant_terms aggregation (JLH heuristic): terms whose
+    frequency in each query's MATCH SET (foreground) most exceeds their
+    corpus (background) frequency —
+    ``jlh = (fg% - bg%) * (fg% / bg%)``. Output: top-``n`` per query by
+    (6-dp jlh desc, term asc) with the supporting counts.
+
+    Scale shape: the match set is a distinct (query, doc) semi-join; the
+    foreground count re-joins it to postings keyed on doc_id (the big
+    join — partial aggs flatten term skew); background stats are one
+    corpus-keyed agg reused across queries. Everything relational, no
+    driver state."""
+    cfg = config or AnalyzerConfig()
+    postings = postings_df(docs, cfg).select("term", "doc_id").distinct()
+    n_docs = docs.select("doc_id").distinct().count()
+    bg = postings.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    q_terms = analyze_queries(queries, cfg)
+
+    match_docs = (
+        F.broadcast(q_terms)
+        .join(postings, "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    fg_size = match_docs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("fg_size")
+    )
+    fg = (
+        match_docs.join(postings, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    scored = (
+        fg.join(fg_size, "query_id")
+        .join(bg, "term")
+        .withColumn("fg_pct", F.col("fg_df") / F.col("fg_size"))
+        .withColumn("bg_pct", F.col("bg_df") / F.lit(float(n_docs)))
+        .withColumn(
+            "jlh",
+            F.round(
+                (F.col("fg_pct") - F.col("bg_pct"))
+                * (F.col("fg_pct") / F.col("bg_pct")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jlh").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "rank", "term", "fg_df", "fg_size", "bg_df", "jlh")
+    )
+
+
 def _doc_globals(dstats: DataFrame) -> tuple[int, float]:
     row = dstats.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
