@@ -546,6 +546,17 @@ def q_bm25_top10(spark, sf_dir):
     return bm25_brute(_docs(spark, sf_dir), _queries_df(spark), WS, k=10, round_digits=4)
 
 
+def q_rescore_phrase(spark, sf_dir):
+    """ES rescore API: BM25 top-50 window per query re-ranked by
+    1.0*bm25 + 2.0*exact-phrase-count; the positional check runs only
+    on the retrieved window (index/query.py:rescore_phrase)."""
+    from tokenkit_spark.index.query import rescore_phrase
+
+    return rescore_phrase(
+        _docs(spark, sf_dir), _queries_df(spark), WS, k=10, window=50
+    )
+
+
 def q_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation: top-5 JLH-scored terms per
     query's match set vs the corpus background
@@ -1771,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": q_bm25_top10,
         "bm25_explain": q_bm25_explain,
         "significant_terms": q_significant_terms,
+        "rescore_phrase": q_rescore_phrase,
         "percentiles_facet": q_percentiles_facet,
         "bm25_top10_segments": q_bm25_top10_segments,
         "bm25_conjunctive": q_bm25_conjunctive,
@@ -1881,6 +1893,40 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_top10": _BM25_ORACLE,
         "bm25_explain": _BM25_EXPLAIN_ORACLE,
+        "rescore_phrase": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+prim AS (SELECT query_id, doc_id, round(s, 4) AS bm25 FROM (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(s, 4) DESC, doc_id) AS rank
+  FROM scored) WHERE rank <= 50),
+qtok AS (SELECT query_id, list_filter(string_split_regex(lower(qtext), '\\s+'), x -> x <> '') AS p FROM queries),
+dtok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM documents),
+resc AS (SELECT pr.query_id, pr.doc_id, pr.bm25,
+  CASE WHEN len(p) > 0 AND len(t) >= len(p)
+       THEN len(list_filter(range(1, len(t) - len(p) + 2), i -> t[i : i + len(p) - 1] = p))
+       ELSE 0 END AS phrase_tf
+  FROM prim pr JOIN qtok USING (query_id) JOIN dtok USING (doc_id)),
+fin AS (SELECT query_id, doc_id, bm25, phrase_tf,
+        round(1.0 * bm25 + 2.0 * phrase_tf, 4) AS final FROM resc),
+ranked AS (SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY final DESC, doc_id) AS rank,
+           doc_id, bm25, phrase_tf, final FROM fin)
+SELECT query_id, rank, doc_id, bm25, phrase_tf, final FROM ranked WHERE rank <= 10
+""",
         "significant_terms": f"""
 WITH toks AS ({_TOKS}),
 postings AS (SELECT DISTINCT term, doc_id FROM toks),

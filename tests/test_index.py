@@ -886,3 +886,34 @@ def test_bm25_explain_components_sum_to_score(spark):
         for r in bm25_brute(docs, queries, k=5, round_digits=4).collect()
     }
     assert set(by_doc) == brute
+
+
+def test_rescore_phrase_promotes_phrase_matches(spark):
+    """A doc containing the exact phrase outranks a higher-BM25 doc
+    that only has the terms scattered, once the rescore window applies
+    the phrase bonus."""
+    from tokenkit_spark.index.query import rescore_phrase
+
+    docs = spark.createDataFrame(
+        [
+            (0, "sort merge sort merge sort merge join somewhere"),  # scattered-ish, high tf
+            (1, "a sort merge join here"),                            # exact phrase once
+            (2, "join the sort and the merge"),                       # scattered
+            (3, "unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "sort merge join")], "query_id long, text string"
+    )
+    out = {r.rank: r for r in rescore_phrase(docs, queries, k=4, window=4).collect()}
+    # doc 0 also contains the phrase "sort merge join"? tokens:
+    # [sort, merge, sort, merge, sort, merge, join, somewhere] — windows
+    # ...(sort, merge, join) at position 5 -> phrase_tf 1; doc 1 has 1 too.
+    by_doc = {r.doc_id: r for r in out.values()}
+    assert by_doc[1].phrase_tf == 1 and by_doc[0].phrase_tf == 1
+    assert 3 not in by_doc  # no matching term -> never retrieved
+    assert by_doc[2].phrase_tf == 0
+    # phrase docs outrank the scattered doc 2 despite doc 2 matching all terms
+    assert out[1].doc_id in (0, 1) and out[2].doc_id in (0, 1)
+    assert by_doc[2].final == by_doc[2].bm25  # no bonus

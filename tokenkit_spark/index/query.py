@@ -159,6 +159,64 @@ def bm25_explain(
     )
 
 
+def rescore_phrase(
+    docs: DataFrame,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    window: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ES rescore API: retrieve the top-``window`` docs per query by
+    BM25, then rescore ONLY that window with a secondary exact-phrase
+    signal (occurrences of the full analyzed query token sequence) and
+    re-rank on ``query_weight*bm25 + rescore_weight*phrase_tf``. The
+    expensive positional check runs on window·|Q| rows, never the match
+    set — exactly why the rescore pattern exists.
+
+    Output: (query_id, rank, doc_id, bm25, phrase_tf, final), top-k by
+    (rounded final desc, doc_id asc)."""
+    cfg = config or AnalyzerConfig()
+    primary = bm25_brute(docs, queries, cfg, k=window, round_digits=round_digits)
+    qtok = queries.select("query_id", tokenize_col("text", cfg).alias("p"))
+    dtok = docs.select("doc_id", tokenize_col("text", cfg).alias("t"))
+    joined = (
+        primary.withColumnRenamed("score", "bm25")
+        .join(F.broadcast(qtok), "query_id")
+        .join(dtok, "doc_id")
+    )
+    np_ = F.size("p")
+    # count sliding-window matches of the phrase; sequence(1, 0) counts
+    # DOWN in Spark, so guard docs shorter than the phrase
+    cnt = F.when(
+        (np_ > 0) & (F.size("t") >= np_),
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size("t") - np_ + 1),
+                lambda i: F.slice("t", i, np_) == F.col("p"),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    scored = joined.withColumn("phrase_tf", cnt.cast("long")).withColumn(
+        "final",
+        F.round(
+            F.lit(query_weight) * F.col("bm25")
+            + F.lit(rescore_weight) * F.col("phrase_tf"),
+            round_digits,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("final").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "bm25", "phrase_tf", "final")
+    )
+
+
 def significant_terms(
     docs: DataFrame,
     queries: DataFrame,
