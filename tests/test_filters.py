@@ -106,6 +106,8 @@ class TestAsciiFold:
         )
         assert ascii_fold("æon ßtraße Œuvre Øre łódź") == "aeon sstrasse OEuvre Ore lodz"
         assert ascii_fold("İstanbul ıśïk") == "Istanbul isik"  # İ→I like Lucene
+        # stroke letters with no NFD decomposition fold 1:1 like Lucene
+        assert ascii_fold("ħaġar ŧest ŋame ſtreet ĦŦŊ") == "hagar test name street HTN"
         assert ascii_fold(None) is None
         assert ascii_fold("plain ascii") == "plain ascii"
 

@@ -754,7 +754,10 @@ def test_semantic_dedup_matches_reference_kernel(spark):
         r.id: (r.centroid_id, r.keep)
         for r in semantic_dedup(df, cents, threshold=0.95).collect()
     }
-    assert got == {0: (0, True), 1: (0, False), 2: (0, True), 3: (1, True), 4: (1, False)}
+    # ascending centroid-sim scan: among dups {0, 1}, the LESS
+    # centroid-similar member (1) is kept — the paper's retention rule;
+    # exact dups {3, 4} tie on centroid-sim, id-asc keeps 3
+    assert got == {0: (0, False), 1: (0, True), 2: (0, True), 3: (1, True), 4: (1, False)}
 
     # randomized parity vs reference loop
     rng = np.random.default_rng(7)
@@ -770,7 +773,7 @@ def test_semantic_dedup_matches_reference_kernel(spark):
         for c in np.unique(assign):
             idx = np.flatnonzero(assign == c)
             csim = xn[idx] @ (cents[c] / np.linalg.norm(cents[c]))
-            order = idx[np.lexsort((idx, -csim))]
+            order = idx[np.lexsort((idx, csim))]
             for pos, i in enumerate(order):
                 m = max((xn[i] @ xn[j] for j in order[:pos]), default=-1.0)
                 keep[i] = m <= threshold

@@ -117,11 +117,16 @@ _FOLD_EXPANSIONS: tuple[tuple[str, str], ...] = (
 )
 
 
+# 1:1 stroke/special letters with no NFD decomposition (Lucene folds
+# them; NFD-stripping alone would leave them non-ASCII)
+_FOLD_STROKES = ("ħĦŧŦŋŊſ", "hHtTnNs")
+
+
 def _build_fold_tables() -> tuple[str, str]:
-    """1:1 diacritic foldings over Latin-1 Supplement + Latin Extended-A,
-    derived from NFD (strip combining marks, keep ASCII base)."""
-    src, dst = [], []
-    expanded = {s for s, _ in _FOLD_EXPANSIONS}
+    """1:1 foldings over Latin-1 Supplement + Latin Extended-A: NFD
+    diacritic stripping plus the stroke letters NFD can't decompose."""
+    src, dst = list(_FOLD_STROKES[0]), list(_FOLD_STROKES[1])
+    expanded = {s for s, _ in _FOLD_EXPANSIONS} | set(_FOLD_STROKES[0])
     for cp in range(0xC0, 0x180):
         ch = chr(cp)
         if ch in expanded:

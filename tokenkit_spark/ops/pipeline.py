@@ -80,7 +80,9 @@ def build_training_mix(
     Returns (doc_id, source, lang_pred, n_tokens, quality_score, ppl,
     kept) — one row per stage-2 survivor, ``kept`` marking the stage-3
     sample decision, so mixture audits (kept vs available per source)
-    fall out of the same frame.
+    fall out of the same frame. Docs with < 2 tokens (possible only
+    when ``min_tokens`` < 2) have no bigrams: their ``ppl`` is NULL and
+    the ``max_ppl`` cap does not drop them (no LM evidence).
 
     Scale shape: stage boundaries are left_semi joins on doc_id (never
     rewidening), the LM is count tables (no collected state), sampling
@@ -100,7 +102,12 @@ def build_training_mix(
         .join(docs.select("doc_id", "source"), "doc_id")
     )
     if max_ppl is not None:
-        staged = staged.filter(F.col("ppl") <= F.lit(max_ppl))
+        # a doc with < 2 tokens has no bigrams -> ppl NULL: the LM has
+        # no evidence against it, so the cap does NOT drop it (only
+        # reachable when min_tokens < 2)
+        staged = staged.filter(
+            (F.col("ppl") <= F.lit(max_ppl)) | F.col("ppl").isNull()
+        )
     mapping = F.create_map(
         *[F.lit(x) for k, v in rates.items() for x in (k, float(v))]
     )

@@ -351,10 +351,11 @@ def semantic_dedup(
     1. Assign every vector to its nearest k-means centroid (the same
        coarse quantizer the IVF path uses — ``train_ivf_centroids``).
     2. WITHIN each cluster, sort members by cosine-to-centroid
-       descending and drop any item whose max cosine to an EARLIER item
-       exceeds ``threshold`` — exactly the released SemDeDup kernel
-       (upper-triangular max), which keeps the duplicate-group member
-       *least* similar to the centroid.
+       ASCENDING and drop any item whose max cosine to an EARLIER item
+       exceeds ``threshold`` (upper-triangular max): the least-
+       centroid-similar member of each duplicate group is scanned
+       first and survives — the paper's retention rule (§3: keep the
+       example with the lowest cosine similarity to the centroid).
 
     Returns (id, centroid_id, keep, max_sim): ``keep=False`` rows are the
     semantic duplicates to discard; ``max_sim`` is the triangular max
@@ -382,8 +383,11 @@ def semantic_dedup(
         x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         csim = x @ cent[cid]
-        # descending centroid-sim, id-asc tiebreak (stable + pinned)
-        order = np.lexsort((ids, -csim))
+        # ASCENDING centroid-sim, id-asc tiebreak: the least-centroid-
+        # similar member of a duplicate group is scanned first and
+        # therefore kept — the paper's retention rule (§3: "keep the
+        # image with the lowest cosine similarity to the centroid")
+        order = np.lexsort((ids, csim))
         xs, ids_s = x[order], ids[order]
         n = len(xs)
         max_sim = np.full(n, -1.0)

@@ -24,6 +24,15 @@ def _tokens(text_col: Column) -> Column:
     return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
 
 
+# adjacent-bigram generator over a `toks` array column; sequence(1, 0)
+# counts DOWN in Spark, so sub-2-token docs are guarded to empty
+_BIGRAM_EXPR = (
+    "CASE WHEN size(toks) < 2 THEN array() "
+    "ELSE transform(sequence(1, size(toks) - 1), "
+    "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) END"
+)
+
+
 def lang_scores(text_col: Column) -> list[tuple[str, Column]]:
     toks = _tokens(text_col)
     out = []
@@ -220,16 +229,9 @@ def pmi_collocations(
     shuffle; the global totals are single-row aggregates broadcast by
     crossJoin. The final top-n is a tiny post-filter sort."""
     toks = docs.select(_tokens(F.col(text_col)).alias("toks"))
-    big = toks.select(
-        F.explode(
-            # sequence(1, 0) counts DOWN in Spark, so guard 1-token docs
-            F.expr(
-                "CASE WHEN size(toks) < 2 THEN array() "
-                "ELSE transform(sequence(1, size(toks) - 1), "
-                "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) END"
-            )
-        ).alias("bg")
-    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = toks.select(F.explode(F.expr(_BIGRAM_EXPR)).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
     uni = toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c_w")
     )
@@ -274,15 +276,7 @@ def _doc_bigrams(docs: DataFrame, text_col: str) -> DataFrame:
     return docs.select(
         "doc_id", _tokens(F.col(text_col)).alias("toks")
     ).select(
-        "doc_id",
-        F.explode(
-            # sequence(1, 0) counts DOWN in Spark, so guard short docs
-            F.expr(
-                "CASE WHEN size(toks) < 2 THEN array() "
-                "ELSE transform(sequence(1, size(toks) - 1), "
-                "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) END"
-            )
-        ).alias("bg"),
+        "doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("bg")
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
 
@@ -321,16 +315,20 @@ def bigram_lm_perplexity(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
     )
-    v = uni.count()
+    # vocab size V stays IN the plan (one-row cross join) — an eager
+    # uni.count() here would run the whole upstream lineage once at
+    # call time and again at execution
+    vdf = uni.agg(F.count(F.lit(1)).alias("_v"))
 
     logp = F.log(
         (F.coalesce(F.col("c_ab"), F.lit(0)) + F.lit(alpha))
-        / (F.coalesce(F.col("c_w"), F.lit(0)) + F.lit(alpha * v))
+        / (F.coalesce(F.col("c_w"), F.lit(0)) + F.lit(alpha) * F.col("_v"))
     )
     return (
         _doc_bigrams(docs, text_col)
         .join(pairs, ["w1", "w2"], "left")
         .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vdf))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -83,15 +83,22 @@ def _first_seen_kernel(
     seen = set(state.get[0]) if state.exists else set()
     host = key[0]
     out = []
-    for pdf in pdfs:
-        # pinned intra-batch order: earliest crawl wins, url tiebreak
-        pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
-        for row in pdf.itertuples(index=False):
-            h = int(row.content_hash)
-            if h in seen:
-                continue
-            seen.add(h)
-            out.append((host, row.url, row.warc_ts, h))
+    # materialize ALL Arrow chunks before sorting: a per-chunk sort
+    # would make "earliest crawl wins" depend on chunk boundaries
+    chunks = list(pdfs)
+    if not chunks:
+        yield pd.DataFrame(
+            [], columns=["host", "url", "warc_ts", "content_hash"]
+        )
+        return
+    batch = pd.concat(chunks, ignore_index=True)
+    batch = batch.sort_values(["warc_ts", "url"], kind="mergesort")
+    for row in batch.itertuples(index=False):
+        h = int(row.content_hash)
+        if h in seen:
+            continue
+        seen.add(h)
+        out.append((host, row.url, row.warc_ts, h))
     state.update((sorted(seen),))
     yield pd.DataFrame(
         out, columns=["host", "url", "warc_ts", "content_hash"]
