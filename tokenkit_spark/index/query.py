@@ -236,7 +236,9 @@ def significant_terms(
     driver state."""
     cfg = config or AnalyzerConfig()
     postings = postings_df(docs, cfg).select("term", "doc_id").distinct()
-    n_docs = docs.select("doc_id").distinct().count()
+    # corpus size stays IN the plan (one-row broadcast) — no eager
+    # count that would run the tokenize lineage twice
+    ndocs_df = docs.agg(F.count_distinct("doc_id").alias("_n_docs"))
     bg = postings.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
     q_terms = analyze_queries(queries, cfg)
 
@@ -257,8 +259,9 @@ def significant_terms(
     scored = (
         fg.join(fg_size, "query_id")
         .join(bg, "term")
+        .crossJoin(F.broadcast(ndocs_df))
         .withColumn("fg_pct", F.col("fg_df") / F.col("fg_size"))
-        .withColumn("bg_pct", F.col("bg_df") / F.lit(float(n_docs)))
+        .withColumn("bg_pct", F.col("bg_df") / F.col("_n_docs"))
         .withColumn(
             "jlh",
             F.round(
