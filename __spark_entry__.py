@@ -1270,6 +1270,41 @@ def q_events_by_type(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity window) over the
+    events stream: one shuffle on user_id, two window passes, then a
+    per-session hash aggregate (ops/events.py). The oracle replays the
+    identical lag/cumulative-sum window algebra in DuckDB."""
+    from tokenkit_spark.ops import events as ev_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev_ops.session_stats(ev, gap_minutes=30.0, value_col="value")
+
+
+def q_date_histogram(spark, sf_dir):
+    """ES date_histogram aggregation: calendar-day buckets per
+    event_type with count + value-sum sub-aggregation. Pure hash
+    aggregate with map-side partials — JVM-side date_trunc, one row per
+    (bucket, type) per map task on the shuffle."""
+    from tokenkit_spark.ops import events as ev_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev_ops.date_histogram(
+        ev, interval="day", group_cols=("event_type",), value_col="value"
+    )
+
+
+def q_cardinality_users(spark, sf_dir):
+    """ES cardinality aggregation: HyperLogLog++ approximate distinct
+    users per event_type. Rows-only (sketch values are implementation-
+    defined); tests/test_ops.py pins the relative error vs the exact
+    distinct count."""
+    from tokenkit_spark.ops import events as ev_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev_ops.cardinality(ev, "event_type", "user_id")
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -1860,6 +1895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "url_dedup": q_url_dedup,
         "audio_features": q_audio_features,
+        "sessionize": q_sessionize,
+        "date_histogram": q_date_histogram,
+        "cardinality_users": q_cardinality_users,
     }
 
 
@@ -1994,6 +2032,23 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
         "events_by_type": (
             "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
             "FROM events GROUP BY event_type"
+        ),
+        "sessionize": (
+            "WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us, "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events), "
+            "f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 "
+            "THEN 1 ELSE 0 END AS is_new FROM e), "
+            "s AS (SELECT *, (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id FROM f) "
+            "SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, "
+            "max(us) AS end_us, max(us) - min(us) AS duration_us, "
+            "round(sum(value), 4) AS sum_value FROM s GROUP BY 1, 2"
+        ),
+        "date_histogram": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
+            "event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1, 2"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS min_doc_id "
