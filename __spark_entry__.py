@@ -8,6 +8,7 @@ floats are rounded identically before ranking/comparison.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import tempfile
@@ -281,6 +282,62 @@ ranked AS (
          doc_id, round(s, 4) AS score
   FROM boosted)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+# gauss decay: 2*sigma^2 with sigma^2 = -scale^2 / (2 ln decay); the SAME
+# Python double is inlined here and passed to decay_score so both engines
+# divide by a bit-identical constant.
+_DECAY_TWO_SIGMA_SQ = 2.0 * (-(200.0 * 200.0) / (2.0 * math.log(0.5)))
+
+_DECAY_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g
+  GROUP BY 1, 2),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         s.s * exp(-(greatest(0.0, abs(dm.n_chars - 256.0))
+                     * greatest(0.0, abs(dm.n_chars - 256.0)))
+                   / {_DECAY_TWO_SIGMA_SQ!r}) AS s
+  FROM scored s JOIN documents dm USING (doc_id)),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM boosted)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+_TOP_HITS_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+matches AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM qterms q JOIN toks t USING (term)),
+ranked AS (
+  SELECT m.query_id, d.lang,
+         row_number() OVER (PARTITION BY m.query_id, d.lang
+                            ORDER BY d.n_chars DESC, m.doc_id ASC) AS hit_rank,
+         m.doc_id, d.n_chars
+  FROM matches m JOIN documents d USING (doc_id))
+SELECT query_id, lang, hit_rank, doc_id, n_chars FROM ranked WHERE hit_rank <= 2
 """
 
 _BM25_CONJ_ORACLE = f"""
@@ -714,6 +771,36 @@ def q_function_score_length(spark, sf_dir):
         spark, index, _queries_df(spark), meta, "n_chars",
         factor=0.5, modifier="log1p", boost_mode="multiply",
         config=WS, k=10, round_digits=4,
+    )
+
+
+def q_decay_recency(spark, sf_dir):
+    """ES function_score gauss decay: BM25 * gauss(n_chars; origin=256,
+    scale=200, decay=0.5) re-ranks the full match set — the standard
+    recency/proximity boost shape (index/query.py:decay_score). The
+    oracle inlines the identical closed-form sigma^2 constant."""
+    from tokenkit_spark.index.query import decay_score
+
+    index = _index_for(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return decay_score(
+        spark, index, _queries_df(spark), meta, "n_chars",
+        origin=256.0, scale=200.0, decay=0.5, fn="gauss",
+        boost_mode="multiply", config=WS, k=10, round_digits=4,
+    )
+
+
+def q_top_hits(spark, sf_dir):
+    """ES terms agg + top_hits sub-agg: per (query, lang) the top-2
+    matching docs by n_chars, through the compressed segment index
+    (index/query.py:top_hits_facet — distributed match set, bucket-
+    partitioned rank window)."""
+    from tokenkit_spark.index.query import top_hits_facet
+
+    index = _index_for(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return top_hits_facet(
+        spark, index, _queries_df(spark), meta, "lang", "n_chars", k=2, config=WS
     )
 
 
@@ -1898,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "date_histogram": q_date_histogram,
         "cardinality_users": q_cardinality_users,
+        "decay_recency": q_decay_recency,
+        "top_hits": q_top_hits,
     }
 
 
@@ -2001,6 +2090,8 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
         "search_after_page2": _SEARCH_AFTER_ORACLE,
         "collapse_by_source": _COLLAPSE_ORACLE,
         "function_score_length": _FUNCTION_SCORE_ORACLE,
+        "decay_recency": _DECAY_ORACLE,
+        "top_hits": _TOP_HITS_ORACLE,
         "bm25_msm2": _BM25_MSM_ORACLE,
         "bm25_multifield": _BM25_MULTIFIELD_ORACLE,
         "doc_stats": (

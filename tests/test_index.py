@@ -917,3 +917,82 @@ def test_rescore_phrase_promotes_phrase_matches(spark):
     # phrase docs outrank the scattered doc 2 despite doc 2 matching all terms
     assert out[1].doc_id in (0, 1) and out[2].doc_id in (0, 1)
     assert by_doc[2].final == by_doc[2].bm25  # no bonus
+
+
+def test_decay_score_matches_brute(spark, docs, queries_df, index, docs_meta):
+    """Gauss decay: score * exp(-dist^2 / 2sigma^2) with the ES decay
+    contract (origin/scale/decay); verified against a driver-side
+    recomputation over the exhaustive brute-force match set."""
+    import math
+
+    from tokenkit_spark.index.query import bm25_brute, decay_score
+
+    origin, scale, decay = 300.0, 150.0, 0.5
+    sigma_sq = -(scale * scale) / (2.0 * math.log(decay))
+    meta = {r.doc_id: r.n_chars for r in docs_meta.collect()}
+    full = bm25_brute(docs, queries_df, CFG, k=docs.count()).collect()
+    by_q = {}
+    for r in full:
+        dist = max(0.0, abs(meta[r.doc_id] - origin))
+        boosted = r.score * math.exp(-(dist * dist) / (2.0 * sigma_sq))
+        by_q.setdefault(r.query_id, []).append((-round(boosted, 6), r.doc_id))
+    want = {
+        (q, i + 1, d, -neg)
+        for q, rows in by_q.items()
+        for i, (neg, d) in enumerate(sorted(rows)[:10])
+    }
+    got = decay_score(
+        spark, index, queries_df, docs_meta, "n_chars",
+        origin=origin, scale=scale, decay=decay, fn="gauss",
+        config=CFG, k=10, round_digits=6,
+    )
+    got_set = {(r.query_id, r.rank, r.doc_id, round(r.score, 6)) for r in got.collect()}
+    assert got_set == want
+
+
+def test_decay_score_linear_and_validation(spark, docs, queries_df, index, docs_meta):
+    """linear decay clips to zero beyond s = scale/(1-decay); bad args raise."""
+    from tokenkit_spark.index.query import decay_score
+
+    got = decay_score(
+        spark, index, queries_df, docs_meta, "n_chars",
+        origin=0.0, scale=10.0, decay=0.5, fn="linear",
+        config=CFG, k=10, round_digits=6,
+    )
+    # s = 20: every doc with n_chars >= 20 decays to exactly 0
+    meta = {r.doc_id: r.n_chars for r in docs_meta.collect()}
+    for r in got.collect():
+        if meta[r.doc_id] >= 20:
+            assert r.score == 0.0
+    with pytest.raises(ValueError, match="decay function"):
+        decay_score(spark, index, queries_df, docs_meta, "n_chars",
+                    origin=0, scale=10, fn="bogus")
+    with pytest.raises(ValueError, match="scale"):
+        decay_score(spark, index, queries_df, docs_meta, "n_chars",
+                    origin=0, scale=-1)
+
+
+def test_top_hits_facet_matches_brute(spark, docs, queries_df, index, docs_meta):
+    """terms+top_hits agg: per (query, site) top-2 matches by n_chars
+    desc, doc_id asc — equals a driver-side recomputation over the
+    brute match set."""
+    from tokenkit_spark.index.query import top_hits_facet
+
+    meta = {r.doc_id: (r.site, r.n_chars) for r in docs_meta.collect()}
+    matches = _brute_matches(docs, queries_df).collect()
+    buckets = {}
+    for r in matches:
+        site, n_chars = meta[r.doc_id]
+        buckets.setdefault((r.query_id, site), []).append((-n_chars, r.doc_id))
+    want = {
+        (q, s, i + 1, d, -negn)
+        for (q, s), rows in buckets.items()
+        for i, (negn, d) in enumerate(sorted(rows)[:2])
+    }
+    got = top_hits_facet(
+        spark, index, queries_df, docs_meta, "site", "n_chars", k=2, config=CFG
+    )
+    got_set = {
+        (r.query_id, r.site, r.hit_rank, r.doc_id, r.n_chars) for r in got.collect()
+    }
+    assert got_set == want

@@ -1080,6 +1080,66 @@ def function_score(
     return _topk_window(rows, k, round_digits)
 
 
+_DECAY_FNS = ("gauss", "exp", "linear")
+
+
+def decay_score(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    docs_meta: DataFrame,
+    field: str,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    fn: str = "gauss",
+    boost_mode: str = "multiply",
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ES ``function_score`` decay functions (gauss | exp | linear) over
+    a numeric per-doc field — the recency/geo-proximity boost: docs at
+    ``origin`` keep full relevance, docs ``scale`` away are multiplied
+    by ``decay``, per the ES decay contract
+    (dist = max(0, |field - origin| - offset); gauss exp(-dist²/2σ²)
+    with σ² = -scale²/(2·ln decay); exp e^{λ·dist} with λ = ln(decay)/scale;
+    linear max(0, (s-dist)/s) with s = scale/(1-decay)).
+
+    Same shape as :func:`function_score`: an arbitrary per-doc boost
+    breaks WAND's bounds, so the match set is scored exhaustively and
+    the decay is pure JVM-side Catalyst after a distributed metadata
+    join."""
+    if fn not in _DECAY_FNS:
+        raise ValueError(f"decay_score: unknown decay function {fn!r}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"decay_score: unknown boost_mode {boost_mode!r}")
+    if scale <= 0 or not (0.0 < decay < 1.0):
+        raise ValueError("decay_score: need scale > 0 and 0 < decay < 1")
+    scored = bm25_all_scores(spark, index, queries, config)
+    dist = F.greatest(
+        F.lit(0.0), F.abs(F.col(field) - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    if fn == "gauss":
+        sigma_sq = -(scale * scale) / (2.0 * math.log(decay))
+        boost = F.exp(-(dist * dist) / F.lit(2.0 * sigma_sq))
+    elif fn == "exp":
+        boost = F.exp(F.lit(math.log(decay) / scale) * dist)
+    else:
+        s = scale / (1.0 - decay)
+        boost = F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+    combined = (
+        F.col("score") * boost if boost_mode == "multiply" else F.col("score") + boost
+    )
+    rows = (
+        scored.join(docs_meta.select("doc_id", field), "doc_id")
+        .withColumn("score", combined)
+        .select("query_id", "doc_id", "score")
+    )
+    return _topk_window(rows, k, round_digits)
+
+
 def term_vectors(
     index: dict,
     docs: DataFrame,
@@ -1690,6 +1750,38 @@ def histogram_facet(
         .select("query_id", bucket)
         .groupBy("query_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def top_hits_facet(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    docs_meta: DataFrame,
+    facet_col: str,
+    sort_field: str,
+    k: int = 3,
+    ascending: bool = False,
+    config: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation: for
+    each query and each value of ``facet_col``, return the top-``k``
+    matching documents ordered by ``sort_field`` (doc_id breaks ties so
+    the result is deterministic).
+
+    Scale shape: the match set stays distributed (matching_docs kernel),
+    joins doc metadata on doc_id, and ranks with a window partitioned by
+    (query, facet value) — the shuffle key is the bucket, so 1000
+    executors each own a slice of the bucket space and only k rows per
+    bucket survive the rank filter."""
+    matches = matching_docs(spark, index, queries, config)
+    sort = F.col(sort_field).asc() if ascending else F.col(sort_field).desc()
+    w = Window.partitionBy("query_id", facet_col).orderBy(sort, F.col("doc_id").asc())
+    return (
+        matches.join(docs_meta.select("doc_id", facet_col, sort_field), "doc_id")
+        .withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= k)
+        .select("query_id", facet_col, "hit_rank", "doc_id", sort_field)
     )
 
 
