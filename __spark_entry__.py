@@ -1392,6 +1392,24 @@ def q_cardinality_users(spark, sf_dir):
     return ev_ops.cardinality(ev, "event_type", "user_id")
 
 
+def q_doc_packing(spark, sf_dir):
+    """LLM sequence packing: deterministic next-fit of docs (whitespace
+    token counts) into 256-token context windows across 32 shards, then
+    per-bin fill stats (ops/packing.py). The oracle replays the exact
+    next-fit fold as a recursive CTE — bin boundaries, fills, and
+    utilization must match bit-for-bit."""
+    from tokenkit_spark.ops import packing
+
+    d = _docs(spark, sf_dir)
+    with_tokens = textstats.token_counts(d).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    )
+    packed = packing.pack_documents(
+        with_tokens, token_col="n_tokens", capacity=256, n_shards=32
+    )
+    return packing.packing_stats(packed, capacity=256)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -1987,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_users": q_cardinality_users,
         "decay_recency": q_decay_recency,
         "top_hits": q_top_hits,
+        "doc_packing": q_doc_packing,
     }
 
 
@@ -2092,6 +2111,24 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
         "function_score_length": _FUNCTION_SCORE_ORACLE,
         "decay_recency": _DECAY_ORACLE,
         "top_hits": _TOP_HITS_ORACLE,
+        "doc_packing": (
+            "WITH RECURSIVE t AS (SELECT doc_id, doc_id % 32 AS shard, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n "
+            "FROM documents), "
+            "o AS (SELECT shard, doc_id, n, row_number() OVER "
+            "(PARTITION BY shard ORDER BY doc_id) AS rn FROM t), "
+            "pack AS ("
+            "  SELECT shard, rn, doc_id, n, 0::BIGINT AS bin_id, n AS fill "
+            "  FROM o WHERE rn = 1 "
+            "  UNION ALL "
+            "  SELECT o.shard, o.rn, o.doc_id, o.n, "
+            "    CASE WHEN p.fill + o.n > 256 THEN p.bin_id + 1 ELSE p.bin_id END, "
+            "    CASE WHEN p.fill + o.n > 256 THEN o.n ELSE p.fill + o.n END "
+            "  FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1) "
+            "SELECT shard::INT AS shard, bin_id, count(*) AS n_docs, "
+            "sum(n)::BIGINT AS fill_tokens, round(sum(n) / 256.0, 4) AS utilization "
+            "FROM pack GROUP BY 1, 2"
+        ),
         "bm25_msm2": _BM25_MSM_ORACLE,
         "bm25_multifield": _BM25_MULTIFIELD_ORACLE,
         "doc_stats": (
