@@ -774,6 +774,22 @@ def q_function_score_length(spark, sf_dir):
     )
 
 
+def q_query_string(spark, sf_dir):
+    """ES query_string DSL: '+must -must_not "phrase" should' parsed and
+    evaluated in filter context over the compressed positional index
+    (index/querystring.py). All term leaves batch into one segment pass,
+    all phrase leaves into one positional pass; composition is
+    left_semi/left_anti/union. Oracle: set algebra + position adjacency."""
+    from tokenkit_spark.index.querystring import query_string_search
+
+    index = _index_for(spark, sf_dir)
+    qs = spark.createDataFrame(
+        [(0, '"hash join" merge -stream'), (1, "+scan +filter -stream")],
+        "query_id long, qtext string",
+    )
+    return query_string_search(spark, index, qs, WS)
+
+
 def q_decay_recency(spark, sf_dir):
     """ES function_score gauss decay: BM25 * gauss(n_chars; origin=256,
     scale=200, decay=0.5) re-ranks the full match set — the standard
@@ -2006,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_recency": q_decay_recency,
         "top_hits": q_top_hits,
         "doc_packing": q_doc_packing,
+        "query_string_search": q_query_string,
     }
 
 
@@ -2111,6 +2128,24 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
         "function_score_length": _FUNCTION_SCORE_ORACLE,
         "decay_recency": _DECAY_ORACLE,
         "top_hits": _TOP_HITS_ORACLE,
+        "query_string_search": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS l FROM documents), "
+            "toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "
+            "unnest(l) AS term FROM t), "
+            "m AS (SELECT DISTINCT doc_id, term FROM toks), "
+            "ph AS (SELECT DISTINCT a.doc_id FROM toks a JOIN toks b "
+            "ON b.doc_id = a.doc_id AND a.term = 'hash' AND b.term = 'join' "
+            "AND b.pos = a.pos + 1), "
+            "q0 AS (SELECT doc_id FROM (SELECT doc_id FROM ph "
+            "UNION SELECT doc_id FROM m WHERE term = 'merge') "
+            "EXCEPT SELECT doc_id FROM m WHERE term = 'stream'), "
+            "q1 AS (SELECT doc_id FROM (SELECT doc_id FROM m WHERE term = 'scan' "
+            "INTERSECT SELECT doc_id FROM m WHERE term = 'filter') "
+            "EXCEPT SELECT doc_id FROM m WHERE term = 'stream') "
+            "SELECT 0::BIGINT AS query_id, doc_id FROM q0 "
+            "UNION ALL SELECT 1::BIGINT AS query_id, doc_id FROM q1"
+        ),
         "doc_packing": (
             "WITH RECURSIVE t AS (SELECT doc_id, doc_id % 32 AS shard, "
             "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n "
