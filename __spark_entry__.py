@@ -1795,6 +1795,27 @@ def q_url_dedup(spark, sf_dir):
     return dedup.url_duplicates(pages).orderBy("canonical_url")
 
 
+def q_domain_stats(spark, sf_dir):
+    """Registered-domain (eTLD+1) crawl aggregates over deterministic
+    synthetic URLs (news./www./bare subdomains x .com/.co.uk suffixes):
+    the REAL public-suffix extractor (ops/domains.py, pure Catalyst)
+    must strip subdomains and keep multi-label suffixes; the oracle
+    derives the expected domain directly from the generator parameters."""
+    from tokenkit_spark.ops import domains
+
+    d = _docs(spark, sf_dir)
+    mod3 = F.col("doc_id") % 3
+    url = F.concat(
+        F.lit("https://"),
+        F.when(mod3 == 0, F.lit("news.")).when(mod3 == 1, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(F.lit(".co.uk")),
+        F.lit("/p/"), (F.col("doc_id") % 5).cast("string"),
+    )
+    pages = d.select(url.alias("url"), "n_chars")
+    return domains.domain_stats(pages, size_col="n_chars")
+
+
 def q_media_headers(spark, sf_dir):
     """REAL header-level media metadata: parse_media_headers recovers
     width/height/sample-rate from actual PNG/JPEG/WAV bytes of the
@@ -2023,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits": q_top_hits,
         "doc_packing": q_doc_packing,
         "query_string_search": q_query_string,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -2216,6 +2238,16 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS min_doc_id "
             "FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "domain_stats": (
+            "WITH p AS (SELECT "
+            "source || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END AS domain, "
+            "'https://' || CASE WHEN doc_id % 3 = 0 THEN 'news.' "
+            "WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END "
+            "|| source || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END "
+            "|| '/p/' || (doc_id % 5)::VARCHAR AS url, n_chars FROM documents) "
+            "SELECT domain, count(*) AS n_pages, count(DISTINCT url) AS n_urls, "
+            "round(avg(n_chars), 4) AS avg_size FROM p GROUP BY 1"
         ),
         "fingerprint_dups": (
             "WITH fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct("

@@ -1,0 +1,52 @@
+"""Registered-domain extraction + blocklist tests."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tokenkit_spark.ops import domains
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    rows = [
+        Row(url="https://news.bbc.co.uk/story/1"),
+        Row(url="HTTP://WWW.Example.COM:80/a?x=1"),
+        Row(url="https://example.com/b"),
+        Row(url="https://a.b.c.example.org/deep"),
+        Row(url="https://localhost/x"),
+        Row(url="not a url"),
+        Row(url="https://co.uk/"),  # host IS the suffix -> fallback host
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_registered_domain(urls):
+    got = {
+        r.url: r.d
+        for r in urls.select("url", domains.registered_domain("url").alias("d")).collect()
+    }
+    assert got["https://news.bbc.co.uk/story/1"] == "bbc.co.uk"
+    assert got["HTTP://WWW.Example.COM:80/a?x=1"] == "example.com"
+    assert got["https://example.com/b"] == "example.com"
+    assert got["https://a.b.c.example.org/deep"] == "example.org"
+    assert got["https://localhost/x"] == "localhost"
+    assert got["not a url"] == ""
+    assert got["https://co.uk/"] == "co.uk"
+
+
+def test_domain_stats(urls):
+    stats = {r.domain: (r.n_pages, r.n_urls) for r in domains.domain_stats(urls).collect()}
+    assert stats["example.com"] == (2, 2)
+    assert stats["bbc.co.uk"] == (1, 1)
+
+
+def test_blocklist_filter(spark, urls):
+    blocked = spark.createDataFrame([Row(domain="example.com"), Row(domain="bbc.co.uk")])
+    kept = [r.url for r in domains.blocklist_filter(urls, blocked).collect()]
+    assert "https://example.com/b" not in kept
+    assert "HTTP://WWW.Example.COM:80/a?x=1" not in kept
+    assert "https://news.bbc.co.uk/story/1" not in kept
+    assert "https://a.b.c.example.org/deep" in kept
+    # schema unchanged (no helper column leaks)
+    assert domains.blocklist_filter(urls, blocked).columns == urls.columns
