@@ -1426,6 +1426,18 @@ def q_doc_packing(spark, sf_dir):
     return packing.packing_stats(packed, capacity=256)
 
 
+def q_doc_chunks(spark, sf_dir):
+    """RAG/embedding chunking: overlapping 128-token windows (stride 96)
+    per doc, pure Catalyst flat-map (ops/chunking.py) — no UDF, no
+    shuffle. The oracle regenerates every window with generate_series +
+    list slicing, including the short remainder chunk."""
+    from tokenkit_spark.ops import chunking
+
+    return chunking.chunk_documents(
+        _docs(spark, sf_dir), chunk_size=128, overlap=32
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -2045,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing": q_doc_packing,
         "query_string_search": q_query_string,
         "domain_stats": q_domain_stats,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -2238,6 +2251,18 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS min_doc_id "
             "FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "doc_chunks": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '') AS l FROM documents), "
+            "s AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0), "
+            "c AS (SELECT doc_id, l, n, u.st AS start_tok FROM s, "
+            "unnest(generate_series(0, ((n - 1) - ((n - 1) % 96))::BIGINT, 96)) u(st)) "
+            "SELECT doc_id, (start_tok / 96)::BIGINT AS chunk_id, "
+            "start_tok::BIGINT AS start_tok, "
+            "least(128, n - start_tok)::BIGINT AS n_tokens, "
+            "array_to_string(l[start_tok + 1 : start_tok + least(128, n - start_tok)], ' ') "
+            "AS chunk_text FROM c"
         ),
         "domain_stats": (
             "WITH p AS (SELECT "
