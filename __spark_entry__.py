@@ -790,6 +790,20 @@ def q_query_string(spark, sf_dir):
     return query_string_search(spark, index, qs, WS)
 
 
+def q_percolate(spark, sf_dir):
+    """ES percolate API (reverse search): every doc matched against
+    stored queries with per-query minimum_should_match ('all' = AND,
+    1 = OR, m = at-least-m) — one doc-term pass joined to the analyzed
+    query-term table, one hash aggregate (index/percolate.py)."""
+    from tokenkit_spark.index.percolate import percolate
+
+    stored = spark.createDataFrame(
+        [(0, "hash join", "all"), (1, "merge sort window", "2"), (2, "stream", "1")],
+        "query_id long, qtext string, msm string",
+    )
+    return percolate(spark, stored, _docs(spark, sf_dir), WS)
+
+
 def q_decay_recency(spark, sf_dir):
     """ES function_score gauss decay: BM25 * gauss(n_chars; origin=256,
     scale=200, decay=0.5) re-ranks the full match set — the standard
@@ -2058,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_search": q_query_string,
         "domain_stats": q_domain_stats,
         "doc_chunks": q_doc_chunks,
+        "percolate": q_percolate,
     }
 
 
@@ -2251,6 +2266,17 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS min_doc_id "
             "FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "percolate": (
+            f"WITH toks AS ({_TOKS}), "
+            "m AS (SELECT DISTINCT doc_id, term FROM toks), "
+            "q(query_id, term, required) AS (VALUES "
+            "(0, 'hash', 2), (0, 'join', 2), "
+            "(1, 'merge', 2), (1, 'sort', 2), (1, 'window', 2), "
+            "(2, 'stream', 1)) "
+            "SELECT m.doc_id, q.query_id, count(*)::BIGINT AS n_matched "
+            "FROM m JOIN q USING (term) GROUP BY 1, 2 "
+            "HAVING count(*) >= min(q.required)"
         ),
         "doc_chunks": (
             "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
