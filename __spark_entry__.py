@@ -790,6 +790,21 @@ def q_query_string(spark, sf_dir):
     return query_string_search(spark, index, qs, WS)
 
 
+def q_complete(spark, sf_dir):
+    """ES completion suggester: df-weighted prefix completions from the
+    distributed term dictionary (index/query.py:complete_terms) — tiny
+    keystroke set broadcast into a startswith theta-join, per-prefix
+    rank window. Includes a no-match prefix (empty group)."""
+    from tokenkit_spark.index.query import complete_terms
+
+    index = _index_for(spark, sf_dir)
+    prefixes = spark.createDataFrame(
+        [(0, "s"), (1, "wi"), (2, "jo"), (3, "zzz")],
+        "query_id long, prefix string",
+    )
+    return complete_terms(spark, index, prefixes, n=5)
+
+
 def q_percolate(spark, sf_dir):
     """ES percolate API (reverse search): every doc matched against
     stored queries with per-query minimum_should_match ('all' = AND,
@@ -2073,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "doc_chunks": q_doc_chunks,
         "percolate": q_percolate,
+        "complete_terms": q_complete,
     }
 
 
@@ -2266,6 +2282,16 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS min_doc_id "
             "FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "complete_terms": (
+            f"WITH toks AS ({_TOKS}), "
+            "ts AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), "
+            "p(query_id, prefix) AS (VALUES (0, 's'), (1, 'wi'), (2, 'jo'), (3, 'zzz')), "
+            "r AS (SELECT p.query_id, p.prefix, ts.term, ts.df, "
+            "row_number() OVER (PARTITION BY p.query_id, p.prefix "
+            "ORDER BY ts.df DESC, ts.term ASC) AS rank "
+            "FROM p JOIN ts ON starts_with(ts.term, p.prefix)) "
+            "SELECT query_id, prefix, rank, term, df FROM r WHERE rank <= 5"
         ),
         "percolate": (
             f"WITH toks AS ({_TOKS}), "

@@ -996,3 +996,23 @@ def test_top_hits_facet_matches_brute(spark, docs, queries_df, index, docs_meta)
         (r.query_id, r.site, r.hit_rank, r.doc_id, r.n_chars) for r in got.collect()
     }
     assert got_set == want
+
+
+def test_complete_terms_prefix_and_ranking(spark, index):
+    """Completion suggester: startswith candidates, df-desc/term-asc
+    rank, no-match prefixes yield no rows — cross-checked against the
+    collected dictionary."""
+    from tokenkit_spark.index.query import complete_terms
+
+    dictionary = [(r.term, r.df) for r in index["term_stats"].select("term", "df").collect()]
+    prefixes = spark.createDataFrame(
+        [(0, "s"), (1, "zzzqq")], "query_id long, prefix string"
+    )
+    got = complete_terms(spark, index, prefixes, n=3).collect()
+    want = sorted(
+        [(t, d) for t, d in dictionary if t.startswith("s")],
+        key=lambda td: (-td[1], td[0]),
+    )[:3]
+    got0 = [(r.term, r.df) for r in sorted(got, key=lambda r: r.rank) if r.query_id == 0]
+    assert got0 == want
+    assert all(r.query_id != 1 for r in got)

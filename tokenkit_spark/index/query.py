@@ -584,6 +584,40 @@ def suggest_terms(
     )
 
 
+def complete_terms(
+    spark: SparkSession,
+    index: dict,
+    prefixes: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Completion suggester (ES completion/search-as-you-type contract):
+    for each prefix (query_id, prefix), the top-``n`` dictionary terms
+    starting with that prefix, weighted by corpus df (desc, term asc
+    tiebreak).
+
+    Scale shape: the prefixes are a user keystroke set (tiny) and
+    broadcast into the DISTRIBUTED term dictionary via a startswith
+    theta-join; only candidate rows reach the per-prefix rank window.
+    ES serves this from a dedicated FST — here the dictionary is already
+    a relation, so the same contract is a join + window, and at
+    dictionary scale the prefix predicate prunes on the dictionary's
+    term-ordered parquet row groups.
+
+    Returns (query_id, prefix, rank, term, df)."""
+    cand = index["term_stats"].select("term", "df").join(
+        F.broadcast(prefixes.select("query_id", "prefix")),
+        F.col("term").startswith(F.col("prefix")),
+    )
+    w = Window.partitionBy("query_id", "prefix").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "prefix", "rank", "term", "df")
+    )
+
+
 def more_like_this(
     spark: SparkSession,
     index: dict,
