@@ -1505,6 +1505,23 @@ def q_cosine_top10(spark, sf_dir):
     )
 
 
+def q_quantized_cosine_top10(spark, sf_dir):
+    """Int8-quantized serving path: per-vector symmetric quantization
+    (scale = max|x|/127, pure Catalyst), cosine top-10 over the
+    DEQUANTIZED vectors with the query vector quantized identically
+    (ops/similarity.py). The oracle replays quantize->dequant->cosine in
+    SQL — round() ties away from zero in both engines."""
+    emb = _emb(spark, sf_dir)
+    dq = similarity.dequantized_embeddings(emb)
+    qvec = [float(x) for x in dq.filter(F.col("vec_id") == 0).first()["dequant"]]
+    out = similarity.cosine_scores(dq, qvec, vec_col="dequant")
+    return (
+        out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 def q_cosine_pairs(spark, sf_dir):
     """Exact embedding near-dup pairs (all-pairs cosine >= 0.40), JVM-side
     dot products — the oracle-checkable baseline for the LSH path."""
@@ -2089,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "percolate": q_percolate,
         "complete_terms": q_complete,
+        "quantized_cosine_top10": q_quantized_cosine_top10,
     }
 
 
@@ -2357,6 +2375,17 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
             f"SELECT doc_id, round(len(list_filter(toks, t -> t IN ({stop_en})))::DOUBLE / greatest(len(toks), 1), 4) AS en_ratio, "
             f"round(len(list_filter(toks, t -> t IN ({stop_es})))::DOUBLE / greatest(len(toks), 1), 4) AS es_ratio "
             "FROM base"
+        ),
+        "quantized_cosine_top10": (
+            "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+            "qm AS (SELECT vec_id, e, "
+            "list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM base), "
+            "dq AS (SELECT vec_id, "
+            "list_transform(e, x -> round(x / scale) * scale) AS d "
+            "FROM qm WHERE scale > 0), "
+            "qv AS (SELECT d AS qd FROM dq WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity(d, qd), 4) AS cosine "
+            "FROM dq, qv ORDER BY cosine DESC, vec_id ASC LIMIT 10"
         ),
         "cosine_top10": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) "

@@ -939,3 +939,34 @@ def test_build_training_mix_stage_order(spark):
     assert any(surv_ppl[k] != raw_ppl[k] for k in surv_ppl)
     # rate 1.0 for 'web' keeps those rows; 'other' has rate 0 -> kept=False
     assert out[0].kept is True and out[2].kept is True and out[4].kept is False
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """Int8 quantization: values within one scale step, zero vectors
+    dropped, qvec bounded by [-127, 127], and the quantized top-k
+    recalls the fp top-k."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 16)).astype(np.float64)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(50)]
+    rows.append(Row(vec_id=99, embedding=[0.0] * 16))
+    emb = spark.createDataFrame(rows)
+
+    qz = {r.vec_id: r for r in similarity.quantize_embeddings(emb).collect()}
+    assert 99 not in qz  # zero vector dropped
+    for vid, r in qz.items():
+        q = np.array(r.qvec)
+        assert q.min() >= -127 and q.max() <= 127
+        recon = q * r.scale
+        assert np.max(np.abs(recon - vecs[vid])) <= r.scale / 2 + 1e-12
+
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, [float(x) for x in vecs[0]], k=10).collect()]
+    quant = [r.vec_id for r in similarity.quantized_cosine_topk(emb, query_id=0, k=10).collect()]
+    assert len(set(exact) & set(quant)) >= 8  # >= 0.8 recall at int8
+    assert quant[0] == 0  # self-match survives quantization
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.quantized_cosine_topk(emb, query_id=12345)

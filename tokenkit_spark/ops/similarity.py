@@ -42,9 +42,13 @@ def _norm_expr(vec_col):
 
 def cosine_scores(emb: DataFrame, qvec: list[float], vec_col: str = "embedding") -> DataFrame:
     qn = float(np.linalg.norm(np.asarray(qvec, dtype=np.float64)))
+    # try_divide: a zero vector has no direction — its cosine is NULL
+    # (ANSI mode would otherwise raise DIVIDE_BY_ZERO on the whole job)
     return emb.withColumn(
         "cosine",
-        _dot_expr(F.col(vec_col), qvec) / (_norm_expr(F.col(vec_col)) * F.lit(qn)),
+        F.try_divide(
+            _dot_expr(F.col(vec_col), qvec), _norm_expr(F.col(vec_col)) * F.lit(qn)
+        ),
     )
 
 
@@ -406,3 +410,57 @@ def semantic_dedup(
         )
 
     return with_c.groupBy("centroid_id").applyInPandas(_kernel, schema)
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i/scale) in [-127, 127] — the standard 4x memory cut
+    for ANN serving (dot products run on int8 with one per-vector
+    dequant multiply).
+
+    Pure Catalyst (transform/array_max/round), no UDF: quantization is
+    one projection over the scan at any corpus size.  Zero vectors are
+    dropped (no quantizable direction).  Returns (id, scale, qvec).
+    round() is HALF_UP (ties away from zero) in both Spark and DuckDB,
+    which keeps the oracle twin bit-identical."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scaled = emb.select(
+        F.col(id_col), v.alias("__v"), (max_abs / F.lit(127.0)).alias("scale")
+    ).filter(F.col("scale") > 0)  # filter BEFORE dividing (ANSI div-by-zero)
+    q = F.transform(F.col("__v"), lambda x: F.round(x / F.col("scale")).cast("int"))
+    return scaled.select(id_col, "scale", q.alias("qvec"))
+
+
+def dequantized_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Quantize-then-dequantize (q_i * scale): the vectors ANN serving
+    actually compares. Returns (id, dequant array<double>)."""
+    qz = quantize_embeddings(emb, vec_col, id_col)
+    d = F.transform(F.col("qvec"), lambda q: q.cast("double") * F.col("scale"))
+    return qz.select(id_col, d.alias("dequant"))
+
+
+def quantized_cosine_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k over int8-dequantized vectors, query vector
+    quantized the same way — measures (and ships) the quantized serving
+    path; recall vs the fp path is pinned in tests."""
+    dq = dequantized_embeddings(emb, vec_col, id_col)
+    qrow = dq.filter(F.col(id_col) == query_id).select("dequant").first()
+    if qrow is None:
+        raise ValueError(f"quantized_cosine_topk: no vector with id {query_id}")
+    scored = cosine_scores(dq, [float(x) for x in qrow[0]], vec_col="dequant")
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .select(id_col, "cosine")
+        .limit(k)
+    )
