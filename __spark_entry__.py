@@ -790,6 +790,27 @@ def q_query_string(spark, sf_dir):
     return query_string_search(spark, index, qs, WS)
 
 
+def q_index_stats(spark, sf_dir):
+    """_cat/indices observability over the compressed store: dictionary
+    size, total postings, token occurrences, doc count, avgdl. The
+    oracle recomputes every aggregate from raw text, so a lost posting
+    or double-written segment anywhere in the store fails the compare."""
+    from tokenkit_spark.index.build import index_stats
+
+    return index_stats(spark, _index_for(spark, sf_dir))
+
+
+def q_exact_k_sample(spark, sf_dir):
+    """Deterministic exact-k stratified sample: EXACTLY min(k, |stratum|)
+    docs per source, ranked by the md5 fraction (reservoir guarantee,
+    no sequential reservoir — rerun/cluster-size stable). Oracle replays
+    the identical hash-rank selection."""
+    from tokenkit_spark.ops import sampling
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return sampling.exact_k_sample(d, k=7, salt="r2")
+
+
 def q_complete(spark, sf_dir):
     """ES completion suggester: df-weighted prefix completions from the
     distributed term dictionary (index/query.py:complete_terms) — tiny
@@ -2107,6 +2128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "complete_terms": q_complete,
         "quantized_cosine_top10": q_quantized_cosine_top10,
+        "index_stats": q_index_stats,
+        "exact_k_sample": q_exact_k_sample,
     }
 
 
@@ -2300,6 +2323,24 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS min_doc_id "
             "FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "index_stats": (
+            f"WITH toks AS ({_TOKS}), "
+            "p AS (SELECT term, doc_id FROM toks GROUP BY 1, 2), "
+            "d AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) "
+            "SELECT (SELECT count(DISTINCT term) FROM p) AS n_terms, "
+            "(SELECT count(*) FROM p)::BIGINT AS n_postings, "
+            "(SELECT count(*) FROM toks)::BIGINT AS total_tokens, "
+            "(SELECT count(*) FROM d)::BIGINT AS n_docs, "
+            "round((SELECT avg(dl) FROM d), 4) AS avgdl"
+        ),
+        "exact_k_sample": (
+            "WITH f AS (SELECT doc_id, source, "
+            "('0x' || substring(md5(doc_id::VARCHAR || 'r2'), 1, 8))::BIGINT AS h, "
+            "row_number() OVER (PARTITION BY source ORDER BY "
+            "('0x' || substring(md5(doc_id::VARCHAR || 'r2'), 1, 8))::BIGINT ASC, "
+            "doc_id ASC) AS r FROM documents) "
+            "SELECT doc_id, source FROM f WHERE r <= 7"
         ),
         "complete_terms": (
             f"WITH toks AS ({_TOKS}), "

@@ -1016,3 +1016,25 @@ def test_complete_terms_prefix_and_ranking(spark, index):
     got0 = [(r.term, r.df) for r in sorted(got, key=lambda r: r.rank) if r.query_id == 0]
     assert got0 == want
     assert all(r.query_id != 1 for r in got)
+
+
+def test_index_stats_match_raw_text(spark, docs, index):
+    """The compressed store's global aggregates equal a raw-text
+    recomputation — lost postings or doubled segments would diverge."""
+    from pyspark.sql import functions as F
+
+    from tokenkit_spark.index.build import index_stats, shard_manifest_stats
+    from tokenkit_spark.functions.udfs import tokenize_col
+
+    toks = docs.select("doc_id", F.explode(tokenize_col("text", CFG)).alias("term"))
+    want_postings = toks.select("term", "doc_id").distinct().count()
+    want_tokens = toks.count()
+    want_terms = toks.select("term").distinct().count()
+    got = index_stats(spark, index).collect()[0]
+    assert got.n_terms == want_terms
+    assert got.n_postings == want_postings
+    assert got.total_tokens == want_tokens
+    assert got.n_docs == 600
+    sm = shard_manifest_stats(spark, index).collect()
+    assert len(sm) == 8 and all(r.status == "done" for r in sm)
+    assert sum(r.n_postings for r in sm) == want_postings

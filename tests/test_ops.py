@@ -970,3 +970,27 @@ def test_quantize_embeddings_roundtrip(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         similarity.quantized_cosine_topk(emb, query_id=12345)
+
+
+def test_exact_k_sample_counts_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from tokenkit_spark.ops import sampling
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(40)]
+    rows += [Row(doc_id=100 + i, source="tiny") for i in range(2)]  # |stratum| < k
+    df = spark.createDataFrame(rows)
+    out = sampling.exact_k_sample(df, k=5, salt="x").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 5 for s, v in by.items() if s != "tiny")
+    assert len(by["tiny"]) == 2  # undersupplied stratum keeps everything
+    again = sampling.exact_k_sample(df.repartition(13), k=5, salt="x").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # different salt -> different (deterministic) selection
+    other = sampling.exact_k_sample(df, k=5, salt="y").collect()
+    assert {r.doc_id for r in other} != {r.doc_id for r in out}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.exact_k_sample(df, k=0)

@@ -383,3 +383,28 @@ def load_index(spark: SparkSession, index_path: str) -> dict:
         "stats": spark.read.parquet(paths.stats).collect()[0].asDict(),
         "paths": paths,
     }
+
+
+def index_stats(spark: SparkSession, index: dict) -> DataFrame:
+    """_cat/indices-style observability, one row: dictionary size,
+    total postings, total token occurrences, doc count, avgdl — an
+    end-to-end integrity check of the compressed store (the driver
+    oracle recomputes the same aggregates from raw text, so a lost
+    posting or a double-written segment fails the compare)."""
+    st = index["stats"]
+    return (
+        index["term_stats"]
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("cf").cast("long").alias("total_tokens"),
+        )
+        .withColumn("n_docs", F.lit(int(st["n_docs"])).cast("long"))
+        .withColumn("avgdl", F.round(F.lit(float(st["avgdl"])), 4))
+    )
+
+
+def shard_manifest_stats(spark: SparkSession, index: dict) -> DataFrame:
+    """Per-shard lineage metrics straight from the manifest (the
+    checkpoint unit): n_terms, n_postings, checksum, status."""
+    return spark.read.parquet(index["paths"].manifest).orderBy("shard")

@@ -20,7 +20,7 @@ cryptographic hash, NOT an RNG:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,3 +76,31 @@ def mix_rates(
         for s, p in target_props.items()
         if counts.get(s)
     }
+
+
+def exact_k_sample(
+    docs: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum: rank rows inside each
+    stratum by the deterministic md5 fraction (id tiebreak) and keep
+    rank <= k — reservoir sampling's guarantee without its sequential
+    reservoir, deterministic across reruns and cluster sizes.
+
+    Scale shape: one shuffle on the stratum key + a rank window; only k
+    rows per stratum survive the filter.  A stratum is the unit of
+    parallelism — when one stratum dominates the corpus, pre-split it
+    with a salted sub-stratum and take k/n per split."""
+    if k <= 0:
+        raise ValueError("exact_k_sample: k must be > 0")
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_fraction_col(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
