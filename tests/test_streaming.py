@@ -199,3 +199,50 @@ def test_first_seen_pages_cross_batch_dedup(spark, tmp_path_factory):
     assert urls == {
         "https://a.com/1", "https://a.com/2", "https://b.com/3", "https://a.com/5",
     }
+
+
+def test_session_windows_emit_on_gap_and_watermark(spark, tmp_path_factory):
+    """Streaming sessionization: a within-batch gap closes a session
+    immediately; the final open session closes when a later batch's
+    watermark passes its gap horizon; results equal the batch
+    sessionizer on the same events."""
+    import datetime as dt
+
+    from tokenkit_spark.streaming.stats import session_windows
+
+    root = tmp_path_factory.mktemp("sess")
+    ev_dir, ckpt = str(root / "events"), str(root / "ckpt")
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    # batch 1: user 1 has two sessions separated by a 60-min gap (closes
+    # in-batch); user 2 one open session
+    write([(0, 1, t(0), 1.0), (1, 1, t(5), 2.0), (2, 1, t(0) + dt.timedelta(hours=2), 4.0),
+           (3, 2, t(10), 1.5)])
+    # batch 2: far-future tick advances the watermark past every horizon
+    write([(9, 99, t(0) + dt.timedelta(days=2), 0.0)])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(ev_dir)
+    )
+    q = (
+        session_windows(stream, gap_minutes=30, watermark="1 minute")
+        .writeStream.format("memory").queryName("sess_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.start_us): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    base = int(dt.datetime(2026, 1, 1, 10, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    # user 1 session A: events at +0 and +5min
+    assert got[(1, base)] == (2, 3.0)
+    # user 1 session B: single event at +2h (closed by batch-2 watermark)
+    assert got[(1, base + 2 * 3600 * 1_000_000)] == (1, 4.0)
+    # user 2: single open session closed by watermark
+    assert got[(2, base + 600 * 1_000_000)] == (1, 1.5)

@@ -122,3 +122,89 @@ def first_seen_pages(pages: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SESSION_OUT = (
+    "user_id long, start_us long, end_us long, n_events long, sum_value double"
+)
+_SESSION_STATE = "start_us long, end_us long, n long, sv double"
+
+
+def _session_kernel(gap_us: int):
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cols = ["user_id", "start_us", "end_us", "n_events", "sum_value"]
+        uid = key[0]
+        if state.hasTimedOut:
+            s, e, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame([(uid, s, e, n, sv)], columns=cols)
+            return
+        chunks = list(pdfs)
+        if not chunks:
+            yield pd.DataFrame([], columns=cols)
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["us", "event_id"], kind="mergesort"
+        )
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for row in batch.itertuples(index=False):
+            us, v = int(row.us), float(row.value)
+            if cur is None:
+                cur = [us, us, 1, v]
+            elif us - cur[1] > gap_us:
+                closed.append((uid, *cur))
+                cur = [us, us, 1, v]
+            else:
+                cur[1] = us
+                cur[2] += 1
+                cur[3] += v
+        state.update(tuple(cur))
+        # close the open session when the event-time watermark passes
+        # its gap horizon (setTimeoutTimestamp takes epoch MILLIS)
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        yield pd.DataFrame(closed, columns=cols)
+
+    return fn
+
+
+def session_windows(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the unbounded twin of
+    ops/events.sessionize: per-entity sessions grow in state and emit
+    exactly once, when the event-time watermark passes last_event +
+    gap (EventTimeTimeout).  Sessions that close INSIDE a micro-batch
+    (a later event arrives > gap after the previous) emit immediately.
+
+    State per entity is four scalars (start, end, count, sum) — O(live
+    entities), not O(events); the watermark bounds how long an idle
+    entity's state survives.  Epoch micros are computed from calendar
+    fields (tz-independent, same rule as the batch path)."""
+    from ..ops.events import _epoch_us
+
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    keyed = events.withWatermark(ts_col, watermark).select(
+        F.col(entity_col).alias("user_id"),
+        F.col(ts_col),
+        _epoch_us(ts_col).alias("us"),
+        F.col(id_col).alias("event_id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _session_kernel(gap_us),
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
