@@ -418,6 +418,48 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
 
+_DIS_MAX_ORACLE = f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+           FROM documents),
+ftoks AS (
+  SELECT doc_id, 'title' AS field, lower(u.t) AS term FROM t, unnest(l[1:3]) AS u(t)
+  UNION ALL
+  SELECT doc_id, 'body' AS field, lower(u.t) AS term FROM t, unnest(l[4:]) AS u(t)),
+postings AS (SELECT field, term, doc_id, count(*) AS tf FROM ftoks GROUP BY 1, 2, 3),
+dstats AS (SELECT field, doc_id, count(*) AS dl FROM ftoks GROUP BY 1, 2),
+globals AS (SELECT field, count(*) AS n_docs, avg(dl) AS avgdl FROM dstats GROUP BY 1),
+tstats AS (SELECT field, term, count(*) AS df FROM postings GROUP BY 1, 2),
+boosts(field, boost) AS (VALUES ('title', 2.0), ('body', 1.0)),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+fscored AS (
+  SELECT q.query_id, p.doc_id, p.field,
+         sum( b.boost
+              * ln(1 + (g.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats ts ON ts.field = p.field AND ts.term = p.term
+  JOIN dstats d ON d.field = p.field AND d.doc_id = p.doc_id
+  JOIN globals g ON g.field = p.field
+  JOIN boosts b ON b.field = p.field
+  GROUP BY 1, 2, 3),
+combined AS (
+  SELECT query_id, doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s
+  FROM fscored GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM combined)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
 def _bm25_expansion_oracle(values_sql: str, match_cond: str) -> str:
     """BM25 oracle where each raw query token expands over the term
     dictionary via ``match_cond`` (a boolean SQL expr over q.qterm and
@@ -927,6 +969,25 @@ def q_bm25_multifield(spark, sf_dir):
         MULTIFIELD_BOOSTS,
         _queries_df(spark),
         WS,
+        k=10,
+        round_digits=4,
+    )
+
+
+def q_dis_max(spark, sf_dir):
+    """ES dis_max (multi_match best_fields, tie_breaker=0.3) over the
+    title/body per-field indexes: best field wins, others contribute
+    tie_breaker * score (index/query.py:dis_max — per-field exhaustive
+    scoring, union, one (query, doc) hash aggregate)."""
+    from tokenkit_spark.index.query import dis_max
+
+    return dis_max(
+        spark,
+        _mf_indexes(spark, sf_dir),
+        _queries_df(spark),
+        tie_breaker=0.3,
+        boosts=MULTIFIELD_BOOSTS,
+        config=WS,
         k=10,
         round_digits=4,
     )
@@ -2130,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_cosine_top10": q_quantized_cosine_top10,
         "index_stats": q_index_stats,
         "exact_k_sample": q_exact_k_sample,
+        "dis_max": q_dis_max,
     }
 
 
@@ -2235,6 +2297,7 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
         "function_score_length": _FUNCTION_SCORE_ORACLE,
         "decay_recency": _DECAY_ORACLE,
         "top_hits": _TOP_HITS_ORACLE,
+        "dis_max": _DIS_MAX_ORACLE,
         "query_string_search": (
             "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
             "'\\s+'), x -> x <> '') AS l FROM documents), "

@@ -114,3 +114,66 @@ def test_multifield_validation(spark, indexes, tmp_path_factory):
     bad = dict(indexes, extra=load_index(spark, str(other / "idx")))
     with pytest.raises(ValueError, match="n_shards"):
         bm25_multifield(spark, bad, {}, qdf, CFG)
+
+
+def test_dis_max_matches_brute(spark, indexes):
+    """dis_max: per-field scores computed independently, combined as
+    best + tie_breaker*(rest); tie_breaker=1 equals the summed
+    most_fields mode; bad tie_breaker raises."""
+    from tokenkit_spark.index.query import dis_max
+
+    rows = _corpus()
+    queries = [(0, "spark join"), (1, "data"), (2, "zzz missing")]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    boosts = {"title": 2.0, "body": 1.0}
+    tb = 0.3
+
+    # brute: per-field scores, then dis_max combine
+    fields = {}
+    for fi, f in enumerate(["title", "body"]):
+        toks = {i: v for i, t in rows if (v := _fields(t)[fi].split())}
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        df = {}
+        for v in toks.values():
+            for t in set(v):
+                df[t] = df.get(t, 0) + 1
+        fields[f] = (toks, n, avgdl, df)
+    want = {}
+    for qid, qtext in queries:
+        per_field = {}
+        for term in set(qtext.split()):
+            for f, (toks, n, avgdl, df) in fields.items():
+                if term not in df:
+                    continue
+                idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                for d, v in toks.items():
+                    tf = v.count(term)
+                    if tf:
+                        norm = tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(v) / avgdl))
+                        per_field.setdefault(d, {}).setdefault(f, 0.0)
+                        per_field[d][f] += boosts[f] * idf * norm
+        scores = {
+            d: max(fs.values()) + tb * (sum(fs.values()) - max(fs.values()))
+            for d, fs in per_field.items()
+        }
+        ranked = sorted(scores.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+        want[qid] = [(i + 1, d, round(s, 6)) for i, (d, s) in enumerate(ranked)]
+
+    got = dis_max(spark, indexes, qdf, tie_breaker=tb, boosts=boosts,
+                  config=CFG, k=10, round_digits=6)
+    got_by_q = {}
+    for r in got.collect():
+        got_by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, round(r.score, 6)))
+    for qid in (0, 1):
+        assert sorted(got_by_q[qid]) == want[qid]
+    assert 2 not in got_by_q
+
+    # tie_breaker=1 == summed most_fields mode
+    summed = bm25_multifield(spark, indexes, boosts, qdf, CFG, k=10, round_digits=6)
+    tb1 = dis_max(spark, indexes, qdf, tie_breaker=1.0, boosts=boosts,
+                  config=CFG, k=10, round_digits=6)
+    assert sorted(map(tuple, summed.collect())) == sorted(map(tuple, tb1.collect()))
+
+    with pytest.raises(ValueError, match="tie_breaker"):
+        dis_max(spark, indexes, qdf, tie_breaker=1.5)

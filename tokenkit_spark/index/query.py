@@ -1310,6 +1310,57 @@ def bm25_multifield(
     return _topk_window(candidates, k, round_digits)
 
 
+def dis_max(
+    spark: SparkSession,
+    indexes: dict[str, dict],
+    queries: DataFrame,
+    tie_breaker: float = 0.0,
+    boosts: dict[str, float] | None = None,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ES ``dis_max`` / ``multi_match best_fields``: per doc the BEST
+    single field's score wins, plus ``tie_breaker`` times every other
+    matching field's score —
+
+        score(q, d) = max_f s_f + tie_breaker * (Σ_f s_f - max_f s_f)
+
+    the complement of :func:`bm25_multifield`'s summed ``most_fields``
+    mode (tie_breaker=1 reproduces the sum; 0 is pure best-field).
+
+    Scale shape: each field's match set scores exhaustively through its
+    own segment store (bm25_all_scores — per-field df/N/avgdl), the
+    per-field rows UNION (no join between fields), and one hash
+    aggregate on (query, doc) computes max and sum together — a single
+    shuffle keyed by the candidate pair."""
+    if not indexes:
+        raise ValueError("dis_max: no field indexes given")
+    if not (0.0 <= tie_breaker <= 1.0):
+        raise ValueError("dis_max: tie_breaker must be in [0, 1]")
+    parts = []
+    for f in sorted(indexes):
+        s = bm25_all_scores(spark, indexes[f], queries, config)
+        b = float((boosts or {}).get(f, 1.0))
+        parts.append(s.select("query_id", "doc_id", (F.col("score") * F.lit(b)).alias("score")))
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    combined = (
+        allf.groupBy("query_id", "doc_id")
+        .agg(F.max("score").alias("best"), F.sum("score").alias("total"))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("best")
+                + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best"))
+            ).alias("score"),
+        )
+    )
+    return _topk_window(combined, k, round_digits)
+
+
 def _wand_stats_kernel(k: int, avgdl: float):
     """Stats twin of _score_shard_kernel: same Block-Max WAND pass, but
     emits the pruning counters (blocks decoded vs total) per
