@@ -1604,6 +1604,26 @@ def q_quantized_cosine_top10(spark, sf_dir):
     )
 
 
+def q_pca_cosine_top10(spark, sf_dir):
+    """ANN scale path #3: distributed PCA (sufficient-statistics train,
+    Arrow-batch matmul projection, ops/pca.py) to 8 dims, then cosine
+    top-10 in the reduced space. Rows-only (eigenvectors are
+    float-order-sensitive); tests/test_pca.py pins numpy parity and
+    variance capture."""
+    from tokenkit_spark.ops import pca as pca_ops
+
+    emb = _emb(spark, sf_dir)
+    model = pca_ops.train_pca(emb, n_components=8)
+    red = pca_ops.project_embeddings(emb, model).cache()
+    qvec = [float(x) for x in red.filter(F.col("vec_id") == 0).first()["reduced"]]
+    out = similarity.cosine_scores(red, qvec, vec_col="reduced")
+    return (
+        out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 def q_cosine_pairs(spark, sf_dir):
     """Exact embedding near-dup pairs (all-pairs cosine >= 0.40), JVM-side
     dot products — the oracle-checkable baseline for the LSH path."""
@@ -2192,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "exact_k_sample": q_exact_k_sample,
         "dis_max": q_dis_max,
+        "pca_cosine_top10": q_pca_cosine_top10,
     }
 
 
