@@ -1508,6 +1508,16 @@ def q_date_histogram(spark, sf_dir):
     )
 
 
+def q_extended_stats(spark, sf_dir):
+    """ES extended_stats aggregation per event_type: count/min/max/sum/
+    avg/sample-stddev in one map-side-partial hash aggregate
+    (ops/events.py). DuckDB twin uses the same sample-stddev."""
+    from tokenkit_spark.ops import events as ev_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev_ops.extended_stats(ev, "event_type", "value")
+
+
 def q_cardinality_users(spark, sf_dir):
     """ES cardinality aggregation: HyperLogLog++ approximate distinct
     users per event_type. Rows-only (sketch values are implementation-
@@ -2213,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_k_sample": q_exact_k_sample,
         "dis_max": q_dis_max,
         "pca_cosine_top10": q_pca_cosine_top10,
+        "extended_stats": q_extended_stats,
     }
 
 
@@ -2403,6 +2414,12 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
             "event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "extended_stats": (
+            "SELECT event_type, count(*) AS n, round(min(value), 4) AS min_v, "
+            "round(max(value), 4) AS max_v, round(sum(value), 4) AS sum_v, "
+            "round(avg(value), 4) AS avg_v, round(stddev_samp(value), 4) AS std_v "
+            "FROM events GROUP BY 1"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS min_doc_id "

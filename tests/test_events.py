@@ -91,3 +91,16 @@ def test_cardinality_error_bound(spark):
     approx = {r.g: r.approx_distinct for r in ev_ops.cardinality(df, "g", "u").collect()}
     for g, exact in (("g0", 50), ("g1", 500), ("g2", 2000)):
         assert abs(approx[g] - exact) / exact <= 0.05
+
+
+def test_extended_stats(spark):
+    import math
+
+    rows = [Row(event_id=i, kind="a" if i < 4 else "b", value=float(v))
+            for i, v in enumerate([1, 2, 3, 4, 10, 10])]
+    df = spark.createDataFrame(rows)
+    got = {r.kind: r for r in ev_ops.extended_stats(df, "kind", "value").collect()}
+    a = got["a"]
+    assert (a.n, a.min_v, a.max_v, a.sum_v, a.avg_v) == (4, 1.0, 4.0, 10.0, 2.5)
+    assert a.std_v == round(math.sqrt(sum((x - 2.5) ** 2 for x in [1, 2, 3, 4]) / 3), 4)
+    assert got["b"].std_v == 0.0

@@ -128,6 +128,26 @@ def date_histogram(
     return events.groupBy(bucket, *[F.col(c) for c in group_cols]).agg(*aggs)
 
 
+def extended_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ES ``extended_stats`` aggregation: count / min / max / sum / avg /
+    sample std-dev per group — one hash aggregate with map-side partials
+    (every moment is a partial-aggregable sum)."""
+    v = F.col(value_col)
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(v), round_digits).alias("min_v"),
+        F.round(F.max(v), round_digits).alias("max_v"),
+        F.round(F.sum(v), round_digits).alias("sum_v"),
+        F.round(F.avg(v), round_digits).alias("avg_v"),
+        F.round(F.stddev_samp(v), round_digits).alias("std_v"),
+    )
+
+
 def cardinality(
     df: DataFrame,
     group_col: str,
