@@ -974,6 +974,25 @@ def q_bm25_multifield(spark, sf_dir):
     )
 
 
+def q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester: whole-phrase spelling correction — per-
+    position distance-1 dictionary candidates (SymSpell deletion join),
+    candidate PAIRS ranked by an add-α corpus bigram LM
+    (index/phrasesuggest.py). A one-term query is dropped (bigram
+    scorer). Oracle replays candidates via direct levenshtein and the
+    identical smoothed LM arithmetic."""
+    from tokenkit_spark.index.phrasesuggest import phrase_suggest
+
+    index = _index_for(spark, sf_dir)
+    qs = spark.createDataFrame(
+        [(0, "hashe joinn"), (1, "sort merge"), (2, "the")],
+        "query_id long, text string",
+    )
+    return phrase_suggest(
+        spark, index, _docs(spark, sf_dir), qs, WS, n=3, alpha=0.5, max_expansions=10
+    )
+
+
 def q_dis_max(spark, sf_dir):
     """ES dis_max (multi_match best_fields, tie_breaker=0.3) over the
     title/body per-field indexes: best field wins, others contribute
@@ -2224,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max": q_dis_max,
         "pca_cosine_top10": q_pca_cosine_top10,
         "extended_stats": q_extended_stats,
+        "phrase_suggest": q_phrase_suggest,
     }
 
 
@@ -2330,6 +2350,36 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
         "decay_recency": _DECAY_ORACLE,
         "top_hits": _TOP_HITS_ORACLE,
         "dis_max": _DIS_MAX_ORACLE,
+        "phrase_suggest": f"""
+WITH toks AS ({_TOKS}),
+uni AS (SELECT term, count(*) AS c1 FROM toks GROUP BY 1),
+g AS (SELECT count(*) AS n_tok, count(DISTINCT term) AS vocab FROM toks),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+      x -> x <> '') AS l FROM documents),
+bi AS (SELECT l[i] AS w1, l[i+1] AS w2, count(*) AS c12 FROM t,
+       unnest(generate_series(1, len(l) - 1)) r(i) GROUP BY 1, 2),
+q(query_id, pos, qterm) AS (VALUES
+  (0, 0, 'hashe'), (0, 1, 'joinn'), (1, 0, 'sort'), (1, 1, 'merge')),
+cand AS (SELECT q.query_id, q.pos, q.qterm, d.term,
+         row_number() OVER (PARTITION BY q.query_id, q.pos
+                            ORDER BY d.df DESC, d.term ASC) AS r
+         FROM q JOIN dict d ON levenshtein(q.qterm, d.term) <= 1),
+c AS (SELECT * FROM cand WHERE r <= 10),
+pairs AS (SELECT a.query_id, a.term AS w1, a.qterm AS q1, b.term AS w2, b.qterm AS q2
+          FROM c a JOIN c b ON a.query_id = b.query_id AND a.pos = 0 AND b.pos = 1),
+scored AS (SELECT p.query_id, p.w1, p.w2,
+  round(ln((coalesce(u.c1, 0) + 0.5) / (g.n_tok + 0.5 * g.vocab))
+      + ln((coalesce(bb.c12, 0) + 0.5) / (coalesce(u.c1, 0) + 0.5 * g.vocab)), 4) AS score,
+  (p.w1 = p.q1 AND p.w2 = p.q2) AS is_original
+  FROM pairs p LEFT JOIN uni u ON u.term = p.w1
+  LEFT JOIN bi bb ON bb.w1 = p.w1 AND bb.w2 = p.w2 CROSS JOIN g),
+ranked AS (SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, w1 ASC, w2 ASC) AS rank,
+           w1, w2, score, is_original FROM scored)
+SELECT query_id, rank, w1, w2, score, is_original FROM ranked WHERE rank <= 3
+""",
         "query_string_search": (
             "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
             "'\\s+'), x -> x <> '') AS l FROM documents), "
