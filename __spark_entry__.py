@@ -1537,6 +1537,16 @@ def q_extended_stats(spark, sf_dir):
     return ev_ops.extended_stats(ev, "event_type", "value")
 
 
+def q_histogram_pipeline(spark, sf_dir):
+    """ES pipeline aggs over a date_histogram: trailing 3-bucket moving
+    average + per-bucket derivative of the value sum (ops/events.py).
+    The ordered window runs over the tiny bucket table, not the events."""
+    from tokenkit_spark.ops import events as ev_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev_ops.date_histogram_pipeline(ev, interval="day", value_col="value")
+
+
 def q_cardinality_users(spark, sf_dir):
     """ES cardinality aggregation: HyperLogLog++ approximate distinct
     users per event_type. Rows-only (sketch values are implementation-
@@ -2244,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_cosine_top10": q_pca_cosine_top10,
         "extended_stats": q_extended_stats,
         "phrase_suggest": q_phrase_suggest,
+        "histogram_pipeline": q_histogram_pipeline,
     }
 
 
@@ -2464,6 +2475,16 @@ SELECT query_id, rank, w1, w2, score, is_original FROM ranked WHERE rank <= 3
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
             "event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "histogram_pipeline": (
+            "WITH h AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') "
+            "AS bucket, count(*) AS n_events, round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1) "
+            "SELECT bucket, n_events, sum_value, "
+            "round(avg(sum_value) OVER (ORDER BY bucket "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg, "
+            "round(sum_value - lag(sum_value) OVER (ORDER BY bucket), 4) AS derivative "
+            "FROM h"
         ),
         "extended_stats": (
             "SELECT event_type, count(*) AS n, round(min(value), 4) AS min_v, "

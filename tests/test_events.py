@@ -104,3 +104,21 @@ def test_extended_stats(spark):
     assert (a.n, a.min_v, a.max_v, a.sum_v, a.avg_v) == (4, 1.0, 4.0, 10.0, 2.5)
     assert a.std_v == round(math.sqrt(sum((x - 2.5) ** 2 for x in [1, 2, 3, 4]) / 3), 4)
     assert got["b"].std_v == 0.0
+
+
+def test_date_histogram_pipeline(spark):
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 3, 1 + d), value=float(v))
+        for i, (d, v) in enumerate([(0, 10), (0, 10), (1, 40), (2, 10), (3, 100)])
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.bucket: r for r in
+           ev_ops.date_histogram_pipeline(df, value_col="value", window=3).collect()}
+    d1, d2, d3, d4 = (f"2024-03-0{i} 00:00:00" for i in (1, 2, 3, 4))
+    assert out[d1].derivative is None            # ES: first bucket has none
+    assert out[d2].derivative == 20.0            # 40 - 20
+    assert out[d2].moving_avg == 30.0            # avg(20, 40)
+    assert out[d3].moving_avg == round((20 + 40 + 10) / 3, 4)
+    assert out[d4].moving_avg == 50.0            # trailing window drops d1
+    with pytest.raises(ValueError):
+        ev_ops.date_histogram_pipeline(df, window=0)

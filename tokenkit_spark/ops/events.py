@@ -148,6 +148,37 @@ def extended_stats(
     )
 
 
+def date_histogram_pipeline(
+    events: DataFrame,
+    ts_col: str = "ts",
+    interval: str = "day",
+    value_col: str | None = None,
+    window: int = 3,
+) -> DataFrame:
+    """ES pipeline aggregations over a date_histogram: per bucket the
+    trailing ``window``-bucket moving average (``moving_fn``) and the
+    first difference vs the previous bucket (``derivative``, NULL for
+    the first bucket — the ES contract).
+
+    Scale shape: the bucketed histogram is tiny relative to the events
+    (one row per calendar bucket), so the single unpartitioned ordered
+    window over it is safe at any corpus size — the reduction happened
+    in the histogram's hash aggregate, not the window."""
+    if window <= 0:
+        raise ValueError("date_histogram_pipeline: window must be > 0")
+    hist = date_histogram(events, ts_col, interval, (), value_col)
+    metric = F.col("sum_value") if value_col is not None else F.col("n_events")
+    w = Window.orderBy("bucket")
+    mov = Window.orderBy("bucket").rowsBetween(-(window - 1), 0)
+    return hist.select(
+        "bucket",
+        "n_events",
+        *(["sum_value"] if value_col is not None else []),
+        F.round(F.avg(metric).over(mov), 4).alias("moving_avg"),
+        F.round(metric - F.lag(metric).over(w), 4).alias("derivative"),
+    )
+
+
 def cardinality(
     df: DataFrame,
     group_col: str,
