@@ -2540,7 +2540,8 @@ SELECT query_id, rank, w1, w2, score, is_original FROM ranked WHERE rank <= 3
             "x -> x <> '') AS l FROM documents), "
             "s AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0), "
             "c AS (SELECT doc_id, l, n, u.st AS start_tok FROM s, "
-            "unnest(generate_series(0, ((n - 1) - ((n - 1) % 96))::BIGINT, 96)) u(st)) "
+            "unnest(CASE WHEN n <= 128 THEN [0::BIGINT] "
+            "ELSE generate_series(0, (96 * ceil((n - 128) / 96.0))::BIGINT, 96) END) u(st)) "
             "SELECT doc_id, (start_tok / 96)::BIGINT AS chunk_id, "
             "start_tok::BIGINT AS start_tok, "
             "least(128, n - start_tok)::BIGINT AS n_tokens, "

@@ -66,3 +66,14 @@ def test_msm_clamped_to_term_count(spark, docs):
     )
     got = {r.doc_id for r in percolate(spark, stored, docs, CFG).collect()}
     assert got == {0}  # required clamps to 2, not an unsatisfiable 5
+
+
+def test_invalid_msm_raises(spark, docs):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    for bad in ("any", "0", ""):
+        stored = spark.createDataFrame(
+            [(0, "hash join", bad)], "query_id long, qtext string, msm string"
+        )
+        with pytest.raises(Exception, match="msm must be"):
+            percolate(spark, stored, docs, CFG).collect()

@@ -63,3 +63,21 @@ def test_query_string_semantics(spark):
     assert got[2] == {2, 4}
     # q3: "sort merge" {0} minus "hash join" {0,3} -> empty
     assert 3 not in got
+
+
+def test_clauseless_query_matches_nothing(spark):
+    from tokenkit_spark.config import AnalyzerConfig
+    from tokenkit_spark.index.build import build_index, load_index
+    from tokenkit_spark.index.querystring import query_string_search
+    import tempfile
+
+    cfg = AnalyzerConfig(strategy="whitespace", lowercase=True)
+    docs = spark.createDataFrame([(0, "some doc")], "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        build_index(spark, docs, f"{d}/idx", config=cfg, n_shards=1)
+        index = load_index(spark, f"{d}/idx")
+        qs = spark.createDataFrame(
+            [(0, ""), (1, "   "), (2, "+ -")], "query_id long, qtext string"
+        )
+        # empty/bare-operator queries match NOTHING (not the universe)
+        assert query_string_search(spark, index, qs, cfg).count() == 0

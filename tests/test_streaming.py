@@ -246,3 +246,42 @@ def test_session_windows_emit_on_gap_and_watermark(spark, tmp_path_factory):
     assert got[(1, base + 2 * 3600 * 1_000_000)] == (1, 4.0)
     # user 2: single open session closed by watermark
     assert got[(2, base + 600 * 1_000_000)] == (1, 1.5)
+
+
+def test_session_windows_late_event_widens_not_shrinks(spark, tmp_path_factory):
+    """A late-but-within-watermark event from a later micro-batch must
+    widen the open session (min start / max end), never shrink its end
+    or re-arm the timeout earlier."""
+    import datetime as dt
+
+    from tokenkit_spark.streaming.stats import session_windows
+
+    root = tmp_path_factory.mktemp("sesslate")
+    ev_dir, ckpt = str(root / "events"), str(root / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    write([(0, 1, t(10), 1.0)])               # state end = 10:10
+    write([(1, 1, t(5), 2.0)])                # LATE (within 30-min watermark)
+    write([(9, 99, t(10) + dt.timedelta(days=1), 0.0)])  # flush watermark
+
+    q = (
+        session_windows(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(ev_dir),
+            gap_minutes=30, watermark="30 minutes",
+        )
+        .writeStream.format("memory").queryName("sess_late")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = [r for r in spark.sql("SELECT * FROM sess_late").collect() if r.user_id == 1]
+    assert len(rows) == 1
+    base = int(dt.datetime(2026, 1, 1, 10, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    r = rows[0]
+    assert r.start_us == base + 5 * 60 * 1_000_000   # widened down to 10:05
+    assert r.end_us == base + 10 * 60 * 1_000_000    # end NOT shrunk
+    assert (r.n_events, r.sum_value) == (2, 3.0)

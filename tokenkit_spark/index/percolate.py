@@ -42,9 +42,21 @@ def analyze_stored_queries(
         "msm",
         F.array_distinct(tokenize_col("qtext", cfg)).alias("__terms"),
     ).filter(F.size("__terms") > 0)
+    # a malformed msm must FAIL, not silently become conjunctive:
+    # try_cast('any') is NULL and least(NULL, n) skips NULLs, which would
+    # quietly turn the author's intended semantics into match-all-terms
+    msm_int = F.col("msm").try_cast("int")
     required = (
         F.when(F.col("msm") == F.lit("all"), F.size("__terms"))
-        .otherwise(F.least(F.col("msm").cast("int"), F.size("__terms")))
+        .when(msm_int >= 1, F.least(msm_int, F.size("__terms")))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("percolate: msm must be 'all' or a positive integer, got "),
+                    F.col("msm"),
+                )
+            ).cast("int")
+        )
     )
     return toks.select(
         "query_id",

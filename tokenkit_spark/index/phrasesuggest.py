@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from ..config import AnalyzerConfig
 from ..functions.udfs import tokenize_col
-from ..ops.textstats import _doc_bigrams, _tokens
 from .query import _deletion_variants
 
 
@@ -87,11 +86,26 @@ def phrase_suggest(
         )
     )
 
-    # --- corpus LM tables (distributed) -----------------------------------
-    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    # --- corpus LM tables (distributed), built with the SAME analyzer as
+    # the query/dictionary side — a stemming or punctuation-stripping
+    # config would otherwise produce candidates the LM tables have never
+    # seen, collapsing every pair to the smoothed-zero score
+    tok_arr = docs.select(tokenize_col("text", cfg).alias("toks"))
+    toks = tok_arr.select(F.explode("toks").alias("term"))
     uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    bigram = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
     bi = (
-        _doc_bigrams(docs, "text")
+        tok_arr.select(F.explode(bigram).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
     )

@@ -86,18 +86,22 @@ def query_string_search(
             target = term_leaves if kind == "term" else phrase_leaves
             target.setdefault(text, len(target))
 
+    # no .cache(): the per-leaf filters below are identical subplans over
+    # one base, so Spark's exchange reuse already shares the segment scan
+    # within an action — caching here would leak storage blocks into the
+    # session on every call of this (interactive, repeated) API
     term_matches = None
     if term_leaves:
         qdf = spark.createDataFrame(
             [(i, t) for t, i in term_leaves.items()], "query_id long, text string"
         )
-        term_matches = matching_docs(spark, index, qdf, cfg).cache()
+        term_matches = matching_docs(spark, index, qdf, cfg)
     phrase_matches = None
     if phrase_leaves:
         pdf = spark.createDataFrame(
             [(i, t) for t, i in phrase_leaves.items()], "query_id long, text string"
         )
-        phrase_matches = phrase_search(spark, index, pdf, cfg).cache()
+        phrase_matches = phrase_search(spark, index, pdf, cfg)
 
     def leaf_set(kind: str, text: str) -> DataFrame:
         if kind == "term":
@@ -120,8 +124,14 @@ def query_string_search(
             for clause in p.should[1:]:
                 acc = acc.unionByName(leaf_set(*clause))
             acc = acc.distinct()
-        else:
+        elif p.must_not:
+            # pure-negation query: complement against the corpus
             acc = universe
+        else:
+            # no parseable clause at all (empty string / bare +/-):
+            # matches NOTHING — the universe fallback is only for
+            # must_not-only queries
+            continue
         for clause in p.must_not:
             acc = acc.join(leaf_set(*clause), "doc_id", "left_anti")
         results.append(acc.select(F.lit(qid).cast("long").alias("query_id"), "doc_id"))

@@ -37,12 +37,19 @@ def chunk_documents(
     stride = chunk_size - overlap
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     n = F.size(toks)
-    # starts: 0, stride, ... strictly below n (no empty trailing chunk)
-    starts = F.when(n > 0, F.sequence(
-        F.lit(0),
-        F.greatest((n - F.lit(1)), F.lit(0)) - F.pmod(F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)),
-        F.lit(stride),
-    )).otherwise(F.array())
+    # starts: 0, stride, ..., stopping once the PREVIOUS chunk already
+    # reached the end of the doc — chunk i only exists if it adds tokens
+    # beyond chunk i-1's coverage, i.e. (i-1)*stride + chunk_size < n.
+    # Last useful start = stride * ceil((n - chunk_size) / stride); a doc
+    # with n <= chunk_size yields exactly one chunk.
+    last_start = F.lit(stride) * F.ceil(
+        (n - F.lit(chunk_size)) / F.lit(float(stride))
+    ).cast("int")
+    starts = (
+        F.when(n <= 0, F.array())
+        .when(n <= chunk_size, F.array(F.lit(0)))
+        .otherwise(F.sequence(F.lit(0), last_start, F.lit(stride)))
+    )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("__toks"),

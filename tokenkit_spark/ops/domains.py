@@ -40,11 +40,23 @@ MULTI_LABEL_SUFFIXES = [
 
 
 def host_of(url_col) -> "F.Column":
-    """Lowercased host of a URL (port stripped); empty string when the
-    input has no ``scheme://`` authority."""
+    """Lowercased host of a URL (userinfo and port stripped, IPv6
+    brackets removed); empty string when the input has no
+    ``scheme://`` authority.
+
+    Userinfo MUST be stripped here: ``https://x@blocked.com/`` would
+    otherwise extract ``x@blocked.com`` and walk straight past a
+    blocklist on ``blocked.com``."""
     c = url_col if not isinstance(url_col, str) else F.col(url_col)
-    host = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
-    return F.regexp_replace(host, r":\d+$", "")
+    host = F.lower(
+        F.regexp_extract(
+            c,
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]]*\]|[^/:?#@\[]+)",
+            1,
+        )
+    )
+    host = F.regexp_replace(host, r":\d+$", "")
+    return F.regexp_replace(host, r"^\[|\]$", "")
 
 
 def registered_domain(url_col) -> "F.Column":

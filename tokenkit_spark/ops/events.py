@@ -33,13 +33,20 @@ from pyspark.sql import functions as F
 _INTERVALS = ("year", "quarter", "month", "week", "day", "hour", "minute")
 
 
-def _epoch_us(ts_col: str):
-    """Epoch microseconds of a (possibly TIMESTAMP_NTZ) column, computed
-    from calendar fields so the value is session-timezone-independent
-    (``unix_micros`` rejects NTZ, and casting NTZ->TIMESTAMP would
-    reinterpret the wall time in the session zone).  Matches DuckDB's
-    ``epoch_us(ts)`` bit-for-bit."""
+def _epoch_us(df: DataFrame, ts_col: str):
+    """Epoch microseconds, correct for BOTH timestamp flavors:
+
+    * TIMESTAMP (an instant): ``unix_micros`` directly — calendar fields
+      would re-derive session-local wall time, which is non-monotonic
+      across DST transitions and would corrupt gap arithmetic.
+    * TIMESTAMP_NTZ (a wall time): built from calendar fields, which for
+      NTZ are timezone-free — ``unix_micros`` rejects NTZ, and casting
+      NTZ->TIMESTAMP would reinterpret the wall time in the session
+      zone.  Matches DuckDB's ``epoch_us(ts)`` bit-for-bit on the same
+      parquet."""
     c = F.col(ts_col)
+    if df.schema[ts_col].dataType.typeName() == "timestamp":
+        return F.unix_micros(c)
     frac_us = F.round(
         F.expr(f"extract(SECOND FROM {ts_col})") * 1_000_000
     ).cast("long")
@@ -69,7 +76,7 @@ def sessionize(
     order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
     w = Window.partitionBy(entity_col).orderBy(*order)
     gap_us = int(gap_minutes * 60 * 1_000_000)
-    us = _epoch_us(ts_col)
+    us = _epoch_us(events, ts_col)
     prev = F.lag(us).over(w)
     is_new = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
     running = Window.partitionBy(entity_col).orderBy(*order).rowsBetween(
@@ -93,7 +100,7 @@ def session_stats(
     summed ``value_col`` (rounded to 4 digits so ranking/comparison is
     float-order independent)."""
     s = sessionize(events, entity_col, ts_col, gap_minutes, order_cols)
-    us = _epoch_us(ts_col)
+    us = _epoch_us(s, ts_col)
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
         F.min(us).alias("start_us"),

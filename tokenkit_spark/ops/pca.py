@@ -59,7 +59,10 @@ def train_pca(
     emb: DataFrame, n_components: int, vec_col: str = "embedding"
 ) -> PCAModel:
     """Fit PCA from one distributed pass of sufficient statistics."""
-    dim = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("train_pca: input has no (non-null) vectors")
+    dim = len(head[0])
     if not (0 < n_components <= dim):
         raise ValueError(f"train_pca: need 0 < n_components <= dim ({dim})")
     parts = (

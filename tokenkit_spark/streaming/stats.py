@@ -160,7 +160,12 @@ def _session_kernel(gap_us: int):
                 closed.append((uid, *cur))
                 cur = [us, us, 1, v]
             else:
-                cur[1] = us
+                # min/max, not assignment: a late-but-within-watermark
+                # event (the disorder the watermark delay admits) must
+                # widen the session, never shrink its end or raise its
+                # start
+                cur[0] = min(cur[0], us)
+                cur[1] = max(cur[1], us)
                 cur[2] += 1
                 cur[3] += v
         state.update(tuple(cur))
@@ -197,13 +202,17 @@ def session_windows(
     keyed = events.withWatermark(ts_col, watermark).select(
         F.col(entity_col).alias("user_id"),
         F.col(ts_col),
-        _epoch_us(ts_col).alias("us"),
+        _epoch_us(events, ts_col).alias("us"),
         F.col(id_col).alias("event_id"),
         F.col(value_col).cast("double").alias("value"),
     )
+    # output key type follows the entity column (a string session token
+    # is as valid a key as a numeric user id)
+    key_type = events.schema[entity_col].dataType.simpleString()
+    out_schema = _SESSION_OUT.replace("user_id long", f"user_id {key_type}")
     return keyed.groupBy("user_id").applyInPandasWithState(
         _session_kernel(gap_us),
-        outputStructType=_SESSION_OUT,
+        outputStructType=out_schema,
         stateStructType=_SESSION_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
