@@ -2150,7 +2150,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver's correctness gate covers the FIRST
+    # 50 entries. Newest / not-yet-driver-verified operators go first; the
+    # long-stable tokenizer/TPC/dedup rows (driver-green in CORRECTNESS_r01
+    # and _r02) rotate to the back. Four variant queries whose cousins sit in
+    # the window (paged_search~search_after_page2, wildcard/regexp~prefix,
+    # histogram_facet~date_histogram) are parked just past the window.
     return {
+        # --- round-2 operators, never driver-verified (window: first 50) ---
+        "proximity_search": q_proximity_search,
+        "snippets": q_snippets,
+        "percolate": q_percolate,
+        "doc_packing": q_doc_packing,
+        "query_string_search": q_query_string,
+        "phrase_suggest": q_phrase_suggest,
+        "dis_max": q_dis_max,
+        "stopword_filtered_tf": q_stopword_filtered_tf,
+        "stemmed_terms": q_stemmed_terms,
+        "phrase_search": q_phrase_search,
+        "facet_counts": q_facet_counts,
+        "fuzzy_search": q_fuzzy_search,
+        "spell_suggest": q_spell_suggest,
+        "more_like_this": q_more_like_this,
+        "tfidf_keywords": q_tfidf_keywords,
+        "stratified_sample": q_stratified_sample,
+        "pmi_collocations": q_pmi_collocations,
+        "lm_perplexity": q_lm_perplexity,
+        "ascii_fold": q_ascii_fold,
+        "synonym_tf": q_synonym_tf,
+        "word_shingles": q_word_shingles,
+        "boilerplate_lines": q_boilerplate_lines,
+        "prefix_search": q_prefix_search,
+        "boolean_search": q_boolean_search,
+        "prf_search": q_prf_search,
+        "term_vectors": q_term_vectors,
+        "clean_corpus": q_clean_corpus,
+        "training_mix": q_training_mix,
+        "scrub_pii": q_scrub_pii,
+        "contamination": q_contamination,
+        "shared_spans": q_shared_spans,
+        "media_headers": q_media_headers,
+        "image_resize": q_image_resize,
+        "repetition_signals": q_repetition_signals,
+        "url_dedup": q_url_dedup,
+        "audio_features": q_audio_features,
+        "sessionize": q_sessionize,
+        "date_histogram": q_date_histogram,
+        "cardinality_users": q_cardinality_users,
+        "decay_recency": q_decay_recency,
+        "top_hits": q_top_hits,
+        "domain_stats": q_domain_stats,
+        "doc_chunks": q_doc_chunks,
+        "complete_terms": q_complete,
+        "quantized_cosine_top10": q_quantized_cosine_top10,
+        "index_stats": q_index_stats,
+        "exact_k_sample": q_exact_k_sample,
+        "pca_cosine_top10": q_pca_cosine_top10,
+        "extended_stats": q_extended_stats,
+        "histogram_pipeline": q_histogram_pipeline,
+        # --- variants of in-window queries (judge-verified r2) ---
+        "paged_search": q_paged_search,
+        "wildcard_search": q_wildcard_search,
+        "regexp_search": q_regexp_search,
+        "histogram_facet": q_histogram_facet,
+        # --- driver-green in CORRECTNESS_r01/_r02 ---
         "ws_token_counts": q_ws_token_counts,
         "term_df_top100": q_term_df_top100,
         "letter_tf": q_letter_tf,
@@ -2201,60 +2264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "lsh_cosine_top10": q_lsh_cosine_top10,
-        "stopword_filtered_tf": q_stopword_filtered_tf,
-        "stemmed_terms": q_stemmed_terms,
-        "phrase_search": q_phrase_search,
-        "facet_counts": q_facet_counts,
-        "fuzzy_search": q_fuzzy_search,
-        "spell_suggest": q_spell_suggest,
-        "more_like_this": q_more_like_this,
-        "tfidf_keywords": q_tfidf_keywords,
-        "stratified_sample": q_stratified_sample,
-        "pmi_collocations": q_pmi_collocations,
-        "lm_perplexity": q_lm_perplexity,
-        "ascii_fold": q_ascii_fold,
-        "synonym_tf": q_synonym_tf,
-        "word_shingles": q_word_shingles,
-        "boilerplate_lines": q_boilerplate_lines,
-        "prefix_search": q_prefix_search,
-        "wildcard_search": q_wildcard_search,
-        "boolean_search": q_boolean_search,
-        "regexp_search": q_regexp_search,
-        "prf_search": q_prf_search,
-        "paged_search": q_paged_search,
-        "term_vectors": q_term_vectors,
-        "histogram_facet": q_histogram_facet,
-        "clean_corpus": q_clean_corpus,
-        "training_mix": q_training_mix,
-        "scrub_pii": q_scrub_pii,
-        "contamination": q_contamination,
-        "shared_spans": q_shared_spans,
-        "proximity_search": q_proximity_search,
-        "snippets": q_snippets,
-        "media_headers": q_media_headers,
-        "image_resize": q_image_resize,
-        "repetition_signals": q_repetition_signals,
-        "url_dedup": q_url_dedup,
-        "audio_features": q_audio_features,
-        "sessionize": q_sessionize,
-        "date_histogram": q_date_histogram,
-        "cardinality_users": q_cardinality_users,
-        "decay_recency": q_decay_recency,
-        "top_hits": q_top_hits,
-        "doc_packing": q_doc_packing,
-        "query_string_search": q_query_string,
-        "domain_stats": q_domain_stats,
-        "doc_chunks": q_doc_chunks,
-        "percolate": q_percolate,
-        "complete_terms": q_complete,
-        "quantized_cosine_top10": q_quantized_cosine_top10,
-        "index_stats": q_index_stats,
-        "exact_k_sample": q_exact_k_sample,
-        "dis_max": q_dis_max,
-        "pca_cosine_top10": q_pca_cosine_top10,
-        "extended_stats": q_extended_stats,
-        "phrase_suggest": q_phrase_suggest,
-        "histogram_pipeline": q_histogram_pipeline,
     }
 
 
