@@ -1804,8 +1804,12 @@ def q_char_group_terms(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-trigram Jaccard near-dup pairs via inverted-index
-    self-join (no cross product)."""
-    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6)
+    self-join (no cross product). max_gram_df=None opts into the exact
+    uncapped mode to match the DuckDB oracle bit-for-bit; production runs
+    keep the default head-gram cap."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.6, max_gram_df=None
+    )
     return pairs.select(
         "doc_id_a", "doc_id_b", F.round(F.col("jaccard"), 4).alias("jaccard")
     )
@@ -1822,9 +1826,9 @@ def q_dedup_clusters(spark, sf_dir):
     from tokenkit_spark.ops.clustering import dedup_clusters
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.6).select(
-        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
-    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.6, max_gram_df=None
+    ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     return dedup_clusters(docs, pairs)
 
 

@@ -120,6 +120,36 @@ def test_ngram_jaccard_gram_df_cap(spark):
     assert abs(capped[(100, 101)] - want) < 1e-9
 
 
+def test_ngram_jaccard_default_cap_survives_head_skew(spark):
+    """VERDICT r02 item 2: the DEFAULT must be a finite cap so the
+    quadratic self-join can never detonate by omission. 10_050 docs share
+    one boilerplate sentence; uncapped, its grams alone would emit ~5e7
+    join rows. Under the default cap the boilerplate grams are stripped
+    before the join, the query completes, and the one true near-dup pair
+    (carried by its own rare grams) still surfaces."""
+    import inspect
+
+    assert inspect.signature(dedup.ngram_jaccard_pairs).parameters[
+        "max_gram_df"
+    ].default == 10_000
+
+    boiler = "click here to accept all cookies on this site"
+    rows = [
+        Row(doc_id=i, text=f"{boiler} item {i} only") for i in range(10_050)
+    ]
+    rows += [
+        Row(doc_id=20_000, text=f"{boiler} the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=20_001, text=f"{boiler} the quick brown fox jumps over the lazy cat"),
+    ]
+    docs = spark.createDataFrame(rows)
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.4).collect()
+    }
+    assert (20_000, 20_001) in got
+    assert not any(a < 10_050 and b < 10_050 for a, b in got)
+
+
 def test_cosine_topk_exact_vs_batch(spark):
     rng = np.random.default_rng(0)
     vecs = rng.standard_normal((50, 16)).astype(np.float32)

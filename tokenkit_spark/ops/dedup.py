@@ -283,7 +283,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_gram_df: int | None = None,
+    max_gram_df: int | None = 10_000,
 ) -> DataFrame:
     """Word-n-gram Jaccard similarity for near-dup verification.
     All-DataFrame: explode n-grams, self-join on shared grams (inverted-
@@ -296,8 +296,10 @@ def ngram_jaccard_pairs(
     then both computed over the reduced gram space, so the result is the
     exact Jaccard over sub-cap grams (standard boilerplate-suppression:
     pairs whose only overlap is ubiquitous grams correctly fall away;
-    pairs carried by discriminative grams are unaffected). None = exact
-    over all grams (the DuckDB-oracle twin; small corpora only)."""
+    pairs carried by discriminative grams are unaffected). The default is
+    a finite cap (10_000) so the quadratic path can never detonate by
+    omission; pass ``max_gram_df=None`` explicitly for exact Jaccard over
+    all grams (the DuckDB-oracle twin; small corpora only)."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     n_words = F.size(words)
     gram_list = F.when(
