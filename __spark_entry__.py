@@ -1529,8 +1529,9 @@ def q_date_histogram(spark, sf_dir):
 
 def q_extended_stats(spark, sf_dir):
     """ES extended_stats aggregation per event_type: count/min/max/sum/
-    avg/sample-stddev in one map-side-partial hash aggregate
-    (ops/events.py). DuckDB twin uses the same sample-stddev."""
+    avg/population-stddev (the ES sum_of_squares/count - avg^2 form) in
+    one map-side-partial hash aggregate (ops/events.py). DuckDB twin
+    uses stddev_pop."""
     from tokenkit_spark.ops import events as ev_ops
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1538,9 +1539,11 @@ def q_extended_stats(spark, sf_dir):
 
 
 def q_histogram_pipeline(spark, sf_dir):
-    """ES pipeline aggs over a date_histogram: trailing 3-bucket moving
-    average + per-bucket derivative of the value sum (ops/events.py).
-    The ordered window runs over the tiny bucket table, not the events."""
+    """ES pipeline aggs over a zero-filled (min_doc_count=0) day
+    date_histogram: moving_fn (shift=0, window=3 — the 3 buckets before
+    the current, current excluded) + per-bucket derivative of the value
+    sum (ops/events.py). The ordered window runs over the tiny bucket
+    table, not the events."""
     from tokenkit_spark.ops import events as ev_ops
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2490,19 +2493,27 @@ SELECT query_id, rank, w1, w2, score, is_original FROM ranked WHERE rank <= 3
             "FROM events GROUP BY 1, 2"
         ),
         "histogram_pipeline": (
+            # zero-filled calendar sequence (min_doc_count=0) + ES
+            # moving_fn shift=0 window: the 3 buckets BEFORE the current
             "WITH h AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') "
             "AS bucket, count(*) AS n_events, round(sum(value), 4) AS sum_value "
-            "FROM events GROUP BY 1) "
+            "FROM events GROUP BY 1), "
+            "allb AS (SELECT strftime(unnest(generate_series("
+            "strptime((SELECT min(bucket) FROM h), '%Y-%m-%d %H:%M:%S'), "
+            "strptime((SELECT max(bucket) FROM h), '%Y-%m-%d %H:%M:%S'), "
+            "INTERVAL 1 DAY)), '%Y-%m-%d %H:%M:%S') AS bucket), "
+            "filled AS (SELECT f.bucket, coalesce(h.n_events, 0) AS n_events, "
+            "coalesce(h.sum_value, 0) AS sum_value FROM allb f LEFT JOIN h USING (bucket)) "
             "SELECT bucket, n_events, sum_value, "
             "round(avg(sum_value) OVER (ORDER BY bucket "
-            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg, "
+            "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS moving_avg, "
             "round(sum_value - lag(sum_value) OVER (ORDER BY bucket), 4) AS derivative "
-            "FROM h"
+            "FROM filled"
         ),
         "extended_stats": (
             "SELECT event_type, count(*) AS n, round(min(value), 4) AS min_v, "
             "round(max(value), 4) AS max_v, round(sum(value), 4) AS sum_v, "
-            "round(avg(value), 4) AS avg_v, round(stddev_samp(value), 4) AS std_v "
+            "round(avg(value), 4) AS avg_v, round(stddev_pop(value), 4) AS std_v "
             "FROM events GROUP BY 1"
         ),
         "dedup_exact": (

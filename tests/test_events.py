@@ -102,7 +102,8 @@ def test_extended_stats(spark):
     got = {r.kind: r for r in ev_ops.extended_stats(df, "kind", "value").collect()}
     a = got["a"]
     assert (a.n, a.min_v, a.max_v, a.sum_v, a.avg_v) == (4, 1.0, 4.0, 10.0, 2.5)
-    assert a.std_v == round(math.sqrt(sum((x - 2.5) ** 2 for x in [1, 2, 3, 4]) / 3), 4)
+    # ES computes the POPULATION std dev (sum_of_squares/n - avg^2)
+    assert a.std_v == round(math.sqrt(sum((x - 2.5) ** 2 for x in [1, 2, 3, 4]) / 4), 4)
     assert got["b"].std_v == 0.0
 
 
@@ -116,9 +117,31 @@ def test_date_histogram_pipeline(spark):
            ev_ops.date_histogram_pipeline(df, value_col="value", window=3).collect()}
     d1, d2, d3, d4 = (f"2024-03-0{i} 00:00:00" for i in (1, 2, 3, 4))
     assert out[d1].derivative is None            # ES: first bucket has none
+    assert out[d1].moving_avg is None            # moving_fn: empty window
     assert out[d2].derivative == 20.0            # 40 - 20
-    assert out[d2].moving_avg == 30.0            # avg(20, 40)
-    assert out[d3].moving_avg == round((20 + 40 + 10) / 3, 4)
-    assert out[d4].moving_avg == 50.0            # trailing window drops d1
+    assert out[d2].moving_avg == 20.0            # avg(20) — current excluded
+    assert out[d3].moving_avg == 30.0            # avg(20, 40)
+    assert out[d4].moving_avg == round((20 + 40 + 10) / 3, 4)
     with pytest.raises(ValueError):
         ev_ops.date_histogram_pipeline(df, window=0)
+
+
+def test_date_histogram_pipeline_zero_fills_gaps(spark):
+    """ES min_doc_count=0: empty calendar buckets are emitted, and
+    pipeline aggs run over the gap-free sequence — a moving average must
+    see the zero day, not silently span the gap."""
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 3, day), value=float(v))
+        for i, (day, v) in enumerate([(1, 10), (2, 20), (4, 40)])
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.bucket: r for r in
+           ev_ops.date_histogram_pipeline(df, value_col="value", window=2).collect()}
+    d3 = "2024-03-03 00:00:00"
+    assert set(out) == {f"2024-03-0{i} 00:00:00" for i in (1, 2, 3, 4)}
+    assert (out[d3].n_events, out[d3].sum_value) == (0, 0.0)
+    assert out[d3].derivative == -20.0           # 0 - 20
+    assert out[d3].moving_avg == 15.0            # avg(10, 20)
+    d4 = "2024-03-04 00:00:00"
+    assert out[d4].derivative == 40.0            # 40 - 0
+    assert out[d4].moving_avg == 10.0            # avg(20, 0)

@@ -142,8 +142,13 @@ def extended_stats(
     round_digits: int = 4,
 ) -> DataFrame:
     """ES ``extended_stats`` aggregation: count / min / max / sum / avg /
-    sample std-dev per group — one hash aggregate with map-side partials
-    (every moment is a partial-aggregable sum)."""
+    std-dev per group — one hash aggregate with map-side partials (every
+    moment is a partial-aggregable sum).
+
+    ``std_v`` is the POPULATION standard deviation: Elasticsearch derives
+    it as sqrt(sum_of_squares/count - avg^2), i.e. the population form,
+    so ``stddev_pop`` (not ``stddev_samp``) is the contract-faithful
+    choice — they diverge visibly on small groups."""
     v = F.col(value_col)
     return df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
@@ -151,7 +156,7 @@ def extended_stats(
         F.round(F.max(v), round_digits).alias("max_v"),
         F.round(F.sum(v), round_digits).alias("sum_v"),
         F.round(F.avg(v), round_digits).alias("avg_v"),
-        F.round(F.stddev_samp(v), round_digits).alias("std_v"),
+        F.round(F.stddev_pop(v), round_digits).alias("std_v"),
     )
 
 
@@ -163,24 +168,58 @@ def date_histogram_pipeline(
     window: int = 3,
 ) -> DataFrame:
     """ES pipeline aggregations over a date_histogram: per bucket the
-    trailing ``window``-bucket moving average (``moving_fn``) and the
-    first difference vs the previous bucket (``derivative``, NULL for
-    the first bucket — the ES contract).
+    ``window``-bucket moving average (``moving_fn`` with the default
+    ``shift=0`` — the window is the ``window`` buckets BEFORE the current
+    one, current excluded; NULL while the window is empty) and the first
+    difference vs the previous bucket (``derivative``, NULL for the
+    first bucket — the ES contract).
+
+    Empty calendar buckets are zero-filled first (``min_doc_count=0``):
+    ES emits every calendar bucket between the first and last occupied
+    one, and pipeline aggs run over that full gap-free sequence — a
+    moving average computed across a gap would silently span
+    non-adjacent periods.
 
     Scale shape: the bucketed histogram is tiny relative to the events
-    (one row per calendar bucket), so the single unpartitioned ordered
-    window over it is safe at any corpus size — the reduction happened
-    in the histogram's hash aggregate, not the window."""
+    (one row per calendar bucket), so the zero-fill join and the single
+    unpartitioned ordered window over it are safe at any corpus size —
+    the reduction happened in the histogram's hash aggregate, not the
+    window."""
     if window <= 0:
         raise ValueError("date_histogram_pipeline: window must be > 0")
     hist = date_histogram(events, ts_col, interval, (), value_col)
+    step = {
+        "year": "interval 1 year",
+        "quarter": "interval 3 month",
+        "month": "interval 1 month",
+        "week": "interval 7 day",
+        "day": "interval 1 day",
+        "hour": "interval 1 hour",
+        "minute": "interval 1 minute",
+    }[interval]
+    # one row in, <=n_buckets rows out: the full calendar sequence
+    # between the first and last occupied bucket
+    full = (
+        hist.agg(
+            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_timestamp("lo"), F.to_timestamp("hi"), F.expr(step)
+                )
+            ).alias("b")
+        )
+        .select(F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+    )
+    value_cols = ["n_events"] + (["sum_value"] if value_col is not None else [])
+    filled = full.join(hist, "bucket", "left").fillna(0, subset=value_cols)
     metric = F.col("sum_value") if value_col is not None else F.col("n_events")
     w = Window.orderBy("bucket")
-    mov = Window.orderBy("bucket").rowsBetween(-(window - 1), 0)
-    return hist.select(
+    mov = Window.orderBy("bucket").rowsBetween(-window, -1)
+    return filled.select(
         "bucket",
-        "n_events",
-        *(["sum_value"] if value_col is not None else []),
+        *value_cols,
         F.round(F.avg(metric).over(mov), 4).alias("moving_avg"),
         F.round(metric - F.lag(metric).over(w), 4).alias("derivative"),
     )
