@@ -68,6 +68,21 @@ def test_msm_clamped_to_term_count(spark, docs):
     assert got == {0}  # required clamps to 2, not an unsatisfiable 5
 
 
+def test_int_typed_msm_column(spark, docs):
+    """The docstring allows an int-typed msm column; it must behave
+    exactly like its string twin (normalized via cast-to-string before
+    the 'all' comparison — no implicit int-vs-string cast under ANSI)."""
+    stored = spark.createDataFrame(
+        [(9, "hash join", 2), (10, "merge sort window", 1)],
+        "query_id long, qtext string, msm int",
+    )
+    got = {}
+    for r in percolate(spark, stored, docs, CFG).collect():
+        got.setdefault(r.query_id, set()).add(r.doc_id)
+    assert got[9] == {0}
+    assert got[10] == {2, 3}
+
+
 def test_invalid_msm_raises(spark, docs):
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 

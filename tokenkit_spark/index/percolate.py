@@ -44,16 +44,20 @@ def analyze_stored_queries(
     ).filter(F.size("__terms") > 0)
     # a malformed msm must FAIL, not silently become conjunctive:
     # try_cast('any') is NULL and least(NULL, n) skips NULLs, which would
-    # quietly turn the author's intended semantics into match-all-terms
-    msm_int = F.col("msm").try_cast("int")
+    # quietly turn the author's intended semantics into match-all-terms.
+    # msm may arrive int- or string-typed; normalize to string before the
+    # 'all' comparison so an int column doesn't hit an implicit
+    # int-vs-string cast (an error under ANSI mode).
+    msm_str = F.col("msm").cast("string")
+    msm_int = msm_str.try_cast("int")
     required = (
-        F.when(F.col("msm") == F.lit("all"), F.size("__terms"))
+        F.when(msm_str == F.lit("all"), F.size("__terms"))
         .when(msm_int >= 1, F.least(msm_int, F.size("__terms")))
         .otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("percolate: msm must be 'all' or a positive integer, got "),
-                    F.col("msm"),
+                    msm_str,
                 )
             ).cast("int")
         )
