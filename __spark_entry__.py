@@ -1552,13 +1552,27 @@ def q_histogram_pipeline(spark, sf_dir):
 
 def q_cardinality_users(spark, sf_dir):
     """ES cardinality aggregation: HyperLogLog++ approximate distinct
-    users per event_type. Rows-only (sketch values are implementation-
-    defined); tests/test_ops.py pins the relative error vs the exact
-    distinct count."""
+    users per event_type (ops/events.py), made oracle-checkable by
+    emitting the exact distinct count alongside a bounded-error verdict:
+    ``hll_ok`` asserts |approx - exact| <= max(6% * exact, 1) (rsd=0.02,
+    ~3 sigma). The DuckDB twin computes the exact count and TRUE — so a
+    sketch drifting outside its error contract hash-mismatches, while
+    implementation-defined sketch values stay out of the compare."""
     from tokenkit_spark.ops import events as ev_ops
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev_ops.cardinality(ev, "event_type", "user_id")
+    appr = ev_ops.cardinality(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(appr, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_exact"))
+            <= F.greatest(F.ceil(F.col("n_exact") * 0.06), F.lit(1))
+        ).alias("hll_ok"),
+    )
 
 
 def q_doc_packing(spark, sf_dir):
@@ -1647,15 +1661,26 @@ def q_quantized_cosine_top10(spark, sf_dir):
 
 
 def q_pca_cosine_top10(spark, sf_dir):
-    """ANN scale path #3: distributed PCA (sufficient-statistics train,
-    Arrow-batch matmul projection, ops/pca.py) to 8 dims, then cosine
-    top-10 in the reduced space. Rows-only (eigenvectors are
-    float-order-sensitive); tests/test_pca.py pins numpy parity and
-    variance capture."""
+    """ANN scale path #3: PCA projection (Arrow-batch matmul,
+    ops/pca.py) to 8 dims, then cosine top-10 in the reduced space.
+
+    The model is PINNED (ops/pca_pinned.py — ops.pca.train_pca output at
+    sf0.01; regenerate with tools/pin_pca_model.py) so the query is a
+    fixed linear map both engines can apply: the DuckDB oracle inlines
+    the same mean/components and the driver value-hash covers the
+    distributed projection kernel end-to-end. Live training stays
+    numpy-parity-pinned in tests/test_pca.py."""
+    import numpy as np
+
     from tokenkit_spark.ops import pca as pca_ops
+    from tokenkit_spark.ops.pca_pinned import MEAN, W
 
     emb = _emb(spark, sf_dir)
-    model = pca_ops.train_pca(emb, n_components=8)
+    model = pca_ops.PCAModel(
+        mean=np.array(MEAN),
+        components=np.array(W),
+        explained_variance=np.zeros(len(W[0])),
+    )
     red = pca_ops.project_embeddings(emb, model).cache()
     qvec = [float(x) for x in red.filter(F.col("vec_id") == 0).first()["reduced"]]
     out = similarity.cosine_scores(red, qvec, vec_col="reduced")
@@ -2274,6 +2299,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _pca_oracle() -> str:
+    """DuckDB twin of q_pca_cosine_top10: apply the SAME pinned linear
+    map (ops/pca_pinned.py) with list lambdas, then reduced-space cosine
+    top-10. Inlining the constants makes the projection kernel
+    value-hash-comparable at any sf."""
+    from tokenkit_spark.ops.pca_pinned import MEAN, W
+
+    dim, k = len(MEAN), len(W[0])
+    w_cols = [[W[i][j] for i in range(dim)] for j in range(k)]  # column-major
+    return (
+        f"WITH p AS (SELECT {MEAN} AS mu, {w_cols} AS w), "
+        "red AS (SELECT vec_id, list_transform(w, c -> list_sum(list_transform("
+        f"range(1, {dim + 1}), i -> (embedding[i] - mu[i]) * c[i]))) AS r "
+        "FROM embeddings, p), "
+        "q AS (SELECT r AS qr FROM red WHERE vec_id = 0), "
+        "cosd AS (SELECT vec_id, "
+        f"round(list_sum(list_transform(range(1, {k + 1}), j -> r[j] * qr[j])) / "
+        "(sqrt(list_sum(list_transform(r, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(qr, x -> x * x)))), 4) AS cosine "
+        "FROM red, q) "
+        "SELECT vec_id, cosine FROM cosd ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop_en = ", ".join(f"'{s}'" for s in textstats.STOPWORDS["en"])
     stop_es = ", ".join(f"'{s}'" for s in textstats.STOPWORDS["es"])
@@ -2516,6 +2565,14 @@ SELECT query_id, rank, w1, w2, score, is_original FROM ranked WHERE rank <= 3
             "round(avg(value), 4) AS avg_v, round(stddev_pop(value), 4) AS std_v "
             "FROM events GROUP BY 1"
         ),
+        "cardinality_users": (
+            # the sketch value is implementation-defined; the CONTRACT
+            # (bounded relative error vs the exact count) is what the
+            # oracle pins — see q_cardinality_users
+            "SELECT event_type, count(DISTINCT user_id) AS n_exact, "
+            "TRUE AS hll_ok FROM events GROUP BY 1"
+        ),
+        "pca_cosine_top10": _pca_oracle(),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS min_doc_id "
             "FROM documents GROUP BY 1 HAVING count(*) > 1"
