@@ -186,6 +186,35 @@ class TestGrapheme:
         assert tok("éx", strategy="grapheme", lowercase=False) == ["é", "x"]
 
 
+    def test_legacy_mode_exact(self):
+        """Legacy clusters (UAX-29 Table 1b) = extended minus GB9a
+        (SpacingMark attaches) and GB9b (Prepend attaches) — matching
+        unicode-segmentation's graphemes(text, false), which the
+        reference's extended=False mode delegates to (lib.rs:159-165)."""
+        from tokenkit_spark.analyzers.segmentation import graphemes
+
+        # GB9a removed: Devanagari KA + vowel sign II (Mc) splits
+        assert graphemes("की", extended=False) == ["क", "ी"]
+        assert graphemes("की", extended=True) == ["की"]
+        # Thai SARA AM (U+0E33, gc=Lo but GCB=SpacingMark) splits
+        assert graphemes("กำ", extended=False) == ["ก", "ำ"]
+        # GB9b removed: Malayalam dot reph (U+0D4E, Prepend) splits from
+        # the following consonant — the code point the old hand-rolled
+        # Prepend list missed
+        assert graphemes("ൎക", extended=False) == ["ൎ", "ക"]
+        assert graphemes("ൎക", extended=True) == ["ൎക"]
+        # Arabic number sign (Prepend) splits from following digits
+        assert graphemes("؀1", extended=False) == ["؀", "1"]
+        # non-spacing marks (GB9) still attach in BOTH modes
+        assert graphemes("éx", extended=False) == ["é", "x"]
+        # ZWJ emoji families survive legacy mode
+        fam = "\U0001F468‍\U0001F469‍\U0001F467"
+        assert graphemes(fam, extended=False) == [fam]
+        # Mc exception list (GCB=Other): already separate in both modes
+        assert graphemes("ကါ", extended=True) == ["က", "ါ"]
+        assert graphemes("ကါ", extended=False) == ["က", "ါ"]
+
+
 # ---- keyword (spec/keyword_tokenizer_spec.rb) -------------------------------
 
 class TestKeyword:

@@ -16,8 +16,10 @@ grapheme.rs:17-24). We re-express the segmentation rules as compiled
   spec/sentence_tokenizer_spec.rb:104-116). Trailing spaces stay with the
   preceding sentence (spec/sentence_tokenizer_spec.rb:11-15).
 * graphemes: the regex module's ``\\X`` is exactly an extended grapheme
-  cluster; legacy (extended=False) approximated by splitting \\X clusters
-  at Extend/ZWJ boundaries.
+  cluster; legacy (extended=False) is exact too — UAX-29 Table 1b removes
+  rules GB9a/GB9b from the extended rules, so each \\X cluster is re-split
+  before GCB=SpacingMark and after GCB=Prepend (property classes from the
+  regex module's own Unicode tables).
 """
 
 from __future__ import annotations
@@ -97,31 +99,25 @@ _GRAPHEME_RE = regex.compile(r"(?V1)\X")
 
 # Legacy clusters (UAX-29 Table 1b) = extended clusters with rules GB9a
 # (x SpacingMark) and GB9b (Prepend x) REMOVED. So legacy mode re-splits
-# each \X cluster at exactly those two attachment points:
-#   * before a SpacingMark: GCB=SpacingMark = Mc plus U+0E33/U+0EB3 (Thai/
-#     Lao SARA AM, gc=Lo). The UAX SpacingMark *exception* list (U+102B,
-#     U+1038, U+1A61, ...) needs no handling here: those chars have
-#     GCB=Other, so \X already breaks before them in BOTH modes and they
-#     never appear inside a cluster.
-#   * after a Prepend char (Arabic number signs U+0600-0605 etc.) — unless
-#     the next char is Extend/ZWJ, which still attaches via GB9 in both
-#     modes.
-_PREPEND = (
-    "؀-؅۝܏࢐࢑࣢"
-    "\U000110BD\U000110CD\U000111C2\U000111C3\U0001193F\U00011941"
-    "\U00011A3A\U00011A84-\U00011A89\U00011D46\U00011F02"
-)
+# each \X cluster at exactly those two attachment points, using the
+# regex module's own Grapheme_Cluster_Break property classes (the same
+# tables its \X is built from — no hand-maintained code-point lists):
+#   * before a GCB=SpacingMark char (Mc plus U+0E33/U+0EB3 Thai/Lao SARA
+#     AM, minus the UAX exception list — the property encodes both).
+#   * after a GCB=Prepend char (Arabic number signs, Malayalam reph,
+#     Kaithi/Sharada/... signs) — unless the next char is Extend/ZWJ,
+#     which still attaches via GB9 in both modes.
 _LEGACY_SPLIT_RE = regex.compile(
-    rf"(?V1)(?=[\p{{Mc}}ำຳ])"
-    rf"|(?<=[{_PREPEND}])(?![\p{{Mn}}\p{{Me}}‌‍])"
+    r"(?V1)(?=\p{gcb=SpacingMark})"
+    r"|(?<=\p{gcb=Prepend})(?!\p{gcb=Extend}|\p{gcb=ZWJ})"
 )
 
 
 def graphemes(text: str, extended: bool = True) -> list[str]:
     """Extended grapheme clusters via ``\\X`` (tokenizer/grapheme.rs:17-24).
 
-    extended=False gives legacy clusters by removing the two rules that
-    distinguish the modes (GB9a SpacingMark, GB9b Prepend) — see
+    extended=False gives EXACT legacy clusters by removing the two rules
+    that distinguish the modes (GB9a SpacingMark, GB9b Prepend) — see
     _LEGACY_SPLIT_RE above; reference lib.rs:159-165 delegates to
     unicode-segmentation's ``graphemes(text, false)`` with the same
     semantics.
