@@ -76,6 +76,99 @@ def _wand_kernel_bench() -> dict:
     }
 
 
+def _zipf_e2e_wand_bench(spark, entry) -> dict:
+    """End-to-end Block-Max WAND pruning on a Zipf-vocabulary corpus
+    (VERDICT r02 item 5): the sf test corpus has a ~31-term vocabulary
+    whose lists all fit the <=16-block direct path, so end-to-end
+    pruned_frac is legitimately ~0 there. This section synthesizes a
+    deterministic 100k-doc corpus with a 20k-term Zipf(1.2) vocabulary
+    (head df ~10^5 -> ~750 blocks/list), builds a REAL segment index
+    over it, and runs head+rare query mixes through the production
+    bm25_segments path — reporting nonzero pruning plus rank-identity
+    vs the same path with block-max disabled (exhaustive decode).
+
+    Doc texts are a pure hash of (doc_id, position) — deterministic
+    under any partitioning, no RNG state, no external data."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tokenkit_spark.index.build import build_index, load_index
+    from tokenkit_spark.index.query import bm25_segments, bm25_wand_stats
+
+    n_docs, vocab, doc_len, s = 100_000, 20_000, 16, 1.2
+    w = 1.0 / np.power(np.arange(1, vocab + 1), s)
+    cdf = np.cumsum(w / w.sum())
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy().astype(np.uint64)
+            j = np.arange(doc_len, dtype=np.uint64)
+            h = ids[:, None] * np.uint64(2654435761) + (j + 1) * np.uint64(1315423911)
+            h ^= h >> np.uint64(16)
+            h *= np.uint64(2246822519)
+            h ^= h >> np.uint64(13)
+            u = (h & np.uint64(0x7FFFFFFF)).astype(np.float64) / float(0x80000000)
+            ranks = np.searchsorted(cdf, u)
+            texts = [" ".join(f"t{r}" for r in row) for row in ranks]
+            yield pd.DataFrame({"doc_id": pdf["id"].astype(np.int64), "text": texts})
+
+    docs = spark.range(n_docs).repartition(CPUS).mapInPandas(gen, "doc_id long, text string")
+    idx_path = os.path.join(tempfile.gettempdir(), f"tokenkit_bench_zipf_{os.getpid()}")
+    shutil.rmtree(idx_path, ignore_errors=True)
+    # 4 shards -> ~24k docs/shard -> ~190 head blocks/shard: the per-shard
+    # DENSITY of a real deployment (where each of 1000s of shards owns
+    # 10^5+ docs), which is what block skipping is sensitive to — 16
+    # shards at 100k docs would leave head lists ~49 blocks, too short to
+    # show pruning
+    t0 = time.monotonic()
+    build_index(spark, docs, idx_path, entry.WS, n_shards=4, n_buckets=16, resume=False)
+    t_build = time.monotonic() - t0
+    index = load_index(spark, idx_path)
+
+    # head + mid mixes. The partner term needs per-shard df >= the top-
+    # (k+32) heap so θ climbs to mid-idf level (then head blocks, whose
+    # upper bounds sit at near-zero idf, are skipped wholesale), yet
+    # df << head-block count so candidates touch few head blocks: Zipf
+    # ranks 300-600 give df ~140-320 (~35-80/shard) vs ~190 head blocks.
+    # Two pure-head queries keep the no-prune regime in the mix.
+    qrows = [(i, f"t{i % 3} t{300 + i * 23}") for i in range(14)]
+    qrows += [(14, "t0 t1"), (15, "t1 t2")]
+    qdf = spark.createDataFrame(qrows, "query_id long, text string")
+
+    t0 = time.monotonic()
+    wand_rows = bm25_segments(spark, index, qdf, entry.WS, k=10).collect()
+    t_wand = time.monotonic() - t0
+    t0 = time.monotonic()
+    ex_rows = bm25_segments(
+        spark, index, qdf, entry.WS, k=10, use_blockmax=False
+    ).collect()
+    t_ex = time.monotonic() - t0
+    key = lambda r: (r.query_id, r.rank)
+    ranked = sorted(((r.query_id, r.rank, r.doc_id, r.score) for r in wand_rows))
+    ranked_ex = sorted(((r.query_id, r.rank, r.doc_id, r.score) for r in ex_rows))
+    if ranked != ranked_ex:
+        raise AssertionError("zipf e2e: WAND top-k differs from exhaustive")
+
+    st = (
+        bm25_wand_stats(spark, index, qdf, entry.WS, k=10)
+        .agg(F.sum("blocks_total").alias("bt"), F.sum("blocks_decoded").alias("bd"))
+        .collect()[0]
+    )
+    shutil.rmtree(idx_path, ignore_errors=True)
+    return {
+        "docs": n_docs,
+        "vocab": vocab,
+        "build_sec": round(t_build, 3),
+        "blocks_total": int(st.bt or 0),
+        "blocks_decoded": int(st.bd or 0),
+        "pruned_frac": round(1.0 - (st.bd or 0) / max(st.bt or 1, 1), 4),
+        "query_sec_wand": round(t_wand, 3),
+        "query_sec_exhaustive": round(t_ex, 3),
+        "rank_identical": True,
+    }
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -178,6 +271,12 @@ def main() -> None:
     # >> BLOCK_SIZE — the regime where block skipping matters): pruning
     # rate + speedup vs exhaustive accumulation, exactness asserted.
     wand_stats["kernel_web_ratio"] = _wand_kernel_bench()
+    # (c) END-TO-END pruning through the production bm25_segments path on
+    # a synthetic Zipf-vocabulary index (lists >> direct-path threshold);
+    # rank-identity vs exhaustive asserted inside. Reported out-of-band
+    # (not in `timings`) so the headline total stays comparable across
+    # rounds.
+    wand_stats["zipf_e2e"] = _zipf_e2e_wand_bench(spark, entry)
 
     # --- supporting queries from the driver surface -----------------------
     qs = entry.queries()
