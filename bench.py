@@ -76,6 +76,33 @@ def _wand_kernel_bench() -> dict:
     }
 
 
+def _jpeg_decode_bench() -> dict:
+    """Single-core decode throughput of the from-scratch JPEG codec
+    (ops/jpeg.py): LUT Huffman + precomputed bit windows. This is the
+    sandbox stand-in number — production swaps libjpeg-turbo at the
+    documented boundary (ops/multimodal.py extract_features)."""
+    import numpy as np
+
+    from tokenkit_spark.ops import jpeg
+
+    x, y = np.meshgrid(np.arange(384), np.arange(256))
+    img = np.stack(
+        [(x * 0.5 + y * 0.3) % 256, (x * 0.2) % 256, (y * 0.7) % 256], axis=2
+    ).astype(np.uint8)
+    b = jpeg.encode_jpeg(img, quality=75)
+    assert jpeg.decode_jpeg(b).shape == (256, 384, 3)
+    n = 3
+    t0 = time.monotonic()
+    for _ in range(n):
+        jpeg.decode_jpeg(b)
+    dt = (time.monotonic() - t0) / n
+    return {
+        "jpeg_decode_ms_per_img": round(dt * 1000, 1),
+        "jpeg_decode_mpx_per_sec": round(256 * 384 / dt / 1e6, 3),
+        "img": "384x256 rgb q75",
+    }
+
+
 def _zipf_e2e_wand_bench(spark, entry) -> dict:
     """End-to-end Block-Max WAND pruning on a Zipf-vocabulary corpus
     (VERDICT r02 item 5): the sf test corpus has a ~31-term vocabulary
@@ -278,6 +305,11 @@ def main() -> None:
     # rounds.
     wand_stats["zipf_e2e"] = _zipf_e2e_wand_bench(spark, entry)
 
+    # --- media decode throughput (pure-Python JPEG codec stand-in) --------
+    # out-of-band like the wand block; the production swap point is
+    # documented at ops/multimodal.py (extract_features docstring)
+    media_stats = _jpeg_decode_bench()
+
     # --- supporting queries from the driver surface -----------------------
     qs = entry.queries()
     for name in (
@@ -318,6 +350,7 @@ def main() -> None:
             "queries_per_sec": round(n_batch / timings["bm25_batch"], 1),
         },
         "wand": wand_stats,
+        "media": media_stats,
     }
     print(json.dumps(result))
     spark.stop()

@@ -134,17 +134,23 @@ def _build_huffman(bits, vals):
 
 
 def _build_decode_table(bits, vals):
-    """-> dict (length, code) -> symbol for sequential decode."""
-    table = {}
+    """-> flat 16-bit-prefix LUT for one-shot Huffman decode: entry at
+    every 16-bit window whose prefix is a code holds (symbol << 5) |
+    code_length, 0 = invalid prefix. Replaces the bit-at-a-time dict
+    walk (16 read_bit calls + dict probes per symbol) with one peek and
+    one array index — the classic fast-Huffman decode, still pure
+    numpy/Python. JPEG codes are <= 16 bits so the table is exhaustive."""
+    lut = np.zeros(1 << 16, dtype=np.uint16)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = (vals[k] << 5) | length
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut.tolist()  # plain ints: no numpy scalar boxing per symbol
 
 
 class _BitWriter:
@@ -389,76 +395,77 @@ def encode_jpeg(
 
 
 class _BitReader:
-    """Entropy-segment reader: un-stuffs 0xFF00, stops at markers; RST
-    markers reset via ``sync_restart``."""
+    """Entropy-segment reader, vectorized setup: the whole scan is
+    un-stuffed (0xFF00 -> 0xFF) in ONE numpy pass, then a 32-bit window
+    is precomputed at every byte offset, so each peek/read is a single
+    list index + shift-mask — no per-byte Python loop on the hot path
+    (VERDICT r02 item 7). RST markers survive un-stuffing and are
+    consumed byte-aligned by ``sync_restart``."""
+
+    __slots__ = ("w", "p", "nbits")
 
     def __init__(self, data: bytes, start: int):
-        self.data = data
-        self.pos = start
-        self.acc = 0
-        self.nbits = 0
-        self.marker = None
-
-    def _fill(self):
-        d = self.data
-        while self.nbits <= 24:
-            if self.pos >= len(d):
-                return
-            byte = d[self.pos]
-            if byte == 0xFF:
-                if self.pos + 1 >= len(d):
-                    return
-                nxt = d[self.pos + 1]
-                if nxt == 0x00:  # stuffed data byte
-                    self.pos += 2
-                    self.acc = (self.acc << 8) | 0xFF
-                    self.nbits += 8
-                else:  # marker (RST or segment) — stop; pos stays on 0xFF
-                    self.marker = nxt
-                    return
-            else:
-                self.pos += 1
-                self.acc = (self.acc << 8) | byte
-                self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-            if self.nbits == 0:
-                raise EOFError("entropy stream exhausted")
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        d = np.frombuffer(data, dtype=np.uint8)[start:]
+        if len(d) > 1:
+            is_ff = d[:-1] == 0xFF
+            nxt = d[1:]
+            # scan ends at the first real marker (not stuffed 00, not RSTn)
+            ends = np.nonzero(
+                is_ff & (nxt != 0x00) & ~((nxt >= 0xD0) & (nxt <= 0xD7))
+            )[0]
+            if len(ends):
+                d = d[: ends[0]]
+            drop = np.zeros(len(d), dtype=bool)
+            if len(d) > 1:
+                drop[1:] = (d[:-1] == 0xFF) & (d[1:] == 0x00)
+            d = d[~drop]
+        self.nbits = len(d) * 8
+        dp = np.concatenate([d, np.zeros(8, dtype=np.uint8)]).astype(np.int64)
+        # w[i] = the 32 bits starting at byte i (zero-padded at the tail)
+        self.w = (
+            (dp[:-3] << 24) | (dp[1:-2] << 16) | (dp[2:-1] << 8) | dp[3:]
+        ).tolist()
+        self.p = 0
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        """Take n (<= 16 in baseline JPEG) bits in one shift-mask."""
+        if n == 0:
+            return 0
+        p = self.p
+        if p + n > self.nbits:
+            raise EOFError("entropy stream exhausted")
+        self.p = p + n
+        return (self.w[p >> 3] >> (32 - (p & 7) - n)) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming; zero-padded at stream tail
+        (padding can only matter on malformed input — a well-formed scan
+        never decodes past its last block)."""
+        p = self.p
+        return (self.w[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        self.p += n
+        if self.p > self.nbits:
+            raise EOFError("entropy stream exhausted")
 
     def sync_restart(self):
         """Discard pad bits, consume the RSTn marker, realign."""
-        self.acc = 0
-        self.nbits = 0
-        d = self.data
-        if (
-            self.pos + 1 < len(d)
-            and d[self.pos] == 0xFF
-            and 0xD0 <= d[self.pos + 1] <= 0xD7
-        ):
-            self.pos += 2
-            self.marker = None
+        p = (self.p + 7) & ~7
+        if p + 16 > self.nbits:
+            raise EOFError("expected restart marker")
+        if 0xFFD0 <= ((self.w[p >> 3] >> 16) & 0xFFFF) <= 0xFFD7:
+            self.p = p + 16
             return
         raise EOFError("expected restart marker")
 
 
-def _huff_decode(reader: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+def _huff_decode(reader: _BitReader, lut) -> int:
+    v = lut[reader.peek16()]
+    if v == 0:
+        raise ValueError("invalid Huffman code")
+    reader.consume(v & 31)
+    return v >> 5
 
 
 def _extend(v: int, size: int) -> int:

@@ -396,7 +396,16 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     pixel-space pooling); genuinely opaque payloads (synthetic video)
     go through the deterministic stub boundary.
     Batch shape: one Arrow batch of (media_id, kind, payload) rows in,
-    one batch of fixed-width float features out."""
+    one batch of fixed-width float features out.
+
+    PRODUCTION DECODE BOUNDARY: the pure-Python JPEG codec (ops/jpeg.py)
+    is the sandbox stand-in — LUT Huffman + precomputed bit windows put
+    it at ~1 Mpx/s/core (bench `media.jpeg_decode`), still ~2 orders
+    below libjpeg-turbo. At 100 TB of media, swap ONLY the two decode
+    calls below for PIL/pyarrow-image (libjpeg-turbo) inside this same
+    mapInPandas kernel; schema, batching, and partitioning are already
+    the production shape, and the pytest fixtures pin pixel parity so a
+    swapped decoder is verified by the same suite."""
     from .jpeg import decode_jpeg
 
     def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
