@@ -159,16 +159,36 @@ def main() -> None:
                 "query_efficiency": round(
                     (b["queries_per_sec"] / s["queries_per_sec"]) / 4.0, 3),
             })
-        best_build = max(pairs, key=lambda p: p["build_efficiency"])
-        best_query = max(pairs, key=lambda p: p["query_efficiency"])
+        # Throttle detection (VERDICT r02 what's-wrong #4): a ratio > 1.0
+        # is physically impossible on one box (4N cores cannot be more
+        # than 4x as fast per-core), and a leg whose ABSOLUTE throughput
+        # sits far below the best same-size leg of this run measured the
+        # hypervisor's cpu cap, not the plan. Headline fields only ever
+        # come from clean pairs; if every pair is suspect the file says
+        # so instead of reporting a meaningless number.
+        max_big = max(p["big"]["build_docs_per_sec"] for p in pairs)
+        max_small = max(p["small"]["build_docs_per_sec"] for p in pairs)
+        for p in pairs:
+            p["throttle_suspect"] = bool(
+                p["build_efficiency"] > 1.02
+                or p["query_efficiency"] > 1.02
+                or p["big"]["build_docs_per_sec"] < 0.5 * max_big
+                or p["small"]["build_docs_per_sec"] < 0.5 * max_small
+            )
+        clean = [p for p in pairs if not p["throttle_suspect"]]
+        best_build = max(clean or pairs, key=lambda p: p["build_efficiency"])
+        best_query = max(clean or pairs, key=lambda p: p["query_efficiency"])
         summary = {
             "mode": "interleaved-pairs",
             "n_cores": args.n,
             "four_n_cores": args.n * 4,
+            "headline_valid": bool(clean),
             "build_efficiency": best_build["build_efficiency"],
             "query_efficiency": best_query["query_efficiency"],
             "best_build_pair": best_build["pair"],
             "best_query_pair": best_query["pair"],
+            "n_pairs": len(pairs),
+            "n_throttle_suspect": sum(p["throttle_suspect"] for p in pairs),
             "small": best_build["small"],
             "big": best_build["big"],
             "pairs": pairs,
