@@ -1561,6 +1561,48 @@ class TestAnalyzerInstanceSpec:
         for a in analyzers:
             assert isinstance(a.tokenize("test text"), list)
 
+    def test_isolates_config_between_threaded_instances(self):  # :116
+        import time as _time
+
+        out = {}
+
+        def make(name, strategy):
+            a = Analyzer(AnalyzerConfig(strategy=strategy))
+            _time.sleep(0.01)
+            out[name] = a.config.strategy
+
+        t1 = threading.Thread(target=make, args=("a", "whitespace"))
+        t2 = threading.Thread(target=make, args=("b", "unicode"))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert out == {"a": "whitespace", "b": "unicode"}
+
+    def test_rapid_instance_creation(self):  # :139
+        errors = []
+        strategies = ["whitespace", "unicode", "letter"]
+
+        def work(i):
+            try:
+                a = Analyzer(AnalyzerConfig(
+                    strategy=strategies[i % 3], lowercase=bool(i % 2)))
+                a.tokenize("test text")
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(100)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+
+    def test_releases_resources(self):  # :239
+        import gc
+
+        for _ in range(1000):
+            Analyzer(AnalyzerConfig(strategy="unicode")).tokenize("test")
+        gc.collect()
+        assert Analyzer(AnalyzerConfig()).tokenize("test") == ["test"]
+
 
 # ---- spec/configuration_spec.rb + configuration_immutability_spec.rb --------
 
@@ -1758,6 +1800,40 @@ class TestConfigStateMachine:
         assert cfg.lowercase is False
         assert cfg.remove_punctuation is False
 
+    def test_rollback_on_engine_side_errors(self):  # :111
+        initial = tk.current_config().strategy
+        with pytest.raises(Exception):
+            tk.configure(strategy="pattern", regex="[invalid(")
+            tok("test")
+        assert tk.current_config().strategy == initial
+
+    def test_config_and_hash_stay_consistent(self):  # :141
+        tk.configure(strategy="whitespace", lowercase=False)
+        cfg = tk.current_config()
+        assert cfg.strategy == "whitespace"
+        assert cfg.lowercase is False
+        h = cfg.to_hash()  # the reference's config_hash introspection
+        assert h["strategy"] == "whitespace"
+        assert h["lowercase"] is False
+
+    def test_rapid_strategy_switching(self):  # :176
+        strategies = ["unicode", "whitespace", "letter", "lowercase", "sentence"]
+        for i in range(10):
+            tk.configure(strategy=strategies[i % len(strategies)])
+            assert isinstance(tok("Quick test"), list)
+
+    def test_configure_without_changes(self):  # :257
+        tk.configure()  # no kwargs: valid, applies current config
+        assert isinstance(tok("test"), list)
+
+    def test_percall_options_leave_global_intact(self):  # :266
+        tk.configure(strategy="unicode", lowercase=True)
+        tok("TEST", strategy="whitespace", lowercase=False)
+        cfg = tk.current_config()
+        assert cfg.strategy == "unicode"
+        assert cfg.lowercase is True
+        assert tok("TEST") == ["test"]
+
 
 # ---- spec/thread_safety_spec.rb ---------------------------------------------
 
@@ -1845,6 +1921,127 @@ class TestThreadSafety:
             tk.configure(strategy="whitespace" if i % 2 == 0 else "unicode",
                          preserve_patterns=[r"test", r"pattern"])
             tok("test text with patterns")
+
+    def test_concurrent_configure_and_tokenize(self):  # :28
+        errors, results = [], []
+        lock = threading.Lock()
+
+        def configure_and_tok(i):
+            try:
+                tk.configure(
+                    strategy=["whitespace", "unicode", "letter"][i % 3],
+                    lowercase=bool(i % 2),
+                )
+                r = tok(f"Test TEXT {i}")
+                with lock:
+                    results.append(r)
+            except Exception as e:  # pragma: no cover
+                with lock:
+                    errors.append(e)
+
+        def tok_only(i):
+            try:
+                r = tok(f"Test TEXT {i}")
+                with lock:
+                    results.append(r)
+            except Exception as e:  # pragma: no cover
+                with lock:
+                    errors.append(e)
+
+        threads = [threading.Thread(target=configure_and_tok, args=(i,)) for i in range(5)]
+        threads += [threading.Thread(target=tok_only, args=(i,)) for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+        assert len(results) == 10
+
+    def test_config_is_global_last_writer_wins(self):  # :70
+        import time as _time
+
+        config_values, tokenize_results = [], []
+        lock = threading.Lock()
+
+        def work(i):
+            tk.configure(strategy="whitespace" if i == 0 else "unicode")
+            _time.sleep(0.01)
+            with lock:
+                config_values.append(tk.current_config().strategy)
+                tokenize_results.append(tok("hello-world"))
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(config_values) == 2
+        assert len(tokenize_results) == 2
+        flat = {t for r in tokenize_results for t in r}
+        assert "hello" in flat  # unicode splits the hyphen; ws keeps it
+
+    def test_tokenize_does_not_block_peers(self):  # :206
+        import time as _time
+
+        starts, ends = [], []
+        lock = threading.Lock()
+
+        def work(i):
+            with lock:
+                starts.append(_time.monotonic())
+            tok(f"This is test text number {i}")
+            with lock:
+                ends.append(_time.monotonic())
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert max(starts) < min(ends) + 0.01  # threads overlapped
+
+    def test_config_changes_during_tokenization(self):  # :230
+        import time as _time
+
+        results = []
+        lock = threading.Lock()
+
+        def reconf(i):
+            tk.configure(strategy="whitespace" if i % 2 == 0 else "unicode")
+            _time.sleep(0.001)
+
+        def work():
+            _time.sleep(0.001)
+            r = tok("hello-world")
+            with lock:
+                results.append(r)
+
+        threads = [threading.Thread(target=reconf, args=(i,)) for i in range(5)]
+        threads += [threading.Thread(target=work) for _ in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 10
+        assert all(r for r in results)
+
+    def test_high_concurrency_efficiency(self):  # :262
+        import time as _time
+
+        t0 = _time.monotonic()
+        threads = [
+            threading.Thread(
+                target=lambda i=i: [tok(f"Test text {i}") for _ in range(10)]
+            )
+            for i in range(100)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # the spec allows 1.0s in Ruby/Rust; pure Python + regex gets
+        # headroom but must stay interactive
+        assert _time.monotonic() - t0 < 10.0
 
 
 # ---- legacy grapheme mode (UAX-29 Table 1b; reference lib.rs:159-165) -------

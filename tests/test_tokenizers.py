@@ -167,6 +167,35 @@ class TestSentence:
         )
         assert t == ["This is a TEST sentence. ", "Another TEST here."]
 
+    def test_remove_punctuation(self):  # sentence_tokenizer_spec:70
+        import re
+
+        t = tok(
+            "Hello, world! How are you?",
+            strategy="sentence",
+            lowercase=False,
+            remove_punctuation=True,
+        )
+        assert all(not re.search(r"[!-/:-@\[-`{-~]", s) for s in t)
+
+    def test_preserve_acronyms(self):  # sentence_tokenizer_spec:78
+        t = tok(
+            "The FDA approved the drug. MIT has great programs.",
+            strategy="sentence",
+            lowercase=True,
+            preserve=[r"[A-Z]{2,}"],
+        )
+        assert "FDA" in t[0] and "MIT" in t[1]
+
+    def test_preserve_measurements(self):  # sentence_tokenizer_spec:117
+        t = tok(
+            "Administer 100mg twice daily. Maximum dose is 5ml per hour.",
+            strategy="sentence",
+            lowercase=True,
+            preserve=[r"\d+(mg|kg|ml|µg)"],
+        )
+        assert "100mg" in t[0] and "5ml" in t[1]
+
 
 # ---- grapheme (spec/grapheme_tokenizer_spec.rb) -----------------------------
 
