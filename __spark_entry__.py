@@ -2175,6 +2175,230 @@ def q_lang_detect(spark, sf_dir):
     return docs.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_pred"))
 
 
+# ---------------------------------------------------------------------------
+# round-3 operators: hybrid retrieval, the remaining ES agg family, and
+# LLM token-budget accounting
+# ---------------------------------------------------------------------------
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_rrf_hybrid(spark, sf_dir):
+    """Hybrid lexical+vector retrieval fused with Reciprocal Rank Fusion
+    (the ES 8.x rrf retriever contract, k=60): BM25 top-50 for the text
+    query + exact-cosine top-50 for the query vector (embedding of
+    vec_id 0), rrf_score = sum over retrievers of 1/(60+rank)
+    (index/hybrid.py). Both legs are candidate windows, so fusion work
+    is |window| x retrievers rows regardless of corpus size."""
+    from tokenkit_spark.index import hybrid
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    qdf = spark.createDataFrame([(0, "spark sort merge")], "query_id long, text string")
+    lex = bm25_brute(docs, qdf, WS, k=50, round_digits=4).select(
+        "query_id", "rank", "doc_id"
+    )
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    vec = hybrid.cosine_ranking(emb, qvec, query_id=0, window=50, round_digits=4)
+    return hybrid.rrf_fuse([lex, vec], k_const=60, k=10)
+
+
+def q_cross_fields(spark, sf_dir):
+    """multi_match type=cross_fields (Lucene BlendedTermQuery): title
+    (first 5 tokens) + body scored term-centrically — blended
+    df = max over fields, each term scored in its best field with
+    field-local length norms (index/hybrid.py:cross_fields)."""
+    from tokenkit_spark.index.hybrid import cross_fields
+
+    docs = _docs(spark, sf_dir)
+    title = F.array_join(
+        F.slice(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""), 1, 5),
+        " ",
+    )
+    fields = docs.select("doc_id", title.alias("title"), F.col("text").alias("body"))
+    return cross_fields(
+        fields, _queries_df(spark), ["title", "body"], WS, k=10, round_digits=4
+    )
+
+
+def q_rare_terms(spark, sf_dir):
+    """ES rare_terms agg over word 3-shingles: the long tail the terms
+    agg's size cutoff hides (df <= 2, rarest-then-lexicographic,
+    ops/aggs.py:rare_terms)."""
+    from tokenkit_spark.analyzers.filters import shingles_col
+    from tokenkit_spark.ops import aggs
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", tokenize_col("text", WS).alias("toks")
+    )
+    sh = toks.select("doc_id", F.explode(shingles_col("toks", 3)).alias("term"))
+    return aggs.rare_terms(sh, max_doc_count=2, limit=100)
+
+
+def q_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix agg: doc counts for the named term filters
+    spark/join/window and all pairwise intersections, ES key format
+    'a' / 'a&b' (ops/aggs.py:adjacency_matrix) — one single-pass
+    conditional-count aggregate."""
+    from tokenkit_spark.ops import aggs
+
+    toks = tokenize_col("text", WS)
+    flags = _docs(spark, sf_dir).select(
+        F.array_contains(toks, "spark").alias("spark"),
+        F.array_contains(toks, "join").alias("join"),
+        F.array_contains(toks, "window").alias("window"),
+    )
+    return aggs.adjacency_matrix(flags, ["spark", "join", "window"])
+
+
+def q_composite_agg(spark, sf_dir):
+    """ES composite agg: (event_type, day) buckets ordered by the source
+    tuple, paged with after-key ('error', 2024-01-15) exclusive — the
+    scroll-through-all-buckets primitive (ops/aggs.py:composite_agg)."""
+    import datetime
+
+    from tokenkit_spark.ops import aggs
+
+    ev = _events(spark, sf_dir)
+    return aggs.composite_agg(
+        ev,
+        [
+            ("event_type", F.col("event_type")),
+            ("day", F.date_trunc("day", F.col("ts")).cast("date")),
+        ],
+        size=10,
+        after=("error", datetime.date(2024, 1, 15)),
+    )
+
+
+def q_top_metrics(spark, sf_dir):
+    """ES top_metrics agg: the metric value on the latest-ts row per
+    event_type (event_id tiebreak) via max_by — one hash aggregate, no
+    window over raw events (ops/aggs.py:top_metrics)."""
+    from tokenkit_spark.ops import aggs
+    from tokenkit_spark.ops.events import _epoch_us
+
+    ev = _events(spark, sf_dir)
+    out = aggs.top_metrics(ev, "event_type", "ts", "value", "event_id")
+    return out.select(
+        "event_type",
+        _epoch_us(out, "top_sort").alias("latest_ts_us"),
+        F.round("top_metric", 4).alias("latest_value"),
+    )
+
+
+def q_matrix_stats(spark, sf_dir):
+    """ES matrix_stats agg (two fields): count/means/population
+    variances/covariance/correlation of (value, length(props)) per
+    event_type — all single-pass commutative aggregates
+    (ops/aggs.py:matrix_stats)."""
+    from tokenkit_spark.ops import aggs
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.length("props").cast("double").alias("y"),
+    )
+    return aggs.matrix_stats(ev, "event_type", "x", "y")
+
+
+def q_string_stats(spark, sf_dir):
+    """ES string_stats agg with show_distribution folded to Shannon
+    entropy (bits) of the char distribution, per lang; the char explode
+    collapses to alphabet-size rows after the map-side partial
+    (ops/aggs.py:string_stats)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.string_stats(_docs(spark, sf_dir), "lang")
+
+
+def q_boxplot_value(spark, sf_dir):
+    """ES boxplot agg per event_type: min/q1/q2/q3/max with exact
+    linear-interpolation quantiles (the TDigest form is the 10^12-row
+    variant; this is its oracle twin, ops/aggs.py:boxplot)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.boxplot(_events(spark, sf_dir), "event_type", "value")
+
+
+def q_range_agg(spark, sf_dir):
+    """ES range agg on value per event_type with OVERLAPPING bounds
+    [*-50), [50-200), [100-*) — each bound its own conditional count in
+    one aggregate pass (ops/aggs.py:range_agg)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.range_agg(
+        _events(spark, sf_dir),
+        "value",
+        [(None, 50), (50, 200), (100, None)],
+        group_col="event_type",
+    )
+
+
+def q_diversified_sample(spark, sf_dir):
+    """ES diversified_sampler agg, deterministic: at most 3 docs per
+    source (best-first by doc_id), then the overall best 12 — the
+    de-biased sample feeding significant_terms at scale
+    (ops/aggs.py:diversified_sampler)."""
+    from tokenkit_spark.ops import aggs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return aggs.diversified_sampler(
+        docs, "source", "doc_id", max_docs_per_value=3, shard_size=12
+    )
+
+
+def q_weighted_avg(spark, sf_dir):
+    """ES weighted_avg agg: value weighted by length(props) per
+    event_type, single-pass sum(v*w)/sum(w) (ops/aggs.py:weighted_avg)."""
+    from tokenkit_spark.ops import aggs
+
+    ev = _events(spark, sf_dir)
+    return aggs.weighted_avg(
+        ev, "event_type", F.col("value"), F.length("props").cast("double")
+    )
+
+
+def q_serial_diff(spark, sf_dir):
+    """ES serial_diff pipeline agg: day-over-day difference of the daily
+    value sum; the lag window runs over the aggregated bucket stream
+    (one row per day), never over raw events (ops/aggs.py:serial_diff)."""
+    from tokenkit_spark.ops import aggs
+
+    buckets = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return aggs.serial_diff(buckets, "day", "sum_value", lag=1)
+
+
+def q_bucket_selector(spark, sf_dir):
+    """ES bucket_selector + bucket_sort pipeline aggs: (event_type, day)
+    buckets HAVING sum_value >= the per-day-type median (~3200 at sf0.01), top-10 by sum_value desc
+    (ops/aggs.py:bucket_selector_sort)."""
+    from tokenkit_spark.ops import aggs
+
+    buckets = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return aggs.bucket_selector_sort(buckets, "sum_value", 3200.0, size=10)
+
+
+def q_bpe_pretokens(spark, sf_dir):
+    """LLM token-budget accounting: GPT-2-style pre-tokenizer unit counts
+    per doc (RE2-safe pattern subset so the oracle runs the IDENTICAL
+    regex; ops/textstats.py:bpe_pretokens)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return textstats.bpe_pretokens(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 through the compressed segment index engine
     on sf0.001."""
@@ -2189,7 +2413,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window (paged_search~search_after_page2, wildcard/regexp~prefix,
     # histogram_facet~date_histogram) are parked just past the window.
     return {
-        # --- round-2 operators, never driver-verified (window: first 50) ---
+        # --- round-3 operators (newest first) ---
+        "rrf_hybrid": q_rrf_hybrid,
+        "cross_fields_search": q_cross_fields,
+        "rare_terms": q_rare_terms,
+        "adjacency_matrix": q_adjacency_matrix,
+        "composite_agg": q_composite_agg,
+        "top_metrics": q_top_metrics,
+        "matrix_stats": q_matrix_stats,
+        "string_stats": q_string_stats,
+        "boxplot_value": q_boxplot_value,
+        "range_agg": q_range_agg,
+        "diversified_sample": q_diversified_sample,
+        "weighted_avg": q_weighted_avg,
+        "serial_diff": q_serial_diff,
+        "bucket_selector": q_bucket_selector,
+        "bpe_pretokens": q_bpe_pretokens,
+        # --- round-2 operators, never driver-verified ---
         "proximity_search": q_proximity_search,
         "snippets": q_snippets,
         "percolate": q_percolate,
@@ -2328,6 +2568,164 @@ def oracle_sql() -> dict[str, str]:
     stop_es = ", ".join(f"'{s}'" for s in textstats.STOPWORDS["es"])
     token_rx = textstats.TOKEN_REGEX
     return {
+        # --- round-3 oracles ---
+        "rrf_hybrid": (
+            f"WITH toks AS ({_TOKS}), "
+            "postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats), "
+            "tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1), "
+            "qterms AS (SELECT DISTINCT lower(u.t) AS term "
+            "FROM (VALUES ('spark sort merge')) q(qtext), "
+            "unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)), "
+            "scored AS (SELECT p.doc_id, "
+            "sum(ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) * p.tf * 2.2 "
+            "/ (p.tf + 1.2 * (0.25 + 0.75 * d.dl / g.avgdl))) AS s "
+            "FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term) "
+            "JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1), "
+            "lexr AS (SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id) AS rank, "
+            "doc_id FROM scored), "
+            "qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0), "
+            "vecs AS (SELECT vec_id AS doc_id, "
+            "round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS c FROM embeddings, qv), "
+            "vecr AS (SELECT row_number() OVER (ORDER BY c DESC, doc_id) AS rank, doc_id FROM vecs), "
+            "contrib AS (SELECT doc_id, 1.0 / (60 + rank) AS c FROM lexr WHERE rank <= 50 "
+            "UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM vecr WHERE rank <= 50), "
+            "fused AS (SELECT doc_id, sum(c) AS s, count(*) AS n FROM contrib GROUP BY 1), "
+            "ranked AS (SELECT row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank, "
+            "doc_id, round(s, 6) AS rrf_score, n FROM fused) "
+            "SELECT 0::BIGINT AS query_id, rank, doc_id, rrf_score, n AS n_retrievers "
+            "FROM ranked WHERE rank <= 10"
+        ),
+        "cross_fields_search": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS l FROM documents), "
+            "tt AS (SELECT doc_id, u.t AS term FROM "
+            "(SELECT doc_id, list_slice(l, 1, 5) AS l5 FROM tl) s, unnest(l5) AS u(t)), "
+            "tb AS (SELECT doc_id, u.t AS term FROM tl, unnest(l) AS u(t)), "
+            "pf AS (SELECT 'title' AS field, term, doc_id, count(*) AS tf FROM tt GROUP BY 2, 3 "
+            "UNION ALL SELECT 'body', term, doc_id, count(*) FROM tb GROUP BY 2, 3), "
+            "dlf AS (SELECT 'title' AS field, doc_id, count(*) AS dl FROM tt GROUP BY 2 "
+            "UNION ALL SELECT 'body', doc_id, count(*) FROM tb GROUP BY 2), "
+            "nd AS (SELECT count(*) AS n_docs FROM documents), "
+            "av AS (SELECT field, sum(dl) / (SELECT n_docs FROM nd) AS avgdl FROM dlf GROUP BY 1), "
+            "bdf AS (SELECT term, max(df_f) AS df FROM "
+            "(SELECT field, term, count(*) AS df_f FROM pf GROUP BY 1, 2) GROUP BY 1), "
+            f"queries(query_id, qtext) AS (VALUES {_BM25_VALUES}), "
+            "qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries, "
+            "unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)), "
+            "comp AS (SELECT q.query_id, p.doc_id, p.term, "
+            "max(ln(1 + ((SELECT n_docs FROM nd) - b.df + 0.5) / (b.df + 0.5)) * p.tf * 2.2 "
+            "/ (p.tf + 1.2 * (0.25 + 0.75 * d.dl / a.avgdl))) AS tsc "
+            "FROM qterms q JOIN pf p USING (term) "
+            "JOIN dlf d ON d.field = p.field AND d.doc_id = p.doc_id "
+            "JOIN av a ON a.field = p.field JOIN bdf b USING (term) GROUP BY 1, 2, 3), "
+            "scored AS (SELECT query_id, doc_id, sum(tsc) AS s FROM comp GROUP BY 1, 2), "
+            "ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY round(s, 4) DESC, doc_id) AS rank, doc_id, round(s, 4) AS score FROM scored) "
+            "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10"
+        ),
+        "rare_terms": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS l FROM documents), "
+            "sh AS (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS term "
+            "FROM tl, unnest(generate_series(1, greatest(len(l) - 2, 0))) r(i)), "
+            "d AS (SELECT term, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1) "
+            "SELECT term, df FROM d WHERE df <= 2 ORDER BY df ASC, term ASC LIMIT 100"
+        ),
+        "adjacency_matrix": (
+            "WITH f AS (SELECT "
+            "list_contains(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), 'spark') AS s, "
+            "list_contains(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), 'join') AS j, "
+            "list_contains(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), 'window') AS w "
+            "FROM documents), "
+            "k AS (SELECT 'join' AS key, sum(CASE WHEN j THEN 1 ELSE 0 END)::BIGINT AS doc_count FROM f "
+            "UNION ALL SELECT 'join&spark', sum(CASE WHEN j AND s THEN 1 ELSE 0 END)::BIGINT FROM f "
+            "UNION ALL SELECT 'join&window', sum(CASE WHEN j AND w THEN 1 ELSE 0 END)::BIGINT FROM f "
+            "UNION ALL SELECT 'spark', sum(CASE WHEN s THEN 1 ELSE 0 END)::BIGINT FROM f "
+            "UNION ALL SELECT 'spark&window', sum(CASE WHEN s AND w THEN 1 ELSE 0 END)::BIGINT FROM f "
+            "UNION ALL SELECT 'window', sum(CASE WHEN w THEN 1 ELSE 0 END)::BIGINT FROM f) "
+            "SELECT key, doc_count FROM k WHERE doc_count > 0"
+        ),
+        "composite_agg": (
+            "WITH b AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "count(*) AS doc_count FROM events GROUP BY 1, 2) "
+            "SELECT event_type, day, doc_count FROM b "
+            "WHERE (event_type > 'error') OR (event_type = 'error' AND day > DATE '2024-01-15') "
+            "ORDER BY event_type, day LIMIT 10"
+        ),
+        "top_metrics": (
+            "WITH r AS (SELECT event_type, ts, value, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "SELECT event_type, epoch_us(ts) AS latest_ts_us, round(value, 4) AS latest_value "
+            "FROM r WHERE rn = 1"
+        ),
+        "matrix_stats": (
+            "SELECT event_type, count(*) AS n, round(avg(value), 4) AS mean_x, "
+            "round(avg(length(props)), 4) AS mean_y, round(var_pop(value), 4) AS var_x, "
+            "round(var_pop(length(props)), 4) AS var_y, "
+            "round(covar_pop(value, length(props)), 4) AS covariance, "
+            "round(corr(value, length(props)), 4) AS correlation "
+            "FROM events GROUP BY 1"
+        ),
+        "string_stats": (
+            "WITH lens AS (SELECT lang, count(*) AS count, min(length(text))::INTEGER AS min_length, "
+            "max(length(text))::INTEGER AS max_length, round(avg(length(text)), 4) AS avg_length "
+            "FROM documents GROUP BY 1), "
+            "ch AS (SELECT lang, unnest(string_split(text, '')) AS ch FROM documents), "
+            "d AS (SELECT lang, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2), "
+            "e AS (SELECT lang, round(-sum(p * log2(p)), 4) AS entropy FROM "
+            "(SELECT lang, c / sum(c) OVER (PARTITION BY lang) AS p FROM d) GROUP BY 1) "
+            "SELECT l.lang, count, min_length, max_length, avg_length, entropy "
+            "FROM lens l JOIN e USING (lang)"
+        ),
+        "boxplot_value": (
+            "SELECT event_type, round(min(value), 4) AS min_v, "
+            "round(quantile_cont(value, 0.25), 4) AS q1, "
+            "round(quantile_cont(value, 0.5), 4) AS q2, "
+            "round(quantile_cont(value, 0.75), 4) AS q3, "
+            "round(max(value), 4) AS max_v FROM events GROUP BY 1"
+        ),
+        "range_agg": (
+            "WITH b AS ("
+            "SELECT event_type, '*-50' AS range_key, "
+            "sum(CASE WHEN value < 50 THEN 1 ELSE 0 END)::BIGINT AS doc_count FROM events GROUP BY 1 "
+            "UNION ALL SELECT event_type, '50-200', "
+            "sum(CASE WHEN value >= 50 AND value < 200 THEN 1 ELSE 0 END)::BIGINT FROM events GROUP BY 1 "
+            "UNION ALL SELECT event_type, '100-*', "
+            "sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)::BIGINT FROM events GROUP BY 1) "
+            "SELECT event_type, range_key, doc_count FROM b WHERE doc_count > 0"
+        ),
+        "diversified_sample": (
+            "WITH r AS (SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+            "SELECT doc_id, source FROM r WHERE rn <= 3 ORDER BY doc_id LIMIT 12"
+        ),
+        "weighted_avg": (
+            "SELECT event_type, round(sum(value * length(props)) / sum(length(props)), 4) "
+            "AS weighted_avg, count(*) AS n FROM events GROUP BY 1"
+        ),
+        "serial_diff": (
+            "WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "round(sum(value), 4) AS sum_value FROM events GROUP BY 1), "
+            "d AS (SELECT day, sum_value, round(sum_value - lag(sum_value, 1) "
+            "OVER (ORDER BY day), 4) AS diff_1 FROM b) "
+            "SELECT day, sum_value, diff_1 FROM d WHERE diff_1 IS NOT NULL"
+        ),
+        "bucket_selector": (
+            "WITH b AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2) "
+            "SELECT event_type, day, sum_value FROM b WHERE sum_value >= 3200 "
+            "ORDER BY sum_value DESC, event_type, day LIMIT 10"
+        ),
+        "bpe_pretokens": (
+            "WITH pt AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            "' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS pt "
+            "FROM documents WHERE doc_id < 200) "
+            "SELECT doc_id, count(*) AS n_pretokens, count(DISTINCT pt) AS n_distinct, "
+            "round(sum(length(pt))::DOUBLE / count(*), 4) AS chars_per_pretoken "
+            "FROM pt GROUP BY 1"
+        ),
         "ws_token_counts": (
             "SELECT doc_id, "
             "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens, "

@@ -1,0 +1,179 @@
+"""Hybrid retrieval: Reciprocal-Rank-Fusion of lexical (BM25) and vector
+(cosine) rankings, plus the ``multi_match`` cross_fields scoring mode.
+
+The reference's host application is a BM25 search stack (reference:
+README.md:509-553); modern deployments of the same stack serve hybrid
+lexical+vector queries fused with RRF (the ES 8.x ``rrf`` retriever and
+Lucene's BlendedTermQuery are the public contracts these follow).
+
+Scale shapes:
+
+* ``rrf_fuse`` unions per-retriever rank lists (each already truncated to
+  a window of size w, so the union is |queries| x w x retrievers rows —
+  tiny relative to the corpus) and hash-aggregates the RRF sum.  No
+  per-doc work outside the candidate windows, which is exactly the ES
+  contract (rank_window_size).
+* ``cross_fields`` is term-centric: per-field postings are unioned and
+  re-aggregated so each (term, doc) carries per-field tf, then the
+  blended idf (max df across fields — Lucene BlendedTermQuery's
+  ``max_doc_freq`` blend) scores the best field occurrence.  Joins are
+  the same broadcast-query-terms shape as bm25_brute; nothing new
+  shuffles at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import AnalyzerConfig
+from .build import tokens_df
+from .query import K1, B, _doc_globals, _idf, _topk_window, analyze_queries
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fuse ranked lists with Reciprocal Rank Fusion:
+    ``score(d) = Σ_r 1 / (k_const + rank_r(d))`` over the retrievers
+    where d appears (the ES rrf retriever formula, k=60 default).
+
+    Each input carries (query_id, rank, doc_id).  Docs missing from a
+    retriever's window simply contribute nothing (ES semantics)."""
+    tagged = None
+    for r in rankings:
+        contrib = r.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (F.lit(float(k_const)) + F.col("rank"))).alias("c"),
+        )
+        tagged = contrib if tagged is None else tagged.unionByName(contrib)
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("rrf_score"), F.count(F.lit(1)).alias("n_retrievers")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("rrf_score"), round_digits).desc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("rrf_score", round_digits).alias("rrf_score"),
+            "n_retrievers",
+        )
+    )
+
+
+def cosine_ranking(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    query_id: int = 0,
+    window: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Vector retriever leg: exact cosine top-``window`` as a rank list
+    (query_id, rank, doc_id).  The dot product runs JVM-side via
+    ``zip_with``/``aggregate`` lambdas; the top-N is the standard
+    rank-then-limit AQE shape.  At 10^12 docs this leg swaps to the IVF
+    path (ops/similarity.py) — the fusion contract is unchanged."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(sum(x * x for x in query_vec)) ** 0.5
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        (dot / (norm * F.lit(qn))).alias("cosine"),
+    )
+    w = Window.orderBy(F.round("cosine", round_digits).desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= window)
+        .select(F.lit(query_id).cast("long").alias("query_id"), "rank", "doc_id")
+    )
+
+
+def cross_fields(
+    fields_df: DataFrame,
+    queries: DataFrame,
+    field_cols: list[str],
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """``multi_match`` type=cross_fields: treat ``field_cols`` as one
+    logical field.  Term-centric scoring per Lucene BlendedTermQuery:
+
+    * blended df(t) = max over fields of df_field(t)
+    * score(q, d)  = Σ_t  idf_blend(t) * max over fields of
+                     tf-norm_field(t, d)   (field-local dl and avgdl)
+
+    so a term need only appear in SOME field, and a doc that splits the
+    query terms across fields (first/last name across title/body) still
+    ranks — the failure mode best_fields/dis_max has.
+
+    ``fields_df`` carries doc_id + the raw string columns."""
+    cfg = config or AnalyzerConfig()
+    per_field = None
+    for fc in field_cols:
+        toks = tokens_df(
+            fields_df.select("doc_id", F.col(fc).alias("text")), cfg
+        ).select("doc_id", "term")
+        p = (
+            toks.groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("field", F.lit(fc))
+        )
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        p = p.join(dl, "doc_id")
+        per_field = p if per_field is None else per_field.unionByName(p)
+
+    # field-local avgdl over ALL docs of that field (docs with zero terms
+    # in a field still count toward its avgdl via the doc roster)
+    n_docs = fields_df.select("doc_id").distinct().count()
+    field_avg = (
+        per_field.groupBy("field", "doc_id")
+        .agg(F.max("dl").alias("dl"))
+        .groupBy("field")
+        .agg((F.sum("dl") / F.lit(float(n_docs))).alias("avgdl"))
+    )
+    blended_df = per_field.groupBy("term", "field").agg(
+        F.count(F.lit(1)).alias("df_f")
+    ).groupBy("term").agg(F.max("df_f").alias("df"))
+
+    q_terms = analyze_queries(queries, cfg)
+    scored = (
+        F.broadcast(q_terms)
+        .join(per_field, "term")
+        .join(F.broadcast(field_avg), "field")
+        .join(F.broadcast(blended_df), "term")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .withColumn(
+            "norm",
+            (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id", "term")
+        .agg(F.max(F.col("norm") * F.col("idf")).alias("t_score"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("t_score").alias("score"))
+    )
+    return _topk_window(scored, k, round_digits)

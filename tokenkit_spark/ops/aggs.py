@@ -1,0 +1,304 @@
+"""The remaining Elasticsearch aggregation family, Spark-first.
+
+The reference (scientist-labs/tokenkit) positions itself as the analysis
+layer of an ES-style search stack (reference: README.md:509-553); the
+engine here already covers terms/date_histogram/percentiles/extended_stats/
+cardinality/top_hits/significant_terms.  This module adds the rest of the
+agg surface a search cluster exposes over the same tables:
+
+* ``rare_terms``          — long-tail terms with df <= max_doc_count
+* ``adjacency_matrix``    — named-filter intersection counts (A, B, A&B)
+* ``composite_agg``       — multi-source paged buckets with after-key
+* ``top_metrics``         — metric value at the sort-field extreme per bucket
+* ``matrix_stats``        — count/mean/variance/covariance/correlation
+* ``string_stats``        — length stats + Shannon char entropy (show_distribution)
+* ``boxplot``             — min/q1/q2/q3/max (exact interpolated quantiles)
+* ``range_agg``           — explicit [from, to) value buckets
+* ``diversified_sampler`` — per-bucket-capped deterministic sample
+* ``weighted_avg``        — value weighted by a second expression
+* ``serial_diff``         — pipeline agg: lagged difference over buckets
+* ``bucket_selector_sort``— pipeline agg: HAVING-filter + bucket_sort page
+
+Scale notes:
+
+* Everything below is a pure Catalyst plan — hash aggregates with map-side
+  partials, window functions over bucket keys (bucket cardinality, not row
+  cardinality), no Python workers and no driver collects.  Pipeline aggs
+  (serial_diff / bucket_selector / bucket_sort) run over the *aggregated*
+  bucket stream, so their window passes see one row per bucket — at
+  10^12 input rows the shuffled volume is the bucket count.
+* ``rare_terms`` is the one agg ES itself documents as approximate at
+  scale (CuckooFilter); the exact groupBy form here is the oracle twin
+  and is already distributed — the df <= k filter happens post-aggregate
+  where the data is one row per term.
+* ``string_stats`` entropy explodes characters; at corpus scale the
+  per-char explode is a map-side expression feeding a 1-row-per-codepoint
+  aggregate — bounded by alphabet size after the partial combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rare_terms(
+    tokens: DataFrame,
+    max_doc_count: int = 2,
+    term_col: str = "term",
+    doc_col: str = "doc_id",
+    limit: int = 100,
+) -> DataFrame:
+    """ES ``rare_terms`` agg: terms appearing in at most ``max_doc_count``
+    docs, rarest first.  Input is the exploded (doc_id, term) relation."""
+    return (
+        tokens.groupBy(term_col)
+        .agg(F.countDistinct(doc_col).alias("df"))
+        .where(F.col("df") <= max_doc_count)
+        .orderBy(F.col("df").asc(), F.col(term_col).asc())
+        .limit(limit)
+    )
+
+
+def adjacency_matrix(
+    docs_flags: DataFrame, filter_names: list[str], doc_col: str = "doc_id"
+) -> DataFrame:
+    """ES ``adjacency_matrix`` agg: doc counts for every named filter and
+    every pairwise intersection, keyed ES-style ("a", "a&b" with names in
+    sorted order).  ``docs_flags`` carries one boolean column per filter
+    name.  One single-pass hash aggregate: each conditional count is a
+    map-side expression, so the shuffle is one row per map task."""
+    names = sorted(filter_names)
+    aggs = []
+    keys = []
+    for i, a in enumerate(names):
+        keys.append(a)
+        aggs.append(F.sum(F.col(a).cast("long")).alias(f"_{len(aggs)}"))
+        for b in names[i + 1 :]:
+            keys.append(f"{a}&{b}")
+            aggs.append(
+                F.sum((F.col(a) & F.col(b)).cast("long")).alias(f"_{len(aggs)}")
+            )
+    row = docs_flags.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("key"), F.col(f"_{i}").alias("doc_count"))
+            for i, k in enumerate(keys)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("b"))
+        .select("b.key", "b.doc_count")
+        .where(F.col("doc_count") > 0)
+    )
+
+
+def composite_agg(
+    df: DataFrame,
+    sources: list[tuple],
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """ES ``composite`` agg: buckets over the cross of ``sources`` —
+    (name, column-expression) pairs — ordered by the full source tuple,
+    paged with an ``after`` key (exclusive).  The page cut is a
+    post-aggregate sort+limit over bucket rows — never over raw rows."""
+    names = [n for n, _ in sources]
+    buckets = df.groupBy(
+        *[expr.alias(n) for n, expr in sources]
+    ).agg(F.count(F.lit(1)).alias("doc_count"))
+    if after is not None:
+        # lexicographic "greater than after-key" predicate
+        cond = None
+        prefix = None
+        for name, val in zip(names, after):
+            gt = F.col(name) > F.lit(val)
+            this = gt if prefix is None else prefix & gt
+            cond = this if cond is None else cond | this
+            eq = F.col(name) == F.lit(val)
+            prefix = eq if prefix is None else prefix & eq
+        buckets = buckets.where(cond)
+    return buckets.orderBy(*[F.col(n).asc() for n in names]).limit(size)
+
+
+def top_metrics(
+    df: DataFrame,
+    group_col: str,
+    sort_col: str,
+    metric_col: str,
+    tiebreak_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """ES ``top_metrics`` agg: per bucket, the value of ``metric_col`` on
+    the row where ``sort_col`` is extreme.  max_by/min_by keeps it a
+    single hash aggregate (no window, no self-join)."""
+    key = F.struct(F.col(sort_col), F.col(tiebreak_col))
+    pick = F.max_by(F.col(metric_col), key) if descending else F.min_by(
+        F.col(metric_col), key
+    )
+    top = (F.max(F.col(sort_col)) if descending else F.min(F.col(sort_col)))
+    return df.groupBy(group_col).agg(
+        top.alias("top_sort"), pick.alias("top_metric")
+    )
+
+
+def matrix_stats(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """ES ``matrix_stats`` agg (two-field form): per bucket count, means,
+    population variances, covariance and Pearson correlation.  All of
+    these are single-pass commutative aggregates (sufficient statistics
+    merge map-side)."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(x_col), 4).alias("mean_x"),
+        F.round(F.avg(y_col), 4).alias("mean_y"),
+        F.round(F.var_pop(x_col), 4).alias("var_x"),
+        F.round(F.var_pop(y_col), 4).alias("var_y"),
+        F.round(F.covar_pop(x_col, y_col), 4).alias("covariance"),
+        F.round(F.corr(x_col, y_col), 4).alias("correlation"),
+    )
+
+
+def string_stats(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """ES ``string_stats`` agg with show_distribution semantics folded to
+    its headline number: per bucket count / min / max / avg length plus
+    the Shannon entropy (bits) of the character distribution.
+
+    The char explode is a map-side expression; after the partial
+    aggregate the shuffle carries (bucket, codepoint) rows — bounded by
+    alphabet size per bucket, not corpus size."""
+    lens = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(F.length(text_col)).alias("min_length"),
+        F.max(F.length(text_col)).alias("max_length"),
+        F.round(F.avg(F.length(text_col)), 4).alias("avg_length"),
+    )
+    chars = df.select(
+        group_col, F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    dist = chars.groupBy(group_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = Window.partitionBy(group_col)
+    ent = (
+        dist.withColumn("p", F.col("c") / F.sum("c").over(tot))
+        .groupBy(group_col)
+        .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 4).alias("entropy"))
+    )
+    return lens.join(ent, group_col)
+
+
+def boxplot(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """ES ``boxplot`` agg: min/q1/q2/q3/max per bucket with exact
+    linear-interpolation quantiles (the TDigest form is the 10^12-row
+    variant; this exact form is the oracle twin, same shape as the
+    existing percentiles_facet)."""
+    q = F.percentile(value_col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return df.groupBy(group_col).agg(
+        F.round(F.min(value_col), 4).alias("min_v"),
+        F.round(q[0], 4).alias("q1"),
+        F.round(q[1], 4).alias("q2"),
+        F.round(q[2], 4).alias("q3"),
+        F.round(F.max(value_col), 4).alias("max_v"),
+    )
+
+
+def range_agg(
+    df: DataFrame, value_col: str, bounds: list[tuple], group_col: str | None = None
+) -> DataFrame:
+    """ES ``range`` agg: explicit [from, to) buckets (None = open end),
+    ES key format "from-to".  A doc can land in overlapping ranges, so
+    each bound is its own conditional count in ONE aggregate pass."""
+    aggs = []
+    keys = []
+    for lo, hi in bounds:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(value_col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(value_col) < F.lit(hi))
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        keys.append(key)
+        aggs.append(F.sum(cond.cast("long")).alias(f"_{len(aggs)}"))
+    gb = df.groupBy(group_col) if group_col else df.groupBy()
+    row = gb.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("range_key"), F.col(f"_{i}").alias("doc_count"))
+            for i, k in enumerate(keys)
+        ]
+    )
+    cols = ([group_col] if group_col else []) + [F.explode(pairs).alias("b")]
+    out = row.select(*cols)
+    keep = ([group_col] if group_col else []) + ["b.range_key", "b.doc_count"]
+    return out.select(*keep)
+
+
+def diversified_sampler(
+    df: DataFrame,
+    diversity_col: str,
+    order_col: str,
+    max_docs_per_value: int,
+    shard_size: int,
+) -> DataFrame:
+    """ES ``diversified_sampler`` agg, deterministic form: keep at most
+    ``max_docs_per_value`` rows per diversity value (best-first by
+    ``order_col``), then the overall best ``shard_size`` rows.  One
+    window pass partitioned by the diversity key (per-key cardinality,
+    not corpus cardinality), then a global top-N — the standard
+    rank-then-limit shape AQE handles with a partial top-N per
+    partition."""
+    w = Window.partitionBy(diversity_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_dv_rank", F.row_number().over(w))
+        .where(F.col("_dv_rank") <= max_docs_per_value)
+        .drop("_dv_rank")
+        .orderBy(F.col(order_col).asc())
+        .limit(shard_size)
+    )
+
+
+def weighted_avg(
+    df: DataFrame, group_col: str, value_col, weight_col
+) -> DataFrame:
+    """ES ``weighted_avg`` agg: sum(v*w)/sum(w) per bucket; single-pass."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.groupBy(group_col).agg(
+        F.round(F.sum(v * w) / F.sum(w), 4).alias("weighted_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def serial_diff(
+    buckets: DataFrame, bucket_col: str, value_col: str, lag: int = 1
+) -> DataFrame:
+    """ES ``serial_diff`` pipeline agg: value minus the value ``lag``
+    buckets earlier, over the ordered bucket stream (one row per bucket
+    — the window sees bucket cardinality)."""
+    w = Window.orderBy(bucket_col)
+    return buckets.select(
+        bucket_col,
+        F.col(value_col),
+        F.round(F.col(value_col) - F.lag(value_col, lag).over(w), 4).alias(
+            f"diff_{lag}"
+        ),
+    ).where(F.col(f"diff_{lag}").isNotNull())
+
+
+def bucket_selector_sort(
+    buckets: DataFrame,
+    value_col: str,
+    min_value: float,
+    sort_desc: bool = True,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``bucket_selector`` + ``bucket_sort`` pipeline aggs: drop
+    buckets failing the script predicate, then sort and truncate the
+    bucket stream."""
+    out = buckets.where(F.col(value_col) >= F.lit(min_value))
+    order = F.col(value_col).desc() if sort_desc else F.col(value_col).asc()
+    return out.orderBy(order, *[c for c in buckets.columns if c != value_col]).limit(
+        size
+    )

@@ -381,3 +381,39 @@ def remove_boilerplate_lines(
         .join(reassembled, "doc_id", "left")
         .select("doc_id", F.coalesce(out_col, F.lit("")).alias(out_col))
     )
+
+
+# GPT-2-family pre-tokenizer split, restricted to RE2-safe constructs so
+# the same pattern is runnable by Spark (Java regex) AND the DuckDB oracle
+# (RE2): letter runs, digit runs, and punctuation runs, each with an
+# optional single leading space. (The full GPT-2 pattern adds contraction
+# special-cases and a trailing-space lookahead; those need backtracking
+# engines, so the boundary is documented here instead of hidden.)
+BPE_PRETOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_pretokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """LLM token-budget accounting: split text with the GPT-2-style
+    pre-tokenizer regex and return (doc_id, n_pretokens, n_distinct,
+    chars_per_pretoken). This is the pre-BPE unit count every training-
+    data pipeline budgets with (BPE merges only ever split WITHIN these
+    units, so n_pretokens lower-bounds and tracks the BPE token count).
+
+    Scale shape: ``regexp_extract_all`` + ``explode`` run JVM-side in
+    whole-stage codegen; the aggregate is per-doc (map-side combinable).
+    """
+    toks = docs.select(
+        "doc_id",
+        # pattern passed as a literal Column, NOT through F.expr — the SQL
+        # parser would eat the \s escape inside the string literal
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+        ).alias("pt"),
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pretokens"),
+        F.countDistinct("pt").alias("n_distinct"),
+        F.round(F.sum(F.length("pt")) / F.count(F.lit(1)), 4).alias(
+            "chars_per_pretoken"
+        ),
+    )
