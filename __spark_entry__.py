@@ -2399,6 +2399,144 @@ def q_bpe_pretokens(spark, sf_dir):
     return textstats.bpe_pretokens(docs)
 
 
+# ---------------------------------------------------------------------------
+# round-3 batch 2: span queries, terms_set, geo surface, join-field
+# ---------------------------------------------------------------------------
+
+SPAN_NEAR = [  # 2-term + distinct so the pairwise SQL min-span is exact
+    (0, "sort merge"),
+    (1, "hash join"),
+    (2, "scan filter"),
+    (3, "zz nonexistent"),
+]
+SPAN_NEAR_SLOP = 2
+SPAN_FIRST = [(0, "spark"), (1, "merge"), (2, "zznope")]
+SPAN_FIRST_END = 5
+MPP = [(0, "merge s"), (1, "the ba"), (2, "zz no")]
+TERMS_SET = ["spark", "join", "window"]
+
+# deterministic per-event coordinates (no geo columns in the sandbox
+# tables): both engines derive lat/lon from user_id with the SAME integer
+# arithmetic, so the geo operators get a stable point column to aggregate
+GEO_LAT_SQL = "((user_id * 7919) % 12000) / 100.0 - 60.0"
+GEO_LON_SQL = "((user_id * 104729) % 36000) / 100.0 - 180.0"
+GEO_ZOOM = 6
+GEO_ORIGIN = (20.0, 10.0)
+GEO_RADIUS_KM = 5000.0
+
+
+def _events_geo(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (((F.col("user_id") * 7919) % 12000) / 100.0 - 60.0).alias("lat"),
+        (((F.col("user_id") * 104729) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+def q_span_near(spark, sf_dir):
+    """Unordered span_near (Lucene SpanNearQuery inOrder=false) through
+    the positional segment index: docs containing both clause terms in
+    ANY order within (n-1)+slop positions, with the minimal window
+    (index/spans.py:span_near, slop=2)."""
+    from tokenkit_spark.index.spans import span_near
+
+    index = _index_for(spark, sf_dir)
+    cdf = spark.createDataFrame(SPAN_NEAR, "query_id long, text string")
+    return span_near(spark, index, cdf, WS, slop=SPAN_NEAR_SLOP)
+
+
+def q_span_first(spark, sf_dir):
+    """span_first (Lucene SpanFirstQuery): docs where the term occurs at
+    a 0-based position < end=5, with the earliest position
+    (index/spans.py:span_first)."""
+    from tokenkit_spark.index.spans import span_first
+
+    index = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(SPAN_FIRST, "query_id long, text string")
+    return span_first(spark, index, qdf, WS, end=SPAN_FIRST_END)
+
+
+def q_match_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix: exact phrase whose last term is a prefix,
+    expanded against the index vocabulary (lexicographic, max_expansions
+    — a no-op cap here: the fixture vocab is 31 terms)
+    (index/spans.py:match_phrase_prefix)."""
+    from tokenkit_spark.index.spans import match_phrase_prefix
+
+    index = _index_for(spark, sf_dir)
+    pdf = spark.createDataFrame(MPP, "query_id long, text string")
+    return match_phrase_prefix(spark, index, pdf, WS, max_expansions=50)
+
+
+def q_terms_set(spark, sf_dir):
+    """ES terms_set query with minimum_should_match_field: docs matching
+    at least a PER-DOC number (doc_id % 2 + 1) of the candidate terms
+    (index/query.py:terms_set_search)."""
+    from tokenkit_spark.index.query import terms_set_search
+
+    docs = _docs(spark, sf_dir)
+    return terms_set_search(
+        docs, TERMS_SET, (F.col("doc_id") % 2 + 1), WS
+    ).orderBy("doc_id")
+
+
+def q_geotile_grid(spark, sf_dir):
+    """ES geotile_grid agg at zoom 6 over derived event coordinates:
+    Web-Mercator tile keys z/x/y, doc_count desc (ops/geo.py:
+    geotile_grid — pure Catalyst arithmetic, one aggregate shuffle)."""
+    from tokenkit_spark.ops import geo
+
+    return geo.geotile_grid(
+        _events_geo(spark, sf_dir), zoom=GEO_ZOOM, size=100
+    )
+
+
+def q_geo_distance(spark, sf_dir):
+    """ES geo_distance filter: events within 5000 km (haversine,
+    R=6371 km) of (20, 10), rolled up per event_type with the nearest
+    distance (ops/geo.py:geo_distance)."""
+    from tokenkit_spark.ops import geo
+
+    lat0, lon0 = GEO_ORIGIN
+    within = geo.geo_distance(
+        _events_geo(spark, sf_dir), lat0, lon0, GEO_RADIUS_KM
+    )
+    return within.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.round(F.min("distance_km"), 2).alias("nearest_km"),
+    )
+
+
+def q_multi_terms(spark, sf_dir):
+    """ES multi_terms agg: (lang, source) composite buckets, doc_count
+    desc then keys asc, top 10 (ops/aggs.py:multi_terms)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.multi_terms(_docs(spark, sf_dir), ["lang", "source"], size=10)
+
+
+def q_has_child(spark, sf_dir):
+    """ES join-field has_child query (min_children=3): documents whose
+    derived child events (event_id % n_docs) include >= 3 'error'
+    events, with the child rollup — children aggregate BEFORE the join,
+    the ES routing-key shape (ops/aggs.py:has_child)."""
+    from tokenkit_spark.ops import aggs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    n_docs = docs.count()
+    children = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .withColumn("parent_id", F.col("event_id") % n_docs)
+    )
+    return aggs.has_child(
+        docs, children, "doc_id", "parent_id", "value", min_children=3
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 through the compressed segment index engine
     on sf0.001."""
@@ -2414,6 +2552,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "span_near_unordered": q_span_near,
+        "span_first": q_span_first,
+        "match_phrase_prefix": q_match_phrase_prefix,
+        "terms_set": q_terms_set,
+        "geotile_grid": q_geotile_grid,
+        "geo_distance": q_geo_distance,
+        "multi_terms_agg": q_multi_terms,
+        "has_child": q_has_child,
         "rrf_hybrid": q_rrf_hybrid,
         "cross_fields_search": q_cross_fields,
         "rare_terms": q_rare_terms,
@@ -2569,6 +2715,91 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "span_near_unordered": (
+            "WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "
+            "unnest(l) AS term FROM (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l "
+            "FROM documents)), "
+            "phr(query_id, t1, t2) AS (VALUES "
+            + ", ".join(
+                f"({i}, '{t.split()[0]}', '{t.split()[1]}')" for i, t in SPAN_NEAR
+            )
+            + ") SELECT p.query_id, a.doc_id, min(abs(b.pos - a.pos)) AS span "
+            "FROM phr p JOIN toks a ON a.term = p.t1 "
+            "JOIN toks b ON b.doc_id = a.doc_id AND b.term = p.t2 "
+            f"AND abs(b.pos - a.pos) <= 1 + {SPAN_NEAR_SLOP} "
+            "GROUP BY 1, 2"
+        ),
+        "span_first": (
+            "WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "
+            "unnest(l) AS term FROM (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l "
+            "FROM documents)), "
+            "q(query_id, term) AS (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in SPAN_FIRST)
+            + ") SELECT q.query_id, t.doc_id, min(t.pos) - 1 AS first_pos "
+            "FROM q JOIN toks t USING (term) GROUP BY 1, 2 "
+            f"HAVING min(t.pos) <= {SPAN_FIRST_END}"
+        ),
+        "match_phrase_prefix": (
+            "WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "
+            "unnest(l) AS term FROM (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l "
+            "FROM documents)), "
+            "phr(query_id, t1, pfx) AS (VALUES "
+            + ", ".join(
+                f"({i}, '{t.split()[0]}', '{t.split()[1]}')" for i, t in MPP
+            )
+            + ") SELECT p.query_id, a.doc_id, "
+            "count(DISTINCT b.term) AS n_expansions_matched "
+            "FROM phr p JOIN toks a ON a.term = p.t1 "
+            "JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "AND b.term LIKE p.pfx || '%' "
+            "GROUP BY 1, 2"
+        ),
+        "terms_set": (
+            "WITH m AS (SELECT t.doc_id, count(DISTINCT t.term) AS n_matched "
+            f"FROM ({_TOKS}) t WHERE t.term IN ("
+            + ", ".join(f"'{t}'" for t in TERMS_SET)
+            + ") GROUP BY 1) "
+            "SELECT m.doc_id, m.n_matched, (d.doc_id % 2 + 1) AS required "
+            "FROM m JOIN documents d USING (doc_id) "
+            "WHERE m.n_matched >= d.doc_id % 2 + 1"
+        ),
+        "geotile_grid": (
+            f"WITH pts AS (SELECT {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon "
+            "FROM events), "
+            f"t AS (SELECT '{GEO_ZOOM}/' || "
+            f"CAST(floor((lon + 180.0) / 360.0 * {2**GEO_ZOOM}) AS BIGINT) || '/' || "
+            "CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) "
+            f"/ 2.0 * {2**GEO_ZOOM}) AS BIGINT) AS tile FROM pts) "
+            "SELECT tile, count(*) AS doc_count FROM t GROUP BY 1 "
+            "ORDER BY doc_count DESC, tile ASC LIMIT 100"
+        ),
+        "geo_distance": (
+            f"WITH pts AS (SELECT event_type, {GEO_LAT_SQL} AS lat, "
+            f"{GEO_LON_SQL} AS lon FROM events), "
+            "d AS (SELECT event_type, 2.0 * 6371.0 * asin(sqrt("
+            f"pow(sin((radians(lat) - radians({GEO_ORIGIN[0]})) / 2), 2) + "
+            f"cos(radians(lat)) * cos(radians({GEO_ORIGIN[0]})) * "
+            f"pow(sin((radians(lon) - radians({GEO_ORIGIN[1]})) / 2), 2))) AS km "
+            "FROM pts) "
+            f"SELECT event_type, count(*) AS n_within, round(min(km), 2) AS nearest_km "
+            f"FROM d WHERE km <= {GEO_RADIUS_KM} GROUP BY 1"
+        ),
+        "multi_terms_agg": (
+            "SELECT lang, source, count(*) AS doc_count FROM documents "
+            "GROUP BY 1, 2 ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 10"
+        ),
+        "has_child": (
+            "WITH n AS (SELECT count(*) AS n_docs FROM documents), "
+            "r AS (SELECT event_id % (SELECT n_docs FROM n) AS doc_id, "
+            "count(*) AS n_children, round(max(value), 4) AS max_child_value "
+            "FROM events WHERE event_type = 'error' GROUP BY 1 "
+            "HAVING count(*) >= 3) "
+            "SELECT d.doc_id, d.source, r.n_children, r.max_child_value "
+            "FROM documents d JOIN r USING (doc_id) ORDER BY d.doc_id"
+        ),
         "rrf_hybrid": (
             f"WITH toks AS ({_TOKS}), "
             "postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2), "

@@ -324,9 +324,16 @@ def build_index(
         .select(*cols)
     )
 
-    n_parts = max(n_shards, spark.sparkContext.defaultParallelism * 2)
+    # hash-repartition by (shard, term_bucket) WITHOUT pinning a partition
+    # count: the encode kernel only needs each (shard, term_bucket, term)
+    # group complete-and-sorted within one partition, which hash
+    # partitioning guarantees at ANY partition count — so let AQE pick it
+    # from actual shuffle bytes (coalesces a small build's encode tasks to
+    # a handful of Python workers; fans out to thousands at corpus scale
+    # via spark.sql.shuffle.partitions). A pinned N disables AQE coalescing
+    # and at sf0.1 paid ~64 near-empty Arrow worker round-trips.
     segments = (
-        postings.repartition(n_parts, "shard", "term_bucket")
+        postings.repartition("shard", "term_bucket")
         .sortWithinPartitions("shard", "term_bucket", "term", "doc_id")
         .mapInPandas(_encode_stream(), SEGMENT_SCHEMA)
     )

@@ -208,9 +208,11 @@ def merge_indexes(
     paths = IndexPaths(out_path)
     seg_cols = [f.name for f in SEGMENT_SCHEMA.fields]
     union = base["segments"].select(seg_cols).unionByName(delta["segments"].select(seg_cols))
-    n_parts = max(n_shards, spark.sparkContext.defaultParallelism * 2)
+    # no pinned partition count: hash partitioning on (shard, term_bucket)
+    # keeps every term group complete at any N, so AQE sizes the merge
+    # tasks from shuffle bytes (see build.py segment-encode note)
     merged = (
-        union.repartition(n_parts, "shard", "term_bucket")
+        union.repartition("shard", "term_bucket")
         .sortWithinPartitions("shard", "term_bucket", "term")
         .mapInPandas(_merge_stream(), SEGMENT_SCHEMA)
     )

@@ -2186,3 +2186,39 @@ def phrase_search(
         .mapInPandas(_phrase_shard_kernel(), out_schema)
         .orderBy("query_id", "doc_id")
     )
+
+
+def terms_set_search(
+    docs: DataFrame,
+    terms: list[str],
+    msm_expr,
+    config: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """ES ``terms_set`` query: documents matching at least a PER-DOCUMENT
+    number of the candidate terms (minimum_should_match_field /
+    minimum_should_match_script — ``msm_expr`` is a Column computed from
+    the doc row, e.g. ``F.col("required_matches")``). Returns
+    (doc_id, n_matched, required) for matching docs.
+
+    Relational twin of the fixed-msm segment path (bm25 msm): distinct
+    (term, doc) pairs from the analyzed token stream semi-joined against
+    the broadcast term set, counted per doc, then compared to the per-doc
+    requirement. All JVM-side; the candidate set is query-bounded so the
+    join broadcasts."""
+    cfg = config or AnalyzerConfig()
+    spark = docs.sparkSession
+    tset = F.broadcast(
+        spark.createDataFrame([(t,) for t in terms], "term string")
+    )
+    matched = (
+        postings_df(docs, cfg)
+        .join(tset, "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    required = docs.select("doc_id", msm_expr.cast("long").alias("required"))
+    return (
+        matched.join(required, "doc_id")
+        .filter(F.col("n_matched") >= F.col("required"))
+        .select("doc_id", "n_matched", "required")
+    )

@@ -1,0 +1,370 @@
+"""Positional span queries over the compressed segment index.
+
+Elasticsearch/Lucene span-family surface (the positional queries beyond
+plain sloppy phrase, which lives in ``query.proximity_search``):
+
+* ``span_near``           — unordered span_near: every clause term occurs
+                            inside one window of at most
+                            (n_terms - 1) + slop positions, any order
+                            (Lucene SpanNearQuery ``inOrder=false``).
+                            The ordered variant IS ``proximity_search``.
+* ``span_first``          — the term occurs with span end <= ``end``
+                            (Lucene SpanFirstQuery over a span_term).
+* ``match_phrase_prefix`` — exact phrase whose LAST term is a prefix,
+                            expanded against the index vocabulary in
+                            lexicographic order up to ``max_expansions``
+                            (the ES match_phrase_prefix contract).
+
+Scale shape (same as query.py's phrase path): query terms broadcast
+against segments with term_bucket+term pushdown, posting blobs never
+shuffle — only per-shard match rows do; the per-shard kernel decodes
+positions with the vectorized codec.
+
+Reference parity: the reference is a tokenization library
+(ext/tokenkit/src/tokenizer/mod.rs); span semantics follow the public
+Lucene/ES contracts named above. Query analysis reuses the index
+analyzer config (README.md:512-541 contract).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import AnalyzerConfig
+from . import codec
+from .build import term_bucket_col
+from .query import _shard_partitions, analyze_phrases, phrase_search
+
+
+def _require_positions(index: dict, what: str) -> tuple[int, int]:
+    stats = index["stats"]
+    if stats.get("store_positions") is False:
+        raise ValueError(
+            f"{what} requires a positional index; this one was built with "
+            "store_positions=False"
+        )
+    return int(stats["n_shards"]), int(stats["n_buckets"])
+
+
+def _min_cover_window(pos_lists: list[np.ndarray]) -> int | None:
+    """Minimal window (max - min position) covering one position from
+    EVERY list, any order — the classic k-sorted-lists minimum-range
+    scan over the label-merged position stream. Returns None when some
+    list is empty."""
+    k = len(pos_lists)
+    if any(p.size == 0 for p in pos_lists):
+        return None
+    if k == 1:
+        return 0
+    merged = np.concatenate(pos_lists)
+    labels = np.concatenate(
+        [np.full(p.size, i, dtype=np.int32) for i, p in enumerate(pos_lists)]
+    )
+    order = np.argsort(merged, kind="stable")
+    merged, labels = merged[order], labels[order]
+    need = k
+    count = np.zeros(k, dtype=np.int64)
+    best = None
+    left = 0
+    for right in range(merged.size):
+        lab = labels[right]
+        count[lab] += 1
+        if count[lab] == 1:
+            need -= 1
+        while need == 0:
+            span = int(merged[right] - merged[left])
+            if best is None or span < best:
+                best = span
+            lab_l = labels[left]
+            count[lab_l] -= 1
+            if count[lab_l] == 0:
+                need += 1
+            left += 1
+    return best
+
+
+def _span_near_kernel(slop: int):
+    """mapInPandas kernel: per (query, doc-shard) group, intersect the
+    clause posting lists, then compute the minimal UNORDERED covering
+    window per surviving doc; emit (query_id, doc_id, span) when
+    span <= (n_terms - 1) + slop."""
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict[tuple[int, int], dict[int, dict]] = {}
+        for pdf in batch_iter:
+            for row in pdf.itertuples(index=False):
+                t = {
+                    "n_postings": int(row.n_postings),
+                    "doc_ids_blob": row.doc_ids_blob,
+                    "tfs_blob": row.tfs_blob,
+                    "dls_blob": row.dls_blob,
+                    "pos_blob": row.pos_blob,
+                }
+                for occ in row.occurrences:
+                    groups.setdefault((int(occ["query_id"]), int(row.shard)), {})[
+                        int(occ["seq"])
+                    ] = t
+        out_q, out_d, out_s = [], [], []
+        for (q, _shard), by_seq in groups.items():
+            n_terms = max(by_seq) + 1
+            if len(by_seq) < n_terms:
+                continue  # some clause term absent from this shard
+            max_span = (n_terms - 1) + slop
+            decoded = {}
+            for t in by_seq.values():
+                key = id(t)
+                if key not in decoded:
+                    ids, tfs, _dls = codec.decode_posting_list(t)
+                    pos, offs = codec.decode_positions(bytes(t["pos_blob"]), tfs)
+                    decoded[key] = (ids, tfs, pos, offs)
+            seqs = sorted(by_seq, key=lambda s: decoded[id(by_seq[s])][0].size)
+            cand = decoded[id(by_seq[seqs[0]])][0]
+            for s in seqs[1:]:
+                cand = cand[np.isin(cand, decoded[id(by_seq[s])][0], assume_unique=True)]
+                if cand.size == 0:
+                    break
+            for d in cand.tolist():
+                pos_lists = []
+                for seq in range(n_terms):
+                    ids, tfs, pos, offs = decoded[id(by_seq[seq])]
+                    j = int(np.searchsorted(ids, d))
+                    pos_lists.append(pos[offs[j] : offs[j] + tfs[j]])
+                span = _min_cover_window(pos_lists)
+                if span is not None and span <= max_span:
+                    out_q.append(q)
+                    out_d.append(d)
+                    out_s.append(span)
+        yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "span": out_s})
+
+    return fn
+
+
+def span_near(
+    spark: SparkSession,
+    index: dict,
+    clauses: DataFrame,
+    config: AnalyzerConfig | None = None,
+    slop: int = 0,
+) -> DataFrame:
+    """Unordered span_near (Lucene SpanNearQuery inOrder=false): returns
+    (query_id, doc_id, span) for documents containing every analyzed
+    clause term within a window of at most (n_terms - 1) + slop
+    positions in ANY order; span is the minimal such window. Duplicate
+    clause terms are rejected (each needs a distinct position — use the
+    ordered variant, proximity_search, for repeated-term phrases)."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    cfg = config or AnalyzerConfig()
+    n_shards, n_buckets = _require_positions(index, "span_near")
+
+    p_terms = analyze_phrases(clauses, cfg)
+    dup = (
+        p_terms.groupBy("query_id", "term")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"span_near clauses must be distinct terms; query "
+            f"{dup[0]['query_id']} repeats {dup[0]['term']!r}"
+        )
+    terms = [r.term for r in p_terms.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame([], "query_id long, doc_id long, span long")
+    buckets = list(
+        {
+            b.term_bucket
+            for b in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(term_bucket_col(F.col("term"), n_buckets).alias("term_bucket"))
+            .collect()
+        }
+    )
+    occurrences = p_terms.groupBy("term").agg(
+        F.collect_list(F.struct("query_id", "seq")).alias("occurrences")
+    )
+    seg = (
+        index["segments"]
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    matched = seg.join(F.broadcast(occurrences), "term").select(
+        "occurrences", "shard", "n_postings",
+        "doc_ids_blob", "tfs_blob", "dls_blob", "pos_blob",
+    )
+    out_schema = "query_id long, doc_id long, span long"
+    return (
+        matched.repartition(_shard_partitions(spark, n_shards), "shard")
+        .mapInPandas(_span_near_kernel(slop), out_schema)
+        .orderBy("query_id", "doc_id")
+    )
+
+
+def _span_first_kernel(end: int):
+    """mapInPandas kernel: per (query, doc-shard), emit
+    (query_id, doc_id, first_pos) for docs whose earliest occurrence of
+    the term ends at or before ``end`` (first_pos + 1 <= end)."""
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_q, out_d, out_p = [], [], []
+        for pdf in batch_iter:
+            for row in pdf.itertuples(index=False):
+                t = {
+                    "n_postings": int(row.n_postings),
+                    "doc_ids_blob": row.doc_ids_blob,
+                    "tfs_blob": row.tfs_blob,
+                    "dls_blob": row.dls_blob,
+                }
+                ids, tfs, _dls = codec.decode_posting_list(t)
+                pos, offs = codec.decode_positions(bytes(row.pos_blob), tfs)
+                first = pos[offs]  # offs[i] = posting i's start; sorted per doc
+                keep = first + 1 <= end
+                if not keep.any():
+                    continue
+                for occ in row.occurrences:
+                    q = int(occ["query_id"])
+                    out_q.extend([q] * int(keep.sum()))
+                    out_d.extend(ids[keep].tolist())
+                    out_p.extend(first[keep].tolist())
+        yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "first_pos": out_p})
+
+    return fn
+
+
+def span_first(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    end: int = 10,
+) -> DataFrame:
+    """span_first over a span_term (Lucene SpanFirstQuery): documents
+    where the analyzed single term occurs with span end <= ``end``,
+    i.e. at a 0-based token position < end. Returns
+    (query_id, doc_id, first_pos) with the earliest qualifying
+    position."""
+    if end <= 0:
+        raise ValueError(f"end must be > 0, got {end}")
+    cfg = config or AnalyzerConfig()
+    n_shards, n_buckets = _require_positions(index, "span_first")
+
+    p_terms = analyze_phrases(queries, cfg)
+    multi = p_terms.filter(F.col("seq") > 0).limit(1).collect()
+    if multi:
+        raise ValueError(
+            "span_first takes a single span_term per query; query "
+            f"{multi[0]['query_id']} analyzed to multiple terms"
+        )
+    terms = [r.term for r in p_terms.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, first_pos long"
+        )
+    buckets = list(
+        {
+            b.term_bucket
+            for b in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(term_bucket_col(F.col("term"), n_buckets).alias("term_bucket"))
+            .collect()
+        }
+    )
+    occurrences = p_terms.groupBy("term").agg(
+        F.collect_list(F.struct("query_id", "seq")).alias("occurrences")
+    )
+    seg = (
+        index["segments"]
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    matched = seg.join(F.broadcast(occurrences), "term").select(
+        "occurrences", "shard", "n_postings",
+        "doc_ids_blob", "tfs_blob", "dls_blob", "pos_blob",
+    )
+    out_schema = "query_id long, doc_id long, first_pos long"
+    return (
+        matched.repartition(_shard_partitions(spark, n_shards), "shard")
+        .mapInPandas(_span_first_kernel(end), out_schema)
+        .orderBy("query_id", "doc_id")
+    )
+
+
+def match_phrase_prefix(
+    spark: SparkSession,
+    index: dict,
+    phrases: DataFrame,
+    config: AnalyzerConfig | None = None,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES match_phrase_prefix: exact phrase whose LAST term is a prefix.
+    The prefix is expanded against the index vocabulary (term_stats) in
+    lexicographic order, capped at ``max_expansions`` (the ES contract —
+    a too-small cap silently misses matches, exactly like ES). A doc
+    matches when ANY expanded phrase matches; returns
+    (query_id, doc_id, n_expansions_matched).
+
+    Scale shape: the expansion list is bounded driver-side state
+    (≤ queries x max_expansions rows); phrase verification reuses the
+    positional phrase kernel — postings never shuffle.
+
+    Analyzer note: expansion terms are index vocabulary, so re-analyzing
+    the expanded phrase text must be the identity on them — true for the
+    word-splitting strategies; ngram-family configs are rejected."""
+    cfg = config or AnalyzerConfig()
+    if cfg.strategy in ("ngram", "edge_ngram", "grapheme"):
+        raise ValueError(
+            f"match_phrase_prefix cannot re-analyze expansions under "
+            f"strategy={cfg.strategy!r}"
+        )
+    _require_positions(index, "match_phrase_prefix")
+
+    p_terms = analyze_phrases(phrases, cfg).collect()
+    by_q: dict[int, list[str]] = {}
+    for r in sorted(p_terms, key=lambda r: (r.query_id, r.seq)):
+        by_q.setdefault(int(r.query_id), []).append(r.term)
+    if not by_q:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_expansions_matched long"
+        )
+
+    prefixes = {q: ts[-1] for q, ts in by_q.items()}
+    conds = None
+    for p in set(prefixes.values()):
+        c = F.col("term").startswith(p)
+        conds = c if conds is None else (conds | c)
+    vocab = [
+        r.term
+        for r in index["term_stats"].filter(conds).select("term").distinct().collect()
+    ]
+
+    expanded_rows, mapping = [], {}
+    next_id = 0
+    for q, terms in by_q.items():
+        exps = sorted(t for t in vocab if t.startswith(prefixes[q]))[:max_expansions]
+        for e in exps:
+            expanded_rows.append((next_id, " ".join(terms[:-1] + [e])))
+            mapping[next_id] = q
+            next_id += 1
+    if not expanded_rows:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_expansions_matched long"
+        )
+    exp_df = spark.createDataFrame(expanded_rows, "query_id long, text string")
+    hits = phrase_search(spark, index, exp_df, cfg)
+    map_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in mapping.items()], "exp_id long, orig_id long"
+        )
+    )
+    return (
+        hits.withColumnRenamed("query_id", "exp_id")
+        .join(map_df, "exp_id")
+        .groupBy(F.col("orig_id").alias("query_id"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_expansions_matched"))
+        .orderBy("query_id", "doc_id")
+    )

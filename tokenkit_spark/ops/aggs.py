@@ -302,3 +302,46 @@ def bucket_selector_sort(
     return out.orderBy(order, *[c for c in buckets.columns if c != value_col]).limit(
         size
     )
+
+
+def multi_terms(
+    df: DataFrame, key_cols: list[str], size: int = 10
+) -> DataFrame:
+    """ES ``multi_terms`` agg: buckets keyed by a composite term tuple,
+    ordered doc_count desc then keys asc, top ``size``. One hash
+    aggregate (map-side combinable); the orderBy sees only bucket
+    cardinality."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(size)
+    )
+
+
+def has_child(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_parent_key: str,
+    child_value_col: str,
+    min_children: int = 1,
+) -> DataFrame:
+    """ES join-field ``has_child`` query with ``min_children``: parents
+    having at least ``min_children`` (pre-filtered) children, plus the
+    child count and max child value (inner_hits-style rollup).
+
+    Scale shape: children aggregate FIRST (map-side combinable groupBy
+    on the parent key — the ES routing-key analog: children co-shard
+    with parents), then one equi-join against parents; no fan-out join
+    of raw children against parents ever happens.
+    """
+    rollup = (
+        children.groupBy(F.col(child_parent_key).alias(parent_key))
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.round(F.max(child_value_col), 4).alias("max_child_value"),
+        )
+        .filter(F.col("n_children") >= min_children)
+    )
+    return parents.join(rollup, parent_key)

@@ -1,0 +1,121 @@
+"""Geo aggregations and queries (ES geo surface) over point columns.
+
+The sandbox tables carry no geo columns, so callers derive deterministic
+coordinates from stable ids (both engines — Spark and the DuckDB oracle —
+apply the same arithmetic; see __spark_entry__.GEO_* ). The operators
+themselves take plain lat/lon double columns:
+
+* ``geotile_grid``  — ES geotile_grid agg: slippy-map tile keys
+                      "z/x/y" at a zoom level (Web-Mercator tiling,
+                      the ES contract: lat clamped to +-85.0511).
+* ``geo_distance``  — ES geo_distance filter + sort: haversine
+                      distance (R = 6371 km) to an origin, filter by
+                      radius.
+* ``geo_bounds``    — ES geo_bounds agg: min/max bounding box per group.
+
+Everything is pure Catalyst arithmetic (single map-side pass + one
+aggregate shuffle); no UDFs, so the plans stay in whole-stage codegen at
+any corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+MAX_MERCATOR_LAT = 85.05112878
+
+
+def geotile_key(lat: Column, lon: Column, zoom: int) -> Column:
+    """Web-Mercator tile key "z/x/y" for a point at ``zoom`` — the ES
+    geotile_grid bucket key. x = floor((lon+180)/360 * 2^z);
+    y = floor((1 - asinh(tan(lat))/pi) / 2 * 2^z); lat clamped to the
+    Mercator domain like ES."""
+    n = float(2**zoom)
+    clat = F.greatest(
+        F.lit(-MAX_MERCATOR_LAT), F.least(F.lit(MAX_MERCATOR_LAT), lat)
+    )
+    rad = F.radians(clat)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    y = F.floor(
+        (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * F.lit(n)
+    )
+    # edge clamp (lon=180 / lat at the domain edge lands exactly on 2^z)
+    x = F.least(F.greatest(x, F.lit(0)), F.lit(int(n) - 1))
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(int(n) - 1))
+    return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"), y.cast("string"))
+
+
+def geotile_grid(
+    points: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    zoom: int = 6,
+    size: int = 100,
+) -> DataFrame:
+    """ES geotile_grid agg: doc counts per tile, largest first (tiebreak
+    key asc), top ``size`` buckets."""
+    return (
+        points.select(
+            geotile_key(F.col(lat_col), F.col(lon_col), zoom).alias("tile")
+        )
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("tile").asc())
+        .limit(size)
+    )
+
+
+def haversine_km(
+    lat: Column, lon: Column, origin_lat: float, origin_lon: float
+) -> Column:
+    """Great-circle distance in km to a fixed origin (haversine,
+    R = 6371 km — the ES/Lucene arc approximation)."""
+    la1, lo1 = F.radians(lat), F.radians(lon)
+    la2, lo2 = math.radians(origin_lat), math.radians(origin_lon)
+    dlat = la1 - F.lit(la2)
+    dlon = lo1 - F.lit(lo2)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(la1) * F.lit(math.cos(la2)) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def geo_distance(
+    points: DataFrame,
+    origin_lat: float,
+    origin_lon: float,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES geo_distance filter: rows within ``radius_km`` of the origin,
+    with the distance attached (km). The filter is a plain Catalyst
+    predicate — at scale it pushes below joins and into partition
+    pruning when the table is geo-partitioned."""
+    d = haversine_km(F.col(lat_col), F.col(lon_col), origin_lat, origin_lon)
+    return points.withColumn("distance_km", d).filter(
+        F.col("distance_km") <= radius_km
+    )
+
+
+def geo_bounds(
+    points: DataFrame,
+    group_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES geo_bounds agg per group: (top, left, bottom, right) of the
+    non-wrapped bounding box."""
+    return points.groupBy(group_col).agg(
+        F.max(lat_col).alias("top"),
+        F.min(lon_col).alias("left"),
+        F.min(lat_col).alias("bottom"),
+        F.max(lon_col).alias("right"),
+    )
