@@ -2400,6 +2400,130 @@ def q_bpe_pretokens(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 3: distributed BPE (train + encode)
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 24
+_BPE_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges_for(spark, sf_dir):
+    if sf_dir not in _BPE_CACHE:
+        from tokenkit_spark.ops import bpe
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        _BPE_CACHE[sf_dir] = bpe.train_bpe(docs, n_merges=BPE_N_MERGES)
+    return _BPE_CACHE[sf_dir]
+
+
+def _bpe_ref_train(pt_freqs, n_merges, min_pair_freq=2):
+    """Independent single-process Sennrich trainer over a (pretoken,
+    freq) table — the oracle twin of the DISTRIBUTED trainer. Same
+    deterministic tie-break: (freq desc, left asc, right asc)."""
+    vocab = {}
+    for pt, f in pt_freqs:
+        vocab[tuple(pt)] = vocab.get(tuple(pt), 0) + f
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (l, r), best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best < min_pair_freq:
+            break
+        merges.append((l, r))
+        nv = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+    return merges
+
+
+def _bpe_oracle_support():
+    """Oracle-side constants for the BPE queries (stem-map precedent):
+    (a) merges from the INDEPENDENT pure-python trainer on the sf0.01
+    pretoken counts (valid at the driver's sf0.01 gate — the corpora
+    differ per sf, so the live-training query's oracle is pinned there);
+    (b) a pretoken -> encoded-tokens map under the PINNED model over the
+    union of the sf0.001+sf0.01 pretoken vocabularies (valid at both
+    check SFs: encoding is corpus-independent given the merge table)."""
+    try:
+        import duckdb
+
+        from tokenkit_spark.ops.bpe import _encode_word
+        from tokenkit_spark.ops.bpe_pinned import MERGES
+        from tokenkit_spark.ops.textstats import BPE_PRETOKEN_PATTERN
+
+        con = duckdb.connect()
+        q = (
+            "SELECT pt, sum(c) FROM (SELECT unnest(regexp_extract_all(text, "
+            f"'{BPE_PRETOKEN_PATTERN}')) AS pt, 1 AS c FROM read_parquet('{{f}}')) "
+            "GROUP BY 1"
+        )
+        sf001 = con.execute(q.format(f=_SF001_DOCS)).fetchall()
+        ref_merges = _bpe_ref_train(sf001, BPE_N_MERGES)
+
+        vocab = {pt for pt, _ in sf001}
+        vocab |= {
+            r[0]
+            for r in con.execute(
+                q.format(f="/root/testdata/sf0.001/documents.parquet")
+            ).fetchall()
+        }
+        ranks = {p: i for i, p in enumerate(MERGES)}
+        sep = chr(31)
+        esc = lambda s: s.replace("'", "''")
+        enc_rows = ", ".join(
+            f"('{esc(pt)}', '{esc(sep.join(_encode_word(pt, ranks)))}')"
+            for pt in sorted(vocab)
+        )
+        merge_rows = ", ".join(
+            f"({i}, '{esc(l)}', '{esc(r)}')" for i, (l, r) in enumerate(ref_merges)
+        )
+        return merge_rows, enc_rows, sep
+    except Exception:
+        return None, None, None
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE training (Sennrich 2016) on the sf_dir corpus:
+    the (rank, left, right) merge table from ops/bpe.py:train_bpe —
+    pair counting and merge application stay distributed; only the
+    n_merges-row model reaches the driver. Oracle: an INDEPENDENT
+    single-process trainer over the same pretoken counts (pinned to the
+    sf0.01 corpus, the driver's gate — corpora differ across SFs)."""
+    merges = _bpe_merges_for(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """LLM token accounting under the PINNED BPE model
+    (ops/bpe_pinned.py): per-doc subword token count, distinct types,
+    chars/token via the Arrow-batched rank-greedy encoder
+    (ops/bpe.py:encode_bpe)."""
+    from tokenkit_spark.ops import bpe
+    from tokenkit_spark.ops.bpe_pinned import MERGES
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bpe.bpe_token_stats(docs, MERGES)
+
+
+# ---------------------------------------------------------------------------
 # round-3 batch 2: span queries, terms_set, geo surface, join-field
 # ---------------------------------------------------------------------------
 
@@ -2552,6 +2676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_stats": q_bpe_token_stats,
         "span_near_unordered": q_span_near,
         "span_first": q_span_first,
         "match_phrase_prefix": q_match_phrase_prefix,
@@ -3761,6 +3887,30 @@ FROM tv JOIN df USING (term) WHERE tv.doc_id % 167 = 0
             {"stemmed_terms": _stemmed_terms_oracle(stem_map)}
             if (stem_map := _stem_map_values())
             else {}
+        ),
+        **_bpe_oracles(),
+    }
+
+
+def _bpe_oracles() -> dict[str, str]:
+    merge_rows, enc_rows, _sep = _bpe_oracle_support()
+    if not merge_rows or not enc_rows:
+        return {}
+    from tokenkit_spark.ops.textstats import BPE_PRETOKEN_PATTERN
+
+    return {
+        "bpe_merges": (
+            f'SELECT * FROM (VALUES {merge_rows}) t(rank, "left", "right")'
+        ),
+        "bpe_token_stats": (
+            "WITH pt AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            f"'{BPE_PRETOKEN_PATTERN}')) AS pt FROM documents), "
+            f"m AS (SELECT * FROM (VALUES {enc_rows}) v(pt, toks)), "
+            "tok AS (SELECT doc_id, unnest(string_split(m.toks, chr(31))) AS tok "
+            "FROM pt JOIN m USING (pt)) "
+            "SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_types, "
+            "round(sum(length(tok))::DOUBLE / count(*), 4) AS chars_per_token "
+            "FROM tok GROUP BY 1"
         ),
     }
 
