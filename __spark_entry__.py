@@ -2400,6 +2400,56 @@ def q_bpe_pretokens(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 4: trained quality classifier (distributed logistic
+# regression)
+# ---------------------------------------------------------------------------
+
+
+def q_quality_model_scores(spark, sf_dir):
+    """LLM-pipeline quality gate with a TRAINED model: logistic scores
+    over JVM-computed text features (stopword-family ratios, mean token
+    length, type-token ratio) under the PINNED weight vector
+    (ops/quality_pinned.py — ops/quality_model.py:train_logistic output
+    at sf0.01 on the deterministic clean-vs-repeated-junk corpus, where
+    it separates perfectly). Scoring is one Catalyst projection; the
+    oracle inlines the same weights. The distributed trainer itself is
+    verified in tests/test_quality_model.py (numpy gradient parity)."""
+    from tokenkit_spark.ops import quality_model as qm
+    from tokenkit_spark.ops.quality_pinned import WEIGHTS
+
+    corpus = qm.labeled_quality_corpus(_docs(spark, sf_dir))
+    return qm.score_docs(corpus, WEIGHTS).orderBy("doc_id")
+
+
+def _quality_oracle() -> str:
+    from tokenkit_spark.ops.quality_pinned import WEIGHTS
+    from tokenkit_spark.ops.textstats import STOPWORDS
+
+    def inlist(ws):
+        return "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+
+    feats = [
+        "1.0",
+        f"len(list_filter(l, x -> list_contains({inlist(STOPWORDS['en'])}, x))) / greatest(len(l), 1)",
+        f"len(list_filter(l, x -> list_contains({inlist(STOPWORDS['fr'])}, x))) / greatest(len(l), 1)",
+        f"len(list_filter(l, x -> list_contains({inlist(STOPWORDS['de'])}, x))) / greatest(len(l), 1)",
+        f"len(list_filter(l, x -> list_contains({inlist(STOPWORDS['es'])}, x))) / greatest(len(l), 1)",
+        "list_sum(list_transform(l, x -> length(x)))::DOUBLE / greatest(len(l), 1)",
+        "len(list_distinct(l))::DOUBLE / greatest(len(l), 1)",
+    ]
+    z = " + ".join(f"({w!r}) * ({f})" for w, f in zip(WEIGHTS, feats))
+    return (
+        "WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text "
+        "ELSE repeat(substring(text, 1, 25) || ' ', 12) END AS text FROM documents), "
+        "t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '') AS l FROM corpus), "
+        f"s AS (SELECT doc_id, 1.0 / (1.0 + exp(-({z}))) AS p FROM t) "
+        "SELECT doc_id, round(p, 4) AS score, "
+        "(p >= 0.5)::INT AS keep FROM s ORDER BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # round-3 batch 3: distributed BPE (train + encode)
 # ---------------------------------------------------------------------------
 
@@ -2676,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "quality_model_scores": q_quality_model_scores,
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
         "span_near_unordered": q_span_near,
@@ -2841,6 +2892,7 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "quality_model_scores": _quality_oracle(),
         "span_near_unordered": (
             "WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "
             "unnest(l) AS term FROM (SELECT doc_id, list_filter("
