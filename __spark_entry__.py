@@ -2400,6 +2400,28 @@ def q_bpe_pretokens(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 5: product-quantization ANN
+# ---------------------------------------------------------------------------
+
+
+def q_pq_cosine_top10(spark, sf_dir):
+    """ANN scale path #4: product quantization with refine (ops/pq.py —
+    Jégou et al. 2011 / FAISS IndexRefineFlat shape): 8x32 subspace
+    codebooks trained distributed (bounded seed + Lloyd partial sums),
+    vectors compressed to 8 codes, ADC shortlist k*8 from codes only,
+    exact cosine re-rank of the shortlist. Rows-only by nature (codebook
+    training and ADC gathers are not SQL); recall vs the exact scan is
+    pinned in tests/test_pq.py."""
+    from tokenkit_spark.ops import pq
+
+    emb = _emb(spark, sf_dir)
+    books = pq.train_pq_codebooks(emb, m=8, k=32, iters=6)
+    codes = pq.pq_encode(emb, books)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq.pq_topk_refined(emb, codes, books, qvec, k=10, refine=8)
+
+
+# ---------------------------------------------------------------------------
 # round-3 batch 4: trained quality classifier (distributed logistic
 # regression)
 # ---------------------------------------------------------------------------
@@ -2726,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "pq_cosine_top10": q_pq_cosine_top10,
         "quality_model_scores": q_quality_model_scores,
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
