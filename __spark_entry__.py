@@ -2404,6 +2404,20 @@ def q_bpe_pretokens(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_image_phash_dups(spark, sf_dir):
+    """Near-duplicate IMAGE detection on real decoded pixels: PNG/JPEG
+    payloads decode (numpy codecs), 64-bit DCT perceptual hash, 8x8-bit
+    banded LSH join (recall-complete for hamming <= 7 by pigeonhole),
+    exact popcount verify (ops/multimodal.py:phash_near_dups). Rows-only
+    by nature (decode + DCT are not SQL); hash invariance and
+    banded-vs-bruteforce equality are pinned in tests/test_phash.py."""
+    from tokenkit_spark.ops import multimodal
+
+    media = multimodal.synth_media(spark, n=60).filter(F.col("kind") == "image")
+    hashes = multimodal.image_phashes(media)
+    return multimodal.phash_near_dups(hashes, max_hamming=6)
+
+
 def q_pq_cosine_top10(spark, sf_dir):
     """ANN scale path #4: product quantization with refine (ops/pq.py —
     Jégou et al. 2011 / FAISS IndexRefineFlat shape): 8x32 subspace
@@ -2748,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "image_phash_dups": q_image_phash_dups,
         "pq_cosine_top10": q_pq_cosine_top10,
         "quality_model_scores": q_quality_model_scores,
         "bpe_merges": q_bpe_merges,

@@ -586,3 +586,124 @@ def resize_images(
             )
 
     return media.mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (image near-duplicate detection)
+# ---------------------------------------------------------------------------
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (numpy-only; scipy absent in sandbox)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    d[0] *= 1.0 / np.sqrt(2.0)
+    return d
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale -> bilinear 32x32 -> 2D DCT-II
+    -> top-left 8x8 low-frequency block -> 2 sign bits per coefficient
+    for the first 32 non-DC coefficients: (c > t, c < -t) with deadband
+    t = 2% of the block's peak non-DC magnitude.
+
+    Deviation from the classic median-threshold pHash, on purpose: on
+    smooth/synthetic images the DCT block is SPARSE, the median sits in
+    the near-zero mass, and resize/re-encode noise flips ~half the
+    median bits (measured 28/64 on an image vs its own half-size copy).
+    The signed deadband keeps structural coefficients' signs and pins
+    the near-zero mass to 00 — measured <= 1 bit under resize and JPEG
+    re-encode, ~30 bits vs unrelated noise."""
+    a = img.astype(np.float64)
+    if a.ndim == 3:
+        a = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    a = _resize_bilinear(a[:, :, None], 32, 32)[:, :, 0]
+    freq = _DCT32 @ a @ _DCT32.T
+    block = freq[:8, :8].ravel()
+    coeffs = block[1:33]
+    t = 0.02 * np.abs(block[1:]).max()
+    bits = np.concatenate([coeffs > t, coeffs < -t])
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # map to signed int64 (Spark LongType)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+PHASH_BANDS = 8  # 8 bands x 8 bits: any pair with Hamming <= 7 shares a band
+
+
+def image_phashes(media: DataFrame) -> DataFrame:
+    """(media_id, phash, band_0..band_7): decode PNG/JPEG for real,
+    hash, and split the 64 bits into 8 LSH bands. Pigeonhole: two hashes
+    within Hamming distance PHASH_BANDS-1 agree exactly on at least one
+    band, so the banded equi-join below is RECALL-COMPLETE for
+    max_hamming <= 7 — never an all-pairs comparison."""
+    from .jpeg import decode_jpeg
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                img = decode_png(payload)
+                if img is None:
+                    img = decode_jpeg(payload)
+                if img is None:
+                    continue  # not a decodable image
+                h = phash64(img)
+                u = h & ((1 << 64) - 1)
+                bands = [(u >> (8 * b)) & 0xFF for b in range(PHASH_BANDS)]
+                rows.append((r.media_id, h, *bands))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "phash"]
+                + [f"band_{b}" for b in range(PHASH_BANDS)],
+            )
+
+    schema = "media_id long, phash long, " + ", ".join(
+        f"band_{b} int" for b in range(PHASH_BANDS)
+    )
+    return media.select("media_id", "payload").mapInPandas(fn, schema)
+
+
+def phash_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs (id_a < id_b, hamming <= max_hamming)
+    via banded LSH: equi-join per 8-bit band for candidates (each band
+    join touches only hash-table-sized buckets), dedup candidate pairs,
+    then one exact popcount verify — the MinHash-LSH shape applied to
+    perceptual hashes."""
+    if max_hamming >= PHASH_BANDS:
+        raise ValueError(
+            f"banded join is only recall-complete for max_hamming < "
+            f"{PHASH_BANDS}, got {max_hamming}"
+        )
+    a = hashes.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        *[F.col(f"band_{b}").alias(f"ba_{b}") for b in range(PHASH_BANDS)],
+    )
+    b = hashes.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        *[F.col(f"band_{b}").alias(f"bb_{b}") for b in range(PHASH_BANDS)],
+    )
+    cands = None
+    for i in range(PHASH_BANDS):
+        c = (
+            a.join(b, F.col(f"ba_{i}") == F.col(f"bb_{i}"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ph_a", "ph_b")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cands.distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
