@@ -2404,6 +2404,28 @@ def q_bpe_pretokens(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality tiers (Wenzek et al. 2020): docs
+    bucketed at the exact 1/3 and 2/3 quantiles of their bigram-LM
+    perplexity (ops/textstats.py:ccnet_perplexity_buckets)."""
+    from tokenkit_spark.ops.textstats import ccnet_perplexity_buckets
+
+    return ccnet_perplexity_buckets(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_dedup_span_removal(spark, sf_dir):
+    """Exact-substring dedup WITH REMOVAL (Lee et al. 2022, token-window
+    form): every 10-token span appearing verbatim in >= 2 documents is
+    cut from all of them and the cleaned text re-assembled
+    (ops/contamination.py:remove_duplicated_spans). Complements
+    shared_spans (which only counts pairs)."""
+    from tokenkit_spark.ops.contamination import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"), n=10
+    ).orderBy("doc_id")
+
+
 def q_image_phash_dups(spark, sf_dir):
     """Near-duplicate IMAGE detection on real decoded pixels: PNG/JPEG
     payloads decode (numpy codecs), 64-bit DCT perceptual hash, 8x8-bit
@@ -2762,6 +2784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "ccnet_buckets": q_ccnet_buckets,
+        "dedup_span_removal": q_dedup_span_removal,
         "image_phash_dups": q_image_phash_dups,
         "pq_cosine_top10": q_pq_cosine_top10,
         "quality_model_scores": q_quality_model_scores,
@@ -2930,6 +2954,44 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "ccnet_buckets": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS l FROM documents), "
+            "big AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM t, "
+            "unnest(generate_series(1, greatest(len(l) - 1, 0))) r(i)), "
+            "uc AS (SELECT unnest(l) AS w FROM t), "
+            "u AS (SELECT w, count(*) AS c_w FROM uc GROUP BY 1), "
+            "pc AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2), "
+            "v AS (SELECT count(*) AS v FROM u), "
+            "ppl AS (SELECT doc_id, round(exp(-avg(ln((coalesce(c_ab, 0) + 0.1) / "
+            "(coalesce(c_w, 0) + 0.1 * v.v)))), 4) AS ppl "
+            "FROM big LEFT JOIN pc USING (w1, w2) "
+            "LEFT JOIN u ON u.w = big.w1 CROSS JOIN v GROUP BY doc_id), "
+            "cuts AS (SELECT quantile_cont(ppl, 1.0/3.0) AS c1, "
+            "quantile_cont(ppl, 2.0/3.0) AS c2 FROM ppl) "
+            "SELECT doc_id, ppl, CASE WHEN ppl <= c1 THEN 'head' "
+            "WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM ppl CROSS JOIN cuts ORDER BY doc_id"
+        ),
+        "dedup_span_removal": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS l FROM documents), "
+            "gp AS (SELECT doc_id, i - 1 AS pos, array_to_string(l[i:i+9], ' ') AS gram "
+            "FROM t, unnest(generate_series(1, greatest(len(l) - 9, 0))) r(i)), "
+            "dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df "
+            "FROM gp GROUP BY 1) WHERE df >= 2), "
+            "cov AS (SELECT DISTINCT doc_id, u.c AS cpos FROM gp JOIN dup USING (gram), "
+            "unnest(generate_series(gp.pos, gp.pos + 9)) u(c)), "
+            "tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok FROM t), "
+            "kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok LEFT JOIN cov "
+            "ON tok.doc_id = cov.doc_id AND tok.pos = cov.cpos WHERE cov.doc_id IS NULL), "
+            "re AS (SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) "
+            "AS clean_text FROM kept GROUP BY 1), "
+            "nt AS (SELECT doc_id, len(l)::BIGINT AS n_tokens FROM t) "
+            "SELECT nt.doc_id, nt.n_tokens, nt.n_tokens - coalesce(re.n_kept, 0) AS n_removed, "
+            "coalesce(re.clean_text, '') AS clean_text FROM nt LEFT JOIN re USING (doc_id) "
+            "ORDER BY doc_id"
+        ),
         "quality_model_scores": _quality_oracle(),
         "span_near_unordered": (
             "WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "

@@ -91,3 +91,85 @@ def ngram_contamination(
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame, n: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring DEDUP WITH REMOVAL (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    formulation, token-window approximation): any n-token span that
+    appears verbatim in MORE THAN ONE document is cut from every
+    document containing it; the cleaned text is re-assembled from the
+    surviving tokens. Returns (doc_id, n_tokens, n_removed, clean_text).
+
+    Policy note: all occurrences of a cross-doc duplicated span are
+    removed (symmetric, order-free — no "keep first" tie to document
+    ordering), which is the deterministic variant a distributed engine
+    can apply without a global doc order.
+
+    Scale shape: positional grams are Catalyst array lambdas; the gram
+    df table is one map-side-combinable aggregate; covered positions
+    explode only MATCHED grams (n rows per duplicated gram occurrence);
+    the final anti-join + per-doc re-assembly shuffles token rows once.
+    """
+    toks = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), x -> x <> '')")
+    base = docs.select("doc_id", toks.alias("_toks"))
+    grams_pos = base.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_toks) < {n} THEN "
+                "CAST(array() AS array<struct<pos:int,gram:string>>) ELSE "
+                f"transform(sequence(1, size(_toks) - {n - 1}), "
+                f"i -> struct(i - 1 AS pos, array_join(slice(_toks, i, {n}), ' ') AS gram)) END"
+            )
+        ).alias("g"),
+    ).select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+
+    dup_grams = (
+        grams_pos.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams_pos.join(dup_grams, "gram")
+        .select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cpos")
+        )
+        .distinct()
+    )
+    tok_rows = base.select(
+        "doc_id", F.size("_toks").alias("n_tokens"), F.posexplode("_toks").alias("pos", "tok")
+    )
+    kept = tok_rows.join(
+        covered,
+        (tok_rows.doc_id == covered.doc_id) & (tok_rows.pos == covered.cpos),
+        "left_anti",
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("_toks").alias("n_tokens"))
+        .join(reassembled.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens").cast("long") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -417,3 +417,27 @@ def bpe_pretokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "chars_per_pretoken"
         ),
     )
+
+
+def ccnet_perplexity_buckets(docs: DataFrame, alpha: float = 0.1) -> DataFrame:
+    """CCNet-style quality tiers (Wenzek et al. 2020): per-doc LM
+    perplexity (bigram_lm_perplexity) split into head / middle / tail at
+    the exact 1/3 and 2/3 perplexity quantiles — lowest-perplexity third
+    is "head", the pretraining-preferred slice.
+
+    Scale note: the cutoffs are ONE two-value aggregate over the ppl
+    column (exact percentile here for oracle parity; swap to
+    percentile_approx at 10^12 docs — same plan shape, bounded memory),
+    then bucketing is a map-side CASE. No global sort / ntile window.
+    """
+    ppl = bigram_lm_perplexity(docs, alpha=alpha)
+    cuts = ppl.agg(
+        F.expr("percentile(ppl, array(1.0D/3.0D, 2.0D/3.0D))").alias("c")
+    ).first()["c"]
+    c1, c2 = float(cuts[0]), float(cuts[1])
+    bucket = (
+        F.when(F.col("ppl") <= c1, F.lit("head"))
+        .when(F.col("ppl") <= c2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ppl.select("doc_id", "ppl", bucket.alias("bucket"))
