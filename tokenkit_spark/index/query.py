@@ -433,12 +433,15 @@ def _bm25_from_qterms(
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
 
     out_schema = "query_id long, doc_id long, score double"
-    # local candidate lists over-fetch a margin so rounded-score global
-    # ranking can never be starved by a raw-score local cut at the boundary
+    # The index is DOC-sharded, so per-shard top-k under the raw total
+    # order (score desc, doc_id asc) makes the global top-k exact with NO
+    # margin. Only when ranking on ROUNDED scores can a raw-score local
+    # cut starve a rounded-score global tie — over-fetch a margin then.
+    k_local = k + 32 if round_digits is not None else k
     candidates = (
         matched.repartition(_shard_partitions(spark, n_shards), "shard")
         .mapInPandas(
-            _score_shard_kernel(k + 32, n_docs, avgdl, use_blockmax, direct_max_blocks),
+            _score_shard_kernel(k_local, n_docs, avgdl, use_blockmax, direct_max_blocks),
             out_schema,
         )
     )
@@ -1465,10 +1468,14 @@ def bm25_segments_batch(
         .select("query_ids", "shard", *_TERM_COLS)
     )
     out_schema = "query_id long, doc_id long, score double"
+    # doc-sharded index: margin only needed under rounded-score ranking
+    # (see bm25_segments) — the batch regime's candidate volume is
+    # n_shards * k_local * n_queries, so the margin is the scale lever
+    k_local = k + 32 if round_digits is not None else k
     candidates = (
         matched.repartition(_shard_partitions(spark, n_shards), "shard")
         .mapInPandas(
-            _score_shard_kernel(k + 32, n_docs, avgdl, use_blockmax, direct_max_blocks),
+            _score_shard_kernel(k_local, n_docs, avgdl, use_blockmax, direct_max_blocks),
             out_schema,
         )
     )
