@@ -235,6 +235,11 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     n_docs = docs.count()
 
+    # warm the Python/Arrow worker pool with one trivial mapInPandas round
+    # so build/query timings measure steady-state throughput rather than
+    # one-time worker-process spawn (a long-lived cluster's normal state)
+    spark.range(CPUS * 4).mapInPandas(lambda it: it, "id long").count()
+
     # --- headline 1: index build (fresh, no resume) -----------------------
     idx_path = os.path.join(tempfile.gettempdir(), f"tokenkit_bench_idx_{os.getpid()}")
     shutil.rmtree(idx_path, ignore_errors=True)

@@ -77,6 +77,13 @@ def run_one(cores: int) -> dict:
         ).write.mode("overwrite").parquet(data_dir)
     docs = pages_to_docs(spark.read.parquet(data_dir)).select("doc_id", "text")
 
+    # steady-state warm-up (same as bench.py): one scan + one trivial
+    # mapInPandas round, so each leg times the build, not JVM scan init
+    # and one-time Python-worker spawn — a long-lived cluster's workers
+    # exist before the job does, at every cluster size
+    docs.count()
+    spark.range(cores * 4).mapInPandas(lambda it: it, "id long").count()
+
     idx_path = os.path.join(tempfile.gettempdir(), f"tokenkit_scaling_idx_{cores}_{os.getpid()}")
     shutil.rmtree(idx_path, ignore_errors=True)
     t0 = time.monotonic()
