@@ -284,6 +284,102 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
+_RANK_FEATURE_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g
+  GROUP BY 1, 2),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         s.s + 1.0 * (dm.n_chars / (dm.n_chars + 256.0)) AS s
+  FROM scored s JOIN documents dm USING (doc_id)),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM boosted)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+_PINNED_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g
+  GROUP BY 1, 2),
+org AS (SELECT query_id, doc_id, round(s, 4) AS score FROM scored
+        WHERE doc_id NOT IN (42, 7)),
+pin(doc_id, pin_rank) AS (VALUES (42, 1), (7, 2)),
+pinrows AS (SELECT q.query_id, p.doc_id, p.pin_rank,
+            CAST(NULL AS DOUBLE) AS score
+            FROM (SELECT DISTINCT query_id FROM queries) q CROSS JOIN pin p),
+unioned AS (SELECT query_id, doc_id, pin_rank, score FROM pinrows
+            UNION ALL
+            SELECT query_id, doc_id, NULL, score FROM org),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           CASE WHEN pin_rank IS NOT NULL THEN 0 ELSE 1 END,
+           pin_rank ASC NULLS LAST, score DESC NULLS LAST, doc_id ASC) AS rank,
+         doc_id, score FROM unioned)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+
+_SIGTEXT_ORACLE = f"""
+WITH dd AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+toks AS (SELECT doc_id, lower(u.t) AS term FROM dd,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),
+postings AS (SELECT DISTINCT term, doc_id FROM toks),
+g AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dd),
+bg AS (SELECT term, count(*) AS bg_df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+md AS (SELECT DISTINCT q.query_id, p.doc_id FROM qterms q JOIN postings p USING (term)),
+fsz AS (SELECT query_id, count(*) AS fg_size FROM md GROUP BY 1),
+fg AS (SELECT m.query_id, p.term, count(*) AS fg_df
+       FROM md m JOIN postings p USING (doc_id) GROUP BY 1, 2),
+scored AS (SELECT f.query_id, f.term, f.fg_df, s.fg_size, b.bg_df,
+           round(((f.fg_df::DOUBLE / s.fg_size) - (b.bg_df::DOUBLE / g.n_docs))
+                 * ((f.fg_df::DOUBLE / s.fg_size) / (b.bg_df::DOUBLE / g.n_docs)), 6) AS jlh
+           FROM fg f JOIN fsz s USING (query_id) JOIN bg b USING (term) CROSS JOIN g),
+ranked AS (SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY jlh DESC, term ASC) AS rank,
+           term, fg_df, fg_size, bg_df, jlh FROM scored)
+SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <= 5
+"""
+
 # gauss decay: 2*sigma^2 with sigma^2 = -scale^2 / (2 ln decay); the SAME
 # Python double is inlined here and passed to decay_score so both engines
 # divide by a bit-identical constant.
@@ -2769,6 +2865,127 @@ def q_has_child(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks agg: % of each event_type's values <= each
+    threshold in (50, 100, 200) — exact form, the definition the ES
+    t-digest approximates (ops/aggs.py:percentile_ranks). One
+    conditional-count hash aggregate for all thresholds."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.percentile_ranks(
+        _events(spark, sf_dir), "event_type", "value", [50.0, 100.0, 200.0]
+    )
+
+
+def q_median_abs_deviation(spark, sf_dir):
+    """ES median_absolute_deviation agg per event_type: exact
+    interpolated median(|x - median(x)|)
+    (ops/aggs.py:median_abs_deviation)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.median_abs_deviation(
+        _events(spark, sf_dir), "event_type", "value"
+    )
+
+
+def q_cumulative_sum(spark, sf_dir):
+    """ES cumulative_sum pipeline agg over a daily date_histogram:
+    per-day value sum + running total across the bucket stream
+    (ops/aggs.py:cumulative_sum_buckets)."""
+    from tokenkit_spark.ops import aggs
+
+    out = aggs.cumulative_sum_buckets(
+        _events(spark, sf_dir), "ts", "value", interval="day"
+    )
+    return out.select(
+        F.col("bucket").cast("date").alias("day"), "bucket_sum", "cumulative"
+    )
+
+
+def q_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram (target 40 buckets): the engine picks the
+    finest calendar rung whose bucket count fits — the ~30-day events
+    span lands on the day rung — then buckets with calendar truncation
+    (ops/aggs.py:auto_date_histogram)."""
+    from tokenkit_spark.ops import aggs
+
+    out = aggs.auto_date_histogram(
+        _events(spark, sf_dir), "ts", target_buckets=40
+    )
+    return out.select(
+        "interval", F.col("bucket").cast("timestamp").alias("bucket"), "doc_count"
+    )
+
+
+def q_t_test_welch(spark, sf_dir):
+    """ES t_test agg (heteroscedastic/Welch): click vs error event
+    values — t statistic + Welch-Satterthwaite dof from one conditional
+    aggregate pass (ops/aggs.py:t_test_welch)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.t_test_welch(
+        _events(spark, sf_dir), "event_type", "value", "click", "error"
+    )
+
+
+def q_filters_agg(spark, sf_dir):
+    """ES filters agg with other_bucket: named overlapping predicate
+    buckets (en / long / src0) + the none-matched bucket, all counted in
+    ONE single-pass aggregate (ops/aggs.py:filters_agg)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.filters_agg(
+        _docs(spark, sf_dir),
+        {
+            "en": "lang = 'en'",
+            "long_doc": "n_chars > 300",
+            "src0": "source = 'src0'",
+        },
+        other_bucket=True,
+    )
+
+
+def q_rank_feature(spark, sf_dir):
+    """ES rank_feature query (saturation, pivot=256) in a bool-should:
+    BM25 + n_chars/(n_chars+256) additive static boost over the FULL
+    match set (index/query.py:rank_feature_search)."""
+    from tokenkit_spark.index.query import rank_feature_search
+
+    index = _index_for(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return rank_feature_search(
+        spark, index, _queries_df(spark), meta, "n_chars",
+        fn="saturation", pivot=256.0, boost=1.0,
+        config=WS, k=10, round_digits=4,
+    )
+
+
+def q_pinned_search(spark, sf_dir):
+    """ES pinned query: doc ids (42, 7) rank 1-2 in that order for every
+    query whether or not they match; organic BM25 follows with pinned
+    docs removed (index/query.py:pinned_search)."""
+    from tokenkit_spark.index.query import pinned_search
+
+    index = _index_for(spark, sf_dir)
+    return pinned_search(
+        spark, index, _queries_df(spark), [42, 7],
+        config=WS, k=10, round_digits=4,
+    )
+
+
+def q_significant_text(spark, sf_dir):
+    """ES significant_text agg with filter_duplicate_text: JLH top-5 per
+    query after identical texts collapse to one doc — the mirror-page
+    failure mode the option exists for
+    (index/query.py:significant_text)."""
+    from tokenkit_spark.index.query import significant_text
+
+    return significant_text(
+        _docs(spark, sf_dir), _queries_df(spark), WS, n=5,
+        filter_duplicate_text=True,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 through the compressed segment index engine
     on sf0.001."""
@@ -2784,6 +3001,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "percentile_ranks": q_percentile_ranks,
+        "median_abs_deviation": q_median_abs_deviation,
+        "cumulative_sum": q_cumulative_sum,
+        "auto_date_histogram": q_auto_date_histogram,
+        "t_test_welch": q_t_test_welch,
+        "filters_agg": q_filters_agg,
+        "rank_feature": q_rank_feature,
+        "pinned_search": q_pinned_search,
+        "significant_text": q_significant_text,
         "ccnet_buckets": q_ccnet_buckets,
         "dedup_span_removal": q_dedup_span_removal,
         "image_phash_dups": q_image_phash_dups,
@@ -2954,6 +3180,81 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "percentile_ranks": (
+            "WITH b AS (SELECT event_type, count(*) AS n, "
+            "sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS le0, "
+            "sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS le1, "
+            "sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS le2 "
+            "FROM events GROUP BY 1), "
+            "u AS (SELECT event_type, 50.0 AS threshold, round(le0 * 100.0 / n, 6) AS pct_rank FROM b "
+            "UNION ALL SELECT event_type, 100.0, round(le1 * 100.0 / n, 6) FROM b "
+            "UNION ALL SELECT event_type, 200.0, round(le2 * 100.0 / n, 6) FROM b) "
+            "SELECT event_type, threshold, pct_rank FROM u "
+            "ORDER BY event_type ASC, threshold ASC"
+        ),
+        "median_abs_deviation": (
+            "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "
+            "FROM events GROUP BY 1), "
+            "d AS (SELECT e.event_type, abs(e.value - m.med) AS dev "
+            "FROM events e JOIN m USING (event_type)) "
+            "SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad "
+            "FROM d GROUP BY 1 ORDER BY event_type ASC"
+        ),
+        "cumulative_sum": (
+            "WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "round(sum(value), 6) AS bucket_sum FROM events GROUP BY 1) "
+            "SELECT day, bucket_sum, round(sum(bucket_sum) OVER "
+            "(ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) "
+            "AS cumulative FROM b ORDER BY day ASC"
+        ),
+        "auto_date_histogram": (
+            "WITH span AS (SELECT floor(epoch(max(ts)))::BIGINT - "
+            "floor(epoch(min(ts)))::BIGINT AS s FROM events), "
+            "iv AS (SELECT CASE "
+            "WHEN s / 60.0 <= 40 THEN 'minute' "
+            "WHEN s / 3600.0 <= 40 THEN 'hour' "
+            "WHEN s / 86400.0 <= 40 THEN 'day' "
+            "WHEN s / 2592000.0 <= 40 THEN 'month' "
+            "ELSE 'year' END AS interval FROM span) "
+            "SELECT iv.interval, CASE iv.interval "
+            "WHEN 'minute' THEN date_trunc('minute', ts) "
+            "WHEN 'hour' THEN date_trunc('hour', ts) "
+            "WHEN 'day' THEN date_trunc('day', ts) "
+            "WHEN 'month' THEN date_trunc('month', ts) "
+            "ELSE date_trunc('year', ts) END AS bucket, "
+            "count(*) AS doc_count FROM events, iv "
+            "GROUP BY 1, 2 ORDER BY bucket ASC"
+        ),
+        "t_test_welch": (
+            "WITH s AS (SELECT "
+            "count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a, "
+            "avg(CASE WHEN event_type = 'click' THEN value END) AS mean_a, "
+            "var_samp(CASE WHEN event_type = 'click' THEN value END) AS var_a, "
+            "count(CASE WHEN event_type = 'error' THEN 1 END) AS n_b, "
+            "avg(CASE WHEN event_type = 'error' THEN value END) AS mean_b, "
+            "var_samp(CASE WHEN event_type = 'error' THEN value END) AS var_b "
+            "FROM events WHERE event_type IN ('click', 'error')) "
+            "SELECT n_a, round(mean_a, 6) AS mean_a, n_b, round(mean_b, 6) AS mean_b, "
+            "round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat, "
+            "round(pow(var_a / n_a + var_b / n_b, 2) / "
+            "(pow(var_a / n_a, 2) / (n_a - 1) + pow(var_b / n_b, 2) / (n_b - 1)), 4) "
+            "AS dof FROM s"
+        ),
+        "filters_agg": (
+            "WITH u AS (SELECT 'en' AS bucket, "
+            "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS doc_count FROM documents "
+            "UNION ALL SELECT 'long_doc', "
+            "sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)::BIGINT FROM documents "
+            "UNION ALL SELECT 'src0', "
+            "sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT FROM documents "
+            "UNION ALL SELECT '_other_', "
+            "sum(CASE WHEN NOT (lang = 'en') AND NOT (n_chars > 300) "
+            "AND NOT (source = 'src0') THEN 1 ELSE 0 END)::BIGINT FROM documents) "
+            "SELECT bucket, doc_count FROM u ORDER BY bucket ASC"
+        ),
+        "rank_feature": _RANK_FEATURE_ORACLE,
+        "pinned_search": _PINNED_ORACLE,
+        "significant_text": _SIGTEXT_ORACLE,
         "ccnet_buckets": (
             "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
             "'\\s+'), x -> x <> '') AS l FROM documents), "

@@ -135,6 +135,80 @@ def test_serial_diff_and_bucket_selector(spark):
     assert [(r.b, r.v) for r in s] == [(2, 30.0)]
 
 
+def test_percentile_ranks_exact_definition(spark, events):
+    got = {
+        (r[0], r.threshold): r.pct_rank
+        for r in aggs.percentile_ranks(events, "etype", "value", [10.0, 25.0]).collect()
+    }
+    # a: values 10,20,30 -> <=10 is 1/3, <=25 is 2/3
+    assert got[("a", 10.0)] == round(100.0 / 3, 6)
+    assert got[("a", 25.0)] == round(200.0 / 3, 6)
+    # b: values 5,15 -> <=10 is 1/2, <=25 is 2/2
+    assert got[("b", 10.0)] == 50.0
+    assert got[("b", 25.0)] == 100.0
+
+
+def test_median_abs_deviation_hand_computed(spark, events):
+    got = {r.etype: r.mad for r in aggs.median_abs_deviation(events, "etype", "value").collect()}
+    # a: median 20, |devs| = [10, 0, 10] -> mad 10; b: median 10, devs [5, 5] -> 5
+    assert got == {"a": 10.0, "b": 5.0}
+
+
+def test_cumulative_sum_buckets_running_total(spark):
+    rows = [
+        ("2024-01-01 05:00:00", 1.0),
+        ("2024-01-01 09:00:00", 2.0),
+        ("2024-01-03 01:00:00", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = aggs.cumulative_sum_buckets(df, "ts", "value", interval="day").collect()
+    assert [(str(r.bucket)[:10], r.bucket_sum, r.cumulative) for r in out] == [
+        ("2024-01-01", 3.0, 3.0),
+        ("2024-01-03", 4.0, 7.0),
+    ]
+
+
+def test_auto_date_histogram_picks_finest_fitting_rung(spark):
+    # 5-minute span, target 10 -> minute rung (5 buckets)
+    rows = [(f"2024-01-01 00:0{m}:30",) for m in range(5)]
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = aggs.auto_date_histogram(df, "ts", target_buckets=10).collect()
+    assert all(r.interval == "minute" for r in out)
+    assert len(out) == 5 and all(r.doc_count == 1 for r in out)
+    # 2-year span -> nothing finer fits; year rung
+    rows = [("2022-01-01 00:00:00",), ("2024-06-01 00:00:00",)]
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = aggs.auto_date_histogram(df, "ts", target_buckets=10).collect()
+    assert all(r.interval == "year" for r in out) and len(out) == 2
+
+
+def test_t_test_welch_closed_form(spark, events):
+    r = aggs.t_test_welch(events, "etype", "value", "a", "b").collect()[0]
+    # a: n=3 mean=20 var=100; b: n=2 mean=10 var=50
+    se = 100.0 / 3 + 50.0 / 2
+    t = (20.0 - 10.0) / math.sqrt(se)
+    dof = se * se / ((100.0 / 3) ** 2 / 2 + 25.0**2 / 1)
+    assert (r.n_a, r.mean_a, r.n_b, r.mean_b) == (3, 20.0, 2, 10.0)
+    assert r.t_stat == round(t, 6) and r.dof == round(dof, 4)
+
+
+def test_filters_agg_overlap_and_other_bucket(spark, events):
+    got = {
+        r.bucket: r.doc_count
+        for r in aggs.filters_agg(
+            events, {"big": "value >= 15", "typea": "etype = 'a'"}
+        ).collect()
+    }
+    # overlapping buckets count independently; _other_ = rows matching none
+    assert got == {"big": 3, "typea": 3, "_other_": 1}
+
+
 # --- hybrid retrieval ------------------------------------------------------
 
 def test_rrf_fuse_formula_and_missing_doc(spark):

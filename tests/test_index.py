@@ -1038,3 +1038,122 @@ def test_index_stats_match_raw_text(spark, docs, index):
     sm = shard_manifest_stats(spark, index).collect()
     assert len(sm) == 8 and all(r.status == "done" for r in sm)
     assert sum(r.n_postings for r in sm) == want_postings
+
+
+def test_rank_feature_matches_brute(spark, docs, queries_df, index, docs_meta):
+    """ES rank_feature (saturation): BM25 + boost * x/(x+pivot) re-ranks
+    the FULL match set; a short-text doc with a huge feature value must
+    be able to enter the top-k from outside the score-only cut."""
+    from tokenkit_spark.index.query import bm25_brute, rank_feature_search
+
+    meta = {r.doc_id: r.n_chars for r in docs_meta.collect()}
+    full = bm25_brute(docs, queries_df, CFG, k=docs.count()).collect()
+    by_q = {}
+    for r in full:
+        feat = meta[r.doc_id] / (meta[r.doc_id] + 100.0)
+        by_q.setdefault(r.query_id, []).append(
+            (-round(r.score + 2.0 * feat, 6), r.doc_id)
+        )
+    want = {
+        (q, i + 1, d, -neg)
+        for q, rows in by_q.items()
+        for i, (neg, d) in enumerate(sorted(rows)[:10])
+    }
+    got = rank_feature_search(
+        spark, index, queries_df, docs_meta, "n_chars",
+        fn="saturation", pivot=100.0, boost=2.0,
+        config=CFG, k=10, round_digits=6,
+    )
+    got_set = {(r.query_id, r.rank, r.doc_id, round(r.score, 6)) for r in got.collect()}
+    assert got_set == want
+
+    with pytest.raises(ValueError, match="unknown function"):
+        rank_feature_search(
+            spark, index, queries_df, docs_meta, "n_chars", fn="bogus"
+        )
+
+
+def test_rank_feature_log_and_sigmoid_formulas(spark, docs, queries_df, index, docs_meta):
+    """The log and sigmoid variants apply the documented ES formulas."""
+    import math
+
+    from tokenkit_spark.index.query import bm25_brute, rank_feature_search
+
+    meta = {r.doc_id: r.n_chars for r in docs_meta.collect()}
+    base = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_brute(docs, queries_df, CFG, k=docs.count()).collect()
+    }
+    got_log = rank_feature_search(
+        spark, index, queries_df, docs_meta, "n_chars",
+        fn="log", scaling_factor=0.1, config=CFG, k=5, round_digits=6,
+    ).collect()
+    for r in got_log:
+        want = base[(r.query_id, r.doc_id)] + math.log(1 + 0.1 * meta[r.doc_id])
+        assert abs(r.score - round(want, 6)) < 1e-9
+    got_sig = rank_feature_search(
+        spark, index, queries_df, docs_meta, "n_chars",
+        fn="sigmoid", pivot=200.0, exponent=2.0, config=CFG, k=5, round_digits=6,
+    ).collect()
+    for r in got_sig:
+        xe = meta[r.doc_id] ** 2.0
+        want = base[(r.query_id, r.doc_id)] + xe / (xe + 200.0**2.0)
+        assert abs(r.score - round(want, 6)) < 1e-9
+
+
+def test_pinned_search_contract(spark, docs, queries_df, index):
+    """ES pinned query: pinned ids rank 1..p in the SUPPLIED order for
+    every query (matching or not, score NULL), organic follows with
+    pinned docs removed, ranks contiguous 1..k."""
+    from tokenkit_spark.index.query import bm25_brute, pinned_search
+
+    pins = [17, 3, 99]
+    got = pinned_search(
+        spark, index, queries_df, pins, config=CFG, k=10, round_digits=6
+    ).collect()
+    organic = bm25_brute(docs, queries_df, CFG, k=docs.count(), round_digits=6).collect()
+    by_q = {}
+    for r in organic:
+        if r.doc_id not in pins:
+            by_q.setdefault(r.query_id, []).append((-r.score, r.doc_id))
+    for q in {r.query_id for r in got}:
+        rows = sorted(
+            [r for r in got if r.query_id == q], key=lambda r: r.rank
+        )
+        # ranks contiguous from 1
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        # pinned section: supplied order, NULL scores
+        assert [r.doc_id for r in rows[:3]] == pins
+        assert all(r.score is None for r in rows[:3])
+        # organic section: brute order minus pinned
+        want = [d for _, d in sorted(by_q.get(q, []))[:7]]
+        assert [r.doc_id for r in rows[3:]] == want
+        assert all(r.score is not None for r in rows[3:])
+
+
+def test_significant_text_filter_duplicate_text(spark, queries_df):
+    """filter_duplicate_text: a text duplicated 50x contributes ONCE to
+    foreground and background stats — without the filter its terms
+    dominate the JLH ranking, with it they score as one doc."""
+    from tokenkit_spark.index.query import significant_terms, significant_text
+
+    base = [(i, f"data search engine page{i} crawl") for i in range(20)]
+    dups = [(100 + i, "data boilerplatemirror spamterm") for i in range(50)]
+    docs = spark.createDataFrame(base + dups, "doc_id long, text string")
+    q = spark.createDataFrame([(0, "data")], "query_id long, text string")
+
+    unfiltered = significant_text(docs, q, CFG, n=5, filter_duplicate_text=False)
+    filt = significant_text(docs, q, CFG, n=5, filter_duplicate_text=True)
+    un = {r.term: r for r in unfiltered.collect()}
+    fi = {r.term: r for r in filt.collect()}
+    # duplicated, the mirror terms flood the match set
+    assert un["boilerplatemirror"].fg_df == 50
+    # filtered, the whole mirror family collapses to one surviving doc
+    assert fi["boilerplatemirror"].fg_df == 1
+    assert fi["boilerplatemirror"].fg_size == 21  # 20 distinct + 1 survivor
+
+    # with no duplicates, filter on/off is a no-op equal to significant_terms
+    docs_uniq = spark.createDataFrame(base, "doc_id long, text string")
+    a = significant_text(docs_uniq, q, CFG, n=5, filter_duplicate_text=True).collect()
+    b = significant_terms(docs_uniq, q, CFG, n=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -2229,3 +2229,134 @@ def terms_set_search(
         .filter(F.col("n_matched") >= F.col("required"))
         .select("doc_id", "n_matched", "required")
     )
+
+
+_RANK_FEATURE_FNS = ("saturation", "log", "sigmoid")
+
+
+def rank_feature_search(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    docs_meta: DataFrame,
+    field: str,
+    fn: str = "saturation",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    exponent: float = 1.0,
+    scaling_factor: float = 1.0,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ES ``rank_feature`` query in a bool-should next to the text match:
+    a static per-doc signal (pagerank, url_length, popularity) ADDS to the
+    BM25 score via one of the ES rank_feature functions —
+    saturation ``boost * x / (x + pivot)``,
+    log ``boost * ln(1 + scaling_factor * x)``,
+    sigmoid ``boost * x^exp / (x^exp + pivot^exp)``.
+
+    Scale shape: same contract as :func:`function_score` — an arbitrary
+    additive per-doc boost breaks WAND's score upper bounds, so the match
+    set is scored exhaustively (the documented ES tradeoff: rank_feature
+    is only WAND-safe inside ES because the feature is indexed into an
+    impact-ordered structure; without reindexing, exhaustive + Catalyst
+    join is the honest plan).  The boost arithmetic is pure JVM-side."""
+    if fn not in _RANK_FEATURE_FNS:
+        raise ValueError(f"rank_feature_search: unknown function {fn!r}")
+    scored = bm25_all_scores(spark, index, queries, config)
+    x = F.col(field).cast("double")
+    if fn == "saturation":
+        feat = x / (x + F.lit(float(pivot)))
+    elif fn == "log":
+        feat = F.log(F.lit(1.0) + F.lit(float(scaling_factor)) * x)
+    else:
+        xe = F.pow(x, F.lit(float(exponent)))
+        feat = xe / (xe + F.lit(float(pivot) ** float(exponent)))
+    rows = (
+        scored.join(docs_meta.select("doc_id", field), "doc_id")
+        .withColumn("score", F.col("score") + F.lit(float(boost)) * feat)
+        .select("query_id", "doc_id", "score")
+    )
+    return _topk_window(rows, k, round_digits)
+
+
+def pinned_search(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    pinned_ids: list[int],
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ES ``pinned`` query: the given doc ids rank first IN THE SUPPLIED
+    ORDER for every query (whether or not they match), then organic BM25
+    results follow, with pinned docs removed from the organic section.
+    Output ranks are contiguous 1..k per query, as ES serves them.
+
+    Scale shape: the pinned list is a literal broadcast (ES caps it at 100
+    ids); organic ranking rides the segment engine's normal top-k path with
+    a +len(pinned) over-fetch so the post-filter cut stays exact.  The
+    reorder is one bucket-cardinality window, no extra scan."""
+    pins = [(int(d), i + 1) for i, d in enumerate(pinned_ids)]
+    organic = bm25_segments(
+        spark, index, queries, config, k=k + len(pins),
+        round_digits=round_digits,
+    )
+    pin_df = F.broadcast(
+        spark.createDataFrame(pins, "doc_id long, pin_rank long")
+    )
+    organic = (
+        organic.join(pin_df, "doc_id", "left_anti")
+        .select("query_id", "doc_id", F.lit(None).cast("long").alias("pin_rank"),
+                "score")
+    )
+    pinned_rows = (
+        queries.select("query_id")
+        .crossJoin(pin_df)
+        .select("query_id", "doc_id", "pin_rank",
+                F.lit(None).cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.when(F.col("pin_rank").isNotNull(), 0).otherwise(1).asc(),
+        F.col("pin_rank").asc_nulls_last(),
+        F.col("score").desc_nulls_last(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        pinned_rows.unionByName(organic)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def significant_text(
+    docs: DataFrame,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    n: int = 5,
+    filter_duplicate_text: bool = True,
+) -> DataFrame:
+    """ES ``significant_text`` aggregation: like ``significant_terms`` but
+    computed by re-analyzing the raw text field of the matching docs, with
+    the ES ``filter_duplicate_text`` option — identical texts (the
+    boilerplate/mirror-page failure mode the option exists for) count ONCE
+    toward both foreground and background stats, so a duplicated page
+    can't masquerade as a significant signal.  JLH heuristic, top-``n``
+    per query by (6-dp jlh desc, term asc).
+
+    Scale shape: the text-dedup is one hash-groupBy keyed on a 64-bit text
+    hash (first doc_id per distinct text wins — deterministic); everything
+    downstream is the significant_terms plan over the surviving docs.  No
+    driver state; the dedup shuffle carries (hash, doc_id), not text."""
+    cfg = config or AnalyzerConfig()
+    if filter_duplicate_text:
+        w = Window.partitionBy(F.xxhash64("text")).orderBy(F.col("doc_id").asc())
+        docs = (
+            docs.withColumn("_tr", F.row_number().over(w))
+            .filter(F.col("_tr") == 1)
+            .drop("_tr")
+        )
+    return significant_terms(docs, queries, cfg, n=n)

@@ -345,3 +345,227 @@ def has_child(
         .filter(F.col("n_children") >= min_children)
     )
     return parents.join(rollup, parent_key)
+
+
+def percentile_ranks(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    values: list[float],
+) -> DataFrame:
+    """ES ``percentile_ranks`` agg: for each supplied threshold, the
+    percentage of observations in the bucket that are <= it.  ES runs
+    this on a t-digest sketch (approximate); this is the exact form —
+    the oracle twin — and the exact definition the sketch approximates:
+    ``rank(v) = 100 * count(x <= v) / count(*)``.
+
+    Scale shape: one conditional-sum hash aggregate per bucket (the
+    threshold list unrolls into len(values) map-side counters — no
+    per-threshold pass, no sort, no percentile shuffle).  At sketch
+    scale a t-digest UDAF would slot in behind the same output schema.
+    Output long-form: (group, threshold, pct_rank)."""
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum((F.col(value_col) <= F.lit(float(v))).cast("long")).alias(f"_le_{i}")
+        for i, v in enumerate(values)
+    ]
+    bucketed = df.groupBy(group_col).agg(*aggs)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(v)).alias("threshold"),
+                    F.round(F.col(f"_le_{i}") * 100.0 / F.col("_n"), 6).alias(
+                        "pct_rank"
+                    ),
+                )
+                for i, v in enumerate(values)
+            ]
+        )
+    ).alias("pr")
+    return (
+        bucketed.select(group_col, pairs)
+        .select(group_col, "pr.threshold", "pr.pct_rank")
+        .orderBy(F.col(group_col).asc(), F.col("threshold").asc())
+    )
+
+
+def median_abs_deviation(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` agg: median(|x - median(x)|) per
+    bucket — the robust dispersion metric.  ES approximates both medians
+    with t-digests; this is the exact interpolated-median form (the
+    oracle twin, matching DuckDB ``quantile_cont(.., 0.5)``).
+
+    Scale shape: two aggregates on the SAME group key — the per-bucket
+    median, broadcast-joined back (one row per bucket), then the median
+    of deviations.  Both percentile aggregates are Catalyst built-ins;
+    the join side is bucket-cardinality so it broadcasts at any corpus
+    size."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    return (
+        df.join(F.broadcast(med), group_col)
+        .withColumn("_dev", F.abs(F.col(value_col) - F.col("_med")))
+        .groupBy(group_col)
+        .agg(F.round(F.expr("percentile(_dev, 0.5)"), 6).alias("mad"))
+        .orderBy(F.col(group_col).asc())
+    )
+
+
+def cumulative_sum_buckets(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    interval: str = "day",
+) -> DataFrame:
+    """ES ``cumulative_sum`` pipeline agg over a ``date_histogram``:
+    per-bucket sum plus the running total across buckets in time order.
+
+    Scale shape: one hash aggregate down to bucket cardinality, then an
+    unpartitioned running-sum window over the bucket stream — one row
+    per calendar bucket, so the single-partition window is bounded by
+    the date range, not the corpus."""
+    buckets = (
+        df.groupBy(F.date_trunc(interval, F.col(ts_col)).alias("bucket"))
+        .agg(F.round(F.sum(value_col), 6).alias("bucket_sum"))
+    )
+    w = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        buckets.withColumn("cumulative", F.round(F.sum("bucket_sum").over(w), 6))
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+# the ES auto_date_histogram rounding ladder (coarse form): interval
+# name -> nominal seconds used ONLY to pick the coarsest-fitting rung;
+# bucketing itself is calendar date_trunc, exactly as ES rounds.
+_AUTO_DH_LADDER = [
+    ("minute", 60),
+    ("hour", 3600),
+    ("day", 86400),
+    ("month", 30 * 86400),
+    ("year", 365 * 86400),
+]
+
+
+def auto_date_histogram(
+    df: DataFrame, ts_col: str, target_buckets: int = 10
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the smallest calendar interval
+    from the rounding ladder whose bucket count stays <= ``target_buckets``
+    (falling back to the coarsest rung), then bucket with calendar
+    truncation.  Output: (chosen_interval, bucket, doc_count).
+
+    Scale shape: the span probe is a one-row min/max aggregate that
+    broadcasts back into the plan (no driver decision, no second scan
+    branch at runtime — the CASE over rungs folds per-row), then one
+    hash aggregate at bucket cardinality."""
+    span = df.agg(
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("_span_s")
+    )
+    interval = F.lit(_AUTO_DH_LADDER[-1][0])
+    for name, secs in reversed(_AUTO_DH_LADDER[:-1]):
+        interval = F.when(
+            F.col("_span_s") / F.lit(secs) <= F.lit(target_buckets), F.lit(name)
+        ).otherwise(interval)
+    with_iv = df.crossJoin(F.broadcast(span.select(interval.alias("interval"))))
+    bucket = F.coalesce(
+        *[
+            F.when(
+                F.col("interval") == name, F.date_trunc(name, F.col(ts_col))
+            )
+            for name, _ in _AUTO_DH_LADDER
+        ]
+    )
+    return (
+        with_iv.groupBy(F.col("interval"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+def t_test_welch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """ES ``t_test`` agg (heteroscedastic / Welch form): the t statistic
+    between two populations' values plus the Welch-Satterthwaite degrees
+    of freedom.  ES reports the p-value derived from exactly these two
+    numbers via the Student-t CDF; the statistic + dof are returned here
+    (the CDF is not a SQL primitive — the mapping to p is monotone and
+    deterministic given dof, applied client-side).
+
+    Scale shape: one conditional hash aggregate over the filtered union
+    of both populations — count/mean/var_samp per side as map-side
+    partials; the t arithmetic runs on the single combined row."""
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    stats = df.filter(in_a | in_b).agg(
+        F.sum(in_a.cast("long")).alias("n_a"),
+        F.avg(F.when(in_a, F.col(value_col))).alias("mean_a"),
+        F.var_samp(F.when(in_a, F.col(value_col))).alias("var_a"),
+        F.sum(in_b.cast("long")).alias("n_b"),
+        F.avg(F.when(in_b, F.col(value_col))).alias("mean_b"),
+        F.var_samp(F.when(in_b, F.col(value_col))).alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b)
+    dof = (se_a + se_b) * (se_a + se_b) / (
+        se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)
+    )
+    return stats.select(
+        F.col("n_a"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.col("n_b"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 4).alias("dof"),
+    )
+
+
+def filters_agg(
+    df: DataFrame,
+    named_filters: dict[str, str],
+    other_bucket: bool = True,
+) -> DataFrame:
+    """ES ``filters`` agg: one named bucket per filter expression (SQL
+    predicate strings, evaluated as Catalyst expressions), plus the ES
+    ``other_bucket`` of rows matching none.  Buckets overlap when
+    filters do, exactly as in ES.  Output: (bucket, doc_count).
+
+    Scale shape: every filter unrolls into one conditional map-side
+    counter inside a single aggregate — one scan regardless of filter
+    count, no per-bucket pass."""
+    preds = {name: F.expr(sql) for name, sql in named_filters.items()}
+    aggs = [
+        F.sum(p.cast("long")).alias(name) for name, p in preds.items()
+    ]
+    if other_bucket:
+        none_match = ~preds[next(iter(preds))]
+        for p in list(preds.values())[1:]:
+            none_match = none_match & ~p
+        aggs.append(F.sum(none_match.cast("long")).alias("_other_"))
+    counts = df.agg(*aggs)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("bucket"), F.col(c).alias("doc_count"))
+                for c in counts.columns
+            ]
+        )
+    ).alias("b")
+    return (
+        counts.select(pairs)
+        .select("b.bucket", "b.doc_count")
+        .orderBy(F.col("bucket").asc())
+    )
