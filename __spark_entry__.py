@@ -380,6 +380,89 @@ ranked AS (SELECT query_id,
 SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <= 5
 """
 
+_SIG_COUNTS_CTE = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT DISTINCT term, doc_id FROM toks),
+g AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+bg AS (SELECT term, count(*) AS bg_df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+md AS (SELECT DISTINCT q.query_id, p.doc_id FROM qterms q JOIN postings p USING (term)),
+fsz AS (SELECT query_id, count(*) AS fg_size FROM md GROUP BY 1),
+fg AS (SELECT m.query_id, p.term, count(*) AS fg_df
+       FROM md m JOIN postings p USING (doc_id) GROUP BY 1, 2),
+cells AS (SELECT f.query_id, f.term, f.fg_df, s.fg_size, b.bg_df, g.n_docs,
+          f.fg_df::DOUBLE AS n11,
+          (s.fg_size - f.fg_df)::DOUBLE AS n10,
+          (b.bg_df - f.fg_df)::DOUBLE AS n01,
+          (g.n_docs - b.bg_df - (s.fg_size - f.fg_df))::DOUBLE AS n00,
+          g.n_docs::DOUBLE AS nn
+          FROM fg f JOIN fsz s USING (query_id) JOIN bg b USING (term) CROSS JOIN g)
+"""
+
+_SIG_CHI2_ORACLE = _SIG_COUNTS_CTE + """,
+scored AS (SELECT query_id, term, fg_df, fg_size, bg_df,
+           round(CASE WHEN (n11+n01)*(n11+n10)*(n01+n00)*(n10+n00) > 0
+                 THEN nn * pow(n11*n00 - n10*n01, 2)
+                      / ((n11+n01)*(n11+n10)*(n01+n00)*(n10+n00))
+                 ELSE 0.0 END, 6) AS score FROM cells),
+ranked AS (SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, term ASC) AS rank,
+           term, fg_df, fg_size, bg_df, score FROM scored)
+SELECT query_id, rank, term, fg_df, fg_size, bg_df, score FROM ranked WHERE rank <= 5
+"""
+
+_SIG_GND_ORACLE = _SIG_COUNTS_CTE + """,
+scored AS (SELECT query_id, term, fg_df, fg_size, bg_df,
+           round(CASE WHEN ln(nn) - least(ln(n11+n10), ln(n11+n01)) > 0
+                 THEN (greatest(ln(n11+n10), ln(n11+n01)) - ln(n11))
+                      / (ln(nn) - least(ln(n11+n10), ln(n11+n01)))
+                 ELSE 0.0 END, 6) AS score FROM cells),
+ranked AS (SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score ASC, term ASC) AS rank,
+           term, fg_df, fg_size, bg_df, score FROM scored)
+SELECT query_id, rank, term, fg_df, fg_size, bg_df, score FROM ranked WHERE rank <= 5
+"""
+
+_DISTANCE_FEATURE_ORACLE = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g
+  GROUP BY 1, 2),
+meta AS (SELECT doc_id,
+         (DATE '2024-01-01' + (doc_id % 30)::INT)::TIMESTAMP AS pub_ts
+         FROM documents),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         s.s + 1.0 * 604800.0
+               / (604800.0 + abs(epoch(m.pub_ts)
+                                 - epoch(TIMESTAMP '2024-01-15 00:00:00'))) AS s
+  FROM scored s JOIN meta m USING (doc_id)),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM boosted)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
 # gauss decay: 2*sigma^2 with sigma^2 = -scale^2 / (2 ln decay); the SAME
 # Python double is inlined here and passed to decay_score so both engines
 # divide by a bit-identical constant.
@@ -2986,6 +3069,117 @@ def q_significant_text(spark, sf_dir):
     )
 
 
+def q_sig_terms_chi2(spark, sf_dir):
+    """ES significant_terms with the chi_square heuristic (Manning et
+    al. IIR ch. 13.5.2, background_is_superset): Pearson chi^2 on the
+    term/match-set 2x2 table, top-5 per query
+    (index/query.py:significant_terms)."""
+    from tokenkit_spark.index.query import significant_terms
+
+    return significant_terms(
+        _docs(spark, sf_dir), _queries_df(spark), WS, n=5,
+        heuristic="chi_square",
+    )
+
+
+def q_sig_terms_gnd(spark, sf_dir):
+    """ES significant_terms with the gnd heuristic (Google Normalized
+    Distance, Cilibrasi & Vitanyi 2007): a DISTANCE, so top-5 ranks
+    ascending (index/query.py:significant_terms)."""
+    from tokenkit_spark.index.query import significant_terms
+
+    return significant_terms(
+        _docs(spark, sf_dir), _queries_df(spark), WS, n=5, heuristic="gnd"
+    )
+
+
+def q_distance_feature(spark, sf_dir):
+    """ES distance_feature query: BM25 + boost*pivot/(pivot+|ts-origin|)
+    date-proximity boost (pivot 7 days, origin 2024-01-15) over a
+    deterministic per-doc publish date
+    (index/query.py:distance_feature_search)."""
+    from tokenkit_spark.index.query import distance_feature_search
+
+    index = _index_for(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("doc_id") % 30).cast("int"))
+        .cast("timestamp").alias("pub_ts"),
+    )
+    return distance_feature_search(
+        spark, index, _queries_df(spark), meta, "pub_ts",
+        origin="2024-01-15 00:00:00", pivot=7 * 86400.0, boost=1.0,
+        kind="date", config=WS, k=10, round_digits=4,
+    )
+
+
+def q_date_range(spark, sf_dir):
+    """ES date_range agg per event_type: explicit [from, to) timestamp
+    buckets, to exclusive, open ends, overlapping ranges allowed
+    (ops/aggs.py:date_range_agg)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.date_range_agg(
+        _events(spark, sf_dir), "ts",
+        [(None, "2024-01-10"), ("2024-01-10", "2024-01-20"),
+         ("2024-01-15", None)],
+        group_col="event_type",
+    )
+
+
+def _daily_value_buckets(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+    )
+
+
+def q_bucket_script(spark, sf_dir):
+    """ES bucket_script pipeline agg: per-day error percentage computed
+    from two sibling metrics of the same date_histogram bucket
+    (ops/aggs.py:bucket_script)."""
+    from tokenkit_spark.ops import aggs
+
+    buckets = _daily_value_buckets(spark, sf_dir).select(
+        "day", "n_errors", "n_total"
+    )
+    return aggs.bucket_script(
+        buckets,
+        "round(CAST(n_errors AS DOUBLE) * 100.0 / n_total, 6)",
+        "error_pct",
+    ).orderBy("day")
+
+
+def q_normalize_buckets(spark, sf_dir):
+    """ES normalize pipeline agg (percent_of_sum): each day's value sum
+    as a fraction of the whole histogram's total
+    (ops/aggs.py:normalize_buckets)."""
+    from tokenkit_spark.ops import aggs
+
+    buckets = _daily_value_buckets(spark, sf_dir).select("day", "sum_value")
+    return aggs.normalize_buckets(
+        buckets, "sum_value", method="percent_of_sum"
+    ).orderBy("day")
+
+
+def q_stats_bucket(spark, sf_dir):
+    """ES stats_bucket sibling pipeline agg: count/min/max/avg/sum of
+    the per-day value sums across the whole date_histogram
+    (ops/aggs.py:stats_bucket)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.stats_bucket(
+        _daily_value_buckets(spark, sf_dir).select("day", "sum_value"),
+        "sum_value",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 through the compressed segment index engine
     on sf0.001."""
@@ -3001,6 +3195,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "sig_terms_chi2": q_sig_terms_chi2,
+        "sig_terms_gnd": q_sig_terms_gnd,
+        "distance_feature": q_distance_feature,
+        "date_range": q_date_range,
+        "bucket_script": q_bucket_script,
+        "normalize_buckets": q_normalize_buckets,
+        "stats_bucket": q_stats_bucket,
         "percentile_ranks": q_percentile_ranks,
         "median_abs_deviation": q_median_abs_deviation,
         "cumulative_sum": q_cumulative_sum,
@@ -3180,6 +3381,44 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "sig_terms_chi2": _SIG_CHI2_ORACLE,
+        "sig_terms_gnd": _SIG_GND_ORACLE,
+        "distance_feature": _DISTANCE_FEATURE_ORACLE,
+        "date_range": (
+            "WITH u AS (SELECT event_type, '*-2024-01-10' AS range_key, "
+            "sum(CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 1 ELSE 0 END)::BIGINT AS doc_count "
+            "FROM events GROUP BY 1 "
+            "UNION ALL SELECT event_type, '2024-01-10-2024-01-20', "
+            "sum(CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' "
+            "THEN 1 ELSE 0 END)::BIGINT FROM events GROUP BY 1 "
+            "UNION ALL SELECT event_type, '2024-01-15-*', "
+            "sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END)::BIGINT "
+            "FROM events GROUP BY 1) "
+            "SELECT event_type, range_key, doc_count FROM u WHERE doc_count > 0"
+        ),
+        "bucket_script": (
+            "WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "count(*) AS n_total, "
+            "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors "
+            "FROM events GROUP BY 1) "
+            "SELECT day, n_errors, n_total, "
+            "round(n_errors::DOUBLE * 100.0 / n_total, 6) AS error_pct "
+            "FROM b ORDER BY day ASC"
+        ),
+        "normalize_buckets": (
+            "WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "round(sum(value), 6) AS sum_value FROM events GROUP BY 1) "
+            "SELECT day, sum_value, "
+            "round(sum_value / sum(sum_value) OVER (), 6) AS normalized "
+            "FROM b ORDER BY day ASC"
+        ),
+        "stats_bucket": (
+            "WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "round(sum(value), 6) AS sum_value FROM events GROUP BY 1) "
+            "SELECT count(sum_value) AS count, round(min(sum_value), 6) AS min, "
+            "round(max(sum_value), 6) AS max, round(avg(sum_value), 6) AS avg, "
+            "round(sum(sum_value), 6) AS sum FROM b"
+        ),
         "percentile_ranks": (
             "WITH b AS (SELECT event_type, count(*) AS n, "
             "sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS le0, "

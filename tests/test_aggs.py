@@ -209,6 +209,55 @@ def test_filters_agg_overlap_and_other_bucket(spark, events):
     assert got == {"big": 3, "typea": 3, "_other_": 1}
 
 
+def test_date_range_agg_bounds_and_open_ends(spark):
+    rows = [("2024-01-05 12:00:00",), ("2024-01-10 00:00:00",), ("2024-01-15 01:00:00",)]
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        r.range_key: r.doc_count
+        for r in aggs.date_range_agg(
+            df, "ts", [(None, "2024-01-10"), ("2024-01-10", "2024-01-16")]
+        ).collect()
+    }
+    # from inclusive, to exclusive: the 01-10T00:00 row is in the SECOND bucket
+    assert got == {"*-2024-01-10": 1, "2024-01-10-2024-01-16": 2}
+
+
+def test_bucket_script_and_stats_bucket(spark):
+    buckets = spark.createDataFrame(
+        [(1, 2.0, 10.0), (2, 3.0, 10.0)], "b int, num double, den double"
+    )
+    out = aggs.bucket_script(buckets, "num / den", "ratio").collect()
+    assert sorted((r.b, r.ratio) for r in out) == [(1, 0.2), (2, 0.3)]
+    st = aggs.stats_bucket(buckets, "num").collect()[0]
+    assert (st["count"], st["min"], st["max"], st["avg"], st["sum"]) == (
+        2, 2.0, 3.0, 2.5, 5.0,
+    )
+
+
+def test_normalize_buckets_methods(spark):
+    buckets = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 70.0)], "b int, v double"
+    )
+    def vals(method):
+        return {
+            r.b: r.normalized
+            for r in aggs.normalize_buckets(buckets, "v", method=method).collect()
+        }
+    assert vals("percent_of_sum") == {1: 0.1, 2: 0.2, 3: 0.7}
+    assert vals("rescale_0_1") == {1: 0.0, 2: round(10 / 60, 6), 3: 1.0}
+    # mean: (v - avg) / (max - min), avg = 100/3
+    import math as _m
+    want = {b: round((v - 100 / 3) / 60.0, 6) for b, v in [(1, 10.0), (2, 20.0), (3, 70.0)]}
+    assert vals("mean") == want
+    sd = _m.sqrt(((10 - 100 / 3) ** 2 + (20 - 100 / 3) ** 2 + (70 - 100 / 3) ** 2) / 3)
+    want = {b: round((v - 100 / 3) / sd, 6) for b, v in [(1, 10.0), (2, 20.0), (3, 70.0)]}
+    assert vals("z-score") == want
+    with pytest.raises(ValueError, match="unknown method"):
+        aggs.normalize_buckets(buckets, "v", method="bogus")
+
+
 # --- hybrid retrieval ------------------------------------------------------
 
 def test_rrf_fuse_formula_and_missing_doc(spark):

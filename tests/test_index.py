@@ -1157,3 +1157,91 @@ def test_significant_text_filter_duplicate_text(spark, queries_df):
     a = significant_text(docs_uniq, q, CFG, n=5, filter_duplicate_text=True).collect()
     b = significant_terms(docs_uniq, q, CFG, n=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_significant_terms_heuristics_hand_computed(spark):
+    """chi_square / mutual_information / gnd on a tiny corpus with a
+    hand-computed 2x2 contingency (background_is_superset adjustment)."""
+    import math
+
+    from tokenkit_spark.index.query import significant_terms
+
+    # 10 docs; "apple" in docs 0-3; query 'apple' matches docs 0-3.
+    # "pie" in docs 0-2 and 8 (bg_df=4, fg_df=3).
+    rows = []
+    for i in range(10):
+        words = [f"filler{i}"]
+        if i <= 3:
+            words.append("apple")
+        if i <= 2 or i == 8:
+            words.append("pie")
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame([(0, "apple")], "query_id long, text string")
+
+    # cells for term "pie": n11=3, n10=1, n01=1, n00=5, N=10
+    n11, n10, n01, n00, N = 3.0, 1.0, 1.0, 5.0, 10.0
+    chi = {r.term: r.score for r in significant_terms(
+        docs, q, CFG, n=20, heuristic="chi_square").collect()}
+    want_chi = N * (n11 * n00 - n10 * n01) ** 2 / (
+        (n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00)
+    )
+    assert chi["pie"] == round(want_chi, 6)
+
+    mi = {r.term: r.score for r in significant_terms(
+        docs, q, CFG, n=20, heuristic="mutual_information").collect()}
+    def cell(nxy, nx_, n_y):
+        return 0.0 if nxy == 0 else (nxy / N) * math.log2(N * nxy / (nx_ * n_y))
+    want_mi = (
+        cell(n11, n11 + n10, n11 + n01) + cell(n10, n11 + n10, n10 + n00)
+        + cell(n01, n01 + n00, n11 + n01) + cell(n00, n01 + n00, n10 + n00)
+    )
+    assert mi["pie"] == round(want_mi, 6)
+
+    gnd = significant_terms(docs, q, CFG, n=20, heuristic="gnd").collect()
+    by_term = {r.term: r for r in gnd}
+    fx, fy, fxy = n11 + n10, n11 + n01, n11
+    want_gnd = (max(math.log(fx), math.log(fy)) - math.log(fxy)) / (
+        math.log(N) - min(math.log(fx), math.log(fy))
+    )
+    assert by_term["pie"].score == round(want_gnd, 6)
+    # gnd ranks ASCENDING: "apple" itself has distance 0 and ranks first
+    assert min(gnd, key=lambda r: r.rank).term == "apple"
+    assert by_term["apple"].score == 0.0
+
+    with pytest.raises(ValueError, match="unknown heuristic"):
+        significant_terms(docs, q, CFG, heuristic="bogus")
+
+
+def test_distance_feature_matches_brute(spark, docs, queries_df, index, docs_meta):
+    """ES distance_feature: BM25 + boost*pivot/(pivot+|x-origin|) over
+    the FULL match set (numeric kind drives the formula check; the date
+    kind is the same arithmetic after cast-to-seconds)."""
+    from tokenkit_spark.index.query import bm25_brute, distance_feature_search
+
+    meta = {r.doc_id: r.n_chars for r in docs_meta.collect()}
+    full = bm25_brute(docs, queries_df, CFG, k=docs.count()).collect()
+    by_q = {}
+    for r in full:
+        feat = 3.0 * 50.0 / (50.0 + abs(meta[r.doc_id] - 800.0))
+        by_q.setdefault(r.query_id, []).append(
+            (-round(r.score + feat, 6), r.doc_id)
+        )
+    want = {
+        (q, i + 1, d, -neg)
+        for q, rows in by_q.items()
+        for i, (neg, d) in enumerate(sorted(rows)[:10])
+    }
+    got = distance_feature_search(
+        spark, index, queries_df, docs_meta, "n_chars",
+        origin=800.0, pivot=50.0, boost=3.0, kind="numeric",
+        config=CFG, k=10, round_digits=6,
+    )
+    got_set = {(r.query_id, r.rank, r.doc_id, round(r.score, 6)) for r in got.collect()}
+    assert got_set == want
+
+    with pytest.raises(ValueError, match="unknown kind"):
+        distance_feature_search(
+            spark, index, queries_df, docs_meta, "n_chars",
+            origin=0, pivot=1.0, kind="bogus",
+        )

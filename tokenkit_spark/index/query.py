@@ -217,23 +217,42 @@ def rescore_phrase(
     )
 
 
+_SIG_HEURISTICS = ("jlh", "chi_square", "mutual_information", "gnd")
+
+
 def significant_terms(
     docs: DataFrame,
     queries: DataFrame,
     config: AnalyzerConfig | None = None,
     n: int = 5,
+    heuristic: str = "jlh",
 ) -> DataFrame:
-    """ES significant_terms aggregation (JLH heuristic): terms whose
-    frequency in each query's MATCH SET (foreground) most exceeds their
-    corpus (background) frequency —
-    ``jlh = (fg% - bg%) * (fg% / bg%)``. Output: top-``n`` per query by
-    (6-dp jlh desc, term asc) with the supporting counts.
+    """ES significant_terms aggregation: terms whose frequency in each
+    query's MATCH SET (foreground) most exceeds their corpus (background)
+    frequency. ``heuristic`` picks the ES scoring function:
+
+    * ``jlh`` (default) — ``(fg% - bg%) * (fg% / bg%)``; output column
+      ``jlh``, top-``n`` by (6-dp jlh desc, term asc).
+    * ``chi_square`` — Pearson chi^2 on the 2x2 term/match-set
+      contingency table, the formula ES cites from Manning et al.,
+      "Introduction to Information Retrieval" ch. 13.5.2, with ES's
+      ``background_is_superset=true`` adjustment (the foreground is
+      subtracted out of the background cells). Column ``score`` desc.
+    * ``mutual_information`` — MI of the same 2x2 table (Manning et al.
+      eq. 13.17, the reference ES documents), 0*log2(0) = 0, with the
+      background-superset adjustment. Column ``score`` desc.
+    * ``gnd`` — Google Normalized Distance (Cilibrasi & Vitanyi 2007,
+      the paper ES cites): smaller = more related, so top-``n`` ranks
+      ASCENDING on the ``score`` column.
 
     Scale shape: the match set is a distinct (query, doc) semi-join; the
     foreground count re-joins it to postings keyed on doc_id (the big
     join — partial aggs flatten term skew); background stats are one
-    corpus-keyed agg reused across queries. Everything relational, no
-    driver state."""
+    corpus-keyed agg reused across queries; every heuristic is pure
+    column arithmetic over the joined (query, term) counts. Everything
+    relational, no driver state."""
+    if heuristic not in _SIG_HEURISTICS:
+        raise ValueError(f"significant_terms: unknown heuristic {heuristic!r}")
     cfg = config or AnalyzerConfig()
     postings = postings_df(docs, cfg).select("term", "doc_id").distinct()
     # corpus size stays IN the plan (one-row broadcast) — no eager
@@ -256,28 +275,84 @@ def significant_terms(
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).alias("fg_df"))
     )
-    scored = (
-        fg.join(fg_size, "query_id")
-        .join(bg, "term")
-        .crossJoin(F.broadcast(ndocs_df))
-        .withColumn("fg_pct", F.col("fg_df") / F.col("fg_size"))
-        .withColumn("bg_pct", F.col("bg_df") / F.col("_n_docs"))
-        .withColumn(
-            "jlh",
-            F.round(
-                (F.col("fg_pct") - F.col("bg_pct"))
-                * (F.col("fg_pct") / F.col("bg_pct")),
-                6,
-            ),
+    counts = fg.join(fg_size, "query_id").join(bg, "term").crossJoin(
+        F.broadcast(ndocs_df)
+    )
+    if heuristic == "jlh":
+        scored = (
+            counts.withColumn("fg_pct", F.col("fg_df") / F.col("fg_size"))
+            .withColumn("bg_pct", F.col("bg_df") / F.col("_n_docs"))
+            .withColumn(
+                "jlh",
+                F.round(
+                    (F.col("fg_pct") - F.col("bg_pct"))
+                    * (F.col("fg_pct") / F.col("bg_pct")),
+                    6,
+                ),
+            )
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("jlh").desc(), F.col("term").asc()
-    )
+        score_col, ascending = "jlh", False
+    else:
+        # 2x2 contingency with ES background_is_superset=true: the match
+        # set is subtracted out of the background cells.
+        n11 = F.col("fg_df").cast("double")
+        n10 = (F.col("fg_size") - F.col("fg_df")).cast("double")
+        n01 = (F.col("bg_df") - F.col("fg_df")).cast("double")
+        n00 = (
+            F.col("_n_docs") - F.col("bg_df")
+            - (F.col("fg_size") - F.col("fg_df"))
+        ).cast("double")
+        nn = F.col("_n_docs").cast("double")
+        if heuristic == "chi_square":
+            num = nn * F.pow(n11 * n00 - n10 * n01, F.lit(2.0))
+            den = (
+                (n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00)
+            )
+            scored = counts.withColumn(
+                "score",
+                F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6),
+            )
+        elif heuristic == "mutual_information":
+            def mi_cell(nxy, nx_, n_y):
+                return F.when(
+                    nxy > 0,
+                    (nxy / nn) * F.log2(nn * nxy / (nx_ * n_y)),
+                ).otherwise(F.lit(0.0))
+
+            n1_, n0_ = n11 + n10, n01 + n00
+            n_1, n_0 = n11 + n01, n10 + n00
+            scored = counts.withColumn(
+                "score",
+                F.round(
+                    mi_cell(n11, n1_, n_1)
+                    + mi_cell(n10, n1_, n_0)
+                    + mi_cell(n01, n0_, n_1)
+                    + mi_cell(n00, n0_, n_0),
+                    6,
+                ),
+            )
+        else:  # gnd — a DISTANCE: smaller is more related
+            fx, fy, fxy = n11 + n10, n11 + n01, n11
+            den = F.log(nn) - F.least(F.log(fx), F.log(fy))
+            scored = counts.withColumn(
+                "score",
+                F.round(
+                    F.when(
+                        den > 0,
+                        (F.greatest(F.log(fx), F.log(fy)) - F.log(fxy)) / den,
+                    ).otherwise(F.lit(0.0)),  # a set spanning the corpus: distance 0
+                    6,
+                ),
+            )
+        score_col, ascending = "score", heuristic == "gnd"
+    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col("term").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= n)
-        .select("query_id", "rank", "term", "fg_df", "fg_size", "bg_df", "jlh")
+        .select(
+            "query_id", "rank", "term", "fg_df", "fg_size", "bg_df", score_col
+        )
     )
 
 
@@ -2276,6 +2351,53 @@ def rank_feature_search(
     rows = (
         scored.join(docs_meta.select("doc_id", field), "doc_id")
         .withColumn("score", F.col("score") + F.lit(float(boost)) * feat)
+        .select("query_id", "doc_id", "score")
+    )
+    return _topk_window(rows, k, round_digits)
+
+
+def distance_feature_search(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    docs_meta: DataFrame,
+    field: str,
+    origin,
+    pivot: float,
+    boost: float = 1.0,
+    kind: str = "date",
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ES ``distance_feature`` query in a bool-should: proximity of a
+    per-doc date/numeric field to ``origin`` ADDS to the BM25 score as
+    ``boost * pivot / (pivot + |field - origin|)`` (the documented ES
+    formula; at distance 0 the boost is exactly ``boost``, at distance
+    ``pivot`` it is ``boost/2``).
+
+    ``kind='date'``: field and origin are timestamps/dates, pivot is in
+    SECONDS (callers convert "7d"-style pivots). ``kind='numeric'``:
+    plain doubles. (ES also supports geo_point origins; compose
+    ops/geo.py:haversine_km as the distance for that case.)
+
+    Scale shape: same as :func:`rank_feature_search` — the additive
+    per-doc boost breaks WAND's upper bounds, so the match set is scored
+    exhaustively and the boost arithmetic stays JVM-side in Catalyst."""
+    scored = bm25_all_scores(spark, index, queries, config)
+    if kind == "date":
+        dist = F.abs(
+            F.col(field).cast("timestamp").cast("double")
+            - F.lit(origin).cast("timestamp").cast("double")
+        )
+    elif kind == "numeric":
+        dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+    else:
+        raise ValueError(f"distance_feature_search: unknown kind {kind!r}")
+    feat = F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+    rows = (
+        scored.join(docs_meta.select("doc_id", field), "doc_id")
+        .withColumn("score", F.col("score") + feat)
         .select("query_id", "doc_id", "score")
     )
     return _topk_window(rows, k, round_digits)

@@ -533,6 +533,107 @@ def t_test_welch(
     )
 
 
+def date_range_agg(
+    df: DataFrame,
+    ts_col: str,
+    ranges: list[tuple],
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``date_range`` agg: explicit [from, to) timestamp buckets —
+    ``from`` inclusive, ``to`` exclusive, either end open (None), ES key
+    format ``from-to`` with ``*`` for open ends. Ranges may overlap, as
+    in ES. Output: (group?, range_key, doc_count).
+
+    Scale shape: like :func:`range_agg` — every range unrolls into one
+    conditional map-side counter inside a single hash aggregate."""
+    ts = F.col(ts_col).cast("timestamp")
+    aggs = []
+    keys = []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ts >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (ts < F.lit(hi).cast("timestamp"))
+        key = f"{lo or '*'}-{hi or '*'}"
+        keys.append(key)
+        aggs.append(F.sum(cond.cast("long")).alias(f"_{len(aggs)}"))
+    grouped = df.groupBy(group_col).agg(*aggs) if group_col else df.agg(*aggs)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("range_key"),
+                    F.col(f"_{i}").alias("doc_count"),
+                )
+                for i, k in enumerate(keys)
+            ]
+        )
+    ).alias("b")
+    head = [group_col] if group_col else []
+    return (
+        grouped.select(*head, pairs)
+        .select(*head, "b.range_key", "b.doc_count")
+        .where(F.col("doc_count") > 0)
+    )
+
+
+def bucket_script(
+    buckets: DataFrame, script_sql: str, out_col: str
+) -> DataFrame:
+    """ES ``bucket_script`` pipeline agg: a per-bucket arithmetic
+    expression over sibling metrics of the SAME bucket (e.g. an error
+    rate from an error count and a total). The script is a SQL
+    expression over the bucket frame's metric columns, evaluated by
+    Catalyst — pure projection over the aggregated bucket stream, one
+    row per bucket, no second scan."""
+    return buckets.withColumn(out_col, F.expr(script_sql))
+
+
+def normalize_buckets(
+    buckets: DataFrame,
+    value_col: str,
+    method: str = "percent_of_sum",
+    out_col: str = "normalized",
+) -> DataFrame:
+    """ES ``normalize`` pipeline agg: rescale a metric across the bucket
+    stream. Methods (ES names): ``percent_of_sum`` (v / sum),
+    ``rescale_0_1`` ((v - min) / (max - min)), ``mean`` ((v - avg) /
+    (max - min), ES's z-ish variant), ``z-score`` ((v - avg) / stddev_pop).
+
+    Scale shape: one unpartitioned window over the AGGREGATED bucket
+    stream — bucket cardinality, not row cardinality; the single
+    partition is bounded by the histogram's bucket count."""
+    w = Window.partitionBy()
+    v = F.col(value_col)
+    if method == "percent_of_sum":
+        norm = v / F.sum(v).over(w)
+    elif method == "rescale_0_1":
+        norm = (v - F.min(v).over(w)) / (F.max(v).over(w) - F.min(v).over(w))
+    elif method == "mean":
+        norm = (v - F.avg(v).over(w)) / (F.max(v).over(w) - F.min(v).over(w))
+    elif method == "z-score":
+        norm = (v - F.avg(v).over(w)) / F.stddev_pop(v).over(w)
+    else:
+        raise ValueError(f"normalize_buckets: unknown method {method!r}")
+    return buckets.withColumn(out_col, F.round(norm, 6))
+
+
+def stats_bucket(buckets: DataFrame, value_col: str) -> DataFrame:
+    """ES ``stats_bucket`` sibling pipeline agg (and the avg/min/max/
+    sum_bucket family it subsumes): count/min/max/avg/sum of a metric
+    ACROSS all buckets of a histogram. One row out; one aggregate over
+    the bucket stream."""
+    v = F.col(value_col)
+    return buckets.agg(
+        F.count(v).alias("count"),
+        F.round(F.min(v), 6).alias("min"),
+        F.round(F.max(v), 6).alias("max"),
+        F.round(F.avg(v), 6).alias("avg"),
+        F.round(F.sum(v), 6).alias("sum"),
+    )
+
+
 def filters_agg(
     df: DataFrame,
     named_filters: dict[str, str],
