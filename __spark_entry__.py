@@ -3069,6 +3069,20 @@ def q_significant_text(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): lang='en' docs are
+    the target corpus; every other doc is scored by its hashed
+    unigram+bigram log-likelihood ratio vs the target distribution
+    (4096 md5 buckets, add-1 smoothing); deterministic top-20
+    (ops/dsir.py:dsir_select)."""
+    from tokenkit_spark.ops import dsir
+
+    return dsir.dsir_select(
+        _docs(spark, sf_dir), F.col("lang") == "en",
+        n_buckets=4096, alpha=1.0, k=20, round_digits=6,
+    )
+
+
 def q_sig_terms_chi2(spark, sf_dir):
     """ES significant_terms with the chi_square heuristic (Manning et
     al. IIR ch. 13.5.2, background_is_superset): Pearson chi^2 on the
@@ -3195,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "dsir_select": q_dsir_select,
         "sig_terms_chi2": q_sig_terms_chi2,
         "sig_terms_gnd": q_sig_terms_gnd,
         "distance_feature": q_distance_feature,
@@ -3381,6 +3396,33 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "dsir_select": """
+WITH t AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'),
+           x -> x <> '') AS l FROM documents),
+uni AS (SELECT doc_id, lang, unnest(l) AS gram FROM t),
+big AS (SELECT doc_id, lang, l[i] || ' ' || l[i+1] AS gram FROM t,
+        unnest(generate_series(1, greatest(len(l) - 1, 0))) r(i)),
+feats AS (SELECT doc_id, lang,
+          (('0x' || substring(md5(gram), 1, 8))::BIGINT % 4096) AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+tf AS (SELECT bucket, count(*) AS c_t FROM feats WHERE lang = 'en' GROUP BY 1),
+rfe AS (SELECT doc_id, bucket FROM feats WHERE lang <> 'en'),
+rc AS (SELECT bucket, count(*) AS c_r FROM rfe GROUP BY 1),
+nt AS (SELECT count(*) AS n_t FROM feats WHERE lang = 'en'),
+nr AS (SELECT count(*) AS n_r FROM rfe),
+ratio AS (SELECT coalesce(tf.bucket, rc.bucket) AS bucket,
+          ln((coalesce(c_t, 0) + 1.0) / (n_t + 4096.0))
+          - ln((coalesce(c_r, 0) + 1.0) / (n_r + 4096.0)) AS log_ratio
+          FROM tf FULL OUTER JOIN rc ON tf.bucket = rc.bucket
+          CROSS JOIN nt CROSS JOIN nr),
+scored AS (SELECT f.doc_id, count(*) AS n_grams,
+           round(sum(log_ratio), 6) AS log_w,
+           round(avg(log_ratio), 6) AS avg_log_ratio
+           FROM rfe f JOIN ratio USING (bucket) GROUP BY 1),
+ranked AS (SELECT row_number() OVER (ORDER BY log_w DESC, doc_id ASC) AS rank,
+           doc_id, n_grams, log_w, avg_log_ratio FROM scored)
+SELECT rank, doc_id, n_grams, log_w, avg_log_ratio FROM ranked WHERE rank <= 20
+""",
         "sig_terms_chi2": _SIG_CHI2_ORACLE,
         "sig_terms_gnd": _SIG_GND_ORACLE,
         "distance_feature": _DISTANCE_FEATURE_ORACLE,
