@@ -3069,6 +3069,49 @@ def q_significant_text(spark, sf_dir):
     )
 
 
+def q_knn_filtered(spark, sf_dir):
+    """Filtered kNN (ES/Lucene `knn` + `filter`, PRE-filter semantics):
+    exact cosine top-10 among label=3 vectors only — the filter reaches
+    the scan before any dot product runs, and the caller always gets k
+    on-filter hits (ops/similarity.py:filtered_cosine_topk)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.filtered_cosine_topk(
+        emb, F.col("label") == 3, qvec, k=10, round_digits=4
+    )
+
+
+def q_binary_hamming_top10(spark, sf_dir):
+    """1-bit binary quantization ANN (Lucene-style sign sketch): pack
+    sign bits into int64 words (pure Catalyst CASE sums), Hamming-scan
+    the 32x-smaller sketches for a deterministic 40-candidate
+    shortlist, exact-cosine re-rank to top-10. Unlike the seeded
+    LSH/IVF paths this is fully SQL-oracle-checkable
+    (ops/similarity.py:binary_hamming_topk)."""
+    return similarity.binary_hamming_topk(
+        _emb(spark, sf_dir), query_id=0, k=10, dim=64, shortlist=40,
+        round_digits=4,
+    )
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified re-ranking (Carbonell & Goldstein 1998):
+    lam*rel - (1-lam)*max-sim-to-selected, greedy top-10 over the exact
+    cosine top-50 pool; candidate generation is distributed, the
+    sequential greedy loop runs as ONE bounded applyInPandas group.
+    Rows-only (greedy argmax recursion is not SQL-expressible); numpy
+    parity pinned in tests/test_vector_extra.py
+    (ops/similarity.py:mmr_rerank)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.mmr_rerank(emb, qvec, k=10, lam=0.5, pool=50)
+    return out.select(
+        "rank", "vec_id",
+        F.round(F.col("relevance"), 4).alias("relevance"),
+        F.round(F.col("mmr_score"), 4).alias("mmr_score"),
+    )
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): lang='en' docs are
     the target corpus; every other doc is scored by its hashed
@@ -3209,6 +3252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "knn_filtered": q_knn_filtered,
+        "binary_hamming_top10": q_binary_hamming_top10,
+        "mmr_rerank": q_mmr_rerank,
         "dsir_select": q_dsir_select,
         "sig_terms_chi2": q_sig_terms_chi2,
         "sig_terms_gnd": q_sig_terms_gnd,
@@ -3390,12 +3436,40 @@ def _pca_oracle() -> str:
     )
 
 
+def _bq_word_sql(word: int, bits: int = 32) -> str:
+    """SQL mirror of similarity.binary_quantize's word expression:
+    sum of CASE sign-bit literals (bit j of word w <- v[w*32+j+1] > 0)."""
+    terms = " + ".join(
+        f"CASE WHEN embedding[{word * 32 + j + 1}] > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"({terms})::BIGINT"
+
+
 def oracle_sql() -> dict[str, str]:
     stop_en = ", ".join(f"'{s}'" for s in textstats.STOPWORDS["en"])
     stop_es = ", ".join(f"'{s}'" for s in textstats.STOPWORDS["es"])
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "knn_filtered": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine
+FROM embeddings, q WHERE label = 3
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "binary_hamming_top10": f"""
+WITH sigs AS (SELECT vec_id, {_bq_word_sql(0)} AS s0, {_bq_word_sql(1)} AS s1
+              FROM embeddings),
+q AS (SELECT s0 AS q0, s1 AS q1 FROM sigs WHERE vec_id = 0),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+short AS (SELECT vec_id, bit_count(xor(s0, q0)) + bit_count(xor(s1, q1)) AS hamming
+          FROM sigs, q ORDER BY hamming ASC, vec_id ASC LIMIT 40)
+SELECT e.vec_id, s.hamming,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qe), 4) AS cosine
+FROM embeddings e JOIN short s ON e.vec_id = s.vec_id, qv
+ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+""",
         "dsir_select": """
 WITH t AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'),
            x -> x <> '') AS l FROM documents),

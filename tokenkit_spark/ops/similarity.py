@@ -464,3 +464,208 @@ def quantized_cosine_topk(
         .select(id_col, "cosine")
         .limit(k)
     )
+
+
+def filtered_cosine_topk(
+    emb: DataFrame,
+    predicate,
+    qvec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Filtered kNN (the ES/Lucene `knn` + `filter` contract, pre-filter
+    semantics): restrict the corpus with ``predicate`` FIRST, then take
+    the exact cosine top-k of the survivors — so the caller always gets
+    k on-filter hits, never a post-filtered short list.
+
+    Scale shape: the predicate sits directly over the scan, so Catalyst
+    pushes it into the parquet reader (partition + row-group pruning on
+    a partitioned corpus) and only survivors pay the dot product. The
+    top-k is TakeOrderedAndProject — per-partition heaps, no global
+    sort. ``round_digits`` rounds the cosine BEFORE ranking so a SQL
+    oracle twin ranks on bit-identical values."""
+    scored = cosine_scores(emb.filter(predicate), qvec, vec_col)
+    if round_digits is not None:
+        scored = scored.withColumn("cosine", F.round(F.col("cosine"), round_digits))
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .select(id_col, "cosine")
+        .limit(k)
+    )
+
+
+# --- binary quantization (1 bit/dim sign sketch + Hamming shortlist) ---
+
+_BQ_WORD_BITS = 32  # bits packed per int64 word (32 keeps every partial < 2^32)
+
+
+def binary_quantize(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """1-bit-per-dimension sign quantization (the Lucene/faiss binary
+    index sketch): bit j of word w is set iff ``v[w*32 + j] > 0``,
+    packed little-endian into ``ceil(dim/32)`` int64 words. A 32x
+    memory cut over fp32 — the sketch that lets a Hamming scan replace
+    the fp dot product at candidate-generation time.
+
+    Pure Catalyst: each word is one branch-free sum of CASE bit
+    literals inside whole-stage codegen — no UDF, no shuffle; at 100 TB
+    this is a projection riding the scan. Returns (id, sig array<long>).
+    """
+    v = F.col(vec_col)
+    words = []
+    for w in range(0, dim, _BQ_WORD_BITS):
+        bits = [
+            F.when(
+                F.element_at(v, w + j + 1).cast("double") > 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(min(_BQ_WORD_BITS, dim - w))
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc)
+    return emb.select(F.col(id_col), F.array(*words).alias("sig"))
+
+
+def hamming_expr(sig_col, qsig_col):
+    """Hamming distance between two packed signatures:
+    sum over words of popcount(a XOR b). JVM-side bit_count."""
+    return F.aggregate(
+        F.zip_with(sig_col, qsig_col, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_hamming_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    dim: int = 64,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Binary-quantized ANN with exact re-rank: (1) Hamming-distance
+    scan over the 1-bit signatures, (2) deterministic shortlist of the
+    ``shortlist`` (default 4k) closest sketches (ties: id asc), (3)
+    exact fp cosine re-rank of the shortlist, top-k. ``round_digits``
+    rounds the cosine BEFORE the final ordering so a SQL oracle twin
+    ranks on bit-identical values.
+
+    Scale shape: stage 1 touches only ceil(dim/32) longs per vector —
+    a ~32x smaller scan than fp32 — inside whole-stage codegen; the
+    query signature broadcasts; both top-Ns are per-partition heaps
+    (TakeOrderedAndProject). The fp re-rank reads full vectors for just
+    the shortlist (semi-join against the scan). Deterministic given the
+    corpus, so the whole path is SQL-oracle-checkable — unlike the
+    seeded LSH/IVF variants."""
+    if shortlist is None:
+        shortlist = 4 * k
+    sigs = binary_quantize(emb, dim, vec_col, id_col)
+    qsig = sigs.filter(F.col(id_col) == query_id).select(
+        F.col("sig").alias("qsig")
+    )
+    short = (
+        sigs.crossJoin(F.broadcast(qsig))
+        .select(id_col, hamming_expr(F.col("sig"), F.col("qsig")).alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(f"binary_hamming_topk: no vector with id {query_id}")
+    qvec = [float(x) for x in qrow[0]]
+    rescored = cosine_scores(
+        emb.join(short, id_col), qvec, vec_col
+    )
+    if round_digits is not None:
+        rescored = rescored.withColumn(
+            "cosine", F.round(F.col("cosine"), round_digits)
+        )
+    return (
+        rescored.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .select(id_col, "hamming", "cosine")
+        .limit(k)
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    lam: float = 0.5,
+    pool: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    Goldstein 1998): greedily pick argmax of
+    ``lam * sim(d, q) - (1 - lam) * max sim(d, s in selected)``
+    over the exact-cosine top-``pool`` candidates; ties break by id asc
+    (and the first pick is the highest-relevance doc).
+
+    Scale shape: the distributed part is candidate generation (exact
+    cosine top-``pool``, per-partition heaps over the full corpus); the
+    greedy loop is inherently sequential in k, so it runs as ONE
+    applyInPandas group over the <= ``pool`` survivors — bounded state,
+    never the corpus, and no driver collect. Returns
+    (rank, id, relevance, mmr_score)."""
+    import pandas as pd  # noqa: F811 — local for executor pickling
+
+    cand = cosine_scores(emb, qvec, vec_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    ).limit(pool).select(id_col, "cosine", vec_col)
+
+    out_schema = (
+        f"rank long, {id_col} long, relevance double, mmr_score double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        pair = unit @ unit.T  # pool x pool — bounded, never corpus-sized
+        order = np.lexsort((ids, -rel))
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(order)
+        while remaining and len(selected) < k:
+            best_i, best_s = None, -np.inf
+            for i in remaining:  # <= pool iterations
+                div = pair[i, selected].max() if selected else 0.0
+                s = lam * rel[i] - (1.0 - lam) * div
+                if s > best_s + 1e-12 or (
+                    best_i is not None
+                    and abs(s - best_s) <= 1e-12
+                    and ids[i] < ids[best_i]
+                ):
+                    best_i, best_s = i, s
+            selected.append(best_i)
+            scores.append(best_s)
+            remaining.remove(best_i)
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+                id_col: ids[selected],
+                "relevance": rel[selected],
+                "mmr_score": np.asarray(scores, dtype=np.float64),
+            }
+        )
+
+    return (
+        cand.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(kernel, out_schema)
+    )
