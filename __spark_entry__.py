@@ -3069,6 +3069,33 @@ def q_significant_text(spark, sf_dir):
     )
 
 
+SAYT = [(0, "merge s"), (1, "batch str"), (2, "wind")]
+
+
+def q_search_as_you_type(spark, sf_dir):
+    """ES search-as-you-type / match_bool_prefix: the last (still being
+    typed) term is a prefix query expanded against the term dictionary
+    (constant-score, lexicographic max_expansions cap), earlier terms
+    are BM25 SHOULD clauses; scores sum
+    (index/query.py:match_bool_prefix)."""
+    from tokenkit_spark.index.query import match_bool_prefix
+
+    pdf = spark.createDataFrame(SAYT, "query_id long, text string")
+    return match_bool_prefix(
+        _docs(spark, sf_dir), pdf, WS, k=10, round_digits=4, max_expansions=50
+    )
+
+
+def q_terms_lookup(spark, sf_dir):
+    """ES terms query with terms lookup: the term list is the analyzed
+    contents of doc 7, matched in filter context; rows carry n_matched
+    (distinct lookup terms present), top-20
+    (index/query.py:terms_lookup_search)."""
+    from tokenkit_spark.index.query import terms_lookup_search
+
+    return terms_lookup_search(_docs(spark, sf_dir), lookup_doc_id=7, config=WS, k=20)
+
+
 def q_knn_filtered(spark, sf_dir):
     """Filtered kNN (ES/Lucene `knn` + `filter`, PRE-filter semantics):
     exact cosine top-10 among label=3 vectors only — the filter reaches
@@ -3252,6 +3279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "search_as_you_type": q_search_as_you_type,
+        "terms_lookup": q_terms_lookup,
         "knn_filtered": q_knn_filtered,
         "binary_hamming_top10": q_binary_hamming_top10,
         "mmr_rerank": q_mmr_rerank,
@@ -3452,6 +3481,48 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "search_as_you_type": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in SAYT)}),
+ql AS (SELECT query_id, list_filter(string_split_regex(lower(qtext), '\\s+'),
+       x -> x <> '') AS l FROM queries),
+exact AS (SELECT DISTINCT query_id, u.t AS term FROM ql,
+          unnest(l[1:len(l)-1]) AS u(t)),
+lastq AS (SELECT query_id, l[len(l)] AS prefix FROM ql WHERE len(l) > 0),
+exp AS (SELECT query_id, term FROM (
+        SELECT la.query_id, t.term,
+               row_number() OVER (PARTITION BY la.query_id ORDER BY t.term) AS rn
+        FROM lastq la JOIN tstats t ON t.term LIKE la.prefix || '%')
+        WHERE rn <= 50),
+clause_rows AS (
+  SELECT e.query_id, p.doc_id,
+         ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+         * p.tf * (1.2 + 1.0)
+         / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) AS sc
+  FROM exact e JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g
+  UNION ALL
+  SELECT DISTINCT x.query_id, p.doc_id, 1.0 AS sc
+  FROM exp x JOIN postings p USING (term)),
+scored AS (SELECT query_id, doc_id, sum(sc) AS s FROM clause_rows GROUP BY 1, 2),
+ranked AS (SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(s, 4) DESC, doc_id) AS rank,
+           doc_id, round(s, 4) AS score FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+""",
+        "terms_lookup": f"""
+WITH toks AS ({_TOKS}),
+p AS (SELECT DISTINCT term, doc_id FROM toks),
+lt AS (SELECT DISTINCT term FROM toks WHERE doc_id = 7),
+m AS (SELECT p.doc_id, count(*) AS n_matched FROM p JOIN lt USING (term)
+      WHERE p.doc_id <> 7 GROUP BY 1)
+SELECT doc_id, n_matched FROM m ORDER BY n_matched DESC, doc_id ASC LIMIT 20
+""",
         "knn_filtered": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cosine

@@ -2482,3 +2482,114 @@ def significant_text(
             .drop("_tr")
         )
     return significant_terms(docs, queries, cfg, n=n)
+
+
+def match_bool_prefix(
+    docs: DataFrame,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_bool_prefix`` — the query side of search-as-you-type:
+    every analyzed query term except the LAST is a normal BM25 term
+    clause; the last (the token still being typed) is a prefix query.
+    Clauses are bool SHOULD (minimum_should_match=1): a doc matching
+    any clause scores, and scores sum.  Per Lucene's multi-term rewrite
+    the prefix clause is CONSTANT-SCORE (1.0 per doc matching >= 1
+    expansion); the prefix expands against the index vocabulary
+    lexicographically, capped at ``max_expansions``.
+
+    Scale shape: the prefix expands against the TERM DICTIONARY (df
+    table, vocabulary-sized), never the postings; the expansion list
+    and the query-term list broadcast into the postings join, so the
+    corpus-side work is two equi-joins + one hash agg — the same plan
+    family as ``bm25_brute``.  Returns (query_id, rank, doc_id, score).
+    """
+    cfg = config or AnalyzerConfig()
+    postings = postings_df(docs, cfg).select("term", "doc_id", "tf")
+    dstats = doc_stats_df(docs, cfg)
+    n_docs, avgdl = _doc_globals(dstats)
+    tstats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    toks = queries.select(
+        "query_id", tokenize_col("text", cfg).alias("toks")
+    ).filter(F.size("toks") > 0)
+    exact = toks.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0)))
+            )
+        ).alias("term"),
+    )
+    last = toks.select("query_id", F.element_at("toks", -1).alias("prefix"))
+
+    wexp = Window.partitionBy("query_id").orderBy("term")
+    expansions = (
+        tstats.select("term")
+        .join(F.broadcast(last), F.col("term").startswith(F.col("prefix")))
+        .withColumn("_rn", F.row_number().over(wexp))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("query_id", "term")
+    )
+
+    exact_scored = (
+        F.broadcast(exact)
+        .join(postings, "term")
+        .join(tstats, "term")
+        .join(dstats, "doc_id")
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+        .withColumn(
+            "norm",
+            (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
+        )
+        .select("query_id", "doc_id", (F.col("idf") * F.col("norm")).alias("score"))
+    )
+    prefix_scored = (
+        F.broadcast(expansions)
+        .join(postings, "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("score", F.lit(1.0))
+    )
+    scored = (
+        exact_scored.unionByName(prefix_scored)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score").alias("score"))
+    )
+    return _topk_window(scored, k, round_digits)
+
+
+def terms_lookup_search(
+    docs: DataFrame,
+    lookup_doc_id: int,
+    config: AnalyzerConfig | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """ES ``terms`` query with *terms lookup*: the term list is not a
+    literal but the analyzed contents of ANOTHER document (the
+    "fetch the terms from doc X" contract, e.g. a user's followed-tags
+    doc filtering a feed).  Filter-context semantics — no relevance
+    score; we return each matching doc with ``n_matched`` (how many
+    distinct lookup terms it contains), ordered (n_matched desc,
+    doc_id asc), top-``k``, excluding the lookup doc itself.
+
+    Scale shape: the lookup doc's term set is one filtered scan (a few
+    hundred terms), broadcast into a single postings equi-join + hash
+    agg — corpus-side work is one pass regardless of corpus size."""
+    cfg = config or AnalyzerConfig()
+    postings = postings_df(docs, cfg).select("term", "doc_id")
+    lookup_terms = (
+        postings.filter(F.col("doc_id") == lookup_doc_id).select("term").distinct()
+    )
+    return (
+        postings.filter(F.col("doc_id") != lookup_doc_id)
+        .join(F.broadcast(lookup_terms), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .orderBy(F.col("n_matched").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
