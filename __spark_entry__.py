@@ -3069,6 +3069,52 @@ def q_significant_text(spark, sf_dir):
     )
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Distributed Bloom-filter recrawl dedup with exact audit: snapshot
+    1 = docs 0..249 builds the filter (md5 k=4 bits into 1024, packed 32/word
+    into a bit_or'd word table that broadcasts); snapshot 2 = docs
+    250..499 plus a re-crawl of docs 0..49 (re-keyed +10000) probes it.
+    Summary row pins no-false-negatives (n_true_dup == 50) and the
+    saturation fp_rate (ops/dedup.py:bloom_dedup_stats)."""
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250).unionByName(
+        docs.filter(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+    )
+    return dedup.bloom_dedup_stats(seen, new, n_bits=1024, n_hashes=4)
+
+
+def q_snapshot_dedup(spark, sf_dir):
+    """Cross-snapshot incremental dedup (CommonCrawl recrawl shape):
+    the persisted store holds snapshot-1 content hashes (docs 0..249);
+    snapshot 2 re-crawls docs 0..19 (+10000), adds an in-snapshot dup
+    of doc 250 (+20000), plus genuinely new docs 250..499. Survivors =
+    anti-join vs the store + min-id collapse within the snapshot
+    (ops/dedup.py:snapshot_dedup)."""
+    docs = _docs(spark, sf_dir)
+    store = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    new = (
+        docs.filter(F.col("doc_id") >= 250)
+        .unionByName(
+            docs.filter(F.col("doc_id") < 20).withColumn(
+                "doc_id", F.col("doc_id") + 10000
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") == 250).withColumn(
+                "doc_id", F.col("doc_id") + 20000
+            )
+        )
+    )
+    return dedup.snapshot_dedup(new, store)
+
+
 SAYT = [(0, "merge s"), (1, "batch str"), (2, "wind")]
 
 
@@ -3279,6 +3325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "bloom_dedup": q_bloom_dedup,
+        "snapshot_dedup": q_snapshot_dedup,
         "search_as_you_type": q_search_as_you_type,
         "terms_lookup": q_terms_lookup,
         "knn_filtered": q_knn_filtered,
@@ -3481,6 +3529,45 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "bloom_dedup": """
+WITH seen AS (SELECT text FROM documents WHERE doc_id < 250),
+newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+            UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+hidx(i) AS (VALUES (0), (1), (2), (3)),
+build_pos AS (SELECT (('0x' || substring(md5(text || ':' || i), 1, 8))::BIGINT % 1024) AS p
+              FROM seen, hidx),
+words AS (SELECT p // 32 AS word_idx, bit_or(1::BIGINT << (p % 32)::INT) AS word
+          FROM build_pos GROUP BY 1),
+probe_pos AS (SELECT doc_id,
+              (('0x' || substring(md5(text || ':' || i), 1, 8))::BIGINT % 1024) AS p
+              FROM newdocs, hidx),
+probe AS (SELECT doc_id, min(CASE WHEN w.word IS NOT NULL
+              AND (w.word & (1::BIGINT << (p % 32)::INT)) = (1::BIGINT << (p % 32)::INT)
+              THEN 1 ELSE 0 END) AS all_hit
+          FROM probe_pos LEFT JOIN words w ON probe_pos.p // 32 = w.word_idx
+          GROUP BY 1),
+audit AS (SELECT n.doc_id, p.all_hit = 1 AS maybe_seen,
+          EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text) AS is_dup
+          FROM newdocs n JOIN probe p USING (doc_id))
+SELECT count(*) AS n_new,
+       sum(CASE WHEN maybe_seen THEN 1 ELSE 0 END) AS n_maybe_seen,
+       sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_true_dup,
+       sum(CASE WHEN maybe_seen AND NOT is_dup THEN 1 ELSE 0 END) AS n_false_pos,
+       round(sum(CASE WHEN maybe_seen AND NOT is_dup THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS fp_rate
+FROM audit
+""",
+        "snapshot_dedup": """
+WITH store AS (SELECT DISTINCT md5(text) AS content_hash FROM documents
+               WHERE doc_id < 250),
+newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+            UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+            UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id = 250),
+hashed AS (SELECT doc_id, md5(text) AS content_hash FROM newdocs),
+fresh AS (SELECT * FROM hashed
+          WHERE content_hash NOT IN (SELECT content_hash FROM store))
+SELECT min(doc_id) AS doc_id, content_hash FROM fresh GROUP BY content_hash
+""",
         "search_as_you_type": f"""
 WITH toks AS ({_TOKS}),
 postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),

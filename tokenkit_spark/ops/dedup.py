@@ -341,3 +341,157 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+
+
+# --- distributed Bloom-filter membership (the 100 TB recrawl primitive) ---
+
+
+def _bloom_pos_exprs(key_col, n_bits: int, n_hashes: int) -> list:
+    """k bit positions per key: md5(key || ':' || i) first-8-hex mod
+    n_bits. md5 is bit-identical in every engine (Spark conv / DuckDB
+    hex cast), which makes the whole filter SQL-oracle-checkable —
+    swap xxhash64 seeds for raw speed when that's not needed."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(key_col, F.lit(f":{i}"))), 1, 8), 16, 10
+        ).cast("long")
+        % n_bits
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter RELATIONALLY: each key sets ``n_hashes``
+    bits; bits pack into 32-bit words (32 keeps every shift < 2^32 — portable
+    to engines that range-check BIGINT shifts) and the filter is the sparse
+    (word_idx, word) table — ``bit_or`` hash-aggregate, bounded by
+    ``n_bits/32`` rows regardless of corpus size.
+
+    Scale shape: this is the membership sketch for cross-crawl dedup —
+    10^11 seen-URL keys reduce to a <= (n_bits/32)-row table that
+    BROADCASTS into any probe join. Map-side partial bit_or means the
+    shuffle carries at most n_words rows per task. No driver state."""
+    pos = keys.select(
+        F.explode(F.array(*_bloom_pos_exprs(F.col(key_col), n_bits, n_hashes))).alias(
+            "p"
+        )
+    )
+    return (
+        pos.select(
+            (F.col("p") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    id_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Probe the filter: a candidate is ``maybe_seen`` iff ALL its
+    ``n_hashes`` bits are set (no false negatives; false-positive rate
+    set by n_bits/n_hashes vs build cardinality). The word table
+    broadcasts; the probe is one equi-join + hash agg over
+    (id, word_idx) — map-side at any candidate count."""
+    pos = candidates.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*_bloom_pos_exprs(F.col(key_col), n_bits, n_hashes))
+        ).alias("i", "p"),
+    ).select(
+        id_col,
+        "i",
+        (F.col("p") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("mask"),
+    )
+    hit = (
+        pos.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.col("word").isNotNull()
+            & (F.col("word").bitwiseAND(F.col("mask")) == F.col("mask")),
+        )
+        .groupBy(id_col)
+        .agg((F.min(F.col("hit").cast("int")) == 1).alias("maybe_seen"))
+    )
+    return candidates.join(hit, id_col)
+
+
+def bloom_dedup_stats(
+    seen_docs: DataFrame,
+    new_docs: DataFrame,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """End-to-end Bloom recrawl dedup with its own audit: build the
+    filter from ``seen_docs`` keys, probe every ``new_docs`` key, and
+    join against EXACT membership (the distinct seen-key set) to split
+    probe hits into true dups vs false positives. One summary row:
+    (n_new, n_maybe_seen, n_true_dup, n_false_pos, fp_rate) — the
+    no-false-negatives invariant is checkable as
+    n_true_dup == exact dup count.
+
+    The exact-membership join is the audit path (it's what the Bloom
+    filter exists to avoid at scale); production keeps only the
+    build + probe legs."""
+    bloom = bloom_build(seen_docs.select(key_col), key_col, n_bits, n_hashes)
+    probed = bloom_probe(
+        new_docs.select(id_col, key_col), bloom, key_col, id_col, n_bits, n_hashes
+    )
+    seen_keys = seen_docs.select(F.col(key_col).alias("__seen_key")).distinct()
+    audited = probed.join(
+        seen_keys, probed[key_col] == F.col("__seen_key"), "left"
+    ).select(
+        "maybe_seen", F.col("__seen_key").isNotNull().alias("is_dup")
+    )
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.col("maybe_seen").cast("long")).alias("n_maybe_seen"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_true_dup"),
+        F.sum((F.col("maybe_seen") & ~F.col("is_dup")).cast("long")).alias(
+            "n_false_pos"
+        ),
+        F.round(
+            F.sum((F.col("maybe_seen") & ~F.col("is_dup")).cast("double"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+def snapshot_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot incremental dedup (the CommonCrawl recrawl shape):
+    drop any new-snapshot doc whose content hash already sits in the
+    persisted ``seen_hashes(content_hash)`` store, then collapse dups
+    WITHIN the new snapshot to the lowest id. Returns the surviving
+    docs + their content_hash — append it to the store for the next
+    snapshot.
+
+    Scale shape: one left-anti join against the store (hash-partitioned
+    equi-join, AQE-broadcastable when the store is small) + one
+    min-id-per-hash hash agg. The store never loads into the driver;
+    md5 keeps the hash engine-portable (swap xxhash64 at scale)."""
+    hashed = new_docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    fresh = hashed.join(seen_hashes, "content_hash", "left_anti")
+    w_min = fresh.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return fresh.join(w_min, ["content_hash", id_col]).select(
+        id_col, "content_hash"
+    )
