@@ -3069,6 +3069,47 @@ def q_significant_text(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source (ISO 28500, sources/warc.py): docs 0..19 serialize
+    into two WARC files (one plain, one per-record-gzipped .warc.gz,
+    the Common Crawl layout), read back through the binaryFile +
+    mapInPandas record parser, HTTP payloads split, and the page bodies
+    must reproduce the original documents rows exactly — the oracle is
+    the plain projection. Fixture generation collects 20 rows (bounded,
+    test-only); the parse path is fully distributed."""
+    import tempfile
+
+    from tokenkit_spark.sources import warc as warc_mod
+
+    rows = sorted(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 20).collect(),
+        key=lambda r: r.doc_id,
+    )
+
+    def rec(r):
+        return {
+            "WARC-Type": "response",
+            "WARC-Record-ID": f"<urn:uuid:{r.doc_id}>",
+            "WARC-Target-URI": f"https://corpus.test/{r.doc_id}",
+            "WARC-Date": "2024-01-01T00:00:00Z",
+            "Content-Type": "application/http; msgtype=response",
+            "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            + r.text.encode(),
+        }
+
+    d = tempfile.mkdtemp(prefix="warc_rt_")
+    with open(os.path.join(d, "seg-0.warc"), "wb") as f:
+        f.write(warc_mod.write_warc([rec(r) for r in rows[:10]]))
+    with open(os.path.join(d, "seg-1.warc.gz"), "wb") as f:
+        f.write(warc_mod.write_warc([rec(r) for r in rows[10:]], compress=True))
+
+    pages = warc_mod.warc_pages(warc_mod.read_warc(spark, d))
+    return pages.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("body").cast("string").alias("text"),
+    )
+
+
 def q_bloom_dedup(spark, sf_dir):
     """Distributed Bloom-filter recrawl dedup with exact audit: snapshot
     1 = docs 0..249 builds the filter (md5 k=4 bits into 1024, packed 32/word
@@ -3325,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "warc_roundtrip": q_warc_roundtrip,
         "bloom_dedup": q_bloom_dedup,
         "snapshot_dedup": q_snapshot_dedup,
         "search_as_you_type": q_search_as_you_type,
@@ -3529,6 +3571,9 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "warc_roundtrip": """
+SELECT doc_id, text FROM documents WHERE doc_id < 20
+""",
         "bloom_dedup": """
 WITH seen AS (SELECT text FROM documents WHERE doc_id < 250),
 newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
