@@ -3069,6 +3069,25 @@ def q_significant_text(spark, sf_dir):
     )
 
 
+def q_geo_bounds_centroid(spark, sf_dir):
+    """ES geo_bounds + geo_centroid aggs per event_type over the derived
+    event coordinates: non-wrapped bounding box (top/left/bottom/right)
+    joined with the arithmetic-mean centroid + point count — one
+    two-agg hash plan (ops/geo.py:geo_bounds, geo_centroid)."""
+    from tokenkit_spark.ops import geo
+
+    pts = _events_geo(spark, sf_dir)
+    bounds = geo.geo_bounds(pts, "event_type").select(
+        "event_type",
+        F.round("top", 4).alias("top"),
+        F.round("left", 4).alias("left"),
+        F.round("bottom", 4).alias("bottom"),
+        F.round("right", 4).alias("right"),
+    )
+    cent = geo.geo_centroid(pts, "event_type")
+    return bounds.join(cent, "event_type").orderBy("event_type")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source (ISO 28500, sources/warc.py): docs 0..19 serialize
     into two WARC files (one plain, one per-record-gzipped .warc.gz,
@@ -3366,6 +3385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "geo_bounds_centroid": q_geo_bounds_centroid,
         "warc_roundtrip": q_warc_roundtrip,
         "bloom_dedup": q_bloom_dedup,
         "snapshot_dedup": q_snapshot_dedup,
@@ -3571,6 +3591,16 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "geo_bounds_centroid": f"""
+WITH pts AS (SELECT event_type, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+             FROM events)
+SELECT event_type,
+       round(max(lat), 4) AS top, round(min(lon), 4) AS left,
+       round(min(lat), 4) AS bottom, round(max(lon), 4) AS right,
+       round(avg(lat), 4) AS centroid_lat, round(avg(lon), 4) AS centroid_lon,
+       count(*) AS count
+FROM pts GROUP BY 1 ORDER BY 1
+""",
         "warc_roundtrip": """
 SELECT doc_id, text FROM documents WHERE doc_id < 20
 """,

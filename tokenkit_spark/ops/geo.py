@@ -119,3 +119,20 @@ def geo_bounds(
         F.min(lat_col).alias("bottom"),
         F.max(lon_col).alias("right"),
     )
+
+
+def geo_centroid(
+    points: DataFrame,
+    group_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    round_digits: int = 4,
+) -> DataFrame:
+    """ES geo_centroid agg per group: arithmetic mean of lat/lon (the
+    ES contract for non-wrapping data) plus the point count. One hash
+    aggregate with map-side partials — scale-free."""
+    return points.groupBy(group_col).agg(
+        F.round(F.avg(lat_col), round_digits).alias("centroid_lat"),
+        F.round(F.avg(lon_col), round_digits).alias("centroid_lon"),
+        F.count(F.lit(1)).alias("count"),
+    )
