@@ -3069,6 +3069,47 @@ def q_significant_text(spark, sf_dir):
     )
 
 
+def _link_edges(spark, sf_dir):
+    """Deterministic crawl link graph over the documents ids: every
+    non-hub-excluded page (doc_id % 50 != 0 — the excluded ones become
+    dangling nodes) links to three arithmetic neighbors. Same recipe is
+    inlined in the SQL oracle."""
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 50 != 0)
+    parts = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * m + a) % 500).alias("dst"),
+        )
+        for m, a in ((7, 1), (13, 2), (31, 3))
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return e
+
+
+def q_pagerank_top20(spark, sf_dir):
+    """PageRank (Page et al. 1999), d=0.85, 5 fixed iterations, uniform
+    teleport + dangling-mass redistribution, over the deterministic doc
+    link graph; top-20 by (6-dp pr desc, node asc). The oracle unrolls
+    the same recurrence as 5 chained CTE levels
+    (ops/linkgraph.py:pagerank)."""
+    from tokenkit_spark.ops import linkgraph
+
+    return linkgraph.top_pagerank(
+        _link_edges(spark, sf_dir), k=20, n_iter=5, damping=0.85, round_digits=6
+    )
+
+
+def q_inlink_stats(spark, sf_dir):
+    """In-link authority rollup: total in-links + distinct linking pages
+    per target over the crawl link graph, top-20
+    (ops/linkgraph.py:inlink_stats)."""
+    from tokenkit_spark.ops import linkgraph
+
+    return linkgraph.inlink_stats(_link_edges(spark, sf_dir), k=20)
+
+
 def q_geo_bounds_centroid(spark, sf_dir):
     """ES geo_bounds + geo_centroid aggs per event_type over the derived
     event coordinates: non-wrapped bounding box (top/left/bottom/right)
@@ -3385,6 +3426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "pagerank_top20": q_pagerank_top20,
+        "inlink_stats": q_inlink_stats,
         "geo_bounds_centroid": q_geo_bounds_centroid,
         "warc_roundtrip": q_warc_roundtrip,
         "bloom_dedup": q_bloom_dedup,
@@ -3575,6 +3618,50 @@ def _pca_oracle() -> str:
     )
 
 
+_LINK_EDGES_SQL = """
+edges AS (SELECT doc_id AS src, (doc_id * 7 + 1) % 500 AS dst FROM documents
+          WHERE doc_id % 50 <> 0
+          UNION ALL SELECT doc_id, (doc_id * 13 + 2) % 500 FROM documents
+          WHERE doc_id % 50 <> 0
+          UNION ALL SELECT doc_id, (doc_id * 31 + 3) % 500 FROM documents
+          WHERE doc_id % 50 <> 0)"""
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, d: float = 0.85, k: int = 20) -> str:
+    """Unroll the fixed-iteration PageRank recurrence as chained CTE
+    levels r0..r{n_iter} — same math as ops/linkgraph.py:pagerank."""
+    ctes = [
+        _LINK_EDGES_SQL.strip(),
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "degs AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for i in range(n_iter):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"dm{i} AS (SELECT coalesce(sum(pr), 0) AS dm FROM {prev} "
+            f"LEFT JOIN degs ON {prev}.node = degs.src WHERE degs.src IS NULL)"
+        )
+        ctes.append(
+            f"{cur} AS (SELECT nodes.node, "
+            f"(1 - {d}) / (SELECT n FROM nn) + {d} * (coalesce(inf.i, 0) "
+            f"+ (SELECT dm FROM dm{i}) / (SELECT n FROM nn)) AS pr "
+            f"FROM nodes LEFT JOIN "
+            f"(SELECT dst, sum({prev}.pr / degs.deg) AS i FROM edges "
+            f"JOIN degs USING (src) JOIN {prev} ON {prev}.node = edges.src "
+            f"GROUP BY 1) inf ON nodes.node = inf.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT rank, node, pr FROM (
+  SELECT row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS rank,
+         node, round(pr, 6) AS pr FROM r{n_iter})
+WHERE rank <= {k}"""
+    )
+
+
 def _bq_word_sql(word: int, bits: int = 32) -> str:
     """SQL mirror of similarity.binary_quantize's word expression:
     sum of CASE sign-bit literals (bit j of word w <- v[w*32+j+1] > 0)."""
@@ -3591,6 +3678,12 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "pagerank_top20": _pagerank_oracle_sql(),
+        "inlink_stats": f"""
+WITH {_LINK_EDGES_SQL.strip()}
+SELECT dst, count(*) AS n_inlinks, count(DISTINCT src) AS n_sources
+FROM edges GROUP BY 1 ORDER BY n_inlinks DESC, dst ASC LIMIT 20
+""",
         "geo_bounds_centroid": f"""
 WITH pts AS (SELECT event_type, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
              FROM events)
