@@ -3069,6 +3069,62 @@ def q_significant_text(spark, sf_dir):
     )
 
 
+def q_surt_keys(spark, sf_dir):
+    """SURT urlkey canonicalization (the Common Crawl CDX sort key):
+    URLs synthesized from the documents columns run through the full
+    Catalyst SURT parser — scheme/www/port stripping, host-label
+    reversal, query-param sort — and the oracle states the expected key
+    directly from the construction (sources/cdx.py:surt_key)."""
+    from tokenkit_spark.sources import cdx as cdx_mod
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://WWW."), F.upper("source"), F.lit(".Com:443/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id"),
+        F.lit("?b="), F.col("doc_id") % 3, F.lit("&a="), F.col("doc_id") % 5,
+        F.lit("#frag"),
+    )
+    return docs.select(
+        "doc_id", cdx_mod.surt_key(url).alias("urlkey")
+    )
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt crawl filtering (RFC 9309): per-source robots bodies
+    parse into a (host, agent, allow, prefix) rule table (group
+    semantics, windowed line numbering); a URL frontier derived from
+    the documents joins it with longest-match-wins / Allow-beats-
+    Disallow tie-breaks. Even-numbered hosts publish rules; odd hosts
+    have no robots (allowed). (ops/robots.py)"""
+    from tokenkit_spark.ops import robots as robots_mod
+
+    docs = _docs(spark, sf_dir)
+    hosts = (
+        docs.select("source").distinct()
+        .filter(F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 2 == 0)
+        .select(
+            F.concat(F.col("source"), F.lit(".com")).alias("host"),
+            F.lit(
+                "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+                "\nUser-agent: fastbot\nDisallow: /\n"
+            ).alias("body"),
+        )
+    )
+    rules = robots_mod.parse_robots(hosts)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".com")).alias("host"),
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/private/x"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("/private/ok/"))
+            .otherwise(F.lit("/open/")),
+            F.col("doc_id"),
+        ).alias("path"),
+    )
+    out = robots_mod.crawl_allowed(urls, rules, agent="*")
+    return out.select("doc_id", "host", "path", "allowed")
+
+
 def _link_edges(spark, sf_dir):
     """Deterministic crawl link graph over the documents ids: every
     non-hub-excluded page (doc_id % 50 != 0 — the excluded ones become
@@ -3426,6 +3482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "surt_keys": q_surt_keys,
+        "robots_filter": q_robots_filter,
         "pagerank_top20": q_pagerank_top20,
         "inlink_stats": q_inlink_stats,
         "geo_bounds_centroid": q_geo_bounds_centroid,
@@ -3678,6 +3736,31 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        # surt_keys: the SURT transform of the synthesized URL reduces to a
+        # direct construction — host labels reversed (com,<source>), path
+        # /<lang>/<doc_id>, query params byte-sorted (a= before b=).
+        "surt_keys": """
+SELECT doc_id,
+       'com,' || lower(source) || ')/' || lower(lang) || '/'
+         || CAST(doc_id AS VARCHAR)
+         || '?a=' || CAST(doc_id % 5 AS VARCHAR)
+         || '&b=' || CAST(doc_id % 3 AS VARCHAR) AS urlkey
+FROM documents
+""",
+        # robots_filter: even-numbered hosts publish {Disallow /private/,
+        # Allow /private/ok}; longest-match-wins means /private/ok/... is
+        # allowed, /private/x... denied, /open/... unmatched (allowed);
+        # odd hosts have no rules (allowed).
+        "robots_filter": """
+SELECT doc_id,
+       source || '.com' AS host,
+       CASE WHEN doc_id % 3 = 0 THEN '/private/x'
+            WHEN doc_id % 3 = 1 THEN '/private/ok/'
+            ELSE '/open/' END || CAST(doc_id AS VARCHAR) AS path,
+       NOT (CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 2 = 0
+            AND doc_id % 3 = 0) AS allowed
+FROM documents
+""",
         "pagerank_top20": _pagerank_oracle_sql(),
         "inlink_stats": f"""
 WITH {_LINK_EDGES_SQL.strip()}
