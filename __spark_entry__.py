@@ -3125,6 +3125,128 @@ def q_robots_filter(spark, sf_dir):
     return out.select("doc_id", "host", "path", "allowed")
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """sitemaps.org protocol parse: per-source urlset bodies (synthesized
+    from the documents columns, with optional lastmod/changefreq/priority
+    per entry and &amp;-encoded locs) plus one sitemapindex host, parsed
+    by the Catalyst fragment parser; the oracle states each entry
+    directly from the construction (sources/sitemaps.py)."""
+    from tokenkit_spark.sources import sitemaps as sm
+
+    docs = _docs(spark, sf_dir)
+    loc = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".com/p/"), F.col("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("?a=1&amp;b=2")).otherwise(F.lit("")),
+    )
+    lastmod = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("<lastmod>"),
+            F.date_format(
+                F.date_add(F.lit("2026-01-01").cast("date"), (F.col("doc_id") % 28).cast("int")),
+                "yyyy-MM-dd",
+            ),
+            F.lit("T08:30:00+00:00</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    changefreq = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("<changefreq>daily</changefreq>")
+    ).otherwise(F.lit(""))
+    priority = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("<priority>0."), F.col("doc_id") % 10, F.lit("</priority>")),
+    ).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc>"), lastmod, changefreq, priority,
+        F.lit("</url>"),
+    )
+    bodies = (
+        docs.groupBy("source")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("doc_id"), entry.alias("e")))),
+                        lambda s: s["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+        .select(F.concat(F.col("source"), F.lit(".com")).alias("host"), "body")
+    )
+    hub_body = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(
+            f"<sitemap><loc>https://hub.example/s{i}.xml</loc>"
+            f"<lastmod>2026-02-0{i + 1}</lastmod></sitemap>"
+            for i in range(3)
+        )
+        + "</sitemapindex>"
+    )
+    hub = spark.createDataFrame([("hub.example", hub_body)], "host string, body string")
+    return sm.parse_sitemaps(bodies.unionByName(hub))
+
+
+_ANCHOR_VOCAB = ["home", "page", "click", "here", "best", "docs"]
+
+
+def _anchor_edges(spark, sf_dir):
+    """Link edges + deterministic anchor strings drawn from a 6-word
+    vocabulary by (src, dst) arithmetic — src%5==0 edges carry a third
+    word, and src%6==dst%6 edges repeat a word inside one anchor (the
+    tf > n_links case). Same recipe inlined in the oracle."""
+    vocab = F.array(*[F.lit(w) for w in _ANCHOR_VOCAB])
+    e = _link_edges(spark, sf_dir)
+    return e.select(
+        "src",
+        "dst",
+        F.concat_ws(
+            " ",
+            F.element_at(vocab, (F.col("src") % 6 + 1).cast("int")),
+            F.element_at(vocab, (F.col("dst") % 6 + 1).cast("int")),
+            F.when(
+                F.col("src") % 5 == 0,
+                F.element_at(vocab, ((F.col("src") + F.col("dst")) % 6 + 1).cast("int")),
+            ),
+        ).alias("anchor"),
+    )
+
+
+def q_anchor_top_terms(spark, sf_dir):
+    """Anchor-text aggregation: per-target top-3 anchor terms over the
+    crawl link graph, ranked by distinct in-link support then raw tf
+    (ops/anchortext.py:top_anchor_terms)."""
+    from tokenkit_spark.ops import anchortext
+
+    return anchortext.top_anchor_terms(_anchor_edges(spark, sf_dir), k=3)
+
+
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness-aware frontier scheduling: per-host crawl budget
+    (top-15 by priority) then Mercator-style wave interleaving — wave w
+    holds at most one URL per host; fetch_order is the global dispatch
+    sequence built without a global window (ops/frontier.py)."""
+    from tokenkit_spark.ops import frontier
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        F.col("source").alias("host"),
+        F.concat(F.lit("/p/"), F.col("doc_id")).alias("url"),
+        (F.col("doc_id") % 7).alias("priority"),
+    )
+    capped = frontier.frontier_budget(urls, per_host_cap=15)
+    return frontier.schedule_frontier(capped).select(
+        "host", "url", "priority", "wave", "fetch_order"
+    )
+
+
 def _link_edges(spark, sf_dir):
     """Deterministic crawl link graph over the documents ids: every
     non-hub-excluded page (doc_id % 50 != 0 — the excluded ones become
@@ -3482,6 +3604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "sitemap_entries": q_sitemap_entries,
+        "anchor_top_terms": q_anchor_top_terms,
+        "frontier_schedule": q_frontier_schedule,
         "surt_keys": q_surt_keys,
         "robots_filter": q_robots_filter,
         "pagerank_top20": q_pagerank_top20,
@@ -3736,6 +3861,55 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        # sitemap_entries: the parse of the synthesized urlset bodies reduces
+        # to the per-doc entry construction; the hub host's sitemapindex rows
+        # are stated as VALUES.
+        "sitemap_entries": """
+SELECT source || '.com' AS host, 'url' AS kind,
+       'https://' || source || '.com/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 0 THEN '?a=1&b=2' ELSE '' END AS loc,
+       CASE WHEN doc_id % 2 = 0
+            THEN DATE '2026-01-01' + CAST(doc_id % 28 AS INT) END AS lastmod,
+       CASE WHEN doc_id % 5 = 0 THEN 'daily' END AS changefreq,
+       CASE WHEN doc_id % 3 = 0 THEN (doc_id % 10) / 10.0 ELSE 0.5 END AS priority
+FROM documents
+UNION ALL
+SELECT 'hub.example', 'sitemap',
+       'https://hub.example/s' || CAST(i AS VARCHAR) || '.xml',
+       DATE '2026-02-01' + i, NULL, 0.5
+FROM (VALUES (0), (1), (2)) t(i)
+""",
+        "anchor_top_terms": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+an AS (SELECT src, dst,
+       (LIST_VALUE('home','page','click','here','best','docs'))[CAST(src % 6 AS INT) + 1]
+       || ' ' ||
+       (LIST_VALUE('home','page','click','here','best','docs'))[CAST(dst % 6 AS INT) + 1]
+       || CASE WHEN src % 5 = 0 THEN ' ' ||
+          (LIST_VALUE('home','page','click','here','best','docs'))[CAST((src + dst) % 6 AS INT) + 1]
+          ELSE '' END AS anchor
+       FROM edges),
+toks AS (SELECT dst, src, unnest(string_split(anchor, ' ')) AS term FROM an),
+counts AS (SELECT dst, term, count(*) AS tf, count(DISTINCT src) AS n_links
+           FROM toks GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY dst ORDER BY n_links DESC, tf DESC, term ASC) AS rank
+           FROM counts)
+SELECT dst, term, tf, n_links, rank FROM ranked WHERE rank <= 3
+""",
+        "frontier_schedule": """
+WITH urls AS (SELECT source AS host, '/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id % 7 AS priority
+              FROM documents),
+capped AS (SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY host ORDER BY priority DESC, url ASC) AS r
+             FROM urls) WHERE r <= 15),
+waved AS (SELECT host, url, priority, r - 1 AS wave FROM capped)
+SELECT host, url, priority, wave,
+       row_number() OVER (ORDER BY wave ASC, priority DESC, url ASC) - 1 AS fetch_order
+FROM waved
+""",
         # surt_keys: the SURT transform of the synthesized URL reduces to a
         # direct construction — host labels reversed (com,<source>), path
         # /<lang>/<doc_id>, query params byte-sorted (a= before b=).

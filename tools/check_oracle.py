@@ -2,9 +2,15 @@
 queries() entry on Spark and its oracle_sql() twin on DuckDB, compare
 row-count, column names, and an order-insensitive value multiset.
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query_name ...]
+
+With --json, also writes a machine-readable result file in the driver's
+CORRECTNESS_r{N}.json per-query format (rows_match/schema_match/
+hash_match/spark_rows/oracle_rows/err) covering EVERY checked query —
+the driver's own file only covers the first 50 registry entries.
 """
 
+import json
 import os
 import sys
 from collections import Counter
@@ -31,8 +37,14 @@ def rows_to_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    results = {}
 
     import __spark_entry__ as entry_mod
     from pyspark.sql import SparkSession
@@ -63,9 +75,16 @@ def main():
             scols = sdf.columns
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": f"SPARK ERROR: {e}"}
             print(f"[FAIL-spark] {name}: {e}")
             continue
         if name not in oracles:
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": None,
+                             "rows_only": True}
             print(f"[rows-only] {name}: {len(srows)} rows, cols={scols}")
             continue
         try:
@@ -74,6 +93,9 @@ def main():
             orows = res.fetchall()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": f"DUCKDB ERROR: {e}"}
             print(f"[FAIL-duckdb] {name}: {e}")
             continue
         problems = []
@@ -86,12 +108,24 @@ def main():
             if ms != mo:
                 diff = list((ms - mo).items())[:3] + list((mo - ms).items())[:3]
                 problems.append(f"values differ, sample diff: {diff}")
+        results[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"[FAIL] {name}: {'; '.join(problems)}")
         else:
             print(f"[ok] {name}: {len(srows)} rows")
 
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} entries)")
     print(f"\n{len(failures)} failures")
     sys.exit(1 if failures else 0)
 
