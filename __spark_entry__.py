@@ -3125,6 +3125,73 @@ def q_robots_filter(spark, sf_dir):
     return out.select("doc_id", "host", "path", "allowed")
 
 
+def q_entity_decode(spark, sf_dir):
+    """Full WHATWG entity decode (named + decimal + hex numeric,
+    single-pass): documents.text is entity-ENCODED in Catalyst (&/</>
+    plus a suffix of named, decimal, hex, and double-encoded refs),
+    then decoded by the Arrow-batched html.unescape UDF; the oracle
+    states the fixed point — original text + the decoded suffix
+    (ops/webclean.py:decode_entities)."""
+    from tokenkit_spark.ops import webclean
+
+    docs = _docs(spark, sf_dir)
+    encoded = F.concat(
+        F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"), F.lit("&lt;"),
+            ),
+            F.lit(">"), F.lit("&gt;"),
+        ),
+        F.lit(" &rsquo;s &#8217; &#x1F600; &amp;amp;"),
+    )
+    return docs.select("doc_id", webclean.decode_entities(encoded).alias("decoded"))
+
+
+def q_mojibake_repair(spark, sf_dir):
+    """ftfy-style mojibake repair: text + a non-ASCII suffix is
+    corrupted forward (UTF-8 bytes re-read as latin-1), then repaired
+    by the sloppy-cp1252 round-trip UDF; the repair must restore the
+    original bytes exactly, which the oracle states directly
+    (ops/webclean.py:fix_mojibake)."""
+    from tokenkit_spark.ops import webclean
+
+    docs = _docs(spark, sf_dir)
+    original = F.concat(F.col("text"), F.lit(" café — über"))
+    return docs.select(
+        "doc_id",
+        webclean.fix_mojibake(webclean.mojibake(original)).alias("fixed"),
+    )
+
+
+def q_encoding_stats(spark, sf_dir):
+    """Encoding-damage quality signals: documents.text with a per-doc
+    injected defect (replacement char / mojibake signatures / a C0
+    control, by doc_id%4) scored by the Catalyst regexp counters; the
+    oracle runs the same counts in DuckDB RE2
+    (ops/webclean.py:encoding_stats)."""
+    from tokenkit_spark.ops import webclean
+
+    docs = _docs(spark, sf_dir)
+    damaged = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 1, F.lit(" �"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" Ã© Â x"))
+        .when(F.col("doc_id") % 4 == 3, F.lit(" \x07"))
+        .otherwise(F.lit("")),
+    )
+    return webclean.encoding_stats(docs.select("doc_id", damaged.alias("text")))
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade per document, pure
+    Catalyst (vowel-group syllable heuristic); oracle is the identical
+    arithmetic in DuckDB list lambdas (ops/webclean.py:readability)."""
+    from tokenkit_spark.ops import webclean
+
+    return webclean.readability(_docs(spark, sf_dir))
+
+
 def q_sitemap_entries(spark, sf_dir):
     """sitemaps.org protocol parse: per-source urlset bodies (synthesized
     from the documents columns, with optional lastmod/changefreq/priority
@@ -3604,6 +3671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "entity_decode": q_entity_decode,
+        "mojibake_repair": q_mojibake_repair,
+        "encoding_stats": q_encoding_stats,
+        "readability": q_readability,
         "sitemap_entries": q_sitemap_entries,
         "anchor_top_terms": q_anchor_top_terms,
         "frontier_schedule": q_frontier_schedule,
@@ -3861,6 +3932,65 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        # entity_decode / mojibake_repair: encode-then-decode must be the
+        # identity, so the oracle states original text + the decoded suffix
+        # (unicode via chr() to keep the SQL ASCII-clean).
+        "entity_decode": """
+SELECT doc_id,
+       text || ' ' || chr(8217) || 's ' || chr(8217) || ' ' || chr(128512)
+            || ' &amp;' AS decoded
+FROM documents
+""",
+        "mojibake_repair": """
+SELECT doc_id,
+       text || ' caf' || chr(233) || ' ' || chr(8212) || ' ' || chr(252) || 'ber'
+         AS fixed
+FROM documents
+""",
+        "encoding_stats": """
+WITH damaged AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 1 THEN ' ' || chr(65533)
+                      WHEN doc_id % 4 = 2 THEN ' ' || chr(195) || chr(169)
+                                            || ' ' || chr(194) || ' x'
+                      WHEN doc_id % 4 = 3 THEN ' ' || chr(7)
+                      ELSE '' END AS text
+  FROM documents),
+counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, chr(65533))) AS n_replacement,
+         len(regexp_extract_all(text,
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) AS n_control,
+         len(regexp_extract_all(text,
+             chr(195) || '.|' || chr(226) || chr(8364) || '.|' || chr(194) || '.'
+         )) AS n_mojibake_sig
+  FROM damaged)
+SELECT doc_id, n_replacement, n_control, n_mojibake_sig,
+       CASE WHEN n_replacement > 0 OR n_control > 0 OR n_mojibake_sig > 0
+            THEN 1 ELSE 0 END AS suspect
+FROM counted
+""",
+        "readability": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+                     x -> x <> '') AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+  FROM documents),
+c AS (
+  SELECT doc_id, len(words) AS n_words, n_sentences,
+         coalesce(list_sum(list_transform(words,
+           x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0)
+           AS n_syllables,
+         greatest(len(words), 1) AS nw1
+  FROM w)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (nw1::DOUBLE / n_sentences)
+                     - 84.6 * (n_syllables::DOUBLE / nw1), 4) AS flesch,
+       round(0.39 * (nw1::DOUBLE / n_sentences)
+             + 11.8 * (n_syllables::DOUBLE / nw1) - 15.59, 4) AS fk_grade
+FROM c
+""",
         # sitemap_entries: the parse of the synthesized urlset bodies reduces
         # to the per-doc entry construction; the hub host's sitemapindex rows
         # are stated as VALUES.

@@ -1,0 +1,156 @@
+"""Web-text encoding hygiene: entity decode, mojibake repair,
+encoding-quality signals, readability scoring.
+
+Crawled HTML arrives with three classic defects a 100-TB text pipeline
+must score and repair before tokenization:
+
+* **HTML entities** left in extracted text (``&amp;``, ``&#8217;``,
+  ``&#x1F600;``) — decoded by a single-pass Arrow-batched UDF
+  (``html.unescape`` is the full WHATWG table; a Catalyst chained-
+  replace fast path covers the frequent named subset).
+* **Mojibake** — UTF-8 bytes decoded as cp1252/latin-1 upstream
+  ("cafÃ©"). Repair = re-encode through the sloppy codec and re-decode
+  as UTF-8, accepted only when the round-trip is clean (the ftfy core
+  heuristic).
+* **Encoding damage signals** — replacement chars, stray C0/C1
+  controls, mojibake signatures — as per-doc Catalyst counts feeding
+  quality filters.
+
+Readability (Flesch) rides along: pure Catalyst word/sentence/syllable
+arithmetic — a quality-scoring staple that needs no Python.
+"""
+
+from __future__ import annotations
+
+import html
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# frequent named entities, decoded in one Catalyst pass; &amp; LAST so
+# double-encoded sequences ("&amp;lt;") decode exactly one level per
+# pass (WHATWG semantics)
+_NAMED = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&hellip;", "…"), ("&mdash;", "—"),
+    ("&ndash;", "–"), ("&rsquo;", "’"), ("&lsquo;", "‘"),
+    ("&rdquo;", "”"), ("&ldquo;", "“"), ("&copy;", "©"),
+    ("&amp;", "&"),
+]
+
+
+def decode_entities_basic(col) -> Column:
+    """Catalyst fast path: the frequent named entities as a chained
+    literal replace — no regex, no Python, stays in whole-stage
+    codegen. Numeric references need :func:`decode_entities`."""
+    out = col if isinstance(col, Column) else F.col(col)
+    for ent, ch in _NAMED:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def _decode_series(s: pd.Series) -> pd.Series:
+    return s.map(lambda t: html.unescape(t) if t is not None else None)
+
+
+def decode_entities(col) -> Column:
+    """Full WHATWG entity decode (named + decimal + hex numeric),
+    Arrow-batched. html.unescape is a compiled regex + dict lookup —
+    the correct tool; per-element overhead is one function call.
+    (The udf is built at call time — a module-level @pandas_udf breaks
+    executor-side module re-import, which needs no active session.)"""
+    return pandas_udf(_decode_series, "string")(col)
+
+
+def _repair_one(t):
+    if t is None:
+        return None
+    for codec in ("cp1252", "latin-1"):
+        try:
+            b = t.encode(codec)
+        except (UnicodeEncodeError, ValueError):
+            continue
+        try:
+            fixed = b.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        return fixed
+    return t
+
+
+def _repair_series(s: pd.Series) -> pd.Series:
+    return s.map(_repair_one)
+
+
+def fix_mojibake(col) -> Column:
+    """Repair UTF-8-read-as-cp1252 mojibake: re-encode through cp1252
+    (latin-1 fallback for the C1 gap bytes cp1252 doesn't map) and
+    re-decode as UTF-8; keep the original unless the round-trip is
+    byte-clean. Pure-ASCII strings short-circuit (encode+decode are
+    C-speed identity). Production note: `ftfy.fix_encoding` adds
+    iterated and mixed-codec cases behind this same column boundary."""
+    return pandas_udf(_repair_series, "string")(col)
+
+
+def _mojibake_series(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda t: t.encode("utf-8").decode("latin-1") if t is not None else None
+    )
+
+
+def mojibake(col) -> Column:
+    """Forward corruption (UTF-8 bytes decoded as latin-1) — the test /
+    oracle-construction twin of :func:`fix_mojibake`."""
+    return pandas_udf(_mojibake_series, "string")(col)
+
+
+_CTRL_RX = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_MOJIBAKE_RX = r"Ã.|â€.|Â."
+
+
+def encoding_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc encoding-damage signals: replacement-char count, stray
+    control-char count (tab/newline/CR excluded), mojibake-signature
+    count, and a 0/1 ``suspect`` flag. Pure Catalyst regexp counts —
+    one projection riding the scan."""
+    t = F.col(text_col)
+    repl = F.regexp_count(t, F.lit("�")).alias("n_replacement")
+    ctrl = F.regexp_count(t, F.lit(_CTRL_RX)).alias("n_control")
+    moji = F.regexp_count(t, F.lit(_MOJIBAKE_RX)).alias("n_mojibake_sig")
+    return docs.select(
+        id_col, repl, ctrl, moji,
+        (
+            (F.regexp_count(t, F.lit("�")) > 0)
+            | (F.regexp_count(t, F.lit(_CTRL_RX)) > 0)
+            | (F.regexp_count(t, F.lit(_MOJIBAKE_RX)) > 0)
+        ).cast("int").alias("suspect"),
+    )
+
+
+def readability(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_digits: int = 4) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per doc, pure
+    Catalyst: words by non-letter split, sentences by [.!?] runs
+    (min 1), syllables by vowel-group runs per word (min 1/word) — the
+    standard automated heuristic. Returns (id, n_words, n_sentences,
+    n_syllables, flesch, fk_grade)."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.lower(t), r"[^a-z']+"), lambda w: w != "")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_sent = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    n_syll = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)),
+    )
+    wps = n_words.cast("double") / n_sent
+    spw = n_syll.cast("double") / n_words
+    return docs.select(
+        id_col,
+        F.size(words).alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, round_digits).alias("flesch"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, round_digits).alias("fk_grade"),
+    )
