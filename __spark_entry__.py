@@ -3125,6 +3125,96 @@ def q_robots_filter(spark, sf_dir):
     return out.select("doc_id", "host", "path", "allowed")
 
 
+GEOHASH_PRECISION = 4
+
+
+def q_geohash_grid(spark, sf_dir):
+    """ES geohash_grid agg: Niemeyer geohash cell keys at precision 4
+    over the derived event coordinates — closed-form bit-interleave in
+    pure Catalyst, one aggregate shuffle (ops/geo.py:geohash_grid); the
+    oracle restates the identical arithmetic (_geohash_sql)."""
+    from tokenkit_spark.ops import geo
+
+    return geo.geohash_grid(_events_geo(spark, sf_dir), precision=GEOHASH_PRECISION)
+
+
+def _events_ip(spark, sf_dir):
+    """Deterministic dotted-quad IPv4 per event (both engines apply the
+    same arithmetic)."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("user_id") % 200).cast("string"),
+            ((F.col("user_id") * 7) % 256).cast("string"),
+            (F.col("event_id") % 256).cast("string"),
+        ).alias("ip"),
+    )
+
+
+def q_ip_range(spark, sf_dir):
+    """ES ip_range agg with the half-open [from, to) contract and
+    overlapping buckets (a row may count in several) over synthesized
+    event IPs (ops/aggs.py:ip_range_agg, ip_to_long)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.ip_range_agg(
+        _events_ip(spark, sf_dir),
+        "ip",
+        [
+            ("low", None, "10.50.0.0"),
+            ("mid", "10.50.0.0", "10.120.0.0"),
+            ("high_overlap", "10.100.0.0", None),
+        ],
+    )
+
+
+def q_sampler_terms(spark, sf_dir):
+    """ES sampler agg: sub-aggregation (terms on lang + avg length)
+    restricted to the 200 longest documents — per-partition top-N
+    pre-filter, then the narrow global cut
+    (ops/aggs.py:sampler_top)."""
+    from tokenkit_spark.ops import aggs
+
+    docs = _docs(spark, sf_dir)
+    sample = aggs.sampler_top(docs, "n_chars", 200, "doc_id")
+    return sample.groupBy("lang").agg(
+        F.count("*").alias("doc_count"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q_categorize_text(spark, sf_dir):
+    """ES categorize_text agg (deterministic core): digit-bearing
+    tokens dropped, docs keyed by their first 3 surviving tokens,
+    bucket counts + longest matching doc
+    (ops/aggs.py:categorize_text)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.categorize_text(_docs(spark, sf_dir), "text", max_tokens=3)
+
+
+def q_trending_terms(spark, sf_dir):
+    """Per-day top-3 terms (date_histogram × terms composite) over
+    documents given deterministic timestamps; bucket-partitioned
+    window, never a global one (ops/aggs.py:trending_terms)."""
+    from tokenkit_spark.ops import aggs
+
+    docs = _docs(spark, sf_dir).select(
+        (
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(days=(F.col("doc_id") % 14).cast("int"))
+        ).alias("ts"),
+        "text",
+    )
+    return aggs.trending_terms(
+        docs, "ts", "text", interval="day", k=3,
+        stopwords=["the", "a", "of", "and", "to", "in", "is"],
+    )
+
+
 def q_entity_decode(spark, sf_dir):
     """Full WHATWG entity decode (named + decimal + hex numeric,
     single-pass): documents.text is entity-ENCODED in Catalyst (&/</>
@@ -3671,6 +3761,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "geohash_grid": q_geohash_grid,
+        "ip_range": q_ip_range,
+        "sampler_terms": q_sampler_terms,
+        "categorize_text": q_categorize_text,
+        "trending_terms": q_trending_terms,
         "entity_decode": q_entity_decode,
         "mojibake_repair": q_mojibake_repair,
         "encoding_stats": q_encoding_stats,
@@ -3881,6 +3976,41 @@ edges AS (SELECT doc_id AS src, (doc_id * 7 + 1) % 500 AS dst FROM documents
           WHERE doc_id % 50 <> 0)"""
 
 
+def _geohash_sql(precision: int = GEOHASH_PRECISION) -> str:
+    """Restate ops/geo.py:geohash_key closed-form (index floors, unrolled
+    bit interleave, base32 lookup) as DuckDB SQL over the derived event
+    points."""
+    base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    terms, li, lj = [], 0, 0
+    for i in range(total):
+        if i % 2 == 0:
+            terms.append(f"(((lon_idx >> {lon_bits - 1 - li}) & 1) << {total - 1 - i})")
+            li += 1
+        else:
+            terms.append(f"(((lat_idx >> {lat_bits - 1 - lj}) & 1) << {total - 1 - i})")
+            lj += 1
+    combined = "\n         + ".join(terms)
+    chars = "\n    || ".join(
+        f"substring('{base32}', CAST(((combined >> {5 * (precision - 1 - c)}) & 31) AS INT) + 1, 1)"
+        for c in range(precision)
+    )
+    return f"""
+WITH pts AS (SELECT {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon FROM events),
+idx AS (SELECT
+  CAST(least({(1 << lon_bits) - 1},
+             floor((lon + 180.0) / 360.0 * {float(1 << lon_bits)})) AS BIGINT) AS lon_idx,
+  CAST(least({(1 << lat_bits) - 1},
+             floor((lat + 90.0) / 180.0 * {float(1 << lat_bits)})) AS BIGINT) AS lat_idx
+  FROM pts),
+comb AS (SELECT {combined} AS combined FROM idx)
+SELECT {chars} AS geohash, count(*) AS doc_count
+FROM comb GROUP BY 1
+"""
+
+
 def _pagerank_oracle_sql(n_iter: int = 5, d: float = 0.85, k: int = 20) -> str:
     """Unroll the fixed-iteration PageRank recurrence as chained CTE
     levels r0..r{n_iter} — same math as ops/linkgraph.py:pagerank."""
@@ -3932,6 +4062,53 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "geohash_grid": _geohash_sql(),
+        "ip_range": """
+WITH v AS (SELECT 10 * 16777216 + (user_id % 200) * 65536
+                + ((user_id * 7) % 256) * 256 + (event_id % 256) AS ip
+           FROM events),
+b(key, lo, hi) AS (VALUES
+  ('low', NULL, 10 * 16777216 + 50 * 65536),
+  ('mid', 10 * 16777216 + 50 * 65536, 10 * 16777216 + 120 * 65536),
+  ('high_overlap', 10 * 16777216 + 100 * 65536, NULL))
+SELECT key, count(CASE WHEN (lo IS NULL OR ip >= lo)
+                        AND (hi IS NULL OR ip < hi) THEN 1 END) AS doc_count
+FROM b LEFT JOIN v ON TRUE
+GROUP BY key
+""",
+        "sampler_terms": """
+WITH ranked AS (SELECT *, row_number() OVER (
+                  ORDER BY n_chars DESC, doc_id ASC) AS r FROM documents)
+SELECT lang, count(*) AS doc_count, round(avg(n_chars), 4) AS avg_chars
+FROM ranked WHERE r <= 200 GROUP BY lang
+""",
+        "categorize_text": """
+WITH toks AS (
+  SELECT doc_id, length(text) AS len,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '' AND NOT regexp_matches(x, '[0-9]')) AS t
+  FROM documents),
+keyed AS (SELECT array_to_string(list_slice(t, 1, 3), ' ') AS category, len
+          FROM toks)
+SELECT category, count(*) AS doc_count, max(len) AS max_matching_length
+FROM keyed WHERE category <> '' GROUP BY category
+""",
+        "trending_terms": """
+WITH docs AS (SELECT TIMESTAMP '2026-01-01'
+                     + to_days(CAST(doc_id % 14 AS INT)) AS bucket, text
+              FROM documents),
+toks AS (SELECT bucket,
+                unnest(list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+                                   x -> x <> '')) AS term
+         FROM docs),
+counts AS (SELECT bucket, term, count(*) AS tf FROM toks
+           WHERE term NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+           GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY bucket ORDER BY tf DESC, term ASC) AS rank
+           FROM counts)
+SELECT bucket, term, tf, rank FROM ranked WHERE rank <= 3
+""",
         # entity_decode / mojibake_repair: encode-then-decode must be the
         # identity, so the oracle states original text + the decoded suffix
         # (unicode via chr() to keep the SQL ASCII-clean).

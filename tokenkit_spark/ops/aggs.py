@@ -670,3 +670,144 @@ def filters_agg(
         .select("b.bucket", "b.doc_count")
         .orderBy(F.col("bucket").asc())
     )
+
+
+def ip_to_long(ip) -> "F.Column":
+    """Dotted-quad IPv4 string -> unsigned 32-bit value as a long —
+    pure Catalyst (split + Horner fold), the key both ip_range
+    bucketing and CIDR prefix matching reduce to."""
+    col = F.col(ip) if isinstance(ip, str) else ip
+    return F.aggregate(
+        F.transform(F.split(col, r"\."), lambda o: o.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, o: acc * 256 + o,
+    )
+
+
+def ip_range_agg(
+    df: DataFrame,
+    ip_col: str,
+    ranges: list[tuple[str, str | None, str | None]],
+) -> DataFrame:
+    """ES ip_range agg: (key, from_ip, to_ip) buckets with the ES
+    half-open contract [from, to); a None end is unbounded. A row can
+    land in several overlapping buckets (ES semantics), so buckets are
+    evaluated as independent conditional counts in ONE aggregate pass —
+    no explode, no join. Returns (key, doc_count) in the given order."""
+
+    def as_long(s):
+        return ip_to_long(F.lit(s))
+
+    v = ip_to_long(ip_col)
+    aggs = []
+    for key, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= as_long(lo))
+        if hi is not None:
+            cond = cond & (v < as_long(hi))
+        aggs.append(F.sum(cond.cast("long")).alias(key))
+    wide = df.agg(*aggs)
+    keys = [k for k, _, _ in ranges]
+    return wide.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(k) for k in keys]).alias("k"),
+                F.array(*[F.coalesce(F.col(k), F.lit(0)) for k in keys]).alias("n"),
+            )
+        ).alias("b")
+    ).select(F.col("b").getField("k").alias("key"),
+             F.col("b").getField("n").alias("doc_count"))
+
+
+def sampler_top(
+    df: DataFrame,
+    score_col: str,
+    shard_size: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """ES sampler agg: restrict sub-aggregations to the ``shard_size``
+    highest-scoring docs. ES samples per shard; the deterministic
+    contract here is global top-N (score desc, tiebreak asc) computed
+    the scalable way — per-partition top-N first (sort within
+    partitions is a local heap, no shuffle), then one narrow top-N over
+    the per-partition survivors."""
+    ordered = (
+        df.sortWithinPartitions(F.col(score_col).desc(), F.col(tiebreak_col).asc())
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy(F.spark_partition_id()).orderBy(
+                    F.col(score_col).desc(), F.col(tiebreak_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= shard_size)
+        .drop("__pr")
+    )
+    w = Window.orderBy(F.col(score_col).desc(), F.col(tiebreak_col).asc())
+    return (
+        ordered.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shard_size)
+        .drop("__r")
+    )
+
+
+def categorize_text(
+    df: DataFrame,
+    text_col: str,
+    max_tokens: int = 4,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES categorize_text agg (the ML log-categorization bucketer),
+    deterministic core: tokenize on whitespace, DROP tokens containing
+    any digit (the "variable part" heuristic), lowercase, key each doc
+    by its first ``max_tokens`` surviving tokens. Returns
+    (category, doc_count, max_matching_length) — max_matching_length is
+    ES's per-category longest original doc length."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: (t != "") & ~t.rlike("[0-9]"),
+    )
+    key = F.array_join(F.slice(toks, 1, max_tokens), " ")
+    return (
+        df.select(key.alias("category"), F.length(text_col).alias("__len"))
+        .filter(F.col("category") != "")
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.max("__len").alias("max_matching_length"),
+        )
+        .filter(F.col("doc_count") >= min_doc_count)
+    )
+
+
+def trending_terms(
+    df: DataFrame,
+    ts_col: str,
+    text_col: str,
+    interval: str = "day",
+    k: int = 5,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Per-time-bucket top-k terms — the date_histogram × terms
+    composite every content dashboard runs. Tokenize map-side, ONE
+    (bucket, term) aggregate shuffle, then a window over bucket
+    partitions (each holds one row per distinct term — bucket-bounded,
+    never row-bounded). Returns (bucket, term, tf, rank)."""
+    stop = set(stopwords or [])
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^\p{L}]+"),
+        lambda t: t != "",
+    )
+    base = df.select(
+        F.date_trunc(interval, F.col(ts_col)).alias("bucket"),
+        F.explode(toks).alias("term"),
+    )
+    if stop:
+        base = base.filter(~F.col("term").isin(*sorted(stop)))
+    counts = base.groupBy("bucket", "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("bucket").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

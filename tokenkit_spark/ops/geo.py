@@ -136,3 +136,69 @@ def geo_centroid(
         F.round(F.avg(lon_col), round_digits).alias("centroid_lon"),
         F.count(F.lit(1)).alias("count"),
     )
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_key(lat: Column, lon: Column, precision: int = 5) -> Column:
+    """Geohash cell key (Niemeyer encoding, the ES geohash_grid bucket
+    key) at ``precision`` chars, pure Catalyst.
+
+    Rather than the textbook per-bit bisection loop, both halves are
+    computed CLOSED-FORM: the lon/lat cell indices are single floor
+    multiplications (lon gets ceil(5p/2) bits, lat the rest), the
+    interleave is an unrolled sum of (bit >> j & 1) << k terms, and the
+    base32 chars are substring lookups — one flat codegen-friendly
+    expression, no UDF, identical arithmetic restated in the SQL oracle
+    (__spark_entry__._geohash_sql)."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_idx = F.least(
+        F.lit((1 << lon_bits) - 1),
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
+    ).cast("long")
+    lat_idx = F.least(
+        F.lit((1 << lat_bits) - 1),
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
+    ).cast("long")
+    combined = F.lit(0).cast("long")
+    li = lj = 0
+    for i in range(total):
+        if i % 2 == 0:  # even interleave slots take longitude (MSB first)
+            bit = F.shiftright(lon_idx, lon_bits - 1 - li).bitwiseAND(F.lit(1))
+            li += 1
+        else:
+            bit = F.shiftright(lat_idx, lat_bits - 1 - lj).bitwiseAND(F.lit(1))
+            lj += 1
+        combined = combined + F.shiftleft(bit, total - 1 - i)
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_BASE32),
+            (F.shiftright(combined, 5 * (precision - 1 - c)).bitwiseAND(F.lit(31)) + 1).cast("int"),
+            1,
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_grid(
+    points: DataFrame,
+    precision: int = 5,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES geohash_grid agg: bucket doc counts per geohash cell —
+    (geohash, doc_count). One map-side key projection + one aggregate
+    shuffle."""
+    return (
+        points.select(
+            geohash_key(F.col(lat_col), F.col(lon_col), precision).alias("geohash")
+        )
+        .groupBy("geohash")
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") >= min_doc_count)
+    )
