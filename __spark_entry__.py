@@ -3125,6 +3125,34 @@ def q_robots_filter(spark, sf_dir):
     return out.select("doc_id", "host", "path", "allowed")
 
 
+def q_boosting_search(spark, sf_dir):
+    """ES boosting query: positive BM25 ranking with docs matching the
+    negative query ('batch') demoted by negative_boost=0.5 — demotion
+    applies over the exhaustive positive match set, before the top-k
+    cut (index/query.py:boosting_search)."""
+    from tokenkit_spark.index.query import boosting_search
+
+    index = _index_for(spark, sf_dir)
+    queries = _queries_df(spark)
+    negatives = queries.select("query_id", F.lit("batch").alias("text"))
+    return boosting_search(
+        spark, index, queries, negatives, k=10, negative_boost=0.5,
+        config=WS, round_digits=4,
+    )
+
+
+def q_intervals_ordered(spark, sf_dir):
+    """ES intervals query (match source, ordered:true, max_gaps=6) for
+    ['the','sort','merge']: window looseness (p_last - p_first + 1 - k),
+    NOT span slop; relational k-1 doc-keyed join formulation
+    (index/spans.py:intervals_ordered)."""
+    from tokenkit_spark.index.spans import intervals_ordered
+
+    return intervals_ordered(
+        _docs(spark, sf_dir), ["the", "sort", "merge"], max_gaps=6
+    )
+
+
 GEOHASH_PRECISION = 4
 
 
@@ -3761,6 +3789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "boosting_search": q_boosting_search,
+        "intervals_ordered": q_intervals_ordered,
         "geohash_grid": q_geohash_grid,
         "ip_range": q_ip_range,
         "sampler_terms": q_sampler_terms,
@@ -4062,6 +4092,49 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "boosting_search": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'batch'),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) )
+         * CASE WHEN p.doc_id IN (SELECT doc_id FROM neg) THEN 0.5 ELSE 1.0 END AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d ON d.doc_id = p.doc_id
+  CROSS JOIN globals g
+  GROUP BY 1, 2, p.doc_id IN (SELECT doc_id FROM neg)),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+""",
+        "intervals_ordered": """
+WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> x <> '') AS l
+                    FROM documents))
+SELECT a.doc_id, min(c.pos - a.pos + 1 - 3) AS min_gaps
+FROM toks a
+JOIN toks b ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.term = 'sort'
+JOIN toks c ON c.doc_id = a.doc_id AND c.pos > b.pos AND c.term = 'merge'
+WHERE a.term = 'the' AND (c.pos - a.pos + 1 - 3) <= 6
+GROUP BY 1
+""",
         "geohash_grid": _geohash_sql(),
         "ip_range": """
 WITH v AS (SELECT 10 * 16777216 + (user_id % 200) * 65536

@@ -2593,3 +2593,41 @@ def terms_lookup_search(
         .orderBy(F.col("n_matched").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def boosting_search(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    negatives: DataFrame,
+    k: int = 10,
+    negative_boost: float = 0.5,
+    config: AnalyzerConfig | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ES `boosting` query: rank by the positive query's BM25 score,
+    DEMOTED (score *= negative_boost) for docs that also match the
+    negative query — the negative side filters nothing and scores
+    nothing, it only discounts (the ES contract; demotion must apply
+    before the top-k cut, so this runs over the exhaustive positive
+    match set, same reasoning as collapse/function_score).
+
+    ``queries``/``negatives`` both carry (query_id, text); the negative
+    match set is one extra doc-sharded kernel pass + a doc-keyed left
+    join — no new shuffle shape."""
+    pos = bm25_all_scores(spark, index, queries, config)
+    neg = (
+        matching_docs(spark, index, negatives, config)
+        .dropDuplicates(["query_id", "doc_id"])
+        .withColumn("__neg", F.lit(True))
+    )
+    scored = (
+        pos.join(neg, ["query_id", "doc_id"], "left")
+        .withColumn(
+            "score",
+            F.when(F.col("__neg"), F.col("score") * F.lit(float(negative_boost)))
+            .otherwise(F.col("score")),
+        )
+        .drop("__neg")
+    )
+    return _topk_window(scored, k, round_digits)

@@ -368,3 +368,54 @@ def match_phrase_prefix(
         .agg(F.count(F.lit(1)).alias("n_expansions_matched"))
         .orderBy("query_id", "doc_id")
     )
+
+
+def intervals_ordered(
+    docs: DataFrame,
+    terms: list[str],
+    max_gaps: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `intervals` query, `match` source with ``ordered: true`` +
+    ``max_gaps``: the doc matches iff some occurrence of the terms in
+    the given ORDER spans a window with at most ``max_gaps`` extra
+    positions between first and last — i.e. (p_last - p_first + 1) - k
+    <= max_gaps. This is NOT span slop (edit-distance-style movement);
+    gaps measure window looseness, the documented intervals contract.
+
+    Relational formulation (no kernel): tokenize map-side, keep only
+    the k query terms' positions (a tiny IN filter riding the explode),
+    then k-1 doc-keyed equi-joins with increasing-position predicates.
+    The position table is bounded by the query terms' corpus tf, and
+    every join shuffles on doc_id only — the 10^12-doc shape. Returns
+    (doc_id, min_gaps) per matching doc."""
+    if len(terms) < 2:
+        raise ValueError("intervals_ordered needs >= 2 terms")
+    toks = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin(list(dict.fromkeys(terms))))
+    out = None
+    for i, t in enumerate(terms):
+        part = toks.filter(F.col("term") == t).select(
+            F.col(id_col).alias(f"__d{i}"), F.col("pos").alias(f"__p{i}")
+        )
+        if out is None:
+            out = part
+        else:
+            out = out.join(
+                part,
+                (F.col(f"__d{i}") == F.col(f"__d{i - 1}"))
+                & (F.col(f"__p{i}") > F.col(f"__p{i - 1}")),
+            )
+    k = len(terms)
+    gaps = F.col(f"__p{k - 1}") - F.col("__p0") + 1 - k
+    return (
+        out.withColumn("__gaps", gaps)
+        .filter(F.col("__gaps") <= max_gaps)
+        .groupBy(F.col("__d0").alias(id_col))
+        .agg(F.min("__gaps").alias("min_gaps"))
+    )
