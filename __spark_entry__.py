@@ -3125,6 +3125,51 @@ def q_robots_filter(spark, sf_dir):
     return out.select("doc_id", "host", "path", "allowed")
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (C4/Dolma cleaning): docs are given a
+    shared newsletter paragraph, an even-docs-only copyright paragraph,
+    and a unique footer; each paragraph survives only at its first
+    (doc_id, idx) occurrence — min-struct hash aggregate, no windows
+    (ops/dedup.py:paragraph_dedup)."""
+    from tokenkit_spark.ops import dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nplease subscribe to our newsletter"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\n\ncopyright 2026 example com")
+            ).otherwise(F.lit("")),
+            F.lit("\n\nfooter of doc "), F.col("doc_id"),
+        ).alias("text"),
+    )
+    return dedup.paragraph_dedup(docs)
+
+
+def q_nested_agg(spark, sf_dir):
+    """ES nested agg + reverse_nested: per-doc synthesized
+    array<struct{author,stars}> comment fields, bucketed by nested
+    author — nested doc counts, avg stars, and the reverse_nested
+    distinct-parent count (ops/aggs.py:nested_terms_agg)."""
+    from tokenkit_spark.ops import aggs
+
+    docs = _docs(spark, sf_dir)
+    comments = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("doc_id") % 3),
+        lambda k: F.struct(
+            F.concat(F.lit("u"), ((F.col("doc_id") * 3 + k) % 7)).alias("author"),
+            ((F.col("doc_id") + k) % 5 + 1).cast("double").alias("stars"),
+        ),
+    )
+    nested = docs.select("doc_id", comments.alias("comments"))
+    out = aggs.nested_terms_agg(nested, "comments", "author", "stars", "doc_id")
+    return out.select(
+        "key", "nested_count", F.round("avg_value", 4).alias("avg_stars"),
+        "parent_count",
+    )
+
+
 def q_boosting_search(spark, sf_dir):
     """ES boosting query: positive BM25 ranking with docs matching the
     negative query ('batch') demoted by negative_boost=0.5 — demotion
@@ -3789,6 +3834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "paragraph_dedup": q_paragraph_dedup,
+        "nested_agg": q_nested_agg,
         "boosting_search": q_boosting_search,
         "intervals_ordered": q_intervals_ordered,
         "geohash_grid": q_geohash_grid,
@@ -4092,6 +4139,40 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "paragraph_dedup": """
+WITH built AS (
+  SELECT doc_id,
+         text || e'\\n\\nplease subscribe to our newsletter'
+              || CASE WHEN doc_id % 2 = 0
+                      THEN e'\\n\\ncopyright 2026 example com' ELSE '' END
+              || e'\\n\\nfooter of doc ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents),
+paras AS (SELECT doc_id, generate_subscripts(l, 1) AS idx, unnest(l) AS para
+          FROM (SELECT doc_id, string_split(text, e'\\n\\n') AS l FROM built)
+          WHERE TRUE),
+nonblank AS (SELECT * FROM paras WHERE trim(para) <> ''),
+firsts AS (SELECT para, min(ROW(doc_id, idx)) AS f FROM nonblank GROUP BY 1),
+flagged AS (SELECT n.doc_id, n.idx, n.para,
+                   ROW(n.doc_id, n.idx) = f.f AS keep
+            FROM nonblank n JOIN firsts f USING (para))
+SELECT doc_id,
+       string_agg(CASE WHEN keep THEN para END, e'\\n\\n' ORDER BY idx)
+         AS text_dedup,
+       count(CASE WHEN keep THEN 1 END) AS n_kept,
+       count(CASE WHEN NOT keep THEN 1 END) AS n_removed
+FROM flagged GROUP BY doc_id
+""",
+        "nested_agg": """
+WITH c AS (SELECT d.doc_id,
+                  'u' || CAST((d.doc_id * 3 + k.k) % 7 AS VARCHAR) AS author,
+                  CAST((d.doc_id + k.k) % 5 + 1 AS DOUBLE) AS stars
+           FROM documents d
+           JOIN (VALUES (0), (1), (2)) k(k) ON k.k <= d.doc_id % 3)
+SELECT author AS key, count(*) AS nested_count,
+       round(avg(stars), 4) AS avg_stars,
+       count(DISTINCT doc_id) AS parent_count
+FROM c GROUP BY author
+""",
         "boosting_search": f"""
 WITH toks AS ({_TOKS}),
 postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -144,3 +144,39 @@ def test_frontier_matches_single_window_reference(spark):
         .collect()
     )
     assert got == {r.url: r.fo for r in ref}
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    from tokenkit_spark.ops.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nshared"),
+            (2, "shared\n\nbeta\n\nshared"),  # cross-doc AND within-doc dup
+            (3, "shared\n\n  \n\ngamma"),     # blank paragraph dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[1].text_dedup == "alpha\n\nshared" and out[1].n_removed == 0
+    # doc 2 loses both copies of 'shared' (doc 1 owns it)
+    assert out[2].text_dedup == "beta" and out[2].n_removed == 2
+    assert out[3].text_dedup == "gamma" and out[3].n_kept == 1
+
+
+def test_nested_agg_reverse_nested(spark):
+    from pyspark.sql import Row
+
+    from tokenkit_spark.ops.aggs import nested_terms_agg
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, comments=[Row(author="x", stars=4.0), Row(author="x", stars=2.0)]),
+            Row(doc_id=2, comments=[Row(author="x", stars=3.0), Row(author="y", stars=5.0)]),
+        ]
+    )
+    out = {r.key: r for r in nested_terms_agg(df, "comments", "author", "stars", "doc_id").collect()}
+    # nested_count counts comments; parent_count (reverse_nested) counts docs
+    assert out["x"].nested_count == 3 and out["x"].parent_count == 2
+    assert abs(out["x"].avg_value - 3.0) < 1e-9
+    assert out["y"].nested_count == 1 and out["y"].parent_count == 1

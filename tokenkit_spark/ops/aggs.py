@@ -811,3 +811,33 @@ def trending_terms(
     return counts.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def nested_terms_agg(
+    df: DataFrame,
+    nested_col: str,
+    key_field: str,
+    value_field: str,
+    parent_id_col: str,
+) -> DataFrame:
+    """ES `nested` agg + `reverse_nested`: aggregate INSIDE an
+    array-of-objects field (one bucket per nested key, counting nested
+    docs), then step back out to the parent scope — ES's
+    reverse_nested — counting distinct PARENT docs per bucket.
+
+    One explode + one hash aggregate; count_distinct(parent) is the
+    reverse_nested contract. Returns (key, nested_count, avg_value,
+    parent_count)."""
+    exploded = df.select(
+        F.col(parent_id_col).alias("__parent"),
+        F.explode(nested_col).alias("__n"),
+    ).select(
+        "__parent",
+        F.col("__n").getField(key_field).alias("key"),
+        F.col("__n").getField(value_field).alias("__v"),
+    )
+    return exploded.groupBy("key").agg(
+        F.count("*").alias("nested_count"),
+        F.avg("__v").alias("avg_value"),
+        F.count_distinct("__parent").alias("parent_count"),
+    )

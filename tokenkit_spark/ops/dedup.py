@@ -495,3 +495,52 @@ def snapshot_dedup(
     return fresh.join(w_min, ["content_hash", id_col]).select(
         id_col, "content_hash"
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (the C4/Dolma cleaning step):
+    every paragraph is kept only at its FIRST occurrence in the corpus
+    order (doc_id, then position within doc) — repeated boilerplate
+    (newsletter plugs, copyright footers) vanishes from every later
+    doc, and a paragraph repeated inside one doc keeps only its first
+    instance.
+
+    Skew-safe shape: first-occurrence is computed as a min(struct(doc,
+    idx)) HASH AGGREGATE per paragraph hash — map-side partials absorb
+    the 10^9-doc boilerplate paragraph that would melt a window
+    partition — then one h-keyed join flags survivors. Paragraphs group
+    by xxhash64; the reassembled text, not the hash, is the output
+    contract. Returns (doc_id, text_dedup, n_kept, n_removed)."""
+    paras = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    ).filter(F.trim(F.col("para")) != "")
+    hashed = paras.withColumn("h", F.xxhash64("para"))
+    firsts = hashed.groupBy("h").agg(
+        F.min(F.struct(id_col, "idx")).alias("first")
+    )
+    flagged = hashed.join(firsts, "h").withColumn(
+        "keep",
+        (F.col(id_col) == F.col("first")[id_col])
+        & (F.col("idx") == F.col("first.idx")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("idx", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+    )
