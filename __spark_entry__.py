@@ -3125,6 +3125,38 @@ def q_robots_filter(spark, sf_dir):
     return out.select("doc_id", "host", "path", "allowed")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture rates (p_i ∝ n_i^0.3 — the
+    multilingual-LLM up-sampling rule) per source: counts, natural vs
+    tempered shares, per-source boost
+    (ops/sampling.py:temperature_rates)."""
+    from tokenkit_spark.ops import sampling
+
+    out = sampling.temperature_rates(_docs(spark, sf_dir), "source", alpha=0.3)
+    return out.select(
+        "source", "n",
+        F.round("natural_p", 6).alias("natural_p"),
+        F.round("temp_p", 6).alias("temp_p"),
+        F.round("boost", 6).alias("boost"),
+    )
+
+
+def q_deterministic_shuffle(spark, sf_dir):
+    """Reproducible training-order shuffle: first 20 docs in the keyed-
+    hash epoch permutation (same order at any cluster size / resume
+    point, unlike rand()) (ops/sampling.py:deterministic_shuffle)."""
+    from tokenkit_spark.ops import sampling
+
+    out = sampling.deterministic_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), seed="epoch0"
+    )
+    return (
+        out.orderBy("shuffle_key", "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("shuffle_key", 6).alias("shuffle_key"))
+    )
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide paragraph dedup (C4/Dolma cleaning): docs are given a
     shared newsletter paragraph, an even-docs-only copyright paragraph,
@@ -3834,6 +3866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "temperature_mix": q_temperature_mix,
+        "deterministic_shuffle": q_deterministic_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
         "nested_agg": q_nested_agg,
         "boosting_search": q_boosting_search,
@@ -4139,6 +4173,23 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "temperature_mix": """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n) AS tot_n, sum(pow(n, 0.3)) AS tot_p FROM c)
+SELECT source, n,
+       round(n / tot_n, 6) AS natural_p,
+       round(pow(n, 0.3) / tot_p, 6) AS temp_p,
+       round((pow(n, 0.3) / tot_p) / (n / tot_n), 6) AS boost
+FROM c, t
+""",
+        "deterministic_shuffle": """
+WITH f AS (SELECT doc_id,
+                  ('0x' || substring(md5(doc_id::VARCHAR || 'epoch0'), 1, 8))::BIGINT
+                  / 4294967296.0 AS shuffle_key
+           FROM documents)
+SELECT doc_id, round(shuffle_key, 6) AS shuffle_key
+FROM f ORDER BY shuffle_key, doc_id LIMIT 20
+""",
         "paragraph_dedup": """
 WITH built AS (
   SELECT doc_id,

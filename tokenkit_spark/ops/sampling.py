@@ -104,3 +104,49 @@ def exact_k_sample(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def temperature_rates(
+    docs: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based mixture rates (the multilingual-LLM standard:
+    p_i ∝ n_i^alpha, alpha<1 UP-samples small sources relative to their
+    natural share). Returns one row per stratum: (stratum, n, natural_p,
+    temp_p, boost) where boost = temp_p / natural_p is the per-stratum
+    sampling multiplier a pipeline feeds into stratified_sample (rates
+    scaled so max boost = 1 keeps everything sub-sampled, never
+    duplicated). One count aggregate + an O(#strata) normalization —
+    the big table is touched once."""
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("tot_n"),
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(alpha))).alias("tot_p"),
+    )
+    out = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "n",
+        (F.col("n") / F.col("tot_n")).alias("natural_p"),
+        (F.pow(F.col("n").cast("double"), F.lit(alpha)) / F.col("tot_p")).alias("temp_p"),
+    )
+    return out.withColumn("boost", F.col("temp_p") / F.col("natural_p"))
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    rank_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible corpus-order shuffle for training: order rows by the
+    keyed hash frac(id || seed) — the same rows land in the same order
+    on ANY cluster size, any partitioning, any resume point (unlike
+    df.orderBy(rand()) whose seed is per-partition). A different seed
+    string is a fresh epoch permutation.
+
+    Returns docs + (shuffle_key double). The caller writes
+    ``.repartitionByRange(N, 'shuffle_key').sortWithinPartitions(...)``
+    — a range-partitioned sort, never a single-partition window; the
+    key itself is the total order."""
+    return docs.withColumn("shuffle_key", sample_fraction_col(id_col, seed))
