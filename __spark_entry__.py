@@ -3125,6 +3125,39 @@ def q_robots_filter(spark, sf_dir):
     return out.select("doc_id", "host", "path", "allowed")
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law corpus fit: OLS slope/intercept of ln(freq) on
+    ln(rank) over the top-1000 vocabulary — a corpus-level quality gate;
+    the only window runs over the 1000-row cut
+    (ops/textstats.py:zipf_fit)."""
+    from tokenkit_spark.ops import textstats
+
+    return textstats.zipf_fit(_docs(spark, sf_dir), top_n=1000)
+
+
+def q_cdx_roundtrip(spark, sf_dir):
+    """CDX(J) sink/source round-trip: document-derived crawl records
+    serialize to CDXJ lines (computed SURT urlkey + JSON block) and
+    parse back — every field must survive byte-exact; the oracle states
+    the parsed form directly from the construction
+    (sources/cdx.py:cdx_lines, parse_cdx_lines)."""
+    from tokenkit_spark.sources import cdx as cdx_mod
+
+    docs = _docs(spark, sf_dir)
+    records = docs.select(
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".com/p/"), F.col("doc_id")
+        ).alias("url"),
+        F.concat(F.lit("2026021800"), F.lpad((F.col("doc_id") % 100), 4, "0")).alias(
+            "timestamp"
+        ),
+        (F.lit(200) + (F.col("doc_id") % 2) * 100).cast("int").alias("status"),
+        F.upper(F.substring(F.md5(F.col("text")), 1, 16)).alias("digest"),
+        F.col("n_chars").cast("long").alias("length"),
+    )
+    return cdx_mod.parse_cdx_lines(cdx_mod.cdx_lines(records))
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based mixture rates (p_i ∝ n_i^0.3 — the
     multilingual-LLM up-sampling rule) per source: counts, natural vs
@@ -3866,6 +3899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "zipf_fit": q_zipf_fit,
+        "cdx_roundtrip": q_cdx_roundtrip,
         "temperature_mix": q_temperature_mix,
         "deterministic_shuffle": q_deterministic_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
@@ -4173,6 +4208,29 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "zipf_fit": """
+WITH toks AS (SELECT lower(u.t) AS term FROM documents,
+              unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+                                 x -> x <> '')) AS u(t)),
+counts AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1),
+top AS (SELECT * FROM counts ORDER BY freq DESC, term ASC LIMIT 1000),
+pts AS (SELECT ln(row_number() OVER (ORDER BY freq DESC, term ASC)::DOUBLE) AS x,
+               ln(freq::DOUBLE) AS y
+        FROM top)
+SELECT count(*) AS n_terms,
+       round(covar_pop(x, y) / var_pop(x), 4) AS slope,
+       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 4) AS intercept
+FROM pts
+""",
+        "cdx_roundtrip": """
+SELECT 'com,' || source || ')/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+       '2026021800' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS timestamp,
+       'https://www.' || source || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(200 + (doc_id % 2) * 100 AS INT) AS status,
+       upper(substring(md5(text), 1, 16)) AS digest,
+       n_chars AS length
+FROM documents
+""",
         "temperature_mix": """
 WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
 t AS (SELECT sum(n) AS tot_n, sum(pow(n, 0.3)) AS tot_p FROM c)

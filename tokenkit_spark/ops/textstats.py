@@ -6,7 +6,7 @@ Python) so each has a straightforward DuckDB-oracle twin."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = {
@@ -441,3 +441,48 @@ def ccnet_perplexity_buckets(docs: DataFrame, alpha: float = 0.1) -> DataFrame:
         .otherwise(F.lit("tail"))
     )
     return ppl.select("doc_id", "ppl", bucket.alias("bucket"))
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: least-squares
+    slope of ln(freq) on ln(rank) across the ``top_n`` most frequent
+    terms (a healthy natural-language corpus sits near slope -1; a
+    spam/boilerplate-heavy crawl flattens or steepens it — a corpus-level
+    quality gate).
+
+    Scale shape: ONE (term) count aggregate over the corpus, a top-n cut
+    (the only window runs over <= top_n rows after an orderBy-limit on
+    the aggregated vocabulary — vocabulary-bounded, never corpus-
+    bounded), then closed-form OLS via covariance/variance aggregates.
+    Returns one row: (n_terms, slope, intercept)."""
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z']+"), lambda t: t != ""
+            )
+        ).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    top = counts.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(top_n)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+        ),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), round_digits).alias("slope"),
+        F.round(
+            F.avg("y") - (F.covar_pop("x", "y") / F.var_pop("x")) * F.avg("x"),
+            round_digits,
+        ).alias("intercept"),
+    )
