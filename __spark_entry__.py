@@ -3125,6 +3125,30 @@ def q_robots_filter(spark, sf_dir):
     return out.select("doc_id", "host", "path", "allowed")
 
 
+def q_rank_eval(spark, sf_dir):
+    """ES _rank_eval API: precision@10 / recall@10 / MRR / NDCG@10 per
+    query over a deterministic ranked-results table and a graded
+    judgment table derived from documents (unjudged docs grade 0,
+    exponential-gain DCG — the ES metric definitions)
+    (index/rankeval.py:rank_eval)."""
+    from tokenkit_spark.index.rankeval import rank_eval
+
+    qs = spark.range(7).select(F.col("id").alias("query_id"))
+    ranks = spark.range(1, 11).select(F.col("id").alias("rank"))
+    results = qs.crossJoin(ranks).select(
+        "query_id", "rank",
+        ((F.col("query_id") * 37 + F.col("rank") * 13) % 500).alias("doc_id"),
+    )
+    judgments = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .crossJoin(qs)
+        .filter((F.col("doc_id") + F.col("query_id")) % 7 < 2)
+        .select("query_id", "doc_id", (F.col("doc_id") % 3).alias("grade"))
+    )
+    return rank_eval(results, judgments, k=10)
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf's-law corpus fit: OLS slope/intercept of ln(freq) on
     ln(rank) over the top-1000 vocabulary — a corpus-level quality gate;
@@ -3899,6 +3923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "rank_eval": q_rank_eval,
         "zipf_fit": q_zipf_fit,
         "cdx_roundtrip": q_cdx_roundtrip,
         "temperature_mix": q_temperature_mix,
@@ -4208,6 +4233,42 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "rank_eval": """
+WITH q AS (SELECT unnest(generate_series(0, 6)) AS query_id),
+r AS (SELECT unnest(generate_series(1, 10)) AS rank),
+results AS (SELECT query_id, rank,
+                   (query_id * 37 + rank * 13) % 500 AS doc_id
+            FROM q, r),
+judg AS (SELECT q.query_id, d.doc_id, d.doc_id % 3 AS grade
+         FROM documents d, q WHERE (d.doc_id + q.query_id) % 7 < 2),
+graded AS (SELECT res.query_id, res.rank, coalesce(j.grade, 0) AS grade
+           FROM results res LEFT JOIN judg j
+             ON j.query_id = res.query_id AND j.doc_id = res.doc_id),
+per_q AS (SELECT query_id,
+                 sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) / 10.0 AS precision_k,
+                 coalesce(1.0 / min(CASE WHEN grade > 0 THEN rank END), 0.0) AS mrr,
+                 sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg
+          FROM graded GROUP BY 1),
+ideal AS (SELECT query_id, count(*) AS n_relevant,
+                 sum(CASE WHEN irank <= 10
+                     THEN (pow(2.0, grade) - 1.0) / log2(irank + 1.0)
+                     ELSE 0.0 END) AS idcg
+          FROM (SELECT query_id, grade,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY grade DESC, doc_id ASC) AS irank
+                FROM judg WHERE grade > 0)
+          GROUP BY 1)
+SELECT p.query_id,
+       round(p.precision_k, 6) AS precision_k,
+       round(CASE WHEN i.n_relevant IS NULL OR i.n_relevant = 0 THEN 0.0
+                  ELSE p.precision_k * 10 / i.n_relevant END, 6) AS recall_k,
+       round(p.mrr, 6) AS mrr,
+       round(p.dcg, 6) AS dcg,
+       round(coalesce(i.idcg, 0.0), 6) AS idcg,
+       round(CASE WHEN i.idcg IS NULL OR i.idcg = 0.0 THEN 0.0
+                  ELSE p.dcg / i.idcg END, 6) AS ndcg
+FROM per_q p LEFT JOIN ideal i USING (query_id)
+""",
         "zipf_fit": """
 WITH toks AS (SELECT lower(u.t) AS term FROM documents,
               unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
