@@ -16,12 +16,12 @@ def test_rank_eval_known_values(spark):
         "query_id long, doc_id long, grade long",
     )
     r = rank_eval(results, judgments, k=3).collect()[0]
-    assert abs(r.precision_k - 2 / 3) < 1e-9
-    assert abs(r.recall_k - 2 / 3) < 1e-9  # 2 of 3 relevant docs retrieved
-    assert abs(r.mrr - 1.0) < 1e-9
+    assert abs(r.precision_k - 2 / 3) < 2e-6
+    assert abs(r.recall_k - 2 / 3) < 2e-6  # 2 of 3 relevant docs retrieved
+    assert abs(r.mrr - 1.0) < 2e-6
     dcg = (2**2 - 1) / math.log2(2) + 0 + (2**1 - 1) / math.log2(4)
     idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
-    assert abs(r.dcg - round(dcg, 6)) < 1e-9
+    assert abs(r.dcg - round(dcg, 6)) < 2e-6
     assert abs(r.ndcg - round(dcg / idcg, 6)) < 1e-6
 
 
