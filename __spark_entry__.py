@@ -3125,6 +3125,60 @@ def q_robots_filter(spark, sf_dir):
     return out.select("doc_id", "host", "path", "allowed")
 
 
+def q_crawl_schedule_delays(spark, sf_dir):
+    """Crawl-delay-aware politeness schedule: even-numbered hosts
+    publish robots Crawl-delay (1 + n%5 s), odd hosts default to 1 s;
+    fetch_at_s = wave × host delay over a budget-capped frontier
+    (ops/robots.py:crawl_delays, ops/frontier.py:schedule_with_delays)."""
+    from tokenkit_spark.ops import frontier, robots
+
+    docs = _docs(spark, sf_dir)
+    hostnum = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    robots_df = (
+        docs.select("source").distinct()
+        .filter(hostnum % 2 == 0)
+        .select(
+            F.col("source").alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (hostnum % 5 + 1),
+                F.lit("\nDisallow: /private/\n"),
+            ).alias("body"),
+        )
+    )
+    delays = robots.crawl_delays(robots_df).filter(F.col("agent") == "*").select(
+        "host", "delay_s"
+    )
+    urls = docs.select(
+        F.col("source").alias("host"),
+        F.concat(F.lit("/p/"), F.col("doc_id")).alias("url"),
+        (F.col("doc_id") % 7).alias("priority"),
+    )
+    capped = frontier.frontier_budget(urls, per_host_cap=5)
+    return frontier.schedule_with_delays(capped, delays, default_delay_s=1.0).select(
+        "host", "url", "priority", "wave",
+        F.round("fetch_at_s", 4).alias("fetch_at_s"),
+    )
+
+
+def q_recrawl_rates(spark, sf_dir):
+    """Cho–Garcia-Molina change-rate estimation: per-URL Poisson λ̂ =
+    -ln(1 - X/n)/Δ̄ with the X <= n-1/2 cap, clamped 1/λ̂ revisit
+    interval, from a deterministic visit-history rollup
+    (ops/recrawl.py:change_rates)."""
+    from tokenkit_spark.ops import recrawl
+
+    docs = _docs(spark, sf_dir)
+    n_visits = F.col("doc_id") % 10 + 2
+    history = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id")).alias("url"),
+        n_visits.alias("n_visits"),
+        ((F.col("doc_id") * 7) % (n_visits + 1)).alias("n_changed"),
+        (F.col("doc_id") % 5 + 1).cast("double").alias("interval_days"),
+    )
+    return recrawl.change_rates(history)
+
+
 def q_rank_eval(spark, sf_dir):
     """ES _rank_eval API: precision@10 / recall@10 / MRR / NDCG@10 per
     query over a deterministic ranked-results table and a graded
@@ -3923,6 +3977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "crawl_schedule_delays": q_crawl_schedule_delays,
+        "recrawl_rates": q_recrawl_rates,
         "rank_eval": q_rank_eval,
         "zipf_fit": q_zipf_fit,
         "cdx_roundtrip": q_cdx_roundtrip,
@@ -4233,6 +4289,37 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "crawl_schedule_delays": """
+WITH urls AS (SELECT source AS host, '/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id % 7 AS priority,
+                     CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) AS hn
+              FROM documents),
+capped AS (SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY host ORDER BY priority DESC, url ASC) AS r
+             FROM urls) WHERE r <= 5),
+sched AS (SELECT host, url, priority, r - 1 AS wave,
+                 CASE WHEN hn % 2 = 0 THEN CAST(hn % 5 + 1 AS DOUBLE)
+                      ELSE 1.0 END AS delay
+          FROM capped)
+SELECT host, url, priority, wave, round(wave * delay, 4) AS fetch_at_s
+FROM sched
+""",
+        "recrawl_rates": """
+WITH h AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                  CAST(doc_id % 10 + 2 AS DOUBLE) AS n,
+                  CAST((doc_id * 7) % (doc_id % 10 + 3) AS DOUBLE) AS x_raw,
+                  CAST(doc_id % 5 + 1 AS DOUBLE) AS iv
+           FROM documents),
+e AS (SELECT url, x_raw, n, iv, least(x_raw, n - 0.5) AS x FROM h),
+lam AS (SELECT url, x_raw, n, iv, -ln(1.0 - x / n) / iv AS l FROM e)
+SELECT url,
+       round(x_raw / n, 6) AS change_ratio,
+       round(l, 6) AS lambda_hat,
+       round(CASE WHEN x_raw <= 0 THEN 120.0
+                  ELSE least(120.0, greatest(0.5, 1.0 / l)) END, 6) AS revisit_days
+FROM lam
+""",
         "rank_eval": """
 WITH q AS (SELECT unnest(generate_series(0, 6)) AS query_id),
 r AS (SELECT unnest(generate_series(1, 10)) AS rank),

@@ -104,3 +104,41 @@ def test_crawl_allowed_wildcards(spark):
         "/public-index.html5": False,
         "/anything": False,
     }
+
+
+def test_crawl_delays_groups(spark):
+    from tokenkit_spark.ops.robots import crawl_delays
+
+    body = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+        "\nUser-agent: fastbot\nUser-agent: otherbot\nCrawl-delay: 0.5\n"
+        "\nUser-agent: badbot\nCrawl-delay: notanumber\n"
+    )
+    df = spark.createDataFrame([("h.com", body)], "host string, body string")
+    out = {(r.host, r.agent): r.delay_s for r in crawl_delays(df).collect()}
+    assert out[("h.com", "*")] == 2.0
+    # a group's delay attaches to EVERY agent named in the group
+    assert out[("h.com", "fastbot")] == 0.5
+    assert out[("h.com", "otherbot")] == 0.5
+    assert ("h.com", "badbot") not in out  # non-numeric dropped
+
+
+def test_change_rates_estimator(spark):
+    import math
+
+    from tokenkit_spark.ops.recrawl import change_rates
+
+    hist = spark.createDataFrame(
+        [
+            ("a", 10, 3, 2.0),   # lambda = -ln(0.7)/2
+            ("b", 4, 0, 1.0),    # never changed -> max revisit
+            ("c", 5, 5, 1.0),    # changed every visit -> X capped at 4.5
+        ],
+        "url string, n_visits int, n_changed int, interval_days double",
+    )
+    out = {r.url: r for r in change_rates(hist).collect()}
+    assert abs(out["a"].lambda_hat - (-math.log(0.7) / 2)) < 1e-6
+    assert abs(out["a"].revisit_days - 1 / (-math.log(0.7) / 2)) < 1e-4
+    assert out["b"].lambda_hat == 0.0 and out["b"].revisit_days == 120.0
+    assert abs(out["c"].lambda_hat - (-math.log(0.5 / 5) / 1.0)) < 1e-6
+    assert out["c"].revisit_days == 0.5  # pinned to the fastest cadence

@@ -89,3 +89,32 @@ def frontier_budget(
         .filter(F.col("__r") <= per_host_cap)
         .drop("__r")
     )
+
+
+def schedule_with_delays(
+    urls: DataFrame,
+    delays: DataFrame,
+    default_delay_s: float = 1.0,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness schedule with per-host Crawl-delay: wave numbering as
+    in :func:`schedule_frontier`, plus ``fetch_at_s`` = wave × the
+    host's delay (robots Crawl-delay when published, ``default_delay_s``
+    otherwise) — the earliest second each URL may be fetched relative to
+    the host's first hit. ``delays`` is (host, delay_s), one row per
+    host (broadcast-joined)."""
+    per_host = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc()
+    )
+    d = delays.select(F.col(host_col).alias("__dh"), "delay_s")
+    return (
+        urls.withColumn("wave", F.row_number().over(per_host) - 1)
+        .join(F.broadcast(d), F.col(host_col) == F.col("__dh"), "left")
+        .withColumn(
+            "fetch_at_s",
+            F.col("wave") * F.coalesce(F.col("delay_s"), F.lit(float(default_delay_s))),
+        )
+        .drop("__dh", "delay_s")
+    )

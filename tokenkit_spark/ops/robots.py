@@ -136,3 +136,50 @@ def crawl_allowed(
             F.col("prefix").alias("winning_rule"),
         )
     )
+
+
+def crawl_delays(robots: DataFrame, host_col: str = "host", body_col: str = "body") -> DataFrame:
+    """(host, body) -> (host, agent, delay_s): the non-standard but
+    universally honored ``Crawl-delay`` directive, attached to its
+    user-agent group with the same group-numbering pass as the path
+    rules. Non-numeric values drop; multiple delays in one group keep
+    the strictest (max)."""
+    lines = robots.select(
+        host_col,
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("ln", "line"),
+    ).select(
+        host_col,
+        "ln",
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+    )
+    directives = lines.filter(F.col("line") != "").select(
+        host_col,
+        "ln",
+        F.lower(F.trim(F.substring_index("line", ":", 1))).alias("key"),
+        F.trim(
+            F.substring(
+                F.col("line"),
+                F.length(F.substring_index("line", ":", 1)) + 2,
+                F.lit(1 << 30),
+            )
+        ).alias("val"),
+    ).filter(F.col("key").isin("user-agent", "crawl-delay"))
+    w = Window.partitionBy(host_col).orderBy("ln")
+    grouped = directives.withColumn(
+        "new_group",
+        (
+            (F.col("key") == "user-agent")
+            & (F.lag("key").over(w).isNull() | (F.lag("key").over(w) != "user-agent"))
+        ).cast("int"),
+    ).withColumn("grp", F.sum("new_group").over(w))
+    agents = grouped.filter(F.col("key") == "user-agent").select(
+        host_col, "grp", F.lower(F.col("val")).alias("agent")
+    )
+    delays = grouped.filter(F.col("key") == "crawl-delay").select(
+        host_col, "grp", F.col("val").try_cast("double").alias("delay_s")
+    ).filter(F.col("delay_s").isNotNull())
+    return (
+        agents.join(delays, [host_col, "grp"])
+        .groupBy(host_col, "agent")
+        .agg(F.max("delay_s").alias("delay_s"))
+    )
