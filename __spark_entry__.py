@@ -3125,6 +3125,25 @@ def q_robots_filter(spark, sf_dir):
     return out.select("doc_id", "host", "path", "allowed")
 
 
+def q_merge_plan(spark, sf_dir):
+    """Size-tiered merge selection (Lucene TieredMergePolicy skeleton):
+    synthetic segment stats tier by floor(log10(size/1000)), full
+    groups of 10 smallest-first become merge candidates
+    (index/merge.py:tiered_merge_plan)."""
+    from tokenkit_spark.index.merge import tiered_merge_plan
+
+    segs = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("segment_id"),
+            (100 + (F.col("doc_id") * 37) % 50000).alias("size_docs"),
+        )
+    )
+    return tiered_merge_plan(segs, merge_factor=10, floor_docs=1000)
+
+
 def q_crawl_schedule_delays(spark, sf_dir):
     """Crawl-delay-aware politeness schedule: even-numbered hosts
     publish robots Crawl-delay (1 + n%5 s), odd hosts default to 1 s;
@@ -3977,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "merge_plan": q_merge_plan,
         "crawl_schedule_delays": q_crawl_schedule_delays,
         "recrawl_rates": q_recrawl_rates,
         "rank_eval": q_rank_eval,
@@ -4289,6 +4309,23 @@ def oracle_sql() -> dict[str, str]:
     token_rx = textstats.TOKEN_REGEX
     return {
         # --- round-3 oracles ---
+        "merge_plan": """
+WITH segs AS (SELECT doc_id AS segment_id,
+                     100 + (doc_id * 37) % 50000 AS size_docs
+              FROM documents WHERE doc_id < 200),
+tiers AS (SELECT segment_id, size_docs,
+                 greatest(0, CAST(floor(ln(size_docs / 1000.0) / ln(10.0)) AS INT))
+                   AS tier
+          FROM segs),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY tier ORDER BY size_docs ASC, segment_id ASC) - 1 AS rn
+           FROM tiers),
+grouped AS (SELECT tier, segment_id, size_docs, rn // 10 AS group_id FROM ranked),
+full_groups AS (SELECT tier, group_id, count(*) AS gn, sum(size_docs) AS group_docs
+                FROM grouped GROUP BY 1, 2 HAVING count(*) = 10)
+SELECT g.tier, g.group_id, g.segment_id, g.size_docs, f.group_docs
+FROM grouped g JOIN full_groups f USING (tier, group_id)
+""",
         "crawl_schedule_delays": """
 WITH urls AS (SELECT source AS host, '/p/' || CAST(doc_id AS VARCHAR) AS url,
                      doc_id % 7 AS priority,

@@ -71,3 +71,20 @@ def test_intervals_repeated_occurrences_take_min(spark):
     )
     out = intervals_ordered(docs, ["a", "b"], max_gaps=0).collect()
     assert len(out) == 1 and out[0].min_gaps == 0
+
+
+def test_tiered_merge_plan_groups_and_leftovers(spark):
+    from tokenkit_spark.index.merge import tiered_merge_plan
+
+    # 12 tiny segments (tier 0) + 3 big ones (tier 1): only ONE full
+    # group of 10 tiny segments is selected; 2 tiny + 3 big wait
+    segs = spark.createDataFrame(
+        [(i, 500 + i) for i in range(12)] + [(100 + i, 20_000) for i in range(3)],
+        "segment_id int, size_docs int",
+    )
+    plan = tiered_merge_plan(segs, merge_factor=10, floor_docs=1000).collect()
+    assert len(plan) == 10
+    assert all(r.tier == 0 for r in plan)
+    # smallest-first: segments 0..9 selected, 10 and 11 left waiting
+    assert sorted(r.segment_id for r in plan) == list(range(10))
+    assert all(r.group_docs == sum(500 + i for i in range(10)) for r in plan)

@@ -23,11 +23,12 @@ carries the merged avgdl.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import codec
@@ -246,3 +247,50 @@ def merge_indexes(
     )
     manifest.write.mode("overwrite").parquet(paths.manifest)
     return {"n_docs": n_docs, "total_tokens": total_tokens, "avgdl": avgdl}
+
+
+def tiered_merge_plan(
+    segstats: DataFrame,
+    merge_factor: int = 10,
+    floor_docs: int = 1000,
+    id_col: str = "segment_id",
+    size_col: str = "size_docs",
+) -> DataFrame:
+    """Size-tiered merge selection (the Lucene TieredMergePolicy core
+    discipline, simplified to its deterministic skeleton): segments land
+    in a tier by floor(log_mf(size / floor_docs)) (sizes under the floor
+    all share tier 0 — tiny flush segments merge eagerly), and within a
+    tier every FULL group of ``merge_factor`` segments (smallest first,
+    id tiebreak) becomes one merge candidate; leftovers wait for the
+    tier to fill. Output: one row per segment selected for merging —
+    (tier, group_id, segment_id, size_docs, group_docs) — group_docs
+    being the merged segment's size (which decides ITS tier next round).
+
+    Scale shape: the input is one row per segment (thousands, not
+    corpus-sized), so the per-tier window is trivially bounded; the
+    planner is a pure function of the stats table and is itself
+    re-runnable/resumable — planning is separated from execution
+    (merge_indexes) exactly so the driver never holds merge state.
+    """
+    lmf = math.log(float(merge_factor))
+    tier = F.greatest(
+        F.lit(0),
+        F.floor(
+            F.log(F.col(size_col).cast("double") / F.lit(float(floor_docs))) / F.lit(lmf)
+        ),
+    ).cast("int")
+    w = Window.partitionBy("tier").orderBy(
+        F.col(size_col).asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        segstats.select(id_col, size_col, tier.alias("tier"))
+        .withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn("group_id", (F.col("__rn") / merge_factor).cast("int"))
+    )
+    gw = Window.partitionBy("tier", "group_id")
+    return (
+        ranked.withColumn("__gn", F.count("*").over(gw))
+        .withColumn("group_docs", F.sum(size_col).over(gw))
+        .filter(F.col("__gn") == merge_factor)
+        .select("tier", "group_id", id_col, size_col, "group_docs")
+    )
