@@ -3981,6 +3981,80 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+SYNONYM_ROWS = [
+    ("sort", "order"),
+    ("sort", "sorted"),
+    ("merge", "join"),
+    ("stream", "window"),
+    ("scan", "filter"),
+]
+
+
+def q_bm25f(spark, sf_dir):
+    """BM25F (Robertson & Zaragoza 2009): per-field weighted,
+    per-field-b length-normalized pseudo-tf folded through ONE
+    saturation. Title = first 5 whitespace tokens (weight 2.0, b 0.75),
+    body = full text (weight 1.0, b 0.4) (index/bm25f.py:bm25f)."""
+    from tokenkit_spark.index.bm25f import bm25f
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                F.filter(F.split("text", r"\s+"), lambda t: t != ""), 1, 5
+            ),
+            " ",
+        ).alias("title"),
+        F.col("text").alias("body"),
+    )
+    return bm25f(
+        docs,
+        _queries_df(spark),
+        {"title": (2.0, 0.75), "body": (1.0, 0.4)},
+    )
+
+
+def q_synonym_search(spark, sf_dir):
+    """Lucene SynonymQuery scoring (what ES query-time synonym_graph
+    produces): a query term and its variants score as ONE pseudo-term —
+    tf sums over variants in the doc, df is the MAX variant df, so a
+    rare synonym never gets an outsized idf next to its common sibling
+    (index/bm25f.py:synonym_search)."""
+    from tokenkit_spark.index.bm25f import synonym_search
+
+    syn = spark.createDataFrame(SYNONYM_ROWS, "term string, variant string")
+    return synonym_search(_docs(spark, sf_dir), _queries_df(spark), syn)
+
+
+def q_ip_prefix(spark, sf_dir):
+    """ES ip_prefix agg: /20 network buckets over synthesized event
+    IPv4s — pure mask arithmetic on ip_to_long, one hash aggregate
+    (ops/aggs.py:ip_prefix_agg)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.ip_prefix_agg(_events_ip(spark, sf_dir), "ip", 20)
+
+
+def q_has_parent(spark, sf_dir):
+    """ES join-field has_parent query: child events whose derived
+    parent document (event_id % n_docs) is English — the qualifying
+    parents reduce to their key column before the join, children never
+    fan out; rolled up per event_type (ops/aggs.py:has_parent)."""
+    from tokenkit_spark.ops import aggs
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    parents = docs.filter(F.col("lang") == "en")
+    children = _events(spark, sf_dir).withColumn(
+        "parent_id", F.col("event_id") % n_docs
+    )
+    out = aggs.has_parent(parents, children, "doc_id", "parent_id")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_children"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 through the compressed segment index engine
     on sf0.001."""
@@ -3996,6 +4070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "bm25f": q_bm25f,
+        "synonym_search": q_synonym_search,
+        "ip_prefix": q_ip_prefix,
+        "has_parent": q_has_parent,
         "merge_plan": q_merge_plan,
         "crawl_schedule_delays": q_crawl_schedule_delays,
         "recrawl_rates": q_recrawl_rates,
@@ -4307,8 +4385,101 @@ def oracle_sql() -> dict[str, str]:
     stop_en = ", ".join(f"'{s}'" for s in textstats.STOPWORDS["en"])
     stop_es = ", ".join(f"'{s}'" for s in textstats.STOPWORDS["es"])
     token_rx = textstats.TOKEN_REGEX
+    syn_values = ", ".join(f"('{t}', '{v}')" for t, v in SYNONYM_ROWS)
     return {
         # --- round-3 oracles ---
+        "bm25f": f"""
+WITH body AS (SELECT doc_id, lower(u.t) AS term FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),
+title AS (SELECT doc_id, lower(u.t) AS term FROM (
+       SELECT doc_id, list_slice(list_filter(string_split_regex(text, '\\s+'),
+                                             x -> x <> ''), 1, 5) AS l
+       FROM documents), unnest(l) AS u(t)),
+btf AS (SELECT doc_id, term, count(*) AS tf FROM body GROUP BY 1, 2),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM title GROUP BY 1, 2),
+bdl AS (SELECT doc_id, count(*) AS dl FROM body GROUP BY 1),
+tdl AS (SELECT doc_id, count(*) AS dl FROM title GROUP BY 1),
+bavg AS (SELECT avg(dl) AS avgdl FROM bdl),
+tavg AS (SELECT avg(dl) AS avgdl FROM tdl),
+wtf AS (
+  SELECT t.doc_id, t.term, 2.0 * t.tf / (0.25 + 0.75 * d.dl / a.avgdl) AS wtf
+  FROM ttf t JOIN tdl d USING (doc_id) CROSS JOIN tavg a
+  UNION ALL
+  SELECT b.doc_id, b.term, 1.0 * b.tf / (0.6 + 0.4 * d.dl / a.avgdl)
+  FROM btf b JOIN bdl d USING (doc_id) CROSS JOIN bavg a),
+pseudo AS (SELECT doc_id, term, sum(wtf) AS ptf FROM wtf GROUP BY 1, 2),
+anyf AS (SELECT DISTINCT doc_id, term FROM (
+  SELECT doc_id, term FROM btf UNION ALL SELECT doc_id, term FROM ttf)),
+dft AS (SELECT term, count(*) AS df FROM anyf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+       unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (SELECT q.query_id, p.doc_id,
+       sum(ln(1 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * p.ptf / (1.2 + p.ptf)) AS s
+  FROM qterms q JOIN pseudo p USING (term) JOIN dft f USING (term)
+  CROSS JOIN n GROUP BY 1, 2),
+ranked AS (SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(s, 4) DESC, doc_id) AS rank,
+       doc_id, round(s, 4) AS score FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+""",
+        "synonym_search": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+dft AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+       unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+syn(term, variant) AS (VALUES {syn_values}),
+variants AS (
+  SELECT DISTINCT query_id, term, variant FROM (
+    SELECT query_id, term, term AS variant FROM qterms
+    UNION ALL
+    SELECT q.query_id, q.term, s.variant FROM qterms q JOIN syn s USING (term))),
+vdf AS (SELECT v.query_id, v.term, max(coalesce(f.df, 0)) AS df_syn
+        FROM variants v LEFT JOIN dft f ON f.term = v.variant
+        GROUP BY 1, 2),
+vtf AS (SELECT v.query_id, v.term, p.doc_id, sum(p.tf) AS tf_syn
+        FROM variants v JOIN postings p ON p.term = v.variant
+        GROUP BY 1, 2, 3),
+scored AS (SELECT t.query_id, t.doc_id,
+       sum(ln(1 + (g.n_docs - f.df_syn + 0.5) / (f.df_syn + 0.5))
+           * t.tf_syn * 2.2
+           / (t.tf_syn + 1.2 * (0.25 + 0.75 * d.dl / g.avgdl))) AS s
+  FROM vtf t JOIN vdf f USING (query_id, term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+ranked AS (SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(s, 4) DESC, doc_id) AS rank,
+       doc_id, round(s, 4) AS score FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+""",
+        "ip_prefix": """
+WITH v AS (SELECT 10 * 16777216 + (user_id % 200) * 65536
+                + ((user_id * 7) % 256) * 256 + (event_id % 256) AS ip
+           FROM events),
+m AS (SELECT (ip // 4096) * 4096 AS net FROM v)
+SELECT concat(CAST(net // 16777216 % 256 AS VARCHAR), '.',
+              CAST(net // 65536 % 256 AS VARCHAR), '.',
+              CAST(net // 256 % 256 AS VARCHAR), '.',
+              CAST(net % 256 AS VARCHAR), '/20') AS prefix,
+       count(*) AS doc_count
+FROM m GROUP BY 1
+""",
+        "has_parent": """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+p AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'),
+c AS (SELECT event_type, value,
+             event_id % (SELECT n_docs FROM n) AS parent_id FROM events)
+SELECT event_type, count(*) AS n_children, round(avg(value), 4) AS avg_value
+FROM c JOIN p ON c.parent_id = p.doc_id
+GROUP BY 1
+""",
         "merge_plan": """
 WITH segs AS (SELECT doc_id AS segment_id,
                      100 + (doc_id * 37) % 50000 AS size_docs

@@ -1,0 +1,195 @@
+"""Field-weighted ranking models beyond plain BM25, relationally:
+
+* **BM25F** (Robertson & Zaragoza, "The Probabilistic Relevance
+  Framework: BM25 and Beyond", 2009): per-field weighted, per-field
+  length-normalized pseudo-tf folded through ONE saturation —
+  structurally different from most_fields (which saturates per field
+  and sums):
+
+      tf̃(t,d) = Σ_f  w_f · tf_f(t,d) / (1 - b_f + b_f · dl_f/avgdl_f)
+      score   = Σ_t  idf(t) · tf̃ / (k1 + tf̃)
+
+  idf uses whole-document df (the term occurs in ANY field).
+
+* **SynonymQuery semantics** (Lucene, what ES query-time
+  synonym_graph produces): all variants of a term score as one
+  pseudo-term — tf = Σ variant tfs in the doc, df = MAX variant df —
+  so a rare synonym never gets an outsized idf next to its common
+  sibling.
+
+Both are pure Catalyst plans over the tokenized relation: per-field
+aggregates are (doc, term)-keyed with map-side partials; global stats
+(avgdl_f, N) are one-row broadcasts; the only window is the per-query
+top-k cut. No kernels, no driver state — the 10^12-doc shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _toks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("term"),
+    )
+
+
+def _topk(scored: DataFrame, k: int, round_digits: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), round_digits).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.round("score", round_digits).alias("score"),
+        )
+    )
+
+
+def bm25f(
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: dict[str, tuple[float, float]],
+    k1: float = 1.2,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """``fields``: {field_col: (weight, b)}. ``queries``: (query_id,
+    text), whitespace-lowercase analyzed. Returns (query_id, rank,
+    doc_id, score) top-k per query."""
+    weighted = None
+    any_field = None
+    for fld, (wt, b) in fields.items():
+        toks = _toks(docs, id_col, fld)
+        tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+        dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+        avg = dl.agg(F.avg("dl").alias("avgdl"))
+        norm = (
+            tf.join(dl, id_col)
+            .crossJoin(F.broadcast(avg))
+            .select(
+                id_col,
+                "term",
+                (
+                    F.lit(float(wt)) * F.col("tf")
+                    / (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / F.col("avgdl"))
+                ).alias("wtf"),
+            )
+        )
+        weighted = norm if weighted is None else weighted.unionByName(norm)
+        any_field = (
+            tf.select(id_col, "term")
+            if any_field is None
+            else any_field.unionByName(tf.select(id_col, "term"))
+        )
+    pseudo = weighted.groupBy(id_col, "term").agg(F.sum("wtf").alias("ptf"))
+    df_t = any_field.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+            )
+        ).alias("term"),
+    )
+    scored = (
+        qterms.join(pseudo, "term")
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("ptf")
+                / (F.lit(float(k1)) + F.col("ptf"))
+            ).alias("score")
+        )
+        .withColumnRenamed(id_col, "doc_id")
+    )
+    return _topk(scored, k, round_digits)
+
+
+def synonym_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    synonyms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Query-time synonym expansion with Lucene SynonymQuery scoring:
+    each analyzed query term and its variants from ``synonyms``
+    (term, variant) form one pseudo-term — tf sums over variants in the
+    doc, df is the MAX variant df. BM25(k1, b) over pseudo-terms."""
+    toks = _toks(docs, id_col, text_col)
+    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dstats = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    globals_ = dstats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = postings.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+            )
+        ).alias("term"),
+    )
+    # identity variant + synonym table variants
+    variants = qterms.select("query_id", "term", F.col("term").alias("variant")).unionByName(
+        qterms.join(synonyms, "term").select("query_id", "term", "variant")
+    ).distinct()
+    # pseudo-df: max df over variants that exist in the corpus
+    vdf = (
+        variants.join(df_t.withColumnRenamed("term", "variant"), "variant", "left")
+        .groupBy("query_id", "term")
+        .agg(F.max(F.coalesce("df", F.lit(0))).alias("df_syn"))
+    )
+    # pseudo-tf per doc: sum of variant tfs
+    vtf = (
+        variants.join(
+            postings.withColumnRenamed("term", "variant"), "variant"
+        )
+        .groupBy("query_id", "term", id_col)
+        .agg(F.sum("tf").alias("tf_syn"))
+    )
+    scored = (
+        vtf.join(vdf, ["query_id", "term"])
+        .join(dstats, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df_syn") + 0.5)
+                    / (F.col("df_syn") + 0.5)
+                )
+                * F.col("tf_syn") * (k1 + 1.0)
+                / (
+                    F.col("tf_syn")
+                    + F.lit(float(k1))
+                    * (1.0 - b + F.lit(float(b)) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+        .withColumnRenamed(id_col, "doc_id")
+    )
+    return _topk(scored, k, round_digits)

@@ -841,3 +841,44 @@ def nested_terms_agg(
         F.avg("__v").alias("avg_value"),
         F.count_distinct("__parent").alias("parent_count"),
     )
+
+
+def ip_prefix_agg(
+    df: DataFrame,
+    ip_col: str,
+    prefix_length: int,
+) -> DataFrame:
+    """ES ip_prefix agg: bucket IPv4 addresses by their /n network
+    prefix. Pure arithmetic on ip_to_long (mask = drop the 32-n host
+    bits), rendered back to dotted-quad + '/n' keys. One aggregate."""
+    v = ip_to_long(ip_col)
+    net = F.shiftleft(F.shiftright(v, 32 - prefix_length), 32 - prefix_length)
+    key = F.concat_ws(
+        ".",
+        F.shiftright(net, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(net, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(net, 8).bitwiseAND(F.lit(255)).cast("string"),
+        net.bitwiseAND(F.lit(255)).cast("string"),
+    )
+    return (
+        df.select(F.concat(key, F.lit(f"/{prefix_length}")).alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("doc_count"))
+    )
+
+
+def has_parent(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_parent_key: str,
+) -> DataFrame:
+    """ES join-field ``has_parent`` query: children whose parent
+    matches the (pre-filtered) ``parents`` relation, annotated with the
+    parent key — the mirror of has_child. The qualifying-parents side
+    reduces to its key column before the join (broadcast when small,
+    shuffle equi-join otherwise); children never fan out."""
+    pk = parents.select(F.col(parent_key).alias("__pk")).distinct()
+    return children.join(
+        pk, children[child_parent_key] == F.col("__pk")
+    ).drop("__pk")
