@@ -3981,6 +3981,64 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+def q_rate_agg(spark, sf_dir):
+    """ES rate agg: per-month value sum normalized to a per-day rate
+    using each month's ACTUAL calendar length (28/29/30/31) — the
+    calendar-aware ES contract. Event timestamps are spread over ~4
+    months (event_id % 120 days) so months of different lengths are
+    exercised (ops/events.py:rate_agg)."""
+    from tokenkit_spark.ops import events as ev
+
+    spread = _events(spark, sf_dir).withColumn(
+        "ts",
+        F.col("ts")
+        + F.expr("make_interval(0, 0, 0, CAST(event_id % 120 AS INT), 0, 0, 0)"),
+    )
+    return ev.rate_agg(spread, bucket="month", unit="day", value_col="value")
+
+
+def q_stupid_backoff(spark, sf_dir):
+    """Trigram Stupid Backoff LM scoring (Brants et al., EMNLP 2007 —
+    the distributed count-table LM): trained on even doc_ids, scoring
+    odd doc_ids so all three backoff tiers plus the OOV floor are
+    exercised (ops/textstats.py:stupid_backoff_scores)."""
+    docs = _docs(spark, sf_dir)
+    return textstats.stupid_backoff_scores(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        model_docs=docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aho SIGMOD 2003,
+    MOSS): per-doc selected-hash count + checksum — the fingerprint
+    step is per-row Catalyst array lambdas, zero shuffle
+    (ops/dedup.py:winnow_fingerprints)."""
+    from tokenkit_spark.ops.dedup import winnow_fingerprints
+
+    fp = winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+    return fp.select(
+        "doc_id",
+        "n_fp",
+        F.aggregate(
+            "fingerprints", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("fp_sum"),
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing near-dup pairs: docs whose selected-fingerprint overlap
+    coefficient >= 0.5 — explode + hash equi-join, never all-pairs; the
+    hot-hash df cap (default 10k) is the quadratic-blowup guard at
+    corpus scale and is inert at sf<=0.1 so the uncapped SQL oracle is
+    exact (ops/dedup.py:winnow_near_dups)."""
+    from tokenkit_spark.ops.dedup import winnow_near_dups
+
+    return winnow_near_dups(
+        _docs(spark, sf_dir), k=8, w=4, min_shared=2, min_overlap=0.5
+    )
+
+
 SYNONYM_ROWS = [
     ("sort", "order"),
     ("sort", "sorted"),
@@ -4070,6 +4128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "rate_agg": q_rate_agg,
+        "stupid_backoff": q_stupid_backoff,
+        "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         "bm25f": q_bm25f,
         "synonym_search": q_synonym_search,
         "ip_prefix": q_ip_prefix,
@@ -4386,8 +4448,82 @@ def oracle_sql() -> dict[str, str]:
     stop_es = ", ".join(f"'{s}'" for s in textstats.STOPWORDS["es"])
     token_rx = textstats.TOKEN_REGEX
     syn_values = ", ".join(f"('{t}', '{v}')" for t, v in SYNONYM_ROWS)
+    winnow_fp_cte = r"""
+d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+g AS (SELECT doc_id,
+             [('0x' || substring(md5(substring(t, i, 8)), 1, 8))::BIGINT
+              FOR i IN range(1, length(t) - 8 + 2)] AS hs
+      FROM d WHERE length(t) >= 8),
+m AS (SELECT doc_id,
+             list_distinct([list_aggregate(hs[j : j + 3], 'min')
+                            FOR j IN range(1, greatest(1, len(hs) - 4 + 1) + 1)]) AS fp
+      FROM g)"""
     return {
         # --- round-3 oracles ---
+        "rate_agg": """
+WITH e AS (SELECT ts + to_days(CAST(event_id % 120 AS INT)) AS ts, value
+           FROM events),
+b AS (SELECT date_trunc('month', ts) AS mb, count(*) AS n_events,
+             sum(value) AS v
+      FROM e GROUP BY 1)
+SELECT strftime(mb, '%Y-%m-%d %H:%M:%S') AS bucket, n_events,
+       round(v / date_diff('day', mb, mb + INTERVAL 1 MONTH), 6) AS rate
+FROM b
+""",
+        "stupid_backoff": r"""
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+model AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+sc AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+muni AS (SELECT unnest(t) AS w FROM model),
+uni AS (SELECT w, count(*) AS c1 FROM muni GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM muni),
+big AS (SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c2
+        FROM model, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2 GROUP BY 1, 2),
+tri AS (SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3, count(*) AS c3
+        FROM model, unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3 GROUP BY 1, 2, 3),
+stri AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+         FROM sc, unnest(range(1, len(t) - 1)) AS u(i)
+         WHERE len(t) >= 3),
+j AS (SELECT s.doc_id,
+             CASE WHEN tri.c3 IS NOT NULL THEN tri.c3 * 1.0 / b1.c2ctx
+                  WHEN b2.c23 IS NOT NULL
+                    THEN 0.4::DOUBLE * b2.c23 / u2.c2uni
+                  WHEN u3.c1w3 IS NOT NULL
+                    THEN 0.4::DOUBLE * 0.4::DOUBLE * u3.c1w3 / n.nn
+                  ELSE 0.4::DOUBLE * 0.4::DOUBLE * 0.4::DOUBLE / n.nn
+             END AS s
+      FROM stri s
+      LEFT JOIN tri ON s.w1 = tri.w1 AND s.w2 = tri.w2 AND s.w3 = tri.w3
+      LEFT JOIN (SELECT w1, w2, c2 AS c2ctx FROM big) b1
+             ON s.w1 = b1.w1 AND s.w2 = b1.w2
+      LEFT JOIN (SELECT w1 AS bw2, w2 AS bw3, c2 AS c23 FROM big) b2
+             ON s.w2 = b2.bw2 AND s.w3 = b2.bw3
+      LEFT JOIN (SELECT w AS uw2, c1 AS c2uni FROM uni) u2 ON s.w2 = u2.uw2
+      LEFT JOIN (SELECT w AS uw3, c1 AS c1w3 FROM uni) u3 ON s.w3 = u3.uw3
+      CROSS JOIN n)
+SELECT doc_id, count(*) AS n_trigrams, round(exp(-avg(ln(s))), 4) AS sb_ppl
+FROM j GROUP BY 1
+""",
+        "winnow_fp": f"""
+WITH {winnow_fp_cte}
+SELECT doc_id, len(fp) AS n_fp, list_aggregate(fp, 'sum') AS fp_sum FROM m
+""",
+        "winnow_pairs": f"""
+WITH {winnow_fp_cte},
+ex AS (SELECT doc_id, len(fp) AS n, unnest(fp) AS h FROM m),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+             min(least(a.n, b.n)) AS mn
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, shared, round(shared * 1.0 / mn, 6) AS overlap
+FROM p WHERE shared >= 2 AND shared * 1.0 / mn >= 0.5
+""",
         "bm25f": f"""
 WITH body AS (SELECT doc_id, lower(u.t) AS term FROM documents,
        unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),

@@ -544,3 +544,138 @@ def paragraph_dedup(
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aho,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm). Text is normalized (lowercase, runs of
+    whitespace collapsed to one space), hashed per character ``k``-gram,
+    and from every window of ``w`` consecutive hashes the minimum is
+    selected; the fingerprint is the distinct set of selected hashes.
+    Winnowing guarantees any shared substring of length >= k + w - 1
+    contributes at least one shared fingerprint — detection is
+    position-free and robust to reordering, unlike whole-doc hashes.
+
+    The k-gram hash is the first 8 hex digits of md5 — engine-
+    independent, so a DuckDB oracle replays the exact selection (the
+    same trick as ops/sampling.py). Everything is per-row Catalyst
+    array lambdas: no shuffle, no UDF, no state — the fingerprint step
+    is embarrassingly parallel at any corpus size. Docs shorter than
+    ``k`` normalized chars are dropped (no gram exists).
+
+    Returns (id_col, fingerprints:array<bigint>, n_fp:int).
+    """
+    if k < 2 or w < 1:
+        raise ValueError("winnow_fingerprints: need k >= 2 and w >= 1")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    d = docs.select(id_col, norm.alias("__norm")).filter(
+        F.length("__norm") >= k
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length("__norm") - F.lit(k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("__norm").substr(i, F.lit(k))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+    )
+    d = d.select(id_col, hashes.alias("__h"))
+    # one min per window of w consecutive hashes; a doc with fewer than w
+    # grams contributes the min of what it has (slice is length-tolerant)
+    mins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.lit(1), F.size("__h") - F.lit(w - 1))
+        ),
+        lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+    )
+    return d.select(
+        id_col,
+        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+    ).withColumn("n_fp", F.size("fingerprints"))
+
+
+def winnow_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    min_overlap: float = 0.0,
+    max_hash_df: int | None = 10_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints: docs
+    sharing >= ``min_shared`` selected hashes AND an overlap coefficient
+    shared / min(n_fp_a, n_fp_b) >= ``min_overlap`` (templated/boiler-
+    plate corpora share many k-grams; the coefficient, not the raw
+    count, separates near-dups from shared boilerplate).
+
+    Scale shape: explode fingerprints -> equi-join on the hash (never
+    all-pairs), aggregate per pair. ``max_hash_df`` drops hashes shared
+    by more than that many docs before the self-join — the same
+    quadratic-blowup guard as ngram_jaccard_pairs (a boilerplate gram
+    shared by 10^5 docs would alone emit 10^10 pair rows); pass None
+    for the exact oracle twin at test scale.
+
+    The exploded stream is repartitioned on the hash with an EXPLICIT
+    partition count: the join's output is quadratically larger than its
+    input, and on a small input AQE would coalesce the pre-join shuffle
+    to one partition and run the whole blowup single-threaded (an
+    explicit numPartitions is exempt from AQE coalescing). At corpus
+    scale the input is large enough that this also pre-spreads hash
+    groups evenly.
+    """
+    fp = winnow_fingerprints(docs, text_col, k, w, id_col)
+    n_part = max(docs.sparkSession.sparkContext.defaultParallelism * 4, 32)
+    # explode_outer, NOT explode: for a plain explode Spark's
+    # InferFiltersFromGenerate adds `size(fingerprints) > 0` below the
+    # Generate, and predicate pushdown then inlines the fingerprint
+    # expression into that (interpreted) Filter — where the window-min
+    # lambda no longer shares the hash array and recomputes ALL k-gram
+    # md5s per window: O(len^2) md5 calls per row, a >100x blowup
+    # measured at sf0.01. explode_outer infers no such filter; the
+    # h-null guard below it cannot be pushed under the Generate.
+    ex = fp.select(
+        F.col(id_col),
+        F.col("n_fp"),
+        F.explode_outer("fingerprints").alias("h"),
+    ).filter(F.col("h").isNotNull()).repartition(n_part, "h")
+    if max_hash_df is not None:
+        hot = (
+            ex.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("hdf"))
+            .filter(F.col("hdf") > max_hash_df)
+            .select("h")
+        )
+        ex = ex.join(hot, "h", "left_anti")
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"), "h"
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"), "h"
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .filter(
+            F.col("shared") / F.least("n_a", "n_b") >= F.lit(float(min_overlap))
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "shared",
+        F.round(
+            F.col("shared") / F.least("n_a", "n_b"), 6
+        ).alias("overlap"),
+    )

@@ -241,3 +241,52 @@ def cardinality(
     return df.groupBy(group_col).agg(
         F.approx_count_distinct(target_col, rsd).alias("approx_distinct")
     )
+
+
+def rate_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "month",
+    unit: str = "day",
+    value_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES ``rate`` aggregation inside a date_histogram: per calendar
+    bucket, the sum (of ``value_col``, else the doc count) normalized to
+    a per-``unit`` rate — calendar-aware, so a *month* bucket divided to
+    a *day* rate uses that month's actual length (28/29/30/31), the ES
+    contract. ``unit`` must not exceed ``bucket``. One hash aggregate +
+    a per-row calendar expression; engine-portable bucket strings.
+
+    Returns (bucket, n_events, rate)."""
+    pairs = {
+        ("day", "hour"): F.lit(24.0),
+        ("week", "day"): F.lit(7.0),
+        ("week", "hour"): F.lit(168.0),
+        ("month", "day"): None,  # computed from the bucket
+        ("month", "hour"): None,
+        ("month", "week"): None,
+    }
+    if (bucket, unit) not in pairs:
+        raise ValueError(f"rate_agg: unsupported bucket/unit {bucket}/{unit}")
+    b = F.date_trunc(bucket, F.col(ts_col))
+    agg_val = (
+        F.sum(value_col) if value_col is not None else F.count(F.lit(1))
+    )
+    out = events.groupBy(
+        F.date_format(b, "yyyy-MM-dd HH:mm:ss").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"), agg_val.alias("__v")
+    )
+    div = pairs[(bucket, unit)]
+    if div is None:
+        days = F.datediff(
+            F.add_months(F.to_timestamp("bucket"), 1),
+            F.to_timestamp("bucket"),
+        ).cast("double")
+        div = {"day": days, "hour": days * 24.0, "week": days / 7.0}[unit]
+    return out.select(
+        "bucket",
+        "n_events",
+        F.round(F.col("__v") / div, round_digits).alias("rate"),
+    )

@@ -486,3 +486,123 @@ def zipf_fit(
             round_digits,
         ).alias("intercept"),
     )
+
+
+# adjacent-trigram generator; sub-3-token docs guarded to empty
+_TRIGRAM_EXPR = (
+    "CASE WHEN size(toks) < 3 THEN array() "
+    "ELSE transform(sequence(2, size(toks) - 1), "
+    "i -> struct(toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w3)) END"
+)
+
+
+def _doc_trigrams(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2, w3) — adjacent trigrams generated per-row with
+    an array lambda (no self-joins on a positional explode)."""
+    return (
+        docs.select("doc_id", _tokens(F.col(text_col)).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_TRIGRAM_EXPR)).alias("tg"))
+        .select(
+            "doc_id",
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+    )
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """(doc_id, n_trigrams, sb_ppl): per-document perplexity-style
+    score under a trigram **Stupid Backoff** model (Brants, Popat, Xu,
+    Och & Dean, "Large Language Models in Machine Translation",
+    EMNLP 2007) — the smoothing designed FOR distributed count-table
+    LMs: no discounting, no normalization, just relative frequencies
+    with a fixed backoff penalty, which is exactly what keeps the model
+    a set of joinable count relations instead of a trained artifact:
+
+        S(w3 | w1 w2) = c(w1w2w3) / c(w1w2)           if seen
+                      = α · c(w2w3) / c(w2)           elif bigram seen
+                      = α² · c(w3) / N                elif unigram seen
+                      = α³ / N                        else (OOV floor)
+
+    with Brants' α = 0.4. sb_ppl = exp(-avg ln S) over the doc's
+    trigrams (lower = better predicted). S is a score, not a
+    probability (it does not sum to 1) — the paper's deliberate trade;
+    at web scale it matches Kneser-Ney quality while training with
+    counts only.
+
+    Docs with < 3 tokens have no trigrams and are absent. Train on
+    ``model_docs`` (default: ``docs`` itself — then the backoff tiers
+    are never reached; pass a held-out split to exercise them).
+
+    Scale shape: three count shuffles build the model relations; the
+    scoring pass joins the doc trigram stream against them on their
+    keys (large-large, AQE skew-handles head n-grams) — no collected
+    model, no UDF, whole-stage codegen end to end."""
+    model = model_docs if model_docs is not None else docs
+    mtoks = model.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+    uni = mtoks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    big = (
+        _doc_bigrams(model, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tri = (
+        _doc_trigrams(model, text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    # total token count stays IN the plan (one-row broadcast)
+    ndf = mtoks.agg(F.count(F.lit(1)).alias("_n"))
+
+    a = F.lit(float(alpha))
+    s = (
+        F.when(
+            F.col("c3").isNotNull(), F.col("c3") / F.col("c2ctx")
+        )
+        .when(F.col("c23").isNotNull(), a * F.col("c23") / F.col("c2uni"))
+        .when(F.col("c1w3").isNotNull(), a * a * F.col("c1w3") / F.col("_n"))
+        .otherwise(a * a * a / F.col("_n"))
+    )
+    return (
+        _doc_trigrams(docs, text_col)
+        .join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            big.select(
+                F.col("w1"), F.col("w2"), F.col("c2").alias("c2ctx")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            big.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c1").alias("c2uni")),
+            "w2",
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1w3")),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(ndf))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.exp(-F.avg(F.log(s))), round_digits).alias("sb_ppl"),
+        )
+    )
