@@ -196,6 +196,48 @@ def _zipf_e2e_wand_bench(spark, entry) -> dict:
     }
 
 
+def _codec_bench() -> dict:
+    """Elias-Fano vs delta+varint on Zipf-realistic posting lists:
+    compressed bytes per posting and single-core decode throughput.
+    EF is the documented production doc-id codec alternative
+    (index/ef.py — quasi-succinct, Vigna WSDM 2013); the live segment
+    schema stays varint this round."""
+    import numpy as np
+
+    from tokenkit_spark.index import ef
+    from tokenkit_spark.index.codec import (
+        delta_decode,
+        delta_encode,
+        varint_decode,
+        varint_encode,
+    )
+
+    rng = np.random.default_rng(42)
+    u = 10_000_000  # corpus shard universe
+    out = {}
+    for label, n in (("head_df_1M", 1_000_000), ("mid_df_10k", 10_000), ("rare_df_100", 100)):
+        ids = np.sort(rng.choice(u, size=n, replace=False).astype(np.uint64))
+        vb = varint_encode(delta_encode(ids))
+        enc = ef.ef_encode(ids, u)
+        eb = len(enc["low_blob"]) + len(enc["high_blob"])
+        t0 = time.monotonic()
+        for _ in range(5):
+            delta_decode(varint_decode(vb, n))
+        t_v = (time.monotonic() - t0) / 5
+        t0 = time.monotonic()
+        for _ in range(5):
+            ef.ef_decode(enc)
+        t_e = (time.monotonic() - t0) / 5
+        out[label] = {
+            "varint_bytes_per_posting": round(len(vb) / n, 3),
+            "ef_bytes_per_posting": round(eb / n, 3),
+            "ef_size_ratio": round(len(vb) / eb, 2),
+            "varint_decode_mints_per_sec": round(n / t_v / 1e6, 1),
+            "ef_decode_mints_per_sec": round(n / t_e / 1e6, 1),
+        }
+    return out
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -315,6 +357,9 @@ def main() -> None:
     # documented at ops/multimodal.py (extract_features docstring)
     media_stats = _jpeg_decode_bench()
 
+    # --- posting codec comparison (EF vs varint, out-of-band) -------------
+    codec_stats = _codec_bench()
+
     # --- supporting queries from the driver surface -----------------------
     qs = entry.queries()
     for name in (
@@ -356,6 +401,7 @@ def main() -> None:
         },
         "wand": wand_stats,
         "media": media_stats,
+        "codec": codec_stats,
     }
     print(json.dumps(result))
     spark.stop()
