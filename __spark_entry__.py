@@ -3981,6 +3981,19 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+def q_hits_top20(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg JACM 1999), 5 fixed L2-
+    normalized iterations over the deterministic doc link graph; top-20
+    by (6-dp auth desc, node asc). The oracle unrolls the recurrence as
+    chained CTE levels like pagerank's
+    (ops/linkgraph.py:hits, top_hits_nodes)."""
+    from tokenkit_spark.ops import linkgraph
+
+    return linkgraph.top_hits_nodes(
+        _link_edges(spark, sf_dir), k=20, n_iter=5, round_digits=6
+    )
+
+
 def q_rate_agg(spark, sf_dir):
     """ES rate agg: per-month value sum normalized to a per-day rate
     using each month's ACTUAL calendar length (28/29/30/31) — the
@@ -4128,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "hits_top20": q_hits_top20,
         "rate_agg": q_rate_agg,
         "stupid_backoff": q_stupid_backoff,
         "winnow_fp": q_winnow_fp,
@@ -4433,6 +4447,51 @@ WHERE rank <= {k}"""
     )
 
 
+def _hits_oracle_sql(n_iter: int = 5, k: int = 20) -> str:
+    """Unroll the fixed-iteration HITS recurrence (L2-normalized each
+    half-step) as chained CTE levels — same math as
+    ops/linkgraph.py:hits. Every CTE is MATERIALIZED: each level is
+    referenced twice (norm subquery + values join), so DuckDB's default
+    CTE inlining would duplicate subtrees 4^n_iter times — the SQL twin
+    of the exact blowup the Spark side avoids with localCheckpoint."""
+    m = "AS MATERIALIZED"
+    ctes = [
+        _LINK_EDGES_SQL.strip().replace("edges AS (", f"edges {m} ("),
+        f"nodes {m} (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        f"h0 {m} (SELECT node, 1.0 AS s FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"ra{i} {m} (SELECT dst AS node, sum(h{i - 1}.s) AS r FROM edges "
+            f"JOIN h{i - 1} ON h{i - 1}.node = edges.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{i} {m} (SELECT nodes.node, coalesce(ra{i}.r, 0) "
+            f"/ (SELECT sqrt(sum(r * r)) FROM ra{i}) AS s "
+            f"FROM nodes LEFT JOIN ra{i} ON nodes.node = ra{i}.node)"
+        )
+        ctes.append(
+            f"rh{i} {m} (SELECT src AS node, sum(a{i}.s) AS r FROM edges "
+            f"JOIN a{i} ON a{i}.node = edges.dst GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{i} {m} (SELECT nodes.node, coalesce(rh{i}.r, 0) "
+            f"/ (SELECT sqrt(sum(r * r)) FROM rh{i}) AS s "
+            f"FROM nodes LEFT JOIN rh{i} ON nodes.node = rh{i}.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT rank, node, auth, hub FROM (
+  SELECT row_number() OVER (ORDER BY round(a{n_iter}.s, 6) DESC, a{n_iter}.node)
+           AS rank,
+         a{n_iter}.node, round(a{n_iter}.s, 6) AS auth,
+         round(h{n_iter}.s, 6) AS hub
+  FROM a{n_iter} JOIN h{n_iter} ON a{n_iter}.node = h{n_iter}.node)
+WHERE rank <= {k}"""
+    )
+
+
 def _bq_word_sql(word: int, bits: int = 32) -> str:
     """SQL mirror of similarity.binary_quantize's word expression:
     sum of CASE sign-bit literals (bit j of word w <- v[w*32+j+1] > 0)."""
@@ -4461,6 +4520,7 @@ m AS (SELECT doc_id,
       FROM g)"""
     return {
         # --- round-3 oracles ---
+        "hits_top20": _hits_oracle_sql(),
         "rate_agg": """
 WITH e AS (SELECT ts + to_days(CAST(event_id % 120 AS INT)) AS ts, value
            FROM events),

@@ -56,3 +56,43 @@ def test_inlink_stats(spark, edges):
     assert out[2] == (3, 3)
     assert out[0] == (1, 1)
     assert out[4] == (1, 1)
+
+
+def test_hits_star_graph(spark):
+    """Many hubs -> one authority: the target must dominate auth, the
+    pointers must dominate hub, and L2 norms must be 1."""
+    from tokenkit_spark.ops.linkgraph import hits
+
+    edges = spark.createDataFrame(
+        [(i, 100) for i in range(5)] + [(1, 2)], "src long, dst long"
+    )
+    rows = {r.node: (r.hub, r.auth) for r in hits(edges, n_iter=3).collect()}
+    assert max(rows, key=lambda n: rows[n][1]) == 100  # top authority
+    assert rows[100][0] == 0.0  # pure sink: no hub score
+    hub_norm = sum(h * h for h, _ in rows.values()) ** 0.5
+    auth_norm = sum(a * a for _, a in rows.values()) ** 0.5
+    assert abs(hub_norm - 1.0) < 1e-9 and abs(auth_norm - 1.0) < 1e-9
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """Exact fixed-iteration parity with a numpy replica of the same
+    recurrence (a = norm(A^T h); h = norm(A a))."""
+    import numpy as np
+
+    from tokenkit_spark.ops.linkgraph import hits
+
+    e = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (3, 2)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    A = np.zeros((4, 4))
+    for s, d in e:
+        A[s, d] = 1.0
+    h = np.ones(4)
+    for _ in range(4):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    rows = {r.node: (r.hub, r.auth) for r in hits(edges, n_iter=4).collect()}
+    for n in range(4):
+        assert abs(rows[n][0] - h[n]) < 1e-9
+        assert abs(rows[n][1] - a[n]) < 1e-9

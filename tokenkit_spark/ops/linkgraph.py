@@ -104,3 +104,98 @@ def inlink_stats(edges: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.col("n_inlinks").desc(), F.col("dst").asc())
         .limit(k)
     )
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
+    Hyperlinked Environment", JACM 1999): from the all-ones vectors,
+    iterate
+
+        auth[v] = Σ_{u→v} hub[u]        then L2-normalize
+        hub[u]  = Σ_{u→v} auth[v]       then L2-normalize
+
+    for a FIXED ``n_iter`` iterations (deterministic, so a SQL oracle
+    can unroll the recurrence level by level, like pagerank's).
+    Returns (node, hub, auth).
+
+    Scale shape: each half-iteration is one equi-join of the edge list
+    with the current score vector (hash-partitioned on the join key)
+    plus one hash aggregate — the same two-shuffle plan as PageRank.
+    The L2 norms stay IN the plan as one-row broadcast cross joins (no
+    driver collect per iteration), and each score vector is
+    ``localCheckpoint``-ed: every level of the recurrence references
+    the previous one TWICE (once through its norm, once through its
+    values), so a fully lazy chain duplicates subtrees 4^n_iter times —
+    both the optimizer and the execution blow up exponentially.
+    Materializing the (tiny: one row per node) vector per iteration
+    keeps work linear in ``n_iter`` and truncates lineage, the standard
+    iterative-algorithm shape on Spark."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.select("node", F.lit(1.0).alias("s"))
+    auths = nodes.select("node", F.lit(1.0).alias("s"))
+    for _ in range(n_iter):
+        raw_a = (
+            edges.join(hubs, edges["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("s").alias("r"))
+        )
+        auths = _l2_normalized(nodes, raw_a, "dst").localCheckpoint()
+        raw_h = (
+            edges.join(auths, edges["dst"] == auths["node"])
+            .groupBy("src")
+            .agg(F.sum("s").alias("r"))
+        )
+        hubs = _l2_normalized(nodes, raw_h, "src").localCheckpoint()
+    out = nodes.join(
+        hubs.select(F.col("node").alias("__hn"), F.col("s").alias("hub")),
+        F.col("node") == F.col("__hn"),
+    ).join(
+        auths.select(F.col("node").alias("__an"), F.col("s").alias("auth")),
+        F.col("node") == F.col("__an"),
+    ).select("node", "hub", "auth")
+    if round_digits is not None:
+        out = out.select(
+            "node",
+            F.round("hub", round_digits).alias("hub"),
+            F.round("auth", round_digits).alias("auth"),
+        )
+    return out
+
+
+def _l2_normalized(nodes: DataFrame, raw: DataFrame, key: str) -> DataFrame:
+    """(node, s): ``raw(key, r)`` left-joined onto all nodes (absent ->
+    0) and divided by the L2 norm, which rides the plan as a one-row
+    broadcast."""
+    norm = raw.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
+    return (
+        nodes.join(raw, nodes["node"] == raw[key], "left")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "node",
+            (F.coalesce(F.col("r"), F.lit(0.0)) / F.col("nrm")).alias("s"),
+        )
+    )
+
+
+def top_hits_nodes(
+    edges: DataFrame, k: int = 20, n_iter: int = 5, round_digits: int = 6
+) -> DataFrame:
+    """Top-k nodes by authority (rounded desc, node asc) with both
+    scores: (rank, node, auth, hub)."""
+    h = hits(edges, n_iter, round_digits)
+    top = h.orderBy(F.col("auth").desc(), F.col("node").asc()).limit(k)
+    w = Window.orderBy(F.col("auth").desc(), F.col("node").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "node",
+        "auth",
+        "hub",
+    )
