@@ -3981,6 +3981,17 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (tokens with corpus frequency > 1%) via the
+    two-pass Misra-Gries sieve: O(capacity)-memory per-partition
+    candidate summaries, then exact verification counts of candidates
+    only — never a full-vocabulary shuffle; output is exact and
+    partitioning-independent (ops/heavyhitters.py)."""
+    from tokenkit_spark.ops.heavyhitters import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), threshold=0.01, capacity=128)
+
+
 def q_hits_top20(spark, sf_dir):
     """HITS hubs & authorities (Kleinberg JACM 1999), 5 fixed L2-
     normalized iterations over the deterministic doc link graph; top-20
@@ -4141,6 +4152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "heavy_hitters": q_heavy_hitters,
         "hits_top20": q_hits_top20,
         "rate_agg": q_rate_agg,
         "stupid_backoff": q_stupid_backoff,
@@ -4520,6 +4532,12 @@ m AS (SELECT doc_id,
       FROM g)"""
     return {
         # --- round-3 oracles ---
+        "heavy_hitters": f"""
+WITH toks AS ({_TOKS}),
+n AS (SELECT count(*) AS nn FROM toks),
+c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1)
+SELECT term, cnt FROM c, n WHERE cnt > 0.01 * nn
+""",
         "hits_top20": _hits_oracle_sql(),
         "rate_agg": """
 WITH e AS (SELECT ts + to_days(CAST(event_id % 120 AS INT)) AS ts, value
