@@ -14,7 +14,7 @@ import sys
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -3981,6 +3981,36 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+PPR_SEEDS = [7, 123]
+
+
+def q_ppr_top20(spark, sf_dir):
+    """Personalized PageRank (random walk with restart; Haveliwala WWW
+    2002): teleport mass pinned to two seed pages, 5 fixed iterations,
+    dangling mass redistributed to the teleport vector; top-20 by
+    (6-dp pr desc, node asc) (ops/linkgraph.py:personalized_pagerank)."""
+    from tokenkit_spark.ops import linkgraph
+
+    pr = linkgraph.personalized_pagerank(
+        _link_edges(spark, sf_dir), PPR_SEEDS, n_iter=5, round_digits=6
+    )
+    top = pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "node", "pr"
+    )
+
+
+def q_bm25_plus(spark, sf_dir):
+    """BM25+ (Lv & Zhai CIKM 2011): per-matched-term lower bound
+    delta=1.0 on the tf normalization so long matching docs are never
+    outranked by short non-matching ones
+    (index/bm25f.py:bm25_plus)."""
+    from tokenkit_spark.index.bm25f import bm25_plus
+
+    return bm25_plus(_docs(spark, sf_dir), _queries_df(spark))
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Exact heavy hitters (tokens with corpus frequency > 1%) via the
     two-pass Misra-Gries sieve: O(capacity)-memory per-partition
@@ -4152,6 +4182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "ppr_top20": q_ppr_top20,
+        "bm25_plus": q_bm25_plus,
         "heavy_hitters": q_heavy_hitters,
         "hits_top20": q_hits_top20,
         "rate_agg": q_rate_agg,
@@ -4504,6 +4536,49 @@ WHERE rank <= {k}"""
     )
 
 
+def _ppr_oracle_sql(
+    seeds: list, n_iter: int = 5, d: float = 0.85, k: int = 20
+) -> str:
+    """Unroll the fixed-iteration personalized-PageRank recurrence —
+    same math as ops/linkgraph.py:personalized_pagerank (teleport and
+    dangling mass both pinned to the seed distribution)."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    tele = (
+        f"(CASE WHEN node IN ({seed_list}) THEN 1.0 / {len(seeds)} "
+        "ELSE 0.0 END)"
+    )
+    m = "AS MATERIALIZED"
+    ctes = [
+        _LINK_EDGES_SQL.strip().replace("edges AS (", f"edges {m} ("),
+        f"nodes {m} (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        f"degs {m} (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        f"r0 {m} (SELECT node, {tele} AS pr FROM nodes)",
+    ]
+    for i in range(n_iter):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"dm{i} {m} (SELECT coalesce(sum(pr), 0) AS dm FROM {prev} "
+            f"LEFT JOIN degs ON {prev}.node = degs.src WHERE degs.src IS NULL)"
+        )
+        ctes.append(
+            f"{cur} {m} (SELECT nodes.node, "
+            f"(1 - {d}) * {tele} + {d} * (coalesce(inf.i, 0) "
+            f"+ (SELECT dm FROM dm{i}) * {tele}) AS pr "
+            f"FROM nodes LEFT JOIN "
+            f"(SELECT dst, sum({prev}.pr / degs.deg) AS i FROM edges "
+            f"JOIN degs USING (src) JOIN {prev} ON {prev}.node = edges.src "
+            f"GROUP BY 1) inf ON nodes.node = inf.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT rank, node, pr FROM (
+  SELECT row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS rank,
+         node, round(pr, 6) AS pr FROM r{n_iter})
+WHERE rank <= {k}"""
+    )
+
+
 def _bq_word_sql(word: int, bits: int = 32) -> str:
     """SQL mirror of similarity.binary_quantize's word expression:
     sum of CASE sign-bit literals (bit j of word w <- v[w*32+j+1] > 0)."""
@@ -4532,6 +4607,30 @@ m AS (SELECT doc_id,
       FROM g)"""
     return {
         # --- round-3 oracles ---
+        "ppr_top20": _ppr_oracle_sql(PPR_SEEDS),
+        "bm25_plus": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * (p.tf * (1.2 + 1.0)
+                 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl))
+                 + 1.0) ) AS s
+  FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+ranked AS (SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(s, 4) DESC, doc_id) AS rank,
+       doc_id, round(s, 4) AS score FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+""",
         "heavy_hitters": f"""
 WITH toks AS ({_TOKS}),
 n AS (SELECT count(*) AS nn FROM toks),

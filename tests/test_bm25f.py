@@ -155,3 +155,22 @@ def test_has_parent(spark):
         r.cid for r in has_parent(parents, children, "doc_id", "pid").collect()
     )
     assert got == [10, 11]
+
+
+def test_bm25_plus_delta_zero_is_bm25_and_floor_works(spark):
+    from tokenkit_spark.index.bm25f import bm25_plus
+
+    docs = spark.createDataFrame(
+        [(0, "apple " + "filler " * 50), (1, "apple pie"), (2, "other words")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(0, "apple")], "query_id long, text string")
+    plain = {r.doc_id: r.score for r in bm25_plus(docs, qs, delta=0.0).collect()}
+    plus = {r.doc_id: r.score for r in bm25_plus(docs, qs, delta=1.0).collect()}
+    assert set(plain) == set(plus) == {0, 1}
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    # delta adds exactly idf per matched term
+    for d in plain:
+        assert plus[d] == pytest.approx(plain[d] + round(idf, 10), abs=2e-4)
+    # the long matching doc keeps a meaningful floor: score > idf*delta
+    assert plus[0] > idf

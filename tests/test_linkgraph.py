@@ -96,3 +96,27 @@ def test_hits_matches_numpy_power_iteration(spark):
     for n in range(4):
         assert abs(rows[n][0] - h[n]) < 1e-9
         assert abs(rows[n][1] - a[n]) < 1e-9
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from tokenkit_spark.ops.linkgraph import pagerank, personalized_pagerank
+
+    e = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]  # two 3-cycles
+    edges = spark.createDataFrame(e, "src long, dst long")
+    pr = {r.node: r.pr for r in personalized_pagerank(edges, [0], 8).collect()}
+    # all mass stays in the seed's component; the other cycle gets none
+    assert pr[3] == pr[4] == pr[5] == 0.0
+    assert pr[0] > pr[1] > 0 and pr[2] > 0
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+    # uniform pagerank by contrast spreads over both cycles
+    upr = {r.node: r.pr for r in pagerank(edges, 8).collect()}
+    assert upr[3] > 0.1
+
+
+def test_personalized_pagerank_validation(spark):
+    from tokenkit_spark.ops.linkgraph import personalized_pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    import pytest as pt
+    with pt.raises(ValueError):
+        personalized_pagerank(edges, [])

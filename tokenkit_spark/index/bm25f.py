@@ -193,3 +193,63 @@ def synonym_search(
         .withColumnRenamed(id_col, "doc_id")
     )
     return _topk(scored, k, round_digits)
+
+
+def bm25_plus(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    delta: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """BM25+ (Lv & Zhai, "Lower-Bounding Term Frequency Normalization",
+    CIKM 2011): plain BM25 penalizes very long documents so hard that a
+    long doc CONTAINING a query term can score below a short doc
+    without it; BM25+ adds a per-matched-term floor ``delta``:
+
+        score = Σ_t idf(t) · [ tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+                               + δ ]
+
+    so any occurrence is worth at least idf·δ regardless of dl. Same
+    relational plan as the plain pipeline; δ=0 degrades to BM25
+    exactly (asserted in tests)."""
+    toks = _toks(docs, id_col, text_col)
+    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dstats = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    globals_ = dstats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = postings.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+            )
+        ).alias("term"),
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (
+        F.col("tf") * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(float(k1))
+            * (1.0 - b + F.lit(float(b)) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        qterms.join(postings, "term")
+        .join(df_t, "term")
+        .join(dstats, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(idf * (sat + F.lit(float(delta)))).alias("score"))
+        .withColumnRenamed(id_col, "doc_id")
+    )
+    return _topk(scored, k, round_digits)

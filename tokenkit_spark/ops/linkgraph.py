@@ -199,3 +199,65 @@ def top_hits_nodes(
         "auth",
         "hub",
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank (the random-walk-with-restart variant of
+    Page et al. 1999, as popularized for recommendation by Haveliwala,
+    "Topic-Sensitive PageRank", WWW 2002): teleport mass goes to the
+    ``seeds`` set (uniformly) instead of all nodes —
+
+        pr[v] = (1-d)·tele[v] + d·(Σ_{u→v} pr[u]/deg(u) + dangling·tele[v])
+
+    with tele[v] = 1/|seeds| for seed nodes, 0 elsewhere, run a FIXED
+    ``n_iter`` iterations from the teleport vector. Scores concentrate
+    around the seeds — "importance relative to THIS neighborhood".
+    Same two-shuffle-per-iteration plan as pagerank; the seed list is a
+    query-sized literal, never a driver collect."""
+    if not seeds:
+        raise ValueError("personalized_pagerank: seeds must be non-empty")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    tele = F.when(
+        F.col("node").isin(list(seeds)), F.lit(1.0 / len(seeds))
+    ).otherwise(F.lit(0.0))
+    degs = out_degrees(edges)
+    contrib_edges = edges.join(degs, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    )
+    ranks = nodes.select("node", tele.alias("pr"))
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(degs, ranks["node"] == degs["src"], "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+            .first()["dm"]
+        )
+        inflow = (
+            contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
+            .select("dst", (F.col("w") * F.col("pr")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, nodes["node"] == inflow["dst"], "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * tele
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + F.lit(float(dangling)) * tele
+                )
+            ).alias("pr"),
+        )
+    if round_digits is not None:
+        ranks = ranks.select("node", F.round("pr", round_digits).alias("pr"))
+    return ranks
