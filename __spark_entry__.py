@@ -3981,6 +3981,15 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+def q_textrank(spark, sf_dir):
+    """Corpus TextRank keywords (Mihalcea & Tarau EMNLP 2004): weighted
+    PageRank over the symmetrized adjacent-token co-occurrence graph,
+    stopwords and short tokens dropped; top-20 by 6-dp centrality
+    (ops/textstats.py:textrank_keywords,
+    ops/linkgraph.py:weighted_pagerank)."""
+    return textstats.textrank_keywords(_docs(spark, sf_dir))
+
+
 PPR_SEEDS = [7, 123]
 
 
@@ -4182,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "textrank": q_textrank,
         "ppr_top20": q_ppr_top20,
         "bm25_plus": q_bm25_plus,
         "heavy_hitters": q_heavy_hitters,
@@ -4579,6 +4589,49 @@ WHERE rank <= {k}"""
     )
 
 
+def _textrank_oracle_sql(
+    stop_en: str, n_iter: int = 5, d: float = 0.85, k: int = 20
+) -> str:
+    """Unroll ops/textstats.py:textrank_keywords — co-occurrence graph
+    build + weighted-PageRank recurrence, all CTEs materialized."""
+    m = "AS MATERIALIZED"
+    ctes = [
+        f"""tk {m} (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t FROM documents)""",
+        f"""bg {m} (SELECT t[i] AS w1, t[i + 1] AS w2
+             FROM tk, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2)""",
+        f"""fb {m} (SELECT w1, w2 FROM bg
+             WHERE w1 NOT IN ({stop_en}) AND w2 NOT IN ({stop_en})
+               AND length(w1) >= 3 AND length(w2) >= 3 AND w1 <> w2)""",
+        f"""wedges {m} (SELECT src, dst, count(*)::DOUBLE AS weight FROM (
+               SELECT w1 AS src, w2 AS dst FROM fb
+               UNION ALL SELECT w2, w1 FROM fb) GROUP BY 1, 2)""",
+        f"nodes {m} (SELECT DISTINCT src AS node FROM wedges)",
+        f"nn {m} (SELECT count(*) AS n FROM nodes)",
+        f"outw {m} (SELECT src, sum(weight) AS w_out FROM wedges GROUP BY 1)",
+        f"""contrib {m} (SELECT wedges.src, dst, weight / w_out AS w
+             FROM wedges JOIN outw ON wedges.src = outw.src)""",
+        f"r0 {m} (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for i in range(n_iter):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"{cur} {m} (SELECT nodes.node, "
+            f"(1 - {d}) / (SELECT n FROM nn) + {d} * coalesce(inf.i, 0) AS pr "
+            f"FROM nodes LEFT JOIN "
+            f"(SELECT dst, sum({prev}.pr * contrib.w) AS i FROM contrib "
+            f"JOIN {prev} ON {prev}.node = contrib.src GROUP BY 1) inf "
+            f"ON nodes.node = inf.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT rank, term, score FROM (
+  SELECT row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS rank,
+         node AS term, round(pr, 6) AS score FROM r{n_iter})
+WHERE rank <= {k}"""
+    )
+
+
 def _bq_word_sql(word: int, bits: int = 32) -> str:
     """SQL mirror of similarity.binary_quantize's word expression:
     sum of CASE sign-bit literals (bit j of word w <- v[w*32+j+1] > 0)."""
@@ -4607,6 +4660,7 @@ m AS (SELECT doc_id,
       FROM g)"""
     return {
         # --- round-3 oracles ---
+        "textrank": _textrank_oracle_sql(stop_en),
         "ppr_top20": _ppr_oracle_sql(PPR_SEEDS),
         "bm25_plus": f"""
 WITH toks AS ({_TOKS}),

@@ -120,3 +120,30 @@ def test_personalized_pagerank_validation(spark):
     import pytest as pt
     with pt.raises(ValueError):
         personalized_pagerank(edges, [])
+
+
+def test_weighted_pagerank_mass_and_weights(spark):
+    from tokenkit_spark.ops.linkgraph import weighted_pagerank
+
+    # 0 sends 90% of its weight to 1, 10% to 2
+    edges = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    pr = {r.node: r.pr for r in weighted_pagerank(edges, 10).collect()}
+    assert pr[1] > pr[2]  # weight asymmetry must show
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_textrank_connective_term_wins(spark):
+    from tokenkit_spark.ops.textstats import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark engine"), (1, "spark shuffle"), (2, "spark catalyst"),
+            (3, "spark tungsten"), (4, "parquet files"), (5, "parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = textrank_keywords(docs, top_n=5).collect()
+    assert rows[0].term == "spark"  # the hub term outranks frequent pairs

@@ -261,3 +261,50 @@ def personalized_pagerank(
     if round_digits is not None:
         ranks = ranks.select("node", F.round("pr", round_digits).alias("pr"))
     return ranks
+
+
+def weighted_pagerank(
+    wedges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """PageRank over a WEIGHTED edge list ``(src, dst, weight)``:
+
+        pr[v] = (1-d)/N + d · Σ_{u→v} pr[u] · w(u,v)/W(u)
+
+    with W(u) the total out-weight of u (the TextRank recurrence,
+    Mihalcea & Tarau EMNLP 2004 eq. 2). No dangling handling: callers
+    pass graphs where every node has out-weight (e.g. symmetrized
+    co-occurrence graphs); nodes appearing only as ``dst`` would leak
+    mass, so they are excluded from the node set by construction here —
+    the node set is ``src`` ∪ ``dst`` and symmetric graphs make them
+    equal. Same two-shuffle-per-iteration plan as pagerank."""
+    nodes = (
+        wedges.select(F.col("src").alias("node"))
+        .union(wedges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    outw = wedges.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    contrib = wedges.join(outw, "src").select(
+        "src", "dst", (F.col("weight") / F.col("w_out")).alias("w")
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(n_iter):
+        inflow = (
+            contrib.join(ranks, contrib["src"] == ranks["node"])
+            .select("dst", (F.col("w") * F.col("pr")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, nodes["node"] == inflow["dst"], "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    if round_digits is not None:
+        ranks = ranks.select("node", F.round("pr", round_digits).alias("pr"))
+    return ranks

@@ -606,3 +606,53 @@ def stupid_backoff_scores(
             F.round(F.exp(-F.avg(F.log(s))), round_digits).alias("sb_ppl"),
         )
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_iter: int = 5,
+    damping: float = 0.85,
+    top_n: int = 20,
+    min_len: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau,
+    "TextRank: Bringing Order into Texts", EMNLP 2004): a weighted
+    undirected co-occurrence graph over adjacent content tokens
+    (stopwords and tokens shorter than ``min_len`` dropped; edge weight
+    = corpus co-occurrence count, symmetrized), ranked with the
+    weighted PageRank recurrence — graph centrality instead of
+    tf·idf's frequency contrast, so terms that CONNECT the vocabulary
+    rank high even at modest frequency. Returns the top ``top_n``
+    (rank, term, score) by (rounded score desc, term asc).
+
+    Scale shape: bigram generation is per-row array lambdas; the graph
+    build is one hash aggregate; each iteration is the standard
+    two-shuffle weighted-PageRank step over a vocabulary-sized (not
+    corpus-sized) edge list."""
+    from pyspark.sql import Window
+
+    from tokenkit_spark.ops.linkgraph import weighted_pagerank
+
+    stops = STOPWORDS["en"]
+    keep = lambda c: (~F.col(c).isin(*stops)) & (F.length(F.col(c)) >= min_len)
+    pairs = (
+        _doc_bigrams(docs, text_col)
+        .filter(keep("w1") & keep("w2") & (F.col("w1") != F.col("w2")))
+        .select("w1", "w2")
+    )
+    und = pairs.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionAll(pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+    wedges = und.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+    pr = weighted_pagerank(wedges, n_iter, damping, round_digits)
+    top = pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(top_n)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("node").alias("term"),
+        F.col("pr").alias("score"),
+    )
