@@ -3981,6 +3981,19 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+def q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995,
+    Chen & Goodman 1998 D=0.75), trained on even doc_ids and scoring
+    odd ones so unseen contexts/continuations exercise the backoff and
+    the add-one continuation floor
+    (ops/textstats.py:kneser_ney_perplexity)."""
+    docs = _docs(spark, sf_dir)
+    return textstats.kneser_ney_perplexity(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        model_docs=docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 def q_textrank(spark, sf_dir):
     """Corpus TextRank keywords (Mihalcea & Tarau EMNLP 2004): weighted
     PageRank over the symmetrized adjacent-token co-occurrence graph,
@@ -4191,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "kneser_ney": q_kneser_ney,
         "textrank": q_textrank,
         "ppr_top20": q_ppr_top20,
         "bm25_plus": q_bm25_plus,
@@ -4660,6 +4674,36 @@ m AS (SELECT doc_id,
       FROM g)"""
     return {
         # --- round-3 oracles ---
+        "kneser_ney": r"""
+WITH toks AS MATERIALIZED (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+model AS MATERIALIZED (SELECT * FROM toks WHERE doc_id % 2 = 0),
+sc AS MATERIALIZED (SELECT * FROM toks WHERE doc_id % 2 = 1),
+big AS MATERIALIZED (SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+     FROM model, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2
+     GROUP BY 1, 2),
+ctx AS MATERIALIZED (SELECT w1, sum(c12) AS c1, count(*) AS t1 FROM big GROUP BY 1),
+cont AS MATERIALIZED (SELECT w2, count(*) AS n_left FROM big GROUP BY 1),
+tot AS MATERIALIZED (SELECT (SELECT count(*) FROM big) AS n_types,
+     (SELECT count(DISTINCT u.w) FROM model, unnest(t) AS u(w)) AS v),
+sbg AS MATERIALIZED (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+     FROM sc, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+j AS (SELECT s.doc_id,
+        CASE WHEN ctx.c1 IS NOT NULL THEN
+          greatest(coalesce(big.c12, 0) - 0.75::DOUBLE, 0.0::DOUBLE) / ctx.c1
+          + 0.75::DOUBLE * ctx.t1 / ctx.c1
+            * ((coalesce(cont.n_left, 0) + 1.0) / (tot.n_types + tot.v + 1.0))
+        ELSE (coalesce(cont.n_left, 0) + 1.0) / (tot.n_types + tot.v + 1.0)
+        END AS p
+      FROM sbg s
+      LEFT JOIN big ON s.w1 = big.w1 AND s.w2 = big.w2
+      LEFT JOIN ctx ON s.w1 = ctx.w1
+      LEFT JOIN cont ON s.w2 = cont.w2
+      CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_bigrams, round(exp(-avg(ln(p))), 4) AS kn_ppl
+FROM j GROUP BY 1
+""",
         "textrank": _textrank_oracle_sql(stop_en),
         "ppr_top20": _ppr_oracle_sql(PPR_SEEDS),
         "bm25_plus": f"""

@@ -102,3 +102,46 @@ def test_stupid_backoff_self_trained_never_backs_off(spark):
     # every trigram is in the model, so every score is c3/c2 >= 1/2 here
     # and ppl is finite and small
     assert all(r.sb_ppl <= 2.0 for r in rows)
+
+
+def test_kneser_ney_hand_computed(spark):
+    from tokenkit_spark.ops.textstats import kneser_ney_perplexity
+
+    # model: bigrams (a,b)x2, (b,a), (b,c) -> c(a)=2 ctx... ctx counts are
+    # over bigram FIRST words: c(a)=2, T(a)=1; c(b)=2, T(b)=2
+    model = spark.createDataFrame([(0, "a b a b c")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "z q")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: (r.n_bigrams, r.kn_ppl)
+        for r in kneser_ney_perplexity(score, model_docs=model).collect()
+    }
+    n_types, v = 3, 3  # bigram types {ab, ba, bc}; vocab {a,b,c}
+    def pc(n_left):
+        return (n_left + 1.0) / (n_types + v + 1.0)
+    # (a,b): c12=2, c(a)=2, T(a)=1, N1+(.b)=1
+    p_ab = (2 - 0.75) / 2 + 0.75 * 1 / 2 * pc(1)
+    assert rows[1] == (1, pytest.approx(round(math.exp(-math.log(p_ab)), 4)))
+    # (z,q): unseen context -> pure continuation floor, N1+(.q)=0
+    p_zq = pc(0)
+    assert rows[2] == (1, pytest.approx(round(math.exp(-math.log(p_zq)), 4)))
+
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    from tokenkit_spark.ops.textstats import kneser_ney_perplexity
+
+    # 'francisco' is frequent but only ever follows 'san'; 'the' is as
+    # frequent but follows many contexts. After a NOVEL context, KN must
+    # predict 'the' better than 'francisco'.
+    model = spark.createDataFrame(
+        [(0, "san francisco san francisco san francisco "
+             "eat the cake see the dog run the race")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(1, "novel francisco"), (2, "novel the")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.kn_ppl for r in
+            kneser_ney_perplexity(score, model_docs=model).collect()}
+    assert rows[2] < rows[1]  # lower perplexity = better predicted

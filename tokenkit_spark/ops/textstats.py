@@ -656,3 +656,79 @@ def textrank_keywords(
         F.col("node").alias("term"),
         F.col("pr").alias("score"),
     )
+
+
+def kneser_ney_perplexity(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    discount: float = 0.75,
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """(doc_id, n_bigrams, kn_ppl): per-document perplexity under an
+    interpolated Kneser-Ney bigram model (Kneser & Ney, ICASSP 1995;
+    the interpolated form and D=0.75 per Chen & Goodman, "An Empirical
+    Study of Smoothing Techniques for Language Modeling", 1998):
+
+        P(w2|w1) = max(c(w1w2) - D, 0)/c(w1)
+                   + D·T(w1)/c(w1) · P_cont(w2)
+
+    where T(w1) = |{w: c(w1 w) > 0}| (distinct continuations of w1)
+    and P_cont(w2) is the CONTINUATION probability — how many distinct
+    contexts w2 completes, not how often it occurs:
+
+        P_cont(w2) = (N1+(·w2) + 1) / (N1+(··) + V + 1)
+
+    (+1/+V+1 is an add-one floor on the continuation distribution so
+    held-out OOV tokens score finitely — the documented deviation from
+    the textbook form, which is undefined for unseen w2). Unseen
+    contexts (c(w1) = 0) back off entirely to P_cont(w2).
+
+    This is the smoothing that fixes "San Francisco": 'francisco' is
+    frequent but only ever follows 'san', so its continuation count —
+    and hence its probability after a NOVEL context — is tiny, where
+    add-α or stupid backoff would overrate it by raw frequency.
+
+    Scale shape: four count relations (bigram, unigram, continuation-
+    left, type totals) built with hash aggregates; scoring joins the
+    doc bigram stream against them on their keys — no collected model,
+    no UDF."""
+    model = model_docs if model_docs is not None else docs
+    big = (
+        _doc_bigrams(model, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    # context totals c(w1) and distinct-continuation counts T(w1)
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("t1")
+    )
+    # continuation counts N1+(.w2) per w2; N1+(..) total bigram types; V
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left"))
+    totals = big.agg(F.count(F.lit(1)).alias("n_types")).crossJoin(
+        model.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+
+    d = F.lit(float(discount))
+    p_cont = (F.coalesce(F.col("n_left"), F.lit(0)) + 1.0) / (
+        F.col("n_types") + F.col("v") + 1.0
+    )
+    p = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("c1")
+        + d * F.col("t1") / F.col("c1") * p_cont,
+    ).otherwise(p_cont)
+    return (
+        _doc_bigrams(docs, text_col)
+        .join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(-F.avg(F.log(p))), round_digits).alias("kn_ppl"),
+        )
+    )
