@@ -3981,6 +3981,47 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+def q_lsh_plan(spark, sf_dir):
+    """MinHash-LSH banding planner (MMDS ch.3 S-curve): every (bands x
+    rows) factorization of 64 permutations with its curve threshold
+    s* = (1/b)^(1/r), FN rate for pairs at s=0.9 and FP rate at s=0.7,
+    chosen = s* closest to the 0.8 target — the knob selector for
+    minhash_candidates (ops/dedup.py:lsh_plan)."""
+    from tokenkit_spark.ops.dedup import lsh_plan
+
+    return lsh_plan(spark, num_perm=64, threshold=0.8)
+
+
+SCRIPT_SUFFIXES = {
+    0: " 数据排序哈希表",          # Han
+    1: " данные сортировка",      # Cyrillic
+    2: " بيانات الفرز",           # Arabic
+    3: " δεδομένα ταξινόμηση",    # Greek
+    4: " 데이터 정렬",             # Hangul
+}
+
+
+def _scripted_docs(spark, sf_dir):
+    """Documents with a deterministic non-Latin suffix injected per
+    doc_id % 5 (the synthetic corpus is all-Latin; this exercises every
+    script class). Same recipe inlined in the SQL oracle."""
+    expr = F.col("text")
+    for m, suf in SCRIPT_SUFFIXES.items():
+        expr = F.when(
+            F.col("doc_id") % 10 == m, F.concat(F.col("text"), F.lit(suf))
+        ).otherwise(expr)
+    return _docs(spark, sf_dir).select("doc_id", expr.alias("text"))
+
+
+def q_script_stats(spark, sf_dir):
+    """Unicode-script profile per doc (letter fraction per major script
+    + dominant script) — the pre-langid routing signal; pure codegen
+    regexp_count, no UDF (ops/webclean.py:script_stats)."""
+    from tokenkit_spark.ops.webclean import script_stats
+
+    return script_stats(_scripted_docs(spark, sf_dir))
+
+
 def q_kneser_ney(spark, sf_dir):
     """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995,
     Chen & Goodman 1998 D=0.75), trained on even doc_ids and scoring
@@ -4204,6 +4245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "lsh_plan": q_lsh_plan,
+        "script_stats": q_script_stats,
         "kneser_ney": q_kneser_ney,
         "textrank": q_textrank,
         "ppr_top20": q_ppr_top20,
@@ -4603,6 +4646,34 @@ WHERE rank <= {k}"""
     )
 
 
+def _script_stats_oracle_sql(round_digits: int = 4) -> str:
+    """Restate ops/webclean.py:script_stats over the script-injected
+    docs: per-script letter fractions + struct-sort dominant pick."""
+    from tokenkit_spark.ops.webclean import SCRIPTS
+
+    cases = " ".join(
+        f"WHEN doc_id % 10 = {m} THEN text || '{suf}'"
+        for m, suf in SCRIPT_SUFFIXES.items()
+    )
+    nl = r"len(regexp_extract_all(text, '\p{L}'))"
+    frac_exprs = ", ".join(
+        f"round(CASE WHEN {nl} > 0 THEN "
+        rf"len(regexp_extract_all(text, '\p{{{s}}}')) * 1.0 / {nl} "
+        f"ELSE 0.0 END, {round_digits}) AS frac_{s.lower()}"
+        for s in SCRIPTS
+    )
+    structs = ", ".join(
+        f"{{'f': frac_{s.lower()}, 's': '{s.lower()}'}}" for s in SCRIPTS
+    )
+    return f"""
+WITH d AS (SELECT doc_id, CASE {cases} ELSE text END AS text FROM documents),
+f AS (SELECT doc_id, {nl} AS n_letters, {frac_exprs} FROM d)
+SELECT *, CASE WHEN n_letters = 0 THEN 'none'
+          ELSE list_sort([{structs}], 'DESC')[1].s END AS dominant_script
+FROM f
+"""
+
+
 def _textrank_oracle_sql(
     stop_en: str, n_iter: int = 5, d: float = 0.85, k: int = 20
 ) -> str:
@@ -4674,6 +4745,26 @@ m AS (SELECT doc_id,
       FROM g)"""
     return {
         # --- round-3 oracles ---
+        "lsh_plan": """
+WITH grid AS (
+  SELECT b AS bands, 64 // b AS r FROM (VALUES (1),(2),(4),(8),(16),(32),(64)) v(b)),
+m AS (
+  SELECT bands, r,
+         pow(1.0 / bands, 1.0 / r) AS s_star,
+         1.0 - pow(1.0 - pow(0.9, r), bands) AS p_hi,
+         1.0 - pow(1.0 - pow(0.7, r), bands) AS p_lo
+  FROM grid),
+best AS (SELECT round(s_star, 6) AS bs FROM m
+         ORDER BY abs(s_star - 0.8), bands LIMIT 1)
+SELECT bands, r AS rows_per_band,
+       round(s_star, 6) AS s_star,
+       round(p_hi, 6) AS p_catch_hi,
+       round(1.0 - p_hi, 6) AS fn_rate_hi,
+       round(p_lo, 6) AS fp_rate_lo,
+       round(s_star, 6) = (SELECT bs FROM best) AS chosen
+FROM m
+""",
+        "script_stats": _script_stats_oracle_sql(),
         "kneser_ney": r"""
 WITH toks AS MATERIALIZED (SELECT doc_id,
         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t

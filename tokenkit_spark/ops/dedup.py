@@ -679,3 +679,55 @@ def winnow_near_dups(
             F.col("shared") / F.least("n_a", "n_b"), 6
         ).alias("overlap"),
     )
+
+
+def lsh_plan(
+    spark,
+    num_perm: int = 64,
+    threshold: float = 0.8,
+    probe_offset: float = 0.1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """MinHash-LSH banding planner (the S-curve analysis of Leskovec,
+    Rajaraman & Ullman, "Mining of Massive Datasets" ch. 3): for every
+    factorization num_perm = b bands × r rows, the probability that a
+    pair with Jaccard similarity s shares at least one band bucket is
+
+        P(s) = 1 - (1 - s^r)^b
+
+    with inflection at s* ≈ (1/b)^(1/r). Emits one row per (b, r) with
+    the curve's threshold s*, the catch probability at
+    ``threshold + probe_offset`` (1 - that = false-negative rate for
+    clear duplicates) and at ``threshold - probe_offset`` (false-
+    positive / wasted-verification rate), and ``chosen`` on the
+    factorization whose s* lands closest to ``threshold`` — the knob
+    minhash_candidates should be run with. Driver-side math on a
+    divisor-count-sized relation; nothing scales with the corpus."""
+    rows = []
+    best = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        s_star = (1.0 / b) ** (1.0 / r)
+        p_hi = 1.0 - (1.0 - min(threshold + probe_offset, 1.0) ** r) ** b
+        p_lo = 1.0 - (1.0 - max(threshold - probe_offset, 0.0) ** r) ** b
+        rows.append((b, r, s_star, p_hi, 1.0 - p_hi, p_lo))
+        if best is None or abs(s_star - threshold) < abs(best - threshold):
+            best = s_star
+    out = spark.createDataFrame(
+        rows,
+        "bands int, rows_per_band int, s_star double, "
+        "p_catch_hi double, fn_rate_hi double, fp_rate_lo double",
+    )
+    return out.select(
+        "bands",
+        "rows_per_band",
+        F.round("s_star", round_digits).alias("s_star"),
+        F.round("p_catch_hi", round_digits).alias("p_catch_hi"),
+        F.round("fn_rate_hi", round_digits).alias("fn_rate_hi"),
+        F.round("fp_rate_lo", round_digits).alias("fp_rate_lo"),
+        (F.round("s_star", round_digits) == round(best, round_digits)).alias(
+            "chosen"
+        ),
+    )

@@ -154,3 +154,58 @@ def readability(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, round_digits).alias("flesch"),
         F.round(0.39 * wps + 11.8 * spw - 15.59, round_digits).alias("fk_grade"),
     )
+
+
+SCRIPTS = ("Latin", "Cyrillic", "Han", "Arabic", "Greek", "Hangul")
+
+
+def script_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Unicode-script profile per document: the fraction of LETTER
+    characters in each major script (Latin, Cyrillic, Han, Arabic,
+    Greek, Hangul) plus the dominant script — the standard pre-langid
+    routing signal for a multilingual crawl (script is cheap and
+    near-infallible; language id within a script is the hard part).
+
+    Pure whole-stage-codegen ``regexp_count`` over Java's script
+    property classes (``\\p{IsLatin}`` etc.) — one projection, no UDF,
+    no shuffle. Docs without letters report 'none'."""
+    n_letters = F.regexp_count(F.col(text_col), F.lit(r"\p{L}"))
+    fracs = [
+        F.round(
+            F.when(
+                n_letters > 0,
+                F.regexp_count(F.col(text_col), F.lit(rf"\p{{Is{s}}}"))
+                / n_letters,
+            ).otherwise(F.lit(0.0)),
+            round_digits,
+        ).alias(f"frac_{s.lower()}")
+        for s in SCRIPTS
+    ]
+    out = docs.select(id_col, n_letters.alias("n_letters"), *fracs)
+    pairs = [
+        x
+        for s in SCRIPTS
+        for x in (F.col(f"frac_{s.lower()}"), F.lit(s.lower()))
+    ]
+    dominant = F.when(F.col("n_letters") == 0, F.lit("none")).otherwise(
+        # greatest-of via sorted array of (frac, name) structs: ties
+        # break toward the alphabetically-last script name, pinned
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"frac_{s.lower()}").alias("f"),
+                        F.lit(s.lower()).alias("s"),
+                    )
+                    for s in SCRIPTS
+                ]
+            ),
+            asc=False,
+        )[0]["s"]
+    )
+    return out.withColumn("dominant_script", dominant)
