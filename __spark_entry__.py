@@ -3981,6 +3981,25 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+def q_terms_sharded(spark, sf_dir):
+    """Distributed ES terms agg WITH its approximation accounting:
+    4 deterministic shards (doc_id % 4), each reporting only its local
+    top-5 terms, coordinator-merged counts and per-term
+    doc_count_error_upper_bound (sum of non-reporting shards' cut
+    lines), global top-10 (ops/aggs.py:terms_agg_sharded)."""
+    from tokenkit_spark.ops import aggs
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+            )
+        ).alias("term"),
+    )
+    return aggs.terms_agg_sharded(toks, size=10, n_shards=4, shard_size=5)
+
+
 def q_lsh_plan(spark, sf_dir):
     """MinHash-LSH banding planner (MMDS ch.3 S-curve): every (bands x
     rows) factorization of 64 permutations with its curve threshold
@@ -4245,6 +4264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "terms_sharded": q_terms_sharded,
         "lsh_plan": q_lsh_plan,
         "script_stats": q_script_stats,
         "kneser_ney": q_kneser_ney,
@@ -4745,6 +4765,28 @@ m AS (SELECT doc_id,
       FROM g)"""
     return {
         # --- round-3 oracles ---
+        "terms_sharded": f"""
+WITH toks AS ({_TOKS}),
+counts AS (SELECT doc_id % 4 AS shard, term, count(*) AS cnt
+           FROM toks GROUP BY 1, 2),
+kept AS (SELECT * FROM (
+           SELECT shard, term, cnt,
+                  row_number() OVER (PARTITION BY shard
+                                     ORDER BY cnt DESC, term ASC) AS r
+           FROM counts) WHERE r <= 5),
+cut AS (SELECT shard, min(cnt) AS cut_cnt FROM kept GROUP BY 1),
+merged AS (SELECT term, sum(cnt) AS doc_count FROM kept GROUP BY 1),
+err AS (SELECT m.term, sum(c.cut_cnt) AS e
+        FROM merged m CROSS JOIN cut c
+        LEFT JOIN kept k ON k.term = m.term AND k.shard = c.shard
+        WHERE k.term IS NULL GROUP BY 1),
+final AS (SELECT m.term, m.doc_count, coalesce(e.e, 0) AS doc_count_error_upper_bound
+          FROM merged m LEFT JOIN err e ON m.term = e.term)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rank,
+         term, doc_count, doc_count_error_upper_bound
+  FROM final) WHERE rank <= 10
+""",
         "lsh_plan": """
 WITH grid AS (
   SELECT b AS bands, 64 // b AS r FROM (VALUES (1),(2),(4),(8),(16),(32),(64)) v(b)),

@@ -882,3 +882,68 @@ def has_parent(
     return children.join(
         pk, children[child_parent_key] == F.col("__pk")
     ).drop("__pk")
+
+
+def terms_agg_sharded(
+    toks: DataFrame,
+    term_col: str = "term",
+    id_col: str = "doc_id",
+    size: int = 10,
+    n_shards: int = 4,
+    shard_size: int | None = None,
+) -> DataFrame:
+    """ES ``terms`` agg EXACTLY as it runs distributed, including its
+    approximation accounting: each shard returns only its local top
+    ``shard_size`` terms (ES default size*1.5+10), the coordinator sums
+    per-term counts across shards, and every term carries
+    ``doc_count_error_upper_bound`` — the worst-case undercount, i.e.
+    the sum over non-reporting shards of the LAST (smallest) count that
+    shard did return (the term could have hidden just below each cut).
+    The global cut is the top ``size`` by merged count.
+
+    Shards here are deterministic (``id_col % n_shards``), so the whole
+    computation — including the error bounds — is engine-reproducible
+    and SQL-oracle-checkable; on a real cluster the shard key is the
+    routing hash. Plan: one (shard, term) hash agg, one per-shard
+    rank window (shard-partitioned, never global), a small merge agg,
+    and a grid anti-join for the bounds — each shard's survivor list is
+    ``shard_size`` rows, so everything after the first agg is
+    coordinator-sized, the exact ES topology."""
+    if shard_size is None:
+        shard_size = int(size * 1.5 + 10)
+    sharded = toks.select(
+        (F.col(id_col) % n_shards).alias("__shard"), F.col(term_col).alias("term")
+    )
+    counts = sharded.groupBy("__shard", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("__shard").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    kept = counts.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= shard_size
+    )
+    # each shard's cut line: the smallest count it still reported
+    cut = kept.groupBy("__shard").agg(F.min("cnt").alias("cut_cnt"))
+    merged = kept.groupBy("term").agg(F.sum("cnt").alias("doc_count"))
+    # worst-case undercount: shards where the term did NOT survive the cut
+    grid = merged.select("term").crossJoin(cut)
+    missing = grid.join(
+        kept.select("term", "__shard"), ["term", "__shard"], "left_anti"
+    )
+    err = missing.groupBy("term").agg(
+        F.sum("cut_cnt").alias("doc_count_error_upper_bound")
+    )
+    out = merged.join(err, "term", "left").select(
+        "term",
+        "doc_count",
+        F.coalesce(
+            F.col("doc_count_error_upper_bound"), F.lit(0)
+        ).alias("doc_count_error_upper_bound"),
+    )
+    wk = Window.orderBy(F.col("doc_count").desc(), F.col("term").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= size)
+        .select("rank", "term", "doc_count", "doc_count_error_upper_bound")
+    )
