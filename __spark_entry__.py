@@ -3981,6 +3981,17 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+def q_span_not(spark, sf_dir):
+    """Lucene SpanNotQuery: 'sort merge' phrase spans with no 'hash'
+    within 2 positions either side — positional exclusion, NOT a
+    per-document must_not (index/spans.py:span_not_counts)."""
+    from tokenkit_spark.index.spans import span_not_counts
+
+    return span_not_counts(
+        _docs(spark, sf_dir), "sort merge", "hash", pre=2, post=2
+    )
+
+
 def q_terms_sharded(spark, sf_dir):
     """Distributed ES terms agg WITH its approximation accounting:
     4 deterministic shards (doc_id % 4), each reporting only its local
@@ -4264,6 +4275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "span_not": q_span_not,
         "terms_sharded": q_terms_sharded,
         "lsh_plan": q_lsh_plan,
         "script_stats": q_script_stats,
@@ -4765,6 +4777,21 @@ m AS (SELECT doc_id,
       FROM g)"""
     return {
         # --- round-3 oracles ---
+        "span_not": r"""
+WITH toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
+       SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '') AS t FROM documents),
+     unnest(range(1, len(t) + 1)) AS u(i)),
+inc AS (SELECT a.doc_id, a.pos AS s, b.pos AS e
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'sort' AND b.term = 'merge'),
+good AS (SELECT i.* FROM inc i
+         WHERE NOT EXISTS (SELECT 1 FROM toks x
+                           WHERE x.doc_id = i.doc_id AND x.term = 'hash'
+                             AND x.pos >= i.s - 2 AND x.pos <= i.e + 2))
+SELECT doc_id, count(*) AS n_spans, min(s) AS first_span
+FROM good GROUP BY 1
+""",
         "terms_sharded": f"""
 WITH toks AS ({_TOKS}),
 counts AS (SELECT doc_id % 4 AS shard, term, count(*) AS cnt

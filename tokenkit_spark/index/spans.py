@@ -419,3 +419,65 @@ def intervals_ordered(
         .groupBy(F.col("__d0").alias(id_col))
         .agg(F.min("__gaps").alias("min_gaps"))
     )
+
+
+def span_not_counts(
+    docs: DataFrame,
+    phrase: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene ``SpanNotQuery`` over the relational positional stream:
+    occurrences of the two-term ``phrase`` (adjacent positions) that do
+    NOT have an occurrence of ``exclude`` within ``pre`` positions
+    before the span start or ``post`` positions after the span end —
+    the exclusion is positional, not per-document (a doc keeps its
+    clean spans even when a dirty one exists elsewhere in it; that is
+    the Lucene contract and the difference from a bool must_not).
+
+    Returns (doc_id, n_spans, first_span) for docs with >= 1 surviving
+    span.
+
+    Scale shape: whitespace-lowercase tokens posexplode to
+    (doc, pos, term); the phrase match is one self-equi-join on
+    (doc, pos+1); the exclusion is a left_anti against the exclude
+    term's positions with a bounded range predicate riding the doc-key
+    equi-join (never a cross product). Everything shuffles on doc_id
+    once."""
+    if len(phrase.split()) != 2:
+        raise ValueError("span_not_counts: phrase must be exactly two terms")
+    w1, w2 = (w.lower() for w in phrase.split())
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("pos", "term"),
+    )
+    a = toks.filter(F.col("term") == w1).select("doc_id", F.col("pos").alias("p1"))
+    b = toks.filter(F.col("term") == w2).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("pos").alias("p2")
+    )
+    inc = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_id_b")) & (F.col("p2") == F.col("p1") + 1),
+    ).select("doc_id", F.col("p1").alias("s"), F.col("p2").alias("e"))
+    ex = toks.filter(F.col("term") == exclude.lower()).select(
+        F.col("doc_id").alias("doc_id_x"), F.col("pos").alias("px")
+    )
+    good = inc.join(
+        ex,
+        (F.col("doc_id") == F.col("doc_id_x"))
+        & (F.col("px") >= F.col("s") - pre)
+        & (F.col("px") <= F.col("e") + post),
+        "left_anti",
+    )
+    return good.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.min("s").cast("long").alias("first_span"),
+    )
