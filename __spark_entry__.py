@@ -3981,6 +3981,16 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected doc link graph (Suri & Vassilvitskii WWW 2011 ordered-
+    wedge joins — each triangle found once, no dedup pass); top-20
+    (ops/linkgraph.py:triangle_counts)."""
+    from tokenkit_spark.ops import linkgraph
+
+    return linkgraph.triangle_counts(_link_edges(spark, sf_dir), k=20)
+
+
 def q_span_not(spark, sf_dir):
     """Lucene SpanNotQuery: 'sort merge' phrase spans with no 'hash'
     within 2 positions either side — positional exclusion, NOT a
@@ -4275,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "triangles": q_triangles,
         "span_not": q_span_not,
         "terms_sharded": q_terms_sharded,
         "lsh_plan": q_lsh_plan,
@@ -4777,6 +4788,29 @@ m AS (SELECT doc_id,
       FROM g)"""
     return {
         # --- round-3 oracles ---
+        "triangles": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM edges WHERE src <> dst),
+deg AS (SELECT node, count(*) AS degree FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+tris AS MATERIALIZED (SELECT e1.a AS i, e1.b AS j, e2.b AS k
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+pn AS (SELECT node, count(*) AS triangles FROM (
+         SELECT i AS node FROM tris UNION ALL SELECT j FROM tris
+         UNION ALL SELECT k FROM tris) GROUP BY 1),
+out AS (SELECT d.node, d.degree, coalesce(pn.triangles, 0) AS triangles,
+               CASE WHEN d.degree >= 2 THEN
+                 round(2.0 * coalesce(pn.triangles, 0)
+                       / (d.degree * (d.degree - 1.0)), 6)
+               ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN pn ON d.node = pn.node)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY triangles DESC, node ASC) AS rank,
+         node, degree, triangles, clustering
+  FROM out) WHERE rank <= 20
+""",
         "span_not": r"""
 WITH toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

@@ -147,3 +147,27 @@ def test_textrank_connective_term_wins(spark):
     )
     rows = textrank_keywords(docs, top_n=5).collect()
     assert rows[0].term == "spark"  # the hub term outranks frequent pairs
+
+
+def test_triangle_counts_k4(spark):
+    from tokenkit_spark.ops.linkgraph import triangle_counts
+
+    # K4 (complete graph on 4 nodes): C(3,2)=3 triangles per node,
+    # 4 triangles total, clustering 1.0 everywhere; edges given in
+    # mixed directions with a duplicate to exercise the undirecting
+    e = [(0, 1), (1, 0), (0, 2), (0, 3), (2, 1), (1, 3), (3, 2)]
+    rows = triangle_counts(
+        spark.createDataFrame(e, "src long, dst long"), k=10
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r.degree, r.triangles, r.clustering) == (3, 3, 1.0)
+
+
+def test_triangle_counts_path_has_none(spark):
+    from tokenkit_spark.ops.linkgraph import triangle_counts
+
+    rows = triangle_counts(
+        spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    ).collect()
+    assert all(r.triangles == 0 and r.clustering == 0.0 for r in rows)

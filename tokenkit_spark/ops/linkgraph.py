@@ -308,3 +308,67 @@ def weighted_pagerank(
     if round_digits is not None:
         ranks = ranks.select("node", F.round("pr", round_digits).alias("pr"))
     return ranks
+
+
+def triangle_counts(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over the UNDIRECTED version of the link graph — the standard
+    community-density signal (and the canonical MapReduce graph
+    benchmark; the ordered-wedge formulation below is Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW 2011).
+
+    Shape that survives scale: direct every undirected edge low->high
+    ONCE (`a < b`), so each triangle {i<j<k} is found exactly once as
+    the wedge (i,j)+(j,k) closed by (i,k) — two self-equi-joins, no
+    double counting, no post-hoc dedup, and the wedge join fans out on
+    the LOW endpoint, which the low->high orientation biases toward
+    low-degree vertices (the paper's fix for the high-degree-hub
+    reducer). Top-k by (triangles desc, node asc).
+
+    Returns (rank, node, degree, triangles, clustering) where
+    clustering = 2*triangles / (degree*(degree-1)), 0 for degree < 2.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = und.select(F.col("a").alias("i"), F.col("b").alias("j"))
+    e2 = und.select(F.col("a").alias("j"), F.col("b").alias("k"))
+    e3 = und.select(F.col("a").alias("i"), F.col("b").alias("k"))
+    tris = e1.join(e2, "j").join(e3, ["i", "k"])  # one row per triangle
+    per_node = (
+        tris.select(F.col("i").alias("node"))
+        .unionAll(tris.select(F.col("j").alias("node")))
+        .unionAll(tris.select(F.col("k").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1.0)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("clustering"),
+    )
+    w = Window.orderBy(F.col("triangles").desc(), F.col("node").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "node", "degree", "triangles", "clustering")
+    )
