@@ -4021,6 +4021,18 @@ def q_terms_sharded(spark, sf_dir):
     return aggs.terms_agg_sharded(toks, size=10, n_shards=4, shard_size=5)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis one-pass weighted sampling without
+    replacement (key = u^(1/w), top-k), weights = doc length, u = the
+    deterministic md5 fraction so the draw is engine-reproducible
+    (ops/sampling.py:weighted_sample)."""
+    from tokenkit_spark.ops.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir), "n_chars", k=50, salt="es1"
+    )
+
+
 def q_lsh_plan(spark, sf_dir):
     """MinHash-LSH banding planner (MMDS ch.3 S-curve): every (bands x
     rows) factorization of 64 permutations with its curve threshold
@@ -4288,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "span_not": q_span_not,
         "terms_sharded": q_terms_sharded,
+        "weighted_sample": q_weighted_sample,
         "lsh_plan": q_lsh_plan,
         "script_stats": q_script_stats,
         "kneser_ney": q_kneser_ney,
@@ -4847,6 +4860,16 @@ SELECT * FROM (
   SELECT row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rank,
          term, doc_count, doc_count_error_upper_bound
   FROM final) WHERE rank <= 10
+""",
+        "weighted_sample": """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         round(pow(greatest(('0x' || substring(md5(doc_id::VARCHAR || 'es1'), 1, 8))::BIGINT
+                            / 4294967296.0, pow(2.0, -33)),
+                   1.0 / n_chars), 10) AS es_key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, es_key FROM keyed
+ORDER BY es_key DESC, doc_id ASC LIMIT 50
 """,
         "lsh_plan": """
 WITH grid AS (

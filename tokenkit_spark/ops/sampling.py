@@ -150,3 +150,43 @@ def deterministic_shuffle(
     — a range-partitioned sort, never a single-partition window; the
     key itself is the total order."""
     return docs.withColumn("shuffle_key", sample_fraction_col(id_col, seed))
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement, one pass, no
+    reservoir (Efraimidis & Spirakis, "Weighted random sampling with a
+    reservoir", IPL 2006, algorithm A-ES): give each row the key
+
+        key_i = u_i ^ (1 / w_i),   u_i ~ U(0, 1)
+
+    and keep the k largest keys — provably equivalent to sequential
+    weighted draws without replacement. u_i here is the deterministic
+    md5 fraction (module doc), so the "random" sample is reproducible
+    across reruns, engines, and cluster sizes, and the whole operator
+    is a map-side projection + a top-k (`orderBy ... limit`, partial
+    top-k per partition — never a full sort at scale). Rows with
+    weight <= 0 are excluded (they can never be drawn).
+
+    Returns (id_col, weight_col, es_key) for the k sampled rows."""
+    if k <= 0:
+        raise ValueError("weighted_sample: k must be positive")
+    u = sample_fraction_col(id_col, salt)
+    # guard u=0 (key would be 0 regardless of weight): md5 fraction is
+    # 0 with probability 2^-32; nudge into (0, 1)
+    u = F.greatest(u, F.lit(2.0 ** -33))
+    key = F.round(
+        F.pow(u, 1.0 / F.col(weight_col)), round_digits
+    ).alias("es_key")
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .select(id_col, weight_col, key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
