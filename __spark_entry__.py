@@ -4021,6 +4021,24 @@ def q_terms_sharded(spark, sf_dir):
     return aggs.terms_agg_sharded(toks, size=10, n_shards=4, shard_size=5)
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (Wyllie list
+    ranking): chains doc_id -> doc_id-1 down to multiples of 7 (length
+    <= 6) resolve in 3 doubling rounds instead of 6 hop joins
+    (ops/linkgraph.py:resolve_pointer_chains)."""
+    from tokenkit_spark.ops import linkgraph
+
+    redirects = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") % 7 != 0)
+        .select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+        )
+    )
+    return linkgraph.resolve_pointer_chains(redirects, n_doublings=3)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis one-pass weighted sampling without
     replacement (key = u^(1/w), top-k), weights = doc length, u = the
@@ -4300,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "span_not": q_span_not,
         "terms_sharded": q_terms_sharded,
+        "resolve_redirects": q_resolve_redirects,
         "weighted_sample": q_weighted_sample,
         "lsh_plan": q_lsh_plan,
         "script_stats": q_script_stats,
@@ -4860,6 +4879,13 @@ SELECT * FROM (
   SELECT row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rank,
          term, doc_count, doc_count_error_upper_bound
   FROM final) WHERE rank <= 10
+""",
+        "resolve_redirects": """
+WITH f0 AS MATERIALIZED (SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 7 <> 0),
+f1 AS MATERIALIZED (SELECT a.src, coalesce(b.dst, a.dst) AS dst FROM f0 a LEFT JOIN f0 b ON a.dst = b.src),
+f2 AS MATERIALIZED (SELECT a.src, coalesce(b.dst, a.dst) AS dst FROM f1 a LEFT JOIN f1 b ON a.dst = b.src),
+f3 AS MATERIALIZED (SELECT a.src, coalesce(b.dst, a.dst) AS dst FROM f2 a LEFT JOIN f2 b ON a.dst = b.src)
+SELECT src, dst AS final FROM f3
 """,
         "weighted_sample": """
 WITH keyed AS (

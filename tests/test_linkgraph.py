@@ -171,3 +171,17 @@ def test_triangle_counts_path_has_none(spark):
         spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     ).collect()
     assert all(r.triangles == 0 and r.clustering == 0.0 for r in rows)
+
+
+def test_pointer_doubling_resolves_long_chain(spark):
+    from tokenkit_spark.ops.linkgraph import resolve_pointer_chains
+
+    # chain 1->2->...->8 (length 7 hops): 3 doublings resolve up to 2^3
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    got = {r.src: r.final for r in resolve_pointer_chains(edges, 3).collect()}
+    assert got == {i: 8 for i in range(1, 8)}
+    # 2 doublings (max 4 hops) must NOT fully resolve the head
+    partial = {r.src: r.final for r in resolve_pointer_chains(edges, 2).collect()}
+    assert partial[1] == 5 and partial[4] == 8

@@ -372,3 +372,34 @@ def triangle_counts(edges: DataFrame, k: int = 20) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("rank", "node", "degree", "triangles", "clustering")
     )
+
+
+def resolve_pointer_chains(
+    redirects: DataFrame, n_doublings: int = 4
+) -> DataFrame:
+    """Resolve redirect CHAINS (a->b, b->c, c->d ...) to their final
+    targets by pointer doubling (Wyllie's list-ranking technique, the
+    standard BSP/MapReduce shape): each round every pointer jumps to
+    its target's target, so ``n_doublings`` rounds resolve chains up to
+    length 2^n_doublings with only log(chain) self-joins — a naive walk
+    would need one join PER HOP, and crawl redirect chains (www ->
+    apex -> https -> canonical path -> CDN mirror) routinely run 5+
+    hops over 10^9 URLs.
+
+    Input (src, dst) single-step redirects; output (src, final) for
+    every redirecting URL. Nodes on a redirect CYCLE never reach a
+    fixpoint — after the fixed rounds they report whatever node the
+    doubled walk lands on (deterministic for a given n_doublings; the
+    SQL oracle unrolls the identical rounds). Each round is one
+    self-equi-join hash-partitioned on the join key."""
+    f = redirects.select("src", "dst")
+    for _ in range(n_doublings):
+        nxt = f.select(F.col("src").alias("__s2"), F.col("dst").alias("__d2"))
+        f = (
+            f.join(nxt, f["dst"] == F.col("__s2"), "left")
+            .select(
+                "src",
+                F.coalesce(F.col("__d2"), F.col("dst")).alias("dst"),
+            )
+        )
+    return f.withColumnRenamed("dst", "final")
