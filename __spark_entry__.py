@@ -4021,6 +4021,17 @@ def q_terms_sharded(spark, sf_dir):
     return aggs.terms_agg_sharded(toks, size=10, n_shards=4, shard_size=5)
 
 
+def q_moving_percentile(spark, sf_dir):
+    """ES moving_percentiles (exact type-1 form): per-day median of all
+    raw values in the trailing 3 calendar buckets
+    (ops/aggs.py:moving_percentile)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.moving_percentile(
+        _events(spark, sf_dir), interval="day", window=3, p=0.5
+    )
+
+
 def q_resolve_redirects(spark, sf_dir):
     """Redirect-chain resolution by pointer doubling (Wyllie list
     ranking): chains doc_id -> doc_id-1 down to multiples of 7 (length
@@ -4318,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "span_not": q_span_not,
         "terms_sharded": q_terms_sharded,
+        "moving_percentile": q_moving_percentile,
         "resolve_redirects": q_resolve_redirects,
         "weighted_sample": q_weighted_sample,
         "lsh_plan": q_lsh_plan,
@@ -4879,6 +4891,19 @@ SELECT * FROM (
   SELECT row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rank,
          term, doc_count, doc_count_error_upper_bound
   FROM final) WHERE rank <= 10
+""",
+        "moving_percentile": """
+WITH h AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                  list(value) AS vals
+           FROM events GROUP BY 1),
+w AS (SELECT bucket,
+             flatten(list(vals) OVER (ORDER BY bucket
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS arr
+      FROM h)
+SELECT bucket, len(arr) AS n_values,
+       round(list_sort(arr)[CAST(floor((len(arr) - 1) * 0.5) AS INT) + 1], 4)
+         AS moving_pct
+FROM w ORDER BY bucket
 """,
         "resolve_redirects": """
 WITH f0 AS MATERIALIZED (SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 7 <> 0),

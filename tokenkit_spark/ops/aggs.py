@@ -947,3 +947,50 @@ def terms_agg_sharded(
         .filter(F.col("rank") <= size)
         .select("rank", "term", "doc_count", "doc_count_error_upper_bound")
     )
+
+
+def moving_percentile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval: str = "day",
+    window: int = 3,
+    p: float = 0.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline agg, exact form: per calendar
+    bucket, the ``p``-percentile of ALL raw values in the trailing
+    ``window`` buckets (current included — the moving_percentiles
+    window convention, unlike moving_fn's shift=0). ES merges t-digest
+    sketches per window; this is the exact quantity those sketches
+    approximate, computed with the discrete (type-1) definition
+    ``sorted[floor((n-1)·p)]`` so an engine-independent oracle can
+    replay it bit-for-bit (no interpolation ambiguity).
+
+    Scale shape: raw values reduce to ONE array per calendar bucket in
+    a hash agg; the ordered window runs over the bucket stream (one row
+    per bucket), and the flatten + sort cost is bounded by
+    window · bucket_size — at web scale pair it with a coarser rollup
+    first if buckets hold 10^9 raw values (the t-digest trade ES makes;
+    documented, not hidden)."""
+    hist = events.groupBy(
+        F.date_format(
+            F.date_trunc(interval, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket")
+    ).agg(F.collect_list(value_col).alias("__vals"))
+    w = (
+        Window.orderBy("bucket").rowsBetween(-(window - 1), 0)
+    )
+    arr = F.flatten(F.collect_list("__vals").over(w))
+    sorted_arr = F.array_sort(arr)
+    idx = F.floor((F.size(sorted_arr) - 1) * F.lit(float(p))).cast("int") + 1
+    return (
+        hist.select(
+            "bucket",
+            F.size(arr).alias("n_values"),
+            F.round(F.element_at(sorted_arr, idx), round_digits).alias(
+                "moving_pct"
+            ),
+        )
+        .orderBy("bucket")
+    )
