@@ -3981,6 +3981,42 @@ def q_stats_bucket(spark, sf_dir):
     )
 
 
+def _cdc_docs(spark, sf_dir):
+    """documents with an ASCII-sanitized binary payload: bytes == chars,
+    so the DuckDB oracle can slice/md5 chunks with plain VARCHAR ops
+    (DuckDB 1.0 has no BLOB substring/md5)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.encode(F.regexp_replace("text", "[^ -~]", ""), "UTF-8").alias(
+            "payload"
+        ),
+    )
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking inventory (gear-hash mask rule per
+    FastCDC, Xia et al. ATC'16; ops/cdc.py:cdc_chunk_table), unclamped
+    (min=1, max=inf) so every mask hit is a boundary. The boundary test
+    needs only the low avg_bits bits of the 64-byte gear window hash,
+    so the oracle recomputes it exactly with 10 lag terms mod 1024 in
+    SQL and md5s the same chunk slices."""
+    from tokenkit_spark.ops import cdc
+
+    return cdc.cdc_chunk_table(
+        _cdc_docs(spark, sf_dir), avg_bits=10, min_size=1, max_size=1 << 40
+    )
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """Storage-dedup accounting over the CDC chunk inventory
+    (ops/cdc.py:cdc_dedup_stats): total referenced bytes vs unique
+    chunk bytes and the dedup ratio — the rsync/LBFS metric for how
+    much a chunk store saves on a recrawl corpus."""
+    from tokenkit_spark.ops import cdc
+
+    return cdc.cdc_dedup_stats(q_cdc_chunks(spark, sf_dir))
+
+
 def q_triangles(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficient over the
     undirected doc link graph (Suri & Vassilvitskii WWW 2011 ordered-
@@ -4326,6 +4362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_dedup": q_cdc_dedup,
         "triangles": q_triangles,
         "span_not": q_span_not,
         "terms_sharded": q_terms_sharded,
@@ -4830,8 +4868,64 @@ m AS (SELECT doc_id,
              list_distinct([list_aggregate(hs[j : j + 3], 'min')
                             FOR j IN range(1, greatest(1, len(hs) - 4 + 1) + 1)]) AS fp
       FROM g)"""
+    # CDC oracle: the gear window hash mod 2^10 needs only lags 0..9
+    # (gear[b_{{i-j}}] << j vanishes mod 1024 for j >= 10), so DuckDB can
+    # recompute boundaries exactly from a 256-row gear-low lookup.
+    from tokenkit_spark.ops.cdc import _GEAR
+
+    gear_vals = ", ".join(
+        f"({i}, {int(v) & 1023})" for i, v in enumerate(_GEAR)
+    )
+    cdc_chunks_cte = f"""
+gear(code, g) AS (VALUES {gear_vals}),
+p AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s FROM documents),
+gm AS (SELECT p.doc_id, u.i AS pos, ge.g
+       FROM p, unnest(range(1, length(p.s) + 1)) AS u(i)
+       JOIN gear ge ON ge.code = ascii(substring(p.s, u.i, 1))),
+h AS (SELECT doc_id, pos,
+        (g + 2 * coalesce(lag(g, 1) OVER w, 0)
+           + 4 * coalesce(lag(g, 2) OVER w, 0)
+           + 8 * coalesce(lag(g, 3) OVER w, 0)
+           + 16 * coalesce(lag(g, 4) OVER w, 0)
+           + 32 * coalesce(lag(g, 5) OVER w, 0)
+           + 64 * coalesce(lag(g, 6) OVER w, 0)
+           + 128 * coalesce(lag(g, 7) OVER w, 0)
+           + 256 * coalesce(lag(g, 8) OVER w, 0)
+           + 512 * coalesce(lag(g, 9) OVER w, 0)) % 1024 AS hlow
+      FROM gm WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ends AS (SELECT DISTINCT doc_id, e FROM (
+           SELECT doc_id, pos AS e FROM h WHERE hlow = 0
+           UNION ALL
+           SELECT doc_id, length(s) FROM p WHERE length(s) > 0)),
+ch AS (SELECT doc_id, e,
+              row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1
+                AS chunk_idx,
+              coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS o
+       FROM ends),
+cdc_chunks AS (
+  SELECT c.doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx,
+         CAST(c.o AS BIGINT) AS "offset",
+         CAST(c.e - c.o AS BIGINT) AS length,
+         md5(substring(p.s, CAST(c.o + 1 AS INT), CAST(c.e - c.o AS INT)))
+           AS chunk_hash
+  FROM ch c JOIN p USING (doc_id))"""
     return {
         # --- round-3 oracles ---
+        "cdc_chunks": f"""
+WITH {cdc_chunks_cte.strip()}
+SELECT * FROM cdc_chunks
+""",
+        "cdc_dedup": f"""
+WITH {cdc_chunks_cte.strip()},
+per AS (SELECT chunk_hash, count(*) AS refs, min(length) AS length
+        FROM cdc_chunks GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS distinct_chunks,
+       CAST(sum(refs * length) AS BIGINT) AS total_bytes,
+       CAST(sum(length) AS BIGINT) AS unique_bytes,
+       round(sum(refs * length) / sum(length), 4) AS dedup_ratio
+FROM per
+""",
         "triangles": f"""
 WITH {_LINK_EDGES_SQL.strip()},
 und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
