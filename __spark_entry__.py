@@ -4017,6 +4017,382 @@ def q_cdc_dedup(spark, sf_dir):
     return cdc.cdc_dedup_stats(q_cdc_chunks(spark, sf_dir))
 
 
+def q_frequent_item_sets(spark, sf_dir):
+    """ES frequent_item_sets agg (Apriori, level-wise, max size 3) over
+    per-user event-type baskets: which event types co-occur in the same
+    user's history, min_support 2, top-20 by (support desc, items asc)
+    (ops/aggs.py:frequent_item_sets)."""
+    from tokenkit_spark.ops import aggs
+
+    baskets = _events(spark, sf_dir).select(
+        F.col("user_id").alias("doc_id"),
+        F.col("event_type").alias("item"),
+    )
+    return aggs.frequent_item_sets(
+        baskets, min_support=2, max_size=3, k=20
+    )
+
+
+UNIGRAM_KW = dict(max_vocab=60, seed_size=80, max_piece_len=6, n_iter=3)
+_UNIGRAM_CACHE: dict[str, list] = {}
+
+
+def q_unigram_vocab(spark, sf_dir):
+    """Unigram-LM subword vocabulary (Kudo ACL 2018, deterministic
+    hard-EM variant — Viterbi E-step / add-one M-step / required-char
+    prune) trained distributed on the sf_dir corpus
+    (ops/unigram.py:train_unigram). Oracle: an INDEPENDENT
+    single-process trainer over the sf0.01 pretoken counts."""
+    if sf_dir not in _UNIGRAM_CACHE:
+        from tokenkit_spark.ops.unigram import train_unigram
+
+        _UNIGRAM_CACHE[sf_dir] = train_unigram(
+            _docs(spark, sf_dir).select("doc_id", "text"), **UNIGRAM_KW
+        )
+    model = _UNIGRAM_CACHE[sf_dir]
+    return spark.createDataFrame(
+        [(i, p, round(lp, 6)) for i, (p, lp) in enumerate(model)],
+        "rank long, piece string, logprob double",
+    )
+
+
+def _unigram_ref_train(pt_freqs, max_vocab, seed_size, max_piece_len, n_iter):
+    """Independent single-process unigram trainer — oracle twin of
+    ops/unigram.py:train_unigram (same seed/EM/prune contract,
+    separately implemented)."""
+    import math as _m
+
+    words = {}
+    for pt, f in pt_freqs:
+        words[pt] = words.get(pt, 0) + f
+    sub = {}
+    for w, f in words.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_piece_len) + 1):
+                p = w[i:j]
+                sub[p] = sub.get(p, 0) + f
+    chars = {p for p in sub if len(p) == 1}
+    multi = sorted(
+        (p for p in sub if len(p) > 1),
+        key=lambda p: (-sub[p] * len(p), p),
+    )[:seed_size]
+    vocab = sorted(chars | set(multi))
+
+    def m_step(counts):
+        total = sum(counts.get(v, 0) for v in vocab)
+        denom = total + len(vocab)
+        return {v: _m.log((counts.get(v, 0) + 1) / denom) for v in vocab}
+
+    logp = m_step({v: sub[v] for v in vocab})
+
+    def viterbi(word):
+        n = len(word)
+        NEG = float("-inf")
+        best = [(NEG, 0)] * (n + 1)
+        best[0] = (0.0, 0)
+        for i in range(1, n + 1):
+            cand = None
+            for j in range(max(0, i - max_piece_len), i):
+                piece = word[j:i]
+                lp = logp.get(piece)
+                if lp is None or best[j][0] == NEG:
+                    continue
+                key = (best[j][0] + lp, i - j, piece)
+                if cand is None or (
+                    key[0] > cand[0][0]
+                    or (key[0] == cand[0][0] and key[1] > cand[0][1])
+                    or (key[0] == cand[0][0] and key[1] == cand[0][1]
+                        and key[2] < cand[0][2])
+                ):
+                    cand = (key, j)
+            if cand is not None:
+                best[i] = (cand[0][0], cand[1])
+        out, i = [], n
+        while i > 0:
+            j = best[i][1]
+            out.append(word[j:i])
+            i = j
+        return list(reversed(out))
+
+    for _ in range(n_iter):
+        counts = {}
+        for w, f in words.items():
+            for p in viterbi(w):
+                counts[p] = counts.get(p, 0) + f
+        logp = m_step(counts)
+
+    ranked = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = {p for p, _ in ranked[:max_vocab]} | chars
+    return sorted(
+        ((p, lp) for p, lp in logp.items() if p in kept),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+
+
+def _unigram_oracle() -> dict[str, str]:
+    try:
+        import duckdb
+
+        from tokenkit_spark.ops.textstats import BPE_PRETOKEN_PATTERN
+
+        con = duckdb.connect()
+        pts = con.execute(
+            "SELECT pt, sum(c) FROM (SELECT unnest(regexp_extract_all(text, "
+            f"'{BPE_PRETOKEN_PATTERN}')) AS pt, 1 AS c FROM "
+            f"read_parquet('{_SF001_DOCS}')) GROUP BY 1"
+        ).fetchall()
+        model = _unigram_ref_train(pts, **UNIGRAM_KW)
+        esc = lambda s: s.replace("'", "''")
+        rows = ", ".join(
+            f"({i}, '{esc(p)}', CAST({round(lp, 6)!r} AS DOUBLE))"
+            for i, (p, lp) in enumerate(model)
+        )
+        return {
+            "unigram_vocab": (
+                f"SELECT * FROM (VALUES {rows}) t(rank, piece, logprob)"
+            )
+        }
+    except Exception:
+        return {}
+
+
+WORDPIECE_N_MERGES = 24
+_WORDPIECE_CACHE: dict[str, list] = {}
+
+
+def _wordpiece_merges_for(spark, sf_dir):
+    if sf_dir not in _WORDPIECE_CACHE:
+        from tokenkit_spark.ops import bpe
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        _WORDPIECE_CACHE[sf_dir] = bpe.train_wordpiece(
+            docs, n_merges=WORDPIECE_N_MERGES
+        )
+    return _WORDPIECE_CACHE[sf_dir]
+
+
+def _wordpiece_ref_train(pt_freqs, n_merges, min_pair_freq=2):
+    """Independent single-process WordPiece trainer over a (pretoken,
+    freq) table — oracle twin of ops/bpe.py:train_wordpiece. Likelihood
+    argmax score = pair/(fl*fr), ties (score desc, pair_freq desc,
+    left asc, right asc); both engines compute the score as one IEEE
+    double division of exact integer counts, so argmax agrees."""
+    vocab = {}
+    for pt, f in pt_freqs:
+        vocab[tuple(pt)] = vocab.get(tuple(pt), 0) + f
+    merges = []
+    for _ in range(n_merges):
+        pairs, syms = {}, {}
+        for s, f in vocab.items():
+            for c in s:
+                syms[c] = syms.get(c, 0) + f
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        scored = {
+            p: (c / (syms[p[0]] * syms[p[1]]), c) for p, c in pairs.items()
+        }
+        (l, r), (sc, best) = min(
+            scored.items(), key=lambda kv: (-kv[1][0], -kv[1][1], kv[0])
+        )
+        if best < min_pair_freq:
+            break
+        merges.append((l, r))
+        nv = {}
+        for s, f in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+    return merges
+
+
+def _wordpiece_oracle_support():
+    """Oracle constants for the WordPiece queries (BPE precedent):
+    (a) merges from the independent trainer on sf0.01 pretoken counts;
+    (b) pretoken -> greedy-encoded-tokens map under the PINNED vocab
+    over the union pretoken vocabulary of both check SFs."""
+    try:
+        import duckdb
+
+        from tokenkit_spark.ops.bpe import _encode_word_wordpiece
+        from tokenkit_spark.ops.textstats import BPE_PRETOKEN_PATTERN
+        from tokenkit_spark.ops.wordpiece_pinned import VOCAB
+
+        con = duckdb.connect()
+        q = (
+            "SELECT pt, sum(c) FROM (SELECT unnest(regexp_extract_all(text, "
+            f"'{BPE_PRETOKEN_PATTERN}')) AS pt, 1 AS c FROM read_parquet('{{f}}')) "
+            "GROUP BY 1"
+        )
+        sf001 = con.execute(q.format(f=_SF001_DOCS)).fetchall()
+        ref_merges = _wordpiece_ref_train(sf001, WORDPIECE_N_MERGES)
+
+        pts = {pt for pt, _ in sf001}
+        pts |= {
+            r[0]
+            for r in con.execute(
+                q.format(f="/root/testdata/sf0.001/documents.parquet")
+            ).fetchall()
+        }
+        vset = set(VOCAB)
+        sep = chr(31)
+        esc = lambda s: s.replace("'", "''")
+        enc_rows = ", ".join(
+            f"('{esc(pt)}', '{esc(sep.join(_encode_word_wordpiece(pt, vset)))}')"
+            for pt in sorted(pts)
+        )
+        merge_rows = ", ".join(
+            f"({i}, '{esc(l)}', '{esc(r)}')"
+            for i, (l, r) in enumerate(ref_merges)
+        )
+        return merge_rows, enc_rows
+    except Exception:
+        return None, None
+
+
+def q_wordpiece_merges(spark, sf_dir):
+    """Distributed WordPiece training (Schuster & Nakajima ICASSP 2012
+    likelihood-argmax variant of the merge loop) on the sf_dir corpus:
+    (rank, left, right) from ops/bpe.py:train_wordpiece. Oracle: the
+    independent single-process trainer at sf0.01."""
+    merges = _wordpiece_merges_for(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
+def q_wordpiece_token_stats(spark, sf_dir):
+    """Greedy longest-match WordPiece accounting under the PINNED
+    vocab (ops/wordpiece_pinned.py): per-doc token count, distinct
+    types, [UNK] count, chars/token
+    (ops/bpe.py:wordpiece_token_stats)."""
+    from tokenkit_spark.ops import bpe
+    from tokenkit_spark.ops.wordpiece_pinned import VOCAB
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bpe.wordpiece_token_stats(docs, VOCAB)
+
+
+def q_docid_reorder(spark, sf_dir):
+    """DocID-assignment compression A/B (Silvestri ECIR 2007): varint
+    bytes of every term's delta-encoded posting list under natural
+    (doc_id) vs clustered (lang, source) id assignment — the
+    URL-sort-order trick's measured gain on this corpus
+    (index/reorder.py:docid_assignment_gain)."""
+    from tokenkit_spark.index.reorder import docid_assignment_gain
+
+    return docid_assignment_gain(
+        _docs(spark, sf_dir), ["lang", "source"]
+    )
+
+
+def q_combined_fields(spark, sf_dir):
+    """ES combined_fields query (Lucene CombinedFieldQuery / Robertson
+    et al. CIKM 2004 BM25F-with-shared-b): title (first 5 tokens,
+    weight 2.0) + body merged into ONE synthetic field — weighted tf
+    and dl summed, idf from the union df — then plain BM25 saturation
+    (index/bm25f.py:combined_fields)."""
+    from tokenkit_spark.index.bm25f import combined_fields
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                F.filter(F.split("text", r"\s+"), lambda t: t != ""), 1, 5
+            ),
+            " ",
+        ).alias("title"),
+        F.col("text").alias("body"),
+    )
+    return combined_fields(
+        docs, _queries_df(spark), {"title": 2.0, "body": 1.0}
+    )
+
+
+def q_span_containing(spark, sf_dir):
+    """Lucene SpanContainingQuery: 'hash join' spans (ordered, slop 2)
+    that contain a 'merge' occurrence — big spans filtered by little
+    containment (index/spans.py:span_containing_counts)."""
+    from tokenkit_spark.index.spans import span_containing_counts
+
+    return span_containing_counts(
+        _docs(spark, sf_dir), "hash join", "merge", slop=2
+    )
+
+
+def q_span_within(spark, sf_dir):
+    """Lucene SpanWithinQuery: 'sort' occurrences falling within a
+    'merge join' span (ordered, slop 3) — the little side's positions
+    are what is emitted/counted, deduped across overlapping big spans
+    (index/spans.py:span_within_counts)."""
+    from tokenkit_spark.index.spans import span_within_counts
+
+    return span_within_counts(
+        _docs(spark, sf_dir), "sort", "merge join", slop=3
+    )
+
+
+def q_lm_dirichlet(spark, sf_dir):
+    """Top-10 LM-Dirichlet ranking (Zhai & Lafferty SIGIR 2001; Lucene
+    LMDirichletSimilarity semantics: add-one collection probability,
+    per-term 0-clamp), mu=2000 (index/lmsim.py:lm_dirichlet)."""
+    from tokenkit_spark.index.lmsim import lm_dirichlet
+
+    return lm_dirichlet(_docs(spark, sf_dir), _queries_df(spark), mu=2000.0)
+
+
+def q_lm_jelinek_mercer(spark, sf_dir):
+    """Top-10 LM-Jelinek-Mercer ranking (same paper; Lucene
+    LMJelinekMercerSimilarity), lambda=0.7 — the published long-query
+    tuning (index/lmsim.py:lm_jelinek_mercer)."""
+    from tokenkit_spark.index.lmsim import lm_jelinek_mercer
+
+    return lm_jelinek_mercer(_docs(spark, sf_dir), _queries_df(spark), lam=0.7)
+
+
+def q_classic_tfidf(spark, sf_dir):
+    """Top-10 classic vector-space ranking (Lucene ClassicSimilarity,
+    post-coord/queryNorm removal): sqrt-tf * idf^2 * 1/sqrt(dl)
+    (index/lmsim.py:classic_tfidf)."""
+    from tokenkit_spark.index.lmsim import classic_tfidf
+
+    return classic_tfidf(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_static_prune_eval(spark, sf_dir):
+    """Static index pruning audit (Carmel et al. SIGIR 2001, term-
+    centric): keep the top-8 postings per term (tf desc, doc_id asc),
+    score BM25 with FULL-corpus stats, and report per-query top-10
+    overlap vs the unpruned index
+    (index/pruning.py:static_prune_eval)."""
+    from tokenkit_spark.index.pruning import static_prune_eval
+
+    return static_prune_eval(
+        _docs(spark, sf_dir), _queries_df(spark), keep_per_term=8
+    )
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Label-propagation communities (Raghavan et al. 2007) on the
+    deterministic doc link graph: 4 synchronous rounds, most-frequent
+    neighbor label with ties toward the smallest label; top-20
+    communities by size. The oracle unrolls the rounds as chained CTE
+    levels like pagerank's (ops/communities.py:community_sizes)."""
+    from tokenkit_spark.ops.communities import community_sizes
+
+    return community_sizes(_link_edges(spark, sf_dir), n_iter=4, k=20)
+
+
 def q_triangles(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficient over the
     undirected doc link graph (Suri & Vassilvitskii WWW 2011 ordered-
@@ -4362,6 +4738,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "frequent_item_sets": q_frequent_item_sets,
+        "unigram_vocab": q_unigram_vocab,
+        "wordpiece_merges": q_wordpiece_merges,
+        "wordpiece_token_stats": q_wordpiece_token_stats,
+        "docid_reorder": q_docid_reorder,
+        "combined_fields_top10": q_combined_fields,
+        "span_containing": q_span_containing,
+        "span_within": q_span_within,
+        "lm_dirichlet_top10": q_lm_dirichlet,
+        "lm_jm_top10": q_lm_jelinek_mercer,
+        "classic_tfidf_top10": q_classic_tfidf,
+        "static_prune_eval": q_static_prune_eval,
+        "lpa_communities": q_lpa_communities,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dedup": q_cdc_dedup,
         "triangles": q_triangles,
@@ -4910,8 +5299,228 @@ cdc_chunks AS (
          md5(substring(p.s, CAST(c.o + 1 AS INT), CAST(c.e - c.o AS INT)))
            AS chunk_hash
   FROM ch c JOIN p USING (doc_id))"""
+    # shared stats CTE for the similarity-family oracles (tf/dl/df/cf +
+    # one-row globals + analyzed query terms) — mirrors lmsim._relations
+    lmsim_stats_cte = f"""
+toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+tstats AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM postings GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dstats),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t))"""
+
+    def _sim_oracle(per_term: str) -> str:
+        return f"""
+WITH {lmsim_stats_cte.strip()},
+scored AS (
+  SELECT q.query_id, p.doc_id, sum({per_term}) AS s
+  FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+ranked AS (SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(s, 4) DESC, doc_id) AS rank,
+       doc_id, round(s, 4) AS score FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+    # 4 synchronous LPA rounds unrolled; each level = neighbor-label
+    # count + deterministic argmax (n desc, label asc), exactly
+    # communities.label_propagation's rule
+    lpa_levels = "l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)"
+    for _i in range(1, 5):
+        lpa_levels += f""",
+c{_i} AS (SELECT u.src AS node, l.label, count(*) AS n
+          FROM und u JOIN l{_i - 1} l ON l.node = u.dst GROUP BY 1, 2),
+l{_i} AS (SELECT node, label FROM (
+           SELECT node, label, row_number() OVER (
+             PARTITION BY node ORDER BY n DESC, label ASC) AS r
+           FROM c{_i}) WHERE r = 1)"""
+
+    postoks_cte = r"""
+toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
+       SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '') AS t FROM documents),
+     unnest(range(1, len(t) + 1)) AS u(i))"""
+
+    varint_case = (
+        "CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2 "
+        "WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 ELSE 5 END"
+    )
     return {
         # --- round-3 oracles ---
+        "frequent_item_sets": """
+WITH b AS (SELECT DISTINCT user_id AS bid, event_type AS item FROM events),
+s1 AS (SELECT item, count(*) AS support FROM b GROUP BY 1
+       HAVING count(*) >= 2),
+fb AS (SELECT b.* FROM b JOIN s1 USING (item)),
+p2 AS (SELECT a.bid, a.item AS i1, c.item AS i2
+       FROM fb a JOIN fb c ON a.bid = c.bid AND c.item > a.item),
+s2 AS (SELECT i1, i2, count(*) AS support FROM p2 GROUP BY 1, 2
+       HAVING count(*) >= 2),
+p3 AS (SELECT p.bid, p.i1, p.i2, f.item AS i3
+       FROM (SELECT p2.* FROM p2 JOIN s2 USING (i1, i2)) p
+       JOIN fb f ON f.bid = p.bid AND f.item > p.i2),
+s3 AS (SELECT i1, i2, i3, count(*) AS support FROM p3 GROUP BY 1, 2, 3
+       HAVING count(*) >= 2),
+allsets AS (
+  SELECT item AS items, 1 AS size, support FROM s1
+  UNION ALL SELECT i1 || ' ' || i2, 2, support FROM s2
+  UNION ALL SELECT i1 || ' ' || i2 || ' ' || i3, 3, support FROM s3)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY support DESC, items ASC) AS rank,
+         items, size, support
+  FROM allsets) WHERE rank <= 20
+""",
+        "docid_reorder": f"""
+WITH dtoks AS (SELECT DISTINCT doc_id, lower(u.t) AS term FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),
+nat AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS new_id
+        FROM documents),
+clu AS (SELECT doc_id, row_number() OVER (ORDER BY lang, source, doc_id) - 1
+          AS new_id FROM documents),
+gn AS (SELECT n.new_id - coalesce(lag(n.new_id) OVER (
+         PARTITION BY t.term ORDER BY n.new_id), 0) AS gap
+       FROM dtoks t JOIN nat n USING (doc_id)),
+gc AS (SELECT c.new_id - coalesce(lag(c.new_id) OVER (
+         PARTITION BY t.term ORDER BY c.new_id), 0) AS gap
+       FROM dtoks t JOIN clu c USING (doc_id)),
+bn AS (SELECT count(*) AS n_postings,
+              CAST(sum({varint_case}) AS BIGINT) AS total_bytes FROM gn),
+bc AS (SELECT count(*) AS n_postings,
+              CAST(sum({varint_case}) AS BIGINT) AS total_bytes FROM gc)
+SELECT 'natural' AS ordering, n_postings, total_bytes,
+       round(total_bytes::DOUBLE / n_postings, 4) AS bytes_per_posting FROM bn
+UNION ALL
+SELECT 'clustered', n_postings, total_bytes,
+       round(total_bytes::DOUBLE / n_postings, 4) FROM bc
+""",
+        "combined_fields_top10": f"""
+WITH d AS (SELECT doc_id,
+             array_to_string(list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> '')[1:5], ' ') AS title,
+             text AS body FROM documents),
+alltoks AS (
+  SELECT doc_id, lower(u.t) AS term, 2.0 AS w FROM d,
+    unnest(list_filter(string_split_regex(title, '\\s+'), x -> x <> '')) AS u(t)
+  UNION ALL
+  SELECT doc_id, lower(u.t) AS term, 1.0 AS w FROM d,
+    unnest(list_filter(string_split_regex(body, '\\s+'), x -> x <> '')) AS u(t)),
+postings AS (SELECT doc_id, term, sum(w) AS tf FROM alltoks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, sum(w) AS dl FROM alltoks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * (p.tf * (1.2 + 1.0)
+                 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl))) ) AS s
+  FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+ranked AS (SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(s, 4) DESC, doc_id) AS rank,
+       doc_id, round(s, 4) AS score FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+""",
+        "span_containing": f"""
+WITH {postoks_cte.strip()},
+spans AS (SELECT a.doc_id, a.pos AS s, b.pos AS e
+          FROM toks a JOIN toks b ON b.doc_id = a.doc_id
+           AND b.pos > a.pos AND b.pos <= a.pos + 3
+          WHERE a.term = 'hash' AND b.term = 'join'),
+good AS (SELECT sp.* FROM spans sp
+         WHERE EXISTS (SELECT 1 FROM toks x WHERE x.doc_id = sp.doc_id
+                        AND x.term = 'merge'
+                        AND x.pos BETWEEN sp.s AND sp.e))
+SELECT doc_id, count(*) AS n_spans, min(s) AS first_span
+FROM good GROUP BY 1
+""",
+        "span_within": f"""
+WITH {postoks_cte.strip()},
+spans AS (SELECT a.doc_id, a.pos AS s, b.pos AS e
+          FROM toks a JOIN toks b ON b.doc_id = a.doc_id
+           AND b.pos > a.pos AND b.pos <= a.pos + 4
+          WHERE a.term = 'merge' AND b.term = 'join'),
+good AS (SELECT l.doc_id, l.pos AS p
+         FROM toks l
+         WHERE l.term = 'sort'
+           AND EXISTS (SELECT 1 FROM spans sp WHERE sp.doc_id = l.doc_id
+                        AND l.pos BETWEEN sp.s AND sp.e))
+SELECT doc_id, count(*) AS n_hits, min(p) AS first_pos
+FROM good GROUP BY 1
+""",
+        "lm_dirichlet_top10": _sim_oracle(
+            "greatest(ln(1 + p.tf / (2000.0 * ((t.cf + 1.0) / (g.total_tokens + 1.0))))"
+            " + ln(2000.0 / (d.dl + 2000.0)), 0.0)"
+        ),
+        "lm_jm_top10": _sim_oracle(
+            "greatest(ln(1 + ((1.0 - 0.7) * p.tf / d.dl)"
+            " / (0.7 * ((t.cf + 1.0) / (g.total_tokens + 1.0)))), 0.0)"
+        ),
+        "classic_tfidf_top10": _sim_oracle(
+            "sqrt(p.tf) * pow(1 + ln(g.n_docs / (t.df + 1.0)), 2) / sqrt(d.dl)"
+        ),
+        "static_prune_eval": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+pruned AS (SELECT term, doc_id, tf FROM (
+  SELECT term, doc_id, tf, row_number() OVER (
+    PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS r
+  FROM postings) WHERE r <= 8),
+sf AS (SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * (p.tf * (1.2 + 1.0)
+                 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl))) ) AS s
+  FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+sp AS (SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * (p.tf * (1.2 + 1.0)
+                 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl))) ) AS s
+  FROM qterms q JOIN pruned p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+topf AS (SELECT query_id, doc_id FROM (
+  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+    ORDER BY round(s, 4) DESC, doc_id) AS rank FROM sf) WHERE rank <= 10),
+topp AS (SELECT query_id, doc_id FROM (
+  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+    ORDER BY round(s, 4) DESC, doc_id) AS rank FROM sp) WHERE rank <= 10),
+nf AS (SELECT query_id, count(*) AS n_full FROM topf GROUP BY 1),
+np AS (SELECT query_id, count(*) AS n_pruned FROM topp GROUP BY 1),
+ov AS (SELECT f.query_id, count(*) AS overlap
+       FROM topf f JOIN topp p ON f.query_id = p.query_id
+        AND f.doc_id = p.doc_id GROUP BY 1)
+SELECT nf.query_id, nf.n_full, np.n_pruned,
+       coalesce(ov.overlap, 0) AS overlap,
+       round(coalesce(ov.overlap, 0) / greatest(nf.n_full, 1), 4)
+         AS overlap_frac
+FROM nf JOIN np USING (query_id) LEFT JOIN ov ON nf.query_id = ov.query_id
+""",
+        "lpa_communities": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges WHERE src <> dst
+    UNION ALL SELECT dst, src FROM edges WHERE src <> dst)),
+{lpa_levels},
+sizes AS (SELECT label AS community, count(*) AS size,
+                 min(node) AS min_node FROM l4 GROUP BY 1)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY size DESC, community ASC) AS rank,
+         community, size, min_node
+  FROM sizes) WHERE rank <= 20
+""",
         "cdc_chunks": f"""
 WITH {cdc_chunks_cte.strip()}
 SELECT * FROM cdc_chunks
@@ -6979,6 +7588,32 @@ FROM tv JOIN df USING (term) WHERE tv.doc_id % 167 = 0
             else {}
         ),
         **_bpe_oracles(),
+        **_wordpiece_oracles(),
+        **_unigram_oracle(),
+    }
+
+
+def _wordpiece_oracles() -> dict[str, str]:
+    merge_rows, enc_rows = _wordpiece_oracle_support()
+    if not merge_rows or not enc_rows:
+        return {}
+    from tokenkit_spark.ops.textstats import BPE_PRETOKEN_PATTERN
+
+    return {
+        "wordpiece_merges": (
+            f'SELECT * FROM (VALUES {merge_rows}) t(rank, "left", "right")'
+        ),
+        "wordpiece_token_stats": (
+            "WITH pt AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            f"'{BPE_PRETOKEN_PATTERN}')) AS pt FROM documents), "
+            f"m AS (SELECT * FROM (VALUES {enc_rows}) v(pt, toks)), "
+            "tok AS (SELECT doc_id, unnest(string_split(m.toks, chr(31))) AS tok "
+            "FROM pt JOIN m USING (pt)) "
+            "SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_types, "
+            "count(*) FILTER (tok = '[UNK]') AS n_unk, "
+            "round(sum(length(tok))::DOUBLE / count(*), 4) AS chars_per_token "
+            "FROM tok GROUP BY 1"
+        ),
     }
 
 

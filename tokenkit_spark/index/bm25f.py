@@ -253,3 +253,80 @@ def bm25_plus(
         .withColumnRenamed(id_col, "doc_id")
     )
     return _topk(scored, k, round_digits)
+
+
+def combined_fields(
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: dict[str, float],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """ES ``combined_fields`` query (Lucene ``CombinedFieldQuery``;
+    Robertson, Zaragoza & Taylor, "Simple BM25 extension to multiple
+    weighted fields", CIKM 2004 — the BM25F simplification with one
+    shared ``b``): term-centric scoring over a synthetic merged field,
+
+        tf*(t,d) = Σ_f w_f · tf_f(t,d)
+        dl*(d)   = Σ_f w_f · dl_f(d)        avgdl* = avg_d dl*(d)
+        df(t)    = |{d : t in ANY field}|
+
+    then plain BM25 saturation over (tf*, dl*, avgdl*).  Unlike
+    most_fields (per-field saturation summed) or dis_max (max), the
+    merged statistics make idf consistent across fields — the
+    structured-document contract.  ``fields``: {field_col: weight}.
+
+    Same relational shape as bm25f: per-field tf/dl aggregates union
+    into one weighted relation, globals broadcast, top-k window."""
+    wtf = None
+    wdl = None
+    for fld, wt in fields.items():
+        toks = _toks(docs, id_col, fld)
+        tf = toks.groupBy(id_col, "term").agg(
+            (F.count("*") * float(wt)).alias("wtf")
+        )
+        dl = toks.groupBy(id_col).agg(
+            (F.count("*") * float(wt)).alias("wdl")
+        )
+        wtf = tf if wtf is None else wtf.unionByName(tf)
+        wdl = dl if wdl is None else wdl.unionByName(dl)
+    postings = wtf.groupBy(id_col, "term").agg(F.sum("wtf").alias("tf"))
+    dstats = wdl.groupBy(id_col).agg(F.sum("wdl").alias("dl"))
+    globals_ = dstats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = postings.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("term"),
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (
+        F.col("tf") * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(float(k1))
+            * (1.0 - b + F.lit(float(b)) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        qterms.join(postings, "term")
+        .join(df_t, "term")
+        .join(dstats, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(idf * sat).alias("score"))
+        .withColumnRenamed(id_col, "doc_id")
+    )
+    return _topk(scored, k, round_digits)

@@ -1,0 +1,153 @@
+"""Language-model and classic-TF-IDF ranking similarities, relationally.
+
+Lucene ships a family of pluggable similarities beyond BM25; the two
+language-model ones and the legacy vector-space one are exact closed
+forms over the same (tf, dl, df, cf) statistics the BM25 plan already
+computes, so they cost the same relational shape:
+
+* **LM Dirichlet** (Zhai & Lafferty, "A Study of Smoothing Methods for
+  Language Models Applied to Ad Hoc Information Retrieval", SIGIR 2001;
+  Lucene ``LMDirichletSimilarity``): Bayesian smoothing with pseudo-
+  count ``mu`` of the document LM toward the collection LM.  Per
+  matched term, with Lucene's add-one collection probability
+  ``p(w|C) = (cf_w + 1) / (T + 1)`` (cf = collection term frequency,
+  T = total tokens):
+
+      s(t,d) = log(1 + tf / (mu * p(w|C))) + log(mu / (dl + mu))
+
+  clamped at 0 per term (Lucene returns ``max(score, 0)``), summed
+  over distinct query terms present in the doc.
+
+* **LM Jelinek-Mercer** (same paper; Lucene
+  ``LMJelinekMercerSimilarity``): linear interpolation with weight
+  ``lambda``:
+
+      s(t,d) = log(1 + ((1 - λ) * tf / dl) / (λ * p(w|C)))
+
+  clamped at 0 per term.  Small λ → conjunctive-ish (title queries),
+  λ≈0.7 → long queries — the published tuning.
+
+* **Classic TF-IDF** (Salton's vector space model as Lucene's
+  ``ClassicSimilarity``, post-Lucene-7 — no coord, no queryNorm):
+
+      s(t,d) = sqrt(tf) * (1 + ln(N / (df + 1)))^2 * (1 / sqrt(dl))
+
+Scale shape: identical to the BM25 relational plan — (doc, term) tf
+aggregate, per-doc dl, per-term df/cf, one-row broadcast of global
+stats, per-query top-k window.  No UDFs, no driver state; every stat
+has a map-side partial.  Reference semantics: Lucene 9
+``LMSimilarity``/``ClassicSimilarity`` contracts as documented above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tokenkit_spark.index.bm25f import _toks, _topk
+
+
+def _relations(docs, queries, id_col, text_col):
+    """Shared stats: (qterms, postings tf, dstats dl, term stats df+cf,
+    one-row globals n_docs/avgdl/total_tokens)."""
+    toks = _toks(docs, id_col, text_col)
+    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dstats = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tstats = postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    globals_ = dstats.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("term"),
+    )
+    return qterms, postings, dstats, tstats, globals_
+
+
+def _rank(qterms, postings, dstats, tstats, globals_, per_term, id_col,
+          k, round_digits):
+    scored = (
+        qterms.join(postings, "term")
+        .join(tstats, "term")
+        .join(dstats, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(per_term).alias("score"))
+        .withColumnRenamed(id_col, "doc_id")
+    )
+    return _topk(scored, k, round_digits)
+
+
+def lm_dirichlet(
+    docs: DataFrame,
+    queries: DataFrame,
+    mu: float = 2000.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k LM-Dirichlet ranking; ``queries``: (query_id, text)."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    p_c = (F.col("cf") + 1.0) / (F.col("total_tokens") + 1.0)
+    s = F.log(1.0 + F.col("tf") / (F.lit(float(mu)) * p_c)) + F.log(
+        F.lit(float(mu)) / (F.col("dl") + F.lit(float(mu)))
+    )
+    return _rank(
+        qterms, postings, dstats, tstats, globals_,
+        F.greatest(s, F.lit(0.0)), id_col, k, round_digits,
+    )
+
+
+def lm_jelinek_mercer(
+    docs: DataFrame,
+    queries: DataFrame,
+    lam: float = 0.7,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k LM-Jelinek-Mercer ranking; λ per Zhai & Lafferty."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    p_c = (F.col("cf") + 1.0) / (F.col("total_tokens") + 1.0)
+    s = F.log(
+        1.0
+        + ((1.0 - lam) * F.col("tf") / F.col("dl")) / (F.lit(float(lam)) * p_c)
+    )
+    return _rank(
+        qterms, postings, dstats, tstats, globals_,
+        F.greatest(s, F.lit(0.0)), id_col, k, round_digits,
+    )
+
+
+def classic_tfidf(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k classic vector-space ranking (Lucene ClassicSimilarity)."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    idf = 1.0 + F.log(F.col("n_docs") / (F.col("df") + 1.0))
+    s = F.sqrt(F.col("tf")) * idf * idf / F.sqrt(F.col("dl"))
+    return _rank(
+        qterms, postings, dstats, tstats, globals_, s, id_col, k,
+        round_digits,
+    )

@@ -481,3 +481,107 @@ def span_not_counts(
         F.count(F.lit(1)).alias("n_spans"),
         F.min("s").cast("long").alias("first_span"),
     )
+
+
+def _phrase_spans(toks, w1: str, w2: str, slop: int):
+    """Ordered two-term spans: (doc_id, s, e) with e the w2 position,
+    0 < e - s <= 1 + slop (Lucene ordered SpanNearQuery gap rule)."""
+    a = toks.filter(F.col("term") == w1).select(
+        "doc_id", F.col("pos").alias("s")
+    )
+    b = toks.filter(F.col("term") == w2).select(
+        F.col("doc_id").alias("__db"), F.col("pos").alias("e")
+    )
+    return a.join(
+        b,
+        (F.col("doc_id") == F.col("__db"))
+        & (F.col("e") > F.col("s"))
+        & (F.col("e") <= F.col("s") + 1 + slop),
+    ).select("doc_id", "s", "e")
+
+
+def _pos_stream(docs, text_col: str, id_col: str):
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("pos", "term"),
+    )
+
+
+def span_containing_counts(
+    docs: DataFrame,
+    big: str,
+    little: str,
+    slop: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene ``SpanContainingQuery``: spans of ``big`` (ordered
+    two-term near with ``slop``) that CONTAIN an occurrence of
+    ``little`` (s <= p <= e). Returns (doc_id, n_spans, first_span)
+    for docs with >= 1 qualifying big span.
+
+    Scale shape: same as span_not_counts — position stream shuffles on
+    doc_id once; containment is a left_semi with the range predicate
+    riding the doc-key equi-join."""
+    if len(big.split()) != 2:
+        raise ValueError("span_containing_counts: big must be two terms")
+    w1, w2 = (w.lower() for w in big.split())
+    toks = _pos_stream(docs, text_col, id_col)
+    spans = _phrase_spans(toks, w1, w2, slop)
+    lit = toks.filter(F.col("term") == little.lower()).select(
+        F.col("doc_id").alias("__dl"), F.col("pos").alias("p")
+    )
+    hit = spans.join(
+        lit,
+        (F.col("doc_id") == F.col("__dl"))
+        & (F.col("p") >= F.col("s"))
+        & (F.col("p") <= F.col("e")),
+        "left_semi",
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.min("s").cast("long").alias("first_span"),
+    )
+
+
+def span_within_counts(
+    docs: DataFrame,
+    little: str,
+    big: str,
+    slop: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene ``SpanWithinQuery``: occurrences of ``little`` that fall
+    WITHIN a span of ``big`` (ordered two-term near with ``slop``).
+    Returns (doc_id, n_hits, first_pos). The dual of span_containing:
+    same spans, but the LITTLE side's occurrences are what is counted
+    and deduplicated (a little hit inside two overlapping big spans
+    counts once — the Lucene contract, since the query emits the
+    little spans themselves)."""
+    if len(big.split()) != 2:
+        raise ValueError("span_within_counts: big must be two terms")
+    w1, w2 = (w.lower() for w in big.split())
+    toks = _pos_stream(docs, text_col, id_col)
+    spans = _phrase_spans(toks, w1, w2, slop).select(
+        F.col("doc_id").alias("__ds"), "s", "e"
+    )
+    lit = toks.filter(F.col("term") == little.lower()).select(
+        "doc_id", F.col("pos").alias("p")
+    )
+    hit = lit.join(
+        spans,
+        (F.col("doc_id") == F.col("__ds"))
+        & (F.col("p") >= F.col("s"))
+        & (F.col("p") <= F.col("e")),
+        "left_semi",
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("p").cast("long").alias("first_pos"),
+    )

@@ -994,3 +994,81 @@ def moving_percentile(
         )
         .orderBy("bucket")
     )
+
+
+def frequent_item_sets(
+    baskets: DataFrame,
+    min_support: int = 2,
+    max_size: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """ES ``frequent_item_sets`` agg (Agrawal & Srikant's Apriori,
+    VLDB 1994, level-wise): itemsets of size 1..``max_size`` occurring
+    in >= ``min_support`` baskets. ``baskets``: one (id, item) row per
+    distinct item per basket. Returns top-``k``
+    (rank, items array<string>, size, support) by (support desc,
+    items asc) — ES's doc_count ordering with a deterministic tie-break.
+
+    Scale shape: level L candidates come from joining frequent L-1
+    itemsets with frequent single items INSIDE each basket (classic
+    anti-monotonicity: every subset of a frequent set is frequent), so
+    the per-basket join fan-out is bounded by that basket's frequent
+    items — never an unconditioned cross join. Each level is one
+    basket-keyed equi-join + one hash aggregate; ``max_size`` bounds
+    the number of shuffles. Head-item skew lands in map-side-combinable
+    counts."""
+    b = baskets.select(
+        F.col(id_col).alias("bid"), F.col(item_col).alias("item")
+    ).distinct()
+    # L1
+    sup1 = b.groupBy("item").agg(F.count("*").alias("support")).filter(
+        F.col("support") >= min_support
+    )
+    fb = b.join(sup1.select("item"), "item")  # baskets restricted to L1
+    out = sup1.select(
+        F.array("item").alias("items"),
+        F.lit(1).alias("size"),
+        "support",
+    )
+    # itemsets as sorted arrays; grow by joining with a strictly
+    # greater frequent item present in the same basket
+    cur = fb.select("bid", F.array("item").alias("items"),
+                    F.col("item").alias("last"))
+    for size in range(2, max_size + 1):
+        grown = (
+            cur.join(
+                fb.select(F.col("bid").alias("bid2"),
+                          F.col("item").alias("nxt")),
+                (F.col("bid") == F.col("bid2"))
+                & (F.col("nxt") > F.col("last")),
+            )
+            .select(
+                "bid",
+                F.concat("items", F.array("nxt")).alias("items"),
+                F.col("nxt").alias("last"),
+            )
+        )
+        sup = grown.groupBy("items").agg(
+            F.count("*").alias("support")
+        ).filter(F.col("support") >= min_support)
+        if not sup.take(1):
+            break
+        out = out.unionByName(
+            sup.select("items", F.lit(size).alias("size"), "support")
+        )
+        cur = grown.join(sup.select("items"), "items")
+    w = Window.orderBy(
+        F.col("support").desc(), F.array_join("items", " ").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            F.array_join("items", " ").alias("items"),
+            "size",
+            "support",
+        )
+    )

@@ -262,3 +262,190 @@ def bpe_token_stats(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame
             4,
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima, "Japanese and Korean Voice Search",
+# ICASSP 2012; the BERT tokenizer): same merge loop as BPE but the pair
+# to merge maximizes the LIKELIHOOD score
+#
+#     score(a, b) = count(ab) / (count(a) * count(b))
+#
+# (the pair whose merge most increases the unigram-LM corpus
+# likelihood), and encoding is greedy longest-match-first against the
+# final vocabulary rather than rank-greedy merge replay.  Vocabulary
+# pieces here are position-independent strings (the BERT '##'
+# continuation marker is RENDERED on output, not trained as distinct
+# symbols) — documented simplification, mirrored exactly by the tests'
+# reference implementation and the pinned oracle map.
+# ---------------------------------------------------------------------------
+
+
+def _symbol_freqs(words: DataFrame) -> DataFrame:
+    return (
+        words.select(F.explode("symbols").alias("sym"), "freq")
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("sym_freq"))
+    )
+
+
+def train_wordpiece(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    pattern: str = BPE_PRETOKEN_PATTERN,
+    min_pair_freq: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Train a WordPiece merge table; returns merges in rank order.
+    Same distributed shape as ``train_bpe`` (the working table never
+    collects; each step rewrites only words containing the chosen
+    pair); the argmax adds two broadcast-sized joins of the pair table
+    with current symbol frequencies.  Ties break (score desc,
+    pair_freq desc, l asc, r asc) — deterministic: all inputs are
+    exact integer counts, so the score double is reproducible."""
+    spark = docs.sparkSession
+    words = (
+        pretoken_counts(docs, text_col, pattern)
+        .select(
+            F.expr("transform(sequence(1, length(pretoken)), "
+                   "i -> substring(pretoken, i, 1))").alias("symbols"),
+            "freq",
+        )
+        .persist()
+    )
+    words.count()
+
+    schema = "symbols array<string>, freq long"
+    merges: list[tuple[str, str]] = []
+    for step in range(n_merges):
+        syms = _symbol_freqs(words)
+        top = (
+            _adjacent_pair_counts(words)
+            .join(
+                syms.select(
+                    F.col("sym").alias("l"), F.col("sym_freq").alias("fl")
+                ),
+                "l",
+            )
+            .join(
+                syms.select(
+                    F.col("sym").alias("r"), F.col("sym_freq").alias("fr")
+                ),
+                "r",
+            )
+            .withColumn(
+                "score", F.col("pair_freq") / (F.col("fl") * F.col("fr"))
+            )
+            .orderBy(
+                F.col("score").desc(), F.col("pair_freq").desc(),
+                F.col("l").asc(), F.col("r").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_freq"] < min_pair_freq:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+
+        has_pair = F.expr(
+            "CASE WHEN size(symbols) < 2 THEN false ELSE "
+            "exists(sequence(1, size(symbols) - 1), "
+            f"i -> symbols[i-1] = {_sql_str(left)} AND symbols[i] = {_sql_str(right)}) END"
+        )
+        hit = words.filter(has_pair)
+        miss = words.filter(~has_pair)
+        n_base = max(spark.sparkContext.defaultParallelism, 2)
+        new_words = miss.unionByName(
+            hit.mapInPandas(_apply_merge_kernel(left, right), schema)
+        ).coalesce(n_base)
+        if (step + 1) % checkpoint_every == 0:
+            new_words = new_words.localCheckpoint(eager=True)
+        else:
+            new_words = new_words.persist()
+            new_words.count()
+        words.unpersist()
+        words = new_words
+    words.unpersist()
+    return merges
+
+
+def wordpiece_vocab(
+    merges: list[tuple[str, str]], alphabet: set[str] | list[str]
+) -> list[str]:
+    """Final vocabulary: corpus alphabet + every merge product,
+    deterministic sorted order."""
+    return sorted(set(alphabet) | {l + r for l, r in merges})
+
+
+def _encode_word_wordpiece(
+    word: str, vocab: set[str], unk: str = "[UNK]"
+) -> list[str]:
+    """Greedy longest-match-first (the BERT WordpieceTokenizer scan);
+    a word with any unmatchable remainder encodes to [unk] whole."""
+    pieces: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        j = n
+        while j > i and word[i:j] not in vocab:
+            j -= 1
+        if j == i:
+            return [unk]
+        pieces.append(("##" if i > 0 else "") + word[i:j])
+        i = j
+    return pieces
+
+
+def encode_wordpiece(
+    docs: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    pattern: str = BPE_PRETOKEN_PATTERN,
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """(doc_id, tokens array<string>) under greedy longest-match
+    WordPiece encoding; Arrow-batched with the same per-batch pretoken
+    memo as encode_bpe."""
+    vset = set(vocab)
+    import regex as _re
+
+    rx = _re.compile(pattern)
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+        for pdf in batch_iter:
+            toks_out = []
+            for text in pdf[text_col]:
+                toks: list[str] = []
+                for w in rx.findall(text or ""):
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = _encode_word_wordpiece(w, vset, unk)
+                        memo[w] = enc
+                    toks.extend(enc)
+                toks_out.append(toks)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tokens": toks_out})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        fn, "doc_id long, tokens array<string>"
+    )
+
+
+def wordpiece_token_stats(
+    docs: DataFrame, vocab: list[str], unk: str = "[UNK]"
+) -> DataFrame:
+    """Per-doc accounting under a WordPiece vocab:
+    (doc_id, n_tokens, n_types, n_unk, chars_per_token)."""
+    enc = encode_wordpiece(docs, vocab, unk=unk)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_types"),
+        F.size(F.filter("tokens", lambda t: t == unk)).alias("n_unk"),
+        F.round(
+            F.aggregate("tokens", F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / F.greatest(F.size("tokens"), F.lit(1)),
+            4,
+        ).alias("chars_per_token"),
+    )

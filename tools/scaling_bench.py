@@ -181,6 +181,16 @@ def main() -> None:
                 or p["query_efficiency"] > 1.02
                 or p["big"]["build_docs_per_sec"] < 0.5 * max_big
                 or p["small"]["build_docs_per_sec"] < 0.5 * max_small
+                # aggregate-cpu cap: 4x the cores buying < 1.5x the
+                # aggregate throughput is the hypervisor capping total
+                # CPU below big-leg demand (clean-epoch history on this
+                # box shows 2.7-3.4x); such a big leg measured the cap,
+                # not the plan. Detects the ALL-legs-capped window the
+                # relative max-leg rule above cannot see.
+                or p["big"]["build_docs_per_sec"]
+                < 1.5 * p["small"]["build_docs_per_sec"]
+                or p["big"]["queries_per_sec"]
+                < 1.5 * p["small"]["queries_per_sec"]
             )
         clean = [p for p in pairs if not p["throttle_suspect"]]
         best_build = max(clean or pairs, key=lambda p: p["build_efficiency"])
