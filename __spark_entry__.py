@@ -4017,6 +4017,33 @@ def q_cdc_dedup(spark, sf_dir):
     return cdc.cdc_dedup_stats(q_cdc_chunks(spark, sf_dir))
 
 
+def q_span_or(spark, sf_dir):
+    """Lucene SpanOrQuery: merged position stream of 'sort' OR 'hash'
+    per doc — distinct positions (two clauses on one position = one
+    span, the merged-stream contract)
+    (index/spans.py:span_or_counts)."""
+    from tokenkit_spark.index.spans import span_or_counts
+
+    return span_or_counts(_docs(spark, sf_dir), ["sort", "hash"])
+
+
+def q_nfc_stats(spark, sf_dir):
+    """Unicode NFC hygiene (UAX #15) over a corpus with decomposed
+    accents deterministically injected (doc_id % 3 == 0 gets a trailing
+    'e'+U+0301): per-doc is-already-NFC + length delta under
+    normalization (ops/webclean.py:nfc_stats). Oracle: DuckDB's
+    nfc_normalize over the same derived corpus."""
+    from tokenkit_spark.ops.webclean import nfc_stats
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" e\u0301"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return nfc_stats(docs)
+
+
 def q_frequent_item_sets(spark, sf_dir):
     """ES frequent_item_sets agg (Apriori, level-wise, max size 3) over
     per-user event-type baskets: which event types co-occur in the same
@@ -4738,6 +4765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "span_or": q_span_or,
+        "nfc_stats": q_nfc_stats,
         "frequent_item_sets": q_frequent_item_sets,
         "unigram_vocab": q_unigram_vocab,
         "wordpiece_merges": q_wordpiece_merges,
@@ -5350,6 +5379,22 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     )
     return {
         # --- round-3 oracles ---
+        "span_or": f"""
+WITH {postoks_cte.strip()}
+SELECT doc_id, count(DISTINCT pos) AS n_spans,
+       count(DISTINCT term) AS n_terms_matched, min(pos) AS first_pos
+FROM toks WHERE term IN ('sort', 'hash') GROUP BY 1
+""",
+        "nfc_stats": """
+WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' e' || chr(769)
+                  ELSE text END AS t
+           FROM documents)
+SELECT doc_id, t = nfc_normalize(t) AS is_nfc, length(t) AS raw_len,
+       length(nfc_normalize(t)) AS nfc_len,
+       length(t) - length(nfc_normalize(t)) AS delta_len
+FROM d
+""",
         "frequent_item_sets": """
 WITH b AS (SELECT DISTINCT user_id AS bid, event_type AS item FROM events),
 s1 AS (SELECT item, count(*) AS support FROM b GROUP BY 1

@@ -276,3 +276,42 @@ def test_span_within_dedups_overlapping_bigs(spark):
     )
     rows = span_within_counts(docs, "x", "a b", slop=3).collect()
     assert [(r.doc_id, r.n_hits, r.first_pos) for r in rows] == [(0, 1, 2)]
+
+
+def test_span_or_merged_stream(spark):
+    from tokenkit_spark.index.spans import span_or_counts
+
+    docs = spark.createDataFrame(
+        [(0, "sort hash sort x"), (1, "x y z"), (2, "hash")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.n_spans, r.n_terms_matched, r.first_pos)
+            for r in span_or_counts(docs, ["sort", "hash"]).collect()}
+    assert rows == {0: (3, 2, 0), 2: (1, 1, 0)}
+
+
+def test_nfc_stats_detects_decomposed(spark):
+    from tokenkit_spark.ops.webclean import nfc_stats
+
+    docs = spark.createDataFrame(
+        [(0, "caf\u00e9"), (1, "cafe\u0301"), (2, "plain")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.is_nfc, r.raw_len, r.nfc_len, r.delta_len)
+            for r in nfc_stats(docs).collect()}
+    assert rows[0] == (True, 4, 4, 0)
+    assert rows[1] == (False, 5, 4, 1)
+    assert rows[2] == (True, 5, 5, 0)
+
+
+def test_nfc_stats_catches_reorder_without_length_change(spark):
+    from tokenkit_spark.ops.webclean import nfc_stats
+
+    # canonical ordering puts dot-below (ccc 220) before acute
+    # (ccc 230); acute-then-dot is NOT NFC and normalizes to
+    # U+1EB9 (e with dot below) + U+0301 — 3 codepoints -> 2
+    s_wrong = "e\u0301\u0323"
+    docs = spark.createDataFrame([(0, s_wrong)], "doc_id long, text string")
+    r = nfc_stats(docs).collect()[0]
+    assert r.is_nfc == False
+    assert r.nfc_len == 2 and r.delta_len == 1

@@ -585,3 +585,27 @@ def span_within_counts(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("p").cast("long").alias("first_pos"),
     )
+
+
+def span_or_counts(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene ``SpanOrQuery`` over term clauses: the union of the
+    clause terms' position streams, per doc. Returns
+    (doc_id, n_spans, n_terms_matched, first_pos) for docs with >= 1
+    hit — n_spans counts distinct positions (two clauses matching the
+    same position yield one span, the Lucene merged-stream contract).
+
+    Scale shape: a single filtered scan of the position stream + one
+    doc-keyed aggregate; no joins at all."""
+    tset = [t.lower() for t in terms]
+    toks = _pos_stream(docs, text_col, id_col)
+    hits = toks.filter(F.col("term").isin(tset))
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("pos").alias("n_spans"),
+        F.countDistinct("term").alias("n_terms_matched"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

@@ -209,3 +209,39 @@ def script_stats(
         )[0]["s"]
     )
     return out.withColumn("dominant_script", dominant)
+
+
+def nfc_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC normalization hygiene (UAX #15): per-doc, is the
+    text already NFC-normal, and how much does normalization change it?
+    Returns (doc_id, is_nfc, raw_len, nfc_len, delta_len).
+
+    Web text routinely mixes precomposed and decomposed accents (the
+    same word in NFC and NFD forms hashes/dedups/tokenizes differently)
+    — corpus pipelines normalize to NFC first (HTML5/W3C guidance).
+    The normalization itself is a vectorized Arrow batch over Python's
+    unicodedata (the reference Unicode implementation); the stats are
+    Catalyst. Zero shuffle — pure map."""
+    import unicodedata
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    # is_nfc compares STRINGS, not lengths: normalization can reorder
+    # combining marks (canonical ordering) without changing the length
+    return docs.select(
+        id_col,
+        F.col(text_col).alias("__raw"),
+        _nfc(F.col(text_col)).alias("__nfc"),
+    ).select(
+        id_col,
+        (F.col("__raw") == F.col("__nfc")).alias("is_nfc"),
+        F.length("__raw").alias("raw_len"),
+        F.length("__nfc").alias("nfc_len"),
+        (F.length("__raw") - F.length("__nfc")).alias("delta_len"),
+    )
