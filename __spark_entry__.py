@@ -4750,6 +4750,60 @@ def q_has_parent(spark, sf_dir):
     )
 
 
+def q_roaring_sizes(spark, sf_dir):
+    """Roaring-bitmap vs delta+varint byte A/B for the top-20 largest
+    term doc-id sets (Chambi/Lemire et al. 2016 container rules:
+    array <=4096 / 8 KiB bitmap / run-optimized per 2^16 chunk) — the
+    Lucene live-docs-format design question answered exactly on this
+    corpus (index/roaring.py:roaring_audit)."""
+    from tokenkit_spark.index.roaring import roaring_audit
+
+    postings = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return roaring_audit(postings, k=20)
+
+
+def q_kcore_members(spark, sf_dir):
+    """k-core decomposition (Seidman 1983), k=5, synchronous peeling
+    with a 6-round budget (fixpoint at 4 on this graph; extra rounds
+    are no-ops) over the undirected doc link graph; top-25 members by
+    within-core degree (ops/kcore.py:kcore_audit). Oracle unrolls each
+    peel round as one CTE level."""
+    from tokenkit_spark.ops.kcore import kcore_audit
+
+    return kcore_audit(_link_edges(spark, sf_dir), k=5, rounds=6, top=25)
+
+
+def q_change_points(spark, sf_dir):
+    """ES change_point agg shape (Page 1954 CUSUM mean-shift): per
+    event_type, zero-filled daily buckets, argmax of the centered
+    cumulative deviation |S_t - (t/n)S_n| (earliest-day ties), scale-
+    normalized statistic + before/after means
+    (ops/changepoint.py:change_points)."""
+    from tokenkit_spark.ops.changepoint import change_points
+
+    return change_points(_events(spark, sf_dir))
+
+
+def q_bucket_correlation(spark, sf_dir):
+    """ES bucket_correlation pipeline (count_correlation): Pearson r
+    between each event_type's zero-filled daily count series and the
+    all-types daily total over the global calendar
+    (ops/changepoint.py:bucket_correlation)."""
+    from tokenkit_spark.ops.changepoint import bucket_correlation
+
+    return bucket_correlation(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 through the compressed segment index engine
     on sf0.001."""
@@ -4765,6 +4819,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "roaring_sizes": q_roaring_sizes,
+        "kcore_members": q_kcore_members,
+        "change_points": q_change_points,
+        "bucket_correlation": q_bucket_correlation,
         "span_or": q_span_or,
         "nfc_stats": q_nfc_stats,
         "frequent_item_sets": q_frequent_item_sets,
@@ -5377,8 +5435,126 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
         "CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2 "
         "WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 ELSE 5 END"
     )
+    kcore_levels = []
+    for i in range(1, 7):
+        kcore_levels.append(
+            f"a{i} AS MATERIALIZED (SELECT u.src AS node FROM und u "
+            f"JOIN a{i - 1} x ON u.src = x.node "
+            f"JOIN a{i - 1} y ON u.dst = y.node "
+            f"GROUP BY 1 HAVING count(*) >= 5)"
+        )
+    kcore_unroll = ",\n".join(kcore_levels)
+
     return {
         # --- round-3 oracles ---
+        "roaring_sizes": f"""
+WITH p AS (SELECT DISTINCT doc_id AS id, u.t AS term FROM (
+         SELECT doc_id, lower(text) AS lt FROM documents),
+       unnest(list_filter(string_split_regex(lt, '\\s+'), x -> x <> '')) AS u(t)),
+c AS (SELECT term, id, id // 65536 AS chunk FROM p),
+runs AS (SELECT term, chunk, id,
+       CASE WHEN id - coalesce(lag(id) OVER (
+              PARTITION BY term, chunk ORDER BY id), -2) <> 1
+            THEN 1 ELSE 0 END AS run_start FROM c),
+per_chunk AS (SELECT term, chunk, count(*) AS n,
+                     sum(run_start) AS n_runs FROM runs GROUP BY 1, 2),
+sized AS (SELECT term, n,
+       CASE WHEN 2 + 4 * n_runs <
+                 (CASE WHEN n <= 4096 THEN 2 * n ELSE 8192 END) THEN 'run'
+            WHEN n <= 4096 THEN 'array' ELSE 'bitmap' END AS kind,
+       least(2 + 4 * n_runs,
+             CASE WHEN n <= 4096 THEN 2 * n ELSE 8192 END) + 4
+         AS container_bytes FROM per_chunk),
+roaring AS (SELECT term, CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*) AS n_containers,
+       CAST(sum(CASE WHEN kind = 'array' THEN 1 ELSE 0 END) AS BIGINT) AS n_array,
+       CAST(sum(CASE WHEN kind = 'bitmap' THEN 1 ELSE 0 END) AS BIGINT) AS n_bitmap,
+       CAST(sum(CASE WHEN kind = 'run' THEN 1 ELSE 0 END) AS BIGINT) AS n_run,
+       CAST(sum(container_bytes) + 8 AS BIGINT) AS roaring_bytes
+       FROM sized GROUP BY 1),
+v AS (SELECT term, CAST(sum({varint_case}) AS BIGINT) AS varint_bytes FROM (
+       SELECT term, id - coalesce(lag(id) OVER (
+                PARTITION BY term ORDER BY id), 0) AS gap FROM c)
+      GROUP BY 1),
+out AS (SELECT r.term, r.n_docs, r.n_containers, r.n_array, r.n_bitmap,
+               r.n_run, r.roaring_bytes, v.varint_bytes,
+               round(r.roaring_bytes / CAST(v.varint_bytes AS DOUBLE), 4)
+                 AS ratio
+        FROM roaring r JOIN v USING (term))
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY n_docs DESC, term ASC) AS rank,
+         term, n_docs, n_containers, n_array, n_bitmap, n_run,
+         roaring_bytes, varint_bytes, ratio
+  FROM out) WHERE rank <= 20
+""",
+        "kcore_members": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+e AS (SELECT src, dst FROM edges WHERE src <> dst),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       SELECT src, dst FROM e
+       UNION ALL SELECT dst AS src, src AS dst FROM e)),
+a0 AS (SELECT DISTINCT src AS node FROM und),
+{kcore_unroll},
+deg AS (SELECT u.src AS node, count(*) AS degree FROM und u
+        JOIN a6 x ON u.src = x.node JOIN a6 y ON u.dst = y.node
+        GROUP BY 1)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY degree DESC, node ASC) AS rank,
+         node, degree FROM deg) WHERE rank <= 25
+""",
+        "change_points": """
+WITH days AS (SELECT event_type AS grp,
+                     CAST(date_trunc('day', ts) AS DATE) AS day,
+                     count(*) AS n FROM events GROUP BY 1, 2),
+span AS (SELECT grp, min(day) AS d0, max(day) AS d1 FROM days GROUP BY 1),
+cal AS (SELECT grp, CAST(unnest(generate_series(
+          CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+          INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+b AS (SELECT cal.grp, cal.day, coalesce(days.n, 0) AS n
+      FROM cal LEFT JOIN days ON days.grp = cal.grp AND days.day = cal.day),
+scored AS (SELECT grp, day, n,
+       row_number() OVER (PARTITION BY grp ORDER BY day) AS t,
+       count(*) OVER (PARTITION BY grp) AS n_buckets,
+       sum(n) OVER (PARTITION BY grp ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS s_t,
+       sum(n) OVER (PARTITION BY grp) AS s_n,
+       stddev_pop(n) OVER (PARTITION BY grp) AS sd FROM b),
+dv AS (SELECT *, abs(s_t - t / CAST(n_buckets AS DOUBLE) * s_n) AS dev
+       FROM scored WHERE t < n_buckets),
+best AS (SELECT grp, t AS t_star, round(dev / (1 + sd), 6) AS statistic,
+                n_buckets FROM (
+         SELECT *, row_number() OVER (PARTITION BY grp
+                  ORDER BY dev DESC, day ASC) AS r FROM dv) WHERE r = 1),
+seg AS (SELECT b.grp, b.day, b.n,
+               row_number() OVER (PARTITION BY b.grp ORDER BY b.day) AS t,
+               best.t_star, best.statistic, best.n_buckets
+        FROM b JOIN best ON b.grp = best.grp)
+SELECT grp AS event_type,
+       min(CASE WHEN t > t_star THEN day END) AS change_day,
+       statistic,
+       round(avg(CASE WHEN t <= t_star THEN n END), 6) AS mean_before,
+       round(avg(CASE WHEN t > t_star THEN n END), 6) AS mean_after,
+       n_buckets
+FROM seg GROUP BY grp, statistic, n_buckets ORDER BY event_type
+""",
+        "bucket_correlation": """
+WITH days AS (SELECT event_type AS grp,
+                     CAST(date_trunc('day', ts) AS DATE) AS day,
+                     count(*) AS n FROM events GROUP BY 1, 2),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM days),
+cal AS (SELECT CAST(unnest(generate_series(
+          CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+          INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+total AS (SELECT day, sum(n) AS total FROM days GROUP BY 1),
+grid AS (SELECT g.grp, c.day, coalesce(days.n, 0) AS n,
+                coalesce(total.total, 0) AS total
+         FROM cal c CROSS JOIN (SELECT DISTINCT grp FROM days) g
+         LEFT JOIN days ON days.grp = g.grp AND days.day = c.day
+         LEFT JOIN total ON total.day = c.day)
+SELECT grp AS event_type, round(corr(n, total), 6) AS r,
+       count(*) AS n_buckets
+FROM grid GROUP BY grp ORDER BY event_type
+""",
         "span_or": f"""
 WITH {postoks_cte.strip()}
 SELECT doc_id, count(DISTINCT pos) AS n_spans,
