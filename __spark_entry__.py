@@ -903,6 +903,19 @@ def q_bm25_top10_segments(spark, sf_dir):
     return bm25_segments(spark, index, _queries_df(spark), WS, k=10, round_digits=4)
 
 
+def q_bm25_maxscore(spark, sf_dir):
+    """Same exact top-k as q_bm25_top10_segments, but scored through the
+    block-max MAXSCORE operator (Turtle & Flood 1995; essential vs
+    non-essential lists by descending score upper bound) instead of
+    block-max WAND — the two classic dynamic-pruning strategies share
+    one oracle because both are exact (index/maxscore.py)."""
+    index = _index_for(spark, sf_dir)
+    return bm25_segments(
+        spark, index, _queries_df(spark), WS, k=10, round_digits=4,
+        pruning="maxscore",
+    )
+
+
 def q_bm25_conjunctive(spark, sf_dir):
     """AND-semantics top-k BM25 over the compressed index: only docs
     containing EVERY analyzed query term rank (rarest-first posting
@@ -4819,6 +4832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "bm25_maxscore_top10": q_bm25_maxscore,
         "roaring_sizes": q_roaring_sizes,
         "kcore_members": q_kcore_members,
         "change_points": q_change_points,
@@ -7092,6 +7106,7 @@ SELECT query_id, rank, term, fg_df, fg_size, bg_df, jlh FROM ranked WHERE rank <
             "(VALUES (1, 0.25), (2, 0.5), (3, 0.9), (4, 0.99)) p(i, pct)"
         ),
         "bm25_top10_segments": _BM25_ORACLE,
+        "bm25_maxscore_top10": _BM25_ORACLE,
         "bm25_conjunctive": _BM25_CONJ_ORACLE,
         "bm25_filtered": _BM25_FILTERED_ORACLE,
         "search_sorted": _SEARCH_SORTED_ORACLE,

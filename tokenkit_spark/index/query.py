@@ -391,6 +391,7 @@ def _score_shard_kernel(
     avgdl: float,
     use_blockmax: bool = True,
     direct_max_blocks: int = DIRECT_MAX_BLOCKS,
+    pruning: str = "wand",
 ):
     """mapInPandas kernel over segment rows already joined with
     (query_id, idf): for each (query, doc-shard) group, run the exact
@@ -403,7 +404,18 @@ def _score_shard_kernel(
     exhaustive memoized path instead (wand.score_query_direct): with
     nothing to prune, WAND's per-query threshold bookkeeping is pure
     overhead — this is what makes the 10^4+-query batch regime cheap on
-    short lists while huge lists still get pruning. Results identical."""
+    short lists while huge lists still get pruning. Results identical.
+
+    ``pruning`` selects the dynamic-pruning operator for long lists:
+    "wand" (block-max WAND, wand.py) or "maxscore" (block-max MAXSCORE,
+    maxscore.py) — both exact, same tie order, different skip
+    strategies (block-threshold vs essential/non-essential lists)."""
+    if pruning == "maxscore":
+        from . import maxscore as _ms
+
+        prune_fn = _ms.score_query_maxscore
+    else:
+        prune_fn = wand.score_query_shard
 
     def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # gather term rows per (query, shard) across this partition's
@@ -418,7 +430,7 @@ def _score_shard_kernel(
         out_q, out_d, out_s = [], [], []
         for (q, _shard), terms in groups.items():
             if use_blockmax and sum(len(t["block_last"]) for t in terms) > direct_max_blocks:
-                res = wand.score_query_shard(terms, avgdl, k)
+                res = prune_fn(terms, avgdl, k)
             else:  # short lists, or the A/B exhaustive fallback
                 res = wand.score_query_direct(terms, avgdl, k)
             ids, scores = res["doc_ids"], res["scores"]
@@ -439,12 +451,14 @@ def bm25_segments(
     round_digits: int | None = None,
     use_blockmax: bool = True,
     direct_max_blocks: int = DIRECT_MAX_BLOCKS,
+    pruning: str = "wand",
 ) -> DataFrame:
     """Top-k BM25 over the compressed doc-sharded index (see module doc)."""
     cfg = config or AnalyzerConfig()
     q_terms = analyze_queries(queries, cfg)
     return _bm25_from_qterms(
-        spark, index, q_terms, k, round_digits, use_blockmax, direct_max_blocks
+        spark, index, q_terms, k, round_digits, use_blockmax, direct_max_blocks,
+        pruning,
     )
 
 
@@ -495,6 +509,7 @@ def _bm25_from_qterms(
     round_digits: int | None = None,
     use_blockmax: bool = True,
     direct_max_blocks: int = DIRECT_MAX_BLOCKS,
+    pruning: str = "wand",
 ) -> DataFrame:
     """Core of bm25_segments over a pre-analyzed / pre-expanded
     (query_id, term) set — shared by the plain, fuzzy, prefix, and
@@ -516,7 +531,9 @@ def _bm25_from_qterms(
     candidates = (
         matched.repartition(_shard_partitions(spark, n_shards), "shard")
         .mapInPandas(
-            _score_shard_kernel(k_local, n_docs, avgdl, use_blockmax, direct_max_blocks),
+            _score_shard_kernel(
+                k_local, n_docs, avgdl, use_blockmax, direct_max_blocks, pruning
+            ),
             out_schema,
         )
     )
@@ -1508,6 +1525,7 @@ def bm25_segments_batch(
     round_digits: int | None = None,
     use_blockmax: bool = True,
     direct_max_blocks: int = DIRECT_MAX_BLOCKS,
+    pruning: str = "wand",
 ) -> DataFrame:
     """Batch-regime top-k BM25: the query set joins the segments
     RELATIONALLY — no driver ``collect()`` of the term list anywhere.
@@ -1550,7 +1568,9 @@ def bm25_segments_batch(
     candidates = (
         matched.repartition(_shard_partitions(spark, n_shards), "shard")
         .mapInPandas(
-            _score_shard_kernel(k_local, n_docs, avgdl, use_blockmax, direct_max_blocks),
+            _score_shard_kernel(
+                k_local, n_docs, avgdl, use_blockmax, direct_max_blocks, pruning
+            ),
             out_schema,
         )
     )
