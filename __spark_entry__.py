@@ -4763,6 +4763,57 @@ def q_has_parent(spark, sf_dir):
     )
 
 
+def q_fst_dict_sizes(spark, sf_dir):
+    """Front-coded term-dictionary byte audit per leading-char bucket
+    (block=16, the Lucene BlockTree layout question; prefix lengths in
+    chars, sizes in UTF-8 octets — index/termdict.py:front_coding_audit)."""
+    from tokenkit_spark.index.termdict import front_coding_audit
+
+    return front_coding_audit(_docs(spark, sf_dir), block=16, top=20)
+
+
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit V(T)=K·T^beta over per-doc
+    checkpoints in doc_id order — the zipf_fit twin and the term-dict
+    capacity-planning law (ops/textstats.py:heaps_fit)."""
+    from tokenkit_spark.ops.textstats import heaps_fit
+
+    return heaps_fit(_docs(spark, sf_dir))
+
+
+def q_dfs_vs_local(spark, sf_dir):
+    """ES dfs_query_then_fetch audit: score the BM25 query set with
+    per-shard (df, N) vs global stats over a doc_id%4-sharded corpus;
+    per query, top-10 overlap / top-1 survival / max rank shift
+    (index/dfs.py:dfs_vs_local_scoring)."""
+    from tokenkit_spark.index.dfs import dfs_vs_local_scoring
+
+    return dfs_vs_local_scoring(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_ltr_features(spark, sf_dir):
+    """Learning-to-rank feature extraction for the engine's BM25 top-10
+    candidates: (bm25, query_len, matched_terms, sum_tf, max_tf,
+    sum_idf, dl) per (query, doc) — candidates through the compressed
+    segment index, features relational (index/dfs.py:ltr_features)."""
+    from tokenkit_spark.index.dfs import ltr_features
+
+    index = _index_for(spark, sf_dir)
+    return ltr_features(
+        spark, index, _docs(spark, sf_dir), _queries_df(spark), WS, k=10
+    )
+
+
+def q_bucket_sort(spark, sf_dir):
+    """ES bucket_sort pipeline agg: per event_type, daily buckets
+    re-sorted by count desc (day asc tiebreak), paged from=1 size=5 —
+    bucket-list truncation after the child agg
+    (ops/events.py:bucket_sort)."""
+    from tokenkit_spark.ops.events import bucket_sort
+
+    return bucket_sort(_events(spark, sf_dir), sort_from=1, size=5)
+
+
 def q_roaring_sizes(spark, sf_dir):
     """Roaring-bitmap vs delta+varint byte A/B for the top-20 largest
     term doc-id sets (Chambi/Lemire et al. 2016 container rules:
@@ -4832,6 +4883,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "fst_dict_sizes": q_fst_dict_sizes,
+        "heaps_fit": q_heaps_fit,
+        "dfs_vs_local": q_dfs_vs_local,
+        "ltr_features": q_ltr_features,
+        "bucket_sort": q_bucket_sort,
         "bm25_maxscore_top10": q_bm25_maxscore,
         "roaring_sizes": q_roaring_sizes,
         "kcore_members": q_kcore_members,
@@ -5461,6 +5517,159 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
 
     return {
         # --- round-3 oracles ---
+        "fst_dict_sizes": """
+WITH terms AS (SELECT DISTINCT lower(u.t) AS term FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),
+w AS (SELECT term, substr(term, 1, 1) AS bucket,
+        row_number() OVER (PARTITION BY substr(term, 1, 1) ORDER BY term) AS rn,
+        lag(term) OVER (PARTITION BY substr(term, 1, 1) ORDER BY term) AS prev
+      FROM terms),
+coded AS (SELECT bucket, term,
+        CASE WHEN (rn - 1) % 16 = 0 THEN 1 + strlen(term)
+             ELSE 2 + strlen(substr(term,
+                    1 + len(list_filter(
+                          generate_series(1, least(length(term), length(prev))),
+                          i -> substr(term, 1, i) = substr(prev, 1, i))),
+                    length(term)))
+        END AS coded_bytes
+      FROM w),
+per_bucket AS (SELECT bucket, count(*) AS n_terms,
+        CAST(ceil(count(*) / 16.0) AS BIGINT) AS n_blocks,
+        CAST(sum(1 + strlen(term)) AS BIGINT) AS raw_bytes,
+        CAST(sum(coded_bytes) AS BIGINT) AS coded_bytes,
+        round(sum(coded_bytes) / CAST(sum(1 + strlen(term)) AS DOUBLE), 4)
+          AS ratio
+      FROM coded GROUP BY 1)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY n_terms DESC, bucket ASC) AS rank,
+         bucket, n_terms, n_blocks, raw_bytes, coded_bytes, ratio
+  FROM per_bucket) WHERE rank <= 20
+""",
+        "heaps_fit": """
+WITH toks AS (SELECT doc_id, u.t AS term FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+                          x -> x <> '')) AS u(t)),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+firsts AS (SELECT term, min(doc_id) AS doc_id FROM toks GROUP BY 1),
+newt AS (SELECT doc_id, count(*) AS new_terms FROM firsts GROUP BY 1),
+pts AS (SELECT
+          ln(CAST(sum(dl.dl) OVER w AS DOUBLE)) AS x,
+          ln(CAST(sum(coalesce(newt.new_terms, 0)) OVER w AS DOUBLE)) AS y
+        FROM dl LEFT JOIN newt USING (doc_id)
+        WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))
+SELECT count(*) AS n_points,
+       CAST(round(exp(max(x)), 0) AS BIGINT) AS t_total,
+       CAST(round(exp(max(y)), 0) AS BIGINT) AS v_total,
+       round(covar_pop(x, y) / var_pop(x), 4) AS beta,
+       round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4) AS ln_k,
+       round(covar_pop(x, y) * covar_pop(x, y)
+             / (var_pop(x) * var_pop(y)), 4) AS r2
+FROM pts
+""",
+        "dfs_vs_local": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+sharded AS (SELECT *, CAST(doc_id % 4 AS INT) AS shard FROM postings),
+dstats AS (SELECT doc_id, shard, sum(tf) AS dl FROM sharded GROUP BY 1, 2),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+shard_n AS (SELECT shard, count(*) AS n_docs_s FROM dstats GROUP BY 1),
+tstats_s AS (SELECT shard, term, count(*) AS df_s FROM sharded GROUP BY 1, 2),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+base AS (SELECT q.query_id, s.doc_id,
+           ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) AS idf_g,
+           ln(1 + (sn.n_docs_s - ts.df_s + 0.5) / (ts.df_s + 0.5)) AS idf_l,
+           s.tf * (1.2 + 1.0)
+             / (s.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) AS nrm
+        FROM qterms q
+        JOIN sharded s USING (term)
+        JOIN dstats d ON d.doc_id = s.doc_id AND d.shard = s.shard
+        JOIN tstats t ON t.term = s.term
+        JOIN tstats_s ts ON ts.term = s.term AND ts.shard = s.shard
+        JOIN shard_n sn ON sn.shard = s.shard
+        CROSS JOIN g),
+scored AS (SELECT query_id, doc_id,
+             round(sum(idf_g * nrm), 4) AS s_global,
+             round(sum(idf_l * nrm), 4) AS s_local
+           FROM base GROUP BY 1, 2),
+gtop AS (SELECT query_id, doc_id, rank_global FROM (
+           SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY s_global DESC, doc_id) AS rank_global
+           FROM scored) WHERE rank_global <= 10),
+ltop AS (SELECT query_id, doc_id, rank_local FROM (
+           SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY s_local DESC, doc_id) AS rank_local
+           FROM scored) WHERE rank_local <= 10),
+j AS (SELECT coalesce(gt.query_id, lt.query_id) AS query_id,
+             gt.rank_global, lt.rank_local
+      FROM gtop gt FULL JOIN ltop lt
+        ON gt.query_id = lt.query_id AND gt.doc_id = lt.doc_id)
+SELECT query_id,
+       CAST(sum(CASE WHEN rank_global IS NOT NULL AND rank_local IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS overlap_k,
+       CAST(coalesce(max(CASE WHEN rank_global = 1 AND rank_local = 1
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS top1_same,
+       CAST(coalesce(max(abs(rank_global - rank_local)), 0) AS BIGINT)
+         AS max_rank_shift
+FROM j GROUP BY 1 ORDER BY 1
+""",
+        "ltr_features": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS bm25
+  FROM scored),
+qlen AS (SELECT query_id, count(*) AS query_len FROM qterms GROUP BY 1),
+feats AS (SELECT q.query_id, p.doc_id,
+            count(*) AS matched_terms,
+            CAST(sum(p.tf) AS BIGINT) AS sum_tf,
+            max(p.tf) AS max_tf,
+            round(sum(ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))), 4)
+              AS sum_idf
+          FROM qterms q
+          JOIN postings p USING (term)
+          JOIN tstats t USING (term)
+          CROSS JOIN globals g
+          GROUP BY 1, 2)
+SELECT r.query_id, r.doc_id, r.bm25, ql.query_len, f.matched_terms,
+       f.sum_tf, f.max_tf, f.sum_idf, d.dl
+FROM ranked r
+JOIN feats f ON f.query_id = r.query_id AND f.doc_id = r.doc_id
+JOIN dstats d ON d.doc_id = r.doc_id
+JOIN qlen ql ON ql.query_id = r.query_id
+WHERE r.rank <= 10
+""",
+        "bucket_sort": """
+WITH b AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY n DESC, day ASC) AS bucket_rank FROM b)
+SELECT event_type, day, n, bucket_rank
+FROM r WHERE bucket_rank > 1 AND bucket_rank <= 6
+""",
         "roaring_sizes": f"""
 WITH p AS (SELECT DISTINCT doc_id AS id, u.t AS term FROM (
          SELECT doc_id, lower(text) AS lt FROM documents),

@@ -290,3 +290,35 @@ def rate_agg(
         "n_events",
         F.round(F.col("__v") / div, round_digits).alias("rate"),
     )
+
+
+def bucket_sort(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    sort_from: int = 1,
+    size: int = 5,
+) -> DataFrame:
+    """ES ``bucket_sort`` pipeline aggregation: inside each parent
+    bucket (here ``group_col``), re-sort the child date_histogram
+    buckets by a metric (doc count desc, day asc as the deterministic
+    tiebreak), then page with ``from``/``size`` — truncating the bucket
+    list itself, not the documents (the ES contract: bucket_sort runs
+    AFTER the child aggs and discards buckets outside the page).
+
+    Scale shape: one (group, day) count aggregate, one window
+    partitioned by group over bucket-count-sized data. Returns
+    (event_type, day, n, bucket_rank) for ranks in
+    (sort_from, sort_from + size]."""
+    buckets = events.groupBy(
+        F.col(group_col), F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), F.col("day").asc())
+    return (
+        buckets.withColumn("bucket_rank", F.row_number().over(w).cast("long"))
+        .filter(
+            (F.col("bucket_rank") > sort_from)
+            & (F.col("bucket_rank") <= sort_from + size)
+        )
+        .select(group_col, "day", "n", "bucket_rank")
+    )

@@ -732,3 +732,63 @@ def kneser_ney_perplexity(
             F.round(F.exp(-F.avg(F.log(p))), round_digits).alias("kn_ppl"),
         )
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(T) = K · T^beta, estimated by
+    OLS of ln V on ln T over per-document checkpoints, where T is the
+    running token count and V the running distinct-vocabulary size in
+    ``id_col`` order (Heaps 1978; beta ~ 0.4-0.6 for natural text — a
+    crawl whose beta collapses toward 0 is template-dominated, toward 1
+    is junk/UUID-dominated; the twin corpus gate to zipf_fit, and the
+    sizing law for term-dictionary capacity planning at 10^12 docs).
+
+    Scale shape: one tokenize pass; vocabulary first-occurrence via a
+    per-term MIN aggregate; both running sums are per-document
+    cumulatives in one ordered window over the doc-count-sized relation
+    (at web scale, checkpoint on a doc-id sample instead of every doc —
+    the estimator only needs O(100) points; the window itself
+    partitions by range at cluster scale). Returns one row:
+    (n_points, t_total, v_total, beta, ln_k, r2)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z']+"), lambda t: t != ""
+            )
+        ).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    new_terms = (
+        toks.groupBy("term")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("new_terms"))
+    )
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        dl.join(new_terms, id_col, "left")
+        .fillna(0, subset=["new_terms"])
+        .select(
+            F.log(F.sum("dl").over(w).cast("double")).alias("x"),
+            F.log(F.sum("new_terms").over(w).cast("double")).alias("y"),
+        )
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return pts.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.exp(F.max("x")), 0).cast("long").alias("t_total"),
+        F.round(F.exp(F.max("y")), 0).cast("long").alias("v_total"),
+        F.round(slope, round_digits).alias("beta"),
+        F.round(F.avg("y") - slope * F.avg("x"), round_digits).alias("ln_k"),
+        F.round(
+            F.covar_pop("x", "y") * F.covar_pop("x", "y")
+            / (F.var_pop("x") * F.var_pop("y")),
+            round_digits,
+        ).alias("r2"),
+    )
