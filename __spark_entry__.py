@@ -4763,6 +4763,84 @@ def q_has_parent(spark, sf_dir):
     )
 
 
+def q_word_delimiter_terms(spark, sf_dir):
+    """Lucene word_delimiter_graph (default flags) over whitespace
+    pre-tokens: possessive-'s strip, case-transition / letter-digit /
+    non-alnum splits; top-100 parts by frequency
+    (analyzers/filters.py:word_delimiter_col)."""
+    from tokenkit_spark.analyzers.filters import word_delimiter_col
+
+    parts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(F.explode(word_delimiter_col("tok")).alias("part"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("part").asc())
+    return (
+        parts.groupBy("part")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "part", "freq")
+    )
+
+
+_DECOMPOUND_PARTS = [
+    # pinned morpheme dictionary, chosen to intersect the synthetic
+    # corpus vocabulary so the scan exercises real multi-hit paths
+    "able", "win", "dow", "park", "ream", "tab", "col", "use",
+    "row", "ord", "val", "ter", "tom", "man", "err", "lue",
+]
+
+
+def q_decompound_terms(spark, sf_dir):
+    """Lucene dictionary decompounder (min_word_size=5, every start
+    offset probed, onlyLongestMatch=false) against a pinned morpheme
+    dictionary; per dictionary part: tokens containing it and total
+    occurrences (analyzers/filters.py:decompound_occurrences)."""
+    from tokenkit_spark.analyzers.filters import decompound_occurrences
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    parts = spark.createDataFrame(
+        [(p,) for p in _DECOMPOUND_PARTS], "part string"
+    )
+    hits = toks.crossJoin(F.broadcast(parts)).withColumn(
+        "occ", decompound_occurrences("tok", "part", min_word_size=5)
+    )
+    return (
+        hits.filter(F.col("occ") > 0)
+        .groupBy("part")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("occ").alias("occurrences"),
+        )
+        .orderBy("part")
+    )
+
+
+def q_qpp_predictors(spark, sf_dir):
+    """Pre-retrieval query-difficulty predictors per BM25 query:
+    avg/max idf, AvICTF, SCQ, simplified clarity, query scope
+    (He & Ounis 2004; Carmel & Yom-Tov 2010 — index/qpp.py)."""
+    from tokenkit_spark.index.qpp import qpp_predictors
+
+    return qpp_predictors(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_downsample_rollup(spark, sf_dir):
+    """ES TSDB _downsample rollup: one row per (hour, event_type) with
+    value_count/min/max/sum + first/last raw timestamp
+    (ops/events.py:downsample_rollup)."""
+    from tokenkit_spark.ops.events import downsample_rollup
+
+    return downsample_rollup(_events(spark, sf_dir))
+
+
 def q_fst_dict_sizes(spark, sf_dir):
     """Front-coded term-dictionary byte audit per leading-char bucket
     (block=16, the Lucene BlockTree layout question; prefix lengths in
@@ -4883,6 +4961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "word_delimiter_terms": q_word_delimiter_terms,
+        "decompound_terms": q_decompound_terms,
+        "qpp_predictors": q_qpp_predictors,
+        "downsample_rollup": q_downsample_rollup,
         "fst_dict_sizes": q_fst_dict_sizes,
         "heaps_fit": q_heaps_fit,
         "dfs_vs_local": q_dfs_vs_local,
@@ -5515,8 +5597,73 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
         )
     kcore_unroll = ",\n".join(kcore_levels)
 
+    decompound_values = ", ".join(f"('{p}')" for p in _DECOMPOUND_PARTS)
     return {
         # --- round-3 oracles ---
+        "word_delimiter_terms": """
+WITH toks AS (SELECT u.t AS tok FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),
+wd AS (SELECT regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(tok, '''[sS]\\b', '', 'g'),
+              '([a-z])([A-Z])', '\\1 \\2', 'g'),
+            '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+          '([0-9])([A-Za-z])', '\\1 \\2', 'g') AS s FROM toks),
+parts AS (SELECT u.p AS part FROM wd,
+       unnest(list_filter(string_split_regex(s, '[^A-Za-z0-9]+'), x -> x <> '')) AS u(p)),
+counts AS (SELECT part, count(*) AS freq FROM parts GROUP BY 1)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY freq DESC, part ASC) AS rank, part, freq
+  FROM counts) WHERE rank <= 100
+""",
+        "decompound_terms": f"""
+WITH toks AS (SELECT u.t AS tok FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS u(t)),
+dict(part) AS (VALUES {decompound_values}),
+hits AS (SELECT d.part,
+           CASE WHEN length(tok) >= 5 AND length(d.part) <= length(tok)
+                THEN len(list_filter(
+                       generate_series(1, length(tok) - length(d.part) + 1),
+                       i -> substr(tok, i, length(d.part)) = d.part))
+                ELSE 0 END AS occ
+         FROM toks CROSS JOIN dict d)
+SELECT part, count(*) AS n_tokens, CAST(sum(occ) AS BIGINT) AS occurrences
+FROM hits WHERE occ > 0 GROUP BY 1 ORDER BY 1
+""",
+        "qpp_predictors": f"""
+WITH toks AS ({_TOKS}),
+tstats AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+           FROM toks GROUP BY 1),
+g AS (SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS c_size FROM toks),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+matched AS (SELECT q.query_id, t.df, t.cf FROM qterms q JOIN tstats t USING (term)),
+perq AS (SELECT query_id, count(*) AS n_terms,
+    round(avg(ln(1 + (g.n_docs - df + 0.5) / (df + 0.5))), 4) AS avg_idf,
+    round(max(ln(1 + (g.n_docs - df + 0.5) / (df + 0.5))), 4) AS max_idf,
+    round(avg(ln(g.c_size / cf)), 4) AS avg_ictf,
+    round(sum((1 + ln(cf)) * ln(1 + (g.n_docs - df + 0.5) / (df + 0.5))), 4)
+      AS sum_scq,
+    round(-ln(count(*)) - sum(ln(cf / CAST(g.c_size AS DOUBLE))) / count(*), 4)
+      AS scs
+  FROM matched CROSS JOIN g GROUP BY query_id, g.n_docs, g.c_size),
+scope AS (SELECT q.query_id, count(DISTINCT tk.doc_id) AS n_union
+          FROM qterms q JOIN toks tk USING (term) GROUP BY 1)
+SELECT p.query_id, p.n_terms, p.avg_idf, p.max_idf, p.avg_ictf, p.sum_scq,
+       p.scs,
+       round(-ln(s.n_union / CAST(g.n_docs AS DOUBLE)), 4) AS query_scope
+FROM perq p JOIN scope s USING (query_id) CROSS JOIN g ORDER BY 1
+""",
+        "downsample_rollup": """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       count(*) AS value_count,
+       round(min(value), 6) AS v_min, round(max(value), 6) AS v_max,
+       round(sum(value), 6) AS v_sum,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "fst_dict_sizes": """
 WITH terms AS (SELECT DISTINCT lower(u.t) AS term FROM documents,
        unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),

@@ -271,3 +271,57 @@ def shingles_col(tokens_col: str | Column, n: int = 2, sep: str = " ") -> Column
     return F.when(size >= F.lit(n), windows).otherwise(
         F.array().cast("array<string>")
     )
+
+
+# ---------------------------------------------------------------------------
+# word_delimiter_graph (Lucene/ES defaults) — pure Catalyst
+# ---------------------------------------------------------------------------
+
+def word_delimiter_col(token_col: str | Column) -> Column:
+    """Lucene ``word_delimiter_graph`` with default flags, as a pure
+    Catalyst expression over ONE token: returns the array of word/number
+    parts. Default behavior implemented (reference: Lucene
+    WordDelimiterGraphFilter docs): split on non-alphanumerics, on
+    lower→upper case transitions ("PowerShot" → Power, Shot), on
+    letter↔digit transitions ("SD500" → SD, 500); English possessive
+    's stripped first ("O'Neil's" → O, Neil); generate_word_parts +
+    generate_number_parts on, catenate_* and preserve_original off.
+
+    Regex subset is RE2-safe (no lookarounds) so the DuckDB oracle can
+    state the identical transform."""
+    c = F.col(token_col) if isinstance(token_col, str) else token_col
+    c = F.regexp_replace(c, r"'[sS]\b", "")
+    c = F.regexp_replace(c, r"([a-z])([A-Z])", r"$1 $2")
+    c = F.regexp_replace(c, r"([A-Za-z])([0-9])", r"$1 $2")
+    c = F.regexp_replace(c, r"([0-9])([A-Za-z])", r"$1 $2")
+    return F.filter(F.split(c, r"[^A-Za-z0-9]+"), lambda t: t != "")
+
+
+# ---------------------------------------------------------------------------
+# dictionary decompounder (Lucene DictionaryCompoundWordTokenFilter)
+# ---------------------------------------------------------------------------
+
+def decompound_occurrences(
+    token_col: str | Column,
+    part_col: str | Column,
+    min_word_size: int = 5,
+) -> Column:
+    """Occurrence count of dictionary ``part`` inside ``token`` at EVERY
+    start position (the Lucene DictionaryCompoundWordTokenFilter scan
+    with onlyLongestMatch=false: each start offset is probed, so
+    overlapping matches all emit). 0 when the token is shorter than
+    ``min_word_size`` (Lucene's min_word_size gate) or the part doesn't
+    fit. Pure Catalyst (sequence + filter lambda, no UDF)."""
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    part = F.col(part_col) if isinstance(part_col, str) else part_col
+    fits = (F.length(tok) >= min_word_size) & (
+        F.length(part) <= F.length(tok)
+    )
+    starts = F.sequence(F.lit(1), F.length(tok) - F.length(part) + 1)
+    hits = F.size(
+        F.filter(
+            starts,
+            lambda i: tok.substr(i, F.length(part)) == part,
+        )
+    )
+    return F.when(fits, hits).otherwise(F.lit(0))

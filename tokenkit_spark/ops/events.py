@@ -322,3 +322,35 @@ def bucket_sort(
         )
         .select(group_col, "day", "n", "bucket_rank")
     )
+
+
+def downsample_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    dim_col: str = "event_type",
+    value_col: str = "value",
+    interval: str = "hour",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES TSDB downsampling contract (the ``_downsample`` API): roll the
+    raw stream up to one document per (time bucket, dimension) carrying
+    the pre-aggregated metric summary — min/max/sum/value_count for
+    gauge fields plus the bucket's first/last event timestamp — so
+    queries over long horizons hit the rollup index instead of raw data.
+
+    Scale shape: ONE groupBy over (bucket, dims) — the map-side-combine
+    friendly shape; at 100 TB this is the append-only incremental rollup
+    job per closed time window."""
+    b = F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+    return (
+        events.groupBy(b, F.col(dim_col))
+        .agg(
+            F.count("*").alias("value_count"),
+            F.round(F.min(value_col), round_digits).alias("v_min"),
+            F.round(F.max(value_col), round_digits).alias("v_max"),
+            F.round(F.sum(value_col), round_digits).alias("v_sum"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .orderBy("bucket", dim_col)
+    )
