@@ -4763,6 +4763,69 @@ def q_has_parent(spark, sf_dir):
     )
 
 
+def q_norm_quant_drift(spark, sf_dir):
+    """Lucene 1-byte length-norm quantization audit: BM25 top-10 under
+    4-significant-bit-floored dl (avgdl recomputed from quantized
+    lengths, the Lucene norms contract) vs exact dl; integer bit-ops on
+    both engines (index/normquant.py:norm_quantization_drift)."""
+    from tokenkit_spark.index.normquant import norm_quantization_drift
+
+    return norm_quantization_drift(
+        _docs(spark, sf_dir), _queries_df(spark), k=10
+    )
+
+
+def q_degree_distribution(spark, sf_dir):
+    """In/out degree histogram of the doc link graph with per-direction
+    node shares (Broder et al. 2000's first webgraph diagnostic;
+    ops/linkgraph.py:degree_distribution)."""
+    from tokenkit_spark.ops.linkgraph import degree_distribution
+
+    return degree_distribution(_link_edges(spark, sf_dir))
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: stopword-ratio detector prediction
+    vs the corpus's labeled lang, with within-true-language shares
+    (ops/textstats.py:lang_confusion)."""
+    from tokenkit_spark.ops.textstats import lang_confusion
+
+    return lang_confusion(_docs(spark, sf_dir))
+
+
+def q_cumulative_uniques(spark, sf_dir):
+    """Exact cumulative distinct users per day via the first-seen-day
+    trick — no history rescan, no growing distinct state; the exact
+    twin of the HLL running cardinality
+    (ops/events.py:cumulative_uniques)."""
+    from tokenkit_spark.ops.events import cumulative_uniques
+
+    return cumulative_uniques(_events(spark, sf_dir))
+
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Strict-sequence funnel signup→view→click→purchase: step i counts
+    users whose first qualifying step-i event strictly follows their
+    first qualifying step-(i-1) event; per-step conversion vs previous
+    step (ops/events.py:funnel_steps — one conditional-MIN aggregate
+    per step, no self-joins on the event stream)."""
+    from tokenkit_spark.ops.events import funnel_steps
+
+    return funnel_steps(_events(spark, sf_dir), _FUNNEL_STEPS)
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: cohort = Monday-week of first event,
+    offsets in whole weeks, distinct active users per (cohort, offset)
+    (ops/events.py:retention_cohorts)."""
+    from tokenkit_spark.ops.events import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
 def q_word_delimiter_terms(spark, sf_dir):
     """Lucene word_delimiter_graph (default flags) over whitespace
     pre-tokens: possessive-'s strip, case-transition / letter-digit /
@@ -4961,6 +5024,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "norm_quant_drift": q_norm_quant_drift,
+        "degree_distribution": q_degree_distribution,
+        "lang_confusion": q_lang_confusion,
+        "cumulative_uniques": q_cumulative_uniques,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
         "word_delimiter_terms": q_word_delimiter_terms,
         "decompound_terms": q_decompound_terms,
         "qpp_predictors": q_qpp_predictors,
@@ -5600,6 +5669,101 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     decompound_values = ", ".join(f"('{p}')" for p in _DECOMPOUND_PARTS)
     return {
         # --- round-3 oracles ---
+        "norm_quant_drift": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+qd AS (SELECT doc_id, dl,
+        CASE WHEN dl < 16 THEN dl
+             ELSE (dl >> (length(bin(dl)) - 4)) << (length(bin(dl)) - 4)
+        END AS dl_q
+       FROM dstats),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, avg(dl_q) AS avgdl_q FROM qd),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+    round(sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+         * p.tf * (1.2 + 1.0)
+         / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl_q / g.avgdl_q)) ), 4)
+      AS score_q,
+    round(sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+         * p.tf * (1.2 + 1.0)
+         / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ), 4)
+      AS score_exact
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN qd d USING (doc_id)
+  CROSS JOIN g
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score_q, score_exact,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, doc_id) AS rank,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_exact DESC, doc_id) AS rank_exact
+  FROM scored)
+SELECT query_id, rank, doc_id, score_q, score_exact,
+       CAST(rank_exact <= 10 AS BIGINT) AS in_exact_topk
+FROM ranked WHERE rank <= 10
+""",
+        "degree_distribution": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+outs AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1),
+ins AS (SELECT dst AS node, count(*) AS degree FROM edges GROUP BY 1),
+oh AS (SELECT 'out' AS direction, degree, count(*) AS n_nodes,
+              (SELECT count(*) FROM outs) AS tot FROM outs GROUP BY 2),
+ih AS (SELECT 'in' AS direction, degree, count(*) AS n_nodes,
+              (SELECT count(*) FROM ins) AS tot FROM ins GROUP BY 2)
+SELECT direction, degree, n_nodes,
+       round(n_nodes / CAST(tot AS DOUBLE), 6) AS share
+FROM (SELECT * FROM oh UNION ALL SELECT * FROM ih) ORDER BY 1, 2
+""",
+        "lang_confusion": _lang_confusion_oracle(),
+        "cumulative_uniques": """
+WITH dau AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                    count(DISTINCT user_id) AS dau FROM events GROUP BY 1),
+f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+newu AS (SELECT CAST(date_trunc('day', first_ts) AS DATE) AS day,
+                count(*) AS new_entities FROM f GROUP BY 1)
+SELECT d.day, d.dau,
+       coalesce(n.new_entities, 0) AS new_entities,
+       CAST(sum(coalesce(n.new_entities, 0)) OVER (
+         ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_uniques
+FROM dau d LEFT JOIN newu n USING (day) ORDER BY day
+""",
+        "funnel_steps": """
+WITH t0 AS (SELECT user_id, min(ts) FILTER (event_type = 'signup') AS t0
+            FROM events GROUP BY 1),
+t1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN t0 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > t0.t0 GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+n AS (SELECT (SELECT count(t0) FROM t0) AS n0, (SELECT count(*) FROM t1) AS n1,
+             (SELECT count(*) FROM t2) AS n2, (SELECT count(*) FROM t3) AS n3)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+         CAST(n0 AS BIGINT) AS n_entities, 1.0 AS conversion FROM n
+  UNION ALL SELECT 2, 'view', n1, round(n1 / CAST(n0 AS DOUBLE), 4) FROM n
+  UNION ALL SELECT 3, 'click', n2, round(n2 / CAST(n1 AS DOUBLE), 4) FROM n
+  UNION ALL SELECT 4, 'purchase', n3, round(n3 / CAST(n2 AS DOUBLE), 4) FROM n)
+ORDER BY step
+""",
+        "retention_cohorts": """
+WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+             AS cohort_week FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events)
+SELECT f.cohort_week,
+       CAST(floor((a.week - f.cohort_week) / 7.0) AS BIGINT) AS week_offset,
+       count(DISTINCT a.user_id) AS n_entities
+FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "word_delimiter_terms": """
 WITH toks AS (SELECT u.t AS tok FROM documents,
        unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),
@@ -8362,6 +8526,35 @@ def _lang_detect_oracle() -> str:
         "PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc) "
         "SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred "
         "FROM best WHERE rn = 1"
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    """Same detector arms as _lang_detect_oracle, over ALL docs, joined
+    back to the labeled lang and rolled into the confusion matrix."""
+    arms = []
+    for lang in sorted(textstats.STOPWORDS):
+        stops = ", ".join(f"'{s}'" for s in textstats.STOPWORDS[lang])
+        arms.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, t -> t IN ({stops})))::DOUBLE "
+            "/ greatest(len(toks), 1) AS score FROM w"
+        )
+    return (
+        "WITH w AS (SELECT doc_id, lang AS lang_true, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') "
+        "AS toks FROM documents), "
+        "sc AS (" + " UNION ALL ".join(arms) + "), "
+        "best AS (SELECT doc_id, lang, score, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc), "
+        "pred AS (SELECT w.lang_true, "
+        "CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred "
+        "FROM best b JOIN w USING (doc_id) WHERE b.rn = 1), "
+        "c AS (SELECT lang_true, lang_pred, count(*) AS n_docs "
+        "FROM pred GROUP BY 1, 2) "
+        "SELECT lang_true, lang_pred, n_docs, "
+        "round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang_true) "
+        "AS DOUBLE), 6) AS share_of_true FROM c ORDER BY 1, 2"
     )
 
 

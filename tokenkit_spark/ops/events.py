@@ -354,3 +354,131 @@ def downsample_rollup(
         )
         .orderBy("bucket", dim_col)
     )
+
+
+def cumulative_uniques(
+    events: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Exact cumulative distinct entities per day WITHOUT rescanning
+    history: an entity's first-seen day is a per-entity MIN, the day's
+    new-entity count is an aggregate over that, and the running total is
+    a prefix sum over day-count-sized data — the distributed exact twin
+    of the HLL running-cardinality estimate (cardinality op), and the
+    standard trick for "cumulative uniques over an unbounded stream"
+    at 100 TB (no growing distinct state, no day-over-day rescan).
+    Returns (day, dau, new_entities, cum_uniques)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    dau = events.groupBy(day).agg(
+        F.countDistinct(entity_col).alias("dau")
+    )
+    firsts = (
+        events.groupBy(entity_col)
+        .agg(F.min(ts_col).alias("first_ts"))
+        .groupBy(F.date_trunc("day", F.col("first_ts")).cast("date").alias("day"))
+        .agg(F.count("*").alias("new_entities"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(firsts, "day", "left")
+        .fillna(0, subset=["new_entities"])
+        .withColumn("cum_uniques", F.sum("new_entities").over(w))
+        .orderBy("day")
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Ordered funnel analysis: step i counts entities whose FIRST
+    qualifying step-i event strictly follows their first qualifying
+    step-(i-1) event (the strict-sequence funnel contract; same-
+    timestamp events do not advance the funnel). Returns one row per
+    step: (step, event_type, n_entities, conversion) where conversion
+    is vs the previous step (1.0 for step 1).
+
+    Scale shape: one conditional-MIN aggregate per step over a single
+    groupBy(entity) pass — no self-joins, no per-entity event sorting;
+    the funnel depth is the (small) number of aggregate columns."""
+    aggs = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            expr = F.min(F.when(F.col(type_col) == s, F.col(ts_col)))
+        else:
+            # strictly after the previous step's first qualifying time
+            expr = F.min(
+                F.when(
+                    (F.col(type_col) == s)
+                    & (F.col(ts_col) > F.col(f"__t{i - 1}")),
+                    F.col(ts_col),
+                )
+            )
+        aggs.append((f"__t{i}", expr))
+    # iterative: each step's condition references the previous column,
+    # so materialize one aggregation per step over the shrinking
+    # qualified set (steps are few; each pass is one shuffle)
+    per_entity = events.groupBy(entity_col).agg(
+        aggs[0][1].alias("__t0")
+    )
+    for i in range(1, len(steps)):
+        nxt = (
+            events.join(
+                per_entity.select(entity_col, f"__t{i - 1}"), entity_col
+            )
+            .groupBy(entity_col)
+            .agg(aggs[i][1].alias(f"__t{i}"))
+        )
+        per_entity = per_entity.join(nxt, entity_col, "left")
+    counts = per_entity.agg(
+        *[
+            F.count(F.col(f"__t{i}")).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    ).collect()[0]
+    rows = []
+    prev = None
+    for i, s in enumerate(steps):
+        n = int(counts[f"n{i}"])
+        conv = 1.0 if i == 0 else (round(n / prev, round_digits) if prev else 0.0)
+        rows.append((i + 1, s, n, conv))
+        prev = n
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        rows, "step long, event_type string, n_entities long, conversion double"
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Weekly retention cohorts: an entity's cohort is the Monday-start
+    week of its first event; each later active week lands at offset
+    (week - cohort_week)/7 days. Returns (cohort_week, week_offset,
+    n_entities) — the classic triangle. One per-entity MIN, one
+    distinct (entity, week) reduce, one join on the small cohort map."""
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    firsts = events.groupBy(entity_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    active = events.select(
+        F.col(entity_col), wk.alias("week")
+    ).distinct()
+    return (
+        active.join(firsts, entity_col)
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct(entity_col).alias("n_entities"))
+        .orderBy("cohort_week", "week_offset")
+    )

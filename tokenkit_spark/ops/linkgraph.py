@@ -403,3 +403,34 @@ def resolve_pointer_chains(
             )
         )
     return f.withColumnRenamed("dst", "final")
+
+
+def degree_distribution(edges: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Degree-distribution histogram of the directed link graph, both
+    directions: for each (direction, degree) the node count and its
+    share of that direction's node total — the first diagnostic of any
+    webgraph (Broder et al. 2000 measure power-law in/out exponents
+    from exactly this relation; a crawl whose in-degree tail is too
+    heavy is hub/spam-dominated).
+
+    Scale shape: two degree aggregates + two histogram aggregates —
+    all map-side-combinable; output is degree-vocabulary-sized.
+    Returns (direction, degree, n_nodes, share)."""
+    out = []
+    for direction, key in (("out", "src"), ("in", "dst")):
+        deg = edges.groupBy(F.col(key).alias("node")).agg(
+            F.count("*").alias("degree")
+        )
+        hist = deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+        total = deg.select(F.countDistinct("node").alias("n_total"))
+        out.append(
+            hist.crossJoin(F.broadcast(total)).select(
+                F.lit(direction).alias("direction"),
+                "degree",
+                "n_nodes",
+                F.round(F.col("n_nodes") / F.col("n_total"), round_digits).alias(
+                    "share"
+                ),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("direction", "degree")

@@ -792,3 +792,32 @@ def heaps_fit(
             round_digits,
         ).alias("r2"),
     )
+
+
+def lang_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    truth_col: str = "lang",
+) -> DataFrame:
+    """Language-ID confusion matrix: the stopword-ratio detector's
+    prediction (detect_language) against the corpus's labeled language
+    — the pipeline-QA view of the detector (per-class confusion is what
+    decides routing thresholds at crawl scale, not overall accuracy).
+    Returns (lang_true, lang_pred, n_docs, share_of_true) where share
+    is within the true-language row. Pure Catalyst end to end."""
+    pred = docs.select(
+        F.col(truth_col).alias("lang_true"),
+        detect_language(F.col(text_col)).alias("lang_pred"),
+    )
+    counts = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang_true")
+    return counts.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "share_of_true"
+        ),
+    ).orderBy("lang_true", "lang_pred")
