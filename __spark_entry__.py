@@ -5009,6 +5009,59 @@ def q_bucket_correlation(spark, sf_dir):
     return bucket_correlation(_events(spark, sf_dir))
 
 
+def q_opic_top20(spark, sf_dir):
+    """OPIC crawl prioritization (Abiteboul, Preda & Cobena, WWW 2003):
+    cash-flow page importance over the deterministic doc link graph, 5
+    synchronous iterations, dangling cash through the virtual page;
+    top-20 by (6-dp importance desc, node asc). The oracle unrolls cash
+    levels c0..c5 as chained CTEs and averages them
+    (ops/linkgraph.py:opic_importance)."""
+    from tokenkit_spark.ops.linkgraph import top_opic
+
+    return top_opic(_link_edges(spark, sf_dir), k=20, n_iter=5, round_digits=6)
+
+
+def q_shard_routing(spark, sf_dir):
+    """Shard-routing balance audit: keyed-md5 doc->shard routing (the ES
+    hash(_routing) % shards contract) over 16 shards, per-shard doc and
+    token mass with share + load-vs-uniform factors
+    (index/routing.py:shard_routing_audit)."""
+    from tokenkit_spark.index.routing import shard_routing_audit
+
+    return shard_routing_audit(_docs(spark, sf_dir), n_shards=16)
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-doc character Shannon entropy via the sum-of-c*log2(c)
+    identity (one explode + two hash aggs, no probability join) with a
+    low-entropy spam flag at 3.0 bits
+    (ops/textstats.py:char_entropy)."""
+    from tokenkit_spark.ops.textstats import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+def q_ngram_containment(spark, sf_dir):
+    """Word-trigram containment near-dup pairs (Broder 1997 C(A,B) =
+    |A∩B|/|A|): catches subset/quotation dups Jaccard misses when sizes
+    differ; keeps pairs with max(C_ab, C_ba) >= 0.5, both directions
+    reported. max_gram_df=None opts into the exact uncapped mode to
+    match the DuckDB oracle; production keeps the head-gram fuse
+    (ops/dedup.py:ngram_containment_pairs)."""
+    pairs = dedup.ngram_containment_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_gram_df=None
+    )
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.round("containment_a", 4).alias("containment_a"),
+        F.round("containment_b", 4).alias("containment_b"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 through the compressed segment index engine
     on sf0.001."""
@@ -5024,6 +5077,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "opic_top20": q_opic_top20,
+        "shard_routing": q_shard_routing,
+        "char_entropy": q_char_entropy,
+        "ngram_containment": q_ngram_containment,
         "norm_quant_drift": q_norm_quant_drift,
         "degree_distribution": q_degree_distribution,
         "lang_confusion": q_lang_confusion,
@@ -5380,6 +5437,48 @@ WHERE rank <= {k}"""
     )
 
 
+def _opic_oracle_sql(n_iter: int = 5, k: int = 20) -> str:
+    """Unroll the synchronous OPIC cash recurrence as chained CTE levels
+    c0..c{n_iter}; importance = avg of all levels — same math as
+    ops/linkgraph.py:opic_importance."""
+    ctes = [
+        _LINK_EDGES_SQL.strip(),
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "degs AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        "c0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS cash FROM nodes)",
+    ]
+    for i in range(n_iter):
+        prev, cur = f"c{i}", f"c{i + 1}"
+        ctes.append(
+            f"dm{i} AS (SELECT coalesce(sum(cash), 0) AS dm FROM {prev} "
+            f"LEFT JOIN degs ON {prev}.node = degs.src WHERE degs.src IS NULL)"
+        )
+        ctes.append(
+            f"{cur} AS (SELECT nodes.node, coalesce(inf.i, 0) "
+            f"+ (SELECT dm FROM dm{i}) / (SELECT n FROM nn) AS cash "
+            f"FROM nodes LEFT JOIN "
+            f"(SELECT dst, sum({prev}.cash / degs.deg) AS i FROM edges "
+            f"JOIN degs USING (src) JOIN {prev} ON {prev}.node = edges.src "
+            f"GROUP BY 1) inf ON nodes.node = inf.dst)"
+        )
+    total = " + ".join(f"c{i}.cash" for i in range(n_iter + 1))
+    joins = " ".join(
+        f"JOIN c{i} ON c{i}.node = c0.node" for i in range(1, n_iter + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT rank, node, importance FROM (
+  SELECT row_number() OVER (ORDER BY round(({total}) / {n_iter + 1}.0, 6)
+                            DESC, c0.node) AS rank,
+         c0.node AS node,
+         round(({total}) / {n_iter + 1}.0, 6) AS importance
+  FROM c0 {joins})
+WHERE rank <= {k}"""
+    )
+
+
 def _hits_oracle_sql(n_iter: int = 5, k: int = 20) -> str:
     """Unroll the fixed-iteration HITS recurrence (L2-normalized each
     half-step) as chained CTE levels — same math as
@@ -5669,6 +5768,55 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     decompound_values = ", ".join(f"('{p}')" for p in _DECOMPOUND_PARTS)
     return {
         # --- round-3 oracles ---
+        "opic_top20": _opic_oracle_sql(),
+        "shard_routing": """
+WITH r AS (SELECT (('0x' || substring(md5(doc_id::VARCHAR || '|route'), 1, 8))::BIGINT
+                   % 16) AS shard,
+                  len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> ''))::BIGINT AS n_toks
+           FROM documents),
+s AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM r GROUP BY 1)
+SELECT shard, n_docs, n_tokens,
+       round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS doc_share,
+       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+       round(n_docs / (sum(n_docs) OVER () / 16.0), 6) AS doc_load,
+       round(n_tokens / (sum(n_tokens) OVER () / 16.0), 6) AS token_load
+FROM s ORDER BY shard
+""",
+        "char_entropy": """
+WITH ch AS (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ''), x -> x <> '')) AS ch
+            FROM documents),
+c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+             count(*) AS n_unique_chars,
+             sum(c * log2(c)) AS s
+      FROM c GROUP BY 1)
+SELECT doc_id, n_chars, n_unique_chars,
+       round(log2(n_chars) - s / n_chars, 4) AS entropy_bits,
+       round(log2(n_chars) - s / n_chars, 4) < 3.0 AS is_low_entropy
+FROM p
+""",
+        "ngram_containment": """
+WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM w WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+inter AS (SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b, count(*) AS i
+          FROM g l JOIN g r ON l.gram = r.gram AND l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b, CAST(i AS BIGINT) AS inter,
+       sa.n_grams AS size_a, sb.n_grams AS size_b,
+       round(i / CAST(sa.n_grams AS DOUBLE), 4) AS containment_a,
+       round(i / CAST(sb.n_grams AS DOUBLE), 4) AS containment_b
+FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_id_a
+           JOIN sizes sb ON sb.doc_id = inter.doc_id_b
+WHERE greatest(i / CAST(sa.n_grams AS DOUBLE),
+               i / CAST(sb.n_grams AS DOUBLE)) >= 0.5
+""",
         "norm_quant_drift": f"""
 WITH toks AS ({_TOKS}),
 postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -300,6 +300,35 @@ def ngram_jaccard_pairs(
     a finite cap (10_000) so the quadratic path can never detonate by
     omission; pass ``max_gram_df=None`` explicitly for exact Jaccard over
     all grams (the DuckDB-oracle twin; small corpora only)."""
+    grams = _word_gram_relation(docs, text_col, n, max_gram_df)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    l, r = grams.alias("l"), grams.alias("r")
+    inter = (
+        l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("size_b"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def _word_gram_relation(
+    docs: DataFrame, text_col: str, n: int, max_gram_df: int | None
+) -> DataFrame:
+    """(doc_id, gram) with grams distinct per doc, lowercase-whitespace
+    word n-grams, optionally stripped of head grams whose document
+    frequency exceeds ``max_gram_df`` (the quadratic-join fuse shared by
+    the Jaccard and containment paths)."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     n_words = F.size(words)
     gram_list = F.when(
@@ -322,6 +351,32 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         grams = grams.join(hot, "gram", "left_anti")
+    return grams
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int | None = 10_000,
+) -> DataFrame:
+    """Word-n-gram CONTAINMENT near-dup pairs — Broder's second
+    resemblance measure ("On the resemblance and containment of
+    documents", SEQUENCES 1997): C(A,B) = |A∩B| / |A|. Containment is
+    what Jaccard structurally misses when sizes differ: a short page
+    quoted whole inside a long one has tiny Jaccard (union is dominated
+    by the long doc) but containment ≈ 1.0 from the short side — the
+    mirror/quotation/template-expansion case that matters in web-crawl
+    dedup, where J >= t implies both containments >= t but not back.
+
+    Same inverted-index-join shape (and the same ``max_gram_df``
+    quadratic fuse) as ngram_jaccard_pairs; a pair survives when
+    max(C(A,B), C(B,A)) >= threshold, and both directions are returned
+    so the caller can tell subset-of from rough-equality. Returns
+    (doc_id_a, doc_id_b, inter, size_a, size_b, containment_a,
+    containment_b) with doc_id_a < doc_id_b."""
+    grams = _word_gram_relation(docs, text_col, n, max_gram_df)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     l, r = grams.alias("l"), grams.alias("r")
     inter = (
@@ -334,12 +389,20 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        .withColumn("containment_a", F.col("inter") / F.col("size_a"))
+        .withColumn("containment_b", F.col("inter") / F.col("size_b"))
+        .filter(
+            F.greatest("containment_a", "containment_b") >= F.lit(threshold)
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_id_a", "doc_id_b", "jaccard")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "inter",
+            "size_a",
+            "size_b",
+            "containment_a",
+            "containment_b",
+        )
     )
 
 

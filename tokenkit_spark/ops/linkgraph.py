@@ -434,3 +434,90 @@ def degree_distribution(edges: DataFrame, round_digits: int = 6) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1]).orderBy("direction", "degree")
+
+
+def opic_importance(
+    edges: DataFrame, n_iter: int = 5, round_digits: int | None = None
+) -> DataFrame:
+    """On-line Page Importance Computation (Abiteboul, Preda & Cobena,
+    "Adaptive on-line page importance computation", WWW 2003) — the
+    crawl-prioritization alternative to PageRank: every page holds
+    cash; each step a page distributes ALL its cash equally over its
+    out-links (dangling pages pay the virtual page, which redistributes
+    uniformly), and a page's importance estimate is the cash that has
+    FLOWED THROUGH it — history plus current holdings, normalized.
+
+    This is the synchronous batch variant: with cash_0 uniform,
+
+        cash_{t+1}[v] = sum_{u->v} cash_t[u]/deg(u) + dangling_t/N
+        importance[v] = (sum_{t=0..n} cash_t[v]) / (n+1)
+
+    Total cash is invariant (=1), so after n iterations accumulated
+    history is exactly n and the normalizer is a constant — the SQL
+    oracle unrolls the same recurrence level by level and sums them.
+
+    Scale shape: identical to PageRank's — one broadcast-or-shuffle
+    join edges⋈cash + one groupBy(dst) per iteration; the only scalars
+    on the driver are N and the dangling mass. No per-node state ever
+    leaves the cluster. Returns (node, importance)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    degs = out_degrees(edges)
+    contrib = edges.join(degs, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    )
+    cash = nodes.select("node", F.lit(1.0 / n).alias("cash"))
+    acc = cash.select("node", F.col("cash").alias("hist"))
+    for _ in range(n_iter):
+        dangling = (
+            cash.join(degs, cash["node"] == degs["src"], "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dm"))
+            .first()["dm"]
+        )
+        inflow = (
+            contrib.join(cash, contrib["src"] == cash["node"])
+            .select("dst", (F.col("w") * F.col("cash")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        cash = nodes.join(inflow, nodes["node"] == inflow["dst"], "left").select(
+            "node",
+            (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n)).alias(
+                "cash"
+            ),
+        )
+        acc = (
+            acc.join(cash, "node")
+            .select("node", (F.col("hist") + F.col("cash")).alias("hist"))
+        )
+    imp = acc.select(
+        "node", (F.col("hist") / F.lit(float(n_iter + 1))).alias("importance")
+    )
+    if round_digits is not None:
+        imp = imp.select(
+            "node", F.round("importance", round_digits).alias("importance")
+        )
+    return imp
+
+
+def top_opic(
+    edges: DataFrame, k: int = 20, n_iter: int = 5, round_digits: int = 6
+) -> DataFrame:
+    """Top-k crawl-priority pages by OPIC importance (rounded desc,
+    node asc) with rank — the fetch-next ordering an OPIC crawler
+    consumes."""
+    imp = opic_importance(edges, n_iter, round_digits)
+    w = Window.orderBy(F.col("importance").desc(), F.col("node").asc())
+    return (
+        imp.orderBy(F.col("importance").desc(), F.col("node").asc())
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "node",
+            "importance",
+        )
+    )

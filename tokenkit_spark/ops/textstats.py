@@ -821,3 +821,49 @@ def lang_confusion(
             "share_of_true"
         ),
     ).orderBy("lang_true", "lang_pred")
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    low_bits: float = 3.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution — the
+    cheapest spam/degenerate-text detector there is: keyboard mashing,
+    single-char padding, base64 walls and repeated-separator dumps all
+    sit far from natural text's ~4-4.5 bits/char. Gopher-style pipelines
+    gate on exactly this signal next to the repetition ratios
+    (ops/textstats.py:repetition_signals is the n-gram cousin).
+
+    Entropy is computed from per-(doc, char) counts with the
+    sum-of-c*log2(c) identity
+
+        H = log2(n) - (sum_c c*log2(c)) / n
+
+    so it needs ONE explode + TWO hash aggregates and no per-row
+    probability join — map-side combinable, linear in corpus bytes,
+    no UDF. Returns (doc_id, n_chars, n_unique_chars, entropy_bits,
+    is_low_entropy) with entropy rounded for cross-engine stability."""
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_unique_chars"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    )
+    ent = F.round(
+        F.log2("n_chars") - F.col("s") / F.col("n_chars"), round_digits
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars",
+        "n_unique_chars",
+        ent.alias("entropy_bits"),
+        (ent < F.lit(low_bits)).alias("is_low_entropy"),
+    )
