@@ -5009,6 +5009,49 @@ def q_bucket_correlation(spark, sf_dir):
     return bucket_correlation(_events(spark, sf_dir))
 
 
+def q_cori_shards(spark, sf_dir):
+    """CORI resource selection (Callan, Lu & Croft, SIGIR 1995): rank
+    all 16 hash-routed shards per query by mean df.icf belief (b=0.4,
+    T/I with the 50/150 constants) so the broker can route each query
+    to its best-m shards instead of broadcasting
+    (index/cori.py:cori_shard_scores)."""
+    from tokenkit_spark.index.cori import cori_shard_scores
+
+    return cori_shard_scores(
+        _docs(spark, sf_dir), _queries_df(spark), n_shards=16
+    )
+
+
+def q_impact_saat_top10(spark, sf_dir):
+    """Impact-quantized score-at-a-time top-10 (Anh & Moffat): 8-bit
+    uniform global quantization of per-posting BM25 impacts, integer-sum
+    accumulation — the no-float query path of impact-ordered indexes
+    (index/impact.py:saat_top_k)."""
+    from tokenkit_spark.index.impact import saat_top_k
+
+    return saat_top_k(_docs(spark, sf_dir), _queries_df(spark), k=10)
+
+
+def q_pfor_sizes(spark, sf_dir):
+    """NewPFD (Yan/Ding/Suel WWW 2009) size audit vs the live
+    delta+varint codec for the top-20 largest term doc-id sets: 128-gap
+    blocks, width from the discrete 90th-percentile gap, 32-bit patched
+    exceptions — the third codec-selection sibling next to the EF and
+    Roaring audits (index/pfor.py:pfor_audit)."""
+    from tokenkit_spark.index.pfor import pfor_audit
+
+    postings = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return pfor_audit(postings, k=20)
+
+
 def q_opic_top20(spark, sf_dir):
     """OPIC crawl prioritization (Abiteboul, Preda & Cobena, WWW 2003):
     cash-flow page importance over the deterministic doc link graph, 5
@@ -5077,6 +5120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "cori_shards": q_cori_shards,
+        "impact_saat_top10": q_impact_saat_top10,
+        "pfor_sizes": q_pfor_sizes,
         "opic_top20": q_opic_top20,
         "shard_routing": q_shard_routing,
         "char_entropy": q_char_entropy,
@@ -5768,6 +5814,102 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     decompound_values = ", ".join(f"('{p}')" for p in _DECOMPOUND_PARTS)
     return {
         # --- round-3 oracles ---
+        "cori_shards": f"""
+WITH toks AS (SELECT doc_id,
+       (('0x' || substring(md5(doc_id::VARCHAR || '|route'), 1, 8))::BIGINT % 16)
+         AS shard,
+       lower(u.t) AS term
+     FROM documents,
+          unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),
+dfts AS (SELECT shard, term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1, 2),
+cw AS (SELECT shard, count(*) AS cw FROM toks GROUP BY 1),
+acw AS (SELECT avg(cw) AS avg_cw FROM cw),
+cf AS (SELECT term, count(*) AS cf FROM dfts GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+grid AS (SELECT q.query_id, q.term, c.shard, c.cw FROM qterms q CROSS JOIN cw c),
+bel AS (SELECT g.query_id, g.shard,
+        0.4 + 0.6
+        * CASE WHEN d.df IS NULL THEN 0.0
+               ELSE d.df / (d.df + 50.0 + 150.0 * g.cw / (SELECT avg_cw FROM acw)) END
+        * CASE WHEN f.cf IS NULL THEN 0.0
+               ELSE ln((16.0 + 0.5) / f.cf) / ln(16.0 + 1.0) END AS belief
+        FROM grid g
+        LEFT JOIN dfts d ON d.shard = g.shard AND d.term = g.term
+        LEFT JOIN cf f ON f.term = g.term),
+sc AS (SELECT query_id, shard, round(avg(belief), 6) AS cori_score
+       FROM bel GROUP BY 1, 2)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cori_score DESC, shard) AS rank,
+       shard, cori_score
+FROM sc
+""",
+        "impact_saat_top10": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+imp AS (SELECT p.term, p.doc_id,
+        round( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * p.tf * (1.2 + 1.0)
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)), 6) AS impact
+        FROM postings p JOIN tstats t USING (term)
+        JOIN dstats d USING (doc_id) CROSS JOIN globals g),
+lohi AS (SELECT min(impact) AS lo, max(impact) AS hi FROM imp),
+qi AS (SELECT term, doc_id,
+       CAST(least(255, floor((impact - lo) / (hi - lo) * 256)) AS BIGINT) AS q
+       FROM imp CROSS JOIN lohi),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (SELECT query_id, doc_id, CAST(sum(q) AS BIGINT) AS impact_score
+           FROM qterms JOIN qi USING (term) GROUP BY 1, 2)
+SELECT query_id, rank, doc_id, impact_score FROM (
+  SELECT query_id, doc_id, impact_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY impact_score DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+""",
+        "pfor_sizes": f"""
+WITH toks AS ({_TOKS}),
+p AS (SELECT DISTINCT term, doc_id AS id FROM toks),
+g AS (SELECT term,
+             id - coalesce(lag(id) OVER (PARTITION BY term ORDER BY id), 0) AS gap,
+             CAST(floor((row_number() OVER (PARTITION BY term ORDER BY id) - 1)
+                        / 128.0) AS BIGINT) AS block
+      FROM p),
+r AS (SELECT term, block, gap,
+             row_number() OVER (PARTITION BY term, block ORDER BY gap) AS r,
+             count(*) OVER (PARTITION BY term, block) AS n FROM g),
+r2 AS (SELECT *, max(CASE WHEN r = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                          THEN gap END)
+                 OVER (PARTITION BY term, block) AS p90 FROM r),
+r3 AS (SELECT *, CAST(length(bin(greatest(p90, 1))) AS BIGINT) AS b_width FROM r2),
+blk AS (SELECT term, block, count(*) AS n, max(b_width) AS b_width,
+               CAST(sum(CASE WHEN gap >= CAST(pow(2, b_width) AS BIGINT)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exc
+        FROM r3 GROUP BY 1, 2),
+pf AS (SELECT term, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_blocks,
+              CAST(sum(n_exc) AS BIGINT) AS n_exceptions,
+              CAST((sum(32 + n * b_width + 32 * n_exc) + 7) // 8 AS BIGINT)
+                AS pfor_bytes
+       FROM blk GROUP BY 1),
+v AS (SELECT term,
+             CAST(sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                           WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+                           ELSE 5 END) AS BIGINT) AS varint_bytes
+      FROM g GROUP BY 1)
+SELECT rank, term, n_docs, n_blocks, n_exceptions, pfor_bytes, varint_bytes,
+       round(pfor_bytes / CAST(varint_bytes AS DOUBLE), 4) AS ratio
+FROM (SELECT pf.*, v.varint_bytes,
+             row_number() OVER (ORDER BY n_docs DESC, term) AS rank
+      FROM pf JOIN v USING (term))
+WHERE rank <= 20
+""",
         "opic_top20": _opic_oracle_sql(),
         "shard_routing": """
 WITH r AS (SELECT (('0x' || substring(md5(doc_id::VARCHAR || '|route'), 1, 8))::BIGINT
