@@ -5009,6 +5009,39 @@ def q_bucket_correlation(spark, sf_dir):
     return bucket_correlation(_events(spark, sf_dir))
 
 
+def q_maxp_top10(spark, sf_dir):
+    """BM25-MaxP (Dai & Callan, SIGIR 2019): overlapping 30-token
+    passages (stride 15) scored as the BM25 corpus, document score =
+    max passage, top-10 per query — the long-document fix whole-doc
+    length normalization can't give (index/maxp.py:maxp_top_k)."""
+    from tokenkit_spark.index.maxp import maxp_top_k
+
+    return maxp_top_k(
+        _docs(spark, sf_dir), _queries_df(spark), k=10, window=30, stride=15
+    )
+
+
+def q_source_divergence(spark, sf_dir):
+    """Training-mix divergence audit: pairwise smoothed-unigram KL (both
+    directions) + Jensen-Shannon between corpus sources (Lin 1991;
+    alpha=0.5 additive smoothing over the union vocabulary)
+    (ops/divergence.py:source_divergence)."""
+    from tokenkit_spark.ops.divergence import source_divergence
+
+    return source_divergence(_docs(spark, sf_dir))
+
+
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility per language under the PINNED BPE model:
+    subword tokens per word + chars per token by lang — the
+    multilinguality tax table (BLOOM/XLM-R-style tokenizer analysis)
+    (ops/bpe.py:bpe_fertility)."""
+    from tokenkit_spark.ops.bpe import bpe_fertility
+    from tokenkit_spark.ops.bpe_pinned import MERGES
+
+    return bpe_fertility(_docs(spark, sf_dir), MERGES)
+
+
 def q_cori_shards(spark, sf_dir):
     """CORI resource selection (Callan, Lu & Croft, SIGIR 1995): rank
     all 16 hash-routed shards per query by mean df.icf belief (b=0.4,
@@ -5120,6 +5153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "maxp_top10": q_maxp_top10,
+        "source_divergence": q_source_divergence,
+        "bpe_fertility": q_bpe_fertility,
         "cori_shards": q_cori_shards,
         "impact_saat_top10": q_impact_saat_top10,
         "pfor_sizes": q_pfor_sizes,
@@ -5814,6 +5850,61 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     decompound_values = ", ".join(f"('{p}')" for p in _DECOMPOUND_PARTS)
     return {
         # --- round-3 oracles ---
+        "maxp_top10": f"""
+WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '') AS toks FROM documents),
+np AS (SELECT doc_id, toks,
+              1 + CAST(ceil(greatest(0, len(toks) - 30) / 15.0) AS BIGINT)
+                AS n_pass FROM w),
+ps AS (SELECT doc_id, u.pidx, toks FROM np, unnest(range(0, n_pass)) AS u(pidx)),
+ptok AS (SELECT doc_id, pidx,
+                unnest(toks[pidx * 15 + 1 : pidx * 15 + 30]) AS term FROM ps),
+postings AS (SELECT doc_id, pidx, term, count(*) AS tf FROM ptok GROUP BY 1, 2, 3),
+pstats AS (SELECT doc_id, pidx, count(*) AS pdl FROM ptok GROUP BY 1, 2),
+g AS (SELECT count(*) AS n_pass, avg(pdl) AS avgdl FROM pstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+sc AS (SELECT q.query_id, p.doc_id, p.pidx,
+       round(sum( ln(1 + (g.n_pass - t.df + 0.5) / (t.df + 0.5))
+                  * p.tf * (1.2 + 1.0)
+                  / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.pdl / g.avgdl)) ), 4)
+         AS pscore
+       FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+       JOIN pstats s ON s.doc_id = p.doc_id AND s.pidx = p.pidx
+       CROSS JOIN g GROUP BY 1, 2, 3),
+best AS (SELECT query_id, doc_id, pidx AS best_pidx, pscore AS score,
+                row_number() OVER (PARTITION BY query_id, doc_id
+                                   ORDER BY pscore DESC, pidx) AS rn FROM sc)
+SELECT query_id, rank, doc_id, best_pidx, score FROM (
+  SELECT query_id, doc_id, best_pidx, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM best WHERE rn = 1)
+WHERE rank <= 10
+""",
+        "source_divergence": """
+WITH toks AS (SELECT source AS grp, lower(u.t) AS term FROM documents,
+              unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),
+c AS (SELECT grp, term, count(*) AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+vocab AS (SELECT DISTINCT term FROM c),
+v AS (SELECT count(*) AS v FROM vocab),
+grid AS (SELECT nn.grp, vb.term,
+                (coalesce(cc.c, 0) + 0.5) / (nn.n + 0.5 * (SELECT v FROM v)) AS p
+         FROM n nn CROSS JOIN vocab vb
+         LEFT JOIN c cc ON cc.grp = nn.grp AND cc.term = vb.term),
+pr AS (SELECT a.grp AS source_a, b.grp AS source_b,
+              (SELECT v FROM v) AS vocab_size, a.p AS pa, b.p AS pb
+       FROM grid a JOIN grid b ON a.term = b.term AND a.grp < b.grp)
+SELECT source_a, source_b, vocab_size,
+       round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+       round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+       round(sum(0.5 * pa * ln(pa / ((pa + pb) / 2.0))
+                 + 0.5 * pb * ln(pb / ((pa + pb) / 2.0))), 6) AS jsd
+FROM pr GROUP BY 1, 2, 3 ORDER BY 1, 2
+""",
         "cori_shards": f"""
 WITH toks AS (SELECT doc_id,
        (('0x' || substring(md5(doc_id::VARCHAR || '|route'), 1, 8))::BIGINT % 16)
@@ -8682,6 +8773,20 @@ def _bpe_oracles() -> dict[str, str]:
             "SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_types, "
             "round(sum(length(tok))::DOUBLE / count(*), 4) AS chars_per_token "
             "FROM tok GROUP BY 1"
+        ),
+        "bpe_fertility": (
+            "WITH pt AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            f"'{BPE_PRETOKEN_PATTERN}')) AS pt FROM documents), "
+            f"m AS (SELECT * FROM (VALUES {enc_rows}) v(pt, toks)), "
+            "tok AS (SELECT doc_id, len(string_split(m.toks, chr(31))) AS nt, "
+            "length(pt.pt) AS nc FROM pt JOIN m USING (pt)), "
+            "j AS (SELECT doc_id, count(*) AS nw, CAST(sum(nt) AS BIGINT) AS ntok, "
+            "CAST(sum(nc) AS BIGINT) AS nch FROM tok GROUP BY 1) "
+            "SELECT d.lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words, "
+            "CAST(sum(ntok) AS BIGINT) AS n_tokens, "
+            "round(sum(ntok) / CAST(sum(nw) AS DOUBLE), 4) AS fertility, "
+            "round(sum(nch) / CAST(sum(ntok) AS DOUBLE), 4) AS chars_per_token "
+            "FROM documents d JOIN j USING (doc_id) GROUP BY 1 ORDER BY 1"
         ),
     }
 

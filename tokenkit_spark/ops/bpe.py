@@ -264,6 +264,71 @@ def bpe_token_stats(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame
     )
 
 
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "lang",
+    pattern: str = BPE_PRETOKEN_PATTERN,
+) -> DataFrame:
+    """Tokenizer FERTILITY audit per corpus slice: subword tokens per
+    pretoken word and chars per token, grouped by ``group_col`` — the
+    standard multilinguality health check for a tokenizer (a language
+    whose fertility is 2x another's pays 2x the sequence length for the
+    same text, which is a real training-budget and context-window tax;
+    cf. the fertility tables in the BLOOM/XLM-R tokenizer analyses).
+
+    Returns (group, n_docs, n_words, n_tokens, fertility,
+    chars_per_token), groups ordered; docs with zero pretokens are
+    excluded (no words to be fertile over). One Arrow-batched pass with
+    the same per-batch pretoken memo as encode_bpe; the reduction is a
+    groups-sized hash agg."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    import regex as _re
+
+    rx = _re.compile(pattern)
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+        for pdf in batch_iter:
+            nw, nt, nc = [], [], []
+            for text in pdf[text_col]:
+                words = rx.findall(text or "")
+                t = 0
+                for w in words:
+                    n = memo.get(w)
+                    if n is None:
+                        n = len(_encode_word(w, ranks))
+                        memo[w] = n
+                    t += n
+                nw.append(len(words))
+                nt.append(t)
+                nc.append(sum(len(w) for w in words))
+            yield pd.DataFrame(
+                {"grp": pdf[group_col], "nw": nw, "nt": nt, "nc": nc}
+            )
+
+    per_doc = docs.select(F.col(group_col).alias(group_col), text_col).mapInPandas(
+        fn, "grp string, nw long, nt long, nc long"
+    )
+    return (
+        per_doc.filter(F.col("nw") > 0)
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("n_words"),
+            F.sum("nt").alias("n_tokens"),
+            F.round(F.sum("nt") / F.sum("nw").cast("double"), 4).alias(
+                "fertility"
+            ),
+            F.round(F.sum("nc") / F.sum("nt").cast("double"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # WordPiece (Schuster & Nakajima, "Japanese and Korean Voice Search",
 # ICASSP 2012; the BERT tokenizer): same merge loop as BPE but the pair
