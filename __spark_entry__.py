@@ -5009,6 +5009,54 @@ def q_bucket_correlation(spark, sf_dir):
     return bucket_correlation(_events(spark, sf_dir))
 
 
+def q_gopher_gate(spark, sf_dir):
+    """Full Gopher document-quality rule battery (Rae et al. 2021 app.
+    A1.1): word-count / mean-word-length windows, symbol and bullet and
+    ellipsis ratios, alpha-word fraction, 8-stopword probe, duplicate-
+    line fraction — per-doc metrics + the combined pass verdict, all
+    map-only Catalyst (ops/webclean.py:gopher_gate)."""
+    from tokenkit_spark.ops.webclean import gopher_gate
+
+    return gopher_gate(_docs(spark, sf_dir))
+
+
+def q_ltr_rerank(spark, sf_dir):
+    """Two-stage cascade ranking (Wang/Lin/Metzler 2011): BM25 top-10
+    candidates through the segment index, reranked by a PINNED linear
+    LTR model over the extracted features (coverage-dominant weights)
+    (index/dfs.py:ltr_rerank)."""
+    from tokenkit_spark.index.dfs import ltr_rerank
+
+    index = _index_for(spark, sf_dir)
+    return ltr_rerank(
+        spark, index, _docs(spark, sf_dir), _queries_df(spark), WS, k=10
+    )
+
+
+def q_salsa_top20(spark, sf_dir):
+    """SALSA authorities (Lempel & Moran, WWW 2000): the TKC-resistant
+    stochastic HITS — backward-then-forward random-walk authority
+    chain, 4 iterations, mass-conserving (no normalization step);
+    top-20 (ops/linkgraph.py:salsa_authorities). Oracle unrolls the h/a
+    half-step pairs as CTE levels."""
+    from tokenkit_spark.ops.linkgraph import top_salsa
+
+    return top_salsa(_link_edges(spark, sf_dir), k=20, n_iter=4)
+
+
+def q_query_segments(spark, sf_dir):
+    """Unsupervised query segmentation by corpus-bigram PMI (Hagen et
+    al. 2010 baseline): adjacent query terms fuse iff their bigram
+    clears count >= 2 and PMI >= 1.0; segments become the engine's
+    phrase/proximity units (ops/textstats.py:segment_queries)."""
+    from tokenkit_spark.ops.textstats import segment_queries
+
+    return segment_queries(
+        _docs(spark, sf_dir), _queries_df(spark),
+        pmi_threshold=1.0, min_pair_count=2,
+    )
+
+
 def q_maxp_top10(spark, sf_dir):
     """BM25-MaxP (Dai & Callan, SIGIR 2019): overlapping 30-token
     passages (stride 15) scored as the BM25 corpus, document score =
@@ -5153,6 +5201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "gopher_gate": q_gopher_gate,
+        "ltr_rerank": q_ltr_rerank,
+        "salsa_top20": q_salsa_top20,
+        "query_segments": q_query_segments,
         "maxp_top10": q_maxp_top10,
         "source_divergence": q_source_divergence,
         "bpe_fertility": q_bpe_fertility,
@@ -5519,6 +5571,37 @@ WHERE rank <= {k}"""
     )
 
 
+def _salsa_oracle_sql(n_iter: int = 4, k: int = 20) -> str:
+    """Unroll the SALSA backward/forward half-step pairs as chained CTE
+    levels h0/a1..h{n-1}/a{n} — same math as
+    ops/linkgraph.py:salsa_authorities."""
+    ctes = [
+        _LINK_EDGES_SQL.strip(),
+        "indeg AS (SELECT dst AS node, count(*) AS ind FROM edges GROUP BY 1)",
+        "outdeg AS (SELECT src, count(*) AS outd FROM edges GROUP BY 1)",
+        "na AS (SELECT count(*) AS n FROM indeg)",
+        "a0 AS (SELECT node, 1.0 / (SELECT n FROM na) AS a FROM indeg)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"h{i} AS (SELECT e.src, sum(a{i}.a / indeg.ind) AS h "
+            f"FROM edges e JOIN a{i} ON a{i}.node = e.dst "
+            f"JOIN indeg ON indeg.node = e.dst GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{i + 1} AS (SELECT e.dst AS node, sum(h{i}.h / outdeg.outd) AS a "
+            f"FROM edges e JOIN h{i} USING (src) "
+            f"JOIN outdeg ON outdeg.src = e.src GROUP BY 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT rank, node, salsa FROM (
+  SELECT row_number() OVER (ORDER BY round(a, 6) DESC, node) AS rank,
+         node, round(a, 6) AS salsa FROM a{n_iter})
+WHERE rank <= {k}"""
+    )
+
+
 def _opic_oracle_sql(n_iter: int = 5, k: int = 20) -> str:
     """Unroll the synchronous OPIC cash recurrence as chained CTE levels
     c0..c{n_iter}; importance = avg of all levels — same math as
@@ -5850,6 +5933,127 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     decompound_values = ", ".join(f"('{p}')" for p in _DECOMPOUND_PARTS)
     return {
         # --- round-3 oracles ---
+        "gopher_gate": """
+WITH w AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+                  list_filter(list_transform(string_split(text, chr(10)),
+                                             l -> trim(l)), l -> l <> '') AS lines
+           FROM documents),
+m AS (SELECT doc_id,
+             len(words)::BIGINT AS word_count,
+             round(list_sum(list_transform(words, x -> length(x)))
+                   / greatest(len(words), 1)::DOUBLE, 4) AS mean_word_len,
+             round(( (length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) / 3
+                     + (length(text) - length(replace(text, chr(8230), ''))) )
+                   / greatest(len(words), 1)::DOUBLE, 4) AS symbol_ratio,
+             round(len(list_filter(lines, l -> regexp_matches(l, '^[-*' || chr(8226) || ']')))
+                   / greatest(len(lines), 1)::DOUBLE, 4) AS bullet_frac,
+             round(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|' || chr(8230) || ')$')))
+                   / greatest(len(lines), 1)::DOUBLE, 4) AS ellipsis_frac,
+             round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                   / greatest(len(words), 1)::DOUBLE, 4) AS alpha_word_frac,
+             len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))::BIGINT
+               AS stopword_hits,
+             round((len(lines) - len(list_distinct(lines)))
+                   / greatest(len(lines), 1)::DOUBLE, 4) AS dup_line_frac
+      FROM w)
+SELECT *,
+       (word_count >= 50 AND word_count <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stopword_hits >= 2
+        AND dup_line_frac <= 0.3) AS gopher_pass
+FROM m
+""",
+        "ltr_rerank": f"""
+WITH toks AS ({{_toks}}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS bm25
+  FROM scored),
+qlen AS (SELECT query_id, count(*) AS query_len FROM qterms GROUP BY 1),
+feats AS (SELECT q.query_id, p.doc_id,
+            count(*) AS matched_terms,
+            CAST(sum(p.tf) AS BIGINT) AS sum_tf,
+            round(sum(ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))), 4)
+              AS sum_idf
+          FROM qterms q JOIN postings p USING (term)
+          JOIN tstats t USING (term) CROSS JOIN globals g GROUP BY 1, 2),
+fo AS (SELECT r.query_id, r.doc_id, r.bm25,
+              round(1.0 * r.bm25
+                    + 2.0 * f.matched_terms / ql.query_len
+                    + 0.3 * ln(1 + f.sum_tf)
+                    + 0.05 * f.sum_idf
+                    - 0.2 * ln(1 + d.dl), 4) AS ltr_score
+       FROM ranked r
+       JOIN feats f ON f.query_id = r.query_id AND f.doc_id = r.doc_id
+       JOIN dstats d ON d.doc_id = r.doc_id
+       JOIN qlen ql ON ql.query_id = r.query_id
+       WHERE r.rank <= 10)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY ltr_score DESC, doc_id) AS rank,
+       doc_id, bm25, ltr_score
+FROM fo
+""".replace("{_toks}", _TOKS),
+        "salsa_top20": _salsa_oracle_sql(),
+        "query_segments": f"""
+WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS l FROM documents),
+big AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM t,
+        unnest(generate_series(1, greatest(len(l) - 1, 0))) r(i)),
+uc AS (SELECT unnest(l) AS w FROM t),
+u AS (SELECT w, count(*) AS c_w FROM uc GROUP BY 1),
+pc AS (SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY 1, 2),
+tot AS (SELECT (SELECT sum(n_pair) FROM pc) AS nb,
+               (SELECT sum(c_w) FROM u) AS nt),
+pmi AS (SELECT w1, w2,
+        round(ln((n_pair::DOUBLE / nb)
+                 / ((a.c_w::DOUBLE / nt) * (b.c_w::DOUBLE / nt))), 4) AS pmi
+        FROM pc JOIN u a ON a.w = pc.w1 JOIN u b ON b.w = pc.w2
+        CROSS JOIN tot WHERE n_pair >= 2),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+ql AS (SELECT query_id, list_filter(string_split_regex(lower(qtext), '\\s+'),
+                                    x -> x <> '') AS l FROM queries),
+qtok AS (SELECT query_id, i - 1 AS pos, l[i] AS term FROM ql,
+         unnest(generate_series(1, len(l))) r(i)),
+pairs AS (SELECT query_id, pos, term,
+                 lag(term) OVER (PARTITION BY query_id ORDER BY pos) AS prev
+          FROM qtok),
+brks AS (SELECT p.query_id, p.pos, p.term,
+                CASE WHEN p.prev IS NULL OR m.pmi IS NULL OR m.pmi < 1.0
+                     THEN 1 ELSE 0 END AS brk
+         FROM pairs p LEFT JOIN pmi m ON m.w1 = p.prev AND m.w2 = p.term),
+seg AS (SELECT query_id, pos, term,
+               CAST(sum(brk) OVER (PARTITION BY query_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS seg_idx
+        FROM brks)
+SELECT query_id, seg_idx,
+       string_agg(term, ' ' ORDER BY pos) AS segment,
+       count(*) AS n_terms
+FROM seg GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "maxp_top10": f"""
 WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
                                       x -> x <> '') AS toks FROM documents),

@@ -189,3 +189,65 @@ def ltr_features(
             "sum_tf", "max_tf", "sum_idf", "dl",
         )
     )
+
+
+# pinned second-stage weights: a hand-set linear model in the style of a
+# trained LambdaMART's first tree-ensemble surrogate — coverage dominates,
+# raw BM25 carries the base signal, long docs pay a mild prior
+LTR_WEIGHTS = {
+    "bm25": 1.0,
+    "coverage": 2.0,       # matched_terms / query_len
+    "log_sum_tf": 0.3,
+    "sum_idf": 0.05,
+    "log_dl": -0.2,
+}
+
+
+def ltr_rerank(
+    spark: SparkSession,
+    index: dict,
+    docs: DataFrame,
+    queries: DataFrame,
+    config: AnalyzerConfig | None = None,
+    text_col: str = "text",
+    k: int = 10,
+    weights: dict | None = None,
+) -> DataFrame:
+    """Two-stage ranking: BM25 candidate generation through the segment
+    index (stage 1), then a PINNED linear model over the LTR features
+    (stage 2) — the minimal honest form of the cascade every production
+    engine runs (candidates cheap and recall-oriented, rerank expensive
+    and precision-oriented; Wang/Lin/Metzler 2011's cascade). The model
+    is a fixed dot product so the stage is one Catalyst projection and
+    the oracle can replay it exactly:
+
+        ltr = w·(bm25, matched/qlen, ln(1+sum_tf), sum_idf, -? ln(1+dl))
+
+    Returns (query_id, rank, doc_id, bm25, ltr_score), rank over the
+    4-dp reranked score (doc_id asc ties). Reranking never changes the
+    candidate SET — only its order; that invariant is the test hook."""
+    w = weights or LTR_WEIGHTS
+    feats = ltr_features(spark, index, docs, queries, config, text_col, k)
+    score = (
+        F.lit(w["bm25"]) * F.col("bm25")
+        + F.lit(w["coverage"]) * F.col("matched_terms") / F.col("query_len")
+        + F.lit(w["log_sum_tf"]) * F.log(F.lit(1.0) + F.col("sum_tf"))
+        + F.lit(w["sum_idf"]) * F.col("sum_idf")
+        + F.lit(w["log_dl"]) * F.log(F.lit(1.0) + F.col("dl"))
+    )
+    scored = feats.select(
+        "query_id",
+        "doc_id",
+        "bm25",
+        F.round(score, 4).alias("ltr_score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ltr_score").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "query_id",
+        F.row_number().over(wq).cast("long").alias("rank"),
+        "doc_id",
+        "bm25",
+        "ltr_score",
+    )

@@ -521,3 +521,73 @@ def top_opic(
             "importance",
         )
     )
+
+
+def salsa_authorities(
+    edges: DataFrame, n_iter: int = 4, round_digits: int | None = None
+) -> DataFrame:
+    """SALSA authority scores (Lempel & Moran, "The stochastic approach
+    for link-structure analysis", WWW 2000): HITS's random-walk cousin —
+    the authority chain steps BACKWARD along a uniformly random in-link
+    then FORWARD along a uniformly random out-link of that hub, so the
+    update is
+
+        h(i)    = sum_{i->j} a_t(j) / indeg(j)
+        a_{t+1}(k) = sum_{i->k} h(i) / outdeg(i)
+
+    a doubly-stochastic two-step that conserves mass (no normalization
+    pass needed, unlike HITS) and whose stationary weights famously
+    resist the tightly-knit-community effect. Start uniform over
+    authority nodes (indeg >= 1).
+
+    Scale shape: per iteration exactly two edge-join + groupBy rounds —
+    PageRank's plan, twice — with degree tables computed once. The SQL
+    oracle unrolls h/a levels pairwise. Returns (node, salsa)."""
+    indeg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    n_auth = indeg.count()
+    a = indeg.select("node", F.lit(1.0 / n_auth).alias("a"))
+    for _ in range(n_iter):
+        # backward half-step: hub i aggregates a(j)/indeg(j) over i->j
+        h = (
+            edges.join(a, edges["dst"] == a["node"])
+            .join(indeg.withColumnRenamed("node", "dst_n"),
+                  F.col("dst") == F.col("dst_n"))
+            .select("src", (F.col("a") / F.col("in_deg")).alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("h"))
+        )
+        # forward half-step: authority k aggregates h(i)/outdeg(i)
+        a = (
+            edges.join(h, "src")
+            .join(outdeg.withColumnRenamed("node", "src_n"),
+                  F.col("src") == F.col("src_n"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("h") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("a"))
+        )
+    if round_digits is not None:
+        a = a.select("node", F.round("a", round_digits).alias("a"))
+    return a.withColumnRenamed("a", "salsa")
+
+
+def top_salsa(
+    edges: DataFrame, k: int = 20, n_iter: int = 4, round_digits: int = 6
+) -> DataFrame:
+    """Top-k authorities by SALSA score (rounded desc, node asc)."""
+    s = salsa_authorities(edges, n_iter, round_digits)
+    w = Window.orderBy(F.col("salsa").desc(), F.col("node").asc())
+    return (
+        s.orderBy(F.col("salsa").desc(), F.col("node").asc())
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"), "node", "salsa"
+        )
+    )

@@ -867,3 +867,102 @@ def char_entropy(
         ent.alias("entropy_bits"),
         (ent < F.lit(low_bits)).alias("is_low_entropy"),
     )
+
+
+def segment_queries(
+    docs: DataFrame,
+    queries: DataFrame,
+    pmi_threshold: float = 1.0,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Query segmentation by corpus PMI (the unsupervised baseline of
+    Bergsma & Wang 2007 / Hagen et al. 2010): adjacent query terms stay
+    in one segment iff their corpus-bigram PMI clears the threshold —
+    "new york" survives as a phrase unit, "york restaurant" splits.
+    Segments are what the engine turns into phrase clauses or
+    proximity-boosted groups instead of a flat bag of words.
+
+    Break rule between positions i and i+1: break unless the bigram
+    (w_i, w_{i+1}) has corpus count >= min_pair_count AND
+    PMI = ln(P(ab) / (P(a) P(b))) >= pmi_threshold (same estimator as
+    pmi_collocations). Segment ids are the running sum of breaks — a
+    per-query window over query-length rows, trivially cheap; the only
+    corpus-scale work is the bigram/unigram count pass, shared, bounded
+    by vocabulary. Returns (query_id, seg_idx, segment, n_terms)."""
+    toks = docs.select(_tokens(F.col(text_col)).alias("toks"))
+    big = toks.select(F.explode(F.expr(_BIGRAM_EXPR)).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    uni = toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_w")
+    )
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    totals = pair.agg(F.sum("n_pair").alias("n_bigrams")).crossJoin(
+        uni.agg(F.sum("c_w").alias("n_tokens"))
+    )
+    pmi_tbl = (
+        pair.filter(F.col("n_pair") >= min_pair_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("n_bigrams"))
+                    / (
+                        (F.col("c1") / F.col("n_tokens"))
+                        * (F.col("c2") / F.col("n_tokens"))
+                    )
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+    )
+    qtok = queries.select(
+        "query_id",
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("pos", "term"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("pos")
+    pairs = qtok.withColumn("prev", F.lag("term").over(wq))
+    joined = pairs.join(
+        pmi_tbl,
+        (F.col("prev") == F.col("w1")) & (F.col("term") == F.col("w2")),
+        "left",
+    )
+    brk = F.when(
+        F.col("prev").isNull()
+        | F.col("pmi").isNull()
+        | (F.col("pmi") < pmi_threshold),
+        1,
+    ).otherwise(0)
+    seg = (
+        joined.withColumn("brk", brk)
+        .withColumn(
+            "seg_idx",
+            (F.sum("brk").over(
+                wq.rowsBetween(Window.unboundedPreceding, 0)
+            ) - 1).cast("long"),
+        )
+    )
+    return (
+        seg.groupBy("query_id", "seg_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "term"))
+                    ),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("segment"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy("query_id", "seg_idx")
+    )

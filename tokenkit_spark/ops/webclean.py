@@ -245,3 +245,117 @@ def nfc_stats(
         F.length("__nfc").alias("nfc_len"),
         (F.length("__raw") - F.length("__nfc")).alias("delta_len"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The full Gopher quality-rule battery (Rae et al. 2021, app. A1.1
+    "MassiveWeb" filters) as one Catalyst projection — the canonical
+    LLM-corpus document gate the later pipelines (FineWeb, Dolma)
+    started from. Per doc, every rule's measured value plus its verdict:
+
+      * word count in [min_words, max_words]
+      * mean word length in [3, 10]
+      * (# + ellipsis) symbols per word <= 0.1
+      * lines starting with a bullet <= 90%
+      * lines ending in an ellipsis <= 30%
+      * words containing an alphabetic char >= 80%
+      * >= 2 distinct hits from the 8-stopword probe list
+      * duplicate-line fraction <= 0.3 (the simplest of the Gopher
+        repetition rules; the n-gram ones live in
+        ops/textstats.py:repetition_signals)
+
+    Returns one row per doc with the metrics and ``gopher_pass``. All
+    rules are array/string expressions — no UDF, map-only, no shuffle:
+    the shape that filters 10^12 docs at scan speed."""
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    wc = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mwl = total_chars / F.greatest(wc, F.lit(1)).cast("double")
+    hash_count = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    dots = (
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3
+    uni_ell = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("…"), F.lit(""))
+    )
+    symbol_ratio = (hash_count + dots + uni_ell) / F.greatest(
+        wc, F.lit(1)
+    ).cast("double")
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.size(
+        F.filter(
+            lines,
+            lambda l: l.rlike(r"^[-*•]"),
+        )
+    ) / F.greatest(n_lines, F.lit(1)).cast("double")
+    ellipsis_frac = F.size(
+        F.filter(
+            lines,
+            lambda l: l.rlike(r"(\.\.\.|…)$"),
+        )
+    ) / F.greatest(n_lines, F.lit(1)).cast("double")
+    alpha_frac = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ) / F.greatest(wc, F.lit(1)).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    dup_line_frac = (n_lines - F.size(F.array_distinct(lines))) / F.greatest(
+        n_lines, F.lit(1)
+    ).cast("double")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        wc.cast("long").alias("word_count"),
+        F.round(mwl, round_digits).alias("mean_word_len"),
+        F.round(symbol_ratio, round_digits).alias("symbol_ratio"),
+        F.round(bullet_frac, round_digits).alias("bullet_frac"),
+        F.round(ellipsis_frac, round_digits).alias("ellipsis_frac"),
+        F.round(alpha_frac, round_digits).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        F.round(dup_line_frac, round_digits).alias("dup_line_frac"),
+    )
+    gate = (
+        (F.col("word_count") >= min_words)
+        & (F.col("word_count") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+    )
+    return out.withColumn("gopher_pass", gate)
