@@ -5009,6 +5009,43 @@ def q_bucket_correlation(spark, sf_dir):
     return bucket_correlation(_events(spark, sf_dir))
 
 
+TRUST_SEEDS = [1, 2, 3, 4, 5]
+
+
+def q_spam_mass(spark, sf_dir):
+    """Spam mass (Gyongyi et al., VLDB 2006): fraction of each page's
+    PageRank NOT explainable by flow from the trusted core — PR and
+    TrustRank (PPR teleporting to TRUST_SEEDS) joined per node, top-25
+    suspects (ops/linkgraph.py:spam_mass). Oracle unrolls BOTH
+    recurrences side by side."""
+    from tokenkit_spark.ops.linkgraph import spam_mass
+
+    return spam_mass(
+        _link_edges(spark, sf_dir), TRUST_SEEDS, n_iter=5, k=25
+    )
+
+
+def q_code_switch(spark, sf_dir):
+    """Mixed-language / code-switching detection: 20-token windows
+    through the stopword-ratio LID, rolled up to per-doc window-language
+    agreement (switch count, dominant language, minority fraction) —
+    the paragraph-level LID pass CCNet-style pipelines run before
+    labeling a page (ops/textstats.py:code_switch_windows)."""
+    from tokenkit_spark.ops.textstats import code_switch_windows
+
+    return code_switch_windows(_docs(spark, sf_dir), window=20)
+
+
+def q_query_relaxation(spark, sf_dir):
+    """Conjunctive relaxation ladder: every AND-retry level (drop the
+    highest-df term per step) evaluated in ONE plan — per (query,
+    level) the kept terms, conjunctive hit count, and the chosen level
+    (first with >= 3 matches) (index/relax.py:relaxation_ladder)."""
+    from tokenkit_spark.index.relax import relaxation_ladder
+
+    return relaxation_ladder(_docs(spark, sf_dir), _queries_df(spark), k=3)
+
+
 def q_gopher_gate(spark, sf_dir):
     """Full Gopher document-quality rule battery (Rae et al. 2021 app.
     A1.1): word-count / mean-word-length windows, symbol and bullet and
@@ -5201,6 +5238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "spam_mass": q_spam_mass,
+        "code_switch": q_code_switch,
+        "query_relaxation": q_query_relaxation,
         "gopher_gate": q_gopher_gate,
         "ltr_rerank": q_ltr_rerank,
         "salsa_top20": q_salsa_top20,
@@ -5571,6 +5611,155 @@ WHERE rank <= {k}"""
     )
 
 
+def _spam_mass_oracle_sql(
+    seeds: list, n_iter: int = 5, d: float = 0.85, k: int = 25
+) -> str:
+    """Unroll PageRank (p-levels) and TrustRank (t-levels, teleport
+    pinned to the seed set) side by side over shared edges/nodes/degs,
+    then join into the mass ratio — same math as
+    ops/linkgraph.py:spam_mass."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    tele = (
+        f"(CASE WHEN node IN ({seed_list}) THEN 1.0 / {len(seeds)} "
+        "ELSE 0.0 END)"
+    )
+    m = "AS MATERIALIZED"
+    ctes = [
+        _LINK_EDGES_SQL.strip().replace("edges AS (", f"edges {m} ("),
+        f"nodes {m} (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"degs {m} (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        "p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
+        f"t0 AS (SELECT node, {tele} AS pr FROM nodes)",
+    ]
+    for pre, dmp, telex in (
+        ("p", "(SELECT dm FROM pdm{i}) / (SELECT n FROM nn)",
+         f"(1 - {d}) / (SELECT n FROM nn)"),
+        ("t", f"(SELECT dm FROM tdm{{i}}) * {tele}",
+         f"(1 - {d}) * {tele}"),
+    ):
+        for i in range(n_iter):
+            prev, cur = f"{pre}{i}", f"{pre}{i + 1}"
+            ctes.append(
+                f"{pre}dm{i} AS (SELECT coalesce(sum(pr), 0) AS dm FROM {prev} "
+                f"LEFT JOIN degs ON {prev}.node = degs.src WHERE degs.src IS NULL)"
+            )
+            ctes.append(
+                f"{cur} {m} (SELECT nodes.node, "
+                f"{telex} + {d} * (coalesce(inf.i, 0) "
+                f"+ {dmp.format(i=i)}) AS pr "
+                f"FROM nodes LEFT JOIN "
+                f"(SELECT dst, sum({prev}.pr / degs.deg) AS i FROM edges "
+                f"JOIN degs USING (src) JOIN {prev} ON {prev}.node = edges.src "
+                f"GROUP BY 1) inf ON nodes.node = inf.dst)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT rank, node, pr, trustrank, spam_mass FROM (
+  SELECT row_number() OVER (ORDER BY mass DESC, node) AS rank,
+         node, prr AS pr, trr AS trustrank, mass AS spam_mass FROM (
+    SELECT p.node, round(p.pr, 6) AS prr, round(t.pr, 6) AS trr,
+           round((round(p.pr, 6) - round(t.pr, 6)) / round(p.pr, 6), 6) AS mass
+    FROM p{n_iter} p JOIN t{n_iter} t ON t.node = p.node))
+WHERE rank <= {k}"""
+    )
+
+
+def _code_switch_oracle_sql(window: int = 20, round_digits: int = 4) -> str:
+    """Window-sliced LID with the same arms + tie rule as
+    _lang_detect_oracle, rolled up per doc — twin of
+    ops/textstats.py:code_switch_windows."""
+    arms = []
+    for lang in sorted(textstats.STOPWORDS):
+        stops = ", ".join(f"'{s}'" for s in textstats.STOPWORDS[lang])
+        arms.append(
+            f"SELECT doc_id, widx, '{lang}' AS lang, "
+            f"len(list_filter(wt, t -> t IN ({stops})))::DOUBLE "
+            "/ greatest(len(wt), 1) AS score FROM win"
+        )
+    return f"""
+WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '') AS toks FROM documents),
+nw AS (SELECT doc_id, toks,
+              greatest(CAST(ceil(len(toks) / {window}.0) AS BIGINT), 1) AS n_win
+       FROM w),
+win AS (SELECT doc_id, i AS widx,
+               toks[i * {window} + 1 : i * {window} + {window}] AS wt
+        FROM nw, unnest(range(0, n_win)) r(i)),
+sc AS ({' UNION ALL '.join(arms)}),
+best AS (SELECT doc_id, widx, lang, score,
+                row_number() OVER (PARTITION BY doc_id, widx
+                                   ORDER BY score DESC, lang DESC) AS rn FROM sc),
+wl AS (SELECT doc_id, widx,
+              CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_w
+       FROM best WHERE rn = 1),
+fl AS (SELECT doc_id, widx, lang_w,
+              CASE WHEN lag(lang_w) OVER (PARTITION BY doc_id ORDER BY widx)
+                        IS NOT NULL
+                    AND lang_w <> lag(lang_w) OVER (PARTITION BY doc_id
+                                                    ORDER BY widx)
+                   THEN 1 ELSE 0 END AS switch FROM wl),
+pl AS (SELECT doc_id, lang_w, count(*) AS c FROM wl GROUP BY 1, 2),
+dom AS (SELECT doc_id, lang_w AS dominant_lang, c AS dom_c FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY c DESC, lang_w ASC) AS rn FROM pl) WHERE rn = 1),
+ru AS (SELECT doc_id, count(*) AS n_windows,
+              count(DISTINCT CASE WHEN lang_w <> 'und' THEN lang_w END)
+                AS n_langs,
+              CAST(sum(switch) AS BIGINT) AS switches
+       FROM fl GROUP BY 1)
+SELECT r.doc_id, r.n_windows, r.n_langs, r.switches, d.dominant_lang,
+       round((r.n_windows - d.dom_c) / CAST(r.n_windows AS DOUBLE),
+             {round_digits}) AS minority_frac,
+       r.n_langs >= 2 AS code_switched
+FROM ru r JOIN dom d USING (doc_id)
+"""
+
+
+def _query_relaxation_oracle_sql(k: int = 3) -> str:
+    """Twin of index/relax.py:relaxation_ladder — same drop order
+    (df desc, term asc), same conjunctive count per level, same
+    chosen-level rule (first level with >= k matches, else deepest)."""
+    return f"""
+WITH toks AS (SELECT DISTINCT doc_id, lower(u.t) AS term FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+         AS u(t)),
+tstats AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+       unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> ''))
+         AS u(t)),
+qdf AS (SELECT q.query_id, q.term, coalesce(t.df, 0) AS df
+        FROM qterms q LEFT JOIN tstats t USING (term)),
+ranked AS (SELECT query_id, term, df,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY df DESC, term ASC) AS drop_rank,
+       count(*) OVER (PARTITION BY query_id) AS n_terms FROM qdf),
+levels AS (SELECT query_id, term, drop_rank, u.level
+       FROM ranked, unnest(range(0, n_terms)) AS u(level)
+       WHERE drop_rank > u.level),
+kept AS (SELECT query_id, level, count(*) AS n_kept,
+       string_agg(term, ' ' ORDER BY drop_rank) AS kept_terms
+       FROM levels GROUP BY 1, 2),
+perdoc AS (SELECT lv.query_id, lv.level, t.doc_id, count(*) AS m
+       FROM levels lv JOIN toks t USING (term) GROUP BY 1, 2, 3),
+hits AS (SELECT p.query_id, p.level, count(*) AS n_matches
+       FROM perdoc p JOIN kept kk
+         ON kk.query_id = p.query_id AND kk.level = p.level
+       WHERE p.m = kk.n_kept GROUP BY 1, 2),
+ladder AS (SELECT k.query_id, k.level, k.n_kept, k.kept_terms,
+       coalesce(h.n_matches, 0) AS n_matches
+       FROM kept k LEFT JOIN hits h USING (query_id, level))
+SELECT query_id, level, n_kept, kept_terms, n_matches,
+       level = coalesce(
+         min(CASE WHEN n_matches >= {k} THEN level END)
+           OVER (PARTITION BY query_id),
+         max(level) OVER (PARTITION BY query_id)) AS chosen
+FROM ladder ORDER BY query_id, level
+"""
+
+
 def _salsa_oracle_sql(n_iter: int = 4, k: int = 20) -> str:
     """Unroll the SALSA backward/forward half-step pairs as chained CTE
     levels h0/a1..h{n-1}/a{n} — same math as
@@ -5933,6 +6122,9 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     decompound_values = ", ".join(f"('{p}')" for p in _DECOMPOUND_PARTS)
     return {
         # --- round-3 oracles ---
+        "spam_mass": _spam_mass_oracle_sql(TRUST_SEEDS),
+        "code_switch": _code_switch_oracle_sql(),
+        "query_relaxation": _query_relaxation_oracle_sql(),
         "gopher_gate": """
 WITH w AS (SELECT doc_id, text,
                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,

@@ -591,3 +591,56 @@ def top_salsa(
             F.row_number().over(w).cast("long").alias("rank"), "node", "salsa"
         )
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    trusted_seeds: list,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    k: int = 25,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Spam mass (Gyongyi, Berkhin, Garcia-Molina & Pedersen, "Link
+    spam detection based on mass estimation", VLDB 2006): the fraction
+    of a page's PageRank that does NOT flow from a trusted core —
+
+        mass(v) = (PR(v) - TR(v)) / PR(v)
+
+    with TR the TrustRank vector (Gyongyi et al., VLDB 2004): PageRank
+    whose teleport is pinned to the trusted seed set — exactly
+    personalized_pagerank(seeds). Pages near 1.0 earn their rank from
+    link neighborhoods unreachable-by-teleport from trust: the link-spam
+    suspect list a crawl operator reviews first.
+
+    Both vectors are the existing two-shuffle-per-iteration plans; the
+    combination is one node-keyed join. PR and TR are rounded BEFORE
+    the mass ratio so the engine and the unrolled SQL oracle agree
+    bit-for-bit. Returns top-k by (mass desc, node asc):
+    (rank, node, pr, trustrank, spam_mass)."""
+    pr = pagerank(edges, n_iter, damping).select(
+        "node", F.round("pr", round_digits).alias("pr")
+    )
+    tr = personalized_pagerank(edges, trusted_seeds, n_iter, damping).select(
+        "node", F.round("pr", round_digits).alias("trustrank")
+    )
+    j = pr.join(tr, "node").select(
+        "node",
+        "pr",
+        "trustrank",
+        F.round(
+            (F.col("pr") - F.col("trustrank")) / F.col("pr"), round_digits
+        ).alias("spam_mass"),
+    )
+    w = Window.orderBy(F.col("spam_mass").desc(), F.col("node").asc())
+    return (
+        j.orderBy(F.col("spam_mass").desc(), F.col("node").asc())
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "node",
+            "pr",
+            "trustrank",
+            "spam_mass",
+        )
+    )

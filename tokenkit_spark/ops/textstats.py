@@ -966,3 +966,93 @@ def segment_queries(
         )
         .orderBy("query_id", "seg_idx")
     )
+
+
+def code_switch_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 20,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Mixed-language (code-switching) detection: slice each document
+    into fixed non-overlapping ``window``-token windows, run the
+    stopword-ratio language detector per window, and roll up the
+    per-window verdicts. A web page whose windows disagree is boilerplate
+    soup, a template wrapping foreign content, or genuine code-switching
+    — all cases a doc-level language label silently mislabels, which is
+    why CCNet/fastText pipelines paragraph-split before LID.
+
+    Returns per doc: (doc_id, n_windows, n_langs, switches,
+    dominant_lang, minority_frac, code_switched) where switches counts
+    adjacent window pairs whose language differs, dominant is the modal
+    window language (count desc, lang asc ties), minority_frac the
+    fraction of windows not in the dominant language, and
+    code_switched = (n_langs >= 2) over non-'und' window verdicts.
+
+    Scale shape: windows are a per-row sequence + slice flat-map (pure
+    Catalyst), the detector is the existing arms expression, the rollup
+    is two doc-keyed aggregates — corpus-linear, no UDF."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    n_win = F.ceil(n / F.lit(float(window))).cast("int")
+    w = docs.select(
+        "doc_id", toks.alias("toks"), F.greatest(n_win, F.lit(1)).alias("n_win")
+    )
+    wins = w.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_win") - 1)).alias("widx"),
+        "toks",
+    ).select(
+        "doc_id",
+        "widx",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("widx") * window + 1, F.lit(window)),
+            " ",
+        ).alias("wtext"),
+    )
+    wl = wins.select(
+        "doc_id", "widx", detect_language(F.col("wtext")).alias("lang_w")
+    )
+    order = Window.partitionBy("doc_id").orderBy("widx")
+    flagged = wl.withColumn(
+        "switch",
+        F.when(
+            F.lag("lang_w").over(order).isNotNull()
+            & (F.col("lang_w") != F.lag("lang_w").over(order)),
+            1,
+        ).otherwise(0),
+    )
+    per_lang = wl.groupBy("doc_id", "lang_w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dom = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("lang_w").asc()
+    )
+    dominant = (
+        per_lang.withColumn("rn", F.row_number().over(dom))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang_w").alias("dominant_lang"),
+                F.col("c").alias("dom_c"))
+    )
+    rollup = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.count_distinct(
+            F.when(F.col("lang_w") != "und", F.col("lang_w"))
+        ).alias("n_langs"),
+        F.sum("switch").alias("switches"),
+    )
+    return (
+        rollup.join(dominant, "doc_id")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_langs",
+            "switches",
+            "dominant_lang",
+            F.round(
+                (F.col("n_windows") - F.col("dom_c")) / F.col("n_windows"),
+                round_digits,
+            ).alias("minority_frac"),
+            (F.col("n_langs") >= 2).alias("code_switched"),
+        )
+    )
