@@ -5012,6 +5012,64 @@ def q_bucket_correlation(spark, sf_dir):
 TRUST_SEEDS = [1, 2, 3, 4, 5]
 
 
+def q_rake_keywords(spark, sf_dir):
+    """RAKE per-document keyphrase extraction (Rose et al. 2010):
+    stopword/punctuation-delimited candidate runs, word deg/freq
+    scores, top-3 phrases per doc (ops/rake.py:rake_keywords) — the
+    corpus-statistics-free sibling of tfidf_keywords/textrank."""
+    from tokenkit_spark.ops.rake import rake_keywords
+
+    return rake_keywords(_docs(spark, sf_dir), k=3)
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Host-pair mirror detection (Bharat & Broder, WWW 1999):
+    trigram-shingle host profiles, df-capped shingle join, Jaccard
+    resemblance + containment per host pair
+    (ops/mirrors.py:mirror_pairs). Hosts are the documents' source
+    labels."""
+    from tokenkit_spark.ops.mirrors import mirror_pairs
+
+    pages = _docs(spark, sf_dir).select(
+        F.col("source").alias("host"), "text"
+    )
+    return mirror_pairs(pages, min_resemblance=0.01)
+
+
+def q_bic_sizes(spark, sf_dir):
+    """Binary interpolative coding (Moffat & Stuiver 2000) exact
+    bit-cost vs the live delta+varint stream for the top-20 largest
+    term doc-id sets — the clustering-exploiting fourth sibling of the
+    EF/NewPFD/Roaring codec audits, evaluated breadth-first as data
+    (index/bic.py:bic_audit); the oracle re-runs the recursion as a
+    recursive CTE."""
+    from tokenkit_spark.index.bic import bic_audit
+
+    postings = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return bic_audit(postings, k=20)
+
+
+def q_nextword_phrases(spark, sf_dir):
+    """Next-word (bigram) phrase acceleration (Williams, Zobel &
+    Bahle, TOIS 2004): top-200 bigram postings materialized; phrase
+    queries whose every consecutive bigram is accelerated run on the
+    bigram index, the rest fall back to positional evaluation; audit
+    reports plan, rows touched per path, and fast-path/positional
+    match parity (index/nextword.py:nextword_audit)."""
+    from tokenkit_spark.index.nextword import nextword_audit
+
+    pdf = spark.createDataFrame(PHRASES, "query_id long, text string")
+    return nextword_audit(_docs(spark, sf_dir), pdf, top_b=200)
+
+
 def q_spam_mass(spark, sf_dir):
     """Spam mass (Gyongyi et al., VLDB 2006): fraction of each page's
     PageRank NOT explainable by flow from the trusted core — PR and
@@ -5238,6 +5296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "rake_keywords": q_rake_keywords,
+        "mirror_hosts": q_mirror_hosts,
+        "bic_sizes": q_bic_sizes,
+        "nextword_phrases": q_nextword_phrases,
         "spam_mass": q_spam_mass,
         "code_switch": q_code_switch,
         "query_relaxation": q_query_relaxation,
@@ -5717,6 +5779,212 @@ FROM ru r JOIN dom d USING (doc_id)
 """
 
 
+def _rake_oracle_sql(k: int = 3, round_digits: int = 4) -> str:
+    """Twin of ops/rake.py:rake_keywords — same trim regex, stoplist,
+    run grouping, deg/freq word scores, and (score desc, phrase asc)
+    per-doc rank."""
+    return f"""
+WITH fr AS (SELECT doc_id,
+                   string_split_regex(lower(text), '[^a-z0-9\\s]+') AS fs
+            FROM documents),
+frags AS (SELECT doc_id, fi - 1 AS fidx, fs[fi] AS frag
+          FROM fr, unnest(range(1, len(fs) + 1)) AS u(fi)),
+tk AS (SELECT doc_id, fidx, string_split_regex(frag, '\\s+') AS t
+       FROM frags),
+toks AS (SELECT doc_id, fidx, i - 1 AS pos, t[i] AS w
+         FROM tk, unnest(range(1, len(t) + 1)) AS u(i)),
+content AS (SELECT doc_id, fidx, pos, w FROM toks
+            WHERE w <> '' AND w NOT IN ({_STOP_EN_SQL})),
+runs AS (SELECT doc_id, pos, w,
+                CAST(fidx AS VARCHAR) || ':' ||
+                CAST(pos - row_number() OVER (PARTITION BY doc_id, fidx
+                                              ORDER BY pos) AS VARCHAR)
+                  AS grp FROM content),
+phrases AS (SELECT doc_id, grp,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase,
+                   count(*) AS n_words
+            FROM runs GROUP BY 1, 2),
+occ AS (SELECT r.doc_id, r.grp, r.w, p.n_words
+        FROM runs r JOIN phrases p USING (doc_id, grp)),
+wstats AS (SELECT doc_id, w, count(*) AS freq, sum(n_words) AS deg
+           FROM occ GROUP BY 1, 2),
+scored AS (SELECT o.doc_id, o.grp, sum(s.deg / s.freq) AS score
+           FROM occ o JOIN wstats s USING (doc_id, w) GROUP BY 1, 2),
+merged AS (SELECT p.doc_id, p.phrase, p.n_words,
+                  round(max(s.score), {round_digits}) AS score
+           FROM scored s JOIN phrases p USING (doc_id, grp)
+           GROUP BY 1, 2, 3),
+ranked AS (SELECT doc_id,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, phrase ASC) AS rank,
+                  phrase, n_words, score FROM merged)
+SELECT doc_id, rank, phrase, n_words, score FROM ranked
+WHERE rank <= {k} ORDER BY doc_id, rank
+"""
+
+
+def _mirror_oracle_sql(
+    n: int = 3,
+    min_resemblance: float = 0.01,
+    max_shingle_df: int = 1_000,
+    round_digits: int = 4,
+) -> str:
+    """Twin of ops/mirrors.py:mirror_pairs over host = source."""
+    return f"""
+WITH t AS (SELECT source AS host,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS toks FROM documents),
+g AS (SELECT DISTINCT host, array_to_string(toks[i : i + {n - 1}], ' ')
+        AS shingle
+      FROM t, unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS u(i)),
+sizes AS (SELECT host, count(*) AS sz FROM g GROUP BY 1),
+rare AS (SELECT shingle FROM g GROUP BY 1
+         HAVING count(*) <= {max_shingle_df}),
+j AS (SELECT host, shingle FROM g JOIN rare USING (shingle)),
+inter AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+          FROM j a JOIN j b USING (shingle) WHERE a.host < b.host
+          GROUP BY 1, 2),
+m AS (SELECT i.host_a, i.host_b, i.shared, sa.sz AS size_a, sb.sz AS size_b,
+             round(i.shared / CAST(sa.sz + sb.sz - i.shared AS DOUBLE),
+                   {round_digits}) AS resemblance,
+             round(i.shared / CAST(least(sa.sz, sb.sz) AS DOUBLE),
+                   {round_digits}) AS containment
+      FROM inter i JOIN sizes sa ON sa.host = i.host_a
+                   JOIN sizes sb ON sb.host = i.host_b)
+SELECT * FROM m WHERE resemblance >= {min_resemblance}
+ORDER BY resemblance DESC, host_a, host_b
+"""
+
+
+def _bic_oracle_sql(k: int = 20, round_digits: int = 4) -> str:
+    """Twin of index/bic.py:bic_audit — the breadth-first recursion
+    re-expressed as a recursive CTE; identical node-cost formula."""
+    return f"""
+WITH RECURSIVE toks AS ({_TOKS}),
+p0 AS (SELECT DISTINCT term, doc_id AS id FROM toks WHERE term <> ''),
+p AS (SELECT term, id,
+             row_number() OVER (PARTITION BY term ORDER BY id) AS idx
+      FROM p0),
+n AS (SELECT term, count(*) AS n_docs FROM p GROUP BY 1),
+uv AS (SELECT max(id) AS u FROM p0),
+rec AS (
+  SELECT term, CAST(1 AS BIGINT) AS lo_i, CAST(n_docs AS BIGINT) AS hi_i,
+         CAST(0 AS BIGINT) AS lo_v, CAST((SELECT u FROM uv) AS BIGINT) AS hi_v
+  FROM n
+  UNION ALL
+  SELECT r.term,
+         CASE WHEN s.s = 0 THEN r.lo_i
+              ELSE r.lo_i + (r.hi_i - r.lo_i + 1) // 2 + 1 END,
+         CASE WHEN s.s = 0 THEN r.lo_i + (r.hi_i - r.lo_i + 1) // 2 - 1
+              ELSE r.hi_i END,
+         CASE WHEN s.s = 0 THEN r.lo_v ELSE mp.id + 1 END,
+         CASE WHEN s.s = 0 THEN mp.id - 1 ELSE r.hi_v END
+  FROM rec r
+  JOIN p mp ON mp.term = r.term
+           AND mp.idx = r.lo_i + (r.hi_i - r.lo_i + 1) // 2
+  CROSS JOIN (VALUES (0), (1)) s(s)
+  WHERE (s.s = 0 AND (r.hi_i - r.lo_i + 1) // 2 >= 1)
+     OR (s.s = 1 AND r.hi_i >= r.lo_i + (r.hi_i - r.lo_i + 1) // 2 + 1)),
+costs AS (SELECT term,
+                 CASE WHEN hi_v - lo_v + 1 - (hi_i - lo_i) <= 1 THEN 0
+                      ELSE length(bin(hi_v - lo_v - (hi_i - lo_i))) END
+                   AS bits
+          FROM rec),
+bic AS (SELECT term, CAST(sum(bits) AS BIGINT) AS bic_bits
+        FROM costs GROUP BY 1),
+gaps AS (SELECT term,
+                id - coalesce(lag(id) OVER (PARTITION BY term ORDER BY id), 0)
+                  AS gap FROM p0),
+vb AS (SELECT term, CAST(sum(8 * (CASE WHEN gap < 128 THEN 1
+                 WHEN gap < 16384 THEN 2 WHEN gap < 2097152 THEN 3
+                 WHEN gap < 268435456 THEN 4 ELSE 5 END)) AS BIGINT)
+         AS varint_bits
+       FROM gaps GROUP BY 1),
+ranked AS (SELECT row_number() OVER (ORDER BY n.n_docs DESC, n.term ASC)
+             AS rank, n.term, n.n_docs, b.bic_bits, v.varint_bits
+           FROM n JOIN bic b USING (term) JOIN vb v USING (term))
+SELECT rank, term, n_docs, bic_bits, varint_bits,
+       round(bic_bits / CAST(n_docs AS DOUBLE), {round_digits}) AS bpp_bic,
+       round(varint_bits / CAST(n_docs AS DOUBLE), {round_digits})
+         AS bpp_varint,
+       round(bic_bits / CAST(varint_bits AS DOUBLE), {round_digits}) AS ratio
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _nextword_oracle_sql(top_b: int = 200) -> str:
+    """Twin of index/nextword.py:nextword_audit over the PHRASES
+    fixture."""
+    phrase_values = ", ".join(f"({i}, '{t}')" for i, t in PHRASES)
+    return f"""
+WITH raw AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '') AS t FROM documents),
+toks AS (SELECT doc_id, i - 1 AS pos, t[i] AS term
+         FROM raw, unnest(range(1, len(t) + 1)) AS u(i)),
+bi AS (SELECT doc_id, pos, term AS w1,
+              lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       FROM toks QUALIFY w2 IS NOT NULL),
+cf AS (SELECT w1, w2, count(*) AS cf FROM bi GROUP BY 1, 2),
+accel AS (SELECT w1, w2 FROM (
+            SELECT w1, w2, row_number() OVER (ORDER BY cf DESC, w1, w2) AS r
+            FROM cf) WHERE r <= {top_b}),
+nwix AS (SELECT bi.* FROM bi JOIN accel USING (w1, w2)),
+phrases(query_id, ptext) AS (VALUES {phrase_values}),
+qraw AS (SELECT query_id,
+                list_filter(string_split_regex(lower(ptext), '\\s+'),
+                            x -> x <> '') AS t FROM phrases),
+qt AS (SELECT query_id, i - 1 AS qpos, t[i] AS term
+       FROM qraw, unnest(range(1, len(t) + 1)) AS u(i)),
+qlen AS (SELECT query_id, max(qpos) AS maxq FROM qt GROUP BY 1),
+qbi AS (SELECT query_id, qpos AS bpos, term AS w1,
+               lead(term) OVER (PARTITION BY query_id ORDER BY qpos) AS w2
+        FROM qt QUALIFY w2 IS NOT NULL),
+elig AS (SELECT q.query_id,
+                count(*) = sum(CASE WHEN a.w1 IS NULL THEN 0 ELSE 1 END)
+                  AS eligible
+         FROM qbi q LEFT JOIN accel a ON a.w1 = q.w1 AND a.w2 = q.w2
+         GROUP BY 1),
+pj AS (SELECT q.query_id, t.doc_id, t.pos - q.qpos AS start, q.qpos
+       FROM qt q JOIN toks t USING (term)),
+pos_match AS (SELECT DISTINCT query_id, doc_id FROM (
+                SELECT p.query_id, p.doc_id, p.start,
+                       count(DISTINCT p.qpos) AS nq, any_value(l.maxq) AS maxq
+                FROM pj p JOIN qlen l USING (query_id) GROUP BY 1, 2, 3)
+              WHERE nq = maxq + 1),
+pos_rows AS (SELECT query_id, count(*) AS rows_positional FROM pj GROUP BY 1),
+nj AS (SELECT q.query_id, x.doc_id, x.pos - q.bpos AS start, q.bpos
+       FROM qbi q JOIN nwix x ON x.w1 = q.w1 AND x.w2 = q.w2),
+nw_match AS (SELECT DISTINCT query_id, doc_id FROM (
+               SELECT n.query_id, n.doc_id, n.start,
+                      count(DISTINCT n.bpos) AS nb, any_value(l.maxq) AS maxq
+               FROM nj n JOIN qlen l USING (query_id) GROUP BY 1, 2, 3)
+             WHERE nb = maxq),
+nw_rows AS (SELECT query_id, count(*) AS rows_nextword FROM nj GROUP BY 1),
+pm AS (SELECT query_id, count(*) AS n_pos FROM pos_match GROUP BY 1),
+nm AS (SELECT query_id, count(*) AS n_nw FROM nw_match GROUP BY 1),
+parity AS (SELECT query_id, count(*) AS n_union FROM (
+             SELECT query_id, doc_id FROM pos_match
+             UNION SELECT query_id, doc_id FROM nw_match) GROUP BY 1)
+SELECT p.query_id,
+       CASE WHEN coalesce(e.eligible, false) THEN 'nextword'
+            ELSE 'positional' END AS plan,
+       coalesce(pm.n_pos, 0) AS n_matches,
+       coalesce(pr.rows_positional, 0) AS rows_positional,
+       CASE WHEN coalesce(e.eligible, false)
+            THEN coalesce(nr.rows_nextword, 0) ELSE 0 END AS rows_nextword,
+       CASE WHEN NOT coalesce(e.eligible, false) THEN true
+            ELSE coalesce(pa.n_union, 0) = coalesce(pm.n_pos, 0)
+             AND coalesce(pa.n_union, 0) = coalesce(nm.n_nw, 0) END
+         AS identical
+FROM phrases p
+LEFT JOIN elig e USING (query_id) LEFT JOIN pm USING (query_id)
+LEFT JOIN nm USING (query_id) LEFT JOIN parity pa USING (query_id)
+LEFT JOIN pos_rows pr USING (query_id) LEFT JOIN nw_rows nr USING (query_id)
+ORDER BY p.query_id
+"""
+
+
 def _query_relaxation_oracle_sql(k: int = 3) -> str:
     """Twin of index/relax.py:relaxation_ladder — same drop order
     (df desc, term asc), same conjunctive count per level, same
@@ -6122,6 +6390,10 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     decompound_values = ", ".join(f"('{p}')" for p in _DECOMPOUND_PARTS)
     return {
         # --- round-3 oracles ---
+        "rake_keywords": _rake_oracle_sql(),
+        "mirror_hosts": _mirror_oracle_sql(),
+        "bic_sizes": _bic_oracle_sql(),
+        "nextword_phrases": _nextword_oracle_sql(),
         "spam_mass": _spam_mass_oracle_sql(TRUST_SEEDS),
         "code_switch": _code_switch_oracle_sql(),
         "query_relaxation": _query_relaxation_oracle_sql(),
