@@ -5012,6 +5012,80 @@ def q_bucket_correlation(spark, sf_dir):
 TRUST_SEEDS = [1, 2, 3, 4, 5]
 
 
+WORDBREAK_QUERIES = [
+    (0, "hashjoin scan"),
+    (1, "sortmerge"),
+    (2, "ta ble"),
+    (3, "spark windowstream"),
+    (4, "nonexistentcompound"),
+]
+
+
+def q_tiered_fallback(spark, sf_dir):
+    """Two-tier index with correctness guarantee (Ntoulas & Cho,
+    SIGIR 2007): tier-1 = top-8 postings per term by impact; per query
+    the k-th/k+1-th tier-1 scores, the pruned-mass bound, whether the
+    tier-1 answer is PROVABLY complete, ground-truth identity vs the
+    full index, and the tier-1 posting fraction served
+    (index/tiered.py:tiered_eval)."""
+    from tokenkit_spark.index.tiered import tiered_eval
+
+    return tiered_eval(
+        _docs(spark, sf_dir), _queries_df(spark), keep_per_term=8, k=10
+    )
+
+
+def q_results_cache(spark, sf_dir):
+    """Static results-cache sizing audit (Baeza-Yates et al., SIGIR
+    2007) over a deterministic exponentially-skewed query log derived
+    from the events stream (query q has ~2^q share): volume hit rate,
+    compulsory-miss ceiling, and posting-row traffic absorbed, per
+    cache-size ladder (index/cache.py:static_cache_audit)."""
+    from tokenkit_spark.index.cache import static_cache_audit
+
+    qarr = F.array(*[F.lit(t) for _, t in BM25_QUERIES])
+    qid = F.length(F.bin((F.col("event_id") % 127) + 1)) - 1
+    log = _events(spark, sf_dir).select(
+        F.element_at(qarr, (qid + 1).cast("int")).alias("qtext")
+    )
+    return static_cache_audit(
+        log, _docs(spark, sf_dir), sizes=[1, 2, 3, 4, 5, 6, 7]
+    )
+
+
+def q_word_break(spark, sf_dir):
+    """Word-break / word-combine spelling suggestions (Lucene
+    WordBreakSpellChecker contract): OOV query terms split into vocab
+    word pairs, adjacent OOV pairs combined into vocab words, ranked
+    by corpus frequency (index/wordbreak.py:word_break_suggest)."""
+    from tokenkit_spark.index.wordbreak import word_break_suggest
+
+    pdf = spark.createDataFrame(
+        WORDBREAK_QUERIES, "query_id long, text string"
+    )
+    return word_break_suggest(_docs(spark, sf_dir), pdf, min_df=1, k=2)
+
+
+def q_pivoted_norm(spark, sf_dir):
+    """Pivoted document-length normalization VSM (Singhal, Buckley &
+    Mitra, SIGIR 1996), slope 0.2 — the direct ancestor of BM25's b,
+    completing the classic similarity family
+    (index/lmsim.py:pivoted_norm)."""
+    from tokenkit_spark.index.lmsim import pivoted_norm
+
+    return pivoted_norm(_docs(spark, sf_dir), _queries_df(spark), k=10)
+
+
+def q_dfi_top10(spark, sf_dir):
+    """Divergence-from-independence ranking (Kocabaş et al. 2014;
+    Lucene DFISimilarity, standardized measure) — fully non-parametric
+    similarity over the same stats relation
+    (index/lmsim.py:dfi_standardized)."""
+    from tokenkit_spark.index.lmsim import dfi_standardized
+
+    return dfi_standardized(_docs(spark, sf_dir), _queries_df(spark), k=10)
+
+
 def q_rake_keywords(spark, sf_dir):
     """RAKE per-document keyphrase extraction (Rose et al. 2010):
     stopword/punctuation-delimited candidate runs, word deg/freq
@@ -5296,6 +5370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "tiered_fallback": q_tiered_fallback,
+        "results_cache": q_results_cache,
+        "word_break": q_word_break,
+        "pivoted_norm_top10": q_pivoted_norm,
+        "dfi_top10": q_dfi_top10,
         "rake_keywords": q_rake_keywords,
         "mirror_hosts": q_mirror_hosts,
         "bic_sizes": q_bic_sizes,
@@ -5776,6 +5855,162 @@ SELECT r.doc_id, r.n_windows, r.n_langs, r.switches, d.dominant_lang,
              {round_digits}) AS minority_frac,
        r.n_langs >= 2 AS code_switched
 FROM ru r JOIN dom d USING (doc_id)
+"""
+
+
+def _tiered_oracle_sql(
+    keep: int = 8, k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Twin of index/tiered.py:tiered_eval."""
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+dft AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'),
+                              x -> x <> '')) AS u(t)),
+ranked AS (SELECT p.*, row_number() OVER (PARTITION BY term
+             ORDER BY tf DESC, doc_id ASC) AS pr FROM postings p),
+imp AS (SELECT r.term, r.doc_id, r.pr,
+               ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (r.tf * ({k1} + 1.0)
+                  / (r.tf + {k1} * (1 - {b} + {b} * d.dl / g.avgdl)))
+                 AS impact
+        FROM ranked r JOIN dft t USING (term) JOIN dstats d USING (doc_id)
+        CROSS JOIN g),
+pbar AS (SELECT term, max(impact) AS pbar FROM imp WHERE pr > {keep}
+         GROUP BY 1),
+bound AS (SELECT q.query_id, round(sum(coalesce(pb.pbar, 0)), 4)
+            AS pruned_bound
+          FROM qterms q LEFT JOIN pbar pb USING (term) GROUP BY 1),
+t1s AS (SELECT q.query_id, i.doc_id, sum(i.impact) AS s
+        FROM qterms q JOIN imp i USING (term) WHERE i.pr <= {keep}
+        GROUP BY 1, 2),
+t1rank AS (SELECT query_id, doc_id, round(s, 4) AS score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(s, 4) DESC, doc_id ASC) AS rank
+           FROM t1s),
+edge AS (SELECT query_id,
+                max(CASE WHEN rank = {k} THEN score END) AS kth_score,
+                max(CASE WHEN rank = {k + 1} THEN score END) AS next_score
+         FROM t1rank WHERE rank <= {k + 1} GROUP BY 1),
+fs AS (SELECT q.query_id, i.doc_id, sum(i.impact) AS s
+       FROM qterms q JOIN imp i USING (term) GROUP BY 1, 2),
+frank AS (SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(s, 4) DESC, doc_id ASC) AS rank
+          FROM fs),
+ident AS (SELECT f.query_id,
+                 sum(CASE WHEN t.doc_id IS NULL THEN 1 ELSE 0 END) = 0
+                   AS identical
+          FROM (SELECT * FROM frank WHERE rank <= {k}) f
+          LEFT JOIN (SELECT * FROM t1rank WHERE rank <= {k}) t
+            USING (query_id, doc_id)
+          GROUP BY 1),
+cost AS (SELECT q.query_id,
+                round(sum(CASE WHEN r.pr <= {keep} THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS tier1_frac
+         FROM qterms q JOIN ranked r USING (term) GROUP BY 1)
+SELECT q.query_id,
+       coalesce(e.kth_score, 0.0) AS kth_score,
+       coalesce(e.next_score, 0.0) AS next_score,
+       coalesce(b2.pruned_bound, 0.0) AS pruned_bound,
+       coalesce(e.kth_score, 0.0)
+         >= coalesce(e.next_score, 0.0) + coalesce(b2.pruned_bound, 0.0)
+         AS guaranteed,
+       coalesce(i.identical, true) AS identical,
+       coalesce(c.tier1_frac, 0.0) AS tier1_frac
+FROM queries q
+LEFT JOIN edge e USING (query_id) LEFT JOIN bound b2 USING (query_id)
+LEFT JOIN ident i USING (query_id) LEFT JOIN cost c USING (query_id)
+ORDER BY q.query_id
+"""
+
+
+def _results_cache_oracle_sql(max_size: int = 7) -> str:
+    """Twin of index/cache.py:static_cache_audit over the
+    events-derived exponentially-skewed log."""
+    return f"""
+WITH queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+ev AS (SELECT length(bin((event_id % 127) + 1)) - 1 AS qid FROM events),
+log AS (SELECT q.qtext FROM ev JOIN queries q ON q.query_id = ev.qid),
+freq AS (SELECT qtext, count(*) AS freq FROM log GROUP BY 1),
+rq AS (SELECT *, row_number() OVER (ORDER BY freq DESC, qtext ASC) AS qr
+       FROM freq),
+toks AS (SELECT lower(u.t) AS term FROM documents,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS u(t)),
+tvol AS (SELECT term, count(*) AS rows FROM toks GROUP BY 1),
+qt AS (SELECT DISTINCT qtext, lower(u.t) AS term FROM freq,
+       unnest(list_filter(string_split_regex(qtext, '\\s+'),
+                          x -> x <> '')) AS u(t)),
+qvol AS (SELECT qtext, sum(coalesce(tv.rows, 0)) AS qrows
+         FROM qt LEFT JOIN tvol tv USING (term) GROUP BY 1),
+perq AS (SELECT r.*, v.qrows FROM rq r JOIN qvol v USING (qtext)),
+tot AS (SELECT sum(freq) AS volume, count(*) AS distinct_q,
+               sum(freq * qrows) AS total_rows FROM perq),
+ladder AS (SELECT cs AS cache_size FROM
+           unnest(range(1, {max_size} + 1)) AS u(cs)),
+hits AS (SELECT l.cache_size, sum(p.freq) AS hits,
+                sum(p.freq * p.qrows) AS rows_saved
+         FROM ladder l JOIN perq p ON p.qr <= l.cache_size GROUP BY 1)
+SELECT l.cache_size,
+       CAST(t.volume AS BIGINT) AS volume,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       round(coalesce(h.hits, 0) / CAST(t.volume AS DOUBLE), 4) AS hit_rate,
+       round((t.volume - t.distinct_q) / CAST(t.volume AS DOUBLE), 4)
+         AS max_hit_rate,
+       round(coalesce(h.rows_saved, 0) / CAST(t.total_rows AS DOUBLE), 4)
+         AS rows_saved_frac
+FROM ladder l LEFT JOIN hits h USING (cache_size) CROSS JOIN tot t
+ORDER BY l.cache_size
+"""
+
+
+def _word_break_oracle_sql(k: int = 2) -> str:
+    """Twin of index/wordbreak.py:word_break_suggest over the
+    WORDBREAK_QUERIES fixture."""
+    vals = ", ".join(f"({i}, '{t}')" for i, t in WORDBREAK_QUERIES)
+    return f"""
+WITH vocab AS (SELECT lower(u.t) AS term, count(*) AS df FROM documents,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS u(t) GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {vals}),
+qr AS (SELECT query_id,
+              list_filter(string_split_regex(lower(qtext), '\\s+'),
+                          x -> x <> '') AS t FROM queries),
+qt AS (SELECT query_id, i - 1 AS qpos, t[i] AS term
+       FROM qr, unnest(range(1, len(t) + 1)) AS u(i)),
+oov AS (SELECT q.query_id, q.qpos, q.term FROM qt q
+        LEFT JOIN vocab v USING (term) WHERE v.term IS NULL),
+splits AS (SELECT query_id, term AS original,
+                  substring(term, 1, CAST(sp AS INT)) AS l,
+                  substring(term, CAST(sp + 1 AS INT)) AS r
+           FROM oov, unnest(range(1, length(term))) AS u(sp)),
+breaks AS (SELECT s.query_id, 'break' AS kind, s.original,
+                  s.l || ' ' || s.r AS suggestion,
+                  least(vl.df, vr.df) AS freq
+           FROM splits s JOIN vocab vl ON vl.term = s.l
+                         JOIN vocab vr ON vr.term = s.r),
+iv AS (SELECT q.query_id, q.qpos, q.term, v.term IS NOT NULL AS ivoc
+       FROM qt q LEFT JOIN vocab v USING (term)),
+adj AS (SELECT query_id, qpos, term, ivoc,
+               lead(term) OVER w AS nxt, lead(ivoc) OVER w AS nxt_iv
+        FROM iv WINDOW w AS (PARTITION BY query_id ORDER BY qpos)),
+pairs AS (SELECT query_id, term || ' ' || nxt AS original,
+                 term || nxt AS joined
+          FROM adj WHERE nxt IS NOT NULL AND NOT ivoc AND NOT nxt_iv),
+combines AS (SELECT p.query_id, 'combine' AS kind, p.original,
+                    p.joined AS suggestion, v.df AS freq
+             FROM pairs p JOIN vocab v ON v.term = p.joined),
+allx AS (SELECT * FROM breaks UNION ALL SELECT * FROM combines),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id, original
+         ORDER BY freq DESC, suggestion ASC) AS rank FROM allx)
+SELECT query_id, kind, original, suggestion, freq, rank FROM rk
+WHERE rank <= {k} ORDER BY query_id, original, rank
 """
 
 
@@ -6390,6 +6625,22 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     decompound_values = ", ".join(f"('{p}')" for p in _DECOMPOUND_PARTS)
     return {
         # --- round-3 oracles ---
+        "tiered_fallback": _tiered_oracle_sql(),
+        "results_cache": _results_cache_oracle_sql(),
+        "word_break": _word_break_oracle_sql(),
+        "pivoted_norm_top10": _sim_oracle(
+            "(1 + ln(1 + ln(p.tf)))"
+            " / ((1 - 0.2) + 0.2 * d.dl"
+            " / (g.total_tokens / CAST(g.n_docs AS DOUBLE)))"
+            " * ln((g.n_docs + 1.0) / t.df)"
+        ),
+        "dfi_top10": _sim_oracle(
+            "CASE WHEN p.tf > (t.cf + 1.0) * d.dl / (g.total_tokens + 1.0)"
+            " THEN log2(1 + (p.tf - (t.cf + 1.0) * d.dl"
+            " / (g.total_tokens + 1.0))"
+            " / sqrt((t.cf + 1.0) * d.dl / (g.total_tokens + 1.0)))"
+            " ELSE 0.0 END"
+        ),
         "rake_keywords": _rake_oracle_sql(),
         "mirror_hosts": _mirror_oracle_sql(),
         "bic_sizes": _bic_oracle_sql(),

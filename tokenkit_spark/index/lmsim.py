@@ -151,3 +151,73 @@ def classic_tfidf(
         qterms, postings, dstats, tstats, globals_, s, id_col, k,
         round_digits,
     )
+
+
+def pivoted_norm(
+    docs: DataFrame,
+    queries: DataFrame,
+    slope: float = 0.2,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k pivoted-length-normalization VSM ranking (Singhal, Buckley
+    & Mitra, "Pivoted Document Length Normalization", SIGIR 1996 — the
+    ``piv`` weighting of the axiomatic-IR comparisons; qtf = 1 per
+    distinct query term):
+
+        s(t,d) = (1 + ln(1 + ln(tf)))
+                 / ((1 - slope) + slope * dl / avgdl)
+                 * ln((N + 1) / df)
+
+    The fix the paper made — cosine normalization over-penalizes long
+    docs, so rotate the normalizer around the average length pivot —
+    is the direct ancestor of BM25's ``b``. Same relational shape as
+    the siblings above."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    s = (
+        (1.0 + F.log(1.0 + F.log(F.col("tf"))))
+        / ((1.0 - slope) + F.lit(float(slope)) * F.col("dl") / avgdl)
+        * F.log((F.col("n_docs") + 1.0) / F.col("df"))
+    )
+    return _rank(
+        qterms, postings, dstats, tstats, globals_, s, id_col, k,
+        round_digits,
+    )
+
+
+def dfi_standardized(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k divergence-from-independence ranking (Kocabaş, Dinçer &
+    Karaoğlan, Inf. Retrieval 17(2), 2014; Lucene ``DFISimilarity``
+    with ``IndependenceStandardized``): under term/doc independence
+    the expected frequency of t in d is e = (cf_t + 1) * dl / (T + 1)
+    (Lucene's add-one smoothing); a term scores
+
+        s(t,d) = log2(1 + (tf - e) / sqrt(e))   if tf > e, else 0
+
+    — non-parametric: no tunables at all, the collection's own
+    contingency table is the model. Same relational shape as the
+    siblings above."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    e = (F.col("cf") + 1.0) * F.col("dl") / (F.col("total_tokens") + 1.0)
+    s = F.when(
+        F.col("tf") > e,
+        F.log2(1.0 + (F.col("tf") - e) / F.sqrt(e)),
+    ).otherwise(F.lit(0.0))
+    return _rank(
+        qterms, postings, dstats, tstats, globals_, s, id_col, k,
+        round_digits,
+    )

@@ -1,0 +1,133 @@
+"""Word-break / word-combine spelling suggestions.
+
+Lucene's ``WordBreakSpellChecker`` contract: a query term that does
+not occur in the corpus may really be two corpus words run together
+("hashjoin" -> "hash join"), and two adjacent query terms may really
+be one corpus word ("ta ble" -> "table"). Suggestions come from the
+corpus vocabulary itself — no external dictionary:
+
+* **break**: for each out-of-vocabulary query term, try every split
+  point; keep splits where BOTH halves are vocabulary words with
+  df >= ``min_df``. Scored by the weaker half (min df), the standard
+  both-parts-must-be-real heuristic.
+* **combine**: for each adjacent pair of query terms that are BOTH
+  out-of-vocabulary (a pair of real words is a phrase, not a typo),
+  keep the concatenation when it IS a vocabulary word; scored by its
+  df.
+
+Scale shape: the vocabulary relation (term, df) is the posting
+dictionary the index already maintains; query terms are tiny; break
+explodes |term|-1 split points per OOV term and equi-joins the vocab
+twice; combine is one lead() over query positions + one vocab join.
+All joins are broadcast-sized on the query side. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_break_suggest(
+    docs: DataFrame,
+    queries: DataFrame,
+    min_df: int = 1,
+    k: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per query: (query_id, kind, original, suggestion, freq, rank)
+    — kind in ('break', 'combine'), rank per (query_id, original) by
+    (freq desc, suggestion asc), top-``k`` suggestions kept."""
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    qterms = queries.select(
+        "query_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("qpos", "term"),
+    )
+    oov = qterms.join(vocab.select("term"), "term", "left_anti")
+
+    # break: split an OOV term at every interior position
+    splits = oov.select(
+        "query_id",
+        F.col("term").alias("original"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("term") - 1, F.lit(1)))
+        ).alias("sp"),
+    ).filter(F.col("sp") < F.length("original")).select(
+        "query_id",
+        "original",
+        F.expr("substring(original, 1, sp)").alias("left"),
+        F.expr("substring(original, sp + 1)").alias("right"),
+    )
+    breaks = (
+        splits.join(
+            vocab.select(F.col("term").alias("left"),
+                         F.col("df").alias("df_l")),
+            "left",
+        )
+        .join(
+            vocab.select(F.col("term").alias("right"),
+                         F.col("df").alias("df_r")),
+            "right",
+        )
+        .select(
+            "query_id",
+            F.lit("break").alias("kind"),
+            "original",
+            F.concat_ws(" ", "left", "right").alias("suggestion"),
+            F.least("df_l", "df_r").alias("freq"),
+        )
+    )
+
+    # combine: adjacent OOV+OOV pairs whose concatenation is in vocab
+    wq = Window.partitionBy("query_id").orderBy("qpos")
+    in_vocab = qterms.join(
+        vocab.select("term", F.lit(True).alias("__iv")), "term", "left"
+    ).withColumn("__iv", F.coalesce("__iv", F.lit(False)))
+    pairs = (
+        in_vocab.withColumn("nxt", F.lead("term").over(wq))
+        .withColumn("nxt_iv", F.lead("__iv").over(wq))
+        .filter(
+            F.col("nxt").isNotNull() & ~F.col("__iv") & ~F.col("nxt_iv")
+        )
+        .select(
+            "query_id",
+            F.concat_ws(" ", "term", "nxt").alias("original"),
+            F.concat("term", "nxt").alias("joined"),
+        )
+    )
+    combines = pairs.join(
+        vocab.select(F.col("term").alias("joined"), "df"), "joined"
+    ).select(
+        "query_id",
+        F.lit("combine").alias("kind"),
+        "original",
+        F.col("joined").alias("suggestion"),
+        F.col("df").alias("freq"),
+    )
+
+    out = breaks.unionByName(combines)
+    wr = Window.partitionBy("query_id", "original").orderBy(
+        F.col("freq").desc(), F.col("suggestion").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "kind", "original", "suggestion", "freq", "rank")
+        .orderBy("query_id", "original", "rank")
+    )
