@@ -5021,6 +5021,46 @@ WORDBREAK_QUERIES = [
 ]
 
 
+def q_bowtie(spark, sf_dir):
+    """Bowtie decomposition of the crawl link graph (Broder et al.,
+    WWW 2000): CORE/IN/OUT/TENDRIL/DISCONNECTED node counts via
+    forward/backward/undirected BFS fixpoints from the max-degree
+    pivot (ops/linkgraph.py:bowtie_decomposition); the oracle runs the
+    same reachability as recursive CTEs."""
+    from tokenkit_spark.ops.linkgraph import bowtie_decomposition
+
+    return bowtie_decomposition(_link_edges(spark, sf_dir))
+
+
+def q_link_coupling(spark, sf_dir):
+    """Bibliographic coupling (Kessler 1963): top-20 page pairs by
+    shared out-links with Jaccard over out-link sets — the fan side of
+    Kumar et al.'s (WWW 1999) link-farm trawling
+    (ops/linkgraph.py:coupling_cocitation)."""
+    from tokenkit_spark.ops.linkgraph import coupling_cocitation
+
+    return coupling_cocitation(_link_edges(spark, sf_dir), mode="coupling")
+
+
+def q_link_cocitation(spark, sf_dir):
+    """Co-citation (Small 1973): top-20 page pairs by shared in-links
+    — the 'related pages' signal (ops/linkgraph.py:
+    coupling_cocitation)."""
+    from tokenkit_spark.ops.linkgraph import coupling_cocitation
+
+    return coupling_cocitation(_link_edges(spark, sf_dir), mode="cocitation")
+
+
+def q_intersect_order(spark, sf_dir):
+    """Conjunctive intersection-order cost audit (Manning et al., IIR
+    §1.3): exact merge-model cost of as-written vs ascending-df term
+    order per fixture query (index/intersect.py:
+    intersection_order_audit)."""
+    from tokenkit_spark.index.intersect import intersection_order_audit
+
+    return intersection_order_audit(_docs(spark, sf_dir), _queries_df(spark))
+
+
 def q_tiered_fallback(spark, sf_dir):
     """Two-tier index with correctness guarantee (Ntoulas & Cho,
     SIGIR 2007): tier-1 = top-8 postings per term by impact; per query
@@ -5370,6 +5410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "bowtie": q_bowtie,
+        "link_coupling": q_link_coupling,
+        "link_cocitation": q_link_cocitation,
+        "intersect_order": q_intersect_order,
         "tiered_fallback": q_tiered_fallback,
         "results_cache": q_results_cache,
         "word_break": q_word_break,
@@ -5855,6 +5899,124 @@ SELECT r.doc_id, r.n_windows, r.n_langs, r.switches, d.dominant_lang,
              {round_digits}) AS minority_frac,
        r.n_langs >= 2 AS code_switched
 FROM ru r JOIN dom d USING (doc_id)
+"""
+
+
+def _bowtie_oracle_sql(round_digits: int = 4) -> str:
+    """Twin of ops/linkgraph.py:bowtie_decomposition — the three BFS
+    fixpoints as recursive CTEs."""
+    return f"""
+WITH RECURSIVE {_LINK_EDGES_SQL.strip()},
+nn AS (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges),
+dnodes AS (SELECT DISTINCT node FROM nn),
+deg AS (SELECT node, count(*) AS d FROM nn GROUP BY 1),
+pvt AS (SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 1),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+fwd(node) AS (SELECT node FROM pvt
+              UNION SELECT e.dst FROM edges e JOIN fwd f ON e.src = f.node),
+bwd(node) AS (SELECT node FROM pvt
+              UNION SELECT e.src FROM edges e JOIN bwd b ON e.dst = b.node),
+und(node) AS (SELECT node FROM pvt
+              UNION SELECT s.dst FROM sym s JOIN und u ON s.src = u.node),
+core AS (SELECT f.node FROM fwd f JOIN bwd USING (node)),
+inc AS (SELECT b.node FROM bwd b LEFT JOIN core c USING (node)
+        WHERE c.node IS NULL),
+outc AS (SELECT f.node FROM fwd f LEFT JOIN core c USING (node)
+         WHERE c.node IS NULL),
+fb AS (SELECT node FROM fwd UNION SELECT node FROM bwd),
+tend AS (SELECT u.node FROM und u LEFT JOIN fb ff USING (node)
+         WHERE ff.node IS NULL),
+disc AS (SELECT d.node FROM dnodes d LEFT JOIN und u USING (node)
+         WHERE u.node IS NULL),
+counts(component, n_nodes) AS (
+  SELECT 'CORE', (SELECT count(*) FROM core)
+  UNION ALL SELECT 'IN', (SELECT count(*) FROM inc)
+  UNION ALL SELECT 'OUT', (SELECT count(*) FROM outc)
+  UNION ALL SELECT 'TENDRIL', (SELECT count(*) FROM tend)
+  UNION ALL SELECT 'DISCONNECTED', (SELECT count(*) FROM disc))
+SELECT component, CAST(n_nodes AS BIGINT) AS n_nodes,
+       round(n_nodes / CAST((SELECT count(*) FROM dnodes) AS DOUBLE),
+             {round_digits}) AS frac
+FROM counts ORDER BY component
+"""
+
+
+def _coupling_oracle_sql(
+    mode: str, k: int = 20, max_df: int = 10_000, round_digits: int = 4
+) -> str:
+    """Twin of ops/linkgraph.py:coupling_cocitation."""
+    node, key = ("src", "dst") if mode == "coupling" else ("dst", "src")
+    return f"""
+WITH {_LINK_EDGES_SQL.strip()},
+rel AS (SELECT DISTINCT {node} AS node, {key} AS key FROM edges),
+sizes AS (SELECT node, count(*) AS sz FROM rel GROUP BY 1),
+rare AS (SELECT key FROM rel GROUP BY 1 HAVING count(*) <= {max_df}),
+r2 AS (SELECT node, key FROM rel JOIN rare USING (key)),
+pairs AS (SELECT a.node AS a, b.node AS b, count(*) AS shared
+          FROM r2 a JOIN r2 b USING (key) WHERE a.node < b.node
+          GROUP BY 1, 2),
+scored AS (SELECT p.a, p.b, p.shared, sa.sz AS sz_a, sb.sz AS sz_b,
+                  round(p.shared
+                        / CAST(sa.sz + sb.sz - p.shared AS DOUBLE),
+                        {round_digits}) AS jaccard
+           FROM pairs p JOIN sizes sa ON sa.node = p.a
+                        JOIN sizes sb ON sb.node = p.b),
+rk AS (SELECT row_number() OVER (ORDER BY shared DESC, a, b) AS rank, *
+       FROM scored)
+SELECT rank, a, b, shared, sz_a, sz_b, jaccard FROM rk WHERE rank <= {k}
+"""
+
+
+def _intersect_order_oracle_sql(round_digits: int = 4) -> str:
+    """Twin of index/intersect.py:intersection_order_audit."""
+    return f"""
+WITH toks AS ({_TOKS}),
+p AS (SELECT DISTINCT term, doc_id FROM toks),
+dft AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qr AS (SELECT query_id,
+              list_filter(string_split_regex(lower(qtext), '\\s+'),
+                          x -> x <> '') AS t FROM queries),
+qtr AS (SELECT query_id, i - 1 AS qpos, t[i] AS term
+        FROM qr, unnest(range(1, len(t) + 1)) AS u(i)),
+qt AS (SELECT query_id, term, min(qpos) AS qpos FROM qtr GROUP BY 1, 2),
+qd AS (SELECT q.query_id, q.term, q.qpos, coalesce(d.df, 0) AS df
+       FROM qt q LEFT JOIN dft d USING (term)),
+ords AS (
+  SELECT query_id, term, df, 'query' AS ordering,
+         row_number() OVER (PARTITION BY query_id ORDER BY qpos) AS ord
+  FROM qd
+  UNION ALL
+  SELECT query_id, term, df, 'asc',
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY df ASC, term ASC)
+  FROM qd),
+stats AS (SELECT query_id, ordering, count(*) AS n_terms,
+                 sum(df) AS sum_df FROM ords GROUP BY 1, 2),
+matched AS (SELECT o.query_id, o.ordering, p.doc_id, o.ord
+            FROM ords o JOIN p USING (term)),
+cd AS (SELECT query_id, ordering, doc_id, max(rn) AS c FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id, ordering,
+                                      doc_id ORDER BY ord) AS rn
+         FROM matched)
+       WHERE ord = rn GROUP BY 1, 2, 3),
+agg AS (SELECT c.query_id, c.ordering,
+               sum(least(c.c, s.n_terms - 1)) AS sum_cand,
+               sum(CASE WHEN c.c = s.n_terms THEN 1 ELSE 0 END) AS n_matches
+        FROM cd c JOIN stats s USING (query_id, ordering) GROUP BY 1, 2),
+po AS (SELECT s.query_id, s.ordering, CAST(s.n_terms AS BIGINT) AS n_terms,
+              CAST(s.sum_df + coalesce(a.sum_cand, 0) AS BIGINT) AS cost,
+              CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches
+       FROM stats s LEFT JOIN agg a USING (query_id, ordering))
+SELECT q.query_id, q.n_terms, q.n_matches,
+       q.cost AS cost_query_order, a2.cost AS cost_ascending,
+       CASE WHEN q.cost > 0
+            THEN round(1.0 - a2.cost / CAST(q.cost AS DOUBLE),
+                       {round_digits})
+            ELSE 0.0 END AS saving_frac
+FROM (SELECT * FROM po WHERE ordering = 'query') q
+JOIN (SELECT * FROM po WHERE ordering = 'asc') a2 USING (query_id)
+ORDER BY q.query_id
 """
 
 
@@ -6625,6 +6787,10 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     decompound_values = ", ".join(f"('{p}')" for p in _DECOMPOUND_PARTS)
     return {
         # --- round-3 oracles ---
+        "bowtie": _bowtie_oracle_sql(),
+        "link_coupling": _coupling_oracle_sql("coupling"),
+        "link_cocitation": _coupling_oracle_sql("cocitation"),
+        "intersect_order": _intersect_order_oracle_sql(),
         "tiered_fallback": _tiered_oracle_sql(),
         "results_cache": _results_cache_oracle_sql(),
         "word_break": _word_break_oracle_sql(),

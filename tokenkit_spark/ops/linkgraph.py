@@ -644,3 +644,172 @@ def spam_mass(
             "spam_mass",
         )
     )
+
+
+def _bfs_fixpoint(edges: DataFrame, seeds: DataFrame, src: str, dst: str,
+                  max_iter: int) -> DataFrame:
+    """Distributed BFS to fixpoint: reachable node set from ``seeds``
+    following (src -> dst). One join + distinct per round with a
+    driver-side convergence check (the GraphFrames/Pregel shape);
+    ``max_iter`` is a runaway cap, not the semantic."""
+    # localCheckpoint per round: BFS lineage otherwise compounds one
+    # join+distinct per iteration and the final classification plan
+    # blows the driver heap (the standard iterative-graph trap —
+    # GraphFrames checkpoints for the same reason)
+    reach = seeds.select("node").distinct().localCheckpoint()
+    n = reach.count()
+    for _ in range(max_iter):
+        nxt = (
+            reach.unionByName(
+                edges.join(reach, edges[src] == reach["node"])
+                .select(edges[dst].alias("node"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        m = nxt.count()
+        reach = nxt
+        if m == n:
+            break
+        n = m
+    return reach
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    max_iter: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Bowtie structure of a directed graph (Broder, Kumar, Maghoul,
+    Raghavan, Rajagopalan, Stata, Tomkins & Wiener, "Graph structure
+    in the Web", WWW 2000): pick the highest-degree node as the pivot
+    into the giant SCC, then classify every node by reachability —
+
+    * CORE: forward- AND backward-reachable from the pivot (its SCC),
+    * IN: reaches the core but is not reached by it,
+    * OUT: reached by the core but cannot reach it,
+    * TENDRIL: weakly connected to the core but in none of the above
+      (tendrils + tubes in the paper's finer split),
+    * DISCONNECTED: not even weakly connected to the pivot.
+
+    Exactly the paper's method (BFS from a core node in both
+    directions plus an undirected sweep). Returns one row per
+    component: (component, n_nodes, frac), ordered by component name.
+
+    Scale shape: three BFS fixpoints (forward, backward, undirected),
+    each one equi-join + distinct per round — the Pregel pattern; the
+    classification is three anti-joins over the node relation. Degree
+    pivot selection is one aggregate + limit 1."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    pivot = deg.orderBy(F.col("d").desc(), F.col("node").asc()).limit(1)
+
+    fwd = _bfs_fixpoint(edges, pivot, "src", "dst", max_iter)
+    bwd = _bfs_fixpoint(edges, pivot, "dst", "src", max_iter)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    und = _bfs_fixpoint(sym, pivot, "src", "dst", max_iter)
+
+    all_nodes = nodes.distinct()
+    core = fwd.join(bwd, "node")
+    in_c = bwd.join(core, "node", "left_anti")
+    out_c = fwd.join(core, "node", "left_anti")
+    fb = fwd.unionByName(bwd).distinct()
+    tendril = und.join(fb, "node", "left_anti")
+    disc = all_nodes.join(und, "node", "left_anti")
+
+    parts = [
+        ("CORE", core), ("IN", in_c), ("OUT", out_c),
+        ("TENDRIL", tendril), ("DISCONNECTED", disc),
+    ]
+    counts = None
+    for name, df_part in parts:
+        c = df_part.agg(F.count(F.lit(1)).alias("n_nodes")).select(
+            F.lit(name).alias("component"), "n_nodes"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    total = all_nodes.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "component",
+            "n_nodes",
+            F.round(F.col("n_nodes") / F.col("total"), round_digits)
+            .alias("frac"),
+        )
+        .orderBy("component")
+    )
+
+
+def coupling_cocitation(
+    edges: DataFrame,
+    mode: str = "coupling",
+    k: int = 20,
+    max_df: int | None = 10_000,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963) / co-citation (Small
+    1973) over the link graph — the two classic structural-similarity
+    measures behind "related pages" and link-farm trawling (Kumar et
+    al., WWW 1999: an (i,j) bipartite core surfaces as fan pairs with
+    j shared centers):
+
+    * coupling: pairs of PAGES scored by shared OUT-links,
+    * cocitation: pairs of PAGES scored by shared IN-links,
+
+    normalized by Jaccard over the respective link sets. Top-k pairs
+    by (shared desc, a, b). ``max_df`` drops hub-side keys shared by
+    more than that many nodes before the pair join (the boilerplate
+    guard — a center with 10^6 fans creates 10^12 pairs).
+
+    Scale shape: one distinct projection, a df-capped self-join keyed
+    on the shared endpoint, one pair aggregate + two size joins — the
+    mirror_pairs shape on the graph relation."""
+    if mode == "coupling":
+        rel = edges.select(F.col("src").alias("node"),
+                           F.col("dst").alias("key")).distinct()
+    elif mode == "cocitation":
+        rel = edges.select(F.col("dst").alias("node"),
+                           F.col("src").alias("key")).distinct()
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    sizes = rel.groupBy("node").agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        rare = (
+            rel.groupBy("key").agg(F.count(F.lit(1)).alias("kdf"))
+            .filter(F.col("kdf") <= max_df)
+            .select("key")
+        )
+        rel = rel.join(rare, "key")
+    a = rel.select(F.col("node").alias("a"), "key")
+    b = rel.select(F.col("node").alias("b"), "key")
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = (
+        pairs.join(sizes.select(F.col("node").alias("a"),
+                                F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("node").alias("b"),
+                           F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("shared").desc(), "a", "b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "a", "b", "shared", "sz_a", "sz_b", "jaccard")
+    )
