@@ -5061,6 +5061,66 @@ def q_intersect_order(spark, sf_dir):
     return intersection_order_audit(_docs(spark, sf_dir), _queries_df(spark))
 
 
+def q_stopword_induction(spark, sf_dir):
+    """Corpus-driven stopword induction (Wilbur & Sirotkin 1992;
+    Church & Gale 1995): rank terms by df_ratio x normalized
+    doc-occurrence entropy — widespread AND evenly spread = function
+    word; burstiness cf/df reported as the topicality diagnostic
+    (ops/stopwords.py:induce_stopwords)."""
+    from tokenkit_spark.ops.stopwords import induce_stopwords
+
+    return induce_stopwords(_docs(spark, sf_dir), top_n=25, min_df=2)
+
+
+def q_comb_fusion(spark, sf_dir):
+    """CombSUM/CombMNZ metasearch fusion (Fox & Shaw, TREC-2 1994)
+    with Lee-1997 min-max normalization over the same BM25 + cosine
+    legs as rrf_hybrid (index/hybrid.py:comb_fuse)."""
+    from tokenkit_spark.index import hybrid
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    qdf = spark.createDataFrame(
+        [(0, "spark sort merge")], "query_id long, text string"
+    )
+    lex = bm25_brute(docs, qdf, WS, k=50, round_digits=4)
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    vec = hybrid.cosine_ranking(
+        emb, qvec, query_id=0, window=50, round_digits=4, include_score=True
+    )
+    return hybrid.comb_fuse([lex, vec], k=10)
+
+
+def q_posting_cache(spark, sf_dir):
+    """Static posting-list cache sizing via the QtfDf policy
+    (Baeza-Yates et al., SIGIR 2007 §5) over the events-derived
+    skewed query log: per row-budget ladder step, the term hit rate
+    and posting-traffic fraction absorbed
+    (index/cache.py:posting_cache_audit)."""
+    from tokenkit_spark.index.cache import posting_cache_audit
+
+    qarr = F.array(*[F.lit(t) for _, t in BM25_QUERIES])
+    qid = F.length(F.bin((F.col("event_id") % 127) + 1)) - 1
+    log = _events(spark, sf_dir).select(
+        F.element_at(qarr, (qid + 1).cast("int")).alias("qtext")
+    )
+    return posting_cache_audit(
+        log, _docs(spark, sf_dir), budgets=[50, 200, 1000, 5000, 20000]
+    )
+
+
+def q_partition_layout(spark, sf_dir):
+    """Term-partitioned vs document-partitioned index cost audit
+    (Moffat, Webber & Zobel 2007): exact per-query wall/message costs
+    under both layouts plus term-layout shard load factor via the
+    keyed-md5 term route (index/layout.py:partition_layout_audit)."""
+    from tokenkit_spark.index.layout import partition_layout_audit
+
+    return partition_layout_audit(
+        _docs(spark, sf_dir), _queries_df(spark), n_shards=8, k=10
+    )
+
+
 def q_tiered_fallback(spark, sf_dir):
     """Two-tier index with correctness guarantee (Ntoulas & Cho,
     SIGIR 2007): tier-1 = top-8 postings per term by impact; per query
@@ -5410,6 +5470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "stopword_induction": q_stopword_induction,
+        "comb_fusion": q_comb_fusion,
+        "posting_cache": q_posting_cache,
+        "partition_layout": q_partition_layout,
         "bowtie": q_bowtie,
         "link_coupling": q_link_coupling,
         "link_cocitation": q_link_cocitation,
@@ -6089,6 +6153,155 @@ FROM queries q
 LEFT JOIN edge e USING (query_id) LEFT JOIN bound b2 USING (query_id)
 LEFT JOIN ident i USING (query_id) LEFT JOIN cost c USING (query_id)
 ORDER BY q.query_id
+"""
+
+
+def _stopword_induction_oracle_sql(top_n: int = 25, min_df: int = 2) -> str:
+    """Twin of ops/stopwords.py:induce_stopwords."""
+    return f"""
+WITH toks AS ({_TOKS}),
+td AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+st AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+              sum(tf * ln(tf)) AS tlt FROM td GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (SELECT term, df, cf,
+              df / CAST(n_docs AS DOUBLE) AS df_ratio,
+              cf / CAST(df AS DOUBLE) AS burstiness,
+              (ln(cf) - tlt / cf) / ln(df) AS norm_entropy
+       FROM st, n WHERE df >= {min_df}),
+r AS (SELECT row_number() OVER (
+          ORDER BY round(df_ratio * norm_entropy, 6) DESC, term ASC) AS rank,
+          * FROM sc)
+SELECT rank, term, df, cf,
+       round(df_ratio, 4) AS df_ratio,
+       round(burstiness, 4) AS burstiness,
+       round(norm_entropy, 4) AS norm_entropy,
+       round(df_ratio * norm_entropy, 4) AS stop_score
+FROM r WHERE rank <= {top_n} ORDER BY rank
+"""
+
+
+def _comb_fusion_oracle_sql() -> str:
+    """Twin of index/hybrid.py:comb_fuse over the rrf_hybrid legs
+    (BM25 top-50 for 'spark sort merge' + cosine top-50 vs vec 0),
+    leg scores rounded to 4 before min-max normalization."""
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+qterms AS (SELECT DISTINCT lower(u.t) AS term
+FROM (VALUES ('spark sort merge')) q(qtext),
+unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (SELECT p.doc_id,
+round(sum(ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) * p.tf * 2.2
+/ (p.tf + 1.2 * (0.25 + 0.75 * d.dl / g.avgdl))), 4) AS sc
+FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1),
+lexr AS (SELECT row_number() OVER (ORDER BY sc DESC, doc_id) AS rank,
+doc_id, sc FROM scored),
+lex AS (SELECT doc_id, sc FROM lexr WHERE rank <= 50),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+vecs AS (SELECT vec_id AS doc_id,
+round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS sc
+FROM embeddings, qv),
+vecr AS (SELECT row_number() OVER (ORDER BY sc DESC, doc_id) AS rank,
+doc_id, sc FROM vecs),
+vec AS (SELECT doc_id, sc FROM vecr WHERE rank <= 50),
+contrib AS (
+SELECT doc_id, CASE WHEN max(sc) OVER () = min(sc) OVER () THEN 1.0
+ELSE (sc - min(sc) OVER ()) / (max(sc) OVER () - min(sc) OVER ()) END AS c
+FROM lex
+UNION ALL
+SELECT doc_id, CASE WHEN max(sc) OVER () = min(sc) OVER () THEN 1.0
+ELSE (sc - min(sc) OVER ()) / (max(sc) OVER () - min(sc) OVER ()) END
+FROM vec),
+fused AS (SELECT doc_id, sum(c) AS combsum, count(*) AS n FROM contrib
+GROUP BY 1),
+ranked AS (SELECT row_number() OVER (
+ORDER BY round(combsum * n, 6) DESC, doc_id) AS rank, doc_id,
+combsum, n FROM fused)
+SELECT 0::BIGINT AS query_id, rank, doc_id,
+round(combsum, 6) AS combsum,
+round(combsum * n, 6) AS combmnz,
+n AS n_retrievers
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _posting_cache_oracle_sql(budgets=(50, 200, 1000, 5000, 20000)) -> str:
+    """Twin of index/cache.py:posting_cache_audit over the
+    events-derived skewed log."""
+    bvals = ", ".join(f"({int(b)})" for b in budgets)
+    return f"""
+WITH queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+ev AS (SELECT length(bin((event_id % 127) + 1)) - 1 AS qid FROM events),
+log AS (SELECT q.qtext FROM ev JOIN queries q ON q.query_id = ev.qid),
+qtf AS (SELECT lower(u.t) AS term, count(*) AS qtf FROM log,
+        unnest(list_filter(string_split_regex(qtext, '\\s+'),
+                           x -> x <> '')) AS u(t) GROUP BY 1),
+toks AS ({_TOKS}),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+terms AS (SELECT q.term, q.qtf, d.df FROM qtf q JOIN dft d USING (term)),
+ranked AS (SELECT *, sum(df) OVER (
+    ORDER BY qtf / CAST(df AS DOUBLE) DESC, qtf DESC, term ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+  FROM terms),
+tot AS (SELECT sum(qtf) AS total_qtf, sum(qtf * df) AS total_traffic
+        FROM terms),
+ladder(budget_rows) AS (VALUES {bvals}),
+picked AS (SELECT l.budget_rows, count(*) AS n_terms_cached,
+                  max(r.cum_rows) AS rows_cached,
+                  sum(r.qtf) AS qtf_hit, sum(r.qtf * r.df) AS traffic_hit
+           FROM ladder l JOIN ranked r ON r.cum_rows <= l.budget_rows
+           GROUP BY 1)
+SELECT l.budget_rows,
+       CAST(coalesce(p.n_terms_cached, 0) AS BIGINT) AS n_terms_cached,
+       CAST(coalesce(p.rows_cached, 0) AS BIGINT) AS rows_cached,
+       round(coalesce(p.qtf_hit, 0) / CAST(t.total_qtf AS DOUBLE), 4)
+         AS term_hit_rate,
+       round(coalesce(p.traffic_hit, 0) / CAST(t.total_traffic AS DOUBLE), 4)
+         AS traffic_saved_frac
+FROM ladder l LEFT JOIN picked p USING (budget_rows) CROSS JOIN tot t
+ORDER BY l.budget_rows
+"""
+
+
+def _partition_layout_oracle_sql(n_shards: int = 8, k: int = 10) -> str:
+    """Twin of index/layout.py:partition_layout_audit."""
+    return f"""
+WITH toks AS ({_TOKS}),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+q(query_id, text) AS (VALUES {_BM25_VALUES}),
+qt0 AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM q,
+        unnest(list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS u(t)),
+qt AS (SELECT query_id, qt0.term, coalesce(df, 0) AS df,
+       (('0x' || substring(md5(qt0.term || '|route'), 1, 8))::BIGINT
+        % {n_shards}) AS shard
+       FROM qt0 LEFT JOIN dft ON qt0.term = dft.term),
+perq AS (SELECT query_id, sum(df) AS q_df FROM qt GROUP BY 1),
+docr AS (SELECT 'doc' AS layout, q_df / {n_shards}.0 + {k * n_shards}.0
+         AS wall, {n_shards}.0 AS msgs, q_df AS scan FROM perq),
+pqs AS (SELECT query_id, shard, sum(df) AS s FROM qt GROUP BY 1, 2),
+termr AS (SELECT 'term' AS layout, max(s) + {k}.0 * count(*) AS wall,
+          CAST(count(*) AS DOUBLE) AS msgs, sum(s) AS scan FROM pqs
+          GROUP BY query_id),
+shardtot AS (SELECT shard, sum(df) AS tot FROM qt GROUP BY 1),
+bal AS (SELECT 'term' AS layout,
+               max(tot) / (sum(tot) / {n_shards}.0) AS load_factor
+        FROM shardtot
+        UNION ALL SELECT 'doc', 1.0),
+costs AS (SELECT layout, avg(wall) AS aw, avg(msgs) AS am,
+                 sum(scan) AS ts
+          FROM (SELECT * FROM docr UNION ALL SELECT * FROM termr)
+          GROUP BY 1)
+SELECT c.layout, round(c.aw, 4) AS avg_wall_cost,
+       round(c.am, 4) AS avg_messages,
+       round(b.load_factor, 4) AS max_shard_load_factor,
+       CAST(c.ts AS BIGINT) AS total_scan_rows
+FROM costs c JOIN bal b USING (layout) ORDER BY c.layout
 """
 
 
@@ -6792,6 +7005,10 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
         "link_cocitation": _coupling_oracle_sql("cocitation"),
         "intersect_order": _intersect_order_oracle_sql(),
         "tiered_fallback": _tiered_oracle_sql(),
+        "stopword_induction": _stopword_induction_oracle_sql(),
+        "comb_fusion": _comb_fusion_oracle_sql(),
+        "posting_cache": _posting_cache_oracle_sql(),
+        "partition_layout": _partition_layout_oracle_sql(),
         "results_cache": _results_cache_oracle_sql(),
         "word_break": _word_break_oracle_sql(),
         "pivoted_norm_top10": _sim_oracle(

@@ -109,3 +109,98 @@ def static_cache_audit(
         )
         .orderBy("cache_size")
     )
+
+
+def posting_cache_audit(
+    log: DataFrame,
+    docs: DataFrame,
+    budgets: list[int] = (100, 500, 1000, 5000, 10000, 50000),
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Static POSTING-LIST cache sizing — the index-server tier below
+    the results cache (Baeza-Yates et al., SIGIR 2007 §5: the QtfDf
+    policy). Fill a fixed budget of posting rows with the terms that
+    maximize query-hits per cached row: rank terms by qtf/df (query-log
+    frequency over posting-list length; ties qtf desc, term asc), take
+    the longest prefix whose cumulative posting rows fit the budget.
+
+    ``log``: (qtext) one row per issued query. Returns per budget:
+    (budget_rows, n_terms_cached, rows_cached, term_hit_rate,
+    traffic_saved_frac) where term_hit_rate is the fraction of in-vocab
+    query-term occurrences served from cache and traffic_saved_frac the
+    fraction of posting-row traffic (Σ qtf·df) absorbed. OOV query
+    terms have no posting list to cache or fetch and are excluded from
+    both ratios.
+
+    Scale shape: the log aggregates to a term-frequency relation, the
+    corpus to a df relation (the same one the index build computes);
+    one window gives the cumulative-rows prefix; the ladder is a range
+    join against the literal budget list. No UDFs, no driver loops.
+    """
+    qtf = (
+        log.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("qtext")), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+            )
+        ).alias("term"),
+    )
+    dft = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    terms = qtf.join(dft, "term")  # inner: OOV terms uncacheable
+    w = Window.orderBy(
+        (F.col("qtf") / F.col("df")).desc(),
+        F.col("qtf").desc(),
+        F.col("term").asc(),
+    )
+    ranked = terms.withColumn(
+        "cum_rows",
+        F.sum("df").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    totals = terms.agg(
+        F.sum("qtf").alias("total_qtf"),
+        F.sum(F.col("qtf") * F.col("df")).alias("total_traffic"),
+    )
+    ladder = log.sparkSession.createDataFrame(
+        [(int(b),) for b in budgets], "budget_rows long"
+    )
+    picked = (
+        ladder.join(ranked, ranked["cum_rows"] <= ladder["budget_rows"])
+        .groupBy("budget_rows")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_cached"),
+            F.max("cum_rows").alias("rows_cached"),
+            F.sum("qtf").alias("qtf_hit"),
+            F.sum(F.col("qtf") * F.col("df")).alias("traffic_hit"),
+        )
+    )
+    return (
+        ladder.join(picked, "budget_rows", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "budget_rows",
+            F.coalesce("n_terms_cached", F.lit(0)).alias("n_terms_cached"),
+            F.coalesce("rows_cached", F.lit(0)).alias("rows_cached"),
+            F.round(
+                F.coalesce("qtf_hit", F.lit(0)) / F.col("total_qtf"),
+                round_digits,
+            ).alias("term_hit_rate"),
+            F.round(
+                F.coalesce("traffic_hit", F.lit(0)) / F.col("total_traffic"),
+                round_digits,
+            ).alias("traffic_saved_frac"),
+        )
+        .orderBy("budget_rows")
+    )

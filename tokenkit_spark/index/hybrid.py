@@ -79,9 +79,10 @@ def cosine_ranking(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    include_score: bool = False,
 ) -> DataFrame:
     """Vector retriever leg: exact cosine top-``window`` as a rank list
-    (query_id, rank, doc_id).  The dot product runs JVM-side via
+    (query_id, rank, doc_id[, score when ``include_score``]).  The dot product runs JVM-side via
     ``zip_with``/``aggregate`` lambdas; the top-N is the standard
     rank-then-limit AQE shape.  At 10^12 docs this leg swaps to the IVF
     path (ops/similarity.py) — the fusion contract is unchanged."""
@@ -104,10 +105,72 @@ def cosine_ranking(
         (dot / (norm * F.lit(qn))).alias("cosine"),
     )
     w = Window.orderBy(F.round("cosine", round_digits).desc(), F.col("doc_id").asc())
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= window)
-        .select(F.lit(query_id).cast("long").alias("query_id"), "rank", "doc_id")
+    )
+    cols = [F.lit(query_id).cast("long").alias("query_id"), "rank", "doc_id"]
+    if include_score:
+        cols.append(F.round("cosine", round_digits).alias("score"))
+    return ranked.select(*cols)
+
+
+def comb_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """CombSUM / CombMNZ metasearch fusion (Fox & Shaw, TREC-2 1994)
+    with per-retriever min-max score normalization (Lee, SIGIR 1997):
+
+        norm_r(d)   = (s_r(d) - min_r) / (max_r - min_r)   within each
+                      retriever's candidate window (1.0 when max=min)
+        CombSUM(d)  = Σ_r norm_r(d)
+        CombMNZ(d)  = CombSUM(d) · |{r : d ∈ r}|
+
+    Each input carries (query_id, rank, doc_id, score). Output ranked
+    by CombMNZ (ties: doc_id asc) — the variant Lee found strongest.
+
+    Scale shape: identical to ``rrf_fuse`` — the inputs are already
+    rank-window-truncated, so normalization (one window per retriever
+    per query over ≤ w rows) and the fusion hash-aggregate never touch
+    the corpus."""
+    tagged = None
+    for i, r in enumerate(rankings):
+        wq = Window.partitionBy("query_id")
+        contrib = r.select(
+            "query_id",
+            "doc_id",
+            F.when(
+                F.max("score").over(wq) == F.min("score").over(wq), F.lit(1.0)
+            )
+            .otherwise(
+                (F.col("score") - F.min("score").over(wq))
+                / (F.max("score").over(wq) - F.min("score").over(wq))
+            )
+            .alias("c"),
+        )
+        tagged = contrib if tagged is None else tagged.unionByName(contrib)
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("combsum"), F.count(F.lit(1)).alias("n_retrievers")
+    )
+    fused = fused.withColumn(
+        "combmnz", F.col("combsum") * F.col("n_retrievers")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("combmnz"), round_digits).desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("combsum", round_digits).alias("combsum"),
+            F.round("combmnz", round_digits).alias("combmnz"),
+            "n_retrievers",
+        )
     )
 
 

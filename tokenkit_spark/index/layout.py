@@ -1,0 +1,126 @@
+"""Term-partitioned vs document-partitioned index layout cost audit.
+
+The first architecture decision of any distributed index (Moffat,
+Webber & Zobel, "A pipelined architecture for distributed text query
+evaluation", 2007; Tomasic & Garcia-Molina 1993; ES/Lucene and this
+repo's build are document-partitioned): with P index servers,
+
+* **doc layout** — every shard holds 1/P of the documents, so every
+  query fans out to ALL P shards; each scans ~Σ_t df(t)/P local
+  posting rows and returns a top-k candidate list for the broker to
+  merge:  wall = Σ df / P + k·P,  messages = P.
+* **term layout** — each term's FULL posting list lives on
+  hash(term) % P; only the shards owning a query's terms are touched
+  (messages = shards hit), but the slowest shard bounds latency:
+  wall = max_shard Σ df(t on shard) + k·messages, and popular terms
+  make hot shards.
+
+This audit computes both models EXACTLY on the corpus per fixture
+query, plus the whole-log shard balance: in the term layout the
+per-shard posting traffic load factor (max shard / uniform ideal);
+the doc layout splits every list 1/P by construction (factor 1.0).
+The term routing hash is the repo's keyed-md5 trick
+(index/routing.py:route_shard_col) — bit-identical in DuckDB.
+
+Scale shape: a df aggregate (shared with the index build), a tiny
+query relation joined against it, two hash aggregates and a union.
+Nothing driver-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .routing import route_shard_col
+
+
+def partition_layout_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    n_shards: int = 8,
+    k: int = 10,
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """One row per layout: (layout, avg_wall_cost, avg_messages,
+    max_shard_load_factor, total_scan_rows). Costs per the models
+    above; OOV terms scan nothing but still cost a message in the
+    term layout (the broker can't know the list is empty)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+            )
+        ).alias("term"),
+    )
+    dft = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qt = (
+        queries.select(
+            "query_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda x: x != "",
+                    )
+                )
+            ).alias("term"),
+        )
+        .join(F.broadcast(dft), "term", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .withColumn("shard", route_shard_col("term", n_shards, salt="route"))
+    )
+    p = float(n_shards)
+
+    per_q = qt.groupBy("query_id").agg(F.sum("df").alias("q_df"))
+    doc_rows = per_q.select(
+        F.lit("doc").alias("layout"),
+        (F.col("q_df") / F.lit(p) + F.lit(float(k) * p)).alias("wall"),
+        F.lit(p).alias("msgs"),
+        F.col("q_df").alias("scan"),
+    )
+
+    per_qs = qt.groupBy("query_id", "shard").agg(F.sum("df").alias("s"))
+    term_rows = per_qs.groupBy("query_id").agg(
+        F.max("s").alias("max_s"),
+        F.count(F.lit(1)).cast("double").alias("msgs"),
+        F.sum("s").alias("scan"),
+    ).select(
+        F.lit("term").alias("layout"),
+        (F.col("max_s") + F.lit(float(k)) * F.col("msgs")).alias("wall"),
+        "msgs",
+        "scan",
+    )
+
+    shard_tot = qt.groupBy("shard").agg(F.sum("df").alias("tot"))
+    term_balance = shard_tot.agg(
+        (F.max("tot") / (F.sum("tot") / F.lit(p))).alias("load_factor")
+    ).select(F.lit("term").alias("layout"), "load_factor")
+    doc_balance = docs.sparkSession.createDataFrame(
+        [("doc", 1.0)], "layout string, load_factor double"
+    )
+
+    costs = (
+        doc_rows.unionByName(term_rows)
+        .groupBy("layout")
+        .agg(
+            F.avg("wall").alias("avg_wall"),
+            F.avg("msgs").alias("avg_msgs"),
+            F.sum("scan").alias("total_scan"),
+        )
+    )
+    return (
+        costs.join(term_balance.unionByName(doc_balance), "layout")
+        .select(
+            "layout",
+            F.round("avg_wall", round_digits).alias("avg_wall_cost"),
+            F.round("avg_msgs", round_digits).alias("avg_messages"),
+            F.round("load_factor", round_digits).alias(
+                "max_shard_load_factor"
+            ),
+            F.col("total_scan").cast("long").alias("total_scan_rows"),
+        )
+        .orderBy("layout")
+    )
