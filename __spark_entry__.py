@@ -5461,6 +5461,77 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_top10_segments(spark, "/root/testdata/sf0.001")
 
 
+def q_dfr_pl2_top10(spark, sf_dir):
+    """DFR PL2 ranking (Amati & van Rijsbergen, TOIS 20(4) 2002; Lucene
+    DFRSimilarity BasicModelP+AfterEffectL+NormalizationH2, Terrier's
+    default model): Poisson divergence-from-randomness with Laplace
+    after-effect and H2 length normalization, clamped non-negative per
+    term — completing the pluggable-similarity family
+    (index/lmsim.py:dfr_pl2)."""
+    from tokenkit_spark.index.lmsim import dfr_pl2
+
+    return dfr_pl2(_docs(spark, sf_dir), _queries_df(spark), k=10)
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (Adamic & Adar, Social Networks
+    2003; Liben-Nowell & Kleinberg CIKM 2003): top-20 node pairs by
+    sum over common neighbors z of 1/ln(deg(z)) on the undirected
+    crawl link graph, wedge hub cap 256
+    (ops/linkgraph.py:adamic_adar)."""
+    from tokenkit_spark.ops import linkgraph
+
+    return linkgraph.adamic_adar(
+        _link_edges(spark, sf_dir), k=20, max_degree=256
+    )
+
+
+def q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation serving audit (Kusupati et al., NeurIPS
+    2022): brute-force cosine recall@10 of the first-8/16/32-dim
+    rankings vs the full 64-dim ranking, averaged over query vectors
+    0-9 (ops/similarity.py:matryoshka_recall)."""
+    return similarity.matryoshka_recall(
+        _emb(spark, sf_dir), query_ids=list(range(10)), dims=[8, 16, 32], k=10
+    )
+
+
+def q_geo_line(spark, sf_dir):
+    """ES geo_line agg: per event_type, the track of the first 10
+    points by event_id (fixed-point-scaled "lonE2:latE2" pairs) with
+    the ES complete flag (ops/geo.py:geo_line)."""
+    from tokenkit_spark.ops import geo
+
+    return geo.geo_line(
+        _events_geo(spark, sf_dir), "event_type", "lat", "lon", "event_id",
+        size=10,
+    )
+
+
+def q_variable_width_histogram(spark, sf_dir):
+    """ES variable_width_histogram agg, deterministic largest-gaps
+    variant (ES's streaming clusterer is documented approximate and
+    order-dependent; this cuts sorted distinct values at the 5 largest
+    gaps = single-linkage at 6 clusters) over events.value
+    (ops/aggs.py:variable_width_histogram)."""
+    from tokenkit_spark.ops import aggs
+
+    return aggs.variable_width_histogram(
+        _events(spark, sf_dir), "value", buckets=6
+    )
+
+
+def q_intervals_unordered(spark, sf_dir):
+    """ES intervals query (match source, ordered:false, max_gaps=6)
+    for ['the','sort','merge'] — the any-order window-looseness twin
+    of intervals_ordered (index/spans.py:intervals_unordered)."""
+    from tokenkit_spark.index.spans import intervals_unordered
+
+    return intervals_unordered(
+        _docs(spark, sf_dir), ["the", "sort", "merge"], max_gaps=6
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -5470,6 +5541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "dfr_pl2_top10": q_dfr_pl2_top10,
+        "adamic_adar": q_adamic_adar,
+        "matryoshka_recall": q_matryoshka_recall,
+        "geo_line": q_geo_line,
+        "variable_width_histogram": q_variable_width_histogram,
+        "intervals_unordered": q_intervals_unordered,
         "stopword_induction": q_stopword_induction,
         "comb_fusion": q_comb_fusion,
         "posting_cache": q_posting_cache,
@@ -6998,8 +7075,114 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     kcore_unroll = ",\n".join(kcore_levels)
 
     decompound_values = ", ".join(f"('{p}')" for p in _DECOMPOUND_PARTS)
+    # DFR PL2 per-term closed form (index/lmsim.py:dfr_pl2): tfn/lambda
+    # restated once here and substituted — log2(e) inlined as the exact
+    # double both engines use
+    _pl2_tfn = (
+        "(p.tf * log2(1 + (g.total_tokens / CAST(g.n_docs AS DOUBLE)) / d.dl))"
+    )
+    _pl2_lam = "(t.cf / CAST(g.n_docs AS DOUBLE))"
+    _pl2_term = (
+        f"greatest(0.0, ({_pl2_tfn} * log2({_pl2_tfn} / {_pl2_lam})"
+        f" + ({_pl2_lam} - {_pl2_tfn}) * 1.4426950408889634"
+        f" + 0.5 * log2(2 * pi() * {_pl2_tfn})) / ({_pl2_tfn} + 1.0))"
+    )
+
+    # Matryoshka recall oracle: per truncation dim, the top-10-by-
+    # truncated-cosine set joined against the full-dim top-10, recall
+    # averaged over the 10 query vectors (ops/similarity.py contract)
+    def _mrl_topk_sql(d: int | None) -> str:
+        sl = f"[1:{d}]" if d else ""
+        return (
+            "SELECT q.qid, e.vec_id AS cand, row_number() OVER ("
+            "PARTITION BY q.qid ORDER BY "
+            f"round(list_cosine_similarity(e.v{sl}, q.qv{sl}), 6) DESC, "
+            "e.vec_id ASC) AS r FROM e CROSS JOIN q"
+        )
+
+    _mrl_parts = []
+    for _d in (8, 16, 32):
+        _mrl_parts.append(f"""
+SELECT {_d} AS dims, round(avg(coalesce(h.n_hit, 0) / 10.0), 6) AS mean_recall
+FROM q LEFT JOIN (
+  SELECT t.qid, count(*) AS n_hit
+  FROM (SELECT qid, cand FROM ({_mrl_topk_sql(_d)}) WHERE r <= 10) t
+  JOIN ref USING (qid, cand) GROUP BY 1) h USING (qid)""")
+    _mrl_sql = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+ref AS (SELECT qid, cand FROM ({_mrl_topk_sql(None)}) WHERE r <= 10)
+SELECT * FROM ({" UNION ALL ".join(_mrl_parts)}) ORDER BY dims"""
+
     return {
         # --- round-3 oracles ---
+        "dfr_pl2_top10": _sim_oracle(_pl2_term),
+        "adamic_adar": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+und AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+        WHERE src <> dst),
+deg AS (SELECT src AS z, count(*) AS deg FROM und GROUP BY 1
+        HAVING count(*) <= 256),
+nbrs AS (SELECT u.src AS z, u.dst AS nbr, d.deg FROM und u
+         JOIN deg d ON d.z = u.src),
+pairs AS (SELECT a.nbr AS src, b.nbr AS dst,
+                 round(sum(1.0 / ln(a.deg)), 6) AS aa
+          FROM nbrs a JOIN nbrs b ON a.z = b.z AND a.nbr < b.nbr
+          GROUP BY 1, 2),
+ranked AS (SELECT row_number() OVER (ORDER BY aa DESC, src, dst) AS rank,
+                  src, dst, aa FROM pairs)
+SELECT rank, src, dst, aa FROM ranked WHERE rank <= 20
+""",
+        "matryoshka_recall": _mrl_sql,
+        "geo_line": """
+WITH pts AS (SELECT event_type, event_id,
+         CAST(round((((user_id * 104729) % 36000) / 100.0 - 180.0) * 100)
+              AS BIGINT) AS x,
+         CAST(round((((user_id * 7919) % 12000) / 100.0 - 60.0) * 100)
+              AS BIGINT) AS y
+       FROM events),
+r AS (SELECT event_type, x, y, row_number() OVER (
+        PARTITION BY event_type ORDER BY event_id, x, y) AS rn FROM pts),
+cnt AS (SELECT event_type, count(*) AS n_points FROM pts GROUP BY 1),
+line AS (SELECT event_type,
+                string_agg(x::VARCHAR || ':' || y::VARCHAR, ';' ORDER BY rn)
+                AS line
+         FROM r WHERE rn <= 10 GROUP BY 1)
+SELECT c.event_type AS "group", c.n_points,
+       c.n_points <= 10 AS complete, l.line
+FROM cnt c JOIN line l USING (event_type) ORDER BY 1
+""",
+        "variable_width_histogram": """
+WITH vals AS (SELECT DISTINCT value AS v FROM events WHERE value IS NOT NULL),
+g AS (SELECT v, v - lag(v) OVER (ORDER BY v) AS gap FROM vals),
+r AS (SELECT v, gap, row_number() OVER (
+        ORDER BY gap DESC NULLS LAST, v ASC) AS gap_rank FROM g),
+cut AS (SELECT v, CASE WHEN gap IS NOT NULL AND gap_rank <= 5
+                       THEN 1 ELSE 0 END AS is_cut FROM r),
+asg AS (SELECT v, CAST(sum(is_cut) OVER (ORDER BY v) AS BIGINT) AS bucket
+        FROM cut)
+SELECT bucket, min(e.value) AS min_v, max(e.value) AS max_v,
+       round(avg(e.value), 4) AS centroid, count(*) AS doc_count
+FROM events e JOIN asg ON asg.v = e.value
+GROUP BY 1 ORDER BY min_v
+""",
+        "intervals_unordered": """
+WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> x <> '') AS l
+                    FROM documents))
+SELECT a.doc_id,
+       min(greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) + 1 - 3)
+         AS min_gaps
+FROM toks a
+JOIN toks b ON b.doc_id = a.doc_id AND b.term = 'sort'
+JOIN toks c ON c.doc_id = a.doc_id AND c.term = 'merge'
+WHERE a.term = 'the'
+  AND (greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) + 1 - 3) <= 6
+GROUP BY 1
+""",
         "bowtie": _bowtie_oracle_sql(),
         "link_coupling": _coupling_oracle_sql("coupling"),
         "link_cocitation": _coupling_oracle_sql("cocitation"),

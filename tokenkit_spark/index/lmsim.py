@@ -190,6 +190,56 @@ def pivoted_norm(
     )
 
 
+def dfr_pl2(
+    docs: DataFrame,
+    queries: DataFrame,
+    c: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k DFR PL2 ranking (Amati & van Rijsbergen, "Probabilistic
+    Models of Information Retrieval Based on Measuring the Divergence
+    from Randomness", TOIS 20(4) 2002; Lucene ``DFRSimilarity`` with
+    BasicModelP + AfterEffectL + NormalizationH2, Terrier's default
+    ``PL2``): Poisson basic model with Laplace after-effect and the
+    second length normalization
+
+        tfn    = tf * log2(1 + c * avgdl / dl)
+        lambda = cf / N            (Poisson mean per document)
+        s(t,d) = (1 / (tfn + 1)) * (tfn * log2(tfn / lambda)
+                 + (lambda - tfn) * log2(e)
+                 + 0.5 * log2(2 * pi * tfn))
+
+    clamped at 0 per matched term (Lucene similarities must return
+    non-negative scores; rare head terms with tfn < lambda go
+    negative under the raw form). Completes the pluggable-similarity
+    family alongside the LM/classic/pivoted/DFI siblings above — same
+    relational shape, no new statistics."""
+    import math
+
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    tfn = F.col("tf") * F.log2(1.0 + F.lit(float(c)) * avgdl / F.col("dl"))
+    lam = F.col("cf") / F.col("n_docs")
+    log2e = F.lit(1.0 / math.log(2.0))
+    s = (
+        (
+            tfn * F.log2(tfn / lam)
+            + (lam - tfn) * log2e
+            + 0.5 * F.log2(2.0 * math.pi * tfn)
+        )
+        / (tfn + 1.0)
+    )
+    return _rank(
+        qterms, postings, dstats, tstats, globals_,
+        F.greatest(s, F.lit(0.0)), id_col, k, round_digits,
+    )
+
+
 def dfi_standardized(
     docs: DataFrame,
     queries: DataFrame,

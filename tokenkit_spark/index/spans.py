@@ -421,6 +421,57 @@ def intervals_ordered(
     )
 
 
+def intervals_unordered(
+    docs: DataFrame,
+    terms: list[str],
+    max_gaps: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `intervals` query, `match` source with ``ordered: false`` +
+    ``max_gaps`` (the all_of-any-order contract): the doc matches iff
+    one occurrence of EACH distinct term — in ANY order — fits a window
+    with (p_max - p_min + 1) - k <= max_gaps. Same gaps-not-slop rule
+    as the ordered sibling above; dropping the order predicate is the
+    entire semantic difference (ES docs: "intervals may occur in any
+    order when ordered is false").
+
+    Relational formulation mirrors ``intervals_ordered``: the tiny
+    IN-filtered position relation, k-1 doc-keyed equi-joins (no
+    position inequality), window looseness from greatest/least over
+    the k picked positions. Every join shuffles on doc_id only; the
+    fan-out per doc is bounded by the product of the query terms'
+    per-doc tfs, the same bound the ordered variant carries. Returns
+    (doc_id, min_gaps) per matching doc."""
+    uniq = list(dict.fromkeys(terms))
+    if len(uniq) < 2:
+        raise ValueError("intervals_unordered needs >= 2 distinct terms")
+    toks = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin(uniq))
+    out = None
+    for i, t in enumerate(uniq):
+        part = toks.filter(F.col("term") == t).select(
+            F.col(id_col).alias(f"__d{i}"), F.col("pos").alias(f"__p{i}")
+        )
+        if out is None:
+            out = part
+        else:
+            out = out.join(part, F.col(f"__d{i}") == F.col(f"__d{i - 1}"))
+    k = len(uniq)
+    pcols = [F.col(f"__p{i}") for i in range(k)]
+    gaps = F.greatest(*pcols) - F.least(*pcols) + 1 - k
+    return (
+        out.withColumn("__gaps", gaps)
+        .filter(F.col("__gaps") <= max_gaps)
+        .groupBy(F.col("__d0").alias(id_col))
+        .agg(F.min("__gaps").alias("min_gaps"))
+    )
+
+
 def span_not_counts(
     docs: DataFrame,
     phrase: str,

@@ -1072,3 +1072,60 @@ def frequent_item_sets(
             "support",
         )
     )
+
+
+def variable_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ES ``variable_width_histogram`` agg, deterministic variant: ES's
+    implementation is a one-pass streaming clusterer whose bucket
+    bounds are explicitly documented as approximate and input-order-
+    dependent — unusable as a reproducible contract. This computes the
+    clustering it approximates exactly: cut the sorted DISTINCT values
+    at the (buckets-1) largest gaps (equivalently: single-linkage
+    agglomerative clustering of 1-D points stopped at ``buckets``
+    clusters, gap ties broken toward the earlier value). Documented
+    deviation: deterministic bounds, same bucket shape (key = centroid,
+    min, max, doc_count) and the same "natural gaps, not fixed
+    interval" intent as the ES agg.
+
+    Shape: the gap scan runs on the DISTINCT value relation — bounded
+    by value cardinality, not row count (an unpartitioned window over
+    distinct metric values; at 100 TB pre-bucket to a fixed grid first
+    if the metric is continuous with unbounded cardinality). The final
+    doc_count/centroid rollup is one range-join-free hash agg keyed by
+    the assigned bucket. Returns (bucket, min_v, max_v, centroid,
+    doc_count) ordered by min_v, with bucket 0..buckets-1."""
+    vals = df.select(F.col(value_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    ).distinct()
+    w = Window.orderBy("v")
+    gaps = vals.withColumn("gap", F.col("v") - F.lag("v").over(w))
+    # rank gaps: largest first, ties to the earlier (smaller) value;
+    # the top (buckets-1) gap positions start new clusters
+    gw = Window.orderBy(F.col("gap").desc_nulls_last(), F.col("v").asc())
+    starts = gaps.withColumn("gap_rank", F.row_number().over(gw)).withColumn(
+        "is_cut",
+        F.when(
+            F.col("gap").isNotNull() & (F.col("gap_rank") <= buckets - 1), 1
+        ).otherwise(0),
+    )
+    assigned = starts.withColumn(
+        "bucket", F.sum("is_cut").over(Window.orderBy("v")).cast("long")
+    ).select("v", "bucket")
+    out = (
+        df.select(F.col(value_col).alias("v"))
+        .join(assigned, "v")
+        .groupBy("bucket")
+        .agg(
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.round(F.avg("v"), round_digits).alias("centroid"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+        .orderBy("min_v")
+    )
+    return out

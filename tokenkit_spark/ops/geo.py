@@ -202,3 +202,50 @@ def geohash_grid(
         .agg(F.count("*").alias("doc_count"))
         .filter(F.col("doc_count") >= min_doc_count)
     )
+
+
+def geo_line(
+    df: DataFrame,
+    group_col: str,
+    lat_col: str,
+    lon_col: str,
+    sort_col: str,
+    size: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """ES ``geo_line`` agg: per group, the track of points ordered by
+    the sort field, truncated to the first ``size`` points in sort
+    order (the ES contract: when a bucket holds more than ``size``
+    points the line keeps the points with the SMALLEST sort values and
+    reports ``complete: false``). The line is serialized as
+    ``"lonE:latE"`` integer pairs joined by ``;`` — coordinates are
+    fixed-point scaled by ``scale`` so the string is bit-identical
+    across engines (no printf/round float-formatting divergence).
+
+    Shape: one hash-aggregate shuffle on the group key; the per-group
+    state is ``collect_list`` capped by ``size`` AFTER an array_sort —
+    per-bucket memory is O(points-in-bucket) at the aggregate, which is
+    the same bound ES's aggregator carries (its docs cap size at 10k).
+    Returns (group, n_points, complete, line) ordered by group."""
+    pt = F.struct(
+        F.col(sort_col).alias("s"),
+        F.round(F.col(lon_col) * scale).cast("long").alias("x"),
+        F.round(F.col(lat_col) * scale).cast("long").alias("y"),
+    )
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.array_sort(F.collect_list(pt)).alias("__pts"),
+    )
+    line = F.array_join(
+        F.transform(
+            F.slice(F.col("__pts"), 1, size),
+            lambda p: F.concat_ws(":", p["x"].cast("string"), p["y"].cast("string")),
+        ),
+        ";",
+    )
+    return agg.select(
+        "group",
+        "n_points",
+        (F.col("n_points") <= F.lit(size)).alias("complete"),
+        line.alias("line"),
+    ).orderBy("group")

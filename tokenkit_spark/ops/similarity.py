@@ -669,3 +669,96 @@ def mmr_rerank(
         .groupBy("_g")
         .applyInPandas(kernel, out_schema)
     )
+
+
+def _pair_cos(a, b, d: int | None = None):
+    """Cosine between two vector columns, optionally truncated to the
+    first ``d`` dims. Pure Catalyst (zip_with/aggregate fold — a
+    deterministic left-to-right double accumulation, matching DuckDB's
+    list_cosine_similarity order)."""
+    av = F.slice(a, 1, d) if d else a
+    bv = F.slice(b, 1, d) if d else b
+    dot = F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(av, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(bv, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return F.try_divide(dot, na * nb)
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    dims: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Matryoshka truncation serving audit (Kusupati et al.,
+    "Matryoshka Representation Learning", NeurIPS 2022): recall@k of
+    brute-force cosine top-k computed on the first ``d`` dims of every
+    vector (renormalized — cosine over the slice) against the
+    full-dimension ranking, averaged over ``query_ids``. The number a
+    serving team reads before cutting index memory 4-8x by truncating
+    stored dims (the MRL paper's adaptive-retrieval deployment mode).
+
+    Shape: the query side is a broadcast (|query_ids| rows); candidate
+    scoring is one map-side pass per d, and the per-query top-k window
+    shuffles corpus x |query_ids| scored rows. That makes this the
+    AUDIT operator you run on a corpus sample or behind the ANN
+    candidate cut at 100 TB — the serving path itself stays IVF/LSH
+    (see ivf_topk/lsh buckets above); this measures what truncation
+    costs, it is not the retrieval plan. Ties broken (cos desc at
+    ``round_digits``, id asc) identically to the exact-cosine siblings
+    so the DuckDB twin matches bit-for-bit.
+
+    Returns one row per d: (dims, mean_recall)."""
+    q = emb.filter(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    pairs = emb.select(
+        F.col(id_col).alias("cand"), F.col(vec_col).alias("cvec")
+    ).crossJoin(F.broadcast(q))
+
+    def _topk(d: int | None):
+        scored = pairs.withColumn(
+            "cos", F.round(_pair_cos(F.col("cvec"), F.col("qvec"), d), round_digits)
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("cand").asc()
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select("qid", "cand")
+        )
+
+    ref = _topk(None)
+    out = None
+    for d in dims:
+        hits = (
+            _topk(int(d))
+            .join(ref, ["qid", "cand"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        r = (
+            q.select("qid")
+            .join(hits, "qid", "left")
+            .agg(
+                F.round(
+                    F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / float(k)),
+                    round_digits,
+                ).alias("mean_recall")
+            )
+            .select(F.lit(int(d)).alias("dims"), "mean_recall")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("dims")
