@@ -5532,6 +5532,57 @@ def q_intervals_unordered(spark, sf_dir):
     )
 
 
+def q_rm3_top10(spark, sf_dir):
+    """RM3 pseudo-relevance-feedback retrieval (Lavrenko & Croft SIGIR
+    2001 relevance model; Abdul-Jaleel et al. TREC 2004 interpolation;
+    Anserini Rm3Reranker contract): Dirichlet-QL first pass, softmax-
+    weighted RM1 over the top-5 feedback docs, 10 clipped expansion
+    terms, alpha=0.5 interpolation, KL-divergence second pass
+    (index/rm3.py:rm3_search)."""
+    from tokenkit_spark.index.rm3 import rm3_search
+
+    return rm3_search(
+        _docs(spark, sf_dir), _queries_df(spark),
+        mu=2000.0, fb_docs=5, fb_terms=10, orig_weight=0.5, k=10,
+    )
+
+
+def q_rm3_expansion_terms(spark, sf_dir):
+    """The clipped renormalised RM1 expansion-term distribution per
+    query — the audit view of what RM3 adds
+    (index/rm3.py:rm3_expansion_terms)."""
+    from tokenkit_spark.index.rm3 import rm3_expansion_terms
+
+    return rm3_expansion_terms(
+        _docs(spark, sf_dir), _queries_df(spark),
+        mu=2000.0, fb_docs=5, fb_terms=10,
+    )
+
+
+def q_revisit_policy(spark, sf_dir):
+    """Uniform- vs proportional-allocation crawl freshness audit (Cho
+    & Garcia-Molina TODS 2003 §4): Poisson change rates per entity
+    from the events log, fixed budget B = sum(lambda), closed-form
+    expected freshness (f/l)(1-e^(-l/f)) per policy — the TODS result
+    being uniform dominates (ops/recrawl.py:revisit_policy_audit)."""
+    from tokenkit_spark.ops.recrawl import revisit_policy_audit
+
+    return revisit_policy_audit(_events(spark, sf_dir))
+
+
+def q_gap_entropy(spark, sf_dir):
+    """Order-0 Shannon-entropy floor of posting doc-id gaps vs the
+    live varint codec, per floor(log2(df)) bucket (Witten/Moffat/Bell
+    MG ch.3 yardstick) — the codec-selection evidence curve
+    (index/gapentropy.py:gap_entropy_audit)."""
+    from tokenkit_spark.index.gapentropy import gap_entropy_audit
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokenize_col("text", WS)).alias("term")
+    )
+    return gap_entropy_audit(toks.select("term", "doc_id").distinct())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -5541,6 +5592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "rm3_top10": q_rm3_top10,
+        "rm3_expansion_terms": q_rm3_expansion_terms,
+        "revisit_policy": q_revisit_policy,
+        "gap_entropy": q_gap_entropy,
         "dfr_pl2_top10": q_dfr_pl2_top10,
         "adamic_adar": q_adamic_adar,
         "matryoshka_recall": q_matryoshka_recall,
@@ -7114,8 +7169,112 @@ q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
 ref AS (SELECT qid, cand FROM ({_mrl_topk_sql(None)}) WHERE r <= 10)
 SELECT * FROM ({" UNION ALL ".join(_mrl_parts)}) ORDER BY dims"""
 
+    # RM3 (index/rm3.py): Dirichlet-QL first pass -> softmax doc weights
+    # over top-5 feedback docs -> clipped renormalised RM1 -> alpha=0.5
+    # interpolation -> KL second pass; all constants restated literally
+    _rm3_prefix = f"""
+WITH {lmsim_stats_cte.strip()},
+vt AS (SELECT q.query_id, q.term, t.cf FROM qterms q JOIN tstats t USING (term)),
+cand AS (SELECT DISTINCT v.query_id, p.doc_id FROM vt v JOIN postings p USING (term)),
+ql AS (SELECT c.query_id, c.doc_id,
+         sum(ln((coalesce(p.tf, 0) + 2000.0 * v.cf / g.total_tokens)
+                / (d.dl + 2000.0))) AS ql
+       FROM cand c JOIN vt v USING (query_id)
+       LEFT JOIN postings p ON p.term = v.term AND p.doc_id = c.doc_id
+       JOIN dstats d ON d.doc_id = c.doc_id CROSS JOIN globals g
+       GROUP BY 1, 2),
+fb AS (SELECT query_id, doc_id, ql FROM (
+         SELECT query_id, doc_id, ql, row_number() OVER (
+           PARTITION BY query_id ORDER BY round(ql, 6) DESC, doc_id) AS r
+         FROM ql) WHERE r <= 5),
+fbn AS (SELECT query_id, doc_id,
+          w_raw / sum(w_raw) OVER (PARTITION BY query_id) AS w_norm
+        FROM (SELECT query_id, doc_id,
+                exp(ql - max(ql) OVER (PARTITION BY query_id)) AS w_raw
+              FROM fb)),
+prm AS (SELECT f.query_id, p.term, sum(f.w_norm * p.tf / d.dl) AS p_rm
+        FROM fbn f JOIN postings p USING (doc_id) JOIN dstats d USING (doc_id)
+        GROUP BY 1, 2),
+expt AS (SELECT query_id, term,
+           p_rm / sum(p_rm) OVER (PARTITION BY query_id) AS p_rm_n
+         FROM (SELECT query_id, term, p_rm, row_number() OVER (
+                 PARTITION BY query_id ORDER BY round(p_rm, 9) DESC, term) AS tr
+               FROM prm) WHERE tr <= 10)"""
+
     return {
         # --- round-3 oracles ---
+        "rm3_top10": f"""{_rm3_prefix},
+nq AS (SELECT query_id, count(*) AS n_qt FROM
+         (SELECT DISTINCT query_id, term FROM vt) GROUP BY 1),
+orig AS (SELECT v.query_id, v.term, 1.0 / n.n_qt AS p_orig
+         FROM (SELECT DISTINCT query_id, term FROM vt) v
+         JOIN nq n USING (query_id)),
+wq AS (SELECT coalesce(o.query_id, e.query_id) AS query_id,
+              coalesce(o.term, e.term) AS term,
+              0.5 * coalesce(o.p_orig, 0) + 0.5 * coalesce(e.p_rm_n, 0) AS wt
+       FROM orig o FULL JOIN expt e
+         ON o.query_id = e.query_id AND o.term = e.term
+       WHERE 0.5 * coalesce(o.p_orig, 0) + 0.5 * coalesce(e.p_rm_n, 0) > 0),
+cand2 AS (SELECT DISTINCT w.query_id, p.doc_id FROM wq w JOIN postings p USING (term)),
+scored AS (SELECT c.query_id, c.doc_id,
+             sum(w.wt * ln((coalesce(p.tf, 0) + 2000.0 * t.cf / g.total_tokens)
+                           / (d.dl + 2000.0))) AS s
+           FROM cand2 c JOIN wq w USING (query_id)
+           JOIN tstats t ON t.term = w.term
+           LEFT JOIN postings p ON p.term = w.term AND p.doc_id = c.doc_id
+           JOIN dstats d ON d.doc_id = c.doc_id CROSS JOIN globals g
+           GROUP BY 1, 2)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, row_number() OVER (PARTITION BY query_id
+           ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score FROM scored) WHERE rank <= 10
+""",
+        "rm3_expansion_terms": f"""{_rm3_prefix}
+SELECT query_id, term, round(p_rm_n, 6) AS p_rm FROM expt
+""",
+        "revisit_policy": """
+WITH pp AS (SELECT user_id AS page, count(*) AS n_changes FROM events GROUP BY 1),
+w AS (SELECT (floor(epoch(max(ts))) - floor(epoch(min(ts)))) / 86400.0 AS t_days
+      FROM events),
+rates AS (SELECT page, n_changes / t.t_days AS lam FROM pp CROSS JOIN w t),
+g AS (SELECT sum(lam) AS budget, count(*) AS n_pages FROM rates),
+per AS (SELECT page,
+          ((g.budget / g.n_pages) / lam)
+            * (1 - exp(-lam / (g.budget / g.n_pages))) AS uniform,
+          (lam / lam) * (1 - exp(-lam / lam)) AS proportional
+        FROM rates CROSS JOIN g),
+up AS (SELECT page, 'uniform' AS policy, uniform AS freshness FROM per
+       UNION ALL SELECT page, 'proportional', proportional FROM per)
+SELECT policy, count(*) AS n_pages,
+       round(avg(freshness), 6) AS mean_freshness,
+       round(min(freshness), 6) AS min_freshness
+FROM up GROUP BY 1 ORDER BY mean_freshness DESC, policy
+""",
+        "gap_entropy": f"""
+WITH toks AS ({_TOKS}),
+p AS (SELECT DISTINCT term, doc_id AS id FROM toks),
+dft AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+gaps AS (SELECT CAST(floor(log2(d.df)) AS BIGINT) AS df_bucket, g.term, g.gap
+         FROM (SELECT term, id - coalesce(
+                 lag(id) OVER (PARTITION BY term ORDER BY id), 0) AS gap
+               FROM p) g JOIN dft d USING (term)),
+hist AS (SELECT df_bucket, gap, count(*) AS n_g,
+                CAST(sum(({varint_case}) * 8) AS BIGINT) AS vbits_g
+         FROM gaps GROUP BY 1, 2),
+b AS (SELECT df_bucket, CAST(sum(n_g) AS BIGINT) AS n_gaps,
+             sum(n_g * log2(n_g)) AS sum_nlogn,
+             CAST(sum(vbits_g) AS BIGINT) AS vbits
+      FROM hist GROUP BY 1),
+nt AS (SELECT CAST(floor(log2(df)) AS BIGINT) AS df_bucket,
+              count(*) AS n_terms FROM dft GROUP BY 1)
+SELECT b.df_bucket, nt.n_terms, b.n_gaps,
+       round(log2(b.n_gaps) - b.sum_nlogn / b.n_gaps, 4) AS h_bits,
+       round(b.vbits / b.n_gaps, 4) AS varint_bits,
+       round((b.vbits / b.n_gaps)
+             / greatest(log2(b.n_gaps) - b.sum_nlogn / b.n_gaps, 1e-12), 4)
+         AS headroom
+FROM b JOIN nt USING (df_bucket) ORDER BY 1
+""",
         "dfr_pl2_top10": _sim_oracle(_pl2_term),
         "adamic_adar": f"""
 WITH {_LINK_EDGES_SQL.strip()},
