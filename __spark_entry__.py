@@ -5532,6 +5532,42 @@ def q_intervals_unordered(spark, sf_dir):
     )
 
 
+def q_sdm_top10(spark, sf_dir):
+    """Sequential Dependence Model retrieval (Metzler & Croft SIGIR
+    2005; the Indri/Galago/Anserini SDM baseline): Dirichlet-smoothed
+    unigram + ordered-window #1 + unordered-window #uw8 features at
+    the published (0.85, 0.10, 0.05) weights (index/sdm.py:sdm_search)."""
+    from tokenkit_spark.index.sdm import sdm_search
+
+    return sdm_search(
+        _docs(spark, sf_dir), _queries_df(spark),
+        mu=2000.0, w_t=0.85, w_o=0.10, w_u=0.05, window=8, k=10,
+    )
+
+
+def q_err_rbp_ap(spark, sf_dir):
+    """ERR@10 (Chapelle CIKM 2009 cascade), RBP@10 p=0.8 (Moffat &
+    Zobel TOIS 2008), AP@10 (trec_eval) per query over the same
+    deterministic results/judgments tables as rank_eval
+    (index/rankeval.py:err_rbp_ap)."""
+    from tokenkit_spark.index.rankeval import err_rbp_ap
+
+    qs = spark.range(7).select(F.col("id").alias("query_id"))
+    ranks = spark.range(1, 11).select(F.col("id").alias("rank"))
+    results = qs.crossJoin(ranks).select(
+        "query_id", "rank",
+        ((F.col("query_id") * 37 + F.col("rank") * 13) % 500).alias("doc_id"),
+    )
+    judgments = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .crossJoin(qs)
+        .filter((F.col("doc_id") + F.col("query_id")) % 7 < 2)
+        .select("query_id", "doc_id", (F.col("doc_id") % 3).alias("grade"))
+    )
+    return err_rbp_ap(results, judgments, k=10, max_grade=3, p=0.8)
+
+
 def q_rm3_top10(spark, sf_dir):
     """RM3 pseudo-relevance-feedback retrieval (Lavrenko & Croft SIGIR
     2001 relevance model; Abdul-Jaleel et al. TREC 2004 interpolation;
@@ -5592,6 +5628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "sdm_top10": q_sdm_top10,
+        "err_rbp_ap": q_err_rbp_ap,
         "rm3_top10": q_rm3_top10,
         "rm3_expansion_terms": q_rm3_expansion_terms,
         "revisit_policy": q_revisit_policy,
@@ -7203,6 +7241,107 @@ expt AS (SELECT query_id, term,
 
     return {
         # --- round-3 oracles ---
+        "sdm_top10": f"""
+WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+              FROM (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                      '\\s+'), x -> x <> '') AS l FROM documents)),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qt AS (SELECT query_id, generate_subscripts(l, 1) AS qpos, unnest(l) AS term
+       FROM (SELECT query_id, list_filter(string_split_regex(lower(qtext),
+               '\\s+'), x -> x <> '') AS l FROM queries)),
+qpairs AS (SELECT a.query_id, a.qpos, a.term AS t1, b.term AS t2
+           FROM qt a JOIN qt b ON b.query_id = a.query_id
+             AND b.qpos = a.qpos + 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+g AS (SELECT sum(dl) AS total_tokens FROM dl),
+qpos AS (SELECT * FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)),
+uni_tf AS (SELECT doc_id, term, count(*) AS tf FROM qpos GROUP BY 1, 2),
+uni_cf AS (SELECT term, sum(tf) AS cf FROM uni_tf GROUP BY 1),
+pk AS (SELECT DISTINCT t1, t2 FROM qpairs),
+pair_pos AS (SELECT x.doc_id, p.t1, p.t2, x.pos AS p1, y.pos AS p2
+             FROM pk p JOIN qpos x ON x.term = p.t1
+             JOIN qpos y ON y.doc_id = x.doc_id AND y.term = p.t2),
+o_tf AS (SELECT doc_id, t1, t2, count(*) AS otf FROM pair_pos
+         WHERE p2 = p1 + 1 GROUP BY 1, 2, 3),
+u_tf AS (SELECT doc_id, t1, t2, count(*) AS utf FROM pair_pos
+         WHERE CASE WHEN t1 = t2 THEN p1 < p2 AND p2 - p1 < 8
+               ELSE p1 <> p2 AND abs(p1 - p2) < 8 END GROUP BY 1, 2, 3),
+o_cf AS (SELECT t1, t2, sum(otf) AS ocf FROM o_tf GROUP BY 1, 2),
+u_cf AS (SELECT t1, t2, sum(utf) AS ucf FROM u_tf GROUP BY 1, 2),
+cand AS (SELECT DISTINCT q.query_id, u.doc_id
+         FROM (SELECT DISTINCT query_id, term FROM qt) q
+         JOIN uni_tf u USING (term)),
+s_t AS (SELECT c.query_id, c.doc_id,
+          sum(ln((coalesce(u.tf, 0) + 2000.0 * cf.cf / g.total_tokens)
+                 / (d.dl + 2000.0))) AS s_t
+        FROM cand c JOIN qt ON qt.query_id = c.query_id
+        JOIN uni_cf cf ON cf.term = qt.term
+        LEFT JOIN uni_tf u ON u.term = qt.term AND u.doc_id = c.doc_id
+        JOIN dl d ON d.doc_id = c.doc_id CROSS JOIN g
+        GROUP BY 1, 2),
+s_o AS (SELECT c.query_id, c.doc_id,
+          sum(ln((coalesce(o.otf, 0) + 2000.0 * cf.ocf / g.total_tokens)
+                 / (d.dl + 2000.0))) AS s_o
+        FROM cand c JOIN qpairs qp ON qp.query_id = c.query_id
+        JOIN o_cf cf ON cf.t1 = qp.t1 AND cf.t2 = qp.t2
+        LEFT JOIN o_tf o ON o.t1 = qp.t1 AND o.t2 = qp.t2
+          AND o.doc_id = c.doc_id
+        JOIN dl d ON d.doc_id = c.doc_id CROSS JOIN g
+        GROUP BY 1, 2),
+s_u AS (SELECT c.query_id, c.doc_id,
+          sum(ln((coalesce(u.utf, 0) + 2000.0 * cf.ucf / g.total_tokens)
+                 / (d.dl + 2000.0))) AS s_u
+        FROM cand c JOIN qpairs qp ON qp.query_id = c.query_id
+        JOIN u_cf cf ON cf.t1 = qp.t1 AND cf.t2 = qp.t2
+        LEFT JOIN u_tf u ON u.t1 = qp.t1 AND u.t2 = qp.t2
+          AND u.doc_id = c.doc_id
+        JOIN dl d ON d.doc_id = c.doc_id CROSS JOIN g
+        GROUP BY 1, 2),
+scored AS (SELECT t.query_id, t.doc_id,
+             0.85 * t.s_t + 0.10 * coalesce(o.s_o, 0)
+               + 0.05 * coalesce(u.s_u, 0) AS score
+           FROM s_t t
+           LEFT JOIN s_o o ON o.query_id = t.query_id AND o.doc_id = t.doc_id
+           LEFT JOIN s_u u ON u.query_id = t.query_id AND u.doc_id = t.doc_id)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, row_number() OVER (PARTITION BY query_id
+           ORDER BY round(score, 4) DESC, doc_id) AS rank,
+         doc_id, round(score, 4) AS score FROM scored) WHERE rank <= 10
+""",
+        "err_rbp_ap": """
+WITH qs AS (SELECT unnest(generate_series(0, 6)) AS query_id),
+results AS (SELECT query_id, rank, (query_id * 37 + rank * 13) % 500 AS doc_id
+            FROM qs CROSS JOIN
+              (SELECT unnest(generate_series(1, 10)) AS rank)),
+judgments AS (SELECT q.query_id, d.doc_id, d.doc_id % 3 AS grade
+              FROM documents d CROSS JOIN qs q
+              WHERE (d.doc_id + q.query_id) % 7 < 2),
+graded AS (SELECT r.query_id, r.rank, r.doc_id,
+             (pow(2.0, coalesce(j.grade, 0)) - 1) / 8.0 AS r_stop,
+             CASE WHEN coalesce(j.grade, 0) > 0 THEN 1 ELSE 0 END AS rel
+           FROM results r LEFT JOIN judgments j
+             ON j.query_id = r.query_id AND j.doc_id = r.doc_id),
+per_rank AS (SELECT *,
+    exp(coalesce(sum(ln(greatest(1.0 - r_stop, 1e-12)))
+          OVER (PARTITION BY query_id ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+      AS no_stop,
+    (sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1.0 / rank
+      AS p_at_r
+  FROM graded),
+n_rel AS (SELECT query_id, count(*) AS n_relevant FROM judgments
+          WHERE grade > 0 GROUP BY 1),
+agg AS (SELECT query_id, sum(r_stop * no_stop / rank) AS err_raw,
+          sum(rel * pow(0.8, rank - 1)) AS rbp_sum,
+          sum(p_at_r * rel) AS ap_num
+        FROM per_rank GROUP BY 1)
+SELECT a.query_id, round(err_raw, 6) AS err_k,
+       round(0.2 * rbp_sum, 6) AS rbp_k,
+       round(CASE WHEN coalesce(n.n_relevant, 0) > 0
+             THEN ap_num / n.n_relevant ELSE 0 END, 6) AS ap_k
+FROM agg a LEFT JOIN n_rel n USING (query_id)
+""",
         "rm3_top10": f"""{_rm3_prefix},
 nq AS (SELECT query_id, count(*) AS n_qt FROM
          (SELECT DISTINCT query_id, term FROM vt) GROUP BY 1),

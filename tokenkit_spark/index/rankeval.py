@@ -96,3 +96,100 @@ def rank_eval(
         ).alias("ndcg"),
     )
     return out
+
+
+def err_rbp_ap(
+    results: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    max_grade: int = 3,
+    p: float = 0.8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The cascade/utility metric family missing from ``rank_eval``:
+
+    * **ERR@k** (Chapelle et al., "Expected Reciprocal Rank for Graded
+      Relevance", CIKM 2009): with per-rank stop probability
+      R_r = (2^g_r - 1) / 2^max_grade,
+
+          ERR = sum_r (1/r) * R_r * prod_{i<r} (1 - R_i)
+
+      — the running no-stop product is exp(sum ln(1-R)) over the
+      preceding-rows window frame (1-R clamped at 1e-12 so a perfect
+      grade zeroes the tail identically on every engine).
+    * **RBP@k** (Moffat & Zobel, "Rank-Biased Precision", TOIS 26(1)
+      2008, persistence ``p``): (1-p) * sum_r rel_r * p^(r-1), binary
+      relevance (grade > 0).
+    * **AP@k**: sum_r P@r * rel_r / n_relevant with n_relevant the
+      query's total relevant judged docs (the trec_eval cutoff form).
+
+    Inputs as in ``rank_eval``: results (query_id, rank, doc_id) with
+    rank 1-based, judgments (query_id, doc_id, grade), unjudged = 0.
+    One row per query: (query_id, err_k, rbp_k, ap_k).
+
+    Scale shape: one left join, two per-query rank windows (k rows
+    each), one aggregate — identical to rank_eval's plan.
+    """
+    graded = (
+        results.filter(F.col("rank") <= k)
+        .join(judgments, ["query_id", "doc_id"], "left")
+        .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
+        .withColumn(
+            "r_stop",
+            (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+            / F.lit(float(2 ** max_grade)),
+        )
+        .withColumn("rel", (F.col("grade") > 0).cast("int"))
+    )
+    wprev = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_rank = graded.withColumn(
+        "no_stop",
+        F.exp(
+            F.coalesce(
+                F.sum(
+                    F.log(F.greatest(1.0 - F.col("r_stop"), F.lit(1e-12)))
+                ).over(wprev),
+                F.lit(0.0),
+            )
+        ),
+    ).withColumn("p_at_r", F.sum("rel").over(wrun) / F.col("rank"))
+    n_rel = judgments.filter(F.col("grade") > 0).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    return (
+        per_rank.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.col("r_stop") * F.col("no_stop") / F.col("rank")
+            ).alias("err_raw"),
+            F.sum(
+                F.col("rel")
+                * F.pow(F.lit(float(p)), F.col("rank") - F.lit(1.0))
+            ).alias("rbp_sum"),
+            F.sum(F.col("p_at_r") * F.col("rel")).alias("ap_num"),
+        )
+        .join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.round("err_raw", round_digits).alias("err_k"),
+            F.round(F.lit(1.0 - p) * F.col("rbp_sum"), round_digits).alias(
+                "rbp_k"
+            ),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_relevant"), F.lit(0)) > 0,
+                    F.col("ap_num") / F.col("n_relevant"),
+                ).otherwise(0.0),
+                round_digits,
+            ).alias("ap_k"),
+        )
+    )
