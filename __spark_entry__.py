@@ -5552,6 +5552,25 @@ def q_err_rbp_ap(spark, sf_dir):
     (index/rankeval.py:err_rbp_ap)."""
     from tokenkit_spark.index.rankeval import err_rbp_ap
 
+    results, judgments = _rank_eval_tables(spark, sf_dir)
+    return err_rbp_ap(results, judgments, k=10, max_grade=3, p=0.8)
+
+
+def q_qpp_post(spark, sf_dir):
+    """Post-retrieval QPP battery: Clarity (Cronen-Townsend SIGIR
+    2002, lam=0.6 linear smoothing, closed-form out-of-vocab tail),
+    WIG (Zhou & Croft SIGIR 2007), NQC (Shtok et al. TOIS 2012) over
+    Dirichlet-QL top-10 (index/qpp_post.py:post_retrieval_qpp)."""
+    from tokenkit_spark.index.qpp_post import post_retrieval_qpp
+
+    return post_retrieval_qpp(
+        _docs(spark, sf_dir), _queries_df(spark), mu=2000.0, k_fb=10
+    )
+
+
+def _rank_eval_tables(spark, sf_dir):
+    """Deterministic results/judgments pair shared by the rank-metric
+    queries (err_rbp_ap, bpref)."""
     qs = spark.range(7).select(F.col("id").alias("query_id"))
     ranks = spark.range(1, 11).select(F.col("id").alias("rank"))
     results = qs.crossJoin(ranks).select(
@@ -5565,7 +5584,18 @@ def q_err_rbp_ap(spark, sf_dir):
         .filter((F.col("doc_id") + F.col("query_id")) % 7 < 2)
         .select("query_id", "doc_id", (F.col("doc_id") % 3).alias("grade"))
     )
-    return err_rbp_ap(results, judgments, k=10, max_grade=3, p=0.8)
+    return results, judgments
+
+
+def q_bpref(spark, sf_dir):
+    """bpref + judged@k (Buckley & Voorhees SIGIR 2004; trec_eval
+    contract incl. the min(R,N)=0 convention) over the shared
+    deterministic results/judgments tables
+    (index/rankeval.py:bpref)."""
+    from tokenkit_spark.index.rankeval import bpref
+
+    results, judgments = _rank_eval_tables(spark, sf_dir)
+    return bpref(results, judgments, k=10)
 
 
 def q_rm3_top10(spark, sf_dir):
@@ -5628,6 +5658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "qpp_post": q_qpp_post,
+        "bpref": q_bpref,
         "sdm_top10": q_sdm_top10,
         "err_rbp_ap": q_err_rbp_ap,
         "rm3_top10": q_rm3_top10,
@@ -7239,8 +7271,92 @@ expt AS (SELECT query_id, term,
                  PARTITION BY query_id ORDER BY round(p_rm, 9) DESC, term) AS tr
                FROM prm) WHERE tr <= 10)"""
 
+    _judge_tables = """
+qs AS (SELECT unnest(generate_series(0, 6)) AS query_id),
+results AS (SELECT query_id, rank, (query_id * 37 + rank * 13) % 500 AS doc_id
+            FROM qs CROSS JOIN
+              (SELECT unnest(generate_series(1, 10)) AS rank)),
+judgments AS (SELECT q.query_id, d.doc_id, d.doc_id % 3 AS grade
+              FROM documents d CROSS JOIN qs q
+              WHERE (d.doc_id + q.query_id) % 7 < 2)"""
+
     return {
         # --- round-3 oracles ---
+        "qpp_post": f"""
+WITH {lmsim_stats_cte.strip()},
+vt AS (SELECT q.query_id, q.term, t.cf FROM qterms q JOIN tstats t USING (term)),
+cand AS (SELECT DISTINCT v.query_id, p.doc_id FROM vt v JOIN postings p USING (term)),
+ql AS (SELECT c.query_id, c.doc_id,
+         sum(ln((coalesce(p.tf, 0) + 2000.0 * v.cf / g.total_tokens)
+                / (d.dl + 2000.0))) AS ql
+       FROM cand c JOIN vt v USING (query_id)
+       LEFT JOIN postings p ON p.term = v.term AND p.doc_id = c.doc_id
+       JOIN dstats d ON d.doc_id = c.doc_id CROSS JOIN globals g
+       GROUP BY 1, 2),
+top AS (SELECT query_id, doc_id, ql FROM (
+          SELECT query_id, doc_id, ql, row_number() OVER (
+            PARTITION BY query_id ORDER BY round(ql, 6) DESC, doc_id) AS r
+          FROM ql) WHERE r <= 10),
+qstats AS (SELECT v.query_id, count(*) AS m,
+             sum(ln(v.cf / g.total_tokens)) AS s_coll
+           FROM vt v CROSS JOIN globals g GROUP BY 1),
+wn AS (SELECT query_id, avg(ql) AS mean_s, stddev_pop(ql) AS std_s
+       FROM top GROUP BY 1),
+fbn AS (SELECT query_id, doc_id,
+          w_raw / sum(w_raw) OVER (PARTITION BY query_id) AS p_dq
+        FROM (SELECT query_id, doc_id,
+                exp(ql - max(ql) OVER (PARTITION BY query_id)) AS w_raw
+              FROM top)),
+fbt AS (SELECT f.query_id, p.term, sum(f.p_dq * p.tf / d.dl) AS p_wd_rel
+        FROM fbn f JOIN postings p USING (doc_id) JOIN dstats d USING (doc_id)
+        GROUP BY 1, 2),
+ft AS (SELECT f.query_id,
+         0.6 * f.p_wd_rel + 0.4 * (t.cf * 1.0 / g.total_tokens) AS p_wq,
+         t.cf * 1.0 / g.total_tokens AS p_wc
+       FROM fbt f JOIN tstats t USING (term) CROSS JOIN globals g),
+cl AS (SELECT query_id,
+         sum(p_wq * ln(p_wq / p_wc)) / ln(2)
+           + 0.4 * (1 - sum(p_wc)) * ln(0.4) / ln(2) AS clarity
+       FROM ft GROUP BY 1)
+SELECT w.query_id, q.m AS n_terms,
+       round((w.mean_s - q.s_coll) / sqrt(q.m), 6) AS wig,
+       round(w.std_s / abs(q.s_coll), 6) AS nqc,
+       round(c.clarity, 6) AS clarity
+FROM wn w JOIN qstats q USING (query_id) JOIN cl c USING (query_id)
+""",
+        "bpref": f"""
+WITH {_judge_tables.strip()},
+per_q AS (SELECT query_id,
+            sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_rel,
+            sum(CASE WHEN grade <= 0 THEN 1 ELSE 0 END) AS n_nonrel
+          FROM judgments GROUP BY 1),
+joined AS (SELECT r.query_id, r.rank, j.grade, j.grade IS NOT NULL AS judged
+           FROM results r LEFT JOIN judgments j
+             ON j.query_id = r.query_id AND j.doc_id = r.doc_id),
+sc AS (SELECT query_id, rank, grade, judged,
+         coalesce(sum(CASE WHEN judged AND grade <= 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY query_id ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS nonrel_above
+       FROM joined),
+contrib AS (SELECT s.query_id, sum(
+              CASE WHEN least(p.n_rel, p.n_nonrel) > 0
+              THEN 1.0 - least(s.nonrel_above, p.n_rel) * 1.0
+                         / least(p.n_rel, p.n_nonrel)
+              ELSE 1.0 END) AS s
+            FROM sc s JOIN per_q p USING (query_id)
+            WHERE s.judged AND s.grade > 0 GROUP BY 1),
+jk AS (SELECT query_id,
+         round(sum(CASE WHEN judged THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           AS judged_k
+       FROM joined GROUP BY 1)
+SELECT p.query_id,
+       round(CASE WHEN p.n_rel > 0 THEN coalesce(c.s, 0) / p.n_rel
+             ELSE 0 END, 6) AS bpref,
+       coalesce(jk.judged_k, 0.0) AS judged_k
+FROM per_q p LEFT JOIN contrib c USING (query_id)
+LEFT JOIN jk USING (query_id)
+""",
         "sdm_top10": f"""
 WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
               FROM (SELECT doc_id, list_filter(string_split_regex(lower(text),

@@ -193,3 +193,95 @@ def err_rbp_ap(
             ).alias("ap_k"),
         )
     )
+
+
+def bpref(
+    results: DataFrame,
+    judgments: DataFrame,
+    k: int = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """bpref (Buckley & Voorhees, "Retrieval Evaluation with Incomplete
+    Information", SIGIR 2004; trec_eval's ``bpref`` implementation):
+    the preference-based metric that IGNORES unjudged documents — the
+    right headline metric when judgments are shallow pools:
+
+        bpref = (1/R) * sum_{r in rel retrieved}
+                  1 - min(n_above_r, R) / min(R, N)
+
+    with R / N the judged relevant / nonrelevant counts for the query
+    and n_above_r the number of judged-NONRELEVANT docs retrieved above
+    r (unjudged docs between them simply don't count).  If the query
+    has no judged nonrelevant docs (min(R, N) = 0), each relevant
+    retrieved doc contributes 1 — trec_eval's convention.
+
+    Also emits ``judged_k``: the judged fraction of the top-k results
+    (the standard pool-coverage diagnostic reported next to bpref).
+
+    Inputs as in ``rank_eval``: results (query_id, rank, doc_id) with
+    rank 1-based, judgments (query_id, doc_id, grade), grade > 0 =
+    relevant.  One row per judged query: (query_id, bpref, judged_k).
+
+    Scale shape: one left join + one per-query rank window + one
+    aggregate — rank_eval's plan.
+    """
+    topk = results.filter(F.col("rank") <= k)
+    joined = topk.join(judgments, ["query_id", "doc_id"], "left").withColumn(
+        "judged", F.col("grade").isNotNull()
+    )
+    per_q = judgments.groupBy("query_id").agg(
+        F.sum((F.col("grade") > 0).cast("long")).alias("n_rel"),
+        F.sum((F.col("grade") <= 0).cast("long")).alias("n_nonrel"),
+    )
+    w_above = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = (
+        joined.withColumn(
+            "nonrel_above",
+            F.coalesce(
+                F.sum(
+                    (F.col("judged") & (F.col("grade") <= 0)).cast("long")
+                ).over(w_above),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("judged") & (F.col("grade") > 0))
+        .join(per_q, "query_id")
+        .withColumn(
+            "contrib",
+            F.when(
+                F.least("n_rel", "n_nonrel") > 0,
+                1.0
+                - F.least(F.col("nonrel_above"), F.col("n_rel"))
+                / F.least("n_rel", "n_nonrel"),
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+    judged_k = joined.groupBy("query_id").agg(
+        F.round(
+            F.sum(F.col("judged").cast("long")) / F.count(F.lit(1)),
+            round_digits,
+        ).alias("judged_k")
+    )
+    return (
+        per_q.join(
+            scored.groupBy("query_id").agg(F.sum("contrib").alias("s")),
+            "query_id",
+            "left",
+        )
+        .join(judged_k, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.coalesce(F.col("s"), F.lit(0.0)) / F.col("n_rel"),
+                ).otherwise(0.0),
+                round_digits,
+            ).alias("bpref"),
+            F.coalesce(F.col("judged_k"), F.lit(0.0)).alias("judged_k"),
+        )
+    )
