@@ -5598,6 +5598,42 @@ def q_bpref(spark, sf_dir):
     return bpref(results, judgments, k=10)
 
 
+def q_rocchio_top10(spark, sf_dir):
+    """Rocchio pseudo-feedback retrieval (Rocchio 1971; IIR §9.1.1;
+    Anserini RocchioReranker shape, alpha=1 beta=0.75 gamma=0): BM25
+    first pass, clipped tf-idf centroid expansion, inner-product
+    second pass (index/feedback.py:rocchio_search)."""
+    from tokenkit_spark.index.feedback import rocchio_search
+
+    return rocchio_search(
+        _docs(spark, sf_dir), _queries_df(spark),
+        alpha=1.0, beta=0.75, fb_docs=5, fb_terms=10, k=10,
+    )
+
+
+def q_rocchio_expansion(spark, sf_dir):
+    """The clipped Rocchio q' vector itself — (query_id, term, weight)
+    (index/feedback.py:rocchio_expand)."""
+    from tokenkit_spark.index.feedback import rocchio_expand
+
+    return rocchio_expand(
+        _docs(spark, sf_dir), _queries_df(spark),
+        alpha=1.0, beta=0.75, fb_docs=5, fb_terms=10,
+    )
+
+
+def q_bo1_top10(spark, sf_dir):
+    """Bo1 DFR query expansion + weighted-BM25 second pass (Amati &
+    van Rijsbergen TOIS 2002; Terrier's default QE: fb_docs=3,
+    fb_terms=10, rocchio_beta=0.4) (index/feedback.py:bo1_search)."""
+    from tokenkit_spark.index.feedback import bo1_search
+
+    return bo1_search(
+        _docs(spark, sf_dir), _queries_df(spark),
+        fb_docs=3, fb_terms=10, rocchio_beta=0.4, k=10,
+    )
+
+
 def q_rm3_top10(spark, sf_dir):
     """RM3 pseudo-relevance-feedback retrieval (Lavrenko & Croft SIGIR
     2001 relevance model; Abdul-Jaleel et al. TREC 2004 interpolation;
@@ -5658,6 +5694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "rocchio_top10": q_rocchio_top10,
+        "rocchio_expansion": q_rocchio_expansion,
+        "bo1_top10": q_bo1_top10,
         "qpp_post": q_qpp_post,
         "bpref": q_bpref,
         "sdm_top10": q_sdm_top10,
@@ -7280,8 +7319,101 @@ judgments AS (SELECT q.query_id, d.doc_id, d.doc_id % 3 AS grade
               FROM documents d CROSS JOIN qs q
               WHERE (d.doc_id + q.query_id) % 7 < 2)"""
 
+    # shared BM25 first pass + feedback-doc CTEs for the Rocchio/Bo1
+    # oracles (k1=1.2, b=0.75, Lucene-form idf — index/feedback.py)
+    _bm25_term_sql = (
+        "ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) * p.tf * 2.2"
+        " / (p.tf + 1.2 * (0.25 + 0.75 * d.dl"
+        " / (g.total_tokens * 1.0 / g.n_docs)))"
+    )
+    _idf_sql = "ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))"
+
+    def _fb_prefix(n_fb: int) -> str:
+        return f"""
+fp AS (SELECT q.query_id, p.doc_id, sum({_bm25_term_sql}) AS s
+       FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+       JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+fb AS (SELECT query_id, doc_id FROM (SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(s, 6) DESC, doc_id) AS r FROM fp) WHERE r <= {n_fb})"""
+
+    _rocchio_clip = f"""
+WITH {lmsim_stats_cte.strip()},{_fb_prefix(5)},
+nfb AS (SELECT query_id, count(*) AS n_fb FROM fb GROUP BY 1),
+cent AS (SELECT f.query_id, p.term,
+           sum(p.tf * 1.0 / d.dl * {_idf_sql}) AS c_sum
+         FROM fb f JOIN postings p USING (doc_id)
+         JOIN dstats d USING (doc_id)
+         JOIN tstats t ON t.term = p.term CROSS JOIN globals g
+         GROUP BY 1, 2),
+merged AS (SELECT coalesce(q.query_id, c.query_id) AS query_id,
+             coalesce(q.term, c.term) AS term,
+             coalesce(q.qw, 0)
+               + coalesce(0.75 * c.c_sum / n.n_fb, 0) AS weight
+           FROM (SELECT query_id, term, 1.0 AS qw FROM qterms) q
+           FULL JOIN cent c ON c.query_id = q.query_id AND c.term = q.term
+           LEFT JOIN nfb n ON n.query_id = coalesce(q.query_id, c.query_id)),
+clip AS (SELECT query_id, term, weight FROM (
+           SELECT query_id, term, weight, row_number() OVER (
+             PARTITION BY query_id ORDER BY round(weight, 9) DESC, term) AS tr
+           FROM merged WHERE weight > 0) WHERE tr <= 10)"""
+
     return {
         # --- round-3 oracles ---
+        "rocchio_top10": f"""{_rocchio_clip},
+scored AS (SELECT c.query_id, p.doc_id,
+             sum(c.weight * p.tf * 1.0 / d.dl * {_idf_sql}) AS s
+           FROM clip c JOIN postings p USING (term)
+           JOIN dstats d USING (doc_id)
+           JOIN tstats t ON t.term = c.term CROSS JOIN globals g
+           GROUP BY 1, 2)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, row_number() OVER (PARTITION BY query_id
+           ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score FROM scored) WHERE rank <= 10
+""",
+        "rocchio_expansion": f"""{_rocchio_clip}
+SELECT query_id, term, round(weight, 6) AS weight FROM clip
+""",
+        "bo1_top10": f"""
+WITH {lmsim_stats_cte.strip()},{_fb_prefix(3)},
+tfx AS (SELECT f.query_id, p.term, sum(p.tf) AS tfx
+        FROM fb f JOIN postings p USING (doc_id) GROUP BY 1, 2),
+wts AS (SELECT w.query_id, w.term,
+          w.tfx * log2((1 + t.cf * 1.0 / g.n_docs)
+                       / (t.cf * 1.0 / g.n_docs))
+            + log2(1 + t.cf * 1.0 / g.n_docs) AS w_t
+        FROM tfx w JOIN tstats t USING (term) CROSS JOIN globals g),
+topt AS (SELECT query_id, term, w_t,
+           max(w_t) OVER (PARTITION BY query_id) AS w_max
+         FROM (SELECT query_id, term, w_t, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY round(w_t, 9) DESC, term) AS tr FROM wts)
+         WHERE tr <= 10),
+qtf AS (SELECT query_id, term, count(*) AS qtf,
+          max(count(*)) OVER (PARTITION BY query_id) AS qtf_max
+        FROM (SELECT query_id, lower(u.t) AS term FROM queries,
+              unnest(list_filter(string_split_regex(qtext, '\\s+'),
+                     x -> x <> '')) AS u(t))
+        GROUP BY query_id, term),
+wq AS (SELECT coalesce(q.query_id, e.query_id) AS query_id,
+         coalesce(q.term, e.term) AS term,
+         coalesce(q.qtf * 1.0 / q.qtf_max, 0)
+           + 0.4 * coalesce(e.w_t / e.w_max, 0) AS qtw
+       FROM qtf q FULL JOIN topt e
+         ON e.query_id = q.query_id AND e.term = q.term),
+scored AS (SELECT w.query_id, p.doc_id,
+             sum(w.qtw * {_bm25_term_sql}) AS s
+           FROM wq w JOIN postings p USING (term)
+           JOIN tstats t ON t.term = w.term
+           JOIN dstats d USING (doc_id) CROSS JOIN globals g
+           WHERE w.qtw > 0
+           GROUP BY 1, 2)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, row_number() OVER (PARTITION BY query_id
+           ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         doc_id, round(s, 4) AS score FROM scored) WHERE rank <= 10
+""",
         "qpp_post": f"""
 WITH {lmsim_stats_cte.strip()},
 vt AS (SELECT q.query_id, q.term, t.cf FROM qterms q JOIN tstats t USING (term)),

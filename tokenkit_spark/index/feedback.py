@@ -1,0 +1,317 @@
+"""Vector-space (Rocchio) and DFR (Bo1) pseudo-relevance feedback,
+fully relational — the two classic PRF families next to RM3
+(index/rm3.py):
+
+* **Rocchio** (Rocchio, "Relevance Feedback in Information
+  Retrieval", SMART 1971; Manning/Raghavan/Schutze IIR §9.1.1; the
+  Anserini ``RocchioReranker`` pseudo-feedback configuration with no
+  negative set):
+
+      q' = alpha * q  +  beta * (1/|Dr|) * sum_{d in Dr} v_d
+
+  over tf-idf doc vectors v_d[t] = (tf/dl) * ln(1 + (N-df+.5)/(df+.5))
+  (length-normalized tf, the repo's Lucene-form idf), Dr = the top
+  ``fb_docs`` docs of a first-pass BM25 run, q[t] = 1 per distinct
+  query term.  The ``fb_terms`` highest-weight q' terms are kept
+  (ties term asc) and the second pass ranks by the inner product
+  score(q', d) = sum_t q'_t * v_d[t].
+
+* **Bo1** (Amati's Bose-Einstein 1 DFR term-weighting model —
+  Amati & van Rijsbergen TOIS 20(4) 2002; Terrier's default query
+  expansion, ``Bo1`` in Macdonald et al., "From Puppy to Maturity",
+  OSIR 2012):
+
+      w(t)  = tfx * log2((1 + lam)/lam) + log2(1 + lam),
+      lam   = cf_t / N
+
+  with tfx = t's frequency in the top ``fb_docs`` docs.  The top
+  ``fb_terms`` terms by w(t) (ties term asc) are merged with the
+  original query at Terrier's weights
+
+      qtw(t) = qtf(t)/qtf_max + rocchio_beta * w(t)/w_max
+
+  (rocchio_beta = 0.4) and the second pass is weighted BM25:
+  score = sum_t qtw(t) * bm25(t, d) at the engine's k1=1.2, b=0.75.
+
+Scale shape: both are exactly the RM3 plan — one postings/stats pass,
+candidate-restricted first pass, per-query top-k windows for feedback
+docs and expansion terms (each query's state is fb_terms rows, tiny),
+second pass over docs matching >= 1 expanded term. No UDFs, no driver
+loops; batches of 10^6 queries shuffle on (doc) and (query) keys only.
+
+Reference parity: the reference (scientist-labs/tokenkit) ships no
+query engine; contracts are from the cited public papers/systems.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tokenkit_spark.index.bm25f import _topk
+from tokenkit_spark.index.lmsim import _relations
+
+
+def _bm25_term(k1: float, b: float):
+    """Per-(query-term, doc) BM25 contribution over joined
+    postings/tstats/dstats/globals columns (Lucene-form idf)."""
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    return idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+
+
+def _bm25_first_pass(qterms, postings, dstats, tstats, globals_, id_col,
+                     k1, b):
+    """(query_id, doc_id, score): BM25 over docs matching >=1 term."""
+    return (
+        qterms.join(postings, "term")
+        .join(tstats, "term")
+        .join(dstats, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(_bm25_term(k1, b)).alias("score"))
+    )
+
+
+def _fb_docs(first_pass, fb_docs, id_col):
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col(id_col).asc()
+    )
+    return (
+        first_pass.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= fb_docs)
+        .select("query_id", id_col)
+    )
+
+
+def rocchio_expand(
+    docs: DataFrame,
+    queries: DataFrame,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, term, weight): the clipped Rocchio q' vector."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    fp = _bm25_first_pass(
+        qterms, postings, dstats, tstats, globals_, id_col, k1, b
+    )
+    fb = _fb_docs(fp, fb_docs, id_col)
+    n_fb = fb.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_fb"))
+
+    # centroid of tf-idf doc vectors over the feedback set
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    centroid = (
+        fb.join(postings, id_col)
+        .join(dstats, id_col)
+        .join(tstats, "term")
+        .crossJoin(F.broadcast(globals_))
+        .groupBy("query_id", "term")
+        .agg(F.sum(F.col("tf") / F.col("dl") * idf).alias("c_sum"))
+        .join(n_fb, "query_id")
+        .select(
+            "query_id", "term",
+            (F.lit(beta) * F.col("c_sum") / F.col("n_fb")).alias("fb_w"),
+        )
+    )
+    qvec = qterms.select(
+        "query_id", "term", F.lit(alpha).alias("q_w")
+    )
+    merged = (
+        qvec.join(centroid, ["query_id", "term"], "full")
+        .select(
+            "query_id", "term",
+            (
+                F.coalesce(F.col("q_w"), F.lit(0.0))
+                + F.coalesce(F.col("fb_w"), F.lit(0.0))
+            ).alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+    )
+    w_t = Window.partitionBy("query_id").orderBy(
+        F.round("weight", 9).desc(), F.col("term").asc()
+    )
+    return (
+        merged.withColumn("tr", F.row_number().over(w_t))
+        .filter(F.col("tr") <= fb_terms)
+        .select(
+            "query_id", "term", F.round("weight", round_digits).alias("weight")
+        )
+    )
+
+
+def rocchio_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-pass Rocchio retrieval: inner product of the clipped q'
+    vector with tf-idf doc vectors; (query_id, rank, doc_id, score)."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    wq = rocchio_expand(
+        docs, queries, alpha, beta, fb_docs, fb_terms, k1, b,
+        id_col, text_col, round_digits=9,
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        wq.join(postings, "term")
+        .join(dstats, id_col)
+        .join(tstats, "term")
+        .crossJoin(F.broadcast(globals_))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(
+                F.col("weight") * F.col("tf") / F.col("dl") * idf
+            ).alias("score")
+        )
+        .withColumnRenamed(id_col, "doc_id")
+    )
+    return _topk(scored, k, round_digits)
+
+
+def bo1_expand(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 3,
+    fb_terms: int = 10,
+    rocchio_beta: float = 0.4,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, term, qtw): Terrier-style Bo1 expanded query weights
+    qtf/qtf_max + rocchio_beta * w(t)/w_max over the merged original +
+    top-``fb_terms`` expansion vocabulary."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    fp = _bm25_first_pass(
+        qterms, postings, dstats, tstats, globals_, id_col, k1, b
+    )
+    fb = _fb_docs(fp, fb_docs, id_col)
+
+    log2 = math.log(2.0)
+    lam = F.col("cf") / F.col("n_docs")
+    w_t_expr = (
+        F.col("tfx") * F.log((1.0 + lam) / lam) / log2
+        + F.log(1.0 + lam) / log2
+    )
+    wt = (
+        fb.join(postings, id_col)
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("tfx"))
+        .join(tstats, "term")
+        .crossJoin(F.broadcast(globals_))
+        .select("query_id", "term", w_t_expr.alias("w_t"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.round("w_t", 9).desc(), F.col("term").asc()
+    )
+    top_terms = wt.withColumn("tr", F.row_number().over(w_rank)).filter(
+        F.col("tr") <= fb_terms
+    )
+    w_q = Window.partitionBy("query_id")
+    top_terms = top_terms.withColumn("w_max", F.max("w_t").over(w_q))
+
+    # original-query term frequencies, duplicates kept
+    qtf = (
+        queries.select(
+            "query_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+        .withColumn("qtf_max", F.max("qtf").over(w_q))
+    )
+    return (
+        qtf.join(
+            top_terms.select("query_id", "term", "w_t", "w_max"),
+            ["query_id", "term"],
+            "full",
+        )
+        .select(
+            "query_id", "term",
+            F.round(
+                F.coalesce(F.col("qtf") / F.col("qtf_max"), F.lit(0.0))
+                + F.lit(rocchio_beta)
+                * F.coalesce(F.col("w_t") / F.col("w_max"), F.lit(0.0)),
+                round_digits,
+            ).alias("qtw"),
+        )
+        .filter(F.col("qtw") > 0)
+    )
+
+
+def bo1_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 3,
+    fb_terms: int = 10,
+    rocchio_beta: float = 0.4,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-pass Bo1 retrieval: weighted BM25 over the expanded query;
+    (query_id, rank, doc_id, score)."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    wq = bo1_expand(
+        docs, queries, fb_docs, fb_terms, rocchio_beta, k1, b,
+        id_col, text_col, round_digits=9,
+    )
+    scored = (
+        wq.join(postings, "term")
+        .join(tstats, "term")
+        .join(dstats, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("qtw") * _bm25_term(k1, b)).alias("score"))
+        .withColumnRenamed(id_col, "doc_id")
+    )
+    return _topk(scored, k, round_digits)
