@@ -5598,6 +5598,52 @@ def q_bpref(spark, sf_dir):
     return bpref(results, judgments, k=10)
 
 
+def q_borda_fused(spark, sf_dir):
+    """Borda-fuse metasearch (Aslam & Montague SIGIR 2001 §3.1, incl.
+    the unranked-candidates-share-leftover-points rule) over the same
+    BM25 + cosine legs as rrf_hybrid/comb_fusion
+    (index/hybrid.py:borda_fuse)."""
+    from tokenkit_spark.index import hybrid
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    qdf = spark.createDataFrame(
+        [(0, "spark sort merge")], "query_id long, text string"
+    )
+    lex = bm25_brute(docs, qdf, WS, k=50, round_digits=4).select(
+        "query_id", "rank", "doc_id"
+    )
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    vec = hybrid.cosine_ranking(emb, qvec, query_id=0, window=50,
+                                round_digits=4)
+    return hybrid.borda_fuse([lex, vec], k=10)
+
+
+def q_binary_hamming_recall(spark, sf_dir):
+    """1-bit sign-quantization serving audit: Hamming top-10 over sign
+    codes vs exact cosine top-10, recall@10 per query (Charikar STOC
+    2002 SRP bound; ops/similarity.py:binary_hamming_recall)."""
+    from tokenkit_spark.ops.similarity import binary_hamming_recall
+
+    return binary_hamming_recall(
+        _emb(spark, sf_dir), query_ids=list(range(10)), k=10
+    )
+
+
+def q_lru_cache_audit(spark, sf_dir):
+    """LRU posting-cache hit-rate curve via Mattson stack distances
+    (IBM Sys J 1970) over the corpus term-request trace; band-join
+    formulation, window=1024 resolution
+    (index/cache.py:lru_stack_audit)."""
+    from tokenkit_spark.index.cache import lru_stack_audit
+
+    return lru_stack_audit(
+        _docs(spark, sf_dir), sizes=(8, 64, 512), window=1024
+    )
+
+
 def q_rocchio_top10(spark, sf_dir):
     """Rocchio pseudo-feedback retrieval (Rocchio 1971; IIR §9.1.1;
     Anserini RocchioReranker shape, alpha=1 beta=0.75 gamma=0): BM25
@@ -5694,6 +5740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "borda_fused": q_borda_fused,
+        "binary_hamming_recall": q_binary_hamming_recall,
+        "lru_cache_audit": q_lru_cache_audit,
         "rocchio_top10": q_rocchio_top10,
         "rocchio_expansion": q_rocchio_expansion,
         "bo1_top10": q_bo1_top10,
@@ -6419,6 +6468,50 @@ SELECT rank, term, df, cf,
        round(norm_entropy, 4) AS norm_entropy,
        round(df_ratio * norm_entropy, 4) AS stop_score
 FROM r WHERE rank <= {top_n} ORDER BY rank
+"""
+
+
+def _borda_fusion_oracle_sql() -> str:
+    """Twin of index/hybrid.py:borda_fuse over the rrf_hybrid legs
+    (BM25 top-50 for 'spark sort merge' + cosine top-50 vs vec 0):
+    Aslam-Montague Borda with unranked docs sharing leftover points."""
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+qterms AS (SELECT DISTINCT lower(u.t) AS term
+FROM (VALUES ('spark sort merge')) q(qtext),
+unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (SELECT p.doc_id,
+round(sum(ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5)) * p.tf * 2.2
+/ (p.tf + 1.2 * (0.25 + 0.75 * d.dl / g.avgdl))), 4) AS sc
+FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1),
+lex AS (SELECT doc_id, rank FROM (SELECT row_number() OVER (
+          ORDER BY sc DESC, doc_id) AS rank, doc_id FROM scored)
+        WHERE rank <= 50),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+vecs AS (SELECT vec_id AS doc_id,
+round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS sc
+FROM embeddings, qv),
+vec AS (SELECT doc_id, rank FROM (SELECT row_number() OVER (
+          ORDER BY sc DESC, doc_id) AS rank, doc_id FROM vecs)
+        WHERE rank <= 50),
+cand AS (SELECT DISTINCT doc_id FROM
+         (SELECT doc_id FROM lex UNION ALL SELECT doc_id FROM vec)),
+nn AS (SELECT count(*) AS n FROM cand),
+wl AS (SELECT count(*) AS w FROM lex),
+wv AS (SELECT count(*) AS w FROM vec),
+pts AS (SELECT c.doc_id,
+          coalesce(nn.n - l.rank + 1, (nn.n - wl.w + 1) / 2.0)
+          + coalesce(nn.n - v.rank + 1, (nn.n - wv.w + 1) / 2.0) AS borda
+        FROM cand c CROSS JOIN nn CROSS JOIN wl CROSS JOIN wv
+        LEFT JOIN lex l USING (doc_id) LEFT JOIN vec v USING (doc_id))
+SELECT 0::BIGINT AS query_id, rank, doc_id, round(borda, 6) AS borda FROM
+(SELECT row_number() OVER (ORDER BY round(borda, 6) DESC, doc_id) AS rank,
+ doc_id, borda FROM pts) WHERE rank <= 10
 """
 
 
@@ -7360,6 +7453,57 @@ clip AS (SELECT query_id, term, weight FROM (
 
     return {
         # --- round-3 oracles ---
+        "borda_fused": _borda_fusion_oracle_sql(),
+        "binary_hamming_recall": """
+WITH comp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                unnest(embedding) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+      WHERE vec_id < 10),
+cos AS (SELECT q.qid, e.vec_id AS cand,
+          round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> q.qid),
+ham AS (SELECT a.vec_id AS qid, b.vec_id AS cand,
+          sum(CASE WHEN (a.v >= 0) <> (b.v >= 0) THEN 1 ELSE 0 END) AS ham
+        FROM comp a JOIN comp b ON a.i = b.i
+        WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
+topc AS (SELECT qid, cand FROM (SELECT qid, cand, row_number() OVER (
+           PARTITION BY qid ORDER BY cos DESC, cand) AS r FROM cos)
+         WHERE r <= 10),
+toph AS (SELECT qid, cand FROM (SELECT qid, cand, row_number() OVER (
+           PARTITION BY qid ORDER BY ham ASC, cand) AS r FROM ham)
+         WHERE r <= 10),
+hits AS (SELECT t.qid, count(*) AS n_hit FROM toph t
+         JOIN topc c ON c.qid = t.qid AND c.cand = t.cand GROUP BY 1)
+SELECT q.qid AS query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall_at_k
+FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits h USING (qid) ORDER BY 1
+""",
+        "lru_cache_audit": """
+WITH toks AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+              FROM (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                      '\\s+'), x -> x <> '') AS l FROM documents)),
+acc0 AS (SELECT row_number() OVER (ORDER BY doc_id, pos) AS seq, term FROM toks),
+acc AS (SELECT seq, term,
+          lag(seq) OVER (PARTITION BY term ORDER BY seq) AS prev FROM acc0),
+gaps AS (SELECT prev AS p, seq AS i FROM acc WHERE prev IS NOT NULL),
+res AS (SELECT * FROM gaps WHERE i - p - 1 <= 1024),
+stats AS (SELECT (SELECT count(*) FROM acc) AS n_accesses,
+                 (SELECT count(*) FROM acc WHERE prev IS NULL) AS first_refs,
+                 (SELECT count(*) FROM gaps) - (SELECT count(*) FROM res)
+                   AS unresolved),
+btw AS (SELECT g.i, count(*) AS c FROM res g JOIN acc j
+        ON j.seq > g.p AND j.seq < g.i AND (j.prev IS NULL OR j.prev <= g.p)
+        GROUP BY 1),
+dist AS (SELECT coalesce(b.c, 0) + 1 AS sdist
+         FROM res g LEFT JOIN btw b ON b.i = g.i),
+sizes(cache_size) AS (VALUES (8), (64), (512)),
+hits AS (SELECT s.cache_size,
+           coalesce(sum(CASE WHEN d.sdist <= s.cache_size
+                        THEN 1 ELSE 0 END), 0) AS hits
+         FROM sizes s LEFT JOIN dist d ON true GROUP BY 1)
+SELECT h.cache_size, st.n_accesses, st.first_refs, st.unresolved, h.hits,
+       round(h.hits * 1.0 / st.n_accesses, 6) AS hit_rate
+FROM hits h CROSS JOIN stats st ORDER BY 1
+""",
         "rocchio_top10": f"""{_rocchio_clip},
 scored AS (SELECT c.query_id, p.doc_id,
              sum(c.weight * p.tf * 1.0 / d.dl * {_idf_sql}) AS s

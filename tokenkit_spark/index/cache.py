@@ -204,3 +204,125 @@ def posting_cache_audit(
         )
         .orderBy("budget_rows")
     )
+
+
+def lru_stack_audit(
+    docs: DataFrame,
+    sizes: tuple[int, ...] = (8, 64, 512),
+    window: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """LRU posting-list-cache hit-rate curve via stack (reuse)
+    distances — Mattson, Gecsei, Slutz & Traiger, "Evaluation
+    techniques for storage hierarchies" (IBM Systems Journal 9(2),
+    1970): one pass over an access trace yields the hit rate of EVERY
+    LRU cache size at once, because an access hits a cache of
+    capacity C iff its stack distance (1 + number of DISTINCT other
+    items referenced since the previous access to the same item)
+    is <= C. This is the dynamic-policy complement to the static
+    QtfDf audits above (Baeza-Yates et al. SIGIR 2007 compare exactly
+    these two curves).
+
+    The trace here is the posting-list request stream a scorer
+    issues: the corpus term stream in (doc, position) order.
+
+    Relational formulation: for consecutive occurrences (p, i) of a
+    term, the distinct count in the open interval is the number of
+    accesses j with p < seq_j < i whose OWN previous occurrence is
+    <= p (each distinct term in the window is counted exactly once,
+    at its first in-window occurrence). That turns the stack distance
+    into a band join of gaps against accesses.
+
+    Resolution bound: gaps whose RAW length exceeds ``window`` are
+    classified unresolved and counted as misses at every size (their
+    distinct count may still be small, but bounding the band is what
+    keeps the join linear — the standard windowed-trace trade-off;
+    sizes <= window are exact-or-conservative, and any size <= the
+    typical trace working set is unaffected in practice). The band
+    join buckets accesses by seq div window so Spark executes an
+    equi-join with <= 3 bucket rows per gap, never a nested loop.
+
+    Note the trace sequence itself is a single global ordering (one
+    row_number over (doc, pos)) — trace analysis is inherently
+    sequential; run it per shard or on a sampled trace at corpus
+    scale.
+
+    Returns one row per size: (cache_size, n_accesses, first_refs,
+    unresolved, hits, hit_rate), hit_rate = hits / n_accesses
+    (first references are compulsory misses, per the paper).
+    """
+    toks = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("pos", "term"),
+    )
+    seq_w = Window.orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    acc = toks.withColumn("seq", F.row_number().over(seq_w)).select(
+        "seq", "term"
+    )
+    prev_w = Window.partitionBy("term").orderBy("seq")
+    acc = acc.withColumn("prev", F.lag("seq").over(prev_w)).localCheckpoint()
+
+    gaps = acc.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("p"), F.col("seq").alias("i")
+    )
+    resolved = gaps.filter(F.col("i") - F.col("p") - 1 <= window)
+    unresolved_cnt = gaps.count() - resolved.count()
+    first_refs = acc.filter(F.col("prev").isNull()).count()
+    n_accesses = acc.count()
+
+    g_b = resolved.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("p") / window), F.floor(F.col("i") / window)
+            )
+        ),
+    )
+    j_b = acc.withColumn("bucket", F.floor(F.col("seq") / window))
+    between = (
+        g_b.join(j_b, "bucket")
+        .filter(
+            (F.col("seq") > F.col("p"))
+            & (F.col("seq") < F.col("i"))
+            & (F.col("prev").isNull() | (F.col("prev") <= F.col("p")))
+        )
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("between_cnt"))
+    )
+    dist = (
+        resolved.join(between, "i", "left")
+        .select(
+            (F.coalesce(F.col("between_cnt"), F.lit(0)) + 1).alias("sdist")
+        )
+    )
+    sizes_df = dist.sparkSession.createDataFrame(
+        [(int(s),) for s in sizes], "cache_size long"
+    )
+    ladder = dist.crossJoin(F.broadcast(sizes_df))
+    # left-join back onto the size ladder so a trace with zero resolved
+    # gaps still reports hits = 0 at every size
+    hits = sizes_df.join(
+        ladder.groupBy("cache_size").agg(
+            F.sum(
+                (F.col("sdist") <= F.col("cache_size")).cast("long")
+            ).alias("h")
+        ),
+        "cache_size",
+        "left",
+    ).select("cache_size", F.coalesce("h", F.lit(0)).alias("hits"))
+    return hits.select(
+        "cache_size",
+        F.lit(int(n_accesses)).alias("n_accesses"),
+        F.lit(int(first_refs)).alias("first_refs"),
+        F.lit(int(unresolved_cnt)).alias("unresolved"),
+        "hits",
+        F.round(F.col("hits") / float(n_accesses), round_digits).alias(
+            "hit_rate"
+        ),
+    ).orderBy("cache_size")

@@ -240,3 +240,70 @@ def cross_fields(
         .agg(F.sum("t_score").alias("score"))
     )
     return _topk_window(scored, k, round_digits)
+
+
+def borda_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Borda-fuse metasearch (Aslam & Montague, "Models for
+    Metasearch", SIGIR 2001, §3.1): each retriever is a voter ranking
+    the per-query candidate union of size n; a doc at rank p gets
+    n - p + 1 points, and the docs a voter did NOT rank share its
+    remaining points equally — (n - w_r + 1) / 2 each, where w_r is
+    the number of docs that voter ranked for the query (the paper's
+    "remaining candidates share the leftover points evenly" rule,
+    which is what makes Borda-fuse a positional social-welfare
+    function rather than an arbitrary 0-fill).
+
+    Inputs carry (query_id, rank, doc_id); output (query_id, rank,
+    doc_id, borda) ranked by (points desc, doc_id asc).
+
+    Scale shape: same as rrf_fuse — inputs are rank-window-truncated,
+    so the candidate union, the per-voter left joins, and the fusion
+    aggregate are all |queries| x w x voters rows, never corpus-sized.
+    """
+    cand = None
+    for r in rankings:
+        c = r.select("query_id", "doc_id")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+
+    total = None
+    for r in rankings:
+        w_r = r.groupBy("query_id").agg(F.count(F.lit(1)).alias("w"))
+        contrib = (
+            cand.join(n_cand, "query_id")
+            .join(w_r, "query_id")
+            .join(
+                r.select("query_id", "doc_id", "rank"),
+                ["query_id", "doc_id"],
+                "left",
+            )
+            .select(
+                "query_id",
+                "doc_id",
+                F.coalesce(
+                    F.col("n") - F.col("rank") + 1,
+                    (F.col("n") - F.col("w") + 1) / 2.0,
+                ).alias("pts"),
+            )
+        )
+        total = contrib if total is None else total.unionByName(contrib)
+
+    fused = total.groupBy("query_id", "doc_id").agg(
+        F.sum("pts").alias("borda")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("borda", round_digits).desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.round("borda", round_digits).alias("borda"),
+        )
+    )

@@ -762,3 +762,83 @@ def matryoshka_recall(
         )
         out = r if out is None else out.unionByName(r)
     return out.orderBy("dims")
+
+
+def binary_hamming_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Binary (sign) quantization serving audit: recall@k of Hamming-
+    distance top-k over 1-bit-per-dimension sign codes against exact
+    cosine top-k, per query. Sign binarization is the 1-bit extreme of
+    embedding compression (32x memory cut); its retrieval quality
+    bound is the SRP-LSH collision argument (Charikar, "Similarity
+    Estimation Techniques from Rounding Algorithms", STOC 2002:
+    P[sign bits agree] = 1 - theta/pi with identity hyperplanes) —
+    this op measures the actual recall on the corpus the way the
+    hyperplane-LSH audit above measures banded recall.
+
+    Candidates exclude the query vector itself. Hamming ties are pinned
+    (distance asc, id asc); cosine ties (cos desc at round_digits, id
+    asc) — both engines deterministic.
+
+    Shape: query side broadcast, one map-side scoring pass, per-query
+    top-k windows — an audit over a sample, like matryoshka_recall.
+
+    Returns (query_id, recall_at_k) per query, ordered by query_id."""
+    q = emb.filter(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    pairs = (
+        emb.select(F.col(id_col).alias("cand"), F.col(vec_col).alias("cvec"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand") != F.col("qid"))
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("cvec"),
+            F.col("qvec"),
+            lambda a, b: ((a >= 0) != (b >= 0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.withColumn(
+        "cos", F.round(_pair_cos(F.col("cvec"), F.col("qvec")), round_digits)
+    ).withColumn("ham", ham)
+    w_cos = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("cand").asc()
+    )
+    w_ham = Window.partitionBy("qid").orderBy(
+        F.col("ham").asc(), F.col("cand").asc()
+    )
+    exact = (
+        scored.withColumn("r", F.row_number().over(w_cos))
+        .filter(F.col("r") <= k)
+        .select("qid", "cand")
+    )
+    binry = (
+        scored.withColumn("r", F.row_number().over(w_ham))
+        .filter(F.col("r") <= k)
+        .select("qid", "cand")
+    )
+    hits = (
+        binry.join(exact, ["qid", "cand"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / float(k), round_digits
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
