@@ -5598,6 +5598,42 @@ def q_bpref(spark, sf_dir):
     return bpref(results, judgments, k=10)
 
 
+def q_moore_lewis(spark, sf_dir):
+    """Moore-Lewis cross-entropy-difference data selection (ACL 2010):
+    lang='en' docs are the in-domain seed; each pool doc scored by
+    mean ln p_G(w) - ln p_I(w) over add-0.5-smoothed unigram LMs;
+    lowest-20 selected (ops/dsir.py:moore_lewis_scores)."""
+    from tokenkit_spark.ops.dsir import moore_lewis_scores
+
+    return moore_lewis_scores(
+        _docs(spark, sf_dir), F.col("lang") == "en", alpha=0.5, k=20
+    )
+
+
+def q_count_min_audit(spark, sf_dir):
+    """Count-Min sketch accuracy audit (Cormode & Muthukrishnan 2005):
+    depth-4 x 1024 sketch with pinned universal hashes over the corpus
+    term stream; per log2-cf stratum overestimate distribution vs the
+    (e/w)*N guarantee (ops/heavyhitters.py:count_min_audit)."""
+    from tokenkit_spark.ops.heavyhitters import count_min_audit
+
+    return count_min_audit(_docs(spark, sf_dir), width=1024)
+
+
+def q_smoothing_rank_corr(spark, sf_dir):
+    """Smoothing-drift audit: Kendall tau-a + Spearman rho per query
+    between LM-Dirichlet(mu=2000) and LM-Jelinek-Mercer(lam=0.7)
+    top-50 runs over their common docs (Fagin et al. SODA 2003
+    intersection convention) (index/rankeval.py:rank_correlation)."""
+    from tokenkit_spark.index.lmsim import lm_dirichlet, lm_jelinek_mercer
+    from tokenkit_spark.index.rankeval import rank_correlation
+
+    docs, qs = _docs(spark, sf_dir), _queries_df(spark)
+    a = lm_dirichlet(docs, qs, mu=2000.0, k=50)
+    b = lm_jelinek_mercer(docs, qs, lam=0.7, k=50)
+    return rank_correlation(a, b)
+
+
 def q_borda_fused(spark, sf_dir):
     """Borda-fuse metasearch (Aslam & Montague SIGIR 2001 §3.1, incl.
     the unranked-candidates-share-leftover-points rule) over the same
@@ -5740,6 +5776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "moore_lewis": q_moore_lewis,
+        "count_min_audit": q_count_min_audit,
+        "smoothing_rank_corr": q_smoothing_rank_corr,
         "borda_fused": q_borda_fused,
         "binary_hamming_recall": q_binary_hamming_recall,
         "lru_cache_audit": q_lru_cache_audit,
@@ -7451,8 +7490,100 @@ clip AS (SELECT query_id, term, weight FROM (
              PARTITION BY query_id ORDER BY round(weight, 9) DESC, term) AS tr
            FROM merged WHERE weight > 0) WHERE tr <= 10)"""
 
+    _dir_term = (
+        "greatest(ln(1 + p.tf / (2000.0 * ((t.cf + 1.0)"
+        " / (g.total_tokens + 1.0)))) + ln(2000.0 / (d.dl + 2000.0)), 0.0)"
+    )
+    _jm_term = (
+        "greatest(ln(1 + ((1.0 - 0.7) * p.tf / d.dl)"
+        " / (0.7 * ((t.cf + 1.0) / (g.total_tokens + 1.0)))), 0.0)"
+    )
+
+    def _run50(per_term: str, name: str) -> str:
+        return f"""
+{name} AS (SELECT query_id, doc_id, rank FROM (
+  SELECT q.query_id, p.doc_id, row_number() OVER (
+      PARTITION BY q.query_id ORDER BY round(sum({per_term}), 4) DESC,
+      p.doc_id) AS rank
+  FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g
+  GROUP BY q.query_id, p.doc_id) WHERE rank <= 50)"""
+
     return {
         # --- round-3 oracles ---
+        "moore_lewis": """
+WITH toks AS (SELECT doc_id, lang = 'en' AS is_in, lower(u.t) AS term
+              FROM documents, unnest(list_filter(string_split_regex(text,
+                '\\s+'), x -> x <> '')) u(t)),
+counts AS (SELECT term,
+             sum(CASE WHEN is_in THEN 1 ELSE 0 END) AS c_in,
+             sum(CASE WHEN is_in THEN 0 ELSE 1 END) AS c_gen
+           FROM toks GROUP BY 1),
+tot AS (SELECT sum(c_in) AS n_in, sum(c_gen) AS n_gen, count(*) AS v
+        FROM counts),
+ratio AS (SELECT term,
+            ln((c_gen + 0.5) / (t.n_gen + 0.5 * t.v))
+            - ln((c_in + 0.5) / (t.n_in + 0.5 * t.v)) AS lr
+          FROM counts CROSS JOIN tot t),
+scored AS (SELECT doc_id, avg(lr) AS score FROM toks JOIN ratio USING (term)
+           WHERE NOT is_in GROUP BY 1)
+SELECT rank, doc_id, round(score, 6) AS score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) ASC, doc_id) AS rank,
+         doc_id, score FROM scored) WHERE rank <= 20
+""",
+        "count_min_audit": f"""
+WITH toks AS ({_TOKS}),
+exact AS (SELECT term, count(*) AS cf FROM toks GROUP BY 1),
+nt AS (SELECT count(*) AS n_total FROM toks),
+hx AS (SELECT term, cf,
+         ('0x' || substring(md5(term), 1, 8))::BIGINT AS x FROM exact),
+hashed AS (SELECT term, cf,
+             ((1000003 * x + 12345) % 2147483647) % 1024 AS h0,
+             ((999983 * x + 54321) % 2147483647) % 1024 AS h1,
+             ((722233 * x + 98765) % 2147483647) % 1024 AS h2,
+             ((611953 * x + 13579) % 2147483647) % 1024 AS h3
+           FROM hx),
+c0 AS (SELECT h0 AS b, sum(cf) AS c FROM hashed GROUP BY 1),
+c1 AS (SELECT h1 AS b, sum(cf) AS c FROM hashed GROUP BY 1),
+c2 AS (SELECT h2 AS b, sum(cf) AS c FROM hashed GROUP BY 1),
+c3 AS (SELECT h3 AS b, sum(cf) AS c FROM hashed GROUP BY 1),
+est AS (SELECT h.term, h.cf,
+          least(c0.c, c1.c, c2.c, c3.c) AS est
+        FROM hashed h JOIN c0 ON c0.b = h.h0 JOIN c1 ON c1.b = h.h1
+        JOIN c2 ON c2.b = h.h2 JOIN c3 ON c3.b = h.h3)
+SELECT CAST(floor(log2(cf)) AS BIGINT) AS cf_bucket,
+       count(*) AS n_terms,
+       round(avg(est - cf), 6) AS mean_over,
+       max(est - cf) AS max_over,
+       round(avg(CASE WHEN est = cf THEN 1.0 ELSE 0.0 END), 6) AS frac_exact,
+       round(2.718281828459045 / 1024 * (SELECT n_total FROM nt), 6) AS bound
+FROM est GROUP BY 1 ORDER BY 1
+""",
+        "smoothing_rank_corr": f"""
+WITH {lmsim_stats_cte.strip()},{_run50(_dir_term, "ra")},{_run50(_jm_term, "rb")},
+common AS (SELECT a.query_id, a.doc_id, a.rank AS rank_a, b.rank AS rank_b
+           FROM ra a JOIN rb b USING (query_id, doc_id)),
+rr AS (SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank_a) AS ra2,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank_b) AS rb2
+       FROM common),
+n AS (SELECT query_id, count(*) AS n_common FROM rr GROUP BY 1),
+p2 AS (SELECT x.query_id,
+         sum(CASE WHEN sign(y.ra2 - x.ra2) = sign(y.rb2 - x.rb2)
+             THEN 1 ELSE -1 END) AS cmd
+       FROM rr x JOIN rr y ON x.query_id = y.query_id AND x.ra2 < y.ra2
+       GROUP BY 1),
+d2 AS (SELECT query_id, sum((ra2 - rb2) * (ra2 - rb2)) AS sum_d2
+       FROM rr GROUP BY 1)
+SELECT n.query_id, n.n_common,
+  round(CASE WHEN n_common >= 2
+        THEN p2.cmd / (n_common * (n_common - 1) / 2.0) END, 6) AS kendall_tau,
+  round(CASE WHEN n_common >= 2
+        THEN 1 - 6.0 * d2.sum_d2
+             / (n_common * (n_common * n_common - 1.0)) END, 6)
+    AS spearman_rho
+FROM n LEFT JOIN p2 USING (query_id) JOIN d2 USING (query_id)
+""",
         "borda_fused": _borda_fusion_oracle_sql(),
         "binary_hamming_recall": """
 WITH comp AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -285,3 +285,97 @@ def bpref(
             F.coalesce(F.col("judged_k"), F.lit(0.0)).alias("judged_k"),
         )
     )
+
+
+def rank_correlation(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kendall tau-a and Spearman rho between two ranked runs, per
+    query, over their COMMON documents (the standard way two top-k
+    lists are compared — Fagin, Kumar & Sivakumar, "Comparing top k
+    lists", SODA 2003 discuss why the intersection convention is the
+    tractable one).  Both runs carry (query_id, rank, doc_id); common
+    docs are re-ranked 1..n within each run by their original rank so
+    ranks are tie-free permutations, then
+
+        tau  = (C - D) / (n(n-1)/2)        (Kendall 1938)
+        rho  = 1 - 6 * sum d_i^2 / (n(n^2-1))   (Spearman 1904)
+
+    Queries with n < 2 common docs emit NULL correlations (undefined).
+
+    Use: smoothing/ranker drift audits — e.g. how far LM-Dirichlet
+    reorders BM25's candidates.  Shape: the pair join is per-query
+    over <= k common docs (k^2/2 pairs of WINDOW rows, never corpus
+    rows); everything else is two rank windows and an aggregate.
+
+    Returns (query_id, n_common, kendall_tau, spearman_rho).
+    """
+    common = run_a.select(
+        "query_id", "doc_id", F.col("rank").alias("rank_a")
+    ).join(
+        run_b.select("query_id", "doc_id", F.col("rank").alias("rank_b")),
+        ["query_id", "doc_id"],
+    )
+    wa = Window.partitionBy("query_id").orderBy("rank_a")
+    wb = Window.partitionBy("query_id").orderBy("rank_b")
+    rr = common.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    n = rr.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_common"))
+    pairs = (
+        rr.alias("x")
+        .join(
+            rr.alias("y"),
+            (F.col("x.query_id") == F.col("y.query_id"))
+            & (F.col("x.ra") < F.col("y.ra")),
+        )
+        .select(
+            F.col("x.query_id").alias("query_id"),
+            F.when(
+                F.signum(F.col("y.ra") - F.col("x.ra"))
+                == F.signum(F.col("y.rb") - F.col("x.rb")),
+                1,
+            ).otherwise(-1).alias("cd"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("cd").alias("c_minus_d"))
+    )
+    dsq = rr.groupBy("query_id").agg(
+        F.sum(
+            (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+        ).alias("sum_d2")
+    )
+    return (
+        n.join(pairs, "query_id", "left")
+        .join(dsq, "query_id")
+        .select(
+            "query_id",
+            "n_common",
+            F.round(
+                F.when(
+                    F.col("n_common") >= 2,
+                    F.col("c_minus_d")
+                    / (F.col("n_common") * (F.col("n_common") - 1) / 2.0),
+                ),
+                round_digits,
+            ).alias("kendall_tau"),
+            F.round(
+                F.when(
+                    F.col("n_common") >= 2,
+                    1.0
+                    - 6.0
+                    * F.col("sum_d2")
+                    / (
+                        F.col("n_common")
+                        * (
+                            F.col("n_common") * F.col("n_common")
+                            - 1.0
+                        )
+                    ),
+                ),
+                round_digits,
+            ).alias("spearman_rho"),
+        )
+    )

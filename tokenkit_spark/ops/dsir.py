@@ -151,3 +151,78 @@ def dsir_select(
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "n_grams", "log_w", "avg_log_ratio")
     )
+
+
+def moore_lewis_scores(
+    docs: DataFrame,
+    in_domain,
+    alpha: float = 0.5,
+    k: int = 20,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis, "Intelligent Selection of Language Model Training Data",
+    ACL 2010) — the classic predecessor of DSIR above: score each
+    out-of-domain candidate by
+
+        score(d) = H_I(d) - H_G(d)
+                 = (1/|d|) * sum_w [ ln p_G(w) - ln p_I(w) ]
+
+    where p_I / p_G are add-``alpha``-smoothed unigram LMs fit on the
+    in-domain seed (rows matching the ``in_domain`` predicate) and the
+    general pool (the rest), over the shared corpus vocabulary.  LOWER
+    is better (the doc looks in-domain relative to its pool), so the
+    deterministic selection is the ``k`` lowest scores
+    (ties: score asc at round_digits, doc_id asc).
+
+    Scale shape: exactly DSIR's — two vocab-sized count aggregates,
+    the per-term log-ratio table broadcasts into one map-side token
+    join, one per-doc partial-agg mean.  Nothing driver-side.
+    """
+    toks = docs.select(
+        doc_col,
+        F.col(text_col),
+        in_domain.alias("is_in"),
+    ).select(
+        doc_col, "is_in", F.explode(_tokens(text_col)).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.col("is_in").cast("long")).alias("c_in"),
+        F.sum((~F.col("is_in")).cast("long")).alias("c_gen"),
+    )
+    tot = counts.agg(
+        F.sum("c_in").alias("n_in"),
+        F.sum("c_gen").alias("n_gen"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratio = counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (
+            F.log(
+                (F.col("c_gen") + alpha)
+                / (F.col("n_gen") + alpha * F.col("v"))
+            )
+            - F.log(
+                (F.col("c_in") + alpha)
+                / (F.col("n_in") + alpha * F.col("v"))
+            )
+        ).alias("log_ratio"),
+    )
+    scored = (
+        toks.filter(~F.col("is_in"))
+        .join(ratio, "term")
+        .groupBy(doc_col)
+        .agg(F.avg("log_ratio").alias("score"))
+    )
+    w = Window.orderBy(
+        F.round("score", round_digits).asc(), F.col(doc_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank", doc_col, F.round("score", round_digits).alias("score")
+        )
+    )
