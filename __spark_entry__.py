@@ -5598,6 +5598,72 @@ def q_bpref(spark, sf_dir):
     return bpref(results, judgments, k=10)
 
 
+def q_rbo(spark, sf_dir):
+    """Rank-Biased Overlap @10 (Webber/Moffat/Zobel TOIS 2010, eq. 5
+    prefix, p=0.9) between the LM-Dirichlet and LM-JM runs — the
+    set-based twin of smoothing_rank_corr
+    (index/rankeval.py:rbo)."""
+    from tokenkit_spark.index.lmsim import lm_dirichlet, lm_jelinek_mercer
+    from tokenkit_spark.index.rankeval import rbo
+
+    docs, qs = _docs(spark, sf_dir), _queries_df(spark)
+    a = lm_dirichlet(docs, qs, mu=2000.0, k=50)
+    b = lm_jelinek_mercer(docs, qs, lam=0.7, k=50)
+    return rbo(a, b, k=10, p=0.9)
+
+
+def q_simrank(spark, sf_dir):
+    """Pruned SimRank (Jeh & Widom KDD 2002; C=0.8, 3 iterations,
+    state restricted to co-cited pairs) over the link graph; top-20
+    pairs (ops/linkgraph.py:simrank_pairs)."""
+    from tokenkit_spark.ops.linkgraph import simrank_pairs
+
+    return simrank_pairs(_link_edges(spark, sf_dir), c=0.8, iterations=3,
+                         k=20)
+
+
+def _linked_pages(spark, sf_dir):
+    """Deterministic html pages carrying the SAME outlink structure as
+    _LINK_EDGES_SQL (absolute / root-relative+nofollow / relative
+    anchors, plus a mailto and a fragment ref as parser edge cases)."""
+    d = _docs(spark, sf_dir)
+    dst1 = ((F.col("doc_id") * 7 + 1) % 500).cast("string")
+    dst2 = ((F.col("doc_id") * 13 + 2) % 500).cast("string")
+    dst3 = ((F.col("doc_id") * 31 + 3) % 500).cast("string")
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p><nav>"),
+        F.lit('<a href="https://site'),
+        (((F.col("doc_id") * 7 + 1) % 500) % 1000).cast("string"),
+        F.lit(".example.org/page/"), dst1, F.lit('">to '), dst1,
+        F.lit("</a>"),
+        F.lit('<a href="/page/'), dst2, F.lit('" rel="nofollow">to '),
+        dst2, F.lit("</a>"),
+        F.lit('<a href="p'), dst3, F.lit('.html">rel '), dst3,
+        F.lit("</a>"),
+        F.lit('<a href="mailto:x@example.org">mail</a>'),
+        F.lit('<a href="#top">top</a>'),
+        F.lit("</nav></body></html>"),
+    )
+    return d.select(
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".example.org/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def q_extract_outlinks(spark, sf_dir):
+    """WAT-step outlink extraction: anchor-tag parse + RFC 3986 §5.2
+    reference resolution (absolute / protocol-relative / root-relative
+    / relative; fragments stripped; mailto/javascript dropped;
+    nofollow flagged) over deterministic html pages
+    (ops/outlinks.py:extract_outlinks)."""
+    from tokenkit_spark.ops.outlinks import extract_outlinks
+
+    return extract_outlinks(_linked_pages(spark, sf_dir))
+
+
 def q_moore_lewis(spark, sf_dir):
     """Moore-Lewis cross-entropy-difference data selection (ACL 2010):
     lang='en' docs are the in-domain seed; each pool doc scored by
@@ -5776,6 +5842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "rbo_at_10": q_rbo,
+        "simrank": q_simrank,
+        "extract_outlinks": q_extract_outlinks,
         "moore_lewis": q_moore_lewis,
         "count_min_audit": q_count_min_audit,
         "smoothing_rank_corr": q_smoothing_rank_corr,
@@ -7511,6 +7580,97 @@ clip AS (SELECT query_id, term, weight FROM (
 
     return {
         # --- round-3 oracles ---
+        "rbo_at_10": f"""
+WITH {lmsim_stats_cte.strip()},{_run50(_dir_term, "ra")},{_run50(_jm_term, "rb")},
+common AS (SELECT a.query_id, greatest(a.rank, b.rank) AS enter_d
+           FROM (SELECT * FROM ra WHERE rank <= 10) a
+           JOIN (SELECT * FROM rb WHERE rank <= 10) b
+             USING (query_id, doc_id)),
+qids AS (SELECT DISTINCT query_id FROM
+         (SELECT query_id FROM ra UNION ALL SELECT query_id FROM rb)),
+depths AS (SELECT q.query_id, d FROM qids q CROSS JOIN
+           (SELECT unnest(generate_series(1, 10)) AS d)),
+xd AS (SELECT dp.query_id, dp.d,
+         coalesce(sum(CASE WHEN c.enter_d <= dp.d THEN 1 ELSE 0 END), 0)
+           AS x_d
+       FROM depths dp LEFT JOIN common c ON c.query_id = dp.query_id
+       GROUP BY 1, 2)
+SELECT query_id,
+       round((1 - 0.9) * sum(pow(0.9, d - 1) * x_d / d), 6) AS rbo_k
+FROM xd GROUP BY 1
+""",
+        "simrank": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+indeg AS (SELECT dst, count(*) AS indeg FROM e GROUP BY 1),
+pairs AS (SELECT DISTINCT x.dst AS a, y.dst AS b FROM e x
+          JOIN e y ON x.src = y.src AND x.dst < y.dst),
+base AS MATERIALIZED (SELECT p.a, p.b, ia.indeg AS na, ib.indeg AS nb,
+          least(ea.src, eb.src) AS pi, greatest(ea.src, eb.src) AS pj,
+          CASE WHEN ea.src = eb.src THEN 1.0 ELSE 0.0 END AS diag
+        FROM pairs p JOIN e ea ON ea.dst = p.a JOIN e eb ON eb.dst = p.b
+        JOIN indeg ia ON ia.dst = p.a JOIN indeg ib ON ib.dst = p.b),
+s1 AS MATERIALIZED (SELECT a, b,
+        0.8 * sum(diag) / (any_value(na) * any_value(nb)) AS s
+      FROM base GROUP BY 1, 2),
+s2 AS MATERIALIZED (SELECT b0.a, b0.b,
+        0.8 * sum(CASE WHEN b0.diag = 1.0 THEN 1.0
+                  ELSE coalesce(s1.s, 0) END)
+          / (any_value(b0.na) * any_value(b0.nb)) AS s
+      FROM base b0 LEFT JOIN s1 ON s1.a = b0.pi AND s1.b = b0.pj
+      GROUP BY 1, 2),
+s3 AS (SELECT b0.a, b0.b,
+        0.8 * sum(CASE WHEN b0.diag = 1.0 THEN 1.0
+                  ELSE coalesce(s2.s, 0) END)
+          / (any_value(b0.na) * any_value(b0.nb)) AS s
+      FROM base b0 LEFT JOIN s2 ON s2.a = b0.pi AND s2.b = b0.pj
+      GROUP BY 1, 2)
+SELECT rank, src, dst, simrank FROM (
+  SELECT row_number() OVER (ORDER BY round(s, 6) DESC, a, b) AS rank,
+         a AS src, b AS dst, round(s, 6) AS simrank FROM s3)
+WHERE rank <= 20
+""",
+        "extract_outlinks": """
+WITH pages AS (SELECT
+  'https://site' || (doc_id % 1000) || '.example.org/page/' || doc_id
+    AS src_url,
+  '<html><body><p>' || text || '</p><nav>'
+  || '<a href="https://site' || (((doc_id * 7 + 1) % 500) % 1000)
+  || '.example.org/page/' || ((doc_id * 7 + 1) % 500) || '">to '
+  || ((doc_id * 7 + 1) % 500) || '</a>'
+  || '<a href="/page/' || ((doc_id * 13 + 2) % 500)
+  || '" rel="nofollow">to ' || ((doc_id * 13 + 2) % 500) || '</a>'
+  || '<a href="p' || ((doc_id * 31 + 3) % 500) || '.html">rel '
+  || ((doc_id * 31 + 3) % 500) || '</a>'
+  || '<a href="mailto:x@example.org">mail</a>'
+  || '<a href="#top">top</a>'
+  || '</nav></body></html>' AS html FROM documents),
+tags AS (SELECT src_url, unnest(regexp_extract_all(html,
+           '<a\\s[^>]*href="[^"]*"[^>]*>[^<]*</a>', 0)) AS tag FROM pages),
+parsed AS (SELECT src_url,
+  regexp_extract(tag, 'href="([^"]*)"', 1) AS href_raw,
+  regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor_text,
+  regexp_matches(tag, 'rel="[^"]*nofollow[^"]*"') AS nofollow,
+  regexp_replace(regexp_extract(tag, 'href="([^"]*)"', 1), '#.*$', '')
+    AS href_s
+FROM tags)
+SELECT p.src_url, p.href_raw AS href,
+  CASE WHEN p.href_s = '' THEN p.src_url
+       WHEN regexp_matches(p.href_s, '^[a-z][a-z0-9+.-]*://') THEN p.href_s
+       WHEN p.href_s LIKE '//%' THEN
+         regexp_extract(p.src_url, '^([a-z][a-z0-9+.-]*):', 1) || ':'
+           || p.href_s
+       WHEN p.href_s LIKE '/%' THEN
+         regexp_extract(p.src_url, '^([a-z][a-z0-9+.-]*):', 1) || '://'
+           || regexp_extract(p.src_url, '^[a-z][a-z0-9+.-]*://([^/]*)', 1)
+           || p.href_s
+       ELSE regexp_extract(p.src_url, '^(.*/)[^/]*$', 1) || p.href_s
+  END AS resolved_url,
+  p.anchor_text, p.nofollow
+FROM parsed p
+WHERE p.href_raw <> ''
+  AND NOT regexp_matches(p.href_s, '^(mailto:|javascript:|data:|tel:)')
+""",
         "moore_lewis": """
 WITH toks AS (SELECT doc_id, lang = 'en' AS is_in, lower(u.t) AS term
               FROM documents, unnest(list_filter(string_split_regex(text,

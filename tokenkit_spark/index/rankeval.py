@@ -379,3 +379,77 @@ def rank_correlation(
             ).alias("spearman_rho"),
         )
     )
+
+
+def rbo(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rank-Biased Overlap between two indefinite rankings (Webber,
+    Moffat & Zobel, "A Similarity Measure for Indefinite Rankings",
+    TOIS 28(4) 2010), truncated at depth ``k`` (the paper's eq. 5
+    prefix — the minimal RBO the observed prefixes guarantee):
+
+        RBO@k = (1 - p) * sum_{d=1..k} p^(d-1) * X_d / d
+
+    with X_d = |A[1..d] ∩ B[1..d]| the overlap at depth d and ``p``
+    the persistence (top-weightedness) parameter.  The set-based
+    complement of rank_correlation above: RBO handles lists that are
+    not permutations of each other and weights the head.
+
+    Runs carry (query_id, rank, doc_id); queries appearing in either
+    run emit a row (a query missing from one run scores 0).
+
+    Shape: a doc enters the overlap at depth max(rank_a, rank_b), so
+    X_d is one conditional count against a k-row depth ladder — the
+    join is |common docs| x k window rows per query, never corpus
+    rows.
+
+    Returns (query_id, rbo_k).
+    """
+    a = run_a.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_a")
+    )
+    b = run_b.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_b")
+    )
+    common = a.join(b, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("rank_a", "rank_b").alias("enter_d")
+    )
+    qids = (
+        run_a.select("query_id").unionByName(run_b.select("query_id"))
+        .distinct()
+    )
+    depths = qids.crossJoin(
+        F.broadcast(
+            qids.sparkSession.range(1, k + 1).select(
+                F.col("id").alias("d")
+            )
+        )
+    )
+    xd = (
+        depths.join(common, "query_id", "left")
+        .groupBy("query_id", "d")
+        .agg(
+            F.sum(
+                F.when(F.col("enter_d") <= F.col("d"), 1).otherwise(0)
+            ).alias("x_d")
+        )
+    )
+    return (
+        xd.groupBy("query_id")
+        .agg(
+            F.round(
+                F.lit(1.0 - p)
+                * F.sum(
+                    F.pow(F.lit(p), F.col("d") - 1)
+                    * F.col("x_d")
+                    / F.col("d")
+                ),
+                round_digits,
+            ).alias("rbo_k")
+        )
+    )
