@@ -5598,6 +5598,70 @@ def q_bpref(spark, sf_dir):
     return bpref(results, judgments, k=10)
 
 
+def q_diversity_eval(spark, sf_dir):
+    """Novelty/diversity evaluation: unnormalized alpha-DCG@10 (Clarke
+    et al. SIGIR 2008, alpha=0.5) + ERR-IA@10 (uniform intent weights,
+    binary R=1/2) over deterministic aspect judgments
+    (index/rankeval.py:diversity_eval)."""
+    from tokenkit_spark.index.rankeval import diversity_eval
+
+    results, _ = _rank_eval_tables(spark, sf_dir)
+    qs = spark.range(7).select(F.col("id").alias("query_id"))
+    aspects = spark.range(3).select(F.col("id").alias("aspect"))
+    aj = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .crossJoin(qs)
+        .crossJoin(aspects)
+        .filter(
+            (F.col("doc_id") + 3 * F.col("query_id") + 7 * F.col("aspect"))
+            % 11
+            < 2
+        )
+        .select("query_id", "doc_id", "aspect")
+    )
+    return diversity_eval(results, aj, k=10, alpha=0.5)
+
+
+def q_lexrank(spark, sf_dir):
+    """LexRank extractive summarization (Erkan & Radev JAIR 2004,
+    thresholded variant: tf-idf-modified cosine >= 0.1, teleport 0.15,
+    4 power iterations) over 12-token sentence chunks; top-2 salient
+    sentences per doc (ops/lexrank.py:lexrank)."""
+    from tokenkit_spark.ops.lexrank import lexrank
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    base = d.select("doc_id", toks.alias("l"))
+    sents = (
+        base.withColumn(
+            "sent_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(
+                        F.ceil(F.size("l") / F.lit(12.0)).cast("long") - 1,
+                        F.lit(0).cast("long"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "sent_id",
+            F.array_join(
+                F.slice(
+                    F.col("l"), (F.col("sent_id") * 12 + 1).cast("int"), 12
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return lexrank(sents, threshold=0.1, teleport=0.15, iterations=4, k=2)
+
+
 def q_rbo(spark, sf_dir):
     """Rank-Biased Overlap @10 (Webber/Moffat/Zobel TOIS 2010, eq. 5
     prefix, p=0.9) between the LM-Dirichlet and LM-JM runs — the
@@ -5842,6 +5906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "diversity_eval": q_diversity_eval,
+        "lexrank": q_lexrank,
         "rbo_at_10": q_rbo,
         "simrank": q_simrank,
         "extract_outlinks": q_extract_outlinks,
@@ -7578,8 +7644,82 @@ clip AS (SELECT query_id, term, weight FROM (
   JOIN dstats d USING (doc_id) CROSS JOIN globals g
   GROUP BY q.query_id, p.doc_id) WHERE rank <= 50)"""
 
+    def _lexrank_iter(prev: str, cur: str) -> str:
+        return f"""
+{cur} AS MATERIALIZED (SELECT n.doc_id, n.sent_id,
+        0.15 / d.n_d + 0.85 * coalesce(f.inflow, 0) AS p
+      FROM nodes n JOIN nd d USING (doc_id)
+      LEFT JOIN (SELECT a.doc_id, a.s_a AS sent_id,
+                   sum(p.p / dg.deg) AS inflow
+                 FROM adj a
+                 JOIN {prev} p ON p.doc_id = a.doc_id AND p.sent_id = a.s_b
+                 JOIN deg dg ON dg.doc_id = a.doc_id AND dg.sent_id = a.s_b
+                 GROUP BY 1, 2) f
+        ON f.doc_id = n.doc_id AND f.sent_id = n.sent_id)"""
+
     return {
         # --- round-3 oracles ---
+        "diversity_eval": f"""
+WITH {_judge_tables.strip()},
+aj AS (SELECT q.query_id, d.doc_id, a.aspect
+       FROM documents d CROSS JOIN qs q
+       CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS aspect) a
+       WHERE (d.doc_id + 3 * q.query_id + 7 * a.aspect) % 11 < 2),
+hits AS (SELECT r.query_id, r.rank, j.aspect,
+           coalesce(count(*) OVER (PARTITION BY r.query_id, j.aspect
+             ORDER BY r.rank ROWS BETWEEN UNBOUNDED PRECEDING AND
+             1 PRECEDING), 0) AS c_prior
+         FROM results r JOIN aj j
+           ON j.query_id = r.query_id AND j.doc_id = r.doc_id),
+adcg AS (SELECT query_id,
+           sum(pow(0.5, c_prior) / (ln(rank + 1.0) / ln(2))) AS alpha_dcg
+         FROM hits GROUP BY 1),
+erra AS (SELECT query_id, aspect,
+           sum(0.5 * pow(0.5, c_prior) / rank) AS err
+         FROM hits GROUP BY 1, 2),
+na AS (SELECT query_id, count(DISTINCT aspect) AS n_aspects FROM aj
+       GROUP BY 1)
+SELECT n.query_id, n.n_aspects,
+       round(coalesce(a.alpha_dcg, 0), 6) AS alpha_dcg,
+       round(coalesce(e.err_sum, 0) / n.n_aspects, 6) AS err_ia
+FROM na n LEFT JOIN adcg a USING (query_id)
+LEFT JOIN (SELECT query_id, sum(err) AS err_sum FROM erra GROUP BY 1) e
+  USING (query_id)
+""",
+        "lexrank": f"""
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\\s+'), x -> x <> '') AS l FROM documents),
+sent AS (SELECT doc_id, i AS sent_id, l[i*12+1 : i*12+12] AS toks
+         FROM t, unnest(generate_series(0, greatest(
+           CAST(ceil(len(l) / 12.0) AS BIGINT) - 1, 0))) r(i)),
+tf AS (SELECT doc_id, sent_id, term, count(*) AS tf FROM
+       (SELECT doc_id, sent_id, unnest(toks) AS term FROM sent)
+       GROUP BY 1, 2, 3),
+ns AS (SELECT count(*) AS n_sent FROM sent),
+sdf AS (SELECT term, count(*) AS sdf FROM tf GROUP BY 1),
+w AS (SELECT doc_id, sent_id, term,
+        tf * ln(ns.n_sent * 1.0 / sdf.sdf) AS wt
+      FROM tf JOIN sdf USING (term) CROSS JOIN ns),
+norms AS (SELECT doc_id, sent_id, sqrt(sum(wt * wt)) AS norm
+          FROM w GROUP BY 1, 2),
+dots AS (SELECT x.doc_id, x.sent_id AS s_a, y.sent_id AS s_b,
+           sum(x.wt * y.wt) AS dot
+         FROM w x JOIN w y ON x.doc_id = y.doc_id AND x.term = y.term
+           AND x.sent_id <> y.sent_id GROUP BY 1, 2, 3),
+adj AS MATERIALIZED (SELECT d.doc_id, d.s_a, d.s_b FROM dots d
+       JOIN norms a ON a.doc_id = d.doc_id AND a.sent_id = d.s_a
+       JOIN norms b ON b.doc_id = d.doc_id AND b.sent_id = d.s_b
+       WHERE d.dot / (a.norm * b.norm) >= 0.1),
+deg AS (SELECT doc_id, s_b AS sent_id, count(*) AS deg FROM adj
+        GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT doc_id, sent_id FROM sent),
+nd AS (SELECT doc_id, count(*) AS n_d FROM nodes GROUP BY 1),
+p0 AS MATERIALIZED (SELECT n.doc_id, n.sent_id, 1.0 / d.n_d AS p
+      FROM nodes n JOIN nd d USING (doc_id)),{_lexrank_iter("p0", "p1")},{_lexrank_iter("p1", "p2")},{_lexrank_iter("p2", "p3")},{_lexrank_iter("p3", "p4")}
+SELECT doc_id, rank, sent_id, round(p, 6) AS score FROM (
+  SELECT doc_id, sent_id, p, row_number() OVER (PARTITION BY doc_id
+    ORDER BY round(p, 6) DESC, sent_id) AS rank FROM p4) WHERE rank <= 2
+""",
         "rbo_at_10": f"""
 WITH {lmsim_stats_cte.strip()},{_run50(_dir_term, "ra")},{_run50(_jm_term, "rb")},
 common AS (SELECT a.query_id, greatest(a.rank, b.rank) AS enter_d

@@ -21,6 +21,8 @@ discount).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -451,5 +453,100 @@ def rbo(
                 ),
                 round_digits,
             ).alias("rbo_k")
+        )
+    )
+
+
+def diversity_eval(
+    results: DataFrame,
+    aspect_judgments: DataFrame,
+    k: int = 10,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Novelty/diversity evaluation over aspect (intent) judgments:
+
+    * **alpha-DCG@k** (Clarke et al., "Novelty and Diversity in
+      Information Retrieval Evaluation", SIGIR 2008): the gain of the
+      doc at rank r is sum_a J(d_r, a) * (1 - alpha)^(c_a) with c_a =
+      number of HIGHER-ranked docs already covering aspect a;
+      discounted by log2(1 + r).  Emitted UNNORMALIZED — the ideal
+      reordering that alpha-nDCG divides by is NP-hard and ndeval
+      ships a greedy approximation that is inherently sequential; the
+      unnormalized score is the comparable-across-runs quantity on a
+      fixed judgment set (normalize offline with ndeval's greedy ideal
+      if cross-topic averaging is needed).
+    * **ERR-IA@k** (Chapelle et al. CIKM 2009 / the TREC diversity
+      track's intent-aware expansion): uniform-weight average over the
+      query's judged aspects of per-aspect ERR with binary stop
+      probability R = 1/2.
+
+    Inputs: results (query_id, rank, doc_id), aspect_judgments
+    (query_id, doc_id, aspect) — binary: a row means the doc is
+    relevant to that aspect.  One row per judged query:
+    (query_id, n_aspects, alpha_dcg, err_ia).
+
+    Scale shape: one join of the k-deep result lists against the
+    judgment pairs, two (query, aspect) rank windows, one aggregate —
+    rank_eval's plan with an extra aspect key in the shuffle.
+    """
+    topk = results.filter(F.col("rank") <= k)
+    hits = topk.join(aspect_judgments, ["query_id", "doc_id"])
+    w_prior = (
+        Window.partitionBy("query_id", "aspect")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_hit = hits.withColumn(
+        "c_prior",
+        F.coalesce(F.count(F.lit(1)).over(w_prior), F.lit(0)),
+    )
+    adcg = (
+        per_hit.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.pow(F.lit(1.0 - alpha), F.col("c_prior"))
+                / (F.log(F.col("rank") + 1.0) / math.log(2.0))
+            ).alias("alpha_dcg")
+        )
+    )
+    # per-aspect ERR with R = 1/2: ranks r_1 < r_2 < ... of the
+    # aspect's relevant docs contribute (1/r_m) * (1/2) * (1/2)^(m-1)
+    err_a = (
+        per_hit.withColumn(
+            "err_term",
+            F.lit(0.5)
+            * F.pow(F.lit(0.5), F.col("c_prior"))
+            / F.col("rank"),
+        )
+        .groupBy("query_id", "aspect")
+        .agg(F.sum("err_term").alias("err"))
+    )
+    n_aspects = aspect_judgments.groupBy("query_id").agg(
+        F.countDistinct("aspect").alias("n_aspects")
+    )
+    err_ia = (
+        n_aspects.join(
+            err_a.groupBy("query_id").agg(F.sum("err").alias("err_sum")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_aspects",
+            (
+                F.coalesce(F.col("err_sum"), F.lit(0.0)) / F.col("n_aspects")
+            ).alias("err_ia"),
+        )
+    )
+    return (
+        err_ia.join(adcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_aspects",
+            F.round(F.coalesce("alpha_dcg", F.lit(0.0)), round_digits).alias(
+                "alpha_dcg"
+            ),
+            F.round("err_ia", round_digits).alias("err_ia"),
         )
     )
