@@ -5598,6 +5598,48 @@ def q_bpref(spark, sf_dir):
     return bpref(results, judgments, k=10)
 
 
+def q_dust_rules(spark, sf_dir):
+    """DUST parameter-irrelevance rule mining (Bar-Yossef et al. WWW
+    2007) over deterministic URL variants: a session param whose
+    removal preserves the content fingerprint (precision 1) vs a page
+    param that changes it (precision 0)
+    (ops/dust.py:dust_param_rules)."""
+    from tokenkit_spark.ops.dust import dust_param_rules
+
+    d = _docs(spark, sf_dir)
+    base = F.concat(
+        F.lit("https://x.example.org/item?page="),
+        F.col("doc_id").cast("string"),
+        F.lit("&sid="),
+    )
+    fp = F.md5(F.col("text"))
+    pages = d.select(
+        F.concat(base, (F.col("doc_id") % 7).cast("string")).alias("url"),
+        fp.alias("fingerprint"),
+    ).unionByName(
+        d.select(
+            F.concat(base, (F.col("doc_id") % 7 + 1).cast("string")).alias(
+                "url"
+            ),
+            fp.alias("fingerprint"),
+        )
+    )
+    return dust_param_rules(pages)
+
+
+def q_bm25_sensitivity(spark, sf_dir):
+    """BM25 k1/b tuning-risk audit (Robertson & Zaragoza FnTIR 2009
+    §5.2): per grid point, mean Kendall/Spearman vs the (1.2, 0.75)
+    baseline run plus mean overlap@10
+    (index/feedback.py:bm25_param_sensitivity)."""
+    from tokenkit_spark.index.feedback import bm25_param_sensitivity
+
+    return bm25_param_sensitivity(
+        _docs(spark, sf_dir), _queries_df(spark),
+        grid=[(1.2, 0.0), (1.2, 1.0), (0.5, 0.75), (2.0, 0.75)],
+    )
+
+
 def q_diversity_eval(spark, sf_dir):
     """Novelty/diversity evaluation: unnormalized alpha-DCG@10 (Clarke
     et al. SIGIR 2008, alpha=0.5) + ERR-IA@10 (uniform intent weights,
@@ -5906,6 +5948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "dust_rules": q_dust_rules,
+        "bm25_sensitivity": q_bm25_sensitivity,
         "diversity_eval": q_diversity_eval,
         "lexrank": q_lexrank,
         "rbo_at_10": q_rbo,
@@ -7657,8 +7701,82 @@ clip AS (SELECT query_id, term, weight FROM (
                  GROUP BY 1, 2) f
         ON f.doc_id = n.doc_id AND f.sent_id = n.sent_id)"""
 
+    def _bm25_kb_term(k1: float, b: float) -> str:
+        return (
+            "ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))"
+            f" * (p.tf * {k1 + 1.0!r} / (p.tf + {k1!r} * ({1.0 - b!r}"
+            f" + {b!r} * d.dl / (g.total_tokens * 1.0 / g.n_docs))))"
+        )
+
+    def _bm25_sensitivity_oracle() -> str:
+        grid = [(1.2, 0.0), (1.2, 1.0), (0.5, 0.75), (2.0, 0.75)]
+        parts = [f"WITH {lmsim_stats_cte.strip()},"
+                 f"{_run50(_bm25_kb_term(1.2, 0.75), 'ra')}"]
+        selects = []
+        for i, (k1, b) in enumerate(grid):
+            parts.append(f",{_run50(_bm25_kb_term(k1, b), f'rv{i}')},")
+            parts.append(f"""
+rr{i} AS (SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank_a) AS ra2,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank_b) AS rb2
+       FROM (SELECT a.query_id, a.doc_id, a.rank AS rank_a, v.rank AS rank_b
+             FROM ra a JOIN rv{i} v USING (query_id, doc_id))),
+st{i} AS (SELECT n.query_id, n.n_common, p.cmd, d.sum_d2 FROM
+       (SELECT query_id, count(*) AS n_common FROM rr{i} GROUP BY 1) n
+       LEFT JOIN (SELECT x.query_id,
+           sum(CASE WHEN sign(y.ra2 - x.ra2) = sign(y.rb2 - x.rb2)
+               THEN 1 ELSE -1 END) AS cmd
+         FROM rr{i} x JOIN rr{i} y
+           ON x.query_id = y.query_id AND x.ra2 < y.ra2 GROUP BY 1) p
+         USING (query_id)
+       JOIN (SELECT query_id, sum((ra2 - rb2) * (ra2 - rb2)) AS sum_d2
+             FROM rr{i} GROUP BY 1) d USING (query_id)),
+corr{i} AS (SELECT
+    round(avg(round(CASE WHEN n_common >= 2 THEN cmd
+      / (n_common * (n_common - 1) / 2.0) END, 6)), 6) AS mean_tau,
+    round(avg(round(CASE WHEN n_common >= 2 THEN 1 - 6.0 * sum_d2
+      / (n_common * (n_common * n_common - 1.0)) END, 6)), 6) AS mean_rho
+  FROM st{i}),
+ov{i} AS (SELECT count(*) AS ov FROM (SELECT query_id, doc_id FROM ra
+          WHERE rank <= 10) a JOIN (SELECT query_id, doc_id FROM rv{i}
+          WHERE rank <= 10) v USING (query_id, doc_id))""")
+            selects.append(
+                f"SELECT {float(k1)!r}::DOUBLE AS k1,"
+                f" {float(b)!r}::DOUBLE AS b, mean_tau,"
+                f" mean_rho, round(ov * 1.0 / (SELECT count(DISTINCT"
+                f" query_id) * 10 FROM ra WHERE rank <= 10), 6)"
+                f" AS mean_overlap FROM corr{i} CROSS JOIN ov{i}"
+            )
+        return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) \
+            + "\nORDER BY k1, b"
+
     return {
         # --- round-3 oracles ---
+        "dust_rules": """
+WITH d2 AS (SELECT
+    'https://x.example.org/item?page=' || doc_id || '&sid='
+      || (doc_id % 7) AS url, md5(text) AS fp FROM documents
+  UNION ALL SELECT
+    'https://x.example.org/item?page=' || doc_id || '&sid='
+      || (doc_id % 7 + 1), md5(text) FROM documents),
+params AS (SELECT url, fp, unnest(regexp_extract_all(url,
+             '[?&]([^=&#]+)=([^&#]*)', 1)) AS param FROM d2),
+grouped AS (SELECT param,
+              replace(regexp_replace(url,
+                '[?&]' || param || '=[^&#]*', ''), '&', '?') AS residual,
+              count(DISTINCT url) AS n_distinct_urls,
+              count(DISTINCT fp) AS n_fp
+            FROM params GROUP BY 1, 2
+            HAVING count(DISTINCT url) >= 2)
+SELECT param, count(*) AS n_groups,
+       sum(CASE WHEN n_fp = 1 THEN 1 ELSE 0 END) AS n_uniform,
+       round(sum(CASE WHEN n_fp = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS precision,
+       sum(CASE WHEN n_fp = 1 THEN n_distinct_urls - 1 ELSE 0 END)
+         AS n_urls_covered
+FROM grouped GROUP BY 1 ORDER BY 1
+""",
+        "bm25_sensitivity": _bm25_sensitivity_oracle(),
         "diversity_eval": f"""
 WITH {_judge_tables.strip()},
 aj AS (SELECT q.query_id, d.doc_id, a.aspect

@@ -315,3 +315,78 @@ def bo1_search(
         .withColumnRenamed(id_col, "doc_id")
     )
     return _topk(scored, k, round_digits)
+
+
+def bm25_param_sensitivity(
+    docs: DataFrame,
+    queries: DataFrame,
+    grid: list[tuple[float, float]] = ((1.2, 0.0), (1.2, 1.0),
+                                       (0.5, 0.75), (2.0, 0.75)),
+    baseline: tuple[float, float] = (1.2, 0.75),
+    depth: int = 50,
+    k_overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 free-parameter sensitivity audit: how much does the ranking
+    actually move when k1/b leave the Robertson defaults? For every
+    (k1, b) grid point, the top-``depth`` run is compared against the
+    baseline run per query and summarized as
+
+      * mean Kendall tau-a / Spearman rho over common docs
+        (index/rankeval.py:rank_correlation — Fagin et al.'s
+        intersection convention), and
+      * mean overlap@``k_overlap`` (the set agreement of the head).
+
+    This is the tuning-risk table Robertson & Zaragoza ("The
+    Probabilistic Relevance Framework: BM25 and Beyond", FnTIR 2009,
+    §5.2) recommend inspecting before any parameter sweep: b moves
+    rankings far more than k1 on length-skewed corpora, and the audit
+    quantifies that on YOURS.
+
+    One row per grid point: (k1, b, mean_tau, mean_rho, mean_overlap).
+    Scale shape: |grid|+1 candidate-restricted scoring passes over the
+    shared postings relation; comparisons touch only window rows.
+    """
+    from tokenkit_spark.index.bm25f import _topk
+    from tokenkit_spark.index.lmsim import _relations
+    from tokenkit_spark.index.rankeval import rank_correlation
+
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+
+    def run(k1: float, b: float) -> DataFrame:
+        fp = _bm25_first_pass(
+            qterms, postings, dstats, tstats, globals_, id_col, k1, b
+        ).withColumnRenamed(id_col, "doc_id")
+        return _topk(fp, depth, 4)
+
+    base = run(*baseline).localCheckpoint()
+    base10 = base.filter(F.col("rank") <= k_overlap).select(
+        "query_id", "doc_id"
+    )
+    out = None
+    for k1, b in grid:
+        var = run(float(k1), float(b))
+        corr = rank_correlation(base, var).agg(
+            F.round(F.avg("kendall_tau"), round_digits).alias("mean_tau"),
+            F.round(F.avg("spearman_rho"), round_digits).alias("mean_rho"),
+        )
+        var10 = var.filter(F.col("rank") <= k_overlap).select(
+            "query_id", "doc_id"
+        )
+        n_q = base10.select("query_id").distinct().count()
+        ov = base10.join(var10, ["query_id", "doc_id"]).count()
+        row = corr.select(
+            F.lit(float(k1)).alias("k1"),
+            F.lit(float(b)).alias("b"),
+            "mean_tau",
+            "mean_rho",
+            F.round(
+                F.lit(ov) / F.lit(float(n_q * k_overlap)), round_digits
+            ).alias("mean_overlap"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k1", "b")

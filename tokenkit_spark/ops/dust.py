@@ -1,0 +1,100 @@
+"""DUST — Different URLs with Similar Text (Bar-Yossef, Keidar &
+Schonfeld, "Do Not Crawl in the DUST", WWW 2007): mine URL rewrite
+rules from observed (url, content-fingerprint) pairs so the crawler
+canonicalizes duplicate URLs BEFORE fetching them.
+
+This implements the parameter-irrelevance rule family (the dominant
+DUST class on parameterized sites — session ids, tracking params):
+for each query-parameter NAME k, group URLs by the URL with k removed
+(the rule's antecedent); a group with >= 2 distinct values of k is
+evidence —支持 the rule "drop k" if every URL in the group carries the
+same content fingerprint, refute it otherwise.  Reported per
+parameter:
+
+  * ``n_groups``     — groups with >= 2 distinct k-values (evidence),
+  * ``n_uniform``    — groups whose fingerprints all agree,
+  * ``precision``    — n_uniform / n_groups (the paper's rule-support
+                       validation step), and
+  * ``n_urls_covered`` — URLs the rule would canonicalize away.
+
+A frontier applies rules with precision >= a threshold (the paper
+uses large-deviation bounds; the audit emits the raw counts so policy
+stays with the caller — cf. ops/robots.py's same division of labor).
+
+Scale shape: parameter extraction is one regexp explode per URL
+(bounded by param count), grouping is a hash aggregate keyed by the
+stripped URL — 10^12 URLs shuffle once on (param, residual) and once
+on (param).  No UDFs, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dust_param_rules(
+    pages: DataFrame,
+    url_col: str = "url",
+    fingerprint_col: str = "fingerprint",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(param, n_groups, n_uniform, precision, n_urls_covered) — one
+    row per query-parameter name with >= 1 evidence group; see module
+    doc."""
+    base = pages.select(
+        F.col(url_col).alias("url"), F.col(fingerprint_col).alias("fp")
+    )
+    params = base.select(
+        "url",
+        "fp",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(url, '[?&]([^=&#]+)=([^&#]*)', 1)"
+            )
+        ).alias("param"),
+    )
+    # residual = the url with THIS param=value pair removed (other
+    # params kept in place).  Separator ambiguity after removal
+    # ('?a=1&b=2' minus a leaves '&b=2'-style forms) is canonicalized
+    # by mapping '&' -> '?' in the GROUPING KEY — a valid URL carries
+    # one '?', so the translation is a deterministic canonical form,
+    # not a rewrite of the URL itself.  Param names are treated as
+    # literal [A-Za-z0-9_-] tokens (the extraction regex guarantees
+    # no regex metacharacters reach the pattern).
+    strip = F.regexp_replace(
+        F.col("url"),
+        F.concat(F.lit("[?&]"), F.col("param"), F.lit("=[^&#]*")),
+        F.lit(""),
+    )
+    residual = F.translate(strip, "&", "?")
+    grouped = (
+        params.withColumn("residual", residual)
+        .groupBy("param", "residual")
+        .agg(
+            F.countDistinct("url").alias("n_distinct_urls"),
+            F.countDistinct("fp").alias("n_fp"),
+        )
+        .filter(F.col("n_distinct_urls") >= 2)
+    )
+    return (
+        grouped.groupBy("param")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n_fp") == 1).cast("long")).alias("n_uniform"),
+            F.sum(
+                F.when(F.col("n_fp") == 1, F.col("n_distinct_urls") - 1)
+                .otherwise(0)
+            ).alias("n_urls_covered"),
+        )
+        .select(
+            "param",
+            "n_groups",
+            "n_uniform",
+            F.round(
+                F.col("n_uniform") / F.col("n_groups"), round_digits
+            ).alias("precision"),
+            "n_urls_covered",
+        )
+        .orderBy("param")
+    )
