@@ -5939,6 +5939,37 @@ def q_gap_entropy(spark, sf_dir):
     return gap_entropy_audit(toks.select("term", "doc_id").distinct())
 
 
+def q_ib_ll_top10(spark, sf_dir):
+    """Top-10 Information-Based ranking, log-logistic distribution
+    (Clinchant & Gaussier SIGIR 2010; Lucene IBSimilarity LL/H2/TTF),
+    c=1.0 (index/lmsim.py:ib_ll)."""
+    from tokenkit_spark.index.lmsim import ib_ll
+
+    return ib_ll(_docs(spark, sf_dir), _queries_df(spark), c=1.0)
+
+
+def q_lm_two_stage_top10(spark, sf_dir):
+    """Top-10 two-stage smoothed LM ranking (Zhai & Lafferty SIGIR
+    2002: Dirichlet estimation stage + Jelinek-Mercer query-noise
+    stage), mu=2000 lambda=0.7, scored in the matched-term odds form
+    (index/lmsim.py:lm_two_stage)."""
+    from tokenkit_spark.index.lmsim import lm_two_stage
+
+    return lm_two_stage(
+        _docs(spark, sf_dir), _queries_df(spark), mu=2000.0, lam=0.7
+    )
+
+
+def q_texttiling(spark, sf_dir):
+    """TextTiling subtopic segmentation (Hearst, CL 1997, block
+    comparison): per-gap block cosine, bounded-window depth score,
+    mean - stddev/2 boundary cutoff — the topical upgrade of the
+    fixed-width chunker (ops/texttiling.py:texttiling)."""
+    from tokenkit_spark.ops.texttiling import texttiling
+
+    return texttiling(_docs(spark, sf_dir), w=20, k=2, lookaround=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -5948,6 +5979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "ib_ll_top10": q_ib_ll_top10,
+        "lm_two_stage_top10": q_lm_two_stage_top10,
+        "texttiling": q_texttiling,
         "dust_rules": q_dust_rules,
         "bm25_sensitivity": q_bm25_sensitivity,
         "diversity_eval": q_diversity_eval,
@@ -6938,6 +6972,61 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY query_id, original
          ORDER BY freq DESC, suggestion ASC) AS rank FROM allx)
 SELECT query_id, kind, original, suggestion, freq, rank FROM rk
 WHERE rank <= {k} ORDER BY query_id, original, rank
+"""
+
+
+def _texttiling_oracle_sql(
+    w: int = 20, k: int = 2, lookaround: int = 3, round_digits: int = 6
+) -> str:
+    """Twin of ops/texttiling.py:texttiling — same pseudo-sentence
+    cut, block-membership explode, block-cosine, bounded depth
+    windows, and mean - stddev_pop/2 cutoff (Hearst CL 1997)."""
+    return f"""
+WITH toks AS (SELECT doc_id, (i - 1) // {w} AS seq, lower(t[i]) AS term FROM (
+       SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '') AS t FROM documents),
+     unnest(range(1, len(t) + 1)) AS u(i)),
+tf AS (SELECT doc_id, seq, term, count(*) AS tf FROM toks GROUP BY ALL),
+nseq AS (SELECT doc_id, max(seq) + 1 AS n_seq FROM tf GROUP BY 1),
+members AS (
+  SELECT doc_id, g.gap AS gap, 'l' AS side, term, tf
+  FROM tf JOIN nseq USING (doc_id),
+       unnest(generate_series(seq + 1,
+                              least(seq + {k}, n_seq - 1))) AS g(gap)
+  UNION ALL
+  SELECT doc_id, g.gap, 'r', term, tf
+  FROM tf JOIN nseq USING (doc_id),
+       unnest(generate_series(greatest(seq - {k} + 1, 1),
+                              least(seq, n_seq - 1))) AS g(gap)),
+block AS (SELECT doc_id, gap, side, term, sum(tf) AS btf
+          FROM members GROUP BY ALL),
+dots AS (SELECT l.doc_id, l.gap, sum(l.btf * r.btf) AS dot
+         FROM block l JOIN block r
+           ON l.doc_id = r.doc_id AND l.gap = r.gap AND l.term = r.term
+          AND l.side = 'l' AND r.side = 'r'
+         GROUP BY 1, 2),
+norms AS (SELECT doc_id, gap, side, sqrt(sum(btf * btf)) AS nrm
+          FROM block GROUP BY ALL),
+gaps AS (SELECT nl.doc_id, nl.gap,
+                coalesce(d.dot / (nl.nrm * nr.nrm), 0.0) AS sim
+         FROM norms nl
+         JOIN norms nr ON nl.doc_id = nr.doc_id AND nl.gap = nr.gap
+                      AND nl.side = 'l' AND nr.side = 'r'
+         LEFT JOIN dots d ON d.doc_id = nl.doc_id AND d.gap = nl.gap),
+dep AS (SELECT doc_id, gap, sim,
+  greatest(coalesce(max(sim) OVER (PARTITION BY doc_id ORDER BY gap
+             ROWS BETWEEN {lookaround} PRECEDING AND 1 PRECEDING), sim)
+           - sim, 0.0)
+  + greatest(coalesce(max(sim) OVER (PARTITION BY doc_id ORDER BY gap
+               ROWS BETWEEN 1 FOLLOWING AND {lookaround} FOLLOWING), sim)
+             - sim, 0.0) AS depth
+  FROM gaps)
+SELECT doc_id, gap, round(sim, {round_digits}) AS sim,
+       round(depth, {round_digits}) AS depth,
+       depth > avg(depth) OVER (PARTITION BY doc_id)
+               - stddev_pop(depth) OVER (PARTITION BY doc_id) / 2.0
+         AS is_boundary
+FROM dep
 """
 
 
@@ -8446,6 +8535,30 @@ GROUP BY 1
             " / sqrt((t.cf + 1.0) * d.dl / (g.total_tokens + 1.0)))"
             " ELSE 0.0 END"
         ),
+        # ib_ll (index/lmsim.py:ib_ll): tfn = tf*log2(1 + c*avgdl/dl),
+        # lam = cf/N, s = log2((tfn+lam)/lam); log2 restated as
+        # ln/0.6931471805599453 — the exact double the Spark side divides by
+        "ib_ll_top10": _sim_oracle(
+            "ln((p.tf * ln(1 + 1.0 * (g.total_tokens"
+            " / CAST(g.n_docs AS DOUBLE)) / d.dl) / 0.6931471805599453"
+            " + t.cf / CAST(g.n_docs AS DOUBLE))"
+            " / (t.cf / CAST(g.n_docs AS DOUBLE))) / 0.6931471805599453"
+        ),
+        # lm_two_stage (index/lmsim.py:lm_two_stage): odds form
+        # ln(num(tf)/num(0)), num(x) = (1-lam)(x + mu*p_c)/(dl+mu) + lam*p_c,
+        # p_c add-one; (1.0 - 0.7) kept as the expression so both engines
+        # evaluate the same 0.30000000000000004 double
+        "lm_two_stage_top10": _sim_oracle(
+            "greatest(ln("
+            " ((1.0 - 0.7) * (p.tf + 2000.0 * ((t.cf + 1.0)"
+            "   / (g.total_tokens + 1.0))) / (d.dl + 2000.0)"
+            "  + 0.7 * ((t.cf + 1.0) / (g.total_tokens + 1.0)))"
+            " / ((1.0 - 0.7) * (0.0 + 2000.0 * ((t.cf + 1.0)"
+            "   / (g.total_tokens + 1.0))) / (d.dl + 2000.0)"
+            "  + 0.7 * ((t.cf + 1.0) / (g.total_tokens + 1.0)))"
+            "), 0.0)"
+        ),
+        "texttiling": _texttiling_oracle_sql(),
         "rake_keywords": _rake_oracle_sql(),
         "mirror_hosts": _mirror_oracle_sql(),
         "bic_sizes": _bic_oracle_sql(),

@@ -315,3 +315,53 @@ def test_nfc_stats_catches_reorder_without_length_change(spark):
     r = nfc_stats(docs).collect()[0]
     assert r.is_nfc == False
     assert r.nfc_len == 2 and r.delta_len == 1
+
+
+def test_ib_ll_matches_reference(spark):
+    from tokenkit_spark.index.lmsim import ib_ll
+
+    c = 1.0
+
+    def per_term(tf, dl, cf, df, total, n):
+        avgdl = total / n
+        tfn = tf * math.log2(1 + c * avgdl / dl)
+        lam = cf / n
+        return math.log2((tfn + lam) / lam)
+
+    assert _run(spark, ib_ll, c=c) == _ref_scores(per_term)
+
+
+def test_lm_two_stage_matches_reference(spark):
+    from tokenkit_spark.index.lmsim import lm_two_stage
+
+    mu, lam = 50.0, 0.7
+
+    def per_term(tf, dl, cf, df, total, n):
+        pc = (cf + 1.0) / (total + 1.0)
+
+        def num(x):
+            return (1.0 - lam) * (x + mu * pc) / (dl + mu) + lam * pc
+
+        return max(math.log(num(tf) / num(0.0)), 0.0)
+
+    assert _run(spark, lm_two_stage, mu=mu, lam=lam) == _ref_scores(per_term)
+
+
+def test_lm_two_stage_collapses_to_dirichlet_at_lam_zero(spark):
+    # lam -> 0 reduces two-stage to pure Dirichlet's matched-term
+    # delta: log(num(tf)/num(0)) = log(1 + tf/(mu*pc))
+    from tokenkit_spark.index.lmsim import lm_two_stage
+
+    mu = 50.0
+
+    def per_term(tf, dl, cf, df, total, n):
+        pc = (cf + 1.0) / (total + 1.0)
+        return max(math.log(1 + tf / (mu * pc)), 0.0)
+
+    got = _run(spark, lm_two_stage, mu=mu, lam=1e-12)
+    ref = _ref_scores(per_term)
+    assert set(got) == set(ref)
+    for q in ref:
+        assert [(r, d) for r, d, _ in got[q]] == [(r, d) for r, d, _ in ref[q]]
+        for (_, _, a), (_, _, b) in zip(got[q], ref[q]):
+            assert abs(a - b) < 1e-3

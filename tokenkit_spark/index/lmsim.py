@@ -271,3 +271,88 @@ def dfi_standardized(
         qterms, postings, dstats, tstats, globals_, s, id_col, k,
         round_digits,
     )
+
+
+def ib_ll(
+    docs: DataFrame,
+    queries: DataFrame,
+    c: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Information-Based ranking with the log-logistic distribution
+    (Clinchant & Gaussier, "Information-Based Models for Ad Hoc IR",
+    SIGIR 2010 — Lucene's ``IBSimilarityLL`` family with the H2/DFR
+    normalization and the TTF lambda):
+
+        tfn = tf * log2(1 + c * avgdl / dl)
+        lam = cf_t / N
+        score_t = log2( (tfn + lam) / lam )
+
+    (the -log2 of the log-logistic survival P(X >= tfn) = lam /
+    (lam + tfn)).  Scale shape identical to the sibling similarities:
+    one stats pass + the broadcast-query-term scoring join."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    log2 = 0.6931471805599453
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    tfn = F.col("tf") * F.log(1.0 + F.lit(float(c)) * avgdl / F.col("dl")) / log2
+    lam = F.col("cf") / F.col("n_docs")
+    s = F.log((tfn + lam) / lam) / log2
+    return _rank(
+        qterms, postings, dstats, tstats, globals_, s, id_col, k,
+        round_digits,
+    )
+
+
+def lm_two_stage(
+    docs: DataFrame,
+    queries: DataFrame,
+    mu: float = 2000.0,
+    lam: float = 0.7,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-stage smoothing (Zhai & Lafferty, "Two-Stage Language
+    Models for Information Retrieval", SIGIR 2002): Dirichlet first
+    (estimation smoothing), Jelinek-Mercer second (query-noise
+    modeling):
+
+        p(w|d) = (1 - lam) * (tf + mu * p(w|C)) / (dl + mu)
+                 + lam * p(w|C)
+
+    scored in the rank-equivalent odds form the sibling similarities
+    use (log(p(w|d) / (lam * p(w|C))), clamped at 0 like Lucene's LM
+    similarities so absent terms never contribute):
+
+        s_t = log(1 + ((1-lam) * (tf + mu*p_c) / (dl + mu)) / (lam*p_c)
+                    - (1-lam) * mu / (dl + mu) / lam)
+
+    — expanding p(w|d), the tf=0 baseline subtracts out exactly, so
+    s_t = log(1 + (1-lam)*tf / ((dl+mu) * lam * p_c) + 0) for the
+    matched-term delta... kept in the direct odds form below with the
+    tf=0 offset subtracted to preserve the "only matched terms score"
+    contract: s_t = log(num(tf) / num(0)) with
+    num(x) = (1-lam)*(x + mu*p_c)/(dl+mu) + lam*p_c."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    p_c = (F.col("cf") + 1.0) / (F.col("total_tokens") + 1.0)
+
+    def num(tf_expr):
+        return (
+            F.lit(1.0 - lam) * (tf_expr + F.lit(float(mu)) * p_c)
+            / (F.col("dl") + F.lit(float(mu)))
+            + F.lit(float(lam)) * p_c
+        )
+
+    s = F.log(num(F.col("tf")) / num(F.lit(0.0)))
+    return _rank(
+        qterms, postings, dstats, tstats, globals_,
+        F.greatest(s, F.lit(0.0)), id_col, k, round_digits,
+    )
