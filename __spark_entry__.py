@@ -5939,6 +5939,56 @@ def q_gap_entropy(spark, sf_dir):
     return gap_entropy_audit(toks.select("term", "doc_id").distinct())
 
 
+def _click_log(spark, sf_dir):
+    """Deterministic SERP impression log over documents (one query per
+    doc, 4 sessions, 10 positions; ops/clicks.py:synthetic_click_log).
+    The count() is a bounded driver scalar (the modulus), mirrored by
+    the oracle's scalar subquery."""
+    from tokenkit_spark.ops.clicks import synthetic_click_log
+
+    d = _docs(spark, sf_dir)
+    return synthetic_click_log(d, d.count())
+
+
+def q_position_bias_ctr(spark, sf_dir):
+    """Per-position CTR curve + PBM examination propensity ratios from
+    the click log (Craswell et al. WSDM 2008; ops/clicks.py:
+    position_ctr). One hash aggregate over the impression log."""
+    from tokenkit_spark.ops.clicks import position_ctr
+
+    return position_ctr(_click_log(spark, sf_dir))
+
+
+def q_coec_ctr(spark, sf_dir):
+    """Top-20 docs by Clicks Over Expected Clicks — position-normalized
+    CTR (ops/clicks.py:coec): broadcast the 10-row position-CTR curve
+    onto the log, one groupBy doc_id."""
+    from tokenkit_spark.ops.clicks import coec
+
+    return coec(_click_log(spark, sf_dir), k=20, min_impressions=5)
+
+
+def q_pbm_attractiveness(spark, sf_dir):
+    """Top-20 (query, doc) PBM attractiveness — clicks divided by
+    summed examination propensity (Chuklin et al. "Click Models for Web
+    Search" §4.1; ops/clicks.py:pbm_attractiveness)."""
+    from tokenkit_spark.ops.clicks import pbm_attractiveness
+
+    return pbm_attractiveness(
+        _click_log(spark, sf_dir), k=20, min_impressions=3
+    )
+
+
+def q_cascade_examination(spark, sf_dir):
+    """Cascade-model examination accounting per position (examined iff
+    no click above in the same SERP) with debiased examined-CTR next to
+    the raw CTR (ops/clicks.py:cascade_examination); one window over
+    the log's natural (query, session) partitioning."""
+    from tokenkit_spark.ops.clicks import cascade_examination
+
+    return cascade_examination(_click_log(spark, sf_dir))
+
+
 def q_ib_ll_top10(spark, sf_dir):
     """Top-10 Information-Based ranking, log-logistic distribution
     (Clinchant & Gaussier SIGIR 2010; Lucene IBSimilarity LL/H2/TTF),
@@ -5979,6 +6029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "position_bias_ctr": q_position_bias_ctr,
+        "coec_ctr": q_coec_ctr,
+        "pbm_attractiveness": q_pbm_attractiveness,
+        "cascade_examination": q_cascade_examination,
         "ib_ll_top10": q_ib_ll_top10,
         "lm_two_stage_top10": q_lm_two_stage_top10,
         "texttiling": q_texttiling,
@@ -7839,8 +7893,85 @@ ov{i} AS (SELECT count(*) AS ov FROM (SELECT query_id, doc_id FROM ra
         return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) \
             + "\nORDER BY k1, b"
 
+    # Deterministic SERP click log shared by the click-analytics oracles
+    # (mirrors ops/clicks.py:synthetic_click_log exactly: one query per
+    # doc, 4 sessions, 10 positions, patience-bounded click rule).
+    click_log_cte = """
+nn AS (SELECT count(*) AS n FROM documents),
+imp AS (SELECT d.doc_id AS query_id, s.session_id, p.position,
+               (d.doc_id * 53 + s.session_id * 17 + p.position) % nn.n
+                 AS doc_id
+        FROM documents d, nn, range(0, 4) s(session_id),
+             range(1, 11) p(position)),
+clog AS (SELECT *,
+  CASE WHEN (doc_id * 3 + query_id * 7) % 5 = 0 THEN 1 ELSE 0 END AS rel,
+  CASE WHEN (doc_id * 3 + query_id * 7) % 5 = 0
+        AND position <= (query_id * 13 + session_id * 11) % 10 + 1
+       THEN 1 ELSE 0 END AS clicked
+  FROM imp),
+curve AS (SELECT position,
+                 sum(clicked) / CAST(count(*) AS DOUBLE) AS pos_ctr
+          FROM clog GROUP BY 1),
+curve1 AS (SELECT c.position, c.pos_ctr,
+                  c.pos_ctr / c1.pos_ctr AS propensity
+           FROM curve c, (SELECT pos_ctr FROM curve WHERE position = 1) c1)
+"""
     return {
         # --- round-3 oracles ---
+        "position_bias_ctr": f"""
+WITH {click_log_cte},
+agg AS (SELECT position, count(*) AS impressions,
+               CAST(sum(clicked) AS BIGINT) AS clicks
+        FROM clog GROUP BY 1)
+SELECT a.position, a.impressions, a.clicks,
+       round(a.clicks / CAST(a.impressions AS DOUBLE), 6) AS ctr,
+       round((a.clicks / CAST(a.impressions AS DOUBLE))
+             / (SELECT clicks / CAST(impressions AS DOUBLE) FROM agg
+                WHERE position = 1), 6) AS propensity
+FROM agg a ORDER BY a.position""",
+        "coec_ctr": f"""
+WITH {click_log_cte},
+j AS (SELECT l.doc_id, l.clicked, c.pos_ctr
+      FROM clog l JOIN curve c USING (position)),
+agg AS (SELECT doc_id, count(*) AS impressions,
+               CAST(sum(clicked) AS BIGINT) AS clicks,
+               sum(pos_ctr) AS expected
+        FROM j GROUP BY 1
+        HAVING count(*) >= 5 AND sum(pos_ctr) > 0)
+SELECT doc_id, impressions, clicks,
+       round(expected, 6) AS expected_clicks,
+       round(clicks / expected, 6) AS coec
+FROM agg ORDER BY coec DESC, clicks DESC, doc_id LIMIT 20""",
+        "pbm_attractiveness": f"""
+WITH {click_log_cte},
+j AS (SELECT l.query_id, l.doc_id, l.clicked, c.propensity
+      FROM clog l JOIN curve1 c USING (position)),
+agg AS (SELECT query_id, doc_id, count(*) AS impressions,
+               CAST(sum(clicked) AS BIGINT) AS clicks,
+               sum(propensity) AS exam_mass
+        FROM j GROUP BY 1, 2
+        HAVING count(*) >= 3 AND sum(propensity) > 0)
+SELECT query_id, doc_id, impressions, clicks,
+       round(clicks / exam_mass, 6) AS alpha
+FROM agg
+ORDER BY alpha DESC, clicks DESC, query_id, doc_id LIMIT 20""",
+        "cascade_examination": f"""
+WITH {click_log_cte},
+flg AS (SELECT *,
+  CASE WHEN coalesce(sum(clicked) OVER (
+         PARTITION BY query_id, session_id ORDER BY position
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0
+       THEN 1 ELSE 0 END AS examined
+  FROM clog)
+SELECT position, count(*) AS impressions,
+       CAST(sum(examined) AS BIGINT) AS examined,
+       CAST(sum(clicked) AS BIGINT) AS clicks,
+       round(sum(clicked) / CAST(count(*) AS DOUBLE), 6) AS ctr_raw,
+       round(CASE WHEN sum(examined) > 0
+                  THEN sum(clicked * examined)
+                       / CAST(sum(examined) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS ctr_examined
+FROM flg GROUP BY 1 ORDER BY 1""",
         "dust_rules": """
 WITH d2 AS (SELECT
     'https://x.example.org/item?page=' || doc_id || '&sid='

@@ -7,7 +7,7 @@ This implements the parameter-irrelevance rule family (the dominant
 DUST class on parameterized sites — session ids, tracking params):
 for each query-parameter NAME k, group URLs by the URL with k removed
 (the rule's antecedent); a group with >= 2 distinct values of k is
-evidence —支持 the rule "drop k" if every URL in the group carries the
+evidence supports the rule "drop k" if every URL in the group carries the
 same content fingerprint, refute it otherwise.  Reported per
 parameter:
 
