@@ -5939,6 +5939,26 @@ def q_gap_entropy(spark, sf_dir):
     return gap_entropy_audit(toks.select("term", "doc_id").distinct())
 
 
+def q_harmonic_centrality(spark, sf_dir):
+    """Top-20 nodes by truncated harmonic centrality (Boldi & Vigna
+    2014) over the link graph, 3-hop horizon, exact bounded BFS
+    (ops/centrality.py:harmonic_centrality). Oracle = recursive-CTE
+    shortest paths."""
+    from tokenkit_spark.ops.centrality import harmonic_centrality
+
+    return harmonic_centrality(_link_edges(spark, sf_dir), max_hops=3, k=20)
+
+
+def q_anf_hops(spark, sf_dir):
+    """Exact ANF neighborhood function N(h), h=1..3 (Palmer et al. KDD
+    2002) over the link graph (ops/centrality.py:anf_hops); the
+    HyperBall HLL sibling is parity-tested in tests/test_centrality.py
+    as the 10^12-node path."""
+    from tokenkit_spark.ops.centrality import anf_hops
+
+    return anf_hops(_link_edges(spark, sf_dir), max_hops=3)
+
+
 def _click_log(spark, sf_dir):
     """Deterministic SERP impression log over documents (one query per
     doc, 4 sessions, 10 positions; ops/clicks.py:synthetic_click_log).
@@ -6029,6 +6049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "harmonic_centrality": q_harmonic_centrality,
+        "anf_hops": q_anf_hops,
         "position_bias_ctr": q_position_bias_ctr,
         "coec_ctr": q_coec_ctr,
         "pbm_attractiveness": q_pbm_attractiveness,
@@ -7916,8 +7938,34 @@ curve1 AS (SELECT c.position, c.pos_ctr,
                   c.pos_ctr / c1.pos_ctr AS propensity
            FROM curve c, (SELECT pos_ctr FROM curve WHERE position = 1) c1)
 """
+    # Bounded-hop shortest-path relation over the deterministic link
+    # graph (recursive CTE; UNION dedups walk states, min() collapses to
+    # the shortest distance — mirrors ops/centrality.py:bounded_distances)
+    bfs3_cte = f"""{_LINK_EDGES_SQL},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+walk(src, dst, dist) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT w.src, g.dst, w.dist + 1 FROM walk w JOIN e g ON w.dst = g.src
+  WHERE w.dist < 3),
+d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
+      GROUP BY 1, 2)"""
     return {
         # --- round-3 oracles ---
+        "harmonic_centrality": f"""
+WITH RECURSIVE {bfs3_cte}
+SELECT dst AS node, count(*) AS reached_by,
+       round(sum(1.0 / dist), 6) AS harmonic
+FROM d GROUP BY 1
+ORDER BY harmonic DESC, reached_by DESC, node LIMIT 20""",
+        "anf_hops": f"""
+WITH RECURSIVE {bfs3_cte},
+nn AS (SELECT count(*) AS n
+       FROM (SELECT src AS v FROM e UNION SELECT dst FROM e))
+SELECT hp.hop, count(*) AS reachable_pairs,
+       round(count(*) / CAST(nn.n AS DOUBLE), 6) AS avg_ball
+FROM d, range(1, 4) hp(hop), nn
+WHERE d.dist <= hp.hop GROUP BY hp.hop, nn.n ORDER BY hp.hop""",
         "position_bias_ctr": f"""
 WITH {click_log_cte},
 agg AS (SELECT position, count(*) AS impressions,
