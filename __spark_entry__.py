@@ -5939,6 +5939,42 @@ def q_gap_entropy(spark, sf_dir):
     return gap_entropy_audit(toks.select("term", "doc_id").distinct())
 
 
+def q_axiomatic_f2exp_top10(spark, sf_dir):
+    """Top-10 Axiomatic F2EXP ranking (Fang & Zhai SIGIR 2005; Lucene
+    AxiomaticF2EXP), s=0.5 growth=0.35
+    (index/lmsim.py:axiomatic_f2exp)."""
+    from tokenkit_spark.index.lmsim import axiomatic_f2exp
+
+    return axiomatic_f2exp(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_axiomatic_f2log_top10(spark, sf_dir):
+    """Top-10 Axiomatic F2LOG ranking (Lucene AxiomaticF2LOG), s=0.5
+    (index/lmsim.py:axiomatic_f2log)."""
+    from tokenkit_spark.index.lmsim import axiomatic_f2log
+
+    return axiomatic_f2log(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_unimax_mix(spark, sf_dir):
+    """UniMax language-sampling waterfill (Chung et al. ICLR 2023):
+    per-language token budget with a 3-epoch cap, budget = 1.2x corpus
+    (ops/sampling.py:unimax_allocation)."""
+    from tokenkit_spark.ops.sampling import unimax_allocation
+
+    return unimax_allocation(
+        _docs(spark, sf_dir), max_epochs=3.0, budget_ratio=1.2
+    )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-language OOV token/type rates against the corpus top-200
+    term vocabulary (ops/textstats.py:vocab_coverage)."""
+    from tokenkit_spark.ops.textstats import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), vocab_size=200)
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Top-20 nodes by truncated harmonic centrality (Boldi & Vigna
     2014) over the link graph, 3-hop horizon, exact bounded BFS
@@ -6049,6 +6085,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "axiomatic_f2exp_top10": q_axiomatic_f2exp_top10,
+        "axiomatic_f2log_top10": q_axiomatic_f2log_top10,
+        "unimax_mix": q_unimax_mix,
+        "vocab_coverage": q_vocab_coverage,
         "harmonic_centrality": q_harmonic_centrality,
         "anf_hops": q_anf_hops,
         "position_bias_ctr": q_position_bias_ctr,
@@ -7952,6 +7992,61 @@ d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
       GROUP BY 1, 2)"""
     return {
         # --- round-3 oracles ---
+        # axiomatic tfn = tf/(tf + s + s*dl/avgdl), s=0.5
+        # (index/lmsim.py:_axiomatic_tfn)
+        "axiomatic_f2exp_top10": _sim_oracle(
+            "(p.tf / (p.tf + 0.5 + 0.5 * d.dl"
+            " / (g.total_tokens / CAST(g.n_docs AS DOUBLE))))"
+            " * pow(g.n_docs / CAST(t.df AS DOUBLE), 0.35)"
+        ),
+        "axiomatic_f2log_top10": _sim_oracle(
+            "(p.tf / (p.tf + 0.5 + 0.5 * d.dl"
+            " / (g.total_tokens / CAST(g.n_docs AS DOUBLE))))"
+            " * ln((g.n_docs + 1.0) / t.df)"
+        ),
+        # UniMax waterfill (ops/sampling.py:unimax_allocation): caps =
+        # 3 epochs, budget = 1.2x total; level = max feasible candidate
+        "unimax_mix": r"""
+WITH c AS (SELECT lang,
+  CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+r AS (SELECT lang, n_tokens, n_tokens * 3.0 AS cap,
+        row_number() OVER (ORDER BY n_tokens * 3.0, lang) AS i,
+        coalesce(sum(n_tokens * 3.0) OVER (
+          ORDER BY n_tokens * 3.0, lang
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+        count(*) OVER () AS n,
+        sum(n_tokens) OVER () * 1.2 AS budget
+      FROM c),
+r2 AS (SELECT *, (budget - prefix) / (n - i + 1) AS cand FROM r),
+lvl AS (SELECT max(CASE WHEN cand <= cap THEN cand END) AS level FROM r2)
+SELECT lang, n_tokens, round(cap, 6) AS cap_tokens,
+       round(least(cap, coalesce(level, cap)), 6) AS alloc_tokens,
+       round(least(cap, coalesce(level, cap)) / n_tokens, 6) AS epochs,
+       round(least(cap, coalesce(level, cap)) / budget, 6) AS share
+FROM r2, lvl ORDER BY lang""",
+        # vocab = corpus top-200 terms by cf (ties: term asc)
+        # (ops/textstats.py:vocab_coverage)
+        "vocab_coverage": r"""
+WITH toks AS (SELECT lang,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS term FROM documents),
+per AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+tot AS (SELECT term, sum(tf) AS cf FROM per GROUP BY 1),
+v AS (SELECT term FROM (SELECT term,
+        row_number() OVER (ORDER BY cf DESC, term) AS r FROM tot)
+      WHERE r <= 200),
+f AS (SELECT p.lang, p.tf,
+        CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM per p LEFT JOIN v ON v.term = p.term)
+SELECT lang, CAST(sum(tf) AS BIGINT) AS tokens,
+       CAST(sum(tf * oov) AS BIGINT) AS oov_tokens,
+       round(sum(tf * oov) / CAST(sum(tf) AS DOUBLE), 6)
+         AS oov_token_rate,
+       count(*) AS types, CAST(sum(oov) AS BIGINT) AS oov_types,
+       round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_type_rate
+FROM f GROUP BY 1 ORDER BY 1""",
         "harmonic_centrality": f"""
 WITH RECURSIVE {bfs3_cte}
 SELECT dst AS node, count(*) AS reached_by,

@@ -356,3 +356,63 @@ def lm_two_stage(
         qterms, postings, dstats, tstats, globals_,
         F.greatest(s, F.lit(0.0)), id_col, k, round_digits,
     )
+
+
+def _axiomatic_tfn(s: float):
+    """Axiomatic normalized tf (Fang & Zhai, "An Exploration of
+    Axiomatic Approaches to Information Retrieval", SIGIR 2005;
+    Lucene ``AxiomaticF2EXP``/``AxiomaticF2LOG``):
+    tfn = tf / (tf + s + s * dl / avgdl)."""
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    return F.col("tf") / (
+        F.col("tf") + F.lit(float(s)) + F.lit(float(s)) * F.col("dl") / avgdl
+    )
+
+
+def axiomatic_f2exp(
+    docs: DataFrame,
+    queries: DataFrame,
+    s: float = 0.5,
+    growth: float = 0.35,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k Axiomatic F2EXP ranking (Fang & Zhai SIGIR 2005; Lucene
+    ``AxiomaticF2EXP``): per matched term tfn * (N/df)^growth — the
+    power-law idf the axiomatic constraints derive. Same single
+    relational pass as the LM/BM25 siblings."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    per_term = _axiomatic_tfn(s) * F.pow(
+        F.col("n_docs") / F.col("df").cast("double"), F.lit(float(growth))
+    )
+    return _rank(
+        qterms, postings, dstats, tstats, globals_,
+        per_term, id_col, k, round_digits,
+    )
+
+
+def axiomatic_f2log(
+    docs: DataFrame,
+    queries: DataFrame,
+    s: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k Axiomatic F2LOG ranking (Lucene ``AxiomaticF2LOG``): per
+    matched term tfn * ln((N+1)/df)."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    per_term = _axiomatic_tfn(s) * F.log(
+        (F.col("n_docs") + 1.0) / F.col("df")
+    )
+    return _rank(
+        qterms, postings, dstats, tstats, globals_,
+        per_term, id_col, k, round_digits,
+    )

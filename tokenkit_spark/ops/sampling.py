@@ -190,3 +190,91 @@ def weighted_sample(
         .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    max_epochs: float = 3.0,
+    budget_ratio: float = 1.2,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """UniMax language sampling (Chung, Garcia, Roberts et al.,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining", ICLR 2023): spread a token
+    budget B = ``budget_ratio`` * total corpus tokens as uniformly as
+    possible across languages, capping each language at ``max_epochs``
+    passes over its corpus — the closed-form waterfill.
+
+    With per-language token counts c_l and caps cap_l = max_epochs*c_l
+    sorted ascending, the water level is L* = (B - sum of the caps
+    that bind) / (#languages above the level); computed relationally:
+    candidate level L_i = (B - prefix_i) / (n - i + 1) at each sort
+    position, and L* = max over the FEASIBLE candidates (L_i <=
+    cap_i) — feasibility is monotone down the sort, so the first
+    feasible candidate is the maximum. alloc_l = min(cap_l, L*); if
+    B >= sum(caps) every language is capped.
+
+    Scale shape: one token-count aggregate over the corpus (map-side
+    partial), then all window arithmetic runs on the languages-sized
+    relation — a few hundred rows no matter the corpus size.
+
+    Returns per language: n_tokens, cap_tokens, alloc_tokens, epochs
+    (alloc/corpus), share (alloc/B), ordered by language.
+    """
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+    )
+    c = (
+        docs.select(F.col(lang_col).alias("lang"), toks.alias("t"))
+        .groupBy("lang")
+        .agg(F.sum("t").alias("n_tokens"))
+    )
+    cap = (F.col("n_tokens") * F.lit(float(max_epochs))).alias("cap")
+    w = Window.orderBy("cap", "lang")
+    rows = (
+        c.select("lang", "n_tokens", cap)
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("n", F.count("*").over(Window.orderBy(F.lit(1))))
+        .withColumn(
+            "total", F.sum("n_tokens").over(Window.orderBy(F.lit(1)))
+        )
+        .withColumn("budget", F.col("total") * F.lit(float(budget_ratio)))
+        .withColumn(
+            "cand",
+            (F.col("budget") - F.col("prefix"))
+            / (F.col("n") - F.col("i") + 1),
+        )
+    )
+    level = rows.agg(
+        F.max(
+            F.when(F.col("cand") <= F.col("cap"), F.col("cand"))
+        ).alias("level")
+    )
+    alloc = F.least(
+        F.col("cap"), F.coalesce(F.col("level"), F.col("cap"))
+    )
+    return (
+        rows.crossJoin(F.broadcast(level))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round("cap", round_digits).alias("cap_tokens"),
+            F.round(alloc, round_digits).alias("alloc_tokens"),
+            F.round(alloc / F.col("n_tokens"), round_digits).alias("epochs"),
+            F.round(alloc / F.col("budget"), round_digits).alias("share"),
+        )
+        .orderBy("lang")
+    )

@@ -1056,3 +1056,71 @@ def code_switch_windows(
             (F.col("n_langs") >= 2).alias("code_switched"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 200,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: pin the vocabulary to the
+    corpus's top-``vocab_size`` terms by collection frequency
+    (deterministic ties: term asc) and report, per language, the
+    out-of-vocabulary token rate and type rate — the standard
+    coverage check before committing a vocab to a multilingual run
+    (high OOV on a language means its text fragments into fallback
+    bytes/unks; cf. the fertility audit in ops/bpe.py, which measures
+    the same risk post-tokenizer).
+
+    Scale shape: one (lang, term) tf aggregate, a row_number top-V on
+    the term-totals relation, and a broadcast join of the V-row vocab
+    back onto the per-language term stats. No UDFs, no driver state.
+
+    Returns (lang, tokens, oov_tokens, oov_token_rate, types,
+    oov_types, oov_type_rate) ordered by lang.
+    """
+    toks = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    per = toks.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    totals = per.groupBy("term").agg(F.sum("tf").alias("cf"))
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    vocab = (
+        totals.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= vocab_size)
+        .select("term")
+    )
+    flagged = per.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+    ).withColumn("oov", F.col("in_vocab").isNull().cast("int"))
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.sum("tf").alias("tokens"),
+            F.sum(F.col("tf") * F.col("oov")).alias("oov_tokens"),
+            F.count("*").alias("types"),
+            F.sum("oov").alias("oov_types"),
+        )
+        .select(
+            "lang",
+            "tokens",
+            "oov_tokens",
+            F.round(
+                F.col("oov_tokens") / F.col("tokens"), round_digits
+            ).alias("oov_token_rate"),
+            "types",
+            "oov_types",
+            F.round(
+                F.col("oov_types") / F.col("types"), round_digits
+            ).alias("oov_type_rate"),
+        )
+        .orderBy("lang")
+    )
