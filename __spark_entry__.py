@@ -6076,6 +6076,60 @@ def q_texttiling(spark, sf_dir):
     return texttiling(_docs(spark, sf_dir), w=20, k=2, lookaround=3)
 
 
+def q_ktruss_edges(spark, sf_dir):
+    """3-truss of the crawl link graph (Cohen 2008; Wang & Cheng, VLDB
+    2012 peeling): synchronous support peel, 6 fixed rounds (fixpoint
+    by round 3 on this graph), top-25 surviving edges by (within-truss
+    support desc, a, b) — the edge-level sibling of kcore_members
+    (ops/ktruss.py:ktruss_audit). Oracle unrolls the peel as CTE
+    levels."""
+    from tokenkit_spark.ops.ktruss import ktruss_audit
+
+    return ktruss_audit(_link_edges(spark, sf_dir), k=3, rounds=6, top=25)
+
+
+def q_rice_sizes(spark, sf_dir):
+    """Golomb-Rice posting coding (Witten/Moffat/Bell MG §3.3 local
+    Bernoulli parameter b = bit_length(floor(0.69·N/df))-1) exact bit
+    cost vs the live delta+varint stream for the top-20 largest term
+    doc-id sets — fifth codec-audit sibling of EF/NewPFD/Roaring/BIC
+    (index/rice.py:rice_audit)."""
+    from tokenkit_spark.index.rice import rice_audit
+
+    postings = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return rice_audit(postings, k=20)
+
+
+def q_kmv_cardinality(spark, sf_dir):
+    """KMV k-minimum-values distinct sketch (Bar-Yossef et al. 2002;
+    Beyer et al. SIGMOD 2007 unbiased (k-1)/r_k form, k=64, pinned
+    arithmetic hash) vs exact per-event-type user cardinality — the
+    mergeable sibling of the HLL cardinality op, with empirical
+    rel_err (ops/kmv.py:kmv_audit)."""
+    from tokenkit_spark.ops.kmv import kmv_audit
+
+    return kmv_audit(_events(spark, sf_dir), k=64)
+
+
+def q_bv_graph_sizes(spark, sf_dir):
+    """Boldi-Vigna webgraph compression audit (WWW 2004 copy-list
+    variant + zeta_3 residuals, reference window 1, chunked so
+    references never cross the 64-id parallel-compression seam): exact
+    total bits and bits/link vs raw 32-bit and delta+varint over the
+    crawl link graph (ops/bvgraph.py:bv_graph_audit)."""
+    from tokenkit_spark.ops.bvgraph import bv_graph_audit
+
+    return bv_graph_audit(_link_edges(spark, sf_dir), chunk_size=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -6085,6 +6139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "ktruss_edges": q_ktruss_edges,
+        "rice_sizes": q_rice_sizes,
+        "kmv_cardinality": q_kmv_cardinality,
+        "bv_graph_sizes": q_bv_graph_sizes,
         "axiomatic_f2exp_top10": q_axiomatic_f2exp_top10,
         "axiomatic_f2log_top10": q_axiomatic_f2log_top10,
         "unimax_mix": q_unimax_mix,
@@ -6481,6 +6539,44 @@ comb AS (SELECT {combined} AS combined FROM idx)
 SELECT {chars} AS geohash, count(*) AS doc_count
 FROM comb GROUP BY 1
 """
+
+
+def _ktruss_oracle_sql(k: int = 3, rounds: int = 6, top: int = 25) -> str:
+    """Twin of ops/ktruss.py:ktruss_audit — the synchronous support
+    peel unrolled as CTE levels (triangles via the same low->high
+    ordered-wedge enumeration)."""
+    ctes = [
+        _LINK_EDGES_SQL.strip(),
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+    ]
+    for r in range(rounds + 1):  # one extra support pass for reporting
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT x.a AS i, x.b AS j, y.b AS k "
+            f"FROM e{r} x JOIN e{r} y ON y.a = x.b "
+            f"JOIN e{r} z ON z.a = x.a AND z.b = y.b)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM ("
+            f"SELECT i AS a, j AS b FROM t{r} "
+            f"UNION ALL SELECT j, k FROM t{r} "
+            f"UNION ALL SELECT i, k FROM t{r}) GROUP BY 1, 2)"
+        )
+        if r < rounds:
+            ctes.append(
+                f"e{r + 1} AS MATERIALIZED (SELECT e{r}.a, e{r}.b FROM e{r} "
+                f"LEFT JOIN s{r} USING (a, b) "
+                f"WHERE coalesce(sup, 0) >= {k - 2})"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT rank, a, b, support FROM (
+  SELECT row_number() OVER (
+           ORDER BY coalesce(s.sup, 0) DESC, e.a ASC, e.b ASC) AS rank,
+         e.a, e.b, coalesce(s.sup, 0) AS support
+  FROM e{rounds} e LEFT JOIN s{rounds} s USING (a, b))
+WHERE rank <= {top}"""
+    )
 
 
 def _pagerank_oracle_sql(n_iter: int = 5, d: float = 0.85, k: int = 20) -> str:
@@ -7743,6 +7839,25 @@ toks AS (SELECT doc_id, i - 1 AS pos, lower(t[i]) AS term FROM (
     varint_case = (
         "CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2 "
         "WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 ELSE 5 END"
+    )
+
+    # zeta_3 codeword length, exact integer form (ops/bvgraph.py):
+    # 4*h + 3 + [lb mod 3 != 0] with lb = bit_length(n) - 1, h = lb//3
+    def _z3(n: str) -> str:
+        lb = f"(length(bin(CAST({n} AS BIGINT))) - 1)"
+        return (
+            f"(4 * ({lb} // 3) + 3 + "
+            f"CASE WHEN {lb} % 3 = 0 THEN 0 ELSE 1 END)"
+        )
+
+    # BV residual stream value: first residual per src uses the signed
+    # nat2int mapping vs the node id, later ones the gap to the
+    # previous residual (ops/bvgraph.py:_residual_stream_bits)
+    _bv_first_or_gap = (
+        "CASE WHEN pd IS NULL THEN "
+        "(CASE WHEN dst - src >= 0 THEN 2 * (dst - src) "
+        "ELSE -2 * (dst - src) - 1 END + 1) "
+        "ELSE dst - pd END"
     )
     kcore_levels = []
     for i in range(1, 7):
@@ -9512,6 +9627,103 @@ SELECT * FROM (
          term, n_docs, n_containers, n_array, n_bitmap, n_run,
          roaring_bytes, varint_bytes, ratio
   FROM out) WHERE rank <= 20
+""",
+        "ktruss_edges": _ktruss_oracle_sql(k=3, rounds=6, top=25),
+        "rice_sizes": f"""
+WITH toks AS ({_TOKS}),
+p AS (SELECT DISTINCT term, doc_id AS id FROM toks WHERE term <> ''),
+uv AS (SELECT max(id) + 1 AS nu FROM p),
+n AS (SELECT term, count(*) AS n_docs FROM p GROUP BY 1),
+prm AS (SELECT term, n_docs,
+        CASE WHEN floor(0.69 * ((SELECT nu FROM uv) / CAST(n_docs AS DOUBLE))) < 1
+             THEN 0
+             ELSE length(bin(CAST(floor(0.69 * ((SELECT nu FROM uv)
+                    / CAST(n_docs AS DOUBLE))) AS BIGINT))) - 1
+        END AS rice_b FROM n),
+g AS (SELECT term,
+             id - coalesce(lag(id) OVER (PARTITION BY term ORDER BY id), 0)
+               AS gap FROM p),
+sz AS (SELECT g.term, prm.n_docs, prm.rice_b,
+              (gap >> rice_b) + 1 + rice_b AS rbits,
+              ({varint_case}) * 8 AS vbits
+       FROM g JOIN prm USING (term)),
+agg AS (SELECT term, n_docs, rice_b,
+               CAST(sum(rbits) AS BIGINT) AS rice_bits,
+               CAST(sum(vbits) AS BIGINT) AS varint_bits
+        FROM sz GROUP BY 1, 2, 3)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY n_docs DESC, term ASC) AS rank,
+         term, n_docs, rice_b, rice_bits, varint_bits,
+         round(rice_bits / CAST(n_docs AS DOUBLE), 4) AS bpp_rice,
+         round(varint_bits / CAST(n_docs AS DOUBLE), 4) AS bpp_varint,
+         round(rice_bits / CAST(varint_bits AS DOUBLE), 4) AS ratio
+  FROM agg) WHERE rank <= 20
+""",
+        "kmv_cardinality": """
+WITH v AS (SELECT DISTINCT event_type AS grp,
+       ((user_id * 2654435761 + 12345) % 2147483647) / 2147483648.0 AS r
+     FROM events),
+ex AS (SELECT grp, count(*) AS exact_distinct FROM v GROUP BY 1),
+kth AS (SELECT grp, r AS kth_min FROM (
+        SELECT grp, r,
+               row_number() OVER (PARTITION BY grp ORDER BY r) AS rn FROM v)
+        WHERE rn = 64)
+SELECT ex.grp AS event_type, ex.exact_distinct,
+       round(coalesce(kth.kth_min, 0.0), 6) AS kth_min,
+       round(CASE WHEN kth.kth_min IS NOT NULL THEN 63 / kth.kth_min
+                  ELSE CAST(ex.exact_distinct AS DOUBLE) END, 6)
+         AS kmv_estimate,
+       round(abs(CASE WHEN kth.kth_min IS NOT NULL THEN 63 / kth.kth_min
+                      ELSE CAST(ex.exact_distinct AS DOUBLE) END
+                 - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_err
+FROM ex LEFT JOIN kth USING (grp) ORDER BY event_type
+""",
+        "bv_graph_sizes": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+succ AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM succ GROUP BY 1),
+pred AS (SELECT src, outdeg,
+         lag(src) OVER (PARTITION BY CAST(floor(src / 64.0) AS BIGINT)
+                        ORDER BY src) AS prev_src,
+         lag(outdeg) OVER (PARTITION BY CAST(floor(src / 64.0) AS BIGINT)
+                           ORDER BY src) AS prev_deg
+         FROM deg),
+ga AS (SELECT src, dst,
+              lag(dst) OVER (PARTITION BY src ORDER BY dst) AS pd FROM succ),
+ca AS (SELECT src, CAST(sum({_z3(_bv_first_or_gap)}) AS BIGINT) AS bits_a
+       FROM ga GROUP BY 1),
+res AS (SELECT s.src, s.dst FROM succ s JOIN pred p ON p.src = s.src
+        WHERE p.prev_src IS NOT NULL AND NOT EXISTS (
+          SELECT 1 FROM succ q WHERE q.src = p.prev_src AND q.dst = s.dst)),
+gb AS (SELECT src, dst,
+              lag(dst) OVER (PARTITION BY src ORDER BY dst) AS pd FROM res),
+cb AS (SELECT src, CAST(sum({_z3(_bv_first_or_gap)}) AS BIGINT) AS bits_b
+       FROM gb GROUP BY 1),
+pn AS (SELECT p.src, p.outdeg,
+        2 * (length(bin(p.outdeg)) - 1) + 1 AS deg_bits,
+        1 + coalesce(ca.bits_a, 0) AS arm_a,
+        CASE WHEN p.prev_src IS NOT NULL
+             THEN 3 + p.prev_deg + coalesce(cb.bits_b, 0) END AS arm_b
+       FROM pred p LEFT JOIN ca ON ca.src = p.src
+                   LEFT JOIN cb ON cb.src = p.src),
+chs AS (SELECT src, outdeg,
+        deg_bits + CASE WHEN arm_b IS NOT NULL AND arm_b < arm_a
+                        THEN arm_b ELSE arm_a END AS bv_bits,
+        CASE WHEN arm_b IS NOT NULL AND arm_b < arm_a
+             THEN 1 ELSE 0 END AS used_ref FROM pn),
+vb AS (SELECT CAST(sum(({varint_case}) * 8) AS BIGINT) AS varint_bits FROM (
+       SELECT dst - coalesce(lag(dst) OVER (
+                PARTITION BY src ORDER BY dst), 0) AS gap FROM succ)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nodes,
+        CAST(sum(outdeg) AS BIGINT) AS links,
+        CAST(sum(bv_bits) AS BIGINT) AS bv_bits,
+        CAST(sum(used_ref) AS BIGINT) AS ref_nodes FROM chs)
+SELECT nodes, links, links * 32 AS raw_bits, vb.varint_bits, bv_bits,
+       ref_nodes,
+       CAST(32.0 AS DOUBLE) AS bpl_raw,
+       round(vb.varint_bits / CAST(links AS DOUBLE), 4) AS bpl_varint,
+       round(bv_bits / CAST(links AS DOUBLE), 4) AS bpl_bv
+FROM tot, vb
 """,
         "kcore_members": f"""
 WITH {_LINK_EDGES_SQL.strip()},
