@@ -6130,6 +6130,77 @@ def q_bv_graph_sizes(spark, sf_dir):
     return bv_graph_audit(_link_edges(spark, sf_dir), chunk_size=64)
 
 
+WALK_SEEDS = (3, 7, 12, 25, 48)
+
+
+def q_tdi_eval(spark, sf_dir):
+    """Team-draft interleaving (Radlinski/Kurup/Joachims CIKM 2008):
+    two deterministic top-5 rankers per query are team-draft merged
+    (pinned arithmetic coin, 6 steps) and scored under the click log's
+    own patience model; one summary row (trials, wins_a, wins_b, ties,
+    pref_a) (ops/clicks.py:team_draft_lists/tdi_outcome). Oracle
+    unrolls the draft as 6 CTE levels."""
+    from tokenkit_spark.ops.clicks import team_draft_lists, tdi_outcome
+
+    log = _click_log(spark, sf_dir)
+    uni = log.select("query_id", "doc_id").distinct()
+    wa = Window.partitionBy("query_id").orderBy(
+        (F.col("doc_id") * 3 + F.col("query_id")) % 17, F.col("doc_id")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        (F.col("doc_id") * 5 + F.col("query_id")) % 19, F.col("doc_id")
+    )
+    ra = (
+        uni.withColumn("rnk", F.row_number().over(wa))
+        .filter(F.col("rnk") <= 5)
+    )
+    rb = (
+        uni.withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= 5)
+    )
+    il = team_draft_lists(ra, rb, depth=6)
+    rel = uni.select(
+        "query_id",
+        "doc_id",
+        ((F.col("doc_id") * 3 + F.col("query_id") * 7) % 5 == 0)
+        .cast("int")
+        .alias("rel"),
+    )
+    pat = (
+        uni.select("query_id")
+        .distinct()
+        .select(
+            "query_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("session_id"),
+        )
+        .withColumn(
+            "patience",
+            (F.col("query_id") * 13 + F.col("session_id") * 11) % 10 + 1,
+        )
+    )
+    return tdi_outcome(il, rel, pat)
+
+
+def q_coclick_similarity(spark, sf_dir):
+    """Top-20 query pairs by Jaccard of clicked doc sets (Beeferman &
+    Berger KDD 2000 co-click feature) with the quadratic-fan-out doc-df
+    cap (ops/clicks.py:coclick_query_similarity)."""
+    from tokenkit_spark.ops.clicks import coclick_query_similarity
+
+    return coclick_query_similarity(_click_log(spark, sf_dir), k=20)
+
+
+def q_click_walk(spark, sf_dir):
+    """3-step forward random walk on the bipartite click graph
+    (Craswell & Szummer SIGIR 2007) from 5 pinned seed queries —
+    click-smoothed doc relevance reaching docs never clicked for the
+    seed; top-10 docs per seed (ops/clicks.py:click_walk). Oracle
+    unrolls the walk as 3 CTE levels."""
+    from tokenkit_spark.ops.clicks import click_walk
+
+    return click_walk(_click_log(spark, sf_dir), list(WALK_SEEDS), steps=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -6139,6 +6210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "tdi_eval": q_tdi_eval,
+        "coclick_similarity": q_coclick_similarity,
+        "click_walk": q_click_walk,
         "ktruss_edges": q_ktruss_edges,
         "rice_sizes": q_rice_sizes,
         "kmv_cardinality": q_kmv_cardinality,
@@ -8093,6 +8167,49 @@ curve1 AS (SELECT c.position, c.pos_ctr,
                   c.pos_ctr / c1.pos_ctr AS propensity
            FROM curve c, (SELECT pos_ctr FROM curve WHERE position = 1) c1)
 """
+
+    # Team-draft interleaving: the 6-step draft unrolled, one CTE level
+    # per step (twin of ops/clicks.py:team_draft_lists' loop)
+    tdi_levels = [
+        "uni AS (SELECT DISTINCT query_id, doc_id FROM imp)",
+        "ra AS (SELECT query_id, doc_id, 'A' AS team, rnk FROM ("
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY (doc_id * 3 + query_id) % 17, doc_id) AS rnk FROM uni) "
+        "WHERE rnk <= 5)",
+        "rb AS (SELECT query_id, doc_id, 'B' AS team, rnk FROM ("
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY (doc_id * 5 + query_id) % 19, doc_id) AS rnk FROM uni) "
+        "WHERE rnk <= 5)",
+        "rk AS (SELECT * FROM ra UNION ALL SELECT * FROM rb)",
+        "qs AS (SELECT DISTINCT query_id FROM rk)",
+        "p0 AS (SELECT query_id, doc_id, team, 0 AS step FROM rk "
+        "WHERE 1 = 0)",
+    ]
+    for _t in range(1, 7):
+        tdi_levels.append(
+            f"cnt{_t} AS (SELECT qs.query_id, "
+            f"coalesce(sum(CASE WHEN p.team = 'A' THEN 1 END), 0) AS ca, "
+            f"coalesce(sum(CASE WHEN p.team = 'B' THEN 1 END), 0) AS cb "
+            f"FROM qs LEFT JOIN p{_t - 1} p USING (query_id) GROUP BY 1)"
+        )
+        tdi_levels.append(
+            f"pk{_t} AS (SELECT query_id, doc_id, team, {_t} AS step FROM ("
+            f"SELECT c.query_id, c.doc_id, c.team, row_number() OVER ("
+            f"PARTITION BY c.query_id ORDER BY "
+            f"CASE WHEN c.team = n.pref THEN 0 ELSE 1 END, c.rnk, c.team) "
+            f"AS rn FROM (SELECT r.* FROM rk r LEFT JOIN p{_t - 1} q "
+            f"ON q.query_id = r.query_id AND q.doc_id = r.doc_id "
+            f"WHERE q.doc_id IS NULL) c JOIN ("
+            f"SELECT query_id, CASE WHEN ca < cb THEN 'A' "
+            f"WHEN ca > cb THEN 'B' "
+            f"WHEN (query_id + {_t}) % 2 = 0 THEN 'A' ELSE 'B' END AS pref "
+            f"FROM cnt{_t}) n USING (query_id)) WHERE rn = 1)"
+        )
+        tdi_levels.append(
+            f"p{_t} AS (SELECT * FROM p{_t - 1} "
+            f"UNION ALL SELECT * FROM pk{_t})"
+        )
+    tdi_unroll = ",\n".join(tdi_levels)
     # Bounded-hop shortest-path relation over the deterministic link
     # graph (recursive CTE; UNION dedups walk states, min() collapses to
     # the shortest distance — mirrors ops/centrality.py:bounded_distances)
@@ -8176,6 +8293,81 @@ SELECT hp.hop, count(*) AS reachable_pairs,
        round(count(*) / CAST(nn.n AS DOUBLE), 6) AS avg_ball
 FROM d, range(1, 4) hp(hop), nn
 WHERE d.dist <= hp.hop GROUP BY hp.hop, nn.n ORDER BY hp.hop""",
+        "tdi_eval": f"""
+WITH {click_log_cte},
+{tdi_unroll},
+rel AS (SELECT query_id, doc_id,
+               CASE WHEN (doc_id * 3 + query_id * 7) % 5 = 0
+                    THEN 1 ELSE 0 END AS rel FROM uni),
+pat AS (SELECT qs.query_id, s.session_id,
+               (qs.query_id * 13 + s.session_id * 11) % 10 + 1 AS patience
+        FROM qs, range(0, 4) s(session_id)),
+sim AS (SELECT p.query_id, pa.session_id, p.team,
+               CASE WHEN r.rel = 1 AND p.step <= pa.patience
+                    THEN 1 ELSE 0 END AS clicked
+        FROM p6 p JOIN rel r USING (query_id, doc_id)
+        JOIN pat pa ON pa.query_id = p.query_id),
+per AS (SELECT query_id, session_id,
+               sum(CASE WHEN team = 'A' THEN clicked ELSE 0 END) AS a_clicks,
+               sum(CASE WHEN team = 'B' THEN clicked ELSE 0 END) AS b_clicks
+        FROM sim GROUP BY 1, 2 HAVING sum(clicked) > 0)
+SELECT CAST(count(*) AS BIGINT) AS trials,
+       CAST(sum(CASE WHEN a_clicks > b_clicks THEN 1 ELSE 0 END) AS BIGINT)
+         AS wins_a,
+       CAST(sum(CASE WHEN b_clicks > a_clicks THEN 1 ELSE 0 END) AS BIGINT)
+         AS wins_b,
+       CAST(sum(CASE WHEN a_clicks = b_clicks THEN 1 ELSE 0 END) AS BIGINT)
+         AS ties,
+       round((sum(CASE WHEN a_clicks > b_clicks THEN 1 ELSE 0 END)
+              + sum(CASE WHEN a_clicks = b_clicks THEN 1 ELSE 0 END) / 2.0)
+             / count(*), 6) AS pref_a
+FROM per
+""",
+        "coclick_similarity": f"""
+WITH {click_log_cte},
+qd AS (SELECT DISTINCT query_id, doc_id FROM clog WHERE clicked = 1),
+sizes AS (SELECT query_id, count(*) AS n FROM qd GROUP BY 1),
+keep AS (SELECT doc_id FROM qd GROUP BY doc_id HAVING count(*) <= 10000),
+qd2 AS (SELECT qd.* FROM qd JOIN keep USING (doc_id)),
+inter AS (SELECT a.query_id AS q1, b.query_id AS q2, count(*) AS co_clicks
+          FROM qd2 a JOIN qd2 b
+            ON a.doc_id = b.doc_id AND a.query_id < b.query_id
+          GROUP BY 1, 2),
+j AS (SELECT i.q1, i.q2, CAST(i.co_clicks AS BIGINT) AS co_clicks,
+             round(i.co_clicks
+                   / CAST(s1.n + s2.n - i.co_clicks AS DOUBLE), 6)
+               AS jaccard
+      FROM inter i JOIN sizes s1 ON s1.query_id = i.q1
+                   JOIN sizes s2 ON s2.query_id = i.q2)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY jaccard DESC, q1, q2) AS rank,
+         q1, q2, co_clicks, jaccard FROM j) WHERE rank <= 20
+""",
+        "click_walk": f"""
+WITH {click_log_cte},
+w_qd AS (SELECT query_id, doc_id, count(*) AS w FROM clog
+         WHERE clicked = 1 GROUP BY 1, 2),
+fwd AS (SELECT query_id AS src, doc_id AS dst,
+               w / CAST(sum(w) OVER (PARTITION BY query_id) AS DOUBLE) AS p
+        FROM w_qd),
+bwd AS (SELECT doc_id AS src, query_id AS dst,
+               w / CAST(sum(w) OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+        FROM w_qd),
+d0 AS (SELECT seed, seed AS node, 1.0 AS prob
+       FROM (VALUES {", ".join(f"({s})" for s in WALK_SEEDS)}) v(seed)),
+d1 AS (SELECT d.seed, f.dst AS node, sum(d.prob * f.p) AS prob
+       FROM d0 d JOIN fwd f ON f.src = d.node GROUP BY 1, 2),
+d2 AS (SELECT d.seed, f.dst AS node, sum(d.prob * f.p) AS prob
+       FROM d1 d JOIN bwd f ON f.src = d.node GROUP BY 1, 2),
+d3 AS (SELECT d.seed, f.dst AS node, sum(d.prob * f.p) AS prob
+       FROM d2 d JOIN fwd f ON f.src = d.node GROUP BY 1, 2)
+SELECT query_id, rank, doc_id, prob FROM (
+  SELECT seed AS query_id,
+         row_number() OVER (PARTITION BY seed
+           ORDER BY round(prob, 6) DESC, node) AS rank,
+         node AS doc_id, round(prob, 6) AS prob FROM d3)
+WHERE rank <= 10
+""",
         "position_bias_ctr": f"""
 WITH {click_log_cte},
 agg AS (SELECT position, count(*) AS impressions,

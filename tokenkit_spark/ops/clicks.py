@@ -260,3 +260,284 @@ def cascade_examination(log: DataFrame, round_digits: int = 6) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+# --------------------------------------------------------------------------
+# Online evaluation: team-draft interleaving (Radlinski, Kurup & Joachims,
+# "How does clickthrough data reflect retrieval quality?", CIKM 2008 §4.2)
+# --------------------------------------------------------------------------
+
+
+def team_draft_lists(
+    ranks_a: DataFrame, ranks_b: DataFrame, depth: int = 6
+) -> DataFrame:
+    """The pure team-draft merge: given two per-query rankings
+    (query_id, doc_id, rnk with rnk starting at 1), produce the
+    interleaved list (query_id, step, doc_id, team).
+
+    Draft rule per step t (1-based): the team with fewer picks so far
+    drafts; on a tie the deterministic coin (query_id + t) mod 2 picks
+    (0 -> A). The drafting team takes its highest-ranked doc not yet in
+    the interleaved list; if it has none left the other team drafts
+    (the paper's exhaustion fallback). The coin is pinned arithmetic so
+    the whole draft — normally a sequential per-impression loop — is
+    reproducible and SQL-unrollable, one CTE level per step.
+
+    Scale shape: each step is one anti-join of the (query-keyed) rank
+    relation against the picked-so-far set plus one per-query
+    row_number window — all shuffles on query_id, ``depth`` is a small
+    constant (the interleaved SERP length), and the picked relation is
+    ``localCheckpoint``-ed per step so lineage stays linear."""
+    ranks = ranks_a.select(
+        "query_id", "doc_id", "rnk", F.lit("A").alias("team")
+    ).unionByName(
+        ranks_b.select("query_id", "doc_id", "rnk", F.lit("B").alias("team"))
+    )
+    picked = None
+    for t in range(1, depth + 1):
+        if picked is None:
+            cand = ranks
+            ca, cb = F.lit(0), F.lit(0)
+            cnts = ranks.select("query_id").distinct().select(
+                "query_id", ca.alias("ca"), cb.alias("cb")
+            )
+        else:
+            cand = ranks.join(
+                picked.select("query_id", "doc_id"), ["query_id", "doc_id"],
+                "left_anti",
+            )
+            cnts = (
+                ranks.select("query_id")
+                .distinct()
+                .join(
+                    picked.groupBy("query_id").agg(
+                        F.sum(F.when(F.col("team") == "A", 1).otherwise(0))
+                        .alias("ca"),
+                        F.sum(F.when(F.col("team") == "B", 1).otherwise(0))
+                        .alias("cb"),
+                    ),
+                    "query_id",
+                    "left",
+                )
+                .select(
+                    "query_id",
+                    F.coalesce("ca", F.lit(0)).alias("ca"),
+                    F.coalesce("cb", F.lit(0)).alias("cb"),
+                )
+            )
+        pref = (
+            F.when(F.col("ca") < F.col("cb"), F.lit("A"))
+            .when(F.col("ca") > F.col("cb"), F.lit("B"))
+            .when((F.col("query_id") + t) % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+        )
+        staged = cand.join(cnts, "query_id").withColumn("pref", pref)
+        w = Window.partitionBy("query_id").orderBy(
+            F.when(F.col("team") == F.col("pref"), 0).otherwise(1),
+            F.col("rnk").asc(),
+            F.col("team").asc(),
+        )
+        pick = (
+            staged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", "doc_id", "team", F.lit(t).alias("step"))
+        )
+        picked = (
+            pick if picked is None else picked.unionByName(pick)
+        ).localCheckpoint(eager=False)
+    return picked.select("query_id", "step", "doc_id", "team")
+
+
+def tdi_outcome(
+    ilist: DataFrame,
+    rel: DataFrame,
+    patience: DataFrame,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score a team-draft interleaved list under a patience click
+    model: a (query, session) impression clicks the doc at interleaved
+    position ``step`` iff it is relevant (``rel``: query_id, doc_id,
+    rel 0/1) and step <= that session's patience (``patience``:
+    query_id, session_id, patience). Credit goes to the team that
+    contributed the clicked doc; impressions with zero clicks are
+    discarded (the paper's convention). Returns ONE row:
+    (trials, wins_a, wins_b, ties, pref_a) with
+    pref_a = (wins_a + ties/2) / trials — the TDI preference for A."""
+    sim = (
+        ilist.join(rel, ["query_id", "doc_id"], "left")
+        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+        .join(patience, "query_id")
+        .withColumn(
+            "clicked",
+            (
+                (F.col("rel") == 1)
+                & (F.col("step") <= F.col("patience"))
+            ).cast("int"),
+        )
+    )
+    per = sim.groupBy("query_id", "session_id").agg(
+        F.sum(F.when(F.col("team") == "A", F.col("clicked")).otherwise(0))
+        .alias("a_clicks"),
+        F.sum(F.when(F.col("team") == "B", F.col("clicked")).otherwise(0))
+        .alias("b_clicks"),
+    ).filter(F.col("a_clicks") + F.col("b_clicks") > 0)
+    return per.agg(
+        F.count(F.lit(1)).alias("trials"),
+        F.sum((F.col("a_clicks") > F.col("b_clicks")).cast("int")).alias(
+            "wins_a"
+        ),
+        F.sum((F.col("b_clicks") > F.col("a_clicks")).cast("int")).alias(
+            "wins_b"
+        ),
+        F.sum((F.col("a_clicks") == F.col("b_clicks")).cast("int")).alias(
+            "ties"
+        ),
+    ).select(
+        "trials",
+        "wins_a",
+        "wins_b",
+        "ties",
+        F.round(
+            (F.col("wins_a") + F.col("ties") / 2.0) / F.col("trials"),
+            round_digits,
+        ).alias("pref_a"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Query-query similarity from co-clicks, and the bipartite click-graph
+# random walk (Craswell & Szummer, "Random walks on the click graph",
+# SIGIR 2007)
+# --------------------------------------------------------------------------
+
+
+def coclick_query_similarity(
+    log: DataFrame,
+    max_doc_df: int | None = 10_000,
+    k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` query pairs by Jaccard overlap of their clicked doc
+    sets — the classic co-click query-similarity feature (Beeferman &
+    Berger, KDD 2000 use it to cluster the click graph). Returns
+    (rank, q1, q2, co_clicks, jaccard), rank by (jaccard desc, q1, q2).
+
+    ``max_doc_df`` caps the self-join fan-out: a doc clicked for d
+    queries contributes d^2 candidate pairs, so navigational mega-docs
+    are excluded above the cap (same quadratic-blowup guard as
+    ngram_jaccard's max_gram_df) — at web scale this is the difference
+    between a bounded shuffle and a cross join."""
+    qd = (
+        log.filter(F.col("clicked") == 1)
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    sizes = qd.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    if max_doc_df is not None:
+        keep = (
+            qd.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("ddf"))
+            .filter(F.col("ddf") <= max_doc_df)
+            .select("doc_id")
+        )
+        qd = qd.join(keep, "doc_id")
+    a = qd.select(F.col("query_id").alias("q1"), "doc_id")
+    b = qd.select(F.col("query_id").alias("q2"), "doc_id")
+    inter = (
+        a.join(b, "doc_id")
+        .filter(F.col("q1") < F.col("q2"))
+        .groupBy("q1", "q2")
+        .agg(F.count(F.lit(1)).alias("co_clicks"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("query_id", "q1"), "q1")
+        .withColumnRenamed("n", "n1")
+        .join(sizes.withColumnRenamed("query_id", "q2"), "q2")
+        .withColumnRenamed("n", "n2")
+        .select(
+            "q1",
+            "q2",
+            "co_clicks",
+            F.round(
+                F.col("co_clicks")
+                / (F.col("n1") + F.col("n2") - F.col("co_clicks")),
+                round_digits,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("jaccard").desc(), F.col("q1").asc(), F.col("q2").asc()
+    )
+    return (
+        jac.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "q1", "q2", "co_clicks", "jaccard")
+    )
+
+
+def click_walk(
+    log: DataFrame,
+    seeds: list,
+    steps: int = 3,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Forward random walk on the bipartite query-doc click graph
+    (Craswell & Szummer, SIGIR 2007, the s=0 no-self-transition walk):
+    transition Q->D and D->Q probabilities proportional to click
+    counts, normalized per source node. Starting from each seed query
+    with probability 1, run a fixed odd number of ``steps`` (ending on
+    the doc side) and return the top-``k`` docs per seed:
+    (query_id, rank, doc_id, prob) — doc relevance smoothed across the
+    click graph, reaching docs the seed never clicked directly.
+
+    Scale shape: the walk distribution is a relation
+    (seed, node, prob); each step is one equi-join against the
+    normalized edge list plus one hash re-aggregate — two shuffles per
+    step, node-keyed, exactly the PageRank plan with a seed dimension
+    riding along. Seeds are a small pinned list, so the frontier stays
+    seeds x reachable-nodes, never the full Q x D cross product."""
+    w_qd = (
+        log.filter(F.col("clicked") == 1)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    q_tot = w_qd.groupBy("query_id").agg(F.sum("w").alias("tot"))
+    d_tot = w_qd.groupBy("doc_id").agg(F.sum("w").alias("tot"))
+    fwd = w_qd.join(q_tot, "query_id").select(
+        F.col("query_id").alias("src"),
+        F.col("doc_id").alias("dst"),
+        (F.col("w") / F.col("tot")).alias("p"),
+    )
+    bwd = w_qd.join(d_tot, "doc_id").select(
+        F.col("doc_id").alias("src"),
+        F.col("query_id").alias("dst"),
+        (F.col("w") / F.col("tot")).alias("p"),
+    )
+    spark = log.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 1.0) for s in seeds], "seed long, node long, prob double"
+    )
+    for t in range(steps):
+        trans = fwd if t % 2 == 0 else bwd
+        dist = (
+            dist.join(trans, dist["node"] == trans["src"])
+            .select("seed", F.col("dst").alias("node"),
+                    (F.col("prob") * F.col("p")).alias("c"))
+            .groupBy("seed", "node")
+            .agg(F.sum("c").alias("prob"))
+            .localCheckpoint(eager=False)
+        )
+    wk = Window.partitionBy("seed").orderBy(
+        F.round(F.col("prob"), round_digits).desc(), F.col("node").asc()
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("seed").alias("query_id"),
+            "rank",
+            F.col("node").alias("doc_id"),
+            F.round("prob", round_digits).alias("prob"),
+        )
+    )
