@@ -50,6 +50,9 @@ _TOKS = (
 
 _SF001_DOCS = "/root/testdata/sf0.01/documents.parquet"
 
+# must mirror tokenkit_spark.ops.spotsigs.DEFAULT_ANCHORS
+_SPOTSIG_ANCHOR_SQL = "('the','a','an','is','of','to','in','and')"
+
 
 def _stem_map_values() -> str | None:
     """Stem-table-join oracle support (VERDICT r01 item 2): apply the
@@ -6201,6 +6204,45 @@ def q_click_walk(spark, sf_dir):
     return click_walk(_click_log(spark, sf_dir), list(WALK_SEEDS), steps=3)
 
 
+def q_asof_attribution(spark, sf_dir):
+    """As-of join (kdb aj / DuckDB ASOF contract, inclusive ties):
+    every purchase attributed to the user's latest preceding view via
+    the single-shuffle union-window plan — no range theta-join, no
+    per-key quadratics (ops/asof.py:purchase_view_attribution). Oracle
+    uses the correlated max-ts subquery form."""
+    from tokenkit_spark.ops.asof import purchase_view_attribution
+
+    return purchase_view_attribution(_events(spark, sf_dir))
+
+
+def q_incident_rollup(spark, sf_dir):
+    """Interval (range) join via bucket-explode + equi-join + exact
+    refine — the rewrite that replaces Catalyst's broadcast-nested-loop
+    theta join at scale; 20 pinned overlapping incident windows rolled
+    up over the events inside them, zero-filled
+    (ops/intervaljoin.py:event_incident_rollup). Oracle uses the naive
+    theta join."""
+    from tokenkit_spark.ops.intervaljoin import (
+        event_incident_rollup,
+        incident_windows,
+    )
+
+    return event_incident_rollup(
+        _events(spark, sf_dir), incident_windows(spark, n=20)
+    )
+
+
+def q_spotsigs_pairs(spark, sf_dir):
+    """SpotSigs near-duplicate pairs (Theobald et al. SIGIR 2008):
+    stopword-anchored 2-token chains, exact signature-set Jaccard
+    >= 0.4 through an inverted signature index with the quadratic-
+    fan-out df cap; top-20 pairs (ops/spotsigs.py:spotsigs_pairs).
+    Exact — fully oracle-checked, unlike the MinHash/SimHash tier."""
+    from tokenkit_spark.ops.spotsigs import spotsigs_pairs
+
+    return spotsigs_pairs(_docs(spark, sf_dir), tau=0.4, k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -6210,6 +6252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "asof_attribution": q_asof_attribution,
+        "incident_rollup": q_incident_rollup,
+        "spotsigs_pairs": q_spotsigs_pairs,
         "tdi_eval": q_tdi_eval,
         "coclick_similarity": q_coclick_similarity,
         "click_walk": q_click_walk,
@@ -8293,6 +8338,68 @@ SELECT hp.hop, count(*) AS reachable_pairs,
        round(count(*) / CAST(nn.n AS DOUBLE), 6) AS avg_ball
 FROM d, range(1, 4) hp(hop), nn
 WHERE d.dist <= hp.hop GROUP BY hp.hop, nn.n ORDER BY hp.hop""",
+        "asof_attribution": """
+WITH purch AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+vws AS (SELECT user_id, ts, max(value) AS v FROM events
+        WHERE event_type = 'view' GROUP BY 1, 2),
+m AS (SELECT p.event_id, p.user_id, p.ts,
+             (SELECT max(v.ts) FROM vws v
+              WHERE v.user_id = p.user_id AND v.ts <= p.ts) AS vts
+      FROM purch p)
+SELECT m.event_id, m.user_id, epoch_us(m.ts) AS ts_us,
+       epoch_us(m.vts) AS view_ts_us,
+       round(v.v, 6) AS view_value,
+       epoch_us(m.ts) - epoch_us(m.vts) AS lag_us
+FROM m LEFT JOIN vws v ON v.user_id = m.user_id AND v.ts = m.vts
+ORDER BY m.event_id
+""",
+        "incident_rollup": """
+WITH iv AS (SELECT i AS incident_id,
+            1704067200000000 + i * 118800000000 AS start_us,
+            1704067200000000 + i * 118800000000
+              + ((i % 5) + 1) * 25200000000 AS end_us
+            FROM range(0, 20) t(i)),
+ev AS (SELECT epoch_us(ts) AS ts_us, user_id, value FROM events),
+j AS (SELECT iv.incident_id, ev.user_id, ev.value FROM ev
+      JOIN iv ON ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us),
+agg AS (SELECT incident_id, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 4) AS sum_value FROM j GROUP BY 1)
+SELECT iv.incident_id, iv.start_us, iv.end_us,
+       CAST(coalesce(agg.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(agg.n_users, 0) AS BIGINT) AS n_users,
+       coalesce(agg.sum_value, 0.0) AS sum_value
+FROM iv LEFT JOIN agg USING (incident_id) ORDER BY incident_id
+""",
+        "spotsigs_pairs": f"""
+WITH {postoks_cte.strip()},
+sq AS (SELECT doc_id, pos, term,
+       CASE WHEN term IN {_SPOTSIG_ANCHOR_SQL} THEN 1 ELSE 0 END AS stop,
+       sum(CASE WHEN term IN {_SPOTSIG_ANCHOR_SQL} THEN 0 ELSE 1 END)
+         OVER (PARTITION BY doc_id ORDER BY pos) AS c FROM toks),
+nonstop AS (SELECT doc_id, c AS seq, term AS w FROM sq WHERE stop = 0),
+anch AS (SELECT doc_id, c AS c0 FROM sq WHERE stop = 1),
+sigs AS (SELECT DISTINCT a.doc_id, n1.w || ':' || n2.w AS sig
+         FROM anch a
+         JOIN nonstop n1 ON n1.doc_id = a.doc_id AND n1.seq = a.c0 + 1
+         JOIN nonstop n2 ON n2.doc_id = a.doc_id AND n2.seq = a.c0 + 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sigs GROUP BY 1),
+keep AS (SELECT sig FROM sigs GROUP BY sig HAVING count(*) <= 10000),
+ps AS (SELECT sigs.* FROM sigs JOIN keep USING (sig)),
+inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS co_sigs
+          FROM ps x JOIN ps y ON x.sig = y.sig AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT d1, d2, CAST(co_sigs AS BIGINT) AS co_sigs,
+               round(co_sigs / CAST(s1.n + s2.n - co_sigs AS DOUBLE), 6)
+                 AS jaccard
+        FROM inter JOIN sizes s1 ON s1.doc_id = d1
+                   JOIN sizes s2 ON s2.doc_id = d2)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY jaccard DESC, d1, d2) AS rank,
+         d1, d2, co_sigs, jaccard FROM jac WHERE jaccard >= 0.4)
+WHERE rank <= 20
+""",
         "tdi_eval": f"""
 WITH {click_log_cte},
 {tdi_unroll},
