@@ -6243,6 +6243,41 @@ def q_spotsigs_pairs(spark, sf_dir):
     return spotsigs_pairs(_docs(spark, sf_dir), tau=0.4, k=20)
 
 
+def q_redde_shards(spark, sf_dir):
+    """ReDDE sample-based shard selection (Si & Callan SIGIR 2003):
+    BM25 over the doc_id%4 Central Sample Index, top-10 sampled docs
+    vote n_s/s_s for their source shard (16 keyed-md5 shards) — the
+    corpus-size-independent router next to CORI
+    (index/redde.py:redde_shard_scores)."""
+    from tokenkit_spark.index.redde import redde_shard_scores
+
+    return redde_shard_scores(
+        _docs(spark, sf_dir), _queries_df(spark), n_shards=16,
+        sample_mod=4, top_n=10,
+    )
+
+
+def q_hopping_counts(spark, sf_dir):
+    """Hopping-window rollup (width 6h, slide 3h) via Spark's native
+    F.window — every event in exactly 2 overlapping windows, the
+    streaming-unifiable sibling of date_histogram
+    (ops/events.py:hopping_counts). Oracle uses the epoch-aligned
+    closed form."""
+    from tokenkit_spark.ops.events import hopping_counts
+
+    return hopping_counts(_events(spark, sf_dir))
+
+
+def q_native_sessions(spark, sf_dir):
+    """Gap-based sessions via Spark's native F.session_window (45 min
+    gap, end = last event + gap) — the API-coverage twin of sessionize
+    (ops/events.py:native_session_stats). Oracle rebuilds the islands
+    with a lag + running break-flag sum."""
+    from tokenkit_spark.ops.events import native_session_stats
+
+    return native_session_stats(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -6252,6 +6287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "redde_shards": q_redde_shards,
+        "hopping_counts": q_hopping_counts,
+        "native_sessions": q_native_sessions,
         "asof_attribution": q_asof_attribution,
         "incident_rollup": q_incident_rollup,
         "spotsigs_pairs": q_spotsigs_pairs,
@@ -8338,6 +8376,69 @@ SELECT hp.hop, count(*) AS reachable_pairs,
        round(count(*) / CAST(nn.n AS DOUBLE), 6) AS avg_ball
 FROM d, range(1, 4) hp(hop), nn
 WHERE d.dist <= hp.hop GROUP BY hp.hop, nn.n ORDER BY hp.hop""",
+        "redde_shards": f"""
+WITH sh AS (SELECT doc_id,
+       (('0x' || substring(md5(doc_id::VARCHAR || '|route'), 1, 8))::BIGINT % 16)
+         AS shard FROM documents),
+ns AS (SELECT shard, count(*) AS n_s FROM sh GROUP BY 1),
+ss AS (SELECT shard, count(*) AS s_s FROM sh WHERE doc_id % 4 = 0 GROUP BY 1),
+toks AS (SELECT doc_id, lower(u.t) AS term FROM documents,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS u(t)
+         WHERE doc_id % 4 = 0),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> ''))
+             AS u(t)),
+scored AS (SELECT q.query_id, p.doc_id,
+           round(sum(ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+                     * p.tf * (1.2 + 1.0)
+                     / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl))),
+                 6) AS score
+           FROM qterms q JOIN postings p USING (term)
+           JOIN tstats t USING (term) JOIN dstats d USING (doc_id)
+           CROSS JOIN globals g GROUP BY 1, 2),
+top AS (SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS r FROM scored) WHERE r <= 10),
+votes AS (SELECT t.query_id, sh.shard,
+                 sum(ns.n_s / CAST(ss.s_s AS DOUBLE)) AS est
+          FROM top t JOIN sh ON sh.doc_id = t.doc_id
+          JOIN ns USING (shard) JOIN ss USING (shard) GROUP BY 1, 2)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(est, 6) DESC, shard) AS rank,
+       shard, round(est, 6) AS est_rel,
+       round(est / sum(est) OVER (PARTITION BY query_id), 6) AS share
+FROM votes
+""",
+        "hopping_counts": """
+WITH ev AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+w AS (SELECT ((us // 10800000000) - t.j) * 10800000000 AS win_start_us,
+             event_type, value FROM ev, range(0, 2) t(j))
+SELECT win_start_us, win_start_us + 21600000000 AS win_end_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM w GROUP BY 1, 2, 3 ORDER BY win_start_us, event_type
+""",
+        "native_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_id FROM events),
+l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS prev FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 2700000000
+                     THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+SELECT user_id, min(us) AS session_start_us,
+       max(us) + 2700000000 AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
+""",
         "asof_attribution": """
 WITH purch AS (SELECT event_id, user_id, ts, value FROM events
                WHERE event_type = 'purchase'),

@@ -482,3 +482,72 @@ def retention_cohorts(
         .agg(F.countDistinct(entity_col).alias("n_entities"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def hopping_counts(
+    events: DataFrame,
+    width: str = "6 hours",
+    slide: str = "3 hours",
+    ts_col: str = "ts",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hopping (sliding) window rollup via Spark's native ``F.window``
+    — every event lands in width/slide overlapping windows (here 2),
+    the streaming-unifiable twin of the tumbling date_histogram:
+    (win_start_us, win_end_us, event_type, n_events, sum_value) ordered
+    by (win_start_us, event_type).
+
+    Spark aligns hop boundaries to the epoch origin, so for integral
+    width/slide ratios an event at t belongs to exactly the windows
+    starting at (floor(t/slide) - j) * slide for j < width/slide — the
+    closed form the DuckDB oracle restates. One hash aggregate after a
+    2x in-map fan-out; no self-joins, no calendar table."""
+    grouped = events.groupBy(
+        F.window(ts_col, width, slide).alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), round_digits).alias("sum_value"),
+    )
+    out = grouped.select(
+        "win.start", "win.end", "event_type", "n_events", "sum_value"
+    )
+    return out.select(
+        _epoch_us(out, "start").alias("win_start_us"),
+        _epoch_us(out, "end").alias("win_end_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("win_start_us", "event_type")
+
+
+def native_session_stats(
+    events: DataFrame,
+    gap: str = "45 minutes",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Gap-based sessions via Spark's native ``F.session_window`` — the
+    API-coverage twin of ``sessionize`` (which builds the same islands
+    with a lag window): one row per (entity, session) with Spark's
+    session-window convention that the session END is the last event's
+    timestamp plus the gap. Returns (user_id, session_start_us,
+    session_end_us, n_events, sum_value) ordered by (user_id,
+    session_start_us). The oracle restates the islands with a lag +
+    running-flag sum and adds the gap to max(ts)."""
+    grouped = events.groupBy(
+        F.col(entity_col), F.session_window(ts_col, gap).alias("win")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), round_digits).alias("sum_value"),
+    )
+    out = grouped.select(
+        entity_col, "win.start", "win.end", "n_events", "sum_value"
+    )
+    return out.select(
+        entity_col,
+        _epoch_us(out, "start").alias("session_start_us"),
+        _epoch_us(out, "end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    ).orderBy(entity_col, "session_start_us")
