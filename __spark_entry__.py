@@ -6278,6 +6278,50 @@ def q_native_sessions(spark, sf_dir):
     return native_session_stats(_events(spark, sf_dir))
 
 
+def q_reshard_movement(spark, sf_dir):
+    """Consistent-hash ring (Karger STOC 1997, 8 vnodes/shard) vs
+    modulo routing: exact document movement growing 16 -> 17 shards
+    plus ring load imbalance — the resharding-cost audit behind ES's
+    fixed-shard-count design (index/reshard.py:reshard_movement_audit)."""
+    from tokenkit_spark.index.reshard import reshard_movement_audit
+
+    return reshard_movement_audit(
+        _docs(spark, sf_dir), n_shards=16, vnodes=8
+    )
+
+
+def q_snapshot_churn(spark, sf_dir):
+    """Crawl snapshot diff (Ntoulas/Cho/Olston WWW 2004):
+    added/removed/changed/unchanged classification by content hash
+    between epoch A (documents) and the pinned-arithmetic epoch B, one
+    full-outer join (ops/snapshotdiff.py:snapshot_diff)."""
+    from tokenkit_spark.ops.snapshotdiff import (
+        snapshot_diff,
+        synthetic_second_crawl,
+    )
+
+    d = _docs(spark, sf_dir)
+    return snapshot_diff(d, synthetic_second_crawl(d))
+
+
+def q_elias_sizes(spark, sf_dir):
+    """Elias gamma/delta (1975) exact posting-gap bit cost vs varint on
+    the same +1-shifted gap stream, top-20 largest term lists — sixth
+    codec-audit sibling (index/eliascodes.py:elias_audit)."""
+    from tokenkit_spark.index.eliascodes import elias_audit
+
+    postings = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return elias_audit(postings, k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -6287,6 +6331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "reshard_movement": q_reshard_movement,
+        "snapshot_churn": q_snapshot_churn,
+        "elias_sizes": q_elias_sizes,
         "redde_shards": q_redde_shards,
         "hopping_counts": q_hopping_counts,
         "native_sessions": q_native_sessions,
@@ -8376,6 +8423,87 @@ SELECT hp.hop, count(*) AS reachable_pairs,
        round(count(*) / CAST(nn.n AS DOUBLE), 6) AS avg_ball
 FROM d, range(1, 4) hp(hop), nn
 WHERE d.dist <= hp.hop GROUP BY hp.hop, nn.n ORDER BY hp.hop""",
+        "reshard_movement": """
+WITH d AS (SELECT doc_id,
+        ('0x' || substring(md5(doc_id::VARCHAR || '|route'), 1, 8))::BIGINT
+          AS h,
+        ('0x' || substring(md5(doc_id::VARCHAR || '|pos'), 1, 8))::BIGINT
+          AS dpos
+     FROM documents),
+ring AS (SELECT n, j.j AS shard, v.v AS vnode,
+         ('0x' || substring(md5('s' || j.j || '#' || v.v), 1, 8))::BIGINT
+           AS pos
+         FROM (VALUES (16), (17)) t(n), range(0, 17) j(j), range(0, 8) v(v)
+         WHERE j.j < n),
+asg AS (SELECT n, doc_id, shard FROM (
+        SELECT r.n, d.doc_id, r.shard,
+               row_number() OVER (PARTITION BY r.n, d.doc_id
+                 ORDER BY (r.pos - d.dpos + 4294967296) % 4294967296,
+                          r.shard, r.vnode) AS rn
+        FROM d CROSS JOIN ring r) WHERE rn = 1),
+mv AS (SELECT a16.doc_id,
+              CASE WHEN a16.shard <> a17.shard THEN 1 ELSE 0 END AS m,
+              a17.shard AS shard1
+       FROM (SELECT doc_id, shard FROM asg WHERE n = 16) a16
+       JOIN (SELECT doc_id, shard FROM asg WHERE n = 17) a17
+         USING (doc_id)),
+modm AS (SELECT CAST(sum(CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_mod FROM d),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(m) AS BIGINT) AS moved_ring FROM mv),
+mx AS (SELECT max(c) AS max_c FROM (
+       SELECT shard1, count(*) AS c FROM mv GROUP BY 1))
+SELECT tot.n_docs, modm.moved_mod, tot.moved_ring,
+       round(modm.moved_mod / CAST(tot.n_docs AS DOUBLE), 6) AS frac_mod,
+       round(tot.moved_ring / CAST(tot.n_docs AS DOUBLE), 6) AS frac_ring,
+       round(mx.max_c / CAST(tot.n_docs AS DOUBLE), 6) AS ring_max_share
+FROM tot, modm, mx
+""",
+        "snapshot_churn": """
+WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+b0 AS (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                   ELSE text END AS text
+       FROM documents WHERE doc_id % 13 <> 0
+       UNION ALL
+       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+b AS (SELECT doc_id, md5(text) AS h_new FROM b0),
+j AS (SELECT CASE WHEN a.h_old IS NULL THEN 'added'
+                  WHEN b.h_new IS NULL THEN 'removed'
+                  WHEN a.h_old <> b.h_new THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b USING (doc_id)),
+c AS (SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM j GROUP BY 1)
+SELECT status, n_docs,
+       round(n_docs / CAST((SELECT sum(n_docs) FROM c) AS DOUBLE), 6)
+         AS share
+FROM c ORDER BY status
+""",
+        "elias_sizes": f"""
+WITH toks AS ({_TOKS}),
+p AS (SELECT DISTINCT term, doc_id AS id FROM toks WHERE term <> ''),
+g AS (SELECT term,
+             id - coalesce(lag(id) OVER (PARTITION BY term ORDER BY id), -1)
+               AS gap FROM p),
+sz AS (SELECT term, gap,
+       2 * (length(bin(CAST(gap AS BIGINT))) - 1) + 1 AS g_bits,
+       (length(bin(CAST(gap AS BIGINT))) - 1)
+         + 2 * (length(bin(CAST(length(bin(CAST(gap AS BIGINT)))
+                               AS BIGINT))) - 1) + 1 AS d_bits,
+       ({varint_case}) * 8 AS v_bits FROM g),
+agg AS (SELECT term, count(*) AS n_docs,
+               CAST(sum(g_bits) AS BIGINT) AS gamma_bits,
+               CAST(sum(d_bits) AS BIGINT) AS delta_bits,
+               CAST(sum(v_bits) AS BIGINT) AS varint_bits
+        FROM sz GROUP BY 1)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY n_docs DESC, term ASC) AS rank,
+         term, n_docs, gamma_bits, delta_bits, varint_bits,
+         round(gamma_bits / CAST(n_docs AS DOUBLE), 4) AS bpp_gamma,
+         round(delta_bits / CAST(n_docs AS DOUBLE), 4) AS bpp_delta,
+         round(varint_bits / CAST(n_docs AS DOUBLE), 4) AS bpp_varint
+  FROM agg) WHERE rank <= 20
+""",
         "redde_shards": f"""
 WITH sh AS (SELECT doc_id,
        (('0x' || substring(md5(doc_id::VARCHAR || '|route'), 1, 8))::BIGINT % 16)
