@@ -6322,6 +6322,36 @@ def q_elias_sizes(spark, sf_dir):
     return elias_audit(postings, k=20)
 
 
+def q_kleinberg_bursts(spark, sf_dir):
+    """Kleinberg 2-state burst detection (KDD 2002) over per-type
+    daily counts (s=1.3, gamma=0.3, zero-filled calendar): burst
+    intervals of the optimal state sequence with fit-saving weights;
+    the per-group Viterbi runs as an applyInPandas kernel, states
+    recovered by the fwd+bwd argmin rule so the unrolled-CTE oracle
+    agrees exactly (ops/bursts.py:kleinberg_bursts)."""
+    from tokenkit_spark.ops.bursts import kleinberg_bursts
+
+    return kleinberg_bursts(_events(spark, sf_dir), s=1.3, gamma=0.3)
+
+
+def q_katz_top20(spark, sf_dir):
+    """Katz centrality (1953), alpha=0.1, 5 fixed-point iterations
+    (= attenuated walk sum up to length 5), top-20
+    (ops/linkgraph.py:top_katz). Oracle unrolls the recurrence."""
+    from tokenkit_spark.ops.linkgraph import top_katz
+
+    return top_katz(_link_edges(spark, sf_dir), n_iter=5, alpha=0.1, k=20)
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman PRL 2002): Pearson correlation of
+    endpoint degrees over the undirected closure — one row
+    (ops/linkgraph.py:degree_assortativity)."""
+    from tokenkit_spark.ops.linkgraph import degree_assortativity
+
+    return degree_assortativity(_link_edges(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -6331,6 +6361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "kleinberg_bursts": q_kleinberg_bursts,
+        "katz_top20": q_katz_top20,
+        "assortativity": q_assortativity,
         "reshard_movement": q_reshard_movement,
         "snapshot_churn": q_snapshot_churn,
         "elias_sizes": q_elias_sizes,
@@ -6743,6 +6776,108 @@ comb AS (SELECT {combined} AS combined FROM idx)
 SELECT {chars} AS geohash, count(*) AS doc_count
 FROM comb GROUP BY 1
 """
+
+
+def _bursts_oracle_sql(T: int = 30, s: float = 1.3, gamma: float = 0.3) -> str:
+    """Twin of ops/bursts.py:kleinberg_bursts — the 2-state Viterbi DP
+    unrolled as T forward + T backward MATERIALIZED CTE levels, states
+    recovered by the same fwd+bwd argmin (ties to state 0)."""
+    ctes = [
+        "bdays AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day "
+        "FROM events)",
+        "bper AS (SELECT grp, day, count(*) AS r FROM bdays GROUP BY 1, 2)",
+        "bspan AS (SELECT min(day) AS d0, max(day) AS d1 FROM bdays)",
+        "bcal AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),"
+        " CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day "
+        "FROM bspan)",
+        "bgrid AS (SELECT g.grp, bcal.day FROM "
+        "(SELECT DISTINCT grp FROM bdays) g, bcal)",
+        "bfil AS (SELECT bgrid.grp, bgrid.day, coalesce(bper.r, 0) AS r "
+        "FROM bgrid LEFT JOIN bper ON bper.grp = bgrid.grp "
+        "AND bper.day = bgrid.day)",
+        "btot AS (SELECT day, sum(r) AS d FROM bfil GROUP BY 1)",
+        "brel AS (SELECT f.grp, f.day, f.r, t.d, row_number() OVER ("
+        "PARTITION BY f.grp ORDER BY f.day) AS t FROM bfil f "
+        "JOIN btot t USING (day))",
+        f"bprm AS (SELECT grp, sum(r) / CAST(sum(d) AS DOUBLE) AS p0, "
+        f"least(0.99, {s} * sum(r) / CAST(sum(d) AS DOUBLE)) AS p1 "
+        f"FROM brel GROUP BY 1)",
+        f"fits AS MATERIALIZED (SELECT brel.grp, brel.t, brel.day, "
+        f"-(brel.r * ln(bprm.p0) + (brel.d - brel.r) * ln(1 - bprm.p0)) "
+        f"AS fit0, "
+        f"-(brel.r * ln(bprm.p1) + (brel.d - brel.r) * ln(1 - bprm.p1)) "
+        f"AS fit1, {gamma} * ln({T}.0) AS tr FROM brel "
+        f"JOIN bprm USING (grp))",
+        "f1 AS MATERIALIZED (SELECT grp, fit0 AS c0, tr + fit1 AS c1 "
+        "FROM fits WHERE t = 1)",
+    ]
+    for t in range(2, T + 1):
+        ctes.append(
+            f"f{t} AS MATERIALIZED (SELECT f.grp, "
+            f"ft.fit0 + least(f.c0, f.c1) AS c0, "
+            f"ft.fit1 + least(f.c0 + ft.tr, f.c1) AS c1 "
+            f"FROM f{t - 1} f JOIN fits ft ON ft.grp = f.grp "
+            f"AND ft.t = {t})"
+        )
+    ctes.append(
+        f"b{T} AS MATERIALIZED (SELECT grp, 0.0 AS c0, 0.0 AS c1 FROM bprm)"
+    )
+    for t in range(T - 1, 0, -1):
+        ctes.append(
+            f"b{t} AS MATERIALIZED (SELECT b.grp, "
+            f"least(ft.fit0 + b.c0, ft.tr + ft.fit1 + b.c1) AS c0, "
+            f"least(ft.fit0 + b.c0, ft.fit1 + b.c1) AS c1 "
+            f"FROM b{t + 1} b JOIN fits ft ON ft.grp = b.grp "
+            f"AND ft.t = {t + 1})"
+        )
+    st_parts = [
+        f"SELECT grp, {t} AS t, CASE WHEN f.c0 + b.c0 <= f.c1 + b.c1 "
+        f"THEN 0 ELSE 1 END AS state FROM f{t} f JOIN b{t} b USING (grp)"
+        for t in range(1, T + 1)
+    ]
+    ctes.append("st AS (" + " UNION ALL ".join(st_parts) + ")")
+    ctes.append(
+        "bursty AS (SELECT st.grp, st.t, fits.day, "
+        "fits.fit0 - fits.fit1 AS saving FROM st JOIN fits "
+        "ON fits.grp = st.grp AND fits.t = st.t WHERE st.state = 1)"
+    )
+    ctes.append(
+        "isl AS (SELECT *, t - row_number() OVER (PARTITION BY grp "
+        "ORDER BY t) AS gid FROM bursty)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT grp AS event_type, min(day) AS start_day, max(day) AS end_day,
+       CAST(count(*) AS BIGINT) AS n_days, round(sum(saving), 6) AS weight
+FROM isl GROUP BY grp, gid ORDER BY event_type, start_day"""
+    )
+
+
+def _katz_oracle_sql(n_iter: int = 5, alpha: float = 0.1, k: int = 20) -> str:
+    """Twin of ops/linkgraph.py:top_katz — fixed-point iterations
+    unrolled as CTE levels."""
+    ctes = [
+        _LINK_EDGES_SQL.strip(),
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "x0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS x FROM nodes)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"x{i + 1} AS (SELECT nodes.node, "
+            f"CAST(1.0 AS DOUBLE) + {alpha} * "
+            f"coalesce(inf.i, CAST(0.0 AS DOUBLE)) AS x FROM nodes "
+            f"LEFT JOIN (SELECT dst, sum(x) AS i FROM edges "
+            f"JOIN x{i} ON x{i}.node = edges.src GROUP BY 1) inf "
+            f"ON nodes.node = inf.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT rank, node, katz FROM (
+  SELECT row_number() OVER (ORDER BY round(x, 6) DESC, node) AS rank,
+         node, round(x, 6) AS katz FROM x{n_iter})
+WHERE rank <= {k}"""
+    )
 
 
 def _ktruss_oracle_sql(k: int = 3, rounds: int = 6, top: int = 25) -> str:
@@ -8423,6 +8558,29 @@ SELECT hp.hop, count(*) AS reachable_pairs,
        round(count(*) / CAST(nn.n AS DOUBLE), 6) AS avg_ball
 FROM d, range(1, 4) hp(hop), nn
 WHERE d.dist <= hp.hop GROUP BY hp.hop, nn.n ORDER BY hp.hop""",
+        "kleinberg_bursts": _bursts_oracle_sql(T=30, s=1.3, gamma=0.3),
+        "katz_top20": _katz_oracle_sql(n_iter=5, alpha=0.1, k=20),
+        "assortativity": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+e AS (SELECT src, dst FROM edges WHERE src <> dst),
+und AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e
+        UNION ALL SELECT dst AS src, src AS dst FROM e)),
+deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+pairs AS (SELECT da.deg AS dx, db.deg AS dy FROM und
+          JOIN deg da ON da.node = und.src
+          JOIN deg db ON db.node = und.dst),
+agg AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+               sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+               sum(dy * dy) AS syy FROM pairs)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       round(sx / CAST(m AS DOUBLE), 6) AS mean_deg,
+       round((sxy - sx * sy / CAST(m AS DOUBLE))
+             / sqrt((sxx - sx * sx / CAST(m AS DOUBLE))
+                    * (syy - sy * sy / CAST(m AS DOUBLE))), 6)
+         AS assortativity
+FROM agg
+""",
         "reshard_movement": """
 WITH d AS (SELECT doc_id,
         ('0x' || substring(md5(doc_id::VARCHAR || '|route'), 1, 8))::BIGINT

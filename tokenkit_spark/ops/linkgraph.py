@@ -976,3 +976,92 @@ def simrank_pairs(
             F.round("s", round_digits).alias("simrank"),
         )
     )
+
+
+def top_katz(
+    edges: DataFrame,
+    n_iter: int = 5,
+    alpha: float = 0.1,
+    k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Katz centrality (Katz, Psychometrika 1953) by fixed-point
+    iteration x <- 1 + alpha * A^T x from x = 1 — the attenuated
+    all-walks sibling of PageRank (no degree normalization, so hubs
+    pointing anywhere still confer status; alpha below 1/lambda_max
+    guarantees convergence, and the fixed ``n_iter`` truncation equals
+    the paths-up-to-length-n_iter partial sum, SQL-unrollable level by
+    level). Same two-shuffle-per-iteration plan as PageRank: one
+    edge x scores equi-join + one hash aggregate per level.
+    Returns (rank, node, katz) by (6-dp score desc, node asc)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    x = nodes.select("node", F.lit(1.0).alias("x"))
+    for _ in range(n_iter):
+        inflow = (
+            edges.join(x, edges["src"] == x["node"])
+            .select("dst", F.col("x").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        x = nodes.join(inflow, nodes["node"] == inflow["dst"], "left").select(
+            "node",
+            (
+                F.lit(1.0)
+                + alpha * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("x"),
+        ).localCheckpoint(eager=False)
+    w = Window.orderBy(F.round(F.col("x"), round_digits).desc(),
+                       F.col("node").asc())
+    return (
+        x.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "node", F.round("x", round_digits).alias("katz"))
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, round_digits: int = 6
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, "Assortative mixing
+    in networks", PRL 2002): the Pearson correlation of the degrees at
+    the two ends of every undirected edge (both orientations counted,
+    the standard convention). Positive r: hubs link to hubs (social
+    nets); negative: hubs link to leaves (the web, biological nets).
+    One degree hash-agg + one edge-keyed join + one scalar aggregate —
+    a single pass at any scale. Returns one row (n_edges, mean_deg,
+    assortativity)."""
+    from tokenkit_spark.ops.communities import undirected_edges
+
+    und = undirected_edges(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        und.join(deg.withColumnRenamed("src", "a_node"),
+                 und["src"] == F.col("a_node"))
+        .withColumnRenamed("deg", "dx")
+        .join(deg.withColumnRenamed("src", "b_node"),
+              und["dst"] == F.col("b_node"))
+        .withColumnRenamed("deg", "dy")
+        .select("dx", "dy")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m")
+    den = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"))
+        * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("m"))
+    )
+    return agg.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(F.col("sx") / F.col("m"), round_digits).alias("mean_deg"),
+        F.round(num / den, round_digits).alias("assortativity"),
+    )
