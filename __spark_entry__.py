@@ -6352,6 +6352,50 @@ def q_assortativity(spark, sf_dir):
     return degree_assortativity(_link_edges(spark, sf_dir))
 
 
+def q_ips_eval(spark, sf_dir):
+    """Counterfactual ranker evaluation with inverse propensity
+    scoring (Joachims et al. WSDM 2017): the two TDI candidate rankers
+    valued offline from the logged clicks alone, weights
+    e(rank_new)/e(p_logged) under the observed PBM examination curve
+    (ops/clicks.py:ips_policy_value)."""
+    from tokenkit_spark.ops.clicks import ips_policy_value
+
+    log = _click_log(spark, sf_dir)
+    uni = log.select("query_id", "doc_id").distinct()
+    wa = Window.partitionBy("query_id").orderBy(
+        (F.col("doc_id") * 3 + F.col("query_id")) % 17, F.col("doc_id")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        (F.col("doc_id") * 5 + F.col("query_id")) % 19, F.col("doc_id")
+    )
+    ra = uni.withColumn("rnk", F.row_number().over(wa)).withColumn(
+        "ranker", F.lit("A")
+    )
+    rb = uni.withColumn("rnk", F.row_number().over(wb)).withColumn(
+        "ranker", F.lit("B")
+    )
+    return ips_policy_value(log, ra.unionByName(rb), k=10)
+
+
+def q_dataset_splits(spark, sf_dir):
+    """Domain-disjoint train/val/test split (80/10/10 by pinned md5 of
+    the source+pseudo-host group key) with the leakage audit proving
+    no group straddles splits (ops/splits.py:domain_disjoint_split)."""
+    from tokenkit_spark.ops.splits import domain_disjoint_split
+
+    return domain_disjoint_split(_docs(spark, sf_dir))
+
+
+def q_hard_negatives(spark, sf_dir):
+    """BM25 hard-negative mining for dense-retriever training
+    (Karpukhin et al. 2020 §3.2): per query the top-10 highest-BM25
+    docs NOT containing all query terms — lexically-close wrong
+    answers (index/negatives.py:hard_negatives)."""
+    from tokenkit_spark.index.negatives import hard_negatives
+
+    return hard_negatives(_docs(spark, sf_dir), _queries_df(spark), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -6361,6 +6405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "ips_eval": q_ips_eval,
+        "dataset_splits": q_dataset_splits,
+        "hard_negatives": q_hard_negatives,
         "kleinberg_bursts": q_kleinberg_bursts,
         "katz_top20": q_katz_top20,
         "assortativity": q_assortativity,
@@ -8558,6 +8605,82 @@ SELECT hp.hop, count(*) AS reachable_pairs,
        round(count(*) / CAST(nn.n AS DOUBLE), 6) AS avg_ball
 FROM d, range(1, 4) hp(hop), nn
 WHERE d.dist <= hp.hop GROUP BY hp.hop, nn.n ORDER BY hp.hop""",
+        "ips_eval": f"""
+WITH {click_log_cte},
+uni AS (SELECT DISTINCT query_id, doc_id FROM imp),
+ra AS (SELECT 'A' AS ranker, query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+         ORDER BY (doc_id * 3 + query_id) % 17, doc_id) AS rnk FROM uni),
+rb AS (SELECT 'B' AS ranker, query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+         ORDER BY (doc_id * 5 + query_id) % 19, doc_id) AS rnk FROM uni),
+rk AS (SELECT * FROM ra WHERE rnk <= 10
+       UNION ALL SELECT * FROM rb WHERE rnk <= 10),
+serps AS (SELECT count(*) AS n FROM (
+          SELECT DISTINCT query_id, session_id FROM clog)),
+j AS (SELECT r.ranker, l.clicked * e2.propensity / e1.propensity AS w
+      FROM clog l JOIN rk r USING (query_id, doc_id)
+      JOIN curve1 e1 ON e1.position = l.position AND e1.propensity > 0
+      JOIN curve1 e2 ON e2.position = r.rnk),
+ips AS (SELECT ranker, sum(w) AS v FROM j GROUP BY 1)
+SELECT ranker, CAST((SELECT n FROM serps) AS BIGINT) AS serps,
+       round((SELECT sum(clicked) FROM clog)
+             / CAST((SELECT n FROM serps) AS DOUBLE), 6)
+         AS logged_ctr_serp,
+       round(v / (SELECT n FROM serps), 6) AS ips_clicks_serp
+FROM ips ORDER BY ranker
+""",
+        "dataset_splits": """
+WITH t AS (SELECT grp,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT source || '-' || CAST(doc_id % 5 AS VARCHAR) AS grp,
+             ('0x' || substring(md5(source || '-'
+                || CAST(doc_id % 5 AS VARCHAR) || '|split'), 1, 8))::BIGINT
+               % 100 AS b
+             FROM documents)),
+pg AS (SELECT grp, count(DISTINCT split) AS n_splits, min(split) AS split,
+              count(*) AS n_docs FROM t GROUP BY 1),
+lk AS (SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS leaked_groups FROM pg),
+sm AS (SELECT split, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_groups FROM pg GROUP BY 1)
+SELECT split, n_docs, n_groups,
+       round(n_docs / CAST((SELECT sum(n_docs) FROM sm) AS DOUBLE), 6)
+         AS doc_share,
+       (SELECT leaked_groups FROM lk) AS leaked_groups
+FROM sm ORDER BY split
+""",
+        "hard_negatives": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks
+             WHERE term <> '' GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks
+           WHERE term <> '' GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> ''))
+             AS u(t)),
+qsz AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY 1),
+scored AS (SELECT q.query_id, p.doc_id,
+           round(sum(ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+                     * p.tf * (1.2 + 1.0)
+                     / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl))),
+                 6) AS score,
+           count(*) AS n_matched
+           FROM qterms q JOIN postings p USING (term)
+           JOIN tstats t USING (term) JOIN dstats d USING (doc_id)
+           CROSS JOIN globals g GROUP BY 1, 2),
+neg AS (SELECT s.query_id, s.doc_id, s.score FROM scored s
+        JOIN qsz USING (query_id) WHERE s.n_matched < qsz.n_terms)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM neg) WHERE rank <= 10
+""",
         "kleinberg_bursts": _bursts_oracle_sql(T=30, s=1.3, gamma=0.3),
         "katz_top20": _katz_oracle_sql(n_iter=5, alpha=0.1, k=20),
         "assortativity": f"""

@@ -541,3 +541,89 @@ def click_walk(
             F.round("prob", round_digits).alias("prob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Counterfactual (off-policy) ranker evaluation with inverse propensity
+# scoring (Joachims, Swaminathan & Schnabel, "Unbiased learning-to-rank
+# with biased feedback", WSDM 2017; Li et al., "Offline evaluation of
+# ranking policies with click models", KDD 2018)
+# --------------------------------------------------------------------------
+
+
+def ips_policy_value(
+    log: DataFrame,
+    rankers: DataFrame,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Estimate each candidate ranker's expected clicks per SERP from
+    the LOGGED clicks alone — no new interleaving experiment:
+
+    under PBM, E[clicks(B)] = sum_d alpha(q,d) * e(rank_B(d)); the log
+    gives an unbiased alpha estimate clicked / e(p_logged), so
+
+        V(B) = (1/#SERPs) * sum_impressions clicked
+               * e(rank_B(q, doc)) / e(p_logged)
+
+    restricted to docs B ranks within top-``k``. The examination curve
+    e(p) is the observed position-CTR normalized to e(1)=1 — the same
+    propensity the PBM attractiveness estimator uses.
+
+    ``rankers``: (ranker, query_id, doc_id, rnk) — each candidate's
+    per-query ranking. Returns one row per ranker:
+    (ranker, serps, logged_ctr_serp, ips_clicks_serp), ordered by
+    ranker; logged_ctr_serp is the logged policy's realized
+    clicks/SERP for reference.
+
+    Scale shape: one broadcast of the positions-sized propensity
+    curve, one (query, doc)-keyed join of the log against the ranker
+    table, one hash aggregate per ranker — the log is touched once for
+    every candidate ranker simultaneously."""
+    # zero-propensity positions (never-clicked ranks) carry no usable
+    # signal and would divide by zero — the standard IPS support guard
+    curve = (
+        _with_position_curve(log)
+        .select(
+            "query_id", "session_id", "position", "doc_id", "clicked",
+            "propensity",
+        )
+        .filter(F.col("propensity") > 0)
+    )
+    serps = log.select("query_id", "session_id").distinct().count()
+    rk = rankers.filter(F.col("rnk") <= k)
+    # e(rank_B): propensity of the candidate position, from the same
+    # normalized curve keyed by position
+    pos_e = (
+        _with_position_curve(log)
+        .select("position", "propensity")
+        .distinct()
+        .withColumnRenamed("position", "rnk")
+        .withColumnRenamed("propensity", "e_new")
+    )
+    joined = (
+        curve.join(rk, ["query_id", "doc_id"])
+        .join(F.broadcast(pos_e), "rnk")
+        .withColumn(
+            "w",
+            F.col("clicked") * F.col("e_new") / F.col("propensity"),
+        )
+    )
+    ips = joined.groupBy("ranker").agg(F.sum("w").alias("v"))
+    logged = log.agg(
+        (F.sum("clicked") / F.lit(serps)).alias("logged_ctr_serp")
+    )
+    return (
+        ips.crossJoin(F.broadcast(logged))
+        .select(
+            "ranker",
+            F.lit(serps).cast("long").alias("serps"),
+            F.round("logged_ctr_serp", round_digits).alias(
+                "logged_ctr_serp"
+            ),
+            F.round(F.col("v") / serps, round_digits).alias(
+                "ips_clicks_serp"
+            ),
+        )
+        .orderBy("ranker")
+    )
