@@ -6396,6 +6396,90 @@ def q_hard_negatives(spark, sf_dir):
     return hard_negatives(_docs(spark, sf_dir), _queries_df(spark), k=10)
 
 
+def q_acc_limited(spark, sf_dir):
+    """Accumulator-limited ranked evaluation audit (Moffat & Zobel TOIS
+    1996 quit/continue strategies; Lester/Moffat/Webber/Zobel WISE
+    2005): budget L=64 accumulators, terms processed rarest-first;
+    per (query, mode) the realized accumulator count plus top-10
+    overlap / top-1 survival vs the unlimited exact BM25 ranking
+    (index/acclimit.py:accumulator_limited_audit)."""
+    from tokenkit_spark.index.acclimit import accumulator_limited_audit
+
+    return accumulator_limited_audit(
+        _docs(spark, sf_dir), _queries_df(spark), limit=64, k=10
+    )
+
+
+_QFLOW_VOCAB = [
+    "spark join", "hash join", "spark sql", "window agg",
+    "sort merge", "broadcast join", "stream state", "parquet scan",
+]
+
+
+def _query_log(spark, sf_dir):
+    """Deterministic search-session log over the events table: session
+    = user_id, step = event_id, query drawn from an 8-entry vocab by a
+    pinned affine hash (same recipe inlined in the SQL oracle)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vocab = F.array(*[F.lit(v) for v in _QFLOW_VOCAB])
+    return ev.select(
+        F.col("user_id").alias("session_id"),
+        F.col("event_id").alias("step"),
+        F.element_at(
+            vocab,
+            ((F.col("event_id") * 7 + F.col("user_id") * 3) % 8 + 1).cast(
+                "int"
+            ),
+        ).alias("query"),
+    )
+
+
+def q_query_flow(spark, sf_dir):
+    """Query-flow-graph suggestions (Boldi et al. CIKM 2008): top-3
+    in-session reformulation targets per source query ranked by
+    empirical P(dst|src), min-support 2
+    (ops/queryflow.py:query_suggestions)."""
+    from tokenkit_spark.ops.queryflow import query_suggestions
+
+    return query_suggestions(
+        _query_log(spark, sf_dir), min_support=2, top_n=3
+    )
+
+
+def _cetr_pages(spark, sf_dir):
+    """Deterministic multi-line html pages: nav chrome, one prose line
+    carrying the document text, an ad block, a footer (same recipe
+    inlined in the SQL oracle)."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>doc</title></head>\n<body>\n"),
+        F.lit(
+            '<div class="nav"><a href="/">Home</a><a href="/a">A</a>'
+            '<a href="/b">B</a></div>\n'
+        ),
+        F.lit("<p>"), F.col("text"), F.lit("</p>\n"),
+        F.lit(
+            '<div class="ad"><span>x</span><span>y</span>'
+            "<span>z</span></div>\n"
+        ),
+        F.lit(
+            '<div class="footer"><a href="/tos">Terms</a> (c) corpus'
+            "</div>\n</body></html>"
+        ),
+    )
+    return d.select("doc_id", html.alias("html"))
+
+
+def q_cetr_content(spark, sf_dir):
+    """CETR content extraction (Weninger/Hsu/Han WWW 2010): per-line
+    text-to-tag ratios, radius-1 smoothing, per-doc mean threshold;
+    one row per page with line counts, threshold, and the extracted
+    content text (ops/cetr.py:extract_content)."""
+    from tokenkit_spark.ops.cetr import extract_content
+
+    return extract_content(_cetr_pages(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -6405,6 +6489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "acc_limited": q_acc_limited,
+        "query_flow": q_query_flow,
+        "cetr_content": q_cetr_content,
         "ips_eval": q_ips_eval,
         "dataset_splits": q_dataset_splits,
         "hard_negatives": q_hard_negatives,
@@ -8534,8 +8621,148 @@ walk(src, dst, dist) AS (
   WHERE w.dist < 3),
 d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
       GROUP BY 1, 2)"""
+    qflow_vocab = ", ".join(
+        f"({i}, '{v}')" for i, v in enumerate(_QFLOW_VOCAB)
+    )
     return {
         # --- round-3 oracles ---
+        # accumulator-limited quit/continue audit
+        # (index/acclimit.py:accumulator_limited_audit): L=64,
+        # rarest-first term order, boundary-checked quit
+        "acc_limited": f"""
+WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dstats),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+qt AS (SELECT q.query_id, q.term, t.df,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY t.df, q.term) AS t_ord
+       FROM qterms q JOIN tstats t USING (term)),
+m AS (SELECT qt.query_id, p.doc_id, qt.t_ord,
+        ln(1 + (g.n_docs - qt.df + 0.5) / (qt.df + 0.5))
+        * p.tf * (1.2 + 1.0)
+        / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl
+           / (g.total_tokens / CAST(g.n_docs AS DOUBLE)))) AS contrib
+      FROM qt JOIN postings p USING (term)
+      JOIN dstats d USING (doc_id) CROSS JOIN globals g),
+pd AS (SELECT query_id, doc_id, min(t_ord) AS first_t,
+         sum(contrib) AS full_score FROM m GROUP BY 1, 2),
+pda AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY first_t, doc_id) AS adm_rank FROM pd),
+exact_top AS (SELECT query_id, doc_id, rank FROM
+  (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+     ORDER BY round(full_score, 4) DESC, doc_id) AS rank FROM pd)
+  WHERE rank <= 10),
+cont AS (SELECT * FROM pda WHERE adm_rank <= 64),
+cont_top AS (SELECT query_id, doc_id, rank FROM
+  (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+     ORDER BY round(full_score, 4) DESC, doc_id) AS rank FROM cont)
+  WHERE rank <= 10),
+cont_acc AS (SELECT query_id, count(*) AS n_acc FROM cont GROUP BY 1),
+npt AS (SELECT query_id, first_t, count(*) AS n_new FROM pd GROUP BY 1, 2),
+cum AS (SELECT query_id, first_t,
+          sum(n_new) OVER (PARTITION BY query_id ORDER BY first_t) AS cum
+        FROM npt),
+tq AS (SELECT query_id,
+         coalesce(min(CASE WHEN cum >= 64 THEN first_t END),
+                  max(first_t)) AS t_quit
+       FROM cum GROUP BY 1),
+qs AS (SELECT m.query_id, m.doc_id, sum(m.contrib) AS quit_score
+       FROM m JOIN tq USING (query_id)
+       WHERE m.t_ord <= tq.t_quit GROUP BY 1, 2),
+quit_top AS (SELECT query_id, doc_id, rank FROM
+  (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+     ORDER BY round(quit_score, 4) DESC, doc_id) AS rank FROM qs)
+  WHERE rank <= 10),
+quit_acc AS (SELECT query_id, count(*) AS n_acc FROM qs GROUP BY 1),
+cont_ov AS (SELECT e.query_id, count(*) AS overlap_k FROM exact_top e
+  JOIN cont_top c ON e.query_id = c.query_id AND e.doc_id = c.doc_id
+  GROUP BY 1),
+quit_ov AS (SELECT e.query_id, count(*) AS overlap_k FROM exact_top e
+  JOIN quit_top c ON e.query_id = c.query_id AND e.doc_id = c.doc_id
+  GROUP BY 1),
+cont_t1 AS (SELECT e.query_id,
+  CASE WHEN e.doc_id = c.doc_id THEN 1 ELSE 0 END AS top1_same
+  FROM exact_top e JOIN cont_top c
+  ON e.query_id = c.query_id AND e.rank = 1 AND c.rank = 1),
+quit_t1 AS (SELECT e.query_id,
+  CASE WHEN e.doc_id = c.doc_id THEN 1 ELSE 0 END AS top1_same
+  FROM exact_top e JOIN quit_top c
+  ON e.query_id = c.query_id AND e.rank = 1 AND c.rank = 1)
+SELECT a.query_id, 'continue' AS mode, a.n_acc,
+       coalesce(o.overlap_k, 0) AS overlap_k,
+       coalesce(t.top1_same, 0) AS top1_same
+FROM cont_acc a LEFT JOIN cont_ov o USING (query_id)
+LEFT JOIN cont_t1 t USING (query_id)
+UNION ALL
+SELECT a.query_id, 'quit' AS mode, a.n_acc,
+       coalesce(o.overlap_k, 0) AS overlap_k,
+       coalesce(t.top1_same, 0) AS top1_same
+FROM quit_acc a LEFT JOIN quit_ov o USING (query_id)
+LEFT JOIN quit_t1 t USING (query_id)""",
+        # query-flow-graph suggestions (ops/queryflow.py): session =
+        # user_id, step = event_id, pinned affine vocab pick
+        "query_flow": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+log AS (SELECT e.user_id AS session_id, e.event_id AS step, v.q AS query
+        FROM events e JOIN vocab v
+        ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+nxt AS (SELECT session_id, query AS src,
+          lead(query) OVER (PARTITION BY session_id ORDER BY step) AS dst
+        FROM log),
+pairs AS (SELECT src, dst FROM nxt
+          WHERE dst IS NOT NULL AND dst <> src),
+edges AS (SELECT src, dst, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+outc AS (SELECT src, sum(cnt) AS out_cnt FROM edges GROUP BY 1),
+kept AS (SELECT e.src, e.dst, e.cnt,
+           CAST(e.cnt AS DOUBLE) / o.out_cnt AS prob
+         FROM edges e JOIN outc o USING (src) WHERE e.cnt >= 2),
+ranked AS (SELECT src,
+             row_number() OVER (PARTITION BY src
+               ORDER BY prob DESC, cnt DESC, dst) AS rank,
+             dst AS suggestion, cnt, round(prob, 6) AS prob
+           FROM kept)
+SELECT src, rank, suggestion, cnt, prob FROM ranked WHERE rank <= 3""",
+        # CETR content extraction (ops/cetr.py:extract_content):
+        # radius-1 smoothed text-to-tag ratio, per-doc mean threshold
+        "cetr_content": """
+WITH p AS (SELECT doc_id,
+  '<html><head><title>doc</title></head>' || chr(10) || '<body>' || chr(10)
+  || '<div class="nav"><a href="/">Home</a><a href="/a">A</a><a href="/b">B</a></div>'
+  || chr(10) || '<p>' || text || '</p>' || chr(10)
+  || '<div class="ad"><span>x</span><span>y</span><span>z</span></div>'
+  || chr(10) || '<div class="footer"><a href="/tos">Terms</a> (c) corpus</div>'
+  || chr(10) || '</body></html>' AS html FROM documents),
+l AS (SELECT doc_id, i - 1 AS line_no, s[i] AS line
+      FROM (SELECT doc_id, string_split(html, chr(10)) AS s FROM p),
+      unnest(generate_series(1, len(s))) r(i)),
+st AS (SELECT doc_id, line_no,
+         length(regexp_replace(line, '<[^>]*>', '', 'g'))
+         / CAST(greatest(len(regexp_extract_all(line, '<[^>]*>')), 1)
+                AS DOUBLE) AS ttr
+       FROM l),
+sm AS (SELECT doc_id, line_no,
+         round(avg(ttr) OVER (PARTITION BY doc_id ORDER BY line_no
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS smoothed
+       FROM st),
+thr AS (SELECT doc_id, count(*) AS n_lines,
+          round(avg(smoothed), 6) AS threshold FROM sm GROUP BY 1),
+kept AS (SELECT sm.doc_id, sm.line_no,
+           trim(regexp_replace(l.line, '<[^>]*>', '', 'g')) AS stripped
+         FROM sm JOIN thr USING (doc_id) JOIN l USING (doc_id, line_no)
+         WHERE sm.smoothed >= thr.threshold),
+agg AS (SELECT doc_id, count(*) AS n_content_lines,
+          string_agg(stripped, ' ' ORDER BY line_no) AS content
+        FROM kept GROUP BY 1)
+SELECT t.doc_id, t.n_lines,
+       coalesce(a.n_content_lines, 0) AS n_content_lines, t.threshold,
+       coalesce(a.content, '') AS content
+FROM thr t LEFT JOIN agg a USING (doc_id)""",
         # axiomatic tfn = tf/(tf + s + s*dl/avgdl), s=0.5
         # (index/lmsim.py:_axiomatic_tfn)
         "axiomatic_f2exp_top10": _sim_oracle(

@@ -1,0 +1,82 @@
+"""Query-flow graph — session reformulation mining and query
+suggestion (Boldi, Bonchi, Castillo, Donato, Gionis & Vigna, "The
+Query-Flow Graph: Model and Applications", CIKM 2008).
+
+A search log's sessions induce a directed graph over queries: an edge
+q -> q' for every consecutive pair inside one session with q != q'.
+Edge weights are transition counts; normalizing by the source query's
+total outgoing reformulations gives the empirical transition
+probability P(q'|q) — the paper's weighting before the chaining
+classifier, and the direct input to "people also searched for"
+suggestion lists.
+
+Relational shape (the 100-TB story): one window (lead over the
+session, ordered by an explicit monotone column — never a global
+sort), one hash aggregate per edge, one per-source aggregate that
+rides the same (src) key, and a per-source rank window bounded by the
+suggestion cut.  Session logs shard perfectly on session_id; nothing
+is collected.
+
+Reference scope: graph construction + count/probability weighting per
+the paper; the chaining classifier (needs labeled session breaks) is
+out of scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def query_flow_edges(
+    qlog: DataFrame,
+    session_col: str = "session_id",
+    order_col: str = "step",
+    query_col: str = "query",
+) -> DataFrame:
+    """(src, dst, cnt, prob): consecutive in-session reformulation
+    pairs with counts and P(dst|src)."""
+    w = Window.partitionBy(session_col).orderBy(order_col)
+    pairs = (
+        qlog.withColumn("_nxt", F.lead(query_col).over(w))
+        .filter(
+            F.col("_nxt").isNotNull() & (F.col("_nxt") != F.col(query_col))
+        )
+        .select(F.col(query_col).alias("src"), F.col("_nxt").alias("dst"))
+    )
+    edges = pairs.groupBy("src", "dst").agg(F.count("*").alias("cnt"))
+    out = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
+    return edges.join(out, "src").select(
+        "src", "dst", "cnt", (F.col("cnt") / F.col("out_cnt")).alias("prob")
+    )
+
+
+def query_suggestions(
+    qlog: DataFrame,
+    min_support: int = 2,
+    top_n: int = 3,
+    session_col: str = "session_id",
+    order_col: str = "step",
+    query_col: str = "query",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-n query-flow suggestions per source query:
+    (src, rank, suggestion, cnt, prob).  Edges below ``min_support``
+    observations are dropped BEFORE ranking (the paper prunes noise
+    edges the same way); ties break on (cnt desc, dst asc)."""
+    edges = query_flow_edges(qlog, session_col, order_col, query_col)
+    kept = edges.filter(F.col("cnt") >= min_support)
+    w = Window.partitionBy("src").orderBy(
+        F.col("prob").desc(), F.col("cnt").desc(), F.col("dst").asc()
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "src",
+            "rank",
+            F.col("dst").alias("suggestion"),
+            "cnt",
+            F.round("prob", round_digits).alias("prob"),
+        )
+    )
