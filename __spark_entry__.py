@@ -6480,6 +6480,68 @@ def q_cetr_content(spark, sf_dir):
     return extract_content(_cetr_pages(spark, sf_dir))
 
 
+def q_moving_fn(spark, sf_dir):
+    """ES moving_fn pipeline agg with the ewma and holt model
+    functions over zero-filled daily buckets: trailing 5-bucket window
+    excluding the current bucket (shift=0), ewma seeded by the first
+    window value, Holt double-exponential with l1=v1, b1=0
+    (ops/movingfn.py:moving_fn)."""
+    from tokenkit_spark.ops.movingfn import moving_fn
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return moving_fn(ev, window=5, alpha=0.3, beta=0.1)
+
+
+def q_wilcoxon(spark, sf_dir):
+    """Wilcoxon signed-rank matched-pairs test (Wilcoxon 1945; Smucker
+    et al. CIKM 2007) between two deterministic rankers' per-query
+    precision@10 over 40 queries — average ranks for ties, tie-
+    corrected normal approximation
+    (index/rankeval.py:wilcoxon_signed_rank)."""
+    from tokenkit_spark.index.rankeval import wilcoxon_signed_rank
+
+    qs = spark.range(40).select(F.col("id").alias("query_id"))
+    ranks = spark.range(1, 11).select(F.col("id").alias("rank"))
+    pos = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .crossJoin(qs)
+        .filter(
+            ((F.col("doc_id") + F.col("query_id")) % 7 < 2)
+            & (F.col("doc_id") % 3 > 0)
+        )
+        .select("query_id", "doc_id", F.lit(1).alias("hit"))
+    )
+
+    def prec(mul_q, mul_r):
+        res = qs.crossJoin(ranks).select(
+            "query_id",
+            ((F.col("query_id") * mul_q + F.col("rank") * mul_r) % 500)
+            .alias("doc_id"),
+        )
+        return (
+            res.join(pos, ["query_id", "doc_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                (F.sum(F.coalesce("hit", F.lit(0))) / 10.0).alias("metric")
+            )
+        )
+
+    return wilcoxon_signed_rank(prec(37, 13), prec(41, 17))
+
+
+def q_span_corrupt(spark, sf_dir):
+    """T5 span-corruption preprocessing (Raffel et al. JMLR 2020
+    §3.1.4): length-3 token spans masked by a pinned arithmetic rule
+    (span s of doc d masked iff s%7 == d%7 — the reproducible stand-in
+    for the paper's RNG at its 15%/length-3 operating point); inputs
+    get numbered sentinels, targets emit the dropped spans
+    (ops/spancorrupt.py:span_corrupt)."""
+    from tokenkit_spark.ops.spancorrupt import span_corrupt
+
+    return span_corrupt(_docs(spark, sf_dir), span_len=3, cycle=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -6489,6 +6551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "moving_fn": q_moving_fn,
+        "wilcoxon": q_wilcoxon,
+        "span_corrupt": q_span_corrupt,
         "acc_limited": q_acc_limited,
         "query_flow": q_query_flow,
         "cetr_content": q_cetr_content,
@@ -8626,6 +8691,115 @@ d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
     )
     return {
         # --- round-3 oracles ---
+        # ES moving_fn ewma/holt over zero-filled daily buckets
+        # (ops/movingfn.py:moving_fn): trailing window 5 excl. current,
+        # ewma seeds with first window value, holt l1=v1 b1=0
+        "moving_fn": """
+WITH days AS (SELECT event_type AS grp,
+        CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+span AS (SELECT grp, min(day) AS d0, max(day) AS d1 FROM days GROUP BY 1),
+cal AS (SELECT grp, CAST(u.d AS DATE) AS day FROM span,
+        unnest(generate_series(d0, d1, INTERVAL 1 DAY)) u(d)),
+b AS (SELECT c.grp, c.day, coalesce(d.n, 0) AS n
+      FROM cal c LEFT JOIN days d USING (grp, day)),
+v AS (SELECT grp, day, n,
+        list(CAST(n AS DOUBLE)) OVER (PARTITION BY grp ORDER BY day
+          ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS vals
+      FROM b),
+f AS (SELECT grp, day, n,
+        CASE WHEN vals IS NOT NULL AND len(vals) > 0 THEN
+          list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) END AS ew,
+        -- (l, b) pair as a 2-list: duckdb 1.0 list_reduce mutates a
+        -- struct accumulator's first field before the second field's
+        -- expression is evaluated, so a struct acc computes the wrong
+        -- trend; lists fold correctly.  b' uses the expanded linear
+        -- form b' = 0.1*l' - 0.1*l + 0.9*b = 0.03*x - 0.03*l + 0.97*b.
+        CASE WHEN vals IS NOT NULL AND len(vals) > 0 THEN
+          list_reduce(list_transform(vals, t -> [t, 0.0]),
+            (acc, x) -> [0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+                         0.03 * x[1] - 0.03 * acc[1] + 0.97 * acc[2]])
+        END AS h
+      FROM v)
+SELECT grp AS event_type, day, n,
+       round(CAST(ew AS DOUBLE), 6) AS ewma,
+       round(CAST(h[1] + h[2] AS DOUBLE), 6) AS holt
+FROM f""",
+        # Wilcoxon signed-rank over per-query precision@10 of two
+        # pinned affine runs (index/rankeval.py:wilcoxon_signed_rank)
+        "wilcoxon": """
+WITH qs AS (SELECT range AS query_id FROM range(40)),
+rk AS (SELECT range + 1 AS rank FROM range(10)),
+pos AS (SELECT q.query_id, d.doc_id FROM documents d, qs q
+        WHERE (d.doc_id + q.query_id) % 7 < 2 AND d.doc_id % 3 > 0),
+ra AS (SELECT q.query_id, (q.query_id * 37 + r.rank * 13) % 500 AS doc_id
+       FROM qs q, rk r),
+rb AS (SELECT q.query_id, (q.query_id * 41 + r.rank * 17) % 500 AS doc_id
+       FROM qs q, rk r),
+pa AS (SELECT a.query_id,
+         sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0 AS ma
+       FROM ra a LEFT JOIN pos p
+       ON a.query_id = p.query_id AND a.doc_id = p.doc_id GROUP BY 1),
+pb AS (SELECT a.query_id,
+         sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0 AS mb
+       FROM rb a LEFT JOIN pos p
+       ON a.query_id = p.query_id AND a.doc_id = p.doc_id GROUP BY 1),
+dd AS (SELECT pa.query_id, ma - mb AS d FROM pa JOIN pb USING (query_id)),
+nz AS (SELECT d, abs(d) AS absd FROM dd WHERE d <> 0),
+rnk AS (SELECT d, absd, rank() OVER (ORDER BY absd) AS min_rank,
+          count(*) OVER (PARTITION BY absd) AS tie_n FROM nz),
+r2 AS (SELECT d, min_rank + (tie_n - 1) / 2.0 AS avg_rank FROM rnk),
+tie AS (SELECT coalesce(sum(t * t * t - t), 0) AS tie_term
+        FROM (SELECT count(*) AS t FROM nz GROUP BY absd)),
+st AS (SELECT count(*) AS n_nonzero,
+         sum(CASE WHEN d > 0 THEN avg_rank ELSE 0 END) AS w_plus,
+         sum(CASE WHEN d < 0 THEN avg_rank ELSE 0 END) AS w_minus
+       FROM r2),
+np AS (SELECT count(*) AS n_pairs FROM dd)
+SELECT np.n_pairs, st.n_nonzero,
+       round(coalesce(st.w_plus, 0), 6) AS w_plus,
+       round(coalesce(st.w_minus, 0), 6) AS w_minus,
+       round(CASE WHEN st.n_nonzero > 0
+         AND (st.n_nonzero * (st.n_nonzero + 1.0)
+              * (2 * st.n_nonzero + 1.0) / 24.0 - tie.tie_term / 48.0) > 0
+         THEN (st.w_plus - st.n_nonzero * (st.n_nonzero + 1.0) / 4.0)
+              / sqrt(st.n_nonzero * (st.n_nonzero + 1.0)
+                     * (2 * st.n_nonzero + 1.0) / 24.0
+                     - tie.tie_term / 48.0) END, 6) AS z
+FROM np, st, tie""",
+        # T5 span corruption (ops/spancorrupt.py:span_corrupt):
+        # span_len=3, cycle=7, pinned masking rule s%7 == doc%7
+        "span_corrupt": r"""
+WITH toks AS (SELECT doc_id, u.i - 1 AS pos, s[u.i] AS tok
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> x <> '') AS s
+        FROM documents),
+  unnest(generate_series(1, len(s))) u(i)),
+t AS (SELECT doc_id, pos, tok, pos // 3 AS span_id,
+        (pos // 3) % 7 = doc_id % 7 AS masked,
+        ((pos // 3) - doc_id % 7) // 7 AS k,
+        pos % 3 = 0 AS span_start FROM toks),
+p AS (SELECT doc_id, pos,
+        CASE WHEN masked THEN 1 ELSE 0 END AS m,
+        CASE WHEN masked AND span_start THEN 1 ELSE 0 END AS sp,
+        CASE WHEN NOT masked THEN tok
+             WHEN span_start THEN '<extra_id_' || k || '>' END AS in_piece,
+        CASE WHEN masked AND span_start
+               THEN '<extra_id_' || k || '> ' || tok
+             WHEN masked THEN tok END AS tgt_piece
+      FROM t),
+agg AS (SELECT doc_id, count(*) AS n_tokens, sum(m) AS n_masked,
+          sum(sp) AS n_spans,
+          coalesce(string_agg(in_piece, ' ' ORDER BY pos)
+            FILTER (WHERE in_piece IS NOT NULL), '') AS inputs,
+          string_agg(tgt_piece, ' ' ORDER BY pos)
+            FILTER (WHERE tgt_piece IS NOT NULL) AS tgt_body
+        FROM p GROUP BY 1)
+SELECT doc_id, n_tokens, n_masked, n_spans, inputs,
+       CASE WHEN n_spans > 0 THEN tgt_body || ' ' ELSE '' END
+       || '<extra_id_' || n_spans || '>' AS targets
+FROM agg""",
         # accumulator-limited quit/continue audit
         # (index/acclimit.py:accumulator_limited_audit): L=64,
         # rarest-first term order, boundary-checked quit
