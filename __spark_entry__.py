@@ -6480,6 +6480,103 @@ def q_cetr_content(spark, sf_dir):
     return extract_content(_cetr_pages(spark, sf_dir))
 
 
+def _feed_bodies(spark):
+    """Deterministic RSS 2.0 + Atom feed bodies for 50 hosts (3 RSS
+    items with RFC-822 pubDates and &amp;-encoded links; 2 Atom
+    entries with href-attribute links and ISO updated stamps) — the
+    closed-form expected parse is inlined in the SQL oracle."""
+    h = spark.range(50).select(F.col("id").cast("string").alias("h"))
+
+    def rss_item(i):
+        return F.concat(
+            F.lit("<item><title>post "), F.col("h"),
+            F.lit(f"-{i}</title><link>https://h"), F.col("h"),
+            F.lit(f".example.org/p/{i}?a=1&amp;b={i}</link><guid>g"),
+            F.col("h"),
+            F.lit(
+                f"-{i}</guid><pubDate>Mon, 0{i} Jan 2024 10:30:0{i} GMT"
+                "</pubDate></item>"
+            ),
+        )
+
+    def atom_entry(i):
+        return F.concat(
+            F.lit("<entry><title>atom "), F.col("h"),
+            F.lit(f'-{i}</title><link rel="alternate" href="https://h'),
+            F.col("h"),
+            F.lit(f'.example.org/a/{i}"/><id>a'), F.col("h"),
+            F.lit(
+                f"-{i}</id><updated>2024-02-0{i}T08:00:0{i}Z</updated>"
+                "</entry>"
+            ),
+        )
+
+    rss = h.select(
+        F.concat(F.lit("h"), F.col("h")).alias("host"),
+        F.concat(
+            F.lit('<rss version="2.0"><channel><title>feed</title>'),
+            rss_item(1), rss_item(2), rss_item(3),
+            F.lit("</channel></rss>"),
+        ).alias("body"),
+    )
+    atom = h.select(
+        F.concat(F.lit("h"), F.col("h")).alias("host"),
+        F.concat(
+            F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+            atom_entry(1), atom_entry(2),
+            F.lit("</feed>"),
+        ).alias("body"),
+    )
+    return rss.unionByName(atom)
+
+
+def q_feed_items(spark, sf_dir):
+    """RSS 2.0 / Atom feed parsing (RSS Advisory Board spec; RFC
+    4287): explode-split + per-fragment regexp projection — element-
+    text vs href-attribute links, RFC-822 vs ISO dates, &amp; decode
+    (sources/feeds.py:parse_feeds)."""
+    from tokenkit_spark.sources.feeds import parse_feeds
+
+    return parse_feeds(_feed_bodies(spark))
+
+
+_GEO_POLYGON = [
+    (0.0, -60.0), (50.0, -20.0), (40.0, 60.0), (-20.0, 70.0),
+    (-40.0, -30.0),
+]
+
+
+def q_geo_polygon(spark, sf_dir):
+    """ES geo_polygon query: even-odd ray casting (PNPOLY; Shimrat
+    CACM 1962) against a pinned pentagon, folded over a literal edge
+    array — map-only, no join; per-type inside counts
+    (ops/geo.py:geo_polygon)."""
+    from tokenkit_spark.ops.geo import geo_polygon
+
+    flagged = geo_polygon(_events_geo(spark, sf_dir), _GEO_POLYGON)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("inside").cast("int")).cast("long").alias("n_inside"),
+    )
+
+
+def q_host_stats(spark, sf_dir):
+    """Host-graph rollup (Broder et al. WWW 2000 granularity) +
+    reciprocity (Newman SIAM Rev. 2003 §3.4): page edges aggregate to
+    inter-host edges (pseudo-host = doc_id % 37), reverse-edge
+    left_semi self-join counts mutual pairs
+    (ops/linkgraph.py:host_graph/host_graph_stats)."""
+    from tokenkit_spark.ops.linkgraph import host_graph, host_graph_stats
+
+    e = _link_edges(spark, sf_dir)
+    he = host_graph(
+        e,
+        F.concat(F.lit("h"), (F.col("src") % 37).cast("string")),
+        F.concat(F.lit("h"), (F.col("dst") % 37).cast("string")),
+    )
+    return host_graph_stats(he)
+
+
 def q_moving_fn(spark, sf_dir):
     """ES moving_fn pipeline agg with the ewma and holt model
     functions over zero-filled daily buckets: trailing 5-bucket window
@@ -6551,6 +6648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "feed_items": q_feed_items,
+        "geo_polygon": q_geo_polygon,
+        "host_stats": q_host_stats,
         "moving_fn": q_moving_fn,
         "wilcoxon": q_wilcoxon,
         "span_corrupt": q_span_corrupt,
@@ -8691,6 +8791,69 @@ d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
     )
     return {
         # --- round-3 oracles ---
+        # feed parse (sources/feeds.py): closed-form expected output of
+        # the deterministic 50-host RSS+Atom synthesis (fixture oracle,
+        # same style as sitemap_entries)
+        "feed_items": """
+WITH hs AS (SELECT CAST(range AS VARCHAR) AS h FROM range(50)),
+i3(i) AS (VALUES (1), (2), (3)),
+i2(i) AS (VALUES (1), (2))
+SELECT 'h' || h AS host, 'rss' AS kind,
+       'post ' || h || '-' || i AS title,
+       'https://h' || h || '.example.org/p/' || i || '?a=1&b=' || i AS link,
+       'g' || h || '-' || i AS guid,
+       CAST('2024-01-0' || i || ' 10:30:0' || i AS TIMESTAMP) AS published
+FROM hs, i3
+UNION ALL
+SELECT 'h' || h, 'atom', 'atom ' || h || '-' || i,
+       'https://h' || h || '.example.org/a/' || i,
+       'a' || h || '-' || i,
+       CAST('2024-02-0' || i || ' 08:00:0' || i AS TIMESTAMP)
+FROM hs, i2""",
+        # geo_polygon ray casting (ops/geo.py:geo_polygon): pinned
+        # pentagon, PNPOLY half-open crossing rule
+        "geo_polygon": """
+WITH pts AS (SELECT event_id, event_type,
+        ((user_id * 7919) % 12000) / 100.0 - 60.0 AS lat,
+        ((user_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM events),
+ed(y1, x1, y2, x2) AS (VALUES
+  (0.0, -60.0, 50.0, -20.0), (50.0, -20.0, 40.0, 60.0),
+  (40.0, 60.0, -20.0, 70.0), (-20.0, 70.0, -40.0, -30.0),
+  (-40.0, -30.0, 0.0, -60.0)),
+edges AS (SELECT CAST(y1 AS DOUBLE) AS y1, CAST(x1 AS DOUBLE) AS x1,
+                 CAST(y2 AS DOUBLE) AS y2, CAST(x2 AS DOUBLE) AS x2
+          FROM ed),
+c AS (SELECT p.event_id, p.event_type,
+        sum(CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                  AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                              / (e.y2 - e.y1) + e.x1
+             THEN 1 ELSE 0 END) AS k
+      FROM pts p CROSS JOIN edges e GROUP BY 1, 2)
+SELECT event_type, count(*) AS n_points,
+       sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS n_inside
+FROM c GROUP BY 1""",
+        # host-graph rollup + reciprocity
+        # (ops/linkgraph.py:host_graph_stats): pseudo-host doc_id % 37
+        "host_stats": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+he AS (SELECT 'h' || CAST(src % 37 AS VARCHAR) AS src_host,
+              'h' || CAST(dst % 37 AS VARCHAR) AS dst_host,
+              count(*) AS n_links
+       FROM edges WHERE src % 37 <> dst % 37 GROUP BY 1, 2),
+hosts AS (SELECT DISTINCT h FROM
+  (SELECT src_host AS h FROM he UNION ALL SELECT dst_host FROM he)),
+recip AS (SELECT count(*) AS n_reciprocal FROM he a
+          WHERE EXISTS (SELECT 1 FROM he b
+            WHERE b.src_host = a.dst_host AND b.dst_host = a.src_host)),
+od AS (SELECT avg(c) AS avg_od FROM
+  (SELECT src_host, count(*) AS c FROM he GROUP BY 1))
+SELECT (SELECT count(*) FROM hosts) AS n_hosts,
+       (SELECT count(*) FROM he) AS n_edges,
+       recip.n_reciprocal,
+       round(recip.n_reciprocal
+             / CAST((SELECT count(*) FROM he) AS DOUBLE), 6) AS reciprocity,
+       round(od.avg_od, 6) AS avg_out_degree
+FROM recip, od""",
         # ES moving_fn ewma/holt over zero-filled daily buckets
         # (ops/movingfn.py:moving_fn): trailing window 5 excl. current,
         # ewma seeds with first window value, holt l1=v1 b1=0

@@ -1065,3 +1065,71 @@ def degree_assortativity(
         F.round(F.col("sx") / F.col("m"), round_digits).alias("mean_deg"),
         F.round(num / den, round_digits).alias("assortativity"),
     )
+
+
+def host_graph(
+    edges: DataFrame,
+    src_host,
+    dst_host,
+) -> DataFrame:
+    """Roll a page-level link graph up to the host graph (the standard
+    first reduction in web-graph analysis — Broder et al., "Graph
+    structure in the web", WWW 2000 analyze both granularities):
+    (src_host, dst_host, n_links) over inter-host edges only
+    (intra-host links drop — they are navigation, not endorsement).
+    One hash aggregate; the host graph is orders of magnitude smaller
+    than the page graph, so every downstream centrality runs on the
+    reduced relation."""
+    return (
+        edges.select(src_host.alias("src_host"), dst_host.alias("dst_host"))
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def host_graph_stats(hedges: DataFrame, round_digits: int = 6) -> DataFrame:
+    """One summary row over a host graph (src_host, dst_host, n_links):
+    (n_hosts, n_edges, n_reciprocal, reciprocity, avg_out_degree).
+    Reciprocity = fraction of directed host pairs whose reverse edge
+    also exists (Newman, "The structure and function of complex
+    networks", SIAM Rev. 2003 §3.4) — for the web it separates
+    mutual-link communities from one-way endorsement flows.  The
+    reverse-edge check is one self-equi-join on the (dst, src) key —
+    hash-partitioned, never quadratic."""
+    e = hedges.select("src_host", "dst_host")
+    rev = e.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+    )
+    recip = e.join(rev, ["src_host", "dst_host"], "left_semi")
+    hosts = e.select(F.col("src_host").alias("h")).unionByName(
+        e.select(F.col("dst_host").alias("h"))
+    ).distinct()
+    stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(
+            F.broadcast(hosts.agg(F.count(F.lit(1)).alias("n_hosts")))
+        )
+        .crossJoin(
+            F.broadcast(
+                recip.agg(F.count(F.lit(1)).alias("n_reciprocal"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                e.groupBy("src_host")
+                .agg(F.count(F.lit(1)).alias("od"))
+                .agg(F.avg("od").alias("avg_od"))
+            )
+        )
+        .select(
+            "n_hosts",
+            "n_edges",
+            "n_reciprocal",
+            F.round(
+                F.col("n_reciprocal") / F.col("n_edges"), round_digits
+            ).alias("reciprocity"),
+            F.round("avg_od", round_digits).alias("avg_out_degree"),
+        )
+    )
