@@ -6480,6 +6480,96 @@ def q_cetr_content(spark, sf_dir):
     return extract_content(_cetr_pages(spark, sf_dir))
 
 
+def q_link_prediction(spark, sf_dir):
+    """Liben-Nowell & Kleinberg CIKM 2003 unsupervised link-prediction
+    battery over the crawl graph: common neighbors, Jaccard,
+    Adamic-Adar and preferential attachment on the same two-hop
+    candidates, top-20 by CN
+    (ops/linkgraph.py:link_prediction_battery)."""
+    from tokenkit_spark.ops.linkgraph import link_prediction_battery
+
+    return link_prediction_battery(_link_edges(spark, sf_dir), k=20)
+
+
+def _trap_urls(spark, sf_dir):
+    """Deterministic frontier URLs: depth 1..8 paths, every 5th doc
+    repeats its first path segment at the tail, doc_id%4 query params
+    (same recipe inlined in the SQL oracle, which re-parses the URL
+    string independently)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    depth = (F.lit(1) + F.col("doc_id") % 8).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(1), depth),
+        lambda i: F.concat(F.lit("a"), i.cast("string")),
+    )
+    segs = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.slice(segs, 1, depth - 1), F.array(F.lit("a1"))
+        ),
+    ).otherwise(segs)
+    np_ = (F.col("doc_id") % 4).cast("int")
+    params = F.transform(
+        F.sequence(F.lit(1), np_),
+        lambda i: F.concat(F.lit("p"), i.cast("string"), F.lit("=1")),
+    )
+    qstr = F.when(
+        np_ > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+    return d.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit(".ex.org/"),
+            F.array_join(segs, "/"), qstr,
+        ).alias("url"),
+    )
+
+
+def q_trap_signals(spark, sf_dir):
+    """Crawl-trap detection (Mercator §3.4 / Heritrix pathological-path
+    rules): per-host URL-shape aggregates — max path depth,
+    repeated-segment fraction, query-param load — plus the
+    trap_suspect flag (ops/traps.py:trap_signals)."""
+    from tokenkit_spark.ops.traps import trap_signals
+
+    return trap_signals(
+        _trap_urls(spark, sf_dir), depth_limit=6, repeat_frac=0.3
+    )
+
+
+def q_session_success(spark, sf_dir):
+    """Search-session success battery (Jansen & Spink IP&M 2006; Li et
+    al. SIGIR 2009 abandonment): per session, query/click volumes,
+    reformulation count, abandoned flag; clicks pinned to
+    (3*step + session) % 4 == 0 (ops/searchlog.py:session_success)."""
+    from tokenkit_spark.ops.searchlog import session_success
+
+    qlog = _query_log(spark, sf_dir)
+    clicks = qlog.filter(
+        (F.col("step") * 3 + F.col("session_id")) % 4 == 0
+    ).select("session_id", "step")
+    return session_success(qlog, clicks)
+
+
+def q_klog_anonymity(spark, sf_dir):
+    """Query-log k-anonymity release audit (Adar WWW 2007 workshop;
+    the AOL-log lesson): queries issued by < 3 distinct users are
+    suppressed; one summary row of suppression volume — the long tail
+    is synthesized by uniquifying every 10th query
+    (ops/searchlog.py:k_anonymity_audit)."""
+    from tokenkit_spark.ops.searchlog import k_anonymity_audit
+
+    qlog = _query_log(spark, sf_dir).withColumn(
+        "query",
+        F.when(
+            F.col("step") % 10 == 0,
+            F.concat(F.col("query"), F.lit(" q"), F.col("step")),
+        ).otherwise(F.col("query")),
+    )
+    return k_anonymity_audit(qlog, k=3, user_col="session_id")
+
+
 def _feed_bodies(spark):
     """Deterministic RSS 2.0 + Atom feed bodies for 50 hosts (3 RSS
     items with RFC-822 pubDates and &amp;-encoded links; 2 Atom
@@ -6648,6 +6738,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "link_prediction": q_link_prediction,
+        "trap_signals": q_trap_signals,
+        "session_success": q_session_success,
+        "klog_anonymity": q_klog_anonymity,
         "feed_items": q_feed_items,
         "geo_polygon": q_geo_polygon,
         "host_stats": q_host_stats,
@@ -8791,6 +8885,91 @@ d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
     )
     return {
         # --- round-3 oracles ---
+        # link-prediction battery
+        # (ops/linkgraph.py:link_prediction_battery)
+        "link_prediction": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+und AS (SELECT DISTINCT src, dst FROM
+  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+  WHERE src <> dst),
+deg AS (SELECT src AS n, count(*) AS deg FROM und GROUP BY 1),
+nb AS (SELECT u.src AS z, u.dst AS nbr, d.deg AS zdeg
+       FROM und u JOIN deg d ON u.src = d.n),
+pr AS (SELECT a.nbr AS src, b.nbr AS dst, count(*) AS cn,
+         round(sum(1.0 / ln(a.zdeg)), 6) AS aa
+       FROM nb a JOIN nb b ON a.z = b.z AND a.nbr < b.nbr GROUP BY 1, 2),
+fl AS (SELECT p.src, p.dst, p.cn,
+         round(p.cn / CAST(du.deg + dv.deg - p.cn AS DOUBLE), 6) AS jaccard,
+         p.aa, du.deg * dv.deg AS pa
+       FROM pr p JOIN deg du ON p.src = du.n JOIN deg dv ON p.dst = dv.n),
+r AS (SELECT row_number() OVER (ORDER BY cn DESC, src, dst) AS rank, *
+      FROM fl)
+SELECT rank, src, dst, cn, jaccard, aa, pa FROM r WHERE rank <= 20""",
+        # crawl-trap signals (ops/traps.py:trap_signals): oracle
+        # re-parses the synthesized URL strings independently
+        "trap_signals": r"""
+WITH d AS (SELECT doc_id, 1 + doc_id % 8 AS dep, doc_id % 4 AS np,
+             doc_id % 5 = 0 AS rep FROM documents),
+u AS (SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+  'https://h' || (doc_id % 20) || '.ex.org/'
+  || array_to_string(CASE WHEN rep
+       THEN list_append([('a' || i) FOR i IN range(1, dep)], 'a1')
+       ELSE [('a' || i) FOR i IN range(1, dep + 1)] END, '/')
+  || CASE WHEN np > 0 THEN '?' || array_to_string(
+       [('p' || i || '=1') FOR i IN range(1, np + 1)], '&')
+     ELSE '' END AS url
+ FROM d),
+sh AS (SELECT host, url,
+  string_split(regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+               '?') AS pq FROM u),
+sg AS (SELECT host,
+  list_filter(string_split(pq[1], '/'), x -> x <> '') AS segs,
+  CASE WHEN len(pq) > 1 AND pq[2] <> ''
+       THEN len(string_split(pq[2], '&')) ELSE 0 END AS n_params
+ FROM sh),
+per AS (SELECT host, len(segs) AS depth,
+  len(segs) <> len(list_distinct(segs)) AS has_repeat, n_params FROM sg)
+SELECT host, count(*) AS n_urls, max(depth) AS max_depth,
+       round(avg(CASE WHEN has_repeat THEN 1 ELSE 0 END), 6) AS frac_repeat,
+       round(avg(n_params), 6) AS avg_params,
+       (max(depth) > 6 OR
+        avg(CASE WHEN has_repeat THEN 1 ELSE 0 END) > 0.3) AS trap_suspect
+FROM per GROUP BY 1""",
+        # session success battery (ops/searchlog.py:session_success)
+        "session_success": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+log AS (SELECT e.user_id AS session_id, e.event_id AS step, v.q AS query
+        FROM events e JOIN vocab v
+        ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+lg AS (SELECT session_id, step, query,
+         lag(query) OVER (PARTITION BY session_id ORDER BY step) AS prev
+       FROM log),
+pq AS (SELECT session_id, count(*) AS n_queries,
+         sum(CASE WHEN prev IS NOT NULL AND prev <> query
+              THEN 1 ELSE 0 END) AS n_reformulations
+       FROM lg GROUP BY 1),
+pc AS (SELECT session_id, count(*) AS n_clicks FROM log
+       WHERE (step * 3 + session_id) % 4 = 0 GROUP BY 1)
+SELECT pq.session_id, pq.n_queries, coalesce(pc.n_clicks, 0) AS n_clicks,
+       pq.n_reformulations, coalesce(pc.n_clicks, 0) = 0 AS abandoned
+FROM pq LEFT JOIN pc USING (session_id)""",
+        # k-anonymity release audit (ops/searchlog.py:k_anonymity_audit)
+        "klog_anonymity": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+log AS (SELECT e.user_id AS session_id, e.event_id AS step,
+          CASE WHEN e.event_id % 10 = 0
+               THEN v.q || ' q' || e.event_id ELSE v.q END AS query
+        FROM events e JOIN vocab v
+        ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+pq AS (SELECT query, count(DISTINCT session_id) AS n_users,
+         count(*) AS n_rows FROM log GROUP BY 1)
+SELECT 3 AS k, sum(n_rows) AS n_rows,
+       count(*) AS n_distinct_queries,
+       sum(CASE WHEN n_users < 3 THEN 1 ELSE 0 END) AS n_suppressed_queries,
+       sum(CASE WHEN n_users < 3 THEN n_rows ELSE 0 END) AS n_suppressed_rows,
+       round(1.0 - sum(CASE WHEN n_users < 3 THEN n_rows ELSE 0 END)
+             / CAST(sum(n_rows) AS DOUBLE), 6) AS frac_rows_released
+FROM pq""",
         # feed parse (sources/feeds.py): closed-form expected output of
         # the deterministic 50-host RSS+Atom synthesis (fixture oracle,
         # same style as sitemap_entries)

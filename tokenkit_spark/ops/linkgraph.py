@@ -1133,3 +1133,78 @@ def host_graph_stats(hedges: DataFrame, round_digits: int = 6) -> DataFrame:
             F.round("avg_od", round_digits).alias("avg_out_degree"),
         )
     )
+
+
+def link_prediction_battery(
+    edges: DataFrame,
+    k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The full unsupervised link-prediction battery of Liben-Nowell &
+    Kleinberg ("The link prediction problem for social networks", CIKM
+    2003) on the undirected graph: for every two-hop candidate pair,
+
+    * common neighbors   CN(u,v) = |N(u) ∩ N(v)|
+    * Jaccard            CN / |N(u) ∪ N(v)|
+    * Adamic-Adar        sum_z 1/ln(deg z)   (see adamic_adar above)
+    * preferential attachment  deg(u) * deg(v)
+
+    Shape: one wedge self-join keyed by the shared neighbor z (exact —
+    no hub cap here, the oracle twin mirrors it), one (u,v) aggregate,
+    one broadcast-sized degree join per endpoint.  Top-k by
+    (cn desc, src, dst) so the four predictors can be compared on the
+    same candidates.  Returns (rank, src, dst, cn, jaccard, aa, pa)."""
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nbrs = und.select(F.col("src").alias("z"), F.col("dst").alias("nbr")).join(
+        deg.select(F.col("n").alias("z"), F.col("deg").alias("zdeg")), "z"
+    )
+    pairs = nbrs.alias("a").join(
+        nbrs.select(
+            F.col("z").alias("z2"), F.col("nbr").alias("v")
+        ).alias("b"),
+        (F.col("a.z") == F.col("b.z2")) & (F.col("a.nbr") < F.col("b.v")),
+    )
+    scored = pairs.groupBy(
+        F.col("a.nbr").alias("src"), F.col("b.v").alias("dst")
+    ).agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.round(F.sum(1.0 / F.log(F.col("a.zdeg"))), round_digits).alias(
+            "aa"
+        ),
+    )
+    du = deg.select(F.col("n").alias("src"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("dst"), F.col("deg").alias("dv"))
+    full = (
+        scored.join(du, "src")
+        .join(dv, "dst")
+        .select(
+            "src",
+            "dst",
+            "cn",
+            F.round(
+                F.col("cn")
+                / (F.col("du") + F.col("dv") - F.col("cn")),
+                round_digits,
+            ).alias("jaccard"),
+            "aa",
+            (F.col("du") * F.col("dv")).cast("long").alias("pa"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("cn").desc(), F.col("src").asc(), F.col("dst").asc()
+    )
+    return (
+        full.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "src", "dst", "cn", "jaccard", "aa", "pa")
+    )
