@@ -6480,6 +6480,80 @@ def q_cetr_content(spark, sf_dir):
     return extract_content(_cetr_pages(spark, sf_dir))
 
 
+def q_replica_selection(spark, sf_dir):
+    """ES adaptive replica selection (C3, Suresh et al. NSDI 2015;
+    cluster.routing.use_adaptive_replica_selection): cubic-queue rank
+    over a pinned 10-shard x 3-replica stats snapshot, winner + choice
+    order per shard (index/ars.py:replica_selection)."""
+    from tokenkit_spark.index.ars import replica_selection
+
+    sh = spark.range(10).select(F.col("id").alias("shard"))
+    rp = spark.range(3).select(F.col("id").alias("replica"))
+    stats = sh.crossJoin(rp).select(
+        "shard",
+        "replica",
+        (
+            ((F.col("shard") * 3 + F.col("replica")) * 7 % 50) / 10.0 + 1.0
+        ).alias("r_ewma"),
+        (
+            ((F.col("shard") + F.col("replica") * 5) % 10) / 100.0 + 0.05
+        ).alias("service_time"),
+        ((F.col("shard") * F.col("replica")) % 4).cast("double").alias(
+            "queue"
+        ),
+        ((F.col("shard") + F.col("replica")) % 3).cast("double").alias(
+            "outstanding"
+        ),
+    )
+    return replica_selection(stats, n_clients=3)
+
+
+def q_homoglyph_domains(spark, sf_dir):
+    """IDN-homograph spoof detection (Gabrilovich & Gontmakher CACM
+    2002; UTS #39 skeleton): hosts whose confusable skeletons collide
+    while raw forms differ — every 50th doc contributes a Cyrillic-s
+    spoof of its site (ops/webclean.py:homoglyph_domains)."""
+    from tokenkit_spark.ops.webclean import homoglyph_domains
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 40).cast("string"),
+            F.lit(".com"),
+        ).alias("host")
+    )
+    spoof = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.concat(
+            F.lit("ѕite"), (F.col("doc_id") % 40).cast("string"),
+            F.lit(".com"),
+        ).alias("host")
+    )
+    return homoglyph_domains(base.unionByName(spoof))
+
+
+def q_special_tokens(spark, sf_dir):
+    """Control-token contamination scan: literal tokenizer special
+    tokens (<|endoftext|>, [CLS], ...) occurring in web text poison
+    structure learning; per (source, token) doc and occurrence counts
+    — injection pinned to doc_id%37 / %41
+    (ops/contamination.py:special_token_scan)."""
+    from tokenkit_spark.ops.contamination import special_token_scan
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(F.col("text"), F.lit(" <|endoftext|>")),
+        )
+        .when(
+            F.col("doc_id") % 41 == 0,
+            F.concat(F.col("text"), F.lit(" [CLS] [CLS]")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return special_token_scan(d)
+
+
 def q_link_prediction(spark, sf_dir):
     """Liben-Nowell & Kleinberg CIKM 2003 unsupervised link-prediction
     battery over the crawl graph: common neighbors, Jaccard,
@@ -6738,6 +6812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "replica_selection": q_replica_selection,
+        "homoglyph_domains": q_homoglyph_domains,
+        "special_tokens": q_special_tokens,
         "link_prediction": q_link_prediction,
         "trap_signals": q_trap_signals,
         "session_success": q_session_success,
@@ -8883,8 +8960,67 @@ d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
     qflow_vocab = ", ".join(
         f"({i}, '{v}')" for i, v in enumerate(_QFLOW_VOCAB)
     )
+    from tokenkit_spark.ops.contamination import SPECIAL_TOKENS
+    from tokenkit_spark.ops.webclean import _CONFUSABLES
+
+    conf_src = "".join(_CONFUSABLES)
+    conf_dst = "".join(_CONFUSABLES.values())
+    special_vals = ", ".join(f"('{t}')" for t in SPECIAL_TOKENS)
     return {
         # --- round-3 oracles ---
+        # C3 adaptive replica selection (index/ars.py):
+        # rank = R - 1/mu + q_hat^3 / mu, q_hat = 1 + os*n + q, n=3
+        "replica_selection": """
+WITH sh AS (SELECT range AS shard FROM range(10)),
+rp AS (SELECT range AS replica FROM range(3)),
+st AS (SELECT shard, replica,
+         ((shard * 3 + replica) * 7 % 50) / 10.0 + 1.0 AS r_ewma,
+         ((shard + replica * 5) % 10) / 100.0 + 0.05 AS service_time,
+         CAST((shard * replica) % 4 AS DOUBLE) AS queue,
+         CAST((shard + replica) % 3 AS DOUBLE) AS outstanding
+       FROM sh, rp),
+rk AS (SELECT shard, replica,
+         round(r_ewma - service_time
+               + pow(1.0 + outstanding * 3.0 + queue, 3) * service_time,
+               6) AS rank_score
+       FROM st),
+ch AS (SELECT shard, replica, rank_score,
+         row_number() OVER (PARTITION BY shard
+           ORDER BY rank_score, replica) AS choice FROM rk)
+SELECT shard, replica, rank_score, choice, choice = 1 AS is_winner
+FROM ch""",
+        # homoglyph skeleton collisions
+        # (ops/webclean.py:homoglyph_domains)
+        "homoglyph_domains": f"""
+WITH hosts AS (
+  SELECT DISTINCT 'site' || (doc_id % 40) || '.com' AS h FROM documents
+  UNION
+  SELECT DISTINCT 'ѕite' || (doc_id % 40) || '.com' FROM documents
+  WHERE doc_id % 50 = 0),
+sk AS (SELECT h, translate(h, '{conf_src}', '{conf_dst}') AS skeleton,
+         CASE WHEN regexp_matches(h, '^[\\x00-\\x7f]*$') THEN 0 ELSE 1 END
+           AS non_ascii
+       FROM hosts)
+SELECT skeleton, count(*) AS n_hosts, sum(non_ascii) AS n_spoofed,
+       string_agg(h, ',' ORDER BY h) AS hosts
+FROM sk GROUP BY 1
+HAVING count(*) > 1 AND sum(non_ascii) > 0""",
+        # special-token contamination scan — oracle rescans with
+        # replace-count (ops/contamination.py:special_token_scan)
+        "special_tokens": f"""
+WITH t AS (SELECT source,
+  CASE WHEN doc_id % 37 = 0 THEN text || ' <|endoftext|>'
+       WHEN doc_id % 41 = 0 THEN text || ' [CLS] [CLS]'
+       ELSE text END AS t2 FROM documents),
+tok(token) AS (VALUES {special_vals}),
+occ AS (SELECT source, token,
+    (length(t2) - length(replace(t2, token, ''))) // length(token) AS c
+  FROM t CROSS JOIN tok)
+SELECT source, token,
+       sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS n_docs,
+       sum(c) AS n_occurrences
+FROM occ GROUP BY 1, 2
+HAVING sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) > 0""",
         # link-prediction battery
         # (ops/linkgraph.py:link_prediction_battery)
         "link_prediction": f"""

@@ -173,3 +173,63 @@ def remove_duplicated_spans(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+SPECIAL_TOKENS = [
+    "<|endoftext|>", "<s>", "</s>", "[CLS]", "[SEP]", "<extra_id_0>",
+    "<|im_start|>", "<|im_end|>",
+]
+
+
+def special_token_scan(
+    docs: DataFrame,
+    tokens: list[str] | None = None,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Control-token contamination scan: web text that *contains a
+    tokenizer's special tokens as literal strings* poisons training —
+    the model learns to emit structure markers from data instead of
+    from the template (every tokenizer release documents this;
+    e.g. the GPT-2 <|endoftext|> and SentencePiece <s>/</s> reserved
+    pieces; pipelines escape or strip them before tokenization).
+
+    One row per (group, token) with occurrences: (group, token,
+    n_docs, n_occurrences) — rows only where the token appears.
+    Scale shape: each token is one codegen ``instr``/``regexp_count``
+    over the scan (the token list is a constant unrolled into the
+    projection, no join), then a (group)-keyed hash aggregate.
+    """
+    toks = tokens if tokens is not None else SPECIAL_TOKENS
+    import re as _re
+
+    per = docs.select(
+        group_col,
+        *[
+            F.regexp_count(text_col, F.lit(_re.escape(t))).alias(f"_c{i}")
+            for i, t in enumerate(toks)
+        ],
+    )
+    agg = per.groupBy(group_col).agg(
+        *[
+            x
+            for i, _ in enumerate(toks)
+            for x in (
+                F.sum((F.col(f"_c{i}") > 0).cast("int")).alias(f"_d{i}"),
+                F.sum(f"_c{i}").alias(f"_o{i}"),
+            )
+        ]
+    )
+    parts = [
+        agg.select(
+            F.col(group_col),
+            F.lit(t).alias("token"),
+            F.col(f"_d{i}").cast("long").alias("n_docs"),
+            F.col(f"_o{i}").cast("long").alias("n_occurrences"),
+        )
+        for i, t in enumerate(toks)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("n_docs") > 0)

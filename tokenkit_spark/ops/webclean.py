@@ -359,3 +359,62 @@ def gopher_gate(
         & (F.col("dup_line_frac") <= max_dup_line_frac)
     )
     return out.withColumn("gopher_pass", gate)
+
+
+# UTS #39 confusable pairs relevant to Latin-lookalike domain spoofs:
+# Cyrillic and Greek letters whose glyphs are (near-)identical to ASCII.
+# (A pinned subset of the Unicode confusables.txt skeleton table — the
+# full table is data, not logic; swap in the published file at
+# production scale.)
+_CONFUSABLES = {
+    "а": "a", "е": "e", "о": "o", "р": "p",
+    "с": "c", "х": "x", "у": "y", "і": "i",
+    "ѕ": "s", "ј": "j", "һ": "h", "ԁ": "d",
+    "ԛ": "q", "ԝ": "w", "ο": "o", "Α": "A",
+    "Β": "B", "Ε": "E", "Ο": "O", "С": "C",
+    "О": "O", "А": "A", "Е": "E", "Р": "P",
+}
+
+
+def skeleton(col) -> Column:
+    """UTS #39-style confusable skeleton (Unicode TS #39 §4, the
+    IDN-homograph defense): fold confusable non-ASCII letters to their
+    ASCII look-alikes with ONE ``translate`` — whole-stage codegen,
+    shared verbatim with the SQL oracle."""
+    src = "".join(_CONFUSABLES)
+    dst = "".join(_CONFUSABLES.values())
+    return F.translate(col, src, dst)
+
+
+def homoglyph_domains(
+    hosts: DataFrame, host_col: str = "host", round_digits: int = 6
+) -> DataFrame:
+    """IDN-homograph spoof detection over a crawl's host set
+    (Gabrilovich & Gontmakher, "The Homograph Attack", CACM 45(2)
+    2002; UTS #39 skeleton matching): hosts whose confusable skeletons
+    COLLIDE while their raw forms differ are spoof pairs — the
+    registered lookalike of a target domain.
+
+    Returns one row per colliding skeleton: (skeleton, n_hosts,
+    n_spoofed, hosts) with hosts sorted; ``n_spoofed`` counts the
+    non-ASCII variants.  One hash aggregate on the skeleton key —
+    10^8 hosts shard on it; no UDF (translate + regexp are codegen).
+    """
+    sk = hosts.select(
+        F.col(host_col).alias("h"),
+        skeleton(F.col(host_col)).alias("skeleton"),
+        (~F.col(host_col).rlike(r"^[\x00-\x7f]*$")).cast("int").alias(
+            "non_ascii"
+        ),
+    ).distinct()
+    return (
+        sk.groupBy("skeleton")
+        .agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.sum("non_ascii").cast("long").alias("n_spoofed"),
+            F.array_join(F.array_sort(F.collect_list("h")), ",").alias(
+                "hosts"
+            ),
+        )
+        .filter((F.col("n_hosts") > 1) & (F.col("n_spoofed") > 0))
+    )
