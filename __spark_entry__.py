@@ -6480,6 +6480,48 @@ def q_cetr_content(spark, sf_dir):
     return extract_content(_cetr_pages(spark, sf_dir))
 
 
+def q_kmv_setops(spark, sf_dir):
+    """Theta-sketch set operations on KMV sketches (Dasgupta et al.
+    EDBT 2016): union (k smallest of the merged sketch) and
+    intersection (common hashes below theta = min theta) estimates for
+    click vs purchase user sets, each next to the exact value, k=64
+    (ops/kmv.py:kmv_set_ops)."""
+    from tokenkit_spark.ops.kmv import kmv_set_ops
+
+    return kmv_set_ops(
+        _events(spark, sf_dir), "click", "purchase", k=64
+    )
+
+
+def q_packing_mix(spark, sf_dir):
+    """Cross-document leakage audit over packed context windows (the
+    pack-and-mask concern; Zhao et al. ACL 2024): share of bins mixing
+    sources, docs/sources per bin — over the same next-fit packing as
+    doc_packing (capacity 256, 32 shards)
+    (ops/packing.py:packing_mix_audit)."""
+    from tokenkit_spark.ops.packing import pack_documents, packing_mix_audit
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+    packed = pack_documents(d, capacity=256, n_shards=32)
+    return packing_mix_audit(packed, d.select("doc_id", "source"))
+
+
+def q_thin_content(spark, sf_dir):
+    """Thin-content host audit (Gyöngyi & Garcia-Molina AIRWeb 2005
+    low-information-page signal): per source, page count, thin share
+    (< 200 chars), median/mean length
+    (ops/webclean.py:thin_content)."""
+    from tokenkit_spark.ops.webclean import thin_content
+
+    return thin_content(_docs(spark, sf_dir), thin_chars=200)
+
+
 def q_replica_selection(spark, sf_dir):
     """ES adaptive replica selection (C3, Suresh et al. NSDI 2015;
     cluster.routing.use_adaptive_replica_selection): cubic-queue rank
@@ -6812,6 +6854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "kmv_setops": q_kmv_setops,
+        "packing_mix": q_packing_mix,
+        "thin_content": q_thin_content,
         "replica_selection": q_replica_selection,
         "homoglyph_domains": q_homoglyph_domains,
         "special_tokens": q_special_tokens,
@@ -8968,6 +9013,88 @@ d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
     special_vals = ", ".join(f"('{t}')" for t in SPECIAL_TOKENS)
     return {
         # --- round-3 oracles ---
+        # theta-sketch set ops on KMV sketches (ops/kmv.py:kmv_set_ops)
+        "kmv_setops": """
+WITH vals AS (SELECT DISTINCT event_type AS grp, user_id AS u,
+    ((user_id * 2654435761 + 12345) % 2147483647) / 2147483648.0 AS r
+  FROM events WHERE event_type IN ('click', 'purchase')),
+a AS (SELECT u, r FROM vals WHERE grp = 'click'),
+b AS (SELECT u, r FROM vals WHERE grp = 'purchase'),
+ta AS (SELECT r AS theta FROM
+  (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM a) WHERE rn = 64),
+tb AS (SELECT r AS theta FROM
+  (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM b) WHERE rn = 64),
+un AS (SELECT DISTINCT u, r FROM
+  (SELECT * FROM a UNION ALL SELECT * FROM b)),
+tu AS (SELECT r AS theta FROM
+  (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM un) WHERE rn = 64),
+inter AS (SELECT a.u, a.r FROM a SEMI JOIN b ON a.u = b.u),
+ex AS (SELECT
+  (SELECT count(*) FROM a) AS exact_a,
+  (SELECT count(*) FROM b) AS exact_b,
+  (SELECT count(*) FROM un) AS exact_union,
+  (SELECT count(*) FROM inter) AS exact_intersection,
+  (SELECT theta FROM ta) AS ta,
+  (SELECT theta FROM tb) AS tb,
+  (SELECT theta FROM tu) AS theta_u),
+fx AS (SELECT *,
+  least(coalesce(ta, 1.0), coalesce(tb, 1.0)) AS th,
+  (SELECT count(*) FROM inter, ex
+   WHERE inter.r < least(coalesce(ex.ta, 1.0), coalesce(ex.tb, 1.0)))
+    AS n_inter_below
+  FROM ex),
+res AS (SELECT 64 AS k, exact_a,
+  round(CASE WHEN ta IS NOT NULL THEN 63 / ta
+             ELSE CAST(exact_a AS DOUBLE) END, 6) AS est_a,
+  exact_b,
+  round(CASE WHEN tb IS NOT NULL THEN 63 / tb
+             ELSE CAST(exact_b AS DOUBLE) END, 6) AS est_b,
+  exact_union,
+  round(CASE WHEN theta_u IS NOT NULL THEN 63 / theta_u
+             ELSE CAST(exact_union AS DOUBLE) END, 6) AS est_union,
+  exact_intersection,
+  round(n_inter_below / th, 6) AS est_intersection
+  FROM fx)
+SELECT *, round(est_intersection / greatest(est_union, 1e-12), 6)
+         AS est_jaccard
+FROM res""",
+        # packed-window source-mix audit
+        # (ops/packing.py:packing_mix_audit): same recursive next-fit
+        # as the doc_packing oracle, joined to source
+        "packing_mix": r"""
+WITH RECURSIVE t AS (SELECT doc_id, doc_id % 32 AS shard,
+    len(list_filter(string_split_regex(text, '\s+'),
+        x -> x <> ''))::BIGINT AS n FROM documents),
+o AS (SELECT shard, doc_id, n,
+        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM t),
+pack AS (
+  SELECT shard, rn, doc_id, n, 0::BIGINT AS bin_id, n AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n,
+    CASE WHEN p.fill + o.n > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+    CASE WHEN p.fill + o.n > 256 THEN o.n ELSE p.fill + o.n END
+  FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1),
+pb AS (SELECT pk.shard, pk.bin_id, count(*) AS n_docs,
+         count(DISTINCT d.source) AS n_sources
+       FROM pack pk JOIN documents d USING (doc_id) GROUP BY 1, 2)
+SELECT count(*) AS n_bins,
+       sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS n_mixed_bins,
+       round(avg(CASE WHEN n_sources > 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_mixed,
+       round(avg(n_docs), 6) AS avg_docs_per_bin,
+       round(avg(n_sources), 6) AS avg_sources_per_bin
+FROM pb""",
+        # thin-content host audit (ops/webclean.py:thin_content)
+        "thin_content": """
+SELECT source, count(*) AS n_pages,
+       sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS n_thin,
+       round(avg(CASE WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_thin,
+       round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+       round(avg(n_chars), 6) AS mean_chars
+FROM documents GROUP BY 1""",
         # C3 adaptive replica selection (index/ars.py):
         # rank = R - 1/mu + q_hat^3 / mu, q_hat = 1 + os*n + q, n=3
         "replica_selection": """

@@ -91,3 +91,120 @@ def kmv_audit(
         )
         .orderBy(group_col)
     )
+
+
+def kmv_set_ops(
+    events: DataFrame,
+    group_a: str,
+    group_b: str,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Theta-sketch set operations on two KMV sketches (the
+    DataSketches theta union/intersection rules — Dasgupta, Lang,
+    Rhodes & Thaler, "A Framework for Estimating Stream Expression
+    Cardinalities", EDBT 2016): for groups A and B of ``group_col``,
+
+    * union:        k smallest distinct hashes of A ∪ B, (k-1)/r_k
+    * intersection: theta = min(theta_A, theta_B); estimate =
+                    |{common distinct hashes < theta}| / theta
+    * jaccard:      intersection / union estimates
+
+    each reported NEXT TO its exact value — the audit shape.  One
+    summary row: (k, exact_a, est_a, exact_b, est_b, exact_union,
+    est_union, exact_intersection, est_intersection, est_jaccard).
+
+    Scale shape: sketches are k-row relations after the per-group
+    window; the set ops touch only sketch rows.  Groups smaller than k
+    are exact (theta = 1).
+    """
+    vals = (
+        events.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("u"),
+            kmv_hash(F.col(id_col)).alias("r"),
+        )
+        .distinct()
+    )
+
+    def theta_of(grp):
+        # always ONE row (theta NULL when the group has < k hashes),
+        # so the assembly cross-joins never wipe the summary row
+        wg = Window.partitionBy(F.lit(1)).orderBy("r")
+        g = vals.filter(F.col("grp") == grp)
+        return (
+            g.withColumn("rn", F.row_number().over(wg))
+            .agg(
+                F.min(F.when(F.col("rn") == k, F.col("r"))).alias("theta")
+            )
+        )
+
+    def est(theta_col, exact_col):
+        return F.when(
+            theta_col.isNotNull(), (F.lit(k) - 1) / theta_col
+        ).otherwise(exact_col.cast("double"))
+
+    a = vals.filter(F.col("grp") == group_a).select("u", "r")
+    b = vals.filter(F.col("grp") == group_b).select("u", "r")
+    w1 = Window.partitionBy(F.lit(1)).orderBy("r")
+    uni = a.unionByName(b).distinct()
+    kth_u = uni.withColumn("rn", F.row_number().over(w1)).agg(
+        F.min(F.when(F.col("rn") == k, F.col("r"))).alias("theta_u")
+    )
+    inter = a.join(b.select("u"), "u", "left_semi")
+
+    ex = (
+        a.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(uni.agg(F.count(F.lit(1)).alias("exact_union")))
+        .crossJoin(
+            inter.agg(F.count(F.lit(1)).alias("exact_intersection"))
+        )
+        .crossJoin(theta_of(group_a).select(F.col("theta").alias("ta")))
+        .crossJoin(theta_of(group_b).select(F.col("theta").alias("tb")))
+        .crossJoin(kth_u)
+    )
+    theta = F.least(
+        F.coalesce(F.col("ta"), F.lit(1.0)),
+        F.coalesce(F.col("tb"), F.lit(1.0)),
+    )
+    inter_below = inter.crossJoin(
+        ex.select(
+            F.least(
+                F.coalesce(F.col("ta"), F.lit(1.0)),
+                F.coalesce(F.col("tb"), F.lit(1.0)),
+            ).alias("th")
+        )
+    ).filter(F.col("r") < F.col("th")).agg(
+        F.count(F.lit(1)).alias("n_inter_below")
+    )
+    out = ex.crossJoin(inter_below).select(
+        F.lit(k).alias("k"),
+        "exact_a",
+        F.round(est(F.col("ta"), F.col("exact_a")), round_digits).alias(
+            "est_a"
+        ),
+        "exact_b",
+        F.round(est(F.col("tb"), F.col("exact_b")), round_digits).alias(
+            "est_b"
+        ),
+        "exact_union",
+        F.round(
+            est(F.col("theta_u"), F.col("exact_union")), round_digits
+        ).alias("est_union"),
+        "exact_intersection",
+        F.round(F.col("n_inter_below") / theta, round_digits).alias(
+            "est_intersection"
+        ),
+    )
+    return out.withColumn(
+        "est_jaccard",
+        F.round(
+            F.col("est_intersection")
+            / F.greatest(F.col("est_union"), F.lit(1e-12)),
+            round_digits,
+        ),
+    )

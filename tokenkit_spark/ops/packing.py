@@ -94,3 +94,43 @@ def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
         F.sum("n_tokens").alias("fill_tokens"),
         F.round(F.sum("n_tokens") / F.lit(float(capacity)), 4).alias("utilization"),
     )
+
+
+def packing_mix_audit(
+    packed: DataFrame,
+    doc_meta: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document leakage audit over packed context windows: when
+    a training dataloader packs multiple documents into one sequence,
+    attention flows across document boundaries unless masked — windows
+    mixing SOURCES are where that contamination is least benign (the
+    concern behind T5's pack-and-mask and Llama-style document
+    attention masks; Zhao et al., "Analysing the Impact of Sequence
+    Composition on Language Model Pre-Training", ACL 2024 measure it).
+
+    Joins :func:`pack_documents` output with per-doc metadata and
+    reports ONE summary row: (n_bins, n_mixed_bins, frac_mixed,
+    avg_docs_per_bin, avg_sources_per_bin).  Shape: one doc-keyed join
+    (rides the packing's own shard key), one (shard, bin) aggregate,
+    one global reduce."""
+    per_bin = (
+        packed.join(doc_meta.select(id_col, group_col), id_col)
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(group_col).alias("n_sources"),
+        )
+    )
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum((F.col("n_sources") > 1).cast("int"))
+        .cast("long")
+        .alias("n_mixed_bins"),
+        F.round(
+            F.avg((F.col("n_sources") > 1).cast("int")), 6
+        ).alias("frac_mixed"),
+        F.round(F.avg("n_docs"), 6).alias("avg_docs_per_bin"),
+        F.round(F.avg("n_sources"), 6).alias("avg_sources_per_bin"),
+    )

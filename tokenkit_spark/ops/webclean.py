@@ -418,3 +418,35 @@ def homoglyph_domains(
         )
         .filter((F.col("n_hosts") > 1) & (F.col("n_spoofed") > 0))
     )
+
+
+def thin_content(
+    docs: DataFrame,
+    thin_chars: int = 200,
+    group_col: str = "source",
+    len_col: str = "n_chars",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Thin-content host audit — the low-information-page signal of
+    the web-spam taxonomy (Gyöngyi & Garcia-Molina, "Web Spam
+    Taxonomy", AIRWeb 2005: pages with little or duplicated content
+    exist to carry ads/links, and hosts dominated by them are
+    downweighted wholesale by quality systems).  Per group (host /
+    source): page count, thin-page share (< ``thin_chars``), median
+    and mean length — the inputs to a host-level keep/demote decision.
+
+    One hash aggregate; ``percentile`` is Spark's exact interpolated
+    percentile (matches DuckDB ``quantile_cont``)."""
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum((F.col(len_col) < thin_chars).cast("int"))
+        .cast("long")
+        .alias("n_thin"),
+        F.round(
+            F.avg((F.col(len_col) < thin_chars).cast("int")), round_digits
+        ).alias("frac_thin"),
+        F.round(
+            F.expr(f"percentile({len_col}, 0.5)"), round_digits
+        ).alias("median_chars"),
+        F.round(F.avg(len_col), round_digits).alias("mean_chars"),
+    )
