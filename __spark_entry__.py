@@ -6480,6 +6480,84 @@ def q_cetr_content(spark, sf_dir):
     return extract_content(_cetr_pages(spark, sf_dir))
 
 
+def _directive_pages(spark, sf_dir):
+    """Deterministic pages with meta-robots (doc%7: 0 -> noindex,
+    nofollow; 1 -> noindex) and rel=canonical (doc%3==0) head tags
+    (same recipe inlined in the SQL oracle, which re-parses the
+    html)."""
+    d = _docs(spark, sf_dir)
+    meta = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit('<meta name="robots" content="noindex, nofollow">'),
+    ).when(
+        F.col("doc_id") % 7 == 1,
+        F.lit('<meta name="robots" content="noindex">'),
+    ).otherwise(F.lit(""))
+    canon = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://canon.example/c'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    return d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("<html><head>"), meta, canon,
+            F.lit("</head><body><p>x</p></body></html>"),
+        ).alias("html"),
+    )
+
+
+def q_page_directives(spark, sf_dir):
+    """Page-level indexing directives (REP meta-robots convention +
+    the 2009 joint rel=canonical convention): per-host rollup of
+    noindex/nofollow/canonical extraction from raw html heads
+    (ops/metadirectives.py:directive_rollup)."""
+    from tokenkit_spark.ops.metadirectives import directive_rollup
+
+    return directive_rollup(_directive_pages(spark, sf_dir))
+
+
+def q_soft404(spark, sf_dir):
+    """Soft-404 detection (Bar-Yossef et al. WWW 2004): per-host error-
+    phrase share, templated-title mass (title shared by >= 3 pages),
+    and the high-precision conjunction — every 10th page is an
+    injected 200-status error page (ops/soft404.py:soft404_signals)."""
+    from tokenkit_spark.ops.soft404 import soft404_signals
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("Page not found"))
+        .otherwise(F.concat(F.lit("doc "), F.col("doc_id").cast("string")))
+        .alias("title"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.lit("the page you requested could not be found"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return soft404_signals(pages, dup_min=3)
+
+
+def q_embedding_pool(spark, sf_dir):
+    """Chunk-to-document embedding pooling (mean pooling per Reimers &
+    Gurevych EMNLP 2019, applied chunk->doc): groups of 4 consecutive
+    vectors mean-pooled and L2-renormalized; one row per (parent,
+    dimension) (ops/pooling.py:mean_pool)."""
+    from tokenkit_spark.ops.pooling import mean_pool
+
+    emb = _emb(spark, sf_dir)
+    return mean_pool(emb, F.expr("vec_id DIV 4"))
+
+
 def q_kmv_setops(spark, sf_dir):
     """Theta-sketch set operations on KMV sketches (Dasgupta et al.
     EDBT 2016): union (k smallest of the merged sketch) and
@@ -6854,6 +6932,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "page_directives": q_page_directives,
+        "soft404": q_soft404,
+        "embedding_pool": q_embedding_pool,
         "kmv_setops": q_kmv_setops,
         "packing_mix": q_packing_mix,
         "thin_content": q_thin_content,
@@ -9013,6 +9094,78 @@ d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
     special_vals = ", ".join(f"('{t}')" for t in SPECIAL_TOKENS)
     return {
         # --- round-3 oracles ---
+        # page-level directives (ops/metadirectives.py): oracle
+        # re-parses the synthesized html with its own regexps
+        "page_directives": """
+WITH p AS (SELECT 'h' || (doc_id % 20) AS host,
+  '<html><head>'
+  || CASE WHEN doc_id % 7 = 0
+       THEN '<meta name="robots" content="noindex, nofollow">'
+     WHEN doc_id % 7 = 1
+       THEN '<meta name="robots" content="noindex">'
+     ELSE '' END
+  || CASE WHEN doc_id % 3 = 0
+       THEN '<link rel="canonical" href="https://canon.example/c'
+            || (doc_id % 50) || '">'
+     ELSE '' END
+  || '</head><body><p>x</p></body></html>' AS html FROM documents),
+d AS (SELECT host,
+  regexp_extract(html,
+    '<meta\\s+name=["'']robots["'']\\s+content=["'']([^"'']*)["'']', 1)
+    AS rc,
+  nullif(regexp_extract(html,
+    '<link\\s+rel=["'']canonical["'']\\s+href=["'']([^"'']*)["'']', 1),
+    '') AS canonical
+  FROM p),
+f AS (SELECT host, canonical,
+  regexp_matches(rc, '(^|[,\\s])noindex([,\\s]|$)') AS noindex,
+  regexp_matches(rc, '(^|[,\\s])nofollow([,\\s]|$)') AS nofollow
+  FROM d)
+SELECT host, count(*) AS n_pages,
+  sum(CASE WHEN noindex THEN 1 ELSE 0 END) AS n_noindex,
+  sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS n_nofollow,
+  sum(CASE WHEN canonical IS NOT NULL THEN 1 ELSE 0 END) AS n_canonical,
+  sum(CASE WHEN canonical IS NOT NULL
+            AND position(host IN canonical) = 0 THEN 1 ELSE 0 END)
+    AS n_cross_host_canonical,
+  round(avg(CASE WHEN noindex THEN 0.0 ELSE 1.0 END), 6)
+    AS frac_indexable
+FROM f GROUP BY 1""",
+        # soft-404 signals (ops/soft404.py:soft404_signals)
+        "soft404": """
+WITH p AS (SELECT 'h' || (doc_id % 20) AS host,
+  CASE WHEN doc_id % 10 = 0 THEN 'Page not found'
+       ELSE 'doc ' || doc_id END AS title,
+  CASE WHEN doc_id % 10 = 0
+       THEN 'the page you requested could not be found'
+       ELSE text END AS t2
+  FROM documents),
+h AS (SELECT host, title,
+  regexp_matches(lower(t2),
+   '(page not found|could not be found|404 error|no longer available|does not exist)')
+   AS hit FROM p),
+tc AS (SELECT host, title, count(*) AS tn FROM h GROUP BY 1, 2),
+j AS (SELECT h.host, h.hit, tc.tn >= 3 AS templated
+      FROM h JOIN tc ON h.host = tc.host AND h.title = tc.title)
+SELECT host, count(*) AS n_pages,
+  sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_phrase,
+  round(avg(CASE WHEN hit THEN 1.0 ELSE 0.0 END), 6) AS frac_phrase,
+  sum(CASE WHEN templated THEN 1 ELSE 0 END) AS n_templated,
+  sum(CASE WHEN hit AND templated THEN 1 ELSE 0 END) AS n_soft404,
+  round(avg(CASE WHEN hit AND templated THEN 1.0 ELSE 0.0 END), 6)
+    AS frac_soft404
+FROM j GROUP BY 1""",
+        # chunk->doc embedding mean pooling (ops/pooling.py:mean_pool)
+        "embedding_pool": """
+WITH ex AS (SELECT vec_id // 4 AS parent_id, u.i - 1 AS pos,
+        CAST(embedding[u.i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)),
+m AS (SELECT parent_id, pos, avg(v) AS m FROM ex GROUP BY 1, 2),
+nr AS (SELECT parent_id, sqrt(sum(m * m)) AS nrm FROM m GROUP BY 1)
+SELECT m.parent_id, m.pos,
+       round(CASE WHEN nr.nrm > 0 THEN m.m / nr.nrm ELSE m.m END, 6)
+         AS pooled
+FROM m JOIN nr USING (parent_id)""",
         # theta-sketch set ops on KMV sketches (ops/kmv.py:kmv_set_ops)
         "kmv_setops": """
 WITH vals AS (SELECT DISTINCT event_type AS grp, user_id AS u,
