@@ -6480,6 +6480,95 @@ def q_cetr_content(spark, sf_dir):
     return extract_content(_cetr_pages(spark, sf_dir))
 
 
+def q_scd2_tiers(spark, sf_dir):
+    """SCD Type-2 temporal dimension join (Kimball type-2 history):
+    events attributed to the user-tier version valid at event time —
+    per-user boundaries b1 = 2024-01-03 + user%3 days, b2 = b1+3;
+    rollup per (tier, event_type)
+    (ops/scd.py:scd2_join)."""
+    import datetime
+
+    from tokenkit_spark.ops.scd import scd2_join
+
+    ev = _events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    b1 = F.to_timestamp(
+        F.date_add(
+            F.lit(datetime.date(2024, 1, 3)),
+            (F.col("user_id") % 3).cast("int"),
+        )
+    )
+    b2 = F.to_timestamp(
+        F.date_add(
+            F.lit(datetime.date(2024, 1, 3)),
+            (F.col("user_id") % 3).cast("int") + 3,
+        )
+    )
+    dim = (
+        users.select(
+            "user_id",
+            F.to_timestamp(F.lit("2023-12-01 00:00:00")).alias("valid_from"),
+            b1.alias("valid_to"),
+            F.lit("bronze").alias("tier"),
+        )
+        .unionByName(
+            users.select(
+                "user_id", b1.alias("valid_from"), b2.alias("valid_to"),
+                F.lit("silver").alias("tier"),
+            )
+        )
+        .unionByName(
+            users.select(
+                "user_id", b2.alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit("gold").alias("tier"),
+            )
+        )
+    )
+    joined = scd2_join(
+        ev.select("user_id", "ts", "event_type"), dim, "user_id"
+    )
+    return joined.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_selectivity(spark, sf_dir):
+    """Query-planner selectivity audit (IIR §1.3 term-independence
+    estimates): AND/OR result-size estimates vs actual match-set
+    sizes per query — quantifying correlation bias
+    (index/planstats.py:selectivity_audit)."""
+    from tokenkit_spark.index.planstats import selectivity_audit
+
+    return selectivity_audit(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_url_prior(spark, sf_dir):
+    """Entry-page URL-type priors (Kraaij/Westerveld/Hiemstra SIGIR
+    2002): root/subroot/path/file classes, Laplace-trained
+    P(entry|class), LM-Dirichlet top-50 re-ranked by + ln prior
+    (index/urlprior.py:url_prior_rerank)."""
+    from tokenkit_spark.index.urlprior import url_prior_rerank
+
+    d = _docs(spark, sf_dir)
+    base = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".ex/"),
+    )
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, base)
+        .when(F.col("doc_id") % 4 == 1, F.concat(base, F.lit("a/")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("a/b/")))
+        .otherwise(F.concat(base, F.lit("a/b/c.html")))
+    )
+    urls = d.select(
+        "doc_id", url.alias("url"),
+        (F.col("doc_id") % 5 == 0).alias("is_entry"),
+    )
+    return url_prior_rerank(d, _queries_df(spark), urls, k=10)
+
+
 def _directive_pages(spark, sf_dir):
     """Deterministic pages with meta-robots (doc%7: 0 -> noindex,
     nofollow; 1 -> noindex) and rel=canonical (doc%3==0) head tags
@@ -6932,6 +7021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "scd2_tiers": q_scd2_tiers,
+        "selectivity": q_selectivity,
+        "url_prior": q_url_prior,
         "page_directives": q_page_directives,
         "soft404": q_soft404,
         "embedding_pool": q_embedding_pool,
@@ -9094,6 +9186,95 @@ d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
     special_vals = ", ".join(f"('{t}')" for t in SPECIAL_TOKENS)
     return {
         # --- round-3 oracles ---
+        # SCD2 temporal join (ops/scd.py): semantic oracle computes the
+        # tier directly from the time windows, no join machinery
+        "scd2_tiers": """
+WITH e AS (SELECT user_id, ts, event_type,
+  CAST('2024-01-03' AS TIMESTAMP)
+    + (user_id % 3) * INTERVAL 1 DAY AS b1,
+  CAST('2024-01-03' AS TIMESTAMP)
+    + ((user_id % 3) + 3) * INTERVAL 1 DAY AS b2
+  FROM events),
+t AS (SELECT user_id, event_type,
+  CASE WHEN ts < b1 THEN 'bronze'
+       WHEN ts < b2 THEN 'silver' ELSE 'gold' END AS tier FROM e)
+SELECT tier, event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM t GROUP BY 1, 2""",
+        # selectivity audit (index/planstats.py:selectivity_audit)
+        "selectivity": f"""
+WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs FROM dstats),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+qt AS (SELECT q.query_id, t.df, g.n_docs
+       FROM qterms q JOIN tstats t USING (term) CROSS JOIN globals g),
+ests AS (SELECT query_id, count(*) AS n_terms,
+  round(any_value(n_docs)
+    * exp(sum(ln(df / CAST(n_docs AS DOUBLE)))), 4) AS est_conj,
+  round(any_value(n_docs)
+    * (1.0 - exp(sum(ln(greatest(
+        1.0 - df / CAST(n_docs AS DOUBLE), 1e-12))))), 4)
+    AS est_disj
+  FROM qt GROUP BY 1),
+nq AS (SELECT q.query_id, count(*) AS n_indexed
+       FROM qterms q JOIN tstats t USING (term) GROUP BY 1),
+pd AS (SELECT q.query_id, p.doc_id, count(DISTINCT q.term) AS nt
+       FROM qterms q JOIN postings p USING (term) GROUP BY 1, 2),
+act AS (SELECT pd.query_id,
+         sum(CASE WHEN pd.nt = nq.n_indexed THEN 1 ELSE 0 END) AS act_conj,
+         count(*) AS act_disj
+        FROM pd JOIN nq USING (query_id) GROUP BY 1)
+SELECT e.query_id, e.n_terms, e.est_conj,
+       coalesce(a.act_conj, 0) AS act_conj, e.est_disj,
+       coalesce(a.act_disj, 0) AS act_disj
+FROM ests e LEFT JOIN act a USING (query_id)""",
+        # Kraaij URL-type priors (index/urlprior.py:url_prior_rerank):
+        # LM-Dirichlet top-50 (score rounded to 4 like the Spark stage)
+        # re-ranked by + ln P(entry|class), Laplace priors
+        "url_prior": f"""
+WITH toks AS (SELECT doc_id, lower(u.t) AS term FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+tstats AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM postings GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dstats),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+    sum(greatest(ln(1 + p.tf / (2000.0 * ((t.cf + 1.0)
+          / (g.total_tokens + 1.0))))
+        + ln(2000.0 / (d.dl + 2000.0)), 0.0)) AS s
+  FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+cand AS (SELECT query_id, doc_id, round(s, 4) AS s FROM
+  (SELECT query_id, doc_id, s,
+     row_number() OVER (PARTITION BY query_id
+       ORDER BY round(s, 4) DESC, doc_id) AS rank FROM scored)
+  WHERE rank <= 50),
+cls AS (SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN 'root'
+       WHEN doc_id % 4 = 1 THEN 'subroot'
+       WHEN doc_id % 4 = 2 THEN 'path' ELSE 'file' END AS url_class,
+  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS e
+  FROM documents),
+pri AS (SELECT url_class,
+         (sum(e) + 1.0) / (count(*) + 2.0) AS prior
+        FROM cls GROUP BY 1),
+rescored AS (SELECT c.query_id, c.doc_id, c.s + ln(p.prior) AS s2
+  FROM cand c JOIN cls USING (doc_id) JOIN pri p USING (url_class)),
+ranked AS (SELECT query_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY round(s2, 4) DESC, doc_id) AS rank,
+    doc_id, round(s2, 4) AS score FROM rescored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10""",
         # page-level directives (ops/metadirectives.py): oracle
         # re-parses the synthesized html with its own regexps
         "page_directives": """
