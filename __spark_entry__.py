@@ -7012,6 +7012,70 @@ def q_span_corrupt(spark, sf_dir):
     return span_corrupt(_docs(spark, sf_dir), span_len=3, cycle=7)
 
 
+# --------------------------------------------------------------- session J
+def q_bm25l_top10(spark, sf_dir):
+    """BM25L top-10 (Lv & Zhai CIKM 2011): shifted normalized-tf
+    saturation fixing the very-long-document penalty, idf_L =
+    ln((N+1)/(df+0.5)), delta=0.5 (index/bm25f.py:bm25_l)."""
+    from tokenkit_spark.index.bm25f import bm25_l
+
+    return bm25_l(_docs(spark, sf_dir), _queries_df(spark), k=10)
+
+
+def q_dlh13_top10(spark, sf_dir):
+    """DFR DLH13 top-10 (Amati hypergeometric parameter-free model,
+    Terrier default; per-term clamp at 0, 1-f floored at 1e-10)
+    (index/lmsim.py:dlh13)."""
+    from tokenkit_spark.index.lmsim import dlh13
+
+    return dlh13(_docs(spark, sf_dir), _queries_df(spark), k=10)
+
+
+def q_svb_audit(spark, sf_dir):
+    """Stream-VByte codec audit (Lemire et al. IPL 2018): exact data +
+    2-bit-control byte cost per top-20 posting list vs the live LEB128
+    varint stream (index/svb.py:svb_audit)."""
+    from tokenkit_spark.index.svb import svb_audit
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    return svb_audit(toks, k=20)
+
+
+def q_skip_audit(spark, sf_dir):
+    """Skip-pointer placement audit (Moffat & Zobel TOIS 1996 cost
+    model, L=ceil(sqrt(df))): per-query conjunctive decode cost with
+    skips vs full scans (index/skips.py:skip_audit)."""
+    from tokenkit_spark.index.skips import skip_audit
+
+    return skip_audit(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_logmerge_audit(spark, sf_dir):
+    """Logarithmic-merge policy cost audit (Lester/Zobel/Williams;
+    Lucene LogMergePolicy r=3, 30 batches of the real corpus): exact
+    lifetime write cost + amplification, immediate-merge vs geometric
+    ladder (index/logmerge.py:log_merge_audit)."""
+    from tokenkit_spark.index.logmerge import log_merge_audit
+
+    return log_merge_audit(_docs(spark, sf_dir), n_batches=30,
+                           merge_factor=3)
+
+
+def q_mindist_top10(spark, sf_dir):
+    """MinDist proximity re-ranking (Tao & Zhai SIGIR 2007): BM25
+    top-50 re-scored by + ln(0.3 + exp(-min pairwise matched-term
+    position distance)), cap 1000 (index/proxfeat.py:mindist_rerank)."""
+    from tokenkit_spark.index.proxfeat import mindist_rerank
+
+    return mindist_rerank(_docs(spark, sf_dir), _queries_df(spark), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -7021,6 +7085,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "bm25l_top10": q_bm25l_top10,
+        "dlh13_top10": q_dlh13_top10,
+        "svb_audit": q_svb_audit,
+        "skip_audit": q_skip_audit,
+        "logmerge_audit": q_logmerge_audit,
+        "mindist_top10": q_mindist_top10,
         "scd2_tiers": q_scd2_tiers,
         "selectivity": q_selectivity,
         "url_prior": q_url_prior,
@@ -9185,6 +9255,156 @@ d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
     conf_dst = "".join(_CONFUSABLES.values())
     special_vals = ", ".join(f"('{t}')" for t in SPECIAL_TOKENS)
     return {
+        # ---- session J ----
+        # BM25L (index/bm25f.py:bm25_l): shifted normalized-tf
+        # saturation, idf_L = ln((N+1)/(df+0.5)), delta=0.5
+        "bm25l_top10": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln((g.n_docs + 1.0) / (t.df + 0.5))
+              * (1.2 + 1.0) * (p.tf / (1.0 - 0.75 + 0.75 * d.dl / g.avgdl) + 0.5)
+              / (1.2 + (p.tf / (1.0 - 0.75 + 0.75 * d.dl / g.avgdl) + 0.5)) ) AS s
+  FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+ranked AS (SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(s, 4) DESC, doc_id) AS rank,
+       doc_id, round(s, 4) AS score FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10""",
+        # DFR DLH13 (index/lmsim.py:dlh13): parameter-free
+        # hypergeometric model, per-term clamp at 0, 1-f floor 1e-10;
+        # log2 written as ln(x)/ln(2) to mirror the Spark expression
+        "dlh13_top10": _sim_oracle(
+            "greatest((p.tf * (ln((p.tf * (g.total_tokens"
+            " / CAST(g.n_docs AS DOUBLE)) / d.dl)"
+            " * (g.n_docs / CAST(t.cf AS DOUBLE))) / ln(2))"
+            " + 0.5 * (ln(2 * pi() * p.tf * greatest(1.0 - p.tf"
+            " / CAST(d.dl AS DOUBLE), 1e-10)) / ln(2)))"
+            " / (p.tf + 0.5), 0.0)"
+        ),
+        # Stream-VByte codec audit (index/svb.py): exact data-byte +
+        # 2-bit-control cost vs the live LEB128 varint stream
+        "svb_audit": f"""
+WITH toks AS ({_TOKS}),
+p AS (SELECT DISTINCT term, doc_id AS id FROM toks),
+g AS (SELECT term,
+             id - coalesce(lag(id) OVER (PARTITION BY term ORDER BY id), 0)
+               AS gap FROM p),
+sz AS (SELECT term,
+              CASE WHEN gap < 256 THEN 1 WHEN gap < 65536 THEN 2
+                   WHEN gap < 16777216 THEN 3 ELSE 4 END AS db,
+              ({varint_case}) AS vb FROM g),
+agg AS (SELECT term, count(*) AS n_docs,
+               CAST(sum(db) AS BIGINT) AS svb_data_bytes,
+               CAST(sum(vb) AS BIGINT) AS varint_bytes
+        FROM sz GROUP BY 1)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY n_docs DESC, term ASC) AS rank,
+         term, n_docs, svb_data_bytes,
+         CAST(ceil(n_docs / 4.0) AS BIGINT) AS svb_ctrl_bytes,
+         svb_data_bytes + CAST(ceil(n_docs / 4.0) AS BIGINT) AS svb_bytes,
+         varint_bytes,
+         round((svb_data_bytes + CAST(ceil(n_docs / 4.0) AS BIGINT))
+               / CAST(n_docs AS DOUBLE), 4) AS bpp_svb,
+         round(varint_bytes / CAST(n_docs AS DOUBLE), 4) AS bpp_varint,
+         round((svb_data_bytes + CAST(ceil(n_docs / 4.0) AS BIGINT))
+               / CAST(varint_bytes AS DOUBLE), 4) AS ratio
+  FROM agg) WHERE rank <= 20""",
+        # Skip-pointer placement audit (index/skips.py): Moffat-Zobel
+        # cost model, L = ceil(sqrt(df)), driver list decoded in full
+        "skip_audit": f"""
+WITH toks AS ({_TOKS}),
+tstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+qt AS (SELECT q.query_id, t.df FROM qterms q JOIN tstats t USING (term)),
+perq AS (SELECT query_id, count(*) AS n_terms, min(df) AS df_min,
+                sum(df) AS df_sum FROM qt GROUP BY 1),
+est AS (SELECT qt.query_id, qt.df, p.df_min,
+        least(CAST(qt.df AS DOUBLE),
+              qt.df / CAST(ceil(sqrt(qt.df)) AS BIGINT)
+              + p.df_min * CAST(ceil(sqrt(qt.df)) AS BIGINT) / 2.0) AS e
+        FROM qt JOIN perq p USING (query_id)),
+sc AS (SELECT query_id, sum(e) AS skip_all,
+              min(CASE WHEN df = df_min THEN e END) AS driver_est
+       FROM est GROUP BY 1),
+sel AS (SELECT p.query_id, p.n_terms, p.df_min,
+               CAST(p.df_sum AS DOUBLE) AS cost_full,
+               round(sc.skip_all - sc.driver_est + p.df_min, 4) AS cost_skip
+        FROM perq p JOIN sc USING (query_id))
+SELECT *, round(1.0 - cost_skip / cost_full, 4) AS saving_frac FROM sel""",
+        # Logarithmic-merge policy audit (index/logmerge.py): exact
+        # lifetime write cost, immediate vs geometric ladder r=3, B=30
+        "logmerge_audit": """
+WITH b AS (SELECT ((doc_id % 30) + 1) AS batch,
+        CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> ''))) AS BIGINT) AS tok
+       FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(tok) AS BIGINT) AS total_tokens FROM b),
+imm AS (SELECT CAST(sum(bj.tok) AS BIGINT) AS cost_immediate
+        FROM b bi JOIN b bj ON bj.batch <= bi.batch),
+lv AS (SELECT l, CAST(power(3, l) AS BIGINT) AS span
+       FROM unnest([1, 2, 3]) AS u(l)),
+ev AS (SELECT bi.batch AS i, lv.span FROM b bi CROSS JOIN lv
+       WHERE bi.batch % lv.span = 0),
+logc AS (SELECT CAST(sum(bj.tok) AS BIGINT) AS cost_log
+         FROM ev JOIN b bj
+         ON bj.batch > ev.i - ev.span AND bj.batch <= ev.i)
+SELECT 30 AS n_batches, 3 AS merge_factor, total_tokens, cost_immediate,
+       cost_log,
+       round(cost_immediate / CAST(total_tokens AS DOUBLE), 4)
+         AS amp_immediate,
+       round(cost_log / CAST(total_tokens AS DOUBLE), 4) AS amp_log,
+       CAST(2 AS BIGINT) AS segments_log
+FROM tot, imm, logc""",
+        # MinDist proximity re-rank (index/proxfeat.py): BM25 top-50
+        # + ln(0.3 + exp(-min pairwise matched-term distance)), cap 1000
+        "mindist_top10": f"""
+WITH {postoks_cte.strip()},
+postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+bm AS (SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS bm25
+       FROM qterms q JOIN postings p USING (term) JOIN tstats t USING (term)
+       JOIN dstats d USING (doc_id) CROSS JOIN globals g GROUP BY 1, 2),
+cand AS (SELECT query_id, doc_id, bm25 FROM (
+    SELECT query_id, doc_id, bm25, row_number() OVER (
+      PARTITION BY query_id ORDER BY round(bm25, 4) DESC, doc_id) AS cr
+    FROM bm) WHERE cr <= 50),
+mp AS (SELECT q.query_id, tk.doc_id, tk.term, tk.pos
+       FROM qterms q JOIN toks tk USING (term)
+       JOIN (SELECT DISTINCT query_id, doc_id FROM cand) c
+       ON c.query_id = q.query_id AND c.doc_id = tk.doc_id),
+pr AS (SELECT a.query_id, a.doc_id,
+              CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS mindist
+       FROM mp a JOIN mp b ON a.query_id = b.query_id
+        AND a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY 1, 2),
+sc AS (SELECT c.query_id, c.doc_id,
+              coalesce(pr.mindist, 1000) AS mindist,
+              c.bm25 + ln(0.3 + exp(-coalesce(pr.mindist, 1000))) AS s
+       FROM cand c LEFT JOIN pr USING (query_id, doc_id)),
+ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(s, 4) DESC, doc_id) AS rank,
+           doc_id, mindist, round(s, 4) AS score FROM sc)
+SELECT query_id, rank, doc_id, mindist, score FROM ranked
+WHERE rank <= 10""",
         # --- round-3 oracles ---
         # SCD2 temporal join (ops/scd.py): semantic oracle computes the
         # tier directly from the time windows, no join machinery

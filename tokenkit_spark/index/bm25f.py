@@ -330,3 +330,63 @@ def combined_fields(
         .withColumnRenamed(id_col, "doc_id")
     )
     return _topk(scored, k, round_digits)
+
+
+def bm25_l(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    delta: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """BM25L (Lv & Zhai, "When Documents Are Very Long, BM25 Fails!",
+    CIKM 2011 poster): instead of adding a raw floor to the saturation
+    (BM25+, above), BM25L normalizes tf FIRST and shifts the
+    normalized value, fixing the same very-long-document penalty with
+    a different saturation shape:
+
+        c'(t,d) = tf / (1 - b + b·dl/avgdl)
+        score   = Σ_t idf_L(t) · (k1+1)·(c'+δ) / (k1 + c'+δ)
+
+    with the paper's idf_L(t) = ln((N+1)/(df+0.5)) and δ=0.5.  Only
+    matched terms contribute (c' > 0 by construction on the join).
+    Identical relational plan to BM25+ — one (doc, term) tf aggregate,
+    per-doc dl, per-term df, broadcast one-row globals, per-query
+    top-k window; no UDFs, everything map-side-combinable."""
+    toks = _toks(docs, id_col, text_col)
+    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dstats = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    globals_ = dstats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = postings.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("term"),
+    )
+    idf_l = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 0.5))
+    ctd = F.col("tf") / (
+        1.0 - b + F.lit(float(b)) * F.col("dl") / F.col("avgdl")
+    )
+    shifted = ctd + F.lit(float(delta))
+    sat = (k1 + 1.0) * shifted / (F.lit(float(k1)) + shifted)
+    scored = (
+        qterms.join(postings, "term")
+        .join(df_t, "term")
+        .join(dstats, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(idf_l * sat).alias("score"))
+        .withColumnRenamed(id_col, "doc_id")
+    )
+    return _topk(scored, k, round_digits)

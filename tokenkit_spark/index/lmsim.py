@@ -416,3 +416,48 @@ def axiomatic_f2log(
         qterms, postings, dstats, tstats, globals_,
         per_term, id_col, k, round_digits,
     )
+
+
+def dlh13(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """DFR DLH13 (Amati's parameter-free hypergeometric
+    divergence-from-randomness model, as shipped by Terrier's
+    ``DLH13`` and Lucene's ``DFRSimilarity`` with the H3 aftereffect;
+    Amati & van Rijsbergen TOIS 2002 framework).  Per matched term,
+    with f = tf/dl:
+
+        s(t,d) = [ tf·log2( (tf·avgdl/dl) · (N/cf) )
+                   + 0.5·log2( 2π·tf·(1-f) ) ] / (tf + 0.5)
+
+    clamped at 0 per term (a term filling the whole doc drives the
+    Bernoulli correction to -inf; both engines clamp the 1-f factor at
+    1e-10 and the per-term score at 0 so rank order is well-defined).
+    Parameter-free: no k1/b/mu to tune — the reason Terrier ships it
+    as the robust default.  Same relational plan as the LM rankers."""
+    import math
+
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    f = F.col("tf") / F.col("dl")
+    ln2 = math.log(2.0)
+    log2 = lambda x: F.log(x) / F.lit(ln2)
+    s = (
+        F.col("tf")
+        * log2(
+            (F.col("tf") * avgdl / F.col("dl"))
+            * (F.col("n_docs") / F.col("cf"))
+        )
+        + 0.5 * log2(2.0 * math.pi * F.col("tf") * F.greatest(1.0 - f, F.lit(1e-10)))
+    ) / (F.col("tf") + 0.5)
+    return _rank(
+        qterms, postings, dstats, tstats, globals_,
+        F.greatest(s, F.lit(0.0)), id_col, k, round_digits,
+    )
