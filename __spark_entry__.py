@@ -7076,6 +7076,80 @@ def q_mindist_top10(spark, sf_dir):
     return mindist_rerank(_docs(spark, sf_dir), _queries_df(spark), k=10)
 
 
+def q_weekday_profile(spark, sf_dir):
+    """Weekday seasonality profile per event type (epoch-arithmetic
+    ISO weekday, share and share*7 index)
+    (ops/events.py:weekday_seasonality)."""
+    from tokenkit_spark.ops.events import weekday_seasonality
+
+    return weekday_seasonality(_events(spark, sf_dir))
+
+
+def q_l_diversity(spark, sf_dir):
+    """Distinct l-diversity audit of the k-anonymized query-log
+    release (Machanavajjhala et al. ICDE 2006 homogeneity attack):
+    released groups (>= 3 users) flagged when < 2 distinct clicked
+    domains; domain pinned to (L + step % (1 + L % 2)) % 6 with
+    L = query length (ops/searchlog.py:l_diversity_audit)."""
+    from tokenkit_spark.ops.searchlog import l_diversity_audit
+
+    qlog = _query_log(spark, sf_dir)
+    l_len = F.length("query")
+    qlog = qlog.withColumn(
+        "domain",
+        F.concat(
+            F.lit("d"),
+            ((l_len + F.col("step") % (1 + (l_len % 2))) % 6).cast("string"),
+        ),
+    )
+    return l_diversity_audit(
+        qlog, l=2, k=3, user_col="session_id", quasi_col="query",
+        sensitive_col="domain",
+    )
+
+
+def q_nb_confusion(spark, sf_dir):
+    """Distributed multinomial Naive Bayes source classifier
+    (McCallum & Nigam 1998; add-one smoothing, count-table training,
+    zero-pair factoring): self-classification confusion matrix over
+    the labeled corpus (ops/nbayes.py:nb_confusion)."""
+    from tokenkit_spark.ops.nbayes import nb_confusion
+
+    return nb_confusion(_docs(spark, sf_dir), label_col="source")
+
+
+def q_padding_waste(spark, sf_dir):
+    """Training-batch padding-waste audit: arrival-order vs
+    length-sorted batching at batch_size=32, exact padded-slot
+    accounting (ops/packing.py:padding_audit)."""
+    from tokenkit_spark.ops.packing import padding_audit
+
+    return padding_audit(_docs(spark, sf_dir), batch_size=32)
+
+
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle PSM transform (Bavarian et al. 2022, 50%
+    FIM rate via doc_id parity, thirds split)
+    (ops/spancorrupt.py:fim_transform)."""
+    from tokenkit_spark.ops.spancorrupt import fim_transform
+
+    return fim_transform(_docs(spark, sf_dir))
+
+
+def q_zorder_audit(spark, sf_dir):
+    """Z-order vs linear data-layout file-skipping audit (Morton
+    curve over (doc_id%16, n_chars%16), 64-row files, zone-map point
+    predicates) (ops/zorder.py:zorder_audit)."""
+    from tokenkit_spark.ops.zorder import zorder_audit
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("hb"),
+        (F.col("n_chars") % 16).alias("cb"),
+    )
+    return zorder_audit(d, "hb", "cb", rows_per_file=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -7085,6 +7159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "weekday_profile": q_weekday_profile,
+        "l_diversity": q_l_diversity,
+        "nb_confusion": q_nb_confusion,
+        "padding_waste": q_padding_waste,
+        "fim_transform": q_fim_transform,
+        "zorder_audit": q_zorder_audit,
         "bm25l_top10": q_bm25l_top10,
         "dlh13_top10": q_dlh13_top10,
         "svb_audit": q_svb_audit,
@@ -9255,6 +9335,160 @@ d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
     conf_dst = "".join(_CONFUSABLES.values())
     special_vals = ", ".join(f"('{t}')" for t in SPECIAL_TOKENS)
     return {
+        # Weekday seasonality (ops/events.py:weekday_seasonality):
+        # epoch-arithmetic ISO weekday, Monday=1
+        "weekday_profile": """
+WITH per AS (SELECT event_type,
+        CAST(((date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) + 3) % 7) + 1
+             AS INT) AS weekday_iso,
+        count(*) AS n_events
+       FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total
+        FROM per GROUP BY 1)
+SELECT p.event_type, p.weekday_iso, p.n_events,
+       round(p.n_events / CAST(t.total AS DOUBLE), 4) AS share,
+       round(p.n_events * 7.0 / t.total, 4) AS seasonality_idx
+FROM per p JOIN tot t USING (event_type)""",
+        # l-diversity audit (ops/searchlog.py:l_diversity_audit):
+        # homogeneity-attack exposure of the k=3-anonymous release
+        "l_diversity": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+ql AS (SELECT e.user_id AS session_id, e.event_id AS step, v.q AS query
+       FROM events e JOIN vocab v
+       ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+qd AS (SELECT session_id, step, query,
+              'd' || CAST((length(query)
+                           + step % (1 + (length(query) % 2))) % 6
+                          AS VARCHAR) AS domain
+       FROM ql),
+per AS (SELECT query, count(DISTINCT session_id) AS n_users,
+               count(*) AS n_rows,
+               count(DISTINCT domain) AS n_sensitive
+        FROM qd GROUP BY 1)
+SELECT query, n_users, n_rows, n_sensitive,
+       n_sensitive >= 2 AS l_ok
+FROM per WHERE n_users >= 3""",
+        # Naive Bayes confusion (ops/nbayes.py:nb_confusion):
+        # multinomial NB, add-one smoothing, zero-pair factoring
+        "nb_confusion": f"""
+WITH toks AS ({_TOKS}),
+labels AS (SELECT doc_id, source AS label FROM documents),
+doc_tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+lt AS (SELECT t.doc_id, l.label, t.term FROM toks t
+       JOIN labels l USING (doc_id)),
+class_term AS (SELECT label AS cls, term, count(*) AS cnt
+               FROM lt GROUP BY 1, 2),
+class_stats AS (SELECT label AS cls, count(*) AS tokens_c
+                FROM lt GROUP BY 1),
+priors AS (SELECT label AS cls, count(*) AS n_docs_c
+           FROM labels GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM labels),
+voc AS (SELECT count(DISTINCT term) AS v FROM toks),
+seen AS (SELECT d.doc_id, ct.cls,
+                sum(d.tf * ln(ct.cnt + 1.0)) AS s_seen
+         FROM doc_tf d JOIN class_term ct USING (term) GROUP BY 1, 2),
+base AS (SELECT ds.doc_id, cs.cls,
+                ln(p.n_docs_c / CAST(nd.n_docs AS DOUBLE))
+                - ds.dl * ln(cs.tokens_c + voc.v) AS s_base
+         FROM dstats ds CROSS JOIN class_stats cs
+         JOIN priors p USING (cls) CROSS JOIN nd CROSS JOIN voc),
+sc AS (SELECT b.doc_id, l.label, b.cls,
+              b.s_base + coalesce(s.s_seen, 0.0) AS score
+       FROM base b LEFT JOIN seen s
+         ON s.doc_id = b.doc_id AND s.cls = b.cls
+       JOIN labels l ON l.doc_id = b.doc_id),
+pred AS (SELECT doc_id, label, cls AS predicted FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY round(score, 4) DESC, cls ASC) AS rn FROM sc)
+         WHERE rn = 1)
+SELECT label, predicted, count(*) AS n_docs FROM pred GROUP BY 1, 2""",
+        # Padding-waste audit (ops/packing.py:padding_audit):
+        # arrival-order vs length-sorted batching, batch_size=32
+        "padding_waste": """
+WITH lens AS (SELECT doc_id,
+        len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) AS n_tokens
+       FROM documents),
+arr AS (SELECT n_tokens,
+        (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b FROM lens),
+srt AS (SELECT n_tokens,
+        (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS b
+        FROM lens),
+pa AS (SELECT b, count(*) AS n_seqs, sum(n_tokens) AS r,
+              max(n_tokens) AS mx FROM arr GROUP BY 1),
+ps AS (SELECT b, count(*) AS n_seqs, sum(n_tokens) AS r,
+              max(n_tokens) AS mx FROM srt GROUP BY 1)
+SELECT 'arrival' AS strategy, count(*) AS n_batches,
+       CAST(sum(r) AS BIGINT) AS real_tokens,
+       CAST(sum(mx * n_seqs) AS BIGINT) AS padded_slots,
+       round(1.0 - sum(r) / CAST(sum(mx * n_seqs) AS DOUBLE), 4)
+         AS padding_frac
+FROM pa
+UNION ALL
+SELECT 'sorted', count(*),
+       CAST(sum(r) AS BIGINT), CAST(sum(mx * n_seqs) AS BIGINT),
+       round(1.0 - sum(r) / CAST(sum(mx * n_seqs) AS DOUBLE), 4)
+FROM ps""",
+        # FIM PSM transform (ops/spancorrupt.py:fim_transform)
+        "fim_transform": """
+WITH d AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '') AS t
+       FROM documents),
+n AS (SELECT doc_id, t, len(t) AS n, doc_id % 2 = 0 AS is_fim,
+             CAST(floor(len(t) / 3) AS INT) AS p1,
+             CAST(floor(len(t) * 2 / 3) AS INT) AS p2
+      FROM d)
+SELECT doc_id,
+  CASE WHEN is_fim THEN 'psm' ELSE 'ar' END AS mode,
+  CAST(CASE WHEN is_fim THEN p1 ELSE n END AS INT) AS n_prefix,
+  CAST(CASE WHEN is_fim THEN p2 - p1 ELSE 0 END AS INT) AS n_middle,
+  CAST(CASE WHEN is_fim THEN n - p2 ELSE 0 END AS INT) AS n_suffix,
+  CASE WHEN is_fim THEN concat_ws(' ', '<fim_prefix>',
+         array_to_string(t[1:p1], ' '), '<fim_suffix>',
+         array_to_string(t[p2+1:n], ' '), '<fim_middle>',
+         array_to_string(t[p1+1:p2], ' '))
+       ELSE array_to_string(t, ' ') END AS out_text
+FROM n""",
+        # Z-order layout audit (ops/zorder.py:zorder_audit): Morton
+        # interleave of (doc_id%16, n_chars%16), 64-row files
+        "zorder_audit": """
+WITH k AS (SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS d1,
+                  CAST(n_chars % 16 AS BIGINT) AS d2 FROM documents),
+kz AS (SELECT *, CAST(
+         ((d1 // 1) % 2) * 2 + ((d2 // 1) % 2) * 1
+       + ((d1 // 2) % 2) * 8 + ((d2 // 2) % 2) * 4
+       + ((d1 // 4) % 2) * 32 + ((d2 // 4) % 2) * 16
+       + ((d1 // 8) % 2) * 128 + ((d2 // 8) % 2) * 64 AS BIGINT) AS z
+       FROM k),
+lin AS (SELECT d1, d2,
+        (row_number() OVER (ORDER BY d1, d2, doc_id) - 1) // 64 AS f
+        FROM kz),
+zo AS (SELECT d1, d2,
+       (row_number() OVER (ORDER BY z, doc_id) - 1) // 64 AS f FROM kz),
+zl AS (SELECT f, min(d1) AS min1, max(d1) AS max1,
+              min(d2) AS min2, max(d2) AS max2 FROM lin GROUP BY 1),
+zz AS (SELECT f, min(d1) AS min1, max(d1) AS max1,
+              min(d2) AS min2, max(d2) AS max2 FROM zo GROUP BY 1),
+vv AS (SELECT unnest(range(0, 16)) AS v),
+al AS (SELECT 'linear' AS layout, count(DISTINCT f) AS n_files,
+         round(sum(CASE WHEN min1 <= v AND v <= max1 THEN 1 ELSE 0 END)
+               / 16.0, 4) AS avg_files_d1,
+         round(sum(CASE WHEN min2 <= v AND v <= max2 THEN 1 ELSE 0 END)
+               / 16.0, 4) AS avg_files_d2
+       FROM zl CROSS JOIN vv
+       UNION ALL
+       SELECT 'zorder', count(DISTINCT f),
+         round(sum(CASE WHEN min1 <= v AND v <= max1 THEN 1 ELSE 0 END)
+               / 16.0, 4),
+         round(sum(CASE WHEN min2 <= v AND v <= max2 THEN 1 ELSE 0 END)
+               / 16.0, 4)
+       FROM zz CROSS JOIN vv)
+SELECT layout, n_files, avg_files_d1, avg_files_d2,
+       round((avg_files_d1 + avg_files_d2) / 2.0, 4) AS avg_files_any
+FROM al""",
         # ---- session J ----
         # BM25L (index/bm25f.py:bm25_l): shifted normalized-tf
         # saturation, idf_L = ln((N+1)/(df+0.5)), delta=0.5

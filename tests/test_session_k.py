@@ -223,3 +223,166 @@ def test_mindist_single_term_query_keeps_bm25_order(spark):
         )
     ]
     assert got == want
+
+
+# ------------------------------------------------------ weekday seasonality
+def test_weekday_seasonality_iso_mapping(spark):
+    from tokenkit_spark.ops.events import weekday_seasonality
+
+    ev = spark.createDataFrame(
+        [  # 2024-01-01 is a Monday
+            (0, "view", "2024-01-01 10:00:00"),
+            (1, "view", "2024-01-07 10:00:00"),  # Sunday
+            (2, "view", "2024-01-08 23:00:00"),  # Monday
+            (3, "view", "2024-01-04 00:00:00"),  # Thursday
+        ],
+        "event_id long, event_type string, ts_s string",
+    ).select("event_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+    rows = {r.weekday_iso: r for r in
+            weekday_seasonality(ev).collect()}
+    assert set(rows) == {1, 4, 7}
+    assert rows[1].n_events == 2
+    assert abs(rows[1].share - 0.5) < 1e-9
+    assert abs(rows[1].seasonality_idx - 3.5) < 1e-9
+
+
+# ------------------------------------------------------------- l-diversity
+def test_l_diversity_flags_homogeneous_group(spark):
+    from tokenkit_spark.ops.searchlog import l_diversity_audit
+
+    rows = [
+        # 'safe' query: 3 users, 2 domains -> released, l_ok
+        (1, "safe", "a.com"), (2, "safe", "b.com"), (3, "safe", "a.com"),
+        # 'homog' query: 3 users, 1 domain -> released, NOT l_ok
+        (1, "homog", "x.com"), (2, "homog", "x.com"), (4, "homog", "x.com"),
+        # 'rare' query: 2 users -> suppressed upstream, absent
+        (1, "rare", "y.com"), (2, "rare", "z.com"),
+    ]
+    qlog = spark.createDataFrame(
+        rows, "user_id long, query string, domain string"
+    )
+    got = {r.query: r for r in l_diversity_audit(qlog, l=2, k=3).collect()}
+    assert set(got) == {"safe", "homog"}
+    assert got["safe"].l_ok and got["safe"].n_sensitive == 2
+    assert not got["homog"].l_ok and got["homog"].n_sensitive == 1
+
+
+# -------------------------------------------------------------- NaiveBayes
+def test_nb_classifies_separable_corpus(spark):
+    from tokenkit_spark.ops.nbayes import nb_classify, nb_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam", "buy cheap pills now"),
+            (1, "spam", "cheap pills buy buy"),
+            (2, "ham", "meeting notes agenda"),
+            (3, "ham", "agenda for the meeting"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    pred = {r.doc_id: r.predicted for r in nb_classify(docs).collect()}
+    assert pred == {0: "spam", 1: "spam", 2: "ham", 3: "ham"}
+    conf = {(r.label, r.predicted): r.n_docs
+            for r in nb_confusion(docs).collect()}
+    assert conf == {("spam", "spam"): 2, ("ham", "ham"): 2}
+
+
+def test_nb_unseen_class_terms_penalized_not_dropped(spark):
+    """A doc whose terms never occur in class c must still get a
+    finite score for c (the -dl*ln(tokens_c+V) base), lower than the
+    matching class."""
+    from tokenkit_spark.ops.nbayes import nb_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a", "x x x"), (1, "b", "y y y")],
+        "doc_id long, source string, text string",
+    )
+    sc = {(r.doc_id, r.cls): r.score for r in
+          nb_scores(docs, "source").collect()}
+    assert len(sc) == 4  # every (doc, class) pair scored
+    assert sc[(0, "a")] > sc[(0, "b")]
+    assert sc[(1, "b")] > sc[(1, "a")]
+
+
+# ----------------------------------------------------------- padding audit
+def test_padding_audit_sorted_never_worse(spark):
+    from tokenkit_spark.ops.packing import padding_audit
+
+    docs = spark.createDataFrame(
+        [(i, "w " * ((i * 7) % 23 + 1)) for i in range(100)],
+        "doc_id long, text string",
+    )
+    rows = {r.strategy: r for r in
+            padding_audit(docs, batch_size=8).collect()}
+    assert rows["arrival"].real_tokens == rows["sorted"].real_tokens
+    assert rows["sorted"].padded_slots <= rows["arrival"].padded_slots
+    assert rows["sorted"].padding_frac <= rows["arrival"].padding_frac
+
+
+def test_padding_audit_hand_values(spark):
+    from tokenkit_spark.ops.packing import padding_audit
+
+    # lens in arrival order: 1, 5, 2, 4 ; batch_size=2
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a a a a a"), (2, "a a"), (3, "a a a a")],
+        "doc_id long, text string",
+    )
+    rows = {r.strategy: r for r in
+            padding_audit(docs, batch_size=2).collect()}
+    # arrival: [1,5] pad to 10, [2,4] pad to 8 -> 18 slots, 12 real
+    assert rows["arrival"].padded_slots == 18
+    # sorted: [1,2] -> 4, [4,5] -> 10 -> 14 slots
+    assert rows["sorted"].padded_slots == 14
+    assert rows["arrival"].real_tokens == 12
+
+
+# ------------------------------------------------------------ FIM transform
+def test_fim_psm_split_and_ar_passthrough(spark):
+    from tokenkit_spark.ops.spancorrupt import fim_transform
+
+    docs = spark.createDataFrame(
+        [(0, "A b c d e f"), (1, "g h i")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in fim_transform(docs).collect()}
+    assert rows[0].mode == "psm"
+    assert (rows[0].n_prefix, rows[0].n_middle, rows[0].n_suffix) == (2, 2, 2)
+    assert rows[0].out_text == (
+        "<fim_prefix> a b <fim_suffix> e f <fim_middle> c d"
+    )
+    assert rows[1].mode == "ar"
+    assert rows[1].out_text == "g h i"
+    assert (rows[1].n_prefix, rows[1].n_middle, rows[1].n_suffix) == (3, 0, 0)
+
+
+# ------------------------------------------------------------ Z-order audit
+def test_morton2_hand_values(spark):
+    from tokenkit_spark.ops.zorder import morton2
+
+    df = spark.createDataFrame(
+        [(0, 0, 0), (1, 1, 0), (2, 0, 1), (3, 3, 5)],
+        "id long, d1 long, d2 long",
+    ).select("id", morton2(F.col("d1"), F.col("d2")).alias("z"))
+    z = {r.id: r.z for r in df.collect()}
+    # interleave: d1 odd bits, d2 even bits
+    assert z[0] == 0 and z[1] == 2 and z[2] == 1
+    # d1=3 (011) -> bits at 1,3 = 2+8; d2=5 (101) -> bits at 0,4 = 1+16
+    assert z[3] == 2 + 8 + 1 + 16
+
+
+def test_zorder_balances_both_dims(spark):
+    from tokenkit_spark.ops.zorder import zorder_audit
+
+    rows = spark.createDataFrame(
+        [(i, i % 16, (i // 16) % 16) for i in range(1024)],
+        "doc_id long, a long, b long",
+    )
+    got = {r.layout: r for r in
+           zorder_audit(rows, "a", "b", rows_per_file=64).collect()}
+    lin, zo = got["linear"], got["zorder"]
+    assert lin.n_files == zo.n_files == 16
+    # linear (sorted by a then b): perfect on a, useless on b
+    assert lin.avg_files_d1 == 1.0
+    assert lin.avg_files_d2 == 16.0
+    # z-order: both dims prune to an intermediate file count
+    assert zo.avg_files_d1 < 16.0 and zo.avg_files_d2 < 16.0
+    assert zo.avg_files_any < lin.avg_files_any

@@ -551,3 +551,43 @@ def native_session_stats(
         "n_events",
         "sum_value",
     ).orderBy(entity_col, "session_start_us")
+
+
+def weekday_seasonality(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Weekday seasonality profile per group — the day-of-week
+    traffic-shape diagnostic behind crawl scheduling and capacity
+    planning (and ES's date_histogram-with-weekday-script recipe):
+    for each (group, ISO weekday) the share of the group's events and
+    the seasonality index share·7 (1.0 = flat week).
+
+    The weekday is computed ARITHMETICALLY — days since 1970-01-01
+    (a Thursday) shifted so Monday=1 — rather than via an engine
+    day-of-week function, because Spark (1=Sunday) and DuckDB
+    (0=Sunday) disagree on numbering; epoch arithmetic is identical
+    everywhere.  One hash aggregate + a broadcast of the per-group
+    totals; scale-free."""
+    days = F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+    wd = ((days + 3) % 7) + 1
+    per = events.groupBy(
+        F.col(group_col).alias("grp"), wd.cast("int").alias("weekday_iso")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = per.groupBy("grp").agg(F.sum("n_events").alias("total"))
+    return (
+        per.join(F.broadcast(tot), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "weekday_iso",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), round_digits).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n_events") * 7.0 / F.col("total"), round_digits
+            ).alias("seasonality_idx"),
+        )
+    )

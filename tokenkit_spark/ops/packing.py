@@ -134,3 +134,69 @@ def packing_mix_audit(
         F.round(F.avg("n_docs"), 6).alias("avg_docs_per_bin"),
         F.round(F.avg("n_sources"), 6).alias("avg_sources_per_bin"),
     )
+
+
+def padding_audit(
+    docs: DataFrame,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Training-batch padding-waste audit — arrival-order batching vs
+    length-sorted batching (the bucketing-by-sequence-length trick
+    every LLM dataloader ships; cf. the batching discussion in
+    Ott et al., "fairseq", NAACL 2019 demo, and the packing family
+    above).  Padded batches burn compute on pad tokens: a batch of
+    ``batch_size`` sequences costs batch_size · max_len slots, so
+
+        padding_frac = 1 − real_tokens / padded_slots
+
+    Strategies compared on identical data: ``arrival`` (batch by
+    ``id_col`` order — the naive shuffle-free loader) and ``sorted``
+    (batch by (length, id) order — near-homogeneous batches).  One row
+    per strategy: (strategy, n_batches, real_tokens, padded_slots,
+    padding_frac).
+
+    Scale shape: global sequence numbers come from the range-partition
+    + offset-join rank (``index/reorder.py:assign_ids`` — no
+    single-partition window); everything else is two hash aggregates.
+    """
+    from tokenkit_spark.index.reorder import assign_ids
+
+    lens = docs.select(
+        id_col,
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("n_tokens"),
+    )
+    out = None
+    for strategy, order_cols in (
+        ("arrival", [id_col]),
+        ("sorted", ["n_tokens", id_col]),
+    ):
+        ids = assign_ids(lens, order_cols, id_col=id_col)
+        batched = lens.join(ids, id_col).select(
+            "n_tokens", (F.col("new_id") / batch_size).cast("long").alias("b")
+        )
+        per_batch = batched.groupBy("b").agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tokens").alias("real"),
+            F.max("n_tokens").alias("mx"),
+        )
+        row = per_batch.agg(
+            F.lit(strategy).alias("strategy"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("real").cast("long").alias("real_tokens"),
+            F.sum(F.col("mx") * F.col("n_seqs")).cast("long").alias(
+                "padded_slots"
+            ),
+            F.round(
+                1.0 - F.sum("real") / F.sum(F.col("mx") * F.col("n_seqs")),
+                round_digits,
+            ).alias("padding_frac"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

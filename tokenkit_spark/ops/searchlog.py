@@ -101,3 +101,38 @@ def k_anonymity_audit(
             round_digits,
         ).alias("frac_rows_released"),
     )
+
+
+def l_diversity_audit(
+    qlog: DataFrame,
+    l: int = 2,
+    k: int = 3,
+    user_col: str = "user_id",
+    quasi_col: str = "query",
+    sensitive_col: str = "domain",
+) -> DataFrame:
+    """l-diversity audit of a k-anonymized query-log release
+    (Machanavajjhala et al., "l-Diversity: Privacy Beyond
+    k-Anonymity", ICDE 2006; the post-AOL-release lesson Adar 2007
+    codifies): a group that passes k-anonymity (>= k distinct users)
+    can still leak via the HOMOGENEITY attack when every row shares
+    one sensitive value (here: the clicked domain) — distinct
+    l-diversity additionally requires >= l distinct sensitive values
+    per released group.
+
+    One row per k-anonymous group: (quasi value, n_users, n_rows,
+    n_sensitive, l_ok) — groups failing k-anonymity are already
+    suppressed upstream and do not appear.  Two hash aggregates on the
+    quasi-identifier key; nothing user-level leaves the executors."""
+    per = qlog.groupBy(quasi_col).agg(
+        F.countDistinct(user_col).alias("n_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(sensitive_col).alias("n_sensitive"),
+    )
+    return per.filter(F.col("n_users") >= k).select(
+        quasi_col,
+        "n_users",
+        "n_rows",
+        "n_sensitive",
+        (F.col("n_sensitive") >= l).alias("l_ok"),
+    )

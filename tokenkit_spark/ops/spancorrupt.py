@@ -119,3 +119,66 @@ def span_corrupt(
             F.lit(">"),
         ).alias("targets"),
     )
+
+
+def fim_transform(
+    docs: DataFrame,
+    fim_mod: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al., "Efficient
+    Training of Language Models to Fill in the Middle", 2022): for a
+    deterministic half of the corpus (``doc_id % fim_mod == 0`` —
+    mirroring the paper's 50% FIM rate), reorder the document into PSM
+    (prefix-suffix-middle) form with sentinel tokens so an
+    autoregressive model learns infilling:
+
+        <fim_prefix> P <fim_suffix> S <fim_middle> M
+
+    with the token split pinned at p1 = ⌊n/3⌋, p2 = ⌊2n/3⌋ (the
+    deterministic stand-in for the paper's uniform split — rerun and
+    cluster-size stable, like every sampling decision in this repo).
+    Remaining docs pass through in AR order.
+
+    One row per doc: (doc_id, mode, n_prefix, n_middle, n_suffix,
+    out_text).  Pure Catalyst array slicing — no UDFs, no shuffle."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    d = docs.select(id_col, toks.alias("t")).select(
+        id_col,
+        "t",
+        F.size("t").alias("n"),
+        (F.col(id_col) % fim_mod == 0).alias("is_fim"),
+    )
+    p1 = F.floor(F.col("n") / 3).cast("int")
+    p2 = F.floor(F.col("n") * 2 / 3).cast("int")
+    prefix = F.slice(F.col("t"), 1, p1)
+    middle = F.slice(F.col("t"), p1 + 1, p2 - p1)
+    suffix = F.slice(F.col("t"), p2 + 1, F.col("n") - p2)
+    psm = F.concat_ws(
+        " ",
+        F.lit("<fim_prefix>"),
+        F.array_join(prefix, " "),
+        F.lit("<fim_suffix>"),
+        F.array_join(suffix, " "),
+        F.lit("<fim_middle>"),
+        F.array_join(middle, " "),
+    )
+    return d.select(
+        id_col,
+        F.when(F.col("is_fim"), F.lit("psm")).otherwise(F.lit("ar")).alias(
+            "mode"
+        ),
+        F.when(F.col("is_fim"), p1).otherwise(F.col("n")).cast("int").alias(
+            "n_prefix"
+        ),
+        F.when(F.col("is_fim"), p2 - p1).otherwise(F.lit(0)).cast("int")
+        .alias("n_middle"),
+        F.when(F.col("is_fim"), F.col("n") - p2).otherwise(F.lit(0))
+        .cast("int").alias("n_suffix"),
+        F.when(F.col("is_fim"), psm).otherwise(F.array_join("t", " ")).alias(
+            "out_text"
+        ),
+    )
