@@ -7150,6 +7150,134 @@ def q_zorder_audit(spark, sf_dir):
     return zorder_audit(d, "hb", "cb", rows_per_file=64)
 
 
+def _charset_pages(spark, sf_dir):
+    """Deterministic HTTP-metadata fixture over documents: host =
+    doc%20, Content-Type by doc%5 (UTF-8 / iso-8859-1 / none /
+    windows-1252 / none), body head by doc%4 (BOM+meta utf-8 /
+    meta shift_jis / none / http-equiv ISO-8859-1) — the same recipe
+    is inlined in the SQL oracle via chr(65279)."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    ct = (
+        F.when(doc % 5 == 0, F.lit("text/html; charset=UTF-8"))
+        .when(doc % 5 == 1, F.lit("text/html; charset=iso-8859-1"))
+        .when(doc % 5 == 3, F.lit("text/html; charset=windows-1252"))
+        .otherwise(F.lit("text/html"))
+    )
+    body = (
+        F.when(
+            doc % 4 == 0,
+            F.concat(
+                F.lit("\ufeff"),
+                F.lit('<html><head><meta charset="utf-8"></head>'),
+            ),
+        )
+        .when(
+            doc % 4 == 1,
+            F.lit("<html><head><meta charset='shift_jis'></head>"),
+        )
+        .when(
+            doc % 4 == 3,
+            F.lit(
+                '<html><head><meta http-equiv="Content-Type" '
+                'content="text/html; charset=ISO-8859-1"></head>'
+            ),
+        )
+        .otherwise(F.lit("<html><head></head>"))
+    )
+    return d.select(
+        F.concat(F.lit("h"), (doc % 20).cast("string")).alias("host"),
+        ct.alias("content_type"),
+        body.alias("body_prefix"),
+    )
+
+
+def q_http_charset(spark, sf_dir):
+    """WHATWG encoding-sniffing resolution (BOM > Content-Type header
+    > meta charset > utf-8) + per-host header/meta disagreement rate
+    (ops/httpmeta.py:charset_stats)."""
+    from tokenkit_spark.ops.httpmeta import charset_stats
+
+    return charset_stats(_charset_pages(spark, sf_dir))
+
+
+def q_mp4_boxes(spark, sf_dir):
+    """ISOBMFF top-level box walk (ISO 14496-12 §4.2: uint32 size +
+    fourcc, 64-bit largesize when size==1): docs 0..19 serialized as
+    ftyp(16) + free(8 + doc%5) + mdat(payload = min(n_chars, 40)
+    bytes, largesize when doc%7==0), parsed back distributed via
+    mapInPandas; fixture generation collects 20 rows (bounded,
+    test-only), the parse path is fully distributed
+    (ops/mp4.py:parse_mp4_boxes)."""
+    from tokenkit_spark.ops.mp4 import make_mp4, parse_mp4_boxes
+
+    rows = sorted(
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "n_chars")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    payloads = [
+        (
+            int(r.doc_id),
+            bytearray(
+                make_mp4(
+                    b"isom",
+                    int(r.doc_id) % 5,
+                    b"x" * min(int(r.n_chars), 40),
+                    largesize_mdat=(int(r.doc_id) % 7 == 0),
+                )
+            ),
+        )
+        for r in rows
+    ]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    return parse_mp4_boxes(media)
+
+
+def q_hedging_audit(spark, sf_dir):
+    """Hedged-request tail-latency audit (Dean & Barroso CACM 2013):
+    exact per-shard p50/p99 of primary vs min(primary, 45ms + replica)
+    over a pinned synthetic latency surface with an ~8% hiccup tail
+    (index/hedging.py:hedging_audit)."""
+    from tokenkit_spark.index.hedging import hedging_audit
+
+    return hedging_audit(spark, n_requests=500, n_shards=8, defer_ms=45)
+
+
+def q_truncation_loss(spark, sf_dir):
+    """Context-length truncation-loss audit per source at L in
+    (128, 512, 2048): docs truncated, tokens lost, loss fraction
+    (ops/packing.py:truncation_loss)."""
+    from tokenkit_spark.ops.packing import truncation_loss
+
+    return truncation_loss(_docs(spark, sf_dir))
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the 4-round LPA communities over the doc
+    link graph (Newman & Girvan 2004): per-community internal edges,
+    degree mass, Q contribution (ops/communities.py:modularity_q)."""
+    from tokenkit_spark.ops.communities import (
+        label_propagation,
+        modularity_q,
+    )
+
+    edges = _link_edges(spark, sf_dir)
+    return modularity_q(edges, label_propagation(edges, n_iter=4))
+
+
+def q_keystroke_savings(spark, sf_dir):
+    """Minimal-keystrokes QAC evaluation (Duan & Hsu EMNLP 2011 MKS;
+    MostPopularCompletion baseline of Bar-Yossef & Kraus WWW 2011):
+    per logged query, the shortest prefix whose frequency-ranked top-3
+    completions contain it (ops/queryflow.py:keystroke_savings)."""
+    from tokenkit_spark.ops.queryflow import keystroke_savings
+
+    return keystroke_savings(_query_log(spark, sf_dir), top_n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -7159,6 +7287,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "http_charset": q_http_charset,
+        "mp4_boxes": q_mp4_boxes,
+        "hedging_audit": q_hedging_audit,
+        "truncation_loss": q_truncation_loss,
+        "modularity": q_modularity,
+        "keystroke_savings": q_keystroke_savings,
         "weekday_profile": q_weekday_profile,
         "l_diversity": q_l_diversity,
         "nb_confusion": q_nb_confusion,
@@ -9489,6 +9623,155 @@ al AS (SELECT 'linear' AS layout, count(DISTINCT f) AS n_files,
 SELECT layout, n_files, avg_files_d1, avg_files_d2,
        round((avg_files_d1 + avg_files_d2) / 2.0, 4) AS avg_files_any
 FROM al""",
+        # WHATWG charset sniffing (ops/httpmeta.py:charset_stats)
+        "http_charset": """
+WITH pg AS (SELECT
+  'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+  CASE WHEN doc_id % 5 = 0 THEN 'text/html; charset=UTF-8'
+       WHEN doc_id % 5 = 1 THEN 'text/html; charset=iso-8859-1'
+       WHEN doc_id % 5 = 3 THEN 'text/html; charset=windows-1252'
+       ELSE 'text/html' END AS content_type,
+  CASE WHEN doc_id % 4 = 0
+         THEN chr(65279) || '<html><head><meta charset="utf-8"></head>'
+       WHEN doc_id % 4 = 1
+         THEN '<html><head><meta charset=''shift_jis''></head>'
+       WHEN doc_id % 4 = 3
+         THEN '<html><head><meta http-equiv="Content-Type" '
+              || 'content="text/html; charset=ISO-8859-1"></head>'
+       ELSE '<html><head></head>' END AS body_prefix
+  FROM documents),
+r AS (SELECT host,
+  CASE WHEN starts_with(body_prefix, chr(65279)) THEN 'utf-8' END
+    AS bom_charset,
+  nullif(lower(regexp_extract(content_type,
+    'charset=([A-Za-z0-9_-]+)', 1)), '') AS header_charset,
+  nullif(lower(regexp_extract(body_prefix,
+    '<meta[^>]*charset=["'']?([A-Za-z0-9_-]+)', 1)), '') AS meta_charset
+  FROM pg),
+rr AS (SELECT *, coalesce(bom_charset, header_charset, meta_charset,
+                          'utf-8') AS resolved,
+  CASE WHEN header_charset IS NOT NULL AND meta_charset IS NOT NULL
+            AND header_charset <> meta_charset THEN 1 ELSE 0 END AS mm
+  FROM r)
+SELECT host, resolved, count(*) AS n_pages,
+       CAST(sum(CASE WHEN bom_charset IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bom,
+       CAST(sum(mm) AS BIGINT) AS n_mismatch,
+       round(sum(mm) / CAST(count(*) AS DOUBLE), 4) AS mismatch_rate
+FROM rr GROUP BY 1, 2""",
+        # ISOBMFF box walk (ops/mp4.py): expected structure from the
+        # fixture recipe, data-dependent via n_chars
+        "mp4_boxes": """
+WITH d AS (SELECT doc_id, least(n_chars, 40) AS pl, doc_id % 5 AS fl,
+                  doc_id % 7 = 0 AS big
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(0 AS INT) AS box_idx, 'ftyp' AS box_type,
+       CAST(16 AS BIGINT) AS box_size, CAST(0 AS BIGINT) AS "offset",
+       CAST(NULL AS VARCHAR) AS err FROM d
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), 'free', CAST(8 + fl AS BIGINT),
+       CAST(16 AS BIGINT), NULL FROM d
+UNION ALL
+SELECT doc_id, CAST(2 AS INT), 'mdat',
+       CAST(CASE WHEN big THEN 16 ELSE 8 END + pl AS BIGINT),
+       CAST(24 + fl AS BIGINT), NULL FROM d""",
+        # Hedged-request audit (index/hedging.py): exact percentiles
+        # over the pinned latency surface; p50 rank 250, p99 rank 495
+        "hedging_audit": """
+WITH qs AS (SELECT unnest(range(0, 500)) AS q),
+sh AS (SELECT unnest(range(0, 8)) AS s),
+lat AS (SELECT q, s,
+  CAST(5 + (q*31 + s*17) % 40
+       + CASE WHEN (q*7 + s) % 13 = 0 THEN 150 ELSE 0 END AS BIGINT)
+    AS prim,
+  CAST(5 + (q*31 + s*17 + 13) % 40
+       + CASE WHEN (q*7 + s + 1) % 13 = 0 THEN 150 ELSE 0 END AS BIGINT)
+    AS l1
+  FROM qs CROSS JOIN sh),
+hd AS (SELECT q, s, prim, least(prim, 45 + l1) AS hedged,
+              CASE WHEN prim > 45 THEN 1 ELSE 0 END AS fired FROM lat),
+rp AS (SELECT s, prim, row_number() OVER (PARTITION BY s ORDER BY prim)
+         AS rn FROM hd),
+rh AS (SELECT s, hedged, row_number() OVER (PARTITION BY s
+         ORDER BY hedged) AS rn FROM hd),
+p50p AS (SELECT s, prim AS p50_primary FROM rp WHERE rn = 250),
+p99p AS (SELECT s, prim AS p99_primary FROM rp WHERE rn = 495),
+p50h AS (SELECT s, hedged AS p50_hedged FROM rh WHERE rn = 250),
+p99h AS (SELECT s, hedged AS p99_hedged FROM rh WHERE rn = 495),
+hr AS (SELECT s, round(avg(fired), 4) AS hedge_rate FROM hd GROUP BY 1)
+SELECT p50p.s AS shard, p50_primary, p99_primary, p50_hedged, p99_hedged,
+       hedge_rate,
+       round(p99_primary / CAST(p99_hedged AS DOUBLE), 4) AS p99_speedup
+FROM p50p JOIN p99p USING (s) JOIN p50h USING (s) JOIN p99h USING (s)
+JOIN hr USING (s)""",
+        # Truncation loss (ops/packing.py:truncation_loss)
+        "truncation_loss": """
+WITH lens AS (SELECT source,
+        len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) AS n_tokens
+       FROM documents),
+e AS (SELECT source, n_tokens, CAST(u.l AS INT) AS context_len
+      FROM lens, unnest([128, 512, 2048]) AS u(l))
+SELECT source, context_len, count(*) AS n_docs,
+  CAST(sum(CASE WHEN n_tokens > context_len THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_truncated,
+  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+  CAST(sum(greatest(n_tokens - context_len, 0)) AS BIGINT) AS tokens_lost,
+  round(sum(greatest(n_tokens - context_len, 0))
+        / CAST(sum(n_tokens) AS DOUBLE), 4) AS loss_frac
+FROM e GROUP BY 1, 2""",
+        # Newman modularity of the LPA partition
+        # (ops/communities.py:modularity_q)
+        "modularity": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges WHERE src <> dst
+    UNION ALL SELECT dst, src FROM edges WHERE src <> dst)),
+{lpa_levels},
+lab AS (SELECT node, label FROM l4),
+m2 AS (SELECT count(*) AS m2 FROM und),
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+bl AS (SELECT u.src, u.dst, ls.label AS l_src, ld.label AS l_dst
+       FROM und u JOIN lab ls ON ls.node = u.src
+       JOIN lab ld ON ld.node = u.dst),
+per AS (SELECT l_src AS label, CAST(count(*) / 2 AS BIGINT)
+          AS internal_edges
+        FROM bl WHERE l_src = l_dst GROUP BY 1),
+degc AS (SELECT l.label, count(*) AS n_nodes,
+                CAST(sum(d.deg) AS BIGINT) AS degree_sum
+         FROM lab l JOIN deg d ON d.src = l.node GROUP BY 1)
+SELECT dc.label, dc.n_nodes, coalesce(p.internal_edges, 0)
+         AS internal_edges, dc.degree_sum,
+       round(coalesce(p.internal_edges, 0) / (m2.m2 / 2)
+             - pow(dc.degree_sum / CAST(m2.m2 AS DOUBLE), 2), 6)
+         AS q_contrib
+FROM degc dc LEFT JOIN per p USING (label) CROSS JOIN m2""",
+        # MKS keystroke savings (ops/queryflow.py:keystroke_savings)
+        "keystroke_savings": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+log AS (SELECT v.q AS query FROM events e JOIN vocab v
+        ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+counts AS (SELECT query, count(*) AS n_issued FROM log GROUP BY 1),
+d AS (SELECT query AS q, n_issued, CAST(length(query) AS INT) AS q_len
+      FROM counts),
+pref AS (SELECT q, CAST(u.p AS INT) AS p,
+                substring(q, 1, CAST(u.p AS INT)) AS pref
+         FROM d, unnest(range(1, q_len + 1)) AS u(p)),
+pd AS (SELECT DISTINCT pref FROM pref),
+cand AS (SELECT pd.pref, d.q AS c, d.n_issued AS cn
+         FROM pd JOIN d ON starts_with(d.q, pd.pref)),
+top AS (SELECT pref, c FROM (
+          SELECT pref, c, row_number() OVER (PARTITION BY pref
+            ORDER BY cn DESC, c ASC) AS rk FROM cand) WHERE rk <= 3),
+hit AS (SELECT p0.q, CAST(min(p0.p) AS INT) AS min_prefix
+        FROM pref p0 JOIN top t ON t.pref = p0.pref AND t.c = p0.q
+        GROUP BY 1)
+SELECT d.q AS query, d.n_issued, d.q_len,
+       coalesce(h.min_prefix, d.q_len) AS min_prefix,
+       round(1.0 - coalesce(h.min_prefix, d.q_len)
+             / CAST(d.q_len AS DOUBLE), 4) AS saved_frac
+FROM d LEFT JOIN hit h ON h.q = d.q""",
         # ---- session J ----
         # BM25L (index/bm25f.py:bm25_l): shifted normalized-tf
         # saturation, idf_L = ln((N+1)/(df+0.5)), delta=0.5

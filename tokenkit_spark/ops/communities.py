@@ -81,3 +81,63 @@ def community_sizes(
         .filter(F.col("rank") <= k)
         .select("rank", "community", "size", "min_node")
     )
+
+
+def modularity_q(
+    edges: DataFrame, labels: DataFrame, round_digits: int = 6
+) -> DataFrame:
+    """Newman modularity of a community assignment (Newman & Girvan
+    2004, Phys. Rev. E 69: Q = Σ_c [ e_c/m − (deg_c/2m)² ] over the
+    undirected simple graph) — the standard quality score for the LPA
+    labels above (a partition with Q near 0 is no better than random;
+    web-graph host communities land ~0.4-0.7).
+
+    Output, one row per community: (label, n_nodes, internal_edges,
+    degree_sum, q_contrib), with q_contrib rounded; Σ q_contrib = Q.
+
+    Relational shape: the directed closure relation joined to the
+    label table at both endpoints (two key joins riding the same node
+    key), two hash aggregates, one broadcast one-row globals — the
+    exact same plan family as one PageRank round; no iteration here."""
+    und = undirected_edges(edges)
+    lab = labels.select(
+        F.col("node").alias("__n"), F.col("label").alias("__l")
+    )
+    both = (
+        und.join(lab.withColumnRenamed("__n", "src")
+                    .withColumnRenamed("__l", "l_src"), "src")
+        .join(lab.withColumnRenamed("__n", "dst")
+                 .withColumnRenamed("__l", "l_dst"), "dst")
+    )
+    m2 = und.agg(F.count(F.lit(1)).alias("m2"))  # 2m directed pairs
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    per = (
+        both.filter(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("l_src").alias("label"))
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("internal_edges"))
+    )
+    degc = (
+        lab.join(deg, lab["__n"] == deg["src"])
+        .groupBy(F.col("__l").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+    )
+    return (
+        degc.join(per, "label", "left")
+        .withColumn("internal_edges",
+                    F.coalesce("internal_edges", F.lit(0)))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "label",
+            "n_nodes",
+            "internal_edges",
+            "degree_sum",
+            F.round(
+                F.col("internal_edges") / (F.col("m2") / 2)
+                - F.pow(F.col("degree_sum") / F.col("m2"), 2),
+                round_digits,
+            ).alias("q_contrib"),
+        )
+    )

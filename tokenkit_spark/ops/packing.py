@@ -200,3 +200,57 @@ def padding_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def truncation_loss(
+    docs: DataFrame,
+    context_lens: tuple = (128, 512, 2048),
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Context-length truncation-loss audit — the question every
+    training-data pipeline answers before picking max_seq_len (and the
+    reason the packing ops above exist: packing rescues the SHORT tail,
+    truncation silently eats the LONG one; cf. the sequence-length
+    analyses in Raffel et al. 2020 §3.1.2).
+
+    For each candidate context length L and each source: docs over L,
+    total tokens, tokens surviving ``least(n_tokens, L)``, and the
+    lost fraction.  One row per (source, context_len).
+
+    Pure Catalyst: token counts once, a literal explode over the L
+    candidates, one hash aggregate — no UDFs, one shuffle on the
+    (source, L) key."""
+    lens = docs.select(
+        F.col(source_col).alias("source"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("n_tokens"),
+    )
+    ls = F.explode(
+        F.array(*[F.lit(int(l)) for l in context_lens])
+    ).alias("context_len")
+    e = lens.select("source", "n_tokens", ls)
+    return e.groupBy("source", "context_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_tokens") > F.col("context_len")).cast("int"))
+        .cast("long")
+        .alias("docs_truncated"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(
+            F.greatest(F.col("n_tokens") - F.col("context_len"), F.lit(0))
+        )
+        .cast("long")
+        .alias("tokens_lost"),
+        F.round(
+            F.sum(
+                F.greatest(F.col("n_tokens") - F.col("context_len"), F.lit(0))
+            )
+            / F.sum("n_tokens"),
+            round_digits,
+        ).alias("loss_frac"),
+    )

@@ -80,3 +80,79 @@ def query_suggestions(
             F.round("prob", round_digits).alias("prob"),
         )
     )
+
+
+def keystroke_savings(
+    qlog: DataFrame,
+    top_n: int = 3,
+    query_col: str = "query",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Minimal-keystrokes (MKS) evaluation of frequency-ranked query
+    auto-completion (the standard QAC metric — Duan & Hsu, "Online
+    Spelling Correction for Query Completion", EMNLP 2011; used for
+    the MostPopularCompletion baseline of Bar-Yossef & Kraus, WWW
+    2011): for each distinct logged query, the fewest typed characters
+    p such that the query appears in the top-``top_n`` completions of
+    its own p-character prefix, completions ranked by log frequency
+    (count desc, query asc — deterministic).  Typing the full query
+    always "succeeds" at p = length (selection from the full-string
+    bucket), so MKS is well-defined even for queries outranked at
+    every prefix.
+
+    Output per query: (query, n_issued, q_len, min_prefix,
+    saved_frac) with saved_frac = 1 - min_prefix/q_len.
+
+    Scale shape: the prefix relation is |distinct queries| × max_len —
+    dictionary-sized, never log-sized (the log collapses to counts
+    first); candidate matching is a prefix equi-join on the prefix
+    string; ranking is a window partitioned by prefix.  Everything
+    shuffles on dictionary keys only."""
+    counts = qlog.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_issued"))
+    d = counts.select(
+        F.col(query_col).alias("q"), "n_issued",
+        F.length(query_col).alias("q_len"),
+    )
+    # every prefix of every dictionary query
+    prefixes = d.select(
+        "q",
+        F.explode(F.sequence(F.lit(1), F.col("q_len"))).alias("p"),
+    ).select("q", "p", F.expr("substring(q, 1, p)").alias("pref"))
+    # candidates per prefix: dictionary queries starting with it
+    cand = (
+        prefixes.select(F.col("pref").alias("cpref"))
+        .distinct()
+        .join(
+            d.select(F.col("q").alias("c"), F.col("n_issued").alias("cn")),
+            F.col("c").startswith(F.col("cpref")),
+        )
+    )
+    w = Window.partitionBy("cpref").orderBy(
+        F.col("cn").desc(), F.col("c").asc()
+    )
+    top = cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= top_n
+    )
+    hit = (
+        prefixes.join(
+            top,
+            (F.col("pref") == F.col("cpref")) & (F.col("q") == F.col("c")),
+        )
+        .groupBy(F.col("q").alias("hq"))
+        .agg(F.min("p").alias("min_prefix"))
+    )
+    return (
+        d.join(hit, d["q"] == hit["hq"], "left")
+        .select(
+            d["q"].alias(query_col),
+            "n_issued",
+            "q_len",
+            F.coalesce("min_prefix", F.col("q_len")).alias("min_prefix"),
+        )
+        .withColumn(
+            "saved_frac",
+            F.round(
+                1.0 - F.col("min_prefix") / F.col("q_len"), round_digits
+            ),
+        )
+    )
