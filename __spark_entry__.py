@@ -7278,6 +7278,130 @@ def q_keystroke_savings(spark, sf_dir):
     return keystroke_savings(_query_log(spark, sf_dir), top_n=3)
 
 
+def q_champion_lists(spark, sf_dir):
+    """Champion-list inexact retrieval audit (IIR §7.1.3, r=20):
+    per-query candidate reduction + top-10 overlap vs full evaluation,
+    corpus-global scoring stats (index/champion.py:champion_audit)."""
+    from tokenkit_spark.index.champion import champion_audit
+
+    return champion_audit(_docs(spark, sf_dir), _queries_df(spark), r=20)
+
+
+def q_cluster_pruning(spark, sf_dir):
+    """Cluster-pruning leader/follower retrieval audit (IIR §7.1.6,
+    leaders = doc%20==0, tf-dot-product assignment): chosen leader,
+    cluster size, top-10 overlap vs exact
+    (index/leaders.py:cluster_pruning_audit)."""
+    from tokenkit_spark.index.leaders import cluster_pruning_audit
+
+    return cluster_pruning_audit(
+        _docs(spark, sf_dir), _queries_df(spark), leader_mod=20
+    )
+
+
+def _hreflang_pages(spark, sf_dir):
+    """150 docs -> 50 three-language clusters: page (g, l) with url
+    https://c<g>.ex/<code> links to the other two variants, EXCEPT
+    that pages with doc%11==0 omit their link to the en variant (the
+    reciprocity defect); same recipe stated in the oracle."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    g = (F.col("doc_id") / 3).cast("long")
+    l = F.col("doc_id") % 3
+    codes = ["en", "de", "fr"]
+    url = F.concat(
+        F.lit("https://c"), g.cast("string"), F.lit(".ex/"),
+        F.element_at(F.array(*[F.lit(c) for c in codes]),
+                     (l + 1).cast("int")),
+    )
+    tags = []
+    for t, code in enumerate(codes):
+        tag = F.concat(
+            F.lit('<link rel="alternate" hreflang="'), F.lit(code),
+            F.lit('" href="https://c'), g.cast("string"),
+            F.lit(".ex/"), F.lit(code), F.lit('">'),
+        )
+        emit = (l != t) & ~((F.col("doc_id") % 11 == 0) & F.lit(t == 0))
+        tags.append(F.when(emit, tag).otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), *tags, F.lit("</head>"))
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def q_hreflang_recip(spark, sf_dir):
+    """hreflang reciprocity audit (Google hreflang contract / RFC 8288
+    alternate links): per page, annotation count and how many targets
+    annotate back (ops/metadirectives.py:hreflang_reciprocity)."""
+    from tokenkit_spark.ops.metadirectives import hreflang_reciprocity
+
+    return hreflang_reciprocity(_hreflang_pages(spark, sf_dir))
+
+
+def q_sitemap_robots(spark, sf_dir):
+    """Sitemap x robots conflict audit: per-host sitemap URLs
+    (path /private/<id> for doc%3==0, else /p/<id>) run through the
+    RFC 9309 matcher against 'Disallow: /private/' + 'Allow:
+    /private/8' — URLs a host advertises but forbids; full
+    parse-sitemap -> parse-robots -> crawl_allowed composition, the
+    oracle states the outcome from the construction
+    (sources/sitemaps.py + ops/robots.py)."""
+    from tokenkit_spark.ops.robots import crawl_allowed, parse_robots
+    from tokenkit_spark.sources.sitemaps import parse_sitemaps
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+    path = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("/private/"), F.col("doc_id").cast("string")),
+    ).otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+    entry = F.concat(
+        F.lit("<url><loc>https://"), host, F.lit(".ex"), path,
+        F.lit("</loc></url>"),
+    )
+    sm = (
+        d.select(host.alias("host"), entry.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<urlset xmlns="x">'),
+                F.array_join(F.collect_list("e"), ""),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    robots = sm.select(
+        "host",
+        F.lit(
+            "User-agent: *\nDisallow: /private/\nAllow: /private/8"
+        ).alias("body"),
+    )
+    urls = (
+        parse_sitemaps(sm)
+        .filter(F.col("kind") == "url")
+        .select(
+            "host",
+            F.regexp_extract("loc", "https://[^/]+(/.+)", 1).alias("path"),
+        )
+    )
+    flagged = crawl_allowed(urls, parse_robots(robots))
+    return flagged.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum((~F.col("allowed")).cast("int")).cast("long").alias(
+            "n_disallowed"
+        ),
+        F.round(
+            F.sum((~F.col("allowed")).cast("int")) / F.count(F.lit(1)), 4
+        ).alias("disallow_frac"),
+    )
+
+
+def q_erlang_capacity(spark, sf_dir):
+    """Erlang-C replica sizing per query class (P_wait SLO 5%,
+    mu=0.5/s, lambda measured from the event log): smallest c with
+    P_wait <= SLO (index/capacity.py:erlang_capacity)."""
+    from tokenkit_spark.index.capacity import erlang_capacity
+
+    return erlang_capacity(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -7287,6 +7411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "champion_lists": q_champion_lists,
+        "cluster_pruning": q_cluster_pruning,
+        "hreflang_recip": q_hreflang_recip,
+        "sitemap_robots": q_sitemap_robots,
+        "erlang_capacity": q_erlang_capacity,
         "http_charset": q_http_charset,
         "mp4_boxes": q_mp4_boxes,
         "hedging_audit": q_hedging_audit,
@@ -9772,6 +9901,173 @@ SELECT d.q AS query, d.n_issued, d.q_len,
        round(1.0 - coalesce(h.min_prefix, d.q_len)
              / CAST(d.q_len AS DOUBLE), 4) AS saved_frac
 FROM d LEFT JOIN hit h ON h.q = d.q""",
+        # Champion-list audit (index/champion.py:champion_audit)
+        "champion_lists": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+champs AS (SELECT term, doc_id FROM (
+    SELECT term, doc_id, row_number() OVER (PARTITION BY term
+      ORDER BY tf DESC, doc_id) AS cr FROM postings) WHERE cr <= 20),
+fm AS (SELECT q.query_id, p.term, p.doc_id, p.tf
+       FROM qterms q JOIN postings p USING (term)),
+cid AS (SELECT DISTINCT q.query_id, c.doc_id
+        FROM qterms q JOIN champs c USING (term)),
+cm AS (SELECT fm.* FROM fm JOIN cid
+       ON cid.query_id = fm.query_id AND cid.doc_id = fm.doc_id),
+sc_f AS (SELECT f.query_id, f.doc_id,
+  sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+       * f.tf * (1.2 + 1.0)
+       / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM fm f JOIN tstats t USING (term) JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g GROUP BY 1, 2),
+sc_c AS (SELECT f.query_id, f.doc_id,
+  sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+       * f.tf * (1.2 + 1.0)
+       / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM cm f JOIN tstats t USING (term) JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g GROUP BY 1, 2),
+ft AS (SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY round(s, 4) DESC, doc_id) AS rk FROM sc_f) WHERE rk <= 10),
+ct AS (SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY round(s, 4) DESC, doc_id) AS rk FROM sc_c) WHERE rk <= 10),
+counts AS (SELECT nf.query_id, nc.n_candidates, nf.n_full FROM
+  (SELECT query_id, count(DISTINCT doc_id) AS n_full FROM fm GROUP BY 1) nf
+  JOIN (SELECT query_id, count(*) AS n_candidates FROM cid GROUP BY 1) nc
+  USING (query_id)),
+ov AS (SELECT f.query_id, count(*) AS topk_overlap,
+              max(CASE WHEN f.rk = 1 THEN 1 ELSE 0 END) AS top1_match
+       FROM ft f JOIN ct ON ct.query_id = f.query_id
+        AND ct.doc_id = f.doc_id GROUP BY 1)
+SELECT c.query_id, c.n_candidates, c.n_full,
+       CAST(coalesce(ov.topk_overlap, 0) AS BIGINT) AS topk_overlap,
+       CAST(coalesce(ov.top1_match, 0) AS INT) AS top1_match,
+       round(c.n_candidates / CAST(c.n_full AS DOUBLE), 4)
+         AS candidate_frac
+FROM counts c LEFT JOIN ov USING (query_id)""",
+        # Cluster-pruning audit (index/leaders.py:cluster_pruning_audit)
+        "cluster_pruning": f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+lead_post AS (SELECT term, doc_id AS leader, tf AS ltf FROM postings
+              WHERE doc_id % 20 = 0),
+sim AS (SELECT p.doc_id, lp.leader, sum(p.tf * lp.ltf) AS dot
+        FROM postings p JOIN lead_post lp USING (term) GROUP BY 1, 2),
+asg0 AS (SELECT doc_id, leader FROM (
+    SELECT doc_id, leader, row_number() OVER (PARTITION BY doc_id
+      ORDER BY dot DESC, leader) AS rn FROM sim) WHERE rn = 1),
+asg AS (SELECT d.doc_id, coalesce(a.leader, -1) AS leader
+        FROM dstats d LEFT JOIN asg0 a USING (doc_id)),
+csz AS (SELECT leader, count(*) AS cluster_size FROM asg GROUP BY 1),
+fm AS (SELECT q.query_id, p.term, p.doc_id, p.tf
+       FROM qterms q JOIN postings p USING (term)),
+sc AS (SELECT f.query_id, f.doc_id,
+  sum( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+       * f.tf * (1.2 + 1.0)
+       / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)) ) AS s
+  FROM fm f JOIN tstats t USING (term) JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g GROUP BY 1, 2),
+bl AS (SELECT query_id, doc_id AS leader FROM (
+    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY round(s, 4) DESC, doc_id) AS rn
+    FROM sc WHERE doc_id % 20 = 0) WHERE rn = 1),
+cand AS (SELECT b.query_id, a.doc_id FROM bl b JOIN asg a USING (leader)),
+ct AS (SELECT query_id, doc_id FROM (
+    SELECT s.query_id, s.doc_id, row_number() OVER (
+      PARTITION BY s.query_id ORDER BY round(s.s, 4) DESC, s.doc_id) AS rk
+    FROM sc s JOIN cand ON cand.query_id = s.query_id
+     AND cand.doc_id = s.doc_id) WHERE rk <= 10),
+ft AS (SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY round(s, 4) DESC, doc_id) AS rk FROM sc) WHERE rk <= 10),
+ov AS (SELECT f.query_id, count(*) AS topk_overlap FROM ft f
+       JOIN ct ON ct.query_id = f.query_id AND ct.doc_id = f.doc_id
+       GROUP BY 1),
+nf AS (SELECT query_id, count(DISTINCT doc_id) AS n_full FROM fm
+       GROUP BY 1)
+SELECT b.query_id, b.leader, csz.cluster_size,
+       CAST(coalesce(ov.topk_overlap, 0) AS BIGINT) AS topk_overlap,
+       round(csz.cluster_size / CAST(nf.n_full AS DOUBLE), 4)
+         AS candidate_frac
+FROM bl b JOIN csz USING (leader) LEFT JOIN ov ON ov.query_id = b.query_id
+JOIN nf ON nf.query_id = b.query_id""",
+        # hreflang reciprocity (ops/metadirectives.py:hreflang_reciprocity)
+        "hreflang_recip": """
+WITH d AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS l
+           FROM documents WHERE doc_id < 150),
+langs(l, code) AS (VALUES (0, 'en'), (1, 'de'), (2, 'fr')),
+urls AS (SELECT d.doc_id, d.g, d.l,
+                'https://c' || CAST(d.g AS VARCHAR) || '.ex/' || la.code
+                  AS url
+         FROM d JOIN langs la ON la.l = d.l),
+links AS (SELECT u.url,
+                 'https://c' || CAST(u.g AS VARCHAR) || '.ex/' || t.code
+                   AS target
+          FROM urls u JOIN langs t ON t.l <> u.l
+          WHERE NOT (u.doc_id % 11 = 0 AND t.l = 0)),
+rev AS (SELECT DISTINCT target AS url, url AS target FROM links),
+fl AS (SELECT li.url, li.target,
+              CASE WHEN r.url IS NOT NULL THEN 1 ELSE 0 END AS recip
+       FROM links li LEFT JOIN rev r
+       ON r.url = li.url AND r.target = li.target)
+SELECT url, count(*) AS n_links,
+       CAST(sum(recip) AS BIGINT) AS n_reciprocal,
+       sum(recip) = count(*) AS all_reciprocal
+FROM fl GROUP BY 1""",
+        # Sitemap x robots conflict (sources/sitemaps.py + ops/robots.py):
+        # outcome stated from the construction — /private/ disallowed
+        # unless the Allow: /private/8 longest-match wins
+        "sitemap_robots": """
+WITH d AS (SELECT doc_id,
+        'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+        doc_id % 3 = 0 AS priv,
+        starts_with(CAST(doc_id AS VARCHAR), '8') AS eight
+       FROM documents),
+f AS (SELECT host,
+        CASE WHEN priv AND NOT eight THEN 1 ELSE 0 END AS dis FROM d)
+SELECT host, count(*) AS n_urls,
+       CAST(sum(dis) AS BIGINT) AS n_disallowed,
+       round(sum(dis) / CAST(count(*) AS DOUBLE), 4) AS disallow_frac
+FROM f GROUP BY 1""",
+        # Erlang-C capacity (index/capacity.py:erlang_capacity)
+        "erlang_capacity": """
+WITH h AS (SELECT date_diff('second', min(ts), max(ts)) AS h_s
+           FROM events),
+base AS (SELECT event_type, count(*) / CAST(h.h_s AS DOUBLE) AS lam,
+                count(*) / CAST(h.h_s AS DOUBLE) / 0.5 AS a
+         FROM events, h GROUP BY event_type, h.h_s),
+cs AS (SELECT unnest(range(1, 21)) AS c),
+ks AS (SELECT unnest(range(0, 20)) AS k),
+s AS (SELECT b.event_type, b.lam, b.a, c.c,
+             sum(pow(b.a, k.k) / factorial(CAST(k.k AS INT))) AS s
+      FROM base b CROSS JOIN cs c JOIN ks k ON k.k < c.c
+      GROUP BY 1, 2, 3, 4),
+p AS (SELECT *, CASE WHEN c <= a THEN 1.0 ELSE
+        (pow(a, c) / factorial(CAST(c AS INT)) * (c / (c - a)))
+        / (s + pow(a, c) / factorial(CAST(c AS INT)) * (c / (c - a)))
+      END AS p_wait FROM s),
+best AS (SELECT event_type, lam, a,
+                coalesce(min(CASE WHEN p_wait <= 0.05 THEN c END), 20)
+                  AS c_required
+         FROM p GROUP BY 1, 2, 3)
+SELECT b.event_type, round(b.lam, 6) AS lam, round(b.a, 6) AS offered_a,
+       CAST(b.c_required AS INT) AS c_required,
+       round(p.p_wait, 6) AS p_wait
+FROM best b JOIN p ON p.event_type = b.event_type
+ AND p.c = b.c_required""",
         # ---- session J ----
         # BM25L (index/bm25f.py:bm25_l): shifted normalized-tf
         # saturation, idf_L = ln((N+1)/(df+0.5)), delta=0.5

@@ -79,3 +79,63 @@ def directive_rollup(
             F.avg((~F.col("noindex")).cast("int")), round_digits
         ).alias("frac_indexable"),
     )
+
+
+HREFLANG_TAG_RX = '<link[^>]*rel="alternate"[^>]*>'
+HREFLANG_LANG_RX = 'hreflang="([A-Za-z-]+)"'
+HREFLANG_HREF_RX = 'href="([^"]+)"'
+
+
+def hreflang_links(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """One row per <link rel="alternate" hreflang> annotation:
+    (url, lang, target).  Pure regexp_extract_all + array transforms —
+    codegen, no UDF."""
+    tags = F.regexp_extract_all(F.col(html_col), F.lit(HREFLANG_TAG_RX), 0)
+    pairs = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, HREFLANG_LANG_RX, 1).alias("lang"),
+            F.regexp_extract(t, HREFLANG_HREF_RX, 1).alias("target"),
+        ),
+    )
+    return (
+        pages.select(F.col(url_col).alias("url"), F.explode(pairs).alias("p"))
+        .select("url", F.col("p.lang").alias("lang"),
+                F.col("p.target").alias("target"))
+        .filter((F.col("lang") != "") & (F.col("target") != ""))
+    )
+
+
+def hreflang_reciprocity(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    round_digits: int = 4,
+) -> DataFrame:
+    """hreflang reciprocity audit (Google Search Central's hreflang
+    contract, the operational reading of RFC 8288 alternate links):
+    an annotation url -> target only VALIDATES when the target page
+    annotates back to url — one-way links are ignored by search
+    engines, the single most common international-SEO defect.
+
+    Per source page: (url, n_links, n_reciprocal, all_reciprocal).
+    Relational shape: the link relation self-joined on the reversed
+    (url, target) key — one equi-join riding the link key, no windows.
+    """
+    links = hreflang_links(pages, url_col, html_col)
+    rev = links.select(
+        F.col("target").alias("url"), F.col("url").alias("target")
+    ).distinct()
+    flagged = links.join(
+        rev.withColumn("recip", F.lit(1)), ["url", "target"], "left"
+    )
+    return flagged.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.sum(F.coalesce("recip", F.lit(0))).cast("long").alias(
+            "n_reciprocal"
+        ),
+        (F.sum(F.coalesce("recip", F.lit(0))) == F.count(F.lit(1))).alias(
+            "all_reciprocal"
+        ),
+    )
