@@ -7402,6 +7402,121 @@ def q_erlang_capacity(spark, sf_dir):
     return erlang_capacity(_events(spark, sf_dir))
 
 
+def q_soundex_groups(spark, sf_dir):
+    """American Soundex homophone grouping over the corpus vocabulary
+    (Russell/Odell; Knuth TAOCP v3 §6): top-30 phonetic keys by
+    distinct-term count — the fuzzy-name-matching primitive
+    (analyzers/filters.py:soundex_col)."""
+    from tokenkit_spark.analyzers.filters import soundex_col
+
+    d = _docs(spark, sf_dir)
+    vocab = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term")
+    ).distinct()
+    coded = vocab.select("term", soundex_col("term").alias("sdx")).filter(
+        F.col("sdx").isNotNull()
+    )
+    agg = coded.groupBy("sdx").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.min("term").alias("example_term"),
+    )
+    w = Window.orderBy(F.col("n_terms").desc(), F.col("sdx").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 30)
+        .select("rank", "sdx", "n_terms", "example_term")
+    )
+
+
+def q_url_dates(spark, sf_dir):
+    """Dated-URL (/YYYY/MM/) profiling per host — the news-archive
+    freshness prior: dated fraction + span
+    (ops/webclean.py:url_date_stats)."""
+    from tokenkit_spark.ops.webclean import url_date_stats
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 10).cast("string"))
+    url = F.when(
+        doc % 3 == 0,
+        F.concat(
+            F.lit("https://"), host, F.lit(".ex/"),
+            (2020 + doc % 5).cast("string"), F.lit("/"),
+            (1 + doc % 12).cast("string"), F.lit("/a"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), host, F.lit(".ex/page/"), doc.cast("string")
+        )
+    )
+    return url_date_stats(
+        d.select(host.alias("host"), url.alias("url"))
+    )
+
+
+def q_burn_rate(spark, sf_dir):
+    """SRE multiwindow burn-rate alerting (Google SRE Workbook ch.5:
+    page at 14.4x on 1h+5m, ticket at 6x on 6h+30m) over the event
+    stream with a pinned error rule — baseline event_id%17 errors plus
+    incident minutes (epoch-minute % 97 < 8, every second event)
+    (ops/events.py:burn_rate_alerts)."""
+    from tokenkit_spark.ops.events import burn_rate_alerts
+
+    ev = _events(spark, sf_dir)
+    minute = (F.unix_timestamp("ts") / 60).cast("long")
+    is_err = (F.col("event_id") % 17 == 0) | (
+        (minute % 97 < 8) & (F.col("event_id") % 2 == 0)
+    )
+    return burn_rate_alerts(
+        ev.select("ts", is_err.alias("is_error"))
+    )
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """Tukey 10% symmetric trimmed mean of event values per type —
+    heavy-tail-robust location vs the plain mean
+    (ops/aggs.py:trimmed_mean)."""
+    from tokenkit_spark.ops.aggs import trimmed_mean
+
+    return trimmed_mean(_events(spark, sf_dir))
+
+
+def q_robots_conflicts(spark, sf_dir):
+    """X-Robots-Tag header vs meta-robots conflict audit
+    (most-restrictive-wins): headers carry noindex,nofollow (doc%6==0)
+    or all (doc%6==1); meta carries noindex per doc%7 in (0,1)
+    (ops/metadirectives.py:robots_conflicts)."""
+    from tokenkit_spark.ops.metadirectives import robots_conflicts
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 10).cast("string"))
+    headers = (
+        F.when(
+            doc % 6 == 0,
+            F.lit("HTTP/1.1 200 OK\nX-Robots-Tag: noindex, nofollow\n"),
+        )
+        .when(doc % 6 == 1, F.lit("HTTP/1.1 200 OK\nX-Robots-Tag: all\n"))
+        .otherwise(F.lit("HTTP/1.1 200 OK\n"))
+    )
+    meta = (
+        F.when(
+            doc % 7 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(doc % 7 == 1, F.lit('<meta name="robots" content="noindex">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><head>"), meta, F.lit("</head>"))
+    return robots_conflicts(
+        d.select(
+            host.alias("host"), headers.alias("headers"), html.alias("html")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -7411,6 +7526,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "soundex_groups": q_soundex_groups,
+        "url_dates": q_url_dates,
+        "burn_rate": q_burn_rate,
+        "trimmed_mean_value": q_trimmed_mean,
+        "robots_conflicts": q_robots_conflicts,
         "champion_lists": q_champion_lists,
         "cluster_pruning": q_cluster_pruning,
         "hreflang_recip": q_hreflang_recip,
@@ -10068,6 +10188,107 @@ SELECT b.event_type, round(b.lam, 6) AS lam, round(b.a, 6) AS offered_a,
        round(p.p_wait, 6) AS p_wait
 FROM best b JOIN p ON p.event_type = b.event_type
  AND p.c = b.c_required""",
+        # Soundex homophone groups (analyzers/filters.py:soundex_col)
+        "soundex_groups": f"""
+WITH toks AS ({_TOKS}),
+vocab AS (SELECT DISTINCT term FROM toks),
+coded AS (SELECT term, CASE WHEN upper(regexp_replace(term, '[^A-Za-z]', '', 'g')) = '' THEN NULL ELSE substring(upper(regexp_replace(term, '[^A-Za-z]', '', 'g')), 1, 1) || rpad(substring(regexp_replace(CASE WHEN substring(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(upper(regexp_replace(term, '[^A-Za-z]', '', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202'), '7', '', 'g'), '0{{2,}}', '0', 'g'), '1{{2,}}', '1', 'g'), '2{{2,}}', '2', 'g'), '3{{2,}}', '3', 'g'), '4{{2,}}', '4', 'g'), '5{{2,}}', '5', 'g'), '6{{2,}}', '6', 'g'), 1, 1) = translate(substring(upper(regexp_replace(term, '[^A-Za-z]', '', 'g')), 1, 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202') THEN substring(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(upper(regexp_replace(term, '[^A-Za-z]', '', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202'), '7', '', 'g'), '0{{2,}}', '0', 'g'), '1{{2,}}', '1', 'g'), '2{{2,}}', '2', 'g'), '3{{2,}}', '3', 'g'), '4{{2,}}', '4', 'g'), '5{{2,}}', '5', 'g'), '6{{2,}}', '6', 'g'), 2) ELSE regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(upper(regexp_replace(term, '[^A-Za-z]', '', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202'), '7', '', 'g'), '0{{2,}}', '0', 'g'), '1{{2,}}', '1', 'g'), '2{{2,}}', '2', 'g'), '3{{2,}}', '3', 'g'), '4{{2,}}', '4', 'g'), '5{{2,}}', '5', 'g'), '6{{2,}}', '6', 'g') END, '0', '', 'g'), 1, 3), 3, '0') END AS sdx FROM vocab),
+agg AS (SELECT sdx, count(DISTINCT term) AS n_terms,
+               min(term) AS example_term
+        FROM coded WHERE sdx IS NOT NULL GROUP BY 1)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY n_terms DESC, sdx ASC) AS rank,
+         sdx, n_terms, example_term FROM agg) WHERE rank <= 30""",
+        # Dated-URL stats (ops/webclean.py:url_date_stats): stated
+        # from the construction
+        "url_dates": """
+WITH d AS (SELECT doc_id, 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+  CASE WHEN doc_id % 3 = 0
+       THEN (2020 + doc_id % 5) * 100 + (1 + doc_id % 12) END AS ym
+  FROM documents)
+SELECT host, count(*) AS n_urls,
+       CAST(sum(CASE WHEN ym IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dated,
+       round(sum(CASE WHEN ym IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS dated_frac,
+       CAST(min(ym) AS INT) AS min_ym, CAST(max(ym) AS INT) AS max_ym
+FROM d GROUP BY 1""",
+        # Burn-rate alerts (ops/events.py:burn_rate_alerts)
+        "burn_rate": """
+WITH mins AS (SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+        CASE WHEN event_id % 17 = 0
+             OR ((CAST(floor(epoch(ts) / 60) AS BIGINT) % 97) < 8
+                 AND event_id % 2 = 0) THEN 1 ELSE 0 END AS e
+       FROM events),
+per AS (SELECT m, count(*) AS total, sum(e) AS err FROM mins GROUP BY 1),
+bounds AS (SELECT min(m) AS lo, max(m) AS hi FROM per),
+tl AS (SELECT unnest(range((SELECT lo FROM bounds),
+                           (SELECT hi FROM bounds) + 1)) AS m),
+filled AS (SELECT tl.m, coalesce(p.total, 0) AS total,
+                  coalesce(p.err, 0) AS err
+           FROM tl LEFT JOIN per p ON p.m = tl.m),
+r AS (SELECT m,
+  sum(err) OVER w60 AS err_1h, sum(total) OVER w60 AS total_1h,
+  sum(err) OVER w5 AS e5, sum(total) OVER w5 AS t5,
+  sum(err) OVER w360 AS e360, sum(total) OVER w360 AS t360,
+  sum(err) OVER w30 AS e30, sum(total) OVER w30 AS t30
+  FROM filled
+  WINDOW w60 AS (ORDER BY m ROWS BETWEEN 59 PRECEDING AND CURRENT ROW),
+         w5 AS (ORDER BY m ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w360 AS (ORDER BY m ROWS BETWEEN 359 PRECEDING AND CURRENT ROW),
+         w30 AS (ORDER BY m ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+b AS (SELECT m, err_1h, total_1h,
+  CASE WHEN total_1h > 0 THEN (err_1h / CAST(total_1h AS DOUBLE)) / 0.01
+       ELSE 0.0 END AS b1h,
+  CASE WHEN t5 > 0 THEN (e5 / CAST(t5 AS DOUBLE)) / 0.01
+       ELSE 0.0 END AS b5m,
+  CASE WHEN t360 > 0 THEN (e360 / CAST(t360 AS DOUBLE)) / 0.01
+       ELSE 0.0 END AS b6h,
+  CASE WHEN t30 > 0 THEN (e30 / CAST(t30 AS DOUBLE)) / 0.01
+       ELSE 0.0 END AS b30m
+  FROM r)
+SELECT CAST(m * 60 AS BIGINT) AS minute_epoch,
+       CAST(err_1h AS BIGINT) AS err_1h,
+       CAST(total_1h AS BIGINT) AS total_1h,
+       round(b1h, 4) AS burn_1h, round(b6h, 4) AS burn_6h,
+       (b1h >= 14.4 AND b5m >= 14.4) AS page_alert,
+       (b6h >= 6.0 AND b30m >= 6.0) AS ticket_alert
+FROM b WHERE (b1h >= 14.4 AND b5m >= 14.4)
+   OR (b6h >= 6.0 AND b30m >= 6.0)""",
+        # Tukey trimmed mean (ops/aggs.py:trimmed_mean)
+        "trimmed_mean_value": """
+WITH ranked AS (SELECT event_type AS grp, value AS v,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY value ASC, event_id ASC) AS rk,
+        count(*) OVER (PARTITION BY event_type) AS n
+       FROM events),
+kept AS (SELECT *, (rk > CAST(floor(0.1 * n) AS BIGINT)
+                    AND rk <= n - CAST(floor(0.1 * n) AS BIGINT)) AS keep
+         FROM ranked)
+SELECT grp AS event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed,
+       round(avg(v), 6) AS mean_all,
+       round(sum(CASE WHEN keep THEN v END)
+             / sum(CASE WHEN keep THEN 1 ELSE 0 END), 6) AS trimmed_mean
+FROM kept GROUP BY 1""",
+        # X-Robots-Tag vs meta conflicts
+        # (ops/metadirectives.py:robots_conflicts): stated from the
+        # construction
+        "robots_conflicts": """
+WITH d AS (SELECT doc_id, 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+  doc_id % 7 IN (0, 1) AS meta_p, doc_id % 7 IN (0, 1) AS meta_ni,
+  doc_id % 6 IN (0, 1) AS hdr_p, doc_id % 6 = 0 AS hdr_ni
+  FROM documents)
+SELECT host, count(*) AS n_pages,
+  CAST(sum(CASE WHEN meta_p AND hdr_p THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_both_channels,
+  CAST(sum(CASE WHEN meta_p AND hdr_p AND meta_ni <> hdr_ni
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
+  CAST(sum(CASE WHEN meta_ni OR hdr_ni THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_effective_noindex,
+  round(avg(CASE WHEN meta_p AND hdr_p AND meta_ni <> hdr_ni
+                 THEN 1 ELSE 0 END), 4) AS conflict_rate
+FROM d GROUP BY 1""",
         # ---- session J ----
         # BM25L (index/bm25f.py:bm25_l): shifted normalized-tf
         # saturation, idf_L = ln((N+1)/(df+0.5)), delta=0.5

@@ -185,3 +185,106 @@ def test_stream_stream_click_attribution(spark, tmp_path_factory):
         ).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------------------- Soundex
+def test_soundex_canonical_vectors(spark):
+    from tokenkit_spark.analyzers.filters import soundex_col
+
+    df = spark.createDataFrame(
+        [("Robert",), ("Rupert",), ("Ashcraft",), ("Ashcroft",),
+         ("Tymczak",), ("Pfister",), ("Honeyman",), ("",), ("123",)],
+        "term string",
+    ).select("term", soundex_col("term").alias("sdx"))
+    got = {r.term: r.sdx for r in df.collect()}
+    assert got["Robert"] == "R163" and got["Rupert"] == "R163"
+    assert got["Ashcraft"] == "A261" and got["Ashcroft"] == "A261"
+    assert got["Tymczak"] == "T522"
+    assert got["Pfister"] == "P236"
+    assert got["Honeyman"] == "H555"
+    assert got[""] is None and got["123"] is None
+
+
+# ------------------------------------------------------------------ URL dates
+def test_url_date_stats_extraction(spark):
+    from tokenkit_spark.ops.webclean import url_date_stats
+
+    urls = spark.createDataFrame(
+        [
+            ("h", "https://h.ex/2023/11/post"),
+            ("h", "https://h.ex/2021/3/old"),
+            ("h", "https://h.ex/about"),
+        ],
+        "host string, url string",
+    )
+    r = url_date_stats(urls).collect()[0]
+    assert r.n_urls == 3 and r.n_dated == 2
+    assert r.min_ym == 202103 and r.max_ym == 202311
+    assert abs(r.dated_frac - round(2 / 3, 4)) < 1e-9
+
+
+# ------------------------------------------------------------ burn-rate alerts
+def test_burn_rate_pages_on_sustained_incident(spark):
+    import datetime as dt
+
+    from tokenkit_spark.ops.events import burn_rate_alerts
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # 120 healthy minutes, one event/min, then a 10-min full outage
+    for i in range(120):
+        rows.append((t0 + dt.timedelta(minutes=i), False))
+    for i in range(120, 130):
+        rows.append((t0 + dt.timedelta(minutes=i), True))
+    ev = spark.createDataFrame(rows, "ts timestamp, is_error boolean")
+    out = burn_rate_alerts(ev).collect()
+    assert out, "a full outage must alert"
+    assert any(r.page_alert for r in out)
+    # no alerts during the healthy prefix
+    healthy_end = int(
+        (t0 + dt.timedelta(minutes=119)).timestamp()
+    )
+    assert all(r.minute_epoch > healthy_end for r in out)
+
+
+# --------------------------------------------------------------- trimmed mean
+def test_trimmed_mean_ignores_outlier(spark):
+    from tokenkit_spark.ops.aggs import trimmed_mean
+
+    rows = [(i, "t", float(v)) for i, v in enumerate(
+        [10, 10, 10, 10, 10, 10, 10, 10, 10, 100000]
+    )]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    r = trimmed_mean(ev).collect()[0]
+    assert r.n == 10 and r.n_trimmed == 8
+    assert r.trimmed_mean == 10.0
+    assert r.mean_all > 100
+
+
+# ------------------------------------------------------------ robots conflicts
+def test_robots_conflicts_header_vs_meta(spark):
+    from tokenkit_spark.ops.metadirectives import robots_conflicts
+
+    pages = spark.createDataFrame(
+        [
+            # agree: both noindex
+            ("a", "X-Robots-Tag: noindex\n",
+             '<head><meta name="robots" content="noindex"></head>'),
+            # conflict: header says all, meta says noindex
+            ("a", "X-Robots-Tag: all\n",
+             '<head><meta name="robots" content="noindex"></head>'),
+            # only meta
+            ("a", "HTTP/1.1 200 OK\n",
+             '<head><meta name="robots" content="noindex"></head>'),
+            # neither
+            ("a", "HTTP/1.1 200 OK\n", "<head></head>"),
+        ],
+        "host string, headers string, html string",
+    )
+    r = robots_conflicts(pages).collect()[0]
+    assert r.n_pages == 4
+    assert r.n_both_channels == 2
+    assert r.n_conflicts == 1
+    assert r.n_effective_noindex == 3

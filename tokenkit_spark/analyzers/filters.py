@@ -325,3 +325,41 @@ def decompound_occurrences(
         )
     )
     return F.when(fits, hits).otherwise(F.lit(0))
+
+
+_SOUNDEX_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SOUNDEX_CODES = "01230127022455012623017202"  # H/W -> 7 (coding-transparent)
+
+
+def soundex_col(col) -> Column:
+    """American Soundex (Russell & Odell, US patents 1918/1922; the
+    phonetic key National Archives codified and Knuth TAOCP vol. 3
+    §6 documents) as a pure Catalyst expression — the fuzzy-name
+    sibling of the SymSpell edit-distance family in ``index/query.py``.
+
+    Exact rule set: (1) letters only, uppercased; (2) consonants map
+    to digit classes (BFPV→1 CGJKQSXZ→2 DT→3 L→4 MN→5 R→6), vowels
+    AEIOUY→0, H/W are CODING-TRANSPARENT (equal codes separated only
+    by H/W collapse — implemented by deleting the 7 sentinel BEFORE
+    the adjacent-run collapse, while vowels' 0s survive to that point
+    and keep codes apart); (3) drop the leading code when it repeats
+    the first letter's class; (4) drop vowel markers, pad/truncate to
+    LETTER + 3 digits.  No backreferences (RE2-safe: per-digit
+    ``d{2,}`` collapses), so the same expressions run in DuckDB.
+    Empty/non-alphabetic input yields NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    up = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    m = F.translate(up, _SOUNDEX_ALPHA, _SOUNDEX_CODES)
+    collapsed = F.regexp_replace(m, "7", "")
+    for d in "0123456":
+        collapsed = F.regexp_replace(collapsed, d + "{2,}", d)
+    first = F.substring(up, 1, 1)
+    fcode = F.translate(first, _SOUNDEX_ALPHA, _SOUNDEX_CODES)
+    tail = F.when(
+        F.substring(collapsed, 1, 1) == fcode,
+        F.substring(collapsed, 2, F.length(collapsed)),
+    ).otherwise(collapsed)
+    digits = F.regexp_replace(tail, "0", "")
+    return F.when(
+        up == "", F.lit(None).cast("string")
+    ).otherwise(F.concat(first, F.rpad(F.substring(digits, 1, 3), 3, "0")))

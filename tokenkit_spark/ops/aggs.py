@@ -1129,3 +1129,53 @@ def variable_width_histogram(
         .orderBy("min_v")
     )
     return out
+
+
+def trimmed_mean(
+    values: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    trim_frac: float = 0.1,
+    order_tiebreak: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Symmetric trimmed mean per group (Tukey's robust location
+    estimator — "Contributions to Probability and Statistics", 1960;
+    the trim option ES exposes through its scripted metric recipes):
+    drop the lowest and highest ``floor(trim_frac·n)`` values and
+    average the rest, making the center immune to the heavy tails
+    every web metric has.
+
+    Exact rank semantics (mirrored in the oracle): rows ranked by
+    (value, tiebreak) per group; keep rank in (lo, n - lo] with
+    lo = floor(trim_frac·n).  Output: (group, n, n_trimmed, mean_all,
+    trimmed_mean).  One rank window per group partition + two hash
+    aggregates."""
+    ranked = values.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.col(order_tiebreak).alias("tb"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(
+                F.col("v").asc(), F.col("tb").asc()
+            )
+        ),
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    lo = F.floor(F.lit(float(trim_frac)) * F.col("n"))
+    kept = ranked.withColumn(
+        "keep", (F.col("rk") > lo) & (F.col("rk") <= F.col("n") - lo)
+    )
+    return kept.groupBy(F.col("grp").alias(group_col)).agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_trimmed"),
+        F.round(F.avg("v"), round_digits).alias("mean_all"),
+        F.round(
+            F.sum(F.when(F.col("keep"), F.col("v"))) /
+            F.sum(F.col("keep").cast("int")),
+            round_digits,
+        ).alias("trimmed_mean"),
+    )

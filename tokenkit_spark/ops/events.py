@@ -591,3 +591,92 @@ def weekday_seasonality(
             ).alias("seasonality_idx"),
         )
     )
+
+
+def burn_rate_alerts(
+    events: DataFrame,
+    slo_error_budget: float = 0.01,
+    ts_col: str = "ts",
+    err_col: str = "is_error",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Multiwindow error-budget burn-rate alerting (Google SRE
+    Workbook ch. 5, "Alerting on SLOs" — the 14.4x/6x two-window
+    policy): with a 99%-success SLO the error budget is 1%, and
+
+        burn(W) = error_rate(W) / budget
+
+    PAGE when both the 1h and 5m windows burn >= 14.4x (budget gone
+    in 2 days; the short window gates stale alerts), TICKET when both
+    the 6h and 30m windows burn >= 6x.
+
+    Computed EXACTLY over the event stream: per-minute error/total
+    counts, the minute timeline zero-filled (missing minutes must
+    count as healthy time, not be skipped — the date_histogram
+    pipeline-agg lesson), rolling sums as ROWS-frame windows over the
+    minute stream.  The windows are over the BUCKET stream — one row
+    per minute regardless of corpus size — so the unpartitioned
+    ordering is bounded by the time horizon, not the data (same
+    argument as the pipeline aggs in this module).
+
+    Output: the minutes where an alert fires: (minute_epoch, err_1h,
+    total_1h, burn_1h, burn_6h, page_alert, ticket_alert)."""
+    spark = events.sparkSession
+    mins = events.select(
+        (F.unix_timestamp(ts_col) / 60).cast("long").alias("m"),
+        F.col(err_col).cast("int").alias("e"),
+    )
+    per = mins.groupBy("m").agg(
+        F.count(F.lit(1)).alias("total"), F.sum("e").alias("err")
+    )
+    bounds = per.agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    ).collect()[0]
+    timeline = spark.range(bounds.lo, bounds.hi + 1).select(
+        F.col("id").alias("m")
+    )
+    filled = (
+        timeline.join(per, "m", "left")
+        .select(
+            "m",
+            F.coalesce("total", F.lit(0)).alias("total"),
+            F.coalesce("err", F.lit(0)).alias("err"),
+        )
+    )
+
+    def roll(col, n):
+        w = Window.orderBy("m").rowsBetween(-(n - 1), 0)
+        return F.sum(col).over(w)
+
+    def burn(err_s, tot_s):
+        return F.when(tot_s > 0, (err_s / tot_s) / slo_error_budget).otherwise(
+            F.lit(0.0)
+        )
+
+    r = filled.select(
+        "m",
+        roll(F.col("err"), 60).alias("err_1h"),
+        roll(F.col("total"), 60).alias("total_1h"),
+        burn(roll(F.col("err"), 60), roll(F.col("total"), 60)).alias("b1h"),
+        burn(roll(F.col("err"), 5), roll(F.col("total"), 5)).alias("b5m"),
+        burn(roll(F.col("err"), 360), roll(F.col("total"), 360)).alias(
+            "b6h"
+        ),
+        burn(roll(F.col("err"), 30), roll(F.col("total"), 30)).alias(
+            "b30m"
+        ),
+    )
+    r = r.select(
+        (F.col("m") * 60).cast("long").alias("minute_epoch"),
+        "err_1h",
+        "total_1h",
+        F.round("b1h", round_digits).alias("burn_1h"),
+        F.round("b6h", round_digits).alias("burn_6h"),
+        ((F.col("b1h") >= 14.4) & (F.col("b5m") >= 14.4)).alias(
+            "page_alert"
+        ),
+        ((F.col("b6h") >= 6.0) & (F.col("b30m") >= 6.0)).alias(
+            "ticket_alert"
+        ),
+    )
+    return r.filter(F.col("page_alert") | F.col("ticket_alert"))

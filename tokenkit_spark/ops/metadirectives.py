@@ -139,3 +139,45 @@ def hreflang_reciprocity(
             "all_reciprocal"
         ),
     )
+
+
+XROBOTS_RX = "(?i)x-robots-tag:\\s*([a-z, ]+)"
+
+
+def robots_conflicts(
+    pages: DataFrame,
+    host_col: str = "host",
+    header_col: str = "headers",
+    html_col: str = "html",
+    round_digits: int = 4,
+) -> DataFrame:
+    """X-Robots-Tag header vs meta-robots conflict audit (Google
+    Search Central's robots-meta documentation: the header and the
+    meta tag carry the same directive vocabulary, the MOST RESTRICTIVE
+    wins, and disagreement is an operational smell — typically a CDN
+    layer fighting the application).
+
+    Per host: pages with both channels present, noindex conflicts
+    (exactly one channel says noindex), and the effective noindex
+    count under most-restrictive-wins.  Pure regexp + one hash
+    aggregate; composes with ``page_directives`` (same meta parse)."""
+    meta_content = F.regexp_extract(F.col(html_col), _META_ROBOTS, 1)
+    hdr_content = F.lower(
+        F.regexp_extract(F.col(header_col), XROBOTS_RX, 1)
+    )
+    meta_noindex = F.lower(meta_content).contains("noindex")
+    hdr_noindex = hdr_content.contains("noindex")
+    both = (meta_content != "") & (hdr_content != "")
+    conflict = both & (meta_noindex != hdr_noindex)
+    effective = meta_noindex | hdr_noindex
+    return pages.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(both.cast("int")).cast("long").alias("n_both_channels"),
+        F.sum(conflict.cast("int")).cast("long").alias("n_conflicts"),
+        F.sum(effective.cast("int")).cast("long").alias(
+            "n_effective_noindex"
+        ),
+        F.round(F.avg(conflict.cast("int")), round_digits).alias(
+            "conflict_rate"
+        ),
+    )

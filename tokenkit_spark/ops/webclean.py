@@ -450,3 +450,46 @@ def thin_content(
         ).alias("median_chars"),
         F.round(F.avg(len_col), round_digits).alias("mean_chars"),
     )
+
+
+URL_DATE_RX = r"/([12][09][0-9][0-9])/([01]?[0-9])/"
+
+
+def url_date_stats(
+    urls: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Dated-URL profiling — the news/blog freshness prior used by
+    crawl schedulers (the URL-pattern feature family of the recrawl
+    literature, cf. ops/recrawl.py, and the Kraaij-style URL priors in
+    index/urlprior.py): paths carrying a /YYYY/MM/ segment identify
+    date-organized archives whose old sections never change and whose
+    current month churns daily.
+
+    Per host: page count, dated-URL count/fraction, and the dated
+    span (min/max year-month as YYYYMM ints).  Pure regexp + one hash
+    aggregate; the pattern is RE2-safe and shared with the oracle."""
+    y = F.regexp_extract(F.col(url_col), URL_DATE_RX, 1)
+    m = F.regexp_extract(F.col(url_col), URL_DATE_RX, 2)
+    ym = F.when(
+        y != "", y.cast("int") * 100 + m.cast("int")
+    )
+    return (
+        urls.withColumn("__ym", ym)
+        .groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.col("__ym").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_dated"),
+            F.round(
+                F.sum(F.col("__ym").isNotNull().cast("int"))
+                / F.count(F.lit(1)),
+                round_digits,
+            ).alias("dated_frac"),
+            F.min("__ym").alias("min_ym"),
+            F.max("__ym").alias("max_ym"),
+        )
+    )
