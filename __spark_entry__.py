@@ -7517,6 +7517,85 @@ def q_robots_conflicts(spark, sf_dir):
     )
 
 
+def q_taily_shards(spark, sf_dir):
+    """Taily moment-based shard selection (Aly/Hiemstra/Demeester SIGIR
+    2013; Cantelli tail bound in place of the Gamma CDF — documented
+    deviation): per-(term, shard) score moments combined at query time
+    vs the exact conjunctive above-cutoff counts
+    (index/taily.py:taily_select)."""
+    from tokenkit_spark.index.taily import taily_select
+
+    return taily_select(
+        _docs(spark, sf_dir), _queries_df(spark), n_shards=8, s_c=2.0
+    )
+
+
+def q_gvarint_sizes(spark, sf_dir):
+    """Group Varint codec audit (Dean WSDM 2009 keynote — the Google
+    web-index codec): exact tag + minimal-data byte cost per top-20
+    posting list vs the live LEB128 varint stream
+    (index/gvarint.py:gvarint_audit)."""
+    from tokenkit_spark.index.gvarint import gvarint_audit
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    return gvarint_audit(toks, k=20)
+
+
+def q_xquad_rerank(spark, sf_dir):
+    """xQuAD explicit aspect diversification (Santos/Macdonald/Ounis
+    WWW 2010) with the binary source-aspect model: greedy top-5 per
+    query, oracle replays the greedy trace level by level
+    (index/xquad.py:xquad_rerank)."""
+    from tokenkit_spark.index.xquad import xquad_rerank
+
+    return xquad_rerank(
+        _docs(spark, sf_dir), _queries_df(spark), k=5, lam=0.7,
+        n_candidates=20,
+    )
+
+
+def q_rsj_weights(spark, sf_dir):
+    """Robertson/Sparck Jones relevance weighting (JASIS 1976 F4 point
+    estimate) + Robertson offer weights (J.Doc 1990) over the BM25
+    pseudo-relevant top-5 — the BIM expansion twin of Rocchio/Bo1
+    (index/feedback.py:rsj_weights)."""
+    from tokenkit_spark.index.feedback import rsj_weights
+
+    return rsj_weights(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_hrw_routing(spark, sf_dir):
+    """Rendezvous (HRW) hashing audit (Thaler & Ravishankar ToN 1998):
+    exact movement growing 16 -> 17 shards + load spread at 16 — the
+    ringless sibling of the consistent-ring audit
+    (index/reshard.py:hrw_movement_audit)."""
+    from tokenkit_spark.index.reshard import hrw_movement_audit
+
+    return hrw_movement_audit(_docs(spark, sf_dir), n_shards=16)
+
+
+def q_hilbert_audit(spark, sf_dir):
+    """Hilbert vs Z-order vs linear layout audit (Moon et al. TKDE
+    2001 clustering analysis): zone-map file-skipping on two 4-bit
+    dimensions, Hilbert distance as unrolled integer arithmetic
+    (ops/zorder.py:hilbert_audit)."""
+    from tokenkit_spark.ops.zorder import hilbert_audit
+
+    d = _docs(spark, sf_dir)
+    keyed = d.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("d1"),
+        (F.col("n_chars") % 16).alias("d2"),
+    )
+    return hilbert_audit(keyed, "d1", "d2", rows_per_file=64, bits=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -7526,6 +7605,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "taily_shards": q_taily_shards,
+        "gvarint_sizes": q_gvarint_sizes,
+        "xquad_rerank": q_xquad_rerank,
+        "rsj_weights": q_rsj_weights,
+        "hrw_routing": q_hrw_routing,
+        "hilbert_audit": q_hilbert_audit,
         "soundex_groups": q_soundex_groups,
         "url_dates": q_url_dates,
         "burn_rate": q_burn_rate,
@@ -9717,7 +9802,278 @@ d AS (SELECT src, dst, min(dist) AS dist FROM walk WHERE src <> dst
     conf_src = "".join(_CONFUSABLES)
     conf_dst = "".join(_CONFUSABLES.values())
     special_vals = ", ".join(f"('{t}')" for t in SPECIAL_TOKENS)
+    # xQuAD greedy trace (index/xquad.py): the binary aspect model makes
+    # each greedy level a pure argmax over (relevance + uncovered-aspect
+    # gain), so the k=5 selection unrolls to 5 CTE levels.
+    _xq_parts = [
+        f"""
+toks AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (SELECT q.query_id, t.doc_id,
+             sum(ln(1.0 + t.tf) * ln(nd.n_docs / CAST(d.df AS DOUBLE))) AS score
+           FROM qterms q JOIN tf t USING (term) JOIN dft d USING (term)
+           CROSS JOIN nd GROUP BY 1, 2),
+topc AS (SELECT * FROM (SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(score, 6) DESC, doc_id) AS crank FROM scored)
+         WHERE crank <= 20),
+casp AS (SELECT t.query_id, t.doc_id, t.score, d.source AS aspect
+         FROM topc t JOIN documents d USING (doc_id)),
+qa AS (SELECT query_id, sum(score) AS score_sum, count(*) AS n_cand
+       FROM casp GROUP BY 1),
+pasp AS (SELECT query_id, aspect, count(*) AS n_aspect
+         FROM casp GROUP BY 1, 2),
+cand AS (SELECT c.query_id, c.doc_id, c.aspect,
+           c.score / qa.score_sum AS rel,
+           pasp.n_aspect / CAST(qa.n_cand AS DOUBLE) AS pa
+         FROM casp c JOIN qa USING (query_id)
+         JOIN pasp ON pasp.query_id = c.query_id
+                   AND pasp.aspect = c.aspect),
+s1 AS (SELECT query_id, 1 AS rank, doc_id, aspect, gain FROM (
+  SELECT query_id, doc_id, aspect,
+         round((1.0 - 0.7) * rel + 0.7 * pa, 6) AS gain,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round((1.0 - 0.7) * rel + 0.7 * pa, 6) DESC,
+                    doc_id) AS rn
+  FROM cand) WHERE rn = 1)"""
+    ]
+    for _j in range(1, 5):
+        _xq_parts.append(f""",
+g{_j} AS (SELECT c.query_id, c.doc_id, c.aspect,
+         round((1.0 - 0.7) * c.rel + 0.7 * c.pa
+               * (CASE WHEN a.aspect IS NULL THEN 1 ELSE 0 END), 6) AS gain
+       FROM cand c
+       LEFT JOIN (SELECT DISTINCT query_id, aspect FROM s{_j}) a
+         ON a.query_id = c.query_id AND a.aspect = c.aspect
+       LEFT JOIN s{_j} sd
+         ON sd.query_id = c.query_id AND sd.doc_id = c.doc_id
+       WHERE sd.doc_id IS NULL),
+s{_j + 1} AS (SELECT * FROM s{_j} UNION ALL
+  SELECT query_id, {_j + 1} AS rank, doc_id, aspect, gain FROM (
+    SELECT query_id, doc_id, aspect, gain,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY gain DESC, doc_id) AS rn FROM g{_j}) WHERE rn = 1)""")
+    _xquad_sql = (
+        "WITH "
+        + "".join(_xq_parts)
+        + "\nSELECT query_id, rank, doc_id, aspect, gain FROM s5"
+    )
+
+    # Hilbert xy2d (ops/zorder.py:hilbert2) unrolled: one CTE per curve
+    # level, unique column names per level (DuckDB lateral alias refs
+    # would otherwise shadow the previous level's x/y).
+    _hil_parts = [
+        """
+hb0 AS (SELECT doc_id, d1, d2, z, d1 AS x0, d2 AS y0,
+               CAST(0 AS BIGINT) AS dd0 FROM kz)"""
+    ]
+    for _lev, _s in enumerate((8, 4, 2, 1), start=1):
+        _p = _lev - 1
+        _hil_parts.append(f""",
+hb{_lev} AS (SELECT doc_id, d1, d2, z,
+  CASE WHEN (y{_p} // {_s}) % 2 = 1 THEN x{_p}
+       WHEN (x{_p} // {_s}) % 2 = 1 THEN 15 - y{_p} ELSE y{_p} END AS x{_lev},
+  CASE WHEN (y{_p} // {_s}) % 2 = 1 THEN y{_p}
+       WHEN (x{_p} // {_s}) % 2 = 1 THEN 15 - x{_p} ELSE x{_p} END AS y{_lev},
+  dd{_p} + {_s * _s} * (
+    CASE WHEN (x{_p} // {_s}) % 2 = 0 AND (y{_p} // {_s}) % 2 = 0 THEN 0
+         WHEN (x{_p} // {_s}) % 2 = 0 THEN 1
+         WHEN (y{_p} // {_s}) % 2 = 0 THEN 3 ELSE 2 END) AS dd{_lev}
+  FROM hb{_p})""")
+    _hilbert_cte = "".join(_hil_parts)
+
     return {
+        # Taily shard selection (index/taily.py:taily_select): moment
+        # stats per (term, shard), Cantelli tail at s_c=2.0, exact twin
+        "taily_shards": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (SELECT t.term, t.doc_id,
+        ln(1.0 + t.tf) * ln(nd.n_docs / CAST(d.df AS DOUBLE)) AS w,
+        (('0x' || substring(md5(t.doc_id::VARCHAR || '|route'), 1, 8))::BIGINT
+         % 8) AS shard
+      FROM tf t JOIN dft d USING (term) CROSS JOIN nd),
+stats AS (SELECT term, shard, count(*) AS f, avg(w) AS e1, avg(w * w) AS e2
+          FROM w GROUP BY 1, 2),
+ssize AS (SELECT
+    (('0x' || substring(md5(doc_id::VARCHAR || '|route'), 1, 8))::BIGINT
+     % 8) AS shard, count(*) AS n_shard_docs
+  FROM documents GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+qsz AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY 1),
+per AS (SELECT q.query_id, s.shard, count(*) AS n_present,
+          product(s.f) AS f_prod, sum(s.e1) AS mu,
+          sum(s.e2 - s.e1 * s.e1) AS var
+        FROM qterms q JOIN stats s USING (term) GROUP BY 1, 2),
+est AS (SELECT p.query_id, p.shard, z.n_terms,
+          p.f_prod / power(ss.n_shard_docs, z.n_terms - 1) AS f_q,
+          p.mu, p.var,
+          CASE WHEN p.var > 0 THEN p.mu * p.mu / p.var END AS k_gamma,
+          CASE WHEN p.var > 0 THEN p.var / p.mu END AS theta_gamma,
+          CASE WHEN 2.0 <= p.mu THEN 1.0
+               WHEN p.var <= 0 THEN 0.0
+               ELSE p.var / (p.var + (2.0 - p.mu) * (2.0 - p.mu))
+          END AS p_tail
+        FROM per p JOIN qsz z USING (query_id) JOIN ssize ss USING (shard)
+        WHERE p.n_present = z.n_terms),
+ex AS (SELECT s.query_id,
+         (('0x' || substring(md5(s.doc_id::VARCHAR || '|route'), 1, 8))::BIGINT
+          % 8) AS shard,
+         count(*) AS exact_n
+       FROM (SELECT q.query_id, w.doc_id, count(*) AS n_hit,
+                    sum(w.w) AS score
+             FROM qterms q JOIN w ON w.term = q.term GROUP BY 1, 2) s
+       JOIN qsz z ON z.query_id = s.query_id
+       WHERE s.n_hit = z.n_terms AND s.score > 2.0
+       GROUP BY 1, 2)
+SELECT e.query_id, e.shard, e.n_terms,
+       round(e.f_q, 4) AS f_q, round(e.mu, 4) AS mu,
+       round(e.k_gamma, 4) AS k_gamma,
+       round(e.theta_gamma, 4) AS theta_gamma,
+       round(e.f_q * e.p_tail, 4) AS est_n,
+       coalesce(x.exact_n, 0) AS exact_n,
+       row_number() OVER (PARTITION BY e.query_id
+         ORDER BY round(e.f_q * e.p_tail, 4) DESC, e.shard) AS est_rank,
+       row_number() OVER (PARTITION BY e.query_id
+         ORDER BY coalesce(x.exact_n, 0) DESC, e.shard) AS exact_rank
+FROM est e LEFT JOIN ex x
+  ON x.query_id = e.query_id AND x.shard = e.shard""",
+        # Group Varint codec audit (index/gvarint.py:gvarint_audit)
+        "gvarint_sizes": f"""
+WITH toks AS ({_TOKS}),
+p AS (SELECT DISTINCT term, doc_id AS id FROM toks),
+g AS (SELECT term,
+             id - coalesce(lag(id) OVER (PARTITION BY term ORDER BY id), 0)
+               AS gap FROM p),
+sz AS (SELECT term,
+              CASE WHEN gap < 256 THEN 1 WHEN gap < 65536 THEN 2
+                   WHEN gap < 16777216 THEN 3 ELSE 4 END AS db,
+              ({varint_case}) AS vb FROM g),
+agg AS (SELECT term, count(*) AS n_docs,
+               CAST(sum(db) AS BIGINT) AS gv_data_bytes,
+               CAST(sum(vb) AS BIGINT) AS varint_bytes
+        FROM sz GROUP BY 1)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY n_docs DESC, term ASC) AS rank,
+         term, n_docs, gv_data_bytes,
+         CAST(ceil(n_docs / 4.0) AS BIGINT) AS gv_tag_bytes,
+         gv_data_bytes + CAST(ceil(n_docs / 4.0) AS BIGINT) AS gv_bytes,
+         varint_bytes,
+         round((gv_data_bytes + CAST(ceil(n_docs / 4.0) AS BIGINT))
+               / CAST(n_docs AS DOUBLE), 4) AS bpp_gv,
+         round(varint_bytes / CAST(n_docs AS DOUBLE), 4) AS bpp_varint,
+         round((gv_data_bytes + CAST(ceil(n_docs / 4.0) AS BIGINT))
+               / CAST(varint_bytes AS DOUBLE), 4) AS ratio
+  FROM agg) WHERE rank <= 20""",
+        # xQuAD greedy diversification trace (index/xquad.py)
+        "xquad_rerank": _xquad_sql,
+        # RSJ relevance weights + offer weights (index/feedback.py)
+        "rsj_weights": f"""
+WITH {lmsim_stats_cte.strip()},{_fb_prefix(5)},
+bigr AS (SELECT query_id, count(*) AS big_r FROM fb GROUP BY 1),
+rt AS (SELECT f.query_id, p.term, count(*) AS r
+       FROM fb f JOIN postings p USING (doc_id) GROUP BY 1, 2),
+wts AS (SELECT rt.query_id, rt.term, rt.r, t.df,
+          ln(((rt.r + 0.5)
+              * (g.n_docs - t.df - b.big_r + rt.r + 0.5))
+             / ((t.df - rt.r + 0.5) * (b.big_r - rt.r + 0.5))) AS w_rsj
+        FROM rt JOIN tstats t USING (term)
+        JOIN bigr b USING (query_id) CROSS JOIN globals g
+        LEFT JOIN qterms q
+          ON q.query_id = rt.query_id AND q.term = rt.term
+        WHERE q.term IS NULL),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(r * w_rsj, 9) DESC, term) AS tr FROM wts)
+SELECT query_id, term, r, df AS n, round(w_rsj, 6) AS w_rsj,
+       round(r * w_rsj, 6) AS offer_weight
+FROM ranked WHERE tr <= 10""",
+        # Rendezvous hashing movement + balance (index/reshard.py)
+        "hrw_routing": """
+WITH n0 AS (SELECT unnest(range(0, 16)) AS s),
+n1 AS (SELECT unnest(range(0, 17)) AS s),
+a0 AS (SELECT doc_id, s AS shard FROM (
+  SELECT d.doc_id, n.s,
+    row_number() OVER (PARTITION BY d.doc_id ORDER BY
+      ('0x' || substring(md5(d.doc_id::VARCHAR || '|hrw|'
+                             || n.s::VARCHAR), 1, 8))::BIGINT DESC,
+      n.s ASC) AS rn
+  FROM documents d CROSS JOIN n0 n) WHERE rn = 1),
+a1 AS (SELECT doc_id, s AS shard1 FROM (
+  SELECT d.doc_id, n.s,
+    row_number() OVER (PARTITION BY d.doc_id ORDER BY
+      ('0x' || substring(md5(d.doc_id::VARCHAR || '|hrw|'
+                             || n.s::VARCHAR), 1, 8))::BIGINT DESC,
+      n.s ASC) AS rn
+  FROM documents d CROSS JOIN n1 n) WHERE rn = 1),
+j AS (SELECT a0.doc_id, a0.shard, a1.shard1
+      FROM a0 JOIN a1 USING (doc_id)),
+agg AS (SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN shard <> shard1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS moved_hrw FROM j),
+spread AS (SELECT max(c) AS max_c, min(c) AS min_c FROM
+           (SELECT shard, count(*) AS c FROM a0 GROUP BY 1))
+SELECT n_docs, moved_hrw,
+       round(moved_hrw / CAST(n_docs AS DOUBLE), 6) AS frac_hrw,
+       round(1.0 / 17, 6) AS expected_frac,
+       round(max_c / CAST(n_docs AS DOUBLE), 6) AS max_share,
+       round(min_c / CAST(n_docs AS DOUBLE), 6) AS min_share
+FROM agg CROSS JOIN spread""",
+        # Hilbert vs Z-order vs linear zone-map audit (ops/zorder.py)
+        "hilbert_audit": f"""
+WITH k AS (SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS d1,
+                  CAST(n_chars % 16 AS BIGINT) AS d2 FROM documents),
+kz AS (SELECT *, CAST(
+         ((d1 // 1) % 2) * 2 + ((d2 // 1) % 2) * 1
+       + ((d1 // 2) % 2) * 8 + ((d2 // 2) % 2) * 4
+       + ((d1 // 4) % 2) * 32 + ((d2 // 4) % 2) * 16
+       + ((d1 // 8) % 2) * 128 + ((d2 // 8) % 2) * 64 AS BIGINT) AS z
+       FROM k),{_hilbert_cte},
+lin AS (SELECT d1, d2,
+        (row_number() OVER (ORDER BY d1, d2, doc_id) - 1) // 64 AS f
+        FROM kz),
+zo AS (SELECT d1, d2,
+       (row_number() OVER (ORDER BY z, doc_id) - 1) // 64 AS f FROM kz),
+hi AS (SELECT d1, d2,
+       (row_number() OVER (ORDER BY dd4, doc_id) - 1) // 64 AS f FROM hb4),
+zl AS (SELECT f, min(d1) AS min1, max(d1) AS max1,
+              min(d2) AS min2, max(d2) AS max2 FROM lin GROUP BY 1),
+zz AS (SELECT f, min(d1) AS min1, max(d1) AS max1,
+              min(d2) AS min2, max(d2) AS max2 FROM zo GROUP BY 1),
+zh AS (SELECT f, min(d1) AS min1, max(d1) AS max1,
+              min(d2) AS min2, max(d2) AS max2 FROM hi GROUP BY 1),
+vv AS (SELECT unnest(range(0, 16)) AS v),
+al AS (SELECT 'linear' AS layout, count(DISTINCT f) AS n_files,
+         round(sum(CASE WHEN min1 <= v AND v <= max1 THEN 1 ELSE 0 END)
+               / 16.0, 4) AS avg_files_d1,
+         round(sum(CASE WHEN min2 <= v AND v <= max2 THEN 1 ELSE 0 END)
+               / 16.0, 4) AS avg_files_d2
+       FROM zl CROSS JOIN vv
+       UNION ALL
+       SELECT 'zorder', count(DISTINCT f),
+         round(sum(CASE WHEN min1 <= v AND v <= max1 THEN 1 ELSE 0 END)
+               / 16.0, 4),
+         round(sum(CASE WHEN min2 <= v AND v <= max2 THEN 1 ELSE 0 END)
+               / 16.0, 4)
+       FROM zz CROSS JOIN vv
+       UNION ALL
+       SELECT 'hilbert', count(DISTINCT f),
+         round(sum(CASE WHEN min1 <= v AND v <= max1 THEN 1 ELSE 0 END)
+               / 16.0, 4),
+         round(sum(CASE WHEN min2 <= v AND v <= max2 THEN 1 ELSE 0 END)
+               / 16.0, 4)
+       FROM zh CROSS JOIN vv)
+SELECT layout, n_files, avg_files_d1, avg_files_d2,
+       round((avg_files_d1 + avg_files_d2) / 2.0, 4) AS avg_files_any
+FROM al""",
         # Weekday seasonality (ops/events.py:weekday_seasonality):
         # epoch-arithmetic ISO weekday, Monday=1
         "weekday_profile": """

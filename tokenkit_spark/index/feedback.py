@@ -390,3 +390,88 @@ def bm25_param_sensitivity(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k1", "b")
+
+
+def rsj_weights(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Robertson/Sparck Jones relevance weighting with pseudo-relevance
+    feedback — the Binary Independence Model's term reweighting.
+
+    Robertson & Sparck Jones, "Relevance weighting of search terms"
+    (JASIS 1976) with the 0.5-offset point estimate (Robertson, "The
+    Probability Ranking Principle in IR", 1977 framing; the F4 formula):
+    for a term with global df n over N docs, appearing in r of the R
+    (pseudo-)relevant docs,
+
+        w_rsj = ln( (r + .5)(N - n - R + r + .5)
+                    / ((n - r + .5)(R - r + .5)) )
+
+    and Robertson's term-selection OFFER WEIGHT r * w_rsj ("On term
+    selection for query expansion", J.Doc 1990) ranks expansion
+    candidates.  The pseudo-relevant set is the BM25 top-``fb_docs``
+    (the same first pass Rocchio/Bo1 use — ``_fb_docs``), so the three
+    classic expansion schemes share one pipeline and differ only in
+    the weighting formula.
+
+    Returns (query_id, term, r, n, w_rsj, offer_weight): the
+    top-``fb_terms`` candidates per query by (offer_weight desc, term
+    asc), original query terms excluded.  Scale shape: feedback-doc
+    postings are |q| * fb_docs rows joined against the term stats —
+    per-query work independent of corpus size after the first pass.
+    """
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    fp = _bm25_first_pass(
+        qterms, postings, dstats, tstats, globals_, id_col, k1, b
+    )
+    fb = _fb_docs(fp, fb_docs, id_col)
+    big_r = fb.groupBy("query_id").agg(F.count(F.lit(1)).alias("big_r"))
+
+    r_t = (
+        fb.join(postings, id_col)
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    w = (
+        r_t.join(F.broadcast(big_r), "query_id")
+        .join(tstats, "term")
+        .crossJoin(F.broadcast(globals_))
+        .join(qterms.withColumn("is_q", F.lit(1)), ["query_id", "term"], "left")
+        .filter(F.col("is_q").isNull())
+        .withColumn(
+            "w_rsj",
+            F.log(
+                ((F.col("r") + 0.5)
+                 * (F.col("n_docs") - F.col("df") - F.col("big_r")
+                    + F.col("r") + 0.5))
+                / ((F.col("df") - F.col("r") + 0.5)
+                   * (F.col("big_r") - F.col("r") + 0.5))
+            ),
+        )
+        .withColumn("offer_weight", F.col("r") * F.col("w_rsj"))
+    )
+    w_t = Window.partitionBy("query_id").orderBy(
+        F.round("offer_weight", 9).desc(), F.col("term").asc()
+    )
+    return (
+        w.withColumn("tr", F.row_number().over(w_t))
+        .filter(F.col("tr") <= fb_terms)
+        .select(
+            "query_id",
+            "term",
+            "r",
+            F.col("df").alias("n"),
+            F.round("w_rsj", round_digits).alias("w_rsj"),
+            F.round("offer_weight", round_digits).alias("offer_weight"),
+        )
+    )

@@ -141,3 +141,96 @@ def reshard_movement_audit(
             ),
         )
     )
+
+
+def hrw_assign(
+    docs: DataFrame, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shard) under Highest-Random-Weight (rendezvous)
+    hashing: shard = argmax over s of md5(doc_id | 'hrw' | s), ties
+    (md5 collisions, practically absent) by lower shard id."""
+    spark = docs.sparkSession
+    nodes = spark.range(n_shards).select(F.col("id").alias("s"))
+    scored = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .crossJoin(F.broadcast(nodes))
+        .select(
+            "doc_id",
+            "s",
+            _md5_32(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|hrw|"),
+                    F.col("s").cast("string"),
+                )
+            ).alias("w"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("w").desc(), F.col("s").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(win))
+        .filter(F.col("r") == 1)
+        .select("doc_id", F.col("s").alias("shard"))
+    )
+
+
+def hrw_movement_audit(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rendezvous (HRW) hashing audit — the ringless minimal-movement
+    router.
+
+    Thaler & Ravishankar, "Using name-based mappings to increase hit
+    rates" (IEEE/ACM ToN 1998): each key independently scores every
+    node with h(key, node) and routes to the argmax.  Adding node
+    n+1 moves EXACTLY the keys whose new node wins their argmax —
+    expectation 1/(n+1) of keys, the same minimal-disruption bound as
+    the consistent ring (``reshard_movement_audit``) but with no
+    vnode tuning and provably perfect balance in expectation (every
+    node wins a key with probability 1/n); the price is O(n) hash
+    evaluations per key, which is why rendezvous wins for shard
+    counts in the tens-to-hundreds and rings win for thousands.
+
+    One row: (n_docs, moved_hrw, frac_hrw, expected_frac, max_share,
+    min_share) — exact movement n_shards -> n_shards+1 plus the load
+    spread at n_shards.  Scale shape: a broadcast of the tiny node
+    table against the doc ids and one per-doc argmax window keyed by
+    doc — embarrassingly parallel, no shuffle wider than the window.
+    """
+    a0 = hrw_assign(docs, n_shards, id_col)
+    a1 = hrw_assign(docs, n_shards + 1, id_col).withColumnRenamed(
+        "shard", "shard1"
+    )
+    j = a0.join(a1, "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("shard") != F.col("shard1")).cast("long")
+        ).alias("moved_hrw"),
+    )
+    spread = (
+        a0.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("max_c"), F.min("c").alias("min_c"))
+    )
+    return agg.crossJoin(F.broadcast(spread)).select(
+        "n_docs",
+        "moved_hrw",
+        F.round(F.col("moved_hrw") / F.col("n_docs"), round_digits).alias(
+            "frac_hrw"
+        ),
+        F.round(
+            F.lit(1.0) / F.lit(float(n_shards + 1)), round_digits
+        ).alias("expected_frac"),
+        F.round(F.col("max_c") / F.col("n_docs"), round_digits).alias(
+            "max_share"
+        ),
+        F.round(F.col("min_c") / F.col("n_docs"), round_digits).alias(
+            "min_share"
+        ),
+    )
