@@ -7596,6 +7596,66 @@ def q_hilbert_audit(spark, sf_dir):
     return hilbert_audit(keyed, "d1", "d2", rows_per_file=64, bits=4)
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend (Theil 1950 / Sen JASA 1968): median of
+    pairwise slopes + Sen intercept over the daily event-count series
+    per type (ops/trend.py:theil_sen)."""
+    from tokenkit_spark.ops.trend import theil_sen
+
+    return theil_sen(_events(spark, sf_dir))
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test (Mann 1945; Hirsch et al. WRR 1982
+    tie-corrected variance, continuity-corrected z) on the daily
+    event-count series per type (ops/trend.py:mann_kendall)."""
+    from tokenkit_spark.ops.trend import mann_kendall
+
+    return mann_kendall(_events(spark, sf_dir))
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford leading-digit conformity audit (Benford 1938 / Nigrini
+    1996): per-type digit shares vs log10(1+1/d), Pearson chi-square
+    at the df=8 critical value (ops/benford.py:benford_audit)."""
+    from tokenkit_spark.ops.benford import benford_audit
+
+    return benford_audit(_events(spark, sf_dir))
+
+
+def q_cuped(spark, sf_dir):
+    """CUPED variance reduction (Deng/Xu/Kohavi/Walker WSDM 2013):
+    pre-period covariate theta-adjustment of per-user metrics, pooled
+    theta, per-arm variance reduction (ops/abtest.py:cuped_adjust)."""
+    from tokenkit_spark.ops.abtest import cuped_adjust
+
+    return cuped_adjust(
+        _events(spark, sf_dir), split_ts="2024-01-16 00:00:00"
+    )
+
+
+def q_traffic_gini(spark, sf_dir):
+    """Gini concentration of per-user activity per event type (Gini
+    1912, exact sorted-rank identity) + Lorenz top-1/top-decile
+    shares (ops/concentration.py:gini_concentration)."""
+    from tokenkit_spark.ops.concentration import gini_concentration
+
+    return gini_concentration(_events(spark, sf_dir))
+
+
+def q_ams_f2(spark, sf_dir):
+    """AMS tug-of-war F2 sketch (Alon/Matias/Szegedy STOC 1996):
+    16-estimator median-of-means self-join-size estimate vs the exact
+    sum of squared key counts per type (ops/ams.py:ams_f2)."""
+    from tokenkit_spark.ops.ams import ams_f2
+
+    return ams_f2(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -7605,6 +7665,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "theil_sen": q_theil_sen,
+        "mann_kendall": q_mann_kendall,
+        "benford_audit": q_benford_audit,
+        "cuped": q_cuped,
+        "traffic_gini": q_traffic_gini,
+        "ams_f2": q_ams_f2,
         "taily_shards": q_taily_shards,
         "gvarint_sizes": q_gvarint_sizes,
         "xquad_rerank": q_xquad_rerank,
@@ -9887,7 +9953,152 @@ hb{_lev} AS (SELECT doc_id, d1, d2, z,
   FROM hb{_p})""")
     _hilbert_cte = "".join(_hil_parts)
 
+    # Benford expectations pinned from Python's math.log10 so Spark and
+    # DuckDB share the identical double constants
+    import math as _math
+
+    _benford_vals = ", ".join(
+        f"({d}, CAST({_math.log10(1.0 + 1.0 / d)!r} AS DOUBLE))"
+        for d in range(1, 10)
+    )
+    _daily_cte = """
+d AS (SELECT event_type AS grp,
+        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2)"""
+
     return {
+        # Theil-Sen robust trend (ops/trend.py:theil_sen)
+        "theil_sen": f"""
+WITH {_daily_cte.strip()},
+pairs AS (SELECT a.grp, (b.y - a.y) / (b.day - a.day) AS s
+          FROM d a JOIN d b ON a.grp = b.grp AND b.day > a.day),
+sl AS (SELECT grp, count(*) AS n_pairs, median(s) AS slope
+       FROM pairs GROUP BY 1),
+itc AS (SELECT d.grp, median(d.y - sl.slope * d.day) AS intercept
+        FROM d JOIN sl USING (grp) GROUP BY 1),
+nd AS (SELECT grp, count(*) AS n_days FROM d GROUP BY 1)
+SELECT grp, n_days, n_pairs, round(slope, 6) AS slope,
+       round(intercept, 6) AS intercept
+FROM nd JOIN sl USING (grp) JOIN itc USING (grp)""",
+        # Mann-Kendall tie-corrected trend test (ops/trend.py)
+        "mann_kendall": f"""
+WITH {_daily_cte.strip()},
+s AS (SELECT a.grp,
+        CAST(sum(CASE WHEN b.y > a.y THEN 1
+                      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+          AS s_stat
+      FROM d a JOIN d b ON a.grp = b.grp AND b.day > a.day GROUP BY 1),
+nd AS (SELECT grp, count(*) AS n FROM d GROUP BY 1),
+ties AS (SELECT grp, sum(t * (t - 1) * (2 * t + 5)) AS tie_term FROM
+         (SELECT grp, y, count(*) AS t FROM d GROUP BY 1, 2)
+         WHERE t > 1 GROUP BY 1),
+v AS (SELECT nd.grp, nd.n, s.s_stat,
+        (CAST(nd.n AS DOUBLE) * (nd.n - 1) * (2 * nd.n + 5)
+         - coalesce(t.tie_term, 0)) / 18.0 AS var_s
+      FROM nd JOIN s USING (grp) LEFT JOIN ties t USING (grp)),
+z AS (SELECT *, CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                     WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                     ELSE 0.0 END AS zv FROM v)
+SELECT grp, n AS n_days, s_stat, round(var_s, 6) AS var_s,
+       round(zv, 6) AS z,
+       CASE WHEN zv > 1.96 THEN 'increasing'
+            WHEN zv < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM z""",
+        # Benford leading-digit audit (ops/benford.py)
+        "benford_audit": f"""
+WITH base AS (SELECT event_type AS grp,
+    CASE WHEN value > 0 THEN CAST(floor(
+      value / power(10.0, floor(log10(value)))) AS BIGINT) END AS digit
+  FROM events),
+tot AS (SELECT grp,
+    CAST(sum(CASE WHEN digit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_pos,
+    CAST(sum(CASE WHEN digit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_excluded
+  FROM base GROUP BY 1),
+obs AS (SELECT grp, digit, count(*) AS n_d FROM base
+        WHERE digit IS NOT NULL GROUP BY 1, 2),
+dig(digit, expected_p) AS (VALUES {_benford_vals}),
+grid AS (SELECT t.grp, g.digit, coalesce(o.n_d, 0) AS n_d,
+                g.expected_p, t.n_pos, t.n_excluded
+         FROM tot t CROSS JOIN dig g
+         LEFT JOIN obs o ON o.grp = t.grp AND o.digit = g.digit),
+chi AS (SELECT grp, sum(power(n_d - n_pos * expected_p, 2)
+                        / (n_pos * expected_p)) AS chi2
+        FROM grid GROUP BY 1)
+SELECT grid.grp, digit, n_d,
+       round(n_d / CAST(n_pos AS DOUBLE), 6) AS share,
+       round(expected_p, 6) AS expected_p, n_pos, n_excluded,
+       round(chi2, 6) AS chi2, chi2 > 15.507 AS flagged
+FROM grid JOIN chi ON chi.grp = grid.grp""",
+        # CUPED variance reduction (ops/abtest.py:cuped_adjust)
+        "cuped": """
+WITH pu AS (SELECT user_id AS u,
+    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             THEN value ELSE 0.0 END) AS x,
+    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+             THEN value ELSE 0.0 END) AS y
+  FROM events GROUP BY 1),
+pa AS (SELECT u, x, y, CAST(u % 2 AS INT) AS arm FROM pu),
+pooled AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                  sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+           FROM pa),
+th AS (SELECT sx / n AS mx,
+              (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta
+       FROM pooled),
+adj AS (SELECT pa.arm, pa.y, th.theta,
+               pa.y - th.theta * (pa.x - th.mx) AS y_cv
+        FROM pa CROSS JOIN th),
+agg AS (SELECT arm, CAST(count(*) AS DOUBLE) AS na,
+               max(theta) AS theta_raw, sum(y) AS sy,
+               sum(y * y) AS syy, sum(y_cv) AS sc,
+               sum(y_cv * y_cv) AS scc
+        FROM adj GROUP BY 1)
+SELECT arm, CAST(na AS BIGINT) AS n_users,
+       round(theta_raw, 6) AS theta,
+       round(sy / na, 6) AS mean_y, round(sc / na, 6) AS mean_y_cv,
+       round((syy - sy * sy / na) / (na - 1), 3) AS var_y,
+       round((scc - sc * sc / na) / (na - 1), 3) AS var_y_cv,
+       round(1.0 - ((scc - sc * sc / na) / (na - 1))
+                   / ((syy - sy * sy / na) / (na - 1)), 6)
+         AS var_reduction
+FROM agg""",
+        # Gini traffic concentration (ops/concentration.py)
+        "traffic_gini": """
+WITH c AS (SELECT event_type AS grp, user_id AS k, count(*) AS x
+           FROM events GROUP BY 1, 2),
+r AS (SELECT grp, k, x, row_number() OVER (PARTITION BY grp
+        ORDER BY x ASC, k ASC) AS i FROM c),
+a AS (SELECT grp, count(*) AS n_keys, sum(x) AS total,
+             sum(i * x) AS ix, max(x) AS max_x FROM r GROUP BY 1),
+dec AS (SELECT r.grp, sum(r.x) AS decile_x
+        FROM r JOIN a USING (grp)
+        WHERE r.i > a.n_keys - ceil(a.n_keys / 10.0) GROUP BY 1)
+SELECT grp, n_keys, total,
+       round(2.0 * ix / (CAST(n_keys AS DOUBLE) * total)
+             - (n_keys + 1.0) / n_keys, 6) AS gini,
+       round(max_x / CAST(total AS DOUBLE), 6) AS top1_share,
+       round(decile_x / CAST(total AS DOUBLE), 6) AS top_decile_share
+FROM a JOIN dec USING (grp)""",
+        # AMS F2 tug-of-war sketch vs exact join size (ops/ams.py)
+        "ams_f2": """
+WITH k AS (SELECT event_type AS grp, user_id AS kk FROM events),
+ex AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM
+       (SELECT grp, kk, count(*) AS c FROM k GROUP BY 1, 2)
+       GROUP BY 1),
+ii AS (SELECT unnest(range(0, 16)) AS i),
+x AS (SELECT k.grp, ii.i,
+        sum(1.0 - 2 * ((('0x' || substring(md5(k.kk::VARCHAR || '|ams|'
+             || ii.i::VARCHAR), 1, 8))::BIGINT) % 2)) AS x
+      FROM k CROSS JOIN ii GROUP BY 1, 2),
+m AS (SELECT grp, i % 4 AS g, avg(x * x) AS m FROM x GROUP BY 1, 2),
+e AS (SELECT grp, median(m) AS est_f2 FROM m GROUP BY 1)
+SELECT ex.grp, ex.n_keys, ex.exact_f2, round(e.est_f2, 6) AS est_f2,
+       round((e.est_f2 - ex.exact_f2) / ex.exact_f2, 6) AS rel_err
+FROM ex JOIN e USING (grp)""",
         # Taily shard selection (index/taily.py:taily_select): moment
         # stats per (term, shard), Cantelli tail at s_c=2.0, exact twin
         "taily_shards": f"""
