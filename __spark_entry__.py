@@ -7656,6 +7656,126 @@ def q_ams_f2(spark, sf_dir):
     return ams_f2(_events(spark, sf_dir))
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li/Li/Venkatasubramanian ICDE 2007): ordered
+    EMD between each released group's clicked-domain distribution and
+    the global one, over the pinned query log
+    (ops/searchlog.py:t_closeness_audit)."""
+    from tokenkit_spark.ops.searchlog import t_closeness_audit
+
+    qlog = _query_log(spark, sf_dir)
+    l_len = F.length("query")
+    idx = (l_len + F.col("step") % (1 + (l_len % 2))) % 6
+    qlog = qlog.withColumn(
+        "domain", F.concat(F.lit("d"), idx.cast("string"))
+    ).withColumn("sens_order", idx)
+    return t_closeness_audit(
+        qlog, t=0.05, k=3, user_col="session_id", quasi_col="query",
+        sensitive_col="domain", order_col="sens_order",
+    )
+
+
+def q_query_intent(spark, sf_dir):
+    """Broder query-intent taxonomy (SIGIR Forum 2002; Lee/Liu/Cho WWW
+    2005 click-concentration features): click entropy + top-domain
+    share + action-term cue per query
+    (ops/searchlog.py:query_intent)."""
+    from tokenkit_spark.ops.searchlog import query_intent
+
+    qlog = _query_log(spark, sf_dir)
+    l_len = F.length("query")
+    idx = (l_len + F.col("step") % (1 + (l_len % 2))) % 6
+    qlog = qlog.withColumn(
+        "domain", F.concat(F.lit("d"), idx.cast("string"))
+    ).withColumn(
+        "query",
+        F.when(
+            F.col("step") % 13 == 0, F.concat("query", F.lit(" download"))
+        )
+        .when(F.col("step") % 13 == 5, F.concat("query", F.lit(" buy")))
+        .otherwise(F.col("query")),
+    )
+    return query_intent(
+        qlog, user_col="session_id", query_col="query",
+        domain_col="domain",
+    )
+
+
+def q_bidi_audit(spark, sf_dir):
+    """Trojan-Source bidi/invisible-character audit (Boucher & Anderson
+    USENIX Sec 2022, CVE-2021-42574): per-source counts of bidi
+    controls, zero-width chars, and unbalanced overrides over a
+    deterministic injection (ops/webclean.py:bidi_audit)."""
+    from tokenkit_spark.ops.webclean import bidi_audit
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    inj = (
+        F.when(doc % 7 == 0, F.lit("\u202e"))  # dangling RLO
+        .when(doc % 7 == 1, F.lit("\u202a x \u202c"))  # balanced LRE
+        .when(doc % 7 == 2, F.lit("\u200b"))  # zero-width space
+        .when(doc % 7 == 3, F.lit("\u2066ltr\u2069"))  # balanced isolate
+        .when(doc % 7 == 4, F.lit("\u2067"))  # dangling RLI
+        .otherwise(F.lit(""))
+    )
+    return bidi_audit(
+        d.select("source", F.concat("text", inj).alias("text"))
+    )
+
+
+def q_lexical_richness(spark, sf_dir):
+    """Lexical-richness battery (Yule 1944 K, Simpson 1949 D, Herdan
+    1960 C, TTR, hapax rate) from the per-source frequency spectrum
+    (ops/textstats.py:lexical_richness)."""
+    from tokenkit_spark.ops.textstats import lexical_richness
+
+    return lexical_richness(_docs(spark, sf_dir))
+
+
+def q_apdex(spark, sf_dir):
+    """Apdex application-performance index (Apdex Alliance spec,
+    Sevcik 2005): satisfied/tolerating/frustrated roll-up at T=100
+    with the spec's rating bands (ops/events.py:apdex_scores)."""
+    from tokenkit_spark.ops.events import apdex_scores
+
+    return apdex_scores(_events(spark, sf_dir), threshold_t=100.0)
+
+
+def q_tracking_params(spark, sf_dir):
+    """Tracking-parameter stripping audit (the a-priori DUST family —
+    utm_*/gclid/fbclid): per-host dedup gain of dropping click
+    identifiers from the URL space
+    (ops/dust.py:tracking_param_audit)."""
+    from tokenkit_spark.ops.dust import tracking_param_audit
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 10).cast("string"))
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit(".ex/p"),
+        (doc % 20).cast("string"),
+        F.when(
+            doc % 3 == 0,
+            F.concat(F.lit("?utm_source=u"), doc.cast("string")),
+        )
+        .when(
+            doc % 3 == 1,
+            F.concat(
+                F.lit("?id="),
+                (doc % 5).cast("string"),
+                F.lit("&fbclid=f"),
+                doc.cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    return tracking_param_audit(
+        d.select(host.alias("host"), url.alias("url"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -7665,6 +7785,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "t_closeness": q_t_closeness,
+        "query_intent": q_query_intent,
+        "bidi_audit": q_bidi_audit,
+        "lexical_richness": q_lexical_richness,
+        "apdex": q_apdex,
+        "tracking_params": q_tracking_params,
         "theil_sen": q_theil_sen,
         "mann_kendall": q_mann_kendall,
         "benford_audit": q_benford_audit,
@@ -9967,7 +10093,200 @@ d AS (SELECT event_type AS grp,
         CAST(count(*) AS DOUBLE) AS y
       FROM events GROUP BY 1, 2)"""
 
+    from tokenkit_spark.ops.webclean import (
+        _BIDI_CLOSE_RX,
+        _BIDI_OPEN_RX,
+        _BIDI_RX,
+        _INVIS_RX,
+        _ISO_CLOSE_RX,
+        _ISO_OPEN_RX,
+    )
+
+    _qd_idx_cte = f"""
+vocab(idx, q) AS (VALUES {qflow_vocab}),
+ql AS (SELECT e.user_id AS session_id, e.event_id AS step, v.q AS query
+       FROM events e JOIN vocab v
+       ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+qd AS (SELECT session_id, step, query,
+              (length(query) + step % (1 + (length(query) % 2))) % 6
+                AS sidx
+       FROM ql)"""
+
     return {
+        # t-closeness ordered EMD audit (ops/searchlog.py)
+        "t_closeness": f"""
+WITH {_qd_idx_cte.strip()},
+qd2 AS (SELECT session_id, query, 'd' || CAST(sidx AS VARCHAR) AS domain,
+               sidx AS sens_order FROM qd),
+rel AS (SELECT query, count(*) AS n_rows FROM qd2 GROUP BY 1
+        HAVING count(DISTINCT session_id) >= 3),
+vals AS (SELECT domain, sens_order, count(*) AS g_cnt
+         FROM qd2 GROUP BY 1, 2),
+ntot AS (SELECT count(*) AS n FROM qd2),
+grid AS (SELECT r.query, r.n_rows, v.domain, v.sens_order,
+                v.g_cnt / CAST(nt.n AS DOUBLE) AS q_share
+         FROM rel r CROSS JOIN vals v CROSS JOIN ntot nt),
+per AS (SELECT query, domain, count(*) AS p_cnt FROM qd2 GROUP BY 1, 2),
+j AS (SELECT g.query, g.n_rows, g.sens_order,
+             coalesce(p.p_cnt, 0) AS p_cnt, g.q_share,
+             coalesce(p.p_cnt, 0) / CAST(g.n_rows AS DOUBLE) AS p_share
+      FROM grid g LEFT JOIN per p
+        ON p.query = g.query AND p.domain = g.domain),
+cum AS (SELECT query, n_rows, p_cnt,
+          sum(p_share - q_share) OVER (PARTITION BY query
+            ORDER BY sens_order
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_gap
+        FROM j),
+emd AS (SELECT query, n_rows,
+          sum(abs(cum_gap))
+            / CAST((SELECT count(*) FROM vals) - 1 AS DOUBLE) AS emd_raw,
+          CAST(sum(CASE WHEN p_cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_sensitive
+        FROM cum GROUP BY 1, 2)
+SELECT query, n_rows, n_sensitive, round(emd_raw, 6) AS emd,
+       emd_raw <= 0.05 AS t_ok
+FROM emd""",
+        # Broder query-intent taxonomy (ops/searchlog.py:query_intent)
+        "query_intent": f"""
+WITH {_qd_idx_cte.strip()},
+qd2 AS (SELECT session_id,
+          CASE WHEN step % 13 = 0 THEN query || ' download'
+               WHEN step % 13 = 5 THEN query || ' buy'
+               ELSE query END AS query,
+          'd' || CAST(sidx AS VARCHAR) AS domain
+        FROM qd),
+pqd AS (SELECT query, domain, count(*) AS c FROM qd2 GROUP BY 1, 2),
+pq AS (SELECT query, CAST(sum(c) AS BIGINT) AS n_clicks,
+              count(*) AS n_domains, max(c) AS top_c,
+              sum(c * ln(c)) AS clogc
+       FROM pqd GROUP BY 1)
+SELECT query, n_clicks, n_domains,
+       round(ln(CAST(n_clicks AS DOUBLE)) - clogc / n_clicks, 6)
+         AS click_entropy,
+       round(top_c / CAST(n_clicks AS DOUBLE), 6) AS top_share,
+       CASE WHEN regexp_matches(query,
+              '(^| )(download|buy|login|signup|order)( |$)')
+            THEN 'transactional'
+            WHEN top_c / CAST(n_clicks AS DOUBLE) >= 0.8
+            THEN 'navigational'
+            ELSE 'informational' END AS intent
+FROM pq""",
+        # Trojan-Source bidi / invisible character audit (ops/webclean.py)
+        "bidi_audit": f"""
+WITH t AS (SELECT source AS grp, text ||
+    CASE WHEN doc_id % 7 = 0 THEN chr(8238)
+         WHEN doc_id % 7 = 1 THEN chr(8234) || ' x ' || chr(8236)
+         WHEN doc_id % 7 = 2 THEN chr(8203)
+         WHEN doc_id % 7 = 3 THEN chr(8294) || 'ltr' || chr(8297)
+         WHEN doc_id % 7 = 4 THEN chr(8295)
+         ELSE '' END AS text
+  FROM documents),
+c AS (SELECT grp,
+    len(regexp_extract_all(text, '{_BIDI_RX}')) AS n_bidi,
+    len(regexp_extract_all(text, '{_INVIS_RX}')) AS n_invis,
+    (len(regexp_extract_all(text, '{_BIDI_OPEN_RX}'))
+       <> len(regexp_extract_all(text, '{_BIDI_CLOSE_RX}')))
+    OR (len(regexp_extract_all(text, '{_ISO_OPEN_RX}'))
+       <> len(regexp_extract_all(text, '{_ISO_CLOSE_RX}'))) AS unb
+  FROM t)
+SELECT grp, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_bidi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_bidi,
+       CAST(sum(n_bidi) AS BIGINT) AS chars_bidi,
+       CAST(sum(CASE WHEN n_invis > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_invis,
+       CAST(sum(n_invis) AS BIGINT) AS chars_invis,
+       CAST(sum(CASE WHEN unb THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_unbalanced,
+       round(sum(CASE WHEN n_bidi > 0 OR n_invis > 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS frac_affected
+FROM c GROUP BY 1""",
+        # Lexical-richness battery (ops/textstats.py:lexical_richness)
+        "lexical_richness": """
+WITH toks AS (SELECT source AS grp, lower(u.t) AS term FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'),
+              x -> x <> '')) AS u(t)),
+tf AS (SELECT grp, term, count(*) AS m FROM toks GROUP BY 1, 2),
+spec AS (SELECT grp, m, count(*) AS vm FROM tf GROUP BY 1, 2),
+agg AS (SELECT grp,
+          CAST(sum(vm * m) AS BIGINT) AS n_tokens,
+          CAST(sum(vm) AS BIGINT) AS n_types,
+          CAST(sum(CASE WHEN m = 1 THEN vm ELSE 0 END) AS BIGINT) AS v1,
+          CAST(sum(vm * m * m) AS BIGINT) AS m2sum,
+          CAST(sum(vm * m * (m - 1)) AS BIGINT) AS rep_pairs
+        FROM spec GROUP BY 1)
+SELECT grp, n_tokens, n_types,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       round(ln(CAST(n_types AS DOUBLE))
+             / ln(CAST(n_tokens AS DOUBLE)), 6) AS herdan_c,
+       round(10000.0 * (m2sum - CAST(n_tokens AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) AS yule_k,
+       round(rep_pairs / (CAST(n_tokens AS DOUBLE)
+             * (n_tokens - 1)), 6) AS simpson_d,
+       round(v1 / CAST(n_types AS DOUBLE), 6) AS hapax_rate
+FROM agg""",
+        # Apdex satisfaction index (ops/events.py:apdex_scores)
+        "apdex": """
+WITH per AS (SELECT event_type AS grp,
+    CASE WHEN value <= 100.0 THEN 1 ELSE 0 END AS sat,
+    CASE WHEN value > 100.0 AND value <= 400.0 THEN 1 ELSE 0 END AS tol,
+    CASE WHEN value > 400.0 THEN 1 ELSE 0 END AS fru
+  FROM events),
+agg AS (SELECT grp, count(*) AS n,
+               CAST(sum(sat) AS BIGINT) AS n_satisfied,
+               CAST(sum(tol) AS BIGINT) AS n_tolerating,
+               CAST(sum(fru) AS BIGINT) AS n_frustrated
+        FROM per GROUP BY 1),
+sc AS (SELECT *, (n_satisfied + n_tolerating / 2.0) / n AS a FROM agg)
+SELECT grp, n, n_satisfied, n_tolerating, n_frustrated,
+       round(a, 6) AS apdex,
+       CASE WHEN a >= 0.94 THEN 'excellent'
+            WHEN a >= 0.85 THEN 'good'
+            WHEN a >= 0.70 THEN 'fair'
+            WHEN a >= 0.50 THEN 'poor'
+            ELSE 'unacceptable' END AS rating
+FROM sc""",
+        # Tracking-parameter strip audit (ops/dust.py:tracking_param_audit)
+        "tracking_params": """
+WITH pg AS (SELECT doc_id,
+    'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+    'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.ex/p'
+      || CAST(doc_id % 20 AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 0
+                THEN '?utm_source=u' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 3 = 1
+                THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                     || '&fbclid=f' || CAST(doc_id AS VARCHAR)
+              ELSE '' END AS url
+  FROM documents),
+s AS (SELECT host, url AS raw,
+        split_part(url, '?', 1) AS base,
+        CASE WHEN contains(url, '?') THEN split_part(url, '?', 2)
+             ELSE '' END AS qs
+      FROM pg),
+k AS (SELECT host, raw, base,
+        list_filter(string_split(qs, '&'),
+          p -> p <> '' AND NOT regexp_matches(p,
+            '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref|igshid)='))
+          AS kept,
+        len(list_filter(string_split(qs, '&'),
+          p -> regexp_matches(p,
+            '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref|igshid)=')))
+          > 0 AS tr
+      FROM s),
+f AS (SELECT host, raw, tr,
+        CASE WHEN len(kept) > 0
+             THEN base || '?' || array_to_string(kept, '&')
+             ELSE base END AS stripped
+      FROM k)
+SELECT host, count(*) AS n_urls,
+       CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_tracking,
+       count(DISTINCT raw) AS n_distinct_raw,
+       count(DISTINCT stripped) AS n_distinct_stripped,
+       round(1.0 - count(DISTINCT stripped)
+             / CAST(count(DISTINCT raw) AS DOUBLE), 6) AS dup_gain
+FROM f GROUP BY 1""",
         # Theil-Sen robust trend (ops/trend.py:theil_sen)
         "theil_sen": f"""
 WITH {_daily_cte.strip()},

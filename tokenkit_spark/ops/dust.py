@@ -98,3 +98,67 @@ def dust_param_rules(
         )
         .orderBy("param")
     )
+
+
+TRACKING_PARAM_RX = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref|igshid)="
+
+
+def tracking_param_audit(
+    pages: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Tracking-query-parameter stripping audit — the deterministic
+    cousin of the mined DUST rules (``dust_param_rules``).
+
+    Click identifiers and campaign tags (utm_*, gclid, fbclid, ...)
+    create unbounded families of URLs naming the SAME resource — the
+    canonical "different URLs with similar text" source Bar-Yossef et
+    al. (WWW 2007) mine rules for, except these are known a priori
+    (they are what the uBlock/ClearURLs lists and Chrome's URL
+    sanitizer strip).  For a crawl frontier the payoff is measured as
+    dedup gain: distinct URLs before vs after dropping the tracking
+    parameters (parameter ORDER preserved — this audit strips, it
+    does not canonicalize; ``ops/domains.py`` owns full
+    canonicalization).
+
+    Per host: (host, n_urls, n_with_tracking, n_distinct_raw,
+    n_distinct_stripped, dup_gain) with dup_gain = 1 -
+    distinct_stripped/distinct_raw.  Pure split/filter/join string
+    algebra — codegen, no UDFs, one hash aggregate.
+    """
+    u = F.col(url_col)
+    base = F.substring_index(u, "?", 1)
+    qs = F.when(
+        u.contains("?"), F.substring_index(u, "?", -1)
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RX),
+    )
+    had_tracking = F.exists(
+        F.split(qs, "&"), lambda p: p.rlike(TRACKING_PARAM_RX)
+    )
+    stripped = F.when(
+        F.size(kept) > 0,
+        F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base)
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        u.alias("raw"),
+        stripped.alias("stripped"),
+        had_tracking.cast("long").alias("tr"),
+    )
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("tr").alias("n_with_tracking"),
+        F.countDistinct("raw").alias("n_distinct_raw"),
+        F.countDistinct("stripped").alias("n_distinct_stripped"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("stripped")
+            / F.countDistinct("raw").cast("double"),
+            round_digits,
+        ).alias("dup_gain"),
+    )

@@ -680,3 +680,70 @@ def burn_rate_alerts(
         ),
     )
     return r.filter(F.col("page_alert") | F.col("ticket_alert"))
+
+
+APDEX_RATINGS = (
+    (0.94, "excellent"),
+    (0.85, "good"),
+    (0.70, "fair"),
+    (0.50, "poor"),
+)
+
+
+def apdex_scores(
+    events: DataFrame,
+    threshold_t: float = 100.0,
+    latency_col: str = "value",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Apdex application-performance index per service.
+
+    The Apdex Alliance specification (Sevcik, 2005; the
+    industry-standard SLO roll-up NewRelic/Datadog expose): with
+    target threshold T, a sample is SATISFIED if latency <= T,
+    TOLERATING if T < latency <= 4T, FRUSTRATED beyond; the index is
+
+        Apdex_T = (satisfied + tolerating / 2) / total
+
+    in [0, 1], with the spec's rating bands (>= 0.94 excellent,
+    >= 0.85 good, >= 0.70 fair, >= 0.50 poor, else unacceptable).
+    The index deliberately compresses the latency distribution into a
+    user-experience scalar — the p99-style tail audits live in
+    ``index/hedging.py``; this is the complementary satisfaction
+    roll-up per service.
+
+    One projection + one hash aggregate; (grp, n, n_satisfied,
+    n_tolerating, n_frustrated, apdex, rating).
+    """
+    v = F.col(latency_col)
+    per = events.select(
+        F.col(group_col).alias("grp"),
+        (v <= threshold_t).cast("long").alias("sat"),
+        ((v > threshold_t) & (v <= 4 * threshold_t))
+        .cast("long")
+        .alias("tol"),
+        (v > 4 * threshold_t).cast("long").alias("fru"),
+    )
+    agg = per.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sat").alias("n_satisfied"),
+        F.sum("tol").alias("n_tolerating"),
+        F.sum("fru").alias("n_frustrated"),
+    )
+    apdex = (
+        F.col("n_satisfied") + F.col("n_tolerating") / 2.0
+    ) / F.col("n")
+    rating = F.when(apdex >= APDEX_RATINGS[0][0], APDEX_RATINGS[0][1])
+    for thr, name in APDEX_RATINGS[1:]:
+        rating = rating.when(apdex >= thr, name)
+    rating = rating.otherwise("unacceptable")
+    return agg.select(
+        "grp",
+        "n",
+        "n_satisfied",
+        "n_tolerating",
+        "n_frustrated",
+        F.round(apdex, round_digits).alias("apdex"),
+        rating.alias("rating"),
+    )

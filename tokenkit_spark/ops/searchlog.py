@@ -136,3 +136,158 @@ def l_diversity_audit(
         "n_sensitive",
         (F.col("n_sensitive") >= l).alias("l_ok"),
     )
+
+
+def t_closeness_audit(
+    qlog: DataFrame,
+    t: float = 0.3,
+    k: int = 3,
+    user_col: str = "user_id",
+    quasi_col: str = "query",
+    sensitive_col: str = "domain",
+    order_col: str = "sens_order",
+    round_digits: int = 6,
+) -> DataFrame:
+    """t-closeness audit of a k-anonymized release — the third rung of
+    the privacy ladder after k-anonymity and l-diversity.
+
+    Li, Li & Venkatasubramanian, "t-Closeness: privacy beyond
+    k-anonymity and l-diversity" (ICDE 2007): an l-diverse group still
+    leaks when its sensitive-value DISTRIBUTION differs sharply from
+    the table's (the skewness/similarity attacks) — so require the
+    Earth Mover's Distance between the group's distribution and the
+    global one to be <= t.  For an ordered attribute with m values the
+    paper's EMD has the closed form
+
+        EMD = (1/(m-1)) * sum_{i=1..m-1} | sum_{j<=i} (p_j - q_j) |
+
+    — the mean absolute cumulative-share gap, pure relational algebra
+    (grid join + one ordered window), replayed exactly by the oracle.
+
+    One row per k-anonymous group: (quasi value, n_rows, n_sensitive,
+    emd, t_ok).  Scale shape: the value grid is |groups| x m rows with
+    m tiny; the window is per-group ordered over m values.
+    """
+    released = (
+        qlog.groupBy(quasi_col)
+        .agg(
+            F.countDistinct(user_col).alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .filter(F.col("n_users") >= k)
+        .select(quasi_col, "n_rows")
+    )
+    vals = (
+        qlog.groupBy(sensitive_col, order_col)
+        .agg(F.count(F.lit(1)).alias("g_cnt"))
+    )
+    n_total = qlog.count()
+    grid = released.crossJoin(
+        F.broadcast(
+            vals.select(
+                sensitive_col,
+                order_col,
+                (F.col("g_cnt") / F.lit(float(n_total))).alias("q_share"),
+            )
+        )
+    )
+    per = qlog.groupBy(quasi_col, sensitive_col).agg(
+        F.count(F.lit(1)).alias("p_cnt")
+    )
+    joined = (
+        grid.join(per, [quasi_col, sensitive_col], "left")
+        .na.fill({"p_cnt": 0})
+        .withColumn(
+            "p_share", F.col("p_cnt") / F.col("n_rows")
+        )
+    )
+    w = (
+        Window.partitionBy(quasi_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.withColumn(
+        "cum_gap", F.sum(F.col("p_share") - F.col("q_share")).over(w)
+    )
+    m = vals.count()
+    # the paper's sum runs i = 1..m-1; the i = m cumulative gap is 0
+    # by construction, so summing all m terms is identical arithmetic
+    emd = cum.groupBy(quasi_col, "n_rows").agg(
+        (F.sum(F.abs(F.col("cum_gap"))) / F.lit(float(m - 1))).alias(
+            "emd_raw"
+        ),
+        F.sum((F.col("p_cnt") > 0).cast("long")).alias("n_sensitive"),
+    )
+    return emd.select(
+        quasi_col,
+        "n_rows",
+        "n_sensitive",
+        F.round("emd_raw", round_digits).alias("emd"),
+        (F.col("emd_raw") <= t).alias("t_ok"),
+    )
+
+
+NAV_SHARE_THRESHOLD = 0.8
+ACTION_TERMS = ("download", "buy", "login", "signup", "order")
+
+
+def query_intent(
+    qlog: DataFrame,
+    user_col: str = "user_id",
+    query_col: str = "query",
+    domain_col: str = "domain",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query-intent taxonomy from click behavior — Broder's trichotomy
+    operationalized on the log.
+
+    Broder, "A taxonomy of web search" (SIGIR Forum 2002) with the
+    click-based operationalization of Lee, Liu & Cho (WWW 2005):
+    NAVIGATIONAL queries concentrate clicks on one destination (low
+    click entropy / high top-domain share), INFORMATIONAL queries
+    scatter them; TRANSACTIONAL intent is flagged lexically by the
+    paper's action-verb cue list.  Per query:
+
+        click_entropy = -sum_d p_d * ln p_d   over clicked domains,
+        top_share     = max_d p_d,
+
+    intent = 'transactional' if an action term occurs in the query,
+    else 'navigational' if top_share >= 0.8, else 'informational'.
+
+    Scale shape: one (query, domain) rollup, one query rollup; the
+    classification is a projection.  Entropy over the rollup — never
+    over raw rows.
+    """
+    per_qd = qlog.groupBy(query_col, domain_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_q = per_qd.groupBy(query_col).agg(
+        F.sum("c").alias("n_clicks"),
+        F.count(F.lit(1)).alias("n_domains"),
+        F.max("c").alias("top_c"),
+        F.sum(F.col("c") * F.log("c")).alias("clogc"),
+    )
+    ent = (
+        F.log(F.col("n_clicks").cast("double"))
+        - F.col("clogc") / F.col("n_clicks")
+    )
+    action_rx = "(^| )(" + "|".join(ACTION_TERMS) + ")( |$)"
+    return per_q.select(
+        query_col,
+        "n_clicks",
+        "n_domains",
+        F.round(ent, round_digits).alias("click_entropy"),
+        F.round(
+            F.col("top_c") / F.col("n_clicks"), round_digits
+        ).alias("top_share"),
+        F.when(
+            F.col(query_col).rlike(action_rx), F.lit("transactional")
+        )
+        .when(
+            F.col("top_c") / F.col("n_clicks")
+            >= NAV_SHARE_THRESHOLD,
+            F.lit("navigational"),
+        )
+        .otherwise(F.lit("informational"))
+        .alias("intent"),
+    )

@@ -1124,3 +1124,72 @@ def vocab_coverage(
         )
         .orderBy("lang")
     )
+
+
+def lexical_richness(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lexical-richness battery from the frequency spectrum, per group.
+
+    The classic vocabulary-richness constants computed from V_m (the
+    number of types occurring exactly m times) — Herdan, "Type-token
+    mathematics" (1960); Yule, "The statistical study of literary
+    vocabulary" (1944); Simpson (Nature 1949):
+
+        TTR       = V / N
+        Herdan C  = ln V / ln N            (length-corrected TTR)
+        Yule K    = 10^4 * (sum_m m^2 V_m - N) / N^2
+        Simpson D = sum_m V_m * m(m-1) / (N(N-1))
+        hapax     = V_1 / V
+
+    K and D are repeat-rate measures — nearly length-invariant, which
+    is why they survive as corpus-quality signals where raw TTR
+    collapses (a template-stuffed source shows low K-diversity long
+    before dedup fires; the spectrum is also the input Heaps'-law
+    fitting uses in ``heaps_fit``).
+
+    Scale shape: tokenize -> (group, term) counts -> (group, m)
+    spectrum -> one row per group; every stage a hash aggregate.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("m"))
+    spec = tf.groupBy("grp", "m").agg(F.count(F.lit(1)).alias("vm"))
+    agg = spec.groupBy("grp").agg(
+        F.sum(F.col("vm") * F.col("m")).alias("n_tokens"),
+        F.sum("vm").alias("n_types"),
+        F.sum(F.when(F.col("m") == 1, F.col("vm")).otherwise(0)).alias(
+            "v1"
+        ),
+        F.sum(F.col("vm") * F.col("m") * F.col("m")).alias("m2sum"),
+        F.sum(
+            F.col("vm") * F.col("m") * (F.col("m") - 1)
+        ).alias("rep_pairs"),
+    )
+    n = F.col("n_tokens").cast("double")
+    v = F.col("n_types").cast("double")
+    return agg.select(
+        "grp",
+        "n_tokens",
+        "n_types",
+        F.round(v / n, round_digits).alias("ttr"),
+        F.round(F.log(v) / F.log(n), round_digits).alias("herdan_c"),
+        F.round(
+            F.lit(10000.0) * (F.col("m2sum") - n) / (n * n),
+            round_digits,
+        ).alias("yule_k"),
+        F.round(
+            F.col("rep_pairs") / (n * (n - 1)), round_digits
+        ).alias("simpson_d"),
+        F.round(F.col("v1") / v, round_digits).alias("hapax_rate"),
+    )

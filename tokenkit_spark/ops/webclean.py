@@ -493,3 +493,72 @@ def url_date_stats(
             F.max("__ym").alias("max_ym"),
         )
     )
+
+
+# Trojan-Source / invisible-character audit (CVE-2021-42574):
+# bidirectional overrides and zero-width characters
+_BIDI_RX = "[‪-‮⁦-⁩]"
+_BIDI_OPEN_RX = "[‪‫‭‮]"  # LRE RLE LRO RLO
+_BIDI_CLOSE_RX = "‬"  # PDF
+_ISO_OPEN_RX = "[⁦⁧⁨]"  # LRI RLI FSI
+_ISO_CLOSE_RX = "⁩"  # PDI
+_INVIS_RX = "[​-‍⁠﻿]"
+
+
+def bidi_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bidirectional-control and invisible-character audit — the
+    Trojan Source screen for a text corpus.
+
+    Boucher & Anderson, "Trojan Source: invisible vulnerabilities"
+    (USENIX Security 2022; CVE-2021-42574): Unicode bidi override and
+    embedding controls (U+202A..U+202E) and the isolate controls
+    (U+2066..U+2069) reorder DISPLAYED text without changing the byte
+    sequence — in code or prompts they make what reviewers read differ
+    from what parsers execute.  Zero-width characters (U+200B..U+200D,
+    U+2060, U+FEFF) are the companion smuggling channel (and a
+    tokenizer-poisoning vector for LLM corpora, the same family as the
+    special-token scan in ``ops/contamination.py``).
+
+    Per group: documents and characters carrying each class, plus the
+    count of docs whose bidi embeddings/overrides are UNBALANCED
+    (opens != PDF closes, or isolate opens != PDI closes) — the
+    signature Boucher & Anderson exploit, since a dangling override
+    reorders everything to end-of-line.  Pure ``regexp_count``
+    projections — whole-stage codegen, no UDFs.
+    """
+    t = F.col(text_col)
+
+    def cnt(rx):
+        return F.regexp_count(t, F.lit(rx))
+
+    per = docs.select(
+        F.col(group_col).alias("grp"),
+        cnt(_BIDI_RX).alias("n_bidi"),
+        cnt(_INVIS_RX).alias("n_invis"),
+        (
+            (cnt(_BIDI_OPEN_RX) != cnt(_BIDI_CLOSE_RX))
+            | (cnt(_ISO_OPEN_RX) != cnt(_ISO_CLOSE_RX))
+        ).alias("unbalanced"),
+    )
+    return per.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_bidi") > 0).cast("long")).alias("docs_bidi"),
+        F.sum("n_bidi").alias("chars_bidi"),
+        F.sum((F.col("n_invis") > 0).cast("long")).alias("docs_invis"),
+        F.sum("n_invis").alias("chars_invis"),
+        F.sum(F.col("unbalanced").cast("long")).alias("docs_unbalanced"),
+        F.round(
+            F.sum(
+                ((F.col("n_bidi") > 0) | (F.col("n_invis") > 0)).cast(
+                    "long"
+                )
+            )
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("frac_affected"),
+    )
