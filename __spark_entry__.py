@@ -7776,6 +7776,96 @@ def q_tracking_params(spark, sf_dir):
     )
 
 
+def q_dfr_ifb2(spark, sf_dir):
+    """DFR IFB2 ranking (Amati & van Rijsbergen TOIS 2002; Terrier
+    IFB2): inverse-term-frequency basic model, Bernoulli after-effect,
+    H2 length normalization — the I(F)/B corner of the DFR space next
+    to PL2 (index/lmsim.py:dfr_ifb2)."""
+    from tokenkit_spark.index.lmsim import dfr_ifb2
+
+    return dfr_ifb2(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_anytime_curve(spark, sf_dir):
+    """Anytime impact-ordered evaluation curve (Anh & Moffat SIGIR
+    2006; JASS rho, Lin & Trotman SIGIR 2015): top-10 agreement vs the
+    exhaustive quantized ranking at postings budgets 10/25/50/100%
+    (index/impact.py:anytime_curve)."""
+    from tokenkit_spark.index.impact import anytime_curve
+
+    return anytime_curve(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_http_cache(spark, sf_dir):
+    """HTTP cache freshness-lifetime audit (RFC 9111 §4.2): no-store /
+    max-age / Expires / 10% Last-Modified heuristic resolution over
+    synthesized headers, per host
+    (ops/httpmeta.py:cache_freshness_audit)."""
+    from tokenkit_spark.ops.httpmeta import cache_freshness_audit
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 10).cast("string"))
+    date_line = F.lit("Date: Mon, 15 Jan 2024 10:00:00 GMT\n")
+    cache_part = (
+        F.when(
+            doc % 5 == 0,
+            F.concat(
+                F.lit("Cache-Control: max-age="),
+                ((doc % 7) * 600).cast("string"),
+                F.lit("\n"),
+            ),
+        )
+        .when(doc % 5 == 1, F.lit("Cache-Control: no-store\n"))
+        .when(
+            doc % 5 == 2,
+            F.lit("Expires: Mon, 15 Jan 2024 12:00:00 GMT\n"),
+        )
+        .when(
+            doc % 5 == 3,
+            F.concat(
+                F.lit("Last-Modified: Mon, 15 Jan 2024 0"),
+                (doc % 10).cast("string"),
+                F.lit(":00:00 GMT\n"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    headers = F.concat(date_line, cache_part)
+    return cache_freshness_audit(
+        d.select(host.alias("host"), headers.alias("headers"))
+    )
+
+
+def q_shewhart(spark, sf_dir):
+    """Individuals control chart with Western Electric zone tests
+    (Shewhart 1931; WE Handbook 1956): moving-range sigma, rules 1-4
+    as lag windows over the daily series
+    (ops/changepoint.py:shewhart_rules)."""
+    from tokenkit_spark.ops.changepoint import shewhart_rules
+
+    return shewhart_rules(_events(spark, sf_dir))
+
+
+def q_mase_eval(spark, sf_dir):
+    """Forecast-baseline MASE evaluation (Hyndman & Koehler IJF 2006):
+    naive-1 vs seasonal-naive-7 one-step MAE on the shared evaluation
+    set per event type (ops/trend.py:mase_eval)."""
+    from tokenkit_spark.ops.trend import mase_eval
+
+    return mase_eval(_events(spark, sf_dir))
+
+
+def q_neighbor_degree(spark, sf_dir):
+    """Average-nearest-neighbor-degree curve knn(k) (Pastor-Satorras et
+    al. PRL 2001) over the undirected link graph — the full
+    degree-correlation profile next to the scalar assortativity
+    (ops/linkgraph.py:neighbor_degree_profile)."""
+    from tokenkit_spark.ops.linkgraph import neighbor_degree_profile
+
+    return neighbor_degree_profile(_link_edges(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -7785,6 +7875,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "dfr_ifb2_top10": q_dfr_ifb2,
+        "anytime_curve": q_anytime_curve,
+        "http_cache": q_http_cache,
+        "shewhart": q_shewhart,
+        "mase_eval": q_mase_eval,
+        "neighbor_degree": q_neighbor_degree,
         "t_closeness": q_t_closeness,
         "query_intent": q_query_intent,
         "bidi_audit": q_bidi_audit,
@@ -10112,7 +10208,226 @@ qd AS (SELECT session_id, step, query,
                 AS sidx
        FROM ql)"""
 
+    # anytime impact-ordered budget curve (index/impact.py): shared
+    # impact/quantization CTEs + one branch per budget, UNION ALL
+    _any_prefix = f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+imp AS (SELECT p.term, p.doc_id,
+        round( ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * p.tf * (1.2 + 1.0)
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / g.avgdl)), 6)
+          AS impact
+        FROM postings p JOIN tstats t USING (term)
+        JOIN dstats d USING (doc_id) CROSS JOIN globals g),
+lohi AS (SELECT min(impact) AS lo, max(impact) AS hi FROM imp),
+qi AS (SELECT term, doc_id,
+       CAST(least(255, floor((impact - lo) / (hi - lo) * 256)) AS BIGINT)
+         AS q
+       FROM imp CROSS JOIN lohi),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+rp AS (SELECT q.query_id, qi.term, qi.doc_id, qi.q,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY qi.q DESC, qi.term ASC, qi.doc_id ASC) AS pn
+       FROM qterms q JOIN qi USING (term)),
+tot AS (SELECT query_id, max(pn) AS n_postings FROM rp GROUP BY 1)"""
+    _any_parts = []
+    _any_branches = []
+    for _bi, _frac in enumerate((0.1, 0.25, 0.5, 1.0)):
+        _any_parts.append(f""",
+used{_bi} AS (SELECT rp.* FROM rp JOIN tot USING (query_id)
+  WHERE pn <= CAST(ceil(n_postings * {_frac}) AS BIGINT)),
+nu{_bi} AS (SELECT query_id, count(*) AS n_used FROM used{_bi}
+            GROUP BY 1),
+sc{_bi} AS (SELECT query_id, doc_id, CAST(sum(q) AS BIGINT) AS s
+            FROM used{_bi} GROUP BY 1, 2),
+tk{_bi} AS (SELECT * FROM (SELECT query_id, doc_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY s DESC, doc_id ASC) AS rank FROM sc{_bi})
+  WHERE rank <= 10)""")
+        _any_branches.append(f"""
+SELECT t.query_id, CAST({_frac} AS DOUBLE) AS budget_frac,
+       tot.n_postings, nu.n_used,
+       CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS topk_overlap,
+       CAST(max(CASE WHEN t.rank = 1 AND f.rank = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS top1_match
+FROM tk{_bi} t
+LEFT JOIN tk3 f ON f.query_id = t.query_id AND f.doc_id = t.doc_id
+JOIN tot ON tot.query_id = t.query_id
+JOIN nu{_bi} nu ON nu.query_id = t.query_id
+GROUP BY 1, 2, 3, 4""")
+    _anytime_sql = (
+        _any_prefix
+        + "".join(_any_parts)
+        + (" UNION ALL ".join(_any_branches))
+    )
+
+    _ifb2_tfn = (
+        "(p.tf * log2(1 + (g.total_tokens * 1.0 / g.n_docs) / d.dl))"
+    )
+    _ifb2_term = (
+        f"(t.cf + 1.0) / (t.df * ({_ifb2_tfn} + 1.0)) * {_ifb2_tfn}"
+        " * log2((g.n_docs + 1.0) / (t.cf + 0.5))"
+    )
+
+    _shew_daily = """
+d AS (SELECT event_type AS grp,
+        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2)"""
+
     return {
+        # DFR IFB2 similarity (index/lmsim.py:dfr_ifb2)
+        "dfr_ifb2_top10": _sim_oracle(_ifb2_term),
+        # Anytime impact-ordered budget curve (index/impact.py)
+        "anytime_curve": _anytime_sql,
+        # RFC 9111 cache freshness audit (ops/httpmeta.py)
+        "http_cache": """
+WITH pg AS (SELECT doc_id, 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+    'Date: Mon, 15 Jan 2024 10:00:00 GMT' || chr(10) ||
+    CASE WHEN doc_id % 5 = 0
+           THEN 'Cache-Control: max-age='
+                || CAST((doc_id % 7) * 600 AS VARCHAR) || chr(10)
+         WHEN doc_id % 5 = 1 THEN 'Cache-Control: no-store' || chr(10)
+         WHEN doc_id % 5 = 2
+           THEN 'Expires: Mon, 15 Jan 2024 12:00:00 GMT' || chr(10)
+         WHEN doc_id % 5 = 3
+           THEN 'Last-Modified: Mon, 15 Jan 2024 0'
+                || CAST(doc_id % 10 AS VARCHAR) || ':00:00 GMT' || chr(10)
+         ELSE '' END AS headers
+  FROM documents),
+p AS (SELECT host,
+    try_strptime(nullif(regexp_extract(headers,
+                 'Date: \\w+, ([^\n]+)', 1), ''),
+                 '%d %b %Y %H:%M:%S GMT') AS date_ts,
+    try_strptime(nullif(regexp_extract(headers,
+                 'Expires: \\w+, ([^\n]+)', 1), ''),
+                 '%d %b %Y %H:%M:%S GMT') AS exp_ts,
+    try_strptime(nullif(regexp_extract(headers,
+                 'Last-Modified: \\w+, ([^\n]+)', 1), ''),
+                 '%d %b %Y %H:%M:%S GMT') AS lm_ts,
+    TRY_CAST(nullif(regexp_extract(headers,
+      'Cache-Control: [^\n]*max-age=(\\d+)', 1), '') AS BIGINT)
+      AS max_age,
+    regexp_matches(headers, 'Cache-Control: [^\n]*(no-store|no-cache)')
+      AS no_store
+  FROM pg),
+r AS (SELECT host,
+    CASE WHEN no_store THEN 0
+         WHEN max_age IS NOT NULL THEN max_age
+         WHEN exp_ts IS NOT NULL AND date_ts IS NOT NULL
+           THEN CAST(epoch(exp_ts) - epoch(date_ts) AS BIGINT)
+         WHEN lm_ts IS NOT NULL AND date_ts IS NOT NULL
+           THEN CAST(floor((epoch(date_ts) - epoch(lm_ts)) * 0.1)
+                     AS BIGINT)
+         ELSE 0 END AS fresh_s,
+    CASE WHEN no_store THEN 'no_store'
+         WHEN max_age IS NOT NULL THEN 'explicit'
+         WHEN exp_ts IS NOT NULL AND date_ts IS NOT NULL
+           THEN 'explicit'
+         WHEN lm_ts IS NOT NULL AND date_ts IS NOT NULL
+           THEN 'heuristic'
+         ELSE 'uncacheable' END AS kind
+  FROM p)
+SELECT host, count(*) AS n_pages,
+  CAST(sum(CASE WHEN kind = 'no_store' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_no_store,
+  CAST(sum(CASE WHEN kind = 'explicit' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_explicit,
+  CAST(sum(CASE WHEN kind = 'heuristic' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_heuristic,
+  CAST(sum(CASE WHEN kind = 'uncacheable' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_uncacheable,
+  round(sum(CASE WHEN fresh_s > 0 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS frac_cacheable,
+  round(avg(fresh_s), 6) AS mean_fresh_s,
+  max(fresh_s) AS max_fresh_s
+FROM r GROUP BY 1""",
+        # Shewhart individuals chart + Western Electric rules
+        # (ops/changepoint.py:shewhart_rules)
+        "shewhart": f"""
+WITH {_shew_daily.strip()},
+d2 AS (SELECT *, abs(y - lag(y) OVER (PARTITION BY grp ORDER BY day))
+         AS mr FROM d),
+st AS (SELECT grp, avg(y) AS center, avg(mr) / 1.128 AS sigma
+       FROM d2 GROUP BY 1),
+z AS (SELECT d2.grp, d2.day, d2.y,
+        (d2.y - st.center) / st.sigma AS z,
+        sign((d2.y - st.center) / st.sigma) AS side
+      FROM d2 JOIN st USING (grp)),
+l AS (SELECT grp, day, y, z, side,
+        CASE WHEN z > 2 THEN 1 ELSE 0 END AS up2,
+        CASE WHEN z < -2 THEN 1 ELSE 0 END AS dn2,
+        CASE WHEN z > 1 THEN 1 ELSE 0 END AS up1,
+        CASE WHEN z < -1 THEN 1 ELSE 0 END AS dn1
+      FROM z),
+w AS (SELECT grp, day, y, z, side, up2, dn2, up1, dn1,
+        up2 + coalesce(lag(up2, 1) OVER wo, 0)
+            + coalesce(lag(up2, 2) OVER wo, 0) AS up2_3,
+        dn2 + coalesce(lag(dn2, 1) OVER wo, 0)
+            + coalesce(lag(dn2, 2) OVER wo, 0) AS dn2_3,
+        up1 + coalesce(lag(up1, 1) OVER wo, 0)
+            + coalesce(lag(up1, 2) OVER wo, 0)
+            + coalesce(lag(up1, 3) OVER wo, 0)
+            + coalesce(lag(up1, 4) OVER wo, 0) AS up1_5,
+        dn1 + coalesce(lag(dn1, 1) OVER wo, 0)
+            + coalesce(lag(dn1, 2) OVER wo, 0)
+            + coalesce(lag(dn1, 3) OVER wo, 0)
+            + coalesce(lag(dn1, 4) OVER wo, 0) AS dn1_5,
+        (side <> 0
+         AND coalesce(lag(side, 1) OVER wo, 0) = side
+         AND coalesce(lag(side, 2) OVER wo, 0) = side
+         AND coalesce(lag(side, 3) OVER wo, 0) = side
+         AND coalesce(lag(side, 4) OVER wo, 0) = side
+         AND coalesce(lag(side, 5) OVER wo, 0) = side
+         AND coalesce(lag(side, 6) OVER wo, 0) = side
+         AND coalesce(lag(side, 7) OVER wo, 0) = side) AS r4
+      FROM l WINDOW wo AS (PARTITION BY grp ORDER BY day)),
+f AS (SELECT grp, day, CAST(y AS BIGINT) AS y, round(z, 6) AS z,
+        abs(z) > 3 AS r1,
+        (up2_3 >= 2 AND up2 = 1) OR (dn2_3 >= 2 AND dn2 = 1) AS r2,
+        (up1_5 >= 4 AND up1 = 1) OR (dn1_5 >= 4 AND dn1 = 1) AS r3,
+        r4
+      FROM w)
+SELECT grp, day, y, z, r1, r2, r3, r4,
+       (r1 OR r2 OR r3 OR r4) AS any_signal
+FROM f""",
+        # MASE forecast-baseline eval (ops/trend.py:mase_eval)
+        "mase_eval": f"""
+WITH {_shew_daily.strip()},
+j AS (SELECT c.grp, c.y AS y0, l.y AS y1, s.y AS ys
+      FROM d c JOIN d l ON l.grp = c.grp AND l.day = c.day - 1
+      JOIN d s ON s.grp = c.grp AND s.day = c.day - 7),
+agg AS (SELECT grp, count(*) AS n_eval,
+               avg(abs(y0 - y1)) AS mae1, avg(abs(y0 - ys)) AS maes
+        FROM j GROUP BY 1)
+SELECT grp, n_eval, round(mae1, 6) AS mae_naive1,
+       round(maes, 6) AS mae_snaive,
+       round(CASE WHEN maes <> 0 THEN mae1 / maes END, 6)
+         AS mase_naive1,
+       CASE WHEN maes < mae1 THEN 'seasonal' ELSE 'naive1' END
+         AS better_baseline
+FROM agg""",
+        # knn(k) neighbor-degree curve (ops/linkgraph.py)
+        "neighbor_degree": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+und AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM edges
+         UNION ALL SELECT dst, src FROM edges)
+        WHERE src <> dst),
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+nbr AS (SELECT u.src, avg(d2.deg) AS knn_i
+        FROM und u JOIN deg d2 ON d2.src = u.dst GROUP BY 1),
+pn AS (SELECT d.deg AS k, n.knn_i FROM deg d JOIN nbr n
+       ON n.src = d.src)
+SELECT k, count(*) AS n_nodes, round(avg(knn_i), 6) AS avg_knn
+FROM pn GROUP BY 1""",
         # t-closeness ordered EMD audit (ops/searchlog.py)
         "t_closeness": f"""
 WITH {_qd_idx_cte.strip()},

@@ -136,3 +136,114 @@ def saat_top_k(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def anytime_curve(
+    docs: DataFrame,
+    queries: DataFrame,
+    budgets=(0.1, 0.25, 0.5, 1.0),
+    k: int = 10,
+    text_col: str = "text",
+    bits: int = 8,
+) -> DataFrame:
+    """Anytime score-at-a-time quality-vs-budget curve.
+
+    Anh & Moffat, "Pruned query evaluation using pre-computed
+    impacts" (SIGIR 2006) and the JASS rho-bounded traversal (Lin &
+    Trotman, SIGIR 2015): with impact-ORDERED postings, truncating
+    evaluation after a fixed postings budget degrades the ranking
+    gracefully — the budget knob IS the latency SLO, and the curve
+    (budget -> top-k agreement with the exhaustive ranking) is how an
+    operator picks rho.  This audit processes, per query, only the
+    highest-impact postings — the top ceil(frac * total) by
+    (q_impact desc, term asc, doc_id asc), exactly the prefix a JASS
+    traversal touches under that budget — and reports agreement with
+    the full quantized ranking:
+
+        (query_id, budget_frac, n_postings, n_used, topk_overlap,
+         top1_match)
+
+    Scale shape: one impact table (shared across budgets), one
+    per-query window to order postings, then per-budget filtered
+    aggregations — the fan-out is |budgets| filtered re-uses of the
+    same shuffled relation, not |budgets| index scans."""
+    imp = impact_postings(docs, text_col, bits)
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("term"),
+    ).distinct()
+    qpost = qterms.join(imp, "term")
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("q_impact").desc(), F.col("term").asc(), F.col("doc_id").asc()
+    )
+    ranked_p = qpost.withColumn("pn", F.row_number().over(wq))
+    totals = ranked_p.groupBy("query_id").agg(
+        F.max("pn").alias("n_postings")
+    )
+
+    def topk(frac: float):
+        lim = F.ceil(F.col("n_postings") * F.lit(frac)).cast("long")
+        used = ranked_p.join(totals, "query_id").filter(
+            F.col("pn") <= lim
+        )
+        scored = used.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_used")
+        ).join(
+            used.groupBy("query_id", "doc_id")
+            .agg(F.sum("q_impact").alias("s"))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("s").desc(), F.col("doc_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank"),
+            "query_id",
+        )
+        return scored
+
+    full = topk(1.0).select(
+        "query_id",
+        F.col("doc_id").alias("f_doc"),
+        F.col("rank").alias("f_rank"),
+    )
+    out = None
+    for frac in budgets:
+        t = topk(frac)
+        cmp = (
+            t.join(
+                full,
+                (t.query_id == full.query_id)
+                & (t.doc_id == full.f_doc),
+                "left",
+            )
+            .groupBy(t.query_id, "n_used")
+            .agg(
+                F.sum(F.col("f_rank").isNotNull().cast("long")).alias(
+                    "topk_overlap"
+                ),
+                F.max(
+                    ((F.col("rank") == 1) & (F.col("f_rank") == 1)).cast(
+                        "long"
+                    )
+                ).alias("top1_match"),
+            )
+            .join(totals, "query_id")
+            .select(
+                "query_id",
+                F.lit(float(frac)).alias("budget_frac"),
+                "n_postings",
+                "n_used",
+                "topk_overlap",
+                "top1_match",
+            )
+        )
+        out = cmp if out is None else out.unionByName(cmp)
+    return out

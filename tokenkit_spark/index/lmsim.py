@@ -461,3 +461,45 @@ def dlh13(
         qterms, postings, dstats, tstats, globals_,
         F.greatest(s, F.lit(0.0)), id_col, k, round_digits,
     )
+
+
+def dfr_ifb2(
+    docs: DataFrame,
+    queries: DataFrame,
+    c: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k DFR IFB2 ranking (Amati & van Rijsbergen TOIS 2002;
+    Terrier's ``IFB2`` weighting model): Inverse-Term-Frequency basic
+    model with the Bernoulli after-effect and the second length
+    normalization —
+
+        tfn    = tf * log2(1 + c * avgdl / dl)
+        s(t,d) = (cf + 1) / (df * (tfn + 1))
+                 * tfn * log2((N + 1) / (cf + 0.5))
+
+    where cf is the collection frequency and df the document
+    frequency.  The I(F)/B pairing is the other canonical corner of
+    the DFR design space from PL2 (Poisson/Laplace, ``dfr_pl2``) —
+    its informative content comes from the term's total occurrences
+    rather than a Poisson fit, and the Bernoulli ratio (cf+1)/(df·(tfn+1))
+    replaces Laplace smoothing.  Same relational shape as every
+    similarity in this module; no new statistics."""
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    tfn = F.col("tf") * F.log2(1.0 + F.lit(float(c)) * avgdl / F.col("dl"))
+    s = (
+        (F.col("cf") + 1.0)
+        / (F.col("df") * (tfn + 1.0))
+        * tfn
+        * F.log2((F.col("n_docs") + 1.0) / (F.col("cf") + 0.5))
+    )
+    return _rank(
+        qterms, postings, dstats, tstats, globals_, s, id_col, k,
+        round_digits,
+    )

@@ -167,3 +167,103 @@ def bucket_correlation(
         .select(F.col("grp").alias("event_type"), "r", "n_buckets")
         .orderBy("event_type")
     )
+
+
+def shewhart_rules(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Individuals control chart with the Western Electric run rules.
+
+    Shewhart (1931) individuals/moving-range chart with the Western
+    Electric Statistical Quality Control Handbook (1956) zone tests,
+    over the daily count series per group.  Center line = series mean;
+    sigma from the average moving range, sigma = MR-bar / d2 with
+    d2 = 1.128 (n=2 subgroups) — the robust-to-trend dispersion
+    estimate every SPC implementation uses.  Rules flagged per day:
+
+        r1: the point is beyond 3 sigma
+        r2: 2 of 3 consecutive points beyond 2 sigma, same side
+        r3: 4 of 5 consecutive points beyond 1 sigma, same side
+        r4: 8 consecutive points on the same side of the center
+
+    All four are lag-window expressions over the ordered daily series
+    — no recursion, so Spark and the SQL oracle compute identical
+    flags.  Returns one row per (group, day) with the z-score and the
+    four rule flags plus ``any_signal``.
+
+    Scale shape: the series is one row per (group, day); the windows
+    are per-group ordered with bounded frames (<= 7 lags).
+    """
+    d = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.datediff(
+            F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    wo = Window.partitionBy("grp").orderBy("day")
+    mr = F.abs(F.col("y") - F.lag("y").over(wo))
+    d2 = d.withColumn("mr", mr)
+    stats = d2.groupBy("grp").agg(
+        F.avg("y").alias("center"),
+        (F.avg("mr") / F.lit(1.128)).alias("sigma"),
+    )
+    z = (F.col("y") - F.col("center")) / F.col("sigma")
+    based = (
+        d2.join(stats, "grp")
+        .withColumn("z", z)
+        .withColumn("side", F.signum(F.col("z")))
+    )
+
+    def lagged(col, i):
+        return F.lag(col, i).over(wo)
+
+    def last_n_sum(expr, n):
+        # sum of expr over the last n points (incl. current), partial
+        # windows padded with 0 — zone tests need the full run anyway
+        total = expr
+        for i in range(1, n):
+            total = total + F.coalesce(lagged(expr, i), F.lit(0))
+        return total
+
+    # one-sided zone indicators: the Western Electric tests require the
+    # violating points to sit on the SAME side of the center line
+    up2 = (F.col("z") > 2).cast("int")
+    dn2 = (F.col("z") < -2).cast("int")
+    up1 = (F.col("z") > 1).cast("int")
+    dn1 = (F.col("z") < -1).cast("int")
+    same_side_run_ok = F.col("side") != 0
+    for i in range(1, 8):
+        same_side_run_ok = same_side_run_ok & (
+            F.coalesce(lagged(F.col("side"), i), F.lit(0.0))
+            == F.col("side")
+        )
+    flags = (
+        based.withColumn("r1", (F.abs(F.col("z")) > 3))
+        .withColumn(
+            "r2",
+            ((last_n_sum(up2, 3) >= 2) & (up2 == 1))
+            | ((last_n_sum(dn2, 3) >= 2) & (dn2 == 1)),
+        )
+        .withColumn(
+            "r3",
+            ((last_n_sum(up1, 5) >= 4) & (up1 == 1))
+            | ((last_n_sum(dn1, 5) >= 4) & (dn1 == 1)),
+        )
+        .withColumn("r4", same_side_run_ok)
+    )
+    return flags.select(
+        "grp",
+        "day",
+        F.col("y").cast("long").alias("y"),
+        F.round("z", round_digits).alias("z"),
+        "r1",
+        "r2",
+        "r3",
+        "r4",
+        (F.col("r1") | F.col("r2") | F.col("r3") | F.col("r4")).alias(
+            "any_signal"
+        ),
+    )

@@ -82,3 +82,101 @@ def charset_stats(
             "mismatch_rate"
         ),
     )
+
+
+HEURISTIC_FRACTION = 0.1  # RFC 9111 §4.2.2 suggested 10% of LM age
+
+
+def cache_freshness_audit(
+    pages: DataFrame,
+    headers_col: str = "headers",
+    host_col: str = "host",
+    round_digits: int = 6,
+) -> DataFrame:
+    """HTTP cache freshness-lifetime audit (RFC 9111 / RFC 7234 §4.2)
+    — how recrawlable a host's responses say they are.
+
+    Freshness resolution order per the spec: a ``no-store`` (or
+    ``no-cache``) directive wins (lifetime 0, not cacheable); else
+    ``Cache-Control: max-age=N`` wins over ``Expires``; else
+    ``Expires - Date``; else the HEURISTIC lifetime of §4.2.2 — a
+    fraction (canonically 10%) of ``Date - Last-Modified``.  For a
+    crawler this is the politeness-free recrawl signal: the share of
+    explicit vs heuristic vs uncacheable responses and the lifetime
+    distribution bound how much conditional revalidation can save
+    (the measured twin lives in ``ops/recrawl.py``).
+
+    Per host: (host, n_pages, n_no_store, n_explicit, n_heuristic,
+    n_uncacheable, frac_cacheable, mean_fresh_s, max_fresh_s).
+    Lifetimes in seconds.  Pure regexp + timestamp arithmetic —
+    codegen projections, one hash aggregate.
+    """
+    h = F.col(headers_col)
+    # IMF-fixdate with the redundant day-of-week dropped before parsing
+    # (Spark's proleptic parser rejects EEE round-trips; the weekday
+    # carries no information)
+    fmt = "dd MMM yyyy HH:mm:ss 'GMT'"
+
+    def hdr_ts(name):
+        return F.to_timestamp(
+            F.nullif(
+                F.regexp_extract(h, name + r": \w+, ([^\n]+)", 1),
+                F.lit(""),
+            ),
+            fmt,
+        )
+
+    date_ts = hdr_ts("Date")
+    exp_ts = hdr_ts("Expires")
+    lm_ts = hdr_ts("Last-Modified")
+    max_age = F.nullif(
+        F.regexp_extract(h, r"Cache-Control: [^\n]*max-age=(\d+)", 1),
+        F.lit(""),
+    ).cast("long")
+    no_store = h.rlike(r"Cache-Control: [^\n]*(no-store|no-cache)")
+    exp_life = F.unix_timestamp(exp_ts) - F.unix_timestamp(date_ts)
+    heur_life = F.floor(
+        (F.unix_timestamp(date_ts) - F.unix_timestamp(lm_ts))
+        * HEURISTIC_FRACTION
+    ).cast("long")
+    fresh = (
+        F.when(no_store, F.lit(0).cast("long"))
+        .when(max_age.isNotNull(), max_age)
+        .when(exp_ts.isNotNull() & date_ts.isNotNull(), exp_life)
+        .when(lm_ts.isNotNull() & date_ts.isNotNull(), heur_life)
+        .otherwise(F.lit(0).cast("long"))
+    )
+    kind = (
+        F.when(no_store, F.lit("no_store"))
+        .when(max_age.isNotNull(), F.lit("explicit"))
+        .when(exp_ts.isNotNull() & date_ts.isNotNull(), F.lit("explicit"))
+        .when(lm_ts.isNotNull() & date_ts.isNotNull(), F.lit("heuristic"))
+        .otherwise(F.lit("uncacheable"))
+    )
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        fresh.alias("fresh_s"),
+        kind.alias("kind"),
+    )
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum((F.col("kind") == "no_store").cast("long")).alias(
+            "n_no_store"
+        ),
+        F.sum((F.col("kind") == "explicit").cast("long")).alias(
+            "n_explicit"
+        ),
+        F.sum((F.col("kind") == "heuristic").cast("long")).alias(
+            "n_heuristic"
+        ),
+        F.sum((F.col("kind") == "uncacheable").cast("long")).alias(
+            "n_uncacheable"
+        ),
+        F.round(
+            F.sum((F.col("fresh_s") > 0).cast("long"))
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("frac_cacheable"),
+        F.round(F.avg("fresh_s"), round_digits).alias("mean_fresh_s"),
+        F.max("fresh_s").alias("max_fresh_s"),
+    )

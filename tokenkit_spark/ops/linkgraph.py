@@ -1208,3 +1208,52 @@ def link_prediction_battery(
         .filter(F.col("rank") <= k)
         .select("rank", "src", "dst", "cn", "jaccard", "aa", "pa")
     )
+
+
+def neighbor_degree_profile(
+    edges: DataFrame,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Average-nearest-neighbor-degree curve knn(k) over the
+    undirected graph.
+
+    Pastor-Satorras, Vazquez & Vespignani, "Dynamical and correlation
+    properties of the Internet" (PRL 2001): for each node, the mean
+    degree of its neighbors; averaged over nodes of equal degree this
+    yields knn(k), whose slope is the standard degree-correlation
+    diagnostic — decreasing knn(k) = disassortative (the webgraph /
+    Internet signature: hubs attach to leaves), increasing =
+    assortative.  The scalar summary lives in ``assortativity``; this
+    is the full curve that shows WHERE the mixing changes.
+
+    Returns (k, n_nodes, avg_knn): one row per observed degree.
+    Scale shape: degree table joined back onto the edge list (two
+    hash joins on node keys), then two aggregations — the same shape
+    as ``degree_distribution``, nothing quadratic.
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nbr = (
+        und.join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("deg").alias("ndeg")
+            ),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.avg("ndeg").alias("knn_i"))
+    )
+    per_node = deg.join(nbr, "src")
+    return (
+        per_node.groupBy(F.col("deg").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(F.avg("knn_i"), round_digits).alias("avg_knn"),
+        )
+    )

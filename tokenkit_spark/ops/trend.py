@@ -151,3 +151,64 @@ def mann_kendall(
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+def mase_eval(
+    events: DataFrame,
+    season: int = 7,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Forecast-baseline evaluation on the daily count series: naive-1
+    vs seasonal-naive, MAE and MASE.
+
+    Hyndman & Koehler, "Another look at measures of forecast accuracy"
+    (IJF 2006): scale-free comparison of forecasters via MASE — the
+    MAE of a method divided by the in-sample MAE of the (seasonal)
+    naive forecast.  Here both canonical baselines are evaluated
+    one-step-ahead on the series itself:
+
+        naive-1:        yhat_t = y_{t-1}
+        seasonal-naive: yhat_t = y_{t-season}
+
+    over the days where both are defined (so the two MAEs cover the
+    SAME evaluation set), plus mase_naive1 = mae_naive1 / mae_snaive.
+    mase < 1 means even the trivial last-value forecast beats the
+    weekly-seasonal baseline — i.e. the series has no usable weekly
+    cycle, which is exactly the decision input for the recrawl/
+    capacity schedulers (``ops/recrawl.py``, ``index/capacity.py``).
+
+    One lag window per group over the daily rollup; a gap in the
+    calendar leaves lag rows misaligned, so days are joined by
+    explicit day arithmetic, not row position.
+    """
+    d = _daily(events, ts_col, group_col)
+    cur = d.select("grp", F.col("day").alias("d0"), F.col("y").alias("y0"))
+    l1 = d.select("grp", (F.col("day") + 1).alias("d0"),
+                  F.col("y").alias("y1"))
+    ls = d.select("grp", (F.col("day") + season).alias("d0"),
+                  F.col("y").alias("ys"))
+    j = cur.join(l1, ["grp", "d0"]).join(ls, ["grp", "d0"])
+    agg = j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.avg(F.abs(F.col("y0") - F.col("y1"))).alias("mae_naive1"),
+        F.avg(F.abs(F.col("y0") - F.col("ys"))).alias("mae_snaive"),
+    )
+    return agg.select(
+        "grp",
+        "n_eval",
+        F.round("mae_naive1", round_digits).alias("mae_naive1"),
+        F.round("mae_snaive", round_digits).alias("mae_snaive"),
+        F.round(
+            F.when(
+                F.col("mae_snaive") != 0,
+                F.col("mae_naive1") / F.col("mae_snaive"),
+            ),
+            round_digits,
+        ).alias("mase_naive1"),
+        F.when(F.col("mae_snaive") < F.col("mae_naive1"),
+               F.lit("seasonal"))
+        .otherwise(F.lit("naive1"))
+        .alias("better_baseline"),
+    )
