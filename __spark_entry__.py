@@ -7866,6 +7866,100 @@ def q_neighbor_degree(spark, sf_dir):
     return neighbor_degree_profile(_link_edges(spark, sf_dir))
 
 
+def q_common_terms(spark, sf_dir):
+    """Lucene CommonTermsQuery (ES `common` / cutoff_frequency):
+    df/N > 0.3 terms become optional scorers, rare terms a required
+    conjunction; all-common queries degrade to disjunction
+    (index/commonterms.py:common_terms_search)."""
+    from tokenkit_spark.index.commonterms import common_terms_search
+
+    return common_terms_search(
+        _docs(spark, sf_dir), _queries_df(spark), cutoff=0.3
+    )
+
+
+def q_static_rank_cutoff(spark, sf_dir):
+    """Static-rank first-tier truncation (Long & Suel VLDB 2003):
+    BM25 top-10 agreement when only the inlink-ranked top 25/50/100%
+    of docs keep their postings
+    (index/staticrank.py:static_rank_cutoff)."""
+    from tokenkit_spark.index.staticrank import static_rank_cutoff
+
+    return static_rank_cutoff(
+        _docs(spark, sf_dir), _queries_df(spark),
+        _link_edges(spark, sf_dir),
+    )
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival of user lifetimes (Kaplan & Meier JASA
+    1958): right-censored product-limit curve, censor margin 3 days
+    (ops/survival.py:kaplan_meier)."""
+    from tokenkit_spark.ops.survival import kaplan_meier
+
+    return kaplan_meier(_events(spark, sf_dir), censor_margin_days=3)
+
+
+def q_pagination(spark, sf_dir):
+    """Pagination-family rollup (the benign half of the Mercator
+    infinite-space problem): ?page/p/start/offset and /page/N
+    families per host (ops/traps.py:pagination_families)."""
+    from tokenkit_spark.ops.traps import pagination_families
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 10).cast("string"))
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit(".ex"),
+        F.when(
+            doc % 4 == 0,
+            F.concat(
+                F.lit("/list?page="), (doc % 7 + 1).cast("string")
+            ),
+        )
+        .when(
+            doc % 4 == 1,
+            F.concat(
+                F.lit("/blog/page/"), (doc % 5 + 1).cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            doc % 4 == 2,
+            F.concat(F.lit("/item"), doc.cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/list?cat=2&p="), (doc % 6 + 1).cast("string")
+            )
+        ),
+    )
+    return pagination_families(
+        d.select(host.alias("host"), url.alias("url"))
+    )
+
+
+def q_qflow_mrr(spark, sf_dir):
+    """Next-query prediction MRR of the query-flow model (Boldi et al.
+    CIKM 2008 eval protocol): per-source reciprocal rank of the
+    actual successor under empirical P(dst|src)
+    (ops/queryflow.py:suggestion_mrr)."""
+    from tokenkit_spark.ops.queryflow import suggestion_mrr
+
+    return suggestion_mrr(_query_log(spark, sf_dir))
+
+
+def q_capacity_forecast(spark, sf_dir):
+    """Index capacity projection (Heaps 1978 vocabulary law + measured
+    postings-per-token and varint bytes/posting) at 1/10/100/1000x
+    corpus scale (index/capacity.py:index_capacity_forecast)."""
+    from tokenkit_spark.index.capacity import index_capacity_forecast
+
+    return index_capacity_forecast(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -7875,6 +7969,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "common_terms": q_common_terms,
+        "static_rank_cutoff": q_static_rank_cutoff,
+        "kaplan_meier": q_kaplan_meier,
+        "pagination": q_pagination,
+        "qflow_mrr": q_qflow_mrr,
+        "capacity_forecast": q_capacity_forecast,
         "dfr_ifb2_top10": q_dfr_ifb2,
         "anytime_curve": q_anytime_curve,
         "http_cache": q_http_cache,
@@ -10282,7 +10382,218 @@ d AS (SELECT event_type AS grp,
         CAST(count(*) AS DOUBLE) AS y
       FROM events GROUP BY 1, 2)"""
 
+    # static-rank tier cut (index/staticrank.py): shared stats + one
+    # branch per keep fraction, full tier = last branch
+    _sr_fracs = (0.25, 0.5, 1.0)
+    _sr_parts = [
+        f"""
+WITH {lmsim_stats_cte.strip()},
+{_LINK_EDGES_SQL.strip().lstrip()},
+inl AS (SELECT dst AS doc_id, count(*) AS inlinks FROM edges
+        GROUP BY 1),
+rd AS (SELECT d.doc_id, row_number() OVER (
+         ORDER BY coalesce(i.inlinks, 0) DESC, d.doc_id) AS srank
+       FROM documents d LEFT JOIN inl i USING (doc_id)),
+nd AS (SELECT count(*) AS n FROM documents)"""
+    ]
+    _sr_branches = []
+    for _si, _sf in enumerate(_sr_fracs):
+        _sr_parts.append(f""",
+ssc{_si} AS (SELECT q.query_id, p.doc_id, sum({_bm25_term_sql}) AS s
+  FROM qterms q JOIN postings p USING (term)
+  JOIN rd ON rd.doc_id = p.doc_id CROSS JOIN nd
+  JOIN tstats t USING (term)
+  JOIN dstats d ON d.doc_id = p.doc_id
+  CROSS JOIN globals g
+  WHERE rd.srank <= CAST(ceil(nd.n * {_sf}) AS BIGINT)
+  GROUP BY 1, 2),
+stk{_si} AS (SELECT * FROM (SELECT query_id, doc_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY round(s, 4) DESC, doc_id) AS rank FROM ssc{_si})
+  WHERE rank <= 10)""")
+        _sr_branches.append(f"""
+SELECT t.query_id, CAST({_sf} AS DOUBLE) AS keep_frac,
+       CAST(ceil(nd.n * {_sf}) AS BIGINT) AS n_kept_docs,
+       CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS topk_overlap,
+       CAST(max(CASE WHEN t.rank = 1 AND f.rank = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS top1_match
+FROM stk{_si} t
+LEFT JOIN stk{len(_sr_fracs) - 1} f
+  ON f.query_id = t.query_id AND f.doc_id = t.doc_id
+CROSS JOIN nd
+GROUP BY 1, 2, 3""")
+    _staticrank_sql = (
+        "".join(_sr_parts) + (" UNION ALL ".join(_sr_branches))
+    )
+
     return {
+        # Lucene CommonTermsQuery (index/commonterms.py)
+        "common_terms": f"""
+WITH {lmsim_stats_cte.strip()},
+tg AS (SELECT q.query_id, q.term,
+         (t.df * 1.0 / g.n_docs) > 0.3 AS is_common
+       FROM qterms q JOIN tstats t USING (term) CROSS JOIN globals g),
+nr AS (SELECT query_id,
+         CAST(sum(CASE WHEN is_common THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_rare
+       FROM tg GROUP BY 1),
+sc AS (SELECT tg.query_id, p.doc_id, sum({_bm25_term_sql}) AS s,
+         CAST(sum(CASE WHEN tg.is_common THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_rare_hit
+       FROM tg JOIN postings p ON p.term = tg.term
+       JOIN tstats t ON t.term = tg.term
+       JOIN dstats d USING (doc_id) CROSS JOIN globals g
+       GROUP BY 1, 2),
+g2 AS (SELECT sc.* FROM sc JOIN nr USING (query_id)
+       WHERE sc.n_rare_hit = nr.n_rare)
+SELECT query_id, rank, doc_id, n_rare_hit, score FROM (
+  SELECT query_id, doc_id, n_rare_hit,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(s, 4) DESC, doc_id) AS rank,
+         round(s, 4) AS score FROM g2) WHERE rank <= 10""",
+        # Static-rank first-tier truncation (index/staticrank.py)
+        "static_rank_cutoff": _staticrank_sql,
+        # Kaplan-Meier survival (ops/survival.py:kaplan_meier)
+        "kaplan_meier": """
+WITH pu AS (SELECT user_id AS u,
+        min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+          AS first_d,
+        max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+          AS last_d
+      FROM events GROUP BY 1),
+hz AS (SELECT max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+         AS end_d FROM events),
+lv AS (SELECT last_d - first_d + 1 AS t,
+              last_d >= end_d - 3 AS censored
+       FROM pu CROSS JOIN hz),
+pt AS (SELECT t,
+         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_events,
+         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_censored,
+         count(*) AS n_t
+       FROM lv GROUP BY 1),
+ar AS (SELECT *, CAST(sum(n_t) OVER (ORDER BY t
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+         AS n_risk FROM pt),
+f AS (SELECT *, 1.0 - n_events / CAST(n_risk AS DOUBLE) AS factor
+      FROM ar),
+s AS (SELECT *, max(CASE WHEN factor = 0 THEN 1 ELSE 0 END)
+        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS hz0,
+        sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0.0 END)
+        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS lsum
+      FROM f)
+SELECT t AS t_days, n_risk, n_events, n_censored,
+       round(CASE WHEN hz0 = 1 THEN 0.0 ELSE exp(lsum) END, 6)
+         AS survival
+FROM s""",
+        # Pagination families (ops/traps.py:pagination_families)
+        "pagination": """
+WITH pg AS (SELECT doc_id,
+    'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+    'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.ex' ||
+    CASE WHEN doc_id % 4 = 0
+           THEN '/list?page=' || CAST(doc_id % 7 + 1 AS VARCHAR)
+         WHEN doc_id % 4 = 1
+           THEN '/blog/page/' || CAST(doc_id % 5 + 1 AS VARCHAR) || '/'
+         WHEN doc_id % 4 = 2 THEN '/item' || CAST(doc_id AS VARCHAR)
+         ELSE '/list?cat=2&p=' || CAST(doc_id % 6 + 1 AS VARCHAR)
+    END AS url
+  FROM documents),
+per AS (SELECT host,
+    regexp_replace(regexp_replace(url,
+      '([?&])(page|p|start|offset)=(\\d+)', '\\1', 'g'),
+      '/page/(\\d+)/?$', '/', 'g') AS family,
+    CASE WHEN regexp_matches(url, '([?&])(page|p|start|offset)=(\\d+)')
+           OR regexp_matches(url, '/page/(\\d+)/?$')
+         THEN 1 ELSE 0 END AS pg,
+    CAST(CASE WHEN regexp_matches(url,
+                '([?&])(page|p|start|offset)=(\\d+)')
+           THEN regexp_extract(url,
+                '([?&])(page|p|start|offset)=(\\d+)', 3)
+         WHEN regexp_matches(url, '/page/(\\d+)/?$')
+           THEN regexp_extract(url, '/page/(\\d+)/?$', 1)
+         ELSE '1' END AS BIGINT) AS page_no
+  FROM pg),
+fam AS (SELECT host, family, count(*) AS fam_size,
+               max(page_no) AS fam_max_page
+        FROM per GROUP BY 1, 2),
+a AS (SELECT host, count(*) AS n_urls,
+             CAST(sum(pg) AS BIGINT) AS n_paginated,
+             round(sum(pg) / CAST(count(*) AS DOUBLE), 6)
+               AS frac_paginated
+      FROM per GROUP BY 1),
+b AS (SELECT host, count(*) AS n_families,
+             max(fam_size) AS max_family_size,
+             max(fam_max_page) AS max_page_no
+      FROM fam GROUP BY 1)
+SELECT a.host, n_urls, n_paginated, n_families, max_family_size,
+       max_page_no, frac_paginated
+FROM a JOIN b ON b.host = a.host""",
+        # Query-flow suggestion MRR (ops/queryflow.py:suggestion_mrr)
+        "qflow_mrr": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+ql AS (SELECT e.user_id AS session_id, e.event_id AS step, v.q AS query
+       FROM events e JOIN vocab v
+       ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+tr AS (SELECT query AS src, nxt AS dst FROM (
+         SELECT query, lead(query) OVER (PARTITION BY session_id
+           ORDER BY step) AS nxt FROM ql)
+       WHERE nxt IS NOT NULL AND nxt <> query),
+model AS (SELECT src, dst, count(*) AS c FROM tr GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY src
+         ORDER BY c DESC, dst ASC) AS r FROM model),
+nc AS (SELECT src, count(*) AS n_candidates FROM rk GROUP BY 1),
+ev AS (SELECT tr.src, rk.r FROM tr JOIN rk
+       ON rk.src = tr.src AND rk.dst = tr.dst),
+ag AS (SELECT src, count(*) AS n_transitions,
+              round(avg(1.0 / r), 6) AS mrr,
+              round(avg(CASE WHEN r = 1 THEN 1.0 ELSE 0.0 END), 6)
+                AS hit_at1
+       FROM ev GROUP BY 1)
+SELECT ag.src, n_transitions, n_candidates, mrr, hit_at1
+FROM ag JOIN nc ON nc.src = ag.src""",
+        # Heaps + varint capacity projection (index/capacity.py)
+        "capacity_forecast": f"""
+WITH toks AS (SELECT doc_id, u.t AS term FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+                          x -> x <> '')) AS u(t)),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+firsts AS (SELECT term, min(doc_id) AS doc_id FROM toks GROUP BY 1),
+newt AS (SELECT doc_id, count(*) AS new_terms FROM firsts GROUP BY 1),
+pts AS (SELECT
+          ln(CAST(sum(dl.dl) OVER w AS DOUBLE)) AS x,
+          ln(CAST(sum(coalesce(newt.new_terms, 0)) OVER w AS DOUBLE))
+            AS y
+        FROM dl LEFT JOIN newt USING (doc_id)
+        WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)),
+heaps AS (SELECT exp(max(x)) AS t_total,
+                 covar_pop(x, y) / var_pop(x) AS beta,
+                 avg(y) - covar_pop(x, y) / var_pop(x) * avg(x)
+                   AS ln_k
+          FROM pts),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks
+             GROUP BY 1, 2),
+gaps AS (SELECT term, doc_id - coalesce(lag(doc_id) OVER (
+           PARTITION BY term ORDER BY doc_id), 0) AS gap
+         FROM postings),
+ps AS (SELECT count(*) AS p_total,
+              CAST(sum({varint_case}) AS BIGINT) AS p_bytes
+       FROM gaps),
+m AS (SELECT unnest([1, 10, 100, 1000]) AS mult)
+SELECT m.mult,
+  CAST(round(m.mult * h.t_total, 0) AS BIGINT) AS tokens_proj,
+  CAST(round(exp(h.ln_k) * power(m.mult * h.t_total, h.beta), 0)
+       AS BIGINT) AS vocab_proj,
+  m.mult * p.p_total AS postings_proj,
+  round(p.p_bytes / CAST(p.p_total AS DOUBLE), 4)
+    AS bytes_per_posting,
+  round(m.mult * p.p_total * (p.p_bytes / CAST(p.p_total AS DOUBLE))
+        / 1048576.0, 4) AS index_mb_proj
+FROM m CROSS JOIN heaps h CROSS JOIN ps p""",
         # DFR IFB2 similarity (index/lmsim.py:dfr_ifb2)
         "dfr_ifb2_top10": _sim_oracle(_ifb2_term),
         # Anytime impact-ordered budget curve (index/impact.py)

@@ -110,3 +110,118 @@ def erlang_capacity(
             F.round("p_wait", round_digits).alias("p_wait"),
         )
     )
+
+
+def index_capacity_forecast(
+    docs,
+    multipliers=(1, 10, 100, 1000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+):
+    """Index capacity projection from measured growth laws — the
+    sizing sheet for a 10^12-doc build, grounded in this corpus.
+
+    Combines the two empirical laws the index actually obeys:
+    vocabulary grows as Heaps' V = K * T^beta (fit by the same
+    checkpoint OLS as ``ops/textstats.heaps_fit``; Heaps 1978), and
+    postings grow linearly in tokens at the corpus's measured
+    postings-per-token ratio.  Bytes ride the measured delta+varint
+    cost per posting (held constant across scale — conservative,
+    since denser lists shrink gaps; the codec audits in
+    ``svb.py``/``ef.py`` quantify by how much).  For each scale
+    multiplier m:
+
+        tokens_proj   = m * T
+        vocab_proj    = exp(ln_k) * tokens_proj ^ beta
+        postings_proj = m * P
+        index_mb_proj = postings_proj * bytes_per_posting / 2^20
+
+    Returns one row per multiplier: (mult, tokens_proj, vocab_proj,
+    postings_proj, bytes_per_posting, index_mb_proj).
+
+    Scale shape: one tokenize pass feeding three aggregates (the
+    Heaps checkpoints, the postings count, the exact varint bytes) —
+    the forecast itself is a projection over a broadcast 1-row stats
+    relation crossed with the tiny multiplier table.
+    """
+    from pyspark.sql import Window
+
+    from tokenkit_spark.index.reorder import varint_len
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z']+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    new_terms = (
+        toks.groupBy("term")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("new_terms"))
+    )
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        dl.join(new_terms, id_col, "left")
+        .fillna(0, subset=["new_terms"])
+        .select(
+            F.log(F.sum("dl").over(w).cast("double")).alias("x"),
+            F.log(F.sum("new_terms").over(w).cast("double")).alias("y"),
+        )
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    heaps = pts.agg(
+        F.exp(F.max("x")).alias("t_total"),
+        slope.alias("beta"),
+        (F.avg("y") - slope * F.avg("x")).alias("ln_k"),
+    )
+    postings = toks.groupBy("term", id_col).agg(
+        F.count("*").alias("tf")
+    )
+    wt = Window.partitionBy("term").orderBy(id_col)
+    gaps = postings.select(
+        "term",
+        (
+            F.col(id_col)
+            - F.coalesce(F.lag(id_col).over(wt), F.lit(0))
+        ).alias("gap"),
+    )
+    pstats = gaps.agg(
+        F.count(F.lit(1)).alias("p_total"),
+        F.sum(varint_len(F.col("gap"))).alias("p_bytes"),
+    )
+    mult = spark.createDataFrame(
+        [(int(m),) for m in multipliers], "mult long"
+    )
+    base = heaps.crossJoin(pstats)
+    proj = mult.crossJoin(F.broadcast(base)).select(
+        "mult",
+        F.round(F.col("mult") * F.col("t_total"), 0)
+        .cast("long")
+        .alias("tokens_proj"),
+        F.round(
+            F.exp(F.col("ln_k"))
+            * F.pow(F.col("mult") * F.col("t_total"), F.col("beta")),
+            0,
+        )
+        .cast("long")
+        .alias("vocab_proj"),
+        (F.col("mult") * F.col("p_total")).alias("postings_proj"),
+        F.round(
+            F.col("p_bytes") / F.col("p_total"), round_digits
+        ).alias("bytes_per_posting"),
+        F.round(
+            F.col("mult")
+            * F.col("p_total")
+            * (F.col("p_bytes") / F.col("p_total"))
+            / F.lit(float(1 << 20)),
+            round_digits,
+        ).alias("index_mb_proj"),
+    )
+    return proj.orderBy("mult")

@@ -156,3 +156,63 @@ def keystroke_savings(
             ),
         )
     )
+
+
+def suggestion_mrr(
+    qlog: DataFrame,
+    session_col: str = "session_id",
+    step_col: str = "step",
+    query_col: str = "query",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Self-evaluation of the query-flow suggestion model: next-query
+    MRR.
+
+    The standard offline eval for session-based suggestion (the
+    protocol of Boldi et al. CIKM 2008 §5 / Sordoni et al. CIKM
+    2015): for every observed in-session transition src -> dst, rank
+    all candidate successors of src by empirical P(dst|src) (count
+    desc, ties by query text) and score the ACTUAL next query's
+    reciprocal rank; hit@1 is the top-1 exact-match rate.  The model
+    is trained on the full log (in-sample — the point is a
+    determinism-preserving harness; a split would just subset the
+    transitions).
+
+    Per source query: (src, n_transitions, n_candidates, mrr, hit_at1).
+    Scale shape: transitions from one lag window per session; the
+    model is the (src, dst) count table; the eval is a join of
+    transitions against the ranked model — all hash joins on query
+    keys.
+    """
+    w = Window.partitionBy(session_col).orderBy(step_col)
+    trans = (
+        qlog.withColumn("nxt", F.lead(query_col).over(w))
+        .filter(F.col("nxt").isNotNull())
+        .filter(F.col("nxt") != F.col(query_col))
+        .select(F.col(query_col).alias("src"), F.col("nxt").alias("dst"))
+    )
+    model = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wr = Window.partitionBy("src").orderBy(
+        F.col("c").desc(), F.col("dst").asc()
+    )
+    ranked = model.withColumn("r", F.row_number().over(wr))
+    n_cand = ranked.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    evald = trans.join(ranked, ["src", "dst"])
+    return (
+        evald.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(F.avg(1.0 / F.col("r")), round_digits).alias("mrr"),
+            F.round(
+                F.avg((F.col("r") == 1).cast("double")), round_digits
+            ).alias("hit_at1"),
+        )
+        .join(n_cand, "src")
+        .select(
+            "src", "n_transitions", "n_candidates", "mrr", "hit_at1"
+        )
+    )

@@ -75,3 +75,69 @@ def trap_signals(
             | (F.col("frac_repeat") > repeat_frac),
         )
     )
+
+
+PAGE_PARAM_RX = r"([?&])(page|p|start|offset)=(\d+)"
+PAGE_PATH_RX = r"/page/(\d+)/?$"
+
+
+def pagination_families(
+    pages: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pagination-family rollup — how much of a host's URL space is
+    page-N variants of the same listing.
+
+    The crawl-scheduling counterpart of the trap signals above: deep
+    pagination chains (?page=N, /page/N/) are the benign-looking half
+    of the "infinite crawl space" problem (Mercator §3.4) — each page
+    is fetchable and unique, but value decays fast with N, so
+    frontiers cap family depth rather than URL count.  A URL's FAMILY
+    key is the URL with its pagination marker stripped (query param
+    ``page|p|start|offset`` removed; trailing ``/page/N`` dropped);
+    the page NUMBER is the marker's integer (1 when absent).
+
+    Per host: (host, n_urls, n_paginated, n_families, max_family_size,
+    max_page_no, frac_paginated).  Pure regexp projections + two hash
+    aggregates.
+    """
+    u = F.col(url_col)
+    has_q = u.rlike(PAGE_PARAM_RX)
+    has_p = u.rlike(PAGE_PATH_RX)
+    family = F.regexp_replace(
+        F.regexp_replace(u, PAGE_PARAM_RX, "$1"), PAGE_PATH_RX, "/"
+    )
+    page_no = (
+        F.when(has_q, F.regexp_extract(u, PAGE_PARAM_RX, 3))
+        .when(has_p, F.regexp_extract(u, PAGE_PATH_RX, 1))
+        .otherwise(F.lit("1"))
+        .cast("long")
+    )
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        family.alias("family"),
+        (has_q | has_p).cast("long").alias("pg"),
+        page_no.alias("page_no"),
+    )
+    fam = per.groupBy("host", "family").agg(
+        F.count(F.lit(1)).alias("fam_size"),
+        F.max("page_no").alias("fam_max_page"),
+    )
+    a = per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("pg").alias("n_paginated"),
+        F.round(F.sum("pg") / F.count(F.lit(1)), round_digits).alias(
+            "frac_paginated"
+        ),
+    )
+    b = fam.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_families"),
+        F.max("fam_size").alias("max_family_size"),
+        F.max("fam_max_page").alias("max_page_no"),
+    )
+    return a.join(b, "host").select(
+        "host", "n_urls", "n_paginated", "n_families",
+        "max_family_size", "max_page_no", "frac_paginated",
+    )
