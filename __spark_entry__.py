@@ -7960,6 +7960,79 @@ def q_capacity_forecast(spark, sf_dir):
     return index_capacity_forecast(_docs(spark, sf_dir))
 
 
+WILDCARD_IDX_PATTERNS = [
+    (0, "s*n"),
+    (1, "jo*n"),
+    (2, "ha*h"),
+    (3, "w*w"),
+    (4, "qu*y"),
+    (5, "zz*q"),
+    (6, "t*e"),
+]
+_WILDCARD_IDX_VALUES = ", ".join(
+    f"({i}, '{p}')" for i, p in WILDCARD_IDX_PATTERNS
+)
+
+
+def q_wildcard_index(spark, sf_dir):
+    """Permuterm vs k-gram wildcard dictionaries (IIR §3.2; Garfield
+    1976): per-pattern candidate counts, exact answers, k-gram
+    false-positive precision
+    (index/wildcardindex.py:wildcard_index_audit)."""
+    from tokenkit_spark.index.wildcardindex import wildcard_index_audit
+
+    pats = spark.createDataFrame(
+        WILDCARD_IDX_PATTERNS, "query_id long, pattern string"
+    )
+    return wildcard_index_audit(_docs(spark, sf_dir), pats, k=3)
+
+
+def q_dict_blowup(spark, sf_dir):
+    """Wildcard dictionary-size cost: rotations per term (permuterm)
+    vs k-gram postings per term
+    (index/wildcardindex.py:dictionary_blowup)."""
+    from tokenkit_spark.index.wildcardindex import dictionary_blowup
+
+    return dictionary_blowup(_docs(spark, sf_dir), k=3)
+
+
+def q_acf_ljungbox(spark, sf_dir):
+    """Sample ACF + Ljung-Box portmanteau (Ljung & Box Biometrika
+    1978) over the daily count series, lags 1-10, Wilson-Hilferty
+    chi-square gate (ops/trend.py:acf_ljung_box)."""
+    from tokenkit_spark.ops.trend import acf_ljung_box
+
+    return acf_ljung_box(_events(spark, sf_dir), max_lag=10)
+
+
+def q_galloping(spark, sf_dir):
+    """Adaptive galloping vs linear-merge intersection cost (Bentley &
+    Yao 1976; Demaine et al. SODA 2000): exact probe-jump costs for
+    each query's two rarest terms
+    (index/intersect.py:galloping_audit)."""
+    from tokenkit_spark.index.intersect import galloping_audit
+
+    return galloping_audit(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_prop_ztest(spark, sf_dir):
+    """Two-proportion z-test (Fleiss et al.) of purchase conversion
+    between the pinned user-parity arms
+    (ops/abtest.py:prop_ztest)."""
+    from tokenkit_spark.ops.abtest import prop_ztest
+
+    return prop_ztest(_events(spark, sf_dir), success_type="purchase")
+
+
+def q_positions_overhead(spark, sf_dir):
+    """Positional-index storage overhead (IIR §2.4.2) — exact varint
+    bytes for docs-only vs positional postings, top-20 terms
+    (index/layout.py:positional_overhead_audit)."""
+    from tokenkit_spark.index.layout import positional_overhead_audit
+
+    return positional_overhead_audit(_docs(spark, sf_dir), k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -7969,6 +8042,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "wildcard_index": q_wildcard_index,
+        "dict_blowup": q_dict_blowup,
+        "acf_ljungbox": q_acf_ljungbox,
+        "galloping": q_galloping,
+        "prop_ztest": q_prop_ztest,
+        "positions_overhead": q_positions_overhead,
         "common_terms": q_common_terms,
         "static_rank_cutoff": q_static_rank_cutoff,
         "kaplan_meier": q_kaplan_meier,
@@ -10427,7 +10506,213 @@ GROUP BY 1, 2, 3""")
         "".join(_sr_parts) + (" UNION ALL ".join(_sr_branches))
     )
 
+    def _vc(c: str) -> str:
+        """varint byte count of an arbitrary column expression."""
+        return (
+            f"CASE WHEN {c} < 128 THEN 1 WHEN {c} < 16384 THEN 2 "
+            f"WHEN {c} < 2097152 THEN 3 WHEN {c} < 268435456 THEN 4 "
+            "ELSE 5 END"
+        )
+
+    _wc_vocab = """
+vocab AS (SELECT DISTINCT lower(u.t) AS term FROM documents,
+  unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+    AS u(t))"""
+
     return {
+        # Permuterm vs k-gram wildcard audit (index/wildcardindex.py)
+        "wildcard_index": f"""
+WITH {_wc_vocab.strip()},
+rot AS (SELECT term, unnest([substr(term || '$', i)
+          || substr(term || '$', 1, i - 1)
+          FOR i IN range(1, length(term) + 2)]) AS rotation
+        FROM vocab),
+grams AS (SELECT term, unnest(list_distinct(
+            [substr('$' || term || '$', i, 3)
+             FOR i IN range(1, length(term) + 1)])) AS gram
+          FROM vocab),
+pats(query_id, pattern) AS (VALUES {_WILDCARD_IDX_VALUES}),
+p AS (SELECT query_id, pattern,
+        split_part(pattern, '*', 1) AS pre,
+        split_part(pattern, '*', 2) AS suf FROM pats),
+ex AS (SELECT query_id, count(*) AS n_exact FROM p JOIN vocab
+       ON starts_with(term, pre) AND ends_with(term, suf)
+          AND length(term) >= length(pre) + length(suf)
+       GROUP BY 1),
+pm AS (SELECT p.query_id, count(DISTINCT r.term) AS n_permuterm
+       FROM p JOIN rot r
+         ON starts_with(r.rotation, p.suf || '$' || p.pre)
+       GROUP BY 1),
+pgl AS (SELECT query_id, list_filter(list_distinct(
+          [substr('$' || pre, i, 3)
+           FOR i IN range(1, greatest(1, length('$' || pre) - 1))]
+          || [substr(suf || '$', i, 3)
+              FOR i IN range(1, greatest(1, length(suf || '$') - 1))]),
+          g -> length(g) = 3) AS gl FROM p),
+pg AS (SELECT query_id, unnest(gl) AS gram FROM pgl),
+npg AS (SELECT query_id, len(gl) AS n_grams FROM pgl),
+hits AS (SELECT pg.query_id, g.term, count(*) AS nh
+         FROM pg JOIN grams g USING (gram) GROUP BY 1, 2),
+cand AS (SELECT h.query_id, h.term FROM hits h
+         JOIN npg USING (query_id) WHERE h.nh = npg.n_grams
+         UNION ALL
+         SELECT n.query_id, v.term FROM npg n CROSS JOIN vocab v
+         WHERE n.n_grams = 0),
+kr AS (SELECT query_id, count(*) AS n_kgram_raw FROM cand GROUP BY 1),
+kf AS (SELECT c.query_id, count(*) AS n_kgram_filtered
+       FROM cand c JOIN p ON p.query_id = c.query_id
+       WHERE starts_with(c.term, p.pre) AND ends_with(c.term, p.suf)
+         AND length(c.term) >= length(p.pre) + length(p.suf)
+       GROUP BY 1)
+SELECT p.query_id, p.pattern,
+       coalesce(ex.n_exact, 0) AS n_exact,
+       coalesce(pm.n_permuterm, 0) AS n_permuterm,
+       coalesce(kr.n_kgram_raw, 0) AS n_kgram_raw,
+       coalesce(kf.n_kgram_filtered, 0) AS n_kgram_filtered,
+       round(CASE WHEN coalesce(kr.n_kgram_raw, 0) > 0
+             THEN coalesce(ex.n_exact, 0)
+                  / CAST(kr.n_kgram_raw AS DOUBLE) END, 6)
+         AS kgram_precision
+FROM p LEFT JOIN ex ON ex.query_id = p.query_id
+LEFT JOIN pm ON pm.query_id = p.query_id
+LEFT JOIN kr ON kr.query_id = p.query_id
+LEFT JOIN kf ON kf.query_id = p.query_id""",
+        # Wildcard dictionary blowup (index/wildcardindex.py)
+        "dict_blowup": f"""
+WITH {_wc_vocab.strip()},
+nt AS (SELECT count(*) AS n_terms FROM vocab),
+nr AS (SELECT CAST(sum(length(term) + 1) AS BIGINT) AS n_rotations
+       FROM vocab),
+ng AS (SELECT count(*) AS n_gram_postings FROM
+       (SELECT term, unnest(list_distinct(
+          [substr('$' || term || '$', i, 3)
+           FOR i IN range(1, length(term) + 1)])) AS gram FROM vocab))
+SELECT n_terms, n_rotations, n_gram_postings,
+       round(n_rotations / CAST(n_terms AS DOUBLE), 4) AS permuterm_x,
+       round(n_gram_postings / CAST(n_terms AS DOUBLE), 4) AS kgram_x
+FROM nt CROSS JOIN nr CROSS JOIN ng""",
+        # ACF + Ljung-Box (ops/trend.py:acf_ljung_box)
+        "acf_ljungbox": f"""
+WITH {_shew_daily.strip()},
+st AS (SELECT grp, count(*) AS n, avg(y) AS ybar FROM d GROUP BY 1),
+dev AS (SELECT d.grp, d.day, d.y - st.ybar AS e
+        FROM d JOIN st USING (grp)),
+den AS (SELECT grp, sum(e * e) AS ss FROM dev GROUP BY 1),
+lags AS (SELECT unnest(range(1, 11)) AS lag),
+pr AS (SELECT c.grp, l.lag, sum(c.e * p.e) AS num
+       FROM dev c CROSS JOIN lags l
+       JOIN dev p ON p.grp = c.grp AND p.day = c.day - l.lag
+       GROUP BY 1, 2),
+acf AS (SELECT pr.grp, pr.lag, st.n AS n_days,
+          CASE WHEN den.ss <> 0 THEN pr.num / den.ss END AS r
+        FROM pr JOIN den USING (grp) JOIN st USING (grp)),
+qs AS (SELECT grp, lag, n_days, r,
+         CAST(n_days AS DOUBLE) * (n_days + 2)
+         * sum(r * r / (CAST(n_days AS DOUBLE) - lag))
+           OVER (PARTITION BY grp ORDER BY lag
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS q
+       FROM acf)
+SELECT grp, lag, n_days, round(r, 6) AS acf, round(q, 6) AS q_stat,
+       q > (lag * power(1.0 - 2.0 / (9.0 * lag)
+            + 1.6448536269514722 * sqrt(2.0 / (9.0 * lag)), 3))
+         AS q_signif
+FROM qs""",
+        # Galloping vs merge intersection cost (index/intersect.py)
+        "galloping": f"""
+WITH toks AS (SELECT DISTINCT doc_id, lower(u.t) AS term
+  FROM documents,
+  unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+    AS u(t)),
+ts2 AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+pick AS (SELECT * FROM (SELECT q.query_id, q.term, t.df,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY t.df ASC, q.term ASC) AS rn
+         FROM qterms q JOIN ts2 t USING (term)) WHERE rn <= 2),
+pair AS (SELECT query_id, count(*) AS n_terms,
+           min(CASE WHEN rn = 1 THEN term END) AS t_short,
+           min(CASE WHEN rn = 2 THEN term END) AS t_long,
+           min(CASE WHEN rn = 1 THEN df END) AS m,
+           min(CASE WHEN rn = 2 THEN df END) AS n
+         FROM pick GROUP BY 1 HAVING count(*) = 2),
+pos AS (SELECT term, doc_id,
+          row_number() OVER (PARTITION BY term ORDER BY doc_id) AS p
+        FROM toks),
+shortp AS (SELECT pr.query_id, pr.t_long, pr.m, pr.n, sp.doc_id
+           FROM pair pr JOIN pos sp ON sp.term = pr.t_short),
+probe AS (SELECT s.query_id, s.doc_id, s.m, s.n,
+            coalesce(max(l.p), 0) AS probe_pos
+          FROM shortp s LEFT JOIN pos l
+            ON l.term = s.t_long AND l.doc_id <= s.doc_id
+          GROUP BY 1, 2, 3, 4),
+c AS (SELECT query_id, m, n,
+        CAST(sum(2 * floor(log2(greatest(jump, 1))) + 2) AS BIGINT)
+          AS cost_gallop
+      FROM (SELECT query_id, m, n,
+              probe_pos - coalesce(lag(probe_pos) OVER (
+                PARTITION BY query_id ORDER BY doc_id), 0) AS jump
+            FROM probe) GROUP BY 1, 2, 3)
+SELECT query_id, m, n, m + n AS cost_merge, cost_gallop,
+       round(cost_gallop / CAST(m + n AS DOUBLE), 4) AS gallop_ratio
+FROM c""",
+        # Two-proportion z-test (ops/abtest.py:prop_ztest)
+        "prop_ztest": """
+WITH pu AS (SELECT user_id AS u,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS conv
+      FROM events GROUP BY 1),
+arms AS (SELECT CAST(u % 2 AS INT) AS arm, count(*) AS n,
+                sum(conv) AS x FROM pu GROUP BY 1),
+wide AS (SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS n0,
+    max(CASE WHEN arm = 1 THEN n END) AS n1,
+    max(CASE WHEN arm = 0 THEN x END) AS x0,
+    max(CASE WHEN arm = 1 THEN x END) AS x1
+  FROM arms),
+calc AS (SELECT n0, n1, CAST(x0 AS BIGINT) AS x0,
+           CAST(x1 AS BIGINT) AS x1,
+           x0 / CAST(n0 AS DOUBLE) AS p0,
+           x1 / CAST(n1 AS DOUBLE) AS p1,
+           (x0 + x1) / CAST(n0 + n1 AS DOUBLE) AS pp
+         FROM wide),
+c2 AS (SELECT *, sqrt(pp * (1.0 - pp)
+         * (1.0 / n0 + 1.0 / n1)) AS se FROM calc),
+c3 AS (SELECT *, CASE WHEN se > 0 THEN (p1 - p0) / se
+                      ELSE 0.0 END AS zv FROM c2)
+SELECT n0, n1, x0, x1, round(p0, 6) AS p0, round(p1, 6) AS p1,
+       round(pp, 6) AS p_pool, round(zv, 6) AS z,
+       abs(zv) > 1.96 AS significant
+FROM c3""",
+        # Positional-index overhead (index/layout.py)
+        "positions_overhead": f"""
+WITH lf AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '') AS l
+      FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term,
+                unnest(range(1, len(l) + 1)) AS pos FROM lf),
+pb AS (SELECT term, count(*) AS n_positions,
+         CAST(sum({_vc('gap')}) AS BIGINT) AS pos_bytes FROM
+       (SELECT term, pos - coalesce(lag(pos) OVER (
+          PARTITION BY term, doc_id ORDER BY pos), 0) AS gap
+        FROM toks) GROUP BY 1),
+po AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+db AS (SELECT term, count(*) AS df,
+         CAST(sum(({_vc('dgap')}) + ({_vc('tf')})) AS BIGINT)
+           AS doc_bytes FROM
+       (SELECT term, tf, doc_id - coalesce(lag(doc_id) OVER (
+          PARTITION BY term ORDER BY doc_id), 0) AS dgap
+        FROM po) GROUP BY 1)
+SELECT rank, term, df, n_positions, doc_bytes, pos_bytes,
+       doc_bytes + pos_bytes AS total_bytes,
+       round((doc_bytes + pos_bytes) / CAST(doc_bytes AS DOUBLE), 4)
+         AS overhead_x
+FROM (SELECT *, row_number() OVER (ORDER BY df DESC, term ASC)
+        AS rank
+      FROM db JOIN pb USING (term)) WHERE rank <= 20""",
         # Lucene CommonTermsQuery (index/commonterms.py)
         "common_terms": f"""
 WITH {lmsim_stats_cte.strip()},

@@ -132,3 +132,139 @@ def intersection_order_audit(
         )
         .orderBy("query_id")
     )
+
+
+def galloping_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Adaptive (galloping) vs linear-merge intersection cost audit
+    for two-term conjunctions.
+
+    Bentley & Yao (1976) doubling search, applied to posting-list
+    intersection as in Demaine, Lopez-Ortiz & Munro (SODA 2000) and
+    Barbay et al. (ACM JEA 2009): intersecting a short list (length
+    m) against a long one (length n) by scanning both costs m + n
+    comparisons, while galloping from the current position costs
+    about sum over short-list elements of 2*log2(jump) — O(m log n/m)
+    worst case, asymptotically better whenever the lists are
+    lopsided, which Zipf guarantees for real query pairs.  The audit
+    computes, per query (its two lowest-df terms):
+
+        cost_merge  = m + n
+        cost_gallop = sum_d (2 * floor(log2(jump_d)) + 2)
+
+    with jump_d the advance in the long list between consecutive
+    probe targets (exact positions from a rank join — the actual
+    distances a galloping pointer travels, not a model average).
+
+    Scale shape: per-term positions from one (term)-partitioned
+    window; probe positions via an equality-free range join on the
+    SMALL list only (m rows per query); no quadratic work.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).distinct()
+    tstats = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).distinct()
+    # the two rarest terms per query (need >= 2 distinct terms)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("df").asc(), F.col("term").asc()
+    )
+    pick = (
+        qterms.join(tstats, "term")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+    )
+    pair = (
+        pick.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.min(F.when(F.col("rn") == 1, F.col("term"))).alias(
+                "t_short"
+            ),
+            F.min(F.when(F.col("rn") == 2, F.col("term"))).alias(
+                "t_long"
+            ),
+            F.min(F.when(F.col("rn") == 1, F.col("df"))).alias("m"),
+            F.min(F.when(F.col("rn") == 2, F.col("df"))).alias("n"),
+        )
+        .filter(F.col("n_terms") == 2)
+    )
+    wt = Window.partitionBy("term").orderBy("doc_id")
+    pos = toks.withColumn("p", F.row_number().over(wt))
+    shortp = pair.select("query_id", "t_short", "t_long", "m", "n").join(
+        pos.select(
+            F.col("term").alias("t_short"), F.col("doc_id")
+        ),
+        "t_short",
+    )
+    # probe position of each short-list doc in the long list: count of
+    # long-list docs <= d == the rank the galloping pointer lands on
+    longl = pos.select(
+        F.col("term").alias("t_long"),
+        F.col("doc_id").alias("ld"),
+        F.col("p").alias("lp"),
+    )
+    probe = (
+        shortp.join(longl, "t_long")
+        .filter(F.col("ld") <= F.col("doc_id"))
+        .groupBy("query_id", "doc_id", "m", "n")
+        .agg(F.max("lp").alias("probe_pos"))
+    )
+    # also keep short docs before the first long element (probe 0)
+    allshort = shortp.select("query_id", "doc_id", "m", "n")
+    probe_full = (
+        allshort.join(
+            probe.select("query_id", "doc_id", "probe_pos"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .na.fill({"probe_pos": 0})
+    )
+    ws = Window.partitionBy("query_id").orderBy("doc_id")
+    jump = F.col("probe_pos") - F.coalesce(
+        F.lag("probe_pos").over(ws), F.lit(0)
+    )
+    cost = (
+        probe_full.withColumn("jump", jump)
+        .withColumn(
+            "c",
+            2
+            * F.floor(
+                F.log2(F.greatest(F.col("jump"), F.lit(1)).cast("double"))
+            ).cast("long")
+            + 2,
+        )
+        .groupBy("query_id", "m", "n")
+        .agg(F.sum("c").alias("cost_gallop"))
+    )
+    return cost.select(
+        "query_id",
+        "m",
+        "n",
+        (F.col("m") + F.col("n")).alias("cost_merge"),
+        "cost_gallop",
+        F.round(
+            F.col("cost_gallop")
+            / (F.col("m") + F.col("n")).cast("double"),
+            round_digits,
+        ).alias("gallop_ratio"),
+    )

@@ -124,3 +124,99 @@ def partition_layout_audit(
         )
         .orderBy("layout")
     )
+
+
+def positional_overhead_audit(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Positional-index storage overhead vs a docs-only index, exact
+    varint bytes per term.
+
+    IIR §2.4.2 (Manning et al.): storing within-document positions —
+    required for phrase and proximity queries — costs "2-4x" a
+    docs-only index as a rule of thumb.  This audit replaces the rule
+    of thumb with exact numbers on the corpus, using the live codec's
+    layout: per term, the docs-only stream is delta+varint doc-id
+    gaps + a tf varint per doc; the positional stream adds, per
+    (term, doc), the delta+varint position gaps (positions are
+    1-based token offsets in the filtered token sequence, first gap =
+    the position itself).
+
+    Top-``k`` terms by df: (rank, term, df, n_positions, doc_bytes,
+    pos_bytes, total_bytes, overhead_x).
+
+    Scale shape: one posexplode pass, two (term[, doc])-keyed lag
+    windows, one rollup — the same skeleton as the codec audits.
+    """
+    from pyspark.sql import Window
+
+    from tokenkit_spark.index.reorder import varint_len
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    # positional stream: gaps within (term, doc)
+    wp = Window.partitionBy("term", "doc_id").orderBy("pos")
+    pos_bytes = (
+        toks.withColumn(
+            "gap",
+            F.col("pos")
+            - F.coalesce(F.lag("pos").over(wp), F.lit(0)),
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(varint_len(F.col("gap"))).alias("pos_bytes"),
+        )
+    )
+    # docs-only stream: doc-id gaps + tf varints
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    wd = Window.partitionBy("term").orderBy("doc_id")
+    doc_bytes = (
+        postings.withColumn(
+            "dgap",
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(wd), F.lit(0)),
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum(
+                varint_len(F.col("dgap")) + varint_len(F.col("tf"))
+            ).alias("doc_bytes"),
+        )
+    )
+    sized = doc_bytes.join(pos_bytes, "term")
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        sized.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "term",
+            "df",
+            "n_positions",
+            "doc_bytes",
+            "pos_bytes",
+            (F.col("doc_bytes") + F.col("pos_bytes")).alias(
+                "total_bytes"
+            ),
+            F.round(
+                (F.col("doc_bytes") + F.col("pos_bytes"))
+                / F.col("doc_bytes").cast("double"),
+                round_digits,
+            ).alias("overhead_x"),
+        )
+    )

@@ -117,3 +117,68 @@ def cuped_adjust(
             ).alias("var_reduction"),
         )
     )
+
+
+def prop_ztest(
+    events: DataFrame,
+    success_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    z_crit: float = 1.96,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test of a conversion rate between arms.
+
+    The standard pooled two-sample test for binomial proportions
+    (Fleiss, Levin & Paik, "Statistical Methods for Rates and
+    Proportions"): with per-arm conversion counts x_i over n_i users,
+
+        p_pool = (x_0 + x_1) / (n_0 + n_1)
+        z = (p_1 - p_0)
+            / sqrt(p_pool (1 - p_pool) (1/n_0 + 1/n_1))
+
+    — the categorical-outcome sibling of the Welch t (``aggs.py``) and
+    CUPED (above): conversion is a per-user 0/1 (did the user emit a
+    ``success_type`` event), the arm is the pinned user-id parity.
+
+    One row: (n0, n1, x0, x1, p0, p1, p_pool, z, significant).
+    Scale shape: one user rollup, one 2-row arm rollup.
+    """
+    per_user = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.max(
+                (F.col(type_col) == success_type).cast("int")
+            ).alias("conv")
+        )
+        .withColumn("arm", (F.col("u") % 2).cast("int"))
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0") / F.col("n0")
+    p1 = F.col("x1") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    # se = 0 when the pooled rate is exactly 0 or 1 (no variation on
+    # either side) — there is nothing to test, pin z to 0
+    z = F.when(se > 0, (p1 - p0) / se).otherwise(F.lit(0.0))
+    return wide.select(
+        "n0",
+        "n1",
+        F.col("x0").cast("long").alias("x0"),
+        F.col("x1").cast("long").alias("x1"),
+        F.round(p0, round_digits).alias("p0"),
+        F.round(p1, round_digits).alias("p1"),
+        F.round(pp, round_digits).alias("p_pool"),
+        F.round(z, round_digits).alias("z"),
+        (F.abs(z) > z_crit).alias("significant"),
+    )

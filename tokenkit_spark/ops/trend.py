@@ -212,3 +212,105 @@ def mase_eval(
         .otherwise(F.lit("naive1"))
         .alias("better_baseline"),
     )
+
+
+def acf_ljung_box(
+    events: DataFrame,
+    max_lag: int = 10,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Autocorrelation function + Ljung-Box portmanteau statistic of
+    the daily count series.
+
+    Box & Jenkins (1970) sample ACF with Ljung & Box, "On a measure
+    of lack of fit in time series models" (Biometrika 1978):
+
+        r_h = sum_{t=h+1..n} (y_t - ybar)(y_{t-h} - ybar)
+              / sum_t (y_t - ybar)^2
+        Q_H = n (n + 2) * sum_{h=1..H} r_h^2 / (n - h)
+
+    Q ~ chi2(H) under white noise — the standard "is there ANY serial
+    structure" gate run before fitting seasonality (the weekly cycle
+    ``weekday_profile`` profiles shows up here as a spike at lag 7).
+    Lags are joined by explicit day arithmetic (a calendar gap breaks
+    a lag pair rather than silently misaligning it).
+
+    One row per (group, lag): (grp, lag, n_days, acf, q_stat,
+    q_signif) with q_stat cumulative through that lag and q_signif
+    the chi2 0.05 exceedance using the Wilson-Hilferty closed-form
+    critical value (no lookup table, identical in both engines).
+    """
+    d = _daily(events, ts_col, group_col)
+    stats = d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("y").alias("ybar")
+    )
+    dev = d.join(stats, "grp").select(
+        "grp", "day", (F.col("y") - F.col("ybar")).alias("e"), "n"
+    )
+    denom = dev.groupBy("grp").agg(
+        F.sum(F.col("e") * F.col("e")).alias("ss")
+    )
+    lags = events.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").alias("lag")
+    )
+    cur = dev.select("grp", "day", F.col("e").alias("e0"))
+    past = dev.select(
+        "grp", F.col("day").alias("pday"), F.col("e").alias("eh")
+    )
+    pairs = (
+        cur.crossJoin(F.broadcast(lags))
+        .join(
+            past,
+            (F.col("pday") == F.col("day") - F.col("lag"))
+            & (cur.grp == past.grp),
+        )
+        .drop(past.grp)
+    )
+    acf = (
+        pairs.groupBy("grp", "lag")
+        .agg(F.sum(F.col("e0") * F.col("eh")).alias("num"))
+        .join(denom, "grp")
+        .join(stats.select("grp", "n"), "grp")
+        .select(
+            "grp",
+            "lag",
+            F.col("n").alias("n_days"),
+            F.when(
+                F.col("ss") != 0, F.col("num") / F.col("ss")
+            ).alias("r"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col("n_days").cast("double")
+    q = (
+        n
+        * (n + 2)
+        * F.sum(
+            F.col("r") * F.col("r") / (n - F.col("lag"))
+        ).over(wcum)
+    )
+    # Wilson-Hilferty chi2(h) 95% critical value:
+    # h * (1 - 2/(9h) + 1.6449 * sqrt(2/(9h)))^3
+    h = F.col("lag").cast("double")
+    crit = h * F.pow(
+        1.0 - 2.0 / (9.0 * h)
+        + F.lit(1.6448536269514722) * F.sqrt(2.0 / (9.0 * h)),
+        3.0,
+    )
+    return (
+        acf.withColumn("q_raw", q)
+        .select(
+            "grp",
+            "lag",
+            "n_days",
+            F.round("r", round_digits).alias("acf"),
+            F.round("q_raw", round_digits).alias("q_stat"),
+            (F.col("q_raw") > crit).alias("q_signif"),
+        )
+    )
