@@ -8033,6 +8033,100 @@ def q_positions_overhead(spark, sf_dir):
     return positional_overhead_audit(_docs(spark, sf_dir), k=20)
 
 
+def _doc_two_scores(spark, sf_dir):
+    """Two independent per-doc ranking signals: raw length and
+    distinct-token count — the rank-join inputs."""
+    d = _docs(spark, sf_dir)
+    a = d.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    b = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("double").alias("score"))
+    )
+    return a, b
+
+
+def q_fagin_ta(spark, sf_dir):
+    """Fagin's Threshold Algorithm (Fagin/Lotem/Naor PODS 2001):
+    early-stop depth on a geometric sorted-access grid over two
+    ranked signals + top-k exactness assertion
+    (index/rankjoin.py:fagin_ta_audit)."""
+    from tokenkit_spark.index.rankjoin import fagin_ta_audit
+
+    a, b = _doc_two_scores(spark, sf_dir)
+    return fagin_ta_audit(a, b, k=10)
+
+
+def q_skyline(spark, sf_dir):
+    """Skyline / Pareto-maximal documents (Borzsonyi et al. ICDE
+    2001) over (length, lexical diversity) — the weight-free
+    multi-criteria shortlist (ops/skyline.py:pareto_skyline)."""
+    from tokenkit_spark.ops.skyline import pareto_skyline
+
+    a, b = _doc_two_scores(spark, sf_dir)
+    pts = a.withColumnRenamed("score", "x").join(
+        b.withColumnRenamed("score", "y"), "doc_id"
+    )
+    return pareto_skyline(pts, "x", "y")
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Association rules over per-user event-type baskets (Agrawal &
+    Srikant VLDB 1994): support/confidence/lift/leverage, top-20 by
+    lift (ops/aggs.py:association_rules)."""
+    from tokenkit_spark.ops.aggs import association_rules
+
+    baskets = _events(spark, sf_dir).select(
+        F.col("user_id").alias("doc_id"),
+        F.col("event_type").alias("item"),
+    )
+    return association_rules(baskets, min_support=2, k=20)
+
+
+def q_eb_ctr(spark, sf_dir):
+    """Empirical-Bayes beta-binomial CTR shrinkage (Robbins 1956,
+    method-of-moments prior): low-traffic items collapse to the
+    prior mean (ops/clicks.py:eb_ctr_shrinkage)."""
+    from tokenkit_spark.ops.clicks import eb_ctr_shrinkage
+
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        F.concat(F.lit("i"), (F.col("event_id") % 50).cast("string"))
+        .alias("item"),
+        (F.col("event_type") == "click").alias("clicked"),
+    )
+    return eb_ctr_shrinkage(log, k=20)
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index (Siddiqi 2006) of the value
+    distribution pre/post the experiment split, pinned fixed-width
+    bins (ops/divergence.py:psi_drift)."""
+    from tokenkit_spark.ops.divergence import psi_drift
+
+    return psi_drift(
+        _events(spark, sf_dir), split_ts="2024-01-16 00:00:00"
+    )
+
+
+def q_did(spark, sf_dir):
+    """Difference-in-differences (Card & Krueger 1994 design): 2x2
+    cell means, group deltas, DiD vs the naive post-only difference
+    (ops/abtest.py:did_estimate)."""
+    from tokenkit_spark.ops.abtest import did_estimate
+
+    return did_estimate(
+        _events(spark, sf_dir), split_ts="2024-01-16 00:00:00"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8042,6 +8136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "fagin_ta": q_fagin_ta,
+        "skyline": q_skyline,
+        "assoc_rules": q_assoc_rules,
+        "eb_ctr": q_eb_ctr,
+        "psi_drift": q_psi_drift,
+        "did": q_did,
         "wildcard_index": q_wildcard_index,
         "dict_blowup": q_dict_blowup,
         "acf_ljungbox": q_acf_ljungbox,
@@ -10519,7 +10619,174 @@ vocab AS (SELECT DISTINCT lower(u.t) AS term FROM documents,
   unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
     AS u(t))"""
 
+    _two_scores_cte = """
+d0 AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS sa FROM documents),
+d1 AS (SELECT doc_id, CAST(count(DISTINCT lower(u.t)) AS DOUBLE) AS sb
+       FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'),
+              x -> x <> '')) AS u(t)
+       GROUP BY doc_id)"""
+
     return {
+        # Fagin TA early-stop audit (index/rankjoin.py:fagin_ta_audit)
+        "fagin_ta": f"""
+WITH {_two_scores_cte.strip()},
+ra AS (SELECT doc_id, sa,
+         row_number() OVER (ORDER BY sa DESC, doc_id) AS ra FROM d0),
+rb AS (SELECT doc_id, sb,
+         row_number() OVER (ORDER BY sb DESC, doc_id) AS rb FROM d1),
+full_t AS (SELECT ra.doc_id, sa, sb, ra, rb, sa + sb AS s,
+                  least(ra, rb) AS first_seen
+           FROM ra JOIN rb USING (doc_id)),
+nn AS (SELECT count(*) AS n FROM full_t),
+ex AS (SELECT doc_id FROM (SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS fr
+       FROM full_t) WHERE fr <= 10),
+grid AS (SELECT DISTINCT depth FROM (
+  SELECT CAST(power(2, t.e) AS BIGINT) AS depth
+  FROM unnest(range(0, 30)) AS t(e), nn WHERE power(2, t.e) < nn.n
+  UNION ALL SELECT n FROM nn)),
+tau AS (SELECT g.depth, a.sa + b.sb AS tau FROM grid g
+        JOIN full_t a ON a.ra = g.depth
+        JOIN full_t b ON b.rb = g.depth),
+seen AS (SELECT t.depth, t.tau, count(*) AS n_seen,
+           CAST(sum(CASE WHEN f.s >= t.tau THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_tau
+         FROM tau t JOIN full_t f ON f.first_seen <= t.depth
+         GROUP BY 1, 2),
+sd AS (SELECT min(depth) AS stop_d FROM seen WHERE n_above_tau >= 10),
+sd2 AS (SELECT coalesce(sd.stop_d, nn.n) AS stop_d
+        FROM sd CROSS JOIN nn),
+stopk AS (SELECT doc_id FROM (SELECT doc_id,
+            row_number() OVER (ORDER BY s DESC, doc_id) AS sr
+          FROM full_t, sd2 WHERE first_seen <= sd2.stop_d)
+          WHERE sr <= 10),
+nm AS (SELECT count(*) AS n_match FROM stopk JOIN ex USING (doc_id))
+SELECT s.depth, round(s.tau, 6) AS tau, s.n_seen, s.n_above_tau,
+       s.n_above_tau >= 10 AS stopped, nm.n_match = 10 AS topk_exact,
+       round(s.depth / CAST(nn.n AS DOUBLE), 6) AS frac_scanned
+FROM seen s CROSS JOIN sd2 CROSS JOIN nn CROSS JOIN nm
+WHERE s.depth <= sd2.stop_d""",
+        # Pareto skyline (ops/skyline.py:pareto_skyline)
+        "skyline": f"""
+WITH {_two_scores_cte.strip()},
+pts AS (SELECT d0.doc_id AS id, d0.sa AS x, d1.sb AS y
+        FROM d0 JOIN d1 USING (doc_id)),
+dom AS (SELECT DISTINCT p.id FROM pts p JOIN pts q
+        ON q.x >= p.x AND q.y >= p.y
+           AND (q.x > p.x OR q.y > p.y))
+SELECT p.id, p.x, p.y FROM pts p
+LEFT JOIN dom ON dom.id = p.id WHERE dom.id IS NULL""",
+        # Association rules (ops/aggs.py:association_rules)
+        "assoc_rules": """
+WITH b AS (SELECT DISTINCT user_id AS bid, event_type AS item
+           FROM events),
+nb AS (SELECT CAST(count(DISTINCT bid) AS DOUBLE) AS n FROM b),
+ones AS (SELECT item, count(*) AS n_i FROM b GROUP BY 1),
+pairs AS (SELECT l.item AS a, r.item AS b2, count(*) AS n_ab
+          FROM b l JOIN b r ON l.bid = r.bid AND l.item <> r.item
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+rules AS (SELECT p.a, p.b2, p.n_ab,
+            p.n_ab / nb.n AS support,
+            p.n_ab / CAST(oa.n_i AS DOUBLE) AS confidence,
+            (p.n_ab / CAST(oa.n_i AS DOUBLE)) / (ob.n_i / nb.n)
+              AS lift_raw,
+            p.n_ab / nb.n - (oa.n_i / nb.n) * (ob.n_i / nb.n)
+              AS leverage
+          FROM pairs p
+          JOIN ones oa ON oa.item = p.a
+          JOIN ones ob ON ob.item = p.b2
+          CROSS JOIN nb)
+SELECT rank, a, b2 AS b, n_ab, round(support, 6) AS support,
+       round(confidence, 6) AS confidence,
+       round(lift_raw, 6) AS lift, round(leverage, 6) AS leverage
+FROM (SELECT *, row_number() OVER (ORDER BY round(lift_raw, 9) DESC,
+        a ASC, b2 ASC) AS rank FROM rules) WHERE rank <= 20""",
+        # Empirical-Bayes CTR shrinkage (ops/clicks.py:eb_ctr_shrinkage)
+        "eb_ctr": """
+WITH lg AS (SELECT 'i' || CAST(event_id % 50 AS VARCHAR) AS item,
+              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS cl
+            FROM events),
+per AS (SELECT item, count(*) AS views,
+               CAST(sum(cl) AS BIGINT) AS clicks,
+               sum(cl) / CAST(count(*) AS DOUBLE) AS ctr
+        FROM lg GROUP BY 1),
+mom AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(ctr) AS s,
+               sum(ctr * ctr) AS ss FROM per),
+mv AS (SELECT s / n AS m,
+              (ss - s * s / n) / (n - 1) AS v FROM mom),
+ab AS (SELECT m * (m * (1.0 - m) / v - 1.0) AS alpha,
+              (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+       FROM mv),
+sh AS (SELECT per.*, ab.alpha, ab.beta,
+         (clicks + ab.alpha) / (views + ab.alpha + ab.beta) AS ctr_eb
+       FROM per CROSS JOIN ab)
+SELECT rank, item, views, clicks, round(ctr, 6) AS ctr_raw,
+       round(ctr_eb, 6) AS ctr_eb, round(alpha, 6) AS alpha,
+       round(beta, 6) AS beta
+FROM (SELECT *, row_number() OVER (ORDER BY round(ctr_eb, 9) DESC,
+        item ASC) AS rank FROM sh) WHERE rank <= 20""",
+        # PSI drift (ops/divergence.py:psi_drift)
+        "psi_drift": """
+WITH bn AS (SELECT event_type AS grp,
+    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+         THEN 'pre' ELSE 'post' END AS period,
+    least(9, CAST(floor(value / 50.0) AS BIGINT)) AS bin
+  FROM events),
+per AS (SELECT grp, period, bin, count(*) AS c
+        FROM bn GROUP BY 1, 2, 3),
+tot AS (SELECT grp, period, count(*) AS n FROM bn GROUP BY 1, 2),
+bins AS (SELECT unnest(range(0, 10)) AS bin),
+grid AS (SELECT t.grp, t.period, b.bin,
+           greatest(coalesce(p.c, 0) / CAST(t.n AS DOUBLE), 1e-6)
+             AS share
+         FROM tot t CROSS JOIN bins b
+         LEFT JOIN per p ON p.grp = t.grp AND p.period = t.period
+           AND p.bin = b.bin),
+wide AS (SELECT grp, bin,
+           coalesce(max(CASE WHEN period = 'pre' THEN share END),
+                    1e-6) AS q,
+           coalesce(max(CASE WHEN period = 'post' THEN share END),
+                    1e-6) AS p
+         FROM grid GROUP BY 1, 2),
+psi AS (SELECT grp, sum((p - q) * ln(p / q)) AS psi_raw
+        FROM wide GROUP BY 1),
+cnt AS (SELECT grp,
+          max(CASE WHEN period = 'pre' THEN n END) AS n_pre,
+          max(CASE WHEN period = 'post' THEN n END) AS n_post
+        FROM tot GROUP BY 1)
+SELECT cnt.grp, n_pre, n_post, round(psi_raw, 6) AS psi,
+       CASE WHEN psi_raw < 0.1 THEN 'stable'
+            WHEN psi_raw < 0.25 THEN 'moderate_drift'
+            ELSE 'major_drift' END AS drift_level
+FROM cnt JOIN psi ON psi.grp = cnt.grp""",
+        # Difference-in-differences (ops/abtest.py:did_estimate)
+        "did": """
+WITH per AS (SELECT user_id AS u,
+        CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             THEN 'pre' ELSE 'post' END AS period,
+        avg(value) AS m
+      FROM events GROUP BY 1, 2),
+cells AS (SELECT
+    avg(CASE WHEN u % 2 = 1 AND period = 'post' THEN m END)
+      AS treat_post,
+    avg(CASE WHEN u % 2 = 1 AND period = 'pre' THEN m END)
+      AS treat_pre,
+    avg(CASE WHEN u % 2 = 0 AND period = 'post' THEN m END)
+      AS ctrl_post,
+    avg(CASE WHEN u % 2 = 0 AND period = 'pre' THEN m END)
+      AS ctrl_pre
+  FROM per)
+SELECT round(treat_pre, 6) AS treat_pre,
+       round(treat_post, 6) AS treat_post,
+       round(ctrl_pre, 6) AS ctrl_pre,
+       round(ctrl_post, 6) AS ctrl_post,
+       round(treat_post - treat_pre, 6) AS treat_delta,
+       round(ctrl_post - ctrl_pre, 6) AS ctrl_delta,
+       round((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6)
+         AS did,
+       round(treat_post - ctrl_post, 6) AS naive_post_diff
+FROM cells""",
         # Permuterm vs k-gram wildcard audit (index/wildcardindex.py)
         "wildcard_index": f"""
 WITH {_wc_vocab.strip()},

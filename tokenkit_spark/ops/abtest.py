@@ -182,3 +182,86 @@ def prop_ztest(
         F.round(z, round_digits).alias("z"),
         (F.abs(z) > z_crit).alias("significant"),
     )
+
+
+def did_estimate(
+    events: DataFrame,
+    split_ts: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Difference-in-differences treatment-effect estimate.
+
+    The canonical two-period two-group DiD (Card & Krueger AER 1994
+    popularized it; Angrist & Pischke, "Mostly Harmless Econometrics"
+    §5): under the parallel-trends assumption the effect of treatment
+    on the treated is
+
+        DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre)
+
+    over per-user period means — the pre-period difference nets out
+    fixed group-level gaps that a naive post-only comparison would
+    swallow.  Treatment = the pinned user-id parity, periods split at
+    ``split_ts``.  One row: the four cell means, per-group deltas,
+    and the DiD estimate with its naive-post-only counterpart so the
+    bias the design removes is visible.
+
+    Scale shape: one user-period rollup, one 4-cell rollup.
+    """
+    split = F.lit(split_ts).cast("timestamp")
+    per = events.groupBy(
+        F.col(user_col).alias("u"),
+        F.when(F.col(ts_col) < split, "pre").otherwise("post").alias(
+            "period"
+        ),
+    ).agg(F.avg(value_col).alias("m"))
+    cells = per.withColumn(
+        "arm", (F.col("u") % 2).cast("int")
+    ).groupBy().agg(
+        F.avg(
+            F.when(
+                (F.col("arm") == 1) & (F.col("period") == "post"),
+                F.col("m"),
+            )
+        ).alias("treat_post"),
+        F.avg(
+            F.when(
+                (F.col("arm") == 1) & (F.col("period") == "pre"),
+                F.col("m"),
+            )
+        ).alias("treat_pre"),
+        F.avg(
+            F.when(
+                (F.col("arm") == 0) & (F.col("period") == "post"),
+                F.col("m"),
+            )
+        ).alias("ctrl_post"),
+        F.avg(
+            F.when(
+                (F.col("arm") == 0) & (F.col("period") == "pre"),
+                F.col("m"),
+            )
+        ).alias("ctrl_pre"),
+    )
+    return cells.select(
+        F.round("treat_pre", round_digits).alias("treat_pre"),
+        F.round("treat_post", round_digits).alias("treat_post"),
+        F.round("ctrl_pre", round_digits).alias("ctrl_pre"),
+        F.round("ctrl_post", round_digits).alias("ctrl_post"),
+        F.round(
+            F.col("treat_post") - F.col("treat_pre"), round_digits
+        ).alias("treat_delta"),
+        F.round(
+            F.col("ctrl_post") - F.col("ctrl_pre"), round_digits
+        ).alias("ctrl_delta"),
+        F.round(
+            (F.col("treat_post") - F.col("treat_pre"))
+            - (F.col("ctrl_post") - F.col("ctrl_pre")),
+            round_digits,
+        ).alias("did"),
+        F.round(
+            F.col("treat_post") - F.col("ctrl_post"), round_digits
+        ).alias("naive_post_diff"),
+    )

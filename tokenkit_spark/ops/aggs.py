@@ -1179,3 +1179,89 @@ def trimmed_mean(
             round_digits,
         ).alias("trimmed_mean"),
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    min_support: int = 2,
+    k: int = 20,
+    id_col: str = "doc_id",
+    item_col: str = "item",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Association rules from frequent 2-itemsets — confidence, lift,
+    leverage.
+
+    Agrawal & Srikant (VLDB 1994) rule generation over the pair level
+    of the Apriori lattice (``frequent_item_sets`` above builds the
+    itemsets; this derives the directed rules a -> b):
+
+        support(a->b)    = n_ab / N
+        confidence(a->b) = n_ab / n_a
+        lift(a->b)       = confidence / (n_b / N)
+        leverage(a->b)   = n_ab/N - (n_a/N)(n_b/N)
+
+    Top-``k`` rules by (lift desc, antecedent, consequent) among pairs
+    with n_ab >= min_support.  Scale shape: one distinct projection,
+    one self-join INSIDE the basket key (fan-out bounded by basket
+    size), two hash aggregates — the same shape as the itemset miner.
+    """
+    b = baskets.select(
+        F.col(id_col).alias("bid"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = b.select("bid").distinct().count()
+    ones = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_i"))
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), "bid")
+        .filter(F.col("l.item") != F.col("r.item"))
+        .groupBy(
+            F.col("l.item").alias("a"), F.col("r.item").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    nn = float(n_baskets)
+    rules = (
+        pairs.join(
+            ones.select(F.col("item").alias("a"),
+                        F.col("n_i").alias("n_a")),
+            "a",
+        )
+        .join(
+            ones.select(F.col("item").alias("b"),
+                        F.col("n_i").alias("n_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(F.col("n_ab") / nn, round_digits).alias("support"),
+            F.round(
+                F.col("n_ab") / F.col("n_a"), round_digits
+            ).alias("confidence"),
+            (
+                (F.col("n_ab") / F.col("n_a"))
+                / (F.col("n_b") / nn)
+            ).alias("lift_raw"),
+            F.round(
+                F.col("n_ab") / nn
+                - (F.col("n_a") / nn) * (F.col("n_b") / nn),
+                round_digits,
+            ).alias("leverage"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.round("lift_raw", 9).desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return (
+        rules.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank", "a", "b", "n_ab", "support", "confidence",
+            F.round("lift_raw", round_digits).alias("lift"), "leverage",
+        )
+    )

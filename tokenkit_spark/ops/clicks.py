@@ -627,3 +627,85 @@ def ips_policy_value(
         )
         .orderBy("ranker")
     )
+
+
+def eb_ctr_shrinkage(
+    log: DataFrame,
+    item_col: str = "item",
+    click_col: str = "clicked",
+    k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-item CTR.
+
+    Robbins' empirical Bayes (1956) with the standard beta-binomial
+    method-of-moments fit (the smoothing every CTR feature pipeline
+    applies before feeding rates to a ranker — raw CTR over 3
+    impressions is noise): fit a Beta(alpha, beta) prior to the
+    MARGINAL distribution of raw item CTRs by moment matching,
+
+        alpha + beta = m (1 - m) / v - 1,   alpha = m (alpha + beta)
+
+    with m, v the mean and sample variance of raw CTRs, then shrink
+    every item toward the prior mean:
+
+        ctr_eb = (clicks + alpha) / (views + alpha + beta)
+
+    Low-traffic items collapse to the prior; high-traffic items keep
+    their rate — the bias/variance dial sets itself from the data.
+    Top-``k`` items by (shrunk CTR desc, item), plus the prior so the
+    shrinkage is inspectable.
+
+    Scale shape: one item rollup, one 1-row moment fit broadcast
+    back; moments from explicit sums (cross-engine exactness, same
+    policy as ``ops/abtest.py``).
+    """
+    per = log.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("views"),
+        F.sum(F.col(click_col).cast("long")).alias("clicks"),
+    ).withColumn("ctr", F.col("clicks") / F.col("views"))
+    mom = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("ctr").alias("s"),
+        F.sum(F.col("ctr") * F.col("ctr")).alias("ss"),
+    ).select(
+        (F.col("s") / F.col("n")).alias("m"),
+        (
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("v"),
+    )
+    ab = mom.select(
+        "m",
+        "v",
+        (F.col("m") * (1.0 - F.col("m")) / F.col("v") - 1.0).alias(
+            "ab_sum"
+        ),
+    ).select(
+        (F.col("m") * F.col("ab_sum")).alias("alpha"),
+        ((1.0 - F.col("m")) * F.col("ab_sum")).alias("beta"),
+    )
+    shrunk = per.crossJoin(F.broadcast(ab)).withColumn(
+        "ctr_eb",
+        (F.col("clicks") + F.col("alpha"))
+        / (F.col("views") + F.col("alpha") + F.col("beta")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.round("ctr_eb", 9).desc(), F.col("item").asc()
+    )
+    return (
+        shrunk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "item",
+            "views",
+            "clicks",
+            F.round("ctr", round_digits).alias("ctr_raw"),
+            F.round("ctr_eb", round_digits).alias("ctr_eb"),
+            F.round("alpha", round_digits).alias("alpha"),
+            F.round("beta", round_digits).alias("beta"),
+        )
+    )

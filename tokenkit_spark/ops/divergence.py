@@ -101,3 +101,111 @@ def source_divergence(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+PSI_BANDS = ((0.1, "stable"), (0.25, "moderate_drift"))
+
+
+def psi_drift(
+    events: DataFrame,
+    split_ts: str,
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Population Stability Index between pre/post value distributions.
+
+    The PSI is the credit-scoring industry's standard drift metric
+    (Siddiqi, "Credit Risk Scorecards", 2006) — the symmetrized KL
+    divergence over FIXED bins:
+
+        PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+
+    with p the post-period bin shares, q the pre-period shares, and
+    the conventional read: < 0.1 stable, < 0.25 moderate drift, else
+    major drift (retrain/investigate).  Bins are PINNED (fixed width,
+    last bin open-ended) — data-dependent quantile bins would make
+    the metric incomparable across runs, the exact mistake the fixed
+    banding avoids.  Zero-share bins take the usual 1e-6 floor so the
+    log stays finite on both engines.
+
+    One row per group: (grp, n_pre, n_post, psi, drift_level).
+    Scale shape: one projection to (group, bin, period), two hash
+    aggregates, a bins x groups grid join — nothing row-scale after
+    the first rollup.
+    """
+    split = F.lit(split_ts).cast("timestamp")
+    binned = events.select(
+        F.col(group_col).alias("grp"),
+        F.when(F.col(ts_col) < split, "pre").otherwise("post").alias(
+            "period"
+        ),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(F.col(value_col) / bin_width).cast("long"),
+        ).alias("bin"),
+    )
+    per = binned.groupBy("grp", "period", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = binned.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bins = events.sparkSession.range(n_bins).select(
+        F.col("id").alias("bin")
+    )
+    grid = (
+        tot.select("grp", "period", "n")
+        .crossJoin(F.broadcast(bins))
+        .join(per, ["grp", "period", "bin"], "left")
+        .na.fill({"c": 0})
+        .select(
+            "grp",
+            "period",
+            "bin",
+            F.greatest(
+                F.col("c") / F.col("n"), F.lit(1e-6)
+            ).alias("share"),
+        )
+    )
+    wide = (
+        grid.groupBy("grp", "bin")
+        .agg(
+            F.max(
+                F.when(F.col("period") == "pre", F.col("share"))
+            ).alias("q"),
+            F.max(
+                F.when(F.col("period") == "post", F.col("share"))
+            ).alias("p"),
+        )
+        .na.fill({"q": 1e-6, "p": 1e-6})
+    )
+    psi = wide.groupBy("grp").agg(
+        F.sum(
+            (F.col("p") - F.col("q"))
+            * F.log(F.col("p") / F.col("q"))
+        ).alias("psi_raw")
+    )
+    counts = tot.groupBy("grp").agg(
+        F.max(F.when(F.col("period") == "pre", F.col("n"))).alias(
+            "n_pre"
+        ),
+        F.max(F.when(F.col("period") == "post", F.col("n"))).alias(
+            "n_post"
+        ),
+    )
+    level = (
+        F.when(F.col("psi_raw") < PSI_BANDS[0][0], PSI_BANDS[0][1])
+        .when(F.col("psi_raw") < PSI_BANDS[1][0], PSI_BANDS[1][1])
+        .otherwise("major_drift")
+    )
+    return counts.join(psi, "grp").select(
+        "grp",
+        "n_pre",
+        "n_post",
+        F.round("psi_raw", round_digits).alias("psi"),
+        level.alias("drift_level"),
+    )
