@@ -8127,6 +8127,77 @@ def q_did(spark, sf_dir):
     )
 
 
+def q_stc_clusters(spark, sf_dir):
+    """STC-style phrase base clusters over each query's top-10 (Zamir
+    & Etzioni SIGIR 1998): shared 2-3-gram groups scored |B|*|P|,
+    top-5 per query (index/stc.py:stc_base_clusters)."""
+    from tokenkit_spark.index.stc import stc_base_clusters
+
+    return stc_base_clusters(
+        _docs(spark, sf_dir), _queries_df(spark), k=10, n_clusters=5
+    )
+
+
+def q_link_hygiene(spark, sf_dir):
+    """Crawl link hygiene: orphans, sinks, dangling outlinks over the
+    link graph with a synthetically-thinned page set
+    (ops/linkgraph.py:link_hygiene)."""
+    from tokenkit_spark.ops.linkgraph import link_hygiene
+
+    pages = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 != 9)
+    return link_hygiene(_link_edges(spark, sf_dir), pages)
+
+
+def q_maxmin_fair(spark, sf_dir):
+    """Max-min fair crawl-budget allocation (Bertsekas & Gallager
+    1987 progressive filling, closed form): water level over skewed
+    per-host demands at capacity 1000
+    (ops/frontier.py:maxmin_fair_budget)."""
+    from tokenkit_spark.ops.frontier import maxmin_fair_budget
+
+    d = _docs(spark, sf_dir)
+    demands = (
+        d.groupBy((F.col("doc_id") % 10).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias(
+                "host"
+            ),
+            (F.col("c") * (F.col("h") + 1)).cast("double").alias(
+                "demand"
+            ),
+        )
+    )
+    return maxmin_fair_budget(demands, capacity=1000.0)
+
+
+def q_fanout_tail(spark, sf_dir):
+    """The tail at scale (Dean & Barroso CACM 2013): independence
+    fan-out CDF over 8 hash shards — fan-out p99 latency and the
+    completion probability at the single-shard p99
+    (index/hedging.py:fanout_tail_audit)."""
+    from tokenkit_spark.index.hedging import fanout_tail_audit
+
+    return fanout_tail_audit(_events(spark, sf_dir))
+
+
+def q_delta_ci(spark, sf_dir):
+    """Delta-method CI for the user-clustered click/view ratio (Deng
+    et al. KDD 2018), per arm (ops/abtest.py:delta_method_ci)."""
+    from tokenkit_spark.ops.abtest import delta_method_ci
+
+    return delta_method_ci(_events(spark, sf_dir), "click", "view")
+
+
+def q_dedup_recall(spark, sf_dir):
+    """Planted near-dup detection harness: recall/precision of the
+    trigram-containment detector on deterministic drop-every-7th-word
+    copies (ops/dedup.py:planted_dup_eval)."""
+    from tokenkit_spark.ops.dedup import planted_dup_eval
+
+    return planted_dup_eval(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8136,6 +8207,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "stc_clusters": q_stc_clusters,
+        "link_hygiene": q_link_hygiene,
+        "maxmin_fair": q_maxmin_fair,
+        "fanout_tail": q_fanout_tail,
+        "delta_ci": q_delta_ci,
+        "dedup_recall": q_dedup_recall,
         "fagin_ta": q_fagin_ta,
         "skyline": q_skyline,
         "assoc_rules": q_assoc_rules,
@@ -10628,6 +10705,184 @@ d1 AS (SELECT doc_id, CAST(count(DISTINCT lower(u.t)) AS DOUBLE) AS sb
        GROUP BY doc_id)"""
 
     return {
+        # STC phrase base clusters (index/stc.py:stc_base_clusters)
+        "stc_clusters": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+scored AS (SELECT q.query_id, t.doc_id,
+             sum(ln(1.0 + t.tf)
+                 * ln(nd.n_docs / CAST(d.df AS DOUBLE))) AS score
+           FROM qterms q JOIN tf t USING (term)
+           JOIN dft d USING (term) CROSS JOIN nd GROUP BY 1, 2),
+topc AS (SELECT query_id, doc_id FROM (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(score, 6) DESC, doc_id) AS r
+         FROM scored) WHERE r <= 10),
+w2 AS (SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+       FROM documents),
+gr AS (SELECT doc_id, unnest(list_distinct(
+         [w[i] || ' ' || w[i + 1]
+          FOR i IN range(1, greatest(len(w), 1))]
+         || [w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+             FOR i IN range(1, greatest(len(w) - 1, 1))]))
+         AS phrase
+       FROM w2),
+base AS (SELECT t.query_id, g.phrase, count(*) AS n_docs
+         FROM topc t JOIN gr g USING (doc_id)
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+sc2 AS (SELECT query_id, phrase, n_docs,
+          n_docs * least(len(string_split(phrase, ' ')), 3) AS score
+        FROM base)
+SELECT query_id, rank, phrase, n_docs, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY score DESC, phrase ASC) AS rank FROM sc2)
+WHERE rank <= 5""",
+        # Link hygiene rollup (ops/linkgraph.py:link_hygiene)
+        "link_hygiene": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+pg AS (SELECT DISTINCT doc_id AS node FROM documents
+       WHERE doc_id % 10 <> 9),
+np AS (SELECT count(*) AS n_pages FROM pg),
+ne AS (SELECT count(*) AS n_edges FROM edges),
+orph AS (SELECT count(*) AS n_orphans FROM pg
+         WHERE node NOT IN (SELECT DISTINCT dst FROM edges)),
+snk AS (SELECT count(*) AS n_sinks FROM pg
+        WHERE node NOT IN (SELECT DISTINCT src FROM edges)),
+dgl AS (SELECT count(*) AS n_dangling FROM edges
+        WHERE dst NOT IN (SELECT node FROM pg))
+SELECT n_pages, n_edges, n_orphans, n_sinks,
+       n_dangling AS n_dangling_edges,
+       round(n_orphans / CAST(n_pages AS DOUBLE), 6) AS frac_orphans,
+       round(n_dangling / CAST(n_edges AS DOUBLE), 6) AS frac_dangling
+FROM np CROSS JOIN ne CROSS JOIN orph CROSS JOIN snk
+CROSS JOIN dgl""",
+        # Max-min fair budget (ops/frontier.py:maxmin_fair_budget)
+        "maxmin_fair": """
+WITH d0 AS (SELECT doc_id % 10 AS h, count(*) AS c FROM documents
+            GROUP BY 1),
+dm AS (SELECT 'h' || CAST(h AS VARCHAR) AS host,
+              CAST(c * (h + 1) AS DOUBLE) AS demand FROM d0),
+r AS (SELECT host, demand,
+        row_number() OVER (ORDER BY demand, host) AS k,
+        sum(demand) OVER (ORDER BY demand, host
+          ROWS UNBOUNDED PRECEDING) AS prefix FROM dm),
+nt AS (SELECT count(*) AS n, sum(demand) AS tot FROM dm),
+k0 AS (SELECT
+    coalesce(max(CASE WHEN (prefix - demand)
+      + (nt.n - k + 1) * demand <= 1000 THEN k END), 0) AS k0,
+    coalesce(max(CASE WHEN (prefix - demand)
+      + (nt.n - k + 1) * demand <= 1000 THEN prefix END), 0.0) AS sk
+  FROM r CROSS JOIN nt),
+lvl AS (SELECT CASE WHEN nt.tot <= 1000 THEN NULL
+               ELSE (1000 - k0.sk) / (nt.n - k0.k0) END AS level
+        FROM nt CROSS JOIN k0)
+SELECT dm.host, dm.demand,
+  round(CASE WHEN lvl.level IS NULL THEN dm.demand
+        ELSE least(dm.demand, lvl.level) END, 6) AS allocation,
+  CASE WHEN lvl.level IS NULL THEN FALSE
+       ELSE dm.demand > lvl.level END AS saturated,
+  round(lvl.level, 6) AS level
+FROM dm CROSS JOIN lvl""",
+        # Fan-out tail amplification (index/hedging.py:fanout_tail_audit)
+        "fanout_tail": """
+WITH lat AS (SELECT CAST(user_id % 8 AS INT) AS shard, value AS x
+             FROM events),
+grid AS (SELECT unnest(range(1, 51)) * 10.0 AS t),
+cn AS (SELECT shard, count(*) AS n FROM lat GROUP BY 1),
+cdf AS (SELECT l.shard, g.t,
+          sum(CASE WHEN l.x <= g.t THEN 1 ELSE 0 END)
+            / CAST(cn.n AS DOUBLE) AS p
+        FROM lat l CROSS JOIN grid g JOIN cn ON cn.shard = l.shard
+        GROUP BY l.shard, g.t, cn.n),
+cum AS (SELECT shard, t, p,
+          max(CASE WHEN p = 0 THEN 1 ELSE 0 END) OVER wsh AS hz,
+          sum(CASE WHEN p > 0 THEN ln(p) ELSE 0.0 END) OVER wsh AS ls
+        FROM cdf WINDOW wsh AS (PARTITION BY t ORDER BY shard
+          ROWS UNBOUNDED PRECEDING)),
+c2 AS (SELECT shard, t, p,
+         CASE WHEN hz = 1 THEN 0.0 ELSE exp(ls) END AS p_fan
+       FROM cum),
+t99 AS (SELECT min(t) AS t99 FROM c2 WHERE shard = 0 AND p >= 0.99),
+br AS (
+  SELECT 1 AS fanout, 0 AS sh UNION ALL SELECT 2, 1
+  UNION ALL SELECT 4, 3 UNION ALL SELECT 8, 7)
+SELECT br.fanout,
+  (SELECT min(t) FROM c2 WHERE c2.shard = br.sh
+     AND c2.p_fan >= 0.99) AS p_target_latency,
+  round((SELECT max(p_fan) FROM c2 CROSS JOIN t99
+     WHERE c2.shard = br.sh AND c2.t = t99.t99), 6)
+    AS p_at_single_p99,
+  50 AS n_thresholds
+FROM br""",
+        # Delta-method ratio CI (ops/abtest.py:delta_method_ci)
+        "delta_ci": """
+WITH per AS (SELECT user_id AS u,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS x,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+ag AS (SELECT CAST(u % 2 AS INT) AS arm,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(y * y) AS syy, sum(x * y) AS sxy
+       FROM per GROUP BY 1),
+c AS (SELECT arm, n, sx / n AS xbar, sy / n AS ybar,
+        (sxx - sx * sx / n) / (n - 1) AS vx,
+        (syy - sy * sy / n) / (n - 1) AS vy,
+        (sxy - sx * sy / n) / (n - 1) AS cxy FROM ag),
+c2 AS (SELECT arm, n, xbar / ybar AS r,
+         sqrt((vx - 2 * (xbar / ybar) * cxy
+               + (xbar / ybar) * (xbar / ybar) * vy)
+              / (n * ybar * ybar)) AS se
+       FROM c)
+SELECT arm, CAST(n AS BIGINT) AS n_users, round(r, 6) AS ratio,
+       round(se, 6) AS se, round(r - 1.96 * se, 6) AS ci_lo,
+       round(r + 1.96 * se, 6) AS ci_hi
+FROM c2""",
+        # Planted-dup detection harness (ops/dedup.py:planted_dup_eval)
+        "dedup_recall": """
+WITH w0 AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '') AS toks
+      FROM documents),
+pert AS (SELECT doc_id + 1000000 AS doc_id,
+           [toks[i] FOR i IN range(1, len(toks) + 1) IF i % 7 != 0]
+             AS toks
+         FROM w0 WHERE doc_id % 5 = 0),
+w AS (SELECT doc_id, toks FROM w0
+      UNION ALL SELECT doc_id, toks FROM pert),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        AS gram
+      FROM w WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+          FROM g l JOIN g r ON l.gram = r.gram
+            AND l.doc_id < r.doc_id
+          GROUP BY 1, 2),
+det AS (SELECT a, b FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.a
+        JOIN sizes sb ON sb.doc_id = inter.b
+        WHERE greatest(i / CAST(sa.n_grams AS DOUBLE),
+                       i / CAST(sb.n_grams AS DOUBLE)) >= 0.5),
+pl AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+       WHERE doc_id % 5 = 0),
+np AS (SELECT count(*) AS n_planted FROM pl),
+ndt AS (SELECT count(*) AS n_detected FROM det),
+nh AS (SELECT count(*) AS n_hits FROM det JOIN pl USING (a, b))
+SELECT n_planted, n_detected, n_hits,
+       round(n_hits / CAST(n_planted AS DOUBLE), 6) AS recall,
+       round(n_hits / CAST(n_detected AS DOUBLE), 6) AS precision
+FROM np CROSS JOIN ndt CROSS JOIN nh""",
         # Fagin TA early-stop audit (index/rankjoin.py:fagin_ta_audit)
         "fagin_ta": f"""
 WITH {_two_scores_cte.strip()},

@@ -102,3 +102,113 @@ def hedging_audit(
             F.col("p99_primary") / F.col("p99_hedged"), round_digits
         ).alias("p99_speedup"),
     )
+
+
+def fanout_tail_audit(
+    events: DataFrame,
+    thresholds=None,
+    n_shards: int = 8,
+    fanouts=(1, 2, 4, 8),
+    target: float = 0.99,
+    latency_col: str = "value",
+    user_col: str = "user_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The tail at scale — fan-out amplification of per-shard latency
+    tails.
+
+    Dean & Barroso, "The tail at scale" (CACM 2013): a request that
+    fans out to N shards completes only when the SLOWEST replies, so
+    P(fanout <= t) = prod_i P_i(X <= t) under independence — a shard
+    whose p99 looks fine alone turns into a p86 when 14 such shards
+    are fanned over (0.99^14).  This audit computes, per fan-out N
+    (the first N of ``n_shards`` hash-assigned shards), the empirical
+    per-shard CDFs on a pinned threshold grid, the independence
+    fan-out CDF, and the resulting fan-out p-``target`` latency:
+
+        (fanout, p_target_latency, p_at_single_p99, n_thresholds)
+
+    where p_at_single_p99 is the fan-out completion probability at
+    the FIRST shard's own p99-grid point — the headline number of the
+    paper.  The mitigation (hedged requests) is audited next door in
+    ``hedged_tail_audit``.
+
+    Scale shape: one (shard, threshold-grid) aggregation (grid
+    broadcast), a cumulative product via exp-sum-log over the shard
+    order — |grid| x n_shards rows end to end.
+    """
+    from pyspark.sql import Window
+
+    if thresholds is None:
+        thresholds = [10.0 * i for i in range(1, 51)]
+    spark = events.sparkSession
+    grid = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "t double"
+    )
+    lat = events.select(
+        (F.col(user_col) % n_shards).cast("int").alias("shard"),
+        F.col(latency_col).cast("double").alias("x"),
+    )
+    counts = lat.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    cdf = (
+        lat.crossJoin(F.broadcast(grid))
+        .groupBy("shard", "t")
+        .agg(F.sum((F.col("x") <= F.col("t")).cast("long")).alias("c"))
+        .join(counts, "shard")
+        .select(
+            "shard", "t", (F.col("c") / F.col("n")).alias("p")
+        )
+    )
+    # cumulative product over shards 0..N-1 at each t
+    wsh = (
+        Window.partitionBy("t")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cdf.withColumn(
+        "hit_zero", F.max((F.col("p") == 0).cast("int")).over(wsh)
+    ).withColumn(
+        "p_fan",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+            F.exp(
+                F.sum(
+                    F.when(F.col("p") > 0, F.log("p")).otherwise(
+                        F.lit(0.0)
+                    )
+                ).over(wsh)
+            )
+        ),
+    )
+    # single-shard p99 grid point (shard 0)
+    s0_p99 = (
+        cum.filter((F.col("shard") == 0) & (F.col("p") >= target))
+        .agg(F.min("t").alias("t99"))
+    )
+    out = None
+    for n_f in fanouts:
+        layer = cum.filter(F.col("shard") == n_f - 1)
+        p_tail = (
+            layer.filter(F.col("p_fan") >= target)
+            .agg(F.min("t").alias("pt"))
+            .select(F.col("pt").alias("p_target_latency"))
+        )
+        at99 = (
+            layer.join(
+                F.broadcast(s0_p99), layer.t == F.col("t99")
+            )
+            .agg(F.max("p_fan").alias("pa"))
+            .select(
+                F.round("pa", round_digits).alias("p_at_single_p99")
+            )
+        )
+        row = (
+            p_tail.crossJoin(at99)
+            .select(
+                F.lit(n_f).alias("fanout"),
+                "p_target_latency",
+                "p_at_single_p99",
+                F.lit(len(thresholds)).alias("n_thresholds"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

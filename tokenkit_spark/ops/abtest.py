@@ -265,3 +265,69 @@ def did_estimate(
             F.col("treat_post") - F.col("ctrl_post"), round_digits
         ).alias("naive_post_diff"),
     )
+
+
+def delta_method_ci(
+    events: DataFrame,
+    num_type: str = "click",
+    den_type: str = "view",
+    z: float = 1.96,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Delta-method confidence interval for a user-clustered ratio
+    metric.
+
+    Deng, Knoblich & Lu, "Applying the Delta method in metric
+    analytics" (KDD 2018): session/event-level ratios like CTR =
+    sum(clicks)/sum(views) violate the i.i.d. assumption because the
+    unit of randomization is the USER; the delta method gives the
+    correct variance from per-user aggregates (X_i, Y_i):
+
+        r = sum X / sum Y = xbar / ybar
+        var(r) ~ (var_x - 2 r cov_xy + r^2 var_y) / (n * ybar^2)
+
+    Per arm (pinned user parity): (arm, n_users, ratio, se, ci_lo,
+    ci_hi), plus sufficient-statistic moments computed with explicit
+    sums for cross-engine exactness.
+
+    Scale shape: one user rollup, one per-arm rollup.
+    """
+    per = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.sum(
+                (F.col(type_col) == num_type).cast("double")
+            ).alias("x"),
+            F.sum(
+                (F.col(type_col) == den_type).cast("double")
+            ).alias("y"),
+        )
+        .withColumn("arm", (F.col("u") % 2).cast("int"))
+    )
+    agg = per.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    xbar = F.col("sx") / n
+    ybar = F.col("sy") / n
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    r = xbar / ybar
+    var_r = (var_x - 2 * r * cov + r * r * var_y) / (n * ybar * ybar)
+    se = F.sqrt(var_r)
+    return agg.select(
+        "arm",
+        n.cast("long").alias("n_users"),
+        F.round(r, round_digits).alias("ratio"),
+        F.round(se, round_digits).alias("se"),
+        F.round(r - z * se, round_digits).alias("ci_lo"),
+        F.round(r + z * se, round_digits).alias("ci_hi"),
+    )

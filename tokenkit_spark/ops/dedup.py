@@ -794,3 +794,90 @@ def lsh_plan(
             "chosen"
         ),
     )
+
+
+def planted_dup_eval(
+    docs: DataFrame,
+    plant_mod: int = 5,
+    drop_every: int = 7,
+    id_offset: int = 1_000_000,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Detector-quality harness: recall/precision of the trigram-
+    containment near-dup detector on PLANTED perturbed duplicates.
+
+    The standard way to validate a dedup stack before trusting it at
+    corpus scale (the protocol behind the SuperMinHash/MinHash recall
+    tables and Lee et al.'s dedup evaluations): inject known
+    near-duplicates with a DETERMINISTIC perturbation — here every
+    ``plant_mod``-th document gets a copy (id + ``id_offset``) with
+    every ``drop_every``-th word removed — run the detector on the
+    union corpus, and score detected pairs against the planted truth:
+
+        recall    = planted pairs detected / planted pairs
+        precision = planted pairs detected / all detected pairs
+
+    Precision < 1 is NOT necessarily a bug — the corpus may contain
+    organic near-dups — which is why both numbers ship.  One row:
+    (n_planted, n_detected, n_hits, recall, precision).
+
+    Scale shape: the perturbation is a projection; the detector is
+    the audited ``ngram_containment_pairs`` itself (same gram-join
+    shape); the scoring is two hash joins on pair keys.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(words) - 1, F.lit(0))
+            ),
+            lambda i: F.when(
+                (i < F.size(words)) & ((i + 1) % drop_every != 0),
+                F.get(words, i),
+            ),
+        ),
+        lambda w: w.isNotNull(),
+    )
+    perturbed = docs.filter(F.col(id_col) % plant_mod == 0).select(
+        (F.col(id_col) + id_offset).alias(id_col),
+        F.array_join(kept, " ").alias(text_col),
+    )
+    corpus = docs.select(id_col, text_col).unionByName(perturbed)
+    detected = ngram_containment_pairs(
+        corpus, text_col=text_col, n=n, threshold=threshold,
+        max_gram_df=None,
+    ).select(
+        F.least("doc_id_a", "doc_id_b").alias("a"),
+        F.greatest("doc_id_a", "doc_id_b").alias("b"),
+    ).distinct()
+    planted = docs.filter(F.col(id_col) % plant_mod == 0).select(
+        F.col(id_col).alias("a"),
+        (F.col(id_col) + id_offset).alias("b"),
+    )
+    n_planted = planted.count()
+    n_detected = detected.count()
+    n_hits = detected.join(planted, ["a", "b"]).count()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_planted,
+                n_detected,
+                n_hits,
+                round(n_hits / n_planted, round_digits)
+                if n_planted
+                else 0.0,
+                round(n_hits / n_detected, round_digits)
+                if n_detected
+                else 0.0,
+            )
+        ],
+        "n_planted long, n_detected long, n_hits long, recall double, "
+        "precision double",
+    )

@@ -118,3 +118,88 @@ def schedule_with_delays(
         )
         .drop("__dh", "delay_s")
     )
+
+
+def maxmin_fair_budget(
+    demands: DataFrame,
+    capacity: float,
+    host_col: str = "host",
+    demand_col: str = "demand",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Max-min fair allocation of a crawl budget across hosts —
+    progressive filling in closed form.
+
+    Bertsekas & Gallager, "Data Networks" (1987, §6.5.2): allocate a
+    shared capacity so that no host can get more without taking from
+    a host with less — small demands are satisfied in full, large
+    ones capped at a common WATER LEVEL l chosen so that
+    sum_i min(demand_i, l) = capacity.  This is the fairness rule a
+    polite fetcher applies when host demand (frontier size) exceeds
+    the fetch budget: trimming proportionally would starve small
+    hosts; trimming max-min starves no one.
+
+    Closed form via one sort: with demands d_(1) <= ... <= d_(n) and
+    prefix sums S_k, the level sits in the first segment where the
+    remaining capacity no longer covers everyone's next increment —
+    l = (C - S_k) / (n - k) for the largest k with
+    S_k + (n - k) * d_(k) <= C (k = 0 allowed), fully saturated if
+    sum d_i <= C.  Per host: (host, demand, allocation, saturated)
+    plus the level on every row.
+
+    Scale shape: one global sort window over the HOST table (tiny
+    relative to pages) + one broadcast 1-row level computation.
+    """
+    from pyspark.sql import Window
+
+    d = demands.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("double").alias("demand"),
+    )
+    w = Window.orderBy(F.col("demand").asc(), F.col("host").asc())
+    ranked = d.withColumn("k", F.row_number().over(w)).withColumn(
+        "prefix",
+        F.sum("demand").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    n_tot = d.count()
+    total = d.agg(F.sum("demand").alias("t")).collect()[0].t
+    if total <= capacity:
+        level_df = demands.sparkSession.createDataFrame(
+            [(float("inf"),)], "level double"
+        )
+    else:
+        # largest k where serving everyone at d_(k) still fits
+        k0row = (
+            ranked.filter(
+                (F.col("prefix") - F.col("demand"))
+                + (F.lit(n_tot) - F.col("k") + 1) * F.col("demand")
+                <= capacity
+            )
+            .agg(F.max("k").alias("k0"), F.max("prefix").alias("sk"))
+            .collect()[0]
+        )
+        k0 = k0row.k0 or 0
+        sk = k0row.sk or 0.0
+        level = (capacity - sk) / (n_tot - k0)
+        level_df = demands.sparkSession.createDataFrame(
+            [(float(level),)], "level double"
+        )
+    return (
+        d.crossJoin(F.broadcast(level_df))
+        .select(
+            "host",
+            "demand",
+            F.round(
+                F.least(F.col("demand"), F.col("level")), round_digits
+            ).alias("allocation"),
+            (F.col("demand") > F.col("level")).alias("saturated"),
+            F.round(
+                F.when(
+                    F.col("level") != float("inf"), F.col("level")
+                ),
+                round_digits,
+            ).alias("level"),
+        )
+    )

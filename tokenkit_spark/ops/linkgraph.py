@@ -1257,3 +1257,57 @@ def neighbor_degree_profile(
             F.round(F.avg("knn_i"), round_digits).alias("avg_knn"),
         )
     )
+
+
+def link_hygiene(
+    edges: DataFrame,
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Crawl link-hygiene rollup: orphans, sinks, and dangling
+    outlinks.
+
+    The webmaster-facing companion to the bowtie decomposition
+    (``bowtie_decomposition``): per corpus, how many known pages no
+    crawl path reaches (ORPHANS — zero inlinks, discoverable only via
+    sitemap/seed, the coverage risk sitemaps exist to patch), how many
+    pages link nowhere (SINKS — PageRank's dangling mass, the reason
+    ``pagerank`` redistributes), and how many edges point at targets
+    OUTSIDE the known page set (DANGLING LINKS — soft-404 candidates
+    the crawler will waste fetches on; Bar-Yossef et al. WWW 2004
+    measure their decay).  One row: (n_pages, n_edges, n_orphans,
+    n_sinks, n_dangling_edges, frac_orphans, frac_dangling).
+
+    Two semi/anti-joins on node keys and two rollups — no iteration.
+    """
+    pg = pages.select(F.col(id_col).alias("node")).distinct()
+    e = edges.select("src", "dst")
+    n_pages = pg.count()
+    n_edges = e.count()
+    linked_to = e.select(F.col("dst").alias("node")).distinct()
+    orphans = pg.join(linked_to, "node", "left_anti").count()
+    links_out = e.select(F.col("src").alias("node")).distinct()
+    sinks = pg.join(links_out, "node", "left_anti").count()
+    dangling = e.join(
+        pg.select(F.col("node").alias("dst")), "dst", "left_anti"
+    ).count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_pages,
+                n_edges,
+                orphans,
+                sinks,
+                dangling,
+                round(orphans / n_pages, round_digits) if n_pages else 0.0,
+                round(dangling / n_edges, round_digits)
+                if n_edges
+                else 0.0,
+            )
+        ],
+        "n_pages long, n_edges long, n_orphans long, n_sinks long, "
+        "n_dangling_edges long, frac_orphans double, "
+        "frac_dangling double",
+    )
