@@ -8198,6 +8198,73 @@ def q_dedup_recall(spark, sf_dir):
     return planted_dup_eval(_docs(spark, sf_dir))
 
 
+def q_reformulations(spark, sf_dir):
+    """Jansen/Spink query-reformulation taxonomy: repeat /
+    specialization / generalization / reformulation / new-intent
+    shares over in-session transitions (single-term truncation
+    injected at step%9==0 so subset moves occur)
+    (ops/searchlog.py:reformulation_taxonomy)."""
+    from tokenkit_spark.ops.searchlog import reformulation_taxonomy
+
+    qlog = _query_log(spark, sf_dir).withColumn(
+        "query",
+        F.when(
+            F.col("step") % 9 == 0,
+            F.substring_index(F.col("query"), " ", 1),
+        ).otherwise(F.col("query")),
+    )
+    return reformulation_taxonomy(qlog)
+
+
+def q_dwell_sat(spark, sf_dir):
+    """SAT-click dwell classification (Fox et al. TOIS 2005): >=30s
+    SAT, <10s quickback, last-click satisfied; per session
+    (ops/searchlog.py:dwell_satisfaction)."""
+    from tokenkit_spark.ops.searchlog import dwell_satisfaction
+
+    qlog = _events(spark, sf_dir).select(
+        F.col("user_id").alias("session_id"), "ts"
+    )
+    return dwell_satisfaction(qlog)
+
+
+def q_host_hindex(spark, sf_dir):
+    """Host h-index over page inlinks (Hirsch PNAS 2005, webometrics
+    lift): depth-of-authority per host
+    (ops/linkgraph.py:host_h_index)."""
+    from tokenkit_spark.ops.linkgraph import host_h_index
+
+    return host_h_index(
+        _link_edges(spark, sf_dir),
+        F.concat(F.lit("h"), (F.col("page") % 10).cast("string")),
+    )
+
+
+def q_rfm(spark, sf_dir):
+    """RFM quintile segmentation (Hughes 1994) with deterministic
+    tie-broken ntiles (ops/events.py:rfm_segments)."""
+    from tokenkit_spark.ops.events import rfm_segments
+
+    return rfm_segments(_events(spark, sf_dir))
+
+
+def q_ltv_curve(spark, sf_dir):
+    """Cohorted cumulative-value (LTV) triangle by weekly cohort and
+    week age (ops/events.py:ltv_curve)."""
+    from tokenkit_spark.ops.events import ltv_curve
+
+    return ltv_curve(_events(spark, sf_dir))
+
+
+def q_burstiness(spark, sf_dir):
+    """Goh-Barabasi burstiness B and memory M of inter-event times
+    per type (EPL 2008) — the scalar twin of the Kleinberg burst
+    detector (ops/events.py:burstiness_params)."""
+    from tokenkit_spark.ops.events import burstiness_params
+
+    return burstiness_params(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8207,6 +8274,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "reformulations": q_reformulations,
+        "dwell_sat": q_dwell_sat,
+        "host_hindex": q_host_hindex,
+        "rfm": q_rfm,
+        "ltv_curve": q_ltv_curve,
+        "burstiness": q_burstiness,
         "stc_clusters": q_stc_clusters,
         "link_hygiene": q_link_hygiene,
         "maxmin_fair": q_maxmin_fair,
@@ -10705,6 +10778,151 @@ d1 AS (SELECT doc_id, CAST(count(DISTINCT lower(u.t)) AS DOUBLE) AS sb
        GROUP BY doc_id)"""
 
     return {
+        # Reformulation taxonomy (ops/searchlog.py)
+        "reformulations": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+ql AS (SELECT e.user_id AS session_id, e.event_id AS step, v.q AS query
+       FROM events e JOIN vocab v
+       ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+q2 AS (SELECT session_id, step,
+         CASE WHEN step % 9 = 0 THEN string_split(query, ' ')[1]
+              ELSE query END AS query FROM ql),
+t AS (SELECT session_id, step,
+        list_distinct(list_filter(
+          string_split_regex(lower(query), '\\s+'), x -> x <> ''))
+          AS cur FROM q2),
+t2 AS (SELECT cur, lead(cur) OVER (PARTITION BY session_id
+         ORDER BY step) AS nxt FROM t),
+t3 AS (SELECT len(list_intersect(cur, nxt)) AS i,
+              len(cur) AS nc, len(nxt) AS nn
+       FROM t2 WHERE nxt IS NOT NULL),
+cls AS (SELECT CASE WHEN i = nc AND i = nn THEN 'repeat'
+                    WHEN i = nc AND nn > nc THEN 'specialization'
+                    WHEN i = nn AND nc > nn THEN 'generalization'
+                    WHEN i > 0 THEN 'reformulation'
+                    ELSE 'new_intent' END AS move FROM t3),
+tot AS (SELECT count(*) AS t FROM cls)
+SELECT move, count(*) AS n,
+       round(count(*) / CAST(tot.t AS DOUBLE), 6) AS share
+FROM cls CROSS JOIN tot GROUP BY move, tot.t""",
+        # Dwell-time SAT classification (ops/searchlog.py)
+        "dwell_sat": """
+WITH t AS (SELECT user_id AS session_id,
+        CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        lead(CAST(floor(epoch(ts)) AS BIGINT))
+          OVER (PARTITION BY user_id ORDER BY ts) AS nsec
+      FROM events),
+l AS (SELECT session_id,
+        CASE WHEN nsec IS NULL THEN 'last'
+             WHEN nsec - sec >= 30 THEN 'sat'
+             WHEN nsec - sec < 10 THEN 'quickback'
+             ELSE 'mid' END AS lab FROM t)
+SELECT session_id, count(*) AS n_clicks,
+  CAST(sum(CASE WHEN lab = 'sat' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_sat,
+  CAST(sum(CASE WHEN lab = 'quickback' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quickback,
+  CAST(sum(CASE WHEN lab = 'last' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_last,
+  round((sum(CASE WHEN lab = 'sat' THEN 1 ELSE 0 END)
+         + sum(CASE WHEN lab = 'last' THEN 1 ELSE 0 END))
+        / CAST(count(*) AS DOUBLE), 6) AS sat_rate
+FROM l GROUP BY 1""",
+        # Host h-index (ops/linkgraph.py:host_h_index)
+        "host_hindex": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+inl AS (SELECT dst AS page, count(*) AS inlinks FROM edges
+        GROUP BY 1),
+h AS (SELECT page, inlinks,
+        'h' || CAST(page % 10 AS VARCHAR) AS host FROM inl),
+r AS (SELECT *, row_number() OVER (PARTITION BY host
+        ORDER BY inlinks DESC, page ASC) AS r FROM h)
+SELECT host, count(*) AS n_pages,
+       CAST(sum(inlinks) AS BIGINT) AS total_inlinks,
+       max(inlinks) AS max_inlinks,
+       coalesce(max(CASE WHEN inlinks >= r THEN r END), 0)
+         AS h_index
+FROM r GROUP BY 1""",
+        # RFM quintiles (ops/events.py:rfm_segments)
+        "rfm": """
+WITH per AS (SELECT user_id,
+    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+      AS last_day,
+    count(*) AS frequency, sum(value) AS monetary_raw
+  FROM events GROUP BY 1),
+hz AS (SELECT max(date_diff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE))) AS end_day
+       FROM events),
+s AS (SELECT per.*, hz.end_day - per.last_day AS recency_days
+      FROM per CROSS JOIN hz),
+t AS (SELECT *, ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+        AS r_score,
+      ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+      ntile(5) OVER (ORDER BY monetary_raw ASC, user_id) AS m_score
+      FROM s)
+SELECT user_id, recency_days, frequency,
+       round(monetary_raw, 6) AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm
+FROM t""",
+        # Cohort LTV triangle (ops/events.py:ltv_curve)
+        "ltv_curve": """
+WITH fw AS (SELECT user_id AS u,
+              CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY 1),
+sz AS (SELECT cohort_week, count(*) AS cohort_users FROM fw
+       GROUP BY 1),
+j AS (SELECT e.user_id AS u, CAST(date_trunc('week', e.ts) AS DATE)
+        AS w, e.value AS v, fw.cohort_week
+      FROM events e JOIN fw ON fw.u = e.user_id),
+per AS (SELECT cohort_week,
+          date_diff('day', cohort_week, w) // 7 AS week_age,
+          sum(v) AS week_value
+        FROM j GROUP BY 1, 2),
+c AS (SELECT *, sum(week_value) OVER (PARTITION BY cohort_week
+        ORDER BY week_age ROWS UNBOUNDED PRECEDING) AS cum_value
+      FROM per)
+SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week, week_age,
+       cohort_users, round(week_value, 6) AS week_value,
+       round(cum_value, 6) AS cum_value,
+       round(cum_value / cohort_users, 6) AS cum_value_per_user
+FROM c JOIN sz USING (cohort_week)""",
+        # Goh-Barabasi burstiness/memory (ops/events.py)
+        "burstiness": """
+WITH e2 AS (SELECT event_type AS grp, ts, event_id,
+        CAST(CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id)))
+               AS BIGINT) AS DOUBLE) AS gap
+      FROM events),
+g AS (SELECT grp, gap, lead(gap) OVER (PARTITION BY grp
+        ORDER BY ts, event_id) AS nxt_gap
+      FROM e2 WHERE gap IS NOT NULL),
+a AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n, sum(gap) AS s,
+        sum(gap * gap) AS ss,
+        sum(CASE WHEN nxt_gap IS NOT NULL THEN gap END) AS px,
+        sum(CASE WHEN nxt_gap IS NOT NULL THEN nxt_gap END) AS py,
+        sum(CASE WHEN nxt_gap IS NOT NULL THEN gap * gap END) AS pxx,
+        sum(CASE WHEN nxt_gap IS NOT NULL THEN nxt_gap * nxt_gap END)
+          AS pyy,
+        sum(CASE WHEN nxt_gap IS NOT NULL THEN gap * nxt_gap END)
+          AS pxy,
+        sum(CASE WHEN nxt_gap IS NOT NULL THEN 1.0 ELSE 0.0 END)
+          AS np
+      FROM g GROUP BY 1),
+c AS (SELECT grp, n, s / n AS mu,
+        sqrt((ss - s * s / n) / n) AS sigma,
+        pxy - px * py / np AS mcov,
+        pxx - px * px / np AS mvx,
+        pyy - py * py / np AS mvy
+      FROM a)
+SELECT grp, CAST(n AS BIGINT) AS n_gaps, round(mu, 6) AS mean_gap_s,
+       round(sigma / mu, 6) AS cv,
+       round((sigma - mu) / (sigma + mu), 6) AS burstiness,
+       round(CASE WHEN mvx > 0 AND mvy > 0
+             THEN mcov / sqrt(mvx * mvy) END, 6) AS memory
+FROM c""",
         # STC phrase base clusters (index/stc.py:stc_base_clusters)
         "stc_clusters": f"""
 WITH toks AS ({_TOKS}),

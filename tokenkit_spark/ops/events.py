@@ -747,3 +747,228 @@ def apdex_scores(
         F.round(apdex, round_digits).alias("apdex"),
         rating.alias("rating"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    n_tiles: int = 5,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation.
+
+    The direct-marketing workhorse (Hughes, "Strategic Database
+    Marketing", 1994) that survives as the default user-value
+    segmentation in product analytics: score each user 1..n_tiles on
+    Recency (days since last event — lower is better), Frequency
+    (event count) and Monetary (value sum), via rank tiles.  Tiles
+    use ``ntile`` over a TOTALLY ordered key (metric, then user id)
+    so the bucketing is deterministic and engine-independent — plain
+    ntile over ties is implementation-defined, the classic
+    reproducibility bug in RFM pipelines.  Champions are 555-ish,
+    at-risk high-value are r=1/m=5, etc.; this emits the per-user
+    scores and the segment-size rollup consumes them downstream.
+
+    One row per user: (user_id, recency_days, frequency, monetary,
+    r_score, f_score, m_score, rfm).  r_score is reversed (most
+    recent = n_tiles).
+    """
+    from pyspark.sql import Window
+
+    day = F.datediff(
+        F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+    )
+    per = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(value_col).alias("monetary_raw"),
+    )
+    horizon = events.agg(F.max(day).alias("end_day"))
+    scored = per.crossJoin(F.broadcast(horizon)).withColumn(
+        "recency_days", F.col("end_day") - F.col("last_day")
+    )
+    wr = Window.orderBy(
+        F.col("recency_days").desc(), F.col("user_id").asc()
+    )
+    wf = Window.orderBy(F.col("frequency").asc(), F.col("user_id").asc())
+    wm = Window.orderBy(
+        F.col("monetary_raw").asc(), F.col("user_id").asc()
+    )
+    out = (
+        scored.withColumn("r_score", F.ntile(n_tiles).over(wr))
+        .withColumn("f_score", F.ntile(n_tiles).over(wf))
+        .withColumn("m_score", F.ntile(n_tiles).over(wm))
+    )
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round("monetary_raw", round_digits).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm"),
+    )
+
+
+def ltv_curve(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cohort cumulative-value (LTV) curve by weekly cohort and age.
+
+    The standard cohorted lifetime-value triangle (the revenue twin
+    of ``retention_cohorts``): users cohorted by first-activity ISO
+    Monday week; for each cohort and week age a, the CUMULATIVE value
+    per cohort user through that age.  Comparing rows at equal age
+    across cohorts is the honest LTV trend read — calendar totals mix
+    cohort sizes and ages and systematically flatter growth.
+
+    One row per (cohort_week, week_age): (cohort_week, week_age,
+    cohort_users, week_value, cum_value, cum_value_per_user).
+    Shape: user rollup for cohorts, (cohort, age) rollup, one
+    cumulative window per cohort over the tiny triangle.
+    """
+    from pyspark.sql import Window
+
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    first_w = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(week).alias("cohort_week")
+    )
+    sizes = first_w.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    j = events.select(
+        F.col(user_col).alias("u"),
+        week.alias("w"),
+        F.col(value_col).alias("v"),
+    ).join(first_w, "u")
+    per = j.groupBy("cohort_week",
+                    F.datediff(F.col("w"), F.col("cohort_week"))
+                    .alias("age_days")).agg(F.sum("v").alias("week_value"))
+    per = per.select(
+        "cohort_week",
+        (F.col("age_days") / 7).cast("long").alias("week_age"),
+        "week_value",
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = per.withColumn("cum_value", F.sum("week_value").over(wcum))
+    return out.join(sizes, "cohort_week").select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_age",
+        "cohort_users",
+        F.round("week_value", round_digits).alias("week_value"),
+        F.round("cum_value", round_digits).alias("cum_value"),
+        F.round(
+            F.col("cum_value") / F.col("cohort_users"), round_digits
+        ).alias("cum_value_per_user"),
+    )
+
+
+def burstiness_params(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Goh-Barabasi burstiness and memory of inter-event times.
+
+    Goh & Barabasi, "Burstiness and memory in complex systems" (EPL
+    2008): characterize an event stream by its inter-arrival
+    distribution's coefficient of variation folded into
+
+        B = (sigma - mu) / (sigma + mu)   in (-1, 1)
+
+    (B = -1 periodic, 0 Poisson, -> 1 extremely bursty) and the
+    MEMORY coefficient M = Pearson correlation of consecutive
+    inter-event times.  The scalar twin of the Kleinberg burst
+    detector (``ops/bursts.py``): Kleinberg finds WHEN the bursts
+    are, B/M say HOW bursty the process is — the pair
+    (crawl-politeness and capacity models consume both).
+
+    Per group: (grp, n_gaps, mean_gap_s, cv, burstiness, memory).
+    Sufficient-statistic sums only; one lag window for gaps, a second
+    for consecutive-gap pairs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(ts_col, "event_id")
+    gaps = (
+        events.withColumn(
+            "gap",
+            (
+                F.unix_timestamp(ts_col)
+                - F.unix_timestamp(F.lag(ts_col).over(w))
+            ).cast("double"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .withColumn("nxt_gap", F.lead("gap").over(w))
+        .select(F.col(group_col).alias("grp"), "gap", "nxt_gap")
+    )
+    agg = gaps.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("ss"),
+        F.sum(F.when(F.col("nxt_gap").isNotNull(), F.col("gap"))).alias(
+            "px"
+        ),
+        F.sum(F.when(F.col("nxt_gap").isNotNull(), F.col("nxt_gap"))).alias(
+            "py"
+        ),
+        F.sum(
+            F.when(
+                F.col("nxt_gap").isNotNull(),
+                F.col("gap") * F.col("gap"),
+            )
+        ).alias("pxx"),
+        F.sum(
+            F.when(
+                F.col("nxt_gap").isNotNull(),
+                F.col("nxt_gap") * F.col("nxt_gap"),
+            )
+        ).alias("pyy"),
+        F.sum(
+            F.when(
+                F.col("nxt_gap").isNotNull(),
+                F.col("gap") * F.col("nxt_gap"),
+            )
+        ).alias("pxy"),
+        F.sum(F.col("nxt_gap").isNotNull().cast("double")).alias("np"),
+    )
+    mu = F.col("s") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+        / F.col("n")
+    )
+    npair = F.col("np")
+    mcov = F.col("pxy") - F.col("px") * F.col("py") / npair
+    mvx = F.col("pxx") - F.col("px") * F.col("px") / npair
+    mvy = F.col("pyy") - F.col("py") * F.col("py") / npair
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(mu, round_digits).alias("mean_gap_s"),
+        F.round(sigma / mu, round_digits).alias("cv"),
+        F.round((sigma - mu) / (sigma + mu), round_digits).alias(
+            "burstiness"
+        ),
+        F.round(
+            F.when(
+                (mvx > 0) & (mvy > 0), mcov / F.sqrt(mvx * mvy)
+            ),
+            round_digits,
+        ).alias("memory"),
+    )

@@ -1311,3 +1311,43 @@ def link_hygiene(
         "n_dangling_edges long, frac_orphans double, "
         "frac_dangling double",
     )
+
+
+def host_h_index(
+    edges: DataFrame,
+    page_host,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Host-level h-index over page inlink counts.
+
+    Hirsch's h (PNAS 2005) lifted to web hosts as in the webometrics
+    literature: a host has index h if h of its pages have >= h
+    inlinks each — a depth-of-authority measure a single viral page
+    cannot inflate (unlike total inlinks) and a thousand 1-inlink
+    pages cannot either.  ``page_host`` is a Column mapping dst page
+    id -> host key.
+
+    Per host: (host, n_pages, total_inlinks, max_inlinks, h_index).
+    Shape: inlink rollup, per-host rank window, one conditional max —
+    h = max rank r with inlinks_(r) >= r.
+    """
+    from pyspark.sql import Window
+
+    inl = edges.groupBy(F.col("dst").alias("page")).agg(
+        F.count(F.lit(1)).alias("inlinks")
+    ).withColumn("host", page_host)
+    w = Window.partitionBy("host").orderBy(
+        F.col("inlinks").desc(), F.col("page").asc()
+    )
+    ranked = inl.withColumn("r", F.row_number().over(w))
+    return ranked.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("inlinks").alias("total_inlinks"),
+        F.max("inlinks").alias("max_inlinks"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("inlinks") >= F.col("r"), F.col("r"))
+            ),
+            F.lit(0),
+        ).alias("h_index"),
+    )

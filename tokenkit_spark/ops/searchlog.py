@@ -291,3 +291,121 @@ def query_intent(
         .otherwise(F.lit("informational"))
         .alias("intent"),
     )
+
+
+def reformulation_taxonomy(
+    qlog: DataFrame,
+    session_col: str = "session_id",
+    step_col: str = "step",
+    query_col: str = "query",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Classify consecutive in-session query transitions by term-set
+    operations — the Jansen/Spink reformulation taxonomy.
+
+    Jansen, Spink & Saracevic (IP&M 2000) / Rieh & Xie (IP&M 2006)
+    move taxonomy, operationalized on term sets of adjacent queries
+    within a session:
+
+        repeat          same term set
+        specialization  strict superset (terms added — narrowing)
+        generalization  strict subset (terms dropped — broadening)
+        reformulation   overlapping but neither contains the other
+        new_intent      disjoint term sets (topic switch)
+
+    Per class: transition counts and shares — the aggregate shape of
+    how users steer the engine, the input the assistance features
+    (suggestions ``queryflow``, spelling ``wordbreak``) are tuned
+    against.  One lead window per session + set-algebra projections
+    on split arrays; no joins beyond the rollup.
+    """
+    w = Window.partitionBy(session_col).orderBy(step_col)
+    terms = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(query_col)), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    t = qlog.withColumn("cur", terms).withColumn(
+        "nxt", F.lead("cur").over(w)
+    ).filter(F.col("nxt").isNotNull())
+    inter = F.size(F.array_intersect(F.col("cur"), F.col("nxt")))
+    ncur = F.size("cur")
+    nnxt = F.size("nxt")
+    cls = (
+        F.when((inter == ncur) & (inter == nnxt), "repeat")
+        .when((inter == ncur) & (nnxt > ncur), "specialization")
+        .when((inter == nnxt) & (ncur > nnxt), "generalization")
+        .when(inter > 0, "reformulation")
+        .otherwise("new_intent")
+    )
+    per = t.select(cls.alias("move"))
+    tot = per.count()
+    return (
+        per.groupBy("move")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "move",
+            "n",
+            F.round(F.col("n") / F.lit(float(tot)), round_digits).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def dwell_satisfaction(
+    qlog: DataFrame,
+    sat_s: float = 30.0,
+    quickback_s: float = 10.0,
+    session_col: str = "session_id",
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SAT-click classification from dwell time — the implicit
+    satisfaction signal.
+
+    Fox et al., "Evaluating implicit measures to improve web search"
+    (TOIS 2005): a click whose dwell (time to the user's next action)
+    exceeds ~30s is a SAT click; a return within a few seconds is a
+    QUICKBACK (negative signal); the LAST click of a session has
+    unbounded dwell and is conventionally counted satisfied.  These
+    labels are what click-model training and online metrics
+    (``clicks.py``) consume as ground truth.
+
+    Per session: (session_id, n_clicks, n_sat, n_quickback, n_last,
+    sat_rate) with dwell from one lead window over the session's
+    event times.
+    """
+    w = Window.partitionBy(session_col).orderBy(ts_col)
+    t = qlog.withColumn(
+        "dwell_s",
+        (
+            F.unix_timestamp(F.lead(ts_col).over(w))
+            - F.unix_timestamp(F.col(ts_col))
+        ).cast("double"),
+    )
+    lab = t.select(
+        F.col(session_col).alias("session_id"),
+        F.when(F.col("dwell_s").isNull(), "last")
+        .when(F.col("dwell_s") >= sat_s, "sat")
+        .when(F.col("dwell_s") < quickback_s, "quickback")
+        .otherwise("mid")
+        .alias("lab"),
+    )
+    return lab.groupBy("session_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum((F.col("lab") == "sat").cast("long")).alias("n_sat"),
+        F.sum((F.col("lab") == "quickback").cast("long")).alias(
+            "n_quickback"
+        ),
+        F.sum((F.col("lab") == "last").cast("long")).alias("n_last"),
+        F.round(
+            (
+                F.sum((F.col("lab") == "sat").cast("long"))
+                + F.sum((F.col("lab") == "last").cast("long"))
+            )
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("sat_rate"),
+    )
