@@ -8265,6 +8265,91 @@ def q_burstiness(spark, sf_dir):
     return burstiness_params(_events(spark, sf_dir))
 
 
+def q_percentiles_bucket(spark, sf_dir):
+    """ES percentiles_bucket pipeline agg: exact interpolated
+    p50/p90/p99 over the daily-count buckets per type
+    (ops/events.py:percentiles_bucket)."""
+    from tokenkit_spark.ops.events import percentiles_bucket
+
+    return percentiles_bucket(_events(spark, sf_dir))
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Two-step funnel time-to-convert: first view -> first purchase
+    at-or-after, exact p50/p90 latency over converters
+    (ops/events.py:funnel_latency)."""
+    from tokenkit_spark.ops.events import funnel_latency
+
+    return funnel_latency(_events(spark, sf_dir))
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient phi(k) (Zhou & Mondragon 2004; Colizza
+    et al. 2006) of the undirected link graph
+    (ops/linkgraph.py:rich_club)."""
+    from tokenkit_spark.ops.linkgraph import rich_club
+
+    return rich_club(_link_edges(spark, sf_dir))
+
+
+def q_rle_audit(spark, sf_dir):
+    """RLE payoff of sorting by a low-cardinality column (Abadi et
+    al. SIGMOD 2006): exact run counts docid-order vs self-sorted
+    for the source column (index/layout.py:rle_layout_audit)."""
+    from tokenkit_spark.index.layout import rle_layout_audit
+
+    return rle_layout_audit(_docs(spark, sf_dir), "source")
+
+
+def q_log_release(spark, sf_dir):
+    """Staged query-log release audit (Adar 2007): raw ->
+    k-anonymity -> rare-term suppression survival curve, with an
+    injected 4-user vanity-term query that passes k=3 but fails the
+    min-5-users term gate (ops/searchlog.py:log_release_pipeline)."""
+    from tokenkit_spark.ops.searchlog import log_release_pipeline
+
+    qlog = _query_log(spark, sf_dir)
+    extra = (
+        _events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 41 == 0)
+        .select(
+            F.col("user_id").alias("session_id"),
+            (F.lit(1000000) + F.col("user_id")).alias("step"),
+            F.lit("vanityterm search").alias("query"),
+        )
+    )
+    return log_release_pipeline(
+        qlog.unionByName(extra), k=3, min_term_users=5,
+        user_col="session_id",
+    )
+
+
+def q_crawl_makespan(spark, sf_dir):
+    """Crawl makespan lower bound (politeness head vs bandwidth,
+    IRLbot/Mercator analyses): which constraint binds at d=1s, 64
+    connections (ops/frontier.py:crawl_makespan_bound)."""
+    from tokenkit_spark.ops.frontier import crawl_makespan_bound
+
+    d = _docs(spark, sf_dir)
+    demands = (
+        d.groupBy((F.col("doc_id") % 10).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias(
+                "host"
+            ),
+            (F.col("c") * (F.col("h") + 1)).cast("double").alias(
+                "demand"
+            ),
+        )
+    )
+    return crawl_makespan_bound(
+        demands, politeness_s=1.0, connections=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8274,6 +8359,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "percentiles_bucket": q_percentiles_bucket,
+        "funnel_latency": q_funnel_latency,
+        "rich_club": q_rich_club,
+        "rle_audit": q_rle_audit,
+        "log_release": q_log_release,
+        "crawl_makespan": q_crawl_makespan,
         "reformulations": q_reformulations,
         "dwell_sat": q_dwell_sat,
         "host_hindex": q_host_hindex,
@@ -10777,7 +10868,145 @@ d1 AS (SELECT doc_id, CAST(count(DISTINCT lower(u.t)) AS DOUBLE) AS sb
               x -> x <> '')) AS u(t)
        GROUP BY doc_id)"""
 
+    _rich_ks = (1, 2, 3, 5, 8)
+    _rich_branches = []
+    for _rk in _rich_ks:
+        _rich_branches.append(f"""
+SELECT {_rk} AS k,
+  (SELECT count(*) FROM deg WHERE deg > {_rk}) AS n_rich,
+  (SELECT count(*) FROM ue
+     WHERE src IN (SELECT src FROM deg WHERE deg > {_rk})
+       AND dst IN (SELECT src FROM deg WHERE deg > {_rk})) AS e_rich,
+  (SELECT CASE WHEN count(*) > 1 THEN round(
+      2.0 * (SELECT count(*) FROM ue
+             WHERE src IN (SELECT src FROM deg WHERE deg > {_rk})
+               AND dst IN (SELECT src FROM deg WHERE deg > {_rk}))
+      / (count(*) * (count(*) - 1.0)), 6) END
+   FROM deg WHERE deg > {_rk}) AS phi""")
+    _rich_sql = (
+        f"""
+WITH {_LINK_EDGES_SQL.strip()},
+und AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM edges
+         UNION ALL SELECT dst, src FROM edges)
+        WHERE src <> dst),
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+ue AS (SELECT src, dst FROM und WHERE src < dst)"""
+        + " UNION ALL ".join(_rich_branches)
+    )
+
     return {
+        # ES percentiles_bucket pipeline agg (ops/events.py)
+        "percentiles_bucket": f"""
+WITH {_shew_daily.strip()}
+SELECT grp, CAST(0.5 AS DOUBLE) AS pct, count(*) AS n_buckets,
+       round(quantile_cont(y, 0.5), 6) AS value FROM d GROUP BY 1
+UNION ALL
+SELECT grp, CAST(0.9 AS DOUBLE), count(*),
+       round(quantile_cont(y, 0.9), 6) FROM d GROUP BY 1
+UNION ALL
+SELECT grp, CAST(0.99 AS DOUBLE), count(*),
+       round(quantile_cont(y, 0.99), 6) FROM d GROUP BY 1""",
+        # Funnel time-to-convert (ops/events.py:funnel_latency)
+        "funnel_latency": """
+WITH f AS (SELECT user_id AS u, min(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT f.u, f.t0, min(e.ts) AS t1
+      FROM f JOIN events e ON e.user_id = f.u
+        AND e.event_type = 'purchase' AND e.ts >= f.t0
+      GROUP BY f.u, f.t0),
+l AS (SELECT CAST(CAST(floor(epoch(t1)) AS BIGINT)
+             - CAST(floor(epoch(t0)) AS BIGINT) AS DOUBLE) AS lat_s
+      FROM c),
+ns AS (SELECT count(*) AS n FROM f)
+SELECT ns.n AS n_start_users, count(*) AS n_converted,
+       round(count(*) / CAST(ns.n AS DOUBLE), 6) AS conversion_rate,
+       round(avg(lat_s), 6) AS mean_s,
+       round(quantile_cont(lat_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(lat_s, 0.9), 6) AS p90_s
+FROM l CROSS JOIN ns GROUP BY ns.n""",
+        # Rich-club coefficient (ops/linkgraph.py:rich_club)
+        "rich_club": _rich_sql,
+        # RLE layout audit (index/layout.py:rle_layout_audit)
+        "rle_audit": """
+WITH v AS (SELECT doc_id AS id, source AS v FROM documents),
+r1 AS (SELECT CAST(sum(CASE WHEN pv IS NULL OR pv <> v
+                            THEN 1 ELSE 0 END) AS BIGINT) AS runs
+       FROM (SELECT v, lag(v) OVER (ORDER BY id) AS pv FROM v)),
+r2 AS (SELECT CAST(sum(CASE WHEN pv IS NULL OR pv <> v
+                            THEN 1 ELSE 0 END) AS BIGINT) AS runs
+       FROM (SELECT v, lag(v) OVER (ORDER BY v, id) AS pv FROM v)),
+nn AS (SELECT count(*) AS n FROM v),
+pr AS (SELECT count(*) AS n_distinct,
+              sum((c / CAST(nn.n AS DOUBLE))
+                  * (c / CAST(nn.n AS DOUBLE))) AS p2
+       FROM (SELECT v, count(*) AS c FROM v GROUP BY 1)
+       CROSS JOIN nn GROUP BY nn.n)
+SELECT nn.n AS n_rows, pr.n_distinct, r1.runs AS runs_docid,
+       r2.runs AS runs_sorted,
+       round(1.0 + (nn.n - 1) * (1.0 - pr.p2), 6) AS expected_runs,
+       round(r1.runs / CAST(r2.runs AS DOUBLE), 6) AS rle_gain
+FROM nn CROSS JOIN pr CROSS JOIN r1 CROSS JOIN r2""",
+        # Staged log release (ops/searchlog.py:log_release_pipeline)
+        "log_release": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+ql0 AS (SELECT e.user_id AS session_id, e.event_id AS step,
+               v.q AS query
+        FROM events e JOIN vocab v
+        ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+extra AS (SELECT DISTINCT user_id AS session_id,
+            1000000 + user_id AS step,
+            'vanityterm search' AS query
+          FROM events WHERE user_id % 41 = 0),
+ql AS (SELECT * FROM ql0 UNION ALL SELECT * FROM extra),
+tot AS (SELECT count(*) AS t FROM ql),
+perq AS (SELECT query, count(DISTINCT session_id) AS n_users,
+                count(*) AS n_rows FROM ql GROUP BY 1),
+s1 AS (SELECT query, n_rows FROM perq WHERE n_users >= 3),
+terms AS (SELECT session_id AS u, lower(unnest(list_filter(
+            string_split_regex(query, '\\s+'), x -> x <> ''))) AS term
+          FROM ql),
+rare AS (SELECT term FROM (SELECT term, count(DISTINCT u) AS tu
+         FROM terms GROUP BY 1) WHERE tu < 5),
+qt AS (SELECT DISTINCT q2.query, lower(u.t) AS term FROM
+       (SELECT DISTINCT query FROM ql) q2,
+       unnest(list_filter(string_split_regex(q2.query, '\\s+'),
+              x -> x <> '')) AS u(t)),
+taint AS (SELECT DISTINCT qt.query FROM qt JOIN rare USING (term)),
+s2 AS (SELECT s1.query, s1.n_rows FROM s1
+       LEFT JOIN taint ON taint.query = s1.query
+       WHERE taint.query IS NULL),
+st AS (
+  SELECT 0 AS stage, 'raw' AS stage_name,
+         CAST(sum(n_rows) AS BIGINT) AS n_rows_kept,
+         count(*) AS n_queries_kept FROM perq
+  UNION ALL
+  SELECT 1, 'k_anonymity', CAST(coalesce(sum(n_rows), 0) AS BIGINT),
+         count(*) FROM s1
+  UNION ALL
+  SELECT 2, 'rare_term_suppression',
+         CAST(coalesce(sum(n_rows), 0) AS BIGINT), count(*) FROM s2)
+SELECT stage, stage_name, n_rows_kept, n_queries_kept,
+       round(n_rows_kept / CAST(tot.t AS DOUBLE), 6)
+         AS frac_rows_kept
+FROM st CROSS JOIN tot""",
+        # Crawl makespan bound (ops/frontier.py:crawl_makespan_bound)
+        "crawl_makespan": """
+WITH d0 AS (SELECT doc_id % 10 AS h, count(*) AS c FROM documents
+            GROUP BY 1),
+dm AS (SELECT CAST(c * (h + 1) AS DOUBLE) AS demand FROM d0),
+a AS (SELECT count(*) AS n_hosts, sum(demand) AS total,
+             max(demand) AS mx FROM dm),
+b AS (SELECT *, mx * 1.0 AS head, total / 64.0 AS bw FROM a)
+SELECT n_hosts, CAST(total AS BIGINT) AS total_pages,
+       CAST(mx AS BIGINT) AS max_host_pages,
+       round(head, 6) AS head_bound_s,
+       round(bw, 6) AS bandwidth_bound_s,
+       round(greatest(head, bw), 6) AS makespan_lb_s,
+       CASE WHEN head >= bw THEN 'politeness_head'
+            ELSE 'bandwidth' END AS binding,
+       round(total / (64.0 * greatest(head, bw)), 6) AS utilization
+FROM b""",
         # Reformulation taxonomy (ops/searchlog.py)
         "reformulations": f"""
 WITH vocab(idx, q) AS (VALUES {qflow_vocab}),

@@ -220,3 +220,81 @@ def positional_overhead_audit(
             ).alias("overhead_x"),
         )
     )
+
+
+def rle_layout_audit(
+    rows: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Run-length-encoding payoff of sorting a columnar file by a
+    low-cardinality column.
+
+    The doc-values/Parquet layout decision in its purest form
+    (Abadi, Madden & Ferreira, "Integrating compression and execution
+    in column-oriented database systems", SIGMOD 2006): RLE run count
+    == number of value CHANGES along the storage order, so a column
+    sorted by itself compresses to ~cardinality runs while the same
+    column in docid order carries ~n * (1 - sum p_i^2) expected
+    changes.  Exact run counts under both orders plus the
+    Abadi-style expected-run model:
+
+        (n_rows, n_distinct, runs_docid, runs_sorted, expected_runs,
+         rle_gain)
+
+    with rle_gain = runs_docid / runs_sorted.  One lag window per
+    order over the projection — the audit is itself scan-shaped.
+    """
+    from pyspark.sql import Window
+
+    v = rows.select(
+        F.col(id_col).alias("id"), F.col(value_col).alias("v")
+    )
+    n = v.count()
+
+    def runs(order_cols):
+        w = Window.orderBy(*order_cols)
+        return (
+            v.withColumn("pv", F.lag("v").over(w))
+            .select(
+                (
+                    F.col("pv").isNull()
+                    | (F.col("pv") != F.col("v"))
+                ).cast("long").alias("chg")
+            )
+            .agg(F.sum("chg").alias("r"))
+            .collect()[0]
+            .r
+        )
+
+    runs_docid = runs([F.col("id").asc()])
+    runs_sorted = runs([F.col("v").asc(), F.col("id").asc()])
+    probs = (
+        v.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                (F.col("c") / F.lit(float(n)))
+                * (F.col("c") / F.lit(float(n)))
+            ).alias("p2"),
+        )
+        .collect()[0]
+    )
+    expected = 1.0 + (n - 1) * (1.0 - probs.p2)
+    spark = rows.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                probs.n_distinct,
+                runs_docid,
+                runs_sorted,
+                round(expected, round_digits),
+                round(runs_docid / runs_sorted, round_digits),
+            )
+        ],
+        "n_rows long, n_distinct long, runs_docid long, "
+        "runs_sorted long, expected_runs double, rle_gain double",
+    )

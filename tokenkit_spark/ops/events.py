@@ -972,3 +972,87 @@ def burstiness_params(
             round_digits,
         ).alias("memory"),
     )
+
+
+def percentiles_bucket(
+    events: DataFrame,
+    percentiles=(0.5, 0.9, 0.99),
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES ``percentiles_bucket`` pipeline agg: exact percentiles OVER
+    the daily-count bucket values per group (the sibling pipeline agg
+    to ``stats_bucket``): which day-volume is a p90 day?  Exact
+    linear-interpolation percentiles (percentile_cont semantics —
+    both engines interpolate identically on the sorted bucket list;
+    the approximate t-digest ES uses at scale is deliberately NOT
+    replicated, the bucket list is small by construction).
+
+    One row per (grp, pct): (grp, pct, n_buckets, value)."""
+    d = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.datediff(
+            F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = None
+    for p in percentiles:
+        row = d.groupBy("grp").agg(
+            F.lit(float(p)).alias("pct"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.percentile("y", F.lit(float(p))), round_digits)
+            .alias("value"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def funnel_latency(
+    events: DataFrame,
+    start_type: str = "view",
+    end_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Time-to-convert distribution for a two-step funnel: per
+    converting user, the latency from FIRST ``start_type`` to the
+    first ``end_type`` at-or-after it; exact p50/p90 + mean over
+    converters — the latency companion to the step-count funnel
+    (``funnel_steps``).  One row: (n_start_users, n_converted,
+    conversion_rate, mean_s, p50_s, p90_s)."""
+    firsts = events.filter(F.col(type_col) == start_type).groupBy(
+        F.col(user_col).alias("u")
+    ).agg(F.min(ts_col).alias("t0"))
+    ends = events.filter(F.col(type_col) == end_type).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t1")
+    )
+    conv = (
+        firsts.join(ends, "u")
+        .filter(F.col("t1") >= F.col("t0"))
+        .groupBy("u", "t0")
+        .agg(F.min("t1").alias("t1"))
+        .select(
+            "u",
+            (
+                F.unix_timestamp("t1") - F.unix_timestamp("t0")
+            ).cast("double").alias("lat_s"),
+        )
+    )
+    n_start = firsts.count()
+    return conv.agg(
+        F.lit(n_start).alias("n_start_users"),
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(
+            F.count(F.lit(1)) / F.lit(float(n_start)), round_digits
+        ).alias("conversion_rate"),
+        F.round(F.avg("lat_s"), round_digits).alias("mean_s"),
+        F.round(F.percentile("lat_s", F.lit(0.5)), round_digits).alias(
+            "p50_s"
+        ),
+        F.round(F.percentile("lat_s", F.lit(0.9)), round_digits).alias(
+            "p90_s"
+        ),
+    )

@@ -203,3 +203,53 @@ def maxmin_fair_budget(
             ).alias("level"),
         )
     )
+
+
+def crawl_makespan_bound(
+    demands: DataFrame,
+    politeness_s: float = 1.0,
+    connections: int = 64,
+    host_col: str = "host",
+    demand_col: str = "demand",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Crawl makespan lower bound under per-host politeness — the
+    two-term bound every frontier scheduler is judged against.
+
+    Folklore formalized in the IRLbot/Mercator analyses (Lee et al.
+    WWW 2008; Heydon & Najork 1999): with per-host politeness delay d
+    and c parallel connections, no schedule finishes faster than
+
+        T* = max( max_h q_h * d,  sum_h q_h / c )
+
+    — the HEAD term (one host's queue serialized by politeness) or
+    the BANDWIDTH term, whichever binds.  The audit reports both
+    terms, the binding constraint, and the head-host utilization
+    sum/(c * T*) — when the head term binds, adding connections buys
+    nothing and the only levers are politeness policy or host
+    sharding, which is exactly the decision this number drives.
+
+    One row: (n_hosts, total_pages, max_host_pages, head_bound_s,
+    bandwidth_bound_s, makespan_lb_s, binding, utilization).
+    """
+    agg = demands.agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum(demand_col).alias("total"),
+        F.max(demand_col).alias("mx"),
+    )
+    head = F.col("mx") * politeness_s
+    bw = F.col("total") / float(connections)
+    lb = F.greatest(head, bw)
+    return agg.select(
+        "n_hosts",
+        F.col("total").cast("long").alias("total_pages"),
+        F.col("mx").cast("long").alias("max_host_pages"),
+        F.round(head, round_digits).alias("head_bound_s"),
+        F.round(bw, round_digits).alias("bandwidth_bound_s"),
+        F.round(lb, round_digits).alias("makespan_lb_s"),
+        F.when(head >= bw, F.lit("politeness_head"))
+        .otherwise(F.lit("bandwidth"))
+        .alias("binding"),
+        F.round(F.col("total") / (float(connections) * lb),
+                round_digits).alias("utilization"),
+    )

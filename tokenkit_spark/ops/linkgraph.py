@@ -1351,3 +1351,61 @@ def host_h_index(
             F.lit(0),
         ).alias("h_index"),
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    k_values=(1, 2, 3, 5, 8),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rich-club coefficient phi(k) of the undirected graph.
+
+    Zhou & Mondragon (IEEE Comm. Letters 2004) / Colizza et al.
+    (Nature Physics 2006): among the nodes of degree > k, how close
+    to complete is their induced subgraph?
+
+        phi(k) = 2 * E_k / (N_k * (N_k - 1))
+
+    A rising phi(k) = hubs preferentially interconnect (the
+    "oligarchy" structure of the AS graph); webgraphs usually show a
+    weak club.  Complements the scalar assortativity and the knn(k)
+    curve with the induced-subgraph view.
+
+    Per k: (k, n_rich, e_rich, phi).  Shape: degree rollup + one
+    edge semi-join per k against the broadcast rich set.
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    uedge = und.filter(F.col("src") < F.col("dst"))
+    out = None
+    for k in k_values:
+        rich = deg.filter(F.col("deg") > k).select(
+            F.col("src").alias("node")
+        )
+        n_rich = rich.count()
+        e_rich = (
+            uedge.join(
+                rich.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(
+                rich.select(F.col("node").alias("dst")), "dst", "left_semi"
+            )
+            .count()
+        )
+        phi = (
+            round(2.0 * e_rich / (n_rich * (n_rich - 1)), round_digits)
+            if n_rich > 1
+            else None
+        )
+        row = edges.sparkSession.createDataFrame(
+            [(k, n_rich, e_rich, phi)],
+            "k long, n_rich long, e_rich long, phi double",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

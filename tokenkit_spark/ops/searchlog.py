@@ -409,3 +409,99 @@ def dwell_satisfaction(
             round_digits,
         ).alias("sat_rate"),
     )
+
+
+def log_release_pipeline(
+    qlog: DataFrame,
+    k: int = 3,
+    min_term_users: int = 2,
+    user_col: str = "user_id",
+    query_col: str = "query",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Staged query-log release pipeline audit — how much survives
+    each privacy gate.
+
+    The post-AOL release recipe (Adar, "User 4xxxxx9: anonymizing
+    query logs", WWW 2007 workshop; Cooper's survey, TWEB 2008)
+    applied as a measured pipeline rather than a single filter:
+
+        stage 1  k-anonymity: drop queries issued by < k distinct
+                 users (``k_anonymity_audit``'s rule)
+        stage 2  rare-term suppression: drop surviving queries
+                 containing a term used by < min_term_users distinct
+                 users across the log (vanity/ID terms that
+                 re-identify even inside frequent queries)
+
+    Per stage: (stage, stage_name, n_rows_kept, n_queries_kept,
+    frac_rows_kept) with stage 0 = the raw log — the
+    utility-vs-privacy curve release decisions actually weigh.
+    """
+    total_rows = qlog.count()
+    per_q = qlog.groupBy(query_col).agg(
+        F.countDistinct(user_col).alias("n_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    s1_q = per_q.filter(F.col("n_users") >= k).select(
+        query_col, "n_rows"
+    )
+    terms = qlog.select(
+        F.col(user_col).alias("u"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(query_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    rare_terms = (
+        terms.groupBy("term")
+        .agg(F.countDistinct("u").alias("tu"))
+        .filter(F.col("tu") < min_term_users)
+        .select("term")
+    )
+    q_terms = (
+        qlog.select(query_col)
+        .distinct()
+        .select(
+            query_col,
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(query_col)), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("term"),
+        )
+    )
+    tainted = (
+        q_terms.join(rare_terms, "term")
+        .select(query_col)
+        .distinct()
+    )
+    s2_q = s1_q.join(tainted, query_col, "left_anti")
+    spark = qlog.sparkSession
+
+    def stage_row(stage, name, qdf):
+        agg = qdf.agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows_"),
+            F.count(F.lit(1)).alias("qs"),
+        ).collect()[0]
+        return (
+            stage,
+            name,
+            int(agg.rows_),
+            int(agg.qs),
+            round(agg.rows_ / total_rows, round_digits),
+        )
+
+    raw = per_q.select(query_col, "n_rows")
+    data = [
+        stage_row(0, "raw", raw),
+        stage_row(1, "k_anonymity", s1_q),
+        stage_row(2, "rare_term_suppression", s2_q),
+    ]
+    return spark.createDataFrame(
+        data,
+        "stage int, stage_name string, n_rows_kept long, "
+        "n_queries_kept long, frac_rows_kept double",
+    )
