@@ -8350,6 +8350,130 @@ def q_crawl_makespan(spark, sf_dir):
     )
 
 
+def _html_pages(spark, sf_dir):
+    """Deterministic HTML fixtures over the documents ids: titles
+    (missing / shared / unique), structured-data metas, and heading
+    skeletons; same recipe inlined in the SQL oracles."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 10).cast("string"))
+    title = (
+        F.when(doc % 6 == 0, F.lit(""))
+        .when(doc % 6 < 3, F.lit("<title>Common Page Title</title>"))
+        .otherwise(
+            F.concat(
+                F.lit("<title>Page "), doc.cast("string"),
+                F.lit("</title>"),
+            )
+        )
+    )
+    meta = (
+        F.when(
+            doc % 4 == 0,
+            F.lit('<script type="application/ld+json">{}</script>'),
+        )
+        .when(
+            doc % 4 == 1,
+            F.lit('<meta property="og:title" content="x">'),
+        )
+        .when(
+            doc % 4 == 2,
+            F.lit('<meta name="twitter:card" content="y">'),
+        )
+        .otherwise(F.lit(""))
+    )
+    heads = (
+        F.when(doc % 5 == 0, F.lit("<h2>a</h2>"))
+        .when(doc % 5 == 1, F.lit("<h1>a</h1><h1>b</h1>"))
+        .otherwise(F.lit("<h1>a</h1><h2>b</h2><h3>c</h3>"))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), title, meta,
+        F.lit("</head><body>"), heads, F.lit("</body></html>"),
+    )
+    return d.select(host.alias("host"), html.alias("html"))
+
+
+def q_heading_outline(spark, sf_dir):
+    """Heading-hierarchy audit per host: level counts, missing/multi
+    h1 pages, mean heading level
+    (ops/htmlmeta.py:heading_outline)."""
+    from tokenkit_spark.ops.htmlmeta import heading_outline
+
+    return heading_outline(_html_pages(spark, sf_dir))
+
+
+def q_structured_data(spark, sf_dir):
+    """Structured-data surface per host: JSON-LD blocks, Open Graph
+    and Twitter-card coverage
+    (ops/htmlmeta.py:structured_data_audit)."""
+    from tokenkit_spark.ops.htmlmeta import structured_data_audit
+
+    return structured_data_audit(_html_pages(spark, sf_dir))
+
+
+def q_title_dedup(spark, sf_dir):
+    """Duplicate/missing <title> audit per host — template-title
+    hygiene (ops/htmlmeta.py:title_dedup_audit)."""
+    from tokenkit_spark.ops.htmlmeta import title_dedup_audit
+
+    return title_dedup_audit(_html_pages(spark, sf_dir))
+
+
+def q_cube_rollup(spark, sf_dir):
+    """Data-cube rollup (Gray et al. ICDE 1996): every grouping set
+    of (event_type, ISO weekday) in one shuffle via df.cube +
+    grouping_id (ops/events.py:cube_rollup)."""
+    from tokenkit_spark.ops.events import cube_rollup
+
+    return cube_rollup(_events(spark, sf_dir))
+
+
+def q_entity_salience(spark, sf_dir):
+    """Position+frequency entity-salience proxy (Dunietz & Gillick
+    EACL 2014 features) over injected capitalized mentions, top-3 per
+    source (ops/textstats.py:entity_salience)."""
+    from tokenkit_spark.ops.textstats import entity_salience
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    tail = (
+        F.when(doc % 3 == 0, F.lit(" Alice met Bob in Paris"))
+        .when(doc % 3 == 1, F.lit(" Bob flew to Tokyo"))
+        .otherwise(F.lit(" Carol called Alice"))
+    )
+    return entity_salience(
+        d.select(
+            "doc_id", "source", F.concat("text", tail).alias("text")
+        )
+    )
+
+
+def q_luhn_summary(spark, sf_dir):
+    """Luhn significant-sentence extraction (IBM J. R&D 1958): top
+    cluster-density sentence per document over 8-word synthesized
+    sentences, docs 0-19 (ops/textstats.py:luhn_sentences)."""
+    from tokenkit_spark.ops.textstats import luhn_sentences
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
+    words = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: x != ""
+    )
+    n_chunks = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    sent_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.array_join(
+                F.slice(words, i * 8 + 1, 8), " "
+            ),
+        ),
+        ". ",
+    )
+    return luhn_sentences(
+        d.select("doc_id", sent_text.alias("text"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8359,6 +8483,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "heading_outline": q_heading_outline,
+        "structured_data": q_structured_data,
+        "title_dedup": q_title_dedup,
+        "cube_rollup": q_cube_rollup,
+        "entity_salience": q_entity_salience,
+        "luhn_summary": q_luhn_summary,
         "percentiles_bucket": q_percentiles_bucket,
         "funnel_latency": q_funnel_latency,
         "rich_club": q_rich_club,
@@ -10895,7 +11025,164 @@ ue AS (SELECT src, dst FROM und WHERE src < dst)"""
         + " UNION ALL ".join(_rich_branches)
     )
 
+    _html_cte = """
+pg AS (SELECT doc_id, 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+  '<html><head>'
+  || CASE WHEN doc_id % 6 = 0 THEN ''
+       WHEN doc_id % 6 < 3 THEN '<title>Common Page Title</title>'
+       ELSE '<title>Page ' || CAST(doc_id AS VARCHAR) || '</title>'
+     END
+  || CASE WHEN doc_id % 4 = 0
+       THEN '<script type="application/ld+json">{}</script>'
+       WHEN doc_id % 4 = 1
+       THEN '<meta property="og:title" content="x">'
+       WHEN doc_id % 4 = 2
+       THEN '<meta name="twitter:card" content="y">'
+       ELSE '' END
+  || '</head><body>'
+  || CASE WHEN doc_id % 5 = 0 THEN '<h2>a</h2>'
+       WHEN doc_id % 5 = 1 THEN '<h1>a</h1><h1>b</h1>'
+       ELSE '<h1>a</h1><h2>b</h2><h3>c</h3>' END
+  || '</body></html>' AS html
+FROM documents)"""
+
     return {
+        # Heading-outline audit (ops/htmlmeta.py:heading_outline)
+        "heading_outline": f"""
+WITH {_html_cte.strip()},
+per AS (SELECT host,
+  list_transform(regexp_extract_all(html, '(?i)<h([1-6])[^>]*>', 1),
+                 x -> CAST(x AS INT)) AS lv
+  FROM pg),
+p2 AS (SELECT host, len(lv) AS nh,
+  len(list_filter(lv, l -> l = 1)) AS nh1,
+  coalesce(list_aggregate(lv, 'sum'), 0) AS ds FROM per)
+SELECT host, count(*) AS n_pages,
+  CAST(sum(nh) AS BIGINT) AS n_headings,
+  CAST(sum(CASE WHEN nh1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS pages_no_h1,
+  CAST(sum(CASE WHEN nh1 > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS pages_multi_h1,
+  round(sum(ds) / CAST(greatest(sum(nh), 1) AS DOUBLE), 6)
+    AS mean_level
+FROM p2 GROUP BY 1""",
+        # Structured-data audit (ops/htmlmeta.py:structured_data_audit)
+        "structured_data": f"""
+WITH {_html_cte.strip()},
+per AS (SELECT host,
+  len(regexp_extract_all(html,
+      '(?i)<script[^>]*type="application/ld\\+json"')) AS nj,
+  len(regexp_extract_all(html, '(?i)<meta[^>]*property="og:'))
+    AS no,
+  len(regexp_extract_all(html, '(?i)<meta[^>]*name="twitter:'))
+    AS nt
+  FROM pg)
+SELECT host, count(*) AS n_pages,
+  CAST(sum(nj) AS BIGINT) AS jsonld_blocks,
+  CAST(sum(CASE WHEN nj > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS pages_jsonld,
+  CAST(sum(CASE WHEN no > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS pages_og,
+  CAST(sum(CASE WHEN nt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS pages_twitter,
+  round(sum(CASE WHEN nj > 0 OR no > 0 OR nt > 0 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS frac_any_structured
+FROM per GROUP BY 1""",
+        # Title dedup audit (ops/htmlmeta.py:title_dedup_audit)
+        "title_dedup": f"""
+WITH {_html_cte.strip()},
+t AS (SELECT host, nullif(trim(regexp_extract(html,
+        '(?i)<title[^>]*>([^<]*)</title>', 1)), '') AS title
+      FROM pg),
+fam AS (SELECT host, title, count(*) AS c FROM t
+        WHERE title IS NOT NULL GROUP BY 1, 2),
+a AS (SELECT host, count(*) AS n_pages,
+        CAST(sum(CASE WHEN title IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS pages_untitled
+      FROM t GROUP BY 1),
+b AS (SELECT host, count(*) AS n_distinct_titles,
+        max(c) AS max_title_family FROM fam GROUP BY 1)
+SELECT a.host, n_pages, pages_untitled,
+  coalesce(n_distinct_titles, 0) AS n_distinct_titles,
+  coalesce(max_title_family, 0) AS max_title_family,
+  round(1.0 - coalesce(n_distinct_titles, 0)
+        / CAST(n_pages - pages_untitled AS DOUBLE), 6)
+    AS dup_title_rate
+FROM a LEFT JOIN b ON b.host = a.host""",
+        # Data-cube rollup (ops/events.py:cube_rollup)
+        "cube_rollup": """
+WITH b AS (SELECT event_type,
+  CAST(((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3)
+        % 7) + 1 AS INT) AS weekday_iso,
+  value AS v FROM events)
+SELECT event_type, weekday_iso,
+  CAST(grouping(event_type) * 2 + grouping(weekday_iso) AS BIGINT)
+    AS gid,
+  count(*) AS n_events, round(sum(v), 6) AS total_value
+FROM b GROUP BY CUBE (event_type, weekday_iso)""",
+        # Entity salience proxy (ops/textstats.py:entity_salience)
+        "entity_salience": """
+WITH d2 AS (SELECT doc_id, source AS grp, text ||
+  CASE WHEN doc_id % 3 = 0 THEN ' Alice met Bob in Paris'
+       WHEN doc_id % 3 = 1 THEN ' Bob flew to Tokyo'
+       ELSE ' Carol called Alice' END AS text FROM documents),
+lf AS (SELECT doc_id, grp,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS l FROM d2),
+tk AS (SELECT doc_id, grp, unnest(l) AS tok,
+              unnest(range(1, len(l) + 1)) AS pos FROM lf),
+en AS (SELECT doc_id, grp, lower(tok) AS entity, pos FROM tk
+       WHERE pos > 1 AND regexp_matches(tok, '^[A-Z][a-z]+$')),
+pd AS (SELECT doc_id, grp, entity, count(*) AS tf,
+              min(pos) - 1 AS first_pos FROM en GROUP BY 1, 2, 3),
+sc AS (SELECT grp, entity, count(*) AS n_docs,
+         CAST(sum(tf) AS BIGINT) AS total_tf,
+         sum(tf / (1.0 + first_pos / 50.0)) AS score_raw
+       FROM pd GROUP BY 1, 2)
+SELECT rank, grp, entity, n_docs, total_tf,
+       round(score_raw, 6) AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY grp
+    ORDER BY round(score_raw, 9) DESC, entity) AS rank FROM sc)
+WHERE rank <= 3""",
+        # Luhn significant sentences (ops/textstats.py:luhn_sentences)
+        "luhn_summary": f"""
+WITH w0 AS (SELECT doc_id,
+        list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '') AS w
+      FROM documents WHERE doc_id < 20),
+st AS (SELECT doc_id, array_to_string(
+         [array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ')
+          FOR i IN range(0, greatest(
+            CAST(ceil(len(w) / 8.0) AS BIGINT), 1))], '. ')
+         AS text FROM w0),
+sl AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '\\.\\s+'),
+                     s -> trim(s) <> '') AS ss FROM st),
+sents AS (SELECT doc_id, unnest(ss) AS sentence,
+                 unnest(range(0, len(ss))) AS sent_idx FROM sl),
+tk AS (SELECT doc_id, lower(u.t) AS term FROM st,
+       unnest(list_filter(string_split_regex(lower(text),
+              '[^a-z'']+'), x -> x <> '')) AS u(t)),
+sig AS (SELECT doc_id, term FROM
+        (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2)
+        WHERE tf >= 2 AND term NOT IN ({_STOP_EN_SQL})),
+sw AS (SELECT doc_id, sent_idx, sentence,
+         list_filter(string_split_regex(lower(sentence),
+                     '[^a-z'']+'), x -> x <> '') AS tl FROM sents),
+stk AS (SELECT doc_id, sent_idx, sentence, unnest(tl) AS term,
+               unnest(range(0, len(tl))) AS pos FROM sw),
+hits AS (SELECT h.doc_id, h.sent_idx, h.sentence, h.pos
+         FROM stk h JOIN sig USING (doc_id, term)),
+sc AS (SELECT doc_id, sent_idx, sentence, count(*) AS n_sig,
+              max(pos) - min(pos) + 1 AS span
+       FROM hits GROUP BY 1, 2, 3),
+sc2 AS (SELECT *, n_sig * n_sig / CAST(span AS DOUBLE) AS score
+        FROM sc)
+SELECT doc_id, sent_idx, n_sig, span, round(score, 6) AS score,
+       sentence FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY round(score, 9) DESC, sent_idx) AS r FROM sc2)
+WHERE r = 1""",
         # ES percentiles_bucket pipeline agg (ops/events.py)
         "percentiles_bucket": f"""
 WITH {_shew_daily.strip()}

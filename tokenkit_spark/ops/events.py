@@ -1056,3 +1056,56 @@ def funnel_latency(
             "p90_s"
         ),
     )
+
+
+def cube_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-grain CUBE rollup in one pass — Spark's native OLAP
+    operator.
+
+    Gray et al., "Data Cube: a relational aggregation operator
+    generalizing group-by, cross-tab, and sub-totals" (ICDE 1996):
+    one shuffle computes every grouping-set combination of
+    (event_type, weekday) — the per-cell aggregates, both marginals,
+    and the grand total — with ``grouping_id`` disambiguating NULL
+    group values from the rolled-up ALL.  This is ``df.cube`` +
+    ``F.grouping_id`` (Catalyst expands the sets map-side; at scale
+    this beats four separate group-bys by sharing the scan and the
+    partial aggregation), replayed by the oracle as GROUPING SETS.
+
+    One row per cell: (event_type, weekday_iso, gid, n_events,
+    total_value) with NULL group columns on rolled-up axes.
+    """
+    weekday = (
+        (
+            F.datediff(
+                F.to_date(F.col(ts_col)),
+                F.lit("1970-01-01").cast("date"),
+            )
+            + 3
+        )
+        % 7
+        + 1
+    ).cast("int")
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        weekday.alias("weekday_iso"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        base.cube("event_type", "weekday_iso")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v"), round_digits).alias("total_value"),
+        )
+        .select(
+            "event_type", "weekday_iso", "gid", "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,150 @@
+"""HTML document-structure audits — heading outlines, structured
+data, titles.
+
+The SEO/extraction-facing metadata layer between raw HTML and clean
+text: heading hierarchy (the page's implicit outline), embedded
+schema.org structured data, and title hygiene.  All three are pure
+regexp projections over the markup — deliberately tag-level (the
+DOM-free subset that survives a 100-TB pass without an HTML parser;
+the full-fidelity path would swap the regexps for a parser UDF at
+the same seam, as ``ops/cetr.py`` documents for content extraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_H_RX = "(?i)<h([1-6])[^>]*>"
+_JSONLD_RX = r'(?i)<script[^>]*type="application/ld\+json"'
+_OG_RX = r'(?i)<meta[^>]*property="og:'
+_TW_RX = r'(?i)<meta[^>]*name="twitter:'
+_TITLE_RX = r"(?i)<title[^>]*>([^<]*)</title>"
+
+
+def heading_outline(
+    pages: DataFrame,
+    html_col: str = "html",
+    host_col: str = "host",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Heading-hierarchy audit per host: heading counts by level,
+    pages with no h1, pages with multiple h1s (the classic outline
+    smells), and the mean heading depth.  One regexp_extract_all per
+    page; two rollups."""
+    h = F.col(html_col)
+    levels = F.transform(
+        F.regexp_extract_all(h, F.lit(_H_RX), F.lit(1)),
+        lambda x: x.cast("int"),
+    )
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        F.size(levels).alias("n_headings"),
+        F.size(F.filter(levels, lambda l: l == 1)).alias("n_h1"),
+        F.aggregate(
+            levels, F.lit(0), lambda acc, x: acc + x
+        ).alias("depth_sum"),
+    )
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("n_headings").alias("n_headings"),
+        F.sum((F.col("n_h1") == 0).cast("long")).alias("pages_no_h1"),
+        F.sum((F.col("n_h1") > 1).cast("long")).alias(
+            "pages_multi_h1"
+        ),
+        F.round(
+            F.sum("depth_sum")
+            / F.greatest(F.sum("n_headings"), F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("mean_level"),
+    )
+
+
+def structured_data_audit(
+    pages: DataFrame,
+    html_col: str = "html",
+    host_col: str = "host",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Structured-data presence per host: JSON-LD blocks, Open Graph
+    and Twitter-card meta tags — the machine-readable surface rich
+    results and social previews consume.  Counts + coverage
+    fractions; one row per host."""
+    h = F.col(html_col)
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        F.regexp_count(h, F.lit(_JSONLD_RX)).alias("n_jsonld"),
+        F.regexp_count(h, F.lit(_OG_RX)).alias("n_og"),
+        F.regexp_count(h, F.lit(_TW_RX)).alias("n_tw"),
+    )
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("n_jsonld").alias("jsonld_blocks"),
+        F.sum((F.col("n_jsonld") > 0).cast("long")).alias(
+            "pages_jsonld"
+        ),
+        F.sum((F.col("n_og") > 0).cast("long")).alias("pages_og"),
+        F.sum((F.col("n_tw") > 0).cast("long")).alias("pages_twitter"),
+        F.round(
+            F.sum(
+                (
+                    (F.col("n_jsonld") > 0)
+                    | (F.col("n_og") > 0)
+                    | (F.col("n_tw") > 0)
+                ).cast("long")
+            )
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("frac_any_structured"),
+    )
+
+
+def title_dedup_audit(
+    pages: DataFrame,
+    html_col: str = "html",
+    host_col: str = "host",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Duplicate-title audit per host: distinct titles vs pages,
+    empty/missing titles, and the largest duplicate-title family —
+    the `<title>` hygiene signal dashboards surface (templated titles
+    depress clickthrough and collapse SERP entries)."""
+    t = F.trim(F.regexp_extract(F.col(html_col), _TITLE_RX, 1))
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        F.when(t != "", t).alias("title"),
+    )
+    fam = (
+        per.filter(F.col("title").isNotNull())
+        .groupBy("host", "title")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col("title").isNull().cast("long")).alias(
+            "pages_untitled"
+        ),
+    )
+    b = fam.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_distinct_titles"),
+        F.max("c").alias("max_title_family"),
+    )
+    return (
+        a.join(b, "host", "left")
+        .na.fill({"n_distinct_titles": 0, "max_title_family": 0})
+        .select(
+            "host",
+            "n_pages",
+            "pages_untitled",
+            "n_distinct_titles",
+            "max_title_family",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_titles")
+                / (F.col("n_pages") - F.col("pages_untitled")).cast(
+                    "double"
+                ),
+                round_digits,
+            ).alias("dup_title_rate"),
+        )
+    )

@@ -1193,3 +1193,174 @@ def lexical_richness(
         ).alias("simpson_d"),
         F.round(F.col("v1") / v, round_digits).alias("hapax_rate"),
     )
+
+
+def entity_salience(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Model-free entity-salience proxy — capitalized-mention
+    frequency weighted by first-mention position.
+
+    The two features every learned salience model leans on hardest
+    (Dunietz & Gillick, EACL 2014: "first sentence position and
+    frequency dominate"): an entity mentioned EARLY and OFTEN is what
+    the document is about.  Entities here are the parser-free proxy:
+    capitalized tokens (not sentence-initial — position > 1 after a
+    non-boundary) aggregated per document, scored
+
+        salience = tf * (1 / (1 + first_pos / 50))
+
+    and rolled up per source as the top-``k`` salient entities by
+    summed salience — the corpus-level aboutness profile.
+
+    (rank, grp, entity, n_docs, total_tf, score); one posexplode +
+    regexp filter, two hash aggregations.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+            )
+        ).alias("pos", "tok"),
+    )
+    ents = toks.filter(
+        (F.col("pos") > 0) & F.col("tok").rlike("^[A-Z][a-z]+$")
+    ).select("doc_id", "grp", F.lower("tok").alias("entity"), "pos")
+    per_doc = ents.groupBy("doc_id", "grp", "entity").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.min("pos").alias("first_pos"),
+    )
+    scored = per_doc.withColumn(
+        "sal",
+        F.col("tf") / (1.0 + F.col("first_pos") / F.lit(50.0)),
+    )
+    agg = scored.groupBy("grp", "entity").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tf").alias("total_tf"),
+        F.sum("sal").alias("score_raw"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.round("score_raw", 9).desc(), F.col("entity").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank", "grp", "entity", "n_docs", "total_tf",
+            F.round("score_raw", round_digits).alias("score"),
+        )
+    )
+
+
+def luhn_sentences(
+    docs: DataFrame,
+    sig_min_tf: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Luhn significant-sentence scoring — the original automatic
+    abstract.
+
+    Luhn, "The automatic creation of literature abstracts" (IBM J.
+    R&D 1958): SIGNIFICANT words are the document's frequent
+    non-stopwords (tf >= ``sig_min_tf`` here, stopword-filtered); a
+    sentence's score is the density of its significant-word cluster,
+
+        score = (#significant tokens)^2 / span
+
+    with span = last - first significant position + 1 inside the
+    sentence (the simplified single-cluster variant of Luhn's
+    bracketing).  The top-scoring sentence per document IS the
+    one-line extractive summary — the 1958 ancestor of the LexRank/
+    TextRank extractors next door (``ops/lexrank.py``,
+    ``textrank``).
+
+    Per doc: (doc_id, sent_idx, n_sig, span, score, sentence).
+    Shape: sentence split + posexplode inside sentence, doc-level
+    significant-word table joined back on (doc, term).
+    """
+    from pyspark.sql import Window
+
+    from tokenkit_spark.analyzers.filters import ENGLISH_STOPWORDS
+
+    # plain period split (the delimiter is consumed) — RE2-safe so the
+    # oracle splits identically; the richer boundary logic lives in
+    # analyzers/segmentation.py
+    sents = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), r"\.\s+"),
+                lambda s: F.trim(s) != "",
+            )
+        ).alias("sent_idx", "sentence"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z']+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    stop = [s for s in ENGLISH_STOPWORDS]
+    sig = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(
+            (F.col("tf") >= sig_min_tf) & ~F.col("term").isin(stop)
+        )
+        .select("doc_id", "term")
+    )
+    stoks = sents.select(
+        "doc_id",
+        "sent_idx",
+        "sentence",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("sentence")), r"[^a-z']+"),
+                lambda x: x != "",
+            )
+        ).alias("pos", "term"),
+    )
+    hits = stoks.join(sig, ["doc_id", "term"])
+    scored = (
+        hits.groupBy("doc_id", "sent_idx", "sentence")
+        .agg(
+            F.count(F.lit(1)).alias("n_sig"),
+            (
+                F.max("pos") - F.min("pos") + 1
+            ).alias("span"),
+        )
+        .withColumn(
+            "score",
+            F.col("n_sig") * F.col("n_sig")
+            / F.col("span").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("score", 9).desc(), F.col("sent_idx").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "doc_id",
+            "sent_idx",
+            "n_sig",
+            "span",
+            F.round("score", round_digits).alias("score"),
+            "sentence",
+        )
+    )
