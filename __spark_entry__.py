@@ -8474,6 +8474,68 @@ def q_luhn_summary(spark, sf_dir):
     )
 
 
+REGEXGRAM_PATTERNS = [
+    (0, "sp.rk"),
+    (1, "jo.n"),
+    (2, "t.ble"),
+    (3, "gr..p"),
+    (4, "zz.top"),
+    (5, "s..n"),
+]
+
+
+def q_regex_accel(spark, sf_dir):
+    """Gram-index regex acceleration (Cox 2012, the Code Search
+    design): required-bigram conjunction candidates + anchored regex
+    post-filter for dot-wildcard patterns
+    (index/regexgram.py:regex_gram_audit)."""
+    from tokenkit_spark.index.regexgram import regex_gram_audit
+
+    return regex_gram_audit(
+        _docs(spark, sf_dir), REGEXGRAM_PATTERNS, n=2
+    )
+
+
+def q_selective_pruning(spark, sf_dir):
+    """Selective pruning (Tonellotto/Macdonald/Ounis WSDM 2013):
+    route each query to the champion-list or exhaustive tier by
+    pre-retrieval AvICTF; per-query cost + top-k damage
+    (index/selective.py:selective_pruning_audit)."""
+    from tokenkit_spark.index.selective import selective_pruning_audit
+
+    return selective_pruning_audit(
+        _docs(spark, sf_dir), _queries_df(spark),
+        avictf_threshold=8.0,
+    )
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source near-duplicate matrix (trigram containment >=
+    0.5): within- and between-source dup rates in ppm — the mix-design
+    redundancy map (ops/dedup.py:source_overlap_matrix)."""
+    from tokenkit_spark.ops.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir))
+
+
+def q_periodogram(spark, sf_dir):
+    """Schuster periodogram at integer periods 2-10 over the daily
+    series — the spectral twin of the ACF, weekly cycle as the p=7
+    peak (ops/trend.py:periodogram)."""
+    from tokenkit_spark.ops.trend import periodogram
+
+    return periodogram(_events(spark, sf_dir))
+
+
+def q_length_bias(spark, sf_dir):
+    """Ranker document-length bias battery (the Singhal 1996
+    diagnostic): mean top-10 dl vs corpus avgdl for BM25 / classic
+    TF-IDF / LM-Dirichlet (index/lmsim.py:length_bias_audit)."""
+    from tokenkit_spark.index.lmsim import length_bias_audit
+
+    return length_bias_audit(_docs(spark, sf_dir), _queries_df(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8483,6 +8545,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "regex_accel": q_regex_accel,
+        "selective_pruning": q_selective_pruning,
+        "source_overlap": q_source_overlap,
+        "periodogram": q_periodogram,
+        "length_bias": q_length_bias,
         "heading_outline": q_heading_outline,
         "structured_data": q_structured_data,
         "title_dedup": q_title_dedup,
@@ -11025,6 +11092,22 @@ ue AS (SELECT src, dst FROM und WHERE src < dst)"""
         + " UNION ALL ".join(_rich_branches)
     )
 
+    from tokenkit_spark.index.regexgram import required_grams as _rg
+
+    _rg_req = []
+    _rg_gramless = []
+    for _qid, _pat in REGEXGRAM_PATTERNS:
+        gs = _rg(_pat, 2)
+        if gs:
+            _rg_req += [f"({_qid}, '{_pat}', '{g}')" for g in gs]
+        else:
+            _rg_gramless.append(f"({_qid}, '{_pat}')")
+    _rg_req_vals = ", ".join(_rg_req)
+    _rg_gl_vals = ", ".join(_rg_gramless) or "(-1, '')"
+    _rg_pat_vals = ", ".join(
+        f"({i}, '{p}')" for i, p in REGEXGRAM_PATTERNS
+    )
+
     _html_cte = """
 pg AS (SELECT doc_id, 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
   '<html><head>'
@@ -11047,6 +11130,200 @@ pg AS (SELECT doc_id, 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
 FROM documents)"""
 
     return {
+        # Gram-accelerated regex (index/regexgram.py:regex_gram_audit)
+        "regex_accel": f"""
+WITH {_wc_vocab.strip()},
+grams AS (SELECT term, unnest(list_distinct(
+            [substr(term, i, 2) FOR i IN range(1, length(term))]))
+            AS gram FROM vocab),
+preq(query_id, pattern, gram) AS (VALUES {_rg_req_vals}),
+gramless(query_id, pattern) AS (VALUES {_rg_gl_vals}),
+npg AS (SELECT query_id, pattern, count(*) AS n_grams
+        FROM preq GROUP BY 1, 2),
+cand AS (SELECT p.query_id, p.pattern, g.term, npg.n_grams
+         FROM preq p JOIN grams g USING (gram)
+         JOIN npg ON npg.query_id = p.query_id
+         GROUP BY p.query_id, p.pattern, g.term, npg.n_grams
+         HAVING count(*) = npg.n_grams),
+cand2 AS (SELECT * FROM cand
+          UNION ALL
+          SELECT gl.query_id, gl.pattern, v.term,
+                 CAST(0 AS BIGINT)
+          FROM gramless gl CROSS JOIN vocab v
+          WHERE gl.query_id >= 0),
+sc AS (SELECT query_id, pattern, n_grams, term,
+         CASE WHEN regexp_matches(term, '^' || pattern || '$')
+              THEN 1 ELSE 0 END AS hit FROM cand2),
+agg AS (SELECT query_id, pattern, max(n_grams) AS n_grams,
+               count(*) AS n_candidates,
+               CAST(sum(hit) AS BIGINT) AS n_matches
+        FROM sc GROUP BY 1, 2),
+pats(query_id, pattern) AS (VALUES {_rg_pat_vals}),
+nv AS (SELECT count(*) AS n FROM vocab)
+SELECT p.query_id, p.pattern,
+  coalesce(a.n_grams, 0) AS n_grams,
+  coalesce(a.n_candidates, 0) AS n_candidates,
+  coalesce(a.n_matches, 0) AS n_matches,
+  round(CASE WHEN coalesce(a.n_candidates, 0) > 0
+        THEN coalesce(a.n_matches, 0)
+             / CAST(a.n_candidates AS DOUBLE) END, 6) AS precision,
+  round(coalesce(a.n_candidates, 0) / CAST(nv.n AS DOUBLE), 6)
+    AS scan_frac
+FROM pats p LEFT JOIN agg a
+  ON a.query_id = p.query_id AND a.pattern = p.pattern
+CROSS JOIN nv""",
+        # Selective pruning router (index/selective.py)
+        "selective_pruning": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+ts2 AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf
+        GROUP BY 1),
+tt AS (SELECT count(*) AS t FROM toks),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+qpp AS (SELECT q.query_id, avg(log2(tt.t * 1.0 / s.cf)) AS avictf
+        FROM qterms q JOIN ts2 s USING (term) CROSS JOIN tt
+        GROUP BY 1),
+sa AS (SELECT q.query_id, t.doc_id,
+         sum(ln(1.0 + t.tf)
+             * ln(nd.n_docs / CAST(s.df AS DOUBLE))) AS s
+       FROM qterms q JOIN tf t USING (term)
+       JOIN ts2 s USING (term) CROSS JOIN nd GROUP BY 1, 2),
+ft AS (SELECT * FROM (SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(s, 6) DESC, doc_id) AS rank FROM sa)
+       WHERE rank <= 10),
+nf AS (SELECT query_id, count(*) AS n_full FROM sa GROUP BY 1),
+ch AS (SELECT term, doc_id FROM (SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term
+           ORDER BY tf DESC, doc_id) AS cr FROM tf) WHERE cr <= 20),
+cd AS (SELECT DISTINCT q.query_id, ch.doc_id
+       FROM qterms q JOIN ch USING (term)),
+cp AS (SELECT sa.query_id, sa.doc_id, sa.s FROM sa
+       JOIN cd ON cd.query_id = sa.query_id
+         AND cd.doc_id = sa.doc_id),
+ct AS (SELECT * FROM (SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(s, 6) DESC, doc_id) AS rank FROM cp)
+       WHERE rank <= 10),
+nc AS (SELECT query_id, count(*) AS n_cheap FROM cp GROUP BY 1),
+rt AS (SELECT query_id, avictf,
+         CASE WHEN avictf >= 8.0 THEN 'pruned'
+              ELSE 'exhaustive' END AS tier FROM qpp),
+chn AS (SELECT rt.query_id, rt.avictf, rt.tier, ct.doc_id, ct.rank
+        FROM rt JOIN ct USING (query_id) WHERE rt.tier = 'pruned'
+        UNION ALL
+        SELECT rt.query_id, rt.avictf, rt.tier, ft.doc_id, ft.rank
+        FROM rt JOIN ft USING (query_id)
+        WHERE rt.tier = 'exhaustive'),
+cmp AS (SELECT c.query_id, c.avictf, c.tier,
+          CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS topk_overlap,
+          CAST(max(CASE WHEN c.rank = 1 AND f.rank = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS top1_match
+        FROM chn c LEFT JOIN ft f
+          ON f.query_id = c.query_id AND f.doc_id = c.doc_id
+        GROUP BY 1, 2, 3),
+cnts AS (SELECT rt.query_id,
+           CASE WHEN rt.tier = 'pruned' THEN coalesce(nc.n_cheap, 0)
+                ELSE nf.n_full END AS n_scored_docs
+         FROM rt JOIN nf USING (query_id)
+         LEFT JOIN nc USING (query_id))
+SELECT cmp.query_id, round(cmp.avictf, 6) AS avictf, cmp.tier,
+       cnts.n_scored_docs, cmp.topk_overlap, cmp.top1_match
+FROM cmp JOIN cnts ON cnts.query_id = cmp.query_id""",
+        # Cross-source dup matrix (ops/dedup.py:source_overlap_matrix)
+        "source_overlap": """
+WITH w AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        AS gram
+      FROM w WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+          FROM g l JOIN g r ON l.gram = r.gram
+            AND l.doc_id < r.doc_id
+          GROUP BY 1, 2),
+det AS (SELECT a, b FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.a
+        JOIN sizes sb ON sb.doc_id = inter.b
+        WHERE greatest(i / CAST(sa.n_grams AS DOUBLE),
+                       i / CAST(sb.n_grams AS DOUBLE)) >= 0.5),
+src AS (SELECT doc_id, source FROM documents),
+tg AS (SELECT least(s1.source, s2.source) AS source_a,
+              greatest(s1.source, s2.source) AS source_b
+       FROM det JOIN src s1 ON s1.doc_id = det.a
+       JOIN src s2 ON s2.doc_id = det.b),
+cnt AS (SELECT source_a, source_b, count(*) AS n_dup_pairs
+        FROM tg GROUP BY 1, 2),
+sz AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY 1)
+SELECT c.source_a, c.source_b, sa.n AS n_docs_a, sb.n AS n_docs_b,
+       c.n_dup_pairs,
+       round(c.n_dup_pairs /
+         (CASE WHEN c.source_a = c.source_b
+               THEN sa.n * (sa.n - 1) / 2.0
+               ELSE sa.n * CAST(sb.n AS DOUBLE) END) * 1e6, 6)
+         AS dup_rate_ppm
+FROM cnt c JOIN sz sa ON sa.s = c.source_a
+JOIN sz sb ON sb.s = c.source_b""",
+        # Schuster periodogram (ops/trend.py:periodogram)
+        "periodogram": f"""
+WITH {_shew_daily.strip()},
+st AS (SELECT grp, count(*) AS n, avg(y) AS ybar FROM d GROUP BY 1),
+dev AS (SELECT d.grp, d.day, d.y - st.ybar AS e, st.n
+        FROM d JOIN st USING (grp)),
+p AS (SELECT unnest(range(2, 11)) AS period),
+pr AS (SELECT dev.grp, p.period, max(dev.n) AS n_days,
+         sum(dev.e * cos(2 * pi() * dev.day / p.period)) AS c,
+         sum(dev.e * sin(2 * pi() * dev.day / p.period)) AS s
+       FROM dev CROSS JOIN p GROUP BY 1, 2),
+pw AS (SELECT grp, period, n_days,
+         (c * c + s * s) / n_days AS power FROM pr)
+SELECT grp, period, n_days, round(power, 6) AS power,
+       round(power, 6) = max(round(power, 6))
+         OVER (PARTITION BY grp) AS is_peak
+FROM pw""",
+        # Ranker length-bias battery (index/lmsim.py:length_bias_audit)
+        "length_bias": f"""
+WITH {lmsim_stats_cte.strip()},
+ad AS (SELECT avg(dl) AS a FROM dstats),
+runs AS (
+  SELECT 'bm25' AS similarity, q.query_id, p.doc_id,
+    sum({_bm25_term_sql}) AS s
+  FROM qterms q JOIN postings p USING (term)
+  JOIN tstats t USING (term) JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 'classic_tfidf', q.query_id, p.doc_id,
+    sum(sqrt(p.tf) * power(ln(g.n_docs
+        / CAST(t.df + 1.0 AS DOUBLE)) + 1.0, 2) / sqrt(d.dl))
+  FROM qterms q JOIN postings p USING (term)
+  JOIN tstats t USING (term) JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 'lm_dirichlet', q.query_id, p.doc_id,
+    sum(greatest(ln(1 + p.tf / (2000.0 * ((t.cf + 1.0)
+        / (g.total_tokens + 1.0)))) + ln(2000.0 / (d.dl + 2000.0)),
+        0.0))
+  FROM qterms q JOIN postings p USING (term)
+  JOIN tstats t USING (term) JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g GROUP BY 1, 2, 3),
+top AS (SELECT similarity, query_id, doc_id FROM (
+  SELECT similarity, query_id, doc_id,
+    row_number() OVER (PARTITION BY similarity, query_id
+      ORDER BY round(s, 4) DESC, doc_id) AS r FROM runs)
+  WHERE r <= 10),
+j AS (SELECT t.similarity, d.dl FROM top t
+      JOIN dstats d USING (doc_id))
+SELECT similarity, round(avg(dl), 6) AS mean_topk_dl,
+       round((SELECT a FROM ad), 6) AS corpus_avgdl,
+       round(avg(dl) / (SELECT a FROM ad), 6) AS bias_ratio
+FROM j GROUP BY 1""",
         # Heading-outline audit (ops/htmlmeta.py:heading_outline)
         "heading_outline": f"""
 WITH {_html_cte.strip()},

@@ -503,3 +503,111 @@ def dfr_ifb2(
         qterms, postings, dstats, tstats, globals_, s, id_col, k,
         round_digits,
     )
+
+
+def length_bias_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Ranker document-length bias battery — mean top-k length vs the
+    corpus, per similarity.
+
+    The diagnostic behind two decades of length-normalization papers
+    (Singhal/Buckley/Mitra SIGIR 1996 framed it; Lv & Zhai's BM25+
+    fixed its tail): run the SAME query set under several pluggable
+    similarities and compare the mean document length of their top-k
+    against the corpus mean.  A ratio well above 1 = the ranker's
+    normalization under-penalizes long documents (classic TF-IDF's
+    failure); well below 1 = over-penalization (raw BM25 at high b).
+    One row per similarity: (similarity, mean_topk_dl, corpus_avgdl,
+    bias_ratio) averaged over queries.
+
+    Shape: the shared ``_relations`` stats feed each similarity's
+    scoring join; the audit adds one dl join + two rollups per
+    ranker.
+    """
+    import math
+
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    avgdl_row = dstats.agg(F.avg("dl").alias("a")).collect()[0]
+    corpus_avgdl = float(avgdl_row.a)
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    sims = {
+        "bm25": (
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            * 2.2
+            / (
+                F.col("tf")
+                + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)
+            )
+        ),
+        "classic_tfidf": (
+            F.sqrt(F.col("tf"))
+            * F.pow(
+                F.log(
+                    F.col("n_docs") / (F.col("df") + 1.0)
+                )
+                + 1.0,
+                2.0,
+            )
+            / F.sqrt(F.col("dl"))
+        ),
+        "lm_dirichlet": F.greatest(
+            F.log(
+                1.0
+                + F.col("tf")
+                / (
+                    2000.0
+                    * (
+                        (F.col("cf") + 1.0)
+                        / (F.col("total_tokens") + 1.0)
+                    )
+                )
+            )
+            + F.log(2000.0 / (F.col("dl") + 2000.0)),
+            F.lit(0.0),
+        ),
+    }
+    from pyspark.sql import Window
+
+    out = None
+    for name, per_term in sims.items():
+        scored = (
+            qterms.join(postings, "term")
+            .join(tstats, "term")
+            .join(dstats, id_col)
+            .crossJoin(F.broadcast(globals_))
+            .groupBy("query_id", id_col)
+            .agg(F.sum(per_term).alias("s"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round("s", 4).desc(), F.col(id_col).asc()
+        )
+        top = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .join(dstats, id_col)
+        )
+        row = top.agg(
+            F.lit(name).alias("similarity"),
+            F.round(F.avg("dl"), round_digits).alias("mean_topk_dl"),
+            F.round(F.lit(corpus_avgdl), round_digits).alias(
+                "corpus_avgdl"
+            ),
+            F.round(
+                F.avg("dl") / F.lit(corpus_avgdl), round_digits
+            ).alias("bias_ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -881,3 +881,90 @@ def planted_dup_eval(
         "n_planted long, n_detected long, n_hits long, recall double, "
         "precision double",
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-source near-duplicate rate matrix — where does the
+    corpus's redundancy live?
+
+    The mix-design view of dedup (the question the CCNet/RefinedWeb
+    pipelines answer before weighting sources): near-dup PAIRS
+    (trigram containment >= threshold, the ``ngram_containment_pairs``
+    detector) rolled up by SOURCE PAIR, normalized by the number of
+    cross-pair document combinations — an upper-triangle matrix whose
+    diagonal is within-source redundancy and whose off-diagonal
+    flags syndication between sources.  A hot off-diagonal cell means
+    deduping source A largely dedups B too — double-counted mass the
+    mixture weights (``training_mix``, ``source_divergence``) should
+    know about.
+
+    Per (source_a <= source_b): (source_a, source_b, n_docs_a,
+    n_docs_b, n_dup_pairs, dup_rate_ppm).
+    """
+    pairs = ngram_containment_pairs(
+        docs, text_col=text_col, n=n, threshold=threshold,
+        max_gram_df=None,
+    ).select("doc_id_a", "doc_id_b")
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("src")
+    )
+    tagged = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("src").alias("sa"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("src").alias("sb"),
+            ),
+            "doc_id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    cnt = tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+    sizes = src.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        cnt.join(
+            sizes.select(
+                F.col("src").alias("source_a"), F.col("n").alias("n_docs_a")
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("src").alias("source_b"), F.col("n").alias("n_docs_b")
+            ),
+            "source_b",
+        )
+    )
+    n_combos = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("n_docs_a") * (F.col("n_docs_a") - 1) / 2.0,
+    ).otherwise(F.col("n_docs_a") * F.col("n_docs_b").cast("double"))
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_docs_a",
+        "n_docs_b",
+        "n_dup_pairs",
+        F.round(
+            F.col("n_dup_pairs") / n_combos * 1e6, round_digits
+        ).alias("dup_rate_ppm"),
+    )

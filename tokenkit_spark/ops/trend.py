@@ -314,3 +314,80 @@ def acf_ljung_box(
             (F.col("q_raw") > crit).alias("q_signif"),
         )
     )
+
+
+def periodogram(
+    events: DataFrame,
+    max_period: int = 10,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Schuster periodogram of the daily count series — spectral
+    power at candidate periods.
+
+    Schuster (1898), the classical DFT power estimate at period p
+    over a mean-centered series of n days:
+
+        I(p) = (1/n) * [ (sum_t e_t cos(2 pi t / p))^2
+                        + (sum_t e_t sin(2 pi t / p))^2 ]
+
+    evaluated at integer candidate periods 2..``max_period`` — the
+    frequency-domain twin of the lag-domain ACF (``acf_ljung_box``):
+    a weekly cycle shows as the p=7 peak.  Closed-form sums of
+    cos/sin projections — one trig projection + hash aggregate per
+    group, no FFT machinery needed at 10 candidate periods.
+
+    Per (grp, period): (grp, period, n_days, power, is_peak) with
+    is_peak marking the argmax period per group.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    d = _daily(events, ts_col, group_col)
+    stats = d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("y").alias("ybar")
+    )
+    dev = d.join(stats, "grp").select(
+        "grp", "day", (F.col("y") - F.col("ybar")).alias("e"), "n"
+    )
+    periods = events.sparkSession.range(2, max_period + 1).select(
+        F.col("id").alias("period")
+    )
+    two_pi = 2.0 * math.pi
+    proj = (
+        dev.crossJoin(F.broadcast(periods))
+        .groupBy("grp", "period")
+        .agg(
+            F.first("n").alias("n_days"),
+            F.sum(
+                F.col("e")
+                * F.cos(
+                    F.lit(two_pi) * F.col("day") / F.col("period")
+                )
+            ).alias("c"),
+            F.sum(
+                F.col("e")
+                * F.sin(
+                    F.lit(two_pi) * F.col("day") / F.col("period")
+                )
+            ).alias("s"),
+        )
+        .withColumn(
+            "power",
+            (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / F.col("n_days"),
+        )
+    )
+    wp = Window.partitionBy("grp")
+    return proj.select(
+        "grp",
+        "period",
+        "n_days",
+        F.round("power", round_digits).alias("power"),
+        (
+            F.round("power", 6)
+            == F.max(F.round("power", 6)).over(wp)
+        ).alias("is_peak"),
+    )
