@@ -8536,6 +8536,62 @@ def q_length_bias(spark, sf_dir):
     return length_bias_audit(_docs(spark, sf_dir), _queries_df(spark))
 
 
+def q_spell_recall(spark, sf_dir):
+    """Planted-typo spelling-suggester eval (delete-2nd-char typos of
+    every 7th eligible vocab term): top-1 accuracy + candidate recall
+    (index/wordbreak.py:spell_recall_eval)."""
+    from tokenkit_spark.index.wordbreak import spell_recall_eval
+
+    return spell_recall_eval(_docs(spark, sf_dir), typo_mod=7)
+
+
+def q_char_entropy_orders(spark, sf_dir):
+    """Shannon character entropy H0/H1 + redundancy per source
+    (Shannon BSTJ 1951 chain rule over char bigrams)
+    (ops/textstats.py:char_entropy_orders)."""
+    from tokenkit_spark.ops.textstats import char_entropy_orders
+
+    return char_entropy_orders(_docs(spark, sf_dir))
+
+
+def q_merge_norm(spark, sf_dir):
+    """Federated result-merging normalization A/B (Callan 2000): raw
+    vs min-max vs z-score merges of shard-local BM25-style scores
+    against the single-index truth
+    (index/hybrid.py:merge_normalization_audit)."""
+    from tokenkit_spark.index.hybrid import merge_normalization_audit
+
+    return merge_normalization_audit(
+        _docs(spark, sf_dir), _queries_df(spark), n_shards=4
+    )
+
+
+def q_novelty_curve(spark, sf_dir):
+    """Trigram novelty decay across ingestion deciles — the marginal
+    value of new crawl data (ops/textstats.py:novelty_curve)."""
+    from tokenkit_spark.ops.textstats import novelty_curve
+
+    return novelty_curve(_docs(spark, sf_dir))
+
+
+def q_attribution(spark, sf_dir):
+    """Multi-touch attribution battery (first/last/linear/U-shaped;
+    the Shao & Li KDD 2011 heuristic baselines) over pre-purchase
+    touchpoints (ops/events.py:attribution_models)."""
+    from tokenkit_spark.ops.events import attribution_models
+
+    return attribution_models(_events(spark, sf_dir))
+
+
+def q_hill_tail(spark, sf_dir):
+    """Hill power-law tail-index estimator (Annals of Statistics
+    1975) over the top decile of values per type — the tail sibling
+    of zipf_fit (ops/events.py:hill_tail_estimator)."""
+    from tokenkit_spark.ops.events import hill_tail_estimator
+
+    return hill_tail_estimator(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8545,6 +8601,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "spell_recall": q_spell_recall,
+        "char_entropy_orders": q_char_entropy_orders,
+        "merge_norm": q_merge_norm,
+        "novelty_curve": q_novelty_curve,
+        "attribution": q_attribution,
+        "hill_tail": q_hill_tail,
         "regex_accel": q_regex_accel,
         "selective_pruning": q_selective_pruning,
         "source_overlap": q_source_overlap,
@@ -11129,7 +11191,199 @@ pg AS (SELECT doc_id, 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
   || '</body></html>' AS html
 FROM documents)"""
 
+    _mn_schemes = {
+        "raw": "s",
+        "minmax": (
+            "CASE WHEN mx <> mn THEN (s - mn) / (mx - mn)"
+            " ELSE 0.5 END"
+        ),
+        "zscore": (
+            "CASE WHEN sd > 0 THEN (s - av) / sd ELSE 0.0 END"
+        ),
+    }
+    _mn_parts = []
+    _mn_final = []
+    for _nm, _ns in _mn_schemes.items():
+        _mn_parts.append(f""",
+b_{_nm} AS (SELECT query_id, doc_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY round({_ns}, 6) DESC, doc_id) AS rank FROM stt),
+c_{_nm} AS (SELECT m.query_id, '{_nm}' AS scheme,
+    CAST(sum(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS topk_overlap,
+    CAST(max(CASE WHEN m.rank = 1 AND g.rank = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS top1_match
+  FROM (SELECT * FROM b_{_nm} WHERE rank <= 10) m
+  LEFT JOIN gt g ON g.query_id = m.query_id
+    AND g.doc_id = m.doc_id
+  GROUP BY 1)""")
+        _mn_final.append(f"SELECT * FROM c_{_nm}")
+    _merge_norm_sql = (
+        f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf,
+         (('0x' || substring(md5(doc_id::VARCHAR || '|route'), 1, 8))::BIGINT
+          % 4) AS shard
+       FROM toks GROUP BY term, doc_id),
+nd AS (SELECT count(*) AS n FROM documents),
+gdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+gs AS (SELECT q.query_id, t.doc_id,
+         sum(ln(1.0 + t.tf) * ln(nd.n / CAST(g.df AS DOUBLE))) AS s
+       FROM qterms q JOIN tf t USING (term)
+       JOIN gdf g USING (term) CROSS JOIN nd GROUP BY 1, 2),
+gt AS (SELECT query_id, doc_id, rank FROM (SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(s, 6) DESC, doc_id) AS rank FROM gs)
+       WHERE rank <= 10),
+snd AS (SELECT shard, count(*) AS s_nd FROM
+        (SELECT DISTINCT shard, doc_id FROM tf) GROUP BY 1),
+sdf AS (SELECT shard, term, count(*) AS s_df FROM tf GROUP BY 1, 2),
+ss AS (SELECT q.query_id, t.shard, t.doc_id,
+         sum(ln(1.0 + t.tf)
+             * ln(sn.s_nd / CAST(sd2.s_df AS DOUBLE))) AS s
+       FROM qterms q JOIN tf t USING (term)
+       JOIN sdf sd2 ON sd2.shard = t.shard AND sd2.term = t.term
+       JOIN snd sn ON sn.shard = t.shard
+       GROUP BY 1, 2, 3),
+stt AS (SELECT *, min(s) OVER wsh AS mn, max(s) OVER wsh AS mx,
+          avg(s) OVER wsh AS av,
+          sqrt(greatest(avg(s * s) OVER wsh
+               - avg(s) OVER wsh * avg(s) OVER wsh, 0.0)) AS sd
+        FROM ss WINDOW wsh AS (PARTITION BY query_id, shard))"""
+        + "".join(_mn_parts)
+        + "\n"
+        + " UNION ALL ".join(_mn_final)
+    )
+
     return {
+        # Planted-typo suggester eval (index/wordbreak.py)
+        "spell_recall": f"""
+WITH toks AS ({_TOKS}),
+ts2 AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+pl AS (SELECT term AS truth,
+         substr(term, 1, 1) || substr(term, 3) AS typo FROM
+       (SELECT term, row_number() OVER (ORDER BY term) AS rn
+        FROM ts2 WHERE regexp_matches(term, '^[a-z]{{4,}}$'))
+       WHERE rn % 7 = 0),
+realw AS (SELECT p.typo FROM pl p JOIN ts2 t ON t.term = p.typo),
+valid AS (SELECT p.* FROM pl p LEFT JOIN ts2 t ON t.term = p.typo
+          WHERE t.term IS NULL),
+cand AS (SELECT v.typo, v.truth, t.term, t.df FROM valid v
+         JOIN ts2 t ON levenshtein(v.typo, t.term) = 1),
+rk AS (SELECT *, row_number() OVER (PARTITION BY typo
+         ORDER BY df DESC, term) AS r FROM cand),
+np AS (SELECT count(*) AS n_planted FROM valid),
+ne AS (SELECT count(*) AS n_excluded FROM realw),
+ag AS (SELECT
+    CAST(coalesce(sum(CASE WHEN r = 1 AND term = truth
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS top1,
+    CAST(coalesce(sum(CASE WHEN term = truth THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS anyc
+  FROM rk)
+SELECT np.n_planted, ne.n_excluded AS n_excluded_real,
+       ag.top1 AS n_top1_correct, ag.anyc AS n_in_candidates,
+       round(ag.top1 / CAST(np.n_planted AS DOUBLE), 6) AS top1_acc,
+       round(ag.anyc / CAST(np.n_planted AS DOUBLE), 6) AS recall_any
+FROM np CROSS JOIN ne CROSS JOIN ag""",
+        # Shannon H0/H1 per source (ops/textstats.py)
+        "char_entropy_orders": """
+WITH lt AS (SELECT source AS grp, lower(text) AS t FROM documents),
+ch AS (SELECT grp, unnest([substr(t, i, 1)
+         FOR i IN range(1, length(t) + 1)]) AS c FROM lt),
+uni AS (SELECT grp, c, count(*) AS n FROM ch WHERE c <> ''
+        GROUP BY 1, 2),
+tot AS (SELECT grp, CAST(sum(n) AS BIGINT) AS t FROM uni
+        GROUP BY 1),
+h0 AS (SELECT uni.grp, -sum((n / CAST(t.t AS DOUBLE))
+         * log2(n / CAST(t.t AS DOUBLE))) AS h0
+       FROM uni JOIN tot t ON t.grp = uni.grp GROUP BY 1),
+bg AS (SELECT grp, unnest([substr(t, i, 2)
+         FOR i IN range(1, length(t))]) AS b FROM lt),
+bi AS (SELECT grp, b, count(*) AS n FROM bg GROUP BY 1, 2),
+btot AS (SELECT grp, CAST(sum(n) AS BIGINT) AS t FROM bi
+         GROUP BY 1),
+hb AS (SELECT bi.grp, -sum((n / CAST(t.t AS DOUBLE))
+         * log2(n / CAST(t.t AS DOUBLE))) AS hb
+       FROM bi JOIN btot t ON t.grp = bi.grp GROUP BY 1)
+SELECT h0.grp, tot.t AS n_chars, round(h0.h0, 6) AS h0_bits,
+       round(hb.hb - h0.h0, 6) AS h1_bits,
+       round(1.0 - (hb.hb - h0.h0) / h0.h0, 6) AS redundancy
+FROM h0 JOIN hb ON hb.grp = h0.grp JOIN tot ON tot.grp = h0.grp""",
+        # Federated merge normalization (index/hybrid.py)
+        "merge_norm": _merge_norm_sql,
+        # Trigram novelty decay (ops/textstats.py:novelty_curve)
+        "novelty_curve": """
+WITH w AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(
+        range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        AS gram
+      FROM w WHERE len(toks) >= 3),
+fi AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+rd AS (SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) - 1 AS rn
+       FROM documents),
+ndc AS (SELECT count(*) AS n FROM documents),
+pb AS (SELECT doc_id, least(9,
+         CAST(floor(rn * 10.0 / nd.n) AS BIGINT)) AS bucket
+       FROM rd CROSS JOIN ndc nd),
+tg AS (SELECT pb.bucket,
+         CASE WHEN fi.first_doc = g.doc_id THEN 1 ELSE 0 END AS novel
+       FROM g JOIN fi USING (gram) JOIN pb USING (doc_id)),
+occ AS (SELECT bucket, count(*) AS n_gram_occurrences,
+               CAST(sum(novel) AS BIGINT) AS n_novel
+        FROM tg GROUP BY 1),
+sz AS (SELECT bucket, count(*) AS n_docs FROM pb GROUP BY 1)
+SELECT sz.bucket, sz.n_docs, occ.n_gram_occurrences, occ.n_novel,
+       round(occ.n_novel / CAST(occ.n_gram_occurrences AS DOUBLE), 6)
+         AS novelty_rate
+FROM sz JOIN occ USING (bucket)""",
+        # Multi-touch attribution (ops/events.py:attribution_models)
+        "attribution": """
+WITH conv AS (SELECT user_id AS u, min(ts) AS conv_ts FROM events
+              WHERE event_type = 'purchase' GROUP BY 1),
+t AS (SELECT e.user_id AS u, e.ts AS t, e.event_type AS channel
+      FROM events e JOIN conv ON conv.u = e.user_id
+      WHERE e.event_type <> 'purchase' AND e.ts <= conv.conv_ts),
+r AS (SELECT *, row_number() OVER (PARTITION BY u ORDER BY t)
+        AS pos, count(*) OVER (PARTITION BY u) AS n FROM t),
+cr AS (SELECT channel,
+        CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END AS ft,
+        CASE WHEN pos = n THEN 1.0 ELSE 0.0 END AS lt,
+        1.0 / n AS ln_,
+        CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+             WHEN pos = 1 THEN 0.4 WHEN pos = n THEN 0.4
+             ELSE 0.2 / (n - 2) END AS us
+      FROM r)
+SELECT channel, round(sum(ft), 6) AS first_touch,
+       round(sum(lt), 6) AS last_touch,
+       round(sum(ln_), 6) AS linear,
+       round(sum(us), 6) AS u_shaped
+FROM cr GROUP BY 1""",
+        # Hill tail-index estimator (ops/events.py:hill_tail_estimator)
+        "hill_tail": """
+WITH v AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS x
+           FROM events WHERE value > 0),
+r AS (SELECT grp, x, row_number() OVER (PARTITION BY grp
+        ORDER BY x DESC) AS r FROM v),
+c AS (SELECT grp, max(r) AS n FROM r GROUP BY 1),
+k AS (SELECT grp, n, CAST(ceil(n * 0.1) AS BIGINT) AS k FROM c),
+x1 AS (SELECT r.grp, r.x AS x_k1 FROM r JOIN k USING (grp)
+       WHERE r.r = k.k + 1),
+tp AS (SELECT r.grp, k.n, k.k, x1.x_k1,
+         avg(ln(r.x / x1.x_k1)) AS ia
+       FROM r JOIN k USING (grp) JOIN x1 ON x1.grp = r.grp
+       WHERE r.r <= k.k GROUP BY 1, 2, 3, 4)
+SELECT grp, n, k, round(x_k1, 6) AS x_k1,
+       round(CASE WHEN ia > 0 THEN 1.0 / ia END, 6) AS alpha_hat,
+       CASE WHEN ia > 0 THEN (1.0 / ia) <= 2.0 END
+         AS infinite_variance
+FROM tp""",
         # Gram-accelerated regex (index/regexgram.py:regex_gram_audit)
         "regex_accel": f"""
 WITH {_wc_vocab.strip()},

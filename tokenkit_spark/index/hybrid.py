@@ -307,3 +307,162 @@ def borda_fuse(
             F.round("borda", round_digits).alias("borda"),
         )
     )
+
+
+def merge_normalization_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    n_shards: int = 4,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Federated result-merging score normalization A/B — min-max vs
+    z-score vs raw-score merge against the single-index truth.
+
+    The result-merging problem of federated search (Callan, DIR
+    chapter 2000; Si & Callan's SSL refinements): shards score with
+    LOCAL statistics, so their score scales differ and naive merging
+    by raw score is biased toward shards with inflated idf.  The two
+    classical repairs are per-shard MIN-MAX rescaling to [0,1] and
+    per-shard Z-SCORE standardization.  This audit shards the corpus
+    (keyed md5 routing), scores each shard with shard-local idf,
+    merges under each normalization, and reports top-k agreement with
+    the global single-index ranking:
+
+        (query_id, scheme, topk_overlap, top1_match)
+
+    Scale shape: one scoring join per shard-set (shard id is just a
+    column — ONE join total), per-(query, shard) normalization
+    windows, one global rank per scheme.
+    """
+    from pyspark.sql import Window
+
+    from tokenkit_spark.index.routing import route_shard_col
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).withColumn("shard", route_shard_col("doc_id", n_shards))
+    # global truth
+    nd = docs.select(id_col).distinct().count()
+    gdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).distinct()
+    g_scored = (
+        qterms.join(tf, "term")
+        .join(gdf, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(1.0 + F.col("tf"))
+                * F.log(F.lit(float(nd)) / F.col("df"))
+            ).alias("s")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round("s", 6).desc(), F.col("doc_id").asc()
+    )
+    g_top = g_scored.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= k
+    ).select(
+        "query_id", F.col("doc_id").alias("g_doc"),
+        F.col("rank").alias("g_rank"),
+    )
+    # shard-local scoring
+    sdocs = tf.select("shard", "doc_id").distinct().groupBy(
+        "shard"
+    ).agg(F.count(F.lit(1)).alias("s_nd"))
+    sdf = tf.groupBy("shard", "term").agg(
+        F.count(F.lit(1)).alias("s_df")
+    )
+    s_scored = (
+        qterms.join(tf, "term")
+        .join(sdf, ["shard", "term"])
+        .join(F.broadcast(sdocs), "shard")
+        .groupBy("query_id", "shard", "doc_id")
+        .agg(
+            F.sum(
+                F.log(1.0 + F.col("tf"))
+                * F.log(F.col("s_nd") / F.col("s_df").cast("double"))
+            ).alias("s")
+        )
+    )
+    wsh = Window.partitionBy("query_id", "shard")
+    stats = (
+        s_scored.withColumn("mn", F.min("s").over(wsh))
+        .withColumn("mx", F.max("s").over(wsh))
+        .withColumn("avg", F.avg("s").over(wsh))
+        .withColumn(
+            "sd",
+            F.sqrt(
+                F.greatest(
+                    F.avg(F.col("s") * F.col("s")).over(wsh)
+                    - F.avg("s").over(wsh) * F.avg("s").over(wsh),
+                    F.lit(0.0),
+                )
+            ),
+        )
+    )
+    schemes = {
+        "raw": F.col("s"),
+        "minmax": F.when(
+            F.col("mx") != F.col("mn"),
+            (F.col("s") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+        ).otherwise(F.lit(0.5)),
+        "zscore": F.when(
+            F.col("sd") > 0, (F.col("s") - F.col("avg")) / F.col("sd")
+        ).otherwise(F.lit(0.0)),
+    }
+    out = None
+    for name, expr in schemes.items():
+        merged = stats.withColumn("ns", expr)
+        wm = Window.partitionBy("query_id").orderBy(
+            F.round("ns", 6).desc(), F.col("doc_id").asc()
+        )
+        m_top = merged.withColumn(
+            "rank", F.row_number().over(wm)
+        ).filter(F.col("rank") <= k)
+        cmp = (
+            m_top.join(
+                g_top,
+                (m_top.query_id == g_top.query_id)
+                & (m_top.doc_id == F.col("g_doc")),
+                "left",
+            )
+            .groupBy(m_top.query_id)
+            .agg(
+                F.sum(F.col("g_rank").isNotNull().cast("long")).alias(
+                    "topk_overlap"
+                ),
+                F.max(
+                    (
+                        (F.col("rank") == 1) & (F.col("g_rank") == 1)
+                    ).cast("long")
+                ).alias("top1_match"),
+            )
+            .select(
+                "query_id",
+                F.lit(name).alias("scheme"),
+                "topk_overlap",
+                "top1_match",
+            )
+        )
+        out = cmp if out is None else out.unionByName(cmp)
+    return out

@@ -131,3 +131,100 @@ def word_break_suggest(
         .select("query_id", "kind", "original", "suggestion", "freq", "rank")
         .orderBy("query_id", "original", "rank")
     )
+
+
+def spell_recall_eval(
+    docs: DataFrame,
+    typo_mod: int = 7,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Planted-typo evaluation of the edit-distance-1 spelling
+    suggester — the harness behind every spell-correction quality
+    claim.
+
+    Protocol per the suggester literature (Whitelaw et al., "Using
+    the web for language independent spellchecking", EMNLP 2009
+    evaluate exactly this way): plant DETERMINISTIC single-edit typos
+    of vocabulary words — here: for every ``typo_mod``-th distinct
+    vocabulary term (length >= 4, alphabetical order pinned), delete
+    its second character — run the df-ranked distance-1 suggester,
+    and score whether the ORIGINAL word comes back at rank 1.
+    A planted typo that collides with a real vocabulary word is
+    excluded (it is not a typo to the system) and reported.
+
+    One row: (n_planted, n_excluded_real, n_top1_correct,
+    n_in_candidates, top1_acc, recall_any).
+
+    Scale shape: the candidate join is typo x vocabulary filtered by
+    levenshtein = 1 — the same bounded join the live suggester uses;
+    everything else is rank windows.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term")
+    )
+    tstats = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy("term")
+    planted = (
+        tstats.filter(
+            F.col("term").rlike("^[a-z]{4,}$")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % typo_mod == 0)
+        .select(
+            F.col("term").alias("truth"),
+            F.concat(
+                F.substring("term", 1, 1),
+                F.expr("substring(term, 3)"),
+            ).alias("typo"),
+        )
+    )
+    real = planted.join(
+        tstats.select(F.col("term").alias("typo")), "typo", "left_semi"
+    )
+    n_excluded = real.count()
+    valid = planted.join(real.select("typo"), "typo", "left_anti")
+    n_planted = valid.count()
+    cand = valid.join(
+        tstats,
+        F.levenshtein(F.col("typo"), F.col("term")) == 1,
+    )
+    wr = Window.partitionBy("typo").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    ranked = cand.withColumn("r", F.row_number().over(wr))
+    agg = ranked.agg(
+        F.sum(
+            ((F.col("r") == 1) & (F.col("term") == F.col("truth")))
+            .cast("long")
+        ).alias("top1"),
+        F.sum(
+            (F.col("term") == F.col("truth")).cast("long")
+        ).alias("any_"),
+    ).collect()[0]
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_planted,
+                n_excluded,
+                int(agg.top1 or 0),
+                int(agg.any_ or 0),
+                round((agg.top1 or 0) / n_planted, round_digits)
+                if n_planted
+                else 0.0,
+                round((agg.any_ or 0) / n_planted, round_digits)
+                if n_planted
+                else 0.0,
+            )
+        ],
+        "n_planted long, n_excluded_real long, n_top1_correct long, "
+        "n_in_candidates long, top1_acc double, recall_any double",
+    )

@@ -1109,3 +1109,148 @@ def cube_rollup(
             "total_value",
         )
     )
+
+
+ATTRIBUTION_U_SHAPE = (0.4, 0.2, 0.4)  # first / middle-pool / last
+
+
+def attribution_models(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-touch attribution model comparison — first/last/linear/
+    position-based credit per channel.
+
+    The standard marketing-attribution battery (the heuristics
+    Shao & Li, KDD 2011 benchmark their data-driven model against):
+    for each conversion, credit the touchpoints (the user's non-
+    conversion events at or before their FIRST conversion):
+
+        first_touch    all credit to the earliest touch
+        last_touch     all credit to the latest touch
+        linear         1/n to each touch
+        u_shaped       40% first, 40% last, 20% split over middle
+
+    Per (model, channel): total credit — the divergence between the
+    columns IS the business decision (a channel strong under
+    last-touch but weak under first-touch closes rather than opens).
+    Single-touch paths give that touch full credit under every model.
+
+    Scale shape: one conversion-time rollup, one touch join, rank
+    windows per user path, credit as projections — no path collection.
+    """
+    from pyspark.sql import Window
+
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("conv_ts"))
+    )
+    touches = (
+        events.filter(F.col(type_col) != conversion_type)
+        .select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("t"),
+            F.col(type_col).alias("channel"),
+        )
+        .join(conv, "u")
+        .filter(F.col("t") <= F.col("conv_ts"))
+    )
+    w = Window.partitionBy("u").orderBy("t")
+    wn = Window.partitionBy("u")
+    ranked = (
+        touches.withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    first_w, mid_w, last_w = ATTRIBUTION_U_SHAPE
+    credits = ranked.select(
+        "channel",
+        F.when(F.col("pos") == 1, 1.0).otherwise(0.0).alias("first_touch"),
+        F.when(F.col("pos") == F.col("n"), 1.0)
+        .otherwise(0.0)
+        .alias("last_touch"),
+        (1.0 / F.col("n")).alias("linear"),
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2,
+              F.when(F.col("pos") == 1, 0.5).otherwise(0.5))
+        .when(F.col("pos") == 1, F.lit(first_w))
+        .when(F.col("pos") == F.col("n"), F.lit(last_w))
+        .otherwise(F.lit(mid_w) / (F.col("n") - 2))
+        .alias("u_shaped"),
+    )
+    return credits.groupBy("channel").agg(
+        F.round(F.sum("first_touch"), round_digits).alias("first_touch"),
+        F.round(F.sum("last_touch"), round_digits).alias("last_touch"),
+        F.round(F.sum("linear"), round_digits).alias("linear"),
+        F.round(F.sum("u_shaped"), round_digits).alias("u_shaped"),
+    )
+
+
+def hill_tail_estimator(
+    events: DataFrame,
+    k_frac: float = 0.1,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index per group.
+
+    Hill, "A simple general approach to inference about the tail of a
+    distribution" (Annals of Statistics 1975): with order statistics
+    x_(1) >= ... >= x_(n) and k upper extremes,
+
+        1 / alpha_hat = (1/k) * sum_{i=1..k} ln( x_(i) / x_(k+1) )
+
+    — the MLE of the Pareto tail exponent, the principled companion
+    to the rank-frequency OLS ``zipf_fit`` (which fits the WHOLE
+    distribution and is biased by the body; Hill reads only the
+    tail, which is what capacity/skew planning actually depends on:
+    alpha <= 2 means infinite variance, no CLT for your load
+    averages).  k = ceil(k_frac * n) pinned, ties broken by order.
+
+    Per group: (grp, n, k, x_k1, alpha_hat, infinite_variance).
+    One rank window + one aggregate.
+    """
+    from pyspark.sql import Window
+
+    v = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("x"),
+    ).filter(F.col("x") > 0)
+    w = Window.partitionBy("grp").orderBy(F.col("x").desc())
+    ranked = v.withColumn("r", F.row_number().over(w))
+    counts = ranked.groupBy("grp").agg(F.max("r").alias("n"))
+    kk = counts.select(
+        "grp",
+        "n",
+        F.ceil(F.col("n") * k_frac).cast("long").alias("k"),
+    )
+    xk1 = (
+        ranked.join(kk, "grp")
+        .filter(F.col("r") == F.col("k") + 1)
+        .select("grp", F.col("x").alias("x_k1"))
+    )
+    top = (
+        ranked.join(kk, "grp")
+        .filter(F.col("r") <= F.col("k"))
+        .join(xk1, "grp")
+        .groupBy("grp", "n", "k", "x_k1")
+        .agg(
+            F.avg(F.log(F.col("x") / F.col("x_k1"))).alias("inv_alpha")
+        )
+    )
+    alpha = F.when(
+        F.col("inv_alpha") > 0, 1.0 / F.col("inv_alpha")
+    )
+    return top.select(
+        "grp",
+        "n",
+        "k",
+        F.round("x_k1", round_digits).alias("x_k1"),
+        F.round(alpha, round_digits).alias("alpha_hat"),
+        (alpha <= 2.0).alias("infinite_variance"),
+    )

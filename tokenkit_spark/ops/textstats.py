@@ -1364,3 +1364,200 @@ def luhn_sentences(
             "sentence",
         )
     )
+
+
+def char_entropy_orders(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Zero- and first-order character entropy per source — the
+    Shannon redundancy profile.
+
+    Shannon, "Prediction and entropy of printed English" (BSTJ 1951):
+    H0 = unigram character entropy, H1 = conditional entropy
+    H(X_t | X_{t-1}) from the character-bigram distribution,
+
+        H1 = H(bigram) - H(unigram)
+
+    (chain rule); redundancy = 1 - H1/H0.  H1 well below H0 is the
+    structure every compressor exploits — per SOURCE these numbers
+    bound achievable storage (the measured cousin of the codec audits'
+    per-posting bytes) and flag machine-generated text (near-zero
+    redundancy = random-ish strings; extreme redundancy = templates).
+
+    Per source: (grp, n_chars, h0_bits, h1_bits, redundancy).
+    One character explode + two count rollups; entropies from count
+    tables, never per-row logs.
+    """
+    chars = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "")
+        ).alias("c"),
+    ).filter(F.col("c") != "")
+    uni = chars.groupBy("grp", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.groupBy("grp").agg(F.sum("n").alias("t"))
+    h0 = (
+        uni.join(tot, "grp")
+        .groupBy("grp")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("n") / F.col("t"))
+                    * F.log2(F.col("n") / F.col("t"))
+                )
+            ).alias("h0")
+        )
+    )
+    # bigrams via self-zip on position within (grp, doc) — use the
+    # text directly: consecutive char pairs per document
+    big = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.length(F.lower(F.col(text_col))) - 1,
+                            F.lit(1),
+                        ),
+                    ),
+                    lambda i: F.when(
+                        i < F.length(F.lower(F.col(text_col))),
+                        F.lower(F.col(text_col)).substr(i, F.lit(2)),
+                    ),
+                ),
+                lambda g: g.isNotNull(),
+            )
+        ).alias("bg"),
+    )
+    bi = big.groupBy("grp", "bg").agg(F.count(F.lit(1)).alias("n"))
+    btot = bi.groupBy("grp").agg(F.sum("n").alias("t"))
+    hb = (
+        bi.join(btot, "grp")
+        .groupBy("grp")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("n") / F.col("t"))
+                    * F.log2(F.col("n") / F.col("t"))
+                )
+            ).alias("hb")
+        )
+    )
+    return (
+        tot.join(h0, "grp")
+        .join(hb, "grp")
+        .select(
+            "grp",
+            F.col("t").alias("n_chars"),
+            F.round("h0", round_digits).alias("h0_bits"),
+            F.round(F.col("hb") - F.col("h0"), round_digits).alias(
+                "h1_bits"
+            ),
+            F.round(
+                1.0 - (F.col("hb") - F.col("h0")) / F.col("h0"),
+                round_digits,
+            ).alias("redundancy"),
+        )
+    )
+
+
+def novelty_curve(
+    docs: DataFrame,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Trigram novelty decay across ingestion order — how fast new
+    content dries up as the corpus grows.
+
+    The dedup-planning curve (what the RefinedWeb/FineWeb reports
+    plot as "fraction of novel content by dump"): ingest documents in
+    ``id_col`` order, bucket them into ``n_bins`` equal deciles, and
+    measure per bucket the fraction of its word-trigram OCCURRENCES
+    whose trigram was never seen in any earlier document.  First-
+    occurrence attribution via a per-trigram MIN(doc) — one pass, no
+    ordered state.  A curve that collapses early says incremental
+    crawling is re-fetching the same content (and bounds what
+    ``minhash``/containment dedup can save).
+
+    Per bucket: (bucket, n_docs, n_gram_occurrences, n_novel,
+    novelty_rate).
+    """
+    from pyspark.sql import Window
+
+    w = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(w) - 1, F.lit(0)),
+                    ),
+                    lambda i: F.when(
+                        i + 2 < F.size(w),
+                        F.concat_ws(
+                            " ",
+                            F.get(w, i),
+                            F.get(w, i + 1),
+                            F.get(w, i + 2),
+                        ),
+                    ),
+                ),
+                lambda g: g.isNotNull(),
+            )
+        ).alias("gram"),
+    )
+    firsts = grams.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    ranked_docs = docs.select(F.col(id_col).alias("doc_id")).withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy("doc_id")) - 1,
+    )
+    n_docs = docs.count()
+    per_doc_bucket = ranked_docs.select(
+        "doc_id",
+        F.least(
+            F.lit(n_bins - 1).cast("long"),
+            F.floor(F.col("rn") * n_bins / F.lit(n_docs)).cast(
+                "long"
+            ),
+        ).alias("bucket"),
+    )
+    tagged = (
+        grams.join(firsts, "gram")
+        .join(per_doc_bucket, "doc_id")
+        .select(
+            "bucket",
+            (F.col("first_doc") == F.col("doc_id")).cast("long").alias(
+                "novel"
+            ),
+        )
+    )
+    occ = tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_gram_occurrences"),
+        F.sum("novel").alias("n_novel"),
+    )
+    sizes = per_doc_bucket.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return sizes.join(occ, "bucket").select(
+        "bucket",
+        "n_docs",
+        "n_gram_occurrences",
+        "n_novel",
+        F.round(
+            F.col("n_novel") / F.col("n_gram_occurrences"),
+            round_digits,
+        ).alias("novelty_rate"),
+    )
