@@ -8592,6 +8592,86 @@ def q_hill_tail(spark, sf_dir):
     return hill_tail_estimator(_events(spark, sf_dir))
 
 
+def q_nb_curve(spark, sf_dir):
+    """Naive-Bayes learning curve (Banko & Brill ACL 2001 protocol):
+    held-out accuracy at 25/50/100% of the training pool — one
+    filtered count-aggregation per point
+    (ops/nbayes.py:nb_learning_curve)."""
+    from tokenkit_spark.ops.nbayes import nb_learning_curve
+
+    return nb_learning_curve(_docs(spark, sf_dir))
+
+
+def q_idf_variants(spark, sf_dir):
+    """IDF-formula sensitivity (Robertson J.Doc 2004): plain vs
+    probabilistic vs smoothed idf under the same BM25 tf factor,
+    top-10 agreement per query (index/lmsim.py:idf_variants_audit)."""
+    from tokenkit_spark.index.lmsim import idf_variants_audit
+
+    return idf_variants_audit(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_condorcet(spark, sf_dir):
+    """Condorcet/Borda analysis of three similarity rankers (Dwork et
+    al. WWW 2001 framing): pairwise-majority winner existence + Borda
+    agreement per query (index/rankeval.py:condorcet_audit)."""
+    from tokenkit_spark.index.lmsim import (
+        classic_tfidf,
+        lm_dirichlet,
+        lm_jelinek_mercer,
+    )
+    from tokenkit_spark.index.rankeval import condorcet_audit
+
+    d, q = _docs(spark, sf_dir), _queries_df(spark)
+    runs = None
+    for name, fn in (
+        ("dirichlet", lm_dirichlet),
+        ("jm", lm_jelinek_mercer),
+        ("classic", classic_tfidf),
+    ):
+        r = fn(d, q).select(
+            F.lit(name).alias("ranker"), "query_id", "doc_id", "rank"
+        )
+        runs = r if runs is None else runs.unionByName(r)
+    return condorcet_audit(runs, k=10)
+
+
+def q_stopword_ablation(spark, sf_dir):
+    """Stopword-removal index ablation (IIR §2.2.2 'rule of 30' made
+    exact): postings and varint bytes with vs without the English
+    stopword list (index/layout.py:stopword_ablation_audit)."""
+    from tokenkit_spark.index.layout import stopword_ablation_audit
+
+    return stopword_ablation_audit(
+        _docs(spark, sf_dir), sorted(ENGLISH_STOPWORDS)
+    )
+
+
+def q_storage_tiering(spark, sf_dir):
+    """Hot/warm/cold tier assignment at 80/95% cumulative-access cuts
+    (working-set tiering): inlink-count access proxy, n_chars bytes
+    (ops/frontier.py:storage_tiering_audit)."""
+    from tokenkit_spark.ops.frontier import storage_tiering_audit
+
+    d = _docs(spark, sf_dir)
+    inl = (
+        _link_edges(spark, sf_dir)
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("inl"))
+    )
+    freq = (
+        d.select("doc_id", "n_chars")
+        .join(inl, "doc_id", "left")
+        .na.fill({"inl": 0})
+        .select(
+            "doc_id",
+            (F.col("inl") + 1).alias("freq"),
+            F.col("n_chars").alias("bytes"),
+        )
+    )
+    return storage_tiering_audit(freq)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8601,6 +8681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "nb_curve": q_nb_curve,
+        "idf_variants": q_idf_variants,
+        "condorcet": q_condorcet,
+        "stopword_ablation": q_stopword_ablation,
+        "storage_tiering": q_storage_tiering,
         "spell_recall": q_spell_recall,
         "char_entropy_orders": q_char_entropy_orders,
         "merge_norm": q_merge_norm,
@@ -11258,7 +11343,216 @@ stt AS (SELECT *, min(s) OVER wsh AS mn, max(s) OVER wsh AS mx,
         + " UNION ALL ".join(_mn_final)
     )
 
+    # NB learning curve: one self-contained branch per train fraction
+    _nb_branches = []
+    for _f, _kf in ((0.25, 1), (0.5, 2), (1.0, 4)):
+        _nb_branches.append(f"""
+SELECT * FROM (
+WITH test AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+tr AS (SELECT * FROM documents
+       WHERE doc_id % 5 <> 4 AND doc_id % 4 < {_kf}),
+ttoks AS (SELECT doc_id, lower(u.t) AS term FROM test,
+  unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+    AS u(t)),
+t_tf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+         GROUP BY 1, 2),
+t_dl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY 1),
+t_lab AS (SELECT doc_id, source AS label FROM test),
+rtoks AS (SELECT doc_id, lower(u.t) AS term FROM tr,
+  unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+    AS u(t)),
+labels AS (SELECT doc_id, source AS label FROM tr),
+lt AS (SELECT t.doc_id, l.label, t.term FROM rtoks t
+       JOIN labels l USING (doc_id)),
+ct AS (SELECT label AS cls, term, count(*) AS cnt FROM lt
+       GROUP BY 1, 2),
+cs AS (SELECT label AS cls, count(*) AS tokens_c FROM lt
+       GROUP BY 1),
+pr AS (SELECT label AS cls, count(*) AS n_docs_c FROM labels
+       GROUP BY 1),
+nd2 AS (SELECT count(*) AS n_docs FROM labels),
+voc AS (SELECT count(DISTINCT term) AS v FROM rtoks),
+seen AS (SELECT d.doc_id, c.cls,
+           sum(d.tf * ln(c.cnt + 1.0)) AS s_seen
+         FROM t_tf d JOIN ct c USING (term) GROUP BY 1, 2),
+base AS (SELECT dl.doc_id, cs.cls,
+           ln(p.n_docs_c / CAST(nd2.n_docs AS DOUBLE))
+           - dl.dl * ln(cs.tokens_c + voc.v) AS s_base
+         FROM t_dl dl CROSS JOIN cs JOIN pr p USING (cls)
+         CROSS JOIN nd2 CROSS JOIN voc),
+sc AS (SELECT b.doc_id, l.label, b.cls,
+         b.s_base + coalesce(s.s_seen, 0.0) AS score
+       FROM base b LEFT JOIN seen s
+         ON s.doc_id = b.doc_id AND s.cls = b.cls
+       JOIN t_lab l ON l.doc_id = b.doc_id),
+pred AS (SELECT doc_id, label, cls FROM (SELECT *,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY round(score, 4) DESC, cls) AS rn FROM sc)
+         WHERE rn = 1),
+nt AS (SELECT count(*) AS n_test FROM test),
+ntr AS (SELECT count(*) AS n_train FROM tr)
+SELECT CAST({_f} AS DOUBLE) AS train_frac, ntr.n_train, nt.n_test,
+       round(sum(CASE WHEN cls = label THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM pred CROSS JOIN nt CROSS JOIN ntr GROUP BY 1, 2, 3)""")
+    _nb_curve_sql = " UNION ALL ".join(_nb_branches)
+
+    # idf variant branches vs the smoothed baseline
+    _idf_tfpart = (
+        "p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl"
+        " / (g.total_tokens * 1.0 / g.n_docs)))"
+    )
+    _idf_exprs = {
+        "smoothed": (
+            "ln(1 + (g.n_docs - t.df + 0.5) / (t.df + 0.5))"
+        ),
+        "plain": "ln(g.n_docs / CAST(t.df AS DOUBLE))",
+        "probabilistic": (
+            "ln((g.n_docs - t.df) / CAST(t.df AS DOUBLE))"
+        ),
+    }
+    _idf_parts = []
+    _idf_finals = []
+    for _nm, _ie in _idf_exprs.items():
+        _idf_parts.append(f""",
+iv_{_nm} AS (SELECT query_id, doc_id, rank FROM (
+  SELECT q.query_id, p.doc_id,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY round(sum(({_ie}) * ({_idf_tfpart})), 4) DESC,
+      p.doc_id) AS rank
+  FROM qterms q JOIN postings p USING (term)
+  JOIN tstats t USING (term) JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g WHERE t.df < g.n_docs
+  GROUP BY q.query_id, p.doc_id) WHERE rank <= 10)""")
+        _idf_finals.append(f"""
+SELECT t.query_id, '{_nm}' AS variant,
+  CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS topk_overlap,
+  CAST(max(CASE WHEN t.rank = 1 AND b.rank = 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS top1_match
+FROM iv_{_nm} t LEFT JOIN iv_smoothed b
+  ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+GROUP BY 1""")
+    _idf_sql2 = (
+        f"WITH {lmsim_stats_cte.strip()}"
+        + "".join(_idf_parts)
+        + " UNION ALL ".join(_idf_finals)
+    )
+
+    # condorcet over three similarity runs
+    _cond_sims = {
+        "dirichlet": _dir_term,
+        "jm": _jm_term,
+        "classic": (
+            "sqrt(p.tf) * pow(1 + ln(g.n_docs / (t.df + 1.0)), 2)"
+            " / sqrt(d.dl)"
+        ),
+    }
+    _cond_runs = []
+    for _nm, _pt in _cond_sims.items():
+        _cond_runs.append(f"""
+SELECT '{_nm}' AS ranker, query_id, doc_id, rank FROM (
+  SELECT q.query_id, p.doc_id,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY round(sum({_pt}), 4) DESC, p.doc_id) AS rank
+  FROM qterms q JOIN postings p USING (term)
+  JOIN tstats t USING (term) JOIN dstats d USING (doc_id)
+  CROSS JOIN globals g GROUP BY q.query_id, p.doc_id)
+WHERE rank <= 10""")
+    _condorcet_sql = (
+        f"""
+WITH {lmsim_stats_cte.strip()},
+runs AS ({" UNION ALL ".join(_cond_runs)}),
+cand AS (SELECT DISTINCT query_id, doc_id FROM runs),
+rks AS (SELECT DISTINCT ranker FROM runs),
+fullg AS (SELECT c.query_id, c.doc_id, r.ranker,
+            coalesce(x.rank, 11) AS r_rank
+          FROM cand c CROSS JOIN rks r
+          LEFT JOIN runs x ON x.query_id = c.query_id
+            AND x.doc_id = c.doc_id AND x.ranker = r.ranker),
+votes AS (SELECT a.query_id, a.doc_id AS a, b.doc_id AS b,
+            CAST(sum(CASE WHEN a.r_rank < b.r_rank THEN 1 ELSE 0 END)
+                 AS BIGINT) AS wins
+          FROM fullg a JOIN fullg b ON b.query_id = a.query_id
+            AND b.ranker = a.ranker AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2, 3),
+beats AS (SELECT query_id, min(a) AS condorcet_winner FROM (
+            SELECT query_id, a,
+              min(CASE WHEN wins > 1.5 THEN 1 ELSE 0 END) AS all_maj
+            FROM votes GROUP BY 1, 2) WHERE all_maj = 1 GROUP BY 1),
+borda AS (SELECT query_id, doc_id,
+            sum(11 - r_rank) AS pts FROM fullg GROUP BY 1, 2),
+bw AS (SELECT query_id, doc_id AS borda_winner FROM (
+         SELECT query_id, doc_id, row_number() OVER (
+           PARTITION BY query_id ORDER BY pts DESC, doc_id) AS r
+         FROM borda) WHERE r = 1),
+ncand AS (SELECT query_id, count(*) AS n_candidates FROM cand
+          GROUP BY 1)
+SELECT n.query_id, n.n_candidates, be.condorcet_winner,
+       bw.borda_winner,
+       be.condorcet_winner = bw.borda_winner AS winners_agree
+FROM ncand n JOIN bw ON bw.query_id = n.query_id
+LEFT JOIN beats be ON be.query_id = n.query_id"""
+    )
+
     return {
+        # NB learning curve (ops/nbayes.py:nb_learning_curve)
+        "nb_curve": _nb_curve_sql,
+        # IDF variant sensitivity (index/lmsim.py:idf_variants_audit)
+        "idf_variants": _idf_sql2,
+        # Condorcet/Borda over three rankers (index/rankeval.py)
+        "condorcet": _condorcet_sql,
+        # Stopword index ablation (index/layout.py)
+        "stopword_ablation": f"""
+WITH toks AS ({_TOKS}),
+po AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+g1 AS (SELECT term, doc_id - coalesce(lag(doc_id) OVER (
+         PARTITION BY term ORDER BY doc_id), 0) AS gap FROM po),
+full_s AS (SELECT count(DISTINCT term) AS n_terms,
+             count(*) AS n_postings,
+             CAST(sum({_vc('gap')}) AS BIGINT) AS vb FROM g1),
+po2 AS (SELECT term, doc_id, tf FROM po
+        WHERE term NOT IN ({_STOP_EN_SQL})),
+g2 AS (SELECT term, doc_id - coalesce(lag(doc_id) OVER (
+         PARTITION BY term ORDER BY doc_id), 0) AS gap FROM po2),
+ns AS (SELECT count(DISTINCT term) AS n_terms,
+         count(*) AS n_postings,
+         CAST(sum({_vc('gap')}) AS BIGINT) AS vb FROM g2)
+SELECT 'full' AS variant, f.n_terms, f.n_postings,
+       f.vb AS varint_bytes,
+       round(f.n_postings / CAST(f.n_postings AS DOUBLE), 6)
+         AS frac_of_full_postings,
+       round(f.vb / CAST(f.vb AS DOUBLE), 6) AS frac_of_full_bytes
+FROM full_s f
+UNION ALL
+SELECT 'no_stopwords', n.n_terms, n.n_postings, n.vb,
+       round(n.n_postings / CAST(f.n_postings AS DOUBLE), 6),
+       round(n.vb / CAST(f.vb AS DOUBLE), 6)
+FROM ns n CROSS JOIN full_s f""",
+        # Storage tiering at 80/95 cuts (ops/frontier.py)
+        "storage_tiering": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+inl AS (SELECT dst AS doc_id, count(*) AS inl FROM edges
+        GROUP BY 1),
+d AS (SELECT doc.doc_id AS id,
+        CAST(coalesce(i.inl, 0) + 1 AS DOUBLE) AS f,
+        CAST(doc.n_chars AS DOUBLE) AS b
+      FROM documents doc LEFT JOIN inl i ON i.doc_id = doc.doc_id),
+tot AS (SELECT sum(f) AS tf, sum(b) AS tb, count(*) AS n FROM d),
+cum AS (SELECT d.*, sum(f) OVER (ORDER BY f DESC, id
+          ROWS UNBOUNDED PRECEDING) AS cum_f, tot.tf, tot.tb, tot.n
+        FROM d CROSS JOIN tot),
+tiered AS (SELECT *,
+    CASE WHEN (cum_f - f) / tf < 0.8 THEN 'hot'
+         WHEN (cum_f - f) / tf < 0.95 THEN 'warm'
+         ELSE 'cold' END AS tier
+  FROM cum)
+SELECT tier, count(*) AS n_docs,
+       round(count(*) / CAST(max(n) AS DOUBLE), 6) AS docs_share,
+       CAST(sum(b) AS BIGINT) AS bytes,
+       round(sum(b) / max(tb), 6) AS bytes_share,
+       round(sum(f) / max(tf), 6) AS access_share
+FROM tiered GROUP BY 1""",
         # Planted-typo suggester eval (index/wordbreak.py)
         "spell_recall": f"""
 WITH toks AS ({_TOKS}),

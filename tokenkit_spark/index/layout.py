@@ -298,3 +298,79 @@ def rle_layout_audit(
         "n_rows long, n_distinct long, runs_docid long, "
         "runs_sorted long, expected_runs double, rle_gain double",
     )
+
+
+def stopword_ablation_audit(
+    docs: DataFrame,
+    stopwords,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Stopword-removal index ablation — exact size impact of the
+    classic space/function trade.
+
+    IIR §2.2.2's "rule of 30" (the 30 commonest words are ~30% of
+    postings) made exact on this corpus: build the postings relation
+    with and without the stopword list and compare term count,
+    posting count, and the live codec's delta+varint doc-gap bytes.
+    What the saved third costs is phrase/proximity fidelity ("to be
+    or not to be") — which is why modern engines keep stopwords and
+    spend the bytes; this audit prices the decision instead of
+    asserting it.
+
+    Two rows: (variant, n_terms, n_postings, varint_bytes,
+    frac_of_full_postings, frac_of_full_bytes).
+    """
+    from pyspark.sql import Window
+
+    from tokenkit_spark.index.reorder import varint_len
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    stop = [s for s in stopwords]
+
+    def stats(t):
+        p = t.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+        wt = Window.partitionBy("term").orderBy("doc_id")
+        g = p.withColumn(
+            "gap",
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(wt), F.lit(0)),
+        )
+        return g.agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_postings"),
+            F.sum(varint_len(F.col("gap"))).alias("varint_bytes"),
+        ).collect()[0]
+
+    full = stats(toks)
+    nostop = stats(toks.filter(~F.col("term").isin(stop)))
+    spark = docs.sparkSession
+    rows = []
+    for name, r in (("full", full), ("no_stopwords", nostop)):
+        rows.append(
+            (
+                name,
+                r.n_terms,
+                r.n_postings,
+                int(r.varint_bytes),
+                round(r.n_postings / full.n_postings, round_digits),
+                round(
+                    r.varint_bytes / full.varint_bytes, round_digits
+                ),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "variant string, n_terms long, n_postings long, "
+        "varint_bytes long, frac_of_full_postings double, "
+        "frac_of_full_bytes double",
+    )

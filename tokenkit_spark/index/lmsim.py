@@ -611,3 +611,106 @@ def length_bias_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def idf_variants_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IDF-formula sensitivity audit — how much does the idf variant
+    actually move the top-k?
+
+    The three canonical forms (Robertson, "Understanding inverse
+    document frequency: on theoretical arguments for IDF", J.Doc
+    2004): plain Sparck-Jones ln(N/df), the probabilistic
+    ln((N-df)/df) (negative for df > N/2 — the quirk BM25's +0.5
+    smoothing exists to tame), and Lucene/BM25's smoothed
+    ln(1 + (N-df+0.5)/(df+0.5)).  Same tf/length factor, same query
+    set; per (query, variant): top-k overlap and top-1 agreement
+    against the smoothed baseline.  High agreement = the endless idf
+    debate is immaterial on this corpus; divergence concentrates on
+    stopword-heavy queries, visible per query.
+
+    One scoring join per variant over shared stats.
+    """
+    from pyspark.sql import Window
+
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    tf_part = (
+        F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+    )
+    idfs = {
+        "smoothed": F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        ),
+        "plain": F.log(
+            F.col("n_docs") / F.col("df").cast("double")
+        ),
+        "probabilistic": F.log(
+            (F.col("n_docs") - F.col("df"))
+            / F.col("df").cast("double")
+        ),
+    }
+
+    def top(expr):
+        scored = (
+            qterms.join(postings, "term")
+            .join(tstats, "term")
+            .join(dstats, id_col)
+            .crossJoin(F.broadcast(globals_))
+            .filter(F.col("df") < F.col("n_docs"))
+            .groupBy("query_id", id_col)
+            .agg(F.sum(expr * tf_part).alias("s"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round("s", 4).desc(), F.col(id_col).asc()
+        )
+        return scored.withColumn(
+            "rank", F.row_number().over(w)
+        ).filter(F.col("rank") <= k)
+
+    base = top(idfs["smoothed"]).select(
+        "query_id",
+        F.col(id_col).alias("b_doc"),
+        F.col("rank").alias("b_rank"),
+    )
+    out = None
+    for name, expr in idfs.items():
+        t = top(expr)
+        cmp = (
+            t.join(
+                base,
+                (t.query_id == base.query_id)
+                & (t[id_col] == F.col("b_doc")),
+                "left",
+            )
+            .groupBy(t.query_id)
+            .agg(
+                F.sum(F.col("b_rank").isNotNull().cast("long")).alias(
+                    "topk_overlap"
+                ),
+                F.max(
+                    ((F.col("rank") == 1) & (F.col("b_rank") == 1))
+                    .cast("long")
+                ).alias("top1_match"),
+            )
+            .select(
+                "query_id",
+                F.lit(name).alias("variant"),
+                "topk_overlap",
+                "top1_match",
+            )
+        )
+        out = cmp if out is None else out.unionByName(cmp)
+    return out

@@ -657,3 +657,116 @@ def wilcoxon_signed_rank(
             ).alias("z"),
         )
     )
+
+
+def condorcet_audit(
+    runs: DataFrame,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Condorcet analysis of multiple rankers' top-k lists — does a
+    pairwise-majority winner exist, and does Borda agree?
+
+    Social-choice rank aggregation (de Borda 1781; Condorcet 1785;
+    the framing Dwork, Kumar, Naor & Sivakumar, "Rank aggregation
+    methods for the web", WWW 2001 brought to metasearch): treat each
+    ranker as a voter over the union of returned documents (absent
+    documents rank worst, position k+1).  A CONDORCET WINNER beats
+    every other candidate in pairwise majority; it need not exist
+    (Condorcet's paradox), and when it does, Kemeny-optimal
+    aggregations must rank it first — so its existence and the Borda
+    winner's agreement certify cheap Borda fusion per query.
+
+    ``runs``: (ranker, query_id, doc_id, rank).  Per query:
+    (query_id, n_candidates, condorcet_winner, borda_winner,
+    winners_agree) with NULL condorcet_winner when none exists.
+    Shape: per-query candidate union (<= rankers*k docs), pairwise
+    vote join bounded by that union, two rollups.
+    """
+    n_rankers = runs.select("ranker").distinct().count()
+    cand = runs.select("query_id", "doc_id").distinct()
+    grid = (
+        cand.join(
+            runs.select(
+                "ranker", "query_id",
+                F.col("doc_id").alias("r_doc"),
+                F.col("rank").alias("r_rank"),
+            ).alias("r"),
+            "query_id",
+        )
+        .filter(F.col("doc_id") == F.col("r_doc"))
+        .select("query_id", "doc_id", "ranker", "r_rank")
+    )
+    full = (
+        cand.crossJoin(
+            F.broadcast(runs.select("ranker").distinct())
+        )
+        .join(
+            grid,
+            ["query_id", "doc_id", "ranker"],
+            "left",
+        )
+        .na.fill({"r_rank": k + 1})
+    )
+    a = full.select(
+        "query_id", "ranker",
+        F.col("doc_id").alias("a"),
+        F.col("r_rank").alias("ra"),
+    )
+    b = full.select(
+        "query_id", "ranker",
+        F.col("doc_id").alias("b"),
+        F.col("r_rank").alias("rb"),
+    )
+    votes = (
+        a.join(b, ["query_id", "ranker"])
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("query_id", "a", "b")
+        .agg(
+            F.sum((F.col("ra") < F.col("rb")).cast("long")).alias(
+                "wins"
+            )
+        )
+    )
+    majority = n_rankers / 2.0
+    beats_all = (
+        votes.groupBy("query_id", "a")
+        .agg(
+            F.min(
+                (F.col("wins") > majority).cast("int")
+            ).alias("all_maj")
+        )
+        .filter(F.col("all_maj") == 1)
+        .groupBy("query_id")
+        .agg(F.min("a").alias("condorcet_winner"))
+    )
+    borda = (
+        full.groupBy("query_id", "doc_id")
+        .agg(F.sum(F.lit(k + 1) - F.col("r_rank")).alias("pts"))
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("pts").desc(), F.col("doc_id").asc()
+    )
+    borda_w = (
+        borda.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("doc_id").alias("borda_winner"))
+    )
+    n_cand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        n_cand.join(borda_w, "query_id")
+        .join(beats_all, "query_id", "left")
+        .select(
+            "query_id",
+            "n_candidates",
+            "condorcet_winner",
+            "borda_winner",
+            (
+                F.col("condorcet_winner") == F.col("borda_winner")
+            ).alias("winners_agree"),
+        )
+    )

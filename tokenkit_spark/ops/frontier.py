@@ -253,3 +253,74 @@ def crawl_makespan_bound(
         F.round(F.col("total") / (float(connections) * lb),
                 round_digits).alias("utilization"),
     )
+
+
+TIER_CUTS = ((0.8, "hot"), (0.95, "warm"))
+
+
+def storage_tiering_audit(
+    docs_freq: DataFrame,
+    id_col: str = "doc_id",
+    freq_col: str = "freq",
+    bytes_col: str = "bytes",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hot/warm/cold storage-tier assignment by access concentration.
+
+    The S3/-IA/Glacier (or RAM/SSD/HDD) placement rule every serving
+    stack applies to Zipf-shaped access: sort objects by access
+    frequency, cut tiers at cumulative-access thresholds (hot serves
+    the first 80% of accesses, warm to 95%, cold the tail), and read
+    off how LITTLE capacity the hot tier needs — the working-set
+    compression that makes tiering pay (Denning's working-set
+    principle applied to object storage).
+
+    Per tier: (tier, n_docs, docs_share, bytes, bytes_share,
+    access_share).  One global sort window over the object table +
+    cumulative-share cuts; ties by id pinned.
+    """
+    from pyspark.sql import Window
+
+    d = docs_freq.select(
+        F.col(id_col).alias("id"),
+        F.col(freq_col).cast("double").alias("f"),
+        F.col(bytes_col).cast("double").alias("b"),
+    )
+    tot = d.agg(
+        F.sum("f").alias("tf"), F.sum("b").alias("tb"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    w = Window.orderBy(F.col("f").desc(), F.col("id").asc())
+    cum = d.withColumn(
+        "cum_f",
+        F.sum("f").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # (cum - f) / total in ONE division — the oracle must reproduce the
+    # exact float expression or boundary docs flip tiers
+    prev_share = (F.col("cum_f") - F.col("f")) / F.lit(float(tot.tf))
+    tier = (
+        F.when(prev_share < TIER_CUTS[0][0], TIER_CUTS[0][1])
+        .when(prev_share < TIER_CUTS[1][0], TIER_CUTS[1][1])
+        .otherwise("cold")
+    )
+    per = cum.withColumn("tier", tier).groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("b").alias("bytes_raw"),
+        F.sum("f").alias("f_raw"),
+    )
+    return per.select(
+        "tier",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.lit(float(tot.n)), round_digits
+        ).alias("docs_share"),
+        F.col("bytes_raw").cast("long").alias("bytes"),
+        F.round(
+            F.col("bytes_raw") / F.lit(float(tot.tb)), round_digits
+        ).alias("bytes_share"),
+        F.round(
+            F.col("f_raw") / F.lit(float(tot.tf)), round_digits
+        ).alias("access_share"),
+    )

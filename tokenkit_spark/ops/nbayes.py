@@ -145,3 +145,122 @@ def nb_confusion(
         .groupBy("label", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def nb_learning_curve(
+    docs: DataFrame,
+    fracs=(0.25, 0.5, 1.0),
+    label_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Naive-Bayes sample-efficiency curve — held-out accuracy vs
+    training-set size.
+
+    The learning-curve protocol (Banko & Brill, ACL 2001 — the "more
+    data beats better algorithms" plot) on the count-based classifier
+    above: a FIXED 20% holdout (doc_id % 5 == 4), training subsets of
+    the remaining pool at each fraction (doc_id % 4 < frac*4 — nested,
+    so each larger set contains the smaller), model = multinomial NB
+    with the same ln(cnt+1)/ln(tokens_c + V) smoothing as
+    ``nb_scores``, V = the TRAINING vocabulary.  Because training is
+    pure counting, every point of the curve is one more filtered
+    aggregation — no iterative fitting anywhere.
+
+    Per fraction: (train_frac, n_train, n_test, accuracy).
+    """
+    from pyspark.sql import Window
+
+    test = docs.filter(F.col(id_col) % 5 == 4)
+    pool = docs.filter(F.col(id_col) % 5 != 4)
+    t_toks = _toks(test, id_col, text_col)
+    t_tf = t_toks.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf")
+    )
+    t_dl = t_toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    t_lab = test.select(id_col, F.col(label_col).alias("label"))
+    n_test = test.count()
+    out = None
+    for frac in fracs:
+        train = pool.filter(F.col(id_col) % 4 < int(frac * 4))
+        n_train = train.count()
+        tr_toks = _toks(train, id_col, text_col)
+        labels = train.select(id_col, F.col(label_col).alias("label"))
+        lt = tr_toks.join(labels, id_col)
+        class_term = lt.groupBy("label", "term").agg(
+            F.count("*").alias("cnt")
+        ).withColumnRenamed("label", "cls")
+        class_stats = lt.groupBy("label").agg(
+            F.count("*").alias("tokens_c")
+        ).withColumnRenamed("label", "cls")
+        priors = labels.groupBy("label").agg(
+            F.count("*").alias("n_docs_c")
+        ).withColumnRenamed("label", "cls")
+        nd = labels.agg(F.count("*").alias("n_docs"))
+        voc = tr_toks.select("term").distinct().agg(
+            F.count("*").alias("v")
+        )
+        seen = (
+            t_tf.join(class_term, "term")
+            .groupBy(id_col, "cls")
+            .agg(
+                F.sum(
+                    F.col("tf") * F.log(F.col("cnt") + 1.0)
+                ).alias("s_seen")
+            )
+        )
+        base = (
+            t_dl.crossJoin(F.broadcast(class_stats))
+            .join(F.broadcast(priors), "cls")
+            .crossJoin(F.broadcast(nd))
+            .crossJoin(F.broadcast(voc))
+            .select(
+                id_col,
+                "cls",
+                (
+                    F.log(
+                        F.col("n_docs_c")
+                        / F.col("n_docs").cast("double")
+                    )
+                    - F.col("dl")
+                    * F.log(F.col("tokens_c") + F.col("v"))
+                ).alias("s_base"),
+            )
+        )
+        sc = (
+            base.join(seen, [id_col, "cls"], "left")
+            .na.fill({"s_seen": 0.0})
+            .withColumn(
+                "score", F.col("s_base") + F.col("s_seen")
+            )
+            .join(t_lab, id_col)
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.round("score", 4).desc(), F.col("cls").asc()
+        )
+        pred = sc.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        acc = pred.agg(
+            F.sum(
+                (F.col("cls") == F.col("label")).cast("long")
+            ).alias("ok"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        row = docs.sparkSession.createDataFrame(
+            [
+                (
+                    float(frac),
+                    n_train,
+                    n_test,
+                    round(acc.ok / acc.n, round_digits)
+                    if acc.n
+                    else 0.0,
+                )
+            ],
+            "train_frac double, n_train long, n_test long, "
+            "accuracy double",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

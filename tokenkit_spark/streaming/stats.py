@@ -304,3 +304,29 @@ def session_windows(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def dedup_within_watermark(
+    events,
+    key_cols,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+):
+    """Streaming exact dedup with BOUNDED state —
+    ``dropDuplicatesWithinWatermark`` over a watermarked stream.
+
+    The Spark 3.5+ answer to the unbounded-state trap this module's
+    ``first_seen_pages`` documents: plain ``dropDuplicates`` on a
+    stream keeps every key forever; the watermark variant evicts a
+    key's state once the watermark passes its event time + delay, so
+    state is bounded by the delay window while still deduplicating
+    any two duplicates that arrive within it (duplicates farther
+    apart than the watermark are BY CONTRACT re-emitted — the
+    bounded-state price, verified in the cross-batch pytest).
+
+    Returns the deduplicated streaming DataFrame; callers attach
+    their own sink.
+    """
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
