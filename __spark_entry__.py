@@ -8672,6 +8672,83 @@ def q_storage_tiering(spark, sf_dir):
     return storage_tiering_audit(freq)
 
 
+def q_quantile_norm(spark, sf_dir):
+    """Quantile normalization across sources (Bolstad et al. 2003):
+    map each source's n_chars distribution onto the pooled one —
+    per-source calibration audit
+    (ops/harmonize.py:quantile_normalize_audit)."""
+    from tokenkit_spark.ops.harmonize import quantile_normalize_audit
+
+    return quantile_normalize_audit(
+        _docs(spark, sf_dir), "n_chars"
+    )
+
+
+def q_bot_detection(spark, sf_dir):
+    """Heuristic bot scoring (Tan & Kumar DMKD 2002 features): peak
+    rate, gap regularity, nocturnal share per user, flags summed
+    (ops/traps.py:bot_detection)."""
+    from tokenkit_spark.ops.traps import bot_detection
+
+    return bot_detection(_events(spark, sf_dir))
+
+
+def q_query_cache_norm(spark, sf_dir):
+    """Semantic query-cache key normalization payoff: raw vs
+    lowercase+stopword-drop+term-sort keys over the query log
+    (ops/searchlog.py:query_cache_normalization_audit)."""
+    from tokenkit_spark.ops.searchlog import (
+        query_cache_normalization_audit,
+    )
+
+    qlog = _query_log(spark, sf_dir).withColumn(
+        "query",
+        F.when(
+            F.col("step") % 11 == 0,
+            F.concat(
+                F.lit("the "),
+                F.reverse(F.split(F.col("query"), " "))[0],
+                F.lit(" "),
+                F.split(F.col("query"), " ")[0],
+            ),
+        ).otherwise(F.col("query")),
+    )
+    return query_cache_normalization_audit(qlog)
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Church-Gale burstiness (Poisson mixtures, NLE 1995): cf/df,
+    Poisson-expected df, Church adaptation P(tf>=2|tf>=1) — top-20
+    clumping terms (ops/textstats.py:term_burstiness)."""
+    from tokenkit_spark.ops.textstats import term_burstiness
+
+    return term_burstiness(_docs(spark, sf_dir))
+
+
+def q_ppl_sweep(spark, sf_dir):
+    """Perplexity-filter threshold sweep (CCNet protocol): kept mass
+    + surviving mean perplexity at each cutoff
+    (ops/textstats.py:perplexity_filter_sweep)."""
+    from tokenkit_spark.ops.textstats import perplexity_filter_sweep
+
+    return perplexity_filter_sweep(_docs(spark, sf_dir))
+
+
+def q_skew_audit(spark, sf_dir):
+    """Join-key skew pre-flight (the AQE skew-join diagnosis, ahead
+    of time): top-key share, p99/median, straggler parallelism
+    ceiling for candidate shuffle keys
+    (ops/aggs.py:join_key_skew_audit)."""
+    from tokenkit_spark.ops.aggs import join_key_skew_audit
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    return join_key_skew_audit(
+        ev, ["user_id", "event_type", "day"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8681,6 +8758,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "quantile_norm": q_quantile_norm,
+        "bot_detection": q_bot_detection,
+        "query_cache_norm": q_query_cache_norm,
+        "term_burstiness": q_term_burstiness,
+        "ppl_sweep": q_ppl_sweep,
+        "skew_audit": q_skew_audit,
         "nb_curve": q_nb_curve,
         "idf_variants": q_idf_variants,
         "condorcet": q_condorcet,
@@ -11495,7 +11578,167 @@ FROM ncand n JOIN bw ON bw.query_id = n.query_id
 LEFT JOIN beats be ON be.query_id = n.query_id"""
     )
 
+    _ppl_cte = """
+t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       '\\s+'), x -> x <> '') AS l FROM documents),
+big AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM t,
+        unnest(generate_series(1, greatest(len(l) - 1, 0))) r(i)),
+uc AS (SELECT unnest(l) AS w FROM t),
+u AS (SELECT w, count(*) AS c_w FROM uc GROUP BY 1),
+pc AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2),
+vv AS (SELECT count(*) AS v FROM u),
+ppl AS (SELECT doc_id, round(exp(-avg(ln((coalesce(c_ab, 0) + 0.1)
+          / (coalesce(c_w, 0) + 0.1 * vv.v)))), 4) AS ppl
+        FROM big LEFT JOIN pc USING (w1, w2)
+        LEFT JOIN u ON u.w = big.w1 CROSS JOIN vv GROUP BY doc_id),
+ntp AS (SELECT count(*) AS n FROM ppl)"""
+    _ppl_branches = []
+    for _pt in (50.0, 100.0, 200.0, 400.0, 800.0):
+        _ppl_branches.append(f"""
+SELECT CAST({_pt} AS DOUBLE) AS threshold,
+       count(*) FILTER (WHERE ppl <= {_pt}) AS n_kept,
+       round(count(*) FILTER (WHERE ppl <= {_pt})
+             / CAST(max(ntp.n) AS DOUBLE), 6) AS frac_kept,
+       round(avg(ppl) FILTER (WHERE ppl <= {_pt}), 6)
+         AS mean_ppl_kept
+FROM ppl CROSS JOIN ntp""")
+    _ppl_sweep_sql = (
+        "WITH " + _ppl_cte.strip() + " "
+        + " UNION ALL ".join(_ppl_branches)
+    )
+
+    _skew_branches = []
+    for _kname, _kexpr in (
+        ("user_id", "user_id"),
+        ("event_type", "event_type"),
+        ("day", "CAST(CAST(ts AS DATE) AS VARCHAR)"),
+    ):
+        _skew_branches.append(f"""
+SELECT '{_kname}' AS key, CAST(sum(c) AS BIGINT) AS n_rows,
+       count(*) AS n_keys, max(c) AS max_key_rows,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share,
+       round(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 6)
+         AS p99_over_median,
+       round(sum(c) / CAST(max(c) AS DOUBLE), 6) AS parallel_ceiling
+FROM (SELECT {_kexpr} AS k, count(*) AS c FROM events GROUP BY 1)""")
+    _skew_sql = " UNION ALL ".join(_skew_branches)
+
     return {
+        # Quantile normalization audit (ops/harmonize.py)
+        "quantile_norm": """
+WITH v AS (SELECT source AS grp, CAST(n_chars AS DOUBLE) AS x
+           FROM documents),
+np AS (SELECT count(*) AS n FROM v),
+pool AS (SELECT row_number() OVER (ORDER BY x ASC, grp ASC) - 1
+           AS pr_idx, x AS pool_x FROM v),
+rk AS (SELECT grp, x,
+         row_number() OVER (PARTITION BY grp ORDER BY x ASC) AS r,
+         count(*) OVER (PARTITION BY grp) AS n FROM v),
+m2 AS (SELECT grp, x,
+         (CASE WHEN rk.n > 1
+               THEN (rk.r - 1) / CAST(rk.n - 1 AS DOUBLE)
+               ELSE 0.0 END) * (np.n - 1) AS idx
+       FROM rk CROSS JOIN np),
+m3 AS (SELECT grp, x, CAST(floor(idx) AS BIGINT) AS lo,
+              idx - floor(idx) AS frac FROM m2),
+j AS (SELECT m3.grp, m3.x, m3.frac, p1.pool_x AS x_lo,
+             p2.pool_x AS x_hi
+      FROM m3 CROSS JOIN np
+      JOIN pool p1 ON p1.pr_idx = m3.lo
+      JOIN pool p2 ON p2.pr_idx = least(m3.lo + 1, np.n - 1)),
+mm AS (SELECT grp, x,
+         x_lo + frac * (x_hi - x_lo) AS mapped FROM j)
+SELECT grp, count(*) AS n, round(avg(x), 6) AS mean_raw,
+       round(avg(mapped), 6) AS mean_mapped,
+       round(max(abs(mapped - x)), 6) AS max_abs_shift
+FROM mm GROUP BY 1""",
+        # Bot heuristics (ops/traps.py:bot_detection)
+        "bot_detection": """
+WITH sec AS (SELECT user_id AS u, ts,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+pm AS (SELECT u, CAST(floor(s / 60) AS BIGINT) AS m, count(*) AS c
+       FROM sec GROUP BY 1, 2),
+pk AS (SELECT u, max(c) AS peak_rate FROM pm GROUP BY 1),
+gp AS (SELECT u, CAST(s - lag(s) OVER (PARTITION BY u ORDER BY ts)
+         AS DOUBLE) AS gap FROM sec),
+gs AS (SELECT u, CAST(count(*) AS DOUBLE) AS ng, sum(gap) AS sm,
+         sum(gap * gap) AS ss
+       FROM gp WHERE gap IS NOT NULL GROUP BY 1),
+cv AS (SELECT u, CASE WHEN sm / ng > 0 THEN
+         sqrt(greatest((ss - sm * sm / ng) / ng, 0.0)) / (sm / ng)
+       END AS gap_cv FROM gs),
+nt AS (SELECT user_id AS u, count(*) AS n_events,
+         CAST(sum(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_night
+       FROM events GROUP BY 1),
+j AS (SELECT nt.u, nt.n_events, nt.n_night, pk.peak_rate, cv.gap_cv
+      FROM nt JOIN pk ON pk.u = nt.u LEFT JOIN cv ON cv.u = nt.u),
+f AS (SELECT u, n_events, peak_rate, gap_cv,
+        n_night / CAST(n_events AS DOUBLE) AS night_share,
+        peak_rate >= 20.0 AS high_rate,
+        coalesce(gap_cv <= 0.3, FALSE) AND n_events >= 10
+          AS metronomic,
+        (n_night / CAST(n_events AS DOUBLE)) >= 0.6 AS nocturnal
+      FROM j)
+SELECT u AS user_id, n_events, peak_rate,
+       round(gap_cv, 6) AS gap_cv,
+       round(night_share, 6) AS night_share, high_rate, metronomic,
+       nocturnal,
+       CAST(high_rate AS INT) + CAST(metronomic AS INT)
+         + CAST(nocturnal AS INT) AS bot_score
+FROM f""",
+        # Query cache normalization (ops/searchlog.py)
+        "query_cache_norm": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+ql AS (SELECT e.user_id AS session_id, e.event_id AS step,
+              v.q AS query
+       FROM events e JOIN vocab v
+       ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+q2 AS (SELECT CASE WHEN step % 11 = 0
+         THEN 'the ' || string_split(query, ' ')[2] || ' '
+              || string_split(query, ' ')[1]
+         ELSE query END AS query FROM ql),
+k AS (SELECT query AS raw,
+        array_to_string(list_sort(list_distinct(list_filter(
+          string_split_regex(lower(query), '\\s+'),
+          t -> t <> '' AND t NOT IN ('the', 'a', 'of', 'and')))),
+          ' ') AS nkey FROM q2),
+nr AS (SELECT count(*) AS n_requests FROM k),
+rk2 AS (SELECT count(DISTINCT raw) AS raw_keys FROM k),
+nk AS (SELECT count(DISTINCT nkey) AS norm_keys FROM k),
+gr AS (SELECT nkey, count(*) AS g FROM
+       (SELECT DISTINCT raw, nkey FROM k) GROUP BY 1),
+gs AS (SELECT CAST(coalesce(sum(CASE WHEN g > 1 THEN 1 ELSE 0 END),
+                 0) AS BIGINT) AS merged,
+              CAST(coalesce(max(g), 0) AS BIGINT) AS mx FROM gr)
+SELECT nr.n_requests, rk2.raw_keys, nk.norm_keys,
+       round(1.0 - rk2.raw_keys / CAST(nr.n_requests AS DOUBLE), 6)
+         AS raw_hit_rate,
+       round(1.0 - nk.norm_keys / CAST(nr.n_requests AS DOUBLE), 6)
+         AS norm_hit_rate,
+       gs.merged AS merged_groups, gs.mx AS max_group
+FROM nr CROSS JOIN rk2 CROSS JOIN nk CROSS JOIN gs""",
+        # Church-Gale burstiness (ops/textstats.py:term_burstiness)
+        "term_burstiness": f"""
+WITH toks AS ({_TOKS}),
+nd3 AS (SELECT count(*) AS n FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+a AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+        CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS df2
+      FROM tf GROUP BY 1 HAVING count(*) >= 3),
+s AS (SELECT a.*, cf / CAST(df AS DOUBLE) AS burst,
+        nd3.n * (1.0 - exp(-(cf / CAST(nd3.n AS DOUBLE)))) AS pdf
+      FROM a CROSS JOIN nd3)
+SELECT rank, term, df, cf, round(burst, 6) AS burstiness,
+       round(pdf, 6) AS poisson_df, round(df / pdf, 6) AS df_ratio,
+       round(df2 / CAST(df AS DOUBLE), 6) AS p_adapt
+FROM (SELECT *, row_number() OVER (ORDER BY round(burst, 9) DESC,
+        term) AS rank FROM s) WHERE rank <= 20""",
+        # Perplexity threshold sweep (ops/textstats.py)
+        "ppl_sweep": _ppl_sweep_sql,
+        # Shuffle-key skew pre-flight (ops/aggs.py)
+        "skew_audit": _skew_sql,
         # NB learning curve (ops/nbayes.py:nb_learning_curve)
         "nb_curve": _nb_curve_sql,
         # IDF variant sensitivity (index/lmsim.py:idf_variants_audit)

@@ -1265,3 +1265,49 @@ def association_rules(
             F.round("lift_raw", round_digits).alias("lift"), "leverage",
         )
     )
+
+
+def join_key_skew_audit(
+    rows: DataFrame,
+    key_cols,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Shuffle-key skew audit — which candidate keys need salting?
+
+    The pre-flight check for every big join/groupBy at cluster scale
+    (the AQE skew-join docs' own diagnosis, measured ahead of time):
+    for each candidate key column, the per-key row counts' shape —
+    top-1 key share, p99/median ratio, and the straggler-bound
+    speedup ceiling n_rows/max_key (no schedule can beat the largest
+    key's partition without salting).  A key with top_share ~ 1/keys
+    hashes clean; top_share >> that marks the hot key a salted
+    repartition (the index build's doc-shard salt,
+    ``index/build.py``) exists to break.
+
+    Per key column: (key, n_rows, n_keys, max_key_rows, top_share,
+    p99_over_median, parallel_ceiling).
+    """
+    out = None
+    for kc in key_cols:
+        per = rows.groupBy(F.col(kc).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        row = per.agg(
+            F.lit(kc).alias("key"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+            F.round(
+                F.max("c") / F.sum("c").cast("double"), round_digits
+            ).alias("top_share"),
+            F.round(
+                F.percentile("c", F.lit(0.99))
+                / F.percentile("c", F.lit(0.5)),
+                round_digits,
+            ).alias("p99_over_median"),
+            F.round(
+                F.sum("c") / F.max("c").cast("double"), round_digits
+            ).alias("parallel_ceiling"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

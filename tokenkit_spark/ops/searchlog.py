@@ -505,3 +505,72 @@ def log_release_pipeline(
         "stage int, stage_name string, n_rows_kept long, "
         "n_queries_kept long, frac_rows_kept double",
     )
+
+
+def query_cache_normalization_audit(
+    qlog: DataFrame,
+    stopwords=("the", "a", "of", "and"),
+    query_col: str = "query",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Semantic query-cache normalization payoff — hit-rate gain from
+    canonicalizing queries before the cache key.
+
+    The results-cache key question (the companion knob to the cache
+    SIZING audits in ``index/cache.py``): bag-of-words retrieval
+    scores "hash join spark" and "spark hash join" identically, so a
+    cache keyed on the RAW string misses reorderings, case variants
+    and stopword noise.  Normalization = lowercase, drop stopwords,
+    SORT terms.  For an infinite cache replaying the log, hit rate =
+    1 - distinct_keys/requests; the audit reports it for raw vs
+    normalized keys plus the collision count (distinct raw strings
+    merged per normalized key).
+
+    One row: (n_requests, raw_keys, norm_keys, raw_hit_rate,
+    norm_hit_rate, merged_groups, max_group).
+    """
+    stop = [s for s in stopwords]
+    norm = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(query_col)), r"\s+"),
+                    lambda t: (t != "") & ~t.isin(stop),
+                )
+            )
+        ),
+        " ",
+    )
+    keyed = qlog.select(
+        F.col(query_col).alias("raw"), norm.alias("nkey")
+    )
+    n_req = keyed.count()
+    raw_keys = keyed.select("raw").distinct().count()
+    norm_keys = keyed.select("nkey").distinct().count()
+    groups = (
+        keyed.select("raw", "nkey")
+        .distinct()
+        .groupBy("nkey")
+        .agg(F.count(F.lit(1)).alias("g"))
+    )
+    gstats = groups.agg(
+        F.sum((F.col("g") > 1).cast("long")).alias("merged"),
+        F.max("g").alias("mx"),
+    ).collect()[0]
+    spark = qlog.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_req,
+                raw_keys,
+                norm_keys,
+                round(1.0 - raw_keys / n_req, round_digits),
+                round(1.0 - norm_keys / n_req, round_digits),
+                int(gstats.merged or 0),
+                int(gstats.mx or 0),
+            )
+        ],
+        "n_requests long, raw_keys long, norm_keys long, "
+        "raw_hit_rate double, norm_hit_rate double, "
+        "merged_groups long, max_group long",
+    )

@@ -1561,3 +1561,115 @@ def novelty_curve(
             round_digits,
         ).alias("novelty_rate"),
     )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    k: int = 20,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Church-Gale term burstiness — which terms clump instead of
+    sprinkling?
+
+    Church & Gale, "Poisson mixtures" (Natural Language Engineering
+    1995): content words violate the Poisson assumption — given one
+    occurrence, more are likely in the SAME document.  Diagnostics
+    per term: the burstiness ratio cf/df (mean tf in docs containing
+    the term; Katz 1996's B), the Poisson-expected df at the same cf
+    (N * (1 - exp(-cf/N))), and the adaptation probability
+    P(tf >= 2 | tf >= 1) — the Church (2000) "adaptation" statistic.
+    High-burstiness terms are topical (index/score them well); ratio
+    ~ 1 marks function words — a stopword-induction signal orthogonal
+    to ``ops/stopwords.py``'s term strength.
+
+    Top-``k`` terms by (burstiness desc) among df >= min_df:
+    (rank, term, df, cf, burstiness, poisson_df, df_ratio,
+    p_adapt).  One (term, doc) rollup + one term rollup.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    agg = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.sum((F.col("tf") >= 2).cast("long")).alias("df2"),
+    ).filter(F.col("df") >= min_df)
+    burst = F.col("cf") / F.col("df").cast("double")
+    poisson_df = F.lit(float(n_docs)) * (
+        1.0 - F.exp(-F.col("cf") / F.lit(float(n_docs)))
+    )
+    w = Window.orderBy(
+        F.round(burst, 9).desc(), F.col("term").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "term",
+            "df",
+            "cf",
+            F.round(burst, round_digits).alias("burstiness"),
+            F.round(poisson_df, round_digits).alias("poisson_df"),
+            F.round(
+                F.col("df") / poisson_df, round_digits
+            ).alias("df_ratio"),
+            F.round(
+                F.col("df2") / F.col("df").cast("double"),
+                round_digits,
+            ).alias("p_adapt"),
+        )
+    )
+
+
+def perplexity_filter_sweep(
+    docs: DataFrame,
+    thresholds=(50.0, 100.0, 200.0, 400.0, 800.0),
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Perplexity-filter threshold sweep — the kept-mass curve that
+    turns a quality knob into a decision.
+
+    The CCNet/Wenzek et al. (2020) pipeline buckets web text by LM
+    perplexity and KEEPS a quantile; picking the cutoff is always done
+    off exactly this curve: for each candidate threshold, how much of
+    the corpus survives and what does the surviving distribution look
+    like.  Reuses the self-contained bigram LM scorer
+    (``bigram_lm_perplexity``) so the sweep is engine-reproducible.
+
+    Per threshold: (threshold, n_kept, frac_kept, mean_ppl_kept) over
+    the docs with >= 2 tokens (the scorable set).
+    """
+    ppl = bigram_lm_perplexity(docs, text_col=text_col)
+    n_total = ppl.count()
+    out = None
+    for t in thresholds:
+        row = ppl.filter(F.col("ppl") <= t).agg(
+            F.lit(float(t)).alias("threshold"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(
+                F.count(F.lit(1)) / F.lit(float(n_total)),
+                round_digits,
+            ).alias("frac_kept"),
+            F.round(F.avg("ppl"), round_digits).alias(
+                "mean_ppl_kept"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -141,3 +141,101 @@ def pagination_families(
         "host", "n_urls", "n_paginated", "n_families",
         "max_family_size", "max_page_no", "frac_paginated",
     )
+
+
+BOT_RATE_PER_MIN = 20.0
+BOT_CV_MAX = 0.3
+BOT_NIGHT_SHARE = 0.6
+
+
+def bot_detection(
+    events,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    round_digits: int = 6,
+):
+    """Heuristic bot scoring of access-log actors — rate, regularity,
+    circadian signals.
+
+    The classic log-hygiene triad (Tan & Kumar, "Discovery of web
+    robot sessions based on their navigational patterns", DMKD 2002;
+    the features every analytics pipeline screens on before counting
+    'users'): per actor,
+
+        peak_rate      max events per minute (machines burst)
+        gap_cv         coefficient of variation of inter-event gaps
+                       (machines are REGULAR: cv << 1; humans ~ 1)
+        night_share    fraction of events in 00:00-05:59 UTC
+                       (humans sleep)
+
+    Flags: high_rate (peak >= 20/min), metronomic (cv <= 0.3 with
+    >= 10 events), nocturnal (night share >= 0.6); ``bot_score`` is
+    the flag count.  One row per user: (user_id, n_events, peak_rate,
+    gap_cv, night_share, high_rate, metronomic, nocturnal,
+    bot_score).  All window/rollup relational — per-user work keyed
+    by the user shuffle.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    sec = F.unix_timestamp(F.col(ts_col))
+    minute = F.floor(sec / 60).cast("long")
+    per_min = events.groupBy(
+        F.col(user_col).alias("u"), minute.alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    peak = per_min.groupBy("u").agg(F.max("c").alias("peak_rate"))
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gaps = (
+        events.withColumn(
+            "gap",
+            (sec - F.unix_timestamp(F.lag(ts_col).over(w)))
+            .cast("double"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("ng"),
+            F.sum("gap").alias("s"),
+            F.sum(F.col("gap") * F.col("gap")).alias("ss"),
+        )
+    )
+    mu = F.col("s") / F.col("ng")
+    sig = F.sqrt(
+        F.greatest(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("ng"))
+            / F.col("ng"),
+            F.lit(0.0),
+        )
+    )
+    cv = F.when(mu > 0, sig / mu)
+    night = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.hour(ts_col) < 6).cast("long")
+        ).alias("n_night"),
+    )
+    j = (
+        night.join(peak, "u")
+        .join(gaps.select("u", cv.alias("gap_cv_raw"), "ng"), "u", "left")
+    )
+    night_share = F.col("n_night") / F.col("n_events").cast("double")
+    high_rate = F.col("peak_rate") >= BOT_RATE_PER_MIN
+    metronomic = (
+        F.coalesce(F.col("gap_cv_raw") <= BOT_CV_MAX, F.lit(False))
+        & (F.col("n_events") >= 10)
+    )
+    nocturnal = night_share >= BOT_NIGHT_SHARE
+    return j.select(
+        F.col("u").alias("user_id"),
+        "n_events",
+        "peak_rate",
+        F.round("gap_cv_raw", round_digits).alias("gap_cv"),
+        F.round(night_share, round_digits).alias("night_share"),
+        high_rate.alias("high_rate"),
+        metronomic.alias("metronomic"),
+        nocturnal.alias("nocturnal"),
+        (
+            high_rate.cast("int")
+            + metronomic.cast("int")
+            + nocturnal.cast("int")
+        ).alias("bot_score"),
+    )
