@@ -47,9 +47,10 @@ def test_bot_detection_flags(spark):
     for o in offs:
         rows.append((base + dt.timedelta(seconds=o), 2, "view", 1.0))
     # night owl 3: all events at 03:00
+    night0 = dt.datetime(2024, 1, 1, 3, 0, 0)
     for i in range(5):
         rows.append(
-            (dt.datetime(2024, 1, 1, 3, 0, i * 40), 3, "view", 1.0)
+            (night0 + dt.timedelta(seconds=i * 40), 3, "view", 1.0)
         )
     out = {r.user_id: r for r in bot_detection(_ev(spark, rows)).collect()}
     assert out[1].high_rate and out[1].metronomic
