@@ -8749,6 +8749,80 @@ def q_skew_audit(spark, sf_dir):
     )
 
 
+def q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters triple smoothing (Winters 1960; ES
+    moving_fn holtWinters) as one ordered list-fold per type:
+    level/trend/7-slot season + 3-day forecasts
+    (ops/movingfn.py:holt_winters_fit)."""
+    from tokenkit_spark.ops.movingfn import holt_winters_fit
+
+    return holt_winters_fit(_events(spark, sf_dir))
+
+
+def q_markov_order(spark, sf_dir):
+    """Markov-order selection (Chierichetti et al. WWW 2012): next-
+    query prediction accuracy under order-0/1/2 mode predictors
+    (ops/searchlog.py:markov_order_eval)."""
+    from tokenkit_spark.ops.searchlog import markov_order_eval
+
+    return markov_order_eval(_query_log(spark, sf_dir))
+
+
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test (Smirnov 1939) of the value
+    distribution between the pinned arms — whole-shape companion to
+    the mean tests (ops/abtest.py:ks_test)."""
+    from tokenkit_spark.ops.abtest import ks_test
+
+    return ks_test(_events(spark, sf_dir))
+
+
+def q_lang_tld(spark, sf_dir):
+    """Language vs ccTLD mismatch audit: content language against the
+    TLD's primary language, gTLDs neutral
+    (ops/webclean.py:lang_tld_mismatch)."""
+    from tokenkit_spark.ops.webclean import lang_tld_mismatch
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    tld = (
+        F.when(doc % 6 == 0, "de")
+        .when(doc % 6 == 1, "fr")
+        .when(doc % 6 == 2, "com")
+        .when(doc % 6 == 3, "jp")
+        .when(doc % 6 == 4, "es")
+        .otherwise("org")
+    )
+    url = F.concat(
+        F.lit("https://site"), doc.cast("string"), F.lit("."), tld,
+        F.lit("/p"),
+    )
+    return lang_tld_mismatch(
+        d.select(url.alias("url"), "lang")
+    )
+
+
+def q_idf_drift(spark, sf_dir):
+    """IDF churn between snapshots (snapshot A = corpus, snapshot B
+    drops every 7th doc): top-20 Robertson-idf movers
+    (ops/snapshotdiff.py:idf_drift)."""
+    from tokenkit_spark.ops.snapshotdiff import idf_drift
+
+    d = _docs(spark, sf_dir)
+    return idf_drift(d, d.filter(F.col("doc_id") % 7 != 0))
+
+
+def q_typo_robustness(spark, sf_dir):
+    """End-to-end typo robustness: top-10 agreement with the clean
+    query under a raw first-term typo vs the suggester-corrected
+    query (index/wordbreak.py:typo_robustness_audit)."""
+    from tokenkit_spark.index.wordbreak import typo_robustness_audit
+
+    return typo_robustness_audit(
+        _docs(spark, sf_dir), _queries_df(spark)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8758,6 +8832,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "holt_winters": q_holt_winters,
+        "markov_order": q_markov_order,
+        "ks_test": q_ks_test,
+        "lang_tld": q_lang_tld,
+        "idf_drift": q_idf_drift,
+        "typo_robustness": q_typo_robustness,
         "quantile_norm": q_quantile_norm,
         "bot_detection": q_bot_detection,
         "query_cache_norm": q_query_cache_norm,
@@ -11623,7 +11703,217 @@ SELECT '{_kname}' AS key, CAST(sum(c) AS BIGINT) AS n_rows,
 FROM (SELECT {_kexpr} AS k, count(*) AS c FROM events GROUP BY 1)""")
     _skew_sql = " UNION ALL ".join(_skew_branches)
 
+    _hw_lp = "0.3 * (e[1] - acc[3]) + 0.7 * (acc[1] + acc[2])"
+    _hw_zero9 = "[" + ", ".join(["0.0"] * 9) + "]"
+    _holt_winters_sql = f"""
+WITH days AS (SELECT event_type AS grp,
+        CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+span AS (SELECT grp, min(day) AS d0, max(day) AS d1 FROM days
+         GROUP BY 1),
+cal AS (SELECT grp, CAST(u.d AS DATE) AS day FROM span,
+        unnest(generate_series(d0, d1, INTERVAL 1 DAY)) u(d)),
+b AS (SELECT c.grp, c.day, coalesce(d.n, 0) AS n
+      FROM cal c LEFT JOIN days d USING (grp, day)),
+ser AS (SELECT grp, list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+        FROM b GROUP BY 1),
+fitted AS (SELECT grp, len(xs) AS n_days,
+  list_reduce(
+    list_concat([{_hw_zero9}],
+      list_transform(xs,
+        x -> [x, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+    (acc, e) -> [
+      {_hw_lp},
+      0.1 * (({_hw_lp}) - acc[1]) + 0.9 * acc[2],
+      acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+      0.2 * (e[1] - ({_hw_lp})) + 0.8 * acc[3]
+    ]) AS a
+  FROM ser)
+SELECT grp, n_days, round(a[1], 6) AS level, round(a[2], 6) AS trend,
+  round(a[3], 6) AS season_1, round(a[4], 6) AS season_2,
+  round(a[5], 6) AS season_3, round(a[6], 6) AS season_4,
+  round(a[7], 6) AS season_5, round(a[8], 6) AS season_6,
+  round(a[9], 6) AS season_7,
+  round(a[1] + 1 * a[2] + a[3], 6) AS forecast_1,
+  round(a[1] + 2 * a[2] + a[4], 6) AS forecast_2,
+  round(a[1] + 3 * a[2] + a[5], 6) AS forecast_3
+FROM fitted"""
+
+    _markov_sql = f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+ql AS (SELECT e.user_id AS session_id, e.event_id AS step,
+              v.q AS query
+       FROM events e JOIN vocab v
+       ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+t0 AS (SELECT session_id, step, query AS s0,
+         lag(query, 1) OVER w AS s1, lead(query) OVER w AS nxt
+       FROM ql WINDOW w AS (PARTITION BY session_id ORDER BY step)),
+tt AS (SELECT * FROM t0 WHERE nxt IS NOT NULL),
+g0 AS (SELECT nxt AS pred FROM (SELECT nxt, count(*) AS c FROM tt
+        GROUP BY 1 ORDER BY c DESC, nxt LIMIT 1)),
+b0 AS (SELECT 0 AS markov_order, count(*) AS n_eval,
+         CAST(1 AS BIGINT) AS n_contexts,
+         round(sum(CASE WHEN tt.nxt = g0.pred THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS accuracy
+       FROM tt CROSS JOIN g0),
+m1 AS (SELECT s0, nxt AS pred FROM (SELECT s0, nxt,
+         row_number() OVER (PARTITION BY s0
+           ORDER BY c DESC, nxt) AS r
+       FROM (SELECT s0, nxt, count(*) AS c FROM tt GROUP BY 1, 2))
+       WHERE r = 1),
+n1 AS (SELECT CAST(count(DISTINCT s0) AS BIGINT) AS nc FROM tt),
+b1 AS (SELECT 1, count(*), n1.nc,
+         round(sum(CASE WHEN tt.nxt = m1.pred THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6)
+       FROM tt JOIN m1 USING (s0) CROSS JOIN n1 GROUP BY n1.nc),
+t2 AS (SELECT * FROM tt WHERE s1 IS NOT NULL),
+m2 AS (SELECT s1, s0, nxt AS pred FROM (SELECT s1, s0, nxt,
+         row_number() OVER (PARTITION BY s1, s0
+           ORDER BY c DESC, nxt) AS r
+       FROM (SELECT s1, s0, nxt, count(*) AS c FROM tt
+             GROUP BY 1, 2, 3)) WHERE r = 1),
+n2 AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM
+       (SELECT DISTINCT s1, s0 FROM tt)),
+b2 AS (SELECT 2, count(*), n2.nc,
+         round(sum(CASE WHEN t2.nxt = m2.pred THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6)
+       FROM t2 JOIN m2 USING (s1, s0) CROSS JOIN n2 GROUP BY n2.nc)
+SELECT * FROM b0 UNION ALL SELECT * FROM b1
+UNION ALL SELECT * FROM b2"""
+
+    _typo_topk = (
+        "SELECT q.query_id, t.doc_id, row_number() OVER ("
+        "PARTITION BY q.query_id ORDER BY "
+        "round(sum(ln(1.0 + t.tf) * ln(nd4.n / CAST(s.df AS DOUBLE))), 6)"
+        " DESC, t.doc_id) AS rank "
+        "FROM {src} q JOIN tf t USING (term) JOIN ts3 s USING (term) "
+        "CROSS JOIN nd4 GROUP BY q.query_id, t.doc_id"
+    )
+    _typo_sql = f"""
+WITH toks0 AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks0 GROUP BY 1, 2),
+nd4 AS (SELECT count(*) AS n FROM documents),
+ts3 AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qsp AS (SELECT query_id, list_filter(string_split_regex(
+          lower(qtext), '\\s+'), x -> x <> '') AS ts FROM queries),
+qb AS (SELECT DISTINCT query_id, unnest(ts) AS term FROM qsp),
+tft AS (SELECT query_id, ts[1] AS orig,
+          substr(ts[1], 1, 1) || substr(ts[1], 3) AS typo FROM qsp),
+qt AS (SELECT DISTINCT query_id, term FROM (
+         SELECT q.query_id,
+           unnest(list_concat([t.typo], q.ts[2:])) AS term
+         FROM qsp q JOIN tft t USING (query_id))),
+cand2 AS (SELECT t.query_id, s.term, s.df FROM tft t
+          JOIN ts3 s ON levenshtein(t.typo, s.term) = 1),
+corr AS (SELECT query_id, term AS corrected FROM (SELECT query_id,
+           term, row_number() OVER (PARTITION BY query_id
+             ORDER BY df DESC, term) AS r FROM cand2) WHERE r = 1),
+qc AS (SELECT DISTINCT query_id, term FROM (
+         SELECT q.query_id, unnest(list_concat(
+           [coalesce(c.corrected, t.typo)], q.ts[2:])) AS term
+         FROM qsp q JOIN tft t USING (query_id)
+         LEFT JOIN corr c USING (query_id))),
+tk_clean AS (SELECT * FROM ({_typo_topk.format(src="qb")})
+             WHERE rank <= 10),
+tk_raw AS (SELECT * FROM ({_typo_topk.format(src="qt")})
+           WHERE rank <= 10),
+tk_corr AS (SELECT * FROM ({_typo_topk.format(src="qc")})
+            WHERE rank <= 10)
+SELECT t.query_id, 'typo_raw' AS mode,
+  CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS topk_overlap,
+  CAST(max(CASE WHEN t.rank = 1 AND b.rank = 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS top1_match
+FROM tk_raw t LEFT JOIN tk_clean b
+  ON b.query_id = t.query_id AND b.doc_id = t.doc_id GROUP BY 1
+UNION ALL
+SELECT t.query_id, 'typo_corrected',
+  CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT),
+  CAST(max(CASE WHEN t.rank = 1 AND b.rank = 1 THEN 1 ELSE 0 END)
+       AS BIGINT)
+FROM tk_corr t LEFT JOIN tk_clean b
+  ON b.query_id = t.query_id AND b.doc_id = t.doc_id GROUP BY 1"""
+
     return {
+        # Additive Holt-Winters fold (ops/movingfn.py:holt_winters_fit)
+        "holt_winters": _holt_winters_sql,
+        # Markov order selection (ops/searchlog.py:markov_order_eval)
+        "markov_order": _markov_sql,
+        # Two-sample KS test (ops/abtest.py:ks_test)
+        "ks_test": """
+WITH v AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+             CAST(value AS DOUBLE) AS x FROM events),
+c AS (SELECT arm, count(*) AS n FROM v GROUP BY 1),
+nn0 AS (SELECT CAST(n AS DOUBLE) AS n0 FROM c WHERE arm = 0),
+nn1 AS (SELECT CAST(n AS DOUBLE) AS n1 FROM c WHERE arm = 1),
+cum AS (SELECT arm, x,
+  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) OVER wo AS c0,
+  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) OVER wo AS c1
+  FROM v WINDOW wo AS (ORDER BY x ASC, arm ASC
+    ROWS UNBOUNDED PRECEDING)),
+d AS (SELECT max(abs(c0 / nn0.n0 - c1 / nn1.n1)) AS d
+      FROM cum CROSS JOIN nn0 CROSS JOIN nn1)
+SELECT CAST(nn0.n0 AS BIGINT) AS n0, CAST(nn1.n1 AS BIGINT) AS n1,
+       round(d.d, 6) AS d_stat,
+       round(1.358 * sqrt((nn0.n0 + nn1.n1) / (nn0.n0 * nn1.n1)), 6)
+         AS d_crit,
+       d.d > 1.358 * sqrt((nn0.n0 + nn1.n1) / (nn0.n0 * nn1.n1))
+         AS significant
+FROM d CROSS JOIN nn0 CROSS JOIN nn1""",
+        # Language vs ccTLD audit (ops/webclean.py:lang_tld_mismatch)
+        "lang_tld": """
+WITH pg AS (SELECT CASE WHEN doc_id % 6 = 0 THEN 'de'
+                 WHEN doc_id % 6 = 1 THEN 'fr'
+                 WHEN doc_id % 6 = 2 THEN 'com'
+                 WHEN doc_id % 6 = 3 THEN 'jp'
+                 WHEN doc_id % 6 = 4 THEN 'es'
+                 ELSE 'org' END AS tld, lang FROM documents),
+per AS (SELECT tld,
+          CASE tld WHEN 'de' THEN 'de' WHEN 'fr' THEN 'fr'
+               WHEN 'es' THEN 'es' WHEN 'jp' THEN 'ja' END
+            AS expected_lang,
+          lang FROM pg)
+SELECT tld, expected_lang, count(*) AS n_pages,
+  CAST(sum(CASE WHEN expected_lang = lang THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_match,
+  CAST(sum(CASE WHEN expected_lang IS NOT NULL
+                AND expected_lang <> lang THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_mismatch,
+  round(sum(CASE WHEN expected_lang IS NOT NULL
+                 AND expected_lang <> lang THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS mismatch_rate
+FROM per GROUP BY 1, 2""",
+        # IDF churn between snapshots (ops/snapshotdiff.py:idf_drift)
+        "idf_drift": """
+WITH ta AS (SELECT DISTINCT doc_id, lower(u.t) AS term
+  FROM documents,
+  unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+    AS u(t)),
+tb AS (SELECT DISTINCT doc_id, lower(u.t) AS term FROM
+  (SELECT * FROM documents WHERE doc_id % 7 <> 0) d2,
+  unnest(list_filter(string_split_regex(d2.text, '\\s+'),
+         x -> x <> '')) AS u(t)),
+dfa AS (SELECT term, count(*) AS df_a FROM ta GROUP BY 1),
+dfb AS (SELECT term, count(*) AS df_b FROM tb GROUP BY 1),
+na AS (SELECT count(*) AS n FROM documents),
+nb AS (SELECT count(*) AS n FROM documents WHERE doc_id % 7 <> 0),
+j AS (SELECT term, coalesce(df_a, 0) AS df_a,
+             coalesce(df_b, 0) AS df_b
+      FROM dfa FULL JOIN dfb USING (term)),
+s AS (SELECT term, df_a, df_b,
+        ln(1 + (na.n - df_a + 0.5) / (df_a + 0.5)) AS idf_a,
+        ln(1 + (nb.n - df_b + 0.5) / (df_b + 0.5)) AS idf_b
+      FROM j CROSS JOIN na CROSS JOIN nb
+      WHERE df_a >= 3 OR df_b >= 3),
+d2 AS (SELECT *, abs(idf_b - idf_a) AS delta FROM s)
+SELECT rank, term, df_a, df_b, round(idf_a, 6) AS idf_a,
+       round(idf_b, 6) AS idf_b, round(delta, 6) AS delta_idf
+FROM (SELECT *, row_number() OVER (ORDER BY round(delta, 9) DESC,
+        term) AS rank FROM d2) WHERE rank <= 20""",
+        # Typo robustness with/without correction (index/wordbreak.py)
+        "typo_robustness": _typo_sql,
         # Quantile normalization audit (ops/harmonize.py)
         "quantile_norm": """
 WITH v AS (SELECT source AS grp, CAST(n_chars AS DOUBLE) AS x

@@ -228,3 +228,154 @@ def spell_recall_eval(
         "n_planted long, n_excluded_real long, n_top1_correct long, "
         "n_in_candidates long, top1_acc double, recall_any double",
     )
+
+
+def typo_robustness_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Retrieval robustness to query typos, with and without a
+    spelling front-end.
+
+    The end-to-end eval the planted-typo harness (``spell_recall_eval``)
+    feeds: corrupt each query's FIRST term with the deterministic
+    delete-2nd-char typo, retrieve under (a) the raw typo and (b) the
+    typo corrected by the df-ranked distance-1 suggester, and compare
+    both top-k lists to the clean query's.  The gap between the two
+    rows is the business case for the correction front-end.
+
+    Per (query, mode in {typo_raw, typo_corrected}): (query_id, mode,
+    topk_overlap, top1_match).  Scoring is the shared
+    ln(1+tf)*ln(N/df) ranker; correction picks the highest-df
+    distance-1 vocabulary term (ties alphabetical), falling back to
+    the typo itself when no candidate exists.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.select("doc_id").distinct().count()
+    tstats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    def topk(qterms):
+        scored = (
+            qterms.join(tf, "term")
+            .join(tstats, "term")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum(
+                    F.log(1.0 + F.col("tf"))
+                    * F.log(F.lit(float(n_docs)) / F.col("df"))
+                ).alias("s")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round("s", 6).desc(), F.col("doc_id").asc()
+        )
+        return scored.withColumn(
+            "rank", F.row_number().over(w)
+        ).filter(F.col("rank") <= k)
+
+    split_q = queries.select(
+        "query_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("ts"),
+    )
+    first_t = F.element_at("ts", 1)
+    typo = F.concat(
+        F.substring(first_t, 1, 1), F.expr("substring(ts[0], 3)")
+    )
+    qbase = split_q.select(
+        "query_id",
+        F.explode("ts").alias("term"),
+    ).distinct()
+    clean = topk(qbase).select(
+        "query_id",
+        F.col("doc_id").alias("c_doc"),
+        F.col("rank").alias("c_rank"),
+    )
+    typo_first = split_q.select(
+        "query_id", first_t.alias("orig"), typo.alias("typo")
+    )
+    q_typo = (
+        split_q.select(
+            "query_id",
+            F.explode(
+                F.concat(
+                    F.array(typo), F.slice("ts", 2, 10000)
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    # correction: best distance-1 vocab term for the typo
+    cand = typo_first.join(
+        tstats,
+        F.levenshtein(F.col("typo"), F.col("term")) == 1,
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    corr = (
+        cand.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("term").alias("corrected"))
+    )
+    q_corr = (
+        split_q.join(corr, "query_id", "left")
+        .select(
+            "query_id",
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.coalesce(F.col("corrected"), typo)
+                    ),
+                    F.slice("ts", 2, 10000),
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    out = None
+    for mode, qt in (("typo_raw", q_typo), ("typo_corrected", q_corr)):
+        t = topk(qt)
+        cmp = (
+            t.join(
+                clean,
+                (t.query_id == clean.query_id)
+                & (t.doc_id == F.col("c_doc")),
+                "left",
+            )
+            .groupBy(t.query_id)
+            .agg(
+                F.sum(F.col("c_rank").isNotNull().cast("long")).alias(
+                    "topk_overlap"
+                ),
+                F.max(
+                    ((F.col("rank") == 1) & (F.col("c_rank") == 1))
+                    .cast("long")
+                ).alias("top1_match"),
+            )
+            .select(
+                "query_id",
+                F.lit(mode).alias("mode"),
+                "topk_overlap",
+                "top1_match",
+            )
+        )
+        out = cmp if out is None else out.unionByName(cmp)
+    return out

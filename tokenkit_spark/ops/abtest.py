@@ -331,3 +331,68 @@ def delta_method_ci(
         F.round(r - z * se, round_digits).alias("ci_lo"),
         F.round(r + z * se, round_digits).alias("ci_hi"),
     )
+
+
+def ks_test(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    alpha_crit: float = 1.358,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between arms.
+
+    Smirnov (1939): D = sup_x |F_1(x) - F_0(x)| over the two arms'
+    empirical CDFs, rejected at level 0.05 when
+    D > c(alpha) * sqrt((n0+n1)/(n0*n1)) with c(0.05) = 1.358 — the
+    distribution-free WHOLE-SHAPE companion to the mean-only t/CUPED
+    tests (a treatment that moves the tails but not the mean is
+    invisible to them and loud here).  Exact D via the merged-sort
+    cumulative-difference sweep — one ordered window over the pooled
+    values, the same shape as the t-closeness EMD.
+
+    One row: (n0, n1, d_stat, d_crit, significant).
+    """
+    from pyspark.sql import Window
+
+    v = events.select(
+        (F.col(user_col) % 2).cast("int").alias("arm"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    counts = v.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    cs = {r.arm: r.n for r in counts.collect()}
+    n0, n1 = float(cs.get(0, 0)), float(cs.get(1, 0))
+    w = Window.orderBy(F.col("x").asc(), F.col("arm").asc())
+    cum = v.withColumn(
+        "c0",
+        F.sum((F.col("arm") == 0).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "c1",
+        F.sum((F.col("arm") == 1).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    d = cum.agg(
+        F.max(
+            F.abs(
+                F.col("c0") / F.lit(n0) - F.col("c1") / F.lit(n1)
+            )
+        ).alias("d")
+    ).collect()[0].d
+    d_crit = alpha_crit * ((n0 + n1) / (n0 * n1)) ** 0.5
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(n0),
+                int(n1),
+                round(d, round_digits),
+                round(d_crit, round_digits),
+                bool(d > d_crit),
+            )
+        ],
+        "n0 long, n1 long, d_stat double, d_crit double, "
+        "significant boolean",
+    )

@@ -98,3 +98,110 @@ def moving_fn(
         F.round(_holt_fold(vals, alpha, beta), round_digits).alias("holt"),
     )
     return out
+
+
+HW_ALPHA, HW_BETA, HW_GAMMA, HW_SEASON = 0.3, 0.1, 0.2, 7
+
+
+def holt_winters_fit(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) over the
+    zero-filled daily series — level, trend, and a 7-day seasonal
+    profile per group.
+
+    Holt (1957) / Winters (Management Science 1960), the additive
+    form ES exposes through ``moving_fn`` holtWinters:
+
+        l_t = a (x_t - s_{t-m}) + (1-a)(l_{t-1} + b_{t-1})
+        b_t = B (l_t - l_{t-1}) + (1-B) b_{t-1}
+        s_t = G (x_t - l_t) + (1-G) s_{t-m}
+
+    computed as ONE ordered fold per group (the ``F.aggregate`` /
+    list_reduce shape of the ewma/holt aggs above) with the
+    accumulator [l, b, s_1..s_m] ROTATED each step — the seasonal
+    slot due next always sits at position 3.  l_t is expanded inline
+    wherever referenced (same workaround as the holt agg: DuckDB's
+    fold must not read a just-written accumulator field).  Zero
+    initialization; the fold burns in over the series the same way
+    on both engines, so outputs are bit-identical.
+
+    One row per group: (grp, n_days, level, trend, season_1..
+    season_7, forecast_1, forecast_2, forecast_3) — forecast_h =
+    level + h*trend + the h-th upcoming seasonal.
+    """
+    a, bta, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_SEASON
+    days = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = days.groupBy("grp").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "grp",
+        F.explode(
+            F.sequence(
+                F.col("d0"), F.col("d1"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    filled = cal.join(days, ["grp", "day"], "left").na.fill({"n": 0})
+    series = filled.groupBy("grp").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("day", "n"))
+            ),
+            lambda s: s["n"].cast("double"),
+        ).alias("xs")
+    )
+
+    def el(acc, i):
+        return F.element_at(acc, i)
+
+    def lp(acc, x):
+        return a * (x - el(acc, 3)) + (1 - a) * (
+            el(acc, 1) + el(acc, 2)
+        )
+
+    def step(acc, x):
+        return F.array(
+            lp(acc, x),
+            bta * (lp(acc, x) - el(acc, 1)) + (1 - bta) * el(acc, 2),
+            el(acc, 4), el(acc, 5), el(acc, 6), el(acc, 7),
+            el(acc, 8), el(acc, 9),
+            g * (x - lp(acc, x)) + (1 - g) * el(acc, 3),
+        )
+
+    init = F.array(*[F.lit(0.0) for _ in range(m + 2)])
+    fitted = series.select(
+        "grp",
+        F.size("xs").alias("n_days"),
+        F.aggregate(F.col("xs"), init, step).alias("acc"),
+    )
+    cols = [
+        "grp",
+        "n_days",
+        F.round(F.element_at("acc", 1), round_digits).alias("level"),
+        F.round(F.element_at("acc", 2), round_digits).alias("trend"),
+    ]
+    for i in range(m):
+        cols.append(
+            F.round(F.element_at("acc", 3 + i), round_digits).alias(
+                f"season_{i + 1}"
+            )
+        )
+    for h in (1, 2, 3):
+        cols.append(
+            F.round(
+                F.element_at("acc", 1)
+                + h * F.element_at("acc", 2)
+                + F.element_at("acc", 2 + h),
+                round_digits,
+            ).alias(f"forecast_{h}")
+        )
+    return fitted.select(*cols)

@@ -574,3 +574,95 @@ def query_cache_normalization_audit(
         "raw_hit_rate double, norm_hit_rate double, "
         "merged_groups long, max_group long",
     )
+
+
+def markov_order_eval(
+    qlog: DataFrame,
+    session_col: str = "session_id",
+    step_col: str = "step",
+    state_col: str = "query",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Next-state prediction accuracy by Markov order 0/1/2 — how much
+    history does the event stream actually carry?
+
+    The model-order selection exercise of sequence analytics
+    (Chierichetti, Kumar, Raghavan & Sarlos, "Are web users really
+    Markovian?", WWW 2012 ask exactly this): predict each transition's
+    next state with the mode of (a) the global state distribution
+    (order 0), (b) the successors of the current state (order 1),
+    (c) the successors of the last TWO states (order 2) — all counts
+    from the full log (in-sample, the determinism-preserving harness;
+    ties by state string).  Accuracy lift from 0 -> 1 -> 2 measures
+    usable sequential structure; a flat curve says the stream is
+    i.i.d. and per-state personalization is wasted.
+
+    One row per order: (markov_order, n_eval, n_contexts, accuracy).
+    Shape: lead windows per session + mode-per-context rank windows —
+    count tables, never sequence collection.
+    """
+    w = Window.partitionBy(session_col).orderBy(step_col)
+    t = (
+        qlog.withColumn("s0", F.col(state_col))
+        .withColumn("s1", F.lag(state_col, 1).over(w))
+        .withColumn("s2", F.lag(state_col, 2).over(w))
+        .withColumn("nxt", F.lead(state_col).over(w))
+        .filter(F.col("nxt").isNotNull())
+    )
+    spark = qlog.sparkSession
+
+    def mode_of(ctx_cols):
+        cnt = t.groupBy(*ctx_cols, "nxt").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wr = Window.partitionBy(*ctx_cols).orderBy(
+            F.col("c").desc(), F.col("nxt").asc()
+        )
+        return (
+            cnt.withColumn("r", F.row_number().over(wr))
+            .filter(F.col("r") == 1)
+            .select(*ctx_cols, F.col("nxt").alias("pred"))
+        )
+
+    out = None
+    for order, ctx in ((0, []), (1, ["s0"]), (2, ["s1", "s0"])):
+        if order == 2:
+            evalset = t.filter(F.col("s1").isNotNull())
+        else:
+            evalset = t
+        if ctx:
+            pred = mode_of(ctx)
+            joined = evalset.join(pred, ctx)
+        else:
+            g = t.groupBy("nxt").agg(F.count(F.lit(1)).alias("c"))
+            top = (
+                g.orderBy(F.col("c").desc(), F.col("nxt").asc())
+                .limit(1)
+                .select(F.col("nxt").alias("pred"))
+            )
+            joined = evalset.crossJoin(F.broadcast(top))
+        n_ctx = (
+            t.select(*ctx).distinct().count() if ctx else 1
+        )
+        acc = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("nxt") == F.col("pred")).cast("long")
+            ).alias("ok"),
+        ).collect()[0]
+        row = spark.createDataFrame(
+            [
+                (
+                    order,
+                    int(acc.n),
+                    n_ctx,
+                    round(acc.ok / acc.n, round_digits)
+                    if acc.n
+                    else 0.0,
+                )
+            ],
+            "markov_order int, n_eval long, n_contexts long, "
+            "accuracy double",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -84,3 +84,78 @@ def snapshot_diff(
         )
         .orderBy("status")
     )
+
+
+def idf_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 20,
+    min_df: int = 3,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IDF churn between two corpus snapshots — which terms' weights
+    move, and how much reweighting a rebuilt index implies.
+
+    The ranking-stability side of snapshot churn (the page-level diff
+    lives in ``snapshot_churn`` above): BM25 weights depend on df/N,
+    so corpus drift silently re-scores every cached ranking.  For
+    terms above ``min_df`` in either snapshot, compute Robertson idf
+    under both and report the top-``k`` movers by |delta idf| — the
+    terms whose cached query results a re-index most perturbs (and
+    the empirical input to "how stale can the df statistics table
+    get" policies in distributed scoring, ``index/dfs.py``).
+
+    (rank, term, df_a, df_b, idf_a, idf_b, delta_idf).
+    """
+    from pyspark.sql import Window
+
+    def dfs(d):
+        toks = d.select(
+            F.col("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("term"),
+        ).distinct()
+        return toks.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        ), d.select("doc_id").distinct().count()
+
+    dfa, na = dfs(docs_a)
+    dfb, nb = dfs(docs_b)
+
+    def idf(df_col, n):
+        return F.log(
+            1.0 + (F.lit(float(n)) - df_col + 0.5) / (df_col + 0.5)
+        )
+
+    j = (
+        dfa.withColumnRenamed("df", "df_a")
+        .join(dfb.withColumnRenamed("df", "df_b"), "term", "full")
+        .na.fill({"df_a": 0, "df_b": 0})
+        .filter(
+            (F.col("df_a") >= min_df) | (F.col("df_b") >= min_df)
+        )
+        .withColumn("idf_a", idf(F.col("df_a"), na))
+        .withColumn("idf_b", idf(F.col("df_b"), nb))
+        .withColumn(
+            "delta", F.abs(F.col("idf_b") - F.col("idf_a"))
+        )
+    )
+    w = Window.orderBy(F.round("delta", 9).desc(), F.col("term").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "term",
+            "df_a",
+            "df_b",
+            F.round("idf_a", round_digits).alias("idf_a"),
+            F.round("idf_b", round_digits).alias("idf_b"),
+            F.round("delta", round_digits).alias("delta_idf"),
+        )
+    )

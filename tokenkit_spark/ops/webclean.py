@@ -562,3 +562,67 @@ def bidi_audit(
             round_digits,
         ).alias("frac_affected"),
     )
+
+
+CCTLD_LANG = {
+    "de": "de", "fr": "fr", "es": "es", "it": "it", "nl": "nl",
+    "pl": "pl", "pt": "pt", "jp": "ja", "cn": "zh", "ru": "ru",
+}
+
+
+def lang_tld_mismatch(
+    pages: DataFrame,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Language vs ccTLD consistency audit — the geo-targeting smell
+    test.
+
+    The hreflang-adjacent hygiene check (Google's international-SEO
+    guidance formalizes the expectation): a page on a country-code
+    TLD whose content language contradicts the TLD's primary language
+    is either mis-targeted, machine-translated spam, or a parked
+    domain — and for a crawler it de-prioritizes the page for that
+    locale's index.  gTLDs (.com/.org/...) assert nothing and are
+    reported as 'neutral'.
+
+    Per TLD: (tld, expected_lang, n_pages, n_match, n_mismatch,
+    mismatch_rate) — expected_lang NULL for gTLDs (whole row then
+    counts as neutral, rate NULL).
+    """
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    tld = F.regexp_extract(host, r"\.([a-z]+)$", 1)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in CCTLD_LANG.items() for x in kv]
+    )
+    exp = mapping[tld]
+    per = pages.select(
+        tld.alias("tld"),
+        exp.alias("expected_lang"),
+        F.col(lang_col).alias("lang"),
+    )
+    return per.groupBy("tld", "expected_lang").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(
+            F.when(
+                F.col("expected_lang") == F.col("lang"), 1
+            ).otherwise(0).cast("long")
+        ).alias("n_match"),
+        F.sum(
+            (
+                F.col("expected_lang").isNotNull()
+                & (F.col("expected_lang") != F.col("lang"))
+            ).cast("long")
+        ).alias("n_mismatch"),
+        F.round(
+            F.sum(
+                (
+                    F.col("expected_lang").isNotNull()
+                    & (F.col("expected_lang") != F.col("lang"))
+                ).cast("long")
+            )
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("mismatch_rate"),
+    )
