@@ -8823,6 +8823,74 @@ def q_typo_robustness(spark, sf_dir):
     )
 
 
+def q_logrank(spark, sf_dir):
+    """Log-rank / Mantel-Cox test (1966) between the pinned arms'
+    survival curves — the inference companion to kaplan_meier
+    (ops/survival.py:logrank_test)."""
+    from tokenkit_spark.ops.survival import logrank_test
+
+    return logrank_test(_events(spark, sf_dir), censor_margin_days=3)
+
+
+def q_cannibalization(spark, sf_dir):
+    """Keyword-cannibalization audit: hosts with >= 2 pages inside one
+    query's top-10 — the SEO view of field collapsing
+    (index/dfs.py:keyword_cannibalization)."""
+    from tokenkit_spark.index.dfs import keyword_cannibalization
+
+    return keyword_cannibalization(
+        _docs(spark, sf_dir),
+        _queries_df(spark),
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")),
+    )
+
+
+def q_prf_drift(spark, sf_dir):
+    """PRF query-drift audit (Mitra et al. SIGIR 1998): Rocchio-
+    expanded top-10 overlap with the unexpanded BM25 top-10, drift
+    flag at < k/2 (index/feedback.py:prf_drift_audit)."""
+    from tokenkit_spark.index.feedback import prf_drift_audit
+
+    return prf_drift_audit(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_zipf_mandelbrot(spark, sf_dir):
+    """Zipf-Mandelbrot rank-frequency fit over a pinned shift grid
+    (Mandelbrot 1953): per-q OLS exponent and R^2, best flagged
+    (ops/textstats.py:zipf_mandelbrot_fit)."""
+    from tokenkit_spark.ops.textstats import zipf_mandelbrot_fit
+
+    return zipf_mandelbrot_fit(_docs(spark, sf_dir))
+
+
+def q_adtributor(spark, sf_dir):
+    """Adtributor root-cause attribution (Bhagwan et al. NSDI 2014):
+    JS surprise + explanatory power per dimension value across the
+    period split (ops/changepoint.py:adtributor)."""
+    from tokenkit_spark.ops.changepoint import adtributor
+
+    ev = _events(spark, sf_dir).withColumn(
+        "hourband",
+        F.concat(
+            F.lit("h"),
+            F.floor(F.hour("ts") / 6).cast("long").cast("string"),
+        ),
+    )
+    return adtributor(
+        ev, split_ts="2024-01-16 00:00:00",
+        dimensions=("event_type", "hourband"),
+    )
+
+
+def q_spimi(spark, sf_dir):
+    """SPIMI build plan (Heinz & Zobel 2003 / IIR §4.3): blocks and
+    merge passes from the measured posting count at a 512 MB buffer
+    (index/capacity.py:spimi_build_plan)."""
+    from tokenkit_spark.index.capacity import spimi_build_plan
+
+    return spimi_build_plan(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8832,6 +8900,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "logrank": q_logrank,
+        "cannibalization": q_cannibalization,
+        "prf_drift": q_prf_drift,
+        "zipf_mandelbrot": q_zipf_mandelbrot,
+        "adtributor": q_adtributor,
+        "spimi": q_spimi,
         "holt_winters": q_holt_winters,
         "markov_order": q_markov_order,
         "ks_test": q_ks_test,
@@ -11836,7 +11910,201 @@ SELECT t.query_id, 'typo_corrected',
 FROM tk_corr t LEFT JOIN tk_clean b
   ON b.query_id = t.query_id AND b.doc_id = t.doc_id GROUP BY 1"""
 
+    _zm_branches = []
+    for _zq in (0.0, 1.0, 2.7, 5.0, 10.0):
+        _zm_branches.append(f"""
+SELECT CAST({_zq} AS DOUBLE) AS q,
+  round(-(covar_pop(x, y) / var_pop(x)), 6) AS s_exponent,
+  round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6)
+    AS ln_c,
+  round(covar_pop(x, y) * covar_pop(x, y)
+        / (var_pop(x) * var_pop(y)), 6) AS r2
+FROM (SELECT ln(r + CAST({_zq} AS DOUBLE)) AS x,
+             ln(CAST(f AS DOUBLE)) AS y FROM rk)""")
+    _zm_sql = (
+        f"""
+WITH toks AS ({_TOKS}),
+fr AS (SELECT term, count(*) AS f FROM toks GROUP BY 1),
+rk AS (SELECT term, f, row_number() OVER (ORDER BY f DESC, term)
+         AS r FROM fr)
+SELECT *, r2 = max(r2) OVER () AS best FROM ("""
+        + " UNION ALL ".join(_zm_branches)
+        + ")"
+    )
+
+    _adt_branches = []
+    for _dim, _dexpr in (
+        ("event_type", "event_type"),
+        (
+            "hourband",
+            "'h' || CAST(CAST(floor(hour(ts) / 6) AS BIGINT)"
+            " AS VARCHAR)",
+        ),
+    ):
+        _adt_branches.append(f"""
+SELECT '{_dim}' AS dimension, CAST(value AS VARCHAR) AS value,
+  m_pre, m_post,
+  round(m_pre / tp.mp, 6) AS p, round(m_post / tp.mq, 6) AS q,
+  round(CASE WHEN tp.mq <> tp.mp
+        THEN (m_post - m_pre) / (tp.mq - tp.mp) ELSE 0.0 END, 6)
+    AS ep,
+  round(
+    (CASE WHEN m_pre / tp.mp > 0 THEN 0.5 * (m_pre / tp.mp)
+       * ln(2.0 * (m_pre / tp.mp)
+            / (m_pre / tp.mp + m_post / tp.mq)) ELSE 0.0 END)
+    + (CASE WHEN m_post / tp.mq > 0 THEN 0.5 * (m_post / tp.mq)
+       * ln(2.0 * (m_post / tp.mq)
+            / (m_post / tp.mq + m_pre / tp.mp)) ELSE 0.0 END), 6)
+    AS surprise,
+  abs(CASE WHEN tp.mq <> tp.mp
+      THEN (m_post - m_pre) / (tp.mq - tp.mp) ELSE 0.0 END) >= 0.1
+    AS candidate
+FROM (SELECT {_dexpr} AS value,
+        CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP
+          '2024-01-16 00:00:00' THEN 1 END), 0) AS BIGINT) AS m_pre,
+        CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP
+          '2024-01-16 00:00:00' THEN 1 END), 0) AS BIGINT) AS m_post
+      FROM events GROUP BY 1) d
+CROSS JOIN tp""")
+    _adt_sql = (
+        """
+WITH tot AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 'pre' ELSE 'post' END AS period,
+               CAST(count(*) AS DOUBLE) AS m
+             FROM events GROUP BY 1),
+tp AS (SELECT max(CASE WHEN period = 'pre' THEN m END) AS mp,
+              max(CASE WHEN period = 'post' THEN m END) AS mq
+       FROM tot)"""
+        + " UNION ALL ".join(_adt_branches)
+    )
+
     return {
+        # Log-rank test between arms (ops/survival.py:logrank_test)
+        "logrank": """
+WITH pu AS (SELECT user_id AS u,
+        min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+          AS first_d,
+        max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+          AS last_d
+      FROM events GROUP BY 1),
+hz AS (SELECT max(date_diff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE))) AS end_d FROM events),
+lv AS (SELECT CAST(u % 2 AS INT) AS arm,
+         last_d - first_d + 1 AS t,
+         last_d >= end_d - 3 AS censored
+       FROM pu CROSS JOIN hz),
+pt AS (SELECT t,
+    CAST(sum(CASE WHEN NOT censored AND arm = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d1,
+    CAST(sum(CASE WHEN NOT censored AND arm = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d0,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0
+  FROM lv GROUP BY 1),
+rk AS (SELECT *, CAST(sum(m1) OVER wa AS BIGINT) AS n1v,
+         CAST(sum(m0) OVER wa AS BIGINT) AS n0v FROM pt
+       WINDOW wa AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+         UNBOUNDED FOLLOWING)),
+c AS (SELECT CAST(d0 + d1 AS DOUBLE) AS d,
+        CAST(n1v AS DOUBLE) AS n1, CAST(n0v AS DOUBLE) AS n0, d1
+      FROM rk WHERE d0 + d1 > 0),
+ag AS (SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS obs1,
+         coalesce(sum(d * n1 / (n1 + n0)), 0.0) AS exp1,
+         sum(CASE WHEN n1 + n0 > 1
+             THEN d * n1 * n0 * ((n1 + n0) - d)
+                  / ((n1 + n0) * (n1 + n0) * ((n1 + n0) - 1))
+             ELSE 0.0 END) AS var
+       FROM c),
+au AS (SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1
+  FROM lv)
+SELECT au.a0 AS n_users_0, au.a1 AS n_users_1,
+       ag.obs1 AS observed_1, round(ag.exp1, 6) AS expected_1,
+       round(CASE WHEN ag.var > 0 THEN
+         (ag.obs1 - ag.exp1) * (ag.obs1 - ag.exp1) / ag.var
+         ELSE 0.0 END, 6) AS chi2,
+       (CASE WHEN ag.var > 0 THEN
+         (ag.obs1 - ag.exp1) * (ag.obs1 - ag.exp1) / ag.var
+         ELSE 0.0 END) > 3.841 AS significant
+FROM ag CROSS JOIN au""",
+        # Keyword cannibalization (index/dfs.py)
+        "cannibalization": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+nd5 AS (SELECT count(*) AS n FROM documents),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+sc AS (SELECT q.query_id, t.doc_id,
+         sum(ln(1.0 + t.tf) * ln(nd5.n / CAST(s.df AS DOUBLE))) AS s
+       FROM qterms q JOIN tf t USING (term)
+       JOIN dfs s USING (term) CROSS JOIN nd5 GROUP BY 1, 2),
+top AS (SELECT query_id, doc_id, rank FROM (SELECT query_id, doc_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY round(s, 6) DESC, doc_id) AS rank FROM sc)
+        WHERE rank <= 10),
+h AS (SELECT query_id,
+        'h' || CAST(doc_id % 10 AS VARCHAR) AS host, rank FROM top)
+SELECT query_id, host, count(*) AS n_pages, min(rank) AS best_rank,
+       max(rank) AS worst_rank,
+       max(rank) - min(rank) AS rank_spread
+FROM h GROUP BY 1, 2 HAVING count(*) >= 2""",
+        # PRF drift audit (index/feedback.py:prf_drift_audit)
+        "prf_drift": f"""{_rocchio_clip},
+scored2 AS (SELECT c.query_id, p.doc_id,
+              sum(c.weight * p.tf * 1.0 / d.dl * {_idf_sql}) AS s
+            FROM clip c JOIN postings p USING (term)
+            JOIN dstats d USING (doc_id)
+            JOIN tstats t ON t.term = c.term CROSS JOIN globals g
+            GROUP BY 1, 2),
+etop AS (SELECT query_id, doc_id, rank FROM (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(s, 4) DESC, doc_id) AS rank FROM scored2)
+         WHERE rank <= 10),
+btop AS (SELECT query_id, doc_id, rank FROM (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(s, 6) DESC, doc_id) AS rank FROM fp)
+         WHERE rank <= 10),
+nexp AS (SELECT query_id, count(*) AS n_expansion_terms FROM clip
+         GROUP BY 1)
+SELECT e.query_id, nexp.n_expansion_terms,
+  CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS topk_overlap,
+  CAST(max(CASE WHEN e.rank = 1 AND b.rank = 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS top1_match,
+  CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) < 5.0 AS drift_risk
+FROM etop e LEFT JOIN btop b
+  ON b.query_id = e.query_id AND b.doc_id = e.doc_id
+JOIN nexp ON nexp.query_id = e.query_id
+GROUP BY e.query_id, nexp.n_expansion_terms""",
+        # Zipf-Mandelbrot grid fit (ops/textstats.py)
+        "zipf_mandelbrot": _zm_sql,
+        # Adtributor attribution (ops/changepoint.py:adtributor)
+        "adtributor": _adt_sql,
+        # SPIMI build plan (index/capacity.py:spimi_build_plan)
+        "spimi": f"""
+WITH toks AS ({_TOKS}),
+np2 AS (SELECT count(*) AS n FROM
+        (SELECT DISTINCT term, doc_id FROM toks))
+SELECT n AS n_postings,
+  CAST(floor(512.0 * 1024 * 1024 / 12.0) AS BIGINT)
+    AS est_buffer_postings,
+  greatest(1, CAST(ceil(n
+    / floor(512.0 * 1024 * 1024 / 12.0)) AS BIGINT)) AS n_blocks,
+  CASE WHEN greatest(1, CAST(ceil(n
+    / floor(512.0 * 1024 * 1024 / 12.0)) AS BIGINT)) = 1 THEN 0
+    ELSE greatest(1, CAST(ceil(ln(greatest(1, CAST(ceil(n
+      / floor(512.0 * 1024 * 1024 / 12.0)) AS BIGINT)))
+      / ln(16.0)) AS BIGINT)) END AS merge_passes,
+  1 + (CASE WHEN greatest(1, CAST(ceil(n
+    / floor(512.0 * 1024 * 1024 / 12.0)) AS BIGINT)) = 1 THEN 0
+    ELSE greatest(1, CAST(ceil(ln(greatest(1, CAST(ceil(n
+      / floor(512.0 * 1024 * 1024 / 12.0)) AS BIGINT)))
+      / ln(16.0)) AS BIGINT)) END) AS total_io_passes
+FROM np2""",
         # Additive Holt-Winters fold (ops/movingfn.py:holt_winters_fit)
         "holt_winters": _holt_winters_sql,
         # Markov order selection (ops/searchlog.py:markov_order_eval)

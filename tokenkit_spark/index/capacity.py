@@ -225,3 +225,70 @@ def index_capacity_forecast(
         ).alias("index_mb_proj"),
     )
     return proj.orderBy("mult")
+
+
+def spimi_build_plan(
+    docs,
+    buffer_mb: float = 512.0,
+    merge_fanout: int = 16,
+    bytes_per_posting: float = 12.0,
+    text_col: str = "text",
+    round_digits: int = 4,
+):
+    """SPIMI build plan — blocks and merge passes from measured
+    posting volume.
+
+    Heinz & Zobel, "Efficient single-pass index construction for text
+    databases" (JASIST 2003) / IIR §4.3: single-pass in-memory
+    indexing fills a memory buffer with postings, flushes a sorted
+    block, and k-way-merges the blocks; the whole build cost is
+    governed by two numbers this plan derives from the corpus —
+
+        n_blocks     = ceil(postings * bytes_per_posting / buffer)
+        merge_passes = ceil(log_fanout(n_blocks))   (1 pass when
+                       blocks <= fanout — the common case to aim for)
+
+    ``bytes_per_posting`` defaults to the in-memory struct cost (id +
+    tf + dictionary amortization), NOT the compressed on-disk cost
+    the codec audits measure — the buffer holds uncompressed
+    postings.  One row: (n_postings, est_buffer_postings, n_blocks,
+    merge_passes, total_io_passes) with total_io = 1 write + passes
+    read/writes — the knob sheet for sizing executor memory vs
+    shuffle rounds in the distributed build (``index/build.py``
+    makes the same trade with partition sizing).
+    """
+    import math
+
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+        F.col("doc_id"),
+    )
+    n_postings = (
+        toks.groupBy("term", "doc_id").count().count()
+    )
+    buf_postings = int(buffer_mb * 1024 * 1024 / bytes_per_posting)
+    n_blocks = max(1, math.ceil(n_postings / buf_postings))
+    passes = (
+        0
+        if n_blocks == 1
+        else max(1, math.ceil(math.log(n_blocks, merge_fanout)))
+    )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_postings,
+                buf_postings,
+                n_blocks,
+                passes,
+                1 + passes,
+            )
+        ],
+        "n_postings long, est_buffer_postings long, n_blocks long, "
+        "merge_passes long, total_io_passes long",
+    )

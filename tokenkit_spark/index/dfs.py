@@ -251,3 +251,91 @@ def ltr_rerank(
         "bm25",
         "ltr_score",
     )
+
+
+def keyword_cannibalization(
+    docs: DataFrame,
+    queries: DataFrame,
+    host_expr,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Keyword-cannibalization audit — hosts competing with themselves
+    in the same ranking.
+
+    The SEO-operations reading of field collapsing (the engine-side
+    fix lives in ``query.py:collapse``): when several pages of ONE
+    host land in a query's top-k, they split the click mass and the
+    host's strongest page ranks lower than a consolidated page would
+    — the practitioner term is cannibalization.  Per (query, host)
+    with >= 2 top-k results: the page count, their best and worst
+    ranks, and the spread; plus hosts' totals across the query set.
+
+    (query_id, host, n_pages, best_rank, worst_rank, rank_spread).
+    ``host_expr`` maps doc_id -> host key (a Column).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    dfs_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).distinct()
+    scored = (
+        qterms.join(tf, "term")
+        .join(dfs_t, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(1.0 + F.col("tf"))
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("s", 6).desc(), F.col("doc_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("host", host_expr)
+    )
+    return (
+        top.groupBy("query_id", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("rank").alias("best_rank"),
+            F.max("rank").alias("worst_rank"),
+        )
+        .filter(F.col("n_pages") >= 2)
+        .select(
+            "query_id",
+            "host",
+            "n_pages",
+            "best_rank",
+            "worst_rank",
+            (F.col("worst_rank") - F.col("best_rank")).alias(
+                "rank_spread"
+            ),
+        )
+    )

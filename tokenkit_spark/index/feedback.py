@@ -475,3 +475,90 @@ def rsj_weights(
             F.round("offer_weight", round_digits).alias("offer_weight"),
         )
     )
+
+
+def prf_drift_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query-drift audit of pseudo-relevance feedback — how far does
+    Rocchio expansion move the top-k?
+
+    The classic PRF failure mode (Mitra, Singhal & Buckley, "Improving
+    automatic query expansion", SIGIR 1998 named it query DRIFT): when
+    the feedback docs are off-topic, expansion pulls the whole
+    ranking with them.  Since relevance labels don't exist at run
+    time, the operational proxy every PRF deployment monitors is the
+    SHIFT ITSELF: the overlap between the original BM25 top-k and the
+    Rocchio-expanded top-k, per query.  Near-total overlap = the
+    expansion is a no-op; tiny overlap on a query = drift risk, gate
+    it (the selective-PRF policy).
+
+    Per query: (query_id, n_expansion_terms, topk_overlap,
+    top1_match, drift_risk) with drift_risk = overlap < k/2.
+    Reuses the shared first-pass/expansion machinery of this module.
+    """
+    from pyspark.sql import Window
+
+    qterms, postings, dstats, tstats, globals_ = _relations(
+        docs, queries, id_col, text_col
+    )
+    fp = _bm25_first_pass(
+        qterms, postings, dstats, tstats, globals_, id_col, 1.2, 0.75
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col(id_col).asc()
+    )
+    base_top = (
+        fp.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("b_doc"),
+            F.col("rank").alias("b_rank"),
+        )
+    )
+    expanded = rocchio_search(
+        docs, queries, fb_docs=fb_docs, fb_terms=fb_terms, k=k,
+        id_col=id_col, text_col=text_col,
+    )
+    n_exp = (
+        rocchio_expand(
+            docs, queries, fb_docs=fb_docs, fb_terms=fb_terms,
+            id_col=id_col, text_col=text_col,
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_expansion_terms"))
+    )
+    cmp = (
+        expanded.join(
+            base_top,
+            (expanded.query_id == base_top.query_id)
+            & (expanded.doc_id == F.col("b_doc")),
+            "left",
+        )
+        .groupBy(expanded.query_id)
+        .agg(
+            F.sum(F.col("b_rank").isNotNull().cast("long")).alias(
+                "topk_overlap"
+            ),
+            F.max(
+                ((F.col("rank") == 1) & (F.col("b_rank") == 1)).cast(
+                    "long"
+                )
+            ).alias("top1_match"),
+        )
+    )
+    return cmp.join(n_exp, "query_id").select(
+        "query_id",
+        "n_expansion_terms",
+        "topk_overlap",
+        "top1_match",
+        (F.col("topk_overlap") < k / 2.0).alias("drift_risk"),
+    )

@@ -267,3 +267,87 @@ def shewhart_rules(
             "any_signal"
         ),
     )
+
+
+def adtributor(
+    events: DataFrame,
+    split_ts: str,
+    dimensions=("event_type",),
+    teep: float = 0.1,
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Adtributor — dimensional root-cause attribution of a metric
+    change between two periods.
+
+    Bhagwan et al., "Adtributor: revenue debugging in advertising
+    systems" (NSDI 2014): when a KPI moves between period A and B,
+    rank candidate explanations (dimension values) by
+
+        surprise  = JS divergence between the value's share of the
+                    metric in A vs B (how unexpectedly it moved)
+        EP        = (m_B(v) - m_A(v)) / (M_B - M_A)  (explanatory
+                    power: its share of the total delta)
+
+    keeping values with |EP| above ``teep``.  Deterministic, purely
+    relational — per dimension one share rollup and a projection; the
+    JS term uses the standard 0.5*(p ln(2p/(p+q)) + q ln(2q/(p+q)))
+    closed form with zero-share guards.
+
+    Per (dimension, value): (dimension, value, m_pre, m_post, p, q,
+    ep, surprise, candidate).  Metric = event count.
+    """
+    split = F.lit(split_ts).cast("timestamp")
+    base = events.select(
+        *[F.col(d) for d in dimensions],
+        F.when(F.col(ts_col) < split, "pre").otherwise("post").alias(
+            "period"
+        ),
+    )
+    tot = base.groupBy("period").agg(F.count(F.lit(1)).alias("m"))
+    tots = {r.period: float(r.m) for r in tot.collect()}
+    m_pre_t, m_post_t = tots.get("pre", 0.0), tots.get("post", 0.0)
+    delta = m_post_t - m_pre_t
+    out = None
+    for dim in dimensions:
+        per = (
+            base.groupBy(F.col(dim).alias("value"), "period")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .groupBy("value")
+            .agg(
+                F.sum(
+                    F.when(F.col("period") == "pre", F.col("m"))
+                ).alias("m_pre"),
+                F.sum(
+                    F.when(F.col("period") == "post", F.col("m"))
+                ).alias("m_post"),
+            )
+            .na.fill({"m_pre": 0, "m_post": 0})
+        )
+        p = F.col("m_pre") / F.lit(m_pre_t)
+        q = F.col("m_post") / F.lit(m_post_t)
+
+        def js_term(a, b):
+            return F.when(
+                a > 0, 0.5 * a * F.log(2.0 * a / (a + b))
+            ).otherwise(F.lit(0.0))
+
+        surprise = js_term(p, q) + js_term(q, p)
+        ep = (
+            (F.col("m_post") - F.col("m_pre")) / F.lit(delta)
+            if delta != 0
+            else F.lit(0.0)
+        )
+        row = per.select(
+            F.lit(dim).alias("dimension"),
+            F.col("value").cast("string").alias("value"),
+            F.col("m_pre").cast("long").alias("m_pre"),
+            F.col("m_post").cast("long").alias("m_post"),
+            F.round(p, round_digits).alias("p"),
+            F.round(q, round_digits).alias("q"),
+            F.round(ep, round_digits).alias("ep"),
+            F.round(surprise, round_digits).alias("surprise"),
+            (F.abs(ep) >= teep).alias("candidate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

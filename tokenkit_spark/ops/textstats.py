@@ -1673,3 +1673,67 @@ def perplexity_filter_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+ZM_Q_GRID = (0.0, 1.0, 2.7, 5.0, 10.0)
+
+
+def zipf_mandelbrot_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Zipf-Mandelbrot fit over a pinned shift grid — the two-
+    parameter rank-frequency law.
+
+    Mandelbrot ("An informational theory of the statistical structure
+    of language", 1953) generalizes Zipf's f ~ r^-s to
+    f ~ (r + q)^-s: the shift q fixes the head flattening every real
+    vocabulary shows (pure Zipf systematically over-predicts the top
+    ranks).  Fitting is OLS of ln f on ln(r + q) for each q in a
+    PINNED grid, keeping the best R^2 — grid-plus-OLS instead of a
+    nonlinear optimizer so the whole fit is closed-form relational
+    arithmetic on both engines.
+
+    One row per q: (q, s_exponent, ln_c, r2, best) with ``best``
+    marking the argmax R^2 — the curve-vs-grid view, not just the
+    winner.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    out = None
+    for q in ZM_Q_GRID:
+        pts = ranked.select(
+            F.log(F.col("r") + F.lit(float(q))).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+        slope = F.covar_pop("x", "y") / F.var_pop("x")
+        row = pts.agg(
+            F.lit(float(q)).alias("q"),
+            F.round(-slope, round_digits).alias("s_exponent"),
+            F.round(
+                F.avg("y") - slope * F.avg("x"), round_digits
+            ).alias("ln_c"),
+            F.round(
+                F.covar_pop("x", "y")
+                * F.covar_pop("x", "y")
+                / (F.var_pop("x") * F.var_pop("y")),
+                round_digits,
+            ).alias("r2"),
+        )
+        out = row if out is None else out.unionByName(row)
+    wb = Window.orderBy(F.lit(1))
+    return out.withColumn(
+        "best", F.col("r2") == F.max("r2").over(wb)
+    )
