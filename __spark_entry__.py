@@ -8891,6 +8891,60 @@ def q_spimi(spark, sf_dir):
     return spimi_build_plan(_docs(spark, sf_dir))
 
 
+def q_che_lru(spark, sf_dir):
+    """Che's LRU approximation (JSAC 2002; Fricker et al. ITC 2012):
+    characteristic time via 8 pinned Newton steps, predicted hit
+    ratio per cache size (index/cache.py:che_lru_approximation)."""
+    from tokenkit_spark.index.cache import che_lru_approximation
+
+    return che_lru_approximation(_query_log(spark, sf_dir))
+
+
+def q_trend_break(spark, sf_dir):
+    """Segmented trend fit at the CUSUM change point (Muggeo 2003
+    shape): before/after OLS slopes and the slope change per type
+    (ops/changepoint.py:trend_break_fit)."""
+    from tokenkit_spark.ops.changepoint import trend_break_fit
+
+    return trend_break_fit(_events(spark, sf_dir))
+
+
+def q_rowgroup_plan(spark, sf_dir):
+    """Parquet row-group sizing sheet: groups, scan tasks, lookup
+    amplification, tail fill per candidate size
+    (index/layout.py:rowgroup_plan)."""
+    from tokenkit_spark.index.layout import rowgroup_plan
+
+    return rowgroup_plan(_docs(spark, sf_dir))
+
+
+def q_bloom_fpr(spark, sf_dir):
+    """Bloom-filter FPR audit (Bloom CACM 1970): measured false-
+    positive rate vs the approximate and exact formulas, bit-exact
+    keyed-md5 replay (ops/dedup.py:bloom_fpr_audit)."""
+    from tokenkit_spark.ops.dedup import bloom_fpr_audit
+
+    return bloom_fpr_audit(_docs(spark, sf_dir), m_bits=4096)
+
+
+def q_welch_anova(spark, sf_dir):
+    """Welch's heteroscedastic one-way ANOVA (Biometrika 1951) over
+    the per-type value distributions
+    (ops/aggs.py:welch_anova)."""
+    from tokenkit_spark.ops.aggs import welch_anova
+
+    return welch_anova(_events(spark, sf_dir))
+
+
+def q_replica_plan(spark, sf_dir):
+    """Hamilton largest-remainder replica apportionment over measured
+    shard query load — load-proportional replica counts
+    (index/routing.py:replica_apportionment)."""
+    from tokenkit_spark.index.routing import replica_apportionment
+
+    return replica_apportionment(_query_log(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8900,6 +8954,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "che_lru": q_che_lru,
+        "trend_break": q_trend_break,
+        "rowgroup_plan": q_rowgroup_plan,
+        "bloom_fpr": q_bloom_fpr,
+        "welch_anova": q_welch_anova,
+        "replica_plan": q_replica_plan,
         "logrank": q_logrank,
         "cannibalization": q_cannibalization,
         "prf_drift": q_prf_drift,
@@ -11978,7 +12038,206 @@ tp AS (SELECT max(CASE WHEN period = 'pre' THEN m END) AS mp,
         + " UNION ALL ".join(_adt_branches)
     )
 
+    # Che approximation: 8 Newton steps per cache size as chained
+    # scalar CTEs
+    from tokenkit_spark.index.cache import (
+        CHE_NEWTON_ITERS as CHE_ITERS,
+    )
+
+    _che_parts = []
+    _che_rows = []
+    for _cs in (8, 32, 128):
+        _che_parts.append(f""",
+ce_{_cs} AS (SELECT least(CAST({_cs} AS DOUBLE),
+               CAST(d - 1 AS DOUBLE)) AS ce FROM ntq),
+tt_{_cs}_0 AS (SELECT CAST({_cs} AS DOUBLE) AS t)""")
+        for _it in range(1, CHE_ITERS + 1):
+            _che_parts.append(f""",
+s_{_cs}_{_it} AS (SELECT sum(1.0 - exp(-(pp.p) * t.t)) AS f,
+    sum(pp.p * exp(-(pp.p) * t.t)) AS fp, max(t.t) AS t
+  FROM pp CROSS JOIN tt_{_cs}_{_it - 1} t),
+tt_{_cs}_{_it} AS (SELECT CASE WHEN fp > 0 THEN
+    (CASE WHEN t - (f - ce.ce) / fp < 0 THEN 0.0
+     ELSE t - (f - ce.ce) / fp END) ELSE t END AS t
+  FROM s_{_cs}_{_it} CROSS JOIN ce_{_cs} ce)""")
+        _che_rows.append(f"""
+SELECT {_cs} AS cache_size, round(t.t, 6) AS t_char,
+  round((SELECT sum(pp.p * (1.0 - exp(-(pp.p) * t.t))) FROM pp), 6)
+    AS predicted_hit_ratio,
+  round(1.0 - ntq.d / ntq.n, 6) AS max_hit_ratio
+FROM tt_{_cs}_{CHE_ITERS} t CROSS JOIN ntq""")
+    _che_sql = (
+        f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+ql AS (SELECT v.q AS k FROM events e JOIN vocab v
+       ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+freq AS (SELECT k, count(*) AS c FROM ql GROUP BY 1),
+ntq AS (SELECT CAST(sum(c) AS DOUBLE) AS n, count(*) AS d FROM freq),
+pp AS (SELECT c / ntq.n AS p FROM freq CROSS JOIN ntq)"""
+        + "".join(_che_parts)
+        + " UNION ALL ".join(_che_rows)
+    )
+
+    _rg_rows = []
+    for _mb in (8, 32, 128, 512):
+        _rgb = _mb * 1024 * 1024
+        _eff = min(_rgb, 128 * 1024 * 1024)
+        _rg_rows.append(f"""
+SELECT {_mb} AS rowgroup_mb, t.b AS total_bytes,
+  greatest(1, CAST(ceil(t.b / CAST({_rgb} AS DOUBLE)) AS BIGINT))
+    AS n_rowgroups,
+  greatest(1, CAST(ceil(t.b / CAST({_eff} AS DOUBLE)) AS BIGINT))
+    AS scan_tasks,
+  CAST({_mb / 2.0} AS DOUBLE) AS lookup_read_mb,
+  round((t.b - (greatest(1, CAST(ceil(t.b / CAST({_rgb} AS DOUBLE))
+    AS BIGINT)) - 1) * {_rgb}) / CAST({_rgb} AS DOUBLE), 6)
+    AS last_group_fill
+FROM t""")
+    _rowgroup_sql = (
+        "WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS b"
+        " FROM documents) "
+        + " UNION ALL ".join(_rg_rows)
+    )
+
+    _bl_members = " UNION ALL ".join(
+        f"SELECT (('0x' || substring(md5(id::VARCHAR || '|bloom{i}|'),"
+        f" 1, 8))::BIGINT % 4096) AS bit FROM mem"
+        for i in range(4)
+    )
+    _bl_probes = " UNION ALL ".join(
+        f"SELECT id, (('0x' || substring(md5(id::VARCHAR"
+        f" || '|bloom{i}|'), 1, 8))::BIGINT % 4096) AS bit FROM prb"
+        for i in range(4)
+    )
+
     return {
+        # Che LRU approximation (index/cache.py:che_lru_approximation)
+        "che_lru": _che_sql,
+        # Segmented trend at the CUSUM break (ops/changepoint.py)
+        "trend_break": """
+WITH days AS (SELECT event_type AS grp,
+                     CAST(date_trunc('day', ts) AS DATE) AS day,
+                     count(*) AS n FROM events GROUP BY 1, 2),
+span AS (SELECT grp, min(day) AS d0, max(day) AS d1 FROM days
+         GROUP BY 1),
+cal AS (SELECT grp, CAST(unnest(generate_series(
+          CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+          INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+b AS (SELECT cal.grp, cal.day, coalesce(days.n, 0) AS n
+      FROM cal LEFT JOIN days ON days.grp = cal.grp
+        AND days.day = cal.day),
+scored AS (SELECT grp, day, n,
+       row_number() OVER (PARTITION BY grp ORDER BY day) AS t,
+       count(*) OVER (PARTITION BY grp) AS n_buckets,
+       sum(n) OVER (PARTITION BY grp ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS s_t,
+       sum(n) OVER (PARTITION BY grp) AS s_n FROM b),
+dv AS (SELECT *, abs(s_t - t / CAST(n_buckets AS DOUBLE) * s_n)
+         AS dev
+       FROM scored WHERE t < n_buckets),
+best AS (SELECT grp, t AS t_star FROM (
+         SELECT *, row_number() OVER (PARTITION BY grp
+                  ORDER BY dev DESC, day ASC) AS r FROM dv)
+         WHERE r = 1),
+seg0 AS (SELECT b.grp, b.day, b.n,
+           row_number() OVER (PARTITION BY b.grp ORDER BY b.day)
+             AS t, best.t_star
+         FROM b JOIN best ON b.grp = best.grp),
+cps AS (SELECT grp, min(CASE WHEN t > t_star THEN day END)
+          AS change_day FROM seg0 GROUP BY 1),
+j AS (SELECT b.grp, cps.change_day,
+        CASE WHEN b.day < cps.change_day THEN 'before'
+             ELSE 'after' END AS seg2,
+        CAST(date_diff('day', DATE '1970-01-01', b.day) AS DOUBLE)
+          AS x,
+        CAST(b.n AS DOUBLE) AS y
+      FROM b JOIN cps USING (grp)),
+per AS (SELECT grp, change_day, seg2, count(*) AS n_pts,
+          CASE WHEN var_pop(x) > 0
+               THEN covar_pop(x, y) / var_pop(x) END AS m
+        FROM j GROUP BY 1, 2, 3),
+wide AS (SELECT grp, change_day,
+   max(CASE WHEN seg2 = 'before' THEN m END) AS sb,
+   max(CASE WHEN seg2 = 'after' THEN m END) AS sa,
+   max(CASE WHEN seg2 = 'before' THEN n_pts END) AS n_before,
+   max(CASE WHEN seg2 = 'after' THEN n_pts END) AS n_after
+ FROM per GROUP BY 1, 2)
+SELECT grp AS event_type, CAST(change_day AS VARCHAR) AS change_day,
+  round(sb, 6) AS slope_before, round(sa, 6) AS slope_after,
+  round(sa - sb, 6) AS slope_delta, n_before, n_after
+FROM wide""",
+        # Parquet row-group plan (index/layout.py:rowgroup_plan)
+        "rowgroup_plan": _rowgroup_sql,
+        # Bloom FPR audit (ops/dedup.py:bloom_fpr_audit)
+        "bloom_fpr": f"""
+WITH mem AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 0),
+prb AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 <> 0),
+bits AS (SELECT DISTINCT bit FROM ({_bl_members})),
+pb AS ({_bl_probes}),
+dpp AS (SELECT id, count(DISTINCT bit) AS nbits FROM pb GROUP BY 1),
+st AS (SELECT pb.id, count(DISTINCT pb.bit) AS nset FROM pb
+       JOIN bits USING (bit) GROUP BY 1),
+fp AS (SELECT count(*) AS f FROM dpp LEFT JOIN st USING (id)
+       WHERE coalesce(st.nset, 0) = dpp.nbits),
+nm AS (SELECT count(*) AS m FROM mem),
+np3 AS (SELECT count(*) AS p FROM prb)
+SELECT 4096 AS m_bits, 4 AS k, nm.m AS n_members,
+  np3.p AS n_probes, fp.f AS n_false_positive,
+  round(fp.f / CAST(np3.p AS DOUBLE), 6) AS measured_fpr,
+  round(power(1.0 - exp(-(4.0 * nm.m) / 4096.0), 4.0), 6)
+    AS approx_fpr,
+  round(power(1.0 - power(1.0 - 1.0 / 4096.0, 4.0 * nm.m), 4.0), 6)
+    AS exact_fpr
+FROM nm CROSS JOIN np3 CROSS JOIN fp""",
+        # Welch one-way ANOVA (ops/aggs.py:welch_anova)
+        "welch_anova": """
+WITH per AS (SELECT event_type AS g, CAST(count(*) AS DOUBLE) AS n,
+               sum(value) AS s, sum(value * value) AS ss
+             FROM events GROUP BY 1),
+c AS (SELECT g, n, s / n AS m,
+        (ss - s * s / n) / (n - 1) AS v FROM per),
+w AS (SELECT g, n, m, v, n / v AS w FROM c),
+t1 AS (SELECT CAST(count(*) AS DOUBLE) AS k, sum(w) AS bw,
+              sum(w * m) AS wm FROM w),
+t2 AS (SELECT k, bw, wm / bw AS grand FROM t1),
+t3 AS (SELECT t2.k, t2.bw, t2.grand,
+   (SELECT sum(w.w * (w.m - t2.grand) * (w.m - t2.grand)) FROM w)
+     AS num0,
+   (SELECT sum((1.0 - w.w / t2.bw) * (1.0 - w.w / t2.bw)
+               / (w.n - 1)) FROM w) AS lam0
+ FROM t2),
+t4 AS (SELECT k, grand, num0 / (k - 1) AS num,
+              3.0 * lam0 / (k * k - 1) AS lam FROM t3)
+SELECT CAST(k AS BIGINT) AS k_groups,
+  round(num / (1.0 + 2.0 * (k - 2) / 3.0 * lam), 6) AS f_stat,
+  CAST(k - 1 AS BIGINT) AS df1,
+  round(CASE WHEN lam > 0 THEN 1.0 / lam END, 6) AS df2,
+  round(grand, 6) AS grand_weighted_mean
+FROM t4""",
+        # Hamilton replica apportionment (index/routing.py)
+        "replica_plan": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+ql AS (SELECT v.q AS query FROM events e JOIN vocab v
+       ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+ld AS (SELECT (('0x' || substring(md5(query || '|qroute'), 1, 8))::BIGINT
+          % 16) AS shard, count(*) AS load
+       FROM ql GROUP BY 1),
+tt2 AS (SELECT CAST(sum(load) AS DOUBLE) AS t FROM ld),
+q2 AS (SELECT shard, load, load / tt2.t * 16.0 AS quota
+       FROM ld CROSS JOIN tt2),
+q3 AS (SELECT *, CAST(floor(quota) AS BIGINT) AS base,
+              quota - floor(quota) AS remainder FROM q2),
+us AS (SELECT CAST(coalesce(sum(base), 0) AS BIGINT) AS u FROM q3),
+r AS (SELECT q3.*, row_number() OVER (ORDER BY
+        round(remainder, 9) DESC, shard) AS rr,
+        (16 - us.u) AS leftover
+      FROM q3 CROSS JOIN us)
+SELECT shard, load, round(quota, 6) AS quota, base,
+  CAST(rr <= leftover AS INT) AS extra,
+  1 + base + CAST(rr <= leftover AS BIGINT) AS replicas,
+  round(load / CAST(1 + base + CAST(rr <= leftover AS BIGINT)
+        AS DOUBLE), 6) AS load_per_replica
+FROM r""",
         # Log-rank test between arms (ops/survival.py:logrank_test)
         "logrank": """
 WITH pu AS (SELECT user_id AS u,

@@ -326,3 +326,83 @@ def lru_stack_audit(
             "hit_rate"
         ),
     ).orderBy("cache_size")
+
+
+CHE_NEWTON_ITERS = 8
+
+
+def che_lru_approximation(
+    qlog: DataFrame,
+    cache_sizes=(8, 32, 128),
+    key_col: str = "query",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Che's approximation of LRU hit ratio under IRM — the closed-form
+    cache model, checked per size.
+
+    Che, Tung & Wang, "Hierarchical web caching systems" (JSAC 2002),
+    with Fricker/Robert/Roberts (ITC 2012) explaining WHY it is so
+    accurate: under the independent reference model with per-key
+    request probabilities p_i, an LRU of size C behaves like TTL
+    caches sharing one CHARACTERISTIC TIME T solving
+
+        sum_i (1 - e^(-p_i T)) = C,
+
+    and key i's hit ratio is 1 - e^(-p_i T); the overall hit ratio is
+    the request-weighted mean.  T is found by ``CHE_NEWTON_ITERS``
+    Newton steps from T_0 = C (deterministic fixed iteration count —
+    the same both-engines-replayable policy as the incomplete-gamma
+    deviation in ``index/taily.py``); p_i comes from the log's key
+    frequencies.  The exact-replay counterpart (real dependence, no
+    IRM) lives in ``lru_cache_audit`` — the gap between them is the
+    model error the ITC paper bounds.
+
+    Per cache size: (cache_size, t_char, predicted_hit_ratio,
+    max_hit_ratio) with the last = 1 - distinct/requests — the
+    infinite-cache hit ceiling no LRU can beat (every distinct key
+    must miss once).
+    """
+    freq = qlog.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = freq.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("d")
+    ).collect()[0]
+    n_req, n_keys = float(tot.n), int(tot.d)
+    probs = freq.select((F.col("c") / F.lit(n_req)).alias("p"))
+    spark = qlog.sparkSession
+    rows = []
+    for c_size in cache_sizes:
+        c_eff = float(min(c_size, n_keys - 1))
+        t = float(c_size)
+        for _ in range(CHE_NEWTON_ITERS):
+            r = probs.agg(
+                F.sum(
+                    1.0 - F.exp(-F.col("p") * F.lit(t))
+                ).alias("f"),
+                F.sum(
+                    F.col("p") * F.exp(-F.col("p") * F.lit(t))
+                ).alias("fp"),
+            ).collect()[0]
+            if r.fp and r.fp > 0:
+                t = t - (r.f - c_eff) / r.fp
+            if t < 0:
+                t = 0.0
+        hit = probs.agg(
+            F.sum(
+                F.col("p") * (1.0 - F.exp(-F.col("p") * F.lit(t)))
+            ).alias("h")
+        ).collect()[0].h
+        rows.append(
+            (
+                int(c_size),
+                round(t, round_digits),
+                round(float(hit), round_digits),
+                round(1.0 - n_keys / n_req, round_digits),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "cache_size long, t_char double, predicted_hit_ratio double, "
+        "max_hit_ratio double",
+    )

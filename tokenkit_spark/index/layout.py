@@ -374,3 +374,61 @@ def stopword_ablation_audit(
         "varint_bytes long, frac_of_full_postings double, "
         "frac_of_full_bytes double",
     )
+
+
+RG_SIZES_MB = (8, 32, 128, 512)
+
+
+def rowgroup_plan(
+    docs: DataFrame,
+    bytes_col: str = "n_chars",
+    max_partition_mb: float = 128.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Parquet row-group sizing plan — tasks, lookup amplification,
+    and tail balance per candidate size.
+
+    The two-sided trade every columnar layout tunes (the Parquet docs'
+    own guidance, quantified on this corpus): LARGE row groups
+    amortize footer/dictionary overhead and keep scans sequential,
+    but a point lookup must read ~half a row group (read
+    amplification) and a task can't split below one group (fewer,
+    lumpier tasks — Spark's ``files.maxPartitionBytes`` clamps to
+    whole groups).  For each candidate size:
+
+        n_rowgroups      = ceil(total_bytes / rg)
+        scan_tasks       = ceil(total_bytes / min(rg, max_partition))
+        lookup_read_mb   = rg / 2
+        last_group_fill  = remainder fraction of the final group
+
+    One row per candidate size; total_bytes measured from
+    ``bytes_col``.
+    """
+    import math
+
+    total = docs.agg(F.sum(bytes_col).alias("b")).collect()[0].b
+    total = int(total)
+    spark = docs.sparkSession
+    rows = []
+    for mb in RG_SIZES_MB:
+        rg = mb * 1024 * 1024
+        n_rg = max(1, math.ceil(total / rg))
+        eff = min(rg, max_partition_mb * 1024 * 1024)
+        tasks = max(1, math.ceil(total / eff))
+        rem = total - (n_rg - 1) * rg
+        rows.append(
+            (
+                mb,
+                total,
+                n_rg,
+                tasks,
+                round(mb / 2.0, round_digits),
+                round(rem / rg, round_digits),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "rowgroup_mb long, total_bytes long, n_rowgroups long, "
+        "scan_tasks long, lookup_read_mb double, "
+        "last_group_fill double",
+    )

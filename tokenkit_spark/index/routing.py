@@ -93,3 +93,80 @@ def shard_routing_audit(
         )
         .orderBy("shard")
     )
+
+
+def replica_apportionment(
+    qlog: DataFrame,
+    n_shards: int = 16,
+    total_replicas: int = 32,
+    key_col: str = "query",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Load-proportional replica apportionment — Hamilton's
+    largest-remainder method over measured shard load.
+
+    The replica-placement question behind ES's index-level
+    ``number_of_replicas`` being one-size-fits-all: shards do NOT
+    receive equal query load (term routing + Zipf queries), so a
+    fixed replica count under-provisions hot shards.  Apportion
+    ``total_replicas`` proportionally to measured load with the
+    classic Hamilton/Vinton method (US House apportionment, 1852):
+    each shard gets floor(quota), remaining seats go to the largest
+    fractional remainders (ties by shard id) — exactly the
+    deterministic integer allocation a placement controller wants
+    (Huntington-Hill's divisor alternative trades monotonicity
+    paradoxes; largest-remainder is the simple standard).  Every
+    shard gets at least one replica (the primary).
+
+    Per shard: (shard, load, quota, base, extra, replicas,
+    load_per_replica).
+    """
+    from pyspark.sql import Window
+
+    from tokenkit_spark.index.routing import route_shard_col
+
+    load = (
+        qlog.select(
+            route_shard_col(key_col, n_shards, salt="qroute").alias(
+                "shard"
+            )
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("load"))
+    )
+    tot = load.agg(F.sum("load").alias("t")).collect()[0].t
+    # reserve 1 replica per shard, apportion the rest by load
+    free = total_replicas - n_shards
+    quota = F.col("load") / F.lit(float(tot)) * F.lit(float(free))
+    q = (
+        load.withColumn("quota", quota)
+        .withColumn("base", F.floor("quota").cast("long"))
+        .withColumn("remainder", F.col("quota") - F.col("base"))
+    )
+    used = q.agg(F.sum("base").alias("u")).collect()[0].u or 0
+    leftover = int(free - used)
+    w = Window.orderBy(
+        F.round("remainder", 9).desc(), F.col("shard").asc()
+    )
+    ranked = q.withColumn("rr", F.row_number().over(w))
+    return ranked.select(
+        "shard",
+        "load",
+        F.round("quota", round_digits).alias("quota"),
+        "base",
+        (F.col("rr") <= leftover).cast("int").alias("extra"),
+        (
+            F.lit(1)
+            + F.col("base")
+            + (F.col("rr") <= leftover).cast("long")
+        ).alias("replicas"),
+        F.round(
+            F.col("load")
+            / (
+                F.lit(1)
+                + F.col("base")
+                + (F.col("rr") <= leftover).cast("long")
+            ),
+            round_digits,
+        ).alias("load_per_replica"),
+    )

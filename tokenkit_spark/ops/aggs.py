@@ -1311,3 +1311,85 @@ def join_key_skew_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def welch_anova(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA — the k-group extension
+    of the Welch t.
+
+    Welch, "On the comparison of several mean values" (Biometrika
+    1951): with per-group n_j, mean x_j, variance s_j^2 and weights
+    w_j = n_j / s_j^2,
+
+        F* = [sum w_j (x_j - x.)^2 / (k-1)]
+             / [1 + 2(k-2)/(k^2-1) * sum (1 - w_j/W)^2 / (n_j - 1)]
+
+    with x. = sum w_j x_j / W — valid under unequal variances, which
+    plain ANOVA's pooled variance silently assumes away (the
+    per-group value spreads here differ by construction).  The
+    statistic and the Welch-Satterthwaite denominator df are
+    reported; the 2-group special case reduces to ``t_test_welch``'s
+    t^2.
+
+    One row: (k_groups, f_stat, df1, df2, grand_weighted_mean).
+    Sufficient-statistic sums only — one group rollup + one scalar
+    pass.
+    """
+    per = events.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(value_col).alias("s"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("ss"),
+    ).select(
+        "g",
+        "n",
+        (F.col("s") / F.col("n")).alias("m"),
+        (
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("v"),
+    )
+    w = per.select(
+        "g", "n", "m", "v", (F.col("n") / F.col("v")).alias("w")
+    )
+    tot = w.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("w").alias("bw"),
+        F.sum(F.col("w") * F.col("m")).alias("wm"),
+    ).collect()[0]
+    k, big_w = float(tot.k), float(tot.bw)
+    grand = float(tot.wm) / big_w
+    parts = w.agg(
+        F.sum(
+            F.col("w")
+            * (F.col("m") - F.lit(grand))
+            * (F.col("m") - F.lit(grand))
+        ).alias("num"),
+        F.sum(
+            (1.0 - F.col("w") / F.lit(big_w))
+            * (1.0 - F.col("w") / F.lit(big_w))
+            / (F.col("n") - 1)
+        ).alias("lam"),
+    ).collect()[0]
+    num = float(parts.num) / (k - 1)
+    lam = 3.0 * float(parts.lam) / (k * k - 1)
+    f_stat = num / (1.0 + 2.0 * (k - 2) / 3.0 * lam)
+    df2 = 1.0 / lam if lam > 0 else float("inf")
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(k),
+                round(f_stat, round_digits),
+                int(k - 1),
+                round(df2, round_digits),
+                round(grand, round_digits),
+            )
+        ],
+        "k_groups long, f_stat double, df1 long, df2 double, "
+        "grand_weighted_mean double",
+    )

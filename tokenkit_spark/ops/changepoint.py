@@ -351,3 +351,78 @@ def adtributor(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def trend_break_fit(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Segmented (broken-stick) trend fit at the CUSUM change point.
+
+    The composition every incident review runs: ``change_points``
+    locates WHERE the daily series shifts; this fits separate OLS
+    trends BEFORE and AFTER that day (piecewise linear with a known
+    breakpoint — the identifiable special case of segmented
+    regression, Muggeo, Stat. Med. 2003) and reports the slope change
+    — "were we growing 2/day and now 9/day, or did the level jump
+    with the trend intact?", which the change-point statistic alone
+    cannot answer.
+
+    Per group: (event_type, change_day, slope_before, slope_after,
+    slope_delta, n_before, n_after).  Both fits are closed-form OLS
+    over the zero-filled buckets (covar_pop/var_pop — the shared
+    engine aggregates of ``heaps_fit``).
+    """
+    cp = change_points(events, group_col, ts_col).select(
+        F.col("event_type").alias("grp"), "change_day"
+    )
+    b = daily_buckets_zero_filled(events, group_col, ts_col)
+    j = b.join(cp, "grp").withColumn(
+        "seg",
+        F.when(F.col("day") < F.col("change_day"), "before").otherwise(
+            "after"
+        ),
+    ).select(
+        "grp",
+        "change_day",
+        "seg",
+        F.datediff(
+            F.col("day"), F.lit("1970-01-01").cast("date")
+        ).cast("double").alias("x"),
+        F.col("n").cast("double").alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    per = j.groupBy("grp", "change_day", "seg").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.when(F.var_pop("x") > 0, slope).alias("m"),
+    )
+    wide = per.groupBy("grp", "change_day").agg(
+        F.max(F.when(F.col("seg") == "before", F.col("m"))).alias(
+            "slope_before_raw"
+        ),
+        F.max(F.when(F.col("seg") == "after", F.col("m"))).alias(
+            "slope_after_raw"
+        ),
+        F.max(
+            F.when(F.col("seg") == "before", F.col("n_pts"))
+        ).alias("n_before"),
+        F.max(
+            F.when(F.col("seg") == "after", F.col("n_pts"))
+        ).alias("n_after"),
+    )
+    return wide.select(
+        F.col("grp").alias("event_type"),
+        F.col("change_day").cast("string").alias("change_day"),
+        F.round("slope_before_raw", round_digits).alias(
+            "slope_before"
+        ),
+        F.round("slope_after_raw", round_digits).alias("slope_after"),
+        F.round(
+            F.col("slope_after_raw") - F.col("slope_before_raw"),
+            round_digits,
+        ).alias("slope_delta"),
+        "n_before",
+        "n_after",
+    )

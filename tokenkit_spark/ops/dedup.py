@@ -968,3 +968,115 @@ def source_overlap_matrix(
             F.col("n_dup_pairs") / n_combos * 1e6, round_digits
         ).alias("dup_rate_ppm"),
     )
+
+
+BLOOM_K = 4
+
+
+def bloom_fpr_audit(
+    docs: DataFrame,
+    m_bits: int = 4096,
+    id_col: str = "doc_id",
+    member_mod: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bloom-filter false-positive-rate audit — measured vs the
+    textbook formula, exact bit-level replay.
+
+    Bloom (CACM 1970): insert the member set (doc ids with
+    id %% member_mod == 0) into an m-bit filter via k keyed-md5
+    hashes; probe with the NON-members and count how many find all k
+    bits set.  The audit compares the measured FP rate against the
+    classic approximation (1 - e^(-kn/m))^k AND against the exact
+    expected rate (1 - (1-1/m)^(kn))^k — at small m the two visibly
+    differ, which is the point of measuring.  Everything is keyed
+    md5 arithmetic, so the oracle replays the exact same bit sets.
+
+    One row: (m_bits, k, n_members, n_probes, n_false_positive,
+    measured_fpr, approx_fpr, exact_fpr).
+    """
+    import math
+
+    def positions(id_col_expr, i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            id_col_expr.cast("string"),
+                            F.lit(f"|bloom{i}|"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    members = docs.filter(F.col(id_col) % member_mod == 0).select(
+        F.col(id_col).alias("id")
+    )
+    probes = docs.filter(F.col(id_col) % member_mod != 0).select(
+        F.col(id_col).alias("id")
+    )
+    n_members = members.count()
+    n_probes = probes.count()
+    bits = None
+    for i in range(BLOOM_K):
+        b = members.select(positions(F.col("id"), i).alias("bit"))
+        bits = b if bits is None else bits.unionByName(b)
+    bitset = bits.distinct()
+    probe_bits = None
+    for i in range(BLOOM_K):
+        pb = probes.select(
+            "id", positions(F.col("id"), i).alias("bit")
+        )
+        probe_bits = (
+            pb if probe_bits is None else probe_bits.unionByName(pb)
+        )
+    hits = (
+        probe_bits.join(bitset, "bit", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("nset"))
+    )
+    # all k DISTINCT probe bits set; a probe whose k hashes collide
+    # produces < k distinct bits, so count distinct per probe
+    distinct_per_probe = probe_bits.groupBy("id").agg(
+        F.countDistinct("bit").alias("nbits")
+    )
+    fp = (
+        distinct_per_probe.join(
+            probe_bits.join(bitset, "bit", "left_semi")
+            .groupBy("id")
+            .agg(F.countDistinct("bit").alias("nset")),
+            "id",
+            "left",
+        )
+        .na.fill({"nset": 0})
+        .filter(F.col("nset") == F.col("nbits"))
+        .count()
+    )
+    kn = BLOOM_K * n_members
+    approx = (1.0 - math.exp(-kn / m_bits)) ** BLOOM_K
+    exact = (1.0 - (1.0 - 1.0 / m_bits) ** kn) ** BLOOM_K
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                m_bits,
+                BLOOM_K,
+                n_members,
+                n_probes,
+                fp,
+                round(fp / n_probes, round_digits) if n_probes else 0.0,
+                round(approx, round_digits),
+                round(exact, round_digits),
+            )
+        ],
+        "m_bits long, k long, n_members long, n_probes long, "
+        "n_false_positive long, measured_fpr double, "
+        "approx_fpr double, exact_fpr double",
+    )
