@@ -8945,6 +8945,90 @@ def q_replica_plan(spark, sf_dir):
     return replica_apportionment(_query_log(spark, sf_dir))
 
 
+def q_negative_cache(spark, sf_dir):
+    """Negative-result cache payoff (the RFC 2308 pattern for
+    search): zero-result queries injected at step%13==0, repeat
+    traffic a miss-cache absorbs
+    (index/cache.py:negative_cache_audit)."""
+    from tokenkit_spark.index.cache import negative_cache_audit
+
+    qlog = _query_log(spark, sf_dir).withColumn(
+        "query",
+        F.when(
+            F.col("step") % 13 == 0,
+            F.concat(F.lit("zzqq"), (F.col("step") % 3).cast("string")),
+        ).otherwise(F.col("query")),
+    )
+    return negative_cache_audit(_docs(spark, sf_dir), qlog)
+
+
+def q_data_retention(spark, sf_dir):
+    """Retention-policy simulation: rows a 7/30/90-day TTL purge
+    would delete per type, anchored at the corpus horizon
+    (ops/events.py:data_retention_audit)."""
+    from tokenkit_spark.ops.events import data_retention_audit
+
+    return data_retention_audit(
+        _events(spark, sf_dir), as_of="2024-01-30 23:59:59"
+    )
+
+
+def q_frontier_policies(spark, sf_dir):
+    """Crawl-prioritization policy agreement (Cho/Garcia-Molina/Page
+    WWW 1998): inlinks vs 5-round OPIC cash vs arbitrary-id, top-100
+    overlap/jaccard (ops/linkgraph.py:frontier_policy_overlap)."""
+    from tokenkit_spark.ops.linkgraph import frontier_policy_overlap
+
+    return frontier_policy_overlap(_link_edges(spark, sf_dir), k=100)
+
+
+def q_lead_bias(spark, sf_dir):
+    """Lead-position bias of query-term matches: relative-offset
+    fifths distribution + lift vs uniform — the lead-paragraph fact
+    (ops/textstats.py:lead_bias_audit)."""
+    from tokenkit_spark.ops.textstats import lead_bias_audit
+
+    return lead_bias_audit(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_shard_bloom(spark, sf_dir):
+    """Per-shard term-Bloom shard skipping: probes saved and false
+    probes vs exact shard membership, bit-exact keyed-md5 filters
+    (index/routing.py:shard_bloom_skip_audit)."""
+    from tokenkit_spark.index.routing import shard_bloom_skip_audit
+
+    return shard_bloom_skip_audit(
+        _docs(spark, sf_dir), _queries_df(spark), n_shards=16,
+        m_bits=1024, n_hashes=2,
+    )
+
+
+def q_status_mix(spark, sf_dir):
+    """HTTP status-class mix per host with 4xx/5xx health flags over
+    a deterministic status fixture
+    (ops/httpmeta.py:status_mix_audit)."""
+    from tokenkit_spark.ops.httpmeta import status_mix_audit
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    status = (
+        F.when(doc % 20 == 0, 301)
+        .when(doc % 20 == 1, 404)
+        .when(doc % 20 == 2, 500)
+        .when(doc % 20 == 3, 302)
+        .when(doc % 20 == 4, 404)
+        .otherwise(200)
+    )
+    return status_mix_audit(
+        d.select(
+            F.concat(F.lit("h"), (doc % 10).cast("string")).alias(
+                "host"
+            ),
+            status.alias("status"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -8954,6 +9038,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "negative_cache": q_negative_cache,
+        "data_retention": q_data_retention,
+        "frontier_policies": q_frontier_policies,
+        "lead_bias": q_lead_bias,
+        "shard_bloom": q_shard_bloom,
+        "status_mix": q_status_mix,
         "che_lru": q_che_lru,
         "trend_break": q_trend_break,
         "rowgroup_plan": q_rowgroup_plan,
@@ -12110,7 +12200,208 @@ FROM t""")
         for i in range(4)
     )
 
+    _opic_levels = ["""
+c0 AS (SELECT node, 1.0 / nn.n AS c FROM nodes CROSS JOIN nn)"""]
+    for _ok in range(1, 6):
+        _opic_levels.append(f""",
+c{_ok} AS MATERIALIZED (SELECT n.node,
+    ((1.0 - 0.85) / nn.n) + 0.85 * coalesce(f.inflow, 0) AS c
+  FROM nodes n CROSS JOIN nn LEFT JOIN
+    (SELECT e.dst AS node, sum(p.c / od.deg) AS inflow
+     FROM edges e JOIN c{_ok - 1} p ON p.node = e.src
+     JOIN od ON od.src = e.src GROUP BY 1) f ON f.node = n.node)""")
+    _fpol_sql = (
+        f"""
+WITH {_LINK_EDGES_SQL.strip()},
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges
+           UNION SELECT dst FROM edges)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+inl AS (SELECT dst AS node, count(*) AS score FROM edges
+        GROUP BY 1),
+ir AS (SELECT n.node, coalesce(i.score, 0) AS score
+       FROM nodes n LEFT JOIN inl i ON i.node = n.node),
+od AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),"""
+        + "".join(_opic_levels)
+        + """,
+top_in AS (SELECT node FROM (SELECT node, row_number() OVER (
+             ORDER BY round(score, 9) DESC, node) AS r FROM ir)
+           WHERE r <= 100),
+top_op AS (SELECT node FROM (SELECT node, row_number() OVER (
+             ORDER BY round(c, 9) DESC, node) AS r FROM c5)
+           WHERE r <= 100),
+top_rand AS (SELECT node FROM (SELECT node, row_number() OVER (
+               ORDER BY node ASC) AS r FROM nodes) WHERE r <= 100),
+i1 AS (SELECT count(*) AS c FROM top_in JOIN top_op USING (node)),
+i2 AS (SELECT count(*) AS c FROM top_in JOIN top_rand USING (node)),
+i3 AS (SELECT count(*) AS c FROM top_op JOIN top_rand USING (node))
+SELECT 'inlinks' AS policy_a, 'opic' AS policy_b, 100 AS k,
+       i1.c AS overlap,
+       round(i1.c / CAST(200 - i1.c AS DOUBLE), 6) AS jaccard
+FROM i1
+UNION ALL SELECT 'inlinks', 'random_id', 100, i2.c,
+       round(i2.c / CAST(200 - i2.c AS DOUBLE), 6) FROM i2
+UNION ALL SELECT 'opic', 'random_id', 100, i3.c,
+       round(i3.c / CAST(200 - i3.c AS DOUBLE), 6) FROM i3"""
+    )
+
+    _sbl_bits = " UNION ALL ".join(
+        f"SELECT shard, (('0x' || substring(md5(term || '|sbloom{i}|'),"
+        f" 1, 8))::BIGINT % 1024) AS bit FROM tks"
+        for i in range(2)
+    )
+    _sbl_probes = " UNION ALL ".join(
+        f"SELECT query_id, term, shard, (('0x' || substring("
+        f"md5(term || '|sbloom{i}|'), 1, 8))::BIGINT % 1024) AS bit"
+        f" FROM pr"
+        for i in range(2)
+    )
+
     return {
+        # Negative-result cache payoff (index/cache.py)
+        "negative_cache": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+ql0 AS (SELECT e.event_id AS step, v.q AS query
+        FROM events e JOIN vocab v
+        ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+ql AS (SELECT CASE WHEN step % 13 = 0
+         THEN 'zzqq' || CAST(step % 3 AS VARCHAR)
+         ELSE query END AS raw FROM ql0),
+voc2 AS (SELECT DISTINCT lower(u.t) AS term FROM documents,
+  unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+    AS u(t)),
+dq AS (SELECT DISTINCT raw FROM ql),
+qt AS (SELECT dq.raw, lower(u.t) AS term FROM dq,
+  unnest(list_filter(string_split_regex(lower(raw), '\\s+'),
+         x -> x <> '')) AS u(t)),
+hit AS (SELECT DISTINCT raw FROM qt JOIN voc2 USING (term)),
+zq AS (SELECT raw FROM dq WHERE raw NOT IN (SELECT raw FROM hit)),
+nr AS (SELECT count(*) AS n FROM ql),
+nz AS (SELECT count(*) AS z FROM ql JOIN zq ON zq.raw = ql.raw),
+nzd AS (SELECT count(*) AS d FROM zq)
+SELECT nr.n AS n_requests, nz.z AS n_zero_requests,
+       nzd.d AS n_zero_distinct,
+       round(nz.z / CAST(nr.n AS DOUBLE), 6) AS zero_traffic_frac,
+       round((nz.z - nzd.d) / CAST(nr.n AS DOUBLE), 6)
+         AS neg_cache_hit_frac
+FROM nr CROSS JOIN nz CROSS JOIN nzd""",
+        # Retention-policy simulation (ops/events.py)
+        "data_retention": """
+SELECT event_type AS grp, 7 AS retention_days, count(*) AS n_total,
+  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-30 23:59:59'
+    - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+  count(*) - CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-30 23:59:59'
+    - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  round((count(*) - sum(CASE WHEN ts < TIMESTAMP
+    '2024-01-30 23:59:59' - INTERVAL 7 DAY THEN 1 ELSE 0 END))
+    / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+FROM events GROUP BY 1
+UNION ALL
+SELECT event_type, 30, count(*),
+  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-30 23:59:59'
+    - INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT),
+  count(*) - CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-30 23:59:59'
+    - INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT),
+  round((count(*) - sum(CASE WHEN ts < TIMESTAMP
+    '2024-01-30 23:59:59' - INTERVAL 30 DAY THEN 1 ELSE 0 END))
+    / CAST(count(*) AS DOUBLE), 6)
+FROM events GROUP BY 1
+UNION ALL
+SELECT event_type, 90, count(*),
+  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-30 23:59:59'
+    - INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT),
+  count(*) - CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-30 23:59:59'
+    - INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT),
+  round((count(*) - sum(CASE WHEN ts < TIMESTAMP
+    '2024-01-30 23:59:59' - INTERVAL 90 DAY THEN 1 ELSE 0 END))
+    / CAST(count(*) AS DOUBLE), 6)
+FROM events GROUP BY 1""",
+        # Crawl policy agreement (ops/linkgraph.py)
+        "frontier_policies": _fpol_sql,
+        # Lead-position match bias (ops/textstats.py:lead_bias_audit)
+        "lead_bias": f"""
+WITH lf AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '') AS l FROM documents),
+tk AS (SELECT doc_id, unnest(l) AS term,
+              unnest(range(0, len(l))) AS pos FROM lf),
+dl2 AS (SELECT doc_id, max(pos) AS maxp FROM tk GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qq AS (SELECT DISTINCT lower(u.t) AS term FROM queries,
+       unnest(list_filter(string_split_regex(qtext, '\\s+'),
+              x -> x <> '')) AS u(t)),
+hits AS (SELECT least(4, CAST(floor(tk.pos * 5.0
+           / (dl2.maxp + 1)) AS BIGINT)) AS bucket
+         FROM tk JOIN qq USING (term) JOIN dl2 USING (doc_id)),
+tt3 AS (SELECT count(*) AS t FROM hits)
+SELECT bucket, count(*) AS n_matches,
+  round(count(*) / CAST(tt3.t AS DOUBLE), 6) AS share,
+  round(CAST(1.0 / 5 AS DOUBLE), 6) AS uniform_share,
+  round(count(*) / CAST(tt3.t AS DOUBLE) * 5, 6) AS lift
+FROM hits CROSS JOIN tt3 GROUP BY bucket, tt3.t""",
+        # Shard bloom skipping (index/routing.py:shard_bloom_skip_audit)
+        "shard_bloom": f"""
+WITH tks AS (SELECT DISTINCT
+    (('0x' || substring(md5(doc_id::VARCHAR || '|route'), 1, 8))::BIGINT
+     % 16) AS shard,
+    lower(u.t) AS term
+  FROM documents,
+  unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+    AS u(t)),
+bits AS (SELECT DISTINCT shard, bit FROM ({_sbl_bits})),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qt AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+       unnest(list_filter(string_split_regex(qtext, '\\s+'),
+              x -> x <> '')) AS u(t)),
+sh AS (SELECT unnest(range(0, 16)) AS shard),
+pr AS (SELECT q.query_id, q.term, s.shard FROM qt q
+       CROSS JOIN sh s),
+pb AS ({_sbl_probes}),
+st AS (SELECT p.query_id, p.term, p.shard,
+         count(DISTINCT p.bit) AS nset
+       FROM pb p JOIN bits b ON b.shard = p.shard AND b.bit = p.bit
+       GROUP BY 1, 2, 3),
+nb AS (SELECT query_id, term, shard, count(DISTINCT bit) AS nbits
+       FROM pb GROUP BY 1, 2, 3),
+mb AS (SELECT nb.query_id, nb.term, nb.shard,
+         coalesce(st.nset, 0) = nb.nbits AS maybe
+       FROM nb LEFT JOIN st USING (query_id, term, shard)),
+vr AS (SELECT mb.*, a.term IS NOT NULL AS present
+       FROM mb LEFT JOIN tks a
+         ON a.shard = mb.shard AND a.term = mb.term)
+SELECT query_id, count(DISTINCT term) AS n_terms,
+  count(*) AS probes_total,
+  CAST(sum(CASE WHEN NOT maybe THEN 1 ELSE 0 END) AS BIGINT)
+    AS probes_skipped,
+  CAST(sum(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END)
+       AS BIGINT) AS false_probes,
+  round(sum(CASE WHEN NOT maybe THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS skip_frac,
+  round(sum(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS false_probe_frac
+FROM vr GROUP BY 1""",
+        # HTTP status mix (ops/httpmeta.py:status_mix_audit)
+        "status_mix": """
+WITH pg AS (SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+    CASE WHEN doc_id % 20 = 0 THEN 301
+         WHEN doc_id % 20 = 1 THEN 404
+         WHEN doc_id % 20 = 2 THEN 500
+         WHEN doc_id % 20 = 3 THEN 302
+         WHEN doc_id % 20 = 4 THEN 404
+         ELSE 200 END AS status
+  FROM documents),
+per AS (SELECT host, CAST(status / 100 AS INT) AS c FROM pg),
+agg AS (SELECT host, count(*) AS n_requests,
+  round(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS p2xx,
+  round(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS p3xx,
+  round(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS p4xx,
+  round(sum(CASE WHEN c = 5 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS p5xx
+  FROM per GROUP BY 1)
+SELECT *, (p5xx > 0.05) OR (p4xx > 0.2) AS health_flag FROM agg""",
         # Che LRU approximation (index/cache.py:che_lru_approximation)
         "che_lru": _che_sql,
         # Segmented trend at the CUSUM break (ops/changepoint.py)

@@ -406,3 +406,82 @@ def che_lru_approximation(
         "cache_size long, t_char double, predicted_hit_ratio double, "
         "max_hit_ratio double",
     )
+
+
+def negative_cache_audit(
+    docs: DataFrame,
+    qlog: DataFrame,
+    text_col: str = "text",
+    key_col: str = "query",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Negative-result cache payoff — how much traffic asks questions
+    with no answer, repeatedly.
+
+    The miss-caching counterpart of the results-cache audits above
+    (the pattern RFC 2308 standardizes for DNS NXDOMAIN, equally load-
+    bearing for search backends): a query NONE of whose terms exist
+    in the vocabulary can be answered from a tiny negative cache
+    without touching a single posting.  The audit classifies the
+    log's queries (zero-result = no term matches the vocabulary),
+    then measures repeat traffic on them — the fraction of total
+    requests a negative cache absorbs.
+
+    One row: (n_requests, n_zero_requests, n_zero_distinct,
+    zero_traffic_frac, neg_cache_hit_frac) where the last counts
+    zero-result REPEATS (first occurrence must miss).
+    """
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("term")
+        )
+        .distinct()
+    )
+    q = qlog.select(F.col(key_col).alias("raw"))
+    qt = q.distinct().select(
+        "raw",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("raw")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    has_hit = (
+        qt.join(vocab, "term", "left_semi")
+        .select("raw")
+        .distinct()
+    )
+    zero_q = q.select("raw").distinct().join(
+        has_hit, "raw", "left_anti"
+    )
+    n_requests = q.count()
+    zero_traffic = q.join(zero_q, "raw", "left_semi")
+    n_zero_req = zero_traffic.count()
+    n_zero_distinct = zero_q.count()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_requests,
+                n_zero_req,
+                n_zero_distinct,
+                round(n_zero_req / n_requests, round_digits)
+                if n_requests
+                else 0.0,
+                round(
+                    (n_zero_req - n_zero_distinct) / n_requests,
+                    round_digits,
+                )
+                if n_requests
+                else 0.0,
+            )
+        ],
+        "n_requests long, n_zero_requests long, n_zero_distinct long, "
+        "zero_traffic_frac double, neg_cache_hit_frac double",
+    )

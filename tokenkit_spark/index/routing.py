@@ -170,3 +170,138 @@ def replica_apportionment(
             round_digits,
         ).alias("load_per_replica"),
     )
+
+
+def shard_bloom_skip_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    n_shards: int = 16,
+    m_bits: int = 1024,
+    n_hashes: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-shard term Bloom filters as a shard-skipping index — probe
+    savings and false-probe cost, exactly replayed.
+
+    The broker-side shard pruning trick (the same idea ES runs per
+    SEGMENT with its terms index, lifted to the shard map): each
+    shard publishes an m-bit Bloom filter of its term vocabulary;
+    the broker probes the filters and fans a term only to shards
+    whose filter says maybe.  For every (query term, shard) this
+    audit compares the filter's answer against the exact posting
+    presence:
+
+        (query_id, n_terms, probes_total, probes_skipped,
+         false_probes, skip_frac, false_probe_frac)
+
+    with probes_total = n_terms * n_shards.  False probes cost one
+    wasted RPC each; missed-skip never happens (no false negatives) —
+    the asymmetry that makes the filter safe to deploy.  All bit
+    positions are keyed md5 arithmetic (oracle-identical).
+    """
+    toks = docs.select(
+        route_shard_col(id_col, n_shards).alias("shard"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).distinct()
+
+    def bitpos(term_col, i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            term_col, F.lit(f"|sbloom{i}|")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    bits = None
+    for i in range(n_hashes):
+        b = toks.select(
+            "shard", bitpos(F.col("term"), i).alias("bit")
+        )
+        bits = b if bits is None else bits.unionByName(b)
+    shard_bits = bits.distinct()
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).distinct()
+    shards = docs.sparkSession.range(n_shards).select(
+        F.col("id").cast("long").alias("shard")
+    )
+    probes = qterms.crossJoin(F.broadcast(shards))
+    pbits = None
+    for i in range(n_hashes):
+        pb = probes.select(
+            "query_id", "term", "shard",
+            bitpos(F.col("term"), i).alias("bit"),
+        )
+        pbits = pb if pbits is None else pbits.unionByName(pb)
+    setcount = (
+        pbits.join(shard_bits, ["shard", "bit"], "left_semi")
+        .groupBy("query_id", "term", "shard")
+        .agg(F.countDistinct("bit").alias("nset"))
+    )
+    needed = pbits.groupBy("query_id", "term", "shard").agg(
+        F.countDistinct("bit").alias("nbits")
+    )
+    maybe = (
+        needed.join(setcount, ["query_id", "term", "shard"], "left")
+        .na.fill({"nset": 0})
+        .withColumn("maybe", F.col("nset") == F.col("nbits"))
+    )
+    actual = toks.select("shard", "term").distinct()
+    verdict = maybe.join(
+        actual.withColumn("present", F.lit(True)),
+        ["shard", "term"],
+        "left",
+    ).na.fill({"present": False})
+    return (
+        verdict.groupBy("query_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("probes_total"),
+            F.sum((~F.col("maybe")).cast("long")).alias(
+                "probes_skipped"
+            ),
+            F.sum(
+                (F.col("maybe") & ~F.col("present")).cast("long")
+            ).alias("false_probes"),
+        )
+        .select(
+            "query_id",
+            "n_terms",
+            "probes_total",
+            "probes_skipped",
+            "false_probes",
+            F.round(
+                F.col("probes_skipped")
+                / F.col("probes_total").cast("double"),
+                round_digits,
+            ).alias("skip_frac"),
+            F.round(
+                F.col("false_probes")
+                / F.col("probes_total").cast("double"),
+                round_digits,
+            ).alias("false_probe_frac"),
+        )
+    )

@@ -1254,3 +1254,53 @@ def hill_tail_estimator(
         F.round(alpha, round_digits).alias("alpha_hat"),
         (alpha <= 2.0).alias("infinite_variance"),
     )
+
+
+RETENTION_DAYS = (7, 30, 90)
+
+
+def data_retention_audit(
+    events: DataFrame,
+    as_of: str,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Retention-policy simulation — what each TTL would delete, per
+    type.
+
+    The GDPR-era storage-governance table (and the cost model behind
+    every log TTL decision): for each candidate retention window,
+    the rows that an ``event_time < as_of - N days`` purge would
+    remove and the fraction of the table that survives.  Running it
+    per type exposes the policy split the flat TTL hides: error logs
+    often need 90 days while click logs can drop at 7.
+
+    Per (grp, retention_days): (grp, retention_days, n_total,
+    n_deleted, n_kept, kept_frac).  Pure date-threshold projections +
+    hash aggregates.
+    """
+    anchor = F.lit(as_of).cast("timestamp")
+    out = None
+    for days in RETENTION_DAYS:
+        cutoff = anchor - F.expr(f"interval {days} days")
+        per = events.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                (F.col(ts_col) < cutoff).cast("long")
+            ).alias("n_deleted"),
+        )
+        row = per.select(
+            "grp",
+            F.lit(days).alias("retention_days"),
+            "n_total",
+            "n_deleted",
+            (F.col("n_total") - F.col("n_deleted")).alias("n_kept"),
+            F.round(
+                (F.col("n_total") - F.col("n_deleted"))
+                / F.col("n_total").cast("double"),
+                round_digits,
+            ).alias("kept_frac"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

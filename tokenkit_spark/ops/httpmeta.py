@@ -180,3 +180,43 @@ def cache_freshness_audit(
         F.round(F.avg("fresh_s"), round_digits).alias("mean_fresh_s"),
         F.max("fresh_s").alias("max_fresh_s"),
     )
+
+
+def status_mix_audit(
+    pages: DataFrame,
+    status_col: str = "status",
+    host_col: str = "host",
+    round_digits: int = 6,
+) -> DataFrame:
+    """HTTP status-class mix per host — the crawl-health dashboard
+    row.
+
+    The first triage cut of any crawl report: per host, the share of
+    2xx (content), 3xx (redirect mass — pair with
+    ``ops/outlinks.py``'s chains), 4xx (dead links the frontier
+    should stop retrying) and 5xx (server distress — back off, per
+    the politeness contract).  An elevated 3xx share flags canonical
+    misconfiguration; elevated 5xx gates the adaptive crawl-delay.
+
+    Per host: (host, n_requests, p2xx, p3xx, p4xx, p5xx,
+    health_flag) with health_flag set when 5xx > 5% or 4xx > 20%.
+    """
+    cls = (F.col(status_col) / 100).cast("int")
+    per = pages.select(
+        F.col(host_col).alias("host"), cls.alias("c")
+    )
+    agg = per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        *[
+            F.round(
+                F.sum((F.col("c") == k).cast("long"))
+                / F.count(F.lit(1)),
+                round_digits,
+            ).alias(f"p{k}xx")
+            for k in (2, 3, 4, 5)
+        ],
+    )
+    return agg.withColumn(
+        "health_flag",
+        (F.col("p5xx") > 0.05) | (F.col("p4xx") > 0.2),
+    )

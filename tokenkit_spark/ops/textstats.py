@@ -1737,3 +1737,84 @@ def zipf_mandelbrot_fit(
     return out.withColumn(
         "best", F.col("r2") == F.max("r2").over(wb)
     )
+
+
+LEAD_BUCKETS = 5
+
+
+def lead_bias_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lead-position bias of query-term matches — where in documents
+    do the matches live?
+
+    The empirical fact behind lead-paragraph summarization baselines
+    (the "lead-3 is hard to beat" observation of the CNN/DM
+    literature) and first-passage retrieval (``index/maxp.py``'s
+    cousin): if query-term mass concentrates in document heads,
+    passage retrieval can index prefixes and snippets can skip deep
+    scans.  For every (query term, document) match, bucket the match
+    position by relative offset (position/doc_length into
+    ``LEAD_BUCKETS`` fifths) and report the distribution plus its
+    lead ratio vs the uniform expectation.
+
+    Per bucket: (bucket, n_matches, share, uniform_share, lift).
+    Shape: one posexplode + broadcast term join + two rollups.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("pos", "term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.max("pos").alias("maxp"))
+    qterms = queries.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term")
+    ).distinct()
+    hits = (
+        toks.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .select(
+            F.least(
+                F.lit(LEAD_BUCKETS - 1),
+                F.floor(
+                    F.col("pos")
+                    * LEAD_BUCKETS
+                    / (F.col("maxp") + 1)
+                ).cast("long"),
+            ).alias("bucket")
+        )
+    )
+    tot = hits.count()
+    return (
+        hits.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .select(
+            "bucket",
+            "n_matches",
+            F.round(
+                F.col("n_matches") / F.lit(float(tot)), round_digits
+            ).alias("share"),
+            F.round(
+                F.lit(1.0 / LEAD_BUCKETS), round_digits
+            ).alias("uniform_share"),
+            F.round(
+                F.col("n_matches")
+                / F.lit(float(tot))
+                * LEAD_BUCKETS,
+                round_digits,
+            ).alias("lift"),
+        )
+    )
