@@ -9029,6 +9029,73 @@ def q_status_mix(spark, sf_dir):
     )
 
 
+def q_hourly_latency(spark, sf_dir):
+    """Hour-of-day latency heatmap: exact p50/p95 per hour, peak
+    flagged (ops/events.py:hourly_latency_grid)."""
+    from tokenkit_spark.ops.events import hourly_latency_grid
+
+    return hourly_latency_grid(_events(spark, sf_dir))
+
+
+def q_holiday_lift(spark, sf_dir):
+    """Holiday-vs-baseline daily-volume lift per type over the pinned
+    calendar (ops/events.py:holiday_lift)."""
+    from tokenkit_spark.ops.events import holiday_lift
+
+    return holiday_lift(_events(spark, sf_dir))
+
+
+def q_content_gaps(spark, sf_dir):
+    """Content-gap classification per query: no/thin/weak-top/covered
+    from result count and best score
+    (index/dfs.py:content_gap_audit)."""
+    from tokenkit_spark.index.dfs import content_gap_audit
+
+    return content_gap_audit(_docs(spark, sf_dir), _queries_df(spark))
+
+
+def q_domain_diversity(spark, sf_dir):
+    """Domain diversity of the top-10: distinct hosts, top-host
+    share, host entropy per query
+    (index/dfs.py:domain_diversity_audit)."""
+    from tokenkit_spark.index.dfs import domain_diversity_audit
+
+    return domain_diversity_audit(
+        _docs(spark, sf_dir),
+        _queries_df(spark),
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")),
+    )
+
+
+def q_chi2_independence(spark, sf_dir):
+    """Pearson chi-square independence test (1900) of event type vs
+    ISO weekday, Wilson-Hilferty critical value
+    (ops/aggs.py:chi2_independence)."""
+    from tokenkit_spark.ops.aggs import chi2_independence
+
+    return chi2_independence(_events(spark, sf_dir))
+
+
+def q_depth_quality(spark, sf_dir):
+    """URL path depth vs lexical-uniqueness quality — the measured
+    crawl-depth prior (ops/traps.py:depth_quality_audit)."""
+    from tokenkit_spark.ops.traps import depth_quality_audit
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+    )
+    q = F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+    url = F.concat(
+        F.lit("https://h.ex"),
+        F.expr("repeat('/seg', CAST(doc_id % 5 AS INT))"),
+        F.lit("/p"),
+    )
+    return depth_quality_audit(
+        d.select(url.alias("url"), q.alias("quality"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -9038,6 +9105,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "hourly_latency": q_hourly_latency,
+        "holiday_lift": q_holiday_lift,
+        "content_gaps": q_content_gaps,
+        "domain_diversity": q_domain_diversity,
+        "chi2_independence": q_chi2_independence,
+        "depth_quality": q_depth_quality,
         "negative_cache": q_negative_cache,
         "data_retention": q_data_retention,
         "frontier_policies": q_frontier_policies,
@@ -12258,6 +12331,122 @@ UNION ALL SELECT 'opic', 'random_id', 100, i3.c,
     )
 
     return {
+        # Hour-of-day latency grid (ops/events.py:hourly_latency_grid)
+        "hourly_latency": """
+WITH per AS (SELECT hour(ts) AS hour, count(*) AS n,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95
+  FROM events GROUP BY 1)
+SELECT *, p95 = max(p95) OVER () AS is_peak_p95 FROM per""",
+        # Holiday lift (ops/events.py:holiday_lift)
+        "holiday_lift": """
+WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+    CAST(CAST(ts AS DATE) AS VARCHAR)
+      IN ('2024-01-01', '2024-01-15') AS hol,
+    CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2, 3)
+SELECT grp,
+  CAST(sum(CASE WHEN hol THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_holidays,
+  CAST(sum(CASE WHEN NOT hol THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_regular_days,
+  round(avg(CASE WHEN hol THEN y END), 6) AS mean_holiday,
+  round(avg(CASE WHEN NOT hol THEN y END), 6) AS mean_regular,
+  round(avg(CASE WHEN hol THEN y END)
+        / avg(CASE WHEN NOT hol THEN y END), 6) AS lift
+FROM daily GROUP BY 1""",
+        # Content gaps (index/dfs.py:content_gap_audit)
+        "content_gaps": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+nd6 AS (SELECT count(*) AS n FROM documents),
+df6 AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+sc AS (SELECT q.query_id, t.doc_id,
+         sum(ln(1.0 + t.tf) * ln(nd6.n / CAST(s.df AS DOUBLE))) AS s
+       FROM qterms q JOIN tf t USING (term)
+       JOIN df6 s USING (term) CROSS JOIN nd6 GROUP BY 1, 2),
+per AS (SELECT query_id, count(*) AS n_results,
+               max(round(s, 6)) AS top_score FROM sc GROUP BY 1),
+base AS (SELECT DISTINCT query_id FROM queries)
+SELECT b.query_id, coalesce(per.n_results, 0) AS n_results,
+  round(per.top_score, 6) AS top_score,
+  CASE WHEN coalesce(per.n_results, 0) = 0 THEN 'no_results'
+       WHEN per.n_results < 5 THEN 'thin_results'
+       WHEN per.top_score < 2.0 THEN 'weak_top'
+       ELSE 'covered' END AS gap_class
+FROM base b LEFT JOIN per USING (query_id)""",
+        # Domain diversity of the top-10 (index/dfs.py)
+        "domain_diversity": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+nd7 AS (SELECT count(*) AS n FROM documents),
+df7 AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+sc AS (SELECT q.query_id, t.doc_id,
+         sum(ln(1.0 + t.tf) * ln(nd7.n / CAST(s.df AS DOUBLE))) AS s
+       FROM qterms q JOIN tf t USING (term)
+       JOIN df7 s USING (term) CROSS JOIN nd7 GROUP BY 1, 2),
+top AS (SELECT query_id, doc_id FROM (SELECT query_id, doc_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY round(s, 6) DESC, doc_id) AS rank FROM sc)
+        WHERE rank <= 10),
+h AS (SELECT query_id,
+        'h' || CAST(doc_id % 10 AS VARCHAR) AS host FROM top),
+ph AS (SELECT query_id, host, count(*) AS c FROM h GROUP BY 1, 2)
+SELECT query_id, CAST(sum(c) AS BIGINT) AS n_results,
+  count(*) AS n_hosts,
+  round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_host_share,
+  round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6)
+    AS host_entropy
+FROM ph GROUP BY 1""",
+        # Chi-square independence (ops/aggs.py:chi2_independence)
+        "chi2_independence": """
+WITH b2 AS (SELECT event_type AS a,
+  CAST(((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3)
+        % 7) + 1 AS INT) AS b FROM events),
+obs AS (SELECT a, b, count(*) AS o FROM b2 GROUP BY 1, 2),
+rws AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+cls2 AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+nn2 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b2),
+grid AS (SELECT r.a, c.b, coalesce(o.o, 0) AS o,
+           r.ra * c.cb / nn2.n AS e
+         FROM rws r CROSS JOIN cls2 c CROSS JOIN nn2
+         LEFT JOIN obs o ON o.a = r.a AND o.b = c.b),
+st AS (SELECT count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+              sum((o - e) * (o - e) / e) AS chi2 FROM grid),
+st2 AS (SELECT *, CAST((r - 1) * (c - 1) AS DOUBLE) AS h FROM st)
+SELECT CAST(r AS BIGINT) AS r_levels, CAST(c AS BIGINT) AS c_levels,
+  CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+  round(chi2, 6) AS chi2,
+  round(h * power(1.0 - 2.0 / (9.0 * h)
+        + 1.6448536269514722 * sqrt(2.0 / (9.0 * h)), 3), 6)
+    AS chi2_crit,
+  chi2 > h * power(1.0 - 2.0 / (9.0 * h)
+        + 1.6448536269514722 * sqrt(2.0 / (9.0 * h)), 3)
+    AS significant
+FROM st2""",
+        # Depth vs quality (ops/traps.py:depth_quality_audit)
+        "depth_quality": """
+WITH lf AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '') AS lf FROM documents),
+pg AS (SELECT doc_id,
+    'https://h.ex' || repeat('/seg', doc_id % 5) || '/p' AS url,
+    len(list_distinct(lf)) / CAST(len(lf) AS DOUBLE) AS q FROM lf),
+per2 AS (SELECT CAST(len(list_filter(string_split(
+           regexp_replace(url, '^https?://[^/]+', ''), '/'),
+           s -> s <> '')) AS BIGINT) AS depth, q FROM pg),
+cm AS (SELECT avg(q) AS m FROM per2)
+SELECT depth, count(*) AS n_pages,
+  round(avg(q), 6) AS mean_quality,
+  round(cm.m, 6) AS corpus_mean,
+  round(avg(q) / cm.m, 6) AS lift
+FROM per2 CROSS JOIN cm GROUP BY depth, cm.m""",
         # Negative-result cache payoff (index/cache.py)
         "negative_cache": f"""
 WITH vocab(idx, q) AS (VALUES {qflow_vocab}),

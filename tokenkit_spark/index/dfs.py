@@ -339,3 +339,176 @@ def keyword_cannibalization(
             ),
         )
     )
+
+
+def content_gap_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    min_results: int = 5,
+    min_top_score: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Content-gap audit — demand the corpus answers poorly.
+
+    The search-driven content-planning loop (the "content gap" of SEO
+    tooling, and the coverage diagnostic of federated QA): a query
+    with FEW matches or a WEAK best score marks demand the corpus
+    does not serve — acquisition/authoring targets, and for a crawler
+    the frontier topics to prioritize.  Per query: result count, best
+    score, and the gap classification:
+
+        no_results | thin_results (< min_results) |
+        weak_top (best score < min_top_score) | covered
+
+    (query_id, n_results, top_score, gap_class).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    dfs_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).distinct()
+    scored = (
+        qterms.join(tf, "term")
+        .join(dfs_t, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(1.0 + F.col("tf"))
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("s")
+        )
+    )
+    per = scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.max(F.round("s", 6)).alias("top_score"),
+    )
+    base = queries.select("query_id").distinct()
+    j = base.join(per, "query_id", "left").na.fill(
+        {"n_results": 0}
+    )
+    cls = (
+        F.when(F.col("n_results") == 0, "no_results")
+        .when(F.col("n_results") < min_results, "thin_results")
+        .when(F.col("top_score") < min_top_score, "weak_top")
+        .otherwise("covered")
+    )
+    return j.select(
+        "query_id",
+        "n_results",
+        F.round("top_score", round_digits).alias("top_score"),
+        cls.alias("gap_class"),
+    )
+
+
+def domain_diversity_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    host_expr,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Domain diversity of the top-k — how many distinct hosts does a
+    ranking surface?
+
+    The whole-SERP counterpart of ``keyword_cannibalization`` (and
+    the metric host-collapse features optimize): per query, distinct
+    hosts in the top-k, the largest single-host share, and the host
+    entropy — low diversity is the trigger for collapse/dedup-by-site
+    policies.
+
+    (query_id, n_results, n_hosts, top_host_share, host_entropy).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    dfs_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).distinct()
+    scored = (
+        qterms.join(tf, "term")
+        .join(dfs_t, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(1.0 + F.col("tf"))
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("s", 6).desc(), F.col("doc_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("host", host_expr)
+    )
+    per_host = top.groupBy("query_id", "host").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_host.groupBy("query_id")
+        .agg(
+            F.sum("c").alias("n_results"),
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.max("c").alias("top_c"),
+            F.sum(F.col("c") * F.log("c")).alias("clogc"),
+        )
+        .select(
+            "query_id",
+            "n_results",
+            "n_hosts",
+            F.round(
+                F.col("top_c") / F.col("n_results").cast("double"),
+                round_digits,
+            ).alias("top_host_share"),
+            F.round(
+                F.log(F.col("n_results").cast("double"))
+                - F.col("clogc") / F.col("n_results"),
+                round_digits,
+            ).alias("host_entropy"),
+        )
+    )

@@ -1393,3 +1393,85 @@ def welch_anova(
         "k_groups long, f_stat double, df1 long, df2 double, "
         "grand_weighted_mean double",
     )
+
+
+def chi2_independence(
+    events: DataFrame,
+    dim_a: str = "event_type",
+    dim_b_expr=None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    dimensions.
+
+    Pearson (1900): over the contingency table of (A, B) with
+    observed counts O_ij and expected E_ij = row_i * col_j / N,
+
+        chi2 = sum (O - E)^2 / E,   df = (r - 1)(c - 1)
+
+    — the workhorse "are these dimensions related" screen (here:
+    does event type depend on ISO weekday — the hypothesis behind
+    weekday-conditioned capacity plans).  The critical value at 0.05
+    uses the same closed-form Wilson-Hilferty transform as the
+    Ljung-Box gate (``ops/trend.py``) so no lookup table is needed.
+
+    One row: (r_levels, c_levels, df, chi2, chi2_crit, significant).
+    """
+    if dim_b_expr is None:
+        dim_b_expr = (
+            (
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                )
+                + 3
+            )
+            % 7
+            + 1
+        ).cast("int")
+    base = events.select(
+        F.col(dim_a).alias("a"), dim_b_expr.alias("b")
+    )
+    obs = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    rows = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    cols = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    n = base.count()
+    grid = (
+        rows.crossJoin(cols)
+        .join(obs, ["a", "b"], "left")
+        .na.fill({"o": 0})
+        .withColumn(
+            "e",
+            F.col("ra") * F.col("cb") / F.lit(float(n)),
+        )
+    )
+    stat = grid.agg(
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+        F.sum(
+            (F.col("o") - F.col("e"))
+            * (F.col("o") - F.col("e"))
+            / F.col("e")
+        ).alias("chi2"),
+    ).collect()[0]
+    df = (stat.r - 1) * (stat.c - 1)
+    h = float(df)
+    crit = h * (
+        1.0
+        - 2.0 / (9.0 * h)
+        + 1.6448536269514722 * (2.0 / (9.0 * h)) ** 0.5
+    ) ** 3
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(stat.r),
+                int(stat.c),
+                int(df),
+                round(float(stat.chi2), round_digits),
+                round(crit, round_digits),
+                bool(stat.chi2 > crit),
+            )
+        ],
+        "r_levels long, c_levels long, df long, chi2 double, "
+        "chi2_crit double, significant boolean",
+    )

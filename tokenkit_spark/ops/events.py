@@ -1304,3 +1304,74 @@ def data_retention_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def hourly_latency_grid(
+    events: DataFrame,
+    latency_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hour-of-day latency heatmap row — exact p50/p95 per hour with
+    the peak flagged.
+
+    The capacity-planning view every SLO dashboard opens with (the
+    diurnal load cycle ``weekday_profile`` shows for volume, here for
+    latency): per hour-of-day bucket, exact interpolated median and
+    p95 of the latency metric plus volume; the peak-p95 hour is where
+    capacity headroom is spent (and feeds the Erlang sizing in
+    ``index/capacity.py``).
+
+    Per hour: (hour, n, p50, p95, is_peak_p95).
+    """
+    from pyspark.sql import Window
+
+    per = events.groupBy(F.hour("ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.percentile(latency_col, F.lit(0.5)), round_digits
+        ).alias("p50"),
+        F.round(
+            F.percentile(latency_col, F.lit(0.95)), round_digits
+        ).alias("p95"),
+    )
+    wall = Window.orderBy(F.lit(1))
+    return per.withColumn(
+        "is_peak_p95", F.col("p95") == F.max("p95").over(wall)
+    )
+
+
+HOLIDAYS = ("2024-01-01", "2024-01-15")
+
+
+def holiday_lift(
+    events: DataFrame,
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Holiday-vs-baseline volume lift per type over a pinned holiday
+    calendar — the calendar-effect covariate every forecast model
+    (``ops/movingfn.py``, ``ops/trend.py``) needs as an exogenous
+    regressor before calling a spike an anomaly.
+
+    Per type: (grp, n_holidays, n_regular_days, mean_holiday,
+    mean_regular, lift)."""
+    is_hol = F.to_date("ts").cast("string").isin(*HOLIDAYS)
+    daily = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.to_date("ts").alias("day"),
+        is_hol.alias("hol"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    agg = daily.groupBy("grp").agg(
+        F.sum(F.col("hol").cast("long")).alias("n_holidays"),
+        F.sum((~F.col("hol")).cast("long")).alias("n_regular_days"),
+        F.avg(F.when(F.col("hol"), F.col("y"))).alias("mh"),
+        F.avg(F.when(~F.col("hol"), F.col("y"))).alias("mr"),
+    )
+    return agg.select(
+        "grp",
+        "n_holidays",
+        "n_regular_days",
+        F.round("mh", round_digits).alias("mean_holiday"),
+        F.round("mr", round_digits).alias("mean_regular"),
+        F.round(F.col("mh") / F.col("mr"), round_digits).alias("lift"),
+    )

@@ -239,3 +239,56 @@ def bot_detection(
             + nocturnal.cast("int")
         ).alias("bot_score"),
     )
+
+
+def depth_quality_audit(
+    pages,
+    url_col: str = "url",
+    quality_col: str = "quality",
+    round_digits: int = 6,
+):
+    """URL path depth vs content quality — the crawl-depth prior,
+    measured.
+
+    The folk rule behind depth-limited crawling (and the Kraaij
+    entry-page priors in ``index/urlprior.py``): deeper URLs tend to
+    carry thinner content, so frontiers de-prioritize by slash count.
+    This audit replaces the folk rule with the measured curve: per
+    path depth (count of '/' segments after the host), page count,
+    mean quality and the lift vs the corpus mean — if the curve is
+    flat on THIS corpus, depth-limiting is throwing away good pages.
+
+    Per depth: (depth, n_pages, mean_quality, corpus_mean, lift).
+    """
+    from pyspark.sql import DataFrame
+
+    path = F.regexp_replace(
+        F.col(url_col), r"^https?://[^/]+", ""
+    )
+    depth = F.size(
+        F.filter(F.split(path, "/"), lambda s: s != "")
+    ).cast("long")
+    per = pages.select(
+        depth.alias("depth"),
+        F.col(quality_col).cast("double").alias("q"),
+    )
+    corpus_mean = per.agg(F.avg("q").alias("m")).collect()[0].m
+    return (
+        per.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.avg("q").alias("mq"),
+        )
+        .select(
+            "depth",
+            "n_pages",
+            F.round("mq", round_digits).alias("mean_quality"),
+            F.round(F.lit(corpus_mean), round_digits).alias(
+                "corpus_mean"
+            ),
+            F.round(
+                F.col("mq") / F.lit(float(corpus_mean)),
+                round_digits,
+            ).alias("lift"),
+        )
+    )
