@@ -9096,6 +9096,36 @@ def q_depth_quality(spark, sf_dir):
     )
 
 
+def q_lognormal_fit(spark, sf_dir):
+    """Log-normal document-length fit per source (Mitzenmacher 2004):
+    log-moments + implied-vs-empirical median misfit flag
+    (ops/textstats.py:lognormal_length_fit)."""
+    from tokenkit_spark.ops.textstats import lognormal_length_fit
+
+    return lognormal_length_fit(_docs(spark, sf_dir))
+
+
+def q_head_coverage(spark, sf_dir):
+    """Query-traffic head coverage (Silverstein et al. 1999): volume
+    share of the top-1/10/100 distinct queries
+    (ops/searchlog.py:query_head_coverage)."""
+    from tokenkit_spark.ops.searchlog import query_head_coverage
+
+    return query_head_coverage(_query_log(spark, sf_dir))
+
+
+def q_link_locality(spark, sf_dir):
+    """Intra- vs inter-host link locality (the WebGraph block
+    structure): per-host internal-outlink share
+    (ops/linkgraph.py:host_link_locality)."""
+    from tokenkit_spark.ops.linkgraph import host_link_locality
+
+    return host_link_locality(
+        _link_edges(spark, sf_dir),
+        lambda c: F.concat(F.lit("h"), (c % 10).cast("string")),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -9105,6 +9135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "lognormal_fit": q_lognormal_fit,
+        "head_coverage": q_head_coverage,
+        "link_locality": q_link_locality,
         "hourly_latency": q_hourly_latency,
         "holiday_lift": q_holiday_lift,
         "content_gaps": q_content_gaps,
@@ -12331,6 +12364,56 @@ UNION ALL SELECT 'opic', 'random_id', 100, i3.c,
     )
 
     return {
+        # Log-normal length fit (ops/textstats.py:lognormal_length_fit)
+        "lognormal_fit": """
+WITH v AS (SELECT source AS grp,
+             ln(CAST(n_chars AS DOUBLE)) AS lx,
+             CAST(n_chars AS DOUBLE) AS x
+           FROM documents WHERE n_chars > 0),
+agg AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n, sum(lx) AS s,
+          sum(lx * lx) AS ss, median(x) AS emp_med
+        FROM v GROUP BY 1),
+c AS (SELECT grp, n, s / n AS mu,
+        sqrt(greatest((ss - s * s / n) / n, 0.0)) AS sigma,
+        emp_med FROM agg)
+SELECT grp, CAST(n AS BIGINT) AS n, round(mu, 6) AS mu_log,
+  round(sigma, 6) AS sigma_log,
+  round(exp(mu), 6) AS implied_median,
+  round(emp_med, 6) AS empirical_median,
+  round(exp(mu) / emp_med, 6) AS median_ratio
+FROM c""",
+        # Query head coverage (ops/searchlog.py:query_head_coverage)
+        "head_coverage": f"""
+WITH vocab(idx, q) AS (VALUES {qflow_vocab}),
+ql AS (SELECT v.q AS q FROM events e JOIN vocab v
+       ON ((e.event_id * 7 + e.user_id * 3) % 8) = v.idx),
+freq AS (SELECT q, count(*) AS c FROM ql GROUP BY 1),
+tq AS (SELECT CAST(sum(c) AS DOUBLE) AS n, count(*) AS d FROM freq),
+rk AS (SELECT *, row_number() OVER (ORDER BY c DESC, q ASC) AS r
+       FROM freq)
+SELECT 1 AS k, tq.d AS n_distinct,
+  CAST(sum(c) AS BIGINT) AS covered_requests,
+  round(sum(c) / tq.n, 6) AS coverage
+FROM rk CROSS JOIN tq WHERE r <= 1 GROUP BY tq.d, tq.n
+UNION ALL
+SELECT 10, tq.d, CAST(sum(c) AS BIGINT), round(sum(c) / tq.n, 6)
+FROM rk CROSS JOIN tq WHERE r <= 10 GROUP BY tq.d, tq.n
+UNION ALL
+SELECT 100, tq.d, CAST(sum(c) AS BIGINT), round(sum(c) / tq.n, 6)
+FROM rk CROSS JOIN tq WHERE r <= 100 GROUP BY tq.d, tq.n""",
+        # Host link locality (ops/linkgraph.py:host_link_locality)
+        "link_locality": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+t AS (SELECT 'h' || CAST(src % 10 AS VARCHAR) AS host,
+        (src % 10) = (dst % 10) AS internal FROM edges)
+SELECT host, count(*) AS n_outlinks,
+  CAST(sum(CASE WHEN internal THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_internal,
+  CAST(sum(CASE WHEN NOT internal THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_external,
+  round(sum(CASE WHEN internal THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS locality
+FROM t GROUP BY 1""",
         # Hour-of-day latency grid (ops/events.py:hourly_latency_grid)
         "hourly_latency": """
 WITH per AS (SELECT hour(ts) AS hour, count(*) AS n,

@@ -1518,3 +1518,39 @@ def frontier_policy_overlap(
         "policy_a string, policy_b string, k long, overlap long, "
         "jaccard double",
     )
+
+
+def host_link_locality(
+    edges: DataFrame,
+    host_of,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Intra- vs inter-host link locality per host — the block
+    structure crawl partitioning exploits.
+
+    The empirical basis for host-partitioned crawling and the
+    host-block graph compression of ``ops/bvgraph.py`` (Bharat et al.
+    "Who links to whom", and the WebGraph locality findings):
+    most links stay within a host, so host-contiguous layouts
+    compress and host-local processing avoids shuffles.  Per source
+    host: outlink counts split internal/external and the locality
+    share; ``host_of`` maps a node id -> host key.
+
+    Per host: (host, n_outlinks, n_internal, n_external, locality).
+    """
+    tagged = edges.select(
+        host_of(F.col("src")).alias("host"),
+        (host_of(F.col("src")) == host_of(F.col("dst"))).alias(
+            "internal"
+        ),
+    )
+    return tagged.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_outlinks"),
+        F.sum(F.col("internal").cast("long")).alias("n_internal"),
+        F.sum((~F.col("internal")).cast("long")).alias("n_external"),
+        F.round(
+            F.sum(F.col("internal").cast("long"))
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("locality"),
+    )

@@ -666,3 +666,47 @@ def markov_order_eval(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+HEAD_KS = (1, 10, 100)
+
+
+def query_head_coverage(
+    qlog: DataFrame,
+    query_col: str = "query",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query-traffic head coverage — what share of volume the top
+    distinct queries carry.
+
+    The curve behind every results-cache and curation decision
+    (Silverstein et al., "Analysis of a very large web search engine
+    query log", SIGIR Forum 1999 measured it first): the cumulative
+    volume share of the top-1 / top-10 / top-100 distinct queries.
+    A steep head funds caches and editorial answers; a flat head says
+    invest in the tail (synonyms, spelling).
+
+    Per k: (k, n_distinct, covered_requests, coverage).
+    """
+    from pyspark.sql import Window
+
+    freq = qlog.groupBy(F.col(query_col).alias("q")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = freq.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("d")
+    ).collect()[0]
+    w = Window.orderBy(F.col("c").desc(), F.col("q").asc())
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    out = None
+    for k in HEAD_KS:
+        row = ranked.filter(F.col("r") <= k).agg(
+            F.lit(k).alias("k"),
+            F.lit(int(tot.d)).alias("n_distinct"),
+            F.sum("c").alias("covered_requests"),
+            F.round(
+                F.sum("c") / F.lit(float(tot.n)), round_digits
+            ).alias("coverage"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1818,3 +1818,55 @@ def lead_bias_audit(
             ).alias("lift"),
         )
     )
+
+
+def lognormal_length_fit(
+    docs: DataFrame,
+    length_col: str = "n_chars",
+    group_col: str = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Log-normal fit of the document-length distribution per source.
+
+    Document lengths on the web are canonically log-normal (Mitzenmacher,
+    "A brief history of generative models for power law and lognormal
+    distributions", Internet Math. 2004 — the companion result to the
+    Zipf fits elsewhere in this module): fit by moments of ln(length),
+    mu = mean, sigma = std of the logs, and report the implied MEDIAN
+    e^mu against the empirical median — a large gap is the cheap
+    misfit flag (mixtures/templates), without needing a QQ plot.
+
+    Per source: (grp, n, mu_log, sigma_log, implied_median,
+    empirical_median, median_ratio).  Sufficient-statistic sums +
+    one exact median per group.
+    """
+    v = docs.select(
+        F.col(group_col).alias("grp"),
+        F.log(F.col(length_col).cast("double")).alias("lx"),
+        F.col(length_col).cast("double").alias("x"),
+    ).filter(F.col("x") > 0)
+    agg = v.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").alias("s"),
+        F.sum(F.col("lx") * F.col("lx")).alias("ss"),
+        F.median("x").alias("emp_med"),
+    )
+    mu = F.col("s") / F.col("n")
+    sigma = F.sqrt(
+        F.greatest(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / F.col("n"),
+            F.lit(0.0),
+        )
+    )
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, round_digits).alias("mu_log"),
+        F.round(sigma, round_digits).alias("sigma_log"),
+        F.round(F.exp(mu), round_digits).alias("implied_median"),
+        F.round("emp_med", round_digits).alias("empirical_median"),
+        F.round(
+            F.exp(mu) / F.col("emp_med"), round_digits
+        ).alias("median_ratio"),
+    )
