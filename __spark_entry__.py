@@ -9126,6 +9126,61 @@ def q_link_locality(spark, sf_dir):
     )
 
 
+def q_es_latest(spark, sf_dir):
+    """ES `latest` transform: newest event per user with deterministic
+    tie-break + doc_count (ops/events.py:latest_transform)."""
+    from tokenkit_spark.ops.events import latest_transform
+
+    out = latest_transform(_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 6).alias("last_value"),
+        "n_events",
+    )
+
+
+def q_dau_mau(spark, sf_dir):
+    """DAU / trailing WAU / MAU with the DAU/MAU stickiness ratio —
+    exact distinct actives via day-grid range join
+    (ops/events.py:dau_wau_mau)."""
+    from tokenkit_spark.ops.events import dau_wau_mau
+
+    return dau_wau_mau(_events(spark, sf_dir))
+
+
+def q_score_calibration(spark, sf_dir):
+    """Cross-query score-calibration audit: per-threshold all/none/
+    split query counts — why absolute score cutoffs fail
+    (index/rankeval.py:score_calibration_audit)."""
+    from tokenkit_spark.index.rankeval import score_calibration_audit
+
+    return score_calibration_audit(
+        _docs(spark, sf_dir), _queries_df(spark)
+    )
+
+
+def q_doc_visibility(spark, sf_dir):
+    """Reverse top-k document visibility (Vlachou et al. ICDE 2010):
+    per doc, queries ranking it top-10 + best/mean rank
+    (index/rankeval.py:doc_visibility_audit)."""
+    from tokenkit_spark.index.rankeval import doc_visibility_audit
+
+    return doc_visibility_audit(
+        _docs(spark, sf_dir), _queries_df(spark)
+    )
+
+
+def q_partition_pruning(spark, sf_dir):
+    """Day-partition pruning payoff: partitions/rows touched per
+    pinned date-range class
+    (index/layout.py:partition_pruning_audit)."""
+    from tokenkit_spark.index.layout import partition_pruning_audit
+
+    return partition_pruning_audit(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -9135,6 +9190,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "es_latest": q_es_latest,
+        "dau_mau": q_dau_mau,
+        "score_calibration": q_score_calibration,
+        "doc_visibility": q_doc_visibility,
+        "partition_pruning": q_partition_pruning,
         "lognormal_fit": q_lognormal_fit,
         "head_coverage": q_head_coverage,
         "link_locality": q_link_locality,
@@ -12363,7 +12423,139 @@ UNION ALL SELECT 'opic', 'random_id', 100, i3.c,
         for i in range(2)
     )
 
+    _scal_branches = []
+    for _th in (1.0, 2.0, 4.0):
+        _scal_branches.append(f"""
+SELECT CAST({_th} AS DOUBLE) AS threshold, count(*) AS n_queries,
+  CAST(sum(CASE WHEN n_above = nk THEN 1 ELSE 0 END) AS BIGINT)
+    AS q_all_above,
+  CAST(sum(CASE WHEN n_above = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS q_none_above,
+  CAST(sum(CASE WHEN n_above > 0 AND n_above < nk THEN 1 ELSE 0 END)
+       AS BIGINT) AS q_split,
+  round(avg(n_above / CAST(nk AS DOUBLE)), 6) AS mean_kept_frac
+FROM (SELECT query_id, count(*) AS nk,
+        CAST(sum(CASE WHEN round(s, 6) >= {_th} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_above
+      FROM topq GROUP BY 1)""")
+
     return {
+        # ES latest transform (ops/events.py:latest_transform)
+        "es_latest": """
+WITH r AS (SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rr,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+           FROM events)
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       round(value, 6) AS last_value, n_events
+FROM r WHERE rr = 1""",
+        # DAU/WAU/MAU stickiness (ops/events.py:dau_wau_mau)
+        "dau_mau": """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+                   user_id AS u FROM events),
+days AS (SELECT DISTINCT day FROM du),
+dau AS (SELECT day, count(DISTINCT u) AS dau FROM du GROUP BY 1),
+wau AS (SELECT d.day, count(DISTINCT x.u) AS wau
+        FROM days d JOIN du x ON x.day <= d.day
+          AND x.day > d.day - INTERVAL 7 DAY GROUP BY 1),
+mau AS (SELECT d.day, count(DISTINCT x.u) AS mau
+        FROM days d JOIN du x ON x.day <= d.day
+          AND x.day > d.day - INTERVAL 30 DAY GROUP BY 1)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau, mau.mau,
+       round(dau.dau / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON wau.day = dau.day
+JOIN mau ON mau.day = dau.day""",
+        # Score calibration (index/rankeval.py:score_calibration_audit)
+        "score_calibration": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+nd8 AS (SELECT count(*) AS n FROM documents),
+df8 AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+sc AS (SELECT q.query_id, t.doc_id,
+         sum(ln(1.0 + t.tf) * ln(nd8.n / CAST(s.df AS DOUBLE))) AS s
+       FROM qterms q JOIN tf t USING (term)
+       JOIN df8 s USING (term) CROSS JOIN nd8 GROUP BY 1, 2),
+topq AS (SELECT query_id, s FROM (SELECT query_id, s,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(s, 6) DESC, doc_id) AS rank FROM sc)
+         WHERE rank <= 10)
+{" UNION ALL ".join(_scal_branches)}""",
+        # Reverse top-k visibility (index/rankeval.py)
+        "doc_visibility": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+nd9 AS (SELECT count(*) AS n FROM documents),
+df9 AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+sc AS (SELECT q.query_id, t.doc_id,
+         sum(ln(1.0 + t.tf) * ln(nd9.n / CAST(s.df AS DOUBLE))) AS s
+       FROM qterms q JOIN tf t USING (term)
+       JOIN df9 s USING (term) CROSS JOIN nd9 GROUP BY 1, 2),
+topq AS (SELECT query_id, doc_id, qrank FROM (SELECT query_id,
+           doc_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(s, 6) DESC, doc_id) AS qrank FROM sc)
+         WHERE qrank <= 10),
+vis AS (SELECT doc_id, count(*) AS n_queries,
+               min(qrank) AS best_rank,
+               round(avg(qrank), 6) AS mean_rank
+        FROM topq GROUP BY 1)
+SELECT rank, doc_id, n_queries, best_rank, mean_rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n_queries DESC,
+    best_rank ASC, doc_id ASC) AS rank FROM vis) WHERE rank <= 20""",
+        # Partition pruning payoff (index/layout.py)
+        "partition_pruning": """
+WITH pd AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1),
+tot AS (SELECT count(*) AS p, CAST(sum(n) AS BIGINT) AS r FROM pd)
+SELECT 'one_day' AS range_name,
+  (SELECT count(*) FROM pd WHERE day >= DATE '2024-01-10'
+     AND day <= DATE '2024-01-10') AS partitions_touched,
+  tot.p AS partitions_total,
+  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM pd
+     WHERE day >= DATE '2024-01-10' AND day <= DATE '2024-01-10')
+    AS rows_read,
+  tot.r AS rows_total,
+  round((SELECT coalesce(sum(n), 0) FROM pd
+     WHERE day >= DATE '2024-01-10' AND day <= DATE '2024-01-10')
+     / CAST(tot.r AS DOUBLE), 6) AS row_selectivity,
+  round((SELECT count(*) FROM pd WHERE day >= DATE '2024-01-10'
+     AND day <= DATE '2024-01-10') / CAST(tot.p AS DOUBLE), 6)
+    AS partition_selectivity
+FROM tot
+UNION ALL
+SELECT 'one_week',
+  (SELECT count(*) FROM pd WHERE day >= DATE '2024-01-08'
+     AND day <= DATE '2024-01-14'),
+  tot.p,
+  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM pd
+     WHERE day >= DATE '2024-01-08' AND day <= DATE '2024-01-14'),
+  tot.r,
+  round((SELECT coalesce(sum(n), 0) FROM pd
+     WHERE day >= DATE '2024-01-08' AND day <= DATE '2024-01-14')
+     / CAST(tot.r AS DOUBLE), 6),
+  round((SELECT count(*) FROM pd WHERE day >= DATE '2024-01-08'
+     AND day <= DATE '2024-01-14') / CAST(tot.p AS DOUBLE), 6)
+FROM tot
+UNION ALL
+SELECT 'full_month',
+  (SELECT count(*) FROM pd WHERE day >= DATE '2024-01-01'
+     AND day <= DATE '2024-01-31'),
+  tot.p,
+  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM pd
+     WHERE day >= DATE '2024-01-01' AND day <= DATE '2024-01-31'),
+  tot.r,
+  round((SELECT coalesce(sum(n), 0) FROM pd
+     WHERE day >= DATE '2024-01-01' AND day <= DATE '2024-01-31')
+     / CAST(tot.r AS DOUBLE), 6),
+  round((SELECT count(*) FROM pd WHERE day >= DATE '2024-01-01'
+     AND day <= DATE '2024-01-31') / CAST(tot.p AS DOUBLE), 6)
+FROM tot""",
         # Log-normal length fit (ops/textstats.py:lognormal_length_fit)
         "lognormal_fit": """
 WITH v AS (SELECT source AS grp,

@@ -432,3 +432,66 @@ def rowgroup_plan(
         "scan_tasks long, lookup_read_mb double, "
         "last_group_fill double",
     )
+
+
+PRUNE_RANGES = (
+    ("one_day", "2024-01-10", "2024-01-10"),
+    ("one_week", "2024-01-08", "2024-01-14"),
+    ("full_month", "2024-01-01", "2024-01-31"),
+)
+
+
+def partition_pruning_audit(
+    events,
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Date-partition pruning payoff — partitions and rows a range
+    predicate actually touches.
+
+    The first scan optimization every lakehouse layout buys (Hive-
+    style day partitioning + Spark's partition pruning; the dynamic
+    variant the AQE docs describe): a predicate on the partition
+    column prunes whole directories BEFORE any I/O.  For each pinned
+    query range, report partitions touched vs total and rows read vs
+    total — the speedup ceiling the layout gives that query class
+    (and the argument for day over month granularity when ranges are
+    short).
+
+    Per range: (range_name, partitions_touched, partitions_total,
+    rows_read, rows_total, row_selectivity, partition_selectivity).
+    """
+    day = F.to_date(F.col(ts_col))
+    per_day = events.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per_day.agg(
+        F.count(F.lit(1)).alias("p"), F.sum("n").alias("r")
+    ).collect()[0]
+    spark = events.sparkSession
+    rows = []
+    for name, lo, hi in PRUNE_RANGES:
+        hit = per_day.filter(
+            (F.col("day") >= F.lit(lo).cast("date"))
+            & (F.col("day") <= F.lit(hi).cast("date"))
+        ).agg(
+            F.count(F.lit(1)).alias("p"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("r"),
+        ).collect()[0]
+        rows.append(
+            (
+                name,
+                int(hit.p),
+                int(tot.p),
+                int(hit.r),
+                int(tot.r),
+                round(hit.r / tot.r, round_digits),
+                round(hit.p / tot.p, round_digits),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "range_name string, partitions_touched long, "
+        "partitions_total long, rows_read long, rows_total long, "
+        "row_selectivity double, partition_selectivity double",
+    )

@@ -770,3 +770,189 @@ def condorcet_audit(
             ).alias("winners_agree"),
         )
     )
+
+
+def score_calibration_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    thresholds=(1.0, 2.0, 4.0),
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-query score-calibration audit — why absolute BM25-style
+    thresholds don't work.
+
+    The practitioner lesson every relevance-threshold feature
+    relearns (Lucene documents it as "scores are not comparable
+    across queries"): raw retrieval scores depend on query length and
+    idf mass, so one absolute cutoff keeps everything for one query
+    and nothing for another.  This audit makes the failure measurable:
+    per query, the top-k score range; per candidate threshold, the
+    fraction of queries whose ENTIRE top-k clears it vs loses it —
+    a well-calibrated score would move smoothly, an uncalibrated one
+    bimodally (all-or-nothing per query), which is what the spread
+    between all_above and none_above shows.
+
+    Per threshold: (threshold, n_queries, q_all_above, q_none_above,
+    q_split, mean_kept_frac).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    dfs_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).distinct()
+    scored = (
+        qterms.join(tf, "term")
+        .join(dfs_t, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(1.0 + F.col("tf"))
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("s", 6).desc(), F.col("doc_id").asc()
+    )
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    out = None
+    for t in thresholds:
+        per_q = top.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("nk"),
+            F.sum((F.round("s", 6) >= t).cast("long")).alias(
+                "n_above"
+            ),
+        )
+        row = per_q.agg(
+            F.lit(float(t)).alias("threshold"),
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                (F.col("n_above") == F.col("nk")).cast("long")
+            ).alias("q_all_above"),
+            F.sum((F.col("n_above") == 0).cast("long")).alias(
+                "q_none_above"
+            ),
+            F.sum(
+                (
+                    (F.col("n_above") > 0)
+                    & (F.col("n_above") < F.col("nk"))
+                ).cast("long")
+            ).alias("q_split"),
+            F.round(
+                F.avg(
+                    F.col("n_above") / F.col("nk").cast("double")
+                ),
+                round_digits,
+            ).alias("mean_kept_frac"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def doc_visibility_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reverse top-k — which documents are VISIBLE, and through how
+    many queries?
+
+    The inverse view of retrieval (Vlachou et al., "Reverse top-k
+    queries", ICDE 2010 formalized it; SEO tooling calls it "ranking
+    keywords per page"): for each document, the number of query-set
+    members whose top-k contains it and its best rank — the
+    document's query-surface area.  Documents invisible to every
+    query are the dead inventory content audits prune (the corpus-
+    side complement of ``content_gap_audit``'s query-side view).
+
+    Top-``top_n`` docs by (n_queries desc, best_rank asc, doc):
+    (rank, doc_id, n_queries, best_rank, mean_rank).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    dfs_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).distinct()
+    scored = (
+        qterms.join(tf, "term")
+        .join(dfs_t, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(1.0 + F.col("tf"))
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("s", 6).desc(), F.col("doc_id").asc()
+    )
+    top = scored.withColumn("qrank", F.row_number().over(w)).filter(
+        F.col("qrank") <= k
+    )
+    vis = top.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.min("qrank").alias("best_rank"),
+        F.round(F.avg("qrank"), round_digits).alias("mean_rank"),
+    )
+    wr = Window.orderBy(
+        F.col("n_queries").desc(),
+        F.col("best_rank").asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        vis.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "rank", "doc_id", "n_queries", "best_rank", "mean_rank"
+        )
+    )

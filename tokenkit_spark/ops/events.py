@@ -1375,3 +1375,96 @@ def holiday_lift(
         F.round("mr", round_digits).alias("mean_regular"),
         F.round(F.col("mh") / F.col("mr"), round_digits).alias("lift"),
     )
+
+
+def latest_transform(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """ES ``latest`` transform — materialize the most recent document
+    per key.
+
+    The continuous-transform primitive ES ships next to ``pivot``
+    (and the streaming world calls a changelog's latest-by-key
+    compaction): one row per entity carrying its newest event's
+    fields, ties broken by ``order_cols`` so the materialization is
+    deterministic — the exact rule a resumable transform needs (a
+    nondeterministic tie yields different checkpoints on replay).
+
+    Returns the full latest row per key plus ``n_events`` (the
+    transform's doc_count).  One rank window per key — the same
+    shuffle the SCD/session ops ride.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in order_cols
+    ]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wc = Window.partitionBy(key_col)
+    return (
+        events.withColumn("__r", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+
+
+def dau_wau_mau(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """DAU / trailing-7-day WAU / trailing-30-day MAU + stickiness.
+
+    The product-analytics staple (the DAU/MAU "stickiness" ratio the
+    growth literature tracks): per calendar day, the exact distinct
+    actives that day, over the trailing 7 days, and over the trailing
+    30 days, plus stickiness = DAU/MAU.  Exactness matters here —
+    windowed COUNT DISTINCT does not decompose into window functions,
+    so the shape is the (day, user) distinct rollup RANGE-JOINED onto
+    the day grid (window sizes are constants, so the join fan-out per
+    day is bounded by the window length; at 10^12 events the rollup,
+    not this join, is the cost — and HLL sketches swap in at the same
+    seam, ``cardinality``).
+
+    Per day: (day, dau, wau, mau, stickiness).
+    """
+    du = events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(user_col).alias("u"),
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("u").alias("dau"))
+
+    def trailing(n, name):
+        j = days.alias("d").join(
+            du.alias("x"),
+            (F.col("x.day") <= F.col("d.day"))
+            & (
+                F.col("x.day")
+                > F.date_sub(F.col("d.day"), n)
+            ),
+        )
+        return j.groupBy(F.col("d.day").alias("day")).agg(
+            F.countDistinct("x.u").alias(name)
+        )
+
+    out = (
+        dau.join(trailing(7, "wau"), "day")
+        .join(trailing(30, "mau"), "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(
+                F.col("dau") / F.col("mau").cast("double"),
+                round_digits,
+            ).alias("stickiness"),
+        )
+    )
+    return out
