@@ -9181,6 +9181,109 @@ def q_partition_pruning(spark, sf_dir):
     return partition_pruning_audit(_events(spark, sf_dir))
 
 
+def q_backtest(spark, sf_dir):
+    """Rolling-origin forecast backtest (Tashman IJF 2000): naive-1
+    vs seasonal-naive over 3 consecutive 7-day test windows
+    (ops/trend.py:rolling_backtest)."""
+    from tokenkit_spark.ops.trend import rolling_backtest
+
+    return rolling_backtest(_events(spark, sf_dir))
+
+
+def q_log_templates(spark, sf_dir):
+    """Drain-lite log templating (He et al. ICWS 2017 batch core):
+    (token-count, first-token) clusters with constant/parameter
+    slots (ops/searchlog.py:log_templates)."""
+    from tokenkit_spark.ops.searchlog import log_templates
+
+    ev = _events(spark, sf_dir)
+    msg = (
+        F.when(
+            F.col("event_type") == "error",
+            F.concat(
+                F.lit("ERROR db timeout id="),
+                (F.col("event_id") % 97).cast("string"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.concat(
+                F.lit("INFO click btn="),
+                (F.col("user_id") % 7).cast("string"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.concat(
+                F.lit("INFO view page /p"),
+                (F.col("event_id") % 50).cast("string"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit("INFO purchase amount="),
+                F.round("value", 0).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("INFO signup user="),
+                F.col("user_id").cast("string"),
+            )
+        )
+    )
+    return log_templates(ev.select(msg.alias("message")))
+
+
+def q_ingest_lag(spark, sf_dir):
+    """Event-time vs ingest-time lag profile with late fractions per
+    candidate watermark delay — the delay-sizing table
+    (streaming/stats.py:ingest_lag_audit)."""
+    from tokenkit_spark.streaming.stats import ingest_lag_audit
+
+    ingest = F.timestamp_seconds(
+        F.unix_timestamp("ts") + F.col("event_id") % 600
+    )
+    return ingest_lag_audit(_events(spark, sf_dir), ingest)
+
+
+def q_robots_delta(spark, sf_dir):
+    """robots.txt change-impact dry run (RFC 9309 evaluator diffed
+    across versions): newly blocked/freed paths per host
+    (ops/robots.py:robots_delta_audit)."""
+    from tokenkit_spark.ops.robots import robots_delta_audit
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 10).cast("string"))
+    path = (
+        F.when(
+            doc % 4 == 0,
+            F.concat(F.lit("/private/p"), (doc % 5).cast("string")),
+        )
+        .when(
+            doc % 4 == 1,
+            F.concat(F.lit("/public/p"), (doc % 5).cast("string")),
+        )
+        .when(
+            doc % 4 == 2,
+            F.concat(F.lit("/tmp/p"), (doc % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/p"), (doc % 5).cast("string")))
+    )
+    urls = d.select(host.alias("host"), path.alias("path"))
+    hosts = urls.select("host").distinct()
+    old_body = "User-agent: *\nDisallow: /private/\n"
+    new_body = (
+        "User-agent: *\nDisallow: /private/\nDisallow: /tmp/\n"
+        "Allow: /tmp/p1\n"
+    )
+    r_old = hosts.select("host", F.lit(old_body).alias("body"))
+    r_new = hosts.select("host", F.lit(new_body).alias("body"))
+    return robots_delta_audit(urls, r_old, r_new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -9190,6 +9293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "backtest": q_backtest,
+        "log_templates": q_log_templates,
+        "ingest_lag": q_ingest_lag,
+        "robots_delta": q_robots_delta,
         "es_latest": q_es_latest,
         "dau_mau": q_dau_mau,
         "score_calibration": q_score_calibration,
@@ -12439,7 +12546,138 @@ FROM (SELECT query_id, count(*) AS nk,
              AS BIGINT) AS n_above
       FROM topq GROUP BY 1)""")
 
+    _bt_branches = []
+    for _bo in (3, 2, 1):
+        _off = _bo * 7
+        _bt_branches.append(f"""
+SELECT grp, origin_day, mae_naive1, mae_snaive,
+  CASE WHEN mae_snaive < mae_naive1 THEN 'seasonal'
+       ELSE 'naive1' END AS winner FROM (
+  SELECT t.grp, t.origin AS origin_day,
+    round(avg(abs(t.y - lv.naive1)), 6) AS mae_naive1,
+    round(avg(abs(t.y - sn.snaive)), 6) AS mae_snaive
+  FROM (SELECT d.grp, d.day, d.y, mx.mx - {_off} AS origin
+        FROM d JOIN mx USING (grp)
+        WHERE d.day > mx.mx - {_off}
+          AND d.day <= mx.mx - {_off} + 7) t
+  JOIN (SELECT d.grp, d.y AS naive1 FROM d JOIN mx USING (grp)
+        WHERE d.day = mx.mx - {_off}) lv ON lv.grp = t.grp
+  JOIN (SELECT d.grp, d.day + 7 AS day, d.y AS snaive
+        FROM d JOIN mx USING (grp)
+        WHERE d.day > mx.mx - {_off} - 7
+          AND d.day <= mx.mx - {_off}) sn
+    ON sn.grp = t.grp AND sn.day = t.day
+  GROUP BY 1, 2)""")
+    _bt_sql = (
+        f"WITH {_shew_daily.strip()},\n"
+        "mx AS (SELECT grp, max(day) AS mx FROM d GROUP BY 1)\n"
+        + " UNION ALL ".join(_bt_branches)
+    )
+
+    _robots_rules = {
+        "old": [(False, "/private/")],
+        "new": [(False, "/private/"), (False, "/tmp/"),
+                (True, "/tmp/p1")],
+    }
+    _rb_parts = []
+    for _ver, _rls in _robots_rules.items():
+        _vals = ", ".join(
+            f"({str(a).upper()}, '{p}')" for a, p in _rls
+        )
+        _rb_parts.append(f"""
+rules_{_ver}(allow, prefix) AS (VALUES {_vals}),
+m_{_ver} AS (SELECT u.host, u.path,
+    coalesce((SELECT r.allow FROM rules_{_ver} r
+      WHERE starts_with(u.path, r.prefix)
+      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix ASC
+      LIMIT 1), TRUE) AS allowed
+  FROM urls u)""")
+    _robots_delta_sql = (
+        """
+WITH urls AS (SELECT DISTINCT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+    CASE WHEN doc_id % 4 = 0
+           THEN '/private/p' || CAST(doc_id % 5 AS VARCHAR)
+         WHEN doc_id % 4 = 1
+           THEN '/public/p' || CAST(doc_id % 5 AS VARCHAR)
+         WHEN doc_id % 4 = 2
+           THEN '/tmp/p' || CAST(doc_id % 5 AS VARCHAR)
+         ELSE '/p' || CAST(doc_id % 5 AS VARCHAR) END AS path
+  FROM documents),"""
+        + ",".join(_rb_parts)
+        + """
+SELECT o.host, count(*) AS n_urls,
+  CAST(sum(CASE WHEN o.allowed THEN 1 ELSE 0 END) AS BIGINT)
+    AS allowed_old,
+  CAST(sum(CASE WHEN n.allowed THEN 1 ELSE 0 END) AS BIGINT)
+    AS allowed_new,
+  CAST(sum(CASE WHEN o.allowed AND NOT n.allowed
+            THEN 1 ELSE 0 END) AS BIGINT) AS newly_blocked,
+  CAST(sum(CASE WHEN NOT o.allowed AND n.allowed
+            THEN 1 ELSE 0 END) AS BIGINT) AS newly_allowed,
+  round(sum(CASE WHEN o.allowed <> n.allowed THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS churn_frac
+FROM m_old o JOIN m_new n ON n.host = o.host AND n.path = o.path
+GROUP BY 1"""
+    )
+
     return {
+        # Rolling-origin backtest (ops/trend.py:rolling_backtest)
+        "backtest": _bt_sql,
+        # Drain-lite log templates (ops/searchlog.py:log_templates)
+        "log_templates": """
+WITH msgs AS (SELECT
+    CASE WHEN event_type = 'error'
+           THEN 'ERROR db timeout id=' || CAST(event_id % 97 AS VARCHAR)
+         WHEN event_type = 'click'
+           THEN 'INFO click btn=' || CAST(user_id % 7 AS VARCHAR)
+         WHEN event_type = 'view'
+           THEN 'INFO view page /p' || CAST(event_id % 50 AS VARCHAR)
+         WHEN event_type = 'purchase'
+           THEN 'INFO purchase amount='
+                || CAST(round(value, 0) AS VARCHAR)
+         ELSE 'INFO signup user=' || CAST(user_id AS VARCHAR)
+    END AS msg
+  FROM events),
+tk AS (SELECT msg, list_filter(string_split_regex(msg, '\\s+'),
+         x -> x <> '') AS ts FROM msgs),
+tk2 AS (SELECT msg, ts, len(ts) AS n_tokens, ts[1] AS first_token
+        FROM tk),
+pos AS (SELECT n_tokens, first_token, msg, unnest(ts) AS tok,
+               unnest(range(0, len(ts))) AS p FROM tk2),
+pp AS (SELECT n_tokens, first_token, p,
+         count(DISTINCT tok) AS nv, min(tok) AS onlyv
+       FROM pos GROUP BY 1, 2, 3),
+sl AS (SELECT n_tokens, first_token, p,
+         CASE WHEN nv = 1 THEN onlyv ELSE '<*>' END AS piece
+       FROM pp),
+tm AS (SELECT n_tokens, first_token,
+         array_to_string(list(piece ORDER BY p), ' ') AS template,
+         CAST(sum(CASE WHEN piece = '<*>' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_param_slots
+       FROM sl GROUP BY 1, 2),
+cn AS (SELECT n_tokens, first_token, count(*) AS n_messages
+       FROM tk2 GROUP BY 1, 2)
+SELECT tm.n_tokens, tm.first_token, tm.template, cn.n_messages,
+       tm.n_param_slots
+FROM tm JOIN cn ON cn.n_tokens = tm.n_tokens
+  AND cn.first_token = tm.first_token""",
+        # Ingest-lag watermark sizing (streaming/stats.py)
+        "ingest_lag": """
+WITH l AS (SELECT CAST(event_id % 600 AS DOUBLE) AS lag_s
+           FROM events)
+SELECT count(*) AS n_events,
+  round(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s,
+  round(quantile_cont(lag_s, 0.95), 6) AS p95_lag_s,
+  round(quantile_cont(lag_s, 0.99), 6) AS p99_lag_s,
+  round(sum(CASE WHEN lag_s > 60 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS late_frac_60s,
+  round(sum(CASE WHEN lag_s > 300 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS late_frac_300s,
+  round(sum(CASE WHEN lag_s > 900 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS late_frac_900s
+FROM l""",
+        # robots.txt delta dry-run (ops/robots.py:robots_delta_audit)
+        "robots_delta": _robots_delta_sql,
         # ES latest transform (ops/events.py:latest_transform)
         "es_latest": """
 WITH r AS (SELECT user_id, event_id, event_type, value,

@@ -183,3 +183,56 @@ def crawl_delays(robots: DataFrame, host_col: str = "host", body_col: str = "bod
         .groupBy(host_col, "agent")
         .agg(F.max("delay_s").alias("delay_s"))
     )
+
+
+def robots_delta_audit(
+    urls: DataFrame,
+    robots_old: DataFrame,
+    robots_new: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    round_digits: int = 6,
+) -> DataFrame:
+    """robots.txt change-impact audit — what a policy rollout blocks
+    and frees.
+
+    The pre-deploy check robots changes deserve and rarely get (a
+    mis-scoped Disallow silently de-indexes a site section; the REP
+    RFC 9309 gives no dry-run — this is it): evaluate the SAME url
+    set under the old and new robots bodies via the shared
+    longest-match evaluator (``crawl_allowed``) and diff the
+    verdicts per host.
+
+    Per host: (host, n_urls, allowed_old, allowed_new, newly_blocked,
+    newly_allowed, churn_frac).
+    """
+    urls = urls.select(host_col, path_col).distinct()
+    r_old = parse_robots(robots_old, host_col=host_col)
+    r_new = parse_robots(robots_new, host_col=host_col)
+    old = crawl_allowed(urls, r_old, host_col=host_col,
+                        path_col=path_col).select(
+        host_col, path_col, F.col("allowed").alias("a_old")
+    )
+    new = crawl_allowed(urls, r_new, host_col=host_col,
+                        path_col=path_col).select(
+        host_col, path_col, F.col("allowed").alias("a_new")
+    )
+    j = old.join(new, [host_col, path_col])
+    return j.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("a_old").cast("long")).alias("allowed_old"),
+        F.sum(F.col("a_new").cast("long")).alias("allowed_new"),
+        F.sum(
+            (F.col("a_old") & ~F.col("a_new")).cast("long")
+        ).alias("newly_blocked"),
+        F.sum(
+            (~F.col("a_old") & F.col("a_new")).cast("long")
+        ).alias("newly_allowed"),
+        F.round(
+            F.sum(
+                (F.col("a_old") != F.col("a_new")).cast("long")
+            )
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("churn_frac"),
+    )

@@ -710,3 +710,77 @@ def query_head_coverage(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def log_templates(
+    logs: DataFrame,
+    msg_col: str = "message",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Drain-lite log templating — collapse raw messages into
+    parameterized templates.
+
+    He, Zhu, Zheng & Lyu, "Drain: an online log parsing approach with
+    fixed depth tree" (ICWS 2017), reduced to its deterministic batch
+    core: messages cluster by (token count, first token) — Drain's
+    top tree levels — and within a cluster each token position is
+    either CONSTANT (one distinct value) or a parameter slot,
+    rendered ``<*>``.  The template table is what log analytics
+    pipelines aggregate on instead of raw strings (counts per
+    template, novel-template alerting).
+
+    Per cluster: (n_tokens, first_token, template, n_messages,
+    n_param_slots).  Shape: one posexplode, a per-(cluster, position)
+    distinct-count rollup, and an ordered re-assembly via
+    array_agg — no trees, no state.
+    """
+    toks = logs.select(
+        F.col(msg_col).alias("msg"),
+        F.filter(
+            F.split(F.col(msg_col), r"\s+"), lambda x: x != ""
+        ).alias("ts"),
+    ).withColumn("n_tokens", F.size("ts")).withColumn(
+        "first_token", F.element_at("ts", 1)
+    )
+    pos = toks.select(
+        "n_tokens",
+        "first_token",
+        "msg",
+        F.posexplode("ts").alias("p", "tok"),
+    )
+    per_pos = pos.groupBy("n_tokens", "first_token", "p").agg(
+        F.countDistinct("tok").alias("nv"),
+        F.min("tok").alias("only"),
+    )
+    slots = per_pos.select(
+        "n_tokens",
+        "first_token",
+        "p",
+        F.when(F.col("nv") == 1, F.col("only"))
+        .otherwise(F.lit("<*>"))
+        .alias("piece"),
+    )
+    tmpl = (
+        slots.groupBy("n_tokens", "first_token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("p", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+                " ",
+            ).alias("template"),
+            F.sum(
+                (F.col("piece") == "<*>").cast("long")
+            ).alias("n_param_slots"),
+        )
+    )
+    counts = toks.groupBy("n_tokens", "first_token").agg(
+        F.count(F.lit(1)).alias("n_messages")
+    )
+    return tmpl.join(counts, ["n_tokens", "first_token"]).select(
+        "n_tokens", "first_token", "template", "n_messages",
+        "n_param_slots",
+    )

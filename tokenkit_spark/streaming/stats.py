@@ -330,3 +330,56 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+LAG_GRID_S = (60, 300, 900)
+
+
+def ingest_lag_audit(
+    events,
+    ingest_ts_expr,
+    ts_col: str = "ts",
+    round_digits: int = 6,
+):
+    """Event-time vs ingest-time lag profile — the watermark-delay
+    sizing table.
+
+    The one distribution every ``withWatermark`` delay should be read
+    off before being guessed (the Structured Streaming docs' own
+    framing: watermark = how much lateness you tolerate): per event,
+    lag = ingest_time - event_time; the audit reports exact lag
+    quantiles plus, for each candidate watermark delay, the fraction
+    of events that would arrive LATE (dropped by stateful operators).
+    ``ingest_ts_expr`` maps a row to its ingest timestamp (in
+    production a kafka/commit-log column; in the driver fixture a
+    deterministic function of the event).
+
+    One row: (n_events, p50_lag_s, p95_lag_s, p99_lag_s, plus one
+    late-fraction column per candidate delay).
+    """
+    lag = (
+        F.unix_timestamp(ingest_ts_expr)
+        - F.unix_timestamp(F.col(ts_col))
+    ).cast("double")
+    per = events.select(lag.alias("lag_s"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("lag_s", F.lit(0.5)), round_digits).alias(
+            "p50_lag_s"
+        ),
+        F.round(
+            F.percentile("lag_s", F.lit(0.95)), round_digits
+        ).alias("p95_lag_s"),
+        F.round(
+            F.percentile("lag_s", F.lit(0.99)), round_digits
+        ).alias("p99_lag_s"),
+    ]
+    for d in LAG_GRID_S:
+        aggs.append(
+            F.round(
+                F.sum((F.col("lag_s") > d).cast("long"))
+                / F.count(F.lit(1)),
+                round_digits,
+            ).alias(f"late_frac_{d}s")
+        )
+    return per.agg(*aggs)
