@@ -9284,6 +9284,33 @@ def q_robots_delta(spark, sf_dir):
     return robots_delta_audit(urls, r_old, r_new)
 
 
+def q_autocomplete_sel(spark, sf_dir):
+    """Autocomplete prefix-selectivity curve: candidates and
+    uniquely-resolved share per prefix length 1-6
+    (index/wordbreak.py:autocomplete_selectivity)."""
+    from tokenkit_spark.index.wordbreak import autocomplete_selectivity
+
+    return autocomplete_selectivity(_docs(spark, sf_dir))
+
+
+def q_er_blocking(spark, sf_dir):
+    """ER blocking efficiency (Christen TKDE 2012): reduction ratio +
+    pairs completeness of trigram blocking on the planted-dup truth
+    (ops/dedup.py:er_blocking_audit)."""
+    from tokenkit_spark.ops.dedup import er_blocking_audit
+
+    return er_blocking_audit(_docs(spark, sf_dir))
+
+
+def q_growth_accounting(spark, sf_dir):
+    """Daily growth accounting: new / retained / resurrected /
+    churned actives + quick ratio
+    (ops/events.py:growth_accounting)."""
+    from tokenkit_spark.ops.events import growth_accounting
+
+    return growth_accounting(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -9293,6 +9320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "autocomplete_sel": q_autocomplete_sel,
+        "er_blocking": q_er_blocking,
+        "growth_accounting": q_growth_accounting,
         "backtest": q_backtest,
         "log_templates": q_log_templates,
         "ingest_lag": q_ingest_lag,
@@ -12620,7 +12650,87 @@ FROM m_old o JOIN m_new n ON n.host = o.host AND n.path = o.path
 GROUP BY 1"""
     )
 
+    _acs_branches = []
+    for _al in range(1, 7):
+        _acs_branches.append(f"""
+SELECT {_al} AS prefix_len, count(*) AS n_prefixes,
+  round(avg(c), 6) AS mean_candidates, max(c) AS max_candidates,
+  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS frac_resolved
+FROM (SELECT substr(term, 1, {_al}) AS prefix, count(*) AS c
+      FROM vocab WHERE length(term) >= {_al} GROUP BY 1)""")
+    _acs_sql = (
+        f"WITH {_wc_vocab.strip()}"
+        + " UNION ALL ".join(_acs_branches)
+    )
+
     return {
+        # Autocomplete selectivity (index/wordbreak.py)
+        "autocomplete_sel": _acs_sql,
+        # ER blocking efficiency (ops/dedup.py:er_blocking_audit)
+        "er_blocking": """
+WITH w0 AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+pert AS (SELECT doc_id + 1000000 AS doc_id,
+           [toks[i] FOR i IN range(1, len(toks) + 1) IF i % 7 != 0]
+             AS toks
+         FROM w0 WHERE doc_id % 5 = 0),
+corpus AS (SELECT doc_id, toks FROM w0
+           UNION ALL SELECT doc_id, toks FROM pert),
+nr AS (SELECT count(*) AS n FROM corpus),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        AS gram
+      FROM corpus WHERE len(toks) >= 3),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM g l JOIN g r ON l.gram = r.gram
+           AND l.doc_id < r.doc_id),
+nc AS (SELECT count(*) AS c FROM cand),
+pl AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+       WHERE doc_id % 5 = 0),
+np AS (SELECT count(*) AS p FROM pl),
+bl AS (SELECT count(*) AS b FROM cand JOIN pl USING (a, b))
+SELECT nr.n AS n_records,
+  CAST(nr.n * (nr.n - 1) // 2 AS BIGINT) AS total_pairs,
+  nc.c AS candidate_pairs,
+  round(1.0 - nc.c / CAST(nr.n * (nr.n - 1) // 2 AS DOUBLE), 6)
+    AS reduction_ratio,
+  np.p AS n_true_pairs, bl.b AS true_pairs_blocked,
+  round(bl.b / CAST(np.p AS DOUBLE), 6) AS pairs_completeness
+FROM nr CROSS JOIN nc CROSS JOIN np CROSS JOIN bl""",
+        # Growth accounting (ops/events.py:growth_accounting)
+        "growth_accounting": """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+                   user_id AS u FROM events),
+fi AS (SELECT u, min(day) AS first_day FROM du GROUP BY 1),
+td AS (SELECT t.day, t.u, (t.day = fi.first_day) AS is_new,
+         p.u IS NOT NULL AS was_yesterday
+       FROM du t JOIN fi ON fi.u = t.u
+       LEFT JOIN (SELECT CAST(day + INTERVAL 1 DAY AS DATE) AS day,
+                         u FROM du) p
+         ON p.day = t.day AND p.u = t.u),
+pd2 AS (SELECT day, count(*) AS dau,
+          CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+            AS new_users,
+          CAST(sum(CASE WHEN NOT is_new AND was_yesterday
+                    THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+          CAST(sum(CASE WHEN NOT is_new AND NOT was_yesterday
+                    THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM td GROUP BY 1),
+ch AS (SELECT day, count(*) AS churned FROM (
+         SELECT CAST(s.day + INTERVAL 1 DAY AS DATE) AS day, s.u
+         FROM du s) x
+       WHERE NOT EXISTS (SELECT 1 FROM du d2
+         WHERE d2.day = x.day AND d2.u = x.u)
+       GROUP BY 1)
+SELECT CAST(pd2.day AS VARCHAR) AS day, dau, new_users, retained,
+  resurrected, coalesce(ch.churned, 0) AS churned,
+  round(CASE WHEN coalesce(ch.churned, 0) > 0
+        THEN (new_users + resurrected)
+             / CAST(ch.churned AS DOUBLE) END, 6) AS quick_ratio
+FROM pd2 LEFT JOIN ch ON ch.day = pd2.day""",
         # Rolling-origin backtest (ops/trend.py:rolling_backtest)
         "backtest": _bt_sql,
         # Drain-lite log templates (ops/searchlog.py:log_templates)

@@ -379,3 +379,61 @@ def typo_robustness_audit(
         )
         out = cmp if out is None else out.unionByName(cmp)
     return out
+
+
+def autocomplete_selectivity(
+    docs: DataFrame,
+    max_len: int = 6,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Prefix-length selectivity curve for autocomplete — how fast
+    does typing narrow the dictionary?
+
+    The latency/UX planning number behind every search-as-you-type
+    box (Bast & Weber's CompleteSearch analyses formalized it): at
+    prefix length L, how many dictionary terms still match, averaged
+    over the observed prefixes at that length (weighted by the terms
+    that produce them)?  Fast decay = suggestions are cheap after 2-3
+    keystrokes and the completion index (``complete_terms``'s prefix
+    table, the FST of ``fst_dict_sizes``) can cap per-prefix lists
+    aggressively; slow decay marks the pathological prefix families.
+
+    Per L: (prefix_len, n_prefixes, mean_candidates, max_candidates,
+    frac_resolved) with frac_resolved = share of prefixes that
+    already identify a unique term.
+    """
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("term")
+        )
+        .distinct()
+    )
+    out = None
+    for lp in range(1, max_len + 1):
+        per = (
+            vocab.filter(F.length("term") >= lp)
+            .select(F.substring("term", 1, lp).alias("prefix"))
+            .groupBy("prefix")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        row = per.agg(
+            F.lit(lp).alias("prefix_len"),
+            F.count(F.lit(1)).alias("n_prefixes"),
+            F.round(F.avg("c"), round_digits).alias(
+                "mean_candidates"
+            ),
+            F.max("c").alias("max_candidates"),
+            F.round(
+                F.sum((F.col("c") == 1).cast("long"))
+                / F.count(F.lit(1)),
+                round_digits,
+            ).alias("frac_resolved"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

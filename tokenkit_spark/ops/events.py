@@ -1468,3 +1468,86 @@ def dau_wau_mau(
         )
     )
     return out
+
+
+def growth_accounting(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Daily growth accounting — new / retained / resurrected /
+    churned actives.
+
+    The DAU decomposition the growth literature standardized (the
+    Social Capital "growth accounting" memos; every product review
+    reads this table): each day's actives split into NEW (first day
+    ever), RETAINED (also active yesterday) and RESURRECTED (active
+    before, but not yesterday); CHURNED counts yesterday's actives
+    missing today.  The identity DAU_t = new + retained + resurrected
+    and DAU_t - DAU_{t-1} = new + resurrected - churned is the
+    consistency check dashboards silently violate — here it holds by
+    construction.
+
+    Per day: (day, dau, new_users, retained, resurrected, churned,
+    quick_ratio) with quick_ratio = (new + resurrected) / churned
+    (NULL when churn is zero).
+    """
+    du = events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(user_col).alias("u"),
+    ).distinct()
+    first = du.groupBy("u").agg(F.min("day").alias("first_day"))
+    tagged = du.join(first, "u")
+    prev = du.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("u"),
+        F.lit(True).alias("was_yesterday"),
+    )
+    today = (
+        tagged.join(prev, ["day", "u"], "left")
+        .na.fill({"was_yesterday": False})
+        .withColumn("is_new", F.col("day") == F.col("first_day"))
+    )
+    per_day = today.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(F.col("is_new").cast("long")).alias("new_users"),
+        F.sum(
+            (
+                ~F.col("is_new") & F.col("was_yesterday")
+            ).cast("long")
+        ).alias("retained"),
+        F.sum(
+            (
+                ~F.col("is_new") & ~F.col("was_yesterday")
+            ).cast("long")
+        ).alias("resurrected"),
+    )
+    churn = (
+        du.select(
+            F.date_add(F.col("day"), 1).alias("day"), "u"
+        )
+        .join(du, ["day", "u"], "left_anti")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return (
+        per_day.join(churn, "day", "left")
+        .na.fill({"churned": 0})
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "new_users",
+            "retained",
+            "resurrected",
+            "churned",
+            F.round(
+                F.when(
+                    F.col("churned") > 0,
+                    (F.col("new_users") + F.col("resurrected"))
+                    / F.col("churned").cast("double"),
+                ),
+                round_digits,
+            ).alias("quick_ratio"),
+        )
+    )
