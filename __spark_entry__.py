@@ -9311,6 +9311,34 @@ def q_growth_accounting(spark, sf_dir):
     return growth_accounting(_events(spark, sf_dir))
 
 
+def q_lsm_plan(spark, sf_dir):
+    """LSM compaction write-amp sheet (O'Neil 1996; Dayan/Idreos cost
+    model): leveled vs tiered at fanouts 4/10/16 on measured volume
+    (index/logmerge.py:lsm_write_amp_plan)."""
+    from tokenkit_spark.index.logmerge import lsm_write_amp_plan
+
+    return lsm_write_amp_plan(_docs(spark, sf_dir))
+
+
+def q_dict_encoding(spark, sf_dir):
+    """Dictionary-encoding payoff per column (Parquet writer's
+    decision, priced) (index/layout.py:dict_encoding_plan)."""
+    from tokenkit_spark.index.layout import dict_encoding_plan
+
+    return dict_encoding_plan(
+        _events(spark, sf_dir), columns=("event_type", "user_id")
+    )
+
+
+def q_tie_audit(spark, sf_dir):
+    """Score-tie exposure of the top-10: tied boundaries, largest tie
+    block, arbitrary-winner flag
+    (index/rankeval.py:score_tie_audit)."""
+    from tokenkit_spark.index.rankeval import score_tie_audit
+
+    return score_tie_audit(_docs(spark, sf_dir), _queries_df(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -9320,6 +9348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "lsm_plan": q_lsm_plan,
+        "dict_encoding": q_dict_encoding,
+        "tie_audit": q_tie_audit,
         "autocomplete_sel": q_autocomplete_sel,
         "er_blocking": q_er_blocking,
         "growth_accounting": q_growth_accounting,
@@ -12664,7 +12695,77 @@ FROM (SELECT substr(term, 1, {_al}) AS prefix, count(*) AS c
         + " UNION ALL ".join(_acs_branches)
     )
 
+    _lsm_rows = []
+    for _ft in (4, 10, 16):
+        _lsm_rows.append(f"""
+SELECT {_ft} AS fanout, lv.levels,
+  round(lv.levels * {_ft} / 2.0, 6) AS leveled_write_amp,
+  CAST(lv.levels AS DOUBLE) AS tiered_write_amp,
+  lv.levels AS leveled_read_runs,
+  lv.levels * {_ft} AS tiered_read_runs
+FROM (SELECT greatest(1, CAST(ceil(
+        ln(greatest(t0.dmb / 64.0, {_ft} * 1.0))
+        / ln({_ft} * 1.0)) AS BIGINT)) AS levels FROM t0) lv""")
+    _lsm_sql = (
+        "WITH t0 AS (SELECT CAST(sum(n_chars) AS DOUBLE)"
+        " / 1048576.0 AS dmb FROM documents) "
+        + " UNION ALL ".join(_lsm_rows)
+    )
+
     return {
+        # LSM write-amp sheet (index/logmerge.py:lsm_write_amp_plan)
+        "lsm_plan": _lsm_sql,
+        # Dictionary-encoding payoff (index/layout.py)
+        "dict_encoding": """
+SELECT 'event_type' AS column,
+  (SELECT count(*) FROM events) AS n_rows, d AS n_distinct,
+  CAST(greatest(1, ceil(log2(greatest(d, 2)))) AS BIGINT)
+    AS dict_bits_per_value,
+  round(8.0 * alen, 6) AS plain_bits_per_value,
+  round((8.0 * alen)
+        / greatest(1, ceil(log2(greatest(d, 2)))), 6)
+    AS compression_ratio
+FROM (SELECT count(DISTINCT event_type) AS d,
+        avg(length(CAST(event_type AS VARCHAR))) AS alen
+      FROM events)
+UNION ALL
+SELECT 'user_id', (SELECT count(*) FROM events), d AS n_distinct,
+  CAST(greatest(1, ceil(log2(greatest(d, 2)))) AS BIGINT),
+  round(64.0, 6),
+  round(64.0 / greatest(1, ceil(log2(greatest(d, 2)))), 6)
+FROM (SELECT count(DISTINCT user_id) AS d FROM events)""",
+        # Score-tie exposure (index/rankeval.py:score_tie_audit)
+        "tie_audit": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+ndA AS (SELECT count(*) AS n FROM documents),
+dfA AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+queries(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, lower(u.t) AS term FROM queries,
+           unnest(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(t)),
+sc AS (SELECT q.query_id, t.doc_id,
+         round(sum(ln(1.0 + t.tf)
+               * ln(ndA.n / CAST(s.df AS DOUBLE))), 6) AS s
+       FROM qterms q JOIN tf t USING (term)
+       JOIN dfA s USING (term) CROSS JOIN ndA GROUP BY 1, 2),
+top AS (SELECT * FROM (SELECT query_id, doc_id, s,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY s DESC, doc_id) AS rank FROM sc)
+        WHERE rank <= 10),
+t2 AS (SELECT *, lag(s) OVER (PARTITION BY query_id
+         ORDER BY rank) AS prev_s FROM top),
+per AS (SELECT query_id, CAST(coalesce(sum(CASE WHEN s = prev_s
+          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tied_boundaries
+        FROM t2 GROUP BY 1),
+bl2 AS (SELECT query_id, max(bs) AS max_tie_block FROM
+        (SELECT query_id, s, count(*) AS bs FROM top GROUP BY 1, 2)
+        GROUP BY 1),
+t1t AS (SELECT query_id, (s = prev_s) AS top1_tied FROM t2
+        WHERE rank = 2)
+SELECT per.query_id, n_tied_boundaries, max_tie_block,
+       coalesce(t1t.top1_tied, FALSE) AS top1_tied
+FROM per JOIN bl2 USING (query_id)
+LEFT JOIN t1t USING (query_id)""",
         # Autocomplete selectivity (index/wordbreak.py)
         "autocomplete_sel": _acs_sql,
         # ER blocking efficiency (ops/dedup.py:er_blocking_audit)

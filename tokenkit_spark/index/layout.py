@@ -495,3 +495,58 @@ def partition_pruning_audit(
         "partitions_total long, rows_read long, rows_total long, "
         "row_selectivity double, partition_selectivity double",
     )
+
+
+def dict_encoding_plan(
+    events,
+    columns=("event_type", "user_id"),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Dictionary-encoding payoff per column — the Parquet/doc-values
+    encoding decision, priced.
+
+    The columnar-encoding rule (Abadi SIGMOD 2006 again, and what
+    Parquet's writer decides per chunk): a column with d distinct
+    values needs ceil(log2(d)) bits per value dictionary-encoded vs
+    its plain width; the ratio times the row count is the bytes the
+    encoding saves BEFORE general-purpose compression.  Low-
+    cardinality string columns (hosts, types, langs) are where the
+    10-100x wins live — this table shows which.
+
+    Per column: (column, n_rows, n_distinct, dict_bits_per_value,
+    plain_bits_per_value, compression_ratio).  Plain width: 64 for
+    numerics, 8 * avg string length for strings.
+    """
+    import math
+
+    spark = events.sparkSession
+    rows = []
+    n_rows = events.count()
+    for c in columns:
+        dt_name = dict(events.dtypes)[c]
+        stats = events.agg(
+            F.countDistinct(c).alias("d"),
+            F.avg(F.length(F.col(c).cast("string"))).alias("alen"),
+        ).collect()[0]
+        d = int(stats.d)
+        dict_bits = max(1, math.ceil(math.log2(max(d, 2))))
+        plain_bits = (
+            64.0 if dt_name in ("bigint", "int", "double")
+            else 8.0 * float(stats.alen)
+        )
+        rows.append(
+            (
+                c,
+                n_rows,
+                d,
+                dict_bits,
+                round(plain_bits, round_digits),
+                round(plain_bits / dict_bits, round_digits),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows long, n_distinct long, "
+        "dict_bits_per_value long, plain_bits_per_value double, "
+        "compression_ratio double",
+    )

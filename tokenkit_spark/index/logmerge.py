@@ -118,3 +118,60 @@ def log_merge_audit(
             F.lit(digits).cast("long").alias("segments_log"),
         )
     )
+
+
+LSM_FANOUTS = (4, 10, 16)
+
+
+def lsm_write_amp_plan(
+    docs,
+    buffer_mb: float = 64.0,
+    bytes_per_doc_col: str = "n_chars",
+    round_digits: int = 6,
+):
+    """LSM compaction-policy write-amplification sheet — leveled vs
+    tiered at candidate fanouts.
+
+    O'Neil et al. (Acta Informatica 1996, the LSM-tree paper) with
+    the standard cost model (Dayan & Idreos, "Dostoevsky", SIGMOD
+    2018 formalize it): with memtable/buffer B, data volume D and
+    fanout T, the level count is L = ceil(log_T(D/B)); LEVELED
+    compaction rewrites each level ~T/2 times per merge for
+    write-amp ~ L * T / 2 but keeps at most L runs to read;
+    TIERED writes each datum once per level (write-amp ~ L) but
+    accumulates up to T runs per level (read-amp ~ L * T).  The
+    log-structured segment merging in this package (``merge_plan``'s
+    size-tiered policy) sits at the tiered end; this sheet prices
+    the alternative per fanout on the measured corpus volume.
+
+    Per fanout: (fanout, levels, leveled_write_amp,
+    tiered_write_amp, leveled_read_runs, tiered_read_runs).
+    """
+    import math
+
+    total = docs.agg(
+        F.sum(bytes_per_doc_col).alias("b")
+    ).collect()[0].b
+    d_mb = float(total) / (1024 * 1024)
+    spark = docs.sparkSession
+    rows = []
+    for t in LSM_FANOUTS:
+        levels = max(
+            1, math.ceil(math.log(max(d_mb / buffer_mb, t), t))
+        )
+        rows.append(
+            (
+                t,
+                levels,
+                round(levels * t / 2.0, round_digits),
+                float(levels),
+                levels,
+                levels * t,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "fanout long, levels long, leveled_write_amp double, "
+        "tiered_write_amp double, leveled_read_runs long, "
+        "tiered_read_runs long",
+    )

@@ -956,3 +956,102 @@ def doc_visibility_audit(
             "rank", "doc_id", "n_queries", "best_rank", "mean_rank"
         )
     )
+
+
+def score_tie_audit(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score-tie exposure of the top-k — how much of the ranking is
+    decided by the tie-break, not the score?
+
+    The determinism audit behind this repo's own round-then-tiebreak
+    discipline (and the reason TREC runs specify a secondary sort):
+    adjacent top-k entries with EQUAL rounded scores are ordered by
+    doc id alone — their relative order is an artifact, and any
+    evaluation metric difference inside a tie block is noise.  Per
+    query: the number of tied adjacent boundaries in the top-k, the
+    largest tie-block size, and whether rank 1 itself is tied (the
+    worst case: the 'winner' is arbitrary).
+
+    (query_id, n_tied_boundaries, max_tie_block, top1_tied).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    dfs_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).distinct()
+    scored = (
+        qterms.join(tf, "term")
+        .join(dfs_t, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(1.0 + F.col("tf"))
+                    * F.log(F.lit(float(n_docs)) / F.col("df"))
+                ),
+                6,
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    wl = Window.partitionBy("query_id").orderBy("rank")
+    t2 = top.withColumn("prev_s", F.lag("s").over(wl)).withColumn(
+        "tied", (F.col("s") == F.col("prev_s")).cast("long")
+    )
+    blocks = top.groupBy("query_id", "s").agg(
+        F.count(F.lit(1)).alias("bs")
+    )
+    mx = blocks.groupBy("query_id").agg(
+        F.max("bs").alias("max_tie_block")
+    )
+    per = t2.groupBy("query_id").agg(
+        F.coalesce(F.sum("tied"), F.lit(0)).alias(
+            "n_tied_boundaries"
+        ),
+    )
+    top1 = (
+        t2.filter(F.col("rank") == 2)
+        .select(
+            "query_id", (F.col("tied") == 1).alias("top1_tied")
+        )
+    )
+    return (
+        per.join(mx, "query_id")
+        .join(top1, "query_id", "left")
+        .na.fill({"top1_tied": False})
+        .select(
+            "query_id", "n_tied_boundaries", "max_tie_block",
+            "top1_tied",
+        )
+    )
