@@ -9339,6 +9339,33 @@ def q_tie_audit(spark, sf_dir):
     return score_tie_audit(_docs(spark, sf_dir), _queries_df(spark))
 
 
+def q_embeddedness(spark, sf_dir):
+    """Edge embeddedness + local bridges (Granovetter 1973; Easley &
+    Kleinberg §3): common-neighbor counts per edge, bridge fraction
+    (ops/linkgraph.py:edge_embeddedness)."""
+    from tokenkit_spark.ops.linkgraph import edge_embeddedness
+
+    return edge_embeddedness(_link_edges(spark, sf_dir), k=20)
+
+
+def q_power_analysis(spark, sf_dir):
+    """Two-sample power/MDE calculator (Cohen 1988) from the measured
+    per-user metric variance at alpha=.05, power=.8
+    (ops/abtest.py:power_analysis)."""
+    from tokenkit_spark.ops.abtest import power_analysis
+
+    return power_analysis(_events(spark, sf_dir))
+
+
+def q_simpsons(spark, sf_dir):
+    """Simpson's-paradox screen (1951; Bickel 1975): aggregate vs
+    first-week-stratified arm conversion differences
+    (ops/abtest.py:simpsons_check)."""
+    from tokenkit_spark.ops.abtest import simpsons_check
+
+    return simpsons_check(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -9348,6 +9375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "embeddedness": q_embeddedness,
+        "power_analysis": q_power_analysis,
+        "simpsons": q_simpsons,
         "lsm_plan": q_lsm_plan,
         "dict_encoding": q_dict_encoding,
         "tie_audit": q_tie_audit,
@@ -12712,7 +12742,94 @@ FROM (SELECT greatest(1, CAST(ceil(
         + " UNION ALL ".join(_lsm_rows)
     )
 
+    from tokenkit_spark.ops.abtest import (
+        MDE_GRID,
+        POWER_Z_ALPHA,
+        POWER_Z_BETA,
+    )
+
+    _pz2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+    _pw_rows = []
+    for _mde in MDE_GRID:
+        _pw_rows.append(f"""
+SELECT CAST({_mde} AS DOUBLE) AS mde_rel, round(mean, 6) AS mean,
+  round(sqrt(var), 6) AS sigma,
+  CAST(floor(2.0 * {_pz2!r} * var
+       / (({_mde} * mean) * ({_mde} * mean))) AS BIGINT) + 1
+    AS n_per_arm_required,
+  CAST(floor(n / 2) AS BIGINT) AS n_available,
+  floor(n / 2) >= 2.0 * {_pz2!r} * var
+       / (({_mde} * mean) * ({_mde} * mean)) AS runnable
+FROM c""")
+    _power_sql = (
+        """
+WITH per AS (SELECT user_id AS u, sum(value) AS x FROM events
+             GROUP BY 1),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS s,
+              sum(x * x) AS ss FROM per),
+c AS (SELECT n, s / n AS mean,
+             (ss - s * s / n) / (n - 1) AS var FROM st)"""
+        + " UNION ALL ".join(_pw_rows)
+    )
+
+    _simp_rates = (
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n0,"
+        " CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n1,"
+        " sum(CASE WHEN arm = 0 THEN c ELSE 0 END)"
+        " / CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        " AS p0r,"
+        " sum(CASE WHEN arm = 1 THEN c ELSE 0 END)"
+        " / CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+        " AS p1r"
+    )
+
     return {
+        # Edge embeddedness / local bridges (ops/linkgraph.py)
+        "embeddedness": f"""
+WITH {_LINK_EDGES_SQL.strip()},
+und AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM edges
+         UNION ALL SELECT dst, src FROM edges)
+        WHERE src <> dst),
+ue AS (SELECT src, dst FROM und WHERE src < dst),
+common AS (SELECT e.src, e.dst, count(*) AS emb
+  FROM ue e JOIN und a ON a.src = e.src
+  JOIN und b ON b.src = e.dst AND b.dst = a.dst
+  GROUP BY 1, 2),
+sc AS (SELECT ue.src, ue.dst, coalesce(c.emb, 0) AS emb
+       FROM ue LEFT JOIN common c
+         ON c.src = ue.src AND c.dst = ue.dst),
+tt AS (SELECT count(*) AS ne,
+         CAST(sum(CASE WHEN emb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb FROM sc)
+SELECT rank, src, dst, emb AS embeddedness, tt.ne AS n_edges,
+  tt.nb AS n_bridges,
+  round(tt.nb / CAST(tt.ne AS DOUBLE), 6) AS bridge_frac
+FROM (SELECT *, row_number() OVER (ORDER BY emb DESC, src, dst)
+        AS rank FROM sc) s CROSS JOIN tt WHERE rank <= 20""",
+        # Power / MDE calculator (ops/abtest.py:power_analysis)
+        "power_analysis": _power_sql,
+        # Simpson's paradox screen (ops/abtest.py:simpsons_check)
+        "simpsons": f"""
+WITH fw AS (SELECT user_id AS u,
+        CAST(date_trunc('week', min(ts)) AS DATE) AS wk
+      FROM events GROUP BY 1),
+cv AS (SELECT user_id AS u,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS c FROM events GROUP BY 1),
+per AS (SELECT fw.u, fw.wk, cv.c, CAST(fw.u % 2 AS INT) AS arm
+        FROM fw JOIN cv ON cv.u = fw.u),
+ov AS (SELECT 'overall' AS stratum, {_simp_rates} FROM per),
+odf AS (SELECT p1r - p0r AS od FROM ov),
+strat AS (SELECT CAST(wk AS VARCHAR) AS stratum, {_simp_rates}
+          FROM per GROUP BY 1),
+bth AS (SELECT * FROM ov UNION ALL SELECT * FROM strat)
+SELECT stratum, n0, n1, round(p0r, 6) AS p0, round(p1r, 6) AS p1,
+  round(p1r - p0r, 6) AS diff,
+  sign(p1r - p0r) = sign(odf.od) AS agrees_with_overall
+FROM bth CROSS JOIN odf""",
         # LSM write-amp sheet (index/logmerge.py:lsm_write_amp_plan)
         "lsm_plan": _lsm_sql,
         # Dictionary-encoding payoff (index/layout.py)

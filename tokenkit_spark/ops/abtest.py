@@ -396,3 +396,149 @@ def ks_test(
         "n0 long, n1 long, d_stat double, d_crit double, "
         "significant boolean",
     )
+
+
+POWER_Z_ALPHA = 1.959963984540054  # two-sided 0.05
+POWER_Z_BETA = 0.8416212335729143  # power 0.80
+MDE_GRID = (0.01, 0.05, 0.10)
+
+
+def power_analysis(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sample-size / MDE calculator from the measured metric variance.
+
+    The standard two-sample power formula (Cohen 1988; every
+    experimentation platform's sizing tab):
+
+        n_per_arm = 2 (z_{a/2} + z_beta)^2 sigma^2 / delta^2
+
+    at alpha = 0.05 two-sided and 80% power, with sigma^2 the
+    MEASURED per-user metric variance (sufficient-statistic form) and
+    delta expressed as a fraction of the metric mean (relative MDE).
+    Also inverted: the MDE the CURRENT population could detect — the
+    number that says whether an experiment idea is even runnable.
+
+    Per MDE: (mde_rel, mean, sigma, n_per_arm_required, n_available,
+    runnable).
+    """
+    per = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.sum(value_col).alias("x")
+    )
+    st = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    ).collect()[0]
+    n, sm, ss = float(st.n), float(st.s), float(st.ss)
+    mean = sm / n
+    var = (ss - sm * sm / n) / (n - 1)
+    sigma = var ** 0.5
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+    spark = events.sparkSession
+    rows = []
+    for mde in MDE_GRID:
+        delta = mde * mean
+        req = 2.0 * z2 * var / (delta * delta)
+        rows.append(
+            (
+                mde,
+                round(mean, round_digits),
+                round(sigma, round_digits),
+                int(req) + 1,
+                int(n // 2),
+                bool(n // 2 >= req),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "mde_rel double, mean double, sigma double, "
+        "n_per_arm_required long, n_available long, "
+        "runnable boolean",
+    )
+
+
+def simpsons_check(
+    events: DataFrame,
+    success_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Simpson's-paradox screen for the arm comparison — does the
+    aggregate effect direction survive stratification?
+
+    Simpson (JRSS-B 1951) / the Bickel et al. Berkeley admissions
+    analysis (Science 1975): an aggregate rate difference can REVERSE
+    inside every stratum when arm assignment correlates with a
+    confounder.  The screen: compute the arm-1-minus-arm-0 conversion
+    difference overall and within each stratum (here: the user's
+    first-activity week — an exposure-time confounder), and flag a
+    paradox when the aggregate sign disagrees with the
+    stratum-majority sign.
+
+    One row per stratum plus an 'overall' row: (stratum, n0, n1, p0,
+    p1, diff, agrees_with_overall) — the paradox is visible as
+    FALSE rows.
+    """
+    first_w = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("wk")
+    )
+    conv = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(
+            (F.col(type_col) == success_type).cast("int")
+        ).alias("c")
+    )
+    per = (
+        first_w.join(conv, "u")
+        .withColumn("arm", (F.col("u") % 2).cast("int"))
+    )
+
+    def rates(df, label_col):
+        return df.groupBy(label_col).agg(
+            F.sum((F.col("arm") == 0).cast("long")).alias("n0"),
+            F.sum((F.col("arm") == 1).cast("long")).alias("n1"),
+            (
+                F.sum(
+                    F.when(F.col("arm") == 0, F.col("c")).otherwise(0)
+                )
+                / F.sum((F.col("arm") == 0).cast("long")).cast(
+                    "double"
+                )
+            ).alias("p0r"),
+            (
+                F.sum(
+                    F.when(F.col("arm") == 1, F.col("c")).otherwise(0)
+                )
+                / F.sum((F.col("arm") == 1).cast("long")).cast(
+                    "double"
+                )
+            ).alias("p1r"),
+        )
+    overall = rates(
+        per.withColumn("stratum", F.lit("overall")), "stratum"
+    )
+    odiff = overall.select(
+        (F.col("p1r") - F.col("p0r")).alias("od")
+    ).collect()[0].od
+    strata = rates(
+        per.withColumn("stratum", F.col("wk").cast("string")),
+        "stratum",
+    )
+    both = overall.unionByName(strata)
+    diff = F.col("p1r") - F.col("p0r")
+    return both.select(
+        "stratum",
+        "n0",
+        "n1",
+        F.round("p0r", round_digits).alias("p0"),
+        F.round("p1r", round_digits).alias("p1"),
+        F.round(diff, round_digits).alias("diff"),
+        (F.signum(diff) == F.signum(F.lit(float(odiff)))).alias(
+            "agrees_with_overall"
+        ),
+    )

@@ -1554,3 +1554,81 @@ def host_link_locality(
             round_digits,
         ).alias("locality"),
     )
+
+
+def edge_embeddedness(
+    edges: DataFrame,
+    k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Edge embeddedness and local bridges — Granovetter's weak ties,
+    computed.
+
+    Granovetter, "The strength of weak ties" (AJS 1973), with the
+    network-analysis operationalization of Easley & Kleinberg
+    (Networks, Crowds and Markets §3): an edge's EMBEDDEDNESS is the
+    number of common neighbors of its endpoints; embeddedness-0 edges
+    are LOCAL BRIDGES — the shortcuts between communities that carry
+    novel information (and, in a web graph, the cross-community links
+    TrustRank-style propagation should treat differently from
+    within-cluster mass).  Reported: the top-``k`` most embedded
+    edges plus the bridge count/fraction as constant columns.
+
+    Per edge row: (rank, src, dst, embeddedness, n_edges, n_bridges,
+    bridge_frac).  Shape: the common-neighbor count is one join of
+    the edge list with the undirected adjacency on each endpoint —
+    the wedge-join shape of ``triangle_counts``.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ue = und.filter(F.col("src") < F.col("dst"))
+    # common neighbors: n adjacent to both src and dst
+    a = und.select(F.col("src").alias("u"), F.col("dst").alias("n"))
+    common = (
+        ue.join(
+            a.withColumnRenamed("u", "src").withColumnRenamed(
+                "n", "cn"
+            ),
+            "src",
+        )
+        .join(
+            a.select(
+                F.col("u").alias("dst"), F.col("n").alias("cn")
+            ),
+            ["dst", "cn"],
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("emb"))
+    )
+    scored = ue.join(common, ["src", "dst"], "left").na.fill(
+        {"emb": 0}
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("ne"),
+        F.sum((F.col("emb") == 0).cast("long")).alias("nb"),
+    ).collect()[0]
+    w = Window.orderBy(
+        F.col("emb").desc(), F.col("src").asc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "src",
+            "dst",
+            F.col("emb").alias("embeddedness"),
+            F.lit(int(tot.ne)).alias("n_edges"),
+            F.lit(int(tot.nb)).alias("n_bridges"),
+            F.round(
+                F.lit(tot.nb / tot.ne), round_digits
+            ).alias("bridge_frac"),
+        )
+    )
