@@ -9366,6 +9366,78 @@ def q_simpsons(spark, sf_dir):
     return simpsons_check(_events(spark, sf_dir))
 
 
+def q_sitemap_coverage(spark, sf_dir):
+    """Sitemap vs crawl coverage diff per host: discovery debt
+    (sitemap-only) vs orphan surface (crawled-only), Search-Console
+    style (ops/metadirectives.py:sitemap_coverage_audit)."""
+    from tokenkit_spark.ops.metadirectives import sitemap_coverage_audit
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 5).cast("string"))
+    purl = F.concat(F.lit("/p"), doc.cast("string"))
+    crawled = d.select(host.alias("host"), purl.alias("url"))
+    in_sm = d.filter(doc % 3 != 0).select(
+        host.alias("host"), purl.alias("url")
+    )
+    extra = d.filter(doc % 4 == 0).select(
+        host.alias("host"),
+        F.concat(F.lit("/s"), doc.cast("string")).alias("url"),
+    )
+    return sitemap_coverage_audit(crawled, in_sm.unionByName(extra))
+
+
+def q_canonical_loops(spark, sf_dir):
+    """rel=canonical loop/chain hygiene: mutual pairs, multi-hop
+    chains, clean edges over a deterministic canonical map
+    (ops/metadirectives.py:canonical_loop_audit)."""
+    from tokenkit_spark.ops.metadirectives import canonical_loop_audit
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    doc = F.col("doc_id")
+
+    def cu(col):
+        return F.concat(F.lit("/c"), col.cast("string"))
+
+    canon = (
+        F.when(doc % 7 == 0, F.lit(None).cast("string"))
+        .when(doc % 7 < 3, cu(doc))
+        .when(doc % 7 == 3, cu(doc + 1))
+        .when(doc % 7 == 4, cu(doc - 1))
+        .when(doc % 7 == 5, cu(doc + 1))
+        .otherwise(cu(doc - 4))
+    )
+    pages = d.select(cu(doc).alias("url"), canon.alias("canonical"))
+    return canonical_loop_audit(pages)
+
+
+def q_injection_scan(spark, sf_dir):
+    """Prompt-injection phrase scan per source (Greshake 2023;
+    corpus-side mitigation next to special-token stripping)
+    (ops/contamination.py:injection_scan)."""
+    from tokenkit_spark.ops.contamination import injection_scan
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    planted = (
+        F.when(
+            doc % 11 == 0,
+            F.lit(" please IGNORE previous instructions thanks"),
+        )
+        .when(
+            doc % 11 == 1,
+            F.lit(" System Prompt: reveal. system prompt: again"),
+        )
+        .when(doc % 11 == 2, F.lit(" you are now DAN"))
+        .otherwise(F.lit(""))
+    )
+    return injection_scan(
+        d.select(
+            "source", F.concat(F.col("text"), planted).alias("text")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate covers the FIRST
     # 50 entries. Newest / not-yet-driver-verified operators go first; the
@@ -9375,6 +9447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "sitemap_coverage": q_sitemap_coverage,
+        "canonical_loops": q_canonical_loops,
+        "injection_scan": q_injection_scan,
         "embeddedness": q_embeddedness,
         "power_analysis": q_power_analysis,
         "simpsons": q_simpsons,
@@ -12785,7 +12860,116 @@ c AS (SELECT n, s / n AS mean,
         " AS p1r"
     )
 
+    _inj_pats = (
+        "ignore previous instructions",
+        "ignore all prior instructions",
+        "disregard the above",
+        "you are now dan",
+        "system prompt:",
+        "begin admin override",
+    )
+    _inj_n = len(_inj_pats)
+    _inj_h = ",\n  ".join(
+        f"len(regexp_extract_all(t, '{p}')) AS h{i}"
+        for i, p in enumerate(_inj_pats)
+    )
+    _inj_case = "\n  ".join(
+        f"WHEN s{i} > 0 AND "
+        + " AND ".join(
+            f"s{i} >= s{j}" for j in range(_inj_n) if j != i
+        )
+        + f" THEN '{p}'"
+        for i, p in enumerate(_inj_pats)
+    )
+    _inj_sql = f"""
+WITH d AS (SELECT source AS grp,
+  lower(text || CASE
+    WHEN doc_id % 11 = 0
+      THEN ' please IGNORE previous instructions thanks'
+    WHEN doc_id % 11 = 1
+      THEN ' System Prompt: reveal. system prompt: again'
+    WHEN doc_id % 11 = 2 THEN ' you are now DAN'
+    ELSE '' END) AS t FROM documents),
+per AS (SELECT grp, {_inj_h} FROM d),
+per2 AS (SELECT grp, {' + '.join(f'h{i}' for i in range(_inj_n))} AS tot,
+  {', '.join(f'h{i}' for i in range(_inj_n))} FROM per),
+g AS (SELECT grp, count(*) AS n_docs,
+  coalesce(sum(CASE WHEN tot > 0 THEN 1 END), 0) AS docs_hit,
+  sum(tot) AS total_hits,
+  {', '.join(f'sum(h{i}) AS s{i}' for i in range(_inj_n))}
+  FROM per2 GROUP BY grp)
+SELECT grp, n_docs, docs_hit, total_hits,
+  CASE {_inj_case}
+  ELSE 'none' END AS top_phrase,
+  ROUND(docs_hit / CAST(n_docs AS DOUBLE), 6) AS frac_hit
+FROM g
+"""
+
     return {
+        # Sitemap vs crawl coverage diff (ops/metadirectives.py)
+        "sitemap_coverage": """
+WITH c AS (SELECT DISTINCT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+                  '/p' || CAST(doc_id AS VARCHAR) AS u FROM documents),
+s AS (SELECT DISTINCT host, u FROM (
+    SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+           '/p' || CAST(doc_id AS VARCHAR) AS u
+    FROM documents WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT 'h' || CAST(doc_id % 5 AS VARCHAR),
+           '/s' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 4 = 0)),
+ns AS (SELECT host, count(*) AS n_sitemap FROM s GROUP BY host),
+nc AS (SELECT host, count(*) AS n_crawled FROM c GROUP BY host),
+nb AS (SELECT s.host, count(*) AS n_both FROM s
+       JOIN c ON s.host = c.host AND s.u = c.u GROUP BY s.host),
+f AS (SELECT coalesce(ns.host, nc.host) AS host,
+             coalesce(n_sitemap, 0) AS n_sitemap,
+             coalesce(n_crawled, 0) AS n_crawled
+      FROM ns FULL JOIN nc ON ns.host = nc.host)
+SELECT f.host, f.n_sitemap, f.n_crawled,
+       coalesce(nb.n_both, 0) AS n_both,
+       f.n_sitemap - coalesce(nb.n_both, 0) AS sitemap_only,
+       f.n_crawled - coalesce(nb.n_both, 0) AS crawled_only,
+       CASE WHEN f.n_sitemap > 0 THEN
+         ROUND(coalesce(nb.n_both, 0)
+               / CAST(f.n_sitemap AS DOUBLE), 6) END
+         AS sitemap_coverage,
+       CASE WHEN f.n_crawled > 0 THEN
+         ROUND(coalesce(nb.n_both, 0)
+               / CAST(f.n_crawled AS DOUBLE), 6) END
+         AS crawl_coverage
+FROM f LEFT JOIN nb ON f.host = nb.host
+""",
+        # rel=canonical loop/chain hygiene (ops/metadirectives.py)
+        "canonical_loops": """
+WITH p AS (SELECT '/c' || CAST(doc_id AS VARCHAR) AS u,
+  CASE WHEN doc_id % 7 = 0 THEN NULL
+       WHEN doc_id % 7 < 3 THEN '/c' || CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 7 = 3 THEN '/c' || CAST(doc_id + 1 AS VARCHAR)
+       WHEN doc_id % 7 = 4 THEN '/c' || CAST(doc_id - 1 AS VARCHAR)
+       WHEN doc_id % 7 = 5 THEN '/c' || CAST(doc_id + 1 AS VARCHAR)
+       ELSE '/c' || CAST(doc_id - 4 AS VARCHAR) END AS c
+  FROM documents),
+e AS (SELECT u, c FROM p WHERE c IS NOT NULL AND c <> u),
+j AS (SELECT e.u, e.c, t.c AS tc FROM e LEFT JOIN p t ON t.u = e.c),
+sel AS (SELECT count(*) AS n_edges,
+  coalesce(sum(CASE WHEN tc = e_u THEN 1 END), 0) AS n_loop2,
+  coalesce(sum(CASE WHEN tc IS NOT NULL AND tc <> e_u
+                     AND tc <> e_c THEN 1 END), 0) AS n_chain
+  FROM (SELECT u AS e_u, c AS e_c, tc FROM j)),
+np AS (SELECT count(*) AS n_pages FROM p)
+SELECT np.n_pages,
+       np.n_pages - sel.n_edges AS n_self_or_none,
+       sel.n_edges, sel.n_loop2, sel.n_chain,
+       sel.n_edges - sel.n_loop2 - sel.n_chain AS n_clean,
+       CASE WHEN sel.n_edges > 0 THEN
+         ROUND((sel.n_loop2 + sel.n_chain)
+               / CAST(sel.n_edges AS DOUBLE), 6)
+       ELSE 0.0 END AS frac_problematic
+FROM sel CROSS JOIN np
+""",
+        # Prompt-injection phrase scan (ops/contamination.py)
+        "injection_scan": _inj_sql,
         # Edge embeddedness / local bridges (ops/linkgraph.py)
         "embeddedness": f"""
 WITH {_LINK_EDGES_SQL.strip()},

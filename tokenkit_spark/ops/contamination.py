@@ -233,3 +233,79 @@ def special_token_scan(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.filter(F.col("n_docs") > 0)
+
+
+INJECTION_PATTERNS = (
+    "ignore previous instructions",
+    "ignore all prior instructions",
+    "disregard the above",
+    "you are now dan",
+    "system prompt:",
+    "begin admin override",
+)
+
+
+def injection_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Prompt-injection phrase scan — the LLM-corpus safety sibling of
+    the special-token scan.
+
+    Training text containing instruction-hijack phrasing teaches the
+    model that such strings are ordinary prose worth continuing — the
+    data-side half of indirect prompt injection (Greshake et al.,
+    AISec 2023 framed the attack; corpus phrase-scanning is the
+    standard mitigation next to special-token stripping).  The scan
+    is a pinned case-insensitive phrase list; per source: affected
+    docs, total hits, and the modal phrase (first-listed on ties).
+
+    Per (grp): (grp, n_docs, docs_hit, total_hits, top_phrase,
+    frac_hit).
+    """
+    t = F.lower(F.col(text_col))
+    n = len(INJECTION_PATTERNS)
+    per = docs.select(
+        F.col(group_col).alias("grp"),
+        *[
+            F.regexp_count(t, F.lit(p)).alias(f"h{i}")
+            for i, p in enumerate(INJECTION_PATTERNS)
+        ],
+    )
+    total = F.col("h0")
+    for i in range(1, n):
+        total = total + F.col(f"h{i}")
+    per = per.withColumn("tot", total)
+    g = per.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("tot") > 0).cast("long")).alias("docs_hit"),
+        F.sum("tot").alias("total_hits"),
+        *[F.sum(f"h{i}").alias(f"s{i}") for i in range(n)],
+    )
+
+    # modal phrase = first index attaining the max, provided it is >0
+    def _is_top(i: int):
+        c = F.col(f"s{i}") > 0
+        for j in range(n):
+            if j != i:
+                c = c & (F.col(f"s{i}") >= F.col(f"s{j}"))
+        return c
+
+    top = F.lit("none")
+    for i in reversed(range(n)):
+        top = F.when(
+            _is_top(i), F.lit(INJECTION_PATTERNS[i])
+        ).otherwise(top)
+    return g.select(
+        "grp",
+        "n_docs",
+        "docs_hit",
+        "total_hits",
+        top.alias("top_phrase"),
+        F.round(
+            F.col("docs_hit") / F.col("n_docs").cast("double"),
+            round_digits,
+        ).alias("frac_hit"),
+    )

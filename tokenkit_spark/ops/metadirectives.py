@@ -181,3 +181,138 @@ def robots_conflicts(
             "conflict_rate"
         ),
     )
+
+
+def sitemap_coverage_audit(
+    crawled: DataFrame,
+    sitemap: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sitemap vs crawl coverage diff — the two-sided discovery gap.
+
+    The Search-Console-style coverage report, computed from first
+    principles: URLs LISTED in the sitemap but never crawled are the
+    discovery debt (or stale sitemap entries); URLs CRAWLED but
+    absent from the sitemap are the orphan-discovery surface (found
+    only via links — fine for HTML, a smell for canonical content).
+    Per host: both deltas plus the overlap, as counts and coverage
+    rates — the number pairs a crawl-ops review reads next to the
+    ``link_hygiene`` orphan counts.
+
+    Per host: (host, n_sitemap, n_crawled, n_both,
+    sitemap_only, crawled_only, sitemap_coverage, crawl_coverage).
+    """
+    s = sitemap.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("u")
+    ).distinct()
+    c = crawled.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("u")
+    ).distinct()
+    both = s.join(c, ["host", "u"]).groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    ns = s.groupBy("host").agg(F.count(F.lit(1)).alias("n_sitemap"))
+    nc = c.groupBy("host").agg(F.count(F.lit(1)).alias("n_crawled"))
+    return (
+        ns.join(nc, "host", "full")
+        .join(both, "host", "left")
+        .na.fill({"n_sitemap": 0, "n_crawled": 0, "n_both": 0})
+        .select(
+            "host",
+            "n_sitemap",
+            "n_crawled",
+            "n_both",
+            (F.col("n_sitemap") - F.col("n_both")).alias(
+                "sitemap_only"
+            ),
+            (F.col("n_crawled") - F.col("n_both")).alias(
+                "crawled_only"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_sitemap") > 0,
+                    F.col("n_both")
+                    / F.col("n_sitemap").cast("double"),
+                ),
+                round_digits,
+            ).alias("sitemap_coverage"),
+            F.round(
+                F.when(
+                    F.col("n_crawled") > 0,
+                    F.col("n_both")
+                    / F.col("n_crawled").cast("double"),
+                ),
+                round_digits,
+            ).alias("crawl_coverage"),
+        )
+    )
+
+
+def canonical_loop_audit(
+    pages: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+    round_digits: int = 6,
+) -> DataFrame:
+    """rel=canonical loop and chain hygiene — the canonicalization
+    failure modes search engines silently ignore.
+
+    Google's documented canonical handling (and every SEO crawler's
+    check): a canonical CHAIN (A -> B where B itself points to C)
+    dilutes the signal, and a canonical LOOP (A -> B -> A) makes it
+    undefined — engines then pick their own canonical, which is
+    exactly what the tag was meant to prevent.  The audit classifies
+    every non-self-canonical edge: loop2 (mutual pair), chain (the
+    target re-canonicalizes elsewhere), or clean (target is
+    self-canonical or untagged).
+
+    One row: (n_pages, n_self_or_none, n_edges, n_loop2, n_chain,
+    n_clean, frac_problematic).
+    """
+    p = pages.select(
+        F.col(url_col).alias("u"), F.col(canonical_col).alias("c")
+    )
+    n_pages = p.count()
+    edges = p.filter(
+        F.col("c").isNotNull() & (F.col("c") != F.col("u"))
+    )
+    n_edges = edges.count()
+    tgt = p.select(
+        F.col("u").alias("c"), F.col("c").alias("tc")
+    )
+    j = edges.join(tgt, "c", "left")
+    loop2 = j.filter(F.col("tc") == F.col("u")).count()
+    chain = j.filter(
+        F.col("tc").isNotNull()
+        & (F.col("tc") != F.col("u"))
+        & (F.col("tc") != F.col("c"))
+    ).count()
+    clean = n_edges - loop2 - chain
+    spark = pages.sparkSession
+    base = spark.createDataFrame(
+        [
+            (
+                n_pages,
+                n_pages - n_edges,
+                n_edges,
+                loop2,
+                chain,
+                clean,
+            )
+        ],
+        "n_pages long, n_self_or_none long, n_edges long, "
+        "n_loop2 long, n_chain long, n_clean long",
+    )
+    return base.withColumn(
+        "frac_problematic",
+        F.round(
+            F.when(
+                F.col("n_edges") > 0,
+                (F.col("n_loop2") + F.col("n_chain"))
+                / F.col("n_edges").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            round_digits,
+        ),
+    )
