@@ -9366,6 +9366,75 @@ def q_simpsons(spark, sf_dir):
     return simpsons_check(_events(spark, sf_dir))
 
 
+def q_mixed_content(spark, sf_dir):
+    """Mixed-content audit: https pages embedding http:// resources
+    (MDN / W3C mixed-content) (ops/webclean.py:mixed_content_audit)."""
+    from tokenkit_spark.ops.webclean import mixed_content_audit
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 8).cast("string"))
+    scheme = F.when(doc % 5 == 0, F.lit("http")).otherwise(
+        F.lit("https")
+    )
+    html = (
+        F.when(
+            doc % 4 == 0,
+            F.concat(
+                F.lit('<img src="http://cdn.example/i'),
+                doc.cast("string"),
+                F.lit(
+                    '.png"><script src="http://cdn.example/s.js">'
+                    "</script>"
+                ),
+            ),
+        )
+        .when(doc % 4 == 1, F.lit('<img src="https://cdn.example/ok.png">'))
+        .when(doc % 4 == 2, F.lit('<link href="http://cdn.example/c.css">'))
+        .otherwise(F.lit("<p>text</p>"))
+    )
+    pages = d.select(
+        host.alias("host"), scheme.alias("scheme"), html.alias("html")
+    )
+    return mixed_content_audit(pages)
+
+
+def q_meta_refresh(spark, sf_dir):
+    """Meta-refresh / JS-redirect audit: instant vs delayed refresh,
+    location.href redirects per host
+    (ops/metadirectives.py:meta_refresh_audit)."""
+    from tokenkit_spark.ops.metadirectives import meta_refresh_audit
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 6).cast("string"))
+    html = (
+        F.when(
+            doc % 7 == 0,
+            F.lit('<meta http-equiv="refresh" content="0; url=/n">'),
+        )
+        .when(
+            doc % 7 == 1,
+            F.lit('<meta http-equiv="refresh" content="5; url=/d">'),
+        )
+        .when(doc % 7 == 2, F.lit('<script>location.href = "/x";</script>'))
+        .when(doc % 7 == 3, F.lit("<script>location.replace('/y')</script>"))
+        .otherwise(F.lit("<p>ok</p>"))
+    )
+    return meta_refresh_audit(
+        d.select(host.alias("host"), html.alias("html"))
+    )
+
+
+def q_engagement_lx(spark, sf_dir):
+    """Lx engagement curve: days-active-per-week histogram l1..l7 +
+    mean (growth-team staple next to DAU/MAU)
+    (ops/events.py:engagement_lx)."""
+    from tokenkit_spark.ops.events import engagement_lx
+
+    return engagement_lx(_events(spark, sf_dir))
+
+
 def q_sitemap_coverage(spark, sf_dir):
     """Sitemap vs crawl coverage diff per host: discovery debt
     (sitemap-only) vs orphan surface (crawled-only), Search-Console
@@ -9447,6 +9516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "mixed_content": q_mixed_content,
+        "meta_refresh": q_meta_refresh,
+        "engagement_lx": q_engagement_lx,
         "sitemap_coverage": q_sitemap_coverage,
         "canonical_loops": q_canonical_loops,
         "injection_scan": q_injection_scan,
@@ -12906,6 +12978,84 @@ FROM g
 """
 
     return {
+        # Mixed-content audit (ops/webclean.py)
+        "mixed_content": r"""
+WITH p AS (SELECT 'h' || CAST(doc_id % 8 AS VARCHAR) AS host,
+  CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END AS scheme,
+  lower(CASE
+    WHEN doc_id % 4 = 0 THEN '<img src="http://cdn.example/i'
+      || CAST(doc_id AS VARCHAR)
+      || '.png"><script src="http://cdn.example/s.js"></script>'
+    WHEN doc_id % 4 = 1 THEN '<img src="https://cdn.example/ok.png">'
+    WHEN doc_id % 4 = 2 THEN '<link href="http://cdn.example/c.css">'
+    ELSE '<p>text</p>' END) AS t
+  FROM documents),
+per AS (SELECT host,
+  CASE WHEN scheme = 'https' THEN 1 ELSE 0 END AS https,
+  CASE WHEN scheme = 'https'
+       THEN len(regexp_extract_all(t, '(src|href)="http://'))
+       ELSE 0 END AS m
+  FROM p)
+SELECT host, count(*) AS n_pages, sum(https) AS n_https_pages,
+  sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS pages_mixed,
+  sum(m) AS n_mixed_refs,
+  CASE WHEN sum(https) > 0 THEN
+    ROUND(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)
+          / CAST(sum(https) AS DOUBLE), 6) END AS frac_mixed
+FROM per GROUP BY host
+""",
+        # Meta-refresh / JS-redirect audit (ops/metadirectives.py)
+        "meta_refresh": r"""
+WITH p AS (SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+  lower(CASE
+    WHEN doc_id % 7 = 0
+      THEN '<meta http-equiv="refresh" content="0; url=/n">'
+    WHEN doc_id % 7 = 1
+      THEN '<meta http-equiv="refresh" content="5; url=/d">'
+    WHEN doc_id % 7 = 2
+      THEN '<script>location.href = "/x";</script>'
+    WHEN doc_id % 7 = 3
+      THEN '<script>location.replace(''/y'')</script>'
+    ELSE '<p>ok</p>' END) AS t
+  FROM documents),
+per AS (SELECT host,
+  CASE WHEN len(regexp_extract_all(t, 'http-equiv="refresh"')) > 0
+       THEN 1 ELSE 0 END AS mr,
+  regexp_extract(t, 'http-equiv="refresh"[^>]*content="(\d+)', 1)
+    AS delay,
+  CASE WHEN len(regexp_extract_all(t, 'location\.href\s*=')) +
+            len(regexp_extract_all(t, 'location\.replace\(')) > 0
+       THEN 1 ELSE 0 END AS js
+  FROM p),
+per2 AS (SELECT host, mr,
+  CASE WHEN mr = 1 AND delay = '0' THEN 1 ELSE 0 END AS inst,
+  CASE WHEN mr = 1 AND delay <> '0' AND delay <> '' THEN 1
+       ELSE 0 END AS dly,
+  js, CASE WHEN mr = 1 OR js = 1 THEN 1 ELSE 0 END AS anyr
+  FROM per)
+SELECT host, count(*) AS n_pages, sum(mr) AS n_meta_refresh,
+  sum(inst) AS n_instant, sum(dly) AS n_delayed,
+  sum(js) AS n_js_redirect,
+  ROUND(sum(anyr) / CAST(count(*) AS DOUBLE), 6) AS frac_any
+FROM per2 GROUP BY host
+""",
+        # Lx engagement curve (ops/events.py)
+        "engagement_lx": """
+WITH d AS (SELECT DISTINCT
+  CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
+  CAST(ts AS DATE) AS day, user_id AS u FROM events),
+pu AS (SELECT week, u, count(DISTINCT day) AS k FROM d GROUP BY 1, 2)
+SELECT week, count(*) AS n_users,
+  sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS l1,
+  sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS l2,
+  sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS l3,
+  sum(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS l4,
+  sum(CASE WHEN k = 5 THEN 1 ELSE 0 END) AS l5,
+  sum(CASE WHEN k = 6 THEN 1 ELSE 0 END) AS l6,
+  sum(CASE WHEN k = 7 THEN 1 ELSE 0 END) AS l7,
+  ROUND(avg(CAST(k AS DOUBLE)), 6) AS mean_days
+FROM pu GROUP BY week
+""",
         # Sitemap vs crawl coverage diff (ops/metadirectives.py)
         "sitemap_coverage": """
 WITH c AS (SELECT DISTINCT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,

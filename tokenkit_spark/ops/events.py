@@ -1551,3 +1551,44 @@ def growth_accounting(
             ).alias("quick_ratio"),
         )
     )
+
+
+def engagement_lx(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lx engagement curve — the days-active-per-week histogram.
+
+    The growth-analytics staple behind "L5+/L7 users" goal-setting
+    (popularized by Duolingo's and Facebook's growth teams): for each
+    Monday-start week, bucket active users by how many distinct days
+    they showed up (1..7).  The SHAPE of the histogram — bimodal
+    (tourists + devotees) vs unimodal — tells a different retention
+    story than DAU/MAU alone, which is why it complements the
+    stickiness ratio rather than duplicating it.
+
+    Per week: (week, n_users, l1..l7, mean_days).
+    """
+    d = events.select(
+        F.date_trunc("week", F.col(ts_col))
+        .cast("date")
+        .cast("string")
+        .alias("week"),
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(user_col).alias("u"),
+    ).distinct()
+    per_user = d.groupBy("week", "u").agg(
+        F.countDistinct("day").alias("k")
+    )
+    return per_user.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.sum((F.col("k") == i).cast("long")).alias(f"l{i}")
+            for i in range(1, 8)
+        ],
+        F.round(F.avg(F.col("k").cast("double")), round_digits).alias(
+            "mean_days"
+        ),
+    )

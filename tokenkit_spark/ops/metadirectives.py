@@ -316,3 +316,73 @@ def canonical_loop_audit(
             round_digits,
         ),
     )
+
+
+def meta_refresh_audit(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Meta-refresh and JS-redirect audit — the redirects HTTP headers
+    don't show.
+
+    Search engines treat an instant (0-second) ``<meta
+    http-equiv=refresh>`` as a permanent redirect and a delayed one
+    as a soft redirect / doorway smell (Google's sneaky-redirect
+    guidelines); ``location.href``/``location.replace`` assignments
+    are the JS equivalent a header-only crawl misses entirely.  The
+    audit counts each flavor per host from the raw HTML.
+
+    Per host: (host, n_pages, n_meta_refresh, n_instant, n_delayed,
+    n_js_redirect, frac_any).
+    """
+    t = F.lower(F.col(html_col))
+    has_refresh = (
+        F.regexp_count(
+            t, F.lit('http-equiv="refresh"')
+        )
+        > 0
+    ).cast("long")
+    # delay is the leading integer of the content attribute
+    delay = F.regexp_extract(
+        t, r'http-equiv="refresh"[^>]*content="(\d+)', 1
+    )
+    instant = (
+        (has_refresh == 1) & (delay == "0")
+    ).cast("long")
+    delayed = (
+        (has_refresh == 1) & (delay != "0") & (delay != "")
+    ).cast("long")
+    js = (
+        (
+            F.regexp_count(t, F.lit(r"location\.href\s*="))
+            + F.regexp_count(t, F.lit(r"location\.replace\("))
+        )
+        > 0
+    ).cast("long")
+    any_redir = (
+        (has_refresh == 1) | (js == 1)
+    ).cast("long")
+    return (
+        pages.select(
+            F.col(host_col).alias("host"),
+            has_refresh.alias("mr"),
+            instant.alias("inst"),
+            delayed.alias("dly"),
+            js.alias("js"),
+            any_redir.alias("anyr"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("mr").alias("n_meta_refresh"),
+            F.sum("inst").alias("n_instant"),
+            F.sum("dly").alias("n_delayed"),
+            F.sum("js").alias("n_js_redirect"),
+            F.round(
+                F.sum("anyr") / F.count(F.lit(1)).cast("double"),
+                round_digits,
+            ).alias("frac_any"),
+        )
+    )

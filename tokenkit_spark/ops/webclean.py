@@ -626,3 +626,58 @@ def lang_tld_mismatch(
             round_digits,
         ).alias("mismatch_rate"),
     )
+
+
+def mixed_content_audit(
+    pages: DataFrame,
+    host_col: str = "host",
+    scheme_col: str = "scheme",
+    html_col: str = "html",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mixed-content audit — https pages embedding http:// sub-resources.
+
+    The browser-security check (MDN "Mixed content"; W3C
+    mixed-content spec): an https page that loads scripts, images, or
+    stylesheets over plain http either breaks (active content is
+    blocked) or silently downgrades the page's integrity guarantee.
+    At corpus scale the per-host rate is a site-quality and
+    trust signal.  Counts ``src=`` / ``href=`` attributes with an
+    explicit ``http://`` origin on https-served pages only.
+
+    Per host: (host, n_pages, n_https_pages, pages_mixed,
+    n_mixed_refs, frac_mixed).
+    """
+    is_https = (F.col(scheme_col) == "https").cast("long")
+    refs = F.regexp_count(
+        F.lower(F.col(html_col)),
+        F.lit('(src|href)="http://'),
+    )
+    mixed_refs = F.when(F.col(scheme_col) == "https", refs).otherwise(
+        F.lit(0)
+    )
+    return (
+        pages.select(
+            F.col(host_col).alias("host"),
+            is_https.alias("https"),
+            mixed_refs.alias("m"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("https").alias("n_https_pages"),
+            F.sum((F.col("m") > 0).cast("long")).alias("pages_mixed"),
+            F.sum("m").alias("n_mixed_refs"),
+        )
+        .withColumn(
+            "frac_mixed",
+            F.round(
+                F.when(
+                    F.col("n_https_pages") > 0,
+                    F.col("pages_mixed")
+                    / F.col("n_https_pages").cast("double"),
+                ),
+                round_digits,
+            ),
+        )
+    )
