@@ -9366,6 +9366,100 @@ def q_simpsons(spark, sf_dir):
     return simpsons_check(_events(spark, sf_dir))
 
 
+def _http_headers_fixture(spark, sf_dir):
+    """Deterministic HTTP response-header blobs over doc ids; the same
+    recipe is inlined in the three header-audit SQL oracles."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 7).cast("string"))
+    hsts = F.when(
+        doc % 3 == 0,
+        F.concat(
+            F.lit("Strict-Transport-Security: max-age="),
+            F.when(doc % 6 == 0, F.lit("31536000")).otherwise(
+                F.lit("300")
+            ),
+            F.lit("\n"),
+        ),
+    ).otherwise(F.lit(""))
+    csp = F.when(
+        doc % 4 == 0,
+        F.concat(
+            F.lit("Content-Security-Policy: default-src 'self'"),
+            F.when(
+                doc % 8 == 0, F.lit("; frame-ancestors 'none'")
+            ).otherwise(F.lit("")),
+            F.lit("\n"),
+        ),
+    ).otherwise(F.lit(""))
+    ns = F.when(
+        doc % 2 == 0, F.lit("X-Content-Type-Options: nosniff\n")
+    ).otherwise(F.lit(""))
+    xfo = F.when(doc % 5 == 0, F.lit("X-Frame-Options: DENY\n")).otherwise(
+        F.lit("")
+    )
+    rp = F.when(
+        doc % 9 == 0, F.lit("Referrer-Policy: no-referrer\n")
+    ).otherwise(F.lit(""))
+    enc = (
+        F.when(doc % 4 == 0, F.lit("Content-Encoding: gzip\n"))
+        .when(doc % 4 == 1, F.lit("Content-Encoding: br\n"))
+        .when(doc % 4 == 3, F.lit("Content-Encoding: zstd\n"))
+        .otherwise(F.lit(""))
+    )
+    clen = F.concat(
+        F.lit("Content-Length: "),
+        (200 + (doc * 37) % 800).cast("string"),
+        F.lit("\n"),
+    )
+    etag = (
+        F.when(
+            doc % 3 == 0,
+            F.concat(F.lit('ETag: "e'), doc.cast("string"), F.lit('"\n')),
+        )
+        .when(
+            doc % 3 == 1,
+            F.concat(
+                F.lit('ETag: W/"w'), doc.cast("string"), F.lit('"\n')
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    lm = F.when(
+        doc % 2 == 0,
+        F.lit("Last-Modified: Mon, 01 Jan 2024 00:00:00 GMT\n"),
+    ).otherwise(F.lit(""))
+    headers = F.concat(hsts, csp, ns, xfo, rp, enc, clen, etag, lm)
+    return d.select(host.alias("host"), headers.alias("headers"))
+
+
+def q_security_headers(spark, sf_dir):
+    """OWASP security-header adoption audit: HSTS (preload-grade
+    split), CSP, nosniff, clickjacking, Referrer-Policy
+    (ops/httpmeta.py:security_headers_audit)."""
+    from tokenkit_spark.ops.httpmeta import security_headers_audit
+
+    return security_headers_audit(_http_headers_fixture(spark, sf_dir))
+
+
+def q_content_encoding(spark, sf_dir):
+    """Content-Encoding adoption: gzip/br/zstd vs identity + wire-size
+    split (RFC 9110 §8.4)
+    (ops/httpmeta.py:content_encoding_audit)."""
+    from tokenkit_spark.ops.httpmeta import content_encoding_audit
+
+    return content_encoding_audit(_http_headers_fixture(spark, sf_dir))
+
+
+def q_conditional_get(spark, sf_dir):
+    """Conditional-GET readiness: ETag strong/weak + Last-Modified →
+    304-eligible recrawl share (RFC 9110 §13)
+    (ops/httpmeta.py:conditional_get_audit)."""
+    from tokenkit_spark.ops.httpmeta import conditional_get_audit
+
+    return conditional_get_audit(_http_headers_fixture(spark, sf_dir))
+
+
 def q_mixed_content(spark, sf_dir):
     """Mixed-content audit: https pages embedding http:// resources
     (MDN / W3C mixed-content) (ops/webclean.py:mixed_content_audit)."""
@@ -9516,6 +9610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "security_headers": q_security_headers,
+        "content_encoding": q_content_encoding,
+        "conditional_get": q_conditional_get,
         "mixed_content": q_mixed_content,
         "meta_refresh": q_meta_refresh,
         "engagement_lx": q_engagement_lx,
@@ -12977,7 +13074,111 @@ SELECT grp, n_docs, docs_hit, total_hits,
 FROM g
 """
 
+    _hdrs_cte = r"""hdrs AS (SELECT
+  'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+  CASE WHEN doc_id % 3 = 0 THEN 'Strict-Transport-Security: max-age='
+    || CASE WHEN doc_id % 6 = 0 THEN '31536000' ELSE '300' END
+    || chr(10) ELSE '' END ||
+  CASE WHEN doc_id % 4 = 0
+    THEN 'Content-Security-Policy: default-src ''self'''
+    || CASE WHEN doc_id % 8 = 0 THEN '; frame-ancestors ''none'''
+       ELSE '' END || chr(10) ELSE '' END ||
+  CASE WHEN doc_id % 2 = 0
+    THEN 'X-Content-Type-Options: nosniff' || chr(10)
+    ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0 THEN 'X-Frame-Options: DENY' || chr(10)
+    ELSE '' END ||
+  CASE WHEN doc_id % 9 = 0
+    THEN 'Referrer-Policy: no-referrer' || chr(10) ELSE '' END ||
+  CASE WHEN doc_id % 4 = 0 THEN 'Content-Encoding: gzip' || chr(10)
+       WHEN doc_id % 4 = 1 THEN 'Content-Encoding: br' || chr(10)
+       WHEN doc_id % 4 = 3 THEN 'Content-Encoding: zstd' || chr(10)
+       ELSE '' END ||
+  'Content-Length: ' || CAST(200 + (doc_id * 37) % 800 AS VARCHAR)
+    || chr(10) ||
+  CASE WHEN doc_id % 3 = 0
+    THEN 'ETag: "e' || CAST(doc_id AS VARCHAR) || '"' || chr(10)
+       WHEN doc_id % 3 = 1
+    THEN 'ETag: W/"w' || CAST(doc_id AS VARCHAR) || '"' || chr(10)
+       ELSE '' END ||
+  CASE WHEN doc_id % 2 = 0
+    THEN 'Last-Modified: Mon, 01 Jan 2024 00:00:00 GMT' || chr(10)
+    ELSE '' END AS h
+  FROM documents)"""
+
     return {
+        # Security-header adoption audit (ops/httpmeta.py)
+        "security_headers": f"""
+WITH {_hdrs_cte},
+per AS (SELECT host,
+  CASE WHEN regexp_matches(h, 'Strict-Transport-Security:')
+       THEN 1 ELSE 0 END AS hsts,
+  CASE WHEN CAST(coalesce(nullif(regexp_extract(h,
+       'Strict-Transport-Security: [^\\n]*max-age=(\\d+)', 1), ''),
+       '0') AS BIGINT) >= 31536000 THEN 1 ELSE 0 END AS hy,
+  CASE WHEN regexp_matches(h, 'Content-Security-Policy:')
+       THEN 1 ELSE 0 END AS csp,
+  CASE WHEN regexp_matches(h,
+       'X-Content-Type-Options: [^\\n]*nosniff')
+       THEN 1 ELSE 0 END AS ns,
+  CASE WHEN regexp_matches(h, 'X-Frame-Options:') OR
+       regexp_matches(h,
+       'Content-Security-Policy: [^\\n]*frame-ancestors')
+       THEN 1 ELSE 0 END AS fr,
+  CASE WHEN regexp_matches(h, 'Referrer-Policy:')
+       THEN 1 ELSE 0 END AS rp
+  FROM hdrs)
+SELECT host, count(*) AS n_pages, sum(hsts) AS n_hsts,
+  sum(hy) AS n_hsts_year, sum(csp) AS n_csp, sum(ns) AS n_nosniff,
+  sum(fr) AS n_frame, sum(rp) AS n_referrer,
+  ROUND((sum(hsts) + sum(csp) + sum(ns) + sum(fr) + sum(rp))
+        / (count(*) * 5.0), 6) AS mean_score
+FROM per GROUP BY host
+""",
+        # Content-Encoding adoption audit (ops/httpmeta.py)
+        "content_encoding": f"""
+WITH {_hdrs_cte},
+per AS (SELECT host,
+  lower(regexp_extract(h, 'Content-Encoding: ([^\\n]+)', 1)) AS enc,
+  CAST(nullif(regexp_extract(h, 'Content-Length: (\\d+)', 1), '')
+       AS BIGINT) AS clen
+  FROM hdrs),
+per2 AS (SELECT host,
+  CASE WHEN enc = 'gzip' THEN 1 ELSE 0 END AS g,
+  CASE WHEN enc = 'br' THEN 1 ELSE 0 END AS b,
+  CASE WHEN enc = 'zstd' THEN 1 ELSE 0 END AS z,
+  CASE WHEN enc IN ('gzip', 'br', 'zstd') THEN 1 ELSE 0 END AS c,
+  CASE WHEN enc IN ('gzip', 'br', 'zstd') THEN clen END AS lc,
+  CASE WHEN enc NOT IN ('gzip', 'br', 'zstd') OR enc IS NULL
+       THEN clen END AS li
+  FROM per)
+SELECT host, count(*) AS n_pages, sum(g) AS n_gzip, sum(b) AS n_br,
+  sum(z) AS n_zstd, count(*) - sum(c) AS n_identity,
+  ROUND(sum(c) / CAST(count(*) AS DOUBLE), 6) AS frac_compressed,
+  ROUND(avg(lc), 6) AS mean_len_compressed,
+  ROUND(avg(li), 6) AS mean_len_identity
+FROM per2 GROUP BY host
+""",
+        # Conditional-GET readiness audit (ops/httpmeta.py)
+        "conditional_get": f"""
+WITH {_hdrs_cte},
+per AS (SELECT host,
+  CASE WHEN regexp_matches(h, 'ETag: ') THEN 1 ELSE 0 END AS e,
+  CASE WHEN regexp_matches(h, 'ETag: W/"') THEN 1 ELSE 0 END AS w,
+  CASE WHEN regexp_matches(h, 'Last-Modified: ')
+       THEN 1 ELSE 0 END AS l
+  FROM hdrs),
+per2 AS (SELECT host, e, w, l,
+  CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END AS b,
+  CASE WHEN e = 1 OR l = 1 THEN 1 ELSE 0 END AS r
+  FROM per)
+SELECT host, count(*) AS n_pages, sum(e) AS n_etag,
+  sum(w) AS n_weak_etag, sum(l) AS n_last_modified,
+  sum(b) AS n_both, sum(r) AS n_revalidatable,
+  ROUND(sum(r) / CAST(count(*) AS DOUBLE), 6)
+    AS frac_revalidatable
+FROM per2 GROUP BY host
+""",
         # Mixed-content audit (ops/webclean.py)
         "mixed_content": r"""
 WITH p AS (SELECT 'h' || CAST(doc_id % 8 AS VARCHAR) AS host,

@@ -220,3 +220,180 @@ def status_mix_audit(
         "health_flag",
         (F.col("p5xx") > 0.05) | (F.col("p4xx") > 0.2),
     )
+
+HSTS_YEAR_S = 31536000
+
+
+def security_headers_audit(
+    pages: DataFrame,
+    headers_col: str = "headers",
+    host_col: str = "host",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Security-response-header adoption audit (OWASP Secure Headers
+    project; RFC 6797 for HSTS).
+
+    The five headers every hardening scanner checks:
+    ``Strict-Transport-Security`` (with the preload-grade one-year
+    ``max-age`` split out per hstspreload.org's submission bar),
+    ``Content-Security-Policy``, ``X-Content-Type-Options: nosniff``,
+    clickjacking protection (``X-Frame-Options`` or a CSP
+    ``frame-ancestors`` directive), and ``Referrer-Policy``.  The
+    per-host mean coverage score is the 0..1 "how hardened is this
+    origin" number.
+
+    Per host: (host, n_pages, n_hsts, n_hsts_year, n_csp, n_nosniff,
+    n_frame, n_referrer, mean_score).
+    """
+    h = F.col(headers_col)
+    hsts = h.rlike(r"Strict-Transport-Security:").cast("long")
+    hsts_age = F.nullif(
+        F.regexp_extract(
+            h, r"Strict-Transport-Security: [^\n]*max-age=(\d+)", 1
+        ),
+        F.lit(""),
+    ).cast("long")
+    hsts_year = (
+        F.coalesce(hsts_age, F.lit(0)) >= HSTS_YEAR_S
+    ).cast("long")
+    csp = h.rlike(r"Content-Security-Policy:").cast("long")
+    nosniff = h.rlike(
+        r"X-Content-Type-Options: [^\n]*nosniff"
+    ).cast("long")
+    frame = (
+        h.rlike(r"X-Frame-Options:")
+        | h.rlike(r"Content-Security-Policy: [^\n]*frame-ancestors")
+    ).cast("long")
+    referrer = h.rlike(r"Referrer-Policy:").cast("long")
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        hsts.alias("hsts"),
+        hsts_year.alias("hy"),
+        csp.alias("csp"),
+        nosniff.alias("ns"),
+        frame.alias("fr"),
+        referrer.alias("rp"),
+    )
+    # integer header-count sum over 5*n pages: one exact division,
+    # no per-row float accumulation
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("hsts").alias("n_hsts"),
+        F.sum("hy").alias("n_hsts_year"),
+        F.sum("csp").alias("n_csp"),
+        F.sum("ns").alias("n_nosniff"),
+        F.sum("fr").alias("n_frame"),
+        F.sum("rp").alias("n_referrer"),
+        F.round(
+            (
+                F.sum("hsts")
+                + F.sum("csp")
+                + F.sum("ns")
+                + F.sum("fr")
+                + F.sum("rp")
+            )
+            / (F.count(F.lit(1)) * F.lit(5.0)),
+            round_digits,
+        ).alias("mean_score"),
+    )
+
+
+def content_encoding_audit(
+    pages: DataFrame,
+    headers_col: str = "headers",
+    host_col: str = "host",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Content-Encoding adoption audit (RFC 9110 §8.4) — which hosts
+    actually compress their responses.
+
+    gzip vs brotli vs zstd vs none, plus the mean on-the-wire
+    ``Content-Length`` split by compressed/uncompressed — at crawl
+    scale the uncompressed-HTML share is a direct bandwidth-budget
+    line item (HTTP Archive tracks exactly this number).
+
+    Per host: (host, n_pages, n_gzip, n_br, n_zstd, n_identity,
+    frac_compressed, mean_len_compressed, mean_len_identity).
+    """
+    h = F.col(headers_col)
+    enc = F.lower(
+        F.regexp_extract(h, r"Content-Encoding: ([^\n]+)", 1)
+    )
+    clen = F.nullif(
+        F.regexp_extract(h, r"Content-Length: (\d+)", 1), F.lit("")
+    ).cast("long")
+    is_gzip = (enc == "gzip").cast("long")
+    is_br = (enc == "br").cast("long")
+    is_zstd = (enc == "zstd").cast("long")
+    compressed = (is_gzip + is_br + is_zstd) > 0
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        is_gzip.alias("g"),
+        is_br.alias("b"),
+        is_zstd.alias("z"),
+        compressed.cast("long").alias("c"),
+        F.when(compressed, clen).alias("lc"),
+        F.when(~compressed, clen).alias("li"),
+    )
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("g").alias("n_gzip"),
+        F.sum("b").alias("n_br"),
+        F.sum("z").alias("n_zstd"),
+        (F.count(F.lit(1)) - F.sum("c")).alias("n_identity"),
+        F.round(
+            F.sum("c") / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("frac_compressed"),
+        F.round(F.avg("lc"), round_digits).alias(
+            "mean_len_compressed"
+        ),
+        F.round(F.avg("li"), round_digits).alias("mean_len_identity"),
+    )
+
+
+def conditional_get_audit(
+    pages: DataFrame,
+    headers_col: str = "headers",
+    host_col: str = "host",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Conditional-GET readiness audit (RFC 9110 §13; RFC 7232) — how
+    much of a recrawl could be 304s.
+
+    A response carrying an ``ETag`` (strong or ``W/``-weak) or a
+    ``Last-Modified`` date lets the next fetch be conditional
+    (``If-None-Match`` / ``If-Modified-Since``), turning an unchanged
+    page into a bodyless 304 — the single biggest bandwidth lever in
+    polite recrawling next to the freshness lifetimes measured by
+    ``cache_freshness_audit`` above.
+
+    Per host: (host, n_pages, n_etag, n_weak_etag, n_last_modified,
+    n_both, n_revalidatable, frac_revalidatable).
+    """
+    h = F.col(headers_col)
+    etag = h.rlike(r"ETag: ").cast("long")
+    weak = h.rlike(r'ETag: W/"').cast("long")
+    lm = h.rlike(r"Last-Modified: ").cast("long")
+    both = ((etag == 1) & (lm == 1)).cast("long")
+    reval = ((etag == 1) | (lm == 1)).cast("long")
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        etag.alias("e"),
+        weak.alias("w"),
+        lm.alias("l"),
+        both.alias("b"),
+        reval.alias("r"),
+    )
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("e").alias("n_etag"),
+        F.sum("w").alias("n_weak_etag"),
+        F.sum("l").alias("n_last_modified"),
+        F.sum("b").alias("n_both"),
+        F.sum("r").alias("n_revalidatable"),
+        F.round(
+            F.sum("r") / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("frac_revalidatable"),
+    )
