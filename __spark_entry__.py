@@ -9366,6 +9366,61 @@ def q_simpsons(spark, sf_dir):
     return simpsons_check(_events(spark, sf_dir))
 
 
+def _eval_tasks(spark, sf_dir):
+    """Deterministic per-task sample tallies (n drawn, c correct) over
+    doc ids; recipe inlined in the pass@k / maj@k SQL oracles."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    doc = F.col("doc_id")
+    n = 10 + (doc % 3) * 5
+    c = (doc * 7) % (n + 1)
+    return d.select(n.alias("n"), c.alias("c"))
+
+
+def q_pass_at_k(spark, sf_dir):
+    """Unbiased pass@k estimator (Chen et al. 2021 §2.1) over
+    synthetic per-task sample tallies (ops/passk.py:pass_at_k)."""
+    from tokenkit_spark.ops.passk import pass_at_k
+
+    return pass_at_k(_eval_tasks(spark, sf_dir))
+
+
+def q_majority_vote(spark, sf_dir):
+    """Self-consistency maj@k (Wang et al. 2022): strict-majority
+    accuracy from per-task correctness rates
+    (ops/passk.py:majority_vote_accuracy)."""
+    from tokenkit_spark.ops.passk import majority_vote_accuracy
+
+    return majority_vote_accuracy(_eval_tasks(spark, sf_dir))
+
+
+def q_extension_mix(spark, sf_dir):
+    """URL file-extension mix per host: page/doc/image/asset/data
+    classes from path extensions
+    (ops/domains.py:url_extension_mix)."""
+    from tokenkit_spark.ops.domains import url_extension_mix
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 6).cast("string"))
+    path = (
+        F.when(doc % 12 == 0, F.lit("/index.html"))
+        .when(doc % 12 == 1, F.concat(F.lit("/p"), doc.cast("string")))
+        .when(doc % 12 == 2, F.lit("/doc.pdf"))
+        .when(doc % 12 == 3, F.lit("/img.JPG"))
+        .when(doc % 12 == 4, F.lit("/app.js"))
+        .when(doc % 12 == 5, F.lit("/feed.xml"))
+        .when(doc % 12 == 6, F.lit("/arch.tar.gz"))
+        .when(doc % 12 == 7, F.lit("/style.css"))
+        .when(doc % 12 == 8, F.lit("/pic.png"))
+        .when(doc % 12 == 9, F.lit("/page.php"))
+        .when(doc % 12 == 10, F.lit("/data.json"))
+        .otherwise(F.lit("/movie.mp4"))
+    )
+    return url_extension_mix(
+        d.select(host.alias("host"), path.alias("path"))
+    )
+
+
 def _http_headers_fixture(spark, sf_dir):
     """Deterministic HTTP response-header blobs over doc ids; the same
     recipe is inlined in the three header-audit SQL oracles."""
@@ -9610,6 +9665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "pass_at_k": q_pass_at_k,
+        "majority_vote": q_majority_vote,
+        "extension_mix": q_extension_mix,
         "security_headers": q_security_headers,
         "content_encoding": q_content_encoding,
         "conditional_get": q_conditional_get,
@@ -13074,6 +13132,51 @@ SELECT grp, n_docs, docs_hit, total_hits,
 FROM g
 """
 
+    from math import comb as _comb
+
+    _task_cte = (
+        "t AS (SELECT CAST(10 + (doc_id % 3) * 5 AS DOUBLE) AS n, "
+        "CAST((doc_id * 7) % (10 + (doc_id % 3) * 5 + 1) AS DOUBLE)"
+        " AS c FROM documents)"
+    )
+    _pk_rows = []
+    for _k in (1, 5, 10):
+        _prod = "1.0"
+        for _i in range(_k):
+            _prod += f" * ((n - c - {_i}) / (n - {_i}))"
+        _pk_rows.append(
+            f"SELECT {_k} AS k, CASE WHEN n - c >= {_k} THEN "
+            f"1.0 - ({_prod}) ELSE 1.0 END AS p FROM t"
+        )
+    _pass_sql = (
+        f"WITH {_task_cte},\nper AS ("
+        + " UNION ALL ".join(_pk_rows)
+        + ")\nSELECT k, count(*) AS n_tasks, "
+        "ROUND(avg(p), 6) AS mean_pass, "
+        "sum(CASE WHEN p = 1.0 THEN 1 ELSE 0 END) AS n_certain "
+        "FROM per GROUP BY k"
+    )
+    _mj_rows = []
+    for _k in (1, 3, 5):
+        _acc = "0.0"
+        for _j in range(_k // 2 + 1, _k + 1):
+            _t = repr(float(_comb(_k, _j)))
+            _t += " * p" * _j
+            _t += " * q" * (_k - _j)
+            _acc += f" + ({_t})"
+        _mj_rows.append(
+            f"SELECT {_k} AS k, {_acc} AS m, p AS p1 FROM pt"
+        )
+    _maj_sql = (
+        f"WITH {_task_cte},\n"
+        "pt AS (SELECT c / n AS p, 1.0 - (c / n) AS q FROM t),\n"
+        "per AS ("
+        + " UNION ALL ".join(_mj_rows)
+        + ")\nSELECT k, count(*) AS n_tasks, "
+        "ROUND(avg(m), 6) AS mean_maj, "
+        "ROUND(avg(m) - avg(p1), 6) AS gain_vs_1 FROM per GROUP BY k"
+    )
+
     _hdrs_cte = r"""hdrs AS (SELECT
   'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
   CASE WHEN doc_id % 3 = 0 THEN 'Strict-Transport-Security: max-age='
@@ -13107,6 +13210,50 @@ FROM g
   FROM documents)"""
 
     return {
+        # Unbiased pass@k estimator (ops/passk.py)
+        "pass_at_k": _pass_sql,
+        # Self-consistency maj@k (ops/passk.py)
+        "majority_vote": _maj_sql,
+        # URL file-extension mix (ops/domains.py)
+        "extension_mix": r"""
+WITH u AS (SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+  CASE WHEN doc_id % 12 = 0 THEN '/index.html'
+       WHEN doc_id % 12 = 1 THEN '/p' || CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 12 = 2 THEN '/doc.pdf'
+       WHEN doc_id % 12 = 3 THEN '/img.JPG'
+       WHEN doc_id % 12 = 4 THEN '/app.js'
+       WHEN doc_id % 12 = 5 THEN '/feed.xml'
+       WHEN doc_id % 12 = 6 THEN '/arch.tar.gz'
+       WHEN doc_id % 12 = 7 THEN '/style.css'
+       WHEN doc_id % 12 = 8 THEN '/pic.png'
+       WHEN doc_id % 12 = 9 THEN '/page.php'
+       WHEN doc_id % 12 = 10 THEN '/data.json'
+       ELSE '/movie.mp4' END AS path
+  FROM documents),
+e AS (SELECT host, lower(coalesce(
+        regexp_extract(path, '\.([A-Za-z0-9]{1,5})$', 1), ''))
+        AS ext FROM u),
+cl AS (SELECT host,
+  CASE WHEN ext IN ('html', 'htm', 'php', 'asp', 'aspx')
+         OR ext = '' THEN 'page'
+       WHEN ext IN ('pdf', 'doc', 'docx', 'ppt', 'xls') THEN 'doc'
+       WHEN ext IN ('jpg', 'jpeg', 'png', 'gif', 'webp', 'svg')
+         THEN 'image'
+       WHEN ext IN ('js', 'css', 'woff', 'woff2', 'ico')
+         THEN 'asset'
+       WHEN ext IN ('xml', 'json', 'rss', 'csv') THEN 'data'
+       ELSE 'other' END AS cls FROM e)
+SELECT host, count(*) AS n_urls,
+  sum(CASE WHEN cls = 'page' THEN 1 ELSE 0 END) AS n_page,
+  sum(CASE WHEN cls = 'doc' THEN 1 ELSE 0 END) AS n_doc,
+  sum(CASE WHEN cls = 'image' THEN 1 ELSE 0 END) AS n_image,
+  sum(CASE WHEN cls = 'asset' THEN 1 ELSE 0 END) AS n_asset,
+  sum(CASE WHEN cls = 'data' THEN 1 ELSE 0 END) AS n_data,
+  sum(CASE WHEN cls = 'other' THEN 1 ELSE 0 END) AS n_other,
+  ROUND(sum(CASE WHEN cls = 'page' THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS frac_page
+FROM cl GROUP BY host
+""",
         # Security-header adoption audit (ops/httpmeta.py)
         "security_headers": f"""
 WITH {_hdrs_cte},

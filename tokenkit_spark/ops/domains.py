@@ -113,3 +113,67 @@ def blocklist_filter(
         "left_anti",
     )
     return out.drop("__domain")
+
+
+EXT_CLASSES = (
+    ("page", ("html", "htm", "php", "asp", "aspx", "")),
+    ("doc", ("pdf", "doc", "docx", "ppt", "xls")),
+    ("image", ("jpg", "jpeg", "png", "gif", "webp", "svg")),
+    ("asset", ("js", "css", "woff", "woff2", "ico")),
+    ("data", ("xml", "json", "rss", "csv")),
+)
+
+
+def url_extension_mix(
+    urls: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    round_digits: int = 6,
+) -> DataFrame:
+    """URL file-extension mix per host — what a host's URL space is
+    made of before fetching a byte.
+
+    The frontier-shaping heuristic every crawler applies: path
+    extension predicts content class (page / document / image /
+    asset / data feed), so the per-host mix decides how much of the
+    discovered URL space is even worth an HTML-pipeline fetch.
+    Extensionless paths count as pages (the clean-URL convention).
+
+    Per host: (host, n_urls, n_page, n_doc, n_image, n_asset,
+    n_data, n_other, frac_page).
+    """
+    ext = F.lower(
+        F.regexp_extract(F.col(path_col), r"\.([A-Za-z0-9]{1,5})$", 1)
+    )
+    cls = None
+    for name, exts in EXT_CLASSES:
+        cond = ext.isin(*[e for e in exts if e]) | (
+            F.lit("" in exts) & (ext == "")
+        )
+        cls = (
+            F.when(cond, F.lit(name))
+            if cls is None
+            else cls.when(cond, F.lit(name))
+        )
+    cls = cls.otherwise(F.lit("other"))
+    per = urls.select(
+        F.col(host_col).alias("host"), cls.alias("cls")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_urls")]
+    for name, _ in EXT_CLASSES:
+        aggs.append(
+            F.sum((F.col("cls") == name).cast("long")).alias(
+                f"n_{name}"
+            )
+        )
+    aggs.append(
+        F.sum((F.col("cls") == "other").cast("long")).alias("n_other")
+    )
+    aggs.append(
+        F.round(
+            F.sum((F.col("cls") == "page").cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("frac_page")
+    )
+    return per.groupBy("host").agg(*aggs)
