@@ -9366,6 +9366,59 @@ def q_simpsons(spark, sf_dir):
     return simpsons_check(_events(spark, sf_dir))
 
 
+def q_markdown_scan(spark, sf_dir):
+    """Markdown-structure contamination per source: fences, ATX
+    headings, table rules, inline links
+    (ops/contamination.py:markdown_scan)."""
+    from tokenkit_spark.ops.contamination import markdown_scan
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    planted = (
+        F.when(doc % 9 == 0, F.lit("\n```\ncode sample\n```"))
+        .when(doc % 9 == 1, F.lit("\n# Heading here"))
+        .when(doc % 9 == 2, F.lit("\n| a | b |\n|---|---|"))
+        .when(doc % 9 == 3, F.lit(" see [link](http://x.example)"))
+        .otherwise(F.lit(""))
+    )
+    return markdown_scan(
+        d.select(
+            "source", F.concat(F.col("text"), planted).alias("text")
+        )
+    )
+
+
+def q_license_scan(spark, sf_dir):
+    """License-phrase triage per source: all-rights-reserved / CC /
+    public-domain / SPDX-permissive markers
+    (ops/contamination.py:license_scan)."""
+    from tokenkit_spark.ops.contamination import license_scan
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    planted = (
+        F.when(doc % 10 == 0, F.lit(" All rights reserved."))
+        .when(doc % 10 == 1, F.lit(" Creative Commons BY 4.0"))
+        .when(doc % 10 == 2, F.lit(" public domain dedication"))
+        .when(doc % 10 == 3, F.lit(" licensed under the MIT license"))
+        .otherwise(F.lit(""))
+    )
+    return license_scan(
+        d.select(
+            "source", F.concat(F.col("text"), planted).alias("text")
+        )
+    )
+
+
+def q_shard_balance(spark, sf_dir):
+    """Hash-routing shard balance: CV + doc/byte hot-shard factors at
+    32 shards over keyed-md5 routing
+    (index/routing.py:shard_balance_audit)."""
+    from tokenkit_spark.index.routing import shard_balance_audit
+
+    return shard_balance_audit(_docs(spark, sf_dir), n_shards=32)
+
+
 def _eval_tasks(spark, sf_dir):
     """Deterministic per-task sample tallies (n drawn, c correct) over
     doc ids; recipe inlined in the pass@k / maj@k SQL oracles."""
@@ -9665,6 +9718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "markdown_scan": q_markdown_scan,
+        "license_scan": q_license_scan,
+        "shard_balance": q_shard_balance,
         "pass_at_k": q_pass_at_k,
         "majority_vote": q_majority_vote,
         "extension_mix": q_extension_mix,
@@ -13210,6 +13266,78 @@ FROM g
   FROM documents)"""
 
     return {
+        # Markdown-structure contamination scan (ops/contamination.py)
+        "markdown_scan": r"""
+WITH d AS (SELECT source AS grp, text || CASE
+    WHEN doc_id % 9 = 0 THEN chr(10) || '```' || chr(10)
+      || 'code sample' || chr(10) || '```'
+    WHEN doc_id % 9 = 1 THEN chr(10) || '# Heading here'
+    WHEN doc_id % 9 = 2 THEN chr(10) || '| a | b |' || chr(10)
+      || '|---|---|'
+    WHEN doc_id % 9 = 3 THEN ' see [link](http://x.example)'
+    ELSE '' END AS t FROM documents),
+per AS (SELECT grp,
+  CASE WHEN len(regexp_extract_all(t, '```')) > 0
+       THEN 1 ELSE 0 END AS f,
+  CASE WHEN len(regexp_extract_all(t, '(^|\n)#{1,6} ')) > 0
+       THEN 1 ELSE 0 END AS h,
+  CASE WHEN len(regexp_extract_all(t, '\|[ :]*-{3,}[ :]*\|')) > 0
+       THEN 1 ELSE 0 END AS tb,
+  CASE WHEN len(regexp_extract_all(t, '\[[^\]]+\]\([^)]+\)')) > 0
+       THEN 1 ELSE 0 END AS l
+  FROM d),
+per2 AS (SELECT grp, f, h, tb, l,
+  CASE WHEN f + h + tb + l > 0 THEN 1 ELSE 0 END AS a FROM per)
+SELECT grp, count(*) AS n_docs, sum(f) AS n_fence,
+  sum(h) AS n_heading, sum(tb) AS n_table, sum(l) AS n_link,
+  sum(a) AS docs_any,
+  ROUND(sum(a) / CAST(count(*) AS DOUBLE), 6) AS frac_any
+FROM per2 GROUP BY grp
+""",
+        # License-phrase triage scan (ops/contamination.py)
+        "license_scan": r"""
+WITH d AS (SELECT source AS grp, lower(text || CASE
+    WHEN doc_id % 10 = 0 THEN ' All rights reserved.'
+    WHEN doc_id % 10 = 1 THEN ' Creative Commons BY 4.0'
+    WHEN doc_id % 10 = 2 THEN ' public domain dedication'
+    WHEN doc_id % 10 = 3 THEN ' licensed under the MIT license'
+    ELSE '' END) AS t FROM documents),
+per AS (SELECT grp,
+  CASE WHEN regexp_matches(t, 'all rights reserved')
+       THEN 1 ELSE 0 END AS c0,
+  CASE WHEN regexp_matches(t, 'creative commons|cc by')
+       THEN 1 ELSE 0 END AS c1,
+  CASE WHEN regexp_matches(t, 'public domain')
+       THEN 1 ELSE 0 END AS c2,
+  CASE WHEN regexp_matches(t, 'licensed under the (apache|mit|bsd)')
+       THEN 1 ELSE 0 END AS c3
+  FROM d),
+per2 AS (SELECT grp, c0, c1, c2, c3,
+  CASE WHEN c0 + c1 + c2 + c3 > 0 THEN 1 ELSE 0 END AS a FROM per)
+SELECT grp, count(*) AS n_docs, sum(c0) AS n_restrictive,
+  sum(c1) AS n_cc, sum(c2) AS n_public_domain,
+  sum(c3) AS n_permissive, sum(a) AS docs_marked,
+  ROUND(sum(a) / CAST(count(*) AS DOUBLE), 6) AS frac_marked
+FROM per2 GROUP BY grp
+""",
+        # Hash-routing shard balance audit (index/routing.py)
+        "shard_balance": """
+WITH per AS (SELECT
+  ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)),
+   1, 8))::BIGINT % 32 AS s,
+  count(*) AS n, sum(n_chars) AS b FROM documents GROUP BY 1),
+st AS (SELECT count(*) AS su, sum(n) AS t, sum(n * n) AS nn,
+       max(n) AS mx, sum(b) AS tb, max(b) AS mxb FROM per)
+SELECT su AS n_shards_used, t AS n_docs,
+  ROUND(t / CAST(su AS DOUBLE), 6) AS mean_docs, mx AS max_docs,
+  ROUND(sqrt(greatest(nn / CAST(su AS DOUBLE)
+        - (t / CAST(su AS DOUBLE)) * (t / CAST(su AS DOUBLE)), 0.0))
+        / (t / CAST(su AS DOUBLE)), 6) AS cv_docs,
+  ROUND(mx / (t / CAST(su AS DOUBLE)), 6) AS hot_factor,
+  mxb AS max_bytes,
+  ROUND(mxb / (tb / CAST(su AS DOUBLE)), 6) AS byte_hot_factor
+FROM st
+""",
         # Unbiased pass@k estimator (ops/passk.py)
         "pass_at_k": _pass_sql,
         # Self-consistency maj@k (ops/passk.py)

@@ -305,3 +305,74 @@ def shard_bloom_skip_audit(
             ).alias("false_probe_frac"),
         )
     )
+
+
+def shard_balance_audit(
+    docs: DataFrame,
+    n_shards: int = 32,
+    doc_col: str = "doc_id",
+    size_col: str = "n_chars",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hash-routing shard balance audit — how hot is the hottest
+    shard.
+
+    Document-hashed routing (the default of every sharded index)
+    balances only in expectation; the operative SLO numbers are the
+    coefficient of variation of shard sizes and the max/mean "hot
+    shard" factor, in both docs and bytes — a byte-hot shard is the
+    one that misses latency targets even when doc counts look even
+    (balls-into-bins: with n docs into s shards the expected max
+    exceeds n/s by ~sqrt(2 (n/s) ln s)).  Routing uses the keyed-md5
+    doc hash so the audit is reproducible across engines.
+
+    One row: (n_shards_used, n_docs, mean_docs, max_docs, cv_docs,
+    hot_factor, max_bytes, byte_hot_factor).
+    """
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("shard:"),
+                        F.col(doc_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    per = docs.groupBy(shard.alias("s")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(size_col).alias("b"),
+    )
+    st = per.agg(
+        F.count(F.lit(1)).alias("su"),
+        F.sum("n").alias("t"),
+        F.sum(F.col("n") * F.col("n")).alias("nn"),
+        F.max("n").alias("mx"),
+        F.sum("b").alias("tb"),
+        F.max("b").alias("mxb"),
+    )
+    mean = F.col("t") / F.col("su").cast("double")
+    msq = F.col("nn") / F.col("su").cast("double")
+    var = msq - mean * mean
+    meanb = F.col("tb") / F.col("su").cast("double")
+    return st.select(
+        F.col("su").alias("n_shards_used"),
+        F.col("t").alias("n_docs"),
+        F.round(mean, round_digits).alias("mean_docs"),
+        F.col("mx").alias("max_docs"),
+        F.round(
+            F.sqrt(F.greatest(var, F.lit(0.0))) / mean, round_digits
+        ).alias("cv_docs"),
+        F.round(F.col("mx") / mean, round_digits).alias("hot_factor"),
+        F.col("mxb").alias("max_bytes"),
+        F.round(F.col("mxb") / meanb, round_digits).alias(
+            "byte_hot_factor"
+        ),
+    )

@@ -309,3 +309,108 @@ def injection_scan(
             round_digits,
         ).alias("frac_hit"),
     )
+
+
+def markdown_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Markdown-structure contamination scan — how much of a "plain
+    text" corpus is actually markup.
+
+    Web-scraped corpora leak markdown through readme mirrors, forum
+    exports, and wiki dumps; unstripped fences and tables teach a
+    model to emit stray ```-blocks in prose.  Counts the four
+    telltale constructs: fenced code blocks, ATX headings, table
+    rules, and inline links.
+
+    Per (grp): (grp, n_docs, n_fence, n_heading, n_table, n_link,
+    docs_any, frac_any).
+    """
+    t = F.col(text_col)
+    fence = (F.regexp_count(t, F.lit("```")) > 0).cast("long")
+    heading = (
+        F.regexp_count(t, F.lit(r"(^|\n)#{1,6} ")) > 0
+    ).cast("long")
+    table = (
+        F.regexp_count(t, F.lit(r"\|[ :]*-{3,}[ :]*\|")) > 0
+    ).cast("long")
+    link = (
+        F.regexp_count(t, F.lit(r"\[[^\]]+\]\([^)]+\)")) > 0
+    ).cast("long")
+    anyc = (
+        (fence + heading + table + link) > 0
+    ).cast("long")
+    per = docs.select(
+        F.col(group_col).alias("grp"),
+        fence.alias("f"),
+        heading.alias("h"),
+        table.alias("tb"),
+        link.alias("l"),
+        anyc.alias("a"),
+    )
+    return per.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f").alias("n_fence"),
+        F.sum("h").alias("n_heading"),
+        F.sum("tb").alias("n_table"),
+        F.sum("l").alias("n_link"),
+        F.sum("a").alias("docs_any"),
+        F.round(
+            F.sum("a") / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("frac_any"),
+    )
+
+
+LICENSE_CLASSES = (
+    ("restrictive", r"all rights reserved"),
+    ("cc", r"creative commons|cc by"),
+    ("public_domain", r"public domain"),
+    ("permissive", r"licensed under the (apache|mit|bsd)"),
+)
+
+
+def license_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """License-phrase scan — the first-pass rights triage of a
+    training corpus.
+
+    Phrase-level license detection is how large corpus audits bucket
+    documents before any real rights review (the C4/Common-Crawl
+    licensing studies work exactly this way): an "all rights
+    reserved" notice flags restrictive intent, Creative-Commons and
+    public-domain markers flag reusable intent, and SPDX-style
+    "licensed under ..." lines flag permissive code/doc licenses.
+    Counts are doc-level (a doc can carry several classes).
+
+    Per (grp): (grp, n_docs, n_restrictive, n_cc, n_public_domain,
+    n_permissive, docs_marked, frac_marked).
+    """
+    t = F.lower(F.col(text_col))
+    flags = [
+        (t.rlike(pat)).cast("long").alias(f"c{i}")
+        for i, (_, pat) in enumerate(LICENSE_CLASSES)
+    ]
+    per = docs.select(F.col(group_col).alias("grp"), *flags)
+    anyf = F.col("c0")
+    for i in range(1, len(LICENSE_CLASSES)):
+        anyf = anyf + F.col(f"c{i}")
+    per = per.withColumn("a", (anyf > 0).cast("long"))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for i, (name, _) in enumerate(LICENSE_CLASSES):
+        aggs.append(F.sum(f"c{i}").alias(f"n_{name}"))
+    aggs.append(F.sum("a").alias("docs_marked"))
+    aggs.append(
+        F.round(
+            F.sum("a") / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("frac_marked")
+    )
+    return per.groupBy("grp").agg(*aggs)
