@@ -9366,6 +9366,32 @@ def q_simpsons(spark, sf_dir):
     return simpsons_check(_events(spark, sf_dir))
 
 
+def q_hist_quantile(spark, sf_dir):
+    """Equi-width histogram sketch vs exact quantiles at p50/p90/p99:
+    the mergeable-summary accuracy price
+    (ops/aggs.py:hist_quantile_audit)."""
+    from tokenkit_spark.ops.aggs import hist_quantile_audit
+
+    return hist_quantile_audit(_events(spark, sf_dir))
+
+
+def q_robust_z(spark, sf_dir):
+    """Iglewicz-Hoaglin modified z (median/MAD) daily anomaly screen —
+    the outlier test outliers can't poison
+    (ops/changepoint.py:robust_zscore_daily)."""
+    from tokenkit_spark.ops.changepoint import robust_zscore_daily
+
+    return robust_zscore_daily(_events(spark, sf_dir))
+
+
+def q_session_gap_sweep(spark, sf_dir):
+    """Sessionization inactivity-threshold sweep (10/30/60 min) from
+    one gap pass (ops/events.py:session_gap_sweep)."""
+    from tokenkit_spark.ops.events import session_gap_sweep
+
+    return session_gap_sweep(_events(spark, sf_dir))
+
+
 def q_markdown_scan(spark, sf_dir):
     """Markdown-structure contamination per source: fences, ATX
     headings, table rules, inline links
@@ -9718,6 +9744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "hist_quantile": q_hist_quantile,
+        "robust_z": q_robust_z,
+        "session_gap_sweep": q_session_gap_sweep,
         "markdown_scan": q_markdown_scan,
         "license_scan": q_license_scan,
         "shard_balance": q_shard_balance,
@@ -13265,7 +13294,90 @@ FROM g
     ELSE '' END AS h
   FROM documents)"""
 
+    _hq_rows = []
+    for _p in (0.5, 0.9, 0.99):
+        _hq_rows.append(f"""
+SELECT CAST({_p} AS DOUBLE) AS p,
+  ROUND((SELECT quantile_cont(value, {_p}) FROM events), 6)
+    AS exact_q,
+  ROUND((SELECT mn FROM st) +
+    ((SELECT min(b) FROM cum, st
+      WHERE cum.cum >= CAST(ceil({_p} * st.nv) AS BIGINT)) + 1)
+    * (SELECT (mx - mn) / 64 FROM st), 6) AS hist_q""")
+    _hq_sql = (
+        """
+WITH st AS (SELECT min(value) AS mn, max(value) AS mx,
+            count(value) AS nv FROM events),
+h AS (SELECT least(CAST(floor((e.value - st.mn)
+        / ((st.mx - st.mn) / 64)) AS BIGINT), 63) AS b,
+      count(*) AS c FROM events e, st GROUP BY 1),
+cum AS (SELECT b, sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        PRECEDING AND CURRENT ROW) AS cum FROM h),
+u AS ("""
+        + " UNION ALL ".join(_hq_rows)
+        + """)
+SELECT p, exact_q, hist_q,
+  ROUND(hist_q - exact_q, 6) AS abs_err,
+  ROUND(CASE WHEN exact_q <> 0
+        THEN (hist_q - exact_q) / exact_q END, 6) AS rel_err
+FROM u"""
+    )
+
     return {
+        # Histogram-sketch quantile accuracy audit (ops/aggs.py)
+        "hist_quantile": _hq_sql,
+        # Median/MAD robust daily anomaly screen (ops/changepoint.py)
+        "robust_z": """
+WITH daily AS (SELECT event_type AS etype,
+  CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+med AS (SELECT etype, quantile_cont(CAST(n_events AS DOUBLE), 0.5)
+        AS med FROM daily GROUP BY 1),
+dev AS (SELECT d.etype, d.day, d.n_events, m.med,
+        abs(d.n_events - m.med) AS adev
+        FROM daily d JOIN med m USING (etype)),
+mad AS (SELECT etype, quantile_cont(adev, 0.5) AS mad FROM dev
+        GROUP BY 1)
+SELECT d.etype, d.day, d.n_events, ROUND(d.med, 6) AS med,
+  ROUND(m.mad, 6) AS mad,
+  ROUND(CASE WHEN m.mad <> 0 THEN CAST(0.6745 AS DOUBLE)
+        * (d.n_events - d.med) / m.mad END, 6) AS robust_z,
+  coalesce(abs(CASE WHEN m.mad <> 0 THEN CAST(0.6745 AS DOUBLE)
+        * (d.n_events - d.med) / m.mad END), 0.0) > 3.5
+    AS is_anomaly
+FROM dev d JOIN mad m USING (etype)
+""",
+        # Sessionization threshold sweep (ops/events.py)
+        "session_gap_sweep": """
+WITH g AS (SELECT user_id AS u,
+  epoch_us(ts) - lag(epoch_us(ts)) OVER
+    (PARTITION BY user_id ORDER BY ts) AS gap_us FROM events),
+st AS (SELECT count(DISTINCT u) AS n_users,
+  sum(CASE WHEN gap_us IS NOT NULL THEN 1 ELSE 0 END) AS n_gaps,
+  coalesce(sum(CASE WHEN gap_us > 600000000 THEN 1 END), 0)
+    AS br10,
+  coalesce(sum(CASE WHEN gap_us > 1800000000 THEN 1 END), 0)
+    AS br30,
+  coalesce(sum(CASE WHEN gap_us > 3600000000 THEN 1 END), 0)
+    AS br60
+  FROM g)
+SELECT 10 AS gap_min, n_users + br10 AS n_sessions,
+  ROUND((n_users + br10) / CAST(n_users AS DOUBLE), 6)
+    AS sessions_per_user,
+  ROUND(CASE WHEN n_gaps > 0
+        THEN br10 / CAST(n_gaps AS DOUBLE) END, 6) AS frac_break
+FROM st
+UNION ALL
+SELECT 30, n_users + br30,
+  ROUND((n_users + br30) / CAST(n_users AS DOUBLE), 6),
+  ROUND(CASE WHEN n_gaps > 0
+        THEN br30 / CAST(n_gaps AS DOUBLE) END, 6) FROM st
+UNION ALL
+SELECT 60, n_users + br60,
+  ROUND((n_users + br60) / CAST(n_users AS DOUBLE), 6),
+  ROUND(CASE WHEN n_gaps > 0
+        THEN br60 / CAST(n_gaps AS DOUBLE) END, 6) FROM st
+""",
         # Markdown-structure contamination scan (ops/contamination.py)
         "markdown_scan": r"""
 WITH d AS (SELECT source AS grp, text || CASE

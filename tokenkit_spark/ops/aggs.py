@@ -38,6 +38,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1474,4 +1476,93 @@ def chi2_independence(
         ],
         "r_levels long, c_levels long, df long, chi2 double, "
         "chi2_crit double, significant boolean",
+    )
+
+
+def hist_quantile_audit(
+    events: DataFrame,
+    value_col: str = "value",
+    n_buckets: int = 64,
+    probs: tuple = (0.5, 0.9, 0.99),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Equi-width histogram quantile sketch vs exact quantiles — the
+    accuracy price of one-pass mergeable summaries.
+
+    The distributed-systems trade every metrics pipeline makes
+    (Prometheus histograms, t-digest, DDSketch): a fixed-bucket
+    histogram is mergeable across executors with no per-value state,
+    but answers quantile queries only to bucket resolution.  The
+    audit quantifies that: exact interpolated quantiles next to the
+    upper-bucket-edge estimate the histogram would report, at the
+    operative p50/p90/p99.  Error scales with (max-min)/n_buckets —
+    the number this audit hands to capacity planning when choosing
+    bucket counts.
+
+    Per p: (p, exact_q, hist_q, abs_err, rel_err).
+    """
+    x = F.col(value_col).cast("double")
+    st = events.agg(
+        F.min(x).alias("mn"),
+        F.max(x).alias("mx"),
+        F.count(x).alias("nv"),
+    )
+    mn, mx, nv = st.collect()[0]
+    w = (mx - mn) / n_buckets
+    b = F.least(
+        F.floor((x - F.lit(mn)) / F.lit(w)).cast("long"),
+        F.lit(n_buckets - 1),
+    )
+    hist = (
+        events.groupBy(b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wspec = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("b", F.sum("c").over(wspec).alias("cum"))
+    exact = events.agg(
+        *[
+            F.percentile(x, F.lit(p)).alias(f"e{i}")
+            for i, p in enumerate(probs)
+        ]
+    ).collect()[0]
+    spark = events.sparkSession
+    parts = []
+    for i, p in enumerate(probs):
+        target = math.ceil(p * nv)
+        bsel = (
+            cum.filter(F.col("cum") >= target)
+            .agg(F.min("b").alias("bs"))
+        )
+        parts.append(
+            bsel.select(
+                F.lit(float(p)).alias("p"),
+                F.round(F.lit(float(exact[i])), round_digits).alias(
+                    "exact_q"
+                ),
+                F.round(
+                    F.lit(mn) + (F.col("bs") + 1) * F.lit(w),
+                    round_digits,
+                ).alias("hist_q"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.select(
+        "p",
+        "exact_q",
+        "hist_q",
+        F.round(F.col("hist_q") - F.col("exact_q"), round_digits).alias(
+            "abs_err"
+        ),
+        F.round(
+            F.when(
+                F.col("exact_q") != 0,
+                (F.col("hist_q") - F.col("exact_q"))
+                / F.col("exact_q"),
+            ),
+            round_digits,
+        ).alias("rel_err"),
     )

@@ -426,3 +426,68 @@ def trend_break_fit(
         "n_before",
         "n_after",
     )
+
+
+MAD_Z_CONST = 0.6745
+MAD_Z_THRESHOLD = 3.5
+
+
+def robust_zscore_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Median/MAD anomaly days — the outlier screen outliers can't
+    poison.
+
+    Shewhart-style mean/sigma rules (``shewhart_rules`` above) break
+    exactly when needed most: one huge day inflates sigma and hides
+    itself.  The Iglewicz-Hoaglin modified z-score 0.6745 (x - med) /
+    MAD is the standard robust replacement with the canonical 3.5
+    flag threshold — 50% breakdown point instead of 0%.  Per
+    (event_type, day): the daily count, its modified z, and the
+    flag; MAD = 0 (constant series) yields null z, never a division
+    error.
+
+    Per (etype, day): (etype, day, n_events, med, mad, robust_z,
+    is_anomaly).
+    """
+    daily = (
+        events.groupBy(
+            F.col(type_col).alias("etype"),
+            F.to_date(F.col(ts_col)).cast("string").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    med = daily.groupBy("etype").agg(
+        F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias(
+            "med"
+        )
+    )
+    dev = daily.join(med, "etype").withColumn(
+        "adev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("etype").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    z = F.when(
+        F.col("mad") != 0,
+        F.lit(MAD_Z_CONST)
+        * (F.col("n_events") - F.col("med"))
+        / F.col("mad"),
+    )
+    return (
+        dev.join(mad, "etype")
+        .select(
+            "etype",
+            "day",
+            "n_events",
+            F.round("med", round_digits).alias("med"),
+            F.round("mad", round_digits).alias("mad"),
+            F.round(z, round_digits).alias("robust_z"),
+            (
+                F.coalesce(F.abs(z), F.lit(0.0)) > MAD_Z_THRESHOLD
+            ).alias("is_anomaly"),
+        )
+    )

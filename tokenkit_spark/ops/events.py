@@ -1592,3 +1592,75 @@ def engagement_lx(
             "mean_days"
         ),
     )
+
+
+def session_gap_sweep(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    thresholds_min: tuple = (10, 30, 60),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Inactivity-threshold sensitivity sweep for sessionization.
+
+    The 30-minute session timeout is folklore, not physics; the
+    defensible way to pick one is to sweep thresholds and look for
+    the plateau where the session count stops moving (the classic
+    inter-activity-gap elbow analysis).  One shuffle computes every
+    per-user gap; each candidate threshold is then a conditional
+    count over the same gaps — the sweep costs one pass no matter
+    how many thresholds, which is what makes it viable at log scale.
+
+    Per threshold: (gap_min, n_sessions, sessions_per_user,
+    frac_break).
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    # microsecond-exact epoch so sub-second event times compare
+    # identically across engines
+    ts = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = events.select(
+        F.col(entity_col).alias("u"),
+        (ts - F.lag(ts).over(w)).alias("gap_us"),
+    )
+    aggs = [
+        F.countDistinct("u").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("gap_us").isNotNull().cast("long")).alias("n_gaps"),
+    ]
+    for t in thresholds_min:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    (F.col("gap_us") > t * 60 * 1_000_000).cast("long")
+                ),
+                F.lit(0),
+            ).alias(f"br{t}")
+        )
+    st = gaps.agg(*aggs)
+    parts = []
+    for t in thresholds_min:
+        parts.append(
+            st.select(
+                F.lit(t).alias("gap_min"),
+                (F.col("n_users") + F.col(f"br{t}")).alias(
+                    "n_sessions"
+                ),
+                F.round(
+                    (F.col("n_users") + F.col(f"br{t}"))
+                    / F.col("n_users").cast("double"),
+                    round_digits,
+                ).alias("sessions_per_user"),
+                F.round(
+                    F.when(
+                        F.col("n_gaps") > 0,
+                        F.col(f"br{t}")
+                        / F.col("n_gaps").cast("double"),
+                    ),
+                    round_digits,
+                ).alias("frac_break"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
