@@ -9366,6 +9366,65 @@ def q_simpsons(spark, sf_dir):
     return simpsons_check(_events(spark, sf_dir))
 
 
+def q_title_coverage(spark, sf_dir):
+    """Title-body term coverage per host: clickbait / doorway-title
+    screen (ops/htmlmeta.py:title_body_coverage)."""
+    from tokenkit_spark.ops.htmlmeta import title_body_coverage
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    title = (
+        F.when(doc % 4 == 0, F.lit("alpha beta"))
+        .when(doc % 4 == 1, F.lit("gamma delta"))
+        .when(doc % 4 == 2, F.lit("zzzq qqqz"))
+        .otherwise(F.lit("alpha zzzq"))
+    )
+    body = F.concat(
+        F.col("text"), F.lit(" alpha beta gamma delta")
+    )
+    return title_body_coverage(
+        d.select(
+            F.concat(F.lit("h"), (doc % 5).cast("string")).alias(
+                "host"
+            ),
+            title.alias("title"),
+            body.alias("body"),
+        )
+    )
+
+
+def q_obf_monitor(spark, sf_dir):
+    """O'Brien-Fleming K=3 group-sequential A/B monitor over the
+    first three event weeks (ops/abtest.py:obrien_fleming_monitor)."""
+    from tokenkit_spark.ops.abtest import obrien_fleming_monitor
+
+    return obrien_fleming_monitor(_events(spark, sf_dir))
+
+
+def q_subdomain_profile(spark, sf_dir):
+    """Subdomain sprawl per registered domain: host spread, www/apex
+    concentration (ops/domains.py:subdomain_profile)."""
+    from tokenkit_spark.ops.domains import subdomain_profile
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    dom = F.concat(F.lit("d"), (doc % 20).cast("string"), F.lit(".com"))
+    sub = (
+        F.when(doc % 6 == 0, F.lit("www."))
+        .when(doc % 6 == 1, F.lit(""))
+        .when(doc % 6 == 2, F.lit("blog."))
+        .when(doc % 6 == 3, F.lit("shop."))
+        .when(
+            doc % 6 == 4,
+            F.concat(F.lit("a"), doc.cast("string"), F.lit(".")),
+        )
+        .otherwise(F.lit("www."))
+    )
+    return subdomain_profile(
+        d.select(F.concat(sub, dom).alias("host"))
+    )
+
+
 def q_hist_quantile(spark, sf_dir):
     """Equi-width histogram sketch vs exact quantiles at p50/p90/p99:
     the mergeable-summary accuracy price
@@ -9744,6 +9803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "title_coverage": q_title_coverage,
+        "obf_monitor": q_obf_monitor,
+        "subdomain_profile": q_subdomain_profile,
         "hist_quantile": q_hist_quantile,
         "robust_z": q_robust_z,
         "session_gap_sweep": q_session_gap_sweep,
@@ -13324,6 +13386,97 @@ FROM u"""
     )
 
     return {
+        # Title-body term coverage (ops/htmlmeta.py)
+        "title_coverage": r"""
+WITH p AS (SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+  CASE WHEN doc_id % 4 = 0 THEN 'alpha beta'
+       WHEN doc_id % 4 = 1 THEN 'gamma delta'
+       WHEN doc_id % 4 = 2 THEN 'zzzq qqqz'
+       ELSE 'alpha zzzq' END AS title,
+  text || ' alpha beta gamma delta' AS body
+  FROM documents),
+c AS (SELECT host,
+  len(list_distinct(str_split_regex(lower(trim(title)), '\s+')))
+    AS ntw,
+  len(list_intersect(
+    list_distinct(str_split_regex(lower(trim(title)), '\s+')),
+    str_split_regex(lower(body), '\s+'))) AS hits
+  FROM p),
+cv AS (SELECT host,
+  CASE WHEN ntw > 0 THEN hits / CAST(ntw AS DOUBLE) END AS cov
+  FROM c)
+SELECT host, count(*) AS n_pages,
+  ROUND(sum(cov) / CAST(count(cov) AS DOUBLE), 6) AS mean_coverage,
+  coalesce(sum(CASE WHEN cov = 0.0 THEN 1 END), 0)
+    AS n_zero_coverage,
+  coalesce(sum(CASE WHEN cov = 1.0 THEN 1 END), 0)
+    AS n_full_coverage,
+  ROUND(coalesce(sum(CASE WHEN cov = 0.0 THEN 1 END), 0)
+        / CAST(count(*) AS DOUBLE), 6) AS frac_zero
+FROM cv GROUP BY host
+""",
+        # O'Brien-Fleming group-sequential monitor (ops/abtest.py)
+        "obf_monitor": """
+WITH wks AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE)
+             AS w FROM events ORDER BY w LIMIT 3),
+lk AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT)
+       AS look FROM wks),
+per AS (SELECT l.look, l.w, e.user_id % 2 AS arm, e.user_id AS u,
+        sum(e.value) AS x
+        FROM events e JOIN lk l
+        ON CAST(date_trunc('week', e.ts) AS DATE) <= l.w
+        GROUP BY 1, 2, 3, 4),
+st AS (SELECT look, w, arm, count(*) AS n, sum(x) AS s,
+       sum(x * x) AS ss FROM per GROUP BY 1, 2, 3),
+wide AS (SELECT a.look, a.w,
+         CAST(a.n AS DOUBLE) AS n0d, CAST(b.n AS DOUBLE) AS n1d,
+         a.n AS n0i, b.n AS n1i, a.s AS s0, b.s AS s1,
+         a.ss AS ss0, b.ss AS ss1
+         FROM st a JOIN st b ON a.look = b.look AND a.w = b.w
+         AND a.arm = 0 AND b.arm = 1),
+z AS (SELECT look, w, n0i, n1i,
+  (s1 / n1d - s0 / n0d) /
+  sqrt(((ss0 - s0 * s0 / n0d) / (n0d - 1)) / n0d
+       + ((ss1 - s1 * s1 / n1d) / (n1d - 1)) / n1d) AS zv
+  FROM wide)
+SELECT look, CAST(w AS VARCHAR) AS week, n0i AS n0, n1i AS n1,
+  ROUND(zv, 6) AS z,
+  CASE look WHEN 1 THEN CAST(3.471 AS DOUBLE)
+       WHEN 2 THEN CAST(2.454 AS DOUBLE)
+       ELSE CAST(2.004 AS DOUBLE) END AS bound,
+  abs(zv) > CASE look WHEN 1 THEN CAST(3.471 AS DOUBLE)
+            WHEN 2 THEN CAST(2.454 AS DOUBLE)
+            ELSE CAST(2.004 AS DOUBLE) END AS crossed
+FROM z
+""",
+        # Subdomain sprawl profile (ops/domains.py)
+        "subdomain_profile": r"""
+WITH u AS (SELECT
+  CASE WHEN doc_id % 6 = 0 THEN 'www.'
+       WHEN doc_id % 6 = 1 THEN ''
+       WHEN doc_id % 6 = 2 THEN 'blog.'
+       WHEN doc_id % 6 = 3 THEN 'shop.'
+       WHEN doc_id % 6 = 4 THEN 'a' || CAST(doc_id AS VARCHAR) || '.'
+       ELSE 'www.' END
+  || 'd' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS host
+  FROM documents),
+d AS (SELECT host,
+  CASE WHEN len(string_split(host, '.')) >= 2
+       THEN string_split(host, '.')[len(string_split(host, '.')) - 1]
+         || '.' ||
+         string_split(host, '.')[len(string_split(host, '.'))]
+       ELSE host END AS domain
+  FROM u),
+ph AS (SELECT domain, host AS h, count(*) AS n FROM d
+       GROUP BY 1, 2)
+SELECT domain, count(*) AS n_hosts, sum(n) AS n_urls,
+  ROUND(sum(CASE WHEN h LIKE 'www.%' THEN n ELSE 0 END)
+        / CAST(sum(n) AS DOUBLE), 6) AS frac_www,
+  ROUND(sum(CASE WHEN h = domain THEN n ELSE 0 END)
+        / CAST(sum(n) AS DOUBLE), 6) AS frac_apex,
+  ROUND(max(n) / CAST(sum(n) AS DOUBLE), 6) AS max_host_share
+FROM ph GROUP BY domain
+""",
         # Histogram-sketch quantile accuracy audit (ops/aggs.py)
         "hist_quantile": _hq_sql,
         # Median/MAD robust daily anomaly screen (ops/changepoint.py)

@@ -27,6 +27,8 @@ fit is a single distributed pass — no per-user collection.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -541,4 +543,81 @@ def simpsons_check(
         (F.signum(diff) == F.signum(F.lit(float(odiff)))).alias(
             "agrees_with_overall"
         ),
+    )
+
+
+# O'Brien-Fleming group-sequential z boundaries for K=3 equally
+# spaced looks at two-sided alpha=.05 (Pocock/OBF tables; the
+# canonical c * sqrt(K / k) shape with c = 2.004)
+OBF_BOUNDS_K3 = (3.471, 2.454, 2.004)
+
+
+def obrien_fleming_monitor(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming bounds.
+
+    Peeking at a fixed-horizon test inflates false positives; the
+    group-sequential fix (O'Brien & Fleming 1979) spends almost no
+    alpha early — the K=3 boundary sequence 3.471 / 2.454 / 2.004
+    — so an early stop needs an enormous effect.  Looks are the
+    first three calendar weeks; the arm is the parity of the user
+    id (the same deterministic split the other ab ops use); the
+    statistic is the two-sample z on per-user metric sums,
+    cumulative through each look.
+
+    Per look: (look, week, n0, n1, z, bound, crossed).
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    first3 = (
+        events.select(wk.alias("w"))
+        .distinct()
+        .orderBy("w")
+        .limit(3)
+        .collect()
+    )
+    weeks = [r.w for r in first3]
+    spark = events.sparkSession
+    parts = []
+    for look, wend in enumerate(weeks, start=1):
+        cum = events.filter(wk <= F.lit(wend))
+        per = cum.groupBy(
+            F.col(user_col).alias("u"),
+            (F.col(user_col) % 2).alias("arm"),
+        ).agg(F.sum(value_col).alias("x"))
+        st = per.groupBy("arm").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+        )
+        rows = {r.arm: r for r in st.collect()}
+        if 0 not in rows or 1 not in rows:
+            continue
+        r0, r1 = rows[0], rows[1]
+        n0, n1 = float(r0.n), float(r1.n)
+        m0, m1 = r0.s / n0, r1.s / n1
+        v0 = (r0.ss - r0.s * r0.s / n0) / (n0 - 1) if n0 > 1 else 0.0
+        v1 = (r1.ss - r1.s * r1.s / n1) / (n1 - 1) if n1 > 1 else 0.0
+        se2 = v0 / n0 + v1 / n1
+        z = (m1 - m0) / math.sqrt(se2) if se2 > 0 else None
+        bound = OBF_BOUNDS_K3[look - 1]
+        parts.append(
+            (
+                look,
+                str(wend),
+                int(n0),
+                int(n1),
+                round(z, round_digits) if z is not None else None,
+                bound,
+                bool(z is not None and abs(z) > bound),
+            )
+        )
+    return spark.createDataFrame(
+        parts,
+        "look long, week string, n0 long, n1 long, z double,"
+        " bound double, crossed boolean",
     )

@@ -177,3 +177,58 @@ def url_extension_mix(
         ).alias("frac_page")
     )
     return per.groupBy("host").agg(*aggs)
+
+
+def subdomain_profile(
+    urls: DataFrame,
+    host_col: str = "host",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Subdomain sprawl profile per registered domain — the
+    wildcard-subdomain spam signal.
+
+    Subdomain farms (thousands of ``*.example.com`` hosts, each thin)
+    are a classic web-spam and crawl-budget pathology; conversely,
+    legitimate sites concentrate on apex + www.  Groups hosts by
+    their registered domain (last two labels — the public-suffix
+    approximation used by ``registered_domain`` above) and profiles
+    the spread.
+
+    Per domain: (domain, n_hosts, n_urls, frac_www, frac_apex,
+    max_host_share).
+    """
+    host = F.col(host_col)
+    parts = F.split(host, r"\.")
+    np_ = F.size(parts)
+    domain = F.when(
+        np_ >= 2,
+        F.concat_ws(
+            ".", F.get(parts, np_ - 2), F.get(parts, np_ - 1)
+        ),
+    ).otherwise(host)
+    per_host = urls.groupBy(
+        domain.alias("domain"), host.alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_host.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("n").alias("n_urls"),
+        F.round(
+            F.sum(
+                F.when(F.col("h").startswith("www."), F.col("n"))
+                .otherwise(F.lit(0))
+            )
+            / F.sum("n").cast("double"),
+            round_digits,
+        ).alias("frac_www"),
+        F.round(
+            F.sum(
+                F.when(F.col("h") == F.col("domain"), F.col("n"))
+                .otherwise(F.lit(0))
+            )
+            / F.sum("n").cast("double"),
+            round_digits,
+        ).alias("frac_apex"),
+        F.round(
+            F.max("n") / F.sum("n").cast("double"), round_digits
+        ).alias("max_host_share"),
+    )

@@ -148,3 +148,50 @@ def title_dedup_audit(
             ).alias("dup_title_rate"),
         )
     )
+
+
+def title_body_coverage(
+    pages: DataFrame,
+    host_col: str = "host",
+    title_col: str = "title",
+    body_col: str = "body",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Title-body term coverage — does the title describe the page?
+
+    The on-page relevance check behind both SEO audits and
+    clickbait/doorway detection: a title whose terms never recur in
+    the body is either bait or boilerplate, and ranking models that
+    weight title matches (BM25F's title field) are most misled by
+    exactly those pages.  Coverage = fraction of distinct
+    lowercased title words appearing as words in the body.
+
+    Per host: (host, n_pages, mean_coverage, n_zero_coverage,
+    n_full_coverage, frac_zero).
+    """
+    tw = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(title_col))), r"\s+")
+    )
+    bw = F.split(F.lower(F.col(body_col)), r"\s+")
+    hits = F.size(F.array_intersect(tw, bw))
+    ntw = F.size(tw)
+    cov = F.when(ntw > 0, hits / ntw.cast("double"))
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        cov.alias("cov"),
+        ((cov == 0.0).cast("long")).alias("z"),
+        ((cov == 1.0).cast("long")).alias("fl"),
+    )
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.round(
+            F.sum("cov") / F.count("cov").cast("double"), round_digits
+        ).alias("mean_coverage"),
+        F.coalesce(F.sum("z"), F.lit(0)).alias("n_zero_coverage"),
+        F.coalesce(F.sum("fl"), F.lit(0)).alias("n_full_coverage"),
+        F.round(
+            F.coalesce(F.sum("z"), F.lit(0))
+            / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("frac_zero"),
+    )
