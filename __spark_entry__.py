@@ -9366,6 +9366,88 @@ def q_simpsons(spark, sf_dir):
     return simpsons_check(_events(spark, sf_dir))
 
 
+def q_dedup_state(spark, sf_dir):
+    """Watermarked-dedup state-store sizing: distinct keys per TTL
+    window x 64B at 1h/6h/24h
+    (streaming/stats.py:dedup_state_sizing)."""
+    from tokenkit_spark.streaming.stats import dedup_state_sizing
+
+    return dedup_state_sizing(_events(spark, sf_dir))
+
+
+def q_facet_explosion(spark, sf_dir):
+    """Query-param cardinality audit: session-id-like explosive
+    facets vs bounded nav facets
+    (ops/dust.py:facet_explosion_audit)."""
+    from tokenkit_spark.ops.dust import facet_explosion_audit
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    url = (
+        F.when(
+            doc % 5 == 0,
+            F.concat(
+                F.lit("/p?color="),
+                F.when(doc % 2 == 0, F.lit("blue")).otherwise(
+                    F.lit("red")
+                ),
+            ),
+        )
+        .when(
+            doc % 5 == 1,
+            F.concat(F.lit("/p?sid=s"), doc.cast("string")),
+        )
+        .when(
+            doc % 5 == 2,
+            F.concat(F.lit("/p?page="), (doc % 10).cast("string")),
+        )
+        .when(
+            doc % 5 == 3,
+            F.concat(
+                F.lit("/p?color="),
+                (doc % 3).cast("string"),
+                F.lit("&size="),
+                (doc % 2).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("/plain"))
+    )
+    return facet_explosion_audit(
+        d.select(
+            F.concat(F.lit("h"), (doc % 4).cast("string")).alias(
+                "host"
+            ),
+            url.alias("url"),
+        )
+    )
+
+
+def q_alt_text(spark, sf_dir):
+    """Image alt-text coverage per host (WCAG 1.1.1 / WebAIM-style
+    syntactic audit) (ops/htmlmeta.py:alt_text_audit)."""
+    from tokenkit_spark.ops.htmlmeta import alt_text_audit
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    html = (
+        F.when(
+            doc % 5 == 0,
+            F.lit('<img src="a.png" alt="x"><img src="b.png">'),
+        )
+        .when(doc % 5 == 1, F.lit('<img src="c.png" alt="y">'))
+        .when(doc % 5 == 2, F.lit('<img src="d.png">'))
+        .otherwise(F.lit("<p>no images</p>"))
+    )
+    return alt_text_audit(
+        d.select(
+            F.concat(F.lit("h"), (doc % 6).cast("string")).alias(
+                "host"
+            ),
+            html.alias("html"),
+        )
+    )
+
+
 def q_title_coverage(spark, sf_dir):
     """Title-body term coverage per host: clickbait / doorway-title
     screen (ops/htmlmeta.py:title_body_coverage)."""
@@ -9803,6 +9885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_facet~date_histogram) are parked just past the window.
     return {
         # --- round-3 operators (newest first) ---
+        "dedup_state": q_dedup_state,
+        "facet_explosion": q_facet_explosion,
+        "alt_text": q_alt_text,
         "title_coverage": q_title_coverage,
         "obf_monitor": q_obf_monitor,
         "subdomain_profile": q_subdomain_profile,
@@ -13385,7 +13470,65 @@ SELECT p, exact_q, hist_q,
 FROM u"""
     )
 
+    _ds_rows = []
+    for _ttl in (3600, 21600, 86400):
+        _ds_rows.append(f"""
+SELECT {_ttl} AS ttl_s, count(*) AS n_windows,
+  ROUND(sum(nk) / CAST(count(*) AS DOUBLE), 6) AS mean_keys,
+  max(nk) AS max_keys,
+  ROUND(max(nk) * 64 / 1048576.0, 6) AS est_mb_max
+FROM (SELECT floor(epoch(ts) / {_ttl}) AS w,
+      count(DISTINCT user_id) AS nk FROM events GROUP BY 1)""")
+    _ds_sql = " UNION ALL ".join(_ds_rows)
+
     return {
+        # Watermarked-dedup state sizing (streaming/stats.py)
+        "dedup_state": _ds_sql,
+        # Query-param facet explosion audit (ops/dust.py)
+        "facet_explosion": r"""
+WITH u AS (SELECT 'h' || CAST(doc_id % 4 AS VARCHAR) AS host,
+  CASE WHEN doc_id % 5 = 0 THEN '/p?color=' ||
+         CASE WHEN doc_id % 2 = 0 THEN 'blue' ELSE 'red' END
+       WHEN doc_id % 5 = 1 THEN '/p?sid=s' || CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 5 = 2 THEN '/p?page='
+         || CAST(doc_id % 10 AS VARCHAR)
+       WHEN doc_id % 5 = 3 THEN '/p?color='
+         || CAST(doc_id % 3 AS VARCHAR) || '&size='
+         || CAST(doc_id % 2 AS VARCHAR)
+       ELSE '/plain' END AS url
+  FROM documents),
+kvs AS (SELECT host, unnest(str_split(
+        regexp_extract(url, '\?(.*)$', 1), '&')) AS kv FROM u),
+pairs AS (SELECT host, split_part(kv, '=', 1) AS param,
+          split_part(kv, '=', 2) AS val FROM kvs WHERE kv <> ''),
+g AS (SELECT host, param, count(*) AS n_urls,
+      count(DISTINCT val) AS n_values FROM pairs GROUP BY 1, 2)
+SELECT host, param, n_urls, n_values,
+  ROUND(n_values / CAST(n_urls AS DOUBLE), 6) AS value_ratio,
+  (n_values / CAST(n_urls AS DOUBLE)) > CAST(0.9 AS DOUBLE)
+    AND n_urls >= 10 AS explosive
+FROM g
+""",
+        # Image alt-text coverage audit (ops/htmlmeta.py)
+        "alt_text": r"""
+WITH p AS (SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+  lower(CASE
+    WHEN doc_id % 5 = 0
+      THEN '<img src="a.png" alt="x"><img src="b.png">'
+    WHEN doc_id % 5 = 1 THEN '<img src="c.png" alt="y">'
+    WHEN doc_id % 5 = 2 THEN '<img src="d.png">'
+    ELSE '<p>no images</p>' END) AS t
+  FROM documents),
+per AS (SELECT host,
+  len(regexp_extract_all(t, '<img ')) AS ni,
+  len(regexp_extract_all(t, '<img [^>]*alt=')) AS na FROM p)
+SELECT host, count(*) AS n_pages, sum(ni) AS n_img,
+  sum(na) AS n_img_alt,
+  CASE WHEN sum(ni) > 0 THEN
+    ROUND(sum(na) / CAST(sum(ni) AS DOUBLE), 6) END AS frac_alt,
+  sum(CASE WHEN ni > na THEN 1 ELSE 0 END) AS n_pages_incomplete
+FROM per GROUP BY host
+""",
         # Title-body term coverage (ops/htmlmeta.py)
         "title_coverage": r"""
 WITH p AS (SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,

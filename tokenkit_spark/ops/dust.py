@@ -162,3 +162,59 @@ def tracking_param_audit(
             round_digits,
         ).alias("dup_gain"),
     )
+
+
+def facet_explosion_audit(
+    urls: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    min_urls: int = 10,
+    explosive_ratio: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query-parameter cardinality audit — which facets explode the
+    URL space.
+
+    The complement of the known-tracking-param strip list
+    (``tracking_param_audit``): here nothing is known a priori, and
+    the tell is CARDINALITY.  A navigation facet (``color=red``)
+    takes a handful of values across many URLs; a session id or
+    cache-buster takes a fresh value per URL (ratio ~1) and turns a
+    finite site into an infinite crawl space — the parameter-trap
+    case of Bar-Yossef's DUST.  Google's legacy "URL parameters"
+    tool asked webmasters for exactly this classification; the audit
+    derives it from counts.
+
+    Per (host, param): (host, param, n_urls, n_values,
+    value_ratio, explosive).
+    """
+    qs = F.regexp_extract(F.col(url_col), r"\?(.*)$", 1)
+    kv = F.explode(F.split(qs, "&")).alias("kv")
+    pairs = (
+        urls.select(F.col(host_col).alias("host"), kv)
+        .filter(F.col("kv") != "")
+        .select(
+            "host",
+            F.split_part(F.col("kv"), F.lit("="), F.lit(1)).alias(
+                "param"
+            ),
+            F.split_part(F.col("kv"), F.lit("="), F.lit(2)).alias(
+                "val"
+            ),
+        )
+    )
+    g = pairs.groupBy("host", "param").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("val").alias("n_values"),
+    )
+    ratio = F.col("n_values") / F.col("n_urls").cast("double")
+    return g.select(
+        "host",
+        "param",
+        "n_urls",
+        "n_values",
+        F.round(ratio, round_digits).alias("value_ratio"),
+        (
+            (ratio > explosive_ratio) & (F.col("n_urls") >= min_urls)
+        ).alias("explosive"),
+    )

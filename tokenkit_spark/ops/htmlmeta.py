@@ -195,3 +195,47 @@ def title_body_coverage(
             round_digits,
         ).alias("frac_zero"),
     )
+
+
+def alt_text_audit(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Image alt-text coverage — the accessibility metric that is
+    also an image-search ranking input.
+
+    WCAG 1.1.1 requires a text alternative per image; crawlers use
+    the same attribute as the primary image-relevance signal, so
+    missing alt text costs both audiences at once (the WebAIM
+    Million survey tracks this exact per-page rate).  Counted
+    syntactically: ``<img`` tags vs those carrying an ``alt=``
+    attribute.
+
+    Per host: (host, n_pages, n_img, n_img_alt, frac_alt,
+    n_pages_incomplete).
+    """
+    t = F.lower(F.col(html_col))
+    n_img = F.regexp_count(t, F.lit("<img "))
+    n_alt = F.regexp_count(t, F.lit("<img [^>]*alt="))
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        n_img.alias("ni"),
+        n_alt.alias("na"),
+    )
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("ni").alias("n_img"),
+        F.sum("na").alias("n_img_alt"),
+        F.round(
+            F.when(
+                F.sum("ni") > 0,
+                F.sum("na") / F.sum("ni").cast("double"),
+            ),
+            round_digits,
+        ).alias("frac_alt"),
+        F.sum(
+            (F.col("ni") > F.col("na")).cast("long")
+        ).alias("n_pages_incomplete"),
+    )

@@ -383,3 +383,66 @@ def ingest_lag_audit(
             ).alias(f"late_frac_{d}s")
         )
     return per.agg(*aggs)
+
+
+DEDUP_STATE_BYTES_PER_KEY = 64
+DEDUP_TTLS_S = (3600, 21600, 86400)
+
+
+def dedup_state_sizing(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    ttls_s: tuple = DEDUP_TTLS_S,
+    round_digits: int = 6,
+) -> DataFrame:
+    """State-store sizing for watermarked streaming dedup.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per
+    distinct key seen inside the watermark TTL; the operative
+    capacity numbers are the distinct-key count per TTL-sized window
+    (mean for steady state, max for the provisioning headroom) times
+    a per-entry cost (64 bytes: key hash + timestamp + store
+    overhead, RocksDB-state ballpark).  Sweeping candidate TTLs from
+    one pass over history is how the dedup-window vs state-size
+    trade is actually chosen before enabling the stream.
+
+    Per TTL: (ttl_s, n_windows, mean_keys, max_keys, est_mb_max).
+    """
+    ep = F.unix_timestamp(F.col(ts_col))
+    parts = []
+    for ttl in ttls_s:
+        w = (
+            events.select(
+                F.floor(ep / ttl).alias("w"),
+                F.col(key_col).alias("k"),
+            )
+            .groupBy("w")
+            .agg(F.countDistinct("k").alias("nk"))
+        )
+        st = w.agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.sum("nk").alias("tk"),
+            F.max("nk").alias("mk"),
+        )
+        parts.append(
+            st.select(
+                F.lit(ttl).alias("ttl_s"),
+                F.col("nw").alias("n_windows"),
+                F.round(
+                    F.col("tk") / F.col("nw").cast("double"),
+                    round_digits,
+                ).alias("mean_keys"),
+                F.col("mk").alias("max_keys"),
+                F.round(
+                    F.col("mk")
+                    * F.lit(DEDUP_STATE_BYTES_PER_KEY)
+                    / F.lit(1048576.0),
+                    round_digits,
+                ).alias("est_mb_max"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
