@@ -92,3 +92,57 @@ def front_coding_audit(
             "raw_bytes", "coded_bytes", "ratio",
         )
     )
+
+
+def stemming_collision_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Porter step-1a stemming collision audit — what plural folding
+    buys and breaks in the term dictionary.
+
+    Stemming shrinks the dictionary and posting count but merges
+    distinct lemmas into one key (the recall/precision trade Porter
+    1980 documents).  This audit applies just step 1a (sses->ss,
+    ies->i, ss->ss, s->drop) to the distinct alphabetic vocabulary
+    and measures: dictionary compression, how many stems absorb >=2
+    surface forms, and the worst fan-in — the numbers that decide
+    whether the index stems at write time or expands at query time.
+
+    One row: (n_terms, n_stems, compression, n_collision_stems,
+    max_variants).
+    """
+    term = F.explode(
+        F.split(F.lower(F.col(text_col)), r"\s+")
+    ).alias("t")
+    terms = (
+        docs.select(term)
+        .filter(F.col("t").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    t = F.col("t")
+    ln = F.length(t)
+    stem = (
+        F.when(t.endswith("sses"), F.substring(t, 1, ln - 2))
+        .when(t.endswith("ies"), F.substring(t, 1, ln - 2))
+        .when(t.endswith("ss"), t)
+        .when(t.endswith("s"), F.substring(t, 1, ln - 1))
+        .otherwise(t)
+    )
+    per = terms.groupBy(stem.alias("stem")).agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    return per.agg(
+        F.sum("nv").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_stems"),
+        F.round(
+            F.lit(1.0)
+            - F.count(F.lit(1)) / F.sum("nv").cast("double"),
+            round_digits,
+        ).alias("compression"),
+        F.sum((F.col("nv") >= 2).cast("long")).alias(
+            "n_collision_stems"
+        ),
+        F.max("nv").alias("max_variants"),
+    )

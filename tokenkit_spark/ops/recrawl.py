@@ -123,3 +123,46 @@ def revisit_policy_audit(
         )
         .orderBy(F.desc("mean_freshness"), "policy")
     )
+
+
+def lastmod_trust_audit(
+    entries: DataFrame,
+    host_col: str = "host",
+    lastmod_col: str = "lastmod",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sitemap ``<lastmod>`` trustworthiness audit.
+
+    Search engines state they use lastmod only "if it's consistently
+    and verifiably accurate" — a sitemap where every URL carries the
+    same (or an always-now) date is a generator artifact, and the
+    right crawler response is to ignore the field and fall back to
+    measured change rates (``change_rates`` above).  The tell is
+    distributional: per host, the share of entries carrying the
+    modal date.  all_same (one date across many URLs) is the
+    canonical untrustworthy pattern.
+
+    Per host: (host, n_entries, n_distinct, modal_share, all_same,
+    suspicious).
+    """
+    per_date = entries.groupBy(
+        F.col(host_col).alias("host"),
+        F.col(lastmod_col).alias("lm"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    g = per_date.groupBy("host").agg(
+        F.sum("c").alias("n_entries"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("modal"),
+    )
+    modal_share = F.col("modal") / F.col("n_entries").cast("double")
+    all_same = (F.col("n_distinct") == 1) & (F.col("n_entries") > 1)
+    return g.select(
+        "host",
+        "n_entries",
+        "n_distinct",
+        F.round(modal_share, round_digits).alias("modal_share"),
+        all_same.alias("all_same"),
+        (
+            all_same | (modal_share > 0.8) & (F.col("n_entries") > 4)
+        ).alias("suspicious"),
+    )

@@ -842,3 +842,60 @@ def binary_hamming_recall(
         )
         .orderBy("query_id")
     )
+
+
+def embedding_quality_audit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-table data-quality audit — the checks that gate an
+    ANN index build.
+
+    Degenerate vectors poison similarity search silently: zero
+    vectors make cosine undefined (and often end up "similar" to
+    everything after eps-guards), NaNs propagate through distance
+    kernels, and mixed dimensionality crashes partition-level
+    kernels only on the partition that has one.  The audit computes
+    L2 norms with an index-ordered fold (bit-identical across
+    engines) and profiles them.
+
+    One row: (n_vecs, n_dim_values, min_dims, max_dims, mean_norm,
+    p05_norm, p95_norm, n_near_zero, n_nan).
+    """
+    arr = F.transform(
+        F.col(vec_col), lambda x: x.cast("double")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(arr, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    has_nan = F.exists(arr, lambda x: F.isnan(x))
+    per = emb.select(
+        norm.alias("nrm"),
+        F.size(F.col(vec_col)).alias("d"),
+        has_nan.cast("long").alias("nan"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.countDistinct("d").alias("n_dim_values"),
+        F.min("d").alias("min_dims"),
+        F.max("d").alias("max_dims"),
+        F.round(
+            F.sum("nrm") / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("mean_norm"),
+        F.round(
+            F.percentile(F.col("nrm"), F.lit(0.05)), round_digits
+        ).alias("p05_norm"),
+        F.round(
+            F.percentile(F.col("nrm"), F.lit(0.95)), round_digits
+        ).alias("p95_norm"),
+        F.sum((F.col("nrm") < 1e-6).cast("long")).alias(
+            "n_near_zero"
+        ),
+        F.sum("nan").alias("n_nan"),
+    )
