@@ -218,3 +218,43 @@ def facet_explosion_audit(
             (ratio > explosive_ratio) & (F.col("n_urls") >= min_urls)
         ).alias("explosive"),
     )
+
+
+def case_collision_audit(
+    urls: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Case-collision audit — paths that merge on a case-insensitive
+    server.
+
+    URLs are case-sensitive per RFC 3986, but IIS/Windows origins
+    serve ``/About`` and ``/about`` identically — instant duplicate
+    content, and the mixed-case DUST class the normalization-rule
+    miners special-case.  A host where many distinct paths collapse
+    under lowercasing either needs case-folding in the canonicalizer
+    or is generating links inconsistently.
+
+    Per host: (host, n_paths, n_folded, n_collision_groups,
+    max_group, frac_redundant).
+    """
+    p = urls.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("pp")
+    ).distinct()
+    g = p.groupBy(
+        "host", F.lower(F.col("pp")).alias("lp")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return g.groupBy("host").agg(
+        F.sum("c").alias("n_paths"),
+        F.count(F.lit(1)).alias("n_folded"),
+        F.sum((F.col("c") >= 2).cast("long")).alias(
+            "n_collision_groups"
+        ),
+        F.max("c").alias("max_group"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1)))
+            / F.sum("c").cast("double"),
+            round_digits,
+        ).alias("frac_redundant"),
+    )

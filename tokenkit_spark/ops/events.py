@@ -1664,3 +1664,57 @@ def session_gap_sweep(
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+def activation_latency(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Activation latency per signup cohort — how fast do new users
+    come back.
+
+    The growth metric between acquisition and retention: for each
+    first-seen-day cohort, the gap (in days) from a user's first
+    active day to their SECOND distinct active day.  A cohort whose
+    median gap stretches is losing its activation moment even while
+    signups look healthy; the never-returned share is the
+    one-and-done rate.  Two aggregations over distinct (user, day)
+    pairs — no per-event state.
+
+    Per cohort: (cohort, n_users, n_returned, frac_one_and_done,
+    median_gap_days, p90_gap_days).
+    """
+    ud = events.select(
+        F.col(user_col).alias("u"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).distinct()
+    first = ud.groupBy("u").agg(F.min("day").alias("d1"))
+    second = (
+        ud.join(first, "u")
+        .filter(F.col("day") > F.col("d1"))
+        .groupBy("u")
+        .agg(F.min("day").alias("d2"))
+    )
+    j = first.join(second, "u", "left").select(
+        F.col("d1").cast("string").alias("cohort"),
+        F.datediff(F.col("d2"), F.col("d1")).alias("gap"),
+    )
+    return j.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("gap").alias("n_returned"),
+        F.round(
+            (F.count(F.lit(1)) - F.count("gap"))
+            / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("frac_one_and_done"),
+        F.round(
+            F.percentile(F.col("gap").cast("double"), F.lit(0.5)),
+            round_digits,
+        ).alias("median_gap_days"),
+        F.round(
+            F.percentile(F.col("gap").cast("double"), F.lit(0.9)),
+            round_digits,
+        ).alias("p90_gap_days"),
+    )

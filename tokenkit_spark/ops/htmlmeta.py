@@ -239,3 +239,56 @@ def alt_text_audit(
             (F.col("ni") > F.col("na")).cast("long")
         ).alias("n_pages_incomplete"),
     )
+
+
+SCHEMA_TYPES = ("Article", "Product", "Organization", "FAQPage",
+                "BreadcrumbList", "Recipe")
+
+
+def schema_type_mix(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    round_digits: int = 6,
+) -> DataFrame:
+    """schema.org ``@type`` mix per host — what a host claims to be.
+
+    Rich-result eligibility is keyed on the JSON-LD ``@type``
+    (Google's structured-data gallery enumerates them); at corpus
+    scale the per-host type mix separates publishers (Article),
+    shops (Product), and recipe/FAQ farms — the same signal the
+    ``structured_data_audit`` presence counts summarize, resolved to
+    the type level.  Counts pages declaring each pinned type.
+
+    Per host: (host, n_pages, n_article, n_product, n_organization,
+    n_faqpage, n_breadcrumblist, n_recipe, n_typed, frac_typed).
+    """
+    t = F.col(html_col)
+    flags = []
+    for i, st in enumerate(SCHEMA_TYPES):
+        flags.append(
+            (
+                F.regexp_count(
+                    t, F.lit(f'"@type":\\s*"{st}"')
+                )
+                > 0
+            )
+            .cast("long")
+            .alias(f"t{i}")
+        )
+    per = pages.select(F.col(host_col).alias("host"), *flags)
+    anyf = F.col("t0")
+    for i in range(1, len(SCHEMA_TYPES)):
+        anyf = anyf + F.col(f"t{i}")
+    per = per.withColumn("a", (anyf > 0).cast("long"))
+    aggs = [F.count(F.lit(1)).alias("n_pages")]
+    for i, st in enumerate(SCHEMA_TYPES):
+        aggs.append(F.sum(f"t{i}").alias(f"n_{st.lower()}"))
+    aggs.append(F.sum("a").alias("n_typed"))
+    aggs.append(
+        F.round(
+            F.sum("a") / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("frac_typed")
+    )
+    return per.groupBy("host").agg(*aggs)
