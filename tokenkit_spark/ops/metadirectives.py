@@ -386,3 +386,105 @@ def meta_refresh_audit(
             ).alias("frac_any"),
         )
     )
+
+
+def feed_discovery_audit(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Feed auto-discovery audit — which hosts still advertise
+    RSS/Atom.
+
+    The ``<link rel="alternate" type="application/rss+xml">``
+    convention (RSS autodiscovery; RFC 4287 for Atom) is how
+    aggregators and crawlers find a site's machine-readable change
+    feed — for a recrawl scheduler a feed is a cheaper change signal
+    than any sitemap.  Counts pages advertising each feed flavor.
+
+    Per host: (host, n_pages, n_rss, n_atom, n_json_feed, n_any,
+    frac_any).
+    """
+    t = F.lower(F.col(html_col))
+    rss = (
+        F.regexp_count(
+            t, F.lit('type="application/rss\\+xml"')
+        )
+        > 0
+    ).cast("long")
+    atom = (
+        F.regexp_count(
+            t, F.lit('type="application/atom\\+xml"')
+        )
+        > 0
+    ).cast("long")
+    jf = (
+        F.regexp_count(t, F.lit('type="application/feed\\+json"'))
+        > 0
+    ).cast("long")
+    anyf = ((rss + atom + jf) > 0).cast("long")
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        rss.alias("r"),
+        atom.alias("a"),
+        jf.alias("j"),
+        anyf.alias("x"),
+    )
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("r").alias("n_rss"),
+        F.sum("a").alias("n_atom"),
+        F.sum("j").alias("n_json_feed"),
+        F.sum("x").alias("n_any"),
+        F.round(
+            F.sum("x") / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("frac_any"),
+    )
+
+
+def render_dependence_audit(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Render-dependence audit — how much of a host needs a headless
+    browser.
+
+    A crawler's JS-rendering budget is orders of magnitude more
+    expensive than HTML fetches (Google's own two-wave indexing
+    exists because of it), so the scheduling input is syntactic:
+    external vs inline script counts, ``<noscript>`` fallbacks
+    (sites that know they break), and iframes (content that isn't in
+    this document at all).
+
+    Per host: (host, n_pages, n_script_ext, n_script_inline,
+    n_noscript, n_iframe, mean_scripts_per_page).
+    """
+    t = F.lower(F.col(html_col))
+    ext = F.regexp_count(t, F.lit("<script [^>]*src="))
+    all_s = F.regexp_count(t, F.lit("<script"))
+    inline = all_s - ext
+    nos = F.regexp_count(t, F.lit("<noscript"))
+    ifr = F.regexp_count(t, F.lit("<iframe"))
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        ext.alias("e"),
+        inline.alias("i"),
+        all_s.alias("s"),
+        nos.alias("n"),
+        ifr.alias("f"),
+    )
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("e").alias("n_script_ext"),
+        F.sum("i").alias("n_script_inline"),
+        F.sum("n").alias("n_noscript"),
+        F.sum("f").alias("n_iframe"),
+        F.round(
+            F.sum("s") / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("mean_scripts_per_page"),
+    )

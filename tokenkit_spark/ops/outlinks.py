@@ -101,3 +101,53 @@ def extract_outlinks(
             "nofollow",
         )
     )
+
+
+def link_rel_mix(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Outlink rel-attribute mix — the 2019 link-annotation taxonomy.
+
+    Google's sponsored/ugc split of nofollow (announced Sept 2019,
+    rels became "hints") made the per-host rel mix a signal twice
+    over: how a host qualifies its links, and how much of its
+    outlink graph a PageRank-style computation should discount.
+    Anchor-level counts: qualified rels vs plain links.
+
+    Per host: (host, n_anchors, n_nofollow, n_sponsored, n_ugc,
+    n_plain, frac_qualified).
+    """
+    t = F.lower(F.col(html_col))
+    anchors = F.regexp_count(t, F.lit("<a "))
+    nof = F.regexp_count(t, F.lit('<a [^>]*rel="[^"]*nofollow'))
+    spo = F.regexp_count(t, F.lit('<a [^>]*rel="[^"]*sponsored'))
+    ugc = F.regexp_count(t, F.lit('<a [^>]*rel="[^"]*ugc'))
+    qual = F.regexp_count(
+        t,
+        F.lit('<a [^>]*rel="[^"]*(nofollow|sponsored|ugc)'),
+    )
+    per = pages.select(
+        F.col(host_col).alias("host"),
+        anchors.alias("a"),
+        nof.alias("nf"),
+        spo.alias("sp"),
+        ugc.alias("ug"),
+        qual.alias("q"),
+    )
+    return per.groupBy("host").agg(
+        F.sum("a").alias("n_anchors"),
+        F.sum("nf").alias("n_nofollow"),
+        F.sum("sp").alias("n_sponsored"),
+        F.sum("ug").alias("n_ugc"),
+        (F.sum("a") - F.sum("q")).alias("n_plain"),
+        F.round(
+            F.when(
+                F.sum("a") > 0,
+                F.sum("q") / F.sum("a").cast("double"),
+            ),
+            round_digits,
+        ).alias("frac_qualified"),
+    )
