@@ -1,0 +1,69 @@
+"""Session-L batch 38: token fertility, props drift, OG
+completeness."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_token_fertility(spark):
+    from tokenkit_spark.ops.textstats import token_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "hello world"),        # 11 chars, 2 ws, 2 sub
+            (1, "en", "ab3cd ef"),           # 8 chars, 2 ws, 4 sub
+        ],
+        "doc_id long, lang string, text string",
+    )
+    r = {x.lang: x for x in token_fertility(docs).collect()}["en"]
+    assert r.ws_tokens == 4
+    assert r.subword_units == 6  # hello, world, ab, 3, cd, ef
+    assert r.chars_per_ws_token == pytest.approx(19 / 4, abs=1e-6)
+    assert r.subwords_per_word == pytest.approx(1.5, abs=1e-6)
+
+
+def test_props_schema_drift(spark):
+    from tokenkit_spark.ops.events import props_schema_drift
+
+    rows = [
+        (dt.datetime(2024, 1, 1), 1, "a", 1.0, '{"k": 1}'),
+        (dt.datetime(2024, 1, 8), 1, "a", 1.0, '{"k": 2, "v": 3}'),
+        (dt.datetime(2024, 1, 15), 1, "a", 1.0, '{"v": 4}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.week: r for r in props_schema_drift(ev).collect()}
+    assert out["2024-01-01"].keys_csv == "k"
+    w2 = out["2024-01-08"]
+    assert w2.n_new == 1 and w2.n_dropped == 0
+    w3 = out["2024-01-15"]
+    assert w3.n_new == 0 and w3.n_dropped == 1
+    assert w3.keys_csv == "v"
+
+
+def test_og_completeness(spark):
+    from tokenkit_spark.ops.htmlmeta import og_completeness_audit
+
+    full = (
+        '<meta property="og:title" content="t">'
+        '<meta property="og:type" content="article">'
+        '<meta property="og:image" content="/i.png">'
+        '<meta property="og:url" content="/u">'
+    )
+    pages = spark.createDataFrame(
+        [
+            ("h", full),
+            ("h", '<meta property="og:title" content="only title">'),
+            ("h", "<p>nothing</p>"),
+        ],
+        "host string, html string",
+    )
+    r = og_completeness_audit(pages).collect()[0]
+    assert r.n_complete == 1 and r.n_partial == 1 and r.n_absent == 1
+    assert r.n_title == 2 and r.n_image == 1
+    assert r.frac_complete == pytest.approx(1 / 3, abs=1e-6)

@@ -1718,3 +1718,57 @@ def activation_latency(
             round_digits,
         ).alias("p90_gap_days"),
     )
+
+
+def props_schema_drift(
+    events: DataFrame,
+    ts_col: str = "ts",
+    props_col: str = "props",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Event-properties schema drift — when did the payload change
+    shape.
+
+    Semi-structured event payloads drift silently: a client release
+    adds a key, an ETL rename drops one, and downstream consumers
+    discover it weeks later.  The audit extracts the JSON key set
+    syntactically per week and diffs consecutive weeks — added and
+    removed keys per week is the schema-registry changelog
+    reconstructed from the data itself.
+
+    Per week: (week, n_keys, n_new, n_dropped, keys_csv).
+    """
+    wk = (
+        F.date_trunc("week", F.col(ts_col))
+        .cast("date")
+        .cast("string")
+    )
+    key = F.explode(
+        F.regexp_extract_all(
+            F.col(props_col), F.lit(r'"(\w+)":'), 1
+        )
+    )
+    wk_keys = (
+        events.select(wk.alias("week"), key.alias("k"))
+        .distinct()
+    )
+    per = wk_keys.groupBy("week").agg(
+        F.sort_array(F.collect_set("k")).alias("ks")
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("ks").over(w)
+    return per.select(
+        "week",
+        F.size("ks").alias("n_keys"),
+        F.when(
+            prev.isNull(), F.lit(0)
+        ).otherwise(
+            F.size(F.array_except(F.col("ks"), prev))
+        ).alias("n_new"),
+        F.when(
+            prev.isNull(), F.lit(0)
+        ).otherwise(
+            F.size(F.array_except(prev, F.col("ks")))
+        ).alias("n_dropped"),
+        F.array_join("ks", ",").alias("keys_csv"),
+    )

@@ -292,3 +292,58 @@ def schema_type_mix(
         ).alias("frac_typed")
     )
     return per.groupBy("host").agg(*aggs)
+
+
+OG_REQUIRED = ("og:title", "og:type", "og:image", "og:url")
+
+
+def og_completeness_audit(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Open Graph completeness audit — the four required properties.
+
+    The OG protocol (ogp.me) declares og:title, og:type, og:image,
+    and og:url REQUIRED for a page to function as a share object;
+    link previews degrade tag by tag.  Pages are bucketed complete /
+    partial / absent, with per-tag counts — the sharing-readiness
+    dashboard of a publisher host.
+
+    Per host: (host, n_pages, n_title, n_type, n_image, n_url,
+    n_complete, n_partial, n_absent, frac_complete).
+    """
+    t = F.lower(F.col(html_col))
+    flags = []
+    for i, prop in enumerate(OG_REQUIRED):
+        flags.append(
+            (
+                F.regexp_count(
+                    t, F.lit(f'property="{prop}"')
+                )
+                > 0
+            )
+            .cast("long")
+            .alias(f"g{i}")
+        )
+    per = pages.select(F.col(host_col).alias("host"), *flags)
+    tot = F.col("g0") + F.col("g1") + F.col("g2") + F.col("g3")
+    per = per.withColumn("tot", tot)
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("g0").alias("n_title"),
+        F.sum("g1").alias("n_type"),
+        F.sum("g2").alias("n_image"),
+        F.sum("g3").alias("n_url"),
+        F.sum((F.col("tot") == 4).cast("long")).alias("n_complete"),
+        F.sum(
+            ((F.col("tot") > 0) & (F.col("tot") < 4)).cast("long")
+        ).alias("n_partial"),
+        F.sum((F.col("tot") == 0).cast("long")).alias("n_absent"),
+        F.round(
+            F.sum((F.col("tot") == 4).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("frac_complete"),
+    )

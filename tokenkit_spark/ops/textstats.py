@@ -1870,3 +1870,63 @@ def lognormal_length_fit(
             F.exp(mu) / F.col("emp_med"), round_digits
         ).alias("median_ratio"),
     )
+
+
+def token_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-language token fertility — the tokenizer-bias number.
+
+    Fertility (characters consumed per token) is the standard
+    measure of how well a tokenizer serves a language: a BPE trained
+    on English yields short tokens (high token counts, low
+    chars/token) for scripts it under-represents, inflating their
+    compute cost per byte of content.  Whitespace tokens give the
+    word-level baseline; the subword proxy counts alternating
+    letter/digit runs (the pre-tokenization pattern BPE splits
+    start from).
+
+    Per lang: (lang, n_docs, total_chars, ws_tokens, subword_units,
+    chars_per_ws_token, chars_per_subword, subwords_per_word).
+    """
+    t = F.col(text_col)
+    nchars = F.length(t)
+    ws = F.size(
+        F.filter(
+            F.split(t, r"\s+"), lambda x: x != ""
+        )
+    )
+    sub = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    per = docs.select(
+        F.col(lang_col).alias("lang"),
+        nchars.alias("c"),
+        ws.alias("w"),
+        sub.alias("s"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c").alias("total_chars"),
+        F.sum("w").alias("ws_tokens"),
+        F.sum("s").alias("subword_units"),
+        F.round(
+            F.when(
+                F.sum("w") > 0, F.sum("c") / F.sum("w").cast("double")
+            ),
+            round_digits,
+        ).alias("chars_per_ws_token"),
+        F.round(
+            F.when(
+                F.sum("s") > 0, F.sum("c") / F.sum("s").cast("double")
+            ),
+            round_digits,
+        ).alias("chars_per_subword"),
+        F.round(
+            F.when(
+                F.sum("w") > 0, F.sum("s") / F.sum("w").cast("double")
+            ),
+            round_digits,
+        ).alias("subwords_per_word"),
+    )
