@@ -60,7 +60,8 @@ def test_canonical_loops_classification(spark):
     # self-canonical so /mid->/final is clean; only /chain is a chain
     assert r.n_chain == 1
     assert r.n_clean == 3         # /mid, /clean, /dangling
-    assert r.frac_problematic == pytest.approx(0.5)
+    # problematic share (n_loop2+n_chain)/n_edges = 3/6
+    assert (r.n_loop2 + r.n_chain) * 2 == r.n_edges
 
 
 def test_injection_scan_counts_and_top_phrase(spark):
@@ -80,6 +81,5 @@ def test_injection_scan_counts_and_top_phrase(spark):
     assert w.n_docs == 3 and w.docs_hit == 2
     assert w.total_hits == 3  # 1 + 2
     assert w.top_phrase == "system prompt:"
-    assert w.frac_hit == pytest.approx(2 / 3, abs=1e-6)
     b = out["books"]
     assert b.docs_hit == 0 and b.top_phrase == "none"

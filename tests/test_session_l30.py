@@ -23,11 +23,13 @@ def test_pass_at_k_matches_combinatorial(spark):
 
     for k in (1, 5, 10):
         want = (exact(20, 5, k) + exact(20, 0, k) + exact(10, 10, k)) / 3
-        assert out[k].mean_pass == pytest.approx(want, abs=1e-6)
+        got = out[k].sum_pass_e12 / out[k].n_tasks / 1e12
+        assert got == pytest.approx(want, abs=1e-6)
     assert out[1].n_certain == 1
     assert out[10].n_certain == 1
     # pass@k is monotone in k
-    assert out[10].mean_pass > out[5].mean_pass > out[1].mean_pass
+    assert (out[10].sum_pass_e12 > out[5].sum_pass_e12
+            > out[1].sum_pass_e12)
 
 
 def test_majority_vote_sharpens_above_half(spark):
@@ -68,4 +70,5 @@ def test_url_extension_mix_classes(spark):
     assert r.n_urls == 8
     assert r.n_page == 2 and r.n_doc == 1 and r.n_image == 1
     assert r.n_asset == 1 and r.n_data == 1 and r.n_other == 2
-    assert r.frac_page == pytest.approx(0.25)
+    # page share n_page/n_urls = 2/8
+    assert r.n_page * 4 == r.n_urls

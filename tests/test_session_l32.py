@@ -89,6 +89,7 @@ def test_session_gap_sweep_monotone(spark):
     assert out[10].n_sessions == 4
     assert out[30].n_sessions == 3  # only the 50-min gap breaks
     assert out[60].n_sessions == 2  # no gap breaks
-    assert out[30].frac_break == pytest.approx(0.5)
+    # break share n_breaks/n_gaps = 1/2 at T=30
+    assert out[30].n_breaks * 2 == out[30].n_gaps
     # session count is monotone non-increasing in the threshold
     assert out[10].n_sessions >= out[30].n_sessions >= out[60].n_sessions

@@ -20,8 +20,9 @@ def test_title_body_coverage(spark):
     r = title_body_coverage(pages).collect()[0]
     assert r.n_pages == 3
     assert r.n_full_coverage == 2 and r.n_zero_coverage == 1
-    assert r.mean_coverage == pytest.approx((1 + 0 + 1) / 3, abs=1e-6)
-    assert r.frac_zero == pytest.approx(1 / 3, abs=1e-6)
+    assert r.n_with_title == 3
+    # coverage ppm: 1.0, 0.0, 1.0 -> sum 2_000_000
+    assert r.sum_cov_ppm == 2_000_000
 
 
 def test_obf_monitor_no_early_stop_on_null_effect(spark):
@@ -77,8 +78,8 @@ def test_subdomain_profile_sprawl(spark):
     out = {r.domain: r for r in subdomain_profile(urls).collect()}
     g = out["good.com"]
     assert g.n_hosts == 2
-    assert g.frac_www == pytest.approx(2 / 3, abs=1e-6)
-    assert g.frac_apex == pytest.approx(1 / 3, abs=1e-6)
+    assert g.n_www_urls == 2 and g.n_apex_urls == 1
+    assert g.n_urls == 3
     s = out["spam.net"]
-    assert s.n_hosts == 4 and s.frac_www == 0.0
-    assert s.max_host_share == pytest.approx(0.25)
+    assert s.n_hosts == 4 and s.n_www_urls == 0
+    assert s.max_host_urls == 1 and s.n_urls == 4

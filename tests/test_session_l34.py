@@ -63,5 +63,4 @@ def test_alt_text_coverage(spark):
     )
     r = alt_text_audit(pages).collect()[0]
     assert r.n_img == 3 and r.n_img_alt == 2
-    assert r.frac_alt == pytest.approx(2 / 3, abs=1e-6)
     assert r.n_pages_incomplete == 1

@@ -42,7 +42,7 @@ def test_stemming_collisions(spark):
     assert r.n_stems == 5  # cat, pony, poni, glass, run
     assert r.n_collision_stems == 2  # cat, glass
     assert r.max_variants == 2
-    assert r.compression == pytest.approx(1 - 5 / 7, abs=1e-6)
+    # compression 1 - n_stems/n_terms = 1 - 5/7 is derivable
 
 
 def test_lastmod_trust(spark):
@@ -55,9 +55,9 @@ def test_lastmod_trust(spark):
     out = {r.host: r for r in lastmod_trust_audit(e).collect()}
     s = out["sticky"]
     assert s.all_same and s.suspicious
-    assert s.modal_share == pytest.approx(1.0)
+    assert s.modal_count == s.n_entries == 10
     v = out["varied"]
     assert not v.all_same and not v.suspicious
-    assert v.modal_share == pytest.approx(0.1)
+    assert v.modal_count == 1 and v.n_entries == 10
     # a single entry is not "all same" evidence
     assert not out["single"].all_same and not out["single"].suspicious

@@ -45,8 +45,7 @@ def test_schema_type_mix(spark):
     )
     r = schema_type_mix(pages).collect()[0]
     assert r.n_article == 2 and r.n_product == 1
-    assert r.n_typed == 3
-    assert r.frac_typed == pytest.approx(0.75)
+    assert r.n_typed == 3 and r.n_pages == 4
 
 
 def test_case_collision_audit(spark):
@@ -64,6 +63,7 @@ def test_case_collision_audit(spark):
     h = out["h"]
     assert h.n_paths == 4 and h.n_folded == 2
     assert h.n_collision_groups == 1 and h.max_group == 3
-    assert h.frac_redundant == pytest.approx(0.5)
+    # redundant share (n_paths - n_folded)/n_paths = 2/4
+    assert (h.n_paths - h.n_folded) * 2 == h.n_paths
     g = out["g"]
-    assert g.n_collision_groups == 0 and g.frac_redundant == 0.0
+    assert g.n_collision_groups == 0 and g.n_paths == g.n_folded

@@ -20,8 +20,7 @@ def test_feed_discovery(spark):
     )
     r = feed_discovery_audit(pages).collect()[0]
     assert r.n_rss == 1 and r.n_atom == 1 and r.n_json_feed == 0
-    assert r.n_any == 2
-    assert r.frac_any == pytest.approx(0.5)
+    assert r.n_any == 2 and r.n_pages == 4
 
 
 def test_link_rel_mix(spark):
@@ -42,8 +41,7 @@ def test_link_rel_mix(spark):
     # nofollow scan requires nofollow within the rel value
     assert r.n_nofollow == 2
     assert r.n_sponsored == 1 and r.n_ugc == 1
-    assert r.n_plain == 1
-    assert r.frac_qualified == pytest.approx(0.75)
+    assert r.n_plain == 1 and r.n_qualified == 3
 
 
 def test_render_dependence(spark):
@@ -65,4 +63,4 @@ def test_render_dependence(spark):
     r = render_dependence_audit(pages).collect()[0]
     assert r.n_script_ext == 1 and r.n_script_inline == 1
     assert r.n_noscript == 1 and r.n_iframe == 1
-    assert r.mean_scripts_per_page == pytest.approx(1.0)
+    assert r.n_scripts_total == 2 and r.n_pages == 2

@@ -312,7 +312,6 @@ def shard_balance_audit(
     n_shards: int = 32,
     doc_col: str = "doc_id",
     size_col: str = "n_chars",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Hash-routing shard balance audit — how hot is the hottest
     shard.
@@ -326,8 +325,13 @@ def shard_balance_audit(
     exceeds n/s by ~sqrt(2 (n/s) ln s)).  Routing uses the keyed-md5
     doc hash so the audit is reproducible across engines.
 
-    One row: (n_shards_used, n_docs, mean_docs, max_docs, cv_docs,
-    hot_factor, max_bytes, byte_hot_factor).
+    One row: (n_shards_used, n_docs, sum_docs_sq, max_docs,
+    total_bytes, max_bytes) — exact integer sufficient statistics
+    only, so the audit hashes identically on every engine.  The SLO
+    derivations: mean = n_docs / n_shards_used, variance =
+    sum_docs_sq / n_shards_used - mean^2, cv = sqrt(var) / mean,
+    hot factor = max_docs / mean, byte hot factor =
+    max_bytes / (total_bytes / n_shards_used).
     """
     shard = (
         F.conv(
@@ -358,21 +362,11 @@ def shard_balance_audit(
         F.sum("b").alias("tb"),
         F.max("b").alias("mxb"),
     )
-    mean = F.col("t") / F.col("su").cast("double")
-    msq = F.col("nn") / F.col("su").cast("double")
-    var = msq - mean * mean
-    meanb = F.col("tb") / F.col("su").cast("double")
     return st.select(
         F.col("su").alias("n_shards_used"),
         F.col("t").alias("n_docs"),
-        F.round(mean, round_digits).alias("mean_docs"),
+        F.col("nn").alias("sum_docs_sq"),
         F.col("mx").alias("max_docs"),
-        F.round(
-            F.sqrt(F.greatest(var, F.lit(0.0))) / mean, round_digits
-        ).alias("cv_docs"),
-        F.round(F.col("mx") / mean, round_digits).alias("hot_factor"),
+        F.col("tb").alias("total_bytes"),
         F.col("mxb").alias("max_bytes"),
-        F.round(F.col("mxb") / meanb, round_digits).alias(
-            "byte_hot_factor"
-        ),
     )

@@ -97,7 +97,6 @@ def front_coding_audit(
 def stemming_collision_audit(
     docs: DataFrame,
     text_col: str = "text",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Porter step-1a stemming collision audit — what plural folding
     buys and breaks in the term dictionary.
@@ -110,8 +109,9 @@ def stemming_collision_audit(
     surface forms, and the worst fan-in — the numbers that decide
     whether the index stems at write time or expands at query time.
 
-    One row: (n_terms, n_stems, compression, n_collision_stems,
-    max_variants).
+    One row: (n_terms, n_stems, n_collision_stems, max_variants) —
+    integer counts only (compression is 1 - n_stems / n_terms), so
+    the audit hashes identically on every engine.
     """
     term = F.explode(
         F.split(F.lower(F.col(text_col)), r"\s+")
@@ -136,11 +136,6 @@ def stemming_collision_audit(
     return per.agg(
         F.sum("nv").alias("n_terms"),
         F.count(F.lit(1)).alias("n_stems"),
-        F.round(
-            F.lit(1.0)
-            - F.count(F.lit(1)) / F.sum("nv").cast("double"),
-            round_digits,
-        ).alias("compression"),
         F.sum((F.col("nv") >= 2).cast("long")).alias(
             "n_collision_stems"
         ),

@@ -249,7 +249,6 @@ def injection_scan(
     docs: DataFrame,
     text_col: str = "text",
     group_col: str = "source",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Prompt-injection phrase scan — the LLM-corpus safety sibling of
     the special-token scan.
@@ -262,8 +261,9 @@ def injection_scan(
     is a pinned case-insensitive phrase list; per source: affected
     docs, total hits, and the modal phrase (first-listed on ties).
 
-    Per (grp): (grp, n_docs, docs_hit, total_hits, top_phrase,
-    frac_hit).
+    Per (grp): (grp, n_docs, docs_hit, total_hits, top_phrase) —
+    integer counts only (the hit share is docs_hit / n_docs), so the
+    scan hashes identically on every engine.
     """
     t = F.lower(F.col(text_col))
     n = len(INJECTION_PATTERNS)
@@ -304,10 +304,6 @@ def injection_scan(
         "docs_hit",
         "total_hits",
         top.alias("top_phrase"),
-        F.round(
-            F.col("docs_hit") / F.col("n_docs").cast("double"),
-            round_digits,
-        ).alias("frac_hit"),
     )
 
 
@@ -315,7 +311,6 @@ def markdown_scan(
     docs: DataFrame,
     text_col: str = "text",
     group_col: str = "source",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Markdown-structure contamination scan — how much of a "plain
     text" corpus is actually markup.
@@ -327,7 +322,9 @@ def markdown_scan(
     rules, and inline links.
 
     Per (grp): (grp, n_docs, n_fence, n_heading, n_table, n_link,
-    docs_any, frac_any).
+    docs_any) — integer counts only (the markdown share is
+    docs_any / n_docs), so the scan hashes identically on every
+    engine.
     """
     t = F.col(text_col)
     fence = (F.regexp_count(t, F.lit("```")) > 0).cast("long")
@@ -358,10 +355,6 @@ def markdown_scan(
         F.sum("tb").alias("n_table"),
         F.sum("l").alias("n_link"),
         F.sum("a").alias("docs_any"),
-        F.round(
-            F.sum("a") / F.count(F.lit(1)).cast("double"),
-            round_digits,
-        ).alias("frac_any"),
     )
 
 
@@ -377,7 +370,6 @@ def license_scan(
     docs: DataFrame,
     text_col: str = "text",
     group_col: str = "source",
-    round_digits: int = 6,
 ) -> DataFrame:
     """License-phrase scan — the first-pass rights triage of a
     training corpus.
@@ -391,7 +383,9 @@ def license_scan(
     Counts are doc-level (a doc can carry several classes).
 
     Per (grp): (grp, n_docs, n_restrictive, n_cc, n_public_domain,
-    n_permissive, docs_marked, frac_marked).
+    n_permissive, docs_marked) — integer counts only (the marked
+    share is docs_marked / n_docs), so the scan hashes identically
+    on every engine.
     """
     t = F.lower(F.col(text_col))
     flags = [
@@ -407,10 +401,4 @@ def license_scan(
     for i, (name, _) in enumerate(LICENSE_CLASSES):
         aggs.append(F.sum(f"c{i}").alias(f"n_{name}"))
     aggs.append(F.sum("a").alias("docs_marked"))
-    aggs.append(
-        F.round(
-            F.sum("a") / F.count(F.lit(1)).cast("double"),
-            round_digits,
-        ).alias("frac_marked")
-    )
     return per.groupBy("grp").agg(*aggs)

@@ -128,7 +128,6 @@ def url_extension_mix(
     urls: DataFrame,
     host_col: str = "host",
     path_col: str = "path",
-    round_digits: int = 6,
 ) -> DataFrame:
     """URL file-extension mix per host — what a host's URL space is
     made of before fetching a byte.
@@ -140,7 +139,9 @@ def url_extension_mix(
     Extensionless paths count as pages (the clean-URL convention).
 
     Per host: (host, n_urls, n_page, n_doc, n_image, n_asset,
-    n_data, n_other, frac_page).
+    n_data, n_other) — integer counts only (the page share is
+    n_page / n_urls), so the audit hashes identically on every
+    engine.
     """
     ext = F.lower(
         F.regexp_extract(F.col(path_col), r"\.([A-Za-z0-9]{1,5})$", 1)
@@ -169,20 +170,12 @@ def url_extension_mix(
     aggs.append(
         F.sum((F.col("cls") == "other").cast("long")).alias("n_other")
     )
-    aggs.append(
-        F.round(
-            F.sum((F.col("cls") == "page").cast("long"))
-            / F.count(F.lit(1)).cast("double"),
-            round_digits,
-        ).alias("frac_page")
-    )
     return per.groupBy("host").agg(*aggs)
 
 
 def subdomain_profile(
     urls: DataFrame,
     host_col: str = "host",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Subdomain sprawl profile per registered domain — the
     wildcard-subdomain spam signal.
@@ -194,8 +187,9 @@ def subdomain_profile(
     approximation used by ``registered_domain`` above) and profiles
     the spread.
 
-    Per domain: (domain, n_hosts, n_urls, frac_www, frac_apex,
-    max_host_share).
+    Per domain: (domain, n_hosts, n_urls, n_www_urls, n_apex_urls,
+    max_host_urls) — integer counts only (shares divide by n_urls),
+    so the audit hashes identically on every engine.
     """
     host = F.col(host_col)
     parts = F.split(host, r"\.")
@@ -212,23 +206,13 @@ def subdomain_profile(
     return per_host.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_hosts"),
         F.sum("n").alias("n_urls"),
-        F.round(
-            F.sum(
-                F.when(F.col("h").startswith("www."), F.col("n"))
-                .otherwise(F.lit(0))
-            )
-            / F.sum("n").cast("double"),
-            round_digits,
-        ).alias("frac_www"),
-        F.round(
-            F.sum(
-                F.when(F.col("h") == F.col("domain"), F.col("n"))
-                .otherwise(F.lit(0))
-            )
-            / F.sum("n").cast("double"),
-            round_digits,
-        ).alias("frac_apex"),
-        F.round(
-            F.max("n") / F.sum("n").cast("double"), round_digits
-        ).alias("max_host_share"),
+        F.sum(
+            F.when(F.col("h").startswith("www."), F.col("n"))
+            .otherwise(F.lit(0))
+        ).alias("n_www_urls"),
+        F.sum(
+            F.when(F.col("h") == F.col("domain"), F.col("n"))
+            .otherwise(F.lit(0))
+        ).alias("n_apex_urls"),
+        F.max("n").alias("max_host_urls"),
     )

@@ -224,7 +224,6 @@ def case_collision_audit(
     urls: DataFrame,
     host_col: str = "host",
     path_col: str = "path",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Case-collision audit — paths that merge on a case-insensitive
     server.
@@ -237,7 +236,9 @@ def case_collision_audit(
     or is generating links inconsistently.
 
     Per host: (host, n_paths, n_folded, n_collision_groups,
-    max_group, frac_redundant).
+    max_group) — integer counts only (the redundant share is
+    (n_paths - n_folded) / n_paths), so the audit hashes identically
+    on every engine.
     """
     p = urls.select(
         F.col(host_col).alias("host"), F.col(path_col).alias("pp")
@@ -252,9 +253,4 @@ def case_collision_audit(
             "n_collision_groups"
         ),
         F.max("c").alias("max_group"),
-        F.round(
-            (F.sum("c") - F.count(F.lit(1)))
-            / F.sum("c").cast("double"),
-            round_digits,
-        ).alias("frac_redundant"),
     )

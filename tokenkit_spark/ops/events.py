@@ -1557,7 +1557,6 @@ def engagement_lx(
     events: DataFrame,
     ts_col: str = "ts",
     user_col: str = "user_id",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Lx engagement curve — the days-active-per-week histogram.
 
@@ -1569,7 +1568,9 @@ def engagement_lx(
     story than DAU/MAU alone, which is why it complements the
     stickiness ratio rather than duplicating it.
 
-    Per week: (week, n_users, l1..l7, mean_days).
+    Per week: (week, n_users, l1..l7, sum_days) — integer counts
+    only (mean days-active is sum_days / n_users), so the audit
+    hashes identically on every engine.
     """
     d = events.select(
         F.date_trunc("week", F.col(ts_col))
@@ -1588,9 +1589,7 @@ def engagement_lx(
             F.sum((F.col("k") == i).cast("long")).alias(f"l{i}")
             for i in range(1, 8)
         ],
-        F.round(F.avg(F.col("k").cast("double")), round_digits).alias(
-            "mean_days"
-        ),
+        F.sum("k").cast("long").alias("sum_days"),
     )
 
 
@@ -1599,7 +1598,6 @@ def session_gap_sweep(
     entity_col: str = "user_id",
     ts_col: str = "ts",
     thresholds_min: tuple = (10, 30, 60),
-    round_digits: int = 6,
 ) -> DataFrame:
     """Inactivity-threshold sensitivity sweep for sessionization.
 
@@ -1611,8 +1609,10 @@ def session_gap_sweep(
     count over the same gaps — the sweep costs one pass no matter
     how many thresholds, which is what makes it viable at log scale.
 
-    Per threshold: (gap_min, n_sessions, sessions_per_user,
-    frac_break).
+    Per threshold: (gap_min, n_users, n_gaps, n_breaks, n_sessions)
+    — integer counts only (sessions per user and break fraction are
+    n_sessions / n_users and n_breaks / n_gaps), so the sweep hashes
+    identically on every engine.
     """
     w = Window.partitionBy(entity_col).orderBy(ts_col)
     # microsecond-exact epoch so sub-second event times compare
@@ -1642,22 +1642,12 @@ def session_gap_sweep(
         parts.append(
             st.select(
                 F.lit(t).alias("gap_min"),
+                F.col("n_users"),
+                F.col("n_gaps"),
+                F.col(f"br{t}").alias("n_breaks"),
                 (F.col("n_users") + F.col(f"br{t}")).alias(
                     "n_sessions"
                 ),
-                F.round(
-                    (F.col("n_users") + F.col(f"br{t}"))
-                    / F.col("n_users").cast("double"),
-                    round_digits,
-                ).alias("sessions_per_user"),
-                F.round(
-                    F.when(
-                        F.col("n_gaps") > 0,
-                        F.col(f"br{t}")
-                        / F.col("n_gaps").cast("double"),
-                    ),
-                    round_digits,
-                ).alias("frac_break"),
             )
         )
     out = parts[0]

@@ -155,7 +155,6 @@ def title_body_coverage(
     host_col: str = "host",
     title_col: str = "title",
     body_col: str = "body",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Title-body term coverage — does the title describe the page?
 
@@ -166,8 +165,12 @@ def title_body_coverage(
     exactly those pages.  Coverage = fraction of distinct
     lowercased title words appearing as words in the body.
 
-    Per host: (host, n_pages, mean_coverage, n_zero_coverage,
-    n_full_coverage, frac_zero).
+    Per host: (host, n_pages, n_with_title, sum_cov_ppm,
+    n_zero_coverage, n_full_coverage).  Coverage is carried as exact
+    integer parts-per-million (floor(hits * 1e6 / n_title_words) via
+    integer division), summed as a bigint — no float accumulation, so
+    the audit hashes identically on every engine; the mean coverage
+    is sum_cov_ppm / n_with_title / 1e6.
     """
     tw = F.array_distinct(
         F.split(F.lower(F.trim(F.col(title_col))), r"\s+")
@@ -175,25 +178,34 @@ def title_body_coverage(
     bw = F.split(F.lower(F.col(body_col)), r"\s+")
     hits = F.size(F.array_intersect(tw, bw))
     ntw = F.size(tw)
-    cov = F.when(ntw > 0, hits / ntw.cast("double"))
     per = pages.select(
         F.col(host_col).alias("host"),
-        cov.alias("cov"),
-        ((cov == 0.0).cast("long")).alias("z"),
-        ((cov == 1.0).cast("long")).alias("fl"),
+        hits.cast("long").alias("hits"),
+        ntw.cast("long").alias("ntw"),
+    )
+    # exact integer ppm: floor division of bigints, no doubles
+    per = per.withColumn(
+        "cov_ppm",
+        F.when(
+            F.col("ntw") > 0,
+            F.expr("(hits * CAST(1000000 AS BIGINT)) DIV ntw"),
+        ),
+    ).withColumn(
+        "z",
+        F.when(F.col("ntw") > 0, (F.col("hits") == 0).cast("long")),
+    ).withColumn(
+        "fl",
+        F.when(
+            F.col("ntw") > 0,
+            (F.col("hits") == F.col("ntw")).cast("long"),
+        ),
     )
     return per.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_pages"),
-        F.round(
-            F.sum("cov") / F.count("cov").cast("double"), round_digits
-        ).alias("mean_coverage"),
+        F.count("cov_ppm").alias("n_with_title"),
+        F.coalesce(F.sum("cov_ppm"), F.lit(0)).alias("sum_cov_ppm"),
         F.coalesce(F.sum("z"), F.lit(0)).alias("n_zero_coverage"),
         F.coalesce(F.sum("fl"), F.lit(0)).alias("n_full_coverage"),
-        F.round(
-            F.coalesce(F.sum("z"), F.lit(0))
-            / F.count(F.lit(1)).cast("double"),
-            round_digits,
-        ).alias("frac_zero"),
     )
 
 
@@ -201,7 +213,6 @@ def alt_text_audit(
     pages: DataFrame,
     host_col: str = "host",
     html_col: str = "html",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Image alt-text coverage — the accessibility metric that is
     also an image-search ranking input.
@@ -213,8 +224,9 @@ def alt_text_audit(
     syntactically: ``<img`` tags vs those carrying an ``alt=``
     attribute.
 
-    Per host: (host, n_pages, n_img, n_img_alt, frac_alt,
-    n_pages_incomplete).
+    Per host: (host, n_pages, n_img, n_img_alt, n_pages_incomplete)
+    — integer counts only (the alt coverage is n_img_alt / n_img), so
+    the audit hashes identically on every engine.
     """
     t = F.lower(F.col(html_col))
     n_img = F.regexp_count(t, F.lit("<img "))
@@ -228,13 +240,6 @@ def alt_text_audit(
         F.count(F.lit(1)).alias("n_pages"),
         F.sum("ni").alias("n_img"),
         F.sum("na").alias("n_img_alt"),
-        F.round(
-            F.when(
-                F.sum("ni") > 0,
-                F.sum("na") / F.sum("ni").cast("double"),
-            ),
-            round_digits,
-        ).alias("frac_alt"),
         F.sum(
             (F.col("ni") > F.col("na")).cast("long")
         ).alias("n_pages_incomplete"),
@@ -249,7 +254,6 @@ def schema_type_mix(
     pages: DataFrame,
     host_col: str = "host",
     html_col: str = "html",
-    round_digits: int = 6,
 ) -> DataFrame:
     """schema.org ``@type`` mix per host — what a host claims to be.
 
@@ -261,7 +265,9 @@ def schema_type_mix(
     the type level.  Counts pages declaring each pinned type.
 
     Per host: (host, n_pages, n_article, n_product, n_organization,
-    n_faqpage, n_breadcrumblist, n_recipe, n_typed, frac_typed).
+    n_faqpage, n_breadcrumblist, n_recipe, n_typed) — integer counts
+    only (the typed share is n_typed / n_pages), so the audit hashes
+    identically on every engine.
     """
     t = F.col(html_col)
     flags = []
@@ -285,12 +291,6 @@ def schema_type_mix(
     for i, st in enumerate(SCHEMA_TYPES):
         aggs.append(F.sum(f"t{i}").alias(f"n_{st.lower()}"))
     aggs.append(F.sum("a").alias("n_typed"))
-    aggs.append(
-        F.round(
-            F.sum("a") / F.count(F.lit(1)).cast("double"),
-            round_digits,
-        ).alias("frac_typed")
-    )
     return per.groupBy("host").agg(*aggs)
 
 

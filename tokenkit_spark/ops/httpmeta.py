@@ -228,7 +228,6 @@ def security_headers_audit(
     pages: DataFrame,
     headers_col: str = "headers",
     host_col: str = "host",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Security-response-header adoption audit (OWASP Secure Headers
     project; RFC 6797 for HSTS).
@@ -243,7 +242,9 @@ def security_headers_audit(
     origin" number.
 
     Per host: (host, n_pages, n_hsts, n_hsts_year, n_csp, n_nosniff,
-    n_frame, n_referrer, mean_score).
+    n_frame, n_referrer) — integer counts only (the mean hardening
+    score is (n_hsts + n_csp + n_nosniff + n_frame + n_referrer) /
+    (5 * n_pages)), so the audit hashes identically on every engine.
     """
     h = F.col(headers_col)
     hsts = h.rlike(r"Strict-Transport-Security:").cast("long")
@@ -284,17 +285,6 @@ def security_headers_audit(
         F.sum("ns").alias("n_nosniff"),
         F.sum("fr").alias("n_frame"),
         F.sum("rp").alias("n_referrer"),
-        F.round(
-            (
-                F.sum("hsts")
-                + F.sum("csp")
-                + F.sum("ns")
-                + F.sum("fr")
-                + F.sum("rp")
-            )
-            / (F.count(F.lit(1)) * F.lit(5.0)),
-            round_digits,
-        ).alias("mean_score"),
     )
 
 
@@ -302,7 +292,6 @@ def content_encoding_audit(
     pages: DataFrame,
     headers_col: str = "headers",
     host_col: str = "host",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Content-Encoding adoption audit (RFC 9110 §8.4) — which hosts
     actually compress their responses.
@@ -313,7 +302,11 @@ def content_encoding_audit(
     line item (HTTP Archive tracks exactly this number).
 
     Per host: (host, n_pages, n_gzip, n_br, n_zstd, n_identity,
-    frac_compressed, mean_len_compressed, mean_len_identity).
+    n_len_compressed, sum_len_compressed, n_len_identity,
+    sum_len_identity) — exact integer counts and byte sums only (the
+    compressed share is (n_pages - n_identity) / n_pages and the
+    mean wire lengths are the sums over their counts), so the audit
+    hashes identically on every engine.
     """
     h = F.col(headers_col)
     enc = F.lower(
@@ -341,14 +334,10 @@ def content_encoding_audit(
         F.sum("b").alias("n_br"),
         F.sum("z").alias("n_zstd"),
         (F.count(F.lit(1)) - F.sum("c")).alias("n_identity"),
-        F.round(
-            F.sum("c") / F.count(F.lit(1)).cast("double"),
-            round_digits,
-        ).alias("frac_compressed"),
-        F.round(F.avg("lc"), round_digits).alias(
-            "mean_len_compressed"
-        ),
-        F.round(F.avg("li"), round_digits).alias("mean_len_identity"),
+        F.count("lc").alias("n_len_compressed"),
+        F.coalesce(F.sum("lc"), F.lit(0)).alias("sum_len_compressed"),
+        F.count("li").alias("n_len_identity"),
+        F.coalesce(F.sum("li"), F.lit(0)).alias("sum_len_identity"),
     )
 
 
@@ -356,7 +345,6 @@ def conditional_get_audit(
     pages: DataFrame,
     headers_col: str = "headers",
     host_col: str = "host",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Conditional-GET readiness audit (RFC 9110 §13; RFC 7232) — how
     much of a recrawl could be 304s.
@@ -369,7 +357,9 @@ def conditional_get_audit(
     ``cache_freshness_audit`` above.
 
     Per host: (host, n_pages, n_etag, n_weak_etag, n_last_modified,
-    n_both, n_revalidatable, frac_revalidatable).
+    n_both, n_revalidatable) — integer counts only (the
+    revalidatable share is n_revalidatable / n_pages), so the audit
+    hashes identically on every engine.
     """
     h = F.col(headers_col)
     etag = h.rlike(r"ETag: ").cast("long")
@@ -392,8 +382,4 @@ def conditional_get_audit(
         F.sum("l").alias("n_last_modified"),
         F.sum("b").alias("n_both"),
         F.sum("r").alias("n_revalidatable"),
-        F.round(
-            F.sum("r") / F.count(F.lit(1)).cast("double"),
-            round_digits,
-        ).alias("frac_revalidatable"),
     )

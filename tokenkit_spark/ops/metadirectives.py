@@ -254,7 +254,6 @@ def canonical_loop_audit(
     pages: DataFrame,
     url_col: str = "url",
     canonical_col: str = "canonical",
-    round_digits: int = 6,
 ) -> DataFrame:
     """rel=canonical loop and chain hygiene — the canonicalization
     failure modes search engines silently ignore.
@@ -269,7 +268,9 @@ def canonical_loop_audit(
     self-canonical or untagged).
 
     One row: (n_pages, n_self_or_none, n_edges, n_loop2, n_chain,
-    n_clean, frac_problematic).
+    n_clean).  The problematic share is (n_loop2 + n_chain) / n_edges;
+    only the exact integer counts are emitted so the audit hashes
+    identically on every engine (no float ratio columns).
     """
     p = pages.select(
         F.col(url_col).alias("u"), F.col(canonical_col).alias("c")
@@ -291,7 +292,7 @@ def canonical_loop_audit(
     ).count()
     clean = n_edges - loop2 - chain
     spark = pages.sparkSession
-    base = spark.createDataFrame(
+    return spark.createDataFrame(
         [
             (
                 n_pages,
@@ -305,24 +306,12 @@ def canonical_loop_audit(
         "n_pages long, n_self_or_none long, n_edges long, "
         "n_loop2 long, n_chain long, n_clean long",
     )
-    return base.withColumn(
-        "frac_problematic",
-        F.round(
-            F.when(
-                F.col("n_edges") > 0,
-                (F.col("n_loop2") + F.col("n_chain"))
-                / F.col("n_edges").cast("double"),
-            ).otherwise(F.lit(0.0)),
-            round_digits,
-        ),
-    )
 
 
 def meta_refresh_audit(
     pages: DataFrame,
     host_col: str = "host",
     html_col: str = "html",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Meta-refresh and JS-redirect audit — the redirects HTTP headers
     don't show.
@@ -335,7 +324,9 @@ def meta_refresh_audit(
     audit counts each flavor per host from the raw HTML.
 
     Per host: (host, n_pages, n_meta_refresh, n_instant, n_delayed,
-    n_js_redirect, frac_any).
+    n_js_redirect, n_any_redirect) — integer counts only, so the
+    audit hashes identically on every engine; the any-redirect share
+    is n_any_redirect / n_pages.
     """
     t = F.lower(F.col(html_col))
     has_refresh = (
@@ -380,10 +371,7 @@ def meta_refresh_audit(
             F.sum("inst").alias("n_instant"),
             F.sum("dly").alias("n_delayed"),
             F.sum("js").alias("n_js_redirect"),
-            F.round(
-                F.sum("anyr") / F.count(F.lit(1)).cast("double"),
-                round_digits,
-            ).alias("frac_any"),
+            F.sum("anyr").alias("n_any_redirect"),
         )
     )
 
@@ -392,7 +380,6 @@ def feed_discovery_audit(
     pages: DataFrame,
     host_col: str = "host",
     html_col: str = "html",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Feed auto-discovery audit — which hosts still advertise
     RSS/Atom.
@@ -403,8 +390,9 @@ def feed_discovery_audit(
     feed — for a recrawl scheduler a feed is a cheaper change signal
     than any sitemap.  Counts pages advertising each feed flavor.
 
-    Per host: (host, n_pages, n_rss, n_atom, n_json_feed, n_any,
-    frac_any).
+    Per host: (host, n_pages, n_rss, n_atom, n_json_feed, n_any) —
+    integer counts only (the feed share is n_any / n_pages), so the
+    audit hashes identically on every engine.
     """
     t = F.lower(F.col(html_col))
     rss = (
@@ -437,10 +425,6 @@ def feed_discovery_audit(
         F.sum("a").alias("n_atom"),
         F.sum("j").alias("n_json_feed"),
         F.sum("x").alias("n_any"),
-        F.round(
-            F.sum("x") / F.count(F.lit(1)).cast("double"),
-            round_digits,
-        ).alias("frac_any"),
     )
 
 
@@ -448,7 +432,6 @@ def render_dependence_audit(
     pages: DataFrame,
     host_col: str = "host",
     html_col: str = "html",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Render-dependence audit — how much of a host needs a headless
     browser.
@@ -461,7 +444,9 @@ def render_dependence_audit(
     this document at all).
 
     Per host: (host, n_pages, n_script_ext, n_script_inline,
-    n_noscript, n_iframe, mean_scripts_per_page).
+    n_noscript, n_iframe, n_scripts_total) — integer counts only
+    (mean scripts per page is n_scripts_total / n_pages), so the
+    audit hashes identically on every engine.
     """
     t = F.lower(F.col(html_col))
     ext = F.regexp_count(t, F.lit("<script [^>]*src="))
@@ -483,8 +468,5 @@ def render_dependence_audit(
         F.sum("i").alias("n_script_inline"),
         F.sum("n").alias("n_noscript"),
         F.sum("f").alias("n_iframe"),
-        F.round(
-            F.sum("s") / F.count(F.lit(1)).cast("double"),
-            round_digits,
-        ).alias("mean_scripts_per_page"),
+        F.sum("s").alias("n_scripts_total"),
     )

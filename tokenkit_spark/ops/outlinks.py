@@ -107,7 +107,6 @@ def link_rel_mix(
     pages: DataFrame,
     host_col: str = "host",
     html_col: str = "html",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Outlink rel-attribute mix — the 2019 link-annotation taxonomy.
 
@@ -118,7 +117,9 @@ def link_rel_mix(
     Anchor-level counts: qualified rels vs plain links.
 
     Per host: (host, n_anchors, n_nofollow, n_sponsored, n_ugc,
-    n_plain, frac_qualified).
+    n_plain, n_qualified) — integer counts only (the qualified share
+    is n_qualified / n_anchors), so the audit hashes identically on
+    every engine.
     """
     t = F.lower(F.col(html_col))
     anchors = F.regexp_count(t, F.lit("<a "))
@@ -143,11 +144,5 @@ def link_rel_mix(
         F.sum("sp").alias("n_sponsored"),
         F.sum("ug").alias("n_ugc"),
         (F.sum("a") - F.sum("q")).alias("n_plain"),
-        F.round(
-            F.when(
-                F.sum("a") > 0,
-                F.sum("q") / F.sum("a").cast("double"),
-            ),
-            round_digits,
-        ).alias("frac_qualified"),
+        F.sum("q").alias("n_qualified"),
     )

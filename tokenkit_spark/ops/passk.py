@@ -31,14 +31,18 @@ def pass_at_k(
     n_col: str = "n",
     c_col: str = "c",
     ks: tuple = PASS_AT_KS,
-    round_digits: int = 6,
 ) -> DataFrame:
     """Unbiased pass@k (Chen et al. 2021): per task
     1 - C(n-c, k)/C(n, k), expanded as the stable product
-    prod_{i<k} (n-c-i)/(n-i), then averaged over tasks.
+    prod_{i<k} (n-c-i)/(n-i).
 
-    Per k: (k, n_tasks, mean_pass, n_certain) where n_certain counts
-    tasks with pass@k exactly 1 (fewer than k failures among n).
+    Per k: (k, n_tasks, sum_pass_e12, n_certain).  The per-task
+    estimate is a fixed-order IEEE double chain (bit-identical on
+    any engine that mirrors the expression), scaled to exact integer
+    pico-units floor(p * 1e12) and summed as a bigint — no float
+    accumulation, so the aggregate hashes identically on every
+    engine.  mean pass@k = sum_pass_e12 / n_tasks / 1e12; n_certain
+    counts tasks with pass@k exactly 1 (fewer than k failures).
     """
     n = F.col(n_col).cast("double")
     c = F.col(c_col).cast("double")
@@ -58,7 +62,9 @@ def pass_at_k(
         per = per.unionByName(df)
     return per.groupBy("k").agg(
         F.count(F.lit(1)).alias("n_tasks"),
-        F.round(F.avg("p"), round_digits).alias("mean_pass"),
+        F.sum(
+            F.floor(F.col("p") * F.lit(1000000000000.0)).cast("long")
+        ).alias("sum_pass_e12"),
         F.sum((F.col("p") == 1.0).cast("long")).alias("n_certain"),
     )
 

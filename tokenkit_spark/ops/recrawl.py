@@ -129,7 +129,6 @@ def lastmod_trust_audit(
     entries: DataFrame,
     host_col: str = "host",
     lastmod_col: str = "lastmod",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Sitemap ``<lastmod>`` trustworthiness audit.
 
@@ -142,8 +141,11 @@ def lastmod_trust_audit(
     modal date.  all_same (one date across many URLs) is the
     canonical untrustworthy pattern.
 
-    Per host: (host, n_entries, n_distinct, modal_share, all_same,
-    suspicious).
+    Per host: (host, n_entries, n_distinct, modal_count, all_same,
+    suspicious) — the modal share is modal_count / n_entries; only
+    the exact integer count is emitted (and ``suspicious`` compares
+    5 * modal_count > 4 * n_entries in integers), so the audit
+    hashes identically on every engine.
     """
     per_date = entries.groupBy(
         F.col(host_col).alias("host"),
@@ -154,15 +156,18 @@ def lastmod_trust_audit(
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("modal"),
     )
-    modal_share = F.col("modal") / F.col("n_entries").cast("double")
     all_same = (F.col("n_distinct") == 1) & (F.col("n_entries") > 1)
+    # modal_share > 0.8 done in exact integer arithmetic
+    high_modal = (
+        F.col("modal") * F.lit(5) > F.col("n_entries") * F.lit(4)
+    )
     return g.select(
         "host",
         "n_entries",
         "n_distinct",
-        F.round(modal_share, round_digits).alias("modal_share"),
+        F.col("modal").alias("modal_count"),
         all_same.alias("all_same"),
         (
-            all_same | (modal_share > 0.8) & (F.col("n_entries") > 4)
+            all_same | high_modal & (F.col("n_entries") > 4)
         ).alias("suspicious"),
     )

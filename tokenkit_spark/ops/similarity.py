@@ -847,7 +847,6 @@ def binary_hamming_recall(
 def embedding_quality_audit(
     emb: DataFrame,
     vec_col: str = "embedding",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Embedding-table data-quality audit — the checks that gate an
     ANN index build.
@@ -860,8 +859,15 @@ def embedding_quality_audit(
     L2 norms with an index-ordered fold (bit-identical across
     engines) and profiles them.
 
-    One row: (n_vecs, n_dim_values, min_dims, max_dims, mean_norm,
-    p05_norm, p95_norm, n_near_zero, n_nan).
+    One row: (n_vecs, n_dim_values, min_dims, max_dims,
+    sum_norm_e6, p05_norm_e6, p95_norm_e6, n_near_zero, n_nan).
+    Norm statistics are exact integers: per-row micro-units
+    floor(norm * 1e6) summed as a bigint (no float accumulation),
+    and the percentiles are exact order statistics (k-th smallest
+    with k = ceil(q * n), no interpolation) in the same micro-units
+    — so the audit hashes identically on every engine.  The order
+    statistics use distributed TakeOrdered (sort + limit ~0.05 n
+    rows), not a single-partition global window.
     """
     arr = F.transform(
         F.col(vec_col), lambda x: x.cast("double")
@@ -879,23 +885,66 @@ def embedding_quality_audit(
         F.size(F.col(vec_col)).alias("d"),
         has_nan.cast("long").alias("nan"),
     )
+    import math
+
+    per = per.cache()
+    # order statistics over finite norms only (NaN sorts unlike
+    # across engines and would poison the micro-unit floor)
+    finite = per.filter(~F.isnan(F.col("nrm")))
+    n = finite.count()
+    k05 = max(1, math.ceil(0.05 * n)) if n else 0
+    k95 = max(1, math.ceil(0.95 * n)) if n else 0
+    # exact k-th smallest via distributed TakeOrdered: the k05
+    # smallest norms ascending (~0.05 n rows), and for p95 the
+    # n-k95+1 LARGEST norms descending (also ~0.05 n rows) whose
+    # min is the k95-th smallest
+    if n:
+        p05 = (
+            finite.orderBy(F.col("nrm").asc())
+            .limit(k05)
+            .agg(F.max("nrm"))
+            .collect()[0][0]
+        )
+        p95 = (
+            finite.orderBy(F.col("nrm").desc())
+            .limit(n - k95 + 1)
+            .agg(F.min("nrm"))
+            .collect()[0][0]
+        )
+    else:
+        p05 = p95 = None
+    p05_e6 = int(math.floor(p05 * 1e6)) if p05 is not None else None
+    p95_e6 = int(math.floor(p95 * 1e6)) if p95 is not None else None
     return per.agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.countDistinct("d").alias("n_dim_values"),
         F.min("d").alias("min_dims"),
         F.max("d").alias("max_dims"),
-        F.round(
-            F.sum("nrm") / F.count(F.lit(1)).cast("double"),
-            round_digits,
-        ).alias("mean_norm"),
-        F.round(
-            F.percentile(F.col("nrm"), F.lit(0.05)), round_digits
-        ).alias("p05_norm"),
-        F.round(
-            F.percentile(F.col("nrm"), F.lit(0.95)), round_digits
-        ).alias("p95_norm"),
+        F.sum(
+            F.when(
+                ~F.isnan(F.col("nrm")),
+                F.floor(F.col("nrm") * F.lit(1000000.0)).cast(
+                    "long"
+                ),
+            )
+        ).alias("sum_norm_e6"),
         F.sum((F.col("nrm") < 1e-6).cast("long")).alias(
             "n_near_zero"
         ),
         F.sum("nan").alias("n_nan"),
+    ).withColumns(
+        {
+            "p05_norm_e6": F.lit(p05_e6).cast("long"),
+            "p95_norm_e6": F.lit(p95_e6).cast("long"),
+        }
+    ).select(
+        "n_vecs",
+        "n_dim_values",
+        "min_dims",
+        "max_dims",
+        "sum_norm_e6",
+        "p05_norm_e6",
+        "p95_norm_e6",
+        "n_near_zero",
+        "n_nan",
     )

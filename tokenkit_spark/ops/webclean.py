@@ -633,7 +633,6 @@ def mixed_content_audit(
     host_col: str = "host",
     scheme_col: str = "scheme",
     html_col: str = "html",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Mixed-content audit — https pages embedding http:// sub-resources.
 
@@ -646,7 +645,9 @@ def mixed_content_audit(
     explicit ``http://`` origin on https-served pages only.
 
     Per host: (host, n_pages, n_https_pages, pages_mixed,
-    n_mixed_refs, frac_mixed).
+    n_mixed_refs) — integer counts only (the mixed share is
+    pages_mixed / n_https_pages), so the audit hashes identically on
+    every engine.
     """
     is_https = (F.col(scheme_col) == "https").cast("long")
     refs = F.regexp_count(
@@ -668,16 +669,5 @@ def mixed_content_audit(
             F.sum("https").alias("n_https_pages"),
             F.sum((F.col("m") > 0).cast("long")).alias("pages_mixed"),
             F.sum("m").alias("n_mixed_refs"),
-        )
-        .withColumn(
-            "frac_mixed",
-            F.round(
-                F.when(
-                    F.col("n_https_pages") > 0,
-                    F.col("pages_mixed")
-                    / F.col("n_https_pages").cast("double"),
-                ),
-                round_digits,
-            ),
         )
     )
