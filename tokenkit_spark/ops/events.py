@@ -1714,7 +1714,6 @@ def props_schema_drift(
     events: DataFrame,
     ts_col: str = "ts",
     props_col: str = "props",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Event-properties schema drift — when did the payload change
     shape.

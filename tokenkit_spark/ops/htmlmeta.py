@@ -301,7 +301,6 @@ def og_completeness_audit(
     pages: DataFrame,
     host_col: str = "host",
     html_col: str = "html",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Open Graph completeness audit — the four required properties.
 
@@ -312,7 +311,9 @@ def og_completeness_audit(
     dashboard of a publisher host.
 
     Per host: (host, n_pages, n_title, n_type, n_image, n_url,
-    n_complete, n_partial, n_absent, frac_complete).
+    n_complete, n_partial, n_absent) — integer counts only (the
+    complete share is n_complete / n_pages), so the audit hashes
+    identically on every engine.
     """
     t = F.lower(F.col(html_col))
     flags = []
@@ -341,9 +342,4 @@ def og_completeness_audit(
             ((F.col("tot") > 0) & (F.col("tot") < 4)).cast("long")
         ).alias("n_partial"),
         F.sum((F.col("tot") == 0).cast("long")).alias("n_absent"),
-        F.round(
-            F.sum((F.col("tot") == 4).cast("long"))
-            / F.count(F.lit(1)).cast("double"),
-            round_digits,
-        ).alias("frac_complete"),
     )

@@ -1876,7 +1876,6 @@ def token_fertility(
     docs: DataFrame,
     text_col: str = "text",
     lang_col: str = "lang",
-    round_digits: int = 6,
 ) -> DataFrame:
     """Per-language token fertility — the tokenizer-bias number.
 
@@ -1889,8 +1888,10 @@ def token_fertility(
     letter/digit runs (the pre-tokenization pattern BPE splits
     start from).
 
-    Per lang: (lang, n_docs, total_chars, ws_tokens, subword_units,
-    chars_per_ws_token, chars_per_subword, subwords_per_word).
+    Per lang: (lang, n_docs, total_chars, ws_tokens, subword_units)
+    — integer sums only (fertility ratios are total_chars /
+    ws_tokens, total_chars / subword_units, and subword_units /
+    ws_tokens), so the audit hashes identically on every engine.
     """
     t = F.col(text_col)
     nchars = F.length(t)
@@ -1911,22 +1912,4 @@ def token_fertility(
         F.sum("c").alias("total_chars"),
         F.sum("w").alias("ws_tokens"),
         F.sum("s").alias("subword_units"),
-        F.round(
-            F.when(
-                F.sum("w") > 0, F.sum("c") / F.sum("w").cast("double")
-            ),
-            round_digits,
-        ).alias("chars_per_ws_token"),
-        F.round(
-            F.when(
-                F.sum("s") > 0, F.sum("c") / F.sum("s").cast("double")
-            ),
-            round_digits,
-        ).alias("chars_per_subword"),
-        F.round(
-            F.when(
-                F.sum("w") > 0, F.sum("s") / F.sum("w").cast("double")
-            ),
-            round_digits,
-        ).alias("subwords_per_word"),
     )

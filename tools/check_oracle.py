@@ -2,7 +2,13 @@
 queries() entry on Spark and its oracle_sql() twin on DuckDB, compare
 row-count, column names, and an order-insensitive value multiset.
 
-Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [--exact]
+       [sf_dir] [query_name ...]
+
+--exact compares floats at FULL precision (bit-for-bit after float()
+normalization) instead of the default 6-dp rounding — the driver's
+value hash is full-precision, so --exact is the faithful local
+reproduction of its gate.  Integer/string/bool outputs are unaffected.
 
 With --json, also writes a machine-readable result file in the driver's
 CORRECTNESS_r{N}.json per-query format (rows_match/schema_match/
@@ -25,9 +31,16 @@ TABLES = [
 ]
 
 
+EXACT = False
+
+
 def norm_val(v):
     if isinstance(v, float):
-        return round(v, 6)
+        return v if EXACT else round(v, 6)
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v) if EXACT else round(float(v), 6)
     return v
 
 
@@ -37,11 +50,15 @@ def rows_to_multiset(cols, rows):
 
 
 def main():
+    global EXACT
     argv = sys.argv[1:]
     json_out = None
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
+    if argv and argv[0] == "--exact":
+        EXACT = True
+        argv = argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
     results = {}
