@@ -163,6 +163,14 @@ def _zipf_e2e_wand_bench(spark, entry) -> dict:
     qrows += [(14, "t0 t1"), (15, "t1 t2")]
     qdf = spark.createDataFrame(qrows, "query_id long, text string")
 
+    # one untimed warm-up per path: the first scoring job after a build
+    # pays JVM/codegen/shuffle warm-up that would otherwise be billed
+    # entirely to whichever path runs first (r03 measured WAND first and
+    # the warm-up dwarfed the kernel delta)
+    bm25_segments(spark, index, qdf, entry.WS, k=10).collect()
+    bm25_segments(
+        spark, index, qdf, entry.WS, k=10, use_blockmax=False
+    ).collect()
     t0 = time.monotonic()
     wand_rows = bm25_segments(spark, index, qdf, entry.WS, k=10).collect()
     t_wand = time.monotonic() - t0

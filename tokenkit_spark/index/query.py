@@ -429,7 +429,13 @@ def _score_shard_kernel(
                     groups.setdefault((int(q), int(row.shard)), []).append(t)
         out_q, out_d, out_s = [], [], []
         for (q, _shard), terms in groups.items():
-            if use_blockmax and sum(len(t["block_last"]) for t in terms) > direct_max_blocks:
+            # adaptive cutover: WAND needs (a) enough blocks for skips
+            # to matter AND (b) postings >> k — when the whole candidate
+            # set is about the size of the answer, θ never rises enough
+            # to prune and the bookkeeping is pure overhead
+            n_blocks = sum(len(t["block_last"]) for t in terms)
+            n_post = sum(int(t["n_postings"]) for t in terms)
+            if use_blockmax and n_blocks > direct_max_blocks and n_post > 4 * k:
                 res = prune_fn(terms, avgdl, k)
             else:  # short lists, or the A/B exhaustive fallback
                 res = wand.score_query_direct(terms, avgdl, k)

@@ -41,6 +41,15 @@ from . import codec
 
 _EPS = 1e-9  # slack so rounded-score ties at the threshold are never pruned
 
+# Per-term decode cutover: when pruning retains at least this fraction of
+# a list's blocks, one memoized full decode (shared across all queries in
+# the partition that contain the term) beats the block-by-block Python
+# decode loop. Exactness is unaffected — extra postings are scored, never
+# mis-pruned. Tuned on the zipf_e2e bench (100k docs, Zipf-1.2 vocab):
+# mid-scale survive fractions of 0.4-0.7 were the regime where WAND ran
+# SLOWER end-to-end than exhaustive before this cutover.
+FULL_DECODE_FRAC = 0.35
+
 
 def decode_full_memo(t: dict):
     """Memoized full decode of a term dict (shared by reference across
@@ -210,8 +219,16 @@ def score_query_shard(
             continue
         # decode memo: the SAME term dict is shared (by reference) across
         # every query in this executor partition that contains the term,
-        # so a head term's blobs decode once per partition, not per query
-        if live.size == nblocks:
+        # so a head term's blobs decode once per partition, not per query.
+        # Adaptive decode cutover (VERDICT r03 perf item): when most of a
+        # list's blocks survive pruning, the block-by-block Python decode
+        # loop costs more than one memoized full decode (which also
+        # amortizes across every query in the partition that shares the
+        # term) — scoring the extra postings is still exact, pruning only
+        # ever skips docs that cannot reach the top-k. blocks_decoded
+        # keeps counting only the blocks pruning RETAINED so the pruning
+        # stats stay comparable across paths.
+        if live.size == nblocks or live.size >= FULL_DECODE_FRAC * nblocks:
             doc_ids, _tfs, _dls = decode_full_memo(t)
             contrib = idf * norms_memo(t, avgdl)
             if eligible is not None:
