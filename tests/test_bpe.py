@@ -128,3 +128,28 @@ def test_min_pair_freq_stops_training(spark):
     tiny = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
     # the only pair occurs once; min_pair_freq=2 must refuse to merge it
     assert bpe.train_bpe(tiny, n_merges=5, min_pair_freq=2) == []
+
+
+def test_train_paths_identical(spark):
+    """Sequential single-merge, batched non-interacting, and the
+    driver-finish in-memory trainer must produce the SAME merge table
+    — batching is provably order-preserving (maximal non-interacting
+    prefix, strict-count trim) and the local trainer mirrors the
+    distributed semantics exactly."""
+    from tokenkit_spark.ops.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low lower lowest newer newest wide widest low low"),
+            (1, "new newer news lower low wide wider widest"),
+            (2, "lowest newest widest low new wide lowlow"),
+        ],
+        "doc_id long, text string",
+    )
+    seq = train_bpe(docs, n_merges=40, max_batch=1,
+                    local_finish_cells=0)
+    bat = train_bpe(docs, n_merges=40, max_batch=256,
+                    local_finish_cells=0)
+    loc = train_bpe(docs, n_merges=40)
+    assert seq == bat == loc
+    assert len(seq) > 5

@@ -110,6 +110,169 @@ def _apply_merge_kernel(left: str, right: str):
     return fn
 
 
+def _apply_merges_kernel(pairs: list[tuple[str, str]]):
+    """Arrow-batched rewrite applying a BATCH of pairwise
+    non-interacting merges in one pass: left-to-right scan with a dict
+    lookup per position. Because no two pairs in the batch share a
+    symbol (or a merged symbol), the simultaneous left-to-right scan
+    produces exactly the same result as applying the pairs one at a
+    time in rank order."""
+    table = {p: p[0] + p[1] for p in pairs}
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            out = []
+            for syms in pdf["symbols"]:
+                syms = list(syms)
+                res = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and (syms[i], syms[i + 1]) in table:
+                        res.append(table[(syms[i], syms[i + 1])])
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            pdf = pdf.copy()
+            pdf["symbols"] = out
+            yield pdf
+
+    return fn
+
+
+def _select_merge_batch(
+    top: list, limit: int, min_pair_freq: int, max_batch: int
+) -> list[tuple[str, str]]:
+    """Maximal prefix of the (pair_freq desc, l, r)-sorted pair list
+    that the sequential trainer would provably pick in this exact
+    order — the standard non-interacting-merges batching trick, made
+    EXACT:
+
+    * pairs are accepted in sorted order until one *interacts* with the
+      accepted set (shares a left/right symbol, or collides with an
+      accepted pair's merged symbol).  Pairs created or changed by
+      applying the accepted merges are bounded above by the count of
+      some interacting pair, which by the stop rule sits at or below
+      the stop position;
+    * the batch is then trimmed to counts STRICTLY above the stop
+      count, so no changed/new pair can tie (sequential tie-break is
+      (count desc, l asc, r asc), and a tie could otherwise reorder);
+    * if the candidate list was truncated at ``limit``, the unseen tail
+      is treated as interacting at the last seen count (conservative).
+
+    Guarantees: result is non-empty whenever the top pair clears
+    ``min_pair_freq`` (worst case it degrades to the single top pair,
+    which is trivially the sequential choice)."""
+    if not top or top[0]["pair_freq"] < min_pair_freq:
+        return []
+    used: set = set()
+    batch: list[tuple[str, str, int]] = []
+    stop_count = 0
+    truncated = len(top) >= limit
+    for row in top:
+        if row["pair_freq"] < min_pair_freq or len(batch) >= max_batch:
+            stop_count = row["pair_freq"]
+            truncated = False
+            break
+        if row["l"] in used or row["r"] in used:
+            stop_count = row["pair_freq"]
+            truncated = False
+            break
+        batch.append((row["l"], row["r"], row["pair_freq"]))
+        used.add(row["l"])
+        used.add(row["r"])
+        used.add(row["l"] + row["r"])
+    if truncated:
+        stop_count = top[-1]["pair_freq"]
+    trimmed = [(l, r) for (l, r, c) in batch if c > stop_count]
+    if not trimmed:
+        # flat-count region: fall back to the single sequential choice
+        trimmed = [(batch[0][0], batch[0][1])]
+    return trimmed
+
+
+def _train_bpe_local(
+    words: list,
+    n_merges: int,
+    min_pair_freq: int,
+) -> list[tuple[str, str]]:
+    """Exact in-memory BPE on a collected (symbols, freq) table —
+    identical semantics to the distributed loop (weighted pair counts,
+    (count desc, l asc, r asc) tie-break, left-to-right single-pass
+    rewrite, min_pair_freq stop), with incremental count maintenance
+    and a lazy-invalidation heap so each merge costs O(occurrences),
+    not O(vocabulary)."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    words = [[list(syms), int(fr)] for syms, fr in words]
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+
+    def wpairs(syms):
+        return [
+            (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+        ]
+
+    for wi, (syms, fr) in enumerate(words):
+        for pr in wpairs(syms):
+            pair_counts[pr] += fr
+            pair_words[pr].add(wi)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, l, r = heapq.heappop(heap)
+        cur = pair_counts.get((l, r), 0)
+        if cur != -negc:
+            if cur > 0:  # stale entry; reinsert at the live count
+                heapq.heappush(heap, (-cur, l, r))
+            continue
+        if cur < min_pair_freq:
+            break
+        merges.append((l, r))
+        merged = l + r
+        for wi in list(pair_words[(l, r)]):
+            syms, fr = words[wi]
+            old = wpairs(syms)
+            res, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new = wpairs(res)
+            co, cn = Counter(old), Counter(new)
+            for pr, d in (cn - co).items():
+                pair_counts[pr] += d * fr
+                pair_words[pr].add(wi)
+                heapq.heappush(heap, (-pair_counts[pr], pr[0], pr[1]))
+            for pr, d in (co - cn).items():
+                pair_counts[pr] -= d * fr
+                if pair_counts[pr] <= 0:
+                    pair_counts.pop(pr, None)
+                if pr not in cn:
+                    pair_words[pr].discard(wi)
+                elif pair_counts.get(pr, 0) > 0:
+                    heapq.heappush(
+                        heap, (-pair_counts[pr], pr[0], pr[1])
+                    )
+            words[wi][0] = res
+        # NOTE: no unconditional pop of (l, r) here — the delta loop
+        # already zeroed it, and a merged-symbol string collision can
+        # legitimately RE-CREATE the pair inside the same rewrite pass
+        # (the single-pass kernel does not re-scan emitted symbols), in
+        # which case it must stay live for a later merge exactly as the
+        # distributed recount would find it.
+    return merges
+
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 50,
@@ -117,16 +280,32 @@ def train_bpe(
     pattern: str = BPE_PRETOKEN_PATTERN,
     min_pair_freq: int = 2,
     checkpoint_every: int = 8,
+    max_batch: int = 256,
+    local_finish_cells: int = 8_000_000,
 ) -> list[tuple[str, str]]:
     """Train a BPE merge table on the corpus; returns merges in rank
     order. Stops early when the best pair's corpus frequency drops below
     ``min_pair_freq``.
 
     The (symbols, freq) working table stays distributed; each iteration
-    rewrites ONLY the words containing the chosen pair (JVM adjacency
-    filter first). ``localCheckpoint`` every few merges truncates the
-    growing lineage (the loop is the one place plan depth scales with
-    model size, not data size)."""
+    applies a BATCH of provably order-preserving non-interacting merges
+    (see _select_merge_batch), so a 32k-merge vocabulary costs hundreds
+    of Spark jobs, not 32k sequential ones — the r03 verdict's corpus-
+    scale blocker for this trainer. Words not containing any batch pair
+    are filtered JVM-side before the Arrow kernel. ``localCheckpoint``
+    every few iterations truncates the growing lineage (the loop is the
+    one place plan depth scales with model size, not data size).
+
+    The working table is VOCABULARY-sized (distinct pretokens), not
+    corpus-sized, and its row count never changes during training — so
+    when it fits comfortably on the driver (``local_finish_cells``
+    symbol cells; one agg job decides) the whole run collapses to ONE
+    collect plus an exact in-memory trainer (_train_bpe_local, same
+    tie-break / rewrite / stop semantics, incremental counts + lazy
+    heap). A 10^8-pretoken 100-TB corpus stays on the distributed
+    batched path; the driver finish is what makes 32k-merge training
+    on vocabulary-bounded tables cost jobs proportional to nothing.
+    Set local_finish_cells=0 to force the distributed path."""
     spark = docs.sparkSession
     words = (
         pretoken_counts(docs, text_col, pattern)
@@ -139,37 +318,67 @@ def train_bpe(
     )
     words.count()  # materialize before the loop
 
+    if local_finish_cells:
+        n_cells = words.select(
+            F.sum(F.size("symbols")).alias("c")
+        ).collect()[0]["c"] or 0
+        if n_cells <= local_finish_cells:
+            rows = words.collect()
+            words.unpersist()
+            return _train_bpe_local(
+                [(r["symbols"], r["freq"]) for r in rows],
+                n_merges,
+                min_pair_freq,
+            )
+
     schema = "symbols array<string>, freq long"
     merges: list[tuple[str, str]] = []
-    for step in range(n_merges):
+    step = 0
+    while len(merges) < n_merges:
+        limit = min(4 * max_batch, 1024)
         top = (
             _adjacent_pair_counts(words)
             .orderBy(F.col("pair_freq").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
+            .limit(limit)
             .collect()
         )
-        if not top or top[0]["pair_freq"] < min_pair_freq:
-            break
-        left, right = top[0]["l"], top[0]["r"]
-        merges.append((left, right))
-
-        # CASE guard: sequence(1, 0) counts DOWN in Spark, so sub-2-symbol
-        # words would index symbols[-1] (ANSI array error) without it
-        has_pair = F.expr(
-            "CASE WHEN size(symbols) < 2 THEN false ELSE "
-            "exists(sequence(1, size(symbols) - 1), "
-            f"i -> symbols[i-1] = {_sql_str(left)} AND symbols[i] = {_sql_str(right)}) END"
+        batch = _select_merge_batch(
+            top, limit, min_pair_freq,
+            min(max_batch, n_merges - len(merges)),
         )
-        hit = words.filter(has_pair)
-        miss = words.filter(~has_pair)
+        if not batch:
+            break
+        merges.extend(batch)
+
+        if len(batch) <= 16:
+            # CASE guard: sequence(1, 0) counts DOWN in Spark, so
+            # sub-2-symbol words would index symbols[-1] (ANSI array
+            # error) without it
+            any_pair = " OR ".join(
+                f"(symbols[i-1] = {_sql_str(l)} AND symbols[i] = {_sql_str(r)})"
+                for l, r in batch
+            )
+            has_pair = F.expr(
+                "CASE WHEN size(symbols) < 2 THEN false ELSE "
+                f"exists(sequence(1, size(symbols) - 1), i -> {any_pair}) END"
+            )
+            hit = words.filter(has_pair)
+            miss = words.filter(~has_pair)
+        else:
+            # large batches touch most words; the JVM pre-filter would
+            # cost more than the kernel pass it saves
+            hit = words
+            miss = None
         # union SUMS partition counts — without the coalesce the working
         # table doubles its partitions every merge (8 -> 32k by merge 12)
         # and scheduling near-empty Arrow tasks dwarfs the actual work
         n_base = max(spark.sparkContext.defaultParallelism, 2)
-        new_words = miss.unionByName(
-            hit.mapInPandas(_apply_merge_kernel(left, right), schema)
+        rewritten = hit.mapInPandas(_apply_merges_kernel(batch), schema)
+        new_words = (
+            miss.unionByName(rewritten) if miss is not None else rewritten
         ).coalesce(n_base)
-        if (step + 1) % checkpoint_every == 0:
+        step += 1
+        if step % checkpoint_every == 0:
             new_words = new_words.localCheckpoint(eager=True)
         else:
             new_words = new_words.persist()
