@@ -190,6 +190,32 @@ def _zipf_e2e_wand_bench(spark, entry) -> dict:
         .agg(F.sum("blocks_total").alias("bt"), F.sum("blocks_decoded").alias("bd"))
         .collect()[0]
     )
+    # live Elias-Fano codec delta: same corpus, doc_codec="ef" — doc-id
+    # blob bytes and warm query time, rank-identity asserted
+    ef_path = idx_path + "_ef"
+    shutil.rmtree(ef_path, ignore_errors=True)
+    t0 = time.monotonic()
+    build_index(spark, docs, ef_path, entry.WS, n_shards=4, n_buckets=16,
+                resume=False, doc_codec="ef")
+    t_build_ef = time.monotonic() - t0
+    ef_index = load_index(spark, ef_path)
+    bm25_segments(spark, ef_index, qdf, entry.WS, k=10).collect()  # warm
+    t0 = time.monotonic()
+    ef_rows = bm25_segments(spark, ef_index, qdf, entry.WS, k=10).collect()
+    t_ef = time.monotonic() - t0
+    ranked_ef = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score) for r in ef_rows
+    )
+    if ranked_ef != ranked:
+        raise AssertionError("zipf e2e: EF top-k differs from varint")
+    sizes = {}
+    for nm, ix in (("varint", index), ("ef", ef_index)):
+        sizes[nm] = int(
+            ix["segments"]
+            .agg(F.sum(F.length("doc_ids_blob")))
+            .collect()[0][0]
+        )
+    shutil.rmtree(ef_path, ignore_errors=True)
     shutil.rmtree(idx_path, ignore_errors=True)
     return {
         "docs": n_docs,
@@ -201,15 +227,27 @@ def _zipf_e2e_wand_bench(spark, entry) -> dict:
         "query_sec_wand": round(t_wand, 3),
         "query_sec_exhaustive": round(t_ex, 3),
         "rank_identical": True,
+        "ef_live": {
+            "build_sec": round(t_build_ef, 3),
+            "query_sec": round(t_ef, 3),
+            "doc_blob_bytes_varint": sizes["varint"],
+            "doc_blob_bytes_ef": sizes["ef"],
+            "doc_blob_ratio": round(
+                sizes["varint"] / max(sizes["ef"], 1), 3
+            ),
+            "rank_identical": True,
+        },
     }
 
 
 def _codec_bench() -> dict:
     """Elias-Fano vs delta+varint on Zipf-realistic posting lists:
     compressed bytes per posting and single-core decode throughput.
-    EF is the documented production doc-id codec alternative
-    (index/ef.py — quasi-succinct, Vigna WSDM 2013); the live segment
-    schema stays varint this round."""
+    EF is a LIVE doc-id codec since r04 (build_index(doc_codec="ef"):
+    per-block EF sections for lists >= codec.EF_MIN_POSTINGS, varint
+    tail — parity pinned in tests/test_ef_codec.py); this section
+    reports the raw codec curves, and _zipf_e2e_wand_bench reports the
+    live build/query/size delta."""
     import numpy as np
 
     from tokenkit_spark.index import ef

@@ -76,6 +76,11 @@ SEGMENT_SCHEMA = StructType(
         # per-posting token positions, delta+varint per posting (empty
         # bytes when the index is built with store_positions=False)
         StructField("pos_blob", BinaryType(), False),
+        # doc-id stream codec for THIS row: "varint" (delta+varint gaps)
+        # or "ef" (per-block Elias-Fano, codec.ef_encode_blocks). Long
+        # lists gain 1.2-1.5x smaller doc blobs under EF; sub-block tail
+        # lists stay varint even in an ef build (header overhead).
+        StructField("codec", StringType(), False),
     ]
 )
 
@@ -126,10 +131,14 @@ def doc_stats_df(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
     ).where(F.col("dl") >= 0)
 
 
-def _encode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+def _encode_rows(pdf: pd.DataFrame, doc_codec: str = "varint") -> pd.DataFrame:
     """Encode sorted postings rows (shard,term_bucket,term,doc_id,tf,dl)
     into segment rows; input must be sorted and contain only complete
-    runs. All codec math is one vectorized pass (codec.encode_runs)."""
+    runs. All codec math is one vectorized pass (codec.encode_runs).
+    With ``doc_codec="ef"``, runs of at least codec.EF_MIN_POSTINGS
+    postings get their doc-id blob re-encoded as per-block Elias-Fano
+    (tfs/dls stay varint); shorter runs keep varint — the per-row
+    ``codec`` column records which."""
     shards = pdf["shard"].to_numpy()
     buckets = pdf["term_bucket"].to_numpy()
     terms = pdf["term"].to_numpy()
@@ -149,24 +158,32 @@ def _encode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
         )
     else:
         pos_blobs = [b""] * len(starts)
-    rows = [
-        (
-            int(shards[s]),
-            int(buckets[s]),
-            terms[s],
-            enc[0],        # n_postings
-            enc[10],       # cf_shard
-            enc[1], enc[2], enc[3],          # doc/tf/dl blobs
-            enc[4], enc[5], enc[6],          # block_last, block_max_tf, block_min_dl
-            enc[7], enc[8], enc[9],          # block byte offsets
-            pb,
+    rows = []
+    for idx, (st, en, enc, pb) in enumerate(
+        zip(starts, ends, encoded, pos_blobs)
+    ):
+        doc_blob, doc_off, cdc = enc[1], enc[7], "varint"
+        if doc_codec == "ef" and enc[0] >= codec.EF_MIN_POSTINGS:
+            doc_blob, doc_off = codec.ef_encode_blocks(doc_ids[st:en])
+            cdc = "ef"
+        rows.append(
+            (
+                int(shards[st]),
+                int(buckets[st]),
+                terms[st],
+                enc[0],        # n_postings
+                enc[10],       # cf_shard
+                doc_blob, enc[2], enc[3],        # doc/tf/dl blobs
+                enc[4], enc[5], enc[6],          # block_last, block_max_tf, block_min_dl
+                doc_off, enc[8], enc[9],         # block byte offsets
+                pb,
+                cdc,
+            )
         )
-        for s, enc, pb in zip(starts, encoded, pos_blobs)
-    ]
     return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
 
-def _encode_stream():
+def _encode_stream(doc_codec: str = "varint"):
     """mapInPandas kernel: stream sorted batches, encode complete
     (shard, bucket, term) runs, carry the split trailing run forward."""
 
@@ -188,9 +205,9 @@ def _encode_stream():
             split = len(pdf) - run
             carry = pdf.iloc[split:]
             if split > 0:
-                yield _encode_rows(pdf.iloc[:split])
+                yield _encode_rows(pdf.iloc[:split], doc_codec)
         if carry is not None and len(carry):
-            yield _encode_rows(carry)
+            yield _encode_rows(carry, doc_codec)
 
     return fn
 
@@ -242,6 +259,7 @@ def build_index(
     n_buckets: int = 64,
     resume: bool = True,
     store_positions: bool = True,
+    doc_codec: str = "varint",
 ) -> dict:
     """Build (or resume) the inverted index for ``docs(doc_id, text, ...)``.
 
@@ -335,7 +353,7 @@ def build_index(
     segments = (
         postings.repartition("shard", "term_bucket")
         .sortWithinPartitions("shard", "term_bucket", "term", "doc_id")
-        .mapInPandas(_encode_stream(), SEGMENT_SCHEMA)
+        .mapInPandas(_encode_stream(doc_codec), SEGMENT_SCHEMA)
     )
     # two-level physical layout: shard (resume/checkpoint unit) then
     # term_bucket (query-time directory pruning: a k-term query scans at

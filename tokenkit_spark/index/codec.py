@@ -335,6 +335,115 @@ def encode_runs(
     return out
 
 
+# --- Elias-Fano doc-id codec (codec="ef") --------------------------------
+# Per-BLOCK independent EF sections so WAND block skipping works exactly
+# as with varint: a pruned block's bytes are never touched. Section
+# layout: [l: 1 byte][u_local: varint][low bits][high bits]; the base of
+# block b is block_last[b-1] + 1 (0 for block 0), so values are small
+# block-local offsets. Lists shorter than EF_MIN_POSTINGS stay varint
+# (the per-section header would dominate; web vocabularies are mostly
+# single-block tail lists) — the codec column is per segment ROW.
+
+EF_MIN_POSTINGS = BLOCK_SIZE
+
+
+def _ef_section(vals: np.ndarray, u_local: int) -> bytes:
+    from .ef import ef_encode
+
+    enc = ef_encode(vals, universe=u_local)
+    head = bytes([enc["l"]]) + varint_encode(
+        np.array([u_local], dtype=np.uint64)
+    )
+    return head + enc["low_blob"] + enc["high_blob"]
+
+
+def ef_encode_blocks(doc_ids: np.ndarray) -> tuple[bytes, list[int]]:
+    """Encode a sorted doc-id list as per-block EF sections. Returns
+    (blob, block byte offsets) — drop-in for the varint doc blob +
+    block_doc_off pair."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    n = doc_ids.size
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    parts: list[bytes] = []
+    offs: list[int] = []
+    pos = 0
+    base = np.int64(0)
+    for b in range(nblocks):
+        lo = b * BLOCK_SIZE
+        hi = min(lo + BLOCK_SIZE, n)
+        vals = (doc_ids[lo:hi].view(np.uint64) - np.uint64(base)).astype(
+            np.uint64
+        )
+        u_local = int(vals[-1]) + 1
+        sec = _ef_section(vals, u_local)
+        offs.append(pos)
+        parts.append(sec)
+        pos += len(sec)
+        base = doc_ids[hi - 1] + 1
+    return b"".join(parts), offs
+
+
+def _ef_decode_section(
+    buf: bytes, count: int, base: np.uint64
+) -> np.ndarray:
+    from .ef import ef_decode
+
+    l = buf[0]
+    # u_local varint follows; find its length (continuation bits)
+    i = 1
+    while buf[i] & 0x80:
+        i += 1
+    u_local = int(varint_decode(buf[1 : i + 1], 1)[0])
+    body = i + 1
+    low_bytes = (count * l + 7) // 8
+    high_bits = count + (u_local >> l) + 1
+    high_bytes = (high_bits + 7) // 8
+    enc = {
+        "n": count,
+        "universe": u_local,
+        "l": l,
+        "low_blob": buf[body : body + low_bytes],
+        "high_blob": buf[body + low_bytes : body + low_bytes + high_bytes],
+    }
+    return (ef_decode(enc) + base).view(np.int64)
+
+
+def ef_decode_block(
+    doc_ids_blob: bytes,
+    block_doc_off,
+    block_last,
+    n_postings: int,
+    b: int,
+) -> np.ndarray:
+    nblocks = len(block_last)
+    count = min(BLOCK_SIZE, n_postings - b * BLOCK_SIZE)
+    end = block_doc_off[b + 1] if b + 1 < nblocks else len(doc_ids_blob)
+    base = (
+        np.uint64(0)
+        if b == 0
+        else np.int64(block_last[b - 1] + 1).view(np.uint64)
+    )
+    return _ef_decode_section(
+        doc_ids_blob[block_doc_off[b] : end], count, base
+    )
+
+
+def ef_decode_all(
+    doc_ids_blob: bytes, block_doc_off, block_last, n_postings: int
+) -> np.ndarray:
+    parts = [
+        ef_decode_block(
+            doc_ids_blob, block_doc_off, block_last, n_postings, b
+        )
+        for b in range(len(block_last))
+    ]
+    return (
+        np.concatenate(parts)
+        if parts
+        else np.zeros(0, dtype=np.int64)
+    )
+
+
 def decode_block(
     doc_ids_blob: bytes,
     tfs_blob: bytes,
@@ -345,32 +454,55 @@ def decode_block(
     block_dl_off,
     block_last,
     b: int,
+    codec: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode ONLY block ``b`` of a posting list (the WAND skip path: a
     pruned block's bytes are never touched). Returns (doc_ids, tfs, dls)
     for the ``BLOCK_SIZE`` (or fewer, for the tail) postings of the block.
-    """
+    ``codec`` selects the doc-id stream format ("varint" delta gaps or
+    "ef" per-block Elias-Fano); tfs/dls are always varint."""
     nblocks = len(block_last)
     count = min(BLOCK_SIZE, n_postings - b * BLOCK_SIZE)
-    d_end = block_doc_off[b + 1] if b + 1 < nblocks else len(doc_ids_blob)
     t_end = block_tf_off[b + 1] if b + 1 < nblocks else len(tfs_blob)
     l_end = block_dl_off[b + 1] if b + 1 < nblocks else len(dls_blob)
-    gaps = varint_decode(doc_ids_blob[block_doc_off[b] : d_end], count)
-    # block 0's first gap is absolute; later blocks chain off the previous
-    # block's last doc id (mod-2^64 arithmetic round-trips signed ids)
-    base = np.uint64(0) if b == 0 else np.int64(block_last[b - 1]).view(np.uint64)
-    doc_ids = (base + delta_decode(gaps)).view(np.int64)
+    if codec == "ef":
+        doc_ids = ef_decode_block(
+            doc_ids_blob, block_doc_off, block_last, n_postings, b
+        )
+    else:
+        d_end = block_doc_off[b + 1] if b + 1 < nblocks else len(doc_ids_blob)
+        gaps = varint_decode(doc_ids_blob[block_doc_off[b] : d_end], count)
+        # block 0's first gap is absolute; later blocks chain off the
+        # previous block's last doc id (mod-2^64 arithmetic round-trips
+        # signed ids)
+        base = np.uint64(0) if b == 0 else np.int64(block_last[b - 1]).view(np.uint64)
+        doc_ids = (base + delta_decode(gaps)).view(np.int64)
     tfs = varint_decode(tfs_blob[block_tf_off[b] : t_end], count).astype(np.int64)
     dls = varint_decode(dls_blob[block_dl_off[b] : l_end], count).astype(np.int64)
     return doc_ids, tfs, dls
 
 
 def decode_posting_list(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode (doc_ids, tfs, dls) from a segment row (dict-like or Row)."""
-    n = int(row["n_postings"]) if not hasattr(row, "n_postings") else int(row.n_postings)
-    get = (lambda k: row[k]) if not hasattr(row, "n_postings") else (lambda k: getattr(row, k))
-    gaps = varint_decode(bytes(get("doc_ids_blob")), n)
-    doc_ids = delta_decode(gaps).view(np.int64)
+    """Decode (doc_ids, tfs, dls) from a segment row (dict-like or Row).
+    Dispatches on the row's ``codec`` field when present (absent rows and
+    pre-codec indexes decode as varint)."""
+    has_attr = hasattr(row, "n_postings")
+    n = int(row.n_postings) if has_attr else int(row["n_postings"])
+    get = (lambda k: getattr(row, k)) if has_attr else (lambda k: row[k])
+    if has_attr:
+        cdc = getattr(row, "codec", "varint") or "varint"
+    else:
+        cdc = row.get("codec", "varint") or "varint"
+    if cdc == "ef":
+        doc_ids = ef_decode_all(
+            bytes(get("doc_ids_blob")),
+            list(get("block_doc_off")),
+            list(get("block_last")),
+            n,
+        )
+    else:
+        gaps = varint_decode(bytes(get("doc_ids_blob")), n)
+        doc_ids = delta_decode(gaps).view(np.int64)
     tfs = varint_decode(bytes(get("tfs_blob")), n).astype(np.int64)
     dls = varint_decode(bytes(get("dls_blob")), n).astype(np.int64)
     return doc_ids, tfs, dls

@@ -55,6 +55,11 @@ def _delete_kernel(bc_deleted):
                         "doc_ids_blob": row.doc_ids_blob,
                         "tfs_blob": row.tfs_blob,
                         "dls_blob": row.dls_blob,
+                        "codec": getattr(row, "codec", "varint"),
+                        "block_doc_off": getattr(
+                            row, "block_doc_off", None
+                        ),
+                        "block_last": getattr(row, "block_last", None),
                     }
                 )
                 keep = ~np.isin(ids, deleted)
@@ -98,6 +103,7 @@ def _delete_kernel(bc_deleted):
                     enc[4], enc[5], enc[6],
                     enc[7], enc[8], enc[9],
                     pb,
+                    "varint",  # rewrite uses the default codec
                 )
                 for meta, enc, pb in zip(kept_meta, encoded, pos_blobs)
             ]

@@ -133,6 +133,7 @@ def score_query_maxscore(
                         t["block_dl_off"],
                         t["block_last"],
                         b,
+                        codec=t.get("codec", "varint") or "varint",
                     )
                 parts.append(got)
             doc_ids = np.concatenate([p[0] for p in parts])

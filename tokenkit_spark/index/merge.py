@@ -57,6 +57,9 @@ def _merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
                 "doc_ids_blob": row.doc_ids_blob,
                 "tfs_blob": row.tfs_blob,
                 "dls_blob": row.dls_blob,
+                "codec": getattr(row, "codec", "varint"),
+                "block_doc_off": getattr(row, "block_doc_off", None),
+                "block_last": getattr(row, "block_last", None),
             }
         )
         dec_ids.append(ids)
@@ -111,6 +114,7 @@ def _merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
             enc[4], enc[5], enc[6],
             enc[7], enc[8], enc[9],
             pb,
+            "varint",  # merge re-encodes with the default codec
         )
         for s, enc, pb in zip(g_starts, encoded, pos_blobs)
     ]

@@ -366,7 +366,7 @@ def _doc_globals(dstats: DataFrame) -> tuple[int, float]:
 _TERM_COLS = [
     "idf", "n_postings", "doc_ids_blob", "tfs_blob", "dls_blob",
     "block_last", "block_max_tf", "block_min_dl",
-    "block_doc_off", "block_tf_off", "block_dl_off",
+    "block_doc_off", "block_tf_off", "block_dl_off", "codec",
 ]
 
 
@@ -1788,6 +1788,9 @@ def _phrase_shard_kernel():
                     "tfs_blob": row.tfs_blob,
                     "dls_blob": row.dls_blob,
                     "pos_blob": row.pos_blob,
+                    "codec": getattr(row, "codec", "varint"),
+                    "block_doc_off": getattr(row, "block_doc_off", None),
+                    "block_last": getattr(row, "block_last", None),
                 }
                 for occ in row.occurrences:  # array<struct<query_id,seq>>
                     groups.setdefault((int(occ["query_id"]), int(row.shard)), {})[
@@ -1838,7 +1841,10 @@ def _phrase_shard_kernel():
     return fn
 
 
-_BLOB_COLS = ["n_postings", "doc_ids_blob", "tfs_blob", "dls_blob"]
+_BLOB_COLS = [
+    "n_postings", "doc_ids_blob", "tfs_blob", "dls_blob",
+    "codec", "block_doc_off", "block_last",
+]
 
 
 def _matching_docs_kernel():
@@ -2141,6 +2147,9 @@ def _proximity_shard_kernel(slop: int):
                     "tfs_blob": row.tfs_blob,
                     "dls_blob": row.dls_blob,
                     "pos_blob": row.pos_blob,
+                    "codec": getattr(row, "codec", "varint"),
+                    "block_doc_off": getattr(row, "block_doc_off", None),
+                    "block_last": getattr(row, "block_last", None),
                 }
                 for occ in row.occurrences:
                     groups.setdefault((int(occ["query_id"]), int(row.shard)), {})[
@@ -2238,6 +2247,7 @@ def proximity_search(
     matched = seg.join(F.broadcast(occurrences), "term").select(
         "occurrences", "shard", "n_postings",
         "doc_ids_blob", "tfs_blob", "dls_blob", "pos_blob",
+        "codec", "block_doc_off", "block_last",
     )
     out_schema = "query_id long, doc_id long, span long"
     return (
@@ -2287,6 +2297,7 @@ def phrase_search(
     matched = seg.join(F.broadcast(occurrences), "term").select(
         "occurrences", "shard", "n_postings",
         "doc_ids_blob", "tfs_blob", "dls_blob", "pos_blob",
+        "codec", "block_doc_off", "block_last",
     )
     out_schema = "query_id long, doc_id long, n_occurrences long"
     return (

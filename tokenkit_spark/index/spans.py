@@ -104,6 +104,9 @@ def _span_near_kernel(slop: int):
                     "tfs_blob": row.tfs_blob,
                     "dls_blob": row.dls_blob,
                     "pos_blob": row.pos_blob,
+                    "codec": getattr(row, "codec", "varint"),
+                    "block_doc_off": getattr(row, "block_doc_off", None),
+                    "block_last": getattr(row, "block_last", None),
                 }
                 for occ in row.occurrences:
                     groups.setdefault((int(occ["query_id"]), int(row.shard)), {})[
@@ -197,6 +200,7 @@ def span_near(
     matched = seg.join(F.broadcast(occurrences), "term").select(
         "occurrences", "shard", "n_postings",
         "doc_ids_blob", "tfs_blob", "dls_blob", "pos_blob",
+        "codec", "block_doc_off", "block_last",
     )
     out_schema = "query_id long, doc_id long, span long"
     return (
@@ -220,6 +224,9 @@ def _span_first_kernel(end: int):
                     "doc_ids_blob": row.doc_ids_blob,
                     "tfs_blob": row.tfs_blob,
                     "dls_blob": row.dls_blob,
+                    "codec": getattr(row, "codec", "varint"),
+                    "block_doc_off": getattr(row, "block_doc_off", None),
+                    "block_last": getattr(row, "block_last", None),
                 }
                 ids, tfs, _dls = codec.decode_posting_list(t)
                 pos, offs = codec.decode_positions(bytes(row.pos_blob), tfs)
@@ -285,6 +292,7 @@ def span_first(
     matched = seg.join(F.broadcast(occurrences), "term").select(
         "occurrences", "shard", "n_postings",
         "doc_ids_blob", "tfs_blob", "dls_blob", "pos_blob",
+        "codec", "block_doc_off", "block_last",
     )
     out_schema = "query_id long, doc_id long, first_pos long"
     return (

@@ -253,6 +253,7 @@ def score_query_shard(
                         t["block_dl_off"],
                         t["block_last"],
                         b,
+                        codec=t.get("codec", "varint") or "varint",
                     )
                 parts.append(got)
             doc_ids = np.concatenate([p[0] for p in parts])
