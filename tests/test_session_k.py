@@ -385,4 +385,4 @@ def test_zorder_balances_both_dims(spark):
     assert lin.avg_files_d2 == 16.0
     # z-order: both dims prune to an intermediate file count
     assert zo.avg_files_d1 < 16.0 and zo.avg_files_d2 < 16.0
-    assert zo.avg_files_any < lin.avg_files_any
+    assert zo.avg_files_mean < lin.avg_files_mean

@@ -203,3 +203,56 @@ def test_ams_f2_reasonable_on_many_keys(spark):
     # 50 keys x 10 -> F2 = 5000; AMS median-of-means within ~2x
     assert out.exact_f2 == 5000
     assert abs(out.rel_err) < 1.0
+
+
+def test_trend_single_day_group_stays_visible(spark):
+    """ADVICE r03: a group observed on only one day must appear in the
+    trend audits with null slope/z, not silently vanish."""
+    import datetime as dt
+
+    from tokenkit_spark.ops.trend import mann_kendall, theil_sen
+
+    rows = [
+        (dt.datetime(2024, 1, 1 + d, 9), 1, "steady", 1.0)
+        for d in range(5)
+    ] + [(dt.datetime(2024, 1, 3, 9), 2, "oneday", 1.0)]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+    ts = {r.grp: r for r in theil_sen(ev).collect()}
+    assert "oneday" in ts
+    assert ts["oneday"].n_days == 1 and ts["oneday"].n_pairs == 0
+    assert ts["oneday"].slope is None
+    assert ts["steady"].slope is not None
+    mk = {r.grp: r for r in mann_kendall(ev).collect()}
+    assert "oneday" in mk
+    assert mk["oneday"].s_stat is None and mk["oneday"].z is None
+    assert mk["oneday"].trend is None
+    assert mk["steady"].trend is not None
+
+
+def test_benford_all_nonpositive_group_explicit_null(spark):
+    """ADVICE r03: a group whose values are all <= 0 gets an explicit
+    null chi2/flagged (n_excluded carries the reason), never a
+    spurious flagged=False."""
+    import datetime as dt
+
+    from tokenkit_spark.ops.benford import benford_audit
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 9), 1, "neg", -5.0),
+        (dt.datetime(2024, 1, 1, 10), 2, "neg", 0.0),
+    ] + [
+        (dt.datetime(2024, 1, 1, 9 + (i % 12)), i, "pos",
+         float(1 + i % 9) * 10)
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+    out = benford_audit(ev).collect()
+    neg = [r for r in out if r.grp == "neg"]
+    assert neg and all(r.chi2 is None and r.flagged is None for r in neg)
+    assert all(r.n_excluded == 2 and r.n_pos == 0 for r in neg)
+    pos = [r for r in out if r.grp == "pos"]
+    assert pos and all(r.chi2 is not None for r in pos)

@@ -66,20 +66,35 @@ def _toks(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _tf_df_ndocs(
+    docs: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Shared base tables for the statistics AND the exact audit twin
+    (ADVICE r03: taily_select recomputed all of this a second time):
+    per-(term, doc) tf, per-term df, and the doc count — one
+    tokenization pass, one count action."""
+    toks = _toks(docs, text_col, id_col)
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf, df_t, n_docs
+
+
 def taily_shard_stats(
     docs: DataFrame,
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _base: tuple | None = None,
 ) -> DataFrame:
     """(term, shard, f, e1, e2) — Taily sufficient statistics: doc
     frequency and raw first/second moments of w = ln(1+tf)*ln(N/df)
     per (term, shard); plus the per-shard doc counts as a second
-    return value (shard, n_docs)."""
-    toks = _toks(docs, text_col, id_col)
-    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(F.col(id_col)).distinct().count()
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return value (shard, n_docs). ``_base`` lets taily_select pass the
+    shared (tf, df, n_docs) tables instead of recomputing them."""
+    tf, df_t, n_docs = _base or _tf_df_ndocs(docs, text_col, id_col)
     w = (
         tf.join(df_t, "term")
         .select(
@@ -113,8 +128,11 @@ def taily_select(
     exact_n, est_rank, exact_rank) for every shard holding ALL the
     query's terms.  ``est_n`` uses the Cantelli tail bound (module
     docstring); ``exact_n`` counts the shard's conjunctive docs with
-    score > s_c."""
-    stats = taily_shard_stats(docs, n_shards, text_col, id_col)
+    score > s_c.  The tokenization / tf / df / doc-count base is
+    computed ONCE and shared between the statistics table and the
+    exact audit branch (ADVICE r03)."""
+    base = _tf_df_ndocs(docs, text_col, id_col)
+    stats = taily_shard_stats(docs, n_shards, text_col, id_col, _base=base)
     shard_sizes = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -181,11 +199,9 @@ def taily_select(
         )
     )
 
-    # exact twin: conjunctive docs above the cutoff, per shard
-    toks = _toks(docs, text_col, id_col)
-    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(F.col(id_col)).distinct().count()
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # exact twin: conjunctive docs above the cutoff, per shard —
+    # reuses the SAME tf/df/n_docs tables as the statistics branch
+    tf, df_t, n_docs = base
     scored = (
         F.broadcast(qterms)
         .join(tf, "term")

@@ -72,12 +72,20 @@ def benford_audit(
         .join(obs, ["grp", "digit"], "left")
         .na.fill({"n_d": 0})
     )
+    # groups with no positive values (n_pos = 0) have no Benford test
+    # to run: every chi-square term would be 0/0 (an ANSI-mode error).
+    # try_divide turns those terms null, so such groups get an EXPLICIT
+    # null chi2/flagged (ADVICE r03) — n_excluded carries the reason.
     chi = grid.groupBy("grp").agg(
         F.sum(
-            F.pow(
-                F.col("n_d") - F.col("n_pos") * F.col("expected_p"), 2
+            F.try_divide(
+                F.pow(
+                    F.col("n_d")
+                    - F.col("n_pos") * F.col("expected_p"),
+                    2,
+                ),
+                F.col("n_pos") * F.col("expected_p"),
             )
-            / (F.col("n_pos") * F.col("expected_p"))
         ).alias("chi2")
     )
     return (
@@ -86,13 +94,17 @@ def benford_audit(
             "grp",
             "digit",
             "n_d",
-            F.round(F.col("n_d") / F.col("n_pos"), round_digits).alias(
-                "share"
-            ),
+            F.round(
+                F.try_divide(F.col("n_d"), F.col("n_pos")),
+                round_digits,
+            ).alias("share"),
             F.round("expected_p", round_digits).alias("expected_p"),
             "n_pos",
             "n_excluded",
             F.round("chi2", round_digits).alias("chi2"),
-            (F.col("chi2") > CHI2_CRIT_8DF).alias("flagged"),
+            F.when(
+                F.col("chi2").isNotNull(),
+                F.col("chi2") > CHI2_CRIT_8DF,
+            ).alias("flagged"),
         )
     )

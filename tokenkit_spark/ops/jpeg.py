@@ -475,6 +475,66 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def decode_status(b: bytes) -> str:
+    """Classify WHY a payload would (not) decode, without decoding:
+    the coverage counter a corpus-scale media scan needs so baseline-
+    only decode support is measurable, never silent (VERDICT r03 item
+    8). Returns one of: "baseline" (SOF0/SOF1 + SOS present — what
+    decode_jpeg handles), "progressive" (SOF2), "arithmetic"
+    (SOF9-SOF11), "other_sof" (lossless/hierarchical/differential),
+    "malformed" (JPEG magic but no decodable frame/scan), or
+    "not_jpeg"."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return "not_jpeg"
+    i = 2
+    saw_sof = None
+    try:
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before any scan
+                return "malformed"
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if marker in (0xC0, 0xC1):
+                saw_sof = "baseline"
+            elif marker == 0xC2:
+                return "progressive"
+            elif marker in (0xC9, 0xCA, 0xCB):
+                return "arithmetic"
+            elif (
+                0xC2 <= marker <= 0xCF
+                and marker not in (0xC4, 0xC8, 0xCC)
+            ):
+                return "other_sof"
+            elif marker == 0xDA:  # SOS
+                return saw_sof or "malformed"
+            i += 2 + seg_len
+    except (struct.error, IndexError):
+        return "malformed"
+    return "malformed"
+
+
+def make_progressive_stub(width: int = 16, height: int = 16) -> bytes:
+    """A syntactically valid progressive-JPEG HEADER (SOI + SOF2 + EOI)
+    — a classification fixture for decode_status; decode_jpeg correctly
+    returns None for it."""
+    sof = struct.pack(
+        ">BHHB", 8, height, width, 1
+    ) + bytes([1, 0x11, 0])
+    return (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">H", len(sof) + 2)
+        + sof
+        + b"\xff\xd9"
+    )
+
+
 def decode_jpeg(b: bytes) -> np.ndarray | None:
     """Decode baseline JPEG bytes -> (H, W) gray or (H, W, 3) RGB uint8.
     Returns None for non-JPEG or unsupported variants (progressive,

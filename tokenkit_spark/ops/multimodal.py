@@ -456,6 +456,55 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+
+COVERAGE_SCHEMA = (
+    "kind string, format string, status string, n long"
+)
+
+
+def media_decode_coverage(media: DataFrame) -> DataFrame:
+    """Decode-coverage audit (VERDICT r03 item 8): per (kind, format,
+    status) payload counts, where status says whether THIS engine's
+    decoders can actually open the payload — "ok" for parsed PNG/WAV
+    headers and baseline JPEG, or the jpeg.decode_status reason
+    ("progressive", "arithmetic", "other_sof", "malformed") for the
+    variants the pure-numpy baseline codec skips, and "unknown" for
+    unrecognized payloads. At corpus scale this is the metric that
+    keeps baseline-only decode support measurable instead of silently
+    under-counting media stats. Classification is header-level (no
+    pixel decode), so the scan cost is payload IO."""
+    from tokenkit_spark.ops import jpeg as _jpeg
+
+    def fn(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                fmt, status = "unknown", "unknown"
+                img = parse_image_header(payload)
+                if img is not None:
+                    fmt = img[0]
+                    if fmt == "jpeg":
+                        st = _jpeg.decode_status(payload)
+                        status = "ok" if st == "baseline" else st
+                    else:
+                        status = "ok"
+                else:
+                    aud = parse_audio_header(payload)
+                    if aud is not None:
+                        fmt, status = aud[0], "ok"
+                    elif _jpeg.decode_status(payload) != "not_jpeg":
+                        fmt = "jpeg"
+                        status = _jpeg.decode_status(payload)
+                rows.append((r.kind, fmt, status))
+            yield pd.DataFrame(rows, columns=["kind", "format", "status"])
+
+    per = media.mapInPandas(fn, "kind string, format string, status string")
+    return per.groupBy("kind", "format", "status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def synth_media(spark, n: int = 64, seed: int = 3) -> DataFrame:
     """Deterministic media table: image/audio payloads carry REAL
     PNG/JPEG/WAV headers (parse_media_headers recovers their dimensions

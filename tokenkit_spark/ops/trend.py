@@ -69,13 +69,17 @@ def theil_sen(
         .agg(F.median("c").alias("intercept"))
     )
     nd = d.groupBy("grp").agg(F.count(F.lit(1)).alias("n_days"))
+    # LEFT joins from the n_days rollup: a group observed on a single
+    # day has no pairs, hence no slope — it stays VISIBLE with
+    # n_pairs = 0 and null slope/intercept instead of silently
+    # vanishing from the audit (ADVICE r03)
     return (
-        nd.join(slope, "grp")
-        .join(inter, "grp")
+        nd.join(slope, "grp", "left")
+        .join(inter, "grp", "left")
         .select(
             "grp",
             "n_days",
-            "n_pairs",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
             F.round("slope", round_digits).alias("slope"),
             F.round("intercept", round_digits).alias("intercept"),
         )
@@ -134,11 +138,14 @@ def mann_kendall(
         )
         .otherwise(F.lit(0.0))
     )
+    # LEFT join from the n_days rollup (ADVICE r03): single-day groups
+    # have no pairs, hence no S statistic — they stay visible with null
+    # s_stat/z/trend rather than dropping out of the audit
     out = (
-        nd.join(s, "grp")
+        nd.join(s, "grp", "left")
         .join(ties, "grp", "left")
         .withColumn("var_s", var_s)
-        .withColumn("z", z)
+        .withColumn("z", F.when(F.col("s_stat").isNotNull(), z))
     )
     return out.select(
         "grp",
@@ -148,7 +155,7 @@ def mann_kendall(
         F.round("z", round_digits).alias("z"),
         F.when(F.col("z") > z_crit, F.lit("increasing"))
         .when(F.col("z") < -z_crit, F.lit("decreasing"))
-        .otherwise(F.lit("no_trend"))
+        .when(F.col("z").isNotNull(), F.lit("no_trend"))
         .alias("trend"),
     )
 

@@ -17,7 +17,7 @@ files of ``rows_per_file`` rows cut in each candidate order, zone maps
 computed per file, and every point predicate ``d = v`` (v = 0..15)
 evaluated against the zone maps.  Output, one row per layout:
 
-    (layout, n_files, avg_files_d1, avg_files_d2, avg_files_any)
+    (layout, n_files, avg_files_d1, avg_files_d2, avg_files_mean)
 
 where avg_files_dX = mean over v of files whose [min,max] zone
 intersects v.  The Z-value is closed-form integer arithmetic
@@ -96,7 +96,11 @@ def zorder_audit(
         )
         out = hits if out is None else out.unionByName(hits)
     return out.withColumn(
-        "avg_files_any",
+        # arithmetic mean of the two per-dimension expected-files-touched
+        # numbers — a single-figure layout score, NOT the count of files
+        # matching an any-dimension (OR) predicate (ADVICE r03: the old
+        # name avg_files_any implied the latter)
+        "avg_files_mean",
         F.round(
             (F.col("avg_files_d1") + F.col("avg_files_d2")) / 2.0,
             round_digits,
@@ -155,7 +159,7 @@ def hilbert_audit(
     the clustering properties of the Hilbert space-filling curve",
     TKDE 2001 — the reason HFile/Delta clustering offer it next to
     Z-order).  Output one row per layout: (layout, n_files,
-    avg_files_d1, avg_files_d2, avg_files_any)."""
+    avg_files_d1, avg_files_d2, avg_files_mean)."""
     from tokenkit_spark.index.reorder import assign_ids
 
     keyed = (
@@ -206,7 +210,11 @@ def hilbert_audit(
         )
         out = hits if out is None else out.unionByName(hits)
     return out.withColumn(
-        "avg_files_any",
+        # arithmetic mean of the two per-dimension expected-files-touched
+        # numbers — a single-figure layout score, NOT the count of files
+        # matching an any-dimension (OR) predicate (ADVICE r03: the old
+        # name avg_files_any implied the latter)
+        "avg_files_mean",
         F.round(
             (F.col("avg_files_d1") + F.col("avg_files_d2")) / 2.0,
             round_digits,
