@@ -482,6 +482,43 @@ def decode_block(
     return doc_ids, tfs, dls
 
 
+def decode_block_range(
+    doc_ids_blob: bytes,
+    tfs_blob: bytes,
+    dls_blob: bytes,
+    n_postings: int,
+    block_doc_off,
+    block_tf_off,
+    block_dl_off,
+    block_last,
+    b0: int,
+    b1: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode blocks ``[b0, b1)`` of a varint posting list in ONE
+    vectorized pass. Valid because consecutive varint blocks form a
+    continuous gap stream: block b's first gap chains off
+    ``block_last[b-1]``, so one varint_decode over the byte range plus
+    one cumulative sum from ``block_last[b0-1]`` reproduces every id —
+    the Block-Max WAND run-decode path (surviving blocks are grouped
+    into consecutive runs instead of decoded one Python call at a
+    time). EF lists must use ef_decode_block per block (each EF
+    section has a block-local universe)."""
+    nblocks = len(block_last)
+    count = min(BLOCK_SIZE * b1, n_postings) - b0 * BLOCK_SIZE
+    d_end = block_doc_off[b1] if b1 < nblocks else len(doc_ids_blob)
+    t_end = block_tf_off[b1] if b1 < nblocks else len(tfs_blob)
+    l_end = block_dl_off[b1] if b1 < nblocks else len(dls_blob)
+    gaps = varint_decode(doc_ids_blob[block_doc_off[b0] : d_end], count)
+    base = (
+        np.uint64(0) if b0 == 0
+        else np.int64(block_last[b0 - 1]).view(np.uint64)
+    )
+    doc_ids = (base + delta_decode(gaps)).view(np.int64)
+    tfs = varint_decode(tfs_blob[block_tf_off[b0] : t_end], count).astype(np.int64)
+    dls = varint_decode(dls_blob[block_dl_off[b0] : l_end], count).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
 def decode_posting_list(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode (doc_ids, tfs, dls) from a segment row (dict-like or Row).
     Dispatches on the row's ``codec`` field when present (absent rows and

@@ -25,6 +25,7 @@ def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     shards_arg = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    n_queries = int(sys.argv[4]) if len(sys.argv) > 4 else 14
     import numpy as np
     import pandas as pd
     from pyspark.sql import SparkSession
@@ -76,8 +77,8 @@ def main():
     t_build = time.monotonic() - t0
     index = load_index(spark, idx_path)
 
-    qrows = [(i, f"t{i % 3} t{300 + i * 23}") for i in range(14)]
-    qrows += [(14, "t0 t1"), (15, "t1 t2")]
+    qrows = [(i, f"t{i % 3} t{300 + (i * 23) % 1500}") for i in range(n_queries)]
+    qrows += [(n_queries, "t0 t1"), (n_queries + 1, "t1 t2")]
     qdf = spark.createDataFrame(qrows, "query_id long, text string")
 
     bm25_segments(spark, index, qdf, entry.WS, k=10).collect()
