@@ -114,6 +114,23 @@ def train_pq_codebooks(
     return books
 
 
+def pinned_pq_codebooks(m: int = 8, k: int = 32, ss: int = 8) -> np.ndarray:
+    """Deterministic closed-form PQ codebooks (m subspaces x k codes x
+    ss dims):
+
+        c[s, j, t] = ((t*t*5 + t*g*7 + g*g*3) % 23) - 11,  g = s*k + j
+
+    Integer entries in [-11, 11], exact in float64 and computable in
+    ANSI SQL — the DuckDB oracle replays encode (argmin L2 per
+    subspace), the ADC gather-sum, and the exact refine, making the
+    whole PQ path value-verifiable (VERDICT r04 item 4). The k-means-
+    trained path stays in train_pq_codebooks (pytest recall bounds)."""
+    g = (np.arange(m)[:, None] * k + np.arange(k)[None, :])  # (m, k)
+    t = np.arange(ss)[None, None, :]
+    g = g[:, :, None]
+    return ((t * t * 5 + t * g * 7 + g * g * 3) % 23 - 11).astype(np.float64)
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: np.ndarray,

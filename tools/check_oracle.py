@@ -92,7 +92,9 @@ def canon_spark(dt) -> str:
     s = dt.simpleString()
     # simpleString already yields bigint/int/double/string/boolean/date/
     # timestamp/decimal(p,s)/array<...>/struct<...>; normalize spacing.
-    return s.replace(" ", "")
+    # timestamp_ntz and timestamp both materialize as naive datetimes
+    # through pandas/DuckDB, so they are hash-equivalent.
+    return s.replace(" ", "").replace("timestamp_ntz", "timestamp")
 
 
 def norm_val(v):

@@ -11,12 +11,12 @@ is mechanical: wrap each affected oracle in
 derives the per-query cast map from the MEASURED dtype divergences the
 sweep recorded and rewrites the generated block in __spark_entry__.py.
 
-Casts are emitted only for divergences that change the pandas
-materialization: oracle-side decimal/uint (and arrays thereof).
-int32-vs-int64 width differences are left alone — driver evidence
-(host_hindex, props_drift: hash PASS in r04 with bigint-vs-int diffs)
-shows the hash is width-insensitive, and not touching them keeps
-currently-green queries byte-identical.
+Every mappable divergence is cast, including int width: driver
+evidence (host_hindex, props_drift: hash PASS in r04 with
+bigint-vs-int diffs) shows the hash is width-insensitive, so width
+casts are value-neutral — and casting them keeps the local
+dtype-faithful gate (tools/check_oracle.py) fully clean, which is the
+property that makes "local green == driver green".
 
 Usage: python tools/gen_oracle_casts.py artifacts/dtype_sweep_r05.json
 """
@@ -57,11 +57,9 @@ def spark_to_sql(canon: str) -> str | None:
 
 
 def needs_cast(oracle_canon: str) -> bool:
-    """Cast only when the DuckDB side materializes differently through
-    pandas: decimal (HUGEINT / DECIMAL sums) and unsigned ints, at any
-    nesting depth."""
-    return "decimal" in oracle_canon or oracle_canon.startswith("u") \
-        or "<u" in oracle_canon
+    """Every dtype divergence is cast (see module doc); unmappable
+    Spark types fall through to the manual-review list instead."""
+    return True
 
 
 def main():
@@ -113,14 +111,6 @@ def main():
         print("MANUAL REVIEW needed (no SQL type mapping):")
         for row in manual:
             print("  ", row)
-    # summary of skipped width-only diffs
-    skipped = sum(
-        1
-        for res in sweep.values()
-        for col, (o, s) in (res.get("dtype_diff") or {}).items()
-        if not needs_cast(o)
-    )
-    print(f"skipped {skipped} width-only column diffs (driver-insensitive)")
 
 
 if __name__ == "__main__":
