@@ -164,14 +164,18 @@ def _wand_scale_bench(spark, entry) -> dict:
     qrows += [(200, "t0 t1"), (201, "t1 t2")]
     qdf = spark.createDataFrame(qrows, "query_id long, text string")
     bm25_segments(spark, index, qdf, entry.WS, k=10).collect()  # warm
-    t0 = time.monotonic()
-    wand_rows = bm25_segments(spark, index, qdf, entry.WS, k=10).collect()
-    t_wand = time.monotonic() - t0
-    t0 = time.monotonic()
-    ex_rows = bm25_segments(
-        spark, index, qdf, entry.WS, k=10, use_blockmax=False
-    ).collect()
-    t_ex = time.monotonic() - t0
+    # best-of-2 per path, interleaved: this VM's cpu-throttle epochs
+    # swing 2x (BENCH.md); min-of-interleaved is robust to one swing
+    t_wand = t_ex = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        wand_rows = bm25_segments(spark, index, qdf, entry.WS, k=10).collect()
+        t_wand = min(t_wand, time.monotonic() - t0)
+        t0 = time.monotonic()
+        ex_rows = bm25_segments(
+            spark, index, qdf, entry.WS, k=10, use_blockmax=False
+        ).collect()
+        t_ex = min(t_ex, time.monotonic() - t0)
     ranked = sorted((r.query_id, r.rank, r.doc_id, r.score) for r in wand_rows)
     ranked_ex = sorted((r.query_id, r.rank, r.doc_id, r.score) for r in ex_rows)
     if ranked != ranked_ex:
