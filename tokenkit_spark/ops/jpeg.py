@@ -185,12 +185,15 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def _fdct_all(blocks: np.ndarray) -> np.ndarray:
-    """Forward DCT over (N, 8, 8) at once."""
-    return np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    """Forward DCT over (N, 8, 8) at once. Two batched matmuls
+    (BLAS) instead of a generic einsum — same contraction
+    D @ B @ D.T, ~10x faster on the (N,8,8) stack."""
+    return _DCT @ blocks @ _DCT.T
 
 
 def _idct_all(coefs: np.ndarray) -> np.ndarray:
-    return np.einsum("ji,njk,kl->nil", _DCT, coefs, _DCT)
+    # D.T @ C @ D, batched over N (the einsum "ji,njk,kl->nil")
+    return _DCT.T @ coefs @ _DCT
 
 
 def _to_blocks(plane: np.ndarray) -> np.ndarray:
