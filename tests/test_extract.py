@@ -154,6 +154,20 @@ class TestSparkPath:
         for i, d in enumerate(docs):
             assert got[str(i)] == extract_text_bytes(d.encode())
 
+    def test_input_hint_invariant_on_pages_corpus(self, spark):
+        """The input_hint per-row invariant — extracted text
+        byte-identical to the stored ``text`` per url — holds for the
+        GENERIC extractor over the synthetic pages corpus (not just
+        the wrapper-strip fast path in sources/pages.py):
+        extract(html, keep_title=False) == text for every row."""
+        from tokenkit_spark.ops.extract import extract_text_bytes
+        from tokenkit_spark.sources.pages import synth_pages
+
+        rows = synth_pages(spark, n_docs=200).select("html", "text").collect()
+        assert rows
+        for r in rows:
+            assert extract_text_bytes(bytes(r.html), keep_title=False) == r.text
+
     def test_extraction_stats(self, spark):
         df = spark.createDataFrame(
             [("a", "<p>xy</p>", "xy"), ("b", "<div></div>", "")],
