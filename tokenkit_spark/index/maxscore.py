@@ -50,6 +50,7 @@ from .wand import (
     _kth_best,
     _member_mask,
     _merge_acc,
+    decode_blocks_cached,
     decode_full_memo,
     norms_memo,
 )
@@ -117,28 +118,9 @@ def score_query_maxscore(
             doc_ids, tfs, dls = decode_full_memo(t)
             contrib = idf * norms_memo(t, avgdl)
         else:
-            bcache = t.setdefault("_blocks", {})
-            parts = []
-            for b in live:
-                b = int(b)
-                got = bcache.get(b)
-                if got is None:
-                    got = bcache[b] = codec.decode_block(
-                        bytes(t["doc_ids_blob"]),
-                        bytes(t["tfs_blob"]),
-                        bytes(t["dls_blob"]),
-                        int(t["n_postings"]),
-                        t["block_doc_off"],
-                        t["block_tf_off"],
-                        t["block_dl_off"],
-                        t["block_last"],
-                        b,
-                        codec=t.get("codec", "varint") or "varint",
-                    )
-                parts.append(got)
-            doc_ids = np.concatenate([p[0] for p in parts])
-            tfs = np.concatenate([p[1] for p in parts])
-            dls = np.concatenate([p[2] for p in parts])
+            # shared run-range decode path (wand.decode_blocks_cached):
+            # consecutive missing blocks decode in one vectorized pass
+            doc_ids, tfs, dls = decode_blocks_cached(t, live)
             contrib = idf * codec.bm25_norm(tfs, dls, avgdl)
         if cand_only:
             # non-essential list: only existing candidates may score

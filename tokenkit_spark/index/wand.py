@@ -72,6 +72,72 @@ def norms_memo(t: dict, avgdl: float) -> np.ndarray:
     return norms
 
 
+def decode_blocks_cached(t: dict, live) -> tuple:
+    """Decode the ``live`` blocks of a term dict through its per-block
+    cache, filling misses with RUN-RANGE decode for varint lists — one
+    vectorized varint pass per consecutive run of missing blocks
+    (codec.decode_block_range: cross-block gap streams are continuous),
+    split back into per-block cache entries (numpy views) so later
+    queries sharing the term reuse them. EF lists fall back to
+    per-block decode (block-local universes). This is the vectorized
+    skip path VERDICT r04 asked for: cost ~ survive_frac x full decode,
+    not a per-block Python loop. Shared by the WAND and MAXSCORE
+    kernels. Returns (doc_ids, tfs, dls) concatenated in live order."""
+    cdc = t.get("codec", "varint") or "varint"
+    bcache = t.setdefault("_blocks", {})
+    missing = [int(b) for b in live if int(b) not in bcache]
+    if missing and cdc == "varint":
+        marr = np.asarray(missing, dtype=np.int64)
+        cuts = np.flatnonzero(np.diff(marr) > 1) + 1
+        npost = int(t["n_postings"])
+        for run in np.split(marr, cuts):
+            b0, b1 = int(run[0]), int(run[-1]) + 1
+            ids_r, tfs_r, dls_r = codec.decode_block_range(
+                bytes(t["doc_ids_blob"]),
+                bytes(t["tfs_blob"]),
+                bytes(t["dls_blob"]),
+                npost,
+                t["block_doc_off"],
+                t["block_tf_off"],
+                t["block_dl_off"],
+                t["block_last"],
+                b0,
+                b1,
+            )
+            sizes = [
+                min(codec.BLOCK_SIZE * (b + 1), npost) - codec.BLOCK_SIZE * b
+                for b in range(b0, b1)
+            ]
+            edges = np.cumsum(sizes[:-1])
+            for b, i_, tf_, dl_ in zip(
+                range(b0, b1),
+                np.split(ids_r, edges),
+                np.split(tfs_r, edges),
+                np.split(dls_r, edges),
+            ):
+                bcache[b] = (i_, tf_, dl_)
+    elif missing:
+        for b in missing:
+            bcache[b] = codec.decode_block(
+                bytes(t["doc_ids_blob"]),
+                bytes(t["tfs_blob"]),
+                bytes(t["dls_blob"]),
+                int(t["n_postings"]),
+                t["block_doc_off"],
+                t["block_tf_off"],
+                t["block_dl_off"],
+                t["block_last"],
+                b,
+                codec=cdc,
+            )
+    parts = [bcache[int(b)] for b in live]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+    )
+
+
 def _member_mask(ids: np.ndarray, eligible: np.ndarray) -> np.ndarray:
     """Boolean membership of ``ids`` in SORTED ``eligible`` (searchsorted,
     no Python set)."""
@@ -238,65 +304,7 @@ def score_query_shard(
             acc_ids, acc_scores = _merge_acc(acc_ids, acc_scores, doc_ids, contrib)
             continue
         else:
-            cdc = t.get("codec", "varint") or "varint"
-            bcache = t.setdefault("_blocks", {})
-            missing = [int(b) for b in live if int(b) not in bcache]
-            if missing and cdc == "varint":
-                # decode surviving blocks in CONSECUTIVE RUNS — one
-                # vectorized varint pass per run (codec.decode_block_range:
-                # cross-block gap streams are continuous), splitting the
-                # result back into per-block cache entries (numpy views)
-                # so later queries sharing the term reuse them. This is
-                # the vectorized skip path VERDICT r04 asked for: cost ~
-                # survive_frac x full decode, not a per-block Python loop.
-                marr = np.asarray(missing, dtype=np.int64)
-                cuts = np.flatnonzero(np.diff(marr) > 1) + 1
-                npost = int(t["n_postings"])
-                for run in np.split(marr, cuts):
-                    b0, b1 = int(run[0]), int(run[-1]) + 1
-                    ids_r, tfs_r, dls_r = codec.decode_block_range(
-                        bytes(t["doc_ids_blob"]),
-                        bytes(t["tfs_blob"]),
-                        bytes(t["dls_blob"]),
-                        npost,
-                        t["block_doc_off"],
-                        t["block_tf_off"],
-                        t["block_dl_off"],
-                        t["block_last"],
-                        b0,
-                        b1,
-                    )
-                    sizes = [
-                        min(codec.BLOCK_SIZE * (b + 1), npost)
-                        - codec.BLOCK_SIZE * b
-                        for b in range(b0, b1)
-                    ]
-                    edges = np.cumsum(sizes[:-1])
-                    for b, i_, tf_, dl_ in zip(
-                        range(b0, b1),
-                        np.split(ids_r, edges),
-                        np.split(tfs_r, edges),
-                        np.split(dls_r, edges),
-                    ):
-                        bcache[b] = (i_, tf_, dl_)
-            elif missing:
-                for b in missing:
-                    bcache[b] = codec.decode_block(
-                        bytes(t["doc_ids_blob"]),
-                        bytes(t["tfs_blob"]),
-                        bytes(t["dls_blob"]),
-                        int(t["n_postings"]),
-                        t["block_doc_off"],
-                        t["block_tf_off"],
-                        t["block_dl_off"],
-                        t["block_last"],
-                        b,
-                        codec=cdc,
-                    )
-            parts = [bcache[int(b)] for b in live]
-            doc_ids = np.concatenate([p[0] for p in parts])
-            tfs = np.concatenate([p[1] for p in parts])
-            dls = np.concatenate([p[2] for p in parts])
+            doc_ids, tfs, dls = decode_blocks_cached(t, live)
         contrib = idf * codec.bm25_norm(tfs, dls, avgdl)
         if eligible is not None:
             m = _member_mask(doc_ids, eligible)
