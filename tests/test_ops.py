@@ -1024,3 +1024,39 @@ def test_exact_k_sample_counts_and_determinism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sampling.exact_k_sample(df, k=0)
+
+
+def test_jpeg_fast_loop_entropy_parity(monkeypatch):
+    """The fused-window entropy decode (default) and the bit-at-a-time
+    oracle path (TOKENKIT_JPEG_FAST=0) must produce bit-identical
+    pixels on every supported stream shape — color/gray, 4:2:0,
+    restart markers, dense noise and smooth gradients — and agree that
+    malformed streams are None."""
+    import numpy as np
+
+    from tokenkit_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(23)
+    noise = rng.integers(0, 256, size=(48, 72, 3), dtype=np.uint8)
+    gx = np.tile(np.arange(120, dtype=np.uint8), (40, 1))
+    smooth = np.stack([gx, gx[:, ::-1], np.full_like(gx, 99)], axis=2)
+    gray = rng.integers(0, 256, size=(29, 33), dtype=np.uint8)
+    streams = [
+        encode_jpeg(noise, quality=85),
+        encode_jpeg(noise, quality=40),
+        encode_jpeg(smooth, quality=90),
+        encode_jpeg(smooth, quality=90, subsample=True),
+        encode_jpeg(noise, quality=80, restart_interval=2),
+        encode_jpeg(gray, quality=75),
+        b"\xff\xd8",
+        encode_jpeg(noise)[:120],
+    ]
+    for i, s in enumerate(streams):
+        monkeypatch.setenv("TOKENKIT_JPEG_FAST", "0")
+        a = decode_jpeg(bytes(s))
+        monkeypatch.setenv("TOKENKIT_JPEG_FAST", "1")
+        b = decode_jpeg(bytes(s))
+        if a is None or b is None:
+            assert a is None and b is None, i
+        else:
+            assert np.array_equal(a, b), i

@@ -24,6 +24,7 @@ codec library (Huffman decode is inherently sequential per MCU run).
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -150,7 +151,9 @@ def _build_decode_table(bits, vals):
             code += 1
             k += 1
         code <<= 1
-    return lut.tolist()  # plain ints: no numpy scalar boxing per symbol
+    # "list": plain ints, no numpy scalar boxing per symbol (loop path);
+    # "np": the same LUT as an array for the vectorized speculative path
+    return {"list": lut.tolist(), "np": lut}
 
 
 class _BitWriter:
@@ -397,31 +400,39 @@ def encode_jpeg(
 # --- decoder -----------------------------------------------------------------
 
 
+def _destuff_scan(data: bytes, start: int) -> np.ndarray:
+    """Entropy-segment bytes from ``start`` to the first real marker,
+    with 0xFF00 byte stuffing removed, in ONE numpy pass (no per-byte
+    Python loop). RST markers survive un-stuffing; both decode paths
+    consume them byte-aligned."""
+    d = np.frombuffer(data, dtype=np.uint8)[start:]
+    if len(d) > 1:
+        is_ff = d[:-1] == 0xFF
+        nxt = d[1:]
+        # scan ends at the first real marker (not stuffed 00, not RSTn)
+        ends = np.nonzero(
+            is_ff & (nxt != 0x00) & ~((nxt >= 0xD0) & (nxt <= 0xD7))
+        )[0]
+        if len(ends):
+            d = d[: ends[0]]
+        drop = np.zeros(len(d), dtype=bool)
+        if len(d) > 1:
+            drop[1:] = (d[:-1] == 0xFF) & (d[1:] == 0x00)
+        d = d[~drop]
+    return d
+
+
 class _BitReader:
     """Entropy-segment reader, vectorized setup: the whole scan is
-    un-stuffed (0xFF00 -> 0xFF) in ONE numpy pass, then a 32-bit window
-    is precomputed at every byte offset, so each peek/read is a single
-    list index + shift-mask — no per-byte Python loop on the hot path
-    (VERDICT r02 item 7). RST markers survive un-stuffing and are
-    consumed byte-aligned by ``sync_restart``."""
+    un-stuffed (0xFF00 -> 0xFF) via ``_destuff_scan``, then a 32-bit
+    window is precomputed at every byte offset, so each peek/read is a
+    single list index + shift-mask — no per-byte Python loop on the hot
+    path (VERDICT r02 item 7)."""
 
     __slots__ = ("w", "p", "nbits")
 
     def __init__(self, data: bytes, start: int):
-        d = np.frombuffer(data, dtype=np.uint8)[start:]
-        if len(d) > 1:
-            is_ff = d[:-1] == 0xFF
-            nxt = d[1:]
-            # scan ends at the first real marker (not stuffed 00, not RSTn)
-            ends = np.nonzero(
-                is_ff & (nxt != 0x00) & ~((nxt >= 0xD0) & (nxt <= 0xD7))
-            )[0]
-            if len(ends):
-                d = d[: ends[0]]
-            drop = np.zeros(len(d), dtype=bool)
-            if len(d) > 1:
-                drop[1:] = (d[:-1] == 0xFF) & (d[1:] == 0x00)
-            d = d[~drop]
+        d = _destuff_scan(data, start)
         self.nbits = len(d) * 8
         dp = np.concatenate([d, np.zeros(8, dtype=np.uint8)]).astype(np.int64)
         # w[i] = the 32 bits starting at byte i (zero-padded at the tail)
@@ -625,23 +636,142 @@ def _decode_markers(b: bytes) -> np.ndarray | None:
     return None
 
 
-def _decode_scan(
-    b, start, frame, scan, qtabs, dc_tabs, ac_tabs, restart_interval
-):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2 or not (1 <= len(comps) <= 3):
+def _entropy_decode_fast(d, comps, dc_tabs, ac_tabs, restart_interval,
+                         mcus_x, mcus_y):
+    """Single-pass inlined entropy decode: one 40-bit window per byte
+    (precomputed vectorized, indexed as a plain list) lets every symbol
+    resolve its Huffman code AND its magnitude bits from ONE window
+    fetch — no per-symbol function calls, no BitReader state, no
+    per-block numpy allocation. Coefficients accumulate in flat Python
+    lists and scatter into ``coef`` once at the end. Semantics are
+    bit-identical to ``_entropy_decode_loop`` (the parity oracle):
+    returns True on success, None on any malformed-stream condition."""
+    n = len(d)
+    nbits = n * 8
+    if n == 0:
         return None
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
+    dp = np.concatenate([d, np.zeros(8, dtype=np.uint8)]).astype(np.int64)
+    # w40[i] = the 40 bits starting at byte i; bits [p, p+32) are then
+    # (w40[p >> 3] >> (8 - (p & 7))) & 0xFFFFFFFF — code + value bits
+    # (<= 16 + 16) always fit one fetch
+    w40 = (
+        (dp[:n] << 32) | (dp[1:n + 1] << 24) | (dp[2:n + 2] << 16)
+        | (dp[3:n + 3] << 8) | dp[4:n + 4]
+    ).tolist()
+    db = d.tobytes()
     for c in comps:
-        c["bw"] = mcus_x * c["h"]  # blocks per row
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-        if c["id"] not in scan:
-            return None
-        c["dc_t"], c["ac_t"] = scan[c["id"]]
+        c["_dcl"] = dc_tabs[c["dc_t"]]["list"]
+        c["_acl"] = ac_tabs[c["ac_t"]]["list"]
+        c["_dc_bi"] = []
+        c["_dc_val"] = []
+        c["_ac_idx"] = []
+        c["_ac_val"] = []
+    preds = {c["id"]: 0 for c in comps}
+    p = 0
+    mcu = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    p = (p + 7) & ~7  # discard pad bits, expect RSTn
+                    if p + 16 > nbits:
+                        return None
+                    if db[p >> 3] != 0xFF or not 0xD0 <= db[(p >> 3) + 1] <= 0xD7:
+                        return None
+                    p += 16
+                    preds = {c["id"]: 0 for c in comps}
+                for c in comps:
+                    dcl, acl = c["_dcl"], c["_acl"]
+                    dc_bi, dc_val = c["_dc_bi"], c["_dc_val"]
+                    ac_idx, ac_val = c["_ac_idx"], c["_ac_val"]
+                    cid, cv, chh, bw = c["id"], c["v"], c["h"], c["bw"]
+                    pred = preds[cid]
+                    for dy in range(cv):
+                        for dx in range(chh):
+                            # --- DC ---
+                            if p >= nbits:
+                                return None
+                            w = (w40[p >> 3] >> (8 - (p & 7))) & 0xFFFFFFFF
+                            v = dcl[w >> 16]
+                            if v == 0:
+                                return None
+                            sz = v >> 5
+                            total = (v & 31) + sz
+                            p += total
+                            if p > nbits:
+                                return None
+                            if sz:
+                                rec = (w >> (32 - total)) & ((1 << sz) - 1)
+                                pred += (
+                                    rec
+                                    if rec >= (1 << (sz - 1))
+                                    else rec - (1 << sz) + 1
+                                )
+                            bi = (my * cv + dy) * bw + mx * chh + dx
+                            dc_bi.append(bi)
+                            dc_val.append(pred)
+                            base = bi << 6
+                            # --- AC ---
+                            k = 1
+                            while k < 64:
+                                if p >= nbits:
+                                    return None
+                                w = (w40[p >> 3] >> (8 - (p & 7))) & 0xFFFFFFFF
+                                v = acl[w >> 16]
+                                if v == 0:
+                                    return None
+                                sym = v >> 5
+                                if sym == 0x00:  # EOB
+                                    p += v & 31
+                                    if p > nbits:
+                                        return None
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    p += v & 31
+                                    if p > nbits:
+                                        return None
+                                    k += 16
+                                    continue
+                                k += sym >> 4
+                                if k > 63:
+                                    return None
+                                sz = sym & 15
+                                total = (v & 31) + sz
+                                p += total
+                                if p > nbits:
+                                    return None
+                                if sz:  # sz==0 => coefficient stays 0
+                                    rec = (w >> (32 - total)) & ((1 << sz) - 1)
+                                    ac_idx.append(base + k)
+                                    ac_val.append(
+                                        rec
+                                        if rec >= (1 << (sz - 1))
+                                        else rec - (1 << sz) + 1
+                                    )
+                                k += 1
+                    preds[cid] = pred
+                mcu += 1
+    except ValueError:
+        # spec-illegal magnitude category too wide for the fused 32-bit
+        # code+value window: treated as malformed (the loop oracle's
+        # split reads can tolerate a few more of these already-
+        # non-baseline streams; divergence exists only there)
+        return None
+    for c in comps:
+        coef = c["coef"]
+        if c["_dc_bi"]:
+            coef[np.asarray(c["_dc_bi"]), 0] = c["_dc_val"]
+        if c["_ac_idx"]:
+            coef.reshape(-1)[np.asarray(c["_ac_idx"])] = c["_ac_val"]
+        for key in ("_dcl", "_acl", "_dc_bi", "_dc_val", "_ac_idx", "_ac_val"):
+            del c[key]
+    return True
+
+
+def _entropy_decode_loop(b, start, comps, dc_tabs, ac_tabs,
+                         restart_interval, mcus_x, mcus_y):
+    """Reference bit-at-a-time chain (the speculative path's parity
+    oracle, and the fallback above _SPEC_MAX_BITS)."""
     reader = _BitReader(b, start)
     preds = {c["id"]: 0 for c in comps}
     mcu = 0
@@ -652,10 +782,8 @@ def _decode_scan(
                     reader.sync_restart()
                     preds = {c["id"]: 0 for c in comps}
                 for c in comps:
-                    dct = dc_tabs.get(c["dc_t"])
-                    act = ac_tabs.get(c["ac_t"])
-                    if dct is None or act is None:
-                        return None
+                    dct = dc_tabs[c["dc_t"]]["list"]
+                    act = ac_tabs[c["ac_t"]]["list"]
                     for dy in range(c["v"]):
                         for dx in range(c["h"]):
                             zz = np.zeros(64, dtype=np.int32)
@@ -681,6 +809,42 @@ def _decode_scan(
                             c["coef"][bi] = zz
                 mcu += 1
     except (EOFError, ValueError):
+        return None
+    return True
+
+
+def _decode_scan(
+    b, start, frame, scan, qtabs, dc_tabs, ac_tabs, restart_interval
+):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or not (1 <= len(comps) <= 3):
+        return None
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # blocks per row
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        if c["id"] not in scan:
+            return None
+        c["dc_t"], c["ac_t"] = scan[c["id"]]
+        if c["dc_t"] not in dc_tabs or c["ac_t"] not in ac_tabs:
+            return None
+    # TOKENKIT_JPEG_FAST=0 routes through the bit-at-a-time oracle path
+    # (same memory profile — both precompute one window int per scan
+    # byte); the fused-window path is the default everywhere else
+    if os.environ.get("TOKENKIT_JPEG_FAST", "1") != "0":
+        ok = _entropy_decode_fast(
+            _destuff_scan(b, start), comps, dc_tabs, ac_tabs,
+            restart_interval, mcus_x, mcus_y,
+        )
+    else:
+        ok = _entropy_decode_loop(
+            b, start, comps, dc_tabs, ac_tabs, restart_interval, mcus_x, mcus_y
+        )
+    if ok is None:
         return None
 
     planes = []
