@@ -1060,3 +1060,55 @@ def test_jpeg_fast_loop_entropy_parity(monkeypatch):
             assert a is None and b is None, i
         else:
             assert np.array_equal(a, b), i
+
+
+def test_jpeg_progressive_round_trip():
+    """Progressive JPEG (SOF2, spectral selection + successive
+    approximation, T.81 Annex G): the progressive encoder produces the
+    SAME quantized coefficients as the baseline encoder, so decoding
+    its stream must be bit-identical to decoding the baseline stream —
+    this exercises every progressive path (DC first/refine interleaved,
+    AC first with EOB runs and ZRL, AC refinement with correction
+    bits) end to end."""
+    import numpy as np
+
+    from tokenkit_spark.ops.jpeg import (
+        decode_jpeg,
+        decode_status,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    gx = np.tile(np.arange(120, dtype=np.uint8), (40, 1))
+    images = [
+        rng.integers(0, 256, size=(48, 72, 3), dtype=np.uint8),  # dense AC
+        np.stack([gx, gx[:, ::-1], np.full_like(gx, 99)], axis=2),  # EOB runs
+        rng.integers(0, 256, size=(29, 33), dtype=np.uint8),  # gray
+        np.full((3, 5, 3), 77, dtype=np.uint8),  # tiny, non-multiple-of-8
+    ]
+    for i, img in enumerate(images):
+        for q in (40, 85):
+            prog = encode_jpeg_progressive(img, quality=q)
+            assert decode_status(bytes(prog)) == "progressive"
+            a = decode_jpeg(encode_jpeg(img, quality=q))
+            b = decode_jpeg(bytes(prog))
+            assert b is not None and np.array_equal(a, b), (i, q)
+
+    # a progressive stream is decodable after ANY whole-scan prefix:
+    # cut before the last refinement scans, append EOI -> still decodes
+    # (coarser, not None), and full-precision output differs from it
+    full = encode_jpeg_progressive(images[0], quality=85)
+    sos_positions = [
+        j for j in range(2, len(full) - 1)
+        if full[j] == 0xFF and full[j + 1] == 0xDA
+    ]
+    assert len(sos_positions) >= 6
+    partial = bytes(full[: sos_positions[3]]) + b"\xff\xd9"
+    coarse = decode_jpeg(partial)
+    fine = decode_jpeg(bytes(full))
+    assert coarse is not None and coarse.shape == fine.shape
+    assert not np.array_equal(coarse, fine)
+
+    # truncation MID-scan is malformed
+    assert decode_jpeg(bytes(full[: sos_positions[1] + 40])) is None

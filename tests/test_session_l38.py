@@ -70,15 +70,19 @@ def test_og_completeness(spark):
 
 
 def test_media_decode_coverage_statuses(spark):
-    """VERDICT r03 item 8: baseline-only JPEG decode support must be
-    measurable — progressive/arithmetic/malformed payloads get counted
-    with an explicit status instead of silently dropping out."""
+    """VERDICT r03 item 8: JPEG decode support must be measurable —
+    decodable payloads (baseline AND progressive, as of round 5) count
+    "ok"; header-only/truncated/garbage payloads get an explicit status
+    instead of silently dropping out."""
     import numpy as np
 
     from tokenkit_spark.ops import jpeg, multimodal
 
     base = multimodal.make_jpeg(
         24, 16, pixels=np.zeros((16, 24, 3), dtype=np.uint8), quality=90
+    )
+    prog = jpeg.encode_jpeg_progressive(
+        np.full((16, 24, 3), 60, dtype=np.uint8), quality=90
     )
     rows = [
         (0, "image", bytearray(base), None, None, None, None),
@@ -88,17 +92,19 @@ def test_media_decode_coverage_statuses(spark):
         (3, "image", bytearray(b"garbage"), None, None, None, None),
         (4, "image", bytearray(multimodal.make_png(8, 8)),
          None, None, None, None),
+        (5, "image", bytearray(prog), None, None, None, None),
     ]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     out = {
         (r.kind, r.format, r.status): r.n
         for r in multimodal.media_decode_coverage(media).collect()
     }
-    assert out[("image", "jpeg", "ok")] == 1
-    assert out[("image", "jpeg", "progressive")] == 1
-    assert out[("image", "jpeg", "malformed")] == 1
+    assert out[("image", "jpeg", "ok")] == 2  # baseline + progressive
+    # header-only SOF2 stub (no scan) + truncated baseline
+    assert out[("image", "jpeg", "malformed")] == 2
     assert out[("image", "unknown", "unknown")] == 1
     assert out[("image", "png", "ok")] == 1
     # and the classifier agrees with the decoder's actual support
     assert jpeg.decode_jpeg(base) is not None
+    assert jpeg.decode_jpeg(bytes(prog)) is not None
     assert jpeg.decode_jpeg(jpeg.make_progressive_stub()) is None

@@ -397,6 +397,226 @@ def encode_jpeg(
     return bytes(out)
 
 
+# Flat AC Huffman table for progressive scans: every symbol 0x00-0xFF
+# gets a code (128 at 8 bits + 128 at 9 bits, Kraft sum 0.75), because
+# progressive AC coding needs EOBn symbols (0x10..0xE0) that the Annex
+# K baseline tables don't contain. Compression is mediocre; the table
+# exists to exercise a spec-complete decoder, not to win size.
+PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 to PROGRESSIVE
+    JPEG (SOF2), 4:4:4, with a libjpeg-style scan script that uses both
+    spectral selection and successive approximation — DC first at Al=1
+    then a DC refinement, AC split into two bands at Al=2/Al=1 then
+    refined down to Al=0. Coefficients are identical to the baseline
+    encoder at the same quality, so decode_jpeg(progressive) must equal
+    decode_jpeg(baseline) bit-for-bit — the round-trip parity test for
+    every progressive decode path (T.81 Annex G)."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError("pixels must be uint8")
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("pixels must be (H, W) gray or (H, W, 3) RGB")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    qt_l = _quality_scale(Q_LUMA, quality)
+    qt_c = _quality_scale(Q_CHROMA, quality)
+    dc_codes = [_build_huffman(*DC_LUMA), _build_huffman(*DC_CHROMA)]
+    ac_codes = _build_huffman(*PROG_AC)
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if gray:
+        zz = [_quantize_plane(_pad_to(px, ph, pw), qt_l)]
+    else:
+        rgb = px.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+        zz = [
+            _quantize_plane(_pad_to(p, ph, pw), qt)
+            for p, qt in zip(planes, (qt_l, qt_c, qt_c))
+        ]
+    nc = len(zz)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(qt_l[ZIGZAG].tolist()))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qt_c[ZIGZAG].tolist()))
+    comp_spec = (
+        b"\x01\x11\x00" if gray
+        else b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    out += _seg(0xC2, b"\x08" + struct.pack(">HH", h, w) + bytes([nc]) + comp_spec)
+    out += _seg(0xC4, _dht_payload(0, 0, *DC_LUMA))
+    if not gray:
+        out += _seg(0xC4, _dht_payload(0, 1, *DC_CHROMA))
+    out += _seg(0xC4, _dht_payload(1, 0, *PROG_AC))
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1  # DC table; AC is always table 0
+            body += bytes([ci + 1, (td << 4)])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_first_scan(al):
+        wtr = _BitWriter()
+        preds = [0] * nc
+        for m in range(zz[0].shape[0]):
+            for ci in range(nc):
+                v = int(zz[ci][m, 0]) >> al  # arithmetic shift (G.1.2.1)
+                size, bits = _magnitude(v - preds[ci])
+                preds[ci] = v
+                code, length = dc_codes[0 if ci == 0 else 1][size]
+                wtr.write(code, length)
+                if size:
+                    wtr.write(bits, size)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def dc_refine_scan(al):
+        wtr = _BitWriter()
+        for m in range(zz[0].shape[0]):
+            for ci in range(nc):
+                wtr.write((int(zz[ci][m, 0]) >> al) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_first_scan(ci, ss, se, al):
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, length = ac_codes[r << 4]
+                wtr.write(code, length)
+                if r:
+                    wtr.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for m in range(zz[ci].shape[0]):
+            band = zz[ci][m, ss : se + 1]
+            mags = np.abs(band) >> al
+            nz = np.flatnonzero(mags)
+            if len(nz) == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(nz[-1] + 1):
+                t = int(mags[k])
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    wtr.write(code, length)
+                    run -= 16
+                if band[k] < 0:
+                    t = -t
+                size, bits = _magnitude(t)
+                code, length = ac_codes[(run << 4) | size]
+                wtr.write(code, length)
+                wtr.write(bits, size)
+                run = 0
+            if nz[-1] + 1 <= se - ss:  # trailing zeros -> EOB
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_refine_scan(ci, ss, se, al):
+        # jcphuff-style: EOB run + buffered correction bits carried
+        # across blocks; ZRLs emitted only when foldable into the block
+        wtr = _BitWriter()
+        eobrun = 0
+        be_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, be_bits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, length = ac_codes[r << 4]
+                wtr.write(code, length)
+                if r:
+                    wtr.write(eobrun - (1 << r), r)
+                eobrun = 0
+            for bit in be_bits:
+                wtr.write(bit, 1)
+            be_bits = []
+
+        for m in range(zz[ci].shape[0]):
+            band = zz[ci][m, ss : se + 1]
+            mags = np.abs(band) >> al
+            nz = np.flatnonzero(mags)
+            eob = nz[-1] if len(nz) else -1
+            run = 0
+            br: list[int] = []
+            for k in range(se - ss + 1):
+                t = int(mags[k])
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    flush_eob()
+                    code, length = ac_codes[0xF0]
+                    wtr.write(code, length)
+                    run -= 16
+                    for bit in br:
+                        wtr.write(bit, 1)
+                    br = []
+                if t > 1:  # previously-visible coefficient: correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                code, length = ac_codes[(run << 4) | 1]
+                wtr.write(code, length)
+                wtr.write(0 if band[k] < 0 else 1, 1)
+                for bit in br:
+                    wtr.write(bit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                be_bits.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        wtr.flush()
+        return bytes(wtr.out)
+
+    all_ids = list(range(nc))
+    out += sos_header(all_ids, 0, 0, 0, 1) + dc_first_scan(1)
+    for ci in all_ids:
+        if ci == 0:
+            out += sos_header([0], 1, 5, 0, 2) + ac_first_scan(0, 1, 5, 2)
+            out += sos_header([0], 6, 63, 0, 2) + ac_first_scan(0, 6, 63, 2)
+        else:
+            out += sos_header([ci], 1, 63, 0, 1) + ac_first_scan(ci, 1, 63, 1)
+    out += sos_header(all_ids, 0, 0, 1, 0) + dc_refine_scan(0)
+    out += sos_header([0], 1, 63, 2, 1) + ac_refine_scan(0, 1, 63, 1)
+    for ci in all_ids:
+        out += sos_header([ci], 1, 63, 1, 0) + ac_refine_scan(ci, 1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder -----------------------------------------------------------------
 
 
@@ -490,14 +710,13 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_status(b: bytes) -> str:
-    """Classify WHY a payload would (not) decode, without decoding:
-    the coverage counter a corpus-scale media scan needs so baseline-
-    only decode support is measurable, never silent (VERDICT r03 item
-    8). Returns one of: "baseline" (SOF0/SOF1 + SOS present — what
-    decode_jpeg handles), "progressive" (SOF2), "arithmetic"
-    (SOF9-SOF11), "other_sof" (lossless/hierarchical/differential),
-    "malformed" (JPEG magic but no decodable frame/scan), or
-    "not_jpeg"."""
+    """Classify a payload's decode support, without decoding: the
+    coverage counter a corpus-scale media scan needs so decode support
+    is measurable, never silent (VERDICT r03 item 8). Returns one of:
+    "baseline" (SOF0/SOF1 + SOS) or "progressive" (SOF2 + SOS) — both
+    of which decode_jpeg handles — "arithmetic" (SOF9-SOF11),
+    "other_sof" (lossless/hierarchical/differential), "malformed"
+    (JPEG magic but no frame + scan), or "not_jpeg"."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return "not_jpeg"
     i = 2
@@ -517,7 +736,7 @@ def decode_status(b: bytes) -> str:
             if marker in (0xC0, 0xC1):
                 saw_sof = "baseline"
             elif marker == 0xC2:
-                return "progressive"
+                saw_sof = "progressive"
             elif marker in (0xC9, 0xCA, 0xCB):
                 return "arithmetic"
             elif (
@@ -534,9 +753,10 @@ def decode_status(b: bytes) -> str:
 
 
 def make_progressive_stub(width: int = 16, height: int = 16) -> bytes:
-    """A syntactically valid progressive-JPEG HEADER (SOI + SOF2 + EOI)
-    — a classification fixture for decode_status; decode_jpeg correctly
-    returns None for it."""
+    """A progressive-JPEG HEADER with no scan (SOI + SOF2 + EOI) — a
+    classification fixture: decode_status reports it "malformed" (frame
+    but no SOS) and decode_jpeg correctly returns None. Decodable
+    progressive fixtures come from encode_jpeg_progressive."""
     sof = struct.pack(
         ">BHHB", 8, height, width, 1
     ) + bytes([1, 0x11, 0])
@@ -568,7 +788,7 @@ def _decode_markers(b: bytes) -> np.ndarray | None:
     frame = None
     restart_interval = 0
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             i += 1
             continue
@@ -577,7 +797,16 @@ def _decode_markers(b: bytes) -> np.ndarray | None:
             i += 2
             continue
         if marker == 0xD9:  # EOI
+            if frame is not None and frame.get("prog") and frame.get("scans"):
+                # progressive stream complete (any number of scans is a
+                # legal stopping point for successive approximation)
+                return _reconstruct(
+                    frame["comps"], qtabs, frame["h"], frame["w"],
+                    frame["hmax"], frame["vmax"],
+                )
             return None  # no scan seen
+        if i + 4 > len(b):
+            return None  # truncated segment header
         (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
         seg = b[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -604,7 +833,7 @@ def _decode_markers(b: bytes) -> np.ndarray | None:
                 table = _build_decode_table(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = table
                 j += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / progressive SOF
             prec = seg[0]
             if prec != 8:
                 return None
@@ -614,26 +843,240 @@ def _decode_markers(b: bytes) -> np.ndarray | None:
             for c in range(nc):
                 cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive / arithmetic / hierarchical
+            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # arithmetic / lossless / hierarchical
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
             ns = seg[0]
-            scan = {}
+            data_start = i + 2 + seg_len
+            if not frame["prog"]:
+                scan = {}
+                for c in range(ns):
+                    cs, tt = seg[1 + c * 2 : 3 + c * 2]
+                    scan[cs] = (tt >> 4, tt & 0x0F)
+                return _decode_scan(
+                    b, data_start, frame, scan, qtabs, dc_tabs, ac_tabs,
+                    restart_interval,
+                )
+            # progressive: decode this scan into the persistent per-
+            # component coefficient arrays, then keep walking markers
+            if len(seg) < 1 + ns * 2 + 3 or not 1 <= ns <= 3:
+                return None
+            if not frame.get("init") and _init_prog_frame(frame) is None:
+                return None
+            scomps = []
             for c in range(ns):
                 cs, tt = seg[1 + c * 2 : 3 + c * 2]
-                scan[cs] = (tt >> 4, tt & 0x0F)
-            data_start = i + 2 + seg_len
-            return _decode_scan(
-                b, data_start, frame, scan, qtabs, dc_tabs, ac_tabs,
-                restart_interval,
+                fc = next(
+                    (x for x in frame["comps"] if x["id"] == cs), None
+                )
+                if fc is None:
+                    return None
+                fc["dc_t"], fc["ac_t"] = tt >> 4, tt & 0x0F
+                scomps.append(fc)
+            ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+            ahal = seg[3 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0x0F
+            # spectral/approximation constraints (T.81 B.2.3 + G.1)
+            if se > 63 or ss > se or (ss == 0) != (se == 0):
+                return None
+            if ss > 0 and ns != 1:
+                return None  # AC scans are non-interleaved
+            if al > 13 or (ah and ah != al + 1):
+                return None
+            ok = _decode_scan_progressive(
+                b, data_start, frame, scomps, ss, se, ah, al,
+                dc_tabs, ac_tabs, restart_interval,
             )
+            if ok is None:
+                return None
+            frame["scans"] = frame.get("scans", 0) + 1
+            i = _next_marker(b, data_start)
+            continue
         i += 2 + seg_len
     return None
+
+
+def _next_marker(b: bytes, start: int) -> int:
+    """Offset of the first real marker (not stuffed 0x00, not RSTn) at
+    or after ``start`` — where the next header segment begins after a
+    progressive scan's entropy data."""
+    d = np.frombuffer(b, dtype=np.uint8)[start:]
+    if len(d) > 1:
+        ends = np.nonzero(
+            (d[:-1] == 0xFF) & (d[1:] != 0x00)
+            & ~((d[1:] >= 0xD0) & (d[1:] <= 0xD7))
+        )[0]
+        if len(ends):
+            return start + int(ends[0])
+    return len(b)
+
+
+def _init_prog_frame(frame):
+    """Allocate persistent coefficient arrays for a progressive frame
+    (same MCU-padded geometry as the baseline path)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or not (1 <= len(comps) <= 3):
+        return None
+    if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+        return None
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcus_x"] = -(-frame["w"] // (8 * hmax))
+    frame["mcus_y"] = -(-frame["h"] // (8 * vmax))
+    for c in comps:
+        c["bw"] = frame["mcus_x"] * c["h"]
+        c["bh"] = frame["mcus_y"] * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+    frame["init"] = True
+    return True
+
+
+def _scan_units(frame, scomps):
+    """Yield the scan's data units in stream order: MCUs of (comp,
+    block_index) for an interleaved scan, single blocks of the sole
+    component (its own non-padded block grid) otherwise (T.81 A.2)."""
+    if len(scomps) > 1:
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                unit = []
+                for c in scomps:
+                    for dy in range(c["v"]):
+                        for dx in range(c["h"]):
+                            unit.append(
+                                (c, (my * c["v"] + dy) * c["bw"]
+                                 + mx * c["h"] + dx)
+                            )
+                yield unit
+    else:
+        c = scomps[0]
+        xs = -(-frame["w"] * c["h"] // frame["hmax"])
+        ys = -(-frame["h"] * c["v"] // frame["vmax"])
+        for by in range(-(-ys // 8)):
+            for bx in range(-(-xs // 8)):
+                yield [(c, by * c["bw"] + bx)]
+
+
+def _ac_refine_block(reader, act, coef, bi, ss, se, p1, m1, eobrun):
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / figure G.7): returns the updated EOB run, or None on a
+    malformed symbol."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # remainder of block refined by EOB logic below
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    return None  # refinement can only create magnitude 1
+                val = p1 if reader.read_bits(1) else m1
+            while k <= se:
+                cv = coef[bi, k]
+                if cv:
+                    if reader.read_bits(1) and (cv & p1) == 0:
+                        coef[bi, k] = cv + (p1 if cv >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val:
+                if k > se:
+                    return None
+                coef[bi, k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # inside an EOB run: correction bits only
+            cv = coef[bi, k]
+            if cv and reader.read_bits(1) and (cv & p1) == 0:
+                coef[bi, k] = cv + (p1 if cv >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_progressive(b, start, frame, scomps, ss, se, ah, al,
+                             dc_tabs, ac_tabs, restart_interval):
+    """Decode one progressive scan (DC first/refine, AC first/refine)
+    into the frame's coefficient arrays. Returns True, or None on a
+    malformed stream."""
+    reader = _BitReader(b, start)
+    dtabs = {}
+    act = None
+    if ss == 0 and ah == 0:
+        for c in scomps:
+            t = dc_tabs.get(c["dc_t"])
+            if t is None:
+                return None
+            dtabs[c["id"]] = t["list"]
+    if ss > 0:
+        t = ac_tabs.get(scomps[0]["ac_t"])
+        if t is None:
+            return None
+        act = t["list"]
+    p1, m1 = 1 << al, (-1) << al
+    preds = {c["id"]: 0 for c in scomps}
+    eobrun = 0
+    mcu = 0
+    try:
+        for unit in _scan_units(frame, scomps):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.sync_restart()
+                preds = {c["id"]: 0 for c in scomps}
+                eobrun = 0
+            for c, bi in unit:
+                coef = c["coef"]
+                if ss == 0:
+                    if ah == 0:  # DC first: diff of (DC >> Al)
+                        s = _huff_decode(reader, dtabs[c["id"]])
+                        preds[c["id"]] += _extend(reader.read_bits(s), s)
+                        coef[bi, 0] = preds[c["id"]] << al
+                    elif reader.read_bits(1):  # DC refine: one raw bit
+                        coef[bi, 0] = coef[bi, 0] | p1
+                elif ah == 0:  # AC first at approximation level Al
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(reader, act)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            return None
+                        coef[bi, k] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+                else:  # AC refine
+                    eobrun = _ac_refine_block(
+                        reader, act, coef, bi, ss, se, p1, m1, eobrun
+                    )
+                    if eobrun is None:
+                        return None
+            mcu += 1
+    except (EOFError, ValueError):
+        return None
+    return True
 
 
 def _entropy_decode_fast(d, comps, dc_tabs, ac_tabs, restart_interval,
@@ -846,7 +1289,12 @@ def _decode_scan(
         )
     if ok is None:
         return None
+    return _reconstruct(comps, qtabs, h, w, hmax, vmax)
 
+
+def _reconstruct(comps, qtabs, h, w, hmax, vmax):
+    """Dequantize + IDCT + upsample + color-convert decoded coefficient
+    arrays (shared by the baseline and progressive paths)."""
     planes = []
     for c in comps:
         qt = qtabs.get(c["tq"])

@@ -466,11 +466,11 @@ def media_decode_coverage(media: DataFrame) -> DataFrame:
     """Decode-coverage audit (VERDICT r03 item 8): per (kind, format,
     status) payload counts, where status says whether THIS engine's
     decoders can actually open the payload — "ok" for parsed PNG/WAV
-    headers and baseline JPEG, or the jpeg.decode_status reason
-    ("progressive", "arithmetic", "other_sof", "malformed") for the
-    variants the pure-numpy baseline codec skips, and "unknown" for
+    headers and baseline or progressive JPEG (both decode), or the
+    jpeg.decode_status reason ("arithmetic", "other_sof", "malformed")
+    for the variants the pure-numpy codec skips, and "unknown" for
     unrecognized payloads. At corpus scale this is the metric that
-    keeps baseline-only decode support measurable instead of silently
+    keeps partial decode support measurable instead of silently
     under-counting media stats. Classification is header-level (no
     pixel decode), so the scan cost is payload IO."""
     from tokenkit_spark.ops import jpeg as _jpeg
@@ -486,7 +486,7 @@ def media_decode_coverage(media: DataFrame) -> DataFrame:
                     fmt = img[0]
                     if fmt == "jpeg":
                         st = _jpeg.decode_status(payload)
-                        status = "ok" if st == "baseline" else st
+                        status = "ok" if st in ("baseline", "progressive") else st
                     else:
                         status = "ok"
                 else:
