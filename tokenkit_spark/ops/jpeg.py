@@ -1,25 +1,30 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1, SOF0) codec in pure numpy.
+"""JPEG (ITU-T T.81 / ISO 10918-1) codec in pure numpy: baseline SOF0
+and progressive SOF2.
 
 This removes the last stub in the multimodal layer: the container has no
 libjpeg/PIL, so the entropy-coded DCT path is implemented from the
 public spec — standard Annex K quantization + Huffman tables, zigzag,
 differential DC, run-length AC, byte stuffing, restart markers.
 
-Decoder scope (``decode_jpeg``): baseline sequential, 8-bit, grayscale
-or YCbCr with sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0 — chroma
-upsampled nearest-neighbor), restart markers honored. Progressive
-(SOF2) and arithmetic coding return None (unsupported, not wrong).
+Decoder scope (``decode_jpeg``): baseline sequential AND progressive
+(spectral selection + successive approximation, Annex G), 8-bit,
+grayscale or YCbCr with sampling factors up to 2×2 (4:4:4, 4:2:2,
+4:2:0 — chroma upsampled nearest-neighbor), restart markers honored.
+Arithmetic coding, lossless/hierarchical frames, and 4-component
+(CMYK/YCCK) streams return None (unsupported, not wrong).
 
 Encoder scope (``encode_jpeg``): quality-scaled Annex K tables, 4:4:4
-or 4:2:0, grayscale or RGB — enough to synthesize genuine entropy-coded
-fixtures for round-trip tests and driver oracles (we cannot ship real
-photos into the sandbox, and a decoder without test vectors is not
-verifiable).
+or 4:2:0, grayscale or RGB; ``encode_jpeg_progressive`` emits a
+libjpeg-style multi-scan SA script over the same coefficients — enough
+to synthesize genuine entropy-coded fixtures for round-trip tests and
+driver oracles (we cannot ship real photos into the sandbox, and a
+decoder without test vectors is not verifiable).
 
 Both sides are vectorized where it counts: the DCT/IDCT are 8×8 matrix
-sandwiches applied to ALL blocks at once (``einsum``); only the entropy
-bit-stream walk is per-symbol Python, which is unavoidable without a
-codec library (Huffman decode is inherently sequential per MCU run).
+sandwiches applied to ALL blocks at once (batched BLAS matmul); the
+baseline entropy walk fuses each symbol's Huffman code + magnitude bits
+into one precomputed-window fetch, which is as far as CPython goes
+(Huffman decode is inherently sequential per MCU run).
 """
 
 from __future__ import annotations
