@@ -1112,3 +1112,85 @@ def test_jpeg_progressive_round_trip():
 
     # truncation MID-scan is malformed
     assert decode_jpeg(bytes(full[: sos_positions[1] + 40])) is None
+
+
+def test_jpeg_cmyk_ycck_round_trip():
+    """4-component Adobe JPEG: CMYK (transform 0) and YCCK (transform
+    2) streams decode to the analytic RGB composite within quant
+    error; 4 components WITHOUT an Adobe APP14 marker are an ambiguous
+    color space — decode refuses (None) and decode_status says
+    'unsupported_color'; fast/loop entropy paths stay bit-identical."""
+    import numpy as np
+
+    from tokenkit_spark.ops import jpeg
+
+    gx, gy = np.meshgrid(np.linspace(0, 200, 48), np.linspace(0, 200, 40))
+    cmyk = np.stack([gx, gy, 200 - gx, 60 + gx * 0.2], axis=2).astype(np.uint8)
+
+    stored = 255.0 - cmyk.astype(np.float64)
+    expected = np.clip(np.round(np.stack(
+        [stored[..., i] * stored[..., 3] for i in range(3)], axis=2
+    ) / 255.0), 0, 255)
+
+    outs = {}
+    for ycck in (False, True):
+        data = jpeg.encode_jpeg_cmyk(cmyk, quality=95, ycck=ycck)
+        assert jpeg.decode_status(bytes(data)) == "baseline"
+        out = jpeg.decode_jpeg(bytes(data))
+        assert out is not None and out.shape == (40, 48, 3)
+        assert np.abs(out.astype(float) - expected).max() <= 4, ycck
+        outs[ycck] = out
+    # the two transforms encode the same image: small matrix rounding only
+    assert np.abs(outs[False].astype(int) - outs[True].astype(int)).max() <= 4
+
+    data = jpeg.encode_jpeg_cmyk(cmyk, quality=95)
+    seg_len = int.from_bytes(data[4:6], "big")
+    stripped = data[:2] + data[4 + seg_len:]  # drop APP14
+    assert jpeg.decode_jpeg(stripped) is None
+    assert jpeg.decode_status(stripped) == "unsupported_color"
+
+    rng = np.random.default_rng(41)
+    noise = rng.integers(0, 256, size=(24, 40, 4), dtype=np.uint8)
+    data = bytes(jpeg.encode_jpeg_cmyk(noise, quality=70, ycck=True))
+    import os
+    prev = os.environ.get("TOKENKIT_JPEG_FAST")
+    try:
+        os.environ["TOKENKIT_JPEG_FAST"] = "0"
+        a = jpeg.decode_jpeg(data)
+        os.environ["TOKENKIT_JPEG_FAST"] = "1"
+        b = jpeg.decode_jpeg(data)
+    finally:
+        if prev is None:
+            os.environ.pop("TOKENKIT_JPEG_FAST", None)
+        else:
+            os.environ["TOKENKIT_JPEG_FAST"] = prev
+    assert a is not None and np.array_equal(a, b)
+
+
+def test_jpeg_progressive_restart_intervals():
+    """Progressive scans with DRI/RSTn markers: DC predictors and EOB
+    runs reset at every restart in EVERY scan type (first + refine),
+    and the decode stays bit-identical to the baseline decode —
+    including ri=1, a restart after every single MCU."""
+    import numpy as np
+
+    from tokenkit_spark.ops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(43)
+    for px in (
+        rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(24, 40), dtype=np.uint8),
+        np.stack([np.tile(np.arange(48, dtype=np.uint8) * 5, (32, 1))] * 3,
+                 axis=2),
+    ):
+        base = decode_jpeg(encode_jpeg(px, quality=80))
+        for ri in (1, 3):
+            prog = decode_jpeg(
+                bytes(encode_jpeg_progressive(px, quality=80,
+                                              restart_interval=ri))
+            )
+            assert prog is not None and np.array_equal(base, prog), ri

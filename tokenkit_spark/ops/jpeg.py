@@ -402,6 +402,65 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_cmyk(
+    pixels: np.ndarray, quality: int = 85, ycck: bool = False
+) -> bytes:
+    """Encode (H, W, 4) uint8 display-CMYK (0 = no ink) to a baseline
+    4-component Adobe JPEG: components stored INVERTED (255 - value)
+    per the Adobe convention, with an APP14 marker carrying transform
+    0 (CMYK) or 2 (YCCK — YCbCr over the inverted CMY, K untouched;
+    Adobe tech note #5116). All components 1x1, luma quant + Huffman
+    tables. Fixture source for the decoder's 4-component path."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 4:
+        raise ValueError("pixels must be (H, W, 4) uint8 CMYK")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    stored = (255 - px).astype(np.float64)  # Adobe-inverted channels
+    if ycck:
+        c4, m4, y4 = stored[..., 0], stored[..., 1], stored[..., 2]
+        yy = 0.299 * c4 + 0.587 * m4 + 0.114 * y4
+        cb = 128.0 - 0.168736 * c4 - 0.331264 * m4 + 0.5 * y4
+        cr = 128.0 + 0.5 * c4 - 0.418688 * m4 - 0.081312 * y4
+        chans = [yy, cb, cr, stored[..., 3]]
+    else:
+        chans = [stored[..., i] for i in range(4)]
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in chans]
+
+    qt_l = _quality_scale(Q_LUMA, quality)
+    dc_l, ac_l = _build_huffman(*DC_LUMA), _build_huffman(*AC_LUMA)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(
+        0xEE,
+        b"Adobe" + bytes([0, 100]) + b"\x00\x00\x00\x00"
+        + bytes([2 if ycck else 0]),
+    )
+    out += _seg(0xDB, bytes([0x00]) + bytes(qt_l[ZIGZAG].tolist()))
+    comp_spec = b"".join(bytes([i + 1, 0x11, 0]) for i in range(4))
+    out += _seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x04" + comp_spec)
+    out += _seg(0xC4, _dht_payload(0, 0, *DC_LUMA))
+    out += _seg(0xC4, _dht_payload(1, 0, *AC_LUMA))
+    out += _seg(0xDA, b"\x04" + b"".join(
+        bytes([i + 1, 0x00]) for i in range(4)
+    ) + b"\x00\x3f\x00")
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    zz = [_quantize_plane(_pad_to(p, ph, pw), qt_l) for p in planes]
+    writer = _BitWriter()
+    preds = [0, 0, 0, 0]
+    for m in range(zz[0].shape[0]):  # MCU = one block per component
+        for ci in range(4):
+            preds[ci] = _encode_component(
+                writer, zz[ci][m : m + 1], dc_l, ac_l, preds[ci]
+            )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # Flat AC Huffman table for progressive scans: every symbol 0x00-0xFF
 # gets a code (128 at 8 bits + 128 at 9 bits, Kraft sum 0.75), because
 # progressive AC coding needs EOBn symbols (0x10..0xE0) that the Annex
@@ -413,7 +472,9 @@ PROG_AC = (
 )
 
 
-def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 to PROGRESSIVE
     JPEG (SOF2), 4:4:4, with a libjpeg-style scan script that uses both
     spectral selection and successive approximation — DC first at Al=1
@@ -421,7 +482,9 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
     refined down to Al=0. Coefficients are identical to the baseline
     encoder at the same quality, so decode_jpeg(progressive) must equal
     decode_jpeg(baseline) bit-for-bit — the round-trip parity test for
-    every progressive decode path (T.81 Annex G)."""
+    every progressive decode path (T.81 Annex G). ``restart_interval``
+    emits DRI + RSTn every N MCUs IN EVERY SCAN (DC predictors and EOB
+    runs reset at each marker, as the spec requires)."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
         raise ValueError("pixels must be uint8")
@@ -466,6 +529,10 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
     if not gray:
         out += _seg(0xC4, _dht_payload(0, 1, *DC_CHROMA))
     out += _seg(0xC4, _dht_payload(1, 0, *PROG_AC))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    ri = restart_interval
 
     def sos_header(comp_ids, ss, se, ah, al):
         body = bytes([len(comp_ids)])
@@ -474,10 +541,17 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
             body += bytes([ci + 1, (td << 4)])
         return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
+    def emit_rst(wtr, m):
+        wtr.flush()
+        wtr.out += bytes([0xFF, 0xD0 + ((m // ri - 1) % 8)])
+
     def dc_first_scan(al):
         wtr = _BitWriter()
         preds = [0] * nc
         for m in range(zz[0].shape[0]):
+            if ri and m and m % ri == 0:
+                emit_rst(wtr, m)
+                preds = [0] * nc
             for ci in range(nc):
                 v = int(zz[ci][m, 0]) >> al  # arithmetic shift (G.1.2.1)
                 size, bits = _magnitude(v - preds[ci])
@@ -492,6 +566,8 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
     def dc_refine_scan(al):
         wtr = _BitWriter()
         for m in range(zz[0].shape[0]):
+            if ri and m and m % ri == 0:
+                emit_rst(wtr, m)
             for ci in range(nc):
                 wtr.write((int(zz[ci][m, 0]) >> al) & 1, 1)
         wtr.flush()
@@ -512,6 +588,9 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
                 eobrun = 0
 
         for m in range(zz[ci].shape[0]):
+            if ri and m and m % ri == 0:
+                flush_eob()  # EOB runs cannot span a restart boundary
+                emit_rst(wtr, m)
             band = zz[ci][m, ss : se + 1]
             mags = np.abs(band) >> al
             nz = np.flatnonzero(mags)
@@ -567,6 +646,9 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
             be_bits = []
 
         for m in range(zz[ci].shape[0]):
+            if ri and m and m % ri == 0:
+                flush_eob()  # flushes the run AND its buffered bits
+                emit_rst(wtr, m)
             band = zz[ci][m, ss : se + 1]
             mags = np.abs(band) >> al
             nz = np.flatnonzero(mags)
@@ -719,13 +801,18 @@ def decode_status(b: bytes) -> str:
     coverage counter a corpus-scale media scan needs so decode support
     is measurable, never silent (VERDICT r03 item 8). Returns one of:
     "baseline" (SOF0/SOF1 + SOS) or "progressive" (SOF2 + SOS) — both
-    of which decode_jpeg handles — "arithmetic" (SOF9-SOF11),
-    "other_sof" (lossless/hierarchical/differential), "malformed"
-    (JPEG magic but no frame + scan), or "not_jpeg"."""
+    of which decode_jpeg handles, including 4-component Adobe
+    CMYK/YCCK — "unsupported_color" (4 components without an Adobe
+    APP14 transform 0/2: ambiguous color space, decode refuses),
+    "arithmetic" (SOF9-SOF11), "other_sof" (lossless/hierarchical/
+    differential), "malformed" (JPEG magic but no frame + scan), or
+    "not_jpeg"."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return "not_jpeg"
     i = 2
     saw_sof = None
+    nc = 0
+    adobe = None
     try:
         while i + 4 <= len(b):
             if b[i] != 0xFF:
@@ -740,8 +827,10 @@ def decode_status(b: bytes) -> str:
             (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
             if marker in (0xC0, 0xC1):
                 saw_sof = "baseline"
+                nc = b[i + 9] if i + 9 < len(b) else 0
             elif marker == 0xC2:
                 saw_sof = "progressive"
+                nc = b[i + 9] if i + 9 < len(b) else 0
             elif marker in (0xC9, 0xCA, 0xCB):
                 return "arithmetic"
             elif (
@@ -749,7 +838,12 @@ def decode_status(b: bytes) -> str:
                 and marker not in (0xC4, 0xC8, 0xCC)
             ):
                 return "other_sof"
+            elif marker == 0xEE:  # APP14
+                if b[i + 4 : i + 9] == b"Adobe" and seg_len >= 14:
+                    adobe = b[i + 15]
             elif marker == 0xDA:  # SOS
+                if saw_sof and nc == 4 and adobe not in (0, 2):
+                    return "unsupported_color"
                 return saw_sof or "malformed"
             i += 2 + seg_len
     except (struct.error, IndexError):
@@ -792,6 +886,7 @@ def _decode_markers(b: bytes) -> np.ndarray | None:
     ac_tabs: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    adobe = None  # APP14 color-transform flag (None = no Adobe marker)
     i = 2
     while i + 2 <= len(b):
         if b[i] != 0xFF:
@@ -807,7 +902,7 @@ def _decode_markers(b: bytes) -> np.ndarray | None:
                 # legal stopping point for successive approximation)
                 return _reconstruct(
                     frame["comps"], qtabs, frame["h"], frame["w"],
-                    frame["hmax"], frame["vmax"],
+                    frame["hmax"], frame["vmax"], adobe,
                 )
             return None  # no scan seen
         if i + 4 > len(b):
@@ -853,6 +948,9 @@ def _decode_markers(b: bytes) -> np.ndarray | None:
             return None  # arithmetic / lossless / hierarchical
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE:  # APP14 (Adobe color transform)
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe = seg[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
@@ -865,11 +963,11 @@ def _decode_markers(b: bytes) -> np.ndarray | None:
                     scan[cs] = (tt >> 4, tt & 0x0F)
                 return _decode_scan(
                     b, data_start, frame, scan, qtabs, dc_tabs, ac_tabs,
-                    restart_interval,
+                    restart_interval, adobe,
                 )
             # progressive: decode this scan into the persistent per-
             # component coefficient arrays, then keep walking markers
-            if len(seg) < 1 + ns * 2 + 3 or not 1 <= ns <= 3:
+            if len(seg) < 1 + ns * 2 + 3 or not 1 <= ns <= 4:
                 return None
             if not frame.get("init") and _init_prog_frame(frame) is None:
                 return None
@@ -927,7 +1025,7 @@ def _init_prog_frame(frame):
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2 or not (1 <= len(comps) <= 3):
+    if hmax > 2 or vmax > 2 or not (1 <= len(comps) <= 4):
         return None
     if any(c["h"] < 1 or c["v"] < 1 for c in comps):
         return None
@@ -1262,12 +1360,13 @@ def _entropy_decode_loop(b, start, comps, dc_tabs, ac_tabs,
 
 
 def _decode_scan(
-    b, start, frame, scan, qtabs, dc_tabs, ac_tabs, restart_interval
+    b, start, frame, scan, qtabs, dc_tabs, ac_tabs, restart_interval,
+    adobe=None,
 ):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2 or not (1 <= len(comps) <= 3):
+    if hmax > 2 or vmax > 2 or not (1 <= len(comps) <= 4):
         return None
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
@@ -1294,12 +1393,15 @@ def _decode_scan(
         )
     if ok is None:
         return None
-    return _reconstruct(comps, qtabs, h, w, hmax, vmax)
+    return _reconstruct(comps, qtabs, h, w, hmax, vmax, adobe)
 
 
-def _reconstruct(comps, qtabs, h, w, hmax, vmax):
+def _reconstruct(comps, qtabs, h, w, hmax, vmax, adobe=None):
     """Dequantize + IDCT + upsample + color-convert decoded coefficient
-    arrays (shared by the baseline and progressive paths)."""
+    arrays (shared by the baseline and progressive paths). 1 plane =
+    grayscale, 3 = JFIF YCbCr, 4 = Adobe CMYK/YCCK (APP14 transform 0
+    or 2, stored Adobe-inverted; composited to RGB) — 4 components
+    without an Adobe marker are refused (ambiguous color space)."""
     planes = []
     for c in comps:
         qt = qtabs.get(c["tq"])
@@ -1313,6 +1415,29 @@ def _reconstruct(comps, qtabs, h, w, hmax, vmax):
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) == 2:
+        return None  # no defined 2-component color space
+    if len(planes) == 4:
+        if adobe == 2:  # YCCK: YCbCr over the inverted CMY, K untouched
+            yy, cb, cr = planes[0], planes[1], planes[2]
+            c4 = yy + 1.402 * (cr - 128.0)
+            m4 = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            y4 = yy + 1.772 * (cb - 128.0)
+            k4 = planes[3]
+        elif adobe == 0:  # CMYK stored directly (Adobe-inverted)
+            c4, m4, y4, k4 = planes
+        else:  # no/unknown Adobe transform: ambiguous, refuse
+            return None
+        c4 = np.clip(c4, 0.0, 255.0)
+        m4 = np.clip(m4, 0.0, 255.0)
+        y4 = np.clip(y4, 0.0, 255.0)
+        k4 = np.clip(k4, 0.0, 255.0)
+        # stored = 255 - display CMYK, so R = (1-C)(1-K) collapses to
+        # stored_C * stored_K / 255 (the standard Adobe composite)
+        rgb = np.stack(
+            [c4 * k4 / 255.0, m4 * k4 / 255.0, y4 * k4 / 255.0], axis=2
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

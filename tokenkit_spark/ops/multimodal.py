@@ -466,9 +466,10 @@ def media_decode_coverage(media: DataFrame) -> DataFrame:
     """Decode-coverage audit (VERDICT r03 item 8): per (kind, format,
     status) payload counts, where status says whether THIS engine's
     decoders can actually open the payload — "ok" for parsed PNG/WAV
-    headers and baseline or progressive JPEG (both decode), or the
-    jpeg.decode_status reason ("arithmetic", "other_sof", "malformed")
-    for the variants the pure-numpy codec skips, and "unknown" for
+    headers and baseline or progressive JPEG (both decode, incl.
+    4-component Adobe CMYK/YCCK), or the jpeg.decode_status reason
+    ("arithmetic", "other_sof", "unsupported_color", "malformed") for
+    the variants the pure-numpy codec skips, and "unknown" for
     unrecognized payloads. At corpus scale this is the metric that
     keeps partial decode support measurable instead of silently
     under-counting media stats. Classification is header-level (no
