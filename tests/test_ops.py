@@ -1194,3 +1194,38 @@ def test_jpeg_progressive_restart_intervals():
                                               restart_interval=ri))
             )
             assert prog is not None and np.array_equal(base, prog), ri
+
+
+def test_gif_decode_roundtrip_and_lzw():
+    """Real GIF codec: make_gif -> decode_gif round-trips EXACTLY
+    (lossless LZW over an exact palette), plain and interlaced, gray
+    and 256-color (code-size growth + table resets); header-only,
+    truncated and garbage payloads return None; the feature pipeline
+    pools real GIF pixels."""
+    import numpy as np
+
+    from tokenkit_spark.ops import multimodal as mm
+
+    rng = np.random.default_rng(19)
+    pal = rng.integers(0, 256, size=(12, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 12, size=(37, 53))]
+    for interlace in (False, True):
+        out = mm.decode_gif(mm.make_gif(53, 37, pixels=px, interlace=interlace))
+        assert out is not None and np.array_equal(out, px), interlace
+
+    gray = (np.arange(40 * 24).reshape(24, 40) % 200).astype(np.uint8)
+    out = mm.decode_gif(mm.make_gif(40, 24, pixels=gray))
+    assert np.array_equal(out, np.stack([gray] * 3, axis=2))
+
+    pal256 = np.array(
+        [[i, (i * 7) % 256, (i * 13) % 256] for i in range(256)],
+        dtype=np.uint8,
+    )
+    px = pal256[rng.integers(0, 256, size=(64, 96), dtype=np.uint8)]
+    g = mm.make_gif(96, 64, pixels=px)
+    assert np.array_equal(mm.decode_gif(g), px)
+    assert mm.parse_image_header(g) == ("gif", 96, 64)
+
+    assert mm.decode_gif(mm.make_gif(8, 8)) is None  # header-only
+    assert mm.decode_gif(g[: len(g) // 2]) is None
+    assert mm.decode_gif(b"nope") is None

@@ -15,12 +15,15 @@ Three layers, honestly separated:
   inflates the IDAT stream and the five PNG scanline filters are
   reversed in numpy — no codec library involved; round-trip and
   known-pixel tests cover it. JPEG pixel decode is REAL too
-  (``ops.jpeg.decode_jpeg``): a from-spec baseline JPEG codec —
-  Annex K Huffman/quant tables, zigzag, differential DC, byte
-  stuffing, restart markers, 4:4:4/4:2:0 — implemented in numpy,
-  round-trip tested against its encoder twin. Only genuinely opaque
-  payloads (the synthetic video bytes) go through the deterministic
-  ``_decode_image_stub`` boundary.
+  (``ops.jpeg.decode_jpeg``): a from-spec codec — baseline SOF0 and
+  progressive SOF2 (successive approximation), Annex K Huffman/quant
+  tables, zigzag, differential DC, byte stuffing, restart markers,
+  4:4:4/4:2:0, Adobe CMYK/YCCK — implemented in numpy, round-trip
+  tested against its encoder twins. GIF pixel decode is REAL as well
+  (``decode_gif``): from-spec LZW with global/local color tables and
+  interlacing, losslessly round-tripped against ``make_gif``. Only
+  genuinely opaque payloads (the synthetic video bytes) go through the
+  deterministic ``_decode_image_stub`` boundary.
 """
 
 from __future__ import annotations
@@ -379,6 +382,241 @@ def decode_png(b: bytes) -> np.ndarray | None:
     return img[:, :, 0] if channels == 1 else img
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes | None:
+    """GIF-variant LZW decode (LSB-first bit packing, clear/end codes,
+    12-bit ceiling with deferred clear). Returns exactly n_pixels index
+    bytes, or None on a malformed stream."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    codesize = min_code + 1
+    acc = nbits = 0
+    prev = None
+    res = bytearray()
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= codesize:
+            code = acc & ((1 << codesize) - 1)
+            acc >>= codesize
+            nbits -= codesize
+            if code == clear:
+                table = list(base)
+                codesize = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(res[:n_pixels]) if len(res) >= n_pixels else None
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            if len(table) == (1 << codesize) and codesize < 12:
+                codesize += 1
+            res += entry
+            prev = entry
+            if len(res) >= n_pixels:
+                return bytes(res[:n_pixels])
+    return bytes(res[:n_pixels]) if len(res) >= n_pixels else None
+
+
+def _gif_lzw_encode(indexes: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW encode mirroring ``_gif_lzw_decode`` (table
+    reset via clear code when full)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    codesize = min_code + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += codesize
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    cur = b""
+    for ch in indexes:
+        nxt = cur + bytes([ch])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << codesize) and codesize < 12:
+                codesize += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            codesize = min_code + 1
+        cur = bytes([ch])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(b: bytes) -> np.ndarray | None:
+    """REAL GIF decode (87a/89a): global/local color tables, LZW index
+    stream, interlacing, first frame pasted onto a background-filled
+    logical screen. Returns (H, W, 3) uint8 RGB, or None if the payload
+    isn't a supported GIF (animation beyond frame 1 and transparency
+    compositing are out of scope — frame 1 is what a corpus thumbnail
+    scan wants)."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w, h = struct.unpack("<HH", b[6:10])
+        packed, bg = b[10], b[11]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+            if gct.size != 3 * n:
+                return None
+            gct = gct.reshape(n, 3)
+            pos += 3 * n
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+        if gct is not None and bg < len(gct):
+            canvas[:] = gct[bg]
+        while pos < len(b):
+            blk = b[pos]
+            if blk == 0x3B:  # trailer
+                return None  # trailer before any image frame
+            if blk == 0x21:  # extension: skip sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+                continue
+            if blk != 0x2C:  # image descriptor expected
+                return None
+            left, top, fw, fh = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+            fpacked = b[pos + 9]
+            pos += 10
+            ct = gct
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 0x07)
+                ct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+                if ct.size != 3 * n:
+                    return None
+                ct = ct.reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                return None
+            min_code = b[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            chunks = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                chunks += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # sub-block terminator
+            idx = _gif_lzw_decode(bytes(chunks), min_code, fw * fh)
+            if idx is None:
+                return None
+            iarr = np.frombuffer(idx, dtype=np.uint8)
+            if iarr.max(initial=0) >= len(ct):
+                return None
+            frame = ct[iarr].reshape(fh, fw, 3)
+            if fpacked & 0x40:  # interlaced: reorder rows
+                ordered = np.empty_like(frame)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows = range(start, fh, step)
+                    ordered[list(rows)] = frame[src : src + len(rows)]
+                    src += len(rows)
+                frame = ordered
+            fh_c = min(fh, h - top)
+            fw_c = min(fw, w - left)
+            if fh_c <= 0 or fw_c <= 0:
+                return None
+            canvas[top : top + fh_c, left : left + fw_c] = frame[:fh_c, :fw_c]
+            return canvas  # first frame only
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
+def make_gif(
+    width: int,
+    height: int,
+    pixels: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Real GIF89a. With ``pixels`` ((H, W) gray or (H, W, 3) RGB uint8,
+    <= 256 distinct colors) the file carries a genuine LZW-compressed
+    index stream over an exact palette — decode_gif round-trips it
+    exactly (GIF is lossless). Without pixels: header + logical screen
+    descriptor only (header-level fixture)."""
+    hdr = b"GIF89a" + struct.pack("<HH", width, height)
+    if pixels is None:
+        return hdr + bytes([0x00, 0, 0])
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError("pixels must be uint8")
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=2)
+    if px.shape != (height, width, 3):
+        raise ValueError("pixels must be (H, W) or (H, W, 3) matching size")
+    flat = px.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("GIF fixtures need <= 256 distinct colors")
+    # palette size field is a power of two >= 2
+    bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    n_slots = 1 << bits
+    pal = np.zeros((n_slots, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(hdr)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, bg index 0
+    out += pal.tobytes()
+    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes([0x40 if interlace else 0x00])
+    idx = inverse.astype(np.uint8).reshape(height, width)
+    if interlace:
+        order = [
+            r for start, step in _GIF_INTERLACE_PASSES
+            for r in range(start, height, step)
+        ]
+        idx = idx[order]
+    min_code = max(2, bits)
+    out += bytes([min_code])
+    lzw = _gif_lzw_encode(idx.tobytes(), min_code)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0x00, 0x3B])
+    return bytes(out)
+
+
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB decode: a real implementation would use PIL/libjpeg. Here we
     derive a deterministic fake 'pixel' array from the bytes so the
@@ -392,9 +630,10 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 
 def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction: decode -> pooled features.
-    PNG and JPEG payloads decode for REAL (decode_png / decode_jpeg,
-    pixel-space pooling); genuinely opaque payloads (synthetic video)
-    go through the deterministic stub boundary.
+    PNG, JPEG and GIF payloads decode for REAL (decode_png /
+    decode_jpeg / decode_gif, pixel-space pooling); genuinely opaque
+    payloads (synthetic video) go through the deterministic stub
+    boundary.
     Batch shape: one Arrow batch of (media_id, kind, payload) rows in,
     one batch of fixed-width float features out.
 
@@ -416,6 +655,8 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                 img = decode_png(payload)
                 if img is None:
                     img = decode_jpeg(payload)
+                if img is None:
+                    img = decode_gif(payload)
                 if img is None:
                     img = _decode_image_stub(payload)
                 else:
