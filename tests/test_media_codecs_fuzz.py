@@ -81,3 +81,33 @@ def test_jpeg_fast_path_matches_oracle_fuzz(w, h, q, seed):
         else:
             os.environ["TOKENKIT_JPEG_FAST"] = prev
     assert a is not None and np.array_equal(a, b)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+    interlace=st.booleans(),
+    mode=st.sampled_from(["rgb", "gray", "palette"]),
+)
+def test_png_roundtrip_fuzz(w, h, seed, interlace, mode):
+    rng = np.random.default_rng(seed)
+    if mode == "gray":
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        out = mm.decode_png(mm.make_png(w, h, pixels=px, interlace=interlace))
+    elif mode == "rgb":
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = mm.decode_png(mm.make_png(w, h, pixels=px, interlace=interlace))
+    else:
+        ncol = int(rng.integers(1, 17))
+        pal = np.array(
+            [[c & 0xFF, (c * 31 + seed) & 0xFF, (c * 97) & 0xFF]
+             for c in range(ncol)],
+            dtype=np.uint8,
+        )
+        px = pal[rng.integers(0, ncol, size=(h, w))]
+        out = mm.decode_png(
+            mm.make_png(w, h, pixels=px, palette=True, interlace=interlace)
+        )
+    assert out is not None and np.array_equal(out, px)

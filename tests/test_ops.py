@@ -1229,3 +1229,53 @@ def test_gif_decode_roundtrip_and_lzw():
     assert mm.decode_gif(mm.make_gif(8, 8)) is None  # header-only
     assert mm.decode_gif(g[: len(g) // 2]) is None
     assert mm.decode_gif(b"nope") is None
+
+
+def test_png_adam7_and_palette():
+    """Adam7-interlaced and palette-indexed (color type 3) PNGs decode
+    exactly — previously the interlace flag was IGNORED, which would
+    have silently mis-decoded every interlaced web PNG into garbage
+    pixels feeding phash/features. Covers edge sizes where whole Adam7
+    passes are empty, and the palette+interlace combination."""
+    import numpy as np
+
+    from tokenkit_spark.ops import multimodal as mm
+
+    rng = np.random.default_rng(47)
+    rgb = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(12, 3), dtype=np.uint8)
+    palimg = pal[rng.integers(0, 12, size=(29, 41))]
+
+    assert np.array_equal(
+        mm.decode_png(mm.make_png(53, 37, pixels=rgb, interlace=True)), rgb
+    )
+    assert np.array_equal(
+        mm.decode_png(mm.make_png(31, 23, pixels=gray, interlace=True)), gray
+    )
+    assert np.array_equal(
+        mm.decode_png(mm.make_png(41, 29, pixels=palimg, palette=True)), palimg
+    )
+    assert np.array_equal(
+        mm.decode_png(
+            mm.make_png(41, 29, pixels=palimg, palette=True, interlace=True)
+        ),
+        palimg,
+    )
+    for h, w in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 1), (1, 9)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            mm.decode_png(mm.make_png(w, h, pixels=px, interlace=True)), px
+        ), (h, w)
+
+    # palette PNG without a PLTE chunk is malformed
+    g = bytearray(mm.make_png(41, 29, pixels=palimg, palette=True))
+    import struct as _s
+    pos = 8
+    while pos + 8 <= len(g):
+        (ln,) = _s.unpack(">I", bytes(g[pos:pos + 4]))
+        if bytes(g[pos + 4:pos + 8]) == b"PLTE":
+            del g[pos:pos + 12 + ln]
+            break
+        pos += 12 + ln
+    assert mm.decode_png(bytes(g)) is None

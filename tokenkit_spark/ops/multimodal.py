@@ -209,36 +209,78 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def make_png(width: int, height: int, pixels: np.ndarray | None = None) -> bytes:
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def make_png(
+    width: int,
+    height: int,
+    pixels: np.ndarray | None = None,
+    interlace: bool = False,
+    palette: bool = False,
+) -> bytes:
     """Real PNG. With ``pixels`` ((H, W) gray or (H, W, 3) RGB uint8) the
     file carries a genuine zlib IDAT stream (filter None per scanline) +
     IEND with correct chunk CRCs — decode_png round-trips it exactly.
-    Without pixels: signature + IHDR only (header-level fixture)."""
+    ``interlace=True`` writes Adam7 pass layout; ``palette=True`` writes
+    an indexed (color type 3) image over an exact PLTE (<= 256 distinct
+    colors). Without pixels: signature + IHDR only (header fixture)."""
     import zlib
 
     if pixels is None:
-        color_type = 2
-        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
         return b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
+    if px.ndim == 2 and not palette:
         color_type, channels = 0, 1
         px = px[:, :, None]
-    elif px.ndim == 3 and px.shape[2] == 3:
+    elif px.ndim == 3 and px.shape[2] == 3 and not palette:
         color_type, channels = 2, 3
+    elif palette:
+        if px.ndim == 2:
+            px = np.stack([px] * 3, axis=2)
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError("palette pixels must be (H, W) or (H, W, 3)")
+        color_type, channels = 3, 1
     else:
         raise ValueError("pixels must be (H, W) gray or (H, W, 3) RGB")
     h, w = px.shape[:2]
     if (w, h) != (width, height):
         raise ValueError(f"pixels shape {(h, w)} != ({height}, {width})")
-    flat = px.reshape(h, w * channels)
-    scanlines = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), flat], axis=1
-    ).tobytes()
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = b""
+    if palette:
+        pal, inverse = np.unique(px.reshape(-1, 3), axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError("palette PNG fixtures need <= 256 distinct colors")
+        plte = _png_chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+        px = inverse.astype(np.uint8).reshape(h, w)[:, :, None]
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            flat = sub.reshape(sub.shape[0], sub.shape[1] * channels)
+            parts.append(np.concatenate(
+                [np.zeros((sub.shape[0], 1), dtype=np.uint8), flat], axis=1
+            ).tobytes())
+        scanlines = b"".join(parts)
+    else:
+        flat = px.reshape(h, w * channels)
+        scanlines = np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), flat], axis=1
+        ).tobytes()
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(scanlines, 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -299,10 +341,12 @@ def make_wav(
 
 
 def decode_png(b: bytes) -> np.ndarray | None:
-    """REAL PNG decode for 8-bit grayscale (color type 0) and RGB (2):
+    """REAL PNG decode for 8-bit grayscale (color type 0), RGB (2) and
+    palette-indexed (3, via PLTE), interlaced (Adam7) or not:
     concatenate IDAT chunks, zlib-inflate, reverse the per-scanline
-    filters (None/Sub/Up/Average/Paeth). Returns (H, W) or (H, W, 3)
-    uint8, or None if the payload isn't a supported PNG.
+    filters (None/Sub/Up/Average/Paeth) per pass, deinterlace, look up
+    the palette. Returns (H, W) or (H, W, 3) uint8, or None if the
+    payload isn't a supported PNG.
 
     Filter math: Sub's left-neighbor recurrence is a per-stride cumsum
     (uint8 wraps mod 256, exactly PNG's arithmetic); Up is one vector
@@ -317,6 +361,8 @@ def decode_png(b: bytes) -> np.ndarray | None:
     pos = 8
     width = height = None
     bit_depth = color_type = None
+    interlace = 0
+    plte = None
     idat = []
     while pos + 8 <= len(b):
         (length,) = struct.unpack(">I", b[pos : pos + 4])
@@ -325,19 +371,59 @@ def decode_png(b: bytes) -> np.ndarray | None:
         if ctype == b"IHDR":
             width, height = struct.unpack(">II", data[:8])
             bit_depth, color_type = data[8], data[9]
+            interlace = data[12] if len(data) > 12 else 0
+        elif ctype == b"PLTE":
+            if len(data) % 3:
+                return None
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + data + crc
-    if not idat or width is None or bit_depth != 8 or color_type not in (0, 2):
+    if not idat or width is None or bit_depth != 8:
         return None
-    channels = 1 if color_type == 0 else 3
+    if color_type not in (0, 2, 3) or interlace not in (0, 1):
+        return None
+    if color_type == 3 and plte is None:
+        return None
+    channels = 3 if color_type == 2 else 1
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = width * channels
+    if interlace == 0:
+        out = _png_unfilter(raw, height, width * channels, channels)
+        if out is None:
+            return None
+        img = out.reshape(height, width, channels)
+    else:  # Adam7: unfilter each pass, scatter into the pixel grid
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs if width > x0 else 0
+            ph = (height - y0 + ys - 1) // ys if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            pstride = pw * channels
+            need = ph * (pstride + 1)
+            sub = _png_unfilter(raw[off : off + need], ph, pstride, channels)
+            if sub is None:
+                return None
+            off += need
+            img[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+    if color_type == 3:
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            return None
+        return plte[idx]
+    return img[:, :, 0] if channels == 1 else img
+
+
+def _png_unfilter(raw, height, stride, bpp):
+    """Reverse PNG scanline filters over ``height`` rows of ``stride``
+    bytes (+1 filter byte each); returns (height, stride) uint8 or None
+    if the buffer is short or a filter code is invalid."""
     if len(raw) < height * (stride + 1):
         return None
     rows = np.frombuffer(raw[: height * (stride + 1)], dtype=np.uint8).reshape(
@@ -345,7 +431,6 @@ def decode_png(b: bytes) -> np.ndarray | None:
     )
     filters = rows[:, 0]
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels
     for y in range(height):
         f = int(filters[y])
         cur = rows[y, 1:].copy()
@@ -378,8 +463,7 @@ def decode_png(b: bytes) -> np.ndarray | None:
             out[y] = r
         else:
             return None
-    img = out.reshape(height, width, channels)
-    return img[:, :, 0] if channels == 1 else img
+    return out
 
 
 def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes | None:
