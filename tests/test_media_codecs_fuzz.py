@@ -111,3 +111,17 @@ def test_png_roundtrip_fuzz(w, h, seed, interlace, mode):
             mm.make_png(w, h, pixels=px, palette=True, interlace=interlace)
         )
     assert out is not None and np.array_equal(out, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+    top_down=st.booleans(),
+)
+def test_bmp_roundtrip_fuzz(w, h, seed, top_down):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = mm.decode_bmp(mm.make_bmp(w, h, pixels=px, top_down=top_down))
+    assert out is not None and np.array_equal(out, px)

@@ -1279,3 +1279,32 @@ def test_png_adam7_and_palette():
             break
         pos += 12 + ln
     assert mm.decode_png(bytes(g)) is None
+
+
+def test_bmp_decode_roundtrip():
+    """Real 24-bit BMP codec: bottom-up and top-down rows, 4-byte row
+    padding, BGR order — make_bmp -> decode_bmp round-trips exactly;
+    header parse recovers dimensions; header-only/truncated/garbage
+    payloads return None."""
+    import numpy as np
+
+    from tokenkit_spark.ops import multimodal as mm
+
+    rng = np.random.default_rng(53)
+    px = rng.integers(0, 256, size=(23, 37, 3), dtype=np.uint8)
+    for top_down in (False, True):
+        out = mm.decode_bmp(mm.make_bmp(37, 23, pixels=px, top_down=top_down))
+        assert out is not None and np.array_equal(out, px), top_down
+    gray = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    assert np.array_equal(
+        mm.decode_bmp(mm.make_bmp(13, 9, pixels=gray)),
+        np.stack([gray] * 3, axis=2),
+    )
+    for h, w in [(1, 1), (2, 2), (5, 3)]:  # padding edge sizes
+        p = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mm.decode_bmp(mm.make_bmp(w, h, pixels=p)), p)
+    assert mm.parse_image_header(mm.make_bmp(37, 23)) == ("bmp", 37, 23)
+    assert mm.decode_bmp(mm.make_bmp(8, 8)) is None  # header-only
+    b = mm.make_bmp(37, 23, pixels=px)
+    assert mm.decode_bmp(b[: len(b) // 2]) is None
+    assert mm.decode_bmp(b"BMnope") is None

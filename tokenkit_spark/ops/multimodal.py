@@ -5,8 +5,9 @@ Three layers, honestly separated:
 
 * HEADER PARSING (``parse_media_headers``) is REAL: pure-Python binary
   parsing of PNG (IHDR), JPEG (SOF marker scan), GIF (logical screen
-  descriptor), and WAV (RIFF fmt chunk) headers — width/height/sample
-  rate/channels come from the actual bytes, no external libs needed.
+  descriptor), BMP (BITMAPINFOHEADER), and WAV (RIFF fmt chunk)
+  headers — width/height/sample rate/channels come from the actual
+  bytes, no external libs needed.
 * AUDIO DECODE (``decode_wav_pcm`` / ``audio_features``) is REAL for
   16-bit PCM WAV: PCM is raw samples behind the RIFF header, so decode
   needs no codec library — duration/RMS/peak/zero-cross features come
@@ -21,9 +22,10 @@ Three layers, honestly separated:
   4:4:4/4:2:0, Adobe CMYK/YCCK — implemented in numpy, round-trip
   tested against its encoder twins. GIF pixel decode is REAL as well
   (``decode_gif``): from-spec LZW with global/local color tables and
-  interlacing, losslessly round-tripped against ``make_gif``. Only
-  genuinely opaque payloads (the synthetic video bytes) go through the
-  deterministic ``_decode_image_stub`` boundary.
+  interlacing, losslessly round-tripped against ``make_gif``; so is
+  24-bit BMP (``decode_bmp``/``make_bmp``). Only genuinely opaque
+  payloads (the synthetic video bytes) go through the deterministic
+  ``_decode_image_stub`` boundary.
 """
 
 from __future__ import annotations
@@ -80,7 +82,75 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
     if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", b[6:10])
         return ("gif", w, h)
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h))
     return None
+
+
+def decode_bmp(b: bytes) -> np.ndarray | None:
+    """REAL BMP decode for the common web shape: BITMAPINFOHEADER (or
+    larger V4/V5 headers), 24-bit uncompressed, bottom-up or top-down
+    rows, 4-byte row padding. Returns (H, W, 3) uint8 RGB (BMP stores
+    BGR), or None if the payload isn't a supported BMP."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    try:
+        (data_off,) = struct.unpack("<I", b[10:14])
+        (hdr_size,) = struct.unpack("<I", b[14:18])
+        if hdr_size < 40:  # BITMAPCOREHEADER not supported
+            return None
+        w, h = struct.unpack("<ii", b[18:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        (compression,) = struct.unpack("<I", b[30:34])
+    except struct.error:
+        return None
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * h
+    if need > len(b) or data_off < 14 + hdr_size:
+        return None
+    rows = np.frombuffer(b[data_off:need], dtype=np.uint8).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return np.ascontiguousarray(img if top_down else img[::-1])
+
+
+def make_bmp(
+    width: int,
+    height: int,
+    pixels: np.ndarray | None = None,
+    top_down: bool = False,
+) -> bytes:
+    """Real 24-bit BMP (BITMAPINFOHEADER, uncompressed). With ``pixels``
+    ((H, W) gray or (H, W, 3) RGB uint8) the file carries genuine padded
+    BGR rows — decode_bmp round-trips it exactly (BMP is lossless).
+    Without pixels: header-only fixture."""
+    hdr_off = 14 + 40
+    stride = (width * 3 + 3) & ~3
+    size = hdr_off + stride * height
+    head = (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, hdr_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, -height if top_down else height,
+            1, 24, 0, stride * height, 2835, 2835, 0, 0,
+        )
+    )
+    if pixels is None:
+        return head
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=2)
+    if px.shape != (height, width, 3):
+        raise ValueError("pixels must be (H, W) or (H, W, 3) matching size")
+    bgr = px[:, :, ::-1]
+    if not top_down:
+        bgr = bgr[::-1]
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = bgr.reshape(height, width * 3)
+    return head + rows.tobytes()
 
 
 def parse_audio_header(b: bytes) -> tuple[str, int, int] | None:
@@ -714,10 +784,10 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 
 def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction: decode -> pooled features.
-    PNG, JPEG and GIF payloads decode for REAL (decode_png /
-    decode_jpeg / decode_gif, pixel-space pooling); genuinely opaque
-    payloads (synthetic video) go through the deterministic stub
-    boundary.
+    PNG, JPEG, GIF and BMP payloads decode for REAL (decode_png /
+    decode_jpeg / decode_gif / decode_bmp, pixel-space pooling);
+    genuinely opaque payloads (synthetic video) go through the
+    deterministic stub boundary.
     Batch shape: one Arrow batch of (media_id, kind, payload) rows in,
     one batch of fixed-width float features out.
 
@@ -741,6 +811,8 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                     img = decode_jpeg(payload)
                 if img is None:
                     img = decode_gif(payload)
+                if img is None:
+                    img = decode_bmp(payload)
                 if img is None:
                     img = _decode_image_stub(payload)
                 else:
